@@ -1,0 +1,1 @@
+from morphik_core_spark.sources.tables import load_table, load_tables  # noqa: F401
