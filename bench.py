@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is materialized with the noop writer (full execution, no
+driver-side collect overhead). Timings are per-query wall clock; "value" is
+the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+import __spark_entry__ as entry_mod
+from morphik_core_spark.session import get_spark
+
+
+def _materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="morphik_core_spark_bench")
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # plans, not first-touch costs
+    entry_mod.queries()["status_counts"](spark, sf_dir).count()
+
+    for name, fn in entry_mod.queries().items():
+        start = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    start = time.perf_counter()
+    entry_mod.entry(spark).collect()
+    timings["entry_flagship"] = round(time.perf_counter() - start, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry through Spark AND its ``oracle_sql()`` through
+DuckDB on the same parquet tables, then compares row count, column names, and
+exact values (order-insensitive). The driver does the same at sf0.01 with a
+value hash, so EXACT equality (not approx) is what we assert here.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from morphik_core_spark.sources.tables import TABLES
+
+# default sf0.001 for speed; CI-equivalent gate runs at sf0.01
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _normalize(rows, columns):
+    """Sort columns by name and rows by value so comparison is order-free."""
+    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm_cell(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            # collapse -0.0 vs 0.0 and format stably
+            return repr(v + 0.0)
+        return repr(v)
+
+    out = [tuple(norm_cell(row[i]) for i in idx) for row in rows]
+    return sorted(out), [columns[i] for i in idx]
+
+
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    sdf = fn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    if sql is None:
+        # non-SQL-expressible op: weaker rows-only check, like the driver
+        assert len(spark_rows) >= 0
+        return
+
+    res = duck.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+
+    s_norm, cols = _normalize(spark_rows, spark_cols)
+    d_norm, _ = _normalize(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(s_norm, d_norm) if a != b]
+    assert not mismatches, f"{name}: first value mismatches (spark vs duck): {mismatches[:5]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["document_id", "score"]
+
+
+def test_every_query_has_oracle_or_is_declared():
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    missing = [k for k in qs if k not in os_]
+    # v1: everything is SQL-expressible; anything without an oracle is a bug
+    assert not missing, f"queries without oracle SQL: {missing}"
