@@ -20,9 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from morphik_core_spark.functions.vectors import retrieval_score
-from morphik_core_spark.operators import listing, retrieval
+from morphik_core_spark.operators import listing, maxsim, retrieval
 from morphik_core_spark.operators.metadata_filters import MetadataFilterCompiler
 from morphik_core_spark.sources.tables import load_table
+
+# multivector derivation: 64-dim embedding → 8 token vectors × 8 dims
+_MV_TOKENS = 8
+_MV_DIMS = 8
 
 # Deterministic query vector for retrieval queries: the embedding of
 # vec_id = 0 (testdata is seeded, so this is stable across scale factors
@@ -195,6 +199,53 @@ def _q_filter_dsl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.filter(pred).select("event_id", "event_type", F.round("value", 2).alias("value"))
 
 
+def _multivectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings table reshaped into ragged multivectors (FIXTURES.md §3)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    mv = F.expr(
+        f"transform(sequence(0, {_MV_TOKENS - 1}), "
+        f"t -> slice(cast(embedding AS array<double>), t * {_MV_DIMS} + 1, {_MV_DIMS}))"
+    )
+    return emb.select("vec_id", mv.alias("multivector"))
+
+
+def _query_tokens(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    qv = _query_vector(spark, sf_dir)
+    return [qv[t * _MV_DIMS : (t + 1) * _MV_DIMS] for t in range(_MV_TOKENS)]
+
+
+def _q_maxsim_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim top-k, relational form (SURVEY §2.4 MaxSim)."""
+    mv = _multivectors(spark, sf_dir)
+    scored = maxsim.maxsim_relational(mv, _query_tokens(spark, sf_dir), id_cols=("vec_id",))
+    scored = scored.select("vec_id", F.round("maxsim", _SCORE_DECIMALS).alias("maxsim"))
+    return retrieval.top_k(scored, 10, score_col="maxsim", tiebreak=("vec_id",))
+
+
+def _q_maxsim_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized MaxSim (sign-bit Hamming) top-k — the coarse stage
+    of two-stage retrieval (SURVEY §4)."""
+    mv = _multivectors(spark, sf_dir)
+    scored = maxsim.maxsim_hamming_relational(mv, _query_tokens(spark, sf_dir), id_cols=("vec_id",))
+    scored = scored.select("vec_id", F.round("maxsim", _SCORE_DECIMALS).alias("maxsim"))
+    return retrieval.top_k(scored, 10, score_col="maxsim", tiebreak=("vec_id",))
+
+
+def _q_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: cheap binary Hamming prune to 50 candidates →
+    exact rescore → top-10 (reference fast_multivector_store.py:504-608)."""
+    mv = _multivectors(spark, sf_dir)
+    qtoks = _query_tokens(spark, sf_dir)
+    coarse = maxsim.maxsim_hamming_relational(mv, qtoks, id_cols=("vec_id",))
+    coarse = coarse.select("vec_id", F.round("maxsim", _SCORE_DECIMALS).alias("maxsim"))
+    survivors = retrieval.top_k(coarse, 50, score_col="maxsim", tiebreak=("vec_id",)).select("vec_id")
+    exact = maxsim.maxsim_relational(
+        mv.join(F.broadcast(survivors), "vec_id", "left_semi"), qtoks, id_cols=("vec_id",)
+    )
+    exact = exact.select("vec_id", F.round("maxsim", _SCORE_DECIMALS).alias("maxsim"))
+    return retrieval.top_k(exact, 10, score_col="maxsim", tiebreak=("vec_id",))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -207,6 +258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colpali_merge": _q_colpali_merge,
         "lang_counts": _q_lang_counts,
         "filter_dsl_events": _q_filter_dsl_events,
+        "maxsim_exact": _q_maxsim_exact,
+        "maxsim_hamming": _q_maxsim_hamming,
+        "two_stage_topk": _q_two_stage_topk,
     }
 
 
@@ -307,6 +361,86 @@ def oracle_sql() -> dict[str, str]:
               AND (json_extract(props, '$.k') = '7'
                    OR json_extract(props, '$.k') IN ('11', '13', '17'))
               AND contains(lower(event_type), 'e')
+        """,
+        "maxsim_exact": f"""
+            WITH d AS (
+                SELECT vec_id, r.t AS d_idx,
+                       (embedding::DOUBLE[])[r.t * {_MV_DIMS} + 1 : (r.t + 1) * {_MV_DIMS}] AS dv
+                FROM embeddings, range({_MV_TOKENS}) AS r(t)
+            ),
+            q AS (
+                SELECT r.t AS q_idx,
+                       (embedding::DOUBLE[])[r.t * {_MV_DIMS} + 1 : (r.t + 1) * {_MV_DIMS}] AS qv
+                FROM embeddings, range({_MV_TOKENS}) AS r(t)
+                WHERE vec_id = {_QUERY_VEC_ID}
+            ),
+            best AS (
+                SELECT d.vec_id, q.q_idx, MAX(list_dot_product(q.qv, d.dv)) AS best
+                FROM d, q GROUP BY d.vec_id, q.q_idx
+            )
+            SELECT vec_id, ROUND(SUM(best), {_SCORE_DECIMALS}) AS maxsim
+            FROM best GROUP BY vec_id
+            ORDER BY maxsim DESC, vec_id ASC LIMIT 10
+        """,
+        "maxsim_hamming": f"""
+            WITH d AS (
+                SELECT vec_id, r.t AS d_idx,
+                       list_transform(
+                           (embedding::DOUBLE[])[r.t * {_MV_DIMS} + 1 : (r.t + 1) * {_MV_DIMS}],
+                           x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END) AS dv
+                FROM embeddings, range({_MV_TOKENS}) AS r(t)
+            ),
+            q AS (
+                SELECT r.t AS q_idx,
+                       list_transform(
+                           (embedding::DOUBLE[])[r.t * {_MV_DIMS} + 1 : (r.t + 1) * {_MV_DIMS}],
+                           x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END) AS qv
+                FROM embeddings, range({_MV_TOKENS}) AS r(t)
+                WHERE vec_id = {_QUERY_VEC_ID}
+            ),
+            best AS (
+                SELECT d.vec_id, q.q_idx,
+                       MAX(({_MV_DIMS} + list_dot_product(q.qv, d.dv)) / {2.0 * _MV_DIMS}) AS best
+                FROM d, q GROUP BY d.vec_id, q.q_idx
+            )
+            SELECT vec_id, ROUND(SUM(best), {_SCORE_DECIMALS}) AS maxsim
+            FROM best GROUP BY vec_id
+            ORDER BY maxsim DESC, vec_id ASC LIMIT 10
+        """,
+        "two_stage_topk": f"""
+            WITH d AS (
+                SELECT vec_id, r.t AS d_idx,
+                       (embedding::DOUBLE[])[r.t * {_MV_DIMS} + 1 : (r.t + 1) * {_MV_DIMS}] AS dv
+                FROM embeddings, range({_MV_TOKENS}) AS r(t)
+            ),
+            q AS (
+                SELECT r.t AS q_idx,
+                       (embedding::DOUBLE[])[r.t * {_MV_DIMS} + 1 : (r.t + 1) * {_MV_DIMS}] AS qv
+                FROM embeddings, range({_MV_TOKENS}) AS r(t)
+                WHERE vec_id = {_QUERY_VEC_ID}
+            ),
+            coarse_best AS (
+                SELECT d.vec_id, q.q_idx,
+                       MAX(({_MV_DIMS} + list_dot_product(
+                           list_transform(q.qv, x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END),
+                           list_transform(d.dv, x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END)
+                       )) / {2.0 * _MV_DIMS}) AS best
+                FROM d, q GROUP BY d.vec_id, q.q_idx
+            ),
+            survivors AS (
+                SELECT vec_id FROM (
+                    SELECT vec_id, ROUND(SUM(best), {_SCORE_DECIMALS}) AS maxsim
+                    FROM coarse_best GROUP BY vec_id
+                ) ORDER BY maxsim DESC, vec_id ASC LIMIT 50
+            ),
+            exact_best AS (
+                SELECT d.vec_id, q.q_idx, MAX(list_dot_product(q.qv, d.dv)) AS best
+                FROM d JOIN survivors s ON d.vec_id = s.vec_id, q
+                GROUP BY d.vec_id, q.q_idx
+            )
+            SELECT vec_id, ROUND(SUM(best), {_SCORE_DECIMALS}) AS maxsim
+            FROM exact_best GROUP BY vec_id
+            ORDER BY maxsim DESC, vec_id ASC LIMIT 10
         """,
     }
 
