@@ -353,6 +353,55 @@ def _q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMBED_DIMS = 16
+_EMBED_SEED = 42
+
+
+def _q_hash_embed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion→retrieval end-to-end from RAW TEXT: seeded hash embedding
+    (sparse relational form) → cosine top-k. Integer-exact arithmetic until
+    the final score division (FIXTURES.md §6)."""
+    from morphik_core_spark.functions.embedder import hash_embed_components
+
+    docs = _t(spark, sf_dir, "documents")
+    comps = hash_embed_components(docs, "text", "doc_id", dims=_EMBED_DIMS, seed=_EMBED_SEED)
+    qcomps = (
+        hash_embed_components(docs.filter(F.col("doc_id") == 0), "text", "doc_id", _EMBED_DIMS, _EMBED_SEED)
+        .select("idx", F.col("val").alias("qval"))
+    )
+    norms = comps.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm"))
+    qnorm = qcomps.agg(F.sqrt(F.sum(F.col("qval") * F.col("qval"))).alias("qnorm"))
+    dots = (
+        comps.join(F.broadcast(qcomps), "idx")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "doc_id",
+            F.round((F.lit(1.0) + F.col("dot") / (F.col("norm") * F.col("qnorm"))) / 2.0, _SCORE_DECIMALS).alias(
+                "score"
+            ),
+        )
+    )
+    return retrieval.top_k(scored, 10, tiebreak=("doc_id",))
+
+
+def _q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-splitter chunking stats (pandas-UDF kernel; the splitter is
+    not SQL-expressible → rows-only driver check)."""
+    from morphik_core_spark.functions.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "external_id")
+    chunks = chunk_documents(docs, text_col="text", id_col="external_id", chunk_size=256, chunk_overlap=32)
+    return chunks.groupBy("document_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max(F.length("content")).alias("max_chunk_len"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -378,6 +427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "language_id": _q_language_id,
         "event_window_agg": _q_event_window_agg,
+        "hash_embed_retrieval": _q_hash_embed_retrieval,
+        "chunk_stats": _q_chunk_stats,
     }
 
 
@@ -710,6 +761,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "hash_embed_retrieval": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                FROM documents
+            ),
+            tok2 AS (SELECT doc_id, tok FROM tok WHERE length(tok) > 0),
+            hh AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('{_EMBED_SEED}:' || tok), 1, 15)) AS BIGINT) AS h
+                FROM tok2
+            ),
+            comp AS (
+                SELECT doc_id, h % {_EMBED_DIMS} AS idx,
+                       SUM(CASE WHEN (h // {_EMBED_DIMS}) % 2 = 0 THEN 1 ELSE -1 END) AS val
+                FROM hh GROUP BY doc_id, h % {_EMBED_DIMS}
+            ),
+            norms AS (SELECT doc_id, sqrt(SUM(val * val)) AS norm FROM comp GROUP BY doc_id),
+            q AS (SELECT idx, val AS qval FROM comp WHERE doc_id = 0),
+            qn AS (SELECT sqrt(SUM(qval * qval)) AS qnorm FROM q),
+            dots AS (
+                SELECT c.doc_id, SUM(c.val * q.qval) AS dot
+                FROM comp c JOIN q USING (idx) GROUP BY c.doc_id
+            )
+            SELECT doc_id, ROUND((1.0 + dot / (norm * qnorm)) / 2.0, {_SCORE_DECIMALS}) AS score
+            FROM dots JOIN norms USING (doc_id), qn
+            ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
     }
 

@@ -82,8 +82,12 @@ def test_entry_smoke(spark):
     assert df.columns == ["document_id", "score"]
 
 
+# ops whose kernel is genuinely not SQL-expressible (driver records the
+# weaker rows-only check for these)
+ROWS_ONLY = {"chunk_stats"}
+
+
 def test_every_query_has_oracle_or_is_declared():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
-    missing = [k for k in qs if k not in os_]
-    # v1: everything is SQL-expressible; anything without an oracle is a bug
+    missing = [k for k in qs if k not in os_ and k not in ROWS_ONLY]
     assert not missing, f"queries without oracle SQL: {missing}"
