@@ -20,7 +20,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from morphik_core_spark.functions.vectors import retrieval_score
-from morphik_core_spark.operators import dedup, listing, maxsim, retrieval, similarity, text_analysis
+from morphik_core_spark.operators import (
+    asof,
+    dedup,
+    docstore,
+    listing,
+    maxsim,
+    retrieval,
+    similarity,
+    text_analysis,
+)
 from morphik_core_spark.operators.metadata_filters import MetadataFilterCompiler
 from morphik_core_spark.sources.tables import load_table
 
@@ -357,6 +366,80 @@ _EMBED_DIMS = 16
 _EMBED_SEED = 42
 
 
+def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video at_time nearest-timestamp lookup (SURVEY §2.3 as-of join):
+    for each error event, the nearest purchase of the same user; exact
+    ties resolve to the earlier row (reference video.py:41-53)."""
+    events = _t(spark, sf_dir, "events")
+    probes = events.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    series = events.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof.asof_nearest(probes, series, key="user_id")
+    matched = series.select(
+        F.col("user_id"), F.col("ts").alias("matched_ts"), F.round("value", 2).alias("matched_value")
+    )
+    return (
+        out.join(matched, ["user_id", "matched_ts"], "left")
+        .select("event_id", "user_id", "matched_ts", "matched_value")
+    )
+
+
+def _q_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic as-of (most recent at or before) — the watermark/state form."""
+    events = _t(spark, sf_dir, "events")
+    probes = events.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    series = events.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    return asof.asof_backward(probes, series, key="user_id").select("event_id", "user_id", "matched_ts")
+
+
+def _q_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot upsert: updates replace base rows on the key (§2.1 doc store)."""
+    docs = _t(spark, sf_dir, "documents")
+    updates = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.col("text"),
+        F.lit("xx").alias("lang"),
+        F.col("source"),
+        (F.col("n_chars") + 1000).alias("n_chars"),
+    )
+    return docstore.upsert(docs.select("doc_id", "text", "lang", "source", "n_chars"), updates, ["doc_id"]).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _q_folder_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folder subtree move = path-prefix rewrite (§2.3 folder tree)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "folder_path", F.concat(F.lit("/"), "source", F.lit("/"), "lang")
+    )
+    moved = docstore.move_folder(docs, "/src1", "/archive/src1")
+    return moved.select("doc_id", "folder_path")
+
+
+def _q_batch_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key batch fetch via broadcast semi-join (§2.3 batch chunk fetch)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    keys = [(k, n) for k in range(1, 41) for n in (1, 2)]
+    return docstore.batch_get(lineitem, keys, ["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price")
+    )
+
+
+def _q_padding_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupedChunkResponse flattened: padded chunks with is_padding flags
+    (§2.6 grouping operator)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    chunks = lineitem.select(
+        F.col("l_orderkey").alias("document_id"),
+        F.col("l_linenumber").alias("chunk_number"),
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+    matches = chunks.filter(F.col("price") > 99000).withColumn("score", F.col("price"))
+    padded = retrieval.with_padding(matches.select("document_id", "chunk_number", "score"), chunks, padding=1)
+    return docstore.grouped_response(padded, matches).select(
+        "document_id", "chunk_number", "score", "is_padding"
+    )
+
+
 def _q_hash_embed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion→retrieval end-to-end from RAW TEXT: seeded hash embedding
     (sparse relational form) → cosine top-k. Integer-exact arithmetic until
@@ -429,6 +512,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_agg": _q_event_window_agg,
         "hash_embed_retrieval": _q_hash_embed_retrieval,
         "chunk_stats": _q_chunk_stats,
+        "asof_nearest": _q_asof_nearest,
+        "asof_backward": _q_asof_backward,
+        "upsert_docs": _q_upsert_docs,
+        "folder_move": _q_folder_move,
+        "batch_get": _q_batch_get,
+        "padding_grouped": _q_padding_grouped,
     }
 
 
@@ -788,6 +877,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ROUND((1.0 + dot / (norm * qnorm)) / 2.0, {_SCORE_DECIMALS}) AS score
             FROM dots JOIN norms USING (doc_id), qn
             ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "asof_nearest": """
+            WITH probes AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+            serie AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+            before_c AS (
+                SELECT p.event_id, MAX(s.ts) AS bts
+                FROM probes p JOIN serie s ON p.user_id = s.user_id AND s.ts <= p.ts
+                GROUP BY p.event_id
+            ),
+            after_c AS (
+                SELECT p.event_id, MIN(s.ts) AS ats
+                FROM probes p JOIN serie s ON p.user_id = s.user_id AND s.ts > p.ts
+                GROUP BY p.event_id
+            ),
+            chosen AS (
+                SELECT p.event_id, p.user_id,
+                       CASE WHEN b.bts IS NULL THEN a.ats
+                            WHEN a.ats IS NULL THEN b.bts
+                            WHEN (epoch_us(p.ts) - epoch_us(b.bts)) > (epoch_us(a.ats) - epoch_us(p.ts))
+                                 THEN a.ats
+                            ELSE b.bts END AS matched_ts
+                FROM probes p
+                LEFT JOIN before_c b ON p.event_id = b.event_id
+                LEFT JOIN after_c a ON p.event_id = a.event_id
+            )
+            SELECT c.event_id, c.user_id, c.matched_ts, ROUND(s.value, 2) AS matched_value
+            FROM chosen c
+            LEFT JOIN serie s ON s.user_id = c.user_id AND s.ts = c.matched_ts
+        """,
+        "asof_backward": """
+            WITH probes AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+            serie AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+            m AS (
+                SELECT p.event_id, MAX(s.ts) AS matched_ts
+                FROM probes p JOIN serie s ON p.user_id = s.user_id AND s.ts <= p.ts
+                GROUP BY p.event_id
+            )
+            SELECT p.event_id, p.user_id, m.matched_ts
+            FROM probes p LEFT JOIN m ON p.event_id = m.event_id
+        """,
+        "upsert_docs": """
+            WITH updates AS (
+                SELECT doc_id, 'xx' AS lang, n_chars + 1000 AS n_chars
+                FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d ANTI JOIN updates u ON d.doc_id = u.doc_id
+            UNION ALL
+            SELECT doc_id, lang, n_chars FROM updates
+        """,
+        "folder_move": """
+            SELECT doc_id,
+                   CASE WHEN fp = '/src1' OR starts_with(fp, '/src1/')
+                        THEN '/archive/src1' || substr(fp, 6)
+                        ELSE fp END AS folder_path
+            FROM (SELECT doc_id, '/' || source || '/' || lang AS fp FROM documents)
+        """,
+        "batch_get": """
+            WITH wanted AS (
+                SELECT k AS l_orderkey, n AS l_linenumber
+                FROM range(1, 41) r(k), (VALUES (1), (2)) t(n)
+            )
+            SELECT l.l_orderkey, l.l_linenumber, ROUND(l.l_extendedprice, 2) AS price
+            FROM lineitem l SEMI JOIN wanted w
+              ON l.l_orderkey = w.l_orderkey AND l.l_linenumber = w.l_linenumber
+        """,
+        "padding_grouped": """
+            WITH chunks AS (
+                SELECT l_orderkey AS document_id, l_linenumber AS chunk_number,
+                       ROUND(l_extendedprice, 2) AS price
+                FROM lineitem
+            ),
+            matches AS (
+                SELECT document_id, chunk_number, price AS score
+                FROM chunks WHERE price > 99000
+            ),
+            wanted AS (
+                SELECT DISTINCT m.document_id, m.chunk_number + d.d AS chunk_number
+                FROM matches m, (VALUES (-1), (0), (1)) AS d(d)
+            )
+            SELECT c.document_id, c.chunk_number,
+                   COALESCE(m.score, 0.0) AS score,
+                   (m.document_id IS NULL) AS is_padding
+            FROM chunks c
+            JOIN wanted w ON c.document_id = w.document_id AND c.chunk_number = w.chunk_number
+            LEFT JOIN matches m ON c.document_id = m.document_id AND c.chunk_number = m.chunk_number
         """,
     }
 

@@ -1,0 +1,135 @@
+"""As-of joins — the video time-series ``at_time`` lookup, generalized.
+
+Reference semantics (/root/reference/core/models/video.py:41-85):
+- ``at_time(t)``: nearest timestamp by binary search; EXACT tie between
+  the before/after candidates resolves to the EARLIER one
+  (``idx if (t - before) > (after - t) else idx - 1``)
+- ``at_time(t, padding)``: entries between nearest(clamp(t-p)) and
+  nearest(clamp(t+p)) inclusive (bounds clamped to the series range)
+
+Spark form: candidate aggregation — per probe, the latest series row at or
+before t and the earliest after t, then a distance pick. Both candidate
+joins are key-equi joins with a range predicate; Catalyst executes them as
+hash joins on the key with the range as a post-filter, and both aggregates
+partial map-side. No window over the full series is required, so the
+series table never globally sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["asof_backward", "asof_nearest", "at_time_padding"]
+
+
+def _us(col: Column) -> Column:
+    return F.unix_micros(col)
+
+
+def asof_backward(
+    probes: DataFrame,
+    series: DataFrame,
+    key: str,
+    probe_ts: str = "ts",
+    series_ts: str = "ts",
+    probe_id: str = "event_id",
+) -> DataFrame:
+    """Classic as-of: most recent series row at or before each probe.
+
+    Returns probe columns + matched_ts (NULL when no series row precedes).
+    """
+    p = probes.alias("p")
+    s = series.alias("s")
+    matched = (
+        p.join(s, (F.col(f"p.{key}") == F.col(f"s.{key}")) & (F.col(f"s.{series_ts}") <= F.col(f"p.{probe_ts}")))
+        .groupBy(F.col(f"p.{probe_id}").alias(probe_id))
+        .agg(F.max(F.col(f"s.{series_ts}")).alias("matched_ts"))
+    )
+    return probes.join(matched, probe_id, "left")
+
+
+def asof_nearest(
+    probes: DataFrame,
+    series: DataFrame,
+    key: str,
+    probe_ts: str = "ts",
+    series_ts: str = "ts",
+    probe_id: str = "event_id",
+) -> DataFrame:
+    """Nearest-timestamp as-of with the reference's earlier-on-tie rule.
+
+    Returns probe columns + matched_ts (NULL when the series is empty for
+    the key).
+    """
+    p = probes.alias("p")
+    s = series.alias("s")
+
+    before = (
+        p.join(s, (F.col(f"p.{key}") == F.col(f"s.{key}")) & (F.col(f"s.{series_ts}") <= F.col(f"p.{probe_ts}")))
+        .groupBy(F.col(f"p.{probe_id}").alias(probe_id))
+        .agg(F.max(F.col(f"s.{series_ts}")).alias("bts"))
+    )
+    after = (
+        p.join(s, (F.col(f"p.{key}") == F.col(f"s.{key}")) & (F.col(f"s.{series_ts}") > F.col(f"p.{probe_ts}")))
+        .groupBy(F.col(f"p.{probe_id}").alias(probe_id))
+        .agg(F.min(F.col(f"s.{series_ts}")).alias("ats"))
+    )
+    t, b, a = F.col(probe_ts), F.col("bts"), F.col("ats")
+    nearest = (
+        F.when(b.isNull(), a)
+        .when(a.isNull(), b)
+        .when((_us(t) - _us(b)) > (_us(a) - _us(t)), a)
+        .otherwise(b)  # ties -> earlier, per reference
+    )
+    return (
+        probes.join(before, probe_id, "left")
+        .join(after, probe_id, "left")
+        .withColumn("matched_ts", nearest)
+        .drop("bts", "ats")
+    )
+
+
+def at_time_padding(
+    probes: DataFrame,
+    series: DataFrame,
+    key: str,
+    padding_seconds: float,
+    probe_ts: str = "ts",
+    series_ts: str = "ts",
+    probe_id: str = "event_id",
+) -> DataFrame:
+    """Windowed lookup: series rows between the nearest-of-clamped bounds.
+
+    Output: (probe_id, series rows within the resolved window), matching
+    at_time(t, padding)'s inclusive index-range semantics.
+    """
+    pad = F.expr(f"INTERVAL {int(padding_seconds)} SECONDS")
+    bounds = (
+        series.groupBy(key)
+        .agg(F.min(series_ts).alias("first_ts"), F.max(series_ts).alias("last_ts"))
+    )
+    p2 = (
+        probes.join(bounds, key)
+        .withColumn("start_t", F.greatest(F.col(probe_ts) - pad, F.col("first_ts")))
+        .withColumn("end_t", F.least(F.col(probe_ts) + pad, F.col("last_ts")))
+    )
+    start_near = asof_nearest(
+        p2.select(probe_id, key, F.col("start_t").alias("ts")), series, key, "ts", series_ts, probe_id
+    ).select(probe_id, F.col("matched_ts").alias("win_start"))
+    end_near = asof_nearest(
+        p2.select(probe_id, key, F.col("end_t").alias("ts")), series, key, "ts", series_ts, probe_id
+    ).select(probe_id, F.col("matched_ts").alias("win_end"))
+
+    windowed = p2.join(start_near, probe_id).join(end_near, probe_id)
+    s = series.alias("s")
+    return (
+        windowed.alias("w")
+        .join(
+            s,
+            (F.col(f"w.{key}") == F.col(f"s.{key}"))
+            & (F.col(f"s.{series_ts}") >= F.col("w.win_start"))
+            & (F.col(f"s.{series_ts}") <= F.col("w.win_end")),
+        )
+        .select(F.col(f"w.{probe_id}").alias(probe_id), F.col(f"s.{series_ts}").alias("matched_ts"))
+    )

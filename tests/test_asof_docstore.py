@@ -1,0 +1,94 @@
+"""As-of join tie semantics + docstore mutation ops."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from morphik_core_spark.operators import docstore
+from morphik_core_spark.operators.asof import asof_backward, asof_nearest, at_time_padding
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rows = [
+        (1, ts("2024-01-01T00:00:10"), "a"),
+        (1, ts("2024-01-01T00:00:20"), "b"),
+        (1, ts("2024-01-01T00:00:30"), "c"),
+        (2, ts("2024-01-01T00:00:05"), "z"),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, content string").cache()
+
+
+def test_nearest_picks_closest(series, spark):
+    probes = spark.createDataFrame(
+        [(100, 1, ts("2024-01-01T00:00:12")), (101, 1, ts("2024-01-01T00:00:29"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {r.event_id: r.matched_ts for r in asof_nearest(probes, series, "user_id").collect()}
+    assert got[100] == ts("2024-01-01T00:00:10")
+    assert got[101] == ts("2024-01-01T00:00:30")
+
+
+def test_nearest_tie_prefers_earlier(series, spark):
+    probes = spark.createDataFrame(
+        [(100, 1, ts("2024-01-01T00:00:15"))], "event_id long, user_id long, ts timestamp"
+    )
+    got = asof_nearest(probes, series, "user_id").first()
+    assert got.matched_ts == ts("2024-01-01T00:00:10")  # reference: tie → earlier
+
+
+def test_nearest_out_of_range_and_missing_key(series, spark):
+    probes = spark.createDataFrame(
+        [(1, 1, ts("2023-12-31T00:00:00")), (2, 1, ts("2025-01-01T00:00:00")), (3, 99, ts("2024-01-01T00:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {r.event_id: r.matched_ts for r in asof_nearest(probes, series, "user_id").collect()}
+    assert got[1] == ts("2024-01-01T00:00:10")  # clamps to first
+    assert got[2] == ts("2024-01-01T00:00:30")  # clamps to last
+    assert got[3] is None  # no series for key
+
+
+def test_backward_asof(series, spark):
+    probes = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01T00:00:25")), (2, 1, ts("2024-01-01T00:00:05"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {r.event_id: r.matched_ts for r in asof_backward(probes, series, "user_id").collect()}
+    assert got[1] == ts("2024-01-01T00:00:20")
+    assert got[2] is None  # nothing at or before
+
+
+def test_at_time_padding_window(series, spark):
+    probes = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01T00:00:20"))], "event_id long, user_id long, ts timestamp"
+    )
+    got = sorted(r.matched_ts for r in at_time_padding(probes, series, "user_id", 10).collect())
+    assert got == [ts("2024-01-01T00:00:10"), ts("2024-01-01T00:00:20"), ts("2024-01-01T00:00:30")]
+
+
+def test_upsert_replaces_on_key(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    updates = spark.createDataFrame([(2, "B"), (3, "C")], "id long, v string")
+    got = {r.id: r.v for r in docstore.upsert(base, updates, ["id"]).collect()}
+    assert got == {1: "a", 2: "B", 3: "C"}
+
+
+def test_move_folder_rewrites_subtree(spark):
+    docs = spark.createDataFrame(
+        [(1, "/a/b"), (2, "/a/b/c"), (3, "/a/bc"), (4, "/other")], "id long, folder_path string"
+    )
+    got = {r.id: r.folder_path for r in docstore.move_folder(docs, "/a/b", "/x/y").collect()}
+    assert got == {1: "/x/y", 2: "/x/y/c", 3: "/a/bc", 4: "/other"}  # /a/bc NOT a descendant
+
+
+def test_batch_get_composite_keys(spark):
+    t = spark.createDataFrame([(1, 1, "x"), (1, 2, "y"), (2, 1, "z")], "a long, b int, v string")
+    got = {(r.a, r.b) for r in docstore.batch_get(t, [(1, 2), (2, 1), (9, 9)], ["a", "b"]).collect()}
+    assert got == {(1, 2), (2, 1)}
