@@ -121,6 +121,7 @@ def retrieve_chunks(
     auth: AuthContext | None = None,
     filters: dict[str, Any] | None = None,
     system_filters: dict[str, Any] | None = None,
+    status_filter: Sequence[str | None] | None = ("completed",),
     reranker: Callable[[DataFrame], DataFrame] | None = None,
     embedding_col: str = "embedding",
     tiebreak: Sequence[str] = ("document_id", "chunk_number"),
@@ -130,7 +131,7 @@ def retrieve_chunks(
     With a reranker: oversample → rescore → cut to k, mirroring
     document_service.py:386-466.
     """
-    auth_docs = authorized_documents(documents, auth, filters, system_filters)
+    auth_docs = authorized_documents(documents, auth, filters, system_filters, status_filter)
     candidates = score_chunks(scoped_chunks(chunks, auth_docs), query_vector, embedding_col)
     if reranker is None:
         return top_k(candidates, k, tiebreak=tiebreak)

@@ -1,0 +1,83 @@
+"""Multimodal plumbing, RAG assembly, rerank hook."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from morphik_core_spark.operators import rag
+from morphik_core_spark.operators.multimodal import (
+    attach_media,
+    extract_image_features,
+    sample_video_frames,
+)
+from morphik_core_spark.operators.rerank import make_reranker, token_overlap_scores
+from morphik_core_spark.operators.retrieval import retrieve_chunks
+
+
+def test_image_features_row_level_failure_isolation(spark):
+    df = spark.createDataFrame(
+        [("m1", b"\x01\x02\x03payload"), ("m2", b""), ("m3", None)],
+        "media_id string, payload binary",
+    )
+    rows = {r.media_id: r for r in extract_image_features(df).collect()}
+    assert rows["m1"].ok and rows["m1"].mean_r is not None
+    assert not rows["m2"].ok and "empty" in rows["m2"].err
+    assert not rows["m3"].ok  # corrupt rows never kill the job
+
+
+def test_image_features_deterministic(spark):
+    df = spark.createDataFrame([("m1", b"same-bytes")], "media_id string, payload binary")
+    a = extract_image_features(df).first()
+    b = extract_image_features(df).first()
+    assert (a.mean_r, a.mean_g, a.mean_b) == (b.mean_r, b.mean_g, b.mean_b)
+
+
+def test_attach_media_contract(spark):
+    df = spark.createDataFrame([("m1", b"xyz")], "media_id string, payload binary")
+    row = attach_media(df, "payload", "image", "image/png").first()
+    assert (row.kind, row.mime, row.payload_bytes) == ("image", "image/png", 3)
+
+
+def test_video_frame_sampling(spark):
+    df = spark.createDataFrame([("v1", 3.5), ("v2", 0.2)], "media_id string, duration_s double")
+    rows = sample_video_frames(df, frame_sample_rate=2.0).collect()
+    v1 = sorted(r.frame_ts for r in rows if r.media_id == "v1")
+    assert v1 == [0.0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0]  # floor(3.5*2)=7 frames
+    assert len([r for r in rows if r.media_id == "v2"]) == 1  # at least one frame
+
+
+def test_rag_assembly_citations_and_budget():
+    rows = [
+        {"document_id": "d1", "chunk_number": 0, "content": "alpha " * 10, "score": 0.9, "filename": "a.pdf"},
+        {"document_id": "d2", "chunk_number": 3, "content": "beta " * 10, "score": 0.7},
+    ]
+    out = rag.rag_query(rows, "what is alpha?", rag.StubCompletionModel())
+    assert out["citations"][0] == "[a.pdf p.1]"
+    assert out["answer"].startswith("stub-answer [a.pdf p.1]")
+    # char budget truncates whole chunks, keeps the best
+    tight = rag.rag_query(rows, "q", rag.StubCompletionModel(), max_context_chars=80)
+    assert "[a.pdf p.1]" in tight["context"] and "d2 p.4" not in tight["context"]
+
+
+def test_rerank_hook_changes_order(spark):
+    docs = spark.createDataFrame([("d1",), ("d2",)], "external_id string")
+    chunks = spark.createDataFrame(
+        [
+            ("d1", 0, "nothing relevant here", [1.0, 0.0]),
+            ("d2", 0, "the spark engine shuffles data", [0.9, 0.1]),
+        ],
+        "document_id string, chunk_number int, content string, embedding array<double>",
+    )
+    # cosine alone prefers d1 (query vec [1,0]); the overlap reranker must flip it
+    plain = retrieve_chunks(docs, chunks, [1.0, 0.0], k=1, status_filter=None)
+    assert plain.first().document_id == "d1"
+    reranked = retrieve_chunks(
+        docs, chunks, [1.0, 0.0], k=1, status_filter=None,
+        reranker=make_reranker("spark engine shuffles"),
+    )
+    assert reranked.first().document_id == "d2"
+
+
+def test_token_overlap_kernel():
+    assert token_overlap_scores("a b", ["a b c", "x", ""]) == [1.0, 0.0, 0.0]
