@@ -194,8 +194,13 @@ def _q_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_filter_dsl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata filter DSL over a JSON column (§2.2) — typed comparison,
     combinators, $exists, $contains on a routed plain column."""
-    events = _t(spark, sf_dir, "events")
-    comp = MetadataFilterCompiler(metadata_col="props", types_col=None, column_fields={"event_type": "event_type"})
+    # pre-parse to variant once ("shred at ingest") — every predicate branch
+    # then reads the binary variant instead of re-parsing the JSON string
+    events = _t(spark, sf_dir, "events").withColumn("props_v", F.parse_json("props"))
+    comp = MetadataFilterCompiler(
+        metadata_col="props_v", types_col=None, column_fields={"event_type": "event_type"},
+        metadata_kind="variant",
+    )
     pred = comp.compile(
         {
             "$and": [
@@ -485,6 +490,66 @@ def _q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_requeue_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Requeue-failed selection (§2.1): rows NOT in a terminal status —
+    o_orderstatus 'F' stands in for completed."""
+    orders = _t(spark, sf_dir, "orders")
+    from morphik_core_spark.operators.scopes import status_predicate
+
+    pred = ~status_predicate(["F"], status_col="o_orderstatus")
+    return orders.filter(pred).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+def _q_storage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-app storage rollup (§2.4): SUM of per-doc byte counts grouped by
+    tenant — documents.source stands in for app_id, n_chars for bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.col("source").alias("app_id")).agg(
+        F.sum("n_chars").alias("total_bytes"),
+        F.count(F.lit(1)).alias("doc_count"),
+    )
+
+
+def _q_filename_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filename FTS-lite (§2.5): normalized-token overlap rank, recency
+    tiebreak — filenames synthesized deterministically from source+id."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "filename",
+        F.concat(F.col("source"), F.lit("_report-"), F.col("lang"), F.lit("_"), F.col("doc_id"), F.lit(".txt")),
+    )
+    from morphik_core_spark.functions.text import normalize_filename
+
+    name_tokens = F.split(normalize_filename(F.col("filename")), " ")
+    q_arr = F.array(F.lit("report"), F.lit("en"))
+    rank = F.round(
+        F.size(F.array_intersect(name_tokens, q_arr)) / F.greatest(F.size(name_tokens), F.lit(1)),
+        _SCORE_DECIMALS,
+    )
+    out = docs.withColumn("rank", rank).filter(F.col("rank") > 0)
+    return (
+        out.orderBy(F.col("rank").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", "filename", "rank")
+    )
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the map-side-combine-heavy
+    aggregate that anchors BENCH. Decimal casts keep sums exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 4).alias("sum_base_price"),
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("double"), 4).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -518,6 +583,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "folder_move": _q_folder_move,
         "batch_get": _q_batch_get,
         "padding_grouped": _q_padding_grouped,
+        "requeue_failed": _q_requeue_failed,
+        "storage_rollup": _q_storage_rollup,
+        "filename_fts": _q_filename_fts,
+        "pricing_summary": _q_pricing_summary,
     }
 
 
@@ -963,6 +1032,49 @@ def oracle_sql() -> dict[str, str]:
             FROM chunks c
             JOIN wanted w ON c.document_id = w.document_id AND c.chunk_number = w.chunk_number
             LEFT JOIN matches m ON c.document_id = m.document_id AND c.chunk_number = m.chunk_number
+        """,
+        "requeue_failed": """
+            SELECT o_orderkey, o_orderstatus, o_orderpriority
+            FROM orders
+            WHERE NOT (o_orderstatus = 'F')
+        """,
+        "storage_rollup": """
+            SELECT source AS app_id, CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+                   count(*) AS doc_count
+            FROM documents GROUP BY source
+        """,
+        "filename_fts": f"""
+            WITH named AS (
+                SELECT doc_id,
+                       source || '_report-' || lang || '_' || doc_id || '.txt' AS filename
+                FROM documents
+            ),
+            norm AS (
+                SELECT doc_id, filename,
+                       string_split(lower(trim(regexp_replace(
+                           regexp_replace(filename, '\\.[^.]+$', ''),
+                           '[_\\-]+', ' ', 'g'))), ' ') AS toks
+                FROM named
+            )
+            SELECT doc_id, filename,
+                   ROUND(len(list_intersect(toks, ['report', 'en'])) * 1.0 /
+                         greatest(len(toks), 1), {_SCORE_DECIMALS}) AS rank
+            FROM norm
+            WHERE len(list_intersect(toks, ['report', 'en'])) > 0
+            ORDER BY rank DESC, doc_id ASC
+            LIMIT 20
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                              (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4)
+                       AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
         """,
     }
 

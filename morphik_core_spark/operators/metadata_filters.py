@@ -97,10 +97,19 @@ class MetadataFilterCompiler:
         types_col: str | None = "metadata_types",
         types_kind: str = "map",  # 'map' | 'json' — physical type of types_col
         column_fields: dict[str, str] | None = None,
+        metadata_kind: str = "json",  # 'json' (string col) | 'variant' (pre-parsed)
     ) -> None:
+        """``metadata_kind='variant'`` targets a pre-parsed VariantType
+        column ("shred at ingest"): every predicate then skips the repeated
+        per-branch JSON parse — the right physical layout at scale. The
+        compiled semantics are identical; only ``->>`` of container values
+        differs (variant text extraction NULLs objects/arrays instead of
+        returning their JSON text, which only affects $regex/$contains on
+        non-scalar fields)."""
         self._meta_name = metadata_col
         self._types_col = types_col
         self._types_kind = types_kind
+        self._metadata_kind = metadata_kind
         self._column_fields = column_fields if column_fields is not None else {"filename": "filename"}
 
     # Column objects need an active session; build them lazily per use.
@@ -110,6 +119,8 @@ class MetadataFilterCompiler:
 
     @property
     def _variant(self) -> Column:
+        if self._metadata_kind == "variant":
+            return F.col(self._meta_name)
         return F.parse_json(F.col(self._meta_name))
 
     # ---------------------------------------------------------------- public
@@ -208,6 +219,8 @@ class MetadataFilterCompiler:
 
     def _text(self, field: str) -> Column:
         """Raw text of a top-level field (Postgres ``->>`` analog)."""
+        if self._metadata_kind == "variant":
+            return F.try_variant_get(self._meta, _json_key_path(field), "string")
         return F.get_json_object(self._meta, _json_key_path(field))
 
     def _field_variant(self, field: str) -> Column:
@@ -345,7 +358,11 @@ class MetadataFilterCompiler:
 
     def _exists(self, field: str, operand: Any) -> Column:
         expected = _coerce_exists_flag(operand, field)
-        present = F.array_contains(F.json_object_keys(self._meta), field)
+        if self._metadata_kind == "variant":
+            # explicit null → schema 'VOID' (present); missing → NULL schema
+            present = F.schema_of_variant(self._field_variant(field)).isNotNull()
+        else:
+            present = F.array_contains(F.json_object_keys(self._meta), field)
         present = F.coalesce(present, F.lit(False))
         return present if expected else ~present
 

@@ -256,3 +256,43 @@ def test_malformed_filters_raise(docs, bad):
 def test_none_and_empty_match_everything(docs):
     assert matched(docs, None) == {r[0] for r in ROWS}
     assert matched(docs, {}) == {r[0] for r in ROWS}
+
+
+# ------------------------------------------------- variant-column parity
+
+
+VARIANT_COMPILER = MetadataFilterCompiler(metadata_col="metadata_v", metadata_kind="variant")
+
+
+@pytest.mark.parametrize(
+    "filters",
+    [
+        {"department": "eng"},
+        {"priority": 3},
+        {"tags": "urgent"},
+        {"tags": 7},
+        {"author": {"name": "ann"}},
+        {"$and": [{"department": "eng"}, {"priority": {"$gte": 5}}]},
+        {"priority": {"$lte": 3}},
+        {"price": {"$eq": "10.5"}},
+        {"published_at": {"$gte": "2024-04-01T00:00:00Z"}},
+        {"price": {"$exists": True}},
+        {"department": {"$exists": False}},
+        {"priority": {"$type": "number"}},
+        {"department": {"$regex": {"pattern": "^SALES$", "flags": "i"}}},
+        {"tags": {"$contains": "URGE"}},
+        {"department": {"$in": ["eng", "sales"]}},
+    ],
+)
+def test_variant_compiler_agrees_with_json(docs, filters):
+    """metadata_kind='variant' (pre-parsed column) must select the same rows
+    as the JSON-string path for every scalar-field operator."""
+    from pyspark.sql import functions as F
+
+    vdocs = docs.withColumn("metadata_v", F.parse_json("metadata"))
+    json_ids = matched(docs, filters)
+    var_ids = {
+        r.external_id
+        for r in vdocs.filter(VARIANT_COMPILER.compile(filters)).select("external_id").collect()
+    }
+    assert var_ids == json_ids
