@@ -1,0 +1,81 @@
+"""Partitioning & skew toolkit — the knobs that decide whether a plan
+survives 100 TB.
+
+These helpers encode the project's physical-layout conventions:
+
+- ``write_chunks_table``: the chunks/vectors fact table is partitioned by
+  ``app_id`` (tenant pruning — the reference's flattened-auth-columns
+  lesson) and bucketed by ``document_id`` so chunk⋈document and padding
+  self-joins co-locate without a shuffle.
+- ``salted_join``: explicit skew-salting for joins whose key histogram is
+  pathological even for AQE (one viral document, one giant tenant): the
+  hot side explodes each build row into N salted copies, the probe side
+  picks a random salt, turning one hot partition into N.
+- ``explain_has``: plan assertions used by the regression tests — keeps
+  "the semi-join is broadcast" true over time, not just today.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["write_partitioned", "write_chunks_table", "salted_join", "explain_has"]
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+) -> None:
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_chunks_table(
+    chunks: DataFrame,
+    table_name: str,
+    buckets: int = 32,
+    bucket_col: str = "document_id",
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: joins/aggregations on ``bucket_col`` skip
+    the shuffle (bucket pruning + co-located join)."""
+    writer = chunks.write.mode("overwrite").bucketBy(buckets, bucket_col).sortBy(bucket_col)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.saveAsTable(table_name)
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with explicit key salting.
+
+    The small side is exploded ×salt_buckets (one copy per salt); the
+    skewed side draws a uniform salt per row. The join key becomes
+    (key, salt), splitting each hot key across ``salt_buckets`` partitions.
+    Use when AQE's skew split can't help (single-key hotspots in
+    build-side aggregations).
+    """
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    salted_big = skewed.withColumn(
+        "_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt_buckets).cast("int")
+    )
+    out = salted_big.join(salted_small, on=[key, "_salt"], how=how)
+    return out.drop("_salt")
+
+
+def explain_has(df: DataFrame, *needles: str) -> dict[str, bool]:
+    """Which substrings appear in the formatted physical plan."""
+    spark = df.sparkSession
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    return {n: (n in plan) for n in needles}
