@@ -44,6 +44,27 @@ def main() -> None:
     entry_mod.entry(spark).collect()
     timings["entry_flagship"] = round(time.perf_counter() - start, 4)
 
+    # ingestion throughput: clean -> chunk -> embed over the documents
+    # table (the reference's north-star batch pipeline)
+    from pyspark.sql import functions as F
+
+    from morphik_core_spark.sources.tables import load_table
+    from morphik_core_spark.streaming.ingestion import ingest_batch
+
+    raw = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").cast("string").alias("external_id"),
+        F.lit(None).cast("string").alias("filename"),
+        F.lit("text/plain").alias("content_type"),
+        "text",
+        F.lit(None).cast("string").alias("metadata"),
+        F.col("source").alias("app_id"),
+        F.lit(None).cast("string").alias("folder_path"),
+    )
+    start = time.perf_counter()
+    documents, chunks = ingest_batch(raw, chunk_size=512, chunk_overlap=64)
+    _materialize(chunks)
+    timings["ingest_pipeline"] = round(time.perf_counter() - start, 4)
+
     print(
         json.dumps(
             {
