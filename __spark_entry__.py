@@ -229,9 +229,11 @@ def _query_tokens(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 
 
 def _q_maxsim_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Late-interaction MaxSim top-k, relational form (SURVEY §2.4 MaxSim)."""
+    """Late-interaction MaxSim top-k — served by the vectorized pandas path
+    (no shuffle); the oracle is the relational formulation, and
+    tests/test_maxsim.py pins that both forms agree to 1e-12."""
     mv = _multivectors(spark, sf_dir)
-    scored = maxsim.maxsim_relational(mv, _query_tokens(spark, sf_dir), id_cols=("vec_id",))
+    scored = maxsim.maxsim_pandas(mv, _query_tokens(spark, sf_dir), id_cols=("vec_id",))
     scored = scored.select("vec_id", F.round("maxsim", _SCORE_DECIMALS).alias("maxsim"))
     return retrieval.top_k(scored, 10, score_col="maxsim", tiebreak=("vec_id",))
 
@@ -490,6 +492,42 @@ def _q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag → gap → cumsum), per-session stats —
+    the batch twin of streaming session windows (§2.9 extension)."""
+    from morphik_core_spark.operators.sessions import session_stats
+
+    events = _t(spark, sf_dir, "events")
+    out = session_stats(events, gap_seconds=1800)
+    # integer truncation to 100µs, then one exact division — no rounding
+    # boundary for either engine
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        (F.expr("duration_us div 100") / 10000.0).alias("duration_s"),
+    )
+
+
+def _q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (subtotals + grand total) — Spark built-in the
+    reference lacks (SURVEY §2.4 note)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (l_linestatus → columns) via conditional aggregation parity."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("O", "n_open")
+        .withColumnRenamed("F", "n_filled")
+    )
+
+
 def _q_requeue_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Requeue-failed selection (§2.1): rows NOT in a terminal status —
     o_orderstatus 'F' stands in for completed."""
@@ -587,6 +625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_rollup": _q_storage_rollup,
         "filename_fts": _q_filename_fts,
         "pricing_summary": _q_pricing_summary,
+        "sessionization": _q_sessionization,
+        "rollup_counts": _q_rollup_counts,
+        "pivot_counts": _q_pivot_counts,
     }
 
 
@@ -1075,6 +1116,37 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "sessionization": """
+            WITH s AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ),
+            numbered AS (
+                SELECT user_id, ts,
+                       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                FROM s
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   ((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 100) / 10000.0 AS duration_s
+            FROM numbered GROUP BY user_id, session_id
+        """,
+        "rollup_counts": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "pivot_counts": """
+            SELECT l_returnflag,
+                   count(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
+                   count(*) FILTER (WHERE l_linestatus = 'F') AS n_filled
+            FROM lineitem GROUP BY l_returnflag
         """,
     }
 
