@@ -492,6 +492,22 @@ def _q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_typed_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata comparison with declared-type guards (§2.2): metadata
+    JSON + metadata_types map built from table columns; the 'lang' field is
+    deliberately declared number so its cast NULLs and the $or branch
+    NULL-poisons away — exact reference CASE semantics."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "metadata", F.to_json(F.struct("lang", "n_chars"))
+    ).withColumn(
+        "metadata_types",
+        F.create_map(F.lit("lang"), F.lit("number"), F.lit("n_chars"), F.lit("number")),
+    )
+    comp = MetadataFilterCompiler()
+    pred = comp.compile({"$or": [{"lang": {"$gte": 0}}, {"n_chars": {"$gte": 500}}]})
+    return docs.filter(pred).select("doc_id", "lang", "n_chars")
+
+
 def _q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (lag → gap → cumsum), per-session stats —
     the batch twin of streaming session windows (§2.9 extension)."""
@@ -628,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": _q_sessionization,
         "rollup_counts": _q_rollup_counts,
         "pivot_counts": _q_pivot_counts,
+        "typed_filter_docs": _q_typed_filter_docs,
     }
 
 
@@ -1147,6 +1164,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
                    count(*) FILTER (WHERE l_linestatus = 'F') AS n_filled
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "typed_filter_docs": """
+            -- mirrors the compiled typed-CASE OR exactly: the lang branch
+            -- (declared number, value text) casts to NULL; NULL OR x = x
+            -- only when x is TRUE, so the filter reduces to the n_chars arm
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE (TRY_CAST(lang AS DOUBLE) >= 0)
+               OR (TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) >= 500)
         """,
     }
 
