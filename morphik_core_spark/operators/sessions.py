@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats"]
+__all__ = ["sessionize", "session_stats", "streaming_session_counts"]
 
 
 def sessionize(
@@ -53,4 +53,30 @@ def session_stats(
     return s.groupBy(user_col, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))).alias("duration_us"),
+    )
+
+
+def streaming_session_counts(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin: ``session_window`` + watermark over an event stream.
+
+    Gap semantics match the batch ``sessionize`` (a session closes after
+    ``gap_seconds`` of inactivity), so on a finite backlog the per-session
+    event counts agree with the batch form — asserted in tests.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), f"{gap_seconds} seconds"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
     )

@@ -1,0 +1,76 @@
+"""Sessionization: batch semantics + streaming session_window equivalence."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from morphik_core_spark.operators.sessions import (
+    session_stats,
+    sessionize,
+    streaming_session_counts,
+)
+
+T0 = datetime(2024, 1, 1)
+
+
+def _ev(eid, uid, offset_s):
+    return (eid, uid, T0 + timedelta(seconds=offset_s))
+
+
+EVENTS = [
+    _ev(1, 1, 0),
+    _ev(2, 1, 100),      # same session (gap 100)
+    _ev(3, 1, 2000),     # new session   (gap 1900 > 1800)
+    _ev(4, 1, 2100),
+    _ev(5, 2, 0),        # other user: one session
+    _ev(6, 2, 1800),     # exactly at gap → same session (strict >)
+]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(EVENTS, "event_id long, user_id long, ts timestamp").cache()
+
+
+def test_sessionize_assignment(events):
+    got = {r.event_id: r.session_id for r in sessionize(events, 1800).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0, 6: 0}
+
+
+def test_session_stats(events):
+    rows = {(r.user_id, r.session_id): r for r in session_stats(events, 1800).collect()}
+    assert rows[(1, 0)].n_events == 2 and rows[(1, 0)].duration_us == 100_000_000
+    assert rows[(1, 1)].n_events == 2
+    assert rows[(2, 0)].n_events == 2 and rows[(2, 0)].duration_us == 1800_000_000
+
+
+def test_streaming_matches_batch(spark, events, tmp_path):
+    """session_window over a finite stream produces the same per-session
+    event counts as the batch lag/cumsum form."""
+    src = str(tmp_path / "events_in")
+    events.write.parquet(src)
+    stream = spark.readStream.schema("event_id long, user_id long, ts timestamp").parquet(src)
+    out = streaming_session_counts(stream, 1800)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    batch = session_stats(events, 1800)
+    starts = sessionize(events, 1800).groupBy("user_id", "session_id").agg(F.min("ts").alias("start"))
+    batch_rows = {
+        (r.user_id, r.start): r.n_events
+        for r in batch.join(starts, ["user_id", "session_id"]).collect()
+    }
+    assert streamed == batch_rows
