@@ -492,6 +492,18 @@ def _q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_folder_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folders summary (§2.4): child folders of a parent with doc counts —
+    prefix-filtered folder_counts over synthesized folder paths."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "folder_path", F.concat(F.lit("/"), "source", F.lit("/"), "lang")
+    ).withColumn("folder_name", F.col("lang"))
+    from morphik_core_spark.operators.scopes import system_predicate
+
+    scoped = docs.filter(system_predicate({"folder_path_prefix": "/src1"}))
+    return listing.folder_counts(scoped)
+
+
 def _q_typed_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata comparison with declared-type guards (§2.2): metadata
     JSON + metadata_types map built from table columns; the 'lang' field is
@@ -645,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": _q_rollup_counts,
         "pivot_counts": _q_pivot_counts,
         "typed_filter_docs": _q_typed_filter_docs,
+        "folder_summary": _q_folder_summary,
     }
 
 
@@ -1173,6 +1186,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE (TRY_CAST(lang AS DOUBLE) >= 0)
                OR (TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) >= 500)
+        """,
+        "folder_summary": """
+            SELECT COALESCE('/' || source || '/' || lang, lang) AS folder,
+                   count(*) AS count
+            FROM documents
+            WHERE ('/' || source || '/' || lang) = '/src1'
+               OR starts_with('/' || source || '/' || lang, '/src1/')
+            GROUP BY 1
+            ORDER BY folder ASC NULLS FIRST
         """,
     }
 
