@@ -1,0 +1,322 @@
+"""MorphikSpark — the reference's API surface over parquet-backed tables.
+
+One class mapping morphik-core's service endpoints (SURVEY §3) onto this
+engine, so a reference user can switch workloads 1:1:
+
+- ``ingest_text`` / ``ingest_texts``   → POST /ingest/text (§3.3 pipeline)
+- ``retrieve_chunks``                  → POST /retrieve/chunks (§3.1)
+- ``retrieve_docs``                    → POST /retrieve/docs (doc-level agg)
+- ``query``                            → POST /query (RAG completion, §3.2)
+- ``list_documents`` / ``get_document``→ listing surface (§2.6)
+- ``update_document_metadata``         → metadata merge + snapshot rewrite
+- ``delete_document``                  → snapshot rewrite
+- ``move_folder``                      → folder subtree move
+
+Storage: ``<root>/documents`` and ``<root>/chunks`` parquet snapshots.
+Mutations rewrite the snapshot relationally (docstore ops); at scale the
+writer targets affected partitions only — the logic is identical.
+
+The embedder defaults to the seeded hash embedder; production embedders
+(LiteLLM dense / ColPali) plug in via the same (text→vector, UDF) pair.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from datetime import UTC, datetime
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from morphik_core_spark.functions.chunking import chunk_documents
+from morphik_core_spark.functions.embedder import hash_embed, hash_embed_udf
+from morphik_core_spark.functions.text import clean_control_chars
+from morphik_core_spark.operators import docstore, listing, rag, retrieval
+from morphik_core_spark.operators.metadata_filters import MetadataFilterCompiler
+from morphik_core_spark.operators.rerank import make_reranker
+from morphik_core_spark.operators.scopes import AuthContext, build_folder_scope
+from morphik_core_spark.operators.typed_metadata import merge_metadata, normalize_metadata
+
+__all__ = ["MorphikSpark"]
+
+_DOCS_SCHEMA = (
+    "external_id string, filename string, content_type string, metadata string, "
+    "metadata_types map<string,string>, status string, created_at timestamp, "
+    "updated_at timestamp, owner_id string, app_id string, folder_name string, "
+    "folder_path string, end_user_id string"
+)
+_CHUNKS_SCHEMA = (
+    "document_id string, chunk_number int, content string, embedding array<double>, "
+    "app_id string, folder_path string"
+)
+
+
+class MorphikSpark:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        embed_dims: int = 16,
+        chunk_size: int = 512,
+        chunk_overlap: int = 64,
+        embed_text: Callable[[str], list[float]] | None = None,
+        embed_udf=None,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.chunk_size = chunk_size
+        self.chunk_overlap = chunk_overlap
+        self._embed_text = embed_text or (lambda t: hash_embed(t, embed_dims))
+        self._embed_udf = embed_udf or hash_embed_udf(embed_dims)
+        self._compiler = MetadataFilterCompiler()
+
+    # ------------------------------------------------------------- tables
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def documents(self) -> DataFrame:
+        p = self._path("documents")
+        if not os.path.exists(p):
+            return self.spark.createDataFrame([], _DOCS_SCHEMA)
+        return self.spark.read.parquet(p)
+
+    def chunks(self) -> DataFrame:
+        p = self._path("chunks")
+        if not os.path.exists(p):
+            return self.spark.createDataFrame([], _CHUNKS_SCHEMA)
+        return self.spark.read.parquet(p)
+
+    def _write_documents(self, df: DataFrame) -> None:
+        self._overwrite(df, "documents", _DOCS_SCHEMA)
+
+    def _write_chunks(self, df: DataFrame) -> None:
+        self._overwrite(df, "chunks", _CHUNKS_SCHEMA)
+
+    def _overwrite(self, df: DataFrame, name: str, schema: str) -> None:
+        # snapshot rewrite: stage then swap (parquet has no transactional
+        # overwrite-while-reading; at scale this is a partition-level swap)
+        tmp = self._path(f"_{name}_staging")
+        df.write.mode("overwrite").parquet(tmp)
+        final = self._path(name)
+        backup = self._path(f"_{name}_old")
+        if os.path.exists(final):
+            os.rename(final, backup)
+        os.rename(tmp, final)
+        if os.path.exists(backup):
+            import shutil
+
+            shutil.rmtree(backup)
+
+    # ----------------------------------------------------------- ingestion
+
+    def ingest_text(
+        self,
+        content: str,
+        filename: str | None = None,
+        metadata: dict[str, Any] | None = None,
+        metadata_types: dict[str, str] | None = None,
+        auth: AuthContext | None = None,
+        folder_path: str | None = None,
+        end_user_id: str | None = None,
+    ) -> str:
+        return self.ingest_texts(
+            [content],
+            filenames=[filename],
+            metadatas=[metadata],
+            metadata_types_list=[metadata_types],
+            auth=auth,
+            folder_path=folder_path,
+            end_user_id=end_user_id,
+        )[0]
+
+    def ingest_texts(
+        self,
+        contents: Sequence[str],
+        filenames: Sequence[str | None] | None = None,
+        metadatas: Sequence[dict | None] | None = None,
+        metadata_types_list: Sequence[dict | None] | None = None,
+        auth: AuthContext | None = None,
+        folder_path: str | None = None,
+        end_user_id: str | None = None,
+    ) -> list[str]:
+        """Batch text ingestion: normalize metadata → chunk → embed → index."""
+        auth = auth or AuthContext(user_id="local")
+        now = datetime.now(UTC).replace(tzinfo=None)
+        n = len(contents)
+        filenames = filenames or [None] * n
+        metadatas = metadatas or [None] * n
+        metadata_types_list = metadata_types_list or [None] * n
+
+        doc_rows, ids = [], []
+        for content, filename, md, hints in zip(contents, filenames, metadatas, metadata_types_list):
+            doc_id = str(uuid.uuid4())
+            ids.append(doc_id)
+            values, types = normalize_metadata(md or {}, hints)
+            ok = bool(content and content.strip())
+            doc_rows.append(
+                (
+                    doc_id,
+                    filename,
+                    "text/plain",
+                    json.dumps(values),
+                    types,
+                    "completed" if ok else "failed",
+                    now,
+                    now,
+                    auth.user_id,
+                    auth.app_id,
+                    folder_path.rstrip("/").rsplit("/", 1)[-1] if folder_path else None,
+                    folder_path,
+                    end_user_id,
+                )
+            )
+        new_docs = self.spark.createDataFrame(doc_rows, _DOCS_SCHEMA)
+
+        raw = self.spark.createDataFrame(
+            [(i, c) for i, c in zip(ids, contents) if c and c.strip()], "external_id string, text string"
+        )
+        if raw.count() > 0:
+            cleaned = raw.withColumn("text", clean_control_chars(F.col("text")))
+            new_chunks = chunk_documents(
+                cleaned, text_col="text", id_col="external_id",
+                chunk_size=self.chunk_size, chunk_overlap=self.chunk_overlap,
+            ).select(
+                "document_id",
+                "chunk_number",
+                "content",
+                self._embed_udf(F.col("content")).alias("embedding"),
+                F.lit(auth.app_id).alias("app_id"),
+                F.lit(folder_path).alias("folder_path"),
+            )
+            self._write_chunks(self.chunks().unionByName(new_chunks))
+        self._write_documents(docstore.upsert(self.documents(), new_docs, ["external_id"]))
+        return ids
+
+    # ----------------------------------------------------------- retrieval
+
+    def retrieve_chunks(
+        self,
+        query: str,
+        k: int = 5,
+        filters: dict[str, Any] | None = None,
+        auth: AuthContext | None = None,
+        folder_path: str | None = None,
+        folder_depth: int = 0,
+        end_user_id: str | None = None,
+        padding: int = 0,
+        use_reranker: bool = False,
+        min_score: float | None = None,  # accepted-and-ignored, reference parity
+    ) -> list[dict]:
+        """Filtered vector top-k (§3.1). Returns ChunkResult-shaped dicts."""
+        system_filters = build_folder_scope(
+            folder_path=folder_path, folder_depth=folder_depth, end_user_id=end_user_id
+        )
+        qv = self._embed_text(query)
+        reranker = make_reranker(query) if use_reranker else None
+        hits = retrieval.retrieve_chunks(
+            self.documents(),
+            self.chunks(),
+            qv,
+            k=k,
+            auth=auth,
+            filters=filters,
+            system_filters=system_filters or None,
+            reranker=reranker,
+        )
+        if padding > 0:
+            hits = retrieval.with_padding(
+                hits.select("document_id", "chunk_number", "score"), self.chunks(), padding
+            )
+        # hydration join (§2.3): attach document fields to chunk results
+        doc_meta = self.documents().select(
+            F.col("external_id").alias("document_id"), "filename", "metadata", "content_type"
+        )
+        hits = hits.join(F.broadcast(doc_meta), "document_id", "left")
+        rows = [r.asDict(recursive=True) for r in hits.collect()]
+        return sorted(rows, key=lambda r: (-r["score"], str(r["document_id"]), r["chunk_number"]))
+
+    def retrieve_docs(self, query: str, k: int = 5, **kwargs) -> list[dict]:
+        """Document-level results: best chunk per doc (§2.4)."""
+        chunk_hits = self.retrieve_chunks(query, k=max(k * 4, 20), **kwargs)
+        best: dict[str, dict] = {}
+        for r in chunk_hits:
+            cur = best.get(r["document_id"])
+            if cur is None or r["score"] > cur["score"]:
+                best[r["document_id"]] = r
+        out = sorted(best.values(), key=lambda r: (-r["score"], str(r["document_id"])))[:k]
+        return out
+
+    def query(
+        self,
+        question: str,
+        model: rag.CompletionModel | None = None,
+        k: int = 20,
+        prompt_template: str | None = None,
+        **kwargs,
+    ) -> dict:
+        """RAG completion (§3.2): retrieve → assemble → complete."""
+        rows = self.retrieve_chunks(question, k=k, **kwargs)
+        return rag.rag_query(rows, question, model or rag.StubCompletionModel(), prompt_template)
+
+    # ------------------------------------------------------------- listing
+
+    def list_documents(
+        self,
+        skip: int = 0,
+        limit: int = 100,
+        sort_by: str = "updated_at",
+        order: str = "desc",
+        filters: dict[str, Any] | None = None,
+        auth: AuthContext | None = None,
+        fields: Sequence[str] | None = None,
+    ) -> list[dict]:
+        docs = self.documents()
+        if auth is not None:
+            from morphik_core_spark.operators.scopes import access_predicate
+
+            docs = docs.filter(access_predicate(auth))
+        if filters:
+            docs = docs.filter(self._compiler.compile(filters))
+        page = listing.sorted_page(docs, sort_by=sort_by, order=order, skip=skip, limit=limit)
+        page = listing.project(page, fields)
+        return [r.asDict(recursive=True) for r in page.collect()]
+
+    def get_document(self, document_id: str) -> dict | None:
+        rows = self.documents().filter(F.col("external_id") == document_id).limit(1).collect()
+        return rows[0].asDict(recursive=True) if rows else None
+
+    # ------------------------------------------------------------ mutation
+
+    def update_document_metadata(
+        self, document_id: str, updates: dict[str, Any], update_type_hints: dict[str, str] | None = None
+    ) -> None:
+        doc = self.get_document(document_id)
+        if doc is None:
+            raise KeyError(document_id)
+        merged, merged_types = merge_metadata(
+            json.loads(doc["metadata"] or "{}"), doc["metadata_types"], updates, update_type_hints
+        )
+        now = datetime.now(UTC).replace(tzinfo=None)
+        updated = (
+            self.documents()
+            .filter(F.col("external_id") == document_id)
+            .withColumn("metadata", F.lit(json.dumps(merged)))
+            .withColumn(
+                "metadata_types",
+                F.create_map(*[F.lit(x) for kv in merged_types.items() for x in kv]) if merged_types else F.col("metadata_types"),
+            )
+            .withColumn("updated_at", F.lit(now))
+        )
+        self._write_documents(docstore.upsert(self.documents(), updated, ["external_id"]))
+
+    def delete_document(self, document_id: str) -> None:
+        self._write_documents(self.documents().filter(F.col("external_id") != document_id))
+        self._write_chunks(self.chunks().filter(F.col("document_id") != document_id))
+
+    def move_folder(self, old_prefix: str, new_prefix: str) -> None:
+        self._write_documents(docstore.move_folder(self.documents(), old_prefix, new_prefix))
+        self._write_chunks(docstore.move_folder(self.chunks(), old_prefix, new_prefix))

@@ -1,0 +1,101 @@
+"""MorphikSpark facade: the reference API surface end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from morphik_core_spark.api import MorphikSpark
+from morphik_core_spark.operators.scopes import AuthContext
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    return MorphikSpark(spark, str(tmp_path / "store"), chunk_size=120, chunk_overlap=12)
+
+
+AUTH = AuthContext(user_id="u1", app_id="app1")
+
+
+def _seed(client):
+    ids = client.ingest_texts(
+        [
+            "spark shuffles data between executors during wide transformations " * 5,
+            "cats are small domesticated felines that purr " * 5,
+            "catalyst optimizes logical plans into physical plans " * 5,
+        ],
+        filenames=["spark.txt", "cats.txt", "catalyst.txt"],
+        metadatas=[{"topic": "engine", "priority": 1}, {"topic": "pets"}, {"topic": "engine", "priority": 2}],
+        auth=AUTH,
+        folder_path="/corp/docs",
+    )
+    return ids
+
+
+def test_ingest_list_get(client):
+    ids = _seed(client)
+    docs = client.list_documents(auth=AUTH)
+    assert len(docs) == 3
+    got = client.get_document(ids[0])
+    assert got["status"] == "completed" and got["folder_path"] == "/corp/docs"
+    assert got["metadata_types"]["priority"] == "number"
+
+
+def test_retrieve_chunks_with_filters_and_scope(client):
+    _seed(client)
+    # NB: the hash embedder is exact-token (no stemming) — query with the
+    # document's own tokens
+    hits = client.retrieve_chunks("spark shuffles data between executors", k=2, auth=AUTH)
+    assert hits and "shuffles" in hits[0]["content"]
+    engine_only = client.retrieve_chunks(
+        "spark shuffles data", k=5, auth=AUTH, filters={"topic": "engine"}
+    )
+    assert all("purr" not in h["content"] for h in engine_only)
+    wrong_folder = client.retrieve_chunks("spark", k=2, auth=AUTH, folder_path="/elsewhere")
+    assert wrong_folder == []
+
+
+def test_retrieve_docs_and_query(client):
+    _seed(client)
+    docs = client.retrieve_docs("catalyst physical plans", k=2, auth=AUTH)
+    assert len(docs) == 2
+    out = client.query("what does catalyst do?", auth=AUTH, k=3)
+    assert out["answer"].startswith("stub-answer")
+    assert out["citations"]
+
+
+def test_metadata_update_then_filter(client):
+    ids = _seed(client)
+    client.update_document_metadata(ids[1], {"reviewed": True, "price": "10.500"}, {"price": "decimal"})
+    got = client.get_document(ids[1])
+    assert got["metadata_types"]["price"] == "decimal"
+    reviewed = client.list_documents(filters={"reviewed": True}, auth=AUTH)
+    assert [d["external_id"] for d in reviewed] == [ids[1]]
+    cheap = client.list_documents(filters={"price": {"$lte": "10.5"}}, auth=AUTH)
+    assert [d["external_id"] for d in cheap] == [ids[1]]
+
+
+def test_delete_and_folder_move(client):
+    ids = _seed(client)
+    client.delete_document(ids[1])
+    assert client.get_document(ids[1]) is None
+    assert len(client.list_documents(auth=AUTH)) == 2
+    client.move_folder("/corp/docs", "/archive/docs")
+    assert client.get_document(ids[0])["folder_path"] == "/archive/docs"
+    # retrieval respects the new scope
+    hits = client.retrieve_chunks("spark shuffle", k=2, auth=AUTH, folder_path="/archive/docs", folder_depth=-1)
+    assert hits
+
+
+def test_padding_and_rerank(client):
+    _seed(client)
+    padded = client.retrieve_chunks("spark shuffle executors", k=1, auth=AUTH, padding=1)
+    nums = sorted({h["chunk_number"] for h in padded})
+    assert len(nums) >= 2  # neighbors came along
+    assert any(h["score"] == 0.0 for h in padded)  # padding rows scored 0.0
+    reranked = client.retrieve_chunks("spark shuffle executors", k=2, auth=AUTH, use_reranker=True)
+    assert reranked[0]["score"] >= reranked[-1]["score"]
+
+
+def test_empty_store(client):
+    assert client.list_documents() == []
+    assert client.retrieve_chunks("anything", k=3) == []
