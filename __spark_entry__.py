@@ -238,13 +238,31 @@ def _q_maxsim_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.top_k(scored, 10, score_col="maxsim", tiebreak=("vec_id",))
 
 
-def _q_maxsim_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-quantized MaxSim (sign-bit Hamming) top-k — the coarse stage
-    of two-stage retrieval (SURVEY §4)."""
+def _hamming_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-bit Hamming MaxSim scores for every vector (production path:
+    quantize once, XOR+popcount per pair). Hamming sims are dyadic
+    rationals, so float sums are EXACT — bit-identical to the relational
+    oracle with no rounding risk."""
+    import numpy as np
+
+    from morphik_core_spark.functions.quantization import (
+        hamming_maxsim_packed,
+        multivector_quantize_udf,
+    )
+
     mv = _multivectors(spark, sf_dir)
-    scored = maxsim.maxsim_hamming_relational(mv, _query_tokens(spark, sf_dir), id_cols=("vec_id",))
-    scored = scored.select("vec_id", F.round("maxsim", _SCORE_DECIMALS).alias("maxsim"))
-    return retrieval.top_k(scored, 10, score_col="maxsim", tiebreak=("vec_id",))
+    q_packed = [
+        np.packbits(np.asarray(t) > 0).tobytes() for t in _query_tokens(spark, sf_dir)
+    ]
+    scorer = hamming_maxsim_packed(q_packed, _MV_DIMS)
+    packed = mv.withColumn("packed", multivector_quantize_udf(F.col("multivector")))
+    return packed.select("vec_id", F.round(scorer("packed"), _SCORE_DECIMALS).alias("maxsim"))
+
+
+def _q_maxsim_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized MaxSim top-k — served by the packed-bit kernel;
+    oracle stays the relational sign-dot formulation (SURVEY §4)."""
+    return retrieval.top_k(_hamming_scored(spark, sf_dir), 10, score_col="maxsim", tiebreak=("vec_id",))
 
 
 def _q_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,10 +270,9 @@ def _q_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact rescore → top-10 (reference fast_multivector_store.py:504-608)."""
     mv = _multivectors(spark, sf_dir)
     qtoks = _query_tokens(spark, sf_dir)
-    coarse = maxsim.maxsim_hamming_relational(mv, qtoks, id_cols=("vec_id",))
-    coarse = coarse.select("vec_id", F.round("maxsim", _SCORE_DECIMALS).alias("maxsim"))
+    coarse = _hamming_scored(spark, sf_dir)
     survivors = retrieval.top_k(coarse, 50, score_col="maxsim", tiebreak=("vec_id",)).select("vec_id")
-    exact = maxsim.maxsim_relational(
+    exact = maxsim.maxsim_pandas(
         mv.join(F.broadcast(survivors), "vec_id", "left_semi"), qtoks, id_cols=("vec_id",)
     )
     exact = exact.select("vec_id", F.round("maxsim", _SCORE_DECIMALS).alias("maxsim"))

@@ -1,0 +1,74 @@
+"""File ingestion source: spark.read.format("binaryFile") → raw-doc rows.
+
+The reference's file-ingest endpoint stages uploads then parses per type
+(/root/reference/core/routes/ingest.py:105, ingestion_worker.py:546-588).
+Here a staging directory IS the upload surface: ``binaryFile`` gives
+(path, modificationTime, length, content) with partition-parallel reads;
+MIME routing decides the parser. Text-family types decode for real;
+binary document formats (PDF/Office) need parser libraries that are not
+in this container — their rows surface ``parse_status='unsupported'``
+instead of text (swap ``_decode_text_udf`` for a Docling/PyMuPDF
+mapInPandas kernel and the rest of the pipeline is unchanged).
+
+Output schema feeds streaming/ingestion.ingest_batch directly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from morphik_core_spark.functions.binary import infer_mime
+
+__all__ = ["read_binary_dir", "files_to_raw_docs"]
+
+_TEXT_MIME_PREFIXES = ("text/",)
+_TEXT_MIMES = {"application/json", "application/xml", "text/csv", "text/markdown"}
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def _decode_text_udf():
+    # built lazily: pandas_udf registration needs an active session
+    @F.pandas_udf("string")
+    def decode(payloads: pd.Series) -> pd.Series:
+        return payloads.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else None)
+
+    return decode
+
+
+def files_to_raw_docs(files: DataFrame, app_id: str | None = None, folder_path: str | None = None) -> DataFrame:
+    """binaryFile rows → raw-doc rows for ingest_batch.
+
+    parse_status: 'ok' (decoded), 'unsupported' (needs an external parser),
+    'empty'. Unsupported/empty rows keep NULL text so ingest_batch marks
+    them failed — same row-level isolation as the reference worker.
+    """
+    filename = F.element_at(F.split(F.col("path"), "/"), -1)
+    mime = infer_mime(filename)
+    is_text = F.lit(False)
+    for p in _TEXT_MIME_PREFIXES:
+        is_text = is_text | mime.startswith(p)
+    is_text = is_text | mime.isin(*_TEXT_MIMES)
+
+    parse_status = (
+        F.when(F.length("content") == 0, "empty")
+        .when(is_text, "ok")
+        .otherwise("unsupported")
+    )
+    return files.select(
+        F.col("path").alias("external_id"),
+        filename.alias("filename"),
+        mime.alias("content_type"),
+        F.when(is_text & (F.length("content") > 0), _decode_text_udf()(F.col("content"))).alias("text"),
+        F.lit(None).cast("string").alias("metadata"),
+        F.lit(app_id).alias("app_id"),
+        F.lit(folder_path).alias("folder_path"),
+        parse_status.alias("parse_status"),
+    )

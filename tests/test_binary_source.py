@@ -1,0 +1,45 @@
+"""binaryFile ingest source: MIME routing + pipeline handoff."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from morphik_core_spark.sources.binary import files_to_raw_docs, read_binary_dir
+from morphik_core_spark.streaming.ingestion import ingest_batch
+
+
+def test_binary_dir_to_ingest(spark, tmp_path):
+    d = tmp_path / "stage"
+    d.mkdir()
+    (d / "notes.txt").write_text("alpha beta gamma " * 30)
+    (d / "data.json").write_text('{"k": 1}')
+    (d / "scan.pdf").write_bytes(b"%PDF-1.4 fake binary content")
+    (d / "empty.txt").write_text("")
+
+    files = read_binary_dir(spark, str(d))
+    raw = files_to_raw_docs(files, app_id="app1", folder_path="/stage")
+    rows = {r.filename: r for r in raw.collect()}
+
+    assert rows["notes.txt"].parse_status == "ok" and rows["notes.txt"].text.startswith("alpha")
+    assert rows["data.json"].parse_status == "ok"
+    assert rows["scan.pdf"].parse_status == "unsupported" and rows["scan.pdf"].text is None
+    assert rows["scan.pdf"].content_type == "application/pdf"
+    # NB: spark's binaryFile source silently SKIPS zero-byte files
+    assert "empty.txt" not in rows
+
+    documents, chunks = ingest_batch(raw.drop("parse_status"), chunk_size=100, chunk_overlap=10)
+    status = {r.filename: r.status for r in documents.collect()}
+    assert status["notes.txt"] == "completed"
+    assert status["scan.pdf"] == "failed"  # unsupported → failed, job survives
+    assert chunks.filter(F.col("document_id").endswith("notes.txt")).count() > 1
+
+
+def test_glob_filter(spark, tmp_path):
+    d = tmp_path / "stage2"
+    d.mkdir()
+    (d / "a.txt").write_text("x")
+    (d / "b.csv").write_text("y")
+    only_txt = read_binary_dir(spark, str(d), glob="*.txt")
+    assert only_txt.count() == 1
