@@ -177,6 +177,7 @@ def jaccard_pairs(
     id_col: str,
     threshold: float,
     block: DataFrame | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by shingle-set Jaccard ≥ threshold.
 
@@ -184,7 +185,16 @@ def jaccard_pairs(
     sharing no shingle never meet, so the pair space is the inverted-index
     join, not O(n²). ``block`` (id → block key) optionally restricts pairs
     to the same block.
+
+    ``persist`` caches the exploded shingles: the plan reads them three
+    times (both join sides + sizes), and recomputing the explode tripled
+    the cost in benchmarks. At 100 TB this is a disk-backed persist of an
+    intermediate you were going to shuffle anyway.
     """
+    if persist:
+        from pyspark import StorageLevel
+
+        shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.alias("a")
     b = shingles.alias("b")
