@@ -21,12 +21,14 @@ rows in place.
 
 from __future__ import annotations
 
+from typing import Callable
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-__all__ = ["split_text", "split_text_udf", "chunk_documents", "DEFAULT_SEPARATORS"]
+__all__ = ["split_text", "split_text_udf", "chunk_documents", "contextual_chunks", "DEFAULT_SEPARATORS"]
 
 DEFAULT_SEPARATORS = ["\n\n", "\n", ". ", " ", ""]
 DEFAULT_CHUNK_SIZE = 6000
@@ -97,6 +99,28 @@ def split_text_udf(
         )
 
     return split
+
+
+def contextual_chunks(
+    chunks: DataFrame,
+    situate: "Callable[[str], str]",
+    content_col: str = "content",
+) -> DataFrame:
+    """Contextual chunking: prepend model-generated situating context to
+    each chunk (reference morphik_parser.py:110-195; OFF by default,
+    morphik.toml:85).
+
+    ``situate(chunk_text) -> context`` is the LLM boundary — any
+    CompletionModel-backed callable (or a deterministic stub in tests).
+    Runs as an Arrow-batched UDF so batching/parallelism match the
+    embedding stage.
+    """
+
+    @F.pandas_udf(StringType())
+    def situate_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: f"{situate(t)}\n\n{t}" if t is not None else None)
+
+    return chunks.withColumn(content_col, situate_udf(F.col(content_col)))
 
 
 def chunk_documents(

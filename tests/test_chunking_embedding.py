@@ -63,6 +63,16 @@ def test_chunk_documents_contiguous_numbers(spark):
     assert nums == list(range(len(nums))) and len(nums) > 1
 
 
+def test_contextual_chunks_prepends_context(spark):
+    from morphik_core_spark.functions.chunking import contextual_chunks
+
+    chunks = spark.createDataFrame(
+        [("d1", 0, "the raw chunk body")], "document_id string, chunk_number int, content string"
+    )
+    out = contextual_chunks(chunks, situate=lambda t: f"[ctx:{len(t)} chars]").first()
+    assert out.content == "[ctx:18 chars]\n\nthe raw chunk body"
+
+
 # ------------------------------------------------------------- embedder
 
 
