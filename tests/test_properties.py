@@ -50,6 +50,54 @@ def test_hash_embed_unit_norm_or_zero(text):
     assert abs(norm - 1.0) < 1e-9 or norm == 0.0
 
 
+# ---------------------------------------------- filter compiler robustness
+
+_FIELDS = st.sampled_from(["department", "priority", "tags", "score", "missing"])
+_SCALARS = st.one_of(st.integers(-5, 100), st.booleans(), st.sampled_from(["eng", "x", "3"]), st.none())
+
+
+def _leaf():
+    op_block = st.one_of(
+        st.fixed_dictionaries({"$eq": _SCALARS.filter(lambda v: v is not None)}),
+        st.fixed_dictionaries({"$gte": st.integers(-5, 100)}),
+        st.fixed_dictionaries({"$in": st.lists(_SCALARS, min_size=1, max_size=3)}),
+        st.fixed_dictionaries({"$exists": st.booleans()}),
+        st.fixed_dictionaries({"$contains": st.sampled_from(["en", "x"])}),
+        st.fixed_dictionaries({"$regex": st.sampled_from(["^e", "x$"])}),
+    )
+    return st.builds(lambda f, v: {f: v}, _FIELDS, st.one_of(_SCALARS, op_block))
+
+
+_FILTER_TREES = st.recursive(
+    _leaf(),
+    lambda children: st.one_of(
+        st.builds(lambda xs: {"$and": xs}, st.lists(children, min_size=1, max_size=3)),
+        st.builds(lambda xs: {"$or": xs}, st.lists(children, min_size=1, max_size=3)),
+        st.builds(lambda xs: {"$nor": xs}, st.lists(children, min_size=1, max_size=2)),
+        st.builds(lambda x: {"$not": x}, children),
+    ),
+    max_leaves=6,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(tree=_FILTER_TREES)
+def test_random_filter_trees_compile(spark, tree):
+    """Any structurally-valid filter tree must compile to a Column without
+    raising (numeric-operand guards may legitimately reject some leaves —
+    InvalidMetadataFilterError is the only acceptable failure)."""
+    from morphik_core_spark.operators.metadata_filters import (
+        InvalidMetadataFilterError,
+        MetadataFilterCompiler,
+    )
+
+    try:
+        col = MetadataFilterCompiler().compile(tree)
+    except InvalidMetadataFilterError:
+        return
+    assert col is not None
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     a=st.text(alphabet=st.sampled_from(list("abc ")), max_size=60),
