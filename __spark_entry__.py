@@ -573,6 +573,17 @@ def _q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates per group (Catalyst expand-based plan;
+    §2.4 depth beyond the reference's simple counts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
 def _q_requeue_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Requeue-failed selection (§2.1): rows NOT in a terminal status —
     o_orderstatus 'F' stands in for completed."""
@@ -675,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": _q_pivot_counts,
         "typed_filter_docs": _q_typed_filter_docs,
         "folder_summary": _q_folder_summary,
+        "distinct_counts": _q_distinct_counts,
     }
 
 
@@ -1203,6 +1215,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE (TRY_CAST(lang AS DOUBLE) >= 0)
                OR (TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) >= 500)
+        """,
+        "distinct_counts": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem GROUP BY l_returnflag
         """,
         "folder_summary": """
             SELECT COALESCE('/' || source || '/' || lang, lang) AS folder,
