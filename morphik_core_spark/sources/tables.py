@@ -35,6 +35,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS). Set the legacy conf at
+        # read time so the loader works with ANY SparkSession (the driver
+        # harness builds its own, bypassing session.get_spark). Runtime-
+        # settable on Spark 4.x; without it the read fails with
+        # PARQUET_TYPE_ILLEGAL.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # parquet TIMESTAMP(NANOS) arrives as long (see session.py);
