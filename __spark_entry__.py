@@ -286,6 +286,11 @@ _LSH_BANDS = 4
 _LSH_ROWS = 2
 _JACCARD_N = 3
 _JACCARD_THRESHOLD = 0.02
+# Skew guards. Both deliberately low enough to bite at sf0.01 so the
+# capped code path is the one the driver's oracle verifies; production
+# values are corpus-relative (e.g. df > 0.5% of docs, buckets > ~1000).
+_JACCARD_MAX_DF = 6
+_LSH_MAX_BUCKET = 2
 _KNN_QUERIES = 5
 # 4 planes → 16 buckets: at the testdata's 500-2000 vectors this keeps
 # ~30-125 candidates per bucket, enough to fill k=10 (more planes = finer
@@ -309,21 +314,27 @@ def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH candidate pairs from the MinHash signatures."""
     sigs = _q_minhash_signatures(spark, sf_dir)
-    return dedup.lsh_candidate_pairs(sigs, "doc_id", bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+    return dedup.lsh_candidate_pairs(
+        sigs, "doc_id", bands=_LSH_BANDS, rows_per_band=_LSH_ROWS, max_bucket_size=_LSH_MAX_BUCKET
+    )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints (sign-aggregated token-hash bits)."""
+    """32-bit SimHash fingerprints (sign-aggregated token-hash bits).
+
+    Served from the one-pass Arrow kernel (zero shuffles); the relational
+    32×-explode form (dedup.simhash) stays as the oracle-expressible twin
+    and tests assert the two are bit-identical.
+    """
     docs = _t(spark, sf_dir, "documents")
-    out = dedup.simhash(docs, "text", "doc_id", bits=32)
-    return out.select("doc_id", F.col("simhash").cast("bigint").alias("simhash"))
+    return dedup.simhash_pandas(docs, "text", "doc_id", bits=32)
 
 
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs via inverted-index self-join."""
     docs = _t(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs, "text", "doc_id", n=_JACCARD_N)
-    pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=_JACCARD_THRESHOLD)
+    pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=_JACCARD_THRESHOLD, max_df=_JACCARD_MAX_DF)
     return pairs.select("id_a", "id_b", F.round("jaccard", _SCORE_DECIMALS).alias("jaccard"))
 
 
@@ -914,9 +925,15 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT doc_id, 1, mh2::VARCHAR || '_' || mh3::VARCHAR FROM sig
                 UNION ALL SELECT doc_id, 2, mh4::VARCHAR || '_' || mh5::VARCHAR FROM sig
                 UNION ALL SELECT doc_id, 3, mh6::VARCHAR || '_' || mh7::VARCHAR FROM sig
+            ),
+            capped AS (
+                SELECT b.* FROM buckets b JOIN (
+                    SELECT band, key FROM buckets
+                    GROUP BY band, key HAVING count(*) <= {_LSH_MAX_BUCKET}
+                ) ok USING (band, key)
             )
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-            FROM buckets l JOIN buckets r
+            FROM capped l JOIN capped r
               ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
         """,
         "simhash": f"""
@@ -934,10 +951,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jaccard_pairs": f"""
             {_MINHASH_CTES},
-            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            shc AS (
+                SELECT * FROM sh WHERE shingle NOT IN (
+                    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {_JACCARD_MAX_DF}
+                )
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
             common AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id
             )
             SELECT id_a, id_b,

@@ -40,6 +40,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash",
+    "simhash_pandas",
     "jaccard_pairs",
 ]
 
@@ -116,12 +117,22 @@ def lsh_candidate_pairs(
     id_col: str,
     bands: int,
     rows_per_band: int,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH band.
 
     Docs agreeing on all rows of one band land in the same bucket; the
     band-bucket self-join is an equi-join Catalyst hash-partitions — the
     canonical way to avoid the O(n²) all-pairs comparison at scale.
+
+    ``max_bucket_size`` drops buckets with more members than the cap
+    BEFORE the self-join. Without it one hot bucket (boilerplate text,
+    degenerate signatures) goes quadratic — a bucket of 1M docs is 5e11
+    pairs on one reducer. An oversized bucket carries almost no signal
+    (its members collide on a band by bulk, not similarity), so dropping
+    it is the standard recall/robustness trade (cf. datasketch
+    LSH ``_H`` buckets, Spark MinHashLSH docs). The overflow set is tiny
+    by construction, so it broadcasts.
     """
     sig_cols = [c for c in signatures.columns if c != id_col]
     assert len(sig_cols) >= bands * rows_per_band
@@ -134,6 +145,14 @@ def lsh_candidate_pairs(
     buckets = signatures.select(F.col(id_col), F.explode(F.array(*band_rows)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    if max_bucket_size is not None:
+        oversized = (
+            buckets.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("band", "key")
+        )
+        buckets = buckets.join(F.broadcast(oversized), ["band", "key"], "left_anti")
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -172,12 +191,64 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     return packed
 
 
+def simhash_pandas(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """One-pass Arrow-batched SimHash — the serving form of :func:`simhash`.
+
+    Bit-for-bit identical to the relational form (asserted in tests), but
+    computed per Arrow batch with zero shuffles and zero row explosion:
+    the relational plan multiplies every token by ``bits`` rows (32× data
+    inflation through two shuffles), which is the oracle-expressible shape
+    but the wrong serving plan at 100 TB. This is the same
+    relational-oracle / vectorized-serving split used for MaxSim
+    (operators/maxsim.py).
+
+    Hash parity notes (must match `portable_hash` + `normalize_text`
+    exactly): md5-prefix 60-bit hashes; Spark's ``trim`` strips only
+    ASCII spaces (not \\n), and Java ``\\s`` is ASCII-only — the Python
+    side mirrors both. Per-batch token-hash memoization: corpus token
+    distributions are Zipfian, so the cache hit rate is high.
+    """
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    bit_idx = np.arange(bits, dtype=np.int64)
+    weights = np.int64(1) << bit_idx
+    ws_run = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _fingerprint_series(texts: pd.Series, cache: dict) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            norm = ws_run.sub(" ", (text or "").lower().strip(" "))
+            acc = np.zeros(bits, dtype=np.int64)
+            for tok in norm.split(" "):
+                signs = cache.get(tok)
+                if signs is None:
+                    h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                    signs = (((h >> bit_idx) & 1) * 2 - 1).astype(np.int64)
+                    cache[tok] = signs
+                acc += signs
+            out[i] = int(weights[acc > 0].sum())
+        return pd.Series(out)
+
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf can't infer — unannotated defaults to SCALAR.
+    _simhash_udf = pandas_udf(lambda texts: _fingerprint_series(texts, {}), "long")
+
+    return df.select(F.col(id_col), _simhash_udf(F.col(text_col)).alias("simhash"))
+
+
 def jaccard_pairs(
     shingles: DataFrame,
     id_col: str,
     threshold: float,
     block: DataFrame | None = None,
     persist: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by shingle-set Jaccard ≥ threshold.
 
@@ -186,11 +257,28 @@ def jaccard_pairs(
     join, not O(n²). ``block`` (id → block key) optionally restricts pairs
     to the same block.
 
+    ``max_df`` drops shingles whose document frequency exceeds the cap
+    BEFORE the join — the stopword-phrase analog ("of the and" appears in
+    half the corpus and is a hot join key that contributes ~0 similarity
+    signal but O(df²) pairs on one reducer). Capping makes the Jaccard a
+    rare-shingle Jaccard: sizes and intersections are both computed on
+    the capped sets, so the measure stays self-consistent. The frequent
+    set is tiny by construction → broadcast anti-join, no extra shuffle
+    on the fact side.
+
     ``persist`` caches the exploded shingles: the plan reads them three
     times (both join sides + sizes), and recomputing the explode tripled
     the cost in benchmarks. At 100 TB this is a disk-backed persist of an
     intermediate you were going to shuffle anyway.
     """
+    if max_df is not None:
+        frequent = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(F.broadcast(frequent), "shingle", "left_anti")
     if persist:
         from pyspark import StorageLevel
 

@@ -57,6 +57,62 @@ def test_jaccard_pairs(docs):
     assert 0.2 <= pairs[(1, 3)] < 1.0
 
 
+def test_lsh_bucket_cap_drops_oversized_buckets(spark):
+    # 3 identical docs + 1 outlier: every band bucket for the dup group has
+    # size 3. Cap at 2 → every bucket dropped → no candidate pairs at all.
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(1, 4)]
+    rows.append((9, "completely different content about spark engines and shuffles"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.word_shingles(df, "text", "doc_id", n=3)
+    sigs = dedup.minhash_signatures(sh, "doc_id")
+    uncapped = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(sigs, "doc_id", 4, 2).collect()}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(sigs, "doc_id", 4, 2, max_bucket_size=2).collect()
+    }
+    assert (1, 2) in uncapped and (1, 3) in uncapped
+    assert capped == set()
+
+
+def test_jaccard_max_df_drops_frequent_shingles(spark):
+    # A shingle present in every doc is the only thing docs 1 and 2 share;
+    # with the df cap it is excluded, so the pair disappears and the
+    # remaining pair's jaccard is computed on the capped sets.
+    rows = [
+        (1, "alpha beta gamma zzz yyy xxx"),
+        (2, "alpha beta gamma qqq www eee"),
+        (3, "alpha beta gamma qqq www eee"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.word_shingles(df, "text", "doc_id", n=3)
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(sh, "doc_id", 0.01, persist=False).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(sh, "doc_id", 0.01, persist=False, max_df=2).collect()
+    }
+    assert (1, 2) in uncapped
+    assert (1, 2) not in capped  # only shared shingle was corpus-frequent
+    assert capped[(2, 3)] == 1.0  # identical docs still pair on rare shingles
+
+
+def test_simhash_pandas_matches_relational(docs, spark):
+    relational = {r.doc_id: r.simhash for r in dedup.simhash(docs, "text", "doc_id").collect()}
+    kernel = {r.doc_id: r.simhash for r in dedup.simhash_pandas(docs, "text", "doc_id").collect()}
+    assert kernel == relational
+    # Spark trim strips only spaces — leading \n must survive into an empty
+    # first token in both forms.
+    nasty = spark.createDataFrame(
+        [(1, "\nfoo  bar\t baz "), (2, ""), (3, "   "), (4, "unicode nbsp")],
+        "doc_id long, text string",
+    )
+    relational = {r.doc_id: r.simhash for r in dedup.simhash(nasty, "text", "doc_id").collect()}
+    kernel = {r.doc_id: r.simhash for r in dedup.simhash_pandas(nasty, "text", "doc_id").collect()}
+    assert kernel == relational
+
+
 def test_simhash_similar_docs_close(docs):
     out = {r.doc_id: r.simhash for r in dedup.simhash(docs, "text", "doc_id").collect()}
 
