@@ -98,17 +98,28 @@ class MorphikSpark:
 
     def _overwrite(self, df: DataFrame, name: str, schema: str) -> None:
         # snapshot rewrite: stage then swap (parquet has no transactional
-        # overwrite-while-reading; at scale this is a partition-level swap)
-        tmp = self._path(f"_{name}_staging")
-        df.write.mode("overwrite").parquet(tmp)
+        # overwrite-while-reading; at scale this is a partition-level swap).
+        # A stale backup from a prior crash is cleared first so the swap
+        # can't wedge on rename-to-existing; if a prior crash left the live
+        # path absent, the backup IS the live data — restore it before
+        # staging the new snapshot. The remaining non-atomic window is the
+        # instant between the two renames (POSIX can't exchange two
+        # directories); a table format (Delta/Iceberg) closes it for real.
+        import shutil
+
         final = self._path(name)
         backup = self._path(f"_{name}_old")
+        if os.path.exists(backup):
+            if os.path.exists(final):
+                shutil.rmtree(backup)
+            else:
+                os.rename(backup, final)
+        tmp = self._path(f"_{name}_staging")
+        df.write.mode("overwrite").parquet(tmp)
         if os.path.exists(final):
             os.rename(final, backup)
         os.rename(tmp, final)
         if os.path.exists(backup):
-            import shutil
-
             shutil.rmtree(backup)
 
     # ----------------------------------------------------------- ingestion
@@ -179,7 +190,7 @@ class MorphikSpark:
         raw = self.spark.createDataFrame(
             [(i, c) for i, c in zip(ids, contents) if c and c.strip()], "external_id string, text string"
         )
-        if raw.count() > 0:
+        if not raw.isEmpty():
             cleaned = raw.withColumn("text", clean_control_chars(F.col("text")))
             new_chunks = chunk_documents(
                 cleaned, text_col="text", id_col="external_id",
@@ -212,6 +223,35 @@ class MorphikSpark:
         min_score: float | None = None,  # accepted-and-ignored, reference parity
     ) -> list[dict]:
         """Filtered vector top-k (§3.1). Returns ChunkResult-shaped dicts."""
+        hits = self._retrieve_chunks_df(
+            query,
+            k=k,
+            filters=filters,
+            auth=auth,
+            folder_path=folder_path,
+            folder_depth=folder_depth,
+            end_user_id=end_user_id,
+            padding=padding,
+            use_reranker=use_reranker,
+        )
+        rows = [r.asDict(recursive=True) for r in hits.collect()]
+        return sorted(rows, key=lambda r: (-r["score"], str(r["document_id"]), r["chunk_number"]))
+
+    def _retrieve_chunks_df(
+        self,
+        query: str,
+        k: int = 5,
+        filters: dict[str, Any] | None = None,
+        auth: AuthContext | None = None,
+        folder_path: str | None = None,
+        folder_depth: int = 0,
+        end_user_id: str | None = None,
+        padding: int = 0,
+        use_reranker: bool = False,
+    ) -> DataFrame:
+        """The retrieval pipeline as a DataFrame — shared by chunk- and
+        doc-level serving so aggregation stays in the engine, not the
+        driver."""
         system_filters = build_folder_scope(
             folder_path=folder_path, folder_depth=folder_depth, end_user_id=end_user_id
         )
@@ -235,20 +275,16 @@ class MorphikSpark:
         doc_meta = self.documents().select(
             F.col("external_id").alias("document_id"), "filename", "metadata", "content_type"
         )
-        hits = hits.join(F.broadcast(doc_meta), "document_id", "left")
-        rows = [r.asDict(recursive=True) for r in hits.collect()]
-        return sorted(rows, key=lambda r: (-r["score"], str(r["document_id"]), r["chunk_number"]))
+        return hits.join(F.broadcast(doc_meta), "document_id", "left")
 
     def retrieve_docs(self, query: str, k: int = 5, **kwargs) -> list[dict]:
-        """Document-level results: best chunk per doc (§2.4)."""
-        chunk_hits = self.retrieve_chunks(query, k=max(k * 4, 20), **kwargs)
-        best: dict[str, dict] = {}
-        for r in chunk_hits:
-            cur = best.get(r["document_id"])
-            if cur is None or r["score"] > cur["score"]:
-                best[r["document_id"]] = r
-        out = sorted(best.values(), key=lambda r: (-r["score"], str(r["document_id"])))[:k]
-        return out
+        """Document-level results: best chunk per doc (§2.4), via the
+        max_by document_results operator — one shuffle on document_id,
+        no driver-side aggregation."""
+        hits = self._retrieve_chunks_df(query, k=max(k * 4, 20), **kwargs)
+        docs = retrieval.document_results(hits)
+        rows = [r.asDict(recursive=True) for r in docs.collect()]
+        return sorted(rows, key=lambda r: (-r["score"], str(r["document_id"])))[:k]
 
     def query(
         self,
