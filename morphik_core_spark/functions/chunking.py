@@ -6,7 +6,13 @@ the Rust kernel morphik_rust/src/chunking.rs:8-47 in /root/reference):
 - separators tried in order ["\\n\\n", "\\n", ". ", " ", ""]; "" = per-char
 - greedy accumulation of separator-joined parts up to chunk_size
 - oversized chunks recurse with the remaining separators
-- overlap: prepend the previous chunk's last ``overlap`` characters
+- overlap: prepend the previous chunk's last ``overlap`` characters — at
+  the end of EVERY recursion level, exactly like the reference. When a
+  merged chunk recurses, its sub-chunks get overlap applied inside the
+  recursion AND again by each enclosing level, so overlap compounds with
+  recursion depth. Arguably a reference bug, preserved deliberately:
+  chunk-content parity with reference-built indexes matters more than
+  tidiness (quirk verified against morphik_parser.py:96-107 semantics).
 - quirk preserved: the separator is re-appended to every part whose VALUE
   differs from the last part's value (the reference compares values, not
   positions), so a middle part equal to the final part loses its separator.
@@ -43,16 +49,10 @@ def split_text(
 ) -> list[str]:
     """Reference-parity recursive split (see module docstring)."""
     seps = DEFAULT_SEPARATORS if separators is None else separators
-    chunks = _recurse(text, chunk_size, seps)
-    if chunk_overlap > 0 and len(chunks) > 1:
-        return [
-            (chunks[i - 1][-chunk_overlap:] + c) if i > 0 else c
-            for i, c in enumerate(chunks)
-        ]
-    return chunks
+    return _recurse(text, chunk_size, chunk_overlap, seps)
 
 
-def _recurse(text: str, chunk_size: int, separators: list[str]) -> list[str]:
+def _recurse(text: str, chunk_size: int, chunk_overlap: int, separators: list[str]) -> list[str]:
     if len(text) <= chunk_size:
         return [text] if text else []
     if not separators:
@@ -79,9 +79,16 @@ def _recurse(text: str, chunk_size: int, separators: list[str]) -> list[str]:
     out: list[str] = []
     for chunk in merged:
         if len(chunk) > chunk_size and len(separators) > 1:
-            out.extend(_recurse(chunk, chunk_size, separators[1:]))
+            out.extend(_recurse(chunk, chunk_size, chunk_overlap, separators[1:]))
         else:
             out.append(chunk)
+    # per-level overlap (compounds with recursion depth — reference parity,
+    # see module docstring). Overlap windows read the PRE-overlap neighbor.
+    if chunk_overlap > 0 and len(out) > 1:
+        return [
+            (out[i - 1][-chunk_overlap:] + c) if i > 0 else c
+            for i, c in enumerate(out)
+        ]
     return out
 
 

@@ -55,9 +55,14 @@ def maxsim_relational(
 
     similarity: 'dot' (full precision) or 'hamming' (sign-bit, the
     binary-quantized scoring in relational form).
+
+    NULL/empty multivectors score 0.0, matching maxsim_pandas —
+    posexplode_outer keeps the row as a single null token whose null sim
+    aggregates to null and coalesces at the end, so parity costs no extra
+    join.
     """
     ids = [F.col(c) for c in id_cols]
-    toks = multivectors.select(*ids, F.posexplode(F.col(mv_col)).alias("d_idx", "dv"))
+    toks = multivectors.select(*ids, F.posexplode_outer(F.col(mv_col)).alias("d_idx", "dv"))
     q = F.broadcast(_query_tokens_df(multivectors, query_tokens))
 
     dv = F.col("dv").cast("array<double>")
@@ -72,7 +77,9 @@ def maxsim_relational(
 
     pairs = toks.crossJoin(q).select(*ids, F.col("q_idx"), sim.alias("sim"))
     best = pairs.groupBy(*ids, "q_idx").agg(F.max("sim").alias("best"))
-    return best.groupBy(*id_cols).agg(F.sum("best").alias("maxsim"))
+    return best.groupBy(*id_cols).agg(
+        F.coalesce(F.sum("best"), F.lit(0.0)).alias("maxsim")
+    )
 
 
 def maxsim_pandas(

@@ -80,8 +80,15 @@ def run_ingestion_stream(
 ) -> None:
     """Structured-Streaming ingestion over a parquet drop directory.
 
-    ``Trigger.AvailableNow`` + ``foreachBatch``: exactly-once parquet sinks
-    per micro-batch, stops when the backlog drains. New files dropped into
+    ``Trigger.AvailableNow`` + ``foreachBatch``, with effectively-once
+    sinks: each write is partitioned by the micro-batch ``epoch_id`` and
+    uses dynamic partition overwrite, so a crashed-and-retried epoch
+    replaces its own partition instead of appending duplicates (plain
+    parquet append is only at-least-once — foreachBatch re-runs the whole
+    batch on recovery). The ``_epoch`` partition column is physical layout
+    only; readers that don't select it are unaffected. A transactional
+    table format (Delta/Iceberg) is the production-grade version of the
+    same idea. Stops when the backlog drains; new files dropped into
     ``input_dir`` are picked up on the next run via the checkpoint.
     """
     checkpoint_dir = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
@@ -89,8 +96,14 @@ def run_ingestion_stream(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         documents, chunks = ingest_batch(batch_df, chunk_size, chunk_overlap, embed_dims)
-        documents.write.mode("append").parquet(os.path.join(output_dir, "documents"))
-        chunks.write.mode("append").parquet(os.path.join(output_dir, "chunks"))
+        for df, sub in ((documents, "documents"), (chunks, "chunks")):
+            (
+                df.withColumn("_epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch")
+                .parquet(os.path.join(output_dir, sub))
+            )
 
     (
         stream.writeStream.foreachBatch(process)

@@ -47,6 +47,17 @@ def test_overlap_prepends_previous_tail():
         assert cur.startswith(prev[-4:])
 
 
+def test_overlap_compounds_per_recursion_level():
+    # Reference parity: the overlap block runs at the end of EVERY
+    # _split_recursive level (morphik_parser.py:96-107), so a chunk that
+    # recursed through k separator levels gets k overlap prepends.
+    # Hand-traced: "ab cd ef gh" at size 5 splits only at the " " level
+    # (4 levels deep), so each level re-prepends the previous chunk's
+    # 2-char tail.
+    out = split_text("ab cd ef gh", chunk_size=5, chunk_overlap=2)
+    assert out == ["ab ", "b b b b cd ", "d d d d ef gh"]
+
+
 def test_hard_split_no_separators():
     text = "x" * 25
     chunks = split_text(text, chunk_size=10, chunk_overlap=0)
@@ -168,5 +179,12 @@ def test_streaming_ingestion_end_to_end(spark, tmp_path):
     assert {r.status for r in docs.collect()} == {"completed", "failed"}
     assert chunks.filter(F.col("document_id") == "s1").count() > 1
     # idempotent restart: no new files → no duplicate appends
+    run_ingestion_stream(spark, inp, out, chunk_size=80, chunk_overlap=8)
+    assert spark.read.parquet(os.path.join(out, "documents")).count() == 2
+    # replayed epoch (lost checkpoint → the same files reprocess as epoch 0):
+    # dynamic partition overwrite replaces _epoch=0 instead of appending
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "_checkpoint"))
     run_ingestion_stream(spark, inp, out, chunk_size=80, chunk_overlap=8)
     assert spark.read.parquet(os.path.join(out, "documents")).count() == 2

@@ -61,6 +61,25 @@ def test_pandas_matches_relational(mv_df):
         assert fast[doc] == pytest.approx(rel[doc], rel=1e-12)
 
 
+def test_null_and_empty_multivectors_score_zero(spark):
+    # parity between the two forms on degenerate rows: a NULL or empty
+    # multivector must appear in the result with maxsim 0.0, not vanish
+    rows = [
+        (1, 0, [[1.0] * DIMS]),
+        (2, 0, []),
+        (3, 0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "document_id long, chunk_number int, multivector array<array<double>>"
+    )
+    rel = {r.document_id: r.maxsim for r in maxsim_relational(df, QUERY.tolist()).collect()}
+    fast = {r.document_id: r.maxsim for r in maxsim_pandas(df, QUERY.tolist()).collect()}
+    assert set(rel) == set(fast) == {1, 2, 3}
+    assert rel[2] == rel[3] == 0.0
+    for doc in rel:
+        assert fast[doc] == pytest.approx(rel[doc], rel=1e-12)
+
+
 def test_packed_hamming_matches_relational(mv_df):
     df, _ = mv_df
     rel = {r.document_id: r.maxsim for r in maxsim_hamming_relational(df, QUERY.tolist()).collect()}
