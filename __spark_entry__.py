@@ -24,6 +24,7 @@ from morphik_core_spark.operators import (
     asof,
     dedup,
     docstore,
+    limits,
     listing,
     maxsim,
     retrieval,
@@ -583,6 +584,52 @@ def _q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# usage-rollup anchor: hourly/monthly buckets are taken relative to this
+# instant (inside the testdata's event range at every sf)
+_USAGE_AS_OF = "2024-01-30 23:00:00"
+
+
+def _q_usage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage/tier accounting (§2.4, reference limits_utils.py): event log →
+    per-account counters in one conditional-aggregation pass → broadcast
+    tier-limits join → over-limit flags. click≅query, view≅ingest
+    (value×100 chars → pages), signup≅storage_file (value×1e6 bytes);
+    tier assigned deterministically from user_id."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", "query")
+        .when(F.col("event_type") == "view", "ingest")
+        .when(F.col("event_type") == "signup", "storage_file")
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("chars"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("bytes"),
+    )
+    counters = limits.usage_counters(ev, as_of=_USAGE_AS_OF)
+    tiered = counters.withColumn(
+        "tier",
+        F.when(F.col("user_id") % 4 == 0, "free")
+        .when(F.col("user_id") % 4 == 1, "pro")
+        .when(F.col("user_id") % 4 == 2, "teams")
+        .otherwise("self_hosted"),
+    )
+    out = limits.check_limits(tiered, limits.tier_limits_df(spark))
+    return out.select(
+        "user_id",
+        "tier",
+        "hourly_query_count",
+        "monthly_query_count",
+        "ingest_pages",
+        "storage_file_count",
+        "storage_size_bytes",
+        "over_query",
+        "over_ingest",
+        "over_storage_files",
+        "over_storage_size",
+    )
+
+
 def _q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (subtotals + grand total) — Spark built-in the
     reference lacks (SURVEY §2.4 note)."""
@@ -716,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typed_filter_docs": _q_typed_filter_docs,
         "folder_summary": _q_folder_summary,
         "distinct_counts": _q_distinct_counts,
+        "usage_rollup": _q_usage_rollup,
     }
 
 
@@ -1271,6 +1319,50 @@ def oracle_sql() -> dict[str, str]:
                OR starts_with('/' || source || '/' || lang, '/src1/')
             GROUP BY 1
             ORDER BY folder ASC NULLS FIRST
+        """,
+        "usage_rollup": f"""
+            WITH ev AS (
+                SELECT user_id, ts,
+                       CASE event_type WHEN 'click' THEN 'query'
+                                       WHEN 'view' THEN 'ingest'
+                                       WHEN 'signup' THEN 'storage_file'
+                                       ELSE event_type END AS event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS chars,
+                       CAST(floor(value * 1000000) AS BIGINT) AS bytes
+                FROM events
+            ),
+            c AS (
+                SELECT user_id,
+                       CAST(SUM(CASE WHEN event_type = 'query' AND date_trunc('hour', ts) =
+                                date_trunc('hour', TIMESTAMP '{_USAGE_AS_OF}') THEN 1 ELSE 0 END) AS BIGINT) AS hourly_query_count,
+                       CAST(SUM(CASE WHEN event_type = 'query' AND date_trunc('month', ts) =
+                                date_trunc('month', TIMESTAMP '{_USAGE_AS_OF}') THEN 1 ELSE 0 END) AS BIGINT) AS monthly_query_count,
+                       CAST(COALESCE(SUM(CASE WHEN event_type = 'ingest'
+                                THEN GREATEST(1, CAST(ceil(chars / 2520.0) AS BIGINT)) END), 0) AS BIGINT) AS ingest_pages,
+                       CAST(SUM(CASE WHEN event_type = 'storage_file' THEN 1 ELSE 0 END) AS BIGINT) AS storage_file_count,
+                       CAST(COALESCE(SUM(CASE WHEN event_type = 'storage_file' THEN bytes END), 0) AS BIGINT) AS storage_size_bytes
+                FROM ev GROUP BY user_id
+            ),
+            w AS (
+                SELECT c.*, CASE user_id % 4 WHEN 0 THEN 'free' WHEN 1 THEN 'pro'
+                                             WHEN 2 THEN 'teams' ELSE 'self_hosted' END AS tier
+                FROM c
+            ),
+            t(tier, hourly_query_limit, monthly_query_limit, ingest_limit,
+              storage_file_limit, storage_size_limit_bytes) AS (
+                VALUES ('free', 30, 50, 200, 30, {int(0.25 * 1024**3)}),
+                       ('pro', NULL, NULL, NULL, NULL, NULL),
+                       ('teams', NULL, NULL, NULL, NULL, NULL),
+                       ('self_hosted', NULL, NULL, NULL, NULL, NULL)
+            )
+            SELECT w.user_id, w.tier, w.hourly_query_count, w.monthly_query_count,
+                   w.ingest_pages, w.storage_file_count, w.storage_size_bytes,
+                   (COALESCE(w.hourly_query_count > t.hourly_query_limit, FALSE)
+                    OR COALESCE(w.monthly_query_count > t.monthly_query_limit, FALSE)) AS over_query,
+                   COALESCE(w.ingest_pages > t.ingest_limit, FALSE) AS over_ingest,
+                   COALESCE(w.storage_file_count > t.storage_file_limit, FALSE) AS over_storage_files,
+                   COALESCE(w.storage_size_bytes > t.storage_size_limit_bytes, FALSE) AS over_storage_size
+            FROM w LEFT JOIN t USING (tier)
         """,
     }
 
