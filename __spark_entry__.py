@@ -589,6 +589,48 @@ def _q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 _USAGE_AS_OF = "2024-01-30 23:00:00"
 
 
+def _folders_dim(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(folders, documents-with-folder_path): a depth-3 folder tree
+    synthesized from documents — /source → /source/lang →
+    /source/lang/{small,large} — with docs attached at depth 2."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "size_bucket", F.when(F.col("n_chars") < 300, "small").otherwise("large")
+    )
+    p1 = F.concat(F.lit("/"), "source")
+    p2 = F.concat(F.lit("/"), "source", F.lit("/"), "lang")
+    p3 = F.concat(F.lit("/"), "source", F.lit("/"), "lang", F.lit("/"), "size_bucket")
+    l1 = docs.select(p1.alias("id"), F.lit(None).cast("string").alias("parent_id")).distinct().withColumn("depth", F.lit(1))
+    l2 = docs.select(p2.alias("id"), p1.alias("parent_id")).distinct().withColumn("depth", F.lit(2))
+    l3 = docs.select(p3.alias("id"), p2.alias("parent_id")).distinct().withColumn("depth", F.lit(3))
+    folders = l1.unionByName(l2).unionByName(l3).withColumn("full_path", F.col("id"))
+    return folders, docs.withColumn("folder_path", p2)
+
+
+def _q_folder_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Children-of-folder listing (§2.3, reference list_folders
+    postgres_database.py:1661-1708): direct children of /src1 with
+    per-child child_count (GROUP BY parent_id prefetch) and doc_count
+    (list_folders_summary LEFT JOIN), both aggregated before a broadcast
+    join to the folders dimension."""
+    from morphik_core_spark.operators import folders as folder_ops
+
+    folders, docs = _folders_dim(spark, sf_dir)
+    kids = folder_ops.folder_children(folders, "/src1")
+    kids = folder_ops.folder_doc_counts(kids, docs)
+    return kids.select("id", "depth", "child_count", "doc_count")
+
+
+def _q_folder_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive descendants by parent_id (§2.3, reference move_folder
+    descendant walk postgres_database.py:1896-1944): driver-side BFS, one
+    broadcast equi-join per tree level — Spark's shape for a recursive
+    CTE over a dimension-sized table."""
+    from morphik_core_spark.operators import folders as folder_ops
+
+    folders, _ = _folders_dim(spark, sf_dir)
+    return folder_ops.folder_descendants(folders, ["/src1"]).select("root", "id", "rel_depth")
+
+
 def _q_usage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Usage/tier accounting (§2.4, reference limits_utils.py): event log →
     per-account counters in one conditional-aggregation pass → broadcast
@@ -764,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "folder_summary": _q_folder_summary,
         "distinct_counts": _q_distinct_counts,
         "usage_rollup": _q_usage_rollup,
+        "folder_children": _q_folder_children,
+        "folder_descendants": _q_folder_descendants,
     }
 
 
@@ -1363,6 +1407,53 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(w.storage_file_count > t.storage_file_limit, FALSE) AS over_storage_files,
                    COALESCE(w.storage_size_bytes > t.storage_size_limit_bytes, FALSE) AS over_storage_size
             FROM w LEFT JOIN t USING (tier)
+        """,
+        "folder_children": """
+            WITH d AS (
+                SELECT '/' || source AS p1,
+                       '/' || source || '/' || lang AS p2,
+                       '/' || source || '/' || lang || '/' ||
+                           CASE WHEN n_chars < 300 THEN 'small' ELSE 'large' END AS p3
+                FROM documents
+            ),
+            folders(id, parent_id, depth) AS (
+                SELECT DISTINCT p1, NULL, 1 FROM d
+                UNION ALL SELECT DISTINCT p2, p1, 2 FROM d
+                UNION ALL SELECT DISTINCT p3, p2, 3 FROM d
+            ),
+            cc AS (
+                SELECT parent_id AS id, count(*) AS child_count
+                FROM folders WHERE parent_id IS NOT NULL GROUP BY parent_id
+            ),
+            dc AS (SELECT p2 AS id, count(*) AS doc_count FROM d GROUP BY p2)
+            SELECT f.id, f.depth,
+                   COALESCE(cc.child_count, 0) AS child_count,
+                   COALESCE(dc.doc_count, 0) AS doc_count
+            FROM folders f
+            LEFT JOIN cc USING (id)
+            LEFT JOIN dc USING (id)
+            WHERE f.parent_id = '/src1'
+        """,
+        "folder_descendants": """
+            WITH RECURSIVE d AS (
+                SELECT '/' || source AS p1,
+                       '/' || source || '/' || lang AS p2,
+                       '/' || source || '/' || lang || '/' ||
+                           CASE WHEN n_chars < 300 THEN 'small' ELSE 'large' END AS p3
+                FROM documents
+            ),
+            folders(id, parent_id) AS (
+                SELECT DISTINCT p1, NULL FROM d
+                UNION ALL SELECT DISTINCT p2, p1 FROM d
+                UNION ALL SELECT DISTINCT p3, p2 FROM d
+            ),
+            r(root, id, rel_depth) AS (
+                SELECT '/src1', id, 1 FROM folders WHERE parent_id = '/src1'
+                UNION ALL
+                SELECT r.root, f.id, r.rel_depth + 1
+                FROM folders f JOIN r ON f.parent_id = r.id
+            )
+            SELECT root, id, rel_depth FROM r
         """,
     }
 
