@@ -306,8 +306,11 @@ _LSH_MAX_BUCKET = 2
 _KNN_QUERIES = 5
 # 4 planes → 16 buckets: at the testdata's 500-2000 vectors this keeps
 # ~30-125 candidates per bucket, enough to fill k=10 (more planes = finer
-# pruning; tune with corpus size)
+# pruning; tune with corpus size). 2 probes = own bucket + the
+# lowest-margin bit flip (ivfflat probes analog; recall measured in
+# evaluations/retrieval_eval.py).
 _ANN_PLANES = 4
+_ANN_PROBES = 2
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,7 +382,12 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vector(spark, sf_dir)
     queries_df = spark.createDataFrame([(0, qv)], "q_id long, qv array<double>")
     return similarity.knn_lsh(
-        emb, queries_df, _hyperplanes(spark, sf_dir), k=10, decimals=_SCORE_DECIMALS
+        emb,
+        queries_df,
+        _hyperplanes(spark, sf_dir),
+        k=10,
+        decimals=_SCORE_DECIMALS,
+        n_probes=_ANN_PROBES,
     )
 
 
@@ -1102,7 +1110,17 @@ def oracle_sql() -> dict[str, str]:
             ),
             qq AS (SELECT CAST(0 AS BIGINT) AS q_id, e.embedding::DOUBLE[] AS qv, b.bucket
                    FROM embeddings e JOIN bk b ON e.vec_id = b.vec_id
-                   WHERE e.vec_id = {_QUERY_VEC_ID})
+                   WHERE e.vec_id = {_QUERY_VEC_ID}),
+            flips AS (
+                SELECT hp.b FROM hp, qq
+                ORDER BY abs(list_dot_product(qq.qv, hp.v)) ASC, hp.b ASC
+                LIMIT {_ANN_PROBES - 1}
+            ),
+            qp AS (
+                SELECT q_id, qv, bucket FROM qq
+                UNION ALL
+                SELECT q_id, qv, xor(bucket, (1::BIGINT << b)) FROM qq, flips
+            )
             SELECT q_id, vec_id, score FROM (
                 SELECT q.q_id, e.vec_id, {_COS_SCORE} AS score,
                        row_number() OVER (
@@ -1110,7 +1128,7 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY {_COS_SCORE} DESC, e.vec_id ASC
                        ) AS rn
                 FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id
-                                  JOIN qq q ON bk.bucket = q.bucket
+                                  JOIN qp q ON bk.bucket = q.bucket
             ) WHERE rn <= 10
         """,
         "text_stats": f"""

@@ -81,7 +81,54 @@ def main() -> None:
             "mrr": round(float(np.mean(rr)), 4),
         }
     out["value"] = out["by_dims"][str(DIMS_SWEEP[0])]["recall"]
+    out["lsh_probes"] = lsh_probe_recall(sf_dir)
     print(json.dumps(out))
+
+
+def lsh_probe_recall(sf_dir: str, n_planes: int = 4, k: int = 10, n_queries: int = 50) -> dict:
+    """Recall@k of sign-LSH bucketed ANN vs exact cosine, by probe count.
+
+    Mirrors operators/similarity.knn_lsh's probe sequence (own bucket +
+    single-bit flips of the lowest-|margin| hyperplanes) in numpy, so the
+    recall/scan-breadth tradeoff of the `n_probes` knob is measured
+    directly. `avg_scanned` is the mean candidate fraction — the cost side
+    of the same knob.
+    """
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.asarray([r[0] for r in emb])
+    mat = np.asarray([r[1] for r in emb], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1) + 1e-12
+    planes = mat[1 : n_planes + 1]  # same fixed hyperplanes as the served query
+
+    margins = mat @ planes.T  # (n, planes)
+    buckets = ((margins > 0) * (1 << np.arange(n_planes))).sum(axis=1)
+
+    rng_q = ids[:n_queries]
+    result: dict[str, dict] = {}
+    for n_probes in (1, 2, 4):
+        recalls, scanned = [], []
+        for qi in rng_q:
+            q = mat[qi]
+            exact = np.argsort(-(mat @ q) / (norms * np.linalg.norm(q)))
+            exact_top = set(ids[[i for i in exact if ids[i] != qi][:k]])
+            flip_order = np.argsort(np.abs(margins[qi]))
+            probes = {int(buckets[qi])}
+            for b in flip_order[: n_probes - 1]:
+                probes.add(int(buckets[qi]) ^ (1 << int(b)))
+            cand = np.isin(buckets, list(probes))
+            cand_ids = ids[cand]
+            cand_mat = mat[cand]
+            sims = (cand_mat @ q) / ((np.linalg.norm(cand_mat, axis=1) + 1e-12) * np.linalg.norm(q))
+            got = set(cand_ids[np.argsort(-sims)][: k + 1]) - {qi}
+            recalls.append(len(exact_top & got) / k)
+            scanned.append(cand.mean())
+        result[str(n_probes)] = {
+            "recall": round(float(np.mean(recalls)), 4),
+            "avg_scanned": round(float(np.mean(scanned)), 4),
+        }
+    return result
 
 
 if __name__ == "__main__":

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from morphik_core_spark.functions.vectors import dot, retrieval_score
 
-__all__ = ["knn_brute_force", "lsh_bucket", "knn_lsh"]
+__all__ = ["knn_brute_force", "lsh_bucket", "probe_buckets", "knn_lsh"]
 
 
 def knn_brute_force(
@@ -65,6 +65,32 @@ def lsh_bucket(emb: Column, hyperplanes: Sequence[Sequence[float]]) -> Column:
     return acc
 
 
+def probe_buckets(emb: Column, hyperplanes: Sequence[Sequence[float]], n_probes: int) -> Column:
+    """Multi-probe bucket list: the vector's own bucket plus single-bit
+    flips of the ``n_probes - 1`` lowest-|margin| hyperplanes — the bits
+    most likely to be on the wrong side of a noisy boundary. This is the
+    ivfflat ``probes`` knob (reference pgvector_store.py:125) for sign-LSH:
+    recall rises with probe count, scan breadth rises linearly, and every
+    probe is still a partition-prunable bucket id.
+    """
+    v = emb.cast("array<double>")
+    main = lsh_bucket(emb, hyperplanes)
+    margins = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(dot(v, F.lit([float(x) for x in hp]).cast("array<double>"))).alias("m"), F.lit(b).alias("b"))
+                for b, hp in enumerate(hyperplanes)
+            ]
+        )
+    )
+    flips = F.transform(
+        F.slice(margins, 1, n_probes - 1),
+        # 2^b via pow: exact in double up to 2^52, far beyond any plane count
+        lambda s: main.bitwiseXOR(F.pow(F.lit(2.0), s["b"]).cast("bigint")),
+    )
+    return F.concat(F.array(main), flips)
+
+
 def knn_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -75,14 +101,25 @@ def knn_lsh(
     q_id_col: str = "q_id",
     q_emb_col: str = "qv",
     decimals: int | None = 6,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket(s).
 
     The bucket equi-join replaces the cross join — candidate count drops
     ~2^bits-fold; recall follows the standard sign-LSH tradeoff.
+    ``n_probes > 1`` additionally probes the buckets reached by flipping
+    the lowest-margin hyperplane bits (see :func:`probe_buckets`); each
+    data vector still lives in exactly one bucket, and probe buckets are
+    distinct, so candidates never duplicate.
     """
     bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col(emb_col), hyperplanes))
-    q_bucketed = queries.withColumn("bucket", lsh_bucket(F.col(q_emb_col), hyperplanes))
+    if n_probes <= 1:
+        q_bucketed = queries.withColumn("bucket", lsh_bucket(F.col(q_emb_col), hyperplanes))
+    else:
+        q_bucketed = queries.withColumn(
+            "bucket", F.explode(probe_buckets(F.col(q_emb_col), hyperplanes, n_probes))
+        )
     scored = bucketed.join(F.broadcast(q_bucketed), "bucket").select(
         F.col(q_id_col),
         F.col(id_col),
