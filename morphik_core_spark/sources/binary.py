@@ -10,6 +10,13 @@ in this container — their rows surface ``parse_status='unsupported'``
 instead of text (swap ``_decode_text_udf`` for a Docling/PyMuPDF
 mapInPandas kernel and the rest of the pipeline is unchanged).
 
+PDFs parse for real via the pure-Python extractor in functions/pdf.py
+(uncompressed + FlateDecode text streams); rows it can't handle surface
+``parse_status='parse_failed'`` with NULL text — per-row failure
+isolation, never a job abort. Other binary document formats (Office)
+still need external parser libraries not in this container and surface
+``parse_status='unsupported'``.
+
 Output schema feeds streaming/ingestion.ingest_batch directly.
 """
 
@@ -43,6 +50,30 @@ def _decode_text_udf():
     return decode
 
 
+def _parse_pdf_udf():
+    """Arrow-batched PDF parse with per-row failure isolation: returns a
+    (text, status) struct; a row that fails to parse becomes
+    (NULL, 'parse_failed') instead of failing the batch — the same
+    isolation contract as the reference worker's per-file try/except
+    (ingestion_worker.py:546-588)."""
+    from morphik_core_spark.functions.pdf import extract_pdf_text
+
+    @F.pandas_udf("text string, status string")
+    def parse(payloads: pd.Series) -> pd.DataFrame:
+        texts: list[str | None] = []
+        statuses: list[str] = []
+        for b in payloads:
+            try:
+                texts.append(extract_pdf_text(bytes(b)))
+                statuses.append("ok")
+            except Exception:
+                texts.append(None)
+                statuses.append("parse_failed")
+        return pd.DataFrame({"text": texts, "status": statuses})
+
+    return parse
+
+
 def files_to_raw_docs(files: DataFrame, app_id: str | None = None, folder_path: str | None = None) -> DataFrame:
     """binaryFile rows → raw-doc rows for ingest_batch.
 
@@ -56,17 +87,29 @@ def files_to_raw_docs(files: DataFrame, app_id: str | None = None, folder_path: 
     for p in _TEXT_MIME_PREFIXES:
         is_text = is_text | mime.startswith(p)
     is_text = is_text | mime.isin(*_TEXT_MIMES)
+    is_pdf = mime == "application/pdf"
+    nonempty = F.length("content") > 0
+
+    # stage the parse struct in its own projection so the Arrow UDF runs
+    # once per row even though text and status both read it; the UDF
+    # catches its own failures so a bad payload can never abort the stage
+    staged = files.withColumn(
+        "_pdf", F.when(is_pdf & nonempty, _parse_pdf_udf()(F.col("content")))
+    )
 
     parse_status = (
         F.when(F.length("content") == 0, "empty")
         .when(is_text, "ok")
+        .when(is_pdf, F.coalesce(F.col("_pdf.status"), F.lit("parse_failed")))
         .otherwise("unsupported")
     )
-    return files.select(
+    return staged.select(
         F.col("path").alias("external_id"),
         filename.alias("filename"),
         mime.alias("content_type"),
-        F.when(is_text & (F.length("content") > 0), _decode_text_udf()(F.col("content"))).alias("text"),
+        F.when(is_text & nonempty, _decode_text_udf()(F.col("content")))
+        .when(is_pdf & nonempty, F.col("_pdf.text"))
+        .alias("text"),
         F.lit(None).cast("string").alias("metadata"),
         F.lit(app_id).alias("app_id"),
         F.lit(folder_path).alias("folder_path"),

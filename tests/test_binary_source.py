@@ -24,7 +24,9 @@ def test_binary_dir_to_ingest(spark, tmp_path):
 
     assert rows["notes.txt"].parse_status == "ok" and rows["notes.txt"].text.startswith("alpha")
     assert rows["data.json"].parse_status == "ok"
-    assert rows["scan.pdf"].parse_status == "unsupported" and rows["scan.pdf"].text is None
+    # PDFs now route to the real extractor; this one has no text streams →
+    # per-row parse failure, not a silent 'unsupported'
+    assert rows["scan.pdf"].parse_status == "parse_failed" and rows["scan.pdf"].text is None
     assert rows["scan.pdf"].content_type == "application/pdf"
     # NB: spark's binaryFile source silently SKIPS zero-byte files
     assert "empty.txt" not in rows

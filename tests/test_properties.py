@@ -26,12 +26,20 @@ def test_splitter_without_overlap_caps_chunk_size(text, chunk_size):
 @settings(max_examples=200, deadline=None)
 @given(text=TEXT, chunk_size=st.integers(5, 60), overlap=st.integers(1, 10))
 def test_splitter_overlap_prefix_property(text, chunk_size, overlap):
+    # Overlap is applied per recursion level (reference parity), so deep
+    # chunks carry compounded prefixes. The invariants that survive:
+    # chunk count is overlap-independent, the first chunk is untouched,
+    # every chunk still ENDS with its no-overlap counterpart, and the
+    # final prepend is the previous chunk's tail.
     plain = split_text(text, chunk_size=chunk_size, chunk_overlap=0)
     overlapped = split_text(text, chunk_size=chunk_size, chunk_overlap=overlap)
     assert len(plain) == len(overlapped)
+    if overlapped:
+        assert overlapped[0] == plain[0]
     for i in range(1, len(overlapped)):
-        # chunk i = tail of previous plain chunk + plain chunk i
-        assert overlapped[i] == plain[i - 1][-overlap:] + plain[i]
+        assert overlapped[i].endswith(plain[i])
+        if len(plain[i - 1]) >= overlap:
+            assert overlapped[i].startswith(plain[i - 1][-overlap:])
 
 
 @settings(max_examples=200, deadline=None)
