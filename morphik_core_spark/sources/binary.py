@@ -10,12 +10,11 @@ in this container — their rows surface ``parse_status='unsupported'``
 instead of text (swap ``_decode_text_udf`` for a Docling/PyMuPDF
 mapInPandas kernel and the rest of the pipeline is unchanged).
 
-PDFs parse for real via the pure-Python extractor in functions/pdf.py
-(uncompressed + FlateDecode text streams); rows it can't handle surface
-``parse_status='parse_failed'`` with NULL text — per-row failure
-isolation, never a job abort. Other binary document formats (Office)
-still need external parser libraries not in this container and surface
-``parse_status='unsupported'``.
+PDF, xlsx and docx parse for real via the pure-Python extractors in
+functions/pdf.py and functions/office.py (stdlib zlib/zipfile/ElementTree);
+rows they can't handle surface ``parse_status='parse_failed'`` with NULL
+text — per-row failure isolation, never a job abort. Remaining binary
+formats (legacy .doc/.xls, images) surface ``parse_status='unsupported'``.
 
 Output schema feeds streaming/ingestion.ingest_batch directly.
 """
@@ -50,21 +49,39 @@ def _decode_text_udf():
     return decode
 
 
-def _parse_pdf_udf():
-    """Arrow-batched PDF parse with per-row failure isolation: returns a
+_XLSX_MIME = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+_DOCX_MIME = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+_PARSEABLE_MIMES = ("application/pdf", _XLSX_MIME, _DOCX_MIME)
+
+
+def _parse_document_udf():
+    """Arrow-batched document parse with per-row failure isolation: routes
+    on MIME inside the batch (PDF / xlsx-markdown / docx) and returns a
     (text, status) struct; a row that fails to parse becomes
     (NULL, 'parse_failed') instead of failing the batch — the same
     isolation contract as the reference worker's per-file try/except
     (ingestion_worker.py:546-588)."""
+    from morphik_core_spark.functions.office import extract_docx_text, extract_xlsx_markdown
     from morphik_core_spark.functions.pdf import extract_pdf_text
 
+    kernels = {
+        "application/pdf": extract_pdf_text,
+        _XLSX_MIME: extract_xlsx_markdown,
+        _DOCX_MIME: extract_docx_text,
+    }
+
     @F.pandas_udf("text string, status string")
-    def parse(payloads: pd.Series) -> pd.DataFrame:
+    def parse(payloads: pd.Series, mimes: pd.Series) -> pd.DataFrame:
         texts: list[str | None] = []
         statuses: list[str] = []
-        for b in payloads:
+        for b, mime in zip(payloads, mimes):
+            kernel = kernels.get(mime)
+            if b is None or kernel is None:
+                texts.append(None)
+                statuses.append("unsupported")
+                continue
             try:
-                texts.append(extract_pdf_text(bytes(b)))
+                texts.append(kernel(bytes(b)))
                 statuses.append("ok")
             except Exception:
                 texts.append(None)
@@ -87,20 +104,21 @@ def files_to_raw_docs(files: DataFrame, app_id: str | None = None, folder_path: 
     for p in _TEXT_MIME_PREFIXES:
         is_text = is_text | mime.startswith(p)
     is_text = is_text | mime.isin(*_TEXT_MIMES)
-    is_pdf = mime == "application/pdf"
+    is_parseable = mime.isin(*_PARSEABLE_MIMES)
     nonempty = F.length("content") > 0
 
     # stage the parse struct in its own projection so the Arrow UDF runs
     # once per row even though text and status both read it; the UDF
     # catches its own failures so a bad payload can never abort the stage
     staged = files.withColumn(
-        "_pdf", F.when(is_pdf & nonempty, _parse_pdf_udf()(F.col("content")))
+        "_parsed",
+        F.when(is_parseable & nonempty, _parse_document_udf()(F.col("content"), mime)),
     )
 
     parse_status = (
         F.when(F.length("content") == 0, "empty")
         .when(is_text, "ok")
-        .when(is_pdf, F.coalesce(F.col("_pdf.status"), F.lit("parse_failed")))
+        .when(is_parseable, F.coalesce(F.col("_parsed.status"), F.lit("parse_failed")))
         .otherwise("unsupported")
     )
     return staged.select(
@@ -108,7 +126,7 @@ def files_to_raw_docs(files: DataFrame, app_id: str | None = None, folder_path: 
         filename.alias("filename"),
         mime.alias("content_type"),
         F.when(is_text & nonempty, _decode_text_udf()(F.col("content")))
-        .when(is_pdf & nonempty, F.col("_pdf.text"))
+        .when(is_parseable & nonempty, F.col("_parsed.text"))
         .alias("text"),
         F.lit(None).cast("string").alias("metadata"),
         F.lit(app_id).alias("app_id"),
