@@ -3,11 +3,12 @@
 The reference renders PDFs to page images (DPI 150), resizes to ≤256 px
 JPEG q70, detects blank pages, and feeds images to ColPali
 (/root/reference/core/services/ingestion_service.py:1365-1640,
-document_service.py:1901-2011). The imaging libraries (PIL/PyMuPDF) are
-NOT in this container, so the decode kernels are STUBBED — deterministic
-fakes behind the same signatures — while the Spark-side plumbing
-(schemas, Arrow batch shape, mapInPandas partitioning) is real and tested.
-Swap ``_decode_image_stub`` for a PIL call and nothing else changes.
+document_service.py:1901-2011). PIL/PyMuPDF are NOT in this container;
+PNG and BMP decode is REAL (functions/image.py, stdlib zlib + numpy),
+including the reference's resize-to-256 and grayscale-extrema blank-page
+rule. JPEG rows raise inside the kernel and surface as row-level parse
+failures; swap functions/image.decode_image for a PIL call to add it and
+nothing else changes.
 
 Design for 100 TB: binary payloads ride in their own column so column
 pruning skips them unless a kernel needs bytes; feature extraction is
@@ -44,42 +45,45 @@ def attach_media(df: DataFrame, payload_col: str, kind: str, mime: str) -> DataF
     )
 
 
-def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """STUB decode: deterministic fake pixels derived from the payload.
+def extract_image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_side: int = 256,
+) -> DataFrame:
+    """Decode (PNG/BMP, real) → resize ≤ ``max_side`` → features, via
+    mapInPandas.
 
-    Real implementation: ``PIL.Image.open(io.BytesIO(payload))`` →
-    resize ≤256 px → RGB array. Raises like PIL would on empty input.
+    Output: (media_id, ok, err, width, height, mean_r, mean_g, mean_b,
+    is_blank) — width/height are the ORIGINAL dimensions, means are taken
+    on the resized pixels (what the reference feeds downstream), is_blank
+    is the reference's grayscale-extrema rule. Failures are row-level
+    (ok=false + err), never task-level — a corrupt image must not kill a
+    100 TB job.
     """
-    if payload is None or len(payload) == 0:
-        raise ValueError("empty image payload")
-    rng = np.random.default_rng(np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64))
-    return rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    from morphik_core_spark.functions.image import decode_image, is_blank_image, resize_max_side
 
-
-def extract_image_features(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
-    """Decode → feature vector per image, via mapInPandas.
-
-    Output: (media_id, ok, err, mean_r, mean_g, mean_b, is_blank).
-    Failures are row-level (ok=false + err), never task-level — a corrupt
-    image must not kill a 100 TB job.
-    """
-    out_schema = f"{id_col} string, ok boolean, err string, mean_r double, mean_g double, mean_b double, is_blank boolean"
+    out_schema = (
+        f"{id_col} string, ok boolean, err string, width int, height int, "
+        "mean_r double, mean_g double, mean_b double, is_blank boolean"
+    )
+    cols = [id_col, "ok", "err", "width", "height", "mean_r", "mean_g", "mean_b", "is_blank"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    px = _decode_image_stub(payload)
-                    means = px.reshape(-1, 3).mean(axis=0)
-                    # blank-page heuristic mirrors the reference: near-uniform
-                    is_blank = bool(px.std() < 1.0)
-                    rows.append((mid, True, None, *[float(m) for m in means], is_blank))
+                    px = decode_image(bytes(payload) if payload is not None else None)
+                    h, w = px.shape[:2]
+                    small = resize_max_side(px, max_side)
+                    means = small.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (mid, True, None, w, h, *[float(m) for m in means], is_blank_image(small))
+                    )
                 except Exception as exc:  # noqa: BLE001 — row-level isolation
-                    rows.append((mid, False, str(exc), None, None, None, None))
-            yield pd.DataFrame(
-                rows, columns=[id_col, "ok", "err", "mean_r", "mean_g", "mean_b", "is_blank"]
-            )
+                    rows.append((mid, False, str(exc), None, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 

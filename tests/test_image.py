@@ -1,0 +1,106 @@
+"""Pure-Python image codec: PNG filters/color types, BMP, resize, blank."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from morphik_core_spark.functions.image import (
+    decode_bmp,
+    decode_image,
+    decode_png,
+    encode_png,
+    is_blank_image,
+    resize_max_side,
+    to_grayscale,
+)
+
+RNG = np.random.default_rng(3)
+PX = RNG.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_filters(filter_type):
+    decoded = decode_png(encode_png(PX, filter_type=filter_type))
+    assert np.array_equal(decoded, PX)
+
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _raw_png(width, height, color_type, channels, pixel_bytes, extra=b""):
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    body = b"".join(b"\x00" + pixel_bytes[y * width * channels : (y + 1) * width * channels] for y in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + extra
+        + _chunk(b"IDAT", zlib.compress(body))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_grayscale_and_palette_and_alpha():
+    gray = bytes([0, 100, 255, 30])
+    out = decode_png(_raw_png(2, 2, 0, 1, gray))
+    assert out.shape == (2, 2, 3) and out[0, 1].tolist() == [100, 100, 100]
+
+    plte = _chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+    out = decode_png(_raw_png(2, 1, 3, 1, bytes([0, 1]), extra=plte))
+    assert out[0, 0].tolist() == [255, 0, 0] and out[0, 1].tolist() == [0, 255, 0]
+
+    # RGBA: alpha 0 composites to white, alpha 255 keeps the color
+    rgba = bytes([10, 20, 30, 255, 10, 20, 30, 0])
+    out = decode_png(_raw_png(2, 1, 6, 4, rgba))
+    assert out[0, 0].tolist() == [10, 20, 30] and out[0, 1].tolist() == [255, 255, 255]
+
+
+def test_bmp_24_and_32():
+    # 2x2 24bpp bottom-up: rows padded to 4 bytes (2*3=6 → pad 2)
+    row_bottom = bytes([255, 0, 0, 0, 255, 0]) + b"\x00\x00"  # blue, green (BGR)
+    row_top = bytes([0, 0, 255, 255, 255, 255]) + b"\x00\x00"  # red, white
+    header = struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 0, 0, 0, 0, 0)
+    out = decode_bmp(header + info + row_bottom + row_top)
+    assert out[0, 0].tolist() == [255, 0, 0]  # top row comes from the last stored row
+    assert out[0, 1].tolist() == [255, 255, 255]
+    assert out[1, 0].tolist() == [0, 0, 255]  # BGR→RGB swap
+
+    info32 = struct.pack("<IiiHHIIiiII", 40, 1, -1, 1, 32, 0, 0, 0, 0, 0, 0)  # top-down
+    px32 = bytes([1, 2, 3, 77])
+    out = decode_bmp(struct.pack("<2sIHHI", b"BM", 54 + 4, 0, 0, 54) + info32 + px32)
+    assert out[0, 0].tolist() == [3, 2, 1]
+
+
+def test_decode_image_sniffs_and_rejects():
+    assert decode_image(encode_png(PX)).shape == PX.shape
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF...")  # JPEG
+    with pytest.raises(ValueError):
+        decode_image(b"")
+
+
+def test_resize_caps_max_side_and_never_upscales():
+    big = np.zeros((100, 640, 3), dtype=np.uint8)
+    small = resize_max_side(big, 256)
+    assert max(small.shape[:2]) == 256 and small.shape[0] == 40  # 100/2.5
+    tiny = np.zeros((10, 20, 3), dtype=np.uint8)
+    assert resize_max_side(tiny, 256).shape == tiny.shape
+
+
+def test_blank_rule_matches_reference_tolerance():
+    flat = np.full((4, 4, 3), 128, dtype=np.uint8)
+    assert is_blank_image(flat)
+    almost = flat.copy()
+    almost[0, 0] = 131  # gray delta 3 > tolerance 2
+    assert not is_blank_image(almost)
+    assert to_grayscale(np.array([[[255, 0, 0]]], dtype=np.uint8))[0, 0] == 76  # .299*255

@@ -15,22 +15,46 @@ from morphik_core_spark.operators.rerank import make_reranker, token_overlap_sco
 from morphik_core_spark.operators.retrieval import retrieve_chunks
 
 
+def _png(color, size=(8, 6)) -> bytes:
+    import numpy as np
+
+    from morphik_core_spark.functions.image import encode_png
+
+    px = np.zeros((size[1], size[0], 3), dtype=np.uint8)
+    px[:] = color
+    return encode_png(px)
+
+
 def test_image_features_row_level_failure_isolation(spark):
     df = spark.createDataFrame(
-        [("m1", b"\x01\x02\x03payload"), ("m2", b""), ("m3", None)],
+        [
+            ("m1", _png((200, 30, 60))),
+            ("m2", b""),
+            ("m3", None),
+            ("m4", b"\xff\xd8\xff\xe0 fake jpeg"),
+        ],
         "media_id string, payload binary",
     )
     rows = {r.media_id: r for r in extract_image_features(df).collect()}
-    assert rows["m1"].ok and rows["m1"].mean_r is not None
+    assert rows["m1"].ok and (rows["m1"].mean_r, rows["m1"].mean_g, rows["m1"].mean_b) == (200.0, 30.0, 60.0)
+    assert (rows["m1"].width, rows["m1"].height) == (8, 6)
+    assert rows["m1"].is_blank  # uniform color → blank by the extrema rule
     assert not rows["m2"].ok and "empty" in rows["m2"].err
     assert not rows["m3"].ok  # corrupt rows never kill the job
+    assert not rows["m4"].ok and "unsupported" in rows["m4"].err
 
 
-def test_image_features_deterministic(spark):
-    df = spark.createDataFrame([("m1", b"same-bytes")], "media_id string, payload binary")
-    a = extract_image_features(df).first()
-    b = extract_image_features(df).first()
-    assert (a.mean_r, a.mean_g, a.mean_b) == (b.mean_r, b.mean_g, b.mean_b)
+def test_image_features_resize_and_nonblank(spark):
+    import numpy as np
+
+    from morphik_core_spark.functions.image import encode_png
+
+    px = np.zeros((20, 600, 3), dtype=np.uint8)
+    px[:, ::2] = 255  # strong variation → not blank
+    df = spark.createDataFrame([("m1", encode_png(px))], "media_id string, payload binary")
+    row = extract_image_features(df).first()
+    assert row.ok and (row.width, row.height) == (600, 20)  # original dims reported
+    assert not row.is_blank
 
 
 def test_attach_media_contract(spark):
