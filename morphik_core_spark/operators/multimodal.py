@@ -26,7 +26,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["MEDIA_SCHEMA", "attach_media", "extract_image_features", "sample_video_frames"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_media",
+    "extract_image_features",
+    "extract_audio_features",
+    "sample_video_frames",
+]
 
 # typed metadata travelling with every binary payload
 MEDIA_SCHEMA = (
@@ -83,6 +89,48 @@ def extract_image_features(
                     )
                 except Exception as exc:  # noqa: BLE001 — row-level isolation
                     rows.append((mid, False, str(exc), None, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+_AUDIO_FEATURES = [
+    "duration_s",
+    "sample_rate",
+    "channels",
+    "rms",
+    "peak",
+    "zero_crossing_rate",
+    "leading_silence_s",
+    "trailing_silence_s",
+]
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
+    """Decode (WAV, real) → loudness/activity features, via mapInPandas.
+
+    Output: (media_id, ok, err, duration_s, sample_rate, channels, rms,
+    peak, zero_crossing_rate, leading_silence_s, trailing_silence_s).
+    Compressed codecs fail per row (ok=false + err), never per task.
+    """
+    from morphik_core_spark.functions.audio import audio_features
+
+    out_schema = (
+        f"{id_col} string, ok boolean, err string, duration_s double, "
+        "sample_rate int, channels int, rms double, peak double, "
+        "zero_crossing_rate double, leading_silence_s double, trailing_silence_s double"
+    )
+    cols = [id_col, "ok", "err", *_AUDIO_FEATURES]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    f = audio_features(bytes(payload) if payload is not None else None)
+                    rows.append((mid, True, None, *[f[k] for k in _AUDIO_FEATURES]))
+                except Exception as exc:  # noqa: BLE001 — row-level isolation
+                    rows.append((mid, False, str(exc), *([None] * len(_AUDIO_FEATURES))))
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)

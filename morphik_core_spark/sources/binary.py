@@ -51,7 +51,8 @@ def _decode_text_udf():
 
 _XLSX_MIME = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
 _DOCX_MIME = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
-_PARSEABLE_MIMES = ("application/pdf", _XLSX_MIME, _DOCX_MIME)
+_HTML_MIMES = ("text/html", "application/xhtml+xml")
+_PARSEABLE_MIMES = ("application/pdf", _XLSX_MIME, _DOCX_MIME, *_HTML_MIMES)
 
 
 def _parse_document_udf():
@@ -61,6 +62,7 @@ def _parse_document_udf():
     (NULL, 'parse_failed') instead of failing the batch — the same
     isolation contract as the reference worker's per-file try/except
     (ingestion_worker.py:546-588)."""
+    from morphik_core_spark.functions.html import extract_html_text
     from morphik_core_spark.functions.office import extract_docx_text, extract_xlsx_markdown
     from morphik_core_spark.functions.pdf import extract_pdf_text
 
@@ -68,6 +70,7 @@ def _parse_document_udf():
         "application/pdf": extract_pdf_text,
         _XLSX_MIME: extract_xlsx_markdown,
         _DOCX_MIME: extract_docx_text,
+        **{m: extract_html_text for m in _HTML_MIMES},
     }
 
     @F.pandas_udf("text string, status string")
@@ -104,6 +107,8 @@ def files_to_raw_docs(files: DataFrame, app_id: str | None = None, folder_path: 
     for p in _TEXT_MIME_PREFIXES:
         is_text = is_text | mime.startswith(p)
     is_text = is_text | mime.isin(*_TEXT_MIMES)
+    # html is text-prefixed but routes through the tag-stripping extractor
+    is_text = is_text & ~mime.isin(*_HTML_MIMES)
     is_parseable = mime.isin(*_PARSEABLE_MIMES)
     nonempty = F.length("content") > 0
 

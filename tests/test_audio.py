@@ -1,0 +1,82 @@
+"""WAV decode + audio features."""
+
+from __future__ import annotations
+
+import io
+import wave
+
+import numpy as np
+import pytest
+
+from morphik_core_spark.functions.audio import audio_features, decode_wav
+
+
+def make_wav(samples: np.ndarray, rate: int = 8000, channels: int = 1, width: int = 2) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        if width == 2:
+            data = (samples * 32767).astype(np.int16).tobytes()
+        elif width == 1:
+            data = ((samples * 127) + 128).clip(0, 255).astype(np.uint8).tobytes()
+        else:
+            data = (samples * (2**31 - 1)).astype(np.int32).tobytes()
+        wf.writeframes(data)
+    return buf.getvalue()
+
+
+def test_decode_roundtrip_16bit():
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    samples, rate = decode_wav(make_wav(sine))
+    assert rate == 8000 and samples.shape == (8000, 1)
+    assert np.allclose(samples[:, 0], sine, atol=1e-3)
+
+
+def test_features_sine_and_silence():
+    rate = 8000
+    sine = 0.5 * np.sin(2 * np.pi * 440 * np.linspace(0, 1, rate, endpoint=False))
+    padded = np.concatenate([np.zeros(rate // 2), sine, np.zeros(rate // 4)])
+    f = audio_features(make_wav(padded, rate=rate))
+    assert f["duration_s"] == pytest.approx(1.75)
+    assert f["rms"] == pytest.approx(0.5 / np.sqrt(2) / np.sqrt(1.75), rel=0.05)
+    assert f["peak"] == pytest.approx(0.5, abs=0.01)
+    assert f["leading_silence_s"] == pytest.approx(0.5, abs=0.01)
+    assert f["trailing_silence_s"] == pytest.approx(0.25, abs=0.01)
+
+
+def test_stereo_and_8bit():
+    stereo = np.tile(np.linspace(-0.5, 0.5, 100)[:, None], (1, 2))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(4000)
+        wf.writeframes((stereo * 32767).astype(np.int16).tobytes())
+    samples, rate = decode_wav(buf.getvalue())
+    assert samples.shape == (100, 2)
+    f8 = audio_features(make_wav(np.zeros(100) + 0.25, width=1))
+    assert f8["channels"] == 1 and f8["peak"] == pytest.approx(0.25, abs=0.02)
+
+
+def test_rejects_non_wav():
+    with pytest.raises(ValueError):
+        decode_wav(b"ID3\x04mp3 data here")
+    with pytest.raises(ValueError):
+        decode_wav(b"")
+
+
+def test_extract_audio_features_operator(spark):
+    from morphik_core_spark.operators.multimodal import extract_audio_features
+
+    sine = 0.3 * np.sin(2 * np.pi * 100 * np.linspace(0, 0.5, 4000, endpoint=False))
+    df = spark.createDataFrame(
+        [("a1", make_wav(sine)), ("a2", b"not audio"), ("a3", None)],
+        "media_id string, payload binary",
+    )
+    rows = {r.media_id: r for r in extract_audio_features(df).collect()}
+    assert rows["a1"].ok and rows["a1"].duration_s == pytest.approx(0.5)
+    assert rows["a1"].sample_rate == 8000
+    assert not rows["a2"].ok and not rows["a3"].ok  # row-level isolation
