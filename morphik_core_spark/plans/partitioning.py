@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["write_partitioned", "write_chunks_table", "salted_join", "explain_has"]
+__all__ = [
+    "write_partitioned",
+    "write_chunks_table",
+    "merge_upsert_partitioned",
+    "salted_join",
+    "explain_has",
+]
 
 
 def write_partitioned(
@@ -30,6 +36,54 @@ def write_partitioned(
     mode: str = "overwrite",
 ) -> None:
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def merge_upsert_partitioned(
+    table_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str,
+) -> list:
+    """MERGE-style upsert touching only the partitions the updates hit —
+    the scale path for docstore.upsert's whole-snapshot rewrite.
+
+    Plan: (1) the update batch names its partitions (tiny distinct +
+    collect — the update batch is the small side by definition); (2) only
+    those partitions are read back (partition pruning at the scan);
+    (3) surviving rows anti-join the update keys and union the updates;
+    (4) dynamic partition overwrite rewrites exactly the affected
+    partitions. Untouched partitions are neither read nor written — at
+    100 TB a 1k-row update costs one partition's IO, not the table's.
+    New partition values in the update batch create partitions naturally.
+
+    The reference mutates per row in Postgres (postgres_database.py
+    update_document); a table format (Delta/Iceberg MERGE) is the
+    transactional version of exactly this rewrite.
+
+    Returns the list of affected partition values (useful for logging /
+    test assertions).
+    """
+    spark = updates.sparkSession
+    affected = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not affected:
+        return []
+    import os
+
+    if os.path.exists(table_path):
+        base = spark.read.parquet(table_path).filter(F.col(partition_col).isin(affected))
+        survivors = base.join(updates.select(*keys), on=list(keys), how="left_anti")
+        # materialize before overwriting the same path we just read —
+        # bounded by the affected partitions, not the table
+        merged = survivors.unionByName(updates).localCheckpoint(eager=True)
+    else:
+        merged = updates
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(table_path)
+    )
+    return affected
 
 
 def write_chunks_table(

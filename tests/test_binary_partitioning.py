@@ -45,6 +45,57 @@ def test_infer_mime(spark):
     assert got == ["application/pdf", "text/plain", "application/octet-stream", "application/octet-stream"]
 
 
+def test_merge_upsert_touches_only_affected_partitions(spark, tmp_path):
+    import os
+
+    from morphik_core_spark.plans.partitioning import merge_upsert_partitioned
+
+    path = str(tmp_path / "docs")
+    base = spark.createDataFrame(
+        [("d1", "app1", "v1"), ("d2", "app1", "v1"), ("d3", "app2", "v1"), ("d4", "app3", "v1")],
+        "doc_id string, app_id string, payload string",
+    )
+    base.write.partitionBy("app_id").parquet(path)
+    untouched_files = {
+        f: os.path.getmtime(os.path.join(path, "app_id=app3", f))
+        for f in os.listdir(os.path.join(path, "app_id=app3"))
+        if f.endswith(".parquet")
+    }
+
+    updates = spark.createDataFrame(
+        [("d2", "app1", "v2"), ("d9", "app2", "v2"), ("d10", "app9", "v2")],
+        "doc_id string, app_id string, payload string",
+    )
+    affected = merge_upsert_partitioned(path, updates, keys=["doc_id"], partition_col="app_id")
+    assert sorted(affected) == ["app1", "app2", "app9"]
+
+    out = {(r.doc_id): (r.app_id, r.payload) for r in spark.read.parquet(path).collect()}
+    assert out == {
+        "d1": ("app1", "v1"),
+        "d2": ("app1", "v2"),  # replaced
+        "d3": ("app2", "v1"),  # survived in an affected partition
+        "d4": ("app3", "v1"),  # untouched partition
+        "d9": ("app2", "v2"),  # inserted
+        "d10": ("app9", "v2"),  # new partition created
+    }
+    # the untouched partition's files were not rewritten
+    for f, mtime in untouched_files.items():
+        assert os.path.getmtime(os.path.join(path, "app_id=app3", f)) == mtime
+
+    # empty update batch is a no-op
+    empty = updates.limit(0)
+    assert merge_upsert_partitioned(path, empty, keys=["doc_id"], partition_col="app_id") == []
+
+
+def test_merge_upsert_creates_table_when_absent(spark, tmp_path):
+    from morphik_core_spark.plans.partitioning import merge_upsert_partitioned
+
+    path = str(tmp_path / "fresh")
+    updates = spark.createDataFrame([("d1", "a", "v")], "doc_id string, app_id string, payload string")
+    assert merge_upsert_partitioned(path, updates, keys=["doc_id"], partition_col="app_id") == ["a"]
+    assert spark.read.parquet(path).count() == 1
+
+
 def test_salted_join_preserves_rows(spark):
     big = spark.createDataFrame([(1, i) for i in range(1000)] + [(2, 0)], "k long, v long")
     small = spark.createDataFrame([(1, "hot"), (2, "cold")], "k long, name string")
