@@ -118,6 +118,7 @@ def lsh_candidate_pairs(
     bands: int,
     rows_per_band: int,
     max_bucket_size: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH band.
 
@@ -145,6 +146,14 @@ def lsh_candidate_pairs(
     buckets = signatures.select(F.col(id_col), F.explode(F.array(*band_rows)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    if persist:
+        # the plan reads buckets up to four times (size histogram, cap
+        # anti-join, both self-join sides); without a persist each read
+        # re-derives the whole signature pipeline. bands × n_docs rows —
+        # tiny next to the shingle explode it guards.
+        from pyspark import StorageLevel
+
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket_size is not None:
         oversized = (
             buckets.groupBy("band", "key")
