@@ -19,11 +19,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_counter_stream"]
+__all__ = ["running_counter_stream", "gap_session_stream"]
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 STATE_SCHEMA = "n bigint, total double"
@@ -41,6 +42,60 @@ def _update(
         total += float(pdf["value"].sum())
     state.update((n, total))
     yield pd.DataFrame([{"user_id": user_id, "n_events": n, "total_value": total}])
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
+
+
+def gap_session_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom-state gap sessionizer: emits each CLOSED session as one row
+    (user_id, session_start, session_end, n_events).
+
+    The logic ``session_window`` can't express: a session closes exactly
+    when a later event arrives past the gap — so the open session rides
+    in GroupState (start, last-seen, count in integer µs) and closed
+    sessions stream out as they are sealed. Equivalence with the batch
+    operator (operators/sessions.sessionize) is test-asserted: the closed
+    sessions here match the batch sessions minus each user's final (still
+    open) one. NoTimeout per the module note — AvailableNow-compatible;
+    a deployment wanting idle-user expiry adds EventTimeTimeout plus a
+    watermark on a continuous trigger.
+    """
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        gap_us = gap_seconds * 1_000_000
+        closed: list[tuple] = []
+        for pdf in batches:
+            # normalize to integer µs regardless of pandas datetime unit
+            ts_us = np.sort(pd.to_datetime(pdf["ts"]).values.astype("datetime64[us]").astype("int64"))
+            for t in ts_us:
+                t = int(t)
+                if last_us is None:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > gap_us:
+                    closed.append((user_id, start_us, last_us, n))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us, n = t, n + 1
+        state.update((start_us, last_us, n))
+        out = pd.DataFrame(closed, columns=["user_id", "session_start", "session_end", "n_events"])
+        if not out.empty:
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        yield out
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def running_counter_stream(events: DataFrame) -> DataFrame:

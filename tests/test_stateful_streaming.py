@@ -7,7 +7,7 @@ from datetime import datetime
 
 from pyspark.sql import functions as F
 
-from morphik_core_spark.streaming.stateful import running_counter_stream
+from morphik_core_spark.streaming.stateful import gap_session_stream, running_counter_stream
 
 
 def test_running_counters_accumulate_across_batches(spark, tmp_path):
@@ -54,3 +54,71 @@ def test_running_counters_accumulate_across_batches(spark, tmp_path):
     write_batch([(4, 10, 4.0, t)])
     got2 = run_once()
     assert got2[10] == (3, 7.0)  # 2 events + 1 new, totals accumulate
+
+
+def test_gap_sessionizer_matches_batch_operator(spark, tmp_path):
+    """Closed streaming sessions ≡ batch sessionize minus each user's
+    open (final) session."""
+    from datetime import timedelta
+
+    from morphik_core_spark.operators.sessions import session_stats
+
+    schema = "event_id long, user_id long, value double, ts timestamp"
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    # user 1: three bursts (two closed, one open); user 2: one burst (open)
+    for offset_min, n in ((0, 3), (120, 2), (300, 4)):
+        for i in range(n):
+            rows.append((eid, 1, 1.0, t0 + timedelta(minutes=offset_min, seconds=10 * i)))
+            eid += 1
+    for i in range(5):
+        rows.append((eid, 2, 1.0, t0 + timedelta(seconds=30 * i)))
+        eid += 1
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    def sink(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        gap_session_stream(stream, gap_seconds=1800)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not terminate"
+
+    closed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch truth: all sessions with start/end, drop each user's last
+    batch = session_stats(spark.createDataFrame(rows, schema), gap_seconds=1800)
+    sess = spark.createDataFrame(rows, schema)
+    from morphik_core_spark.operators.sessions import sessionize
+
+    per_session = (
+        sessionize(sess, gap_seconds=1800)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"), F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    last_id = {}
+    for r in per_session:
+        last_id[r.user_id] = max(last_id.get(r.user_id, -1), r.session_id)
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in per_session
+        if r.session_id != last_id[r.user_id]
+    }
+    assert closed == expected
+    assert len(closed) == 2  # user 1's two sealed bursts; user 2 still open
+    assert batch.count() == 4  # sanity: batch sees all four sessions
