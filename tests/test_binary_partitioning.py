@@ -124,3 +124,25 @@ def test_plan_shapes_regression(spark, sf_dir):
     pruned = lineitem.select("l_orderkey", "l_quantity")
     flags = explain_has(pruned, "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>")
     assert all(flags.values()), flags
+
+
+def test_plan_shapes_round2_operators(spark, sf_dir):
+    """Round-2 operators keep their designed physical shapes."""
+    import __spark_entry__ as entry_mod
+
+    # usage rollup: single aggregation pass + broadcast tier join — the
+    # fact side must never sort-merge against the 4-row dimension
+    usage = entry_mod.queries()["usage_rollup"](spark, sf_dir)
+    plan = usage._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    # folder children: dimension-sized joins stay broadcast
+    kids = entry_mod.queries()["folder_children"](spark, sf_dir)
+    plan = kids._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    # multi-probe LSH: probe join against the bucketed facts is broadcast
+    # (query side = handful of probe rows), scoring tops locally
+    knn = entry_mod.queries()["knn_lsh"](spark, sf_dir)
+    plan = knn._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
