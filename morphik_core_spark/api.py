@@ -67,6 +67,7 @@ class MorphikSpark:
     ) -> None:
         self.spark = spark
         self.root = root
+        self.embed_dims = embed_dims
         self.chunk_size = chunk_size
         self.chunk_overlap = chunk_overlap
         self._embed_text = embed_text or (lambda t: hash_embed(t, embed_dims))
@@ -325,6 +326,22 @@ class MorphikSpark:
         rows = self.documents().filter(F.col("external_id") == document_id).limit(1).collect()
         return rows[0].asDict(recursive=True) if rows else None
 
+    def list_folders(self, auth: AuthContext | None = None) -> list[dict]:
+        """Folder summaries with doc counts (reference list_folders_summary):
+        aggregate-then-broadcast-join, no document_ids payload."""
+        docs = self.documents()
+        if auth is not None:
+            from morphik_core_spark.operators.scopes import access_predicate
+
+            docs = docs.filter(access_predicate(auth))
+        counts = (
+            docs.filter(F.col("folder_path").isNotNull() & (F.col("folder_path") != ""))
+            .groupBy("folder_path")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("folder_path")
+        )
+        return [r.asDict() for r in counts.collect()]
+
     # ------------------------------------------------------------ mutation
 
     def update_document_metadata(
@@ -356,3 +373,83 @@ class MorphikSpark:
     def move_folder(self, old_prefix: str, new_prefix: str) -> None:
         self._write_documents(docstore.move_folder(self.documents(), old_prefix, new_prefix))
         self._write_chunks(docstore.move_folder(self.chunks(), old_prefix, new_prefix))
+
+    # ----------------------------------------------------- file ingestion
+
+    def ingest_directory(
+        self,
+        path: str,
+        glob: str | None = None,
+        auth: AuthContext | None = None,
+        folder_path: str | None = None,
+    ) -> dict[str, str]:
+        """Ingest a drop directory of files (the reference's /ingest/file
+        endpoint as a batch surface): binaryFile scan → MIME-routed parse
+        (PDF/xlsx/docx/HTML real, per-row failure isolation) → chunk →
+        embed → index. Returns {external_id: status}."""
+        from morphik_core_spark.sources.binary import files_to_raw_docs, read_binary_dir
+        from morphik_core_spark.streaming.ingestion import ingest_batch
+
+        auth = auth or AuthContext(user_id="local")
+        raw = files_to_raw_docs(
+            read_binary_dir(self.spark, path, glob), app_id=auth.app_id, folder_path=folder_path
+        ).drop("parse_status")
+        documents, chunks = ingest_batch(
+            raw,
+            chunk_size=self.chunk_size,
+            chunk_overlap=self.chunk_overlap,
+            embedder=self._embed_udf,
+        )
+        now = datetime.now(UTC).replace(tzinfo=None)
+        doc_rows = documents.select(
+            "external_id",
+            "filename",
+            F.col("content_type"),
+            F.lit("{}").alias("metadata"),
+            F.create_map().cast("map<string,string>").alias("metadata_types"),
+            "status",
+            F.lit(now).alias("created_at"),
+            F.lit(now).alias("updated_at"),
+            F.lit(auth.user_id).alias("owner_id"),
+            F.lit(auth.app_id).alias("app_id"),
+            F.lit(folder_path.rstrip("/").rsplit("/", 1)[-1] if folder_path else None).alias("folder_name"),
+            F.lit(folder_path).alias("folder_path"),
+            F.lit(None).cast("string").alias("end_user_id"),
+        )
+        self._write_chunks(self.chunks().unionByName(chunks.select(*self.chunks().columns)))
+        self._write_documents(docstore.upsert(self.documents(), doc_rows, ["external_id"]))
+        return {r.external_id: r.status for r in documents.select("external_id", "status").collect()}
+
+    # ------------------------------------------------------- extraction
+
+    def extract_metadata(
+        self,
+        document_id: str,
+        schema: dict[str, Any],
+        model,
+        apply: bool = False,
+    ) -> dict[str, Any]:
+        """Schema-guided structured extraction over a document's chunks
+        (reference morphik_on_the_fly_structured_output): concatenated
+        chunk text → CompletionModel → typed fields. ``apply=True`` merges
+        the extracted values into the document's metadata."""
+        from morphik_core_spark.operators.extraction import extract_structured
+
+        doc_chunks = (
+            self.chunks()
+            .filter(F.col("document_id") == document_id)
+            .orderBy("chunk_number")
+            .select("content")
+        )
+        if doc_chunks.isEmpty():
+            raise KeyError(document_id)
+        text = "\n".join(r.content for r in doc_chunks.collect())
+        one = self.spark.createDataFrame([(document_id, text)], "document_id string, content string")
+        row = extract_structured(one, schema, model).collect()[0]
+        extracted = {
+            k: v for k, v in row.asDict(recursive=True).items()
+            if k not in ("document_id", "content", "raw_extraction")
+        }
+        if apply:
+            self.update_document_metadata(document_id, {k: v for k, v in extracted.items() if v is not None})
+        return extracted

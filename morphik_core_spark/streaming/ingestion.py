@@ -42,19 +42,22 @@ def ingest_batch(
     chunk_size: int = 512,
     chunk_overlap: int = 64,
     embed_dims: int = 16,
+    embedder=None,
 ) -> tuple[DataFrame, DataFrame]:
     """(documents, chunks): documents carry the status lifecycle; chunks
     carry content + embeddings.
 
     A document fails (status='failed') when it has no usable text —
     the reference marks parse failures the same way; other rows complete.
+    ``embedder`` overrides the default seeded hash embedder with any
+    text→array<double> UDF (the production-model hook).
     """
     cleaned = raw_docs.withColumn("text", clean_control_chars(F.col("text")))
     ok = cleaned.filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
     failed = cleaned.join(ok.select("external_id"), "external_id", "left_anti")
 
     chunks = chunk_documents(ok, text_col="text", id_col="external_id", chunk_size=chunk_size, chunk_overlap=chunk_overlap)
-    embedder = hash_embed_udf(dims=embed_dims)
+    embedder = embedder or hash_embed_udf(dims=embed_dims)
     chunks = chunks.select(
         "document_id",
         "chunk_number",

@@ -99,3 +99,64 @@ def test_padding_and_rerank(client):
 def test_empty_store(client):
     assert client.list_documents() == []
     assert client.retrieve_chunks("anything", k=3) == []
+
+
+def test_ingest_directory_and_list_folders(client, tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_pdf import make_pdf
+
+    d = tmp_path / "files"
+    d.mkdir()
+    body = " ".join(f"tok{i}" for i in range(120)).encode()
+    (d / "report.pdf").write_bytes(make_pdf(b"BT (" + body + b") Tj ET", compress=True))
+    (d / "notes.txt").write_text("plain searchable notes " * 20)
+    (d / "page.html").write_bytes(b"<html><body><p>html body text here</p></body></html>")
+    (d / "broken.pdf").write_bytes(b"%PDF-1.4 nothing inside")
+
+    statuses = client.ingest_directory(str(d), auth=AUTH, folder_path="/drops/a")
+    by_name = {k.rsplit("/", 1)[-1]: v for k, v in statuses.items()}
+    assert by_name["report.pdf"] == "completed"
+    assert by_name["notes.txt"] == "completed"
+    assert by_name["page.html"] == "completed"
+    assert by_name["broken.pdf"] == "failed"
+
+    docs = client.list_documents(auth=AUTH)
+    assert len(docs) == 4
+    # parsed content is retrievable end-to-end
+    hits = client.retrieve_chunks("tok3 tok4 tok5", k=3, auth=AUTH)
+    assert hits and hits[0]["document_id"].endswith("report.pdf")
+
+    folders = client.list_folders(auth=AUTH)
+    assert folders == [{"folder_path": "/drops/a", "doc_count": 4}]
+
+
+def test_extract_metadata_applies_typed_fields(client):
+    import json as _json
+    import re as _re
+
+    ids = _seed(client)
+
+    class TitleYearModel:
+        def complete(self, prompt, max_tokens=None, temperature=None):
+            doc = prompt.split("Document:\n", 1)[1]
+            return _json.dumps(
+                {
+                    "first_word": _re.findall(r"\w+", doc)[0],
+                    "n_words": float(len(doc.split())),
+                }
+            )
+
+    out = client.extract_metadata(ids[0], {"first_word": "string", "n_words": "number"}, TitleYearModel())
+    assert out["first_word"] == "spark" and out["n_words"] > 0
+
+    client.extract_metadata(ids[0], {"first_word": "string", "n_words": "number"}, TitleYearModel(), apply=True)
+    doc = client.get_document(ids[0])
+    assert _json.loads(doc["metadata"])["first_word"] == "spark"
+    # typed filter finds it
+    found = client.list_documents(filters={"first_word": "spark"}, auth=AUTH)
+    assert [d["external_id"] for d in found] == [ids[0]]
+
+    with pytest.raises(KeyError):
+        client.extract_metadata("missing-doc", {"a": "string"}, TitleYearModel())
