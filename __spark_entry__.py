@@ -311,6 +311,17 @@ _KNN_QUERIES = 5
 # evaluations/retrieval_eval.py).
 _ANN_PLANES = 4
 _ANN_PROBES = 2
+# IVF coarse quantizer: 8 lists over the 500-vector index (~60/list),
+# probe 2 — the pgvector ivfflat lists/probes analog. Centroids are
+# deterministic pivot rows (vec_id 1..8) standing in for an offline
+# k-means fit; recall@10 vs knn_batch measured in retrieval_eval.py.
+_IVF_LISTS = 8
+_IVF_PROBES = 2
+# Embedding-cosine near-dup: 4 sign-LSH planes block the pair space
+# (~5× cut at this corpus; geometric with plane count), cosine ≥ 0.98
+# keeps true near-dup rewrites while dropping topical-overlap noise.
+_NEARDUP_PLANES = 4
+_NEARDUP_THRESHOLD = 0.98
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,6 +400,50 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         decimals=_SCORE_DECIMALS,
         n_probes=_ANN_PROBES,
     )
+
+
+_CENT_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """IVF centroids: deterministic pivot rows vec_id 1.._IVF_LISTS (the
+    offline-k-means stand-in; cached like _hyperplanes)."""
+    if sf_dir not in _CENT_CACHE:
+        rows = (
+            _t(spark, sf_dir, "embeddings")
+            .filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _IVF_LISTS))
+            .orderBy("vec_id")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        _CENT_CACHE[sf_dir] = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows]
+    return _CENT_CACHE[sf_dir]
+
+
+def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-centroid inverted lists, probe the 2 lists nearest
+    the query, exact rescore + top-k (pgvector ivfflat analog)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    queries_df = spark.createDataFrame([(0, qv)], "q_id long, qv array<double>")
+    return similarity.knn_ivf(
+        emb, _centroids(spark, sf_dir), queries_df, k=10, n_probes=_IVF_PROBES, decimals=_SCORE_DECIMALS
+    )
+
+
+def _q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over hash-embedded documents:
+    sign-LSH blocking → exact cosine ≥ 0.98 on candidates only."""
+    from morphik_core_spark.functions.embedder import hash_embed_components
+
+    docs = _t(spark, sf_dir, "documents")
+    comps = hash_embed_components(docs, "text", "doc_id", dims=_EMBED_DIMS, seed=_EMBED_SEED)
+    planes = _hyperplanes(spark, sf_dir)[:_NEARDUP_PLANES]
+    hpc_rows = [
+        (b, i, float(v)) for b, hp in enumerate(planes) for i, v in enumerate(hp[:_EMBED_DIMS])
+    ]
+    hpc = spark.createDataFrame(hpc_rows, "b int, hidx bigint, hv double")
+    return dedup.embedding_near_dup(comps, hpc, threshold=_NEARDUP_THRESHOLD, decimals=_SCORE_DECIMALS)
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "knn_batch": _q_knn_batch,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
+        "near_dup_embedding": _q_near_dup_embedding,
         "text_stats": _q_text_stats,
         "language_id": _q_language_id,
         "event_window_agg": _q_event_window_agg,
@@ -1130,6 +1187,87 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id
                                   JOIN qp q ON bk.bucket = q.bucket
             ) WHERE rn <= 10
+        """,
+        "knn_ivf": f"""
+            WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                          FROM embeddings WHERE vec_id BETWEEN 1 AND {_IVF_LISTS}),
+            assign AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv) /
+                                   (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                                    sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cid ASC) AS rn
+                    FROM embeddings e, cent c
+                ) WHERE rn = 1
+            ),
+            q AS (SELECT CAST(0 AS BIGINT) AS q_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+            probes AS (
+                SELECT cid FROM (
+                    SELECT c.cid, row_number() OVER (
+                        ORDER BY ROUND(list_dot_product(q.qv, c.cv) /
+                            (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6)
+                            DESC, c.cid ASC) AS rn
+                    FROM cent c, q
+                ) WHERE rn <= {_IVF_PROBES}
+            )
+            SELECT q_id, vec_id, score FROM (
+                SELECT q.q_id, e.vec_id, {_COS_SCORE} AS score,
+                       row_number() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY {_COS_SCORE} DESC, e.vec_id ASC
+                       ) AS rn
+                FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+                                  JOIN probes p ON a.cid = p.cid, q
+            ) WHERE rn <= 10
+        """,
+        "near_dup_embedding": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                FROM documents
+            ),
+            tok2 AS (SELECT doc_id, tok FROM tok WHERE length(tok) > 0),
+            hh AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('{_EMBED_SEED}:' || tok), 1, 15)) AS BIGINT) AS h
+                FROM tok2
+            ),
+            comp AS (
+                SELECT doc_id, h % {_EMBED_DIMS} AS idx,
+                       SUM(CASE WHEN (h // {_EMBED_DIMS}) % 2 = 0 THEN 1 ELSE -1 END) AS val
+                FROM hh GROUP BY doc_id, h % {_EMBED_DIMS}
+            ),
+            norms AS (SELECT doc_id, sqrt(SUM(val * val)) AS norm FROM comp GROUP BY doc_id),
+            hpc AS (
+                SELECT vec_id - 1 AS b, idx - 1 AS hidx, hv
+                FROM (SELECT vec_id, unnest(embedding[1:{_EMBED_DIMS}]::DOUBLE[]) AS hv,
+                             generate_subscripts(embedding[1:{_EMBED_DIMS}]::DOUBLE[], 1) AS idx
+                      FROM embeddings WHERE vec_id BETWEEN 1 AND {_NEARDUP_PLANES})
+            ),
+            bdot AS (
+                SELECT c.doc_id, h.b, SUM(c.val * h.hv) AS d
+                FROM comp c JOIN hpc h ON c.idx = h.hidx GROUP BY c.doc_id, h.b
+            ),
+            bk AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+                FROM bdot GROUP BY doc_id
+            ),
+            cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+            ),
+            dots AS (
+                SELECT ca.doc_id AS id_a, cb.doc_id AS id_b, SUM(ca.val * cb.val) AS dot
+                FROM cand JOIN comp ca ON ca.doc_id = cand.id_a
+                          JOIN comp cb ON cb.doc_id = cand.id_b AND cb.idx = ca.idx
+                GROUP BY ca.doc_id, cb.doc_id
+            )
+            SELECT id_a, id_b, ROUND(dot / (na.norm * nb.norm), {_SCORE_DECIMALS}) AS cos
+            FROM dots JOIN norms na ON na.doc_id = id_a JOIN norms nb ON nb.doc_id = id_b
+            WHERE dot / (na.norm * nb.norm) >= {_NEARDUP_THRESHOLD}
         """,
         "text_stats": f"""
             WITH {_TOKENS_CTE},

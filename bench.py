@@ -37,6 +37,7 @@ def main() -> None:
     entry_mod.queries()["status_counts"](spark, sf_dir).count()
     entry_mod._query_vector(spark, sf_dir)
     entry_mod._hyperplanes(spark, sf_dir)
+    entry_mod._centroids(spark, sf_dir)
 
     def timed(fn) -> float:
         # min of two runs: the first run can absorb scheduler/JIT noise

@@ -82,6 +82,7 @@ def main() -> None:
         }
     out["value"] = out["by_dims"][str(DIMS_SWEEP[0])]["recall"]
     out["lsh_probes"] = lsh_probe_recall(sf_dir)
+    out["ivf_probes"] = ivf_probe_recall(sf_dir)
     print(json.dumps(out))
 
 
@@ -118,6 +119,48 @@ def lsh_probe_recall(sf_dir: str, n_planes: int = 4, k: int = 10, n_queries: int
             for b in flip_order[: n_probes - 1]:
                 probes.add(int(buckets[qi]) ^ (1 << int(b)))
             cand = np.isin(buckets, list(probes))
+            cand_ids = ids[cand]
+            cand_mat = mat[cand]
+            sims = (cand_mat @ q) / ((np.linalg.norm(cand_mat, axis=1) + 1e-12) * np.linalg.norm(q))
+            got = set(cand_ids[np.argsort(-sims)][: k + 1]) - {qi}
+            recalls.append(len(exact_top & got) / k)
+            scanned.append(cand.mean())
+        result[str(n_probes)] = {
+            "recall": round(float(np.mean(recalls)), 4),
+            "avg_scanned": round(float(np.mean(scanned)), 4),
+        }
+    return result
+
+
+def ivf_probe_recall(sf_dir: str, n_lists: int = 8, k: int = 10, n_queries: int = 50) -> dict:
+    """Recall@k of IVF inverted-list ANN vs exact cosine, by probe count.
+
+    Mirrors operators/similarity.knn_ivf (pivot centroids vec_id 1..8,
+    round-6 nearest-centroid assignment) in numpy. `avg_scanned` is the
+    probed fraction of the corpus — with balanced lists it approaches
+    n_probes / n_lists, the ivfflat cost model.
+    """
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.asarray([r[0] for r in emb])
+    mat = np.asarray([r[1] for r in emb], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1) + 1e-12
+    cents = mat[1 : n_lists + 1]  # same pivot centroids as the served query
+    cnorms = np.linalg.norm(cents, axis=1) + 1e-12
+
+    cos_c = np.round((mat @ cents.T) / (norms[:, None] * cnorms[None, :]), 6)
+    assign = np.argmax(cos_c, axis=1)  # argmax takes first (lowest cid) on ties
+
+    result: dict[str, dict] = {}
+    for n_probes in (1, 2, 4):
+        recalls, scanned = [], []
+        for qi in ids[:n_queries]:
+            q = mat[qi]
+            exact = np.argsort(-(mat @ q) / (norms * np.linalg.norm(q)))
+            exact_top = set(ids[[i for i in exact if ids[i] != qi][:k]])
+            probes = np.argsort(-cos_c[qi])[:n_probes]
+            cand = np.isin(assign, probes)
             cand_ids = ids[cand]
             cand_mat = mat[cand]
             sims = (cand_mat @ q) / ((np.linalg.norm(cand_mat, axis=1) + 1e-12) * np.linalg.norm(q))

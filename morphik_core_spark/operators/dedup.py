@@ -42,6 +42,7 @@ __all__ = [
     "simhash",
     "simhash_pandas",
     "jaccard_pairs",
+    "embedding_near_dup",
 ]
 
 # 60-bit hash keeps (a*h30 + b) inside int64 after the 30-bit fold
@@ -319,3 +320,88 @@ def jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
     return out
+
+
+def embedding_near_dup(
+    comps: DataFrame,
+    hyperplane_comps: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    decimals: int = 6,
+    max_bucket_size: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos).
+
+    Completes the dedup family (exact / MinHash-LSH / SimHash / Jaccard /
+    embedding-cosine). Input is the SPARSE integer component form
+    (id, idx, val) produced by ``hash_embed_components`` — or any
+    exploded embedding — so the whole pipeline stays integer-exact until
+    the final cosine division and is reproducible in the DuckDB oracle.
+
+    Blocking: sign-LSH over ``hyperplane_comps`` (b, hidx, hv) — a tiny
+    broadcast table of hyperplane components. Bucket = Σ 2^b over planes
+    with dot(v, hp_b) > 0. Pairs are generated ONLY within a bucket, so
+    the self-join is an equi-join on the bucket id, never O(n²); with B
+    planes the candidate space drops ~2^B-fold for random vectors while
+    true near-dups (cosine ≈ 1) almost always share every sign bit.
+    Pairs whose members land in different buckets are missed — the
+    standard LSH dedup recall trade, same contract as
+    ``lsh_candidate_pairs``.
+
+    The pair-dot join then computes the EXACT cosine for candidates only
+    (join on (pair, idx): |cand| × nnz rows, linear in candidates), and
+    the threshold filters on the unrounded value.
+
+    Scale notes (100 TB): the bucket self-join hash-partitions on the
+    bucket id; ``max_bucket_size`` drops degenerate hot buckets before
+    the join exactly like ``lsh_candidate_pairs`` (a bucket that holds
+    1% of a billion-vector corpus is 5e13 pairs on one reducer and
+    carries no near-dup signal). With more planes buckets shrink
+    geometrically; 16-32 planes is the production setting, 4 here keeps
+    the oracle SQL tractable.
+    """
+    if persist:
+        from pyspark import StorageLevel
+
+        comps = comps.persist(StorageLevel.MEMORY_AND_DISK)
+    norms = comps.groupBy(id_col).agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm"))
+    bdot = (
+        comps.join(F.broadcast(hyperplane_comps), comps["idx"] == hyperplane_comps["hidx"])
+        .groupBy(id_col, "b")
+        .agg(F.sum(F.col("val") * F.col("hv")).alias("d"))
+    )
+    # 2^b via pow: exact in double up to 2^52, far beyond any plane count
+    buckets = bdot.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("d") > 0, F.pow(F.lit(2.0), F.col("b")).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        ).alias("bucket")
+    )
+    if max_bucket_size is not None:
+        oversized = (
+            buckets.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("bucket")
+        )
+        buckets = buckets.join(F.broadcast(oversized), "bucket", "left_anti")
+    bk_a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
+    bk_b = buckets.select(F.col(id_col).alias("id_b"), "bucket")
+    cand = bk_a.join(bk_b, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    ca = comps.select(F.col(id_col).alias("id_a"), "idx", F.col("val").alias("val_a"))
+    cb = comps.select(F.col(id_col).alias("id_b"), "idx", F.col("val").alias("val_b"))
+    dots = (
+        cand.join(ca, "id_a")
+        .join(cb, ["id_b", "idx"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("val_a") * F.col("val_b")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm").alias("norm_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cos", F.col("dot") / (F.col("norm_a") * F.col("norm_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", decimals).alias("cos"))
+    )

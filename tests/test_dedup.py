@@ -124,3 +124,40 @@ def test_simhash_similar_docs_close(docs):
     assert hamming(out[1], out[3]) <= hamming(out[1], out[4])
     # rotation preserves the token multiset → identical simhash
     assert out[4] == out[5]
+
+
+def test_embedding_near_dup_finds_pair_and_respects_blocking(spark):
+    # sparse comps: docs 1/2 near-identical (cos ≈ 1), doc 3 unrelated,
+    # doc 4 ≈ doc 1 but on the other side of the hyperplane → blocked out
+    comps = spark.createDataFrame(
+        [
+            (1, 0, 1), (1, 1, 100),
+            (2, 0, 1), (2, 1, 99),
+            (3, 2, 50),
+            (4, 0, -1), (4, 1, 100),
+        ],
+        "doc_id long, idx bigint, val long",
+    )
+    # one plane along dim 0: bucket bit = sign of val[0]
+    hpc = spark.createDataFrame([(0, 0, 1.0)], "b int, hidx bigint, hv double")
+    out = dedup.embedding_near_dup(comps, hpc, threshold=0.99, id_col="doc_id")
+    pairs = {(r.id_a, r.id_b): r.cos for r in out.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
+    # (1,4) has cosine ≈ 0.9998 but lands in a different sign-LSH bucket:
+    # the standard LSH recall trade — blocked pairs are never scored
+    assert (1, 4) not in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    comps = spark.createDataFrame(
+        [(i, 0, 10) for i in range(6)] + [(i, 1, 1) for i in range(6)],
+        "doc_id long, idx bigint, val long",
+    )
+    hpc = spark.createDataFrame([(0, 0, 1.0)], "b int, hidx bigint, hv double")
+    uncapped = dedup.embedding_near_dup(comps, hpc, threshold=0.5, id_col="doc_id")
+    capped = dedup.embedding_near_dup(
+        comps, hpc, threshold=0.5, id_col="doc_id", max_bucket_size=5
+    )
+    assert uncapped.count() == 15  # all 6 docs share one bucket → C(6,2)
+    assert capped.count() == 0  # hot bucket dropped before the self-join
