@@ -56,40 +56,61 @@ def knn_brute_force(
     )
 
 
-def lsh_bucket(emb: Column, hyperplanes: Sequence[Sequence[float]]) -> Column:
-    """Sign-LSH bucket id: bit b set iff dot(v, hyperplane_b) > 0."""
-    acc = F.lit(0).cast("bigint")
-    for b, hp in enumerate(hyperplanes):
-        hp_lit = F.lit([float(x) for x in hp]).cast("array<double>")
-        bit = F.when(dot(emb.cast("array<double>"), hp_lit) > 0.0, F.lit(1 << b)).otherwise(F.lit(0))
-        acc = acc + bit.cast("bigint")
-    return acc
+def _vec_sql(emb: str) -> str:
+    return f"cast(`{emb}` as array<double>)"
 
 
-def probe_buckets(emb: Column, hyperplanes: Sequence[Sequence[float]], n_probes: int) -> Column:
+def _bucket_sql(vec_sql: str, hyperplanes: Sequence[Sequence[float]]) -> str:
+    """Sign-LSH bucket id as one SQL string (see _argmax_centroid_sql for
+    why strings: the Column-API loop cost ~1s of py4j plan build/query)."""
+    terms = [
+        f"(CASE WHEN {_dot_sql(vec_sql, _arr_sql(hp))} > 0.0D THEN {1 << b} ELSE 0 END)"
+        for b, hp in enumerate(hyperplanes)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _probes_sql(
+    vec_sql: str, bucket_sql: str, hyperplanes: Sequence[Sequence[float]], n_probes: int
+) -> str:
+    """Own bucket + single-bit flips of the n_probes-1 lowest-|margin|
+    planes, as one SQL string. ``bucket_sql`` may be a column reference so
+    the bucket expression isn't re-evaluated per flip."""
+    margins = (
+        "array_sort(array("
+        + ", ".join(
+            f"named_struct('m', abs({_dot_sql(vec_sql, _arr_sql(hp))}), 'b', {b})"
+            for b, hp in enumerate(hyperplanes)
+        )
+        + "))"
+    )
+    # 2^b via pow: exact in double up to 2^52, far beyond any plane count
+    flips = (
+        f"transform(slice({margins}, 1, {n_probes - 1}), "
+        f"s -> CAST({bucket_sql} ^ CAST(pow(2.0D, s.b) AS BIGINT) AS BIGINT))"
+    )
+    return f"concat(array({bucket_sql}), {flips})"
+
+
+def lsh_bucket(emb: str, hyperplanes: Sequence[Sequence[float]]) -> Column:
+    """Sign-LSH bucket id: bit b set iff dot(v, hyperplane_b) > 0.
+
+    ``emb`` is a column NAME (the expression is assembled as a single SQL
+    string to keep driver-side plan build O(1) in py4j round-trips).
+    """
+    return F.expr(_bucket_sql(_vec_sql(emb), hyperplanes))
+
+
+def probe_buckets(emb: str, hyperplanes: Sequence[Sequence[float]], n_probes: int) -> Column:
     """Multi-probe bucket list: the vector's own bucket plus single-bit
     flips of the ``n_probes - 1`` lowest-|margin| hyperplanes — the bits
     most likely to be on the wrong side of a noisy boundary. This is the
     ivfflat ``probes`` knob (reference pgvector_store.py:125) for sign-LSH:
     recall rises with probe count, scan breadth rises linearly, and every
-    probe is still a partition-prunable bucket id.
+    probe is still a partition-prunable bucket id. ``emb`` is a column name.
     """
-    v = emb.cast("array<double>")
-    main = lsh_bucket(emb, hyperplanes)
-    margins = F.array_sort(
-        F.array(
-            *[
-                F.struct(F.abs(dot(v, F.lit([float(x) for x in hp]).cast("array<double>"))).alias("m"), F.lit(b).alias("b"))
-                for b, hp in enumerate(hyperplanes)
-            ]
-        )
-    )
-    flips = F.transform(
-        F.slice(margins, 1, n_probes - 1),
-        # 2^b via pow: exact in double up to 2^52, far beyond any plane count
-        lambda s: main.bitwiseXOR(F.pow(F.lit(2.0), s["b"]).cast("bigint")),
-    )
-    return F.concat(F.array(main), flips)
+    v = _vec_sql(emb)
+    return F.expr(_probes_sql(v, _bucket_sql(v, hyperplanes), hyperplanes, n_probes))
 
 
 def knn_lsh(
@@ -114,12 +135,23 @@ def knn_lsh(
     data vector still lives in exactly one bucket, and probe buckets are
     distinct, so candidates never duplicate.
     """
-    bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col(emb_col), hyperplanes))
+    bucketed = embeddings.withColumn("bucket", lsh_bucket(emb_col, hyperplanes))
     if n_probes <= 1:
-        q_bucketed = queries.withColumn("bucket", lsh_bucket(F.col(q_emb_col), hyperplanes))
+        q_bucketed = queries.withColumn("bucket", lsh_bucket(q_emb_col, hyperplanes))
     else:
-        q_bucketed = queries.withColumn(
-            "bucket", F.explode(probe_buckets(F.col(q_emb_col), hyperplanes, n_probes))
+        # bucket once into a column, then flip bits off that reference —
+        # keeps the 4×64-dim dot expressions out of every probe element
+        q_bucketed = (
+            queries.withColumn("_bucket_main", lsh_bucket(q_emb_col, hyperplanes))
+            .withColumn(
+                "bucket",
+                F.explode(
+                    F.expr(
+                        _probes_sql(_vec_sql(q_emb_col), "`_bucket_main`", hyperplanes, n_probes)
+                    )
+                ),
+            )
+            .drop("_bucket_main")
         )
     scored = bucketed.join(F.broadcast(q_bucketed), "bucket").select(
         F.col(q_id_col),

@@ -37,8 +37,8 @@ def test_probe_buckets_distinct_and_lead_with_own(spark, emb_df):
     df, _ = emb_df
     out = df.select(
         "vec_id",
-        similarity.lsh_bucket(F.col("embedding"), PLANES).alias("bucket"),
-        similarity.probe_buckets(F.col("embedding"), PLANES, n_probes=3).alias("probes"),
+        similarity.lsh_bucket("embedding", PLANES).alias("bucket"),
+        similarity.probe_buckets("embedding", PLANES, n_probes=3).alias("probes"),
     ).collect()
     for r in out:
         assert len(r.probes) == 3
