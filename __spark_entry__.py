@@ -458,6 +458,28 @@ def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.language_id(docs, "text", "doc_id")
 
 
+# winnowing: 8-char grams, window of 4 — any shared substring of length
+# ≥ 11 chars between two docs is guaranteed to share a fingerprint
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (rolling k-gram hash → sliding
+    min). Served from the one-pass Arrow kernel; the relational window
+    form is the oracle twin (tests assert set-identity)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.winnow_fingerprints_pandas(
+        docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W
+    )
+
+
+def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts, chars/token budget ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.bpe_token_stats(docs, "text", "doc_id", decimals=_SCORE_DECIMALS)
+
+
 def _q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event aggregation (batch form of the streaming agg).
     Decimal-cast sums keep the values exact → engine-independent."""
@@ -851,6 +873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embedding": _q_near_dup_embedding,
         "text_stats": _q_text_stats,
         "language_id": _q_language_id,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "bpe_token_stats": _q_bpe_token_stats,
         "event_window_agg": _q_event_window_agg,
         "hash_embed_retrieval": _q_hash_embed_retrieval,
         "chunk_stats": _q_chunk_stats,
@@ -886,6 +910,8 @@ _COS_SCORE = (
 
 # shared CTE fragments for the text-pipeline oracles
 _NORM_TEXT = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+# BPE-ish pre-tokenizer regex, single quotes doubled for the SQL literal
+_BPE_RE_SQL = text_analysis.BPE_TOKEN_RE.replace("'", "''")
 _TOKENS_CTE = f"tk AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS tk FROM documents)"
 _SHINGLES_CTE = (
     "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
@@ -1300,6 +1326,40 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
                         WHEN s_de >= s_fr THEN 'de'
                         ELSE 'fr' END AS pred_lang
+            FROM s
+        """,
+        "winnow_fingerprints": f"""
+            WITH norm AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents),
+            pos AS (
+                SELECT doc_id, t, unnest(generate_series(1, len(t) - {_WINNOW_K} + 1)) AS pos
+                FROM norm WHERE len(t) >= {_WINNOW_K}
+            ),
+            g AS (
+                SELECT doc_id, pos,
+                       CAST(('0x' || substr(md5(substr(t, pos, {_WINNOW_K})), 1, 15)) AS BIGINT) AS h
+                FROM pos
+            ),
+            wm AS (
+                SELECT doc_id, pos,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS winmin,
+                       MAX(pos) OVER (PARTITION BY doc_id) AS max_pos
+                FROM g
+            )
+            SELECT DISTINCT doc_id, winmin AS fp
+            FROM wm WHERE pos <= max_pos - {_WINNOW_W - 1}
+        """,
+        "bpe_token_stats": f"""
+            WITH norm AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents),
+            s AS (
+                SELECT doc_id,
+                       len(string_split(t, ' ')) AS ws_tokens,
+                       len(regexp_extract_all(t, '{_BPE_RE_SQL}')) AS bpe_tokens,
+                       len(t) AS n_chars
+                FROM norm
+            )
+            SELECT doc_id, ws_tokens, bpe_tokens,
+                   ROUND(n_chars / greatest(bpe_tokens, 1), {_SCORE_DECIMALS}) AS chars_per_token
             FROM s
         """,
         "event_window_agg": """

@@ -15,7 +15,17 @@ from pyspark.sql import functions as F
 
 from morphik_core_spark.operators.dedup import normalize_text
 
-__all__ = ["tokens", "text_stats", "language_id", "fingerprint", "STOPWORDS"]
+__all__ = [
+    "tokens",
+    "text_stats",
+    "language_id",
+    "fingerprint",
+    "winnow_fingerprints",
+    "winnow_fingerprints_pandas",
+    "bpe_token_stats",
+    "BPE_TOKEN_RE",
+    "STOPWORDS",
+]
 
 # compact stopword profiles for the heuristic language scorer
 STOPWORDS: dict[str, list[str]] = {
@@ -86,3 +96,118 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, fp): md5 of the normalized text — the exact-dedup key, exposed
     as a standalone fingerprinting op."""
     return df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp"))
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): rolling-hash every character ``k``-gram, slide a
+    ``w``-gram window, keep each window's minimum hash. Output is the
+    DISTINCT (id, fp) fingerprint set — two docs sharing fingerprints
+    share ≥ k-char runs, the standard plagiarism/near-dup sketch with a
+    guarantee the whole-doc md5 (:func:`fingerprint`) can't give: any
+    shared substring of length ≥ k + w − 1 is always detected.
+
+    Relational (oracle-expressible) form: explode gram positions →
+    portable md5 hash → sliding MIN window. The explode is a len(text)×
+    row multiplication and the window shuffles on the doc id — the right
+    shape for the DuckDB parity oracle, the wrong one for 100 TB serving;
+    :func:`winnow_fingerprints_pandas` is the one-pass Arrow twin (same
+    split as simhash / simhash_pandas). Docs with fewer than w full
+    windows (len < k + w − 1) yield no fingerprints by convention.
+    """
+    from pyspark.sql import Window
+    from morphik_core_spark.operators.dedup import portable_hash
+
+    norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("t")).filter(
+        F.length("t") >= k  # guard: sequence(1, n) needs n >= 1
+    )
+    grams = norm.select(
+        F.col(id_col),
+        F.expr(
+            f"explode(transform(sequence(1, length(t) - {k} + 1), "
+            f"i -> named_struct('pos', i, 'gram', substring(t, i, {k}))))"
+        ).alias("pg"),
+    ).select(id_col, F.col("pg.pos").alias("pos"), portable_hash(F.col("pg.gram")).alias("h"))
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    whole = Window.partitionBy(id_col)
+    return (
+        grams.withColumn("winmin", F.min("h").over(win))
+        .withColumn("max_pos", F.max("pos").over(whole))
+        .filter(F.col("pos") <= F.col("max_pos") - (w - 1))  # full windows only
+        .select(F.col(id_col), F.col("winmin").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_fingerprints_pandas(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """One-pass Arrow-batched winnowing — the serving form of
+    :func:`winnow_fingerprints` (set-identical output, asserted in
+    tests): per-row numpy sliding-window minimum, no row explosion, no
+    shuffle. Same hash/normalization parity notes as simhash_pandas
+    (md5-prefix 60-bit hashes, ASCII-only trim and \\s)."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    ws_run = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            norm = ws_run.sub(" ", (text or "").lower().strip(" "))
+            n = len(norm) - k + 1
+            if n < w:
+                out.append([])
+                continue
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(norm[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
+                    for i in range(n)
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+            mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    from pyspark.sql.functions import pandas_udf
+
+    # unannotated lambda → SCALAR (see simhash_pandas note on stringified hints)
+    _udf = pandas_udf(lambda texts: _fps(texts), "array<long>")
+    return df.select(
+        F.col(id_col), F.explode(_udf(F.col(text_col))).alias("fp")
+    )
+
+
+# GPT-2-style pre-tokenizer, simplified to ASCII so the Java (Spark) and
+# RE2 (DuckDB) engines agree: contraction suffixes, space-prefixed word /
+# number / punctuation runs, residual whitespace.
+BPE_TOKEN_RE = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+"
+
+
+def bpe_token_stats(df: DataFrame, text_col: str, id_col: str, decimals: int = 6) -> DataFrame:
+    """(id, ws_tokens, bpe_tokens, chars_per_token): token counts under the
+    whitespace split AND a BPE-ish pre-tokenizer regex — the cheap
+    LLM-cost estimator every training-data pipeline needs (whitespace
+    undercounts punctuation-heavy text; chars/token ≈ 3.5-4.5 tracks
+    real BPE vocabularies closely enough for budgeting).
+
+    Pure codegen expressions (regexp_extract_all + size), one scan, no
+    shuffle, no UDF.
+    """
+    t = normalize_text(F.col(text_col))
+    ws = F.size(F.split(t, " "))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(F.length(t) / F.greatest(bpe, F.lit(1)), decimals).alias("chars_per_token"),
+    )

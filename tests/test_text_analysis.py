@@ -1,0 +1,55 @@
+"""Text-analysis operators: winnowing fingerprints, BPE-ish token stats.
+
+(text_stats / language_id / fingerprint are covered by the oracle-parity
+gate; these tests pin the properties the oracle can't express.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from morphik_core_spark.operators import text_analysis as ta
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "a completely different document with no overlap whatsoever here"),
+        # shares a >= k+w-1 char run with doc 1 -> guaranteed common fp
+        (3, "unrelated prefix text then the quick brown fox jumps over suffix"),
+        (4, "short"),  # < k chars after normalization -> no fingerprints
+        (5, "punct-heavy: costs $1,234.56!! (really?) -- yes; 'tis true."),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnow_pandas_matches_relational(docs):
+    rel = {(r.doc_id, r.fp) for r in ta.winnow_fingerprints(docs, "text", "doc_id").collect()}
+    pan = {
+        (r.doc_id, r.fp) for r in ta.winnow_fingerprints_pandas(docs, "text", "doc_id").collect()
+    }
+    assert rel == pan and len(rel) > 0
+
+
+def test_winnow_detects_shared_run_and_skips_short_docs(docs):
+    out = ta.winnow_fingerprints(docs, "text", "doc_id").collect()
+    by_doc: dict[int, set] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # winnowing guarantee: any shared substring of length >= k + w - 1 = 11
+    assert by_doc[1] & by_doc[3]
+    # disjoint texts share nothing
+    assert not (by_doc[1] & by_doc[2])
+    # doc 4 is shorter than one k-gram -> no fingerprints at all
+    assert 4 not in by_doc
+
+
+def test_bpe_token_stats_counts_punctuation(docs):
+    out = {r.doc_id: r for r in ta.bpe_token_stats(docs, "text", "doc_id").collect()}
+    # clean prose: BPE-ish tokens == whitespace tokens
+    assert out[1].bpe_tokens == out[1].ws_tokens
+    # punctuation splits into extra tokens the whitespace count misses
+    assert out[5].bpe_tokens > out[5].ws_tokens
+    for r in out.values():
+        assert r.chars_per_token > 0
