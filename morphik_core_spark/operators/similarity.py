@@ -23,7 +23,15 @@ from pyspark.sql import functions as F
 
 from morphik_core_spark.functions.vectors import dot, retrieval_score
 
-__all__ = ["knn_brute_force", "lsh_bucket", "probe_buckets", "knn_lsh", "ivf_assign", "knn_ivf"]
+__all__ = [
+    "knn_brute_force",
+    "lsh_bucket",
+    "probe_buckets",
+    "knn_lsh",
+    "ivf_assign",
+    "knn_ivf",
+    "kmeans_fit",
+]
 
 
 def knn_brute_force(
@@ -263,3 +271,51 @@ def knn_ivf(
         scored = scored.withColumn("score", F.round("score", decimals))
     w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    n_lists: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int = 1,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """Offline IVF training: spherical k-means (Lloyd's on cosine) over a
+    deterministic sample, run driver-side in numpy. Returns the
+    ``centroids`` list :func:`knn_ivf` consumes, ids 1..n_lists.
+
+    This is the FAISS ``train()`` / pgvector ``CREATE INDEX ... ivfflat``
+    step: it runs once, offline, on a sample — only the resulting few-KB
+    centroid table participates in query plans. ``sample_mod`` is the
+    scale knob: ``pmod(hash(id), sample_mod) == 0`` keeps ~1/mod of the
+    corpus, a deterministic scan-only filter with no sort and no shuffle
+    (at 100 TB you'd fit on ~1M vectors: mod ≈ corpus/1e6). Driver-side
+    k-means on ≤1M × few-hundred dims is seconds of numpy — there is no
+    reason to distribute the fit itself.
+    """
+    import numpy as np
+
+    sampled = embeddings.select(id_col, emb_col)
+    if sample_mod > 1:
+        sampled = sampled.filter(F.pmod(F.hash(F.col(id_col)), sample_mod) == 0)
+    rows = sampled.collect()
+    mat = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=n_lists, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(n_lists):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / (np.linalg.norm(m) + 1e-12)
+            else:
+                # re-seed empty lists from the point worst-served by its
+                # current centroid (standard empty-cluster repair)
+                worst = np.argmin((mat @ cents.T).max(axis=1))
+                cents[c] = mat[worst]
+    return [(c + 1, [float(x) for x in cents[c]]) for c in range(n_lists)]

@@ -106,3 +106,50 @@ def test_ivf_assignment_is_shuffle_free(spark, emb_df):
     df, _ = emb_df
     plan = similarity.ivf_assign(df, CENTROIDS)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure map: argmax over literal centroids
+
+
+def test_kmeans_fit_improves_ivf_recall_on_clustered_data(spark):
+    # IVF earns its keep on CLUSTERED corpora (real embedding spaces):
+    # build 8 well-separated blobs; the fitted quantizer should put a
+    # query's neighbors in its own list, where arbitrary pivot rows split
+    # them. (On uniform-random vectors fitted ≈ pivots — no structure to
+    # learn — measured in evaluations/retrieval_eval.py.)
+    rng = np.random.default_rng(11)
+    blob_centers = rng.normal(size=(8, DIMS)) * 6
+    rows = [
+        (i, list(map(float, blob_centers[i % 8] + rng.normal(size=DIMS) * 0.3)))
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    qs = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(10)], "q_id long, qv array<double>"
+    )
+
+    fitted = similarity.kmeans_fit(df, n_lists=8, iters=10)
+    assert len(fitted) == 8 and [c for c, _ in fitted] == list(range(1, 9))
+    assert all(abs(sum(x * x for x in cv) - 1.0) < 1e-9 for _, cv in fitted)  # unit norm
+    # pivot rows 0, 8, 16, ... all fall in the SAME blob — the failure
+    # mode arbitrary pivots risk that a fit cannot have
+    pivots = [(c + 1, rows[8 * c][1]) for c in range(8)]
+
+    exact = similarity.knn_brute_force(df, qs, k=5)
+    want = {(r.q_id, r.vec_id) for r in exact.collect()}
+
+    def recall(cents, n_probes):
+        got = {
+            (r.q_id, r.vec_id)
+            for r in similarity.knn_ivf(df, cents, qs, k=5, n_probes=n_probes).collect()
+        }
+        return len(got & want) / len(want)
+
+    assert recall(fitted, 1) > recall(pivots, 1)
+    assert recall(fitted, 1) >= 0.9  # blob neighbors land in the query's list
+
+
+def test_kmeans_fit_deterministic_and_sampled(spark, emb_df):
+    df, _ = emb_df
+    a = similarity.kmeans_fit(df, n_lists=4, iters=5)
+    b = similarity.kmeans_fit(df, n_lists=4, iters=5)
+    assert a == b  # same seed, same sample -> bit-identical centroids
+    c = similarity.kmeans_fit(df, n_lists=4, iters=5, sample_mod=2)
+    assert len(c) == 4
