@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from morphik_core_spark.functions.vectors import retrieval_score
 from morphik_core_spark.operators import (
     asof,
+    curation,
     dedup,
     docstore,
     limits,
@@ -480,6 +481,52 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.bpe_token_stats(docs, "text", "doc_id", decimals=_SCORE_DECIMALS)
 
 
+# token budget per training sequence for the packing query: small enough
+# that every language stratum yields many packs at sf0.01
+_PACK_BUDGET = 512
+
+
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality rules (Rae et al. 2021 A1.1): per-doc
+    signals + per-rule verdicts + composite pass (curation filter stage)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.quality_filter(docs, "text", "doc_id")
+    bool_cols = ["ok_word_count", "ok_word_len", "ok_symbols", "ok_alpha", "ok_stopwords", "passes"]
+    # ints, not booleans: the driver hashes values and bool text forms differ
+    return out.select(
+        "doc_id", "word_count", "mean_word_len", "symbol_ratio", "alpha_word_ratio", "stop_hits",
+        *[F.col(c).cast("int").alias(c) for c in bool_cols],
+    )
+
+
+def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split, audited per language
+    stratum (reproducible across runs/engines/cluster sizes)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.stratified_split(docs, "doc_id", "lang")
+
+
+def _q_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 longest documents per language (windowed per-group curation
+    sample with deterministic id tiebreak)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.group_topn(docs, "lang", "n_chars", "doc_id", n=5)
+
+
+def _q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank p50/p90/p99 of document length per language —
+    integer-exact (every output is an actual data value)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.length_percentiles(docs, "lang", "n_chars")
+
+
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing into a fixed token budget per
+    language: pack summary (n_docs, pack_tokens) per pack."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.sequence_packing(docs, "lang", "doc_id", "text", budget=_PACK_BUDGET)
+
+
 def _q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event aggregation (batch form of the streaming agg).
     Decimal-cast sums keep the values exact → engine-independent."""
@@ -875,6 +922,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "bpe_token_stats": _q_bpe_token_stats,
+        "quality_filter": _q_quality_filter,
+        "stratified_split": _q_stratified_split,
+        "group_topn": _q_group_topn,
+        "length_percentiles": _q_length_percentiles,
+        "sequence_packing": _q_sequence_packing,
         "event_window_agg": _q_event_window_agg,
         "hash_embed_retrieval": _q_hash_embed_retrieval,
         "chunk_stats": _q_chunk_stats,
@@ -912,6 +964,7 @@ _COS_SCORE = (
 _NORM_TEXT = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 # BPE-ish pre-tokenizer regex, single quotes doubled for the SQL literal
 _BPE_RE_SQL = text_analysis.BPE_TOKEN_RE.replace("'", "''")
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in text_analysis.STOPWORDS["en"]) + "]"
 _TOKENS_CTE = f"tk AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS tk FROM documents)"
 _SHINGLES_CTE = (
     "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
@@ -1361,6 +1414,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ws_tokens, bpe_tokens,
                    ROUND(n_chars / greatest(bpe_tokens, 1), {_SCORE_DECIMALS}) AS chars_per_token
             FROM s
+        """,
+        "quality_filter": f"""
+            WITH norm AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents),
+            base AS (
+                SELECT doc_id, string_split(t, ' ') AS words, length(t) AS n_chars_norm,
+                       length(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS symbol_chars
+                FROM norm
+            ),
+            sig AS (
+                SELECT doc_id,
+                       len(words) AS word_count,
+                       ROUND(list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words), {_SCORE_DECIMALS}) AS mean_word_len,
+                       ROUND(symbol_chars * 1.0 / greatest(n_chars_norm, 1), {_SCORE_DECIMALS}) AS symbol_ratio,
+                       ROUND(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) * 1.0 / len(words), {_SCORE_DECIMALS}) AS alpha_word_ratio,
+                       len(list_filter(words, w -> list_contains({_STOP_SQL}, w))) AS stop_hits
+                FROM base
+            )
+            SELECT doc_id, word_count, mean_word_len, symbol_ratio, alpha_word_ratio, stop_hits,
+                   CAST(word_count BETWEEN {curation.MIN_WORDS} AND {curation.MAX_WORDS} AS INT) AS ok_word_count,
+                   CAST(mean_word_len BETWEEN {curation.MIN_MEAN_WORD_LEN} AND {curation.MAX_MEAN_WORD_LEN} AS INT) AS ok_word_len,
+                   CAST(symbol_ratio <= {curation.MAX_SYMBOL_RATIO} AS INT) AS ok_symbols,
+                   CAST(alpha_word_ratio >= {curation.MIN_ALPHA_WORD_RATIO} AS INT) AS ok_alpha,
+                   CAST(stop_hits >= {curation.MIN_STOPWORD_HITS} AS INT) AS ok_stopwords,
+                   CAST((word_count BETWEEN {curation.MIN_WORDS} AND {curation.MAX_WORDS}
+                         AND mean_word_len BETWEEN {curation.MIN_MEAN_WORD_LEN} AND {curation.MAX_MEAN_WORD_LEN}
+                         AND symbol_ratio <= {curation.MAX_SYMBOL_RATIO}
+                         AND alpha_word_ratio >= {curation.MIN_ALPHA_WORD_RATIO}
+                         AND stop_hits >= {curation.MIN_STOPWORD_HITS}) AS INT) AS passes
+            FROM sig
+        """,
+        "stratified_split": """
+            WITH b AS (
+                SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+                       lang
+                FROM documents
+            )
+            SELECT CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang AS strata, COUNT(*) AS n_docs
+            FROM b GROUP BY split, strata
+        """,
+        "group_topn": """
+            SELECT lang, doc_id, n_chars, rn FROM (
+                SELECT lang, doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 5
+        """,
+        "length_percentiles": """
+            WITH r AS (
+                SELECT lang, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                       COUNT(*) OVER (PARTITION BY lang) AS cnt
+                FROM documents
+            )
+            SELECT lang,
+                   MAX(CASE WHEN rn = CEIL(0.5 * cnt) THEN n_chars END) AS p50,
+                   MAX(CASE WHEN rn = CEIL(0.9 * cnt) THEN n_chars END) AS p90,
+                   MAX(CASE WHEN rn = CEIL(0.99 * cnt) THEN n_chars END) AS p99
+            FROM r GROUP BY lang
+        """,
+        "sequence_packing": f"""
+            WITH toks AS (
+                SELECT lang, doc_id, len(string_split({_NORM_TEXT}, ' ')) AS tok
+                FROM documents
+            ),
+            c AS (
+                SELECT lang, tok,
+                       CAST(COALESCE(SUM(tok) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+                FROM toks
+            )
+            SELECT lang, cum_before // {_PACK_BUDGET} AS pack_id,
+                   COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS pack_tokens
+            FROM c GROUP BY lang, pack_id
         """,
         "event_window_agg": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -1,0 +1,232 @@
+"""Training-data curation operators: quality filtering, deterministic
+splits, per-group sampling, exact percentiles, sequence packing.
+
+Pipeline-extension operators (beyond the reference's surface — the ops a
+100 TB LLM training-data pipeline runs after dedup): Gopher-style
+heuristic quality rules (Rae et al. 2021, "Scaling Language Models",
+appendix A1.1), reproducible hash-based train/val/test splits, top-n
+per-group curation sampling, nearest-rank length percentiles, and
+token-budget sequence packing (the concat-then-chunk packing used to
+build fixed-length training sequences).
+
+Scale notes per operator:
+
+- :func:`quality_signals` / :func:`quality_filter` — pure per-row
+  expressions (whole-stage codegen, one scan, no shuffle, no UDF).
+- :func:`stratified_split` — map-side hash + one partial-aggregated
+  groupBy on (split, lang): a single small shuffle regardless of input
+  size.
+- :func:`group_topn` — one shuffle on the group key. Few huge groups
+  (languages) are the classic window skew; at 100 TB pre-aggregate a
+  per-group rank threshold on a sample, filter, THEN window — the
+  window then sees only ~n rows per group.
+- :func:`length_percentiles` — exact nearest-rank percentiles via a
+  per-group sort window; right for the oracle and for low-cardinality
+  group keys. At 100 TB swap in ``approx_percentile`` (t-digest,
+  map-side mergeable, no per-group sort) — same output schema.
+- :func:`sequence_packing` — running-sum window per (group, shard);
+  the shard column keeps any one window partition bounded no matter how
+  skewed the group sizes are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from morphik_core_spark.operators.dedup import normalize_text, portable_hash
+from morphik_core_spark.operators.text_analysis import STOPWORDS
+
+__all__ = [
+    "quality_signals",
+    "quality_filter",
+    "stratified_split",
+    "group_topn",
+    "length_percentiles",
+    "sequence_packing",
+]
+
+# Gopher-inspired rule thresholds (Rae et al. 2021 A1.1), adapted to the
+# synthetic corpus: real Gopher bounds are [50, 100k] words; the sf
+# documents run shorter, so the low bound is scaled down while keeping
+# every rule's *shape* (each rule exercises a distinct expression class:
+# count bound, ratio bound, regex-derived ratio, membership count).
+MIN_WORDS = 10
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_SYMBOL_RATIO = 0.1
+MIN_ALPHA_WORD_RATIO = 0.8
+MIN_STOPWORD_HITS = 2
+
+
+def quality_signals(df: DataFrame, text_col: str, id_col: str, decimals: int = 6) -> DataFrame:
+    """(id, word_count, mean_word_len, symbol_ratio, alpha_word_ratio,
+    stop_hits): the per-document signals the Gopher rules read.
+
+    All ratios are computed from raw integer counts and rounded once at
+    the end (ROUND(x, 6) on both engine and oracle sides — see
+    NOTES.md float-parity lessons). Pure codegen expressions.
+    """
+    t = normalize_text(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.split(t, " ").alias("words"),
+        F.length(t).alias("n_chars_norm"),
+        # chars that are neither lowercase-alnum nor space, post-normalize
+        F.length(F.regexp_replace(t, "[a-z0-9 ]", "")).alias("symbol_chars"),
+    ).withColumn("stop_arr", F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
+    word_count = F.size("words")
+    total_word_len = F.aggregate(
+        F.transform(F.col("words"), lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    alpha_words = F.size(F.expr("filter(words, w -> w rlike '[a-z]')"))
+    stop_hits = F.size(F.expr("filter(words, w -> array_contains(stop_arr, w))"))
+    return base.select(
+        F.col(id_col),
+        word_count.alias("word_count"),
+        F.round(total_word_len / word_count, decimals).alias("mean_word_len"),
+        F.round(F.col("symbol_chars") / F.greatest(F.col("n_chars_norm"), F.lit(1)), decimals).alias(
+            "symbol_ratio"
+        ),
+        F.round(alpha_words / word_count, decimals).alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+
+
+def quality_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Signals + one boolean per rule + the composite ``passes`` verdict.
+
+    Per-rule booleans (not just the verdict) so a curation run can report
+    WHY documents were dropped — the rejection-reason histogram every
+    data-quality dashboard wants.
+    """
+    sig = quality_signals(df, text_col, id_col)
+    rules = {
+        "ok_word_count": (F.col("word_count") >= MIN_WORDS) & (F.col("word_count") <= MAX_WORDS),
+        "ok_word_len": (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN),
+        "ok_symbols": F.col("symbol_ratio") <= MAX_SYMBOL_RATIO,
+        "ok_alpha": F.col("alpha_word_ratio") >= MIN_ALPHA_WORD_RATIO,
+        "ok_stopwords": F.col("stop_hits") >= MIN_STOPWORD_HITS,
+    }
+    out = sig
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    passes = F.lit(True)
+    for name in rules:
+        passes = passes & F.col(name)
+    return out.withColumn("passes", passes)
+
+
+def split_bucket(id_str: Column, buckets: int = 100) -> Column:
+    """Deterministic split bucket in [0, buckets): portable md5 hash of
+    the string id, mod buckets. Stable across runs, engines, cluster
+    sizes — the property a train/val/test split must have (re-running
+    the pipeline after adding documents never moves an old doc between
+    splits)."""
+    return portable_hash(id_str) % buckets
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """(split, strata, n_docs): deterministic hash split summarized per
+    stratum — the audit query run after every split to check the
+    per-language proportions landed.
+
+    One narrow map (hash + CASE) then one small groupBy; at 100 TB the
+    aggregation is map-side partial on (split, strata) — tiny shuffle.
+    """
+    bucket = split_bucket(F.col(id_col).cast("string"))
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        df.select(split.alias("split"), F.col(strata_col).alias("strata"))
+        .groupBy("split", "strata")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def group_topn(
+    df: DataFrame, group_col: str, order_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Top-``n`` rows per group by ``order_col`` descending (id ascending
+    as the deterministic tiebreak): curation sampling — e.g. the n
+    longest / highest-quality documents per language for human review.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+    return (
+        df.select(group_col, id_col, order_col)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+    )
+
+
+def length_percentiles(
+    df: DataFrame, group_col: str, value_col: str, percentiles: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Exact nearest-rank percentiles of ``value_col`` per group:
+    value at row ceil(p*n) of the group ordered ascending. Nearest-rank
+    (not interpolated) keeps every output an actual data value —
+    integer-exact, no float-parity hazard.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    wg = Window.partitionBy(group_col)
+    ranked = df.select(group_col, value_col).withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wg)
+    )
+    aggs = [
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("cnt")), F.col(value_col))
+        ).alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
+def sequence_packing(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    budget: int = 2048,
+) -> DataFrame:
+    """(group, pack_id, n_docs, pack_tokens): concat-then-chunk sequence
+    packing — documents are laid out in deterministic (id) order per
+    group, and each doc belongs to the pack in which it STARTS
+    (cumulative-tokens-before div budget). This is the packing used to
+    build fixed-length LLM training sequences from variable-length
+    documents; packs may overflow the budget by at most one document
+    (the standard "document crosses the boundary" semantics).
+
+    Tokens are whitespace tokens of the normalized text — swap in
+    :func:`~morphik_core_spark.operators.text_analysis.bpe_token_stats`
+    counts for a budget closer to a real tokenizer.
+
+    Scale: the running sum is a window per group — at 100 TB pack within
+    (group, shard) with shard = hash(id) % S instead, which bounds every
+    window partition and only changes WHICH pack a doc lands in, not the
+    packing property itself.
+    """
+    tok = F.size(F.split(normalize_text(F.col(text_col)), " "))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        df.select(F.col(group_col), F.col(id_col), tok.alias("tok"))
+        .withColumn("cum_before", F.coalesce(F.sum("tok").over(w), F.lit(0)))
+        .withColumn("pack_id", F.expr(f"cum_before div {budget}"))
+    )
+    return packed.groupBy(group_col, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("pack_tokens")
+    )

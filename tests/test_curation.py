@@ -1,0 +1,88 @@
+"""Curation operators: quality rules, splits, sampling, percentiles,
+packing — semantic invariants (oracle parity is covered separately in
+test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from morphik_core_spark.operators import curation
+from morphik_core_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, "documents", sf_dir)
+
+
+def test_quality_filter_passes_is_conjunction(docs):
+    out = curation.quality_filter(docs, "text", "doc_id")
+    rule_cols = ["ok_word_count", "ok_word_len", "ok_symbols", "ok_alpha", "ok_stopwords"]
+    conj = F.lit(True)
+    for c in rule_cols:
+        conj = conj & F.col(c)
+    assert out.filter(F.col("passes") != conj).count() == 0
+    # the rules must actually discriminate on this corpus (not vacuous)
+    n_pass = out.filter("passes").count()
+    assert 0 < n_pass <= out.count()
+
+
+def test_stratified_split_deterministic_and_complete(docs):
+    a = curation.stratified_split(docs, "doc_id", "lang").collect()
+    b = curation.stratified_split(docs, "doc_id", "lang").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    total = sum(r.n_docs for r in a)
+    assert total == docs.count()
+    by_split = {}
+    for r in a:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    # 90/5/5 within generous tolerance at 500 docs
+    assert by_split["train"] / total > 0.8
+    assert set(by_split) == {"train", "val", "test"}
+
+
+def test_group_topn_bounds_and_order(docs):
+    out = curation.group_topn(docs, "lang", "n_chars", "doc_id", n=5).collect()
+    per_group: dict[str, list] = {}
+    for r in out:
+        per_group.setdefault(r.lang, []).append(r)
+    n_langs = docs.select("lang").distinct().count()
+    assert len(per_group) == n_langs
+    for rows in per_group.values():
+        assert len(rows) <= 5
+        rows = sorted(rows, key=lambda r: r.rn)
+        assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+        chars = [r.n_chars for r in rows]
+        assert chars == sorted(chars, reverse=True)
+
+
+def test_length_percentiles_are_ordered_data_values(docs):
+    out = curation.length_percentiles(docs, "lang", "n_chars").collect()
+    values = {
+        r.lang: set(x.n_chars for x in docs.filter(F.col("lang") == r.lang).collect())
+        for r in out
+    }
+    for r in out:
+        assert r.p50 <= r.p90 <= r.p99
+        assert {r.p50, r.p90, r.p99} <= values[r.lang]
+
+
+def test_sequence_packing_conserves_docs_and_tokens(docs):
+    budget = 512
+    packs = curation.sequence_packing(docs, "lang", "doc_id", "text", budget=budget)
+    rows = packs.collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    total_tokens = sum(r.pack_tokens for r in rows)
+    from morphik_core_spark.operators.dedup import normalize_text
+
+    expect = docs.select(
+        F.sum(F.size(F.split(normalize_text(F.col("text")), " "))).alias("t")
+    ).first().t
+    assert total_tokens == expect
+    # packs are dense per group: ids 0..max with no gaps (concat layout)
+    per_group: dict[str, list] = {}
+    for r in rows:
+        per_group.setdefault(r.lang, []).append(r.pack_id)
+    for ids in per_group.values():
+        assert sorted(ids) == list(range(max(ids) + 1))
