@@ -434,17 +434,19 @@ def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over hash-embedded documents:
-    sign-LSH blocking → exact cosine ≥ 0.98 on candidates only."""
+    sign-LSH blocking → exact cosine ≥ 0.98 on candidates only.
+
+    Served from the per-bucket Gram-matrix Arrow kernel (two shuffles
+    total); the relational join form (dedup.embedding_near_dup) is the
+    oracle-expressible twin — tests assert pair-set identity."""
     from morphik_core_spark.functions.embedder import hash_embed_components
 
     docs = _t(spark, sf_dir, "documents")
     comps = hash_embed_components(docs, "text", "doc_id", dims=_EMBED_DIMS, seed=_EMBED_SEED)
-    planes = _hyperplanes(spark, sf_dir)[:_NEARDUP_PLANES]
-    hpc_rows = [
-        (b, i, float(v)) for b, hp in enumerate(planes) for i, v in enumerate(hp[:_EMBED_DIMS])
-    ]
-    hpc = spark.createDataFrame(hpc_rows, "b int, hidx bigint, hv double")
-    return dedup.embedding_near_dup(comps, hpc, threshold=_NEARDUP_THRESHOLD, decimals=_SCORE_DECIMALS)
+    planes = [hp[:_EMBED_DIMS] for hp in _hyperplanes(spark, sf_dir)[:_NEARDUP_PLANES]]
+    return dedup.embedding_near_dup_pandas(
+        comps, planes, threshold=_NEARDUP_THRESHOLD, decimals=_SCORE_DECIMALS
+    )
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

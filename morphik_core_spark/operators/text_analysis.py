@@ -142,13 +142,22 @@ def winnow_fingerprints(
 
 
 def winnow_fingerprints_pandas(
-    df: DataFrame, text_col: str, id_col: str, k: int = 8, w: int = 4
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, w: int = 4,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """One-pass Arrow-batched winnowing — the serving form of
     :func:`winnow_fingerprints` (set-identical output, asserted in
     tests): per-row numpy sliding-window minimum, no row explosion, no
     shuffle. Same hash/normalization parity notes as simhash_pandas
-    (md5-prefix 60-bit hashes, ASCII-only trim and \\s)."""
+    (md5-prefix 60-bit hashes, ASCII-only trim and \\s).
+
+    ``parallelism``: optional repartition before the kernel. The kernel
+    is the one pandas op heavy enough (one md5 per char position ≈
+    len(text) hashes/doc) that spreading a narrow input wins: on the
+    single-row-group local testdata a repartition(32) cuts 2.7 s → 0.7 s
+    at sf0.1 — the exception to the NOTES.md "don't auto-repartition
+    before pandas kernels" rule, which still holds for cheap kernels.
+    At 100 TB inputs are already wide; leave None."""
     import hashlib
     import re as _re
 

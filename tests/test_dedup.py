@@ -161,3 +161,40 @@ def test_embedding_near_dup_bucket_cap(spark):
     )
     assert uncapped.count() == 15  # all 6 docs share one bucket → C(6,2)
     assert capped.count() == 0  # hot bucket dropped before the self-join
+
+
+def test_embedding_near_dup_pandas_matches_relational(spark, docs):
+    """The Arrow serving twin must produce the exact pair set + rounded
+    cosines of the relational (oracle) form on the real corpus."""
+    from morphik_core_spark.functions.embedder import hash_embed_components
+
+    comps = hash_embed_components(docs, "text", "doc_id", dims=16, seed=42)
+    planes = [
+        [float(x) for x in r.embedding[:16]]
+        for r in spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter("vec_id between 1 and 4")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    hpc_rows = [(b, i, v) for b, hp in enumerate(planes) for i, v in enumerate(hp)]
+    hpc = spark.createDataFrame(hpc_rows, "b int, hidx bigint, hv double")
+    rel = dedup.embedding_near_dup(comps, hpc, threshold=0.9, id_col="doc_id")
+    fast = dedup.embedding_near_dup_pandas(comps, planes, threshold=0.9, id_col="doc_id")
+    rel_rows = sorted((r.id_a, r.id_b, r.cos) for r in rel.collect())
+    fast_rows = sorted((r.id_a, r.id_b, r.cos) for r in fast.collect())
+    assert rel_rows == fast_rows
+    assert len(rel_rows) > 0  # threshold low enough that pairs exist
+
+
+def test_embedding_near_dup_pandas_bucket_cap(spark):
+    comps = spark.createDataFrame(
+        [(i, 0, 10) for i in range(6)] + [(i, 1, 1) for i in range(6)],
+        "doc_id long, idx bigint, val long",
+    )
+    planes = [[1.0, 0.0]]
+    uncapped = dedup.embedding_near_dup_pandas(comps, planes, threshold=0.5, id_col="doc_id")
+    capped = dedup.embedding_near_dup_pandas(
+        comps, planes, threshold=0.5, id_col="doc_id", max_bucket_size=5
+    )
+    assert uncapped.count() == 15
+    assert capped.count() == 0
