@@ -472,8 +472,12 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     min). Served from the one-pass Arrow kernel; the relational window
     form is the oracle twin (tests assert set-identity)."""
     docs = _t(spark, sf_dir, "documents")
+    # the md5-per-char-position kernel is the one pandas op heavy enough
+    # that spreading the narrow (single-row-group) local input wins; at
+    # cluster scale the scan is already wide and this becomes a no-op cost
     return text_analysis.winnow_fingerprints_pandas(
-        docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W
+        docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
 
 

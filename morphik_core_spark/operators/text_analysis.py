@@ -188,6 +188,10 @@ def winnow_fingerprints_pandas(
 
     from pyspark.sql.functions import pandas_udf
 
+    if parallelism:
+        # round-robin, not keyed: the kernel is per-row, any even spread works
+        df = df.repartition(parallelism)
+
     # unannotated lambda → SCALAR (see simhash_pandas note on stringified hints)
     _udf = pandas_udf(lambda texts: _fps(texts), "array<long>")
     return df.select(
