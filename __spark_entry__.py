@@ -533,6 +533,35 @@ def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.sequence_packing(docs, "lang", "doc_id", "text", budget=_PACK_BUDGET)
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate-cluster resolution: banded-LSH candidate pairs
+    → connected components (iterative min-label propagation, one shuffle
+    per round, rounds = cluster diameter) → canonical keeper + cluster
+    size for EVERY document (docs in no pair keep themselves). The
+    DuckDB oracle is the same fixpoint as a WITH RECURSIVE reachability
+    closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _q_lsh_pairs(spark, sf_dir)
+    out = dedup.resolve_duplicate_clusters(docs, pairs, "doc_id")
+    return out.select(
+        "doc_id", "keeper_id", F.col("cluster_size").cast("bigint").alias("cluster_size")
+    )
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style train/eval decontamination: per train-split document,
+    word-3-gram overlap against the eval split's shingle set (same
+    deterministic hash split as stratified_split); the flag compares in
+    pure int space so engine and oracle can't diverge on a boundary."""
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.decontaminate(docs, "text", "doc_id")
+    # int, not boolean: the driver hashes values and bool text forms differ
+    return out.select(
+        "doc_id", "n_shingles", "n_shared", "overlap_ratio",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
 def _q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event aggregation (batch form of the streaming agg).
     Decimal-cast sums keep the values exact → engine-independent."""
@@ -933,6 +962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_topn": _q_group_topn,
         "length_percentiles": _q_length_percentiles,
         "sequence_packing": _q_sequence_packing,
+        "dup_clusters": _q_dup_clusters,
+        "decontaminate": _q_decontaminate,
         "event_window_agg": _q_event_window_agg,
         "hash_embed_retrieval": _q_hash_embed_retrieval,
         "chunk_stats": _q_chunk_stats,
@@ -992,6 +1023,32 @@ def _minhash_select() -> str:
 
 
 _MINHASH_CTES = f"WITH {_TOKENS_CTE}, {_SHINGLES_CTE}, {_H30_CTE}"
+
+
+def _lsh_ctes(recursive: bool = False) -> str:
+    """Shared CTE chain ending in ``cand`` = the banded-LSH candidate
+    pairs (used by the lsh_pairs oracle and, with WITH RECURSIVE, by the
+    dup_clusters connected-components oracle)."""
+    head = _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1) if recursive else _MINHASH_CTES
+    return f"""{head},
+            sig AS ({_minhash_select()}),
+            buckets AS (
+                SELECT doc_id, 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS key FROM sig
+                UNION ALL SELECT doc_id, 1, mh2::VARCHAR || '_' || mh3::VARCHAR FROM sig
+                UNION ALL SELECT doc_id, 2, mh4::VARCHAR || '_' || mh5::VARCHAR FROM sig
+                UNION ALL SELECT doc_id, 3, mh6::VARCHAR || '_' || mh7::VARCHAR FROM sig
+            ),
+            capped AS (
+                SELECT b.* FROM buckets b JOIN (
+                    SELECT band, key FROM buckets
+                    GROUP BY band, key HAVING count(*) <= {_LSH_MAX_BUCKET}
+                ) ok USING (band, key)
+            ),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM capped l JOIN capped r
+                  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+            )"""
 
 _STOPLIST = {lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lang, ws in text_analysis.STOPWORDS.items()}
 
@@ -1178,23 +1235,55 @@ def oracle_sql() -> dict[str, str]:
             {_minhash_select()}
         """,
         "lsh_pairs": f"""
-            {_MINHASH_CTES},
-            sig AS ({_minhash_select()}),
-            buckets AS (
-                SELECT doc_id, 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS key FROM sig
-                UNION ALL SELECT doc_id, 1, mh2::VARCHAR || '_' || mh3::VARCHAR FROM sig
-                UNION ALL SELECT doc_id, 2, mh4::VARCHAR || '_' || mh5::VARCHAR FROM sig
-                UNION ALL SELECT doc_id, 3, mh6::VARCHAR || '_' || mh7::VARCHAR FROM sig
+            {_lsh_ctes()}
+            SELECT id_a, id_b FROM cand
+        """,
+        "dup_clusters": f"""
+            {_lsh_ctes(recursive=True)},
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM cand
+                UNION ALL SELECT id_b, id_a FROM cand
             ),
-            capped AS (
-                SELECT b.* FROM buckets b JOIN (
-                    SELECT band, key FROM buckets
-                    GROUP BY band, key HAVING count(*) <= {_LSH_MAX_BUCKET}
-                ) ok USING (band, key)
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            reach(node, lbl) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src
+            ),
+            comp AS (SELECT node, MIN(lbl) AS keeper_id FROM reach GROUP BY node),
+            sizes AS (SELECT keeper_id, COUNT(*) AS n FROM comp GROUP BY keeper_id)
+            SELECT d.doc_id,
+                   COALESCE(c.keeper_id, d.doc_id) AS keeper_id,
+                   CAST(COALESCE(s.n, 1) AS BIGINT) AS cluster_size
+            FROM documents d
+            LEFT JOIN comp c ON d.doc_id = c.node
+            LEFT JOIN sizes s ON c.keeper_id = s.keeper_id
+        """,
+        "decontaminate": f"""
+            WITH b AS (
+                SELECT doc_id, text,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+                FROM documents
+            ),
+            btk AS (SELECT doc_id, bucket, string_split({_NORM_TEXT}, ' ') AS tk FROM b),
+            bsh AS (
+                SELECT doc_id, bucket, unnest(list_distinct(list_transform(
+                    range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+                FROM btk WHERE len(tk) >= 3
+            ),
+            eval_sh AS (SELECT DISTINCT shingle FROM bsh WHERE bucket >= 95),
+            agg AS (
+                SELECT t.doc_id,
+                       COUNT(*) AS n_shingles,
+                       CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+                FROM (SELECT doc_id, shingle FROM bsh WHERE bucket < 90) t
+                LEFT JOIN eval_sh e ON t.shingle = e.shingle
+                GROUP BY t.doc_id
             )
-            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-            FROM capped l JOIN capped r
-              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+            SELECT doc_id, n_shingles, n_shared,
+                   ROUND(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS overlap_ratio,
+                   CAST(n_shared * 10 >= n_shingles AS INT) AS contaminated
+            FROM agg
         """,
         "simhash": f"""
             WITH {_TOKENS_CTE},

@@ -230,3 +230,63 @@ def sequence_packing(
     return packed.groupBy(group_col, "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("pack_tokens")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    train_max_bucket: int = 90,
+    eval_min_bucket: int = 95,
+    flag_tenths: int = 1,
+) -> DataFrame:
+    """(id, n_shingles, n_shared, overlap_ratio, contaminated) per TRAIN
+    document: word-``shingle_n``-gram overlap against the EVAL split —
+    the GPT-3-style train/test decontamination check (Brown et al. 2020
+    appendix C flags training documents sharing 13-grams with benchmark
+    data; the n is a parameter here, the plan is the same).
+
+    Splits reuse :func:`split_bucket` (train = bucket < train_max_bucket,
+    eval = bucket >= eval_min_bucket), so the check is consistent with
+    :func:`stratified_split` by construction. ``contaminated`` flags docs
+    whose shared-shingle fraction reaches ``flag_tenths``/10 — the
+    comparison is pure int arithmetic (``10*shared >= tenths*total``), so
+    engine and oracle can never disagree on a float boundary.
+
+    Scale shape: one explode per side, ONE equi-join on the shingle
+    string (train side streams; the distinct eval shingle set is the
+    build side and is orders of magnitude smaller — AQE broadcasts it
+    when it fits), one groupBy on the doc id with map-side partials.
+    Documents with fewer than ``shingle_n`` tokens have no shingles and
+    are excluded (same convention as word_shingles/MinHash).
+    """
+    from morphik_core_spark.operators.dedup import word_shingles
+
+    bucket = split_bucket(F.col(id_col).cast("string"))
+    with_bucket = docs.withColumn("_bk", bucket)
+    train_sh = word_shingles(
+        with_bucket.filter(F.col("_bk") < train_max_bucket), text_col, id_col, n=shingle_n
+    )
+    eval_sh = (
+        word_shingles(
+            with_bucket.filter(F.col("_bk") >= eval_min_bucket), text_col, id_col, n=shingle_n
+        )
+        .select("shingle")
+        .distinct()
+    )
+    hit = F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+    joined = train_sh.join(
+        eval_sh.withColumn("_hit", F.lit(1)), "shingle", "left"
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(hit).alias("n_shared"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_shingles",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("overlap_ratio"),
+        (F.col("n_shared") * 10 >= F.col("n_shingles") * flag_tenths).alias("contaminated"),
+    )

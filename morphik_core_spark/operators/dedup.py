@@ -44,6 +44,8 @@ __all__ = [
     "jaccard_pairs",
     "embedding_near_dup",
     "embedding_near_dup_pandas",
+    "connected_components",
+    "resolve_duplicate_clusters",
 ]
 
 # 60-bit hash keeps (a*h30 + b) inside int64 after the 30-bit fold
@@ -504,3 +506,104 @@ def embedding_near_dup_pandas(
         _pairs, "id_a bigint, id_b bigint, cos double"
     )
     return out.select("id_a", "id_b", F.round("cos", decimals).alias("cos"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """(node, component) for every node in the ``(id_a, id_b)`` pair list:
+    component = the smallest node id reachable through the pair graph —
+    the canonical duplicate-cluster id.
+
+    This is the step every dedup pipeline runs AFTER candidate-pair
+    generation (LSH / Jaccard / embedding near-dup emit PAIRS; keeping
+    one document per transitive cluster needs the component). Classic
+    iterative min-label propagation:
+
+    1. every node starts labeled with itself,
+    2. each round, a node's label becomes the min of its own and its
+       neighbors' labels (one equi-join + one groupBy-min per round),
+    3. stop when a round changes nothing.
+
+    Rounds needed = graph diameter, which for near-dup clusters is tiny
+    (clusters are cliques or near-cliques from banded LSH, diameter ≤ 3
+    in practice). Each round is ONE shuffle keyed on node id; the edge
+    list is re-used across rounds (persisted), and per-round results are
+    ``localCheckpoint``-ed so lineage doesn't re-derive the whole chain
+    (same pattern as folders.descendants_by_id). At web scale with
+    billion-edge graphs you'd switch to alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    same primitive ops, fewer rounds on high-diameter graphs; near-dup
+    graphs don't have high diameter, so plain propagation is the right
+    default.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # neighbor labels flow along edges; keep the min of (own, incoming)
+        incoming = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(incoming)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    edges.unpersist()
+    return labels
+
+
+def resolve_duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """(id, keeper_id, cluster_size) for EVERY document: transitive
+    duplicate clusters resolved to a canonical keeper (min id in the
+    component); documents in no pair keep themselves, size 1.
+
+    The full dedup-resolution contract: ``filter(id == keeper_id)``
+    is the deduplicated corpus, ``filter(id != keeper_id)`` the drop
+    list. Joining components back to the corpus is a left join on the
+    doc id — components are tiny next to the corpus (only docs that
+    appeared in a candidate pair), so AQE broadcasts it.
+    """
+    comp = connected_components(pairs, max_iterations=max_iterations)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("_csize"))
+    comp_sized = comp.join(sizes, "component").select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("keeper_id"),
+        F.col("_csize").alias("cluster_size"),
+    )
+    return (
+        docs.select(id_col)
+        .join(comp_sized, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("keeper_id", F.col(id_col)).alias("keeper_id"),
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+        )
+    )

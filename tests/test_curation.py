@@ -86,3 +86,31 @@ def test_sequence_packing_conserves_docs_and_tokens(docs):
         per_group.setdefault(r.lang, []).append(r.pack_id)
     for ids in per_group.values():
         assert sorted(ids) == list(range(max(ids) + 1))
+
+
+def test_decontaminate_flags_overlapping_train_doc(spark):
+    """Doc whose id hashes into the train bucket and shares a 3-gram with
+    an eval-bucket doc gets counted; the int-space flag trips at >=10%."""
+    from morphik_core_spark.operators import curation
+    from morphik_core_spark.operators.dedup import portable_hash
+    from pyspark.sql import functions as F
+
+    # find ids landing in train (<90) and eval (>=95) buckets deterministically
+    probe = spark.createDataFrame([(i,) for i in range(200)], "doc_id long").select(
+        "doc_id", (portable_hash(F.col("doc_id").cast("string")) % 100).alias("bk")
+    )
+    buckets = {r.doc_id: r.bk for r in probe.collect()}
+    train_id = next(i for i, b in buckets.items() if b < 90)
+    eval_id = next(i for i, b in buckets.items() if b >= 95)
+    docs = spark.createDataFrame(
+        [
+            (train_id, "alpha beta gamma delta"),     # shares 'alpha beta gamma'
+            (eval_id, "alpha beta gamma epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curation.decontaminate(docs, "text", "doc_id").collect()}
+    assert set(out) == {train_id}  # eval docs are never scored
+    r = out[train_id]
+    assert (r.n_shingles, r.n_shared) == (2, 1)
+    assert r.contaminated is True  # 10*1 >= 2

@@ -198,3 +198,24 @@ def test_embedding_near_dup_pandas_bucket_cap(spark):
     )
     assert uncapped.count() == 15
     assert capped.count() == 0
+
+
+def test_connected_components_chain_and_cycle(spark):
+    """Transitive closure: a chain (1-2, 2-3) and a cycle (10-11, 11-12,
+    10-12) each collapse to one component labeled by their min id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12)], "id_a long, id_b long"
+    )
+    comp = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_resolve_duplicate_clusters_keeps_isolated_docs(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], "id_a long, id_b long")
+    rows = {r.doc_id: (r.keeper_id, r.cluster_size)
+            for r in dedup.resolve_duplicate_clusters(docs, pairs, "doc_id").collect()}
+    assert rows == {0: (0, 1), 1: (1, 3), 2: (2, 1), 3: (3, 1), 4: (1, 3), 5: (1, 3)}
+    # the dedup contract: keepers form the surviving corpus
+    keepers = {d for d, (k, _) in rows.items() if d == k}
+    assert keepers == {0, 1, 2, 3, 5 - 2}  # 0,1,2,3 survive; 4,5 drop
