@@ -540,16 +540,21 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
+    # pairs are distinct with id_a < id_b, so the two-direction union is
+    # already duplicate-free — no distinct() shuffle needed
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # fold round 1 into initialization: label0 = min(self, neighbors) is
+    # one groupBy straight off the edge list (every node appears as dst).
+    # Diameter-1 clusters — the common near-dup case — then converge on
+    # the first loop check instead of the second.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("_minn"))
+        .select("node", F.least("node", "_minn").alias("component"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
