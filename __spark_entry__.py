@@ -533,6 +533,27 @@ def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.sequence_packing(docs, "lang", "doc_id", "text", budget=_PACK_BUDGET)
 
 
+# target mixture: per-source keep percentage (a LLaMA/Pile-style weight
+# table); deterministic so the oracle can embed the same VALUES literal
+_MIXTURE_RATES = {f"src{i}": 15 + (7 * i) % 86 for i in range(20)}
+
+
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style word-2-gram repetition signals: most-frequent-gram and
+    duplicated-gram occurrence fractions (boilerplate/looping-text cull)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.repetition_signals(docs, "text", "doc_id", n=2)
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: per-source keep rates via a
+    broadcast rates dimension + pure map-side hash filter (no fact
+    shuffle); membership depends only on (salt, doc_id) so re-weighting
+    one source never reshuffles another."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.mixture_sample(docs, "doc_id", "source", _MIXTURE_RATES)
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate-cluster resolution: banded-LSH candidate pairs
     → connected components (iterative min-label propagation, one shuffle
@@ -964,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "dup_clusters": _q_dup_clusters,
         "decontaminate": _q_decontaminate,
+        "repetition_signals": _q_repetition_signals,
+        "mixture_sample": _q_mixture_sample,
         "event_window_agg": _q_event_window_agg,
         "hash_embed_retrieval": _q_hash_embed_retrieval,
         "chunk_stats": _q_chunk_stats,
@@ -1258,6 +1281,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN comp c ON d.doc_id = c.node
             LEFT JOIN sizes s ON c.keeper_id = s.keeper_id
+        """,
+        "repetition_signals": f"""
+            WITH {_TOKENS_CTE},
+            g AS (
+                SELECT doc_id, unnest(list_transform(
+                    range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
+                FROM tk WHERE len(tk) >= 2
+            ),
+            c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram),
+            a AS (
+                SELECT doc_id,
+                       CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                       CAST(COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt END), 0) AS BIGINT) AS dup_grams
+                FROM c GROUP BY doc_id
+            ),
+            t AS (
+                SELECT doc_id, gram AS top_gram, cnt AS top_count FROM (
+                    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+                    FROM c
+                ) WHERE rn = 1
+            )
+            SELECT a.doc_id, n_grams, top_gram, CAST(top_count AS BIGINT) AS top_count,
+                   ROUND(CAST(top_count AS DOUBLE) / n_grams, 6) AS top_frac,
+                   ROUND(CAST(dup_grams AS DOUBLE) / n_grams, 6) AS dup_frac
+            FROM a JOIN t USING (doc_id)
+        """,
+        "mixture_sample": f"""
+            WITH rates(source, rate_pct) AS (VALUES
+                {", ".join(f"('{s}', {p})" for s, p in _MIXTURE_RATES.items())}
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN rates r USING (source)
+            WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+                  < r.rate_pct
         """,
         "decontaminate": f"""
             WITH b AS (

@@ -44,6 +44,8 @@ __all__ = [
     "group_topn",
     "length_percentiles",
     "sequence_packing",
+    "decontaminate",
+    "mixture_sample",
 ]
 
 # Gopher-inspired rule thresholds (Rae et al. 2021 A1.1), adapted to the
@@ -289,4 +291,36 @@ def decontaminate(
         "n_shared",
         F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("overlap_ratio"),
         (F.col("n_shared") * 10 >= F.col("n_shingles") * flag_tenths).alias("contaminated"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    rates: dict[str, int],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep each row with its
+    domain's probability (``rates`` maps domain → keep percentage) —
+    how a training mixture is weighted across sources (cf. The Pile /
+    LLaMA sampling weight tables) while staying reproducible: membership
+    depends only on (salt, id), so re-runs and engine swaps keep the
+    exact same documents, and re-weighting one domain never reshuffles
+    another (each draw is an independent hash, not a global sort).
+
+    Scale shape: the rates table is a dimension — broadcast join, then a
+    pure map-side hash filter; no shuffle of the fact side at all.
+    Domains missing from ``rates`` are dropped (inner join), matching the
+    "mixture definition IS the corpus definition" convention.
+    """
+    spark = df.sparkSession
+    rates_df = spark.createDataFrame(
+        [(k, int(v)) for k, v in rates.items()], f"{domain_col} string, rate_pct int"
+    )
+    bucket = portable_hash(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 100
+    return (
+        df.join(F.broadcast(rates_df), domain_col)
+        .filter(bucket < F.col("rate_pct"))
+        .select(id_col, domain_col)
     )

@@ -23,6 +23,7 @@ __all__ = [
     "winnow_fingerprints",
     "winnow_fingerprints_pandas",
     "bpe_token_stats",
+    "repetition_signals",
     "BPE_TOKEN_RE",
     "STOPWORDS",
 ]
@@ -223,4 +224,59 @@ def bpe_token_stats(df: DataFrame, text_col: str, id_col: str, decimals: int = 6
         ws.alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
         F.round(F.length(t) / F.greatest(bpe, F.lit(1)), decimals).alias("chars_per_token"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2, decimals: int = 6
+) -> DataFrame:
+    """(id, n_grams, top_gram, top_count, top_frac, dup_frac): Gopher-style
+    word-n-gram repetition signals (Rae et al. 2021 A1.1 — "fraction of
+    characters in the most frequent / in duplicated n-grams", counted in
+    gram occurrences here): boilerplate and looping text score high and
+    get culled before training.
+
+    top_frac = occurrences of the single most frequent n-gram / all n-gram
+    occurrences; dup_frac = occurrences of n-grams seen 2+ times / all
+    occurrences. Ratios derive from raw int counts, rounded once (float
+    parity rules in NOTES.md). Deterministic top gram under count ties:
+    (count DESC, gram ASC) — same row_number ordering in the oracle.
+
+    Scale: one groupBy on (id, gram) with map-side partials, then a
+    per-doc window whose partitions are bounded by the per-document
+    distinct-gram count (not corpus size) — no skew for any real document
+    length. Docs shorter than n tokens yield no grams and are excluded
+    (the MinHash/shingle convention).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.expr(
+        f"transform(sequence(0, size(tk) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))}))"
+    )
+    counts = (
+        df.select(F.col(id_col), toks.alias("tk"))
+        .filter(F.size("tk") >= n)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    aggs = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.coalesce(F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))), F.lit(0)).alias("dup_grams"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("gram").alias("top_gram"), F.col("cnt").alias("top_count"))
+    )
+    return aggs.join(top, id_col).select(
+        F.col(id_col),
+        "n_grams",
+        "top_gram",
+        "top_count",
+        F.round(F.col("top_count") / F.col("n_grams"), decimals).alias("top_frac"),
+        F.round(F.col("dup_grams") / F.col("n_grams"), decimals).alias("dup_frac"),
     )

@@ -114,3 +114,25 @@ def test_decontaminate_flags_overlapping_train_doc(spark):
     r = out[train_id]
     assert (r.n_shingles, r.n_shared) == (2, 1)
     assert r.contaminated is True  # 10*1 >= 2
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from morphik_core_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(i, "dom_a" if i % 2 == 0 else "dom_b") for i in range(400)],
+        "doc_id long, source string",
+    )
+    rates = {"dom_a": 100, "dom_b": 0}
+    out = curation.mixture_sample(docs, "doc_id", "source", rates)
+    rows = out.collect()
+    assert len(rows) == 200 and all(r.source == "dom_a" for r in rows)
+    # determinism: same inputs -> identical membership set
+    again = curation.mixture_sample(docs, "doc_id", "source", rates).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+    # unknown domains are dropped (inner join against the rates dim)
+    partial = curation.mixture_sample(docs, "doc_id", "source", {"dom_a": 50})
+    assert partial.filter("source = 'dom_b'").count() == 0
+    # ~50% keep rate, hash-uniform: allow a generous band
+    kept = partial.count()
+    assert 60 <= kept <= 140

@@ -53,3 +53,27 @@ def test_bpe_token_stats_counts_punctuation(docs):
     assert out[5].bpe_tokens > out[5].ws_tokens
     for r in out.values():
         assert r.chars_per_token > 0
+
+
+def test_repetition_signals_counts_and_ties(spark):
+    from morphik_core_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # grams: a-b ×3, b-a ×2 → top 'a b' 3/5, dup 5/5
+            (2, "x y z w"),            # all grams unique → dup 0
+            (3, "q"),                  # < 2 tokens → excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_analysis.repetition_signals(docs, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1.n_grams, r1.top_gram, r1.top_count) == (5, "a b", 3)
+    assert r1.top_frac == 0.6 and r1.dup_frac == 1.0
+    r2 = out[2]
+    assert (r2.n_grams, r2.top_count, r2.dup_frac) == (3, 1, 0.0)
+    # deterministic tie: equal counts -> lexicographically smallest gram
+    tie = spark.createDataFrame([(9, "b a c")], "doc_id long, text string")
+    rt = text_analysis.repetition_signals(tie, "text", "doc_id").collect()[0]
+    assert rt.top_gram == "a c"
