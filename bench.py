@@ -12,7 +12,9 @@ from __future__ import annotations
 import json
 import os
 import re
+import sys
 import time
+import traceback
 
 import __spark_entry__ as entry_mod
 from morphik_core_spark.session import get_spark
@@ -30,14 +32,19 @@ def main() -> None:
 
     spark = get_spark(app_name="morphik_core_spark_bench")
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     # warm the JVM + parquet footers once so per-query numbers measure the
     # plans, not first-touch costs; same for the constant driver-side
-    # lookups (query vector, LSH hyperplanes) that parameterize queries
-    entry_mod.queries()["status_counts"](spark, sf_dir).count()
-    entry_mod._query_vector(spark, sf_dir)
-    entry_mod._hyperplanes(spark, sf_dir)
-    entry_mod._centroids(spark, sf_dir)
+    # lookups (query vector, LSH hyperplanes) that parameterize queries.
+    # Warmup failures are non-fatal: queries just pay their own first-touch.
+    try:
+        entry_mod.queries()["status_counts"](spark, sf_dir).count()
+        entry_mod._query_vector(spark, sf_dir)
+        entry_mod._hyperplanes(spark, sf_dir)
+        entry_mod._centroids(spark, sf_dir)
+    except Exception:
+        print("bench: warmup failed (continuing)", file=sys.stderr)
 
     def timed(fn) -> float:
         # min of two runs: the first run can absorb scheduler/JIT noise
@@ -49,10 +56,19 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         return round(best, 4)
 
-    for name, fn in entry_mod.queries().items():
-        timings[name] = timed(lambda fn=fn: _materialize(fn(spark, sf_dir)))
+    def timed_safe(name: str, fn) -> None:
+        # one broken query must never zero the whole bench round — record
+        # the error, keep the JSON line parseable, and keep going
+        try:
+            timings[name] = timed(fn)
+        except Exception:
+            errors[name] = traceback.format_exc(limit=3).splitlines()[-1][:300]
+            print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
 
-    timings["entry_flagship"] = timed(lambda: entry_mod.entry(spark).collect())
+    for name, fn in entry_mod.queries().items():
+        timed_safe(name, lambda fn=fn: _materialize(fn(spark, sf_dir)))
+
+    timed_safe("entry_flagship", lambda: entry_mod.entry(spark).collect())
 
     # ingestion throughput: clean -> chunk -> embed over the documents
     # table (the reference's north-star batch pipeline)
@@ -61,32 +77,31 @@ def main() -> None:
     from morphik_core_spark.sources.tables import load_table
     from morphik_core_spark.streaming.ingestion import ingest_batch
 
-    raw = load_table(spark, "documents", sf_dir).select(
-        F.col("doc_id").cast("string").alias("external_id"),
-        F.lit(None).cast("string").alias("filename"),
-        F.lit("text/plain").alias("content_type"),
-        "text",
-        F.lit(None).cast("string").alias("metadata"),
-        F.col("source").alias("app_id"),
-        F.lit(None).cast("string").alias("folder_path"),
-    )
     def run_ingest():
+        raw = load_table(spark, "documents", sf_dir).select(
+            F.col("doc_id").cast("string").alias("external_id"),
+            F.lit(None).cast("string").alias("filename"),
+            F.lit("text/plain").alias("content_type"),
+            "text",
+            F.lit(None).cast("string").alias("metadata"),
+            F.col("source").alias("app_id"),
+            F.lit(None).cast("string").alias("folder_path"),
+        )
         documents, chunks = ingest_batch(raw, chunk_size=512, chunk_overlap=64)
         _materialize(chunks)
 
-    timings["ingest_pipeline"] = timed(run_ingest)
+    timed_safe("ingest_pipeline", run_ingest)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
