@@ -533,6 +533,16 @@ def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.sequence_packing(docs, "lang", "doc_id", "text", budget=_PACK_BUDGET)
 
 
+def _q_sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of sequence packing: the running-sum window
+    partitions by (lang, shard) with shard = portable_hash(doc_id) % 4, so
+    no window partition's size equals a whole language's corpus. Pack ids
+    are namespaced per shard (shard * 2^40 + local pack) — the oracle
+    mirrors the exact shard arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.sequence_packing(docs, "lang", "doc_id", "text", budget=_PACK_BUDGET, shards=4)
+
+
 # target mixture: per-source keep percentage (a LLaMA/Pile-style weight
 # table); deterministic so the oracle can embed the same VALUES literal
 _MIXTURE_RATES = {f"src{i}": 15 + (7 * i) % 86 for i in range(20)}
@@ -983,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_topn": _q_group_topn,
         "length_percentiles": _q_length_percentiles,
         "sequence_packing": _q_sequence_packing,
+        "sequence_packing_sharded": _q_sequence_packing_sharded,
         "dup_clusters": _q_dup_clusters,
         "decontaminate": _q_decontaminate,
         "repetition_signals": _q_repetition_signals,
@@ -1641,6 +1652,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks
             )
             SELECT lang, cum_before // {_PACK_BUDGET} AS pack_id,
+                   COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS pack_tokens
+            FROM c GROUP BY lang, pack_id
+        """,
+        "sequence_packing_sharded": f"""
+            WITH toks AS (
+                SELECT lang, doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 AS shard,
+                       len(string_split({_NORM_TEXT}, ' ')) AS tok
+                FROM documents
+            ),
+            c AS (
+                SELECT lang, shard, tok,
+                       CAST(COALESCE(SUM(tok) OVER (
+                           PARTITION BY lang, shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+                FROM toks
+            )
+            SELECT lang,
+                   shard * 1099511627776 + cum_before // {_PACK_BUDGET} AS pack_id,
                    COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS pack_tokens
             FROM c GROUP BY lang, pack_id
         """,

@@ -194,12 +194,21 @@ def length_percentiles(
     return ranked.groupBy(group_col).agg(*aggs)
 
 
+#: pack-id namespace per shard: pack_id = shard * 2^40 + local pack.
+#: 2^40 packs/shard × a 2048-token budget ≈ 2.2e15 tokens per (group, shard)
+#: before overflow, while shard ≤ 2^20 keeps the composite id inside int64.
+PACK_SHARD_STRIDE = 1 << 40
+
+
 def sequence_packing(
     df: DataFrame,
     group_col: str,
     id_col: str,
     text_col: str,
     budget: int = 2048,
+    shards: int | None = None,
+    auto_shard_rows: int = 5_000_000,
+    auto_shards: int = 64,
 ) -> DataFrame:
     """(group, pack_id, n_docs, pack_tokens): concat-then-chunk sequence
     packing — documents are laid out in deterministic (id) order per
@@ -213,22 +222,47 @@ def sequence_packing(
     :func:`~morphik_core_spark.operators.text_analysis.bpe_token_stats`
     counts for a budget closer to a real tokenizer.
 
-    Scale: the running sum is a window per group — at 100 TB pack within
-    (group, shard) with shard = hash(id) % S instead, which bounds every
-    window partition and only changes WHICH pack a doc lands in, not the
-    packing property itself.
+    Scale: a window partitioned by the raw group key alone means
+    #(window partitions) == #(groups) — a 5-language corpus at 100 TB is
+    5 single-reducer running sums. So above ``auto_shard_rows`` rows
+    (bounded limit-probe, never a full count) the window partitions by
+    (group, shard) with shard = portable_hash(id) % shards: every
+    partition is bounded, and sharding only changes WHICH pack a doc
+    lands in (pack ids are namespaced per shard via
+    :data:`PACK_SHARD_STRIDE`), not the packing property itself. Pass
+    ``shards=N`` to force sharding, ``shards=0``/``1`` to disable.
     """
     tok = F.size(F.split(normalize_text(F.col(text_col)), " "))
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    packed = (
-        df.select(F.col(group_col), F.col(id_col), tok.alias("tok"))
-        .withColumn("cum_before", F.coalesce(F.sum("tok").over(w), F.lit(0)))
-        .withColumn("pack_id", F.expr(f"cum_before div {budget}"))
-    )
+    sel = df.select(F.col(group_col), F.col(id_col), tok.alias("tok"))
+    if shards is None:
+        probe_ok = sel.limit(auto_shard_rows + 1).count() <= auto_shard_rows
+        shards = 0 if probe_ok else auto_shards
+    if shards and shards > 1:
+        sel = sel.withColumn(
+            "_shard", portable_hash(F.col(id_col).cast("string")) % F.lit(shards)
+        )
+        w = (
+            Window.partitionBy(group_col, "_shard")
+            .orderBy(F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        packed = (
+            sel.withColumn("cum_before", F.coalesce(F.sum("tok").over(w), F.lit(0)))
+            .withColumn(
+                "pack_id",
+                F.col("_shard") * F.lit(PACK_SHARD_STRIDE) + F.expr(f"cum_before div {budget}"),
+            )
+        )
+    else:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        packed = (
+            sel.withColumn("cum_before", F.coalesce(F.sum("tok").over(w), F.lit(0)))
+            .withColumn("pack_id", F.expr(f"cum_before div {budget}"))
+        )
     return packed.groupBy(group_col, "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("pack_tokens")
     )

@@ -82,13 +82,30 @@ def authorized_documents(
     return documents.filter(pred).select(F.col(id_col).alias("document_id"))
 
 
-def scoped_chunks(chunks: DataFrame, auth_docs: DataFrame, doc_col: str = "document_id") -> DataFrame:
-    """Restrict the chunks fact table to authorized documents.
+def scoped_chunks(
+    chunks: DataFrame,
+    auth_docs: DataFrame,
+    doc_col: str = "document_id",
+    broadcast_threshold: int | None = 1_000_000,
+) -> DataFrame:
+    """Restrict the chunks fact table to authorized documents
+    (pgvector_store.py:469-471 ``WHERE document_id IN``).
 
-    Broadcast left-semi: the authorized id set is small relative to chunks,
-    so the fact table never shuffles.
+    The authorized-doc set is unbounded: a selective filter yields a handful
+    of ids (broadcast semi-join — the fact table never shuffles), but a
+    permissive filter (``status='completed'`` alone) authorizes nearly every
+    document, and broadcasting a 100M-row id set is a driver/executor OOM at
+    scale, not merely a slow plan. A bounded probe decides: ``limit(N+1)``
+    compiles to Local/GlobalLimit, so every scan task stops after N+1 rows —
+    the probe's cost is capped regardless of table size. ≤N ids → explicit
+    broadcast (~40 MB hashed relation at the 1M default); >N → no hint, the
+    semi-join shuffles on ``doc_col`` and AQE stays free to re-plan from real
+    runtime sizes. ``broadcast_threshold=None`` skips the probe and forces
+    the broadcast (callers that know the set is tiny by construction).
     """
-    return chunks.join(F.broadcast(auth_docs), on=doc_col, how="left_semi")
+    if broadcast_threshold is None or auth_docs.limit(broadcast_threshold + 1).count() <= broadcast_threshold:
+        auth_docs = F.broadcast(auth_docs)
+    return chunks.join(auth_docs, on=doc_col, how="left_semi")
 
 
 def score_chunks(chunks: DataFrame, query_vector: Sequence[float], embedding_col: str = "embedding") -> DataFrame:

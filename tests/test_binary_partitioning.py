@@ -116,6 +116,36 @@ def test_plan_shapes_regression(spark, sf_dir):
     flags = explain_has(semi, "BroadcastHashJoin", "LeftSemi", "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)")
     assert all(flags.values()), flags
 
+
+def test_scoped_chunks_broadcast_is_size_gated(spark, sf_dir):
+    """Permissive auth filters must NOT broadcast an unbounded id set: under
+    the threshold → explicit broadcast hint; over it → no hint, shuffle semi
+    (AQE re-plans from real sizes at runtime)."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    auth = orders.select(F.col("o_orderkey").alias("l_orderkey"))
+
+    small = scoped_chunks(lineitem, auth, doc_col="l_orderkey", broadcast_threshold=10_000_000)
+    flags = explain_has(small, "BroadcastHashJoin", "LeftSemi")
+    assert all(flags.values()), flags
+
+    # same inputs, threshold below the id-set size: the hint must disappear.
+    # autoBroadcastJoinThreshold is disabled so Catalyst can't re-add a
+    # broadcast from its own size estimate — we assert the HINT is gone.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = scoped_chunks(lineitem, auth, doc_col="l_orderkey", broadcast_threshold=5)
+        flags = explain_has(big, "BroadcastHashJoin")
+        assert not flags["BroadcastHashJoin"], flags
+        flags = explain_has(big, "LeftSemi", "Exchange")
+        assert all(flags.values()), flags
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # rows identical either way (sf0.001 is small enough to compare exactly)
+    assert small.count() == big.count()
+
     topk = top_k(lineitem.select("l_orderkey", F.col("l_extendedprice").alias("score")), 10)
     flags = explain_has(topk, "TakeOrderedAndProject")
     assert all(flags.values()), flags

@@ -88,6 +88,36 @@ def test_sequence_packing_conserves_docs_and_tokens(docs):
         assert sorted(ids) == list(range(max(ids) + 1))
 
 
+def test_sequence_packing_sharded_skewed_group(spark):
+    """One giant group must split across (group, shard) window partitions:
+    conservation laws hold, every shard's packs are dense, and no window
+    partition holds the whole group."""
+    n = 400
+    df = spark.createDataFrame(
+        [(i, "en", "tok " * (1 + i % 7)) for i in range(n)], "doc_id long, lang string, text string"
+    )
+    packs = curation.sequence_packing(df, "lang", "doc_id", "text", budget=64, shards=4)
+    rows = packs.collect()
+    assert sum(r.n_docs for r in rows) == n
+    # pack ids decompose into (shard, local) with dense local ids per shard
+    stride = curation.PACK_SHARD_STRIDE
+    per_shard: dict[int, list] = {}
+    for r in rows:
+        per_shard.setdefault(r.pack_id // stride, []).append(r.pack_id % stride)
+    assert sorted(per_shard) == [0, 1, 2, 3]  # all 4 shards populated
+    for locals_ in per_shard.values():
+        assert sorted(locals_) == list(range(max(locals_) + 1))
+    # shards bound the partition: no single shard packed the whole group
+    assert max(sum(1 for r in rows if r.pack_id // stride == s) for s in per_shard) < len(rows)
+
+    # the auto-probe leaves small inputs unsharded (pack ids stay < stride)
+    auto = curation.sequence_packing(df, "lang", "doc_id", "text", budget=64)
+    assert all(r.pack_id < stride for r in auto.collect())
+    # and a forced probe limit shards them
+    forced = curation.sequence_packing(df, "lang", "doc_id", "text", budget=64, auto_shard_rows=10)
+    assert any(r.pack_id >= stride for r in forced.collect())
+
+
 def test_decontaminate_flags_overlapping_train_doc(spark):
     """Doc whose id hashes into the train bucket and shares a 3-gram with
     an eval-bucket doc gets counted; the int-space flag trips at >=10%."""
