@@ -720,8 +720,10 @@ def _q_hash_embed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive-splitter chunking stats (pandas-UDF kernel; the splitter is
-    not SQL-expressible → rows-only driver check)."""
+    """Recursive-splitter chunking stats (pandas-UDF kernel). The oracle twin
+    encodes the splitter's execution trace on this corpus shape (see the
+    comment on oracle_sql()['chunk_stats']); chunk-by-chunk equality between
+    that trace and the Python splitter is test-asserted at both SFs."""
     from morphik_core_spark.functions.chunking import chunk_documents
 
     docs = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "external_id")
@@ -1089,6 +1091,64 @@ _STOPLIST = {lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lang, ws in t
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # The recursive splitter's full generality (separator hierarchy with
+        # per-level compounding overlap) is not SQL-expressible, but on the
+        # synthetic documents corpus — single-line, space-delimited, no
+        # "\n\n"/"\n"/". " separators, no word longer than chunk_size — its
+        # execution trace reduces EXACTLY to: word-level greedy merge (with
+        # the reference's value-comparison separator quirk) followed by four
+        # compounding overlap passes (one per enclosing separator level).
+        # That trace is a recursive CTE over greedy cut points + four chained
+        # lag() passes; equality with the Python splitter is asserted
+        # chunk-by-chunk in tests/test_chunking_embedding.py over both SFs.
+        "chunk_stats": """
+            WITH RECURSIVE
+            docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+            small AS (SELECT doc_id, 0 AS chunk_no, text AS c FROM docs WHERE len(text) <= 256),
+            big AS (SELECT doc_id, string_split(text, ' ') AS parts FROM docs WHERE len(text) > 256),
+            words AS (
+                SELECT doc_id, i AS idx,
+                       parts[i] || CASE WHEN parts[i] <> parts[len(parts)] THEN ' ' ELSE '' END AS piece
+                FROM big, LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) t
+            ),
+            plen AS (
+                SELECT doc_id, idx, piece,
+                       SUM(len(piece)) OVER (PARTITION BY doc_id ORDER BY idx) AS s
+                FROM words
+            ),
+            stream AS (
+                SELECT doc_id, string_agg(piece, '' ORDER BY idx) AS full_stream, max(s) AS total
+                FROM plen GROUP BY doc_id
+            ),
+            rec AS (
+                SELECT doc_id, -1 AS chunk_no, CAST(0 AS BIGINT) AS start_s,
+                       CAST(0 AS BIGINT) AS end_s, total
+                FROM stream
+                UNION ALL
+                SELECT rec.doc_id, rec.chunk_no + 1, rec.end_s,
+                       (SELECT max(p.s) FROM plen p
+                        WHERE p.doc_id = rec.doc_id AND p.s - rec.end_s <= 256),
+                       rec.total
+                FROM rec WHERE rec.end_s < rec.total
+            ),
+            c0 AS (
+                SELECT r.doc_id, r.chunk_no,
+                       substring(st.full_stream, CAST(r.start_s AS INT) + 1,
+                                 CAST(r.end_s - r.start_s AS INT)) AS c
+                FROM rec r JOIN stream st USING (doc_id) WHERE r.chunk_no >= 0
+            ),
+            p1 AS (SELECT doc_id, chunk_no, CASE WHEN chunk_no > 0 THEN right(lag(c) OVER (PARTITION BY doc_id ORDER BY chunk_no), 32) || c ELSE c END AS c FROM c0),
+            p2 AS (SELECT doc_id, chunk_no, CASE WHEN chunk_no > 0 THEN right(lag(c) OVER (PARTITION BY doc_id ORDER BY chunk_no), 32) || c ELSE c END AS c FROM p1),
+            p3 AS (SELECT doc_id, chunk_no, CASE WHEN chunk_no > 0 THEN right(lag(c) OVER (PARTITION BY doc_id ORDER BY chunk_no), 32) || c ELSE c END AS c FROM p2),
+            p4 AS (SELECT doc_id, chunk_no, CASE WHEN chunk_no > 0 THEN right(lag(c) OVER (PARTITION BY doc_id ORDER BY chunk_no), 32) || c ELSE c END AS c FROM p3),
+            allc AS (SELECT * FROM small UNION ALL SELECT * FROM p4)
+            SELECT doc_id AS document_id,
+                   COUNT(*) AS n_chunks,
+                   CAST(MAX(len(c)) AS INT) AS max_chunk_len,
+                   CAST(SUM(len(c)) AS BIGINT) AS content_chars,
+                   md5(string_agg(md5(c), chr(1) ORDER BY md5(c))) AS content_md5
+            FROM allc GROUP BY doc_id
+        """,
         "semi_join_auth": """
             SELECT l_orderkey, l_linenumber, l_quantity
             FROM lineitem

@@ -87,6 +87,75 @@ def test_contextual_chunks_prepends_context(spark):
 # ------------------------------------------------------------- embedder
 
 
+_TRACE_CHUNKS_SQL = """
+WITH RECURSIVE
+docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+small AS (SELECT doc_id, 0 AS chunk_no, text AS c FROM docs WHERE len(text) <= 256),
+big AS (SELECT doc_id, string_split(text, ' ') AS parts FROM docs WHERE len(text) > 256),
+words AS (
+  SELECT doc_id, i AS idx,
+         parts[i] || CASE WHEN parts[i] <> parts[len(parts)] THEN ' ' ELSE '' END AS piece
+  FROM big, LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) t
+),
+plen AS (
+  SELECT doc_id, idx, piece, SUM(len(piece)) OVER (PARTITION BY doc_id ORDER BY idx) AS s
+  FROM words
+),
+stream AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY idx) AS full_stream, max(s) AS total
+  FROM plen GROUP BY doc_id
+),
+rec AS (
+  SELECT doc_id, -1 AS chunk_no, CAST(0 AS BIGINT) AS start_s, CAST(0 AS BIGINT) AS end_s, total FROM stream
+  UNION ALL
+  SELECT rec.doc_id, rec.chunk_no + 1, rec.end_s,
+         (SELECT max(p.s) FROM plen p WHERE p.doc_id = rec.doc_id AND p.s - rec.end_s <= 256),
+         rec.total
+  FROM rec WHERE rec.end_s < rec.total
+),
+c0 AS (
+  SELECT r.doc_id, r.chunk_no,
+         substring(st.full_stream, CAST(r.start_s AS INT) + 1, CAST(r.end_s - r.start_s AS INT)) AS c
+  FROM rec r JOIN stream st USING (doc_id) WHERE r.chunk_no >= 0
+),
+p1 AS (SELECT doc_id, chunk_no, CASE WHEN chunk_no > 0 THEN right(lag(c) OVER (PARTITION BY doc_id ORDER BY chunk_no), 32) || c ELSE c END AS c FROM c0),
+p2 AS (SELECT doc_id, chunk_no, CASE WHEN chunk_no > 0 THEN right(lag(c) OVER (PARTITION BY doc_id ORDER BY chunk_no), 32) || c ELSE c END AS c FROM p1),
+p3 AS (SELECT doc_id, chunk_no, CASE WHEN chunk_no > 0 THEN right(lag(c) OVER (PARTITION BY doc_id ORDER BY chunk_no), 32) || c ELSE c END AS c FROM p2),
+p4 AS (SELECT doc_id, chunk_no, CASE WHEN chunk_no > 0 THEN right(lag(c) OVER (PARTITION BY doc_id ORDER BY chunk_no), 32) || c ELSE c END AS c FROM p3),
+allc AS (SELECT * FROM small UNION ALL SELECT * FROM p4)
+SELECT doc_id, chunk_no, c FROM allc ORDER BY doc_id, chunk_no
+"""
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_sql_trace_equals_recursive_splitter(sf):
+    """The chunk_stats oracle encodes the splitter's execution trace on the
+    corpus shape (single-line, space-delimited, no word > chunk_size): this
+    witness asserts chunk-by-chunk string equality between that SQL trace
+    and the real recursive splitter, over every document at both SFs. If
+    the corpus generator ever adds newlines / '. ' / giant words, this
+    fails loudly BEFORE the driver's oracle does."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '/root/testdata/{sf}/documents.parquet'"
+    )
+    # precondition of the trace reduction, asserted so drift fails here
+    n_bad = con.execute(
+        "SELECT count(*) FROM documents WHERE contains(text, chr(10)) "
+        "OR contains(text, '. ') OR len(text) = 0"
+    ).fetchone()[0]
+    assert n_bad == 0, "corpus shape changed: chunk_stats oracle trace no longer valid"
+
+    got: dict[int, list[str]] = {}
+    for doc_id, _, c in con.execute(_TRACE_CHUNKS_SQL).fetchall():
+        got.setdefault(doc_id, []).append(c)
+    for doc_id, text in con.execute("SELECT doc_id, text FROM documents").fetchall():
+        expected = split_text(text, 256, 32)
+        assert got.get(doc_id, []) == expected, f"doc {doc_id} trace mismatch"
+
+
 def test_hash_embed_deterministic_and_normalized():
     a = hash_embed("the quick brown fox")
     b = hash_embed("the quick brown fox")
