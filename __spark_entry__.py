@@ -1612,7 +1612,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             g AS (
                 SELECT doc_id, pos,
-                       CAST(('0x' || substr(md5(substr(t, pos, {_WINNOW_K})), 1, 15)) AS BIGINT) AS h
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                               list_transform(generate_series(1, {_WINNOW_K}),
+                                   j -> CAST(ord(substr(t, CAST(pos + j - 1 AS INT), 1)) AS BIGINT))),
+                           (acc, c) -> (acc * 257 + c) % 2147483647) AS h
                 FROM pos
             ),
             wm AS (

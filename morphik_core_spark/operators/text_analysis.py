@@ -99,6 +99,13 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp"))
 
 
+#: Rabin–Karp parameters shared by the Spark, DuckDB, and numpy winnowing
+#: forms. M = 2^31−1 keeps every Horner step (acc·B + c ≤ 2^31·257 + 2^21)
+#: far inside int64 on all three engines; B = 257 > any byte value.
+WINNOW_HASH_BASE = 257
+WINNOW_HASH_MOD = 2_147_483_647
+
+
 def winnow_fingerprints(
     df: DataFrame, text_col: str, id_col: str, k: int = 8, w: int = 4
 ) -> DataFrame:
@@ -111,18 +118,33 @@ def winnow_fingerprints(
     shared substring of length ≥ k + w − 1 is always detected.
 
     Relational (oracle-expressible) form: explode gram positions →
-    portable md5 hash → sliding MIN window. The explode is a len(text)×
-    row multiplication and the window shuffles on the doc id — the right
-    shape for the DuckDB parity oracle, the wrong one for 100 TB serving;
-    :func:`winnow_fingerprints_pandas` is the one-pass Arrow twin (same
-    split as simhash / simhash_pandas). Docs with fewer than w full
-    windows (len < k + w − 1) yield no fingerprints by convention.
+    polynomial Horner hash → sliding MIN window. The explode is a
+    len(text)× row multiplication and the window shuffles on the doc id —
+    the right shape for the DuckDB parity oracle, the wrong one for
+    100 TB serving; :func:`winnow_fingerprints_pandas` is the one-pass
+    Arrow twin (same split as simhash / simhash_pandas). Docs with fewer
+    than w full windows (len < k + w − 1) yield no fingerprints by
+    convention.
+
+    The gram hash is Rabin–Karp: Horner fold of the k codepoints,
+    ``h = fold(codes, 0, (acc, c) -> (acc*B + c) mod M)`` with
+    B=:data:`WINNOW_HASH_BASE`, M=:data:`WINNOW_HASH_MOD`. Identical in
+    Spark (``aggregate``), DuckDB (``list_reduce``), and numpy (Horner
+    over sliding windows) — and unlike the md5-prefix hash it vectorizes:
+    within-window collisions merely pick a different (still deterministic,
+    still engine-identical) window minimum, so parity is unconditional.
+    ASCII parity caveat: Spark ``ascii()`` reads the first UTF-16 unit,
+    DuckDB ``ord()``/numpy read codepoints — identical on BMP text; the
+    normalize chain is ASCII-oriented anyway (see simhash notes).
     """
     from pyspark.sql import Window
-    from morphik_core_spark.operators.dedup import portable_hash
 
     norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("t")).filter(
         F.length("t") >= k  # guard: sequence(1, n) needs n >= 1
+    )
+    horner = (
+        f"aggregate(transform(sequence(1, {k}), j -> cast(ascii(substring(pg.gram, j, 1)) as bigint)), "
+        f"cast(0 as bigint), (acc, c) -> (acc * {WINNOW_HASH_BASE} + c) % {WINNOW_HASH_MOD})"
     )
     grams = norm.select(
         F.col(id_col),
@@ -130,7 +152,7 @@ def winnow_fingerprints(
             f"explode(transform(sequence(1, length(t) - {k} + 1), "
             f"i -> named_struct('pos', i, 'gram', substring(t, i, {k}))))"
         ).alias("pg"),
-    ).select(id_col, F.col("pg.pos").alias("pos"), portable_hash(F.col("pg.gram")).alias("h"))
+    ).select(id_col, F.col("pg.pos").alias("pos"), F.expr(horner).alias("h"))
     win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.currentRow, w - 1)
     whole = Window.partitionBy(id_col)
     return (
@@ -149,17 +171,17 @@ def winnow_fingerprints_pandas(
     """One-pass Arrow-batched winnowing — the serving form of
     :func:`winnow_fingerprints` (set-identical output, asserted in
     tests): per-row numpy sliding-window minimum, no row explosion, no
-    shuffle. Same hash/normalization parity notes as simhash_pandas
-    (md5-prefix 60-bit hashes, ASCII-only trim and \\s).
+    shuffle. Same normalization parity notes as simhash_pandas
+    (ASCII-only trim and \\s).
 
-    ``parallelism``: optional repartition before the kernel. The kernel
-    is the one pandas op heavy enough (one md5 per char position ≈
-    len(text) hashes/doc) that spreading a narrow input wins: on the
-    single-row-group local testdata a repartition(32) cuts 2.7 s → 0.7 s
-    at sf0.1 — the exception to the NOTES.md "don't auto-repartition
-    before pandas kernels" rule, which still holds for cheap kernels.
-    At 100 TB inputs are already wide; leave None."""
-    import hashlib
+    The kernel is fully vectorized: codepoints via a utf-32 view, the
+    Rabin–Karp gram hash as k Horner passes over a sliding-window view
+    (same (acc·B + c) mod M fold as the Spark/DuckDB forms), then a
+    windowed min — no per-character Python, no hashlib.
+
+    ``parallelism``: optional repartition before the kernel, worth it on
+    the single-row-group local testdata; at 100 TB inputs are already
+    wide — leave None."""
     import re as _re
 
     import numpy as np
@@ -175,14 +197,11 @@ def winnow_fingerprints_pandas(
             if n < w:
                 out.append([])
                 continue
-            h = np.fromiter(
-                (
-                    int(hashlib.md5(norm[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
-                    for i in range(n)
-                ),
-                dtype=np.int64,
-                count=n,
-            )
+            codes = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            sw = np.lib.stride_tricks.sliding_window_view(codes, k)
+            h = np.zeros(sw.shape[0], dtype=np.int64)
+            for j in range(k):
+                h = (h * WINNOW_HASH_BASE + sw[:, j]) % WINNOW_HASH_MOD
             mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
             out.append(np.unique(mins).tolist())
         return pd.Series(out)
