@@ -37,14 +37,21 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure the
     # plans, not first-touch costs; same for the constant driver-side
     # lookups (query vector, LSH hyperplanes) that parameterize queries.
-    # Warmup failures are non-fatal: queries just pay their own first-touch.
-    try:
-        entry_mod.queries()["status_counts"](spark, sf_dir).count()
-        entry_mod._query_vector(spark, sf_dir)
-        entry_mod._hyperplanes(spark, sf_dir)
-        entry_mod._centroids(spark, sf_dir)
-    except Exception:
-        print("bench: warmup failed (continuing)", file=sys.stderr)
+    # Warmup failures are non-fatal (queries just pay their own first-touch)
+    # and isolated per step, so one broken warmup can't skip the rest; the
+    # JSON records which failed so timings are auditable across rounds.
+    warmup_failed: list[str] = []
+    for wname, wfn in [
+        ("status_counts", lambda: entry_mod.queries()["status_counts"](spark, sf_dir).count()),
+        ("query_vector", lambda: entry_mod._query_vector(spark, sf_dir)),
+        ("hyperplanes", lambda: entry_mod._hyperplanes(spark, sf_dir)),
+        ("centroids", lambda: entry_mod._centroids(spark, sf_dir)),
+    ]:
+        try:
+            wfn()
+        except Exception:
+            warmup_failed.append(wname)
+            print(f"bench: warmup {wname} failed (continuing)", file=sys.stderr)
 
     def timed(fn) -> float:
         # min of two runs: the first run can absorb scheduler/JIT noise
@@ -94,13 +101,19 @@ def main() -> None:
 
     out = {
         "metric": "total_query_seconds",
-        "value": round(sum(timings.values()), 4),
+        # a partial round must never look like a faster one: with any query
+        # broken the total is incomparable across rounds, so report null
+        # (per-query timings remain for the queries that did run)
+        "value": round(sum(timings.values()), 4) if not errors else None,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
+        out["incomplete"] = True
+    if warmup_failed:
+        out["warmup_failed"] = warmup_failed
     print(json.dumps(out))
 
 

@@ -43,6 +43,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # TIMESTAMP ≡ naive wall clock, i.e. exactly DuckDB's TIMESTAMP,
         # and removes any DST dependence from interval math), allow the
         # nanos-as-long fallback, then branch on the type actually read.
+        #
+        # SIDE EFFECT, deliberate and lasting: the session timezone stays
+        # UTC after this call (the ntz→timestamp cast below is lazy — a
+        # later timezone change would silently shift the wall clocks it
+        # produces). Host sessions doing tz-sensitive work should load
+        # events first, or pin UTC themselves.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -53,11 +59,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             # parquet. `div` = integer division (plain / round-trips the
             # ~1e18 ns value through double and loses precision).
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type != "timestamp":
-            # timestamp_ntz (or anything else castable): with the session
-            # pinned to UTC this cast preserves the wall clock AND the
-            # instant, so downstream unix_micros/window math is exact.
+        elif ts_type == "timestamp_ntz":
+            # with the session pinned to UTC this cast preserves the wall
+            # clock AND the instant, so unix_micros/window math is exact.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type != "timestamp":
+            # a new vintage must fail AT LOAD, not as silent NULLs in
+            # downstream query results
+            raise TypeError(
+                f"events.ts arrived as {ts_type!r}; expected timestamp, "
+                "timestamp_ntz, or bigint (nanos-as-long). New testdata "
+                "vintage? Extend load_table deliberately."
+            )
     return df
 
 
