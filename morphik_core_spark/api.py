@@ -83,7 +83,11 @@ class MorphikSpark:
         p = self._path("documents")
         if not os.path.exists(p):
             return self.spark.createDataFrame([], _DOCS_SCHEMA)
-        return self.spark.read.parquet(p)
+        # the table is partitioned by app_id (tenant pruning + partition-
+        # granularity upserts); re-select in schema order since parquet
+        # reads append partition columns at the end
+        cols = self.spark.createDataFrame([], _DOCS_SCHEMA).columns
+        return self.spark.read.parquet(p).select(*cols)
 
     def chunks(self) -> DataFrame:
         p = self._path("chunks")
@@ -92,12 +96,30 @@ class MorphikSpark:
         return self.spark.read.parquet(p)
 
     def _write_documents(self, df: DataFrame) -> None:
-        self._overwrite(df, "documents", _DOCS_SCHEMA)
+        self._overwrite(df, "documents", _DOCS_SCHEMA, partition_by="app_id")
+
+    def _merge_documents(self, updates: DataFrame) -> None:
+        """Partition-granularity MERGE: only the app_id partitions named by
+        the update batch are read back and rewritten (dynamic partition
+        overwrite); every other tenant's files stay byte-identical. This is
+        the scale path for every upsert-shaped mutation — the reference
+        mutates single Postgres rows (postgres_database.py:227-298); at
+        100 TB the analog is one tenant-partition's IO, never the table's.
+        Full-snapshot `_write_documents` remains only for mutations that can
+        touch every partition (delete across tenants, folder moves).
+        """
+        from morphik_core_spark.plans.partitioning import merge_upsert_partitioned
+
+        path = self._path("documents")
+        if not os.path.exists(path):
+            self._write_documents(updates)
+            return
+        merge_upsert_partitioned(path, updates, keys=["external_id"], partition_col="app_id")
 
     def _write_chunks(self, df: DataFrame) -> None:
         self._overwrite(df, "chunks", _CHUNKS_SCHEMA)
 
-    def _overwrite(self, df: DataFrame, name: str, schema: str) -> None:
+    def _overwrite(self, df: DataFrame, name: str, schema: str, partition_by: str | None = None) -> None:
         # snapshot rewrite: stage then swap (parquet has no transactional
         # overwrite-while-reading; at scale this is a partition-level swap).
         # A stale backup from a prior crash is cleared first so the swap
@@ -116,7 +138,10 @@ class MorphikSpark:
             else:
                 os.rename(backup, final)
         tmp = self._path(f"_{name}_staging")
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(tmp)
         if os.path.exists(final):
             os.rename(final, backup)
         os.rename(tmp, final)
@@ -205,7 +230,7 @@ class MorphikSpark:
                 F.lit(folder_path).alias("folder_path"),
             )
             self._write_chunks(self.chunks().unionByName(new_chunks))
-        self._write_documents(docstore.upsert(self.documents(), new_docs, ["external_id"]))
+        self._merge_documents(new_docs)
         return ids
 
     # ----------------------------------------------------------- retrieval
@@ -364,7 +389,7 @@ class MorphikSpark:
             )
             .withColumn("updated_at", F.lit(now))
         )
-        self._write_documents(docstore.upsert(self.documents(), updated, ["external_id"]))
+        self._merge_documents(updated)
 
     def delete_document(self, document_id: str) -> None:
         self._write_documents(self.documents().filter(F.col("external_id") != document_id))
@@ -417,7 +442,7 @@ class MorphikSpark:
             F.lit(None).cast("string").alias("end_user_id"),
         )
         self._write_chunks(self.chunks().unionByName(chunks.select(*self.chunks().columns)))
-        self._write_documents(docstore.upsert(self.documents(), doc_rows, ["external_id"]))
+        self._merge_documents(doc_rows)
         return {r.external_id: r.status for r in documents.select("external_id", "status").collect()}
 
     # ------------------------------------------------------- extraction

@@ -69,8 +69,17 @@ def merge_upsert_partitioned(
         return []
     import os
 
+    # NULL partition values land in __HIVE_DEFAULT_PARTITION__ and dynamic
+    # overwrite WILL rewrite that partition — so the base read-back must
+    # include its survivors too. isin() never matches NULL; add an explicit
+    # isNull branch or those rows are silently dropped by the merge.
+    non_null = [v for v in affected if v is not None]
+    pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if None in affected:
+        pred = pred | F.col(partition_col).isNull()
+
     if os.path.exists(table_path):
-        base = spark.read.parquet(table_path).filter(F.col(partition_col).isin(affected))
+        base = spark.read.parquet(table_path).filter(pred)
         survivors = base.join(updates.select(*keys), on=list(keys), how="left_anti")
         # materialize before overwriting the same path we just read —
         # bounded by the affected partitions, not the table

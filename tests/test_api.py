@@ -160,3 +160,60 @@ def test_extract_metadata_applies_typed_fields(client):
 
     with pytest.raises(KeyError):
         client.extract_metadata("missing-doc", {"a": "string"}, TitleYearModel())
+
+
+def test_upsert_touches_only_the_tenants_partition(client, tmp_path):
+    """Partition-granularity MERGE at the api boundary: mutating one
+    tenant's document leaves every other tenant's data files byte-identical
+    (at 100 TB an update costs one partition's IO, not the table's)."""
+    import hashlib
+    import os
+
+    _seed(client)  # app1
+    client.ingest_texts(
+        ["completely unrelated tenant content " * 5],
+        filenames=["other.txt"],
+        metadatas=[{"topic": "other"}],
+        auth=AuthContext(user_id="u2", app_id="app2"),
+    )
+    part2 = os.path.join(str(tmp_path / "store"), "documents", "app_id=app2")
+
+    def digest(d):
+        out = {}
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                with open(os.path.join(d, f), "rb") as fh:
+                    out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before = digest(part2)
+    assert before, "app2 partition must exist"
+
+    ids = [d["external_id"] for d in client.list_documents(auth=AUTH)]
+    client.update_document_metadata(ids[0], {"priority": 9})
+
+    assert digest(part2) == before  # same files, same bytes
+    # and the mutation really landed for app1
+    got = client.get_document(ids[0])
+    import json as _json
+
+    assert _json.loads(got["metadata"])["priority"] == 9
+
+
+def test_merge_upsert_preserves_null_partition_survivors(spark, tmp_path):
+    """NULL partition values route to __HIVE_DEFAULT_PARTITION__, which
+    dynamic overwrite rewrites — survivors there must be read back and kept
+    (isin() alone would silently drop them)."""
+    from morphik_core_spark.plans.partitioning import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("d1", None, "v1"), ("d2", None, "v1"), ("d3", "a", "v1")],
+        "doc_id string, app_id string, payload string",
+    )
+    base.write.partitionBy("app_id").parquet(path)
+    updates = spark.createDataFrame([("d2", None, "v2")], "doc_id string, app_id string, payload string")
+    affected = merge_upsert_partitioned(path, updates, keys=["doc_id"], partition_col="app_id")
+    assert affected == [None]
+    out = {r.doc_id: (r.app_id, r.payload) for r in spark.read.parquet(path).collect()}
+    assert out == {"d1": (None, "v1"), "d2": (None, "v2"), "d3": ("a", "v1")}
