@@ -923,20 +923,26 @@ def _q_storage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_filename_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filename FTS-lite (§2.5): normalized-token overlap rank, recency
-    tiebreak — filenames synthesized deterministically from source+id."""
+    """Filename FTS (§2.5): Postgres ts_rank restated (tsrank.c calc_rank_or,
+    uniform D weights — 0.1*H2(tf)/zeta(2) per query lexeme, averaged), over
+    the reference's normalization chain (postgres_database.py:2700-2790).
+    Filenames synthesized deterministically from source+lang+id; every
+    seventh doc doubles the 'report' token to exercise the tf decay curve."""
     docs = _t(spark, sf_dir, "documents").withColumn(
         "filename",
-        F.concat(F.col("source"), F.lit("_report-"), F.col("lang"), F.lit("_"), F.col("doc_id"), F.lit(".txt")),
+        F.concat(
+            F.col("source"), F.lit("_report-"), F.col("lang"), F.lit("_"),
+            F.when(F.col("n_chars") % 7 == 0, F.lit("report-")).otherwise(F.lit("")),
+            F.col("doc_id"), F.lit(".txt"),
+        ),
     )
-    from morphik_core_spark.functions.text import normalize_filename
+    from morphik_core_spark.functions.text import (
+        normalize_filename, plainto_lexemes, ts_rank, tsvector_lexemes,
+    )
 
-    name_tokens = F.split(normalize_filename(F.col("filename")), " ")
-    q_arr = F.array(F.lit("report"), F.lit("en"))
-    rank = F.round(
-        F.size(F.array_intersect(name_tokens, q_arr)) / F.greatest(F.size(name_tokens), F.lit(1)),
-        _SCORE_DECIMALS,
-    )
+    q_lex = plainto_lexemes("report en")
+    lex = tsvector_lexemes(normalize_filename(F.col("filename")))
+    rank = F.round(ts_rank(lex, q_lex), _SCORE_DECIMALS)
     out = docs.withColumn("rank", rank).filter(F.col("rank") > 0)
     return (
         out.orderBy(F.col("rank").desc(), F.col("doc_id").asc())
@@ -1090,6 +1096,16 @@ _STOPLIST = {lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lang, ws in t
 
 
 def oracle_sql() -> dict[str, str]:
+    from morphik_core_spark.functions.text import (
+        plainto_lexemes, ts_rank_sql, tsvector_lexemes_sql,
+    )
+
+    _fts_norm = (
+        "lower(trim(regexp_replace(regexp_replace(filename, '\\.[^.]+$', ''),"
+        " '[_\\-]+', ' ', 'g')))"
+    )
+    _fts_lex = tsvector_lexemes_sql(_fts_norm)
+    _fts_rank = ts_rank_sql("lex", plainto_lexemes("report en"))
     return {
         # The recursive splitter's full generality (separator hierarchy with
         # per-level compounding overlap) is not SQL-expressible, but on the
@@ -1870,21 +1886,19 @@ def oracle_sql() -> dict[str, str]:
         "filename_fts": f"""
             WITH named AS (
                 SELECT doc_id,
-                       source || '_report-' || lang || '_' || doc_id || '.txt' AS filename
+                       source || '_report-' || lang || '_' ||
+                       (CASE WHEN n_chars % 7 = 0 THEN 'report-' ELSE '' END) ||
+                       doc_id || '.txt' AS filename
                 FROM documents
             ),
-            norm AS (
-                SELECT doc_id, filename,
-                       string_split(lower(trim(regexp_replace(
-                           regexp_replace(filename, '\\.[^.]+$', ''),
-                           '[_\\-]+', ' ', 'g'))), ' ') AS toks
+            lexed AS (
+                SELECT doc_id, filename, {_fts_lex} AS lex
                 FROM named
             )
             SELECT doc_id, filename,
-                   ROUND(len(list_intersect(toks, ['report', 'en'])) * 1.0 /
-                         greatest(len(toks), 1), {_SCORE_DECIMALS}) AS rank
-            FROM norm
-            WHERE len(list_intersect(toks, ['report', 'en'])) > 0
+                   ROUND({_fts_rank}, {_SCORE_DECIMALS}) AS rank
+            FROM lexed
+            WHERE ROUND({_fts_rank}, {_SCORE_DECIMALS}) > 0
             ORDER BY rank DESC, doc_id ASC
             LIMIT 20
         """,

@@ -15,6 +15,15 @@ __all__ = [
     "token_count",
     "normalize_filename",
     "filename_search",
+    "STOPWORDS_EN",
+    "stem_token",
+    "stem_token_py",
+    "stem_token_sql",
+    "tsvector_lexemes",
+    "tsvector_lexemes_sql",
+    "plainto_lexemes",
+    "ts_rank",
+    "ts_rank_sql",
 ]
 
 # C0 control chars except \t \n \r (reference text_utils.rs:120-140,
@@ -44,6 +53,142 @@ def normalize_filename(col: Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(no_ext, r"[_\-]+", " ")))
 
 
+# --------------------------------------------------------------------------
+# ts_rank restatement (reference postgres_database.py:2700-2790 orders
+# filename search by Postgres ts_rank(to_tsvector('english', ...),
+# plainto_tsquery(...)) with no weight labels). We restate the actual rank
+# math from PG's tsrank.c calc_rank_or for uniform default weights:
+#   per matched query lexeme: 0.1 * (sum_{j=1..tf} 1/j^2) / zeta(2)
+#   rank = sum over query lexemes / (number of query lexemes)
+# (with a single uniform weight the max-weight correction term in tsrank.c
+# cancels, leaving exactly the harmonic-square tf curve). The 'english'
+# tsvector is restated as a stopword filter + a fixed, RE2-safe suffix
+# stemmer ("stemmer-lite": Porter step-1 plural/ing/ed rules) shared
+# verbatim by Spark, DuckDB, and Python so the oracle is the same function.
+
+_TS_ZETA2 = 1.64493406685  # pi^2/6, PG tsrank.c's position-decay normalizer
+_TS_WEIGHT_D = 0.1  # PG default weight for unlabeled lexemes
+
+# Lucene/Postgres-style english stopword core. Order-insensitive set; the
+# SQL twins inline it, so keep it small and frozen.
+STOPWORDS_EN = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+)
+
+# (pattern, spark_repl, duckdb_repl, python_repl) — applied in order, one
+# rule at a time. Patterns are anchored so replace-first (DuckDB/Python)
+# and replace-all (Spark's regexp_replace) agree; RE2-safe (no lookaround).
+_STEM_RULES = (
+    (r"sses$", "ss", "ss", "ss"),
+    (r"ies$", "i", "i", "i"),
+    (r"^([a-z0-9]*[^su])s$", "$1", r"\1", r"\1"),
+    (r"^([a-z0-9]{3,})ing$", "$1", r"\1", r"\1"),
+    (r"^([a-z0-9]{3,})ed$", "$1", r"\1", r"\1"),
+)
+
+
+def stem_token(col: Column) -> Column:
+    """Apply the shared suffix-stemmer rules to a single token Column."""
+    for pat, repl, _d, _p in _STEM_RULES:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+def stem_token_py(tok: str) -> str:
+    """Python twin of stem_token — used to derive query lexemes driver-side."""
+    import re
+
+    for pat, _s, _d, repl in _STEM_RULES:
+        tok = re.sub(pat, repl, tok)
+    return tok
+
+
+def stem_token_sql(var: str) -> str:
+    """DuckDB twin of stem_token as an expression over lambda variable `var`."""
+    expr = var
+    for pat, _s, repl, _p in _STEM_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}')"
+    return expr
+
+
+def tsvector_lexemes(norm_text: Column) -> Column:
+    """to_tsvector('english', ...) restated: split normalized text on single
+    spaces, drop stopwords (checked pre-stem, as PG does), stem the rest.
+    Duplicates are kept — they are the tf positions ts_rank consumes."""
+    toks = F.split(norm_text, " ")
+    stops = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    kept = F.filter(toks, lambda t: (F.length(t) > 0) & ~F.array_contains(stops, t))
+    return F.transform(kept, lambda t: stem_token(t))
+
+
+def tsvector_lexemes_sql(norm_expr: str) -> str:
+    """DuckDB twin of tsvector_lexemes over a normalized-text SQL expression."""
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    return (
+        f"list_transform(list_filter(string_split({norm_expr}, ' '), "
+        f"t -> len(t) > 0 AND t NOT IN ({stops})), t -> {stem_token_sql('t')})"
+    )
+
+
+def plainto_lexemes(query: str) -> list[str]:
+    """plainto_tsquery('english', query) restated driver-side: lowercase,
+    split on non-alphanumerics, drop stopwords, stem. Order preserved."""
+    import re
+
+    out = []
+    for tok in re.split(r"[^a-z0-9]+", query.lower()):
+        if not tok or tok in STOPWORDS_EN:
+            continue
+        out.append(stem_token_py(tok))
+    return out
+
+
+def _lexeme_eq(value: str):
+    # closure factory: PySpark infers lambda arity from the signature and
+    # late-binds loop variables — never capture the loop var directly.
+    return lambda t: t == F.lit(value)
+
+
+def ts_rank(lexemes: Column, query_lexemes: list[str]) -> Column:
+    """PG ts_rank (default normalization 0, uniform D weights) over a lexeme
+    array: per query lexeme 0.1 * H2(tf) / zeta(2), averaged over the query."""
+    if not query_lexemes:
+        return F.lit(0.0)
+    terms = []
+    for q in query_lexemes:
+        tf = F.size(F.filter(lexemes, _lexeme_eq(q)))
+        h2 = F.when(tf <= 0, F.lit(0.0)).otherwise(
+            F.aggregate(
+                F.sequence(F.lit(1), tf),
+                F.lit(0.0),
+                lambda acc, j: acc + F.lit(1.0) / (j.cast("double") * j.cast("double")),
+            )
+        )
+        terms.append(h2 * F.lit(_TS_WEIGHT_D / _TS_ZETA2))
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total / F.lit(float(len(query_lexemes)))
+
+
+def ts_rank_sql(lexemes_expr: str, query_lexemes: list[str]) -> str:
+    """DuckDB twin of ts_rank over a lexeme-list SQL expression."""
+    if not query_lexemes:
+        return "0.0"
+    parts = []
+    for q in query_lexemes:
+        tf = f"len(list_filter({lexemes_expr}, t -> t = '{q}'))"
+        h2 = (
+            f"CASE WHEN {tf} = 0 THEN 0.0 ELSE "
+            f"list_sum(list_transform(range(1, {tf} + 1), j -> 1.0/(j*j))) END"
+        )
+        parts.append(f"({h2}) * {_TS_WEIGHT_D / _TS_ZETA2!r}")
+    return f"(({' + '.join(parts)}) / {float(len(query_lexemes))!r})"
+
+
 def filename_search(
     df: DataFrame,
     query: str,
@@ -51,14 +196,29 @@ def filename_search(
     recency_col: str = "updated_at",
     limit: int = 50,
 ) -> DataFrame:
-    """ts_rank-lite: overlap of normalized filename tokens with query tokens,
-    recency tiebreak (reference postgres_database.py:2700-2790)."""
-    q_tokens = [t for t in query.lower().split() if t]
-    name_tokens = F.split(normalize_filename(F.col(filename_col)), " ")
-    q_arr = F.array(*[F.lit(t) for t in q_tokens])
-    hits = F.size(F.array_intersect(name_tokens, q_arr))
-    rank = (hits / F.greatest(F.size(name_tokens), F.lit(1))).alias("rank")
-    out = df.withColumn("rank", rank).filter(F.col("rank") > 0)
+    """Filename FTS (reference postgres_database.py:2700-2790): a row matches
+    if the raw query is an ILIKE substring of the filename OR any english
+    lexeme hits the normalized-filename tsvector OR any raw ('simple') token
+    hits the unstemmed tokens; ordered by english ts_rank desc, recency
+    desc nulls last. All codegen expressions — no UDFs, no shuffle."""
+    name = F.col(filename_col)
+    norm = normalize_filename(name)
+    lexemes = tsvector_lexemes(norm)
+    q_lex = plainto_lexemes(query)
+    simple_toks = [t for t in query.lower().split() if t]
+
+    ilike_hit = F.contains(F.lower(name), F.lit(query.strip().lower()))
+    english_hit = F.lit(False)
+    if q_lex:
+        english_hit = F.size(F.array_intersect(lexemes, F.array(*[F.lit(t) for t in q_lex]))) > 0
+    simple_hit = F.lit(False)
+    if simple_toks:
+        simple_hit = (
+            F.size(F.array_intersect(F.split(norm, " "), F.array(*[F.lit(t) for t in simple_toks]))) > 0
+        )
+
+    rank = ts_rank(lexemes, q_lex).alias("rank")
+    out = df.filter(ilike_hit | english_hit | simple_hit).withColumn("rank", rank)
     order = [F.col("rank").desc()]
     if recency_col in df.columns:
         order.append(F.col(recency_col).desc_nulls_last())

@@ -213,6 +213,67 @@ def test_filename_search_ranks_by_overlap(spark):
     assert got[0] == "a" and "b" not in got
 
 
+def test_stem_token_rules_match_python_twin(spark):
+    from morphik_core_spark.functions.text import stem_token, stem_token_py
+
+    cases = ["reports", "classes", "summaries", "running", "reported",
+             "bus", "pass", "sing", "red", "q3", "files", "en"]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = [r.s for r in df.select(stem_token(F.col("t")).alias("s")).collect()]
+    assert got == [stem_token_py(c) for c in cases]
+    # spot-check the rules themselves
+    assert stem_token_py("reports") == "report"
+    assert stem_token_py("classes") == "class"
+    assert stem_token_py("summaries") == "summari"
+    assert stem_token_py("running") == "runn"
+    assert stem_token_py("pass") == "pass"  # ss-guard
+    assert stem_token_py("bus") == "bus"  # us-guard
+    assert stem_token_py("sing") == "sing"  # too short to be a gerund
+
+
+def test_ts_rank_matches_pg_formula(spark):
+    """rank = sum over query lexemes of 0.1*H2(tf)/zeta(2), / n_query."""
+    from morphik_core_spark.functions.text import plainto_lexemes, ts_rank
+
+    zeta2 = 1.64493406685
+    df = spark.createDataFrame(
+        [("x", ["report", "report", "en"]), ("y", ["report", "de"]), ("z", ["misc"])],
+        "id string, lex array<string>",
+    )
+    q = plainto_lexemes("the report en")  # stopword 'the' dropped -> 2 lexemes
+    assert q == ["report", "en"]
+    got = {r.id: r.rank for r in df.select("id", ts_rank(F.col("lex"), q).alias("rank")).collect()}
+    assert got["x"] == pytest.approx((0.1 * 1.25 + 0.1) / zeta2 / 2)
+    assert got["y"] == pytest.approx(0.1 / zeta2 / 2)
+    assert got["z"] == 0.0
+
+
+def test_ts_rank_sql_twin_agrees(spark):
+    """DuckDB twin produces the same rank on the same lexeme lists."""
+    import duckdb
+
+    from morphik_core_spark.functions.text import (
+        plainto_lexemes, stem_token_py, ts_rank, ts_rank_sql, tsvector_lexemes_sql,
+    )
+
+    q = plainto_lexemes("quarterly reports")
+    assert q == [stem_token_py("quarterly"), "report"]
+    sql = (
+        "WITH t(id, norm) AS (VALUES ('a', 'quarterly report q3'), ('b', 'the notes')) "
+        f"SELECT id, {ts_rank_sql(tsvector_lexemes_sql('norm'), q)} AS rank FROM t ORDER BY id"
+    )
+    duck = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    df = spark.createDataFrame([("a", "quarterly report q3"), ("b", "the notes")], "id string, norm string")
+    from morphik_core_spark.functions.text import tsvector_lexemes
+
+    got = {
+        r.id: r.rank
+        for r in df.select("id", ts_rank(tsvector_lexemes(F.col("norm")), q).alias("rank")).collect()
+    }
+    assert got["a"] == pytest.approx(duck["a"], abs=1e-12)
+    assert got["b"] == pytest.approx(duck["b"], abs=1e-12)
+
+
 # ------------------------------------------------------- ingest pipeline
 
 
