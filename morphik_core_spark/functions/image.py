@@ -11,11 +11,12 @@ renders are PNG) and BMP — are decoded for real with stdlib zlib + numpy:
   (alpha dropped over white), all five scanline filters, multi-IDAT.
 - BMP: uncompressed BITMAPINFOHEADER 24/32 bpp, bottom-up or top-down.
 
-JPEG (DCT) is NOT implemented — those rows raise and surface as row-level
-parse failures in the multimodal operators, same isolation as elsewhere.
-``encode_png`` exists so tests and the page-render pipeline can round-trip
-without PIL. Resize is nearest-neighbor (deterministic, vectorized);
-PIL's default bicubic is a documented deviation.
+Baseline sequential JPEG decodes for real via ``functions/jpeg``
+(progressive raises, surfacing as a row-level parse failure in the
+multimodal operators, same isolation as elsewhere). ``encode_png`` exists
+so tests and the page-render pipeline can round-trip without PIL. Resize
+is nearest-neighbor (deterministic, vectorized); PIL's default bicubic is
+a documented deviation.
 """
 
 from __future__ import annotations
@@ -40,14 +41,19 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 def decode_image(data: bytes) -> np.ndarray:
     """Sniff + decode → (H, W, 3) uint8 RGB. Raises ValueError on formats
-    this kernel doesn't cover (notably JPEG) so callers isolate the row."""
+    these kernels don't cover (progressive JPEG, GIF, TIFF, ...) so callers
+    isolate the row."""
     if data is None or len(data) < 8:
         raise ValueError("empty or truncated image payload")
     if data[:8] == _PNG_MAGIC:
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
-    raise ValueError("unsupported image format (PNG and BMP only)")
+    if data[:2] == b"\xff\xd8":
+        from morphik_core_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    raise ValueError("unsupported image format (PNG, BMP, baseline JPEG only)")
 
 
 # ------------------------------------------------------------------ PNG

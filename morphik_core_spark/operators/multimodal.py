@@ -4,11 +4,12 @@ The reference renders PDFs to page images (DPI 150), resizes to ≤256 px
 JPEG q70, detects blank pages, and feeds images to ColPali
 (/root/reference/core/services/ingestion_service.py:1365-1640,
 document_service.py:1901-2011). PIL/PyMuPDF are NOT in this container;
-PNG and BMP decode is REAL (functions/image.py, stdlib zlib + numpy),
-including the reference's resize-to-256 and grayscale-extrema blank-page
-rule. JPEG rows raise inside the kernel and surface as row-level parse
-failures; swap functions/image.decode_image for a PIL call to add it and
-nothing else changes.
+PNG, BMP, and baseline-sequential JPEG decode is REAL
+(functions/image.py + functions/jpeg.py, stdlib + numpy), including the
+reference's resize-to-256 and grayscale-extrema blank-page rule.
+Progressive-JPEG/GIF/TIFF rows raise inside the kernel and surface as
+row-level parse failures; swap functions/image.decode_image for a PIL
+call to widen coverage and nothing else changes.
 
 Design for 100 TB: binary payloads ride in their own column so column
 pruning skips them unless a kernel needs bytes; feature extraction is
@@ -57,8 +58,8 @@ def extract_image_features(
     id_col: str = "media_id",
     max_side: int = 256,
 ) -> DataFrame:
-    """Decode (PNG/BMP, real) → resize ≤ ``max_side`` → features, via
-    mapInPandas.
+    """Decode (PNG/BMP/baseline JPEG, real) → resize ≤ ``max_side`` →
+    features, via mapInPandas.
 
     Output: (media_id, ok, err, width, height, mean_r, mean_g, mean_b,
     is_blank) — width/height are the ORIGINAL dimensions, means are taken
