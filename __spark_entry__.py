@@ -968,6 +968,40 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 over documents.text for a 3-term query — the
+    body-text FTS ranking (reference postgres_database.py:2700-2790 uses
+    Postgres FTS; BM25 is the scale restatement). One codegen scan builds
+    (dl, tf_t); corpus stats are a tiny broadcast aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    from morphik_core_spark.operators.text_analysis import bm25_topk
+
+    return bm25_topk(docs, "text", "doc_id", ["join", "window", "hash"], k=20)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (RefinedWeb/CCNet-style): counts + fixed-order redaction,
+    pure codegen. PII is synthesized deterministically from table columns
+    (emails, a 555 phone, an RFC1918 IP) since the corpus itself is clean;
+    the redacted string participates in the value hash, so replacement
+    semantics are pinned exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact "), F.col("source"), F.lit(".team@example.com"),
+        F.when(
+            F.col("n_chars") % 3 == 0,
+            F.concat(F.lit(" cc admin"), (F.col("n_chars") % 10).cast("string"), F.lit("@corp.io")),
+        ).otherwise(F.lit("")),
+        F.lit(" call 555-"), F.lpad((F.col("n_chars") * 7 % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("n_chars") % 256).cast("string"),
+        F.lit("."), (F.col("n_chars") * 3 % 256).cast("string"),
+    )
+    from morphik_core_spark.operators.curation import pii_scrub
+
+    return pii_scrub(docs.withColumn("text", contact), "text", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -1019,6 +1053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_rollup": _q_storage_rollup,
         "filename_fts": _q_filename_fts,
         "pricing_summary": _q_pricing_summary,
+        "bm25_topk": _q_bm25_topk,
+        "pii_scrub": _q_pii_scrub,
         "sessionization": _q_sessionization,
         "rollup_counts": _q_rollup_counts,
         "pivot_counts": _q_pivot_counts,
@@ -1106,6 +1142,35 @@ def oracle_sql() -> dict[str, str]:
     )
     _fts_lex = tsvector_lexemes_sql(_fts_norm)
     _fts_rank = ts_rank_sql("lex", plainto_lexemes("report en"))
+
+    _bm25_terms = ["join", "window", "hash"]
+    _bm25_tf = ", ".join(
+        f"len(list_filter(tk, t -> t = '{t}')) AS tf_{i}" for i, t in enumerate(_bm25_terms)
+    )
+    _bm25_df = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_bm25_terms))
+    )
+    # mirrors bm25_topk's expression tree exactly (same association order,
+    # same float literals) so both engines do the identical double math
+    _bm25_score = " + ".join(
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5)) * tf_{i} * (1.2 + 1.0)"
+        f" / (tf_{i} + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))"
+        for i in range(len(_bm25_terms))
+    )
+
+    from morphik_core_spark.operators.curation import PII_PATTERNS
+
+    # sequential, like the operator: each rule counts on the text already
+    # redacted by the previous rules
+    _pii_red = "t"
+    _pii_count_list = []
+    for _name, _pat, _repl in PII_PATTERNS:
+        _pii_count_list.append(
+            f"len(regexp_extract_all({_pii_red}, '{_pat}')) AS {_name}_cnt"
+        )
+        _pii_red = f"regexp_replace({_pii_red}, '{_pat}', '{_repl}', 'g')"
+    _pii_counts = ", ".join(_pii_count_list)
     return {
         # The recursive splitter's full generality (separator hierarchy with
         # per-level compounding overlap) is not SQL-expressible, but on the
@@ -1901,6 +1966,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND({_fts_rank}, {_SCORE_DECIMALS}) > 0
             ORDER BY rank DESC, doc_id ASC
             LIMIT 20
+        """,
+        "bm25_topk": f"""
+            WITH tf AS (
+                SELECT doc_id, len(tk) AS dl, {_bm25_tf}
+                FROM (
+                    SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS tk
+                    FROM documents WHERE text IS NOT NULL
+                )
+            ),
+            stats AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl, {_bm25_df} FROM tf
+            ),
+            scored AS (
+                SELECT doc_id, ROUND({_bm25_score}, {_SCORE_DECIMALS}) AS score
+                FROM tf, stats
+            )
+            SELECT doc_id, score FROM scored
+            WHERE score > 0
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 20
+        """,
+        "pii_scrub": f"""
+            WITH contact AS (
+                SELECT doc_id,
+                       text || ' contact ' || source || '.team@example.com' ||
+                       (CASE WHEN n_chars % 3 = 0
+                             THEN ' cc admin' || CAST(n_chars % 10 AS VARCHAR) || '@corp.io'
+                             ELSE '' END) ||
+                       ' call 555-' || lpad(CAST((n_chars * 7) % 10000 AS VARCHAR), 4, '0') ||
+                       ' from 10.0.' || CAST(n_chars % 256 AS VARCHAR) || '.' ||
+                       CAST((n_chars * 3) % 256 AS VARCHAR) AS t
+                FROM documents
+            )
+            SELECT doc_id, {_pii_counts}, {_pii_red} AS redacted
+            FROM contact
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -46,6 +46,8 @@ __all__ = [
     "sequence_packing",
     "decontaminate",
     "mixture_sample",
+    "pii_scrub",
+    "PII_PATTERNS",
 ]
 
 # Gopher-inspired rule thresholds (Rae et al. 2021 A1.1), adapted to the
@@ -358,3 +360,33 @@ def mixture_sample(
         .filter(bucket < F.col("rate_pct"))
         .select(id_col, domain_col)
     )
+
+
+#: (name, pattern, replacement) — applied in order. Patterns restricted to
+#: syntax with identical semantics in Java regex (Spark), RE2 (DuckDB),
+#: and Python `re`, so the oracle twin is the same scrub. Email first:
+#: its local/domain parts would otherwise partially match the IP rule.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b555-[0-9]{4}\b", "[PHONE]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII detection + redaction (RefinedWeb/CCNet-style privacy scrubbing
+    — a standard pass in any 100 TB training-data pipeline).
+
+    Output: (id, email_cnt, phone_cnt, ipv4_cnt, redacted). Rules apply
+    sequentially and each count is taken AFTER the previous rules'
+    redactions, so counts always equal the number of replacements that
+    rule actually made (a dotted quad inside an email's domain counts as
+    email, not as email AND ip). All whole-stage codegen on one scan, no
+    shuffle, no UDF.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"{name}_cnt"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(F.col(id_col), *counts, cur.alias("redacted"))

@@ -24,6 +24,7 @@ __all__ = [
     "winnow_fingerprints_pandas",
     "bpe_token_stats",
     "repetition_signals",
+    "bm25_topk",
     "BPE_TOKEN_RE",
     "STOPWORDS",
 ]
@@ -298,4 +299,71 @@ def repetition_signals(
         "top_count",
         F.round(F.col("top_count") / F.col("n_grams"), decimals).alias("top_frac"),
         F.round(F.col("dup_grams") / F.col("n_grams"), decimals).alias("dup_frac"),
+    )
+
+
+def _term_eq(value: str):
+    # closure factory — PySpark late-binds loop variables in lambdas
+    return lambda t: t == F.lit(value)
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    decimals: int = 6,
+) -> DataFrame:
+    """Okapi BM25 top-k over a text column (Robertson/Sparck Jones; the
+    body-text big sibling of the filename ts_rank in functions/text — the
+    reference's Postgres FTS surface, postgres_database.py:2700-2790,
+    restated as a ranking that actually scales to corpus search).
+
+    idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+    score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Plan shape: one scan computes (dl, tf_t...) per doc entirely in
+    codegen (no explode, no shuffle); corpus stats (N, avgdl, df_t) are a
+    single tiny aggregate broadcast back onto the per-doc frame; ranking
+    is TakeOrderedAndProject. Two passes over the pruned text column —
+    at 100 TB keep the tokenized projection persisted or maintain
+    (N, avgdl, df) as an incrementally-updated stats table so scoring is
+    one map-side pass.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("tk")
+    ).withColumn("dl", F.size("tk"))
+    for i, t in enumerate(query_terms):
+        base = base.withColumn(f"tf_{i}", F.size(F.filter(F.col("tk"), _term_eq(t))))
+    base = base.drop("tk")
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfreq = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        score = score + idf * tf * F.lit(k1 + 1.0) / denom
+    out = joined.select(F.col(id_col), F.round(score, decimals).alias("score"))
+    return (
+        out.filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
     )

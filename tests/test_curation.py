@@ -166,3 +166,43 @@ def test_mixture_sample_rates_and_determinism(spark):
     # ~50% keep rate, hash-uniform: allow a generous band
     kept = partial.count()
     assert 60 <= kept <= 140
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from morphik_core_spark.operators.curation import pii_scrub
+
+    rows = [
+        (1, "mail bob.smith@corp.example.org and alice_1@x.io now"),
+        (2, "call 555-0142 or 555-9999; not 1555-0142x"),
+        (3, "server at 10.0.3.17 and 192.168.255.1 up"),
+        (4, "clean text with no identifiers at all"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(df, "text", "doc_id").collect()}
+
+    assert got[1].email_cnt == 2 and got[1].phone_cnt == 0 and got[1].ipv4_cnt == 0
+    assert got[1].redacted == "mail [EMAIL] and [EMAIL] now"
+    # \b keeps 1555-0142 from matching; trailing x blocks nothing extra
+    assert got[2].phone_cnt == 2 and got[2].redacted == "call [PHONE] or [PHONE]; not 1555-0142x"
+    assert got[3].ipv4_cnt == 2 and got[3].redacted == "server at [IP] and [IP] up"
+    assert got[4].redacted == rows[3][1] and got[4].email_cnt == 0
+    assert got[5].redacted is None and got[5].email_cnt is None  # null in, null out
+
+
+def test_pii_scrub_email_wins_over_ip_rule(spark):
+    """Fixed order: a dotted quad INSIDE an email's domain is consumed by
+    the email pass first, never double-redacted; a bare numeric host is
+    not an email (the TLD must be alphabetic) and falls to the IP rule."""
+    from morphik_core_spark.operators.curation import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "x a@10.0.0.7.corp.com y 10.0.0.7 z"), (2, "w a@10.0.0.7 v")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(df, "text", "doc_id").collect()}
+    assert got[1].redacted == "x [EMAIL] y [IP] z"
+    # sequential counting: the quad inside the email domain was already
+    # redacted when the IP rule ran, so it is NOT double-counted
+    assert got[1].email_cnt == 1 and got[1].ipv4_cnt == 1
+    assert got[2].redacted == "w a@[IP] v" and got[2].email_cnt == 0 and got[2].ipv4_cnt == 1

@@ -31,7 +31,7 @@ def test_image_features_row_level_failure_isolation(spark):
             ("m1", _png((200, 30, 60))),
             ("m2", b""),
             ("m3", None),
-            ("m4", b"\xff\xd8\xff\xe0 fake jpeg"),
+            ("m4", b"GIF89a not a supported format"),
         ],
         "media_id string, payload binary",
     )

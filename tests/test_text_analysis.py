@@ -77,3 +77,38 @@ def test_repetition_signals_counts_and_ties(spark):
     tie = spark.createDataFrame([(9, "b a c")], "doc_id long, text string")
     rt = text_analysis.repetition_signals(tie, "text", "doc_id").collect()[0]
     assert rt.top_gram == "a c"
+
+
+def test_bm25_formula_on_tiny_corpus(spark):
+    """Hand-check BM25 on a 3-doc corpus (k1=1.2, b=0.75)."""
+    import math
+
+    rows = [
+        (1, "join join window"),     # dl=3
+        (2, "window scan scan"),     # dl=3
+        (3, "sort sort sort sort"),  # dl=4 (no query terms)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in ta.bm25_topk(df, "text", "doc_id", ["join", "window"]).collect()}
+
+    n, avgdl = 3, 10.0 / 3.0
+    def idf(dfreq):
+        return math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+    def term(tf, dl, dfreq):
+        return idf(dfreq) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    exp1 = round(term(2, 3, 1) + term(1, 3, 2), 6)   # join df=1, window df=2
+    exp2 = round(term(0, 3, 1) + term(1, 3, 2), 6)
+    assert got[1] == pytest.approx(exp1, abs=1e-6)
+    assert got[2] == pytest.approx(exp2, abs=1e-6)
+    assert 3 not in got  # zero score is filtered
+    assert got[1] > got[2]  # tf weighting ranks doc 1 first
+
+
+def test_bm25_plan_is_codegen_broadcast(spark):
+    """No explode, stats joined via broadcast — one wide scan + tiny agg."""
+    rows = [(i, "join window scan") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = ta.bm25_topk(df, "text", "doc_id", ["join"])._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no explode
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
