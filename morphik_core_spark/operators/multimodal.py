@@ -32,6 +32,7 @@ __all__ = [
     "attach_media",
     "extract_image_features",
     "extract_audio_features",
+    "extract_video_frame_features",
     "sample_video_frames",
 ]
 
@@ -132,6 +133,65 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload", id_col: 
                     rows.append((mid, True, None, *[f[k] for k in _AUDIO_FEATURES]))
                 except Exception as exc:  # noqa: BLE001 — row-level isolation
                     rows.append((mid, False, str(exc), *([None] * len(_AUDIO_FEATURES))))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def extract_video_frame_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame_sample_rate: float = 1.0,
+    max_side: int = 256,
+) -> DataFrame:
+    """REAL video frame sampling + decode for MJPEG-AVI payloads
+    (reference parse_video.py:91-280 samples at ``frame_sample_rate`` fps
+    and feeds frames to the image pipeline; here every sampled frame runs
+    through the same resize/blank kernels as still images).
+
+    Output: one row per SAMPLED frame — (media_id, ok, err, frame_idx,
+    frame_ts, width, height, mean_r, mean_g, mean_b, is_blank). Non-AVI /
+    non-MJPEG / corrupt payloads yield a single ok=false row; a corrupt
+    individual frame fails only its own row. mapInPandas keeps the
+    payload bytes executor-side; at 100 TB repartition by payload size
+    first so one long video cannot skew an executor (same note as the
+    image kernel).
+    """
+    from morphik_core_spark.functions.image import is_blank_image, resize_max_side
+    from morphik_core_spark.functions.video import decode_jpeg, parse_avi_mjpeg
+
+    out_schema = (
+        f"{id_col} string, ok boolean, err string, frame_idx int, frame_ts double, "
+        "width int, height int, mean_r double, mean_g double, mean_b double, is_blank boolean"
+    )
+    cols = [id_col, "ok", "err", "frame_idx", "frame_ts", "width", "height",
+            "mean_r", "mean_g", "mean_b", "is_blank"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    fps, _w, _h, frames = parse_avi_mjpeg(
+                        bytes(payload) if payload is not None else None
+                    )
+                except Exception as exc:  # noqa: BLE001 — row-level isolation
+                    rows.append((mid, False, str(exc), *([None] * 8)))
+                    continue
+                step = max(1, int(round(fps / frame_sample_rate)))
+                for idx in range(0, len(frames), step):
+                    try:
+                        px = decode_jpeg(frames[idx])
+                        h, w = px.shape[:2]
+                        small = resize_max_side(px, max_side)
+                        means = small.reshape(-1, 3).mean(axis=0)
+                        rows.append(
+                            (mid, True, None, idx, idx / fps, w, h,
+                             *[float(m) for m in means], is_blank_image(small))
+                        )
+                    except Exception as exc:  # noqa: BLE001 — frame-level isolation
+                        rows.append((mid, False, str(exc), idx, idx / fps, *([None] * 6)))
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
