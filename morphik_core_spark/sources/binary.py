@@ -4,17 +4,15 @@ The reference's file-ingest endpoint stages uploads then parses per type
 (/root/reference/core/routes/ingest.py:105, ingestion_worker.py:546-588).
 Here a staging directory IS the upload surface: ``binaryFile`` gives
 (path, modificationTime, length, content) with partition-parallel reads;
-MIME routing decides the parser. Text-family types decode for real;
-binary document formats (PDF/Office) need parser libraries that are not
-in this container — their rows surface ``parse_status='unsupported'``
-instead of text (swap ``_decode_text_udf`` for a Docling/PyMuPDF
-mapInPandas kernel and the rest of the pipeline is unchanged).
+MIME routing decides the parser. Text-family types decode for real.
 
-PDF, xlsx and docx parse for real via the pure-Python extractors in
-functions/pdf.py and functions/office.py (stdlib zlib/zipfile/ElementTree);
-rows they can't handle surface ``parse_status='parse_failed'`` with NULL
-text — per-row failure isolation, never a job abort. Remaining binary
-formats (legacy .doc/.xls, images) surface ``parse_status='unsupported'``.
+PDF, xlsx, docx, legacy .doc/.xls, and HTML parse for real via the
+pure-Python extractors in functions/pdf.py, functions/office.py,
+functions/legacy_office.py (CFB + [MS-DOC]/[MS-XLS] record walks), and
+functions/html.py; rows they can't handle surface
+``parse_status='parse_failed'`` with NULL text — per-row failure
+isolation, never a job abort. Remaining binary formats (presentations,
+archives) surface ``parse_status='unsupported'``.
 
 Output schema feeds streaming/ingestion.ingest_batch directly.
 """
@@ -51,8 +49,12 @@ def _decode_text_udf():
 
 _XLSX_MIME = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
 _DOCX_MIME = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+_DOC_MIME = "application/msword"
+_XLS_MIME = "application/vnd.ms-excel"
 _HTML_MIMES = ("text/html", "application/xhtml+xml")
-_PARSEABLE_MIMES = ("application/pdf", _XLSX_MIME, _DOCX_MIME, *_HTML_MIMES)
+_PARSEABLE_MIMES = (
+    "application/pdf", _XLSX_MIME, _DOCX_MIME, _DOC_MIME, _XLS_MIME, *_HTML_MIMES
+)
 
 
 def _parse_document_udf():
@@ -63,6 +65,7 @@ def _parse_document_udf():
     isolation contract as the reference worker's per-file try/except
     (ingestion_worker.py:546-588)."""
     from morphik_core_spark.functions.html import extract_html_text
+    from morphik_core_spark.functions.legacy_office import extract_doc_text, extract_xls_markdown
     from morphik_core_spark.functions.office import extract_docx_text, extract_xlsx_markdown
     from morphik_core_spark.functions.pdf import extract_pdf_text
 
@@ -70,6 +73,8 @@ def _parse_document_udf():
         "application/pdf": extract_pdf_text,
         _XLSX_MIME: extract_xlsx_markdown,
         _DOCX_MIME: extract_docx_text,
+        _DOC_MIME: extract_doc_text,
+        _XLS_MIME: extract_xls_markdown,
         **{m: extract_html_text for m in _HTML_MIMES},
     }
 
