@@ -1002,6 +1002,15 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(docs.withColumn("text", contact), "text", "doc_id")
 
 
+def _q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity per doc (add-one smoothing,
+    corpus-trained, <s> start token). Low ppl = fluent-under-corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    from morphik_core_spark.operators.curation import perplexity_scores
+
+    return perplexity_scores(docs, "text", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -1055,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "bm25_topk": _q_bm25_topk,
         "pii_scrub": _q_pii_scrub,
+        "perplexity": _q_perplexity,
         "sessionization": _q_sessionization,
         "rollup_counts": _q_rollup_counts,
         "pivot_counts": _q_pivot_counts,
@@ -1966,6 +1976,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND({_fts_rank}, {_SCORE_DECIMALS}) > 0
             ORDER BY rank DESC, doc_id ASC
             LIMIT 20
+        """,
+        "perplexity": f"""
+            WITH toks AS (
+                SELECT doc_id, list_prepend('<s>', string_split({_NORM_TEXT}, ' ')) AS tk
+                FROM documents WHERE text IS NOT NULL
+            ),
+            big AS (
+                SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
+                FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) t
+                WHERE len(tk) >= 2
+            ),
+            cb AS (SELECT prev, cur, count(*) AS c_big FROM big GROUP BY prev, cur),
+            cu AS (SELECT prev, count(*) AS c_prev FROM big GROUP BY prev),
+            v AS (SELECT count(DISTINCT cur) AS vocab FROM big),
+            scored AS (
+                SELECT b.doc_id, ln((cb.c_big + 1.0) / (cu.c_prev + v.vocab)) AS lp
+                FROM big b JOIN cb USING (prev, cur) JOIN cu USING (prev), v
+            )
+            SELECT doc_id, count(*) AS n_bigrams,
+                   ROUND(exp(-SUM(lp) / count(*)), {_SCORE_DECIMALS}) AS ppl
+            FROM scored GROUP BY doc_id
         """,
         "bm25_topk": f"""
             WITH tf AS (

@@ -48,6 +48,7 @@ __all__ = [
     "mixture_sample",
     "pii_scrub",
     "PII_PATTERNS",
+    "perplexity_scores",
 ]
 
 # Gopher-inspired rule thresholds (Rae et al. 2021 A1.1), adapted to the
@@ -390,3 +391,57 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"{name}_cnt"))
         cur = F.regexp_replace(cur, pat, repl)
     return df.select(F.col(id_col), *counts, cur.alias("redacted"))
+
+
+def perplexity_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document bigram perplexity under a corpus-trained LM — the
+    CCNet-style quality signal (CCNet filters on wiki-LM perplexity;
+    self-trained here so the operator is closed over its input, and the
+    counts side is swappable for a pre-trained model table).
+
+    Model: add-one-smoothed bigram LM with a per-document <s> start token:
+        P(w | prev) = (c(prev, w) + 1) / (c(prev) + V)
+        ppl(doc)    = exp(−(1/N) Σ ln P)       N = #bigrams in the doc
+    Output: (id, n_bigrams, ppl), low = fluent-under-corpus.
+
+    Plan shape: bigram explode → two count aggregates reused as the model
+    → equi-join back on (prev, cur) / prev → per-doc aggregate; vocab
+    size rides along as a broadcast one-row aggregate. At 100 TB train
+    the counts on a sample (or load a published LM as a dimension table)
+    and broadcast-join it — the scoring pass is then map-side only.
+    """
+    from morphik_core_spark.operators.dedup import normalize_text
+
+    tk = F.split(normalize_text(F.col(text_col)), " ")
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.concat(F.array(F.lit("<s>")), tk).alias("tk"))
+        .filter(F.size("tk") >= 2)
+    )
+    bigrams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr("transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS prev, tk[i] AS cur))")
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+
+    cb = bigrams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_big"))
+    cu = bigrams.groupBy("prev").agg(F.count(F.lit(1)).alias("c_prev"))
+    vocab = bigrams.agg(F.countDistinct("cur").alias("vocab"))
+
+    lp = F.log((F.col("c_big") + F.lit(1.0)) / (F.col("c_prev") + F.col("vocab")))
+    scored = (
+        bigrams.join(cb, ["prev", "cur"])
+        .join(cu, ["prev"])
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), lp.alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.exp(-F.sum("lp") / F.count(F.lit(1))), decimals).alias("ppl"),
+    )

@@ -206,3 +206,30 @@ def test_pii_scrub_email_wins_over_ip_rule(spark):
     # redacted when the IP rule ran, so it is NOT double-counted
     assert got[1].email_cnt == 1 and got[1].ipv4_cnt == 1
     assert got[2].redacted == "w a@[IP] v" and got[2].email_cnt == 0 and got[2].ipv4_cnt == 1
+
+
+def test_perplexity_bigram_lm_hand_check(spark):
+    """Hand-computed add-one bigram perplexity on a 2-doc corpus."""
+    import math
+
+    from morphik_core_spark.operators.curation import perplexity_scores
+
+    rows = [(1, "a b a b"), (2, "a b b a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in perplexity_scores(df, "text", "doc_id").collect()}
+
+    # corpus bigrams (with <s>): d1: (<s>,a)(a,b)(b,a)(a,b)  d2: (<s>,a)(a,b)(b,b)(b,a)
+    cb = {("<s>", "a"): 2, ("a", "b"): 3, ("b", "a"): 2, ("b", "b"): 1}
+    cu = {"<s>": 2, "a": 3, "b": 3}
+    vocab = 2  # distinct `cur` values: a, b
+
+    def ppl(bgs):
+        s = sum(math.log((cb[bg] + 1.0) / (cu[bg[0]] + vocab)) for bg in bgs)
+        return round(math.exp(-s / len(bgs)), 6)
+
+    d1 = [("<s>", "a"), ("a", "b"), ("b", "a"), ("a", "b")]
+    d2 = [("<s>", "a"), ("a", "b"), ("b", "b"), ("b", "a")]
+    assert got[1].n_bigrams == 4 and got[1].ppl == pytest.approx(ppl(d1), abs=1e-6)
+    assert got[2].n_bigrams == 4 and got[2].ppl == pytest.approx(ppl(d2), abs=1e-6)
+    # d2 contains the rarer (b,b) transition -> higher perplexity
+    assert got[2].ppl > got[1].ppl
