@@ -351,6 +351,28 @@ class MorphikSpark:
         rows = self.documents().filter(F.col("external_id") == document_id).limit(1).collect()
         return rows[0].asDict(recursive=True) if rows else None
 
+    def search_documents_by_name(
+        self,
+        query: str,
+        limit: int = 10,
+        filters: dict[str, Any] | None = None,
+        auth: AuthContext | None = None,
+    ) -> list[dict]:
+        """Filename full-text search (reference search_documents_by_name,
+        postgres_database.py:2700-2790): access + metadata scoping, then
+        the ILIKE/english/simple match union ranked by the restated
+        ts_rank, recency tiebreak."""
+        from morphik_core_spark.functions.text import filename_search
+        from morphik_core_spark.operators.scopes import access_predicate
+
+        docs = self.documents()
+        if auth is not None:
+            docs = docs.filter(access_predicate(auth))
+        if filters:
+            docs = docs.filter(self._compiler.compile(filters))
+        out = filename_search(docs, query, limit=limit)
+        return [r.asDict(recursive=True) for r in out.collect()]
+
     def list_folders(self, auth: AuthContext | None = None) -> list[dict]:
         """Folder summaries with doc counts (reference list_folders_summary):
         aggregate-then-broadcast-join, no document_ids payload."""

@@ -217,3 +217,18 @@ def test_merge_upsert_preserves_null_partition_survivors(spark, tmp_path):
     assert affected == [None]
     out = {r.doc_id: (r.app_id, r.payload) for r in spark.read.parquet(path).collect()}
     assert out == {"d1": (None, "v1"), "d2": (None, "v2"), "d3": ("a", "v1")}
+
+
+def test_search_documents_by_name(client):
+    _seed(client)
+    # 'cat' stems nothing; 'cats.txt' normalizes to token 'cats'->stem 'cat';
+    # 'catalyst.txt' matches only via ILIKE substring ('cat' in 'catalyst')
+    got = client.search_documents_by_name("cats", auth=AUTH)
+    names = [d["filename"] for d in got]
+    assert names[0] == "cats.txt"  # ts_rank puts the lexeme hit first
+    assert "spark.txt" not in names
+    # metadata filters compose with the search
+    none = client.search_documents_by_name("cats", filters={"topic": "engine"}, auth=AUTH)
+    assert all(d["filename"] != "cats.txt" for d in none)
+    # rank column present and non-negative
+    assert all(d["rank"] >= 0 for d in got)
