@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_counter_stream", "gap_session_stream"]
+__all__ = ["running_counter_stream", "gap_session_stream", "dedup_stream", "dedup_docs_stream"]
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 STATE_SCHEMA = "n bigint, total double"
@@ -110,3 +110,38 @@ def running_counter_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: the first row per key is
+    emitted, duplicates arriving within the watermark horizon are dropped,
+    and a key's state is evicted once the watermark passes it.
+
+    This is the streaming twin of the batch ``dedup_exact`` operator (and
+    the idempotency guard an at-least-once ingest feed needs in front of
+    the pipeline). Plain ``dropDuplicates`` on a stream keeps every key
+    forever — a 100 TB feed OOMs the state store; the watermark variant
+    holds only the horizon's worth of keys.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def dedup_docs_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Content-level streaming dedup: normalized-text md5 fingerprint as
+    the key (exactly the batch dedup_exact fingerprint), watermark-bounded."""
+    from pyspark.sql import functions as F
+
+    from morphik_core_spark.operators.dedup import normalize_text
+
+    with_fp = docs.withColumn("fp", F.md5(normalize_text(F.col(text_col))))
+    return dedup_stream(with_fp, ["fp"], ts_col=ts_col, watermark=watermark)

@@ -122,3 +122,50 @@ def test_gap_sessionizer_matches_batch_operator(spark, tmp_path):
     assert closed == expected
     assert len(closed) == 2  # user 1's two sealed bursts; user 2 still open
     assert batch.count() == 4  # sanity: batch sees all four sessions
+
+
+def test_streaming_dedup_within_and_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: first occurrence wins inside a batch,
+    the checkpoint carries the key state across micro-batches/restarts,
+    and fresh keys always pass."""
+    from morphik_core_spark.streaming.stateful import dedup_docs_stream
+
+    src = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+    schema = "doc_id long, text string, ts timestamp"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            dedup_docs_stream(stream, watermark="1 hour")
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+        return sorted((r.doc_id, r.fp) for r in spark.read.parquet(out).collect())
+
+    t = datetime(2024, 1, 1)
+    # doc 2 duplicates doc 1's content modulo whitespace/case (same fingerprint)
+    write_batch([(1, "Alpha  Beta", t), (2, "alpha beta", t), (3, "unique one", t)])
+    got1 = run_once()
+    ids1 = [d for d, _ in got1]
+    assert len(got1) == 2 and 3 in ids1 and len({1, 2} & set(ids1)) == 1
+
+    # second run: same content re-sent within the watermark -> dropped;
+    # a brand-new doc passes
+    write_batch([(4, "ALPHA BETA", t), (5, "another new text", t)])
+    got2 = run_once()
+    ids2 = [d for d, _ in got2]
+    assert 4 not in ids2 and 5 in ids2
+    assert len(got2) == 3
