@@ -1002,6 +1002,20 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(docs.withColumn("text", contact), "text", "doc_id")
 
 
+_PQ_M = 8  # subspaces over the 64-dim embeddings (8 dims each)
+
+
+def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN (FAISS IndexPQ analog): per-subspace codebooks from the same
+    deterministic pivots as IVF, ADC candidate scoring, exact rescore."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return similarity.knn_pq(
+        emb, _centroids(spark, sf_dir), qv, m=_PQ_M, k=10, n_candidates=50,
+        decimals=_SCORE_DECIMALS,
+    )
+
+
 def _q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style bigram-LM perplexity per doc (add-one smoothing,
     corpus-trained, <s> start token). Low ppl = fluent-under-corpus."""
@@ -1065,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "pii_scrub": _q_pii_scrub,
         "perplexity": _q_perplexity,
+        "knn_pq": _q_knn_pq,
         "sessionization": _q_sessionization,
         "rollup_counts": _q_rollup_counts,
         "pivot_counts": _q_pivot_counts,
@@ -1167,6 +1182,41 @@ def oracle_sql() -> dict[str, str]:
         f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5)) * tf_{i} * (1.2 + 1.0)"
         f" / (tf_{i} + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))"
         for i in range(len(_bm25_terms))
+    )
+
+    # PQ oracle: identical arithmetic to knn_pq's generated expressions —
+    # same subspace slicing, same left-to-right sums, raw doubles (no
+    # rounding) for encode/ADC, ROUND only on the final rescore score
+    _pq_sub = 64 // _PQ_M
+    _pq_parts = []
+    for _j in range(_PQ_M):
+        _dists, _tables = [], []
+        for _c in range(1, _IVF_LISTS + 1):
+            _dterms = " + ".join(
+                f"(s.ev[{_j * _pq_sub + _i + 1}] - cb{_c}.cv[{_j * _pq_sub + _i + 1}]) * "
+                f"(s.ev[{_j * _pq_sub + _i + 1}] - cb{_c}.cv[{_j * _pq_sub + _i + 1}])"
+                for _i in range(_pq_sub)
+            )
+            _dists.append(f"({_dterms})")
+            _qterms = " + ".join(
+                f"(q.qv[{_j * _pq_sub + _i + 1}] - cb{_c}.cv[{_j * _pq_sub + _i + 1}]) * "
+                f"(q.qv[{_j * _pq_sub + _i + 1}] - cb{_c}.cv[{_j * _pq_sub + _i + 1}])"
+                for _i in range(_pq_sub)
+            )
+            _tables.append(f"({_qterms})")
+        _dj = f"list_value({', '.join(_dists)})"
+        _code = f"(list_position({_dj}, list_min({_dj})) - 1)"
+        _pq_parts.append(f"list_value({', '.join(_tables)})[{_code} + 1]")
+    _pq_approx = " + ".join(_pq_parts)
+    _pq_cbs = ",\n            ".join(
+        f"cb{_c} AS (SELECT embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id = {_c})"
+        for _c in range(1, _IVF_LISTS + 1)
+    )
+    _pq_joins = ", ".join(f"cb{_c}" for _c in range(1, _IVF_LISTS + 1))
+    _pq_score = (
+        "ROUND((1.0 + list_dot_product(c.ev, q.qv) / "
+        "(sqrt(list_dot_product(c.ev, c.ev)) * sqrt(list_dot_product(q.qv, q.qv)))) / 2.0, "
+        f"{_SCORE_DECIMALS})"
     )
 
     from morphik_core_spark.operators.curation import PII_PATTERNS
@@ -1976,6 +2026,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND({_fts_rank}, {_SCORE_DECIMALS}) > 0
             ORDER BY rank DESC, doc_id ASC
             LIMIT 20
+        """,
+        "knn_pq": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = {_QUERY_VEC_ID}),
+            {_pq_cbs},
+            vecs AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+            approx AS (
+                SELECT s.vec_id, s.ev, {_pq_approx} AS approx_dist
+                FROM vecs s, q, {_pq_joins}
+            ),
+            cand AS (
+                SELECT vec_id, ev FROM (
+                    SELECT vec_id, ev,
+                           row_number() OVER (ORDER BY approx_dist ASC, vec_id ASC) AS rn
+                    FROM approx
+                ) WHERE rn <= 50
+            )
+            SELECT vec_id, score FROM (
+                SELECT c.vec_id, {_pq_score} AS score,
+                       row_number() OVER (ORDER BY {_pq_score} DESC, c.vec_id ASC) AS rn
+                FROM cand c, q
+            ) WHERE rn <= 10
         """,
         "perplexity": f"""
             WITH toks AS (

@@ -153,3 +153,39 @@ def test_kmeans_fit_deterministic_and_sampled(spark, emb_df):
     assert a == b  # same seed, same sample -> bit-identical centroids
     c = similarity.kmeans_fit(df, n_lists=4, iters=5, sample_mod=2)
     assert len(c) == 4
+
+
+def test_pq_codebooks_shape_and_slicing(emb_df):
+    _df, rows = emb_df
+    pivots = [(i + 1, rows[i + 1][1]) for i in range(8)]
+    cbs = similarity.pq_codebooks(pivots, m=4)
+    assert len(cbs) == 4 and all(len(cb) == 8 for cb in cbs)
+    sub = DIMS // 4
+    assert cbs[2][5] == list(rows[6][1][2 * sub : 3 * sub])
+
+
+def test_pq_self_hit_and_recall_vs_exact(spark, emb_df):
+    """The query vector itself survives ADC candidate selection and wins
+    the exact rescore; PQ top-10 overlaps exact top-10 substantially."""
+    df, rows = emb_df
+    pivots = [(i + 1, rows[i + 1][1]) for i in range(8)]
+    qv = rows[0][1]
+    out = similarity.knn_pq(df, pivots, qv, m=4, k=10, n_candidates=40).collect()
+    assert out[0].vec_id == 0 and out[0].score == pytest.approx(1.0)
+
+    exact = similarity.knn_brute_force(df, _queries(spark, rows, n=1), k=10)
+    exact_ids = {r.vec_id for r in exact.collect()}
+    pq_ids = {r.vec_id for r in out}
+    assert len(exact_ids & pq_ids) >= 5  # ADC with 40/N candidates keeps most
+
+    # widening the candidate pool can only improve recall
+    wide = {r.vec_id for r in similarity.knn_pq(df, pivots, qv, m=4, k=10, n_candidates=N).collect()}
+    assert wide == exact_ids  # full candidate pool == exact ranking
+
+
+def test_pq_plan_is_scan_plus_takeordered(spark, emb_df):
+    df, rows = emb_df
+    pivots = [(i + 1, rows[i + 1][1]) for i in range(8)]
+    jplan = similarity.knn_pq(df, pivots, rows[0][1], m=4)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in jplan
+    assert "Exchange hashpartitioning" not in jplan  # no shuffle anywhere
