@@ -83,6 +83,7 @@ def main() -> None:
     out["value"] = out["by_dims"][str(DIMS_SWEEP[0])]["recall"]
     out["lsh_probes"] = lsh_probe_recall(sf_dir)
     out["ivf_probes"] = ivf_probe_recall(sf_dir)
+    out["pq_candidates"] = pq_adc_recall(sf_dir)
     print(json.dumps(out))
 
 
@@ -170,6 +171,54 @@ def ivf_probe_recall(sf_dir: str, n_lists: int = 8, k: int = 10, n_queries: int 
         result[str(n_probes)] = {
             "recall": round(float(np.mean(recalls)), 4),
             "avg_scanned": round(float(np.mean(scanned)), 4),
+        }
+    return result
+
+
+def pq_adc_recall(sf_dir: str, m: int = 8, k: int = 10, n_queries: int = 50) -> dict:
+    """Recall@k of PQ/ADC candidate selection vs exact cosine, by candidate
+    pool size. Mirrors operators/similarity.knn_pq (codebooks = subspace
+    slices of pivot vectors vec_id 1..8, L2 encode, ADC table scoring,
+    exact rescore of the pool) in numpy."""
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.asarray([r[0] for r in emb])
+    mat = np.asarray([r[1] for r in emb], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1) + 1e-12
+    n, d = mat.shape
+    sub = d // m
+    cents = mat[1:9]  # 8 codebook entries per subspace, same pivots as IVF
+
+    # encode: per subspace, nearest codebook slice by L2
+    codes = np.empty((n, m), dtype=np.int64)
+    for j in range(m):
+        seg = mat[:, j * sub : (j + 1) * sub]
+        cseg = cents[:, j * sub : (j + 1) * sub]
+        d2 = ((seg[:, None, :] - cseg[None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+
+    result: dict[str, dict] = {}
+    for n_cand in (25, 50, 100):
+        recalls = []
+        for qi in ids[:n_queries]:
+            q = mat[qi]
+            exact = np.argsort(-(mat @ q) / (norms * np.linalg.norm(q)))
+            exact_top = set(ids[[i for i in exact if ids[i] != qi][:k]])
+            # ADC tables for this query
+            approx = np.zeros(n)
+            for j in range(m):
+                qseg = q[j * sub : (j + 1) * sub]
+                cseg = cents[:, j * sub : (j + 1) * sub]
+                table = ((qseg[None, :] - cseg) ** 2).sum(axis=1)
+                approx += table[codes[:, j]]
+            cand = np.argsort(approx)[:n_cand]
+            sims = (mat[cand] @ q) / (norms[cand] * np.linalg.norm(q))
+            got = set(ids[cand[np.argsort(-sims)]][: k + 1]) - {qi}
+            recalls.append(len(exact_top & got) / k)
+        result[str(n_cand)] = {
+            "recall": round(float(np.mean(recalls)), 4),
+            "avg_scanned": round(n_cand / n, 4),
         }
     return result
 

@@ -189,3 +189,14 @@ def test_pq_plan_is_scan_plus_takeordered(spark, emb_df):
     jplan = similarity.knn_pq(df, pivots, rows[0][1], m=4)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in jplan
     assert "Exchange hashpartitioning" not in jplan  # no shuffle anywhere
+
+
+def test_pq_recall_monotone_in_candidate_pool():
+    """ADC recall must grow with the candidate pool (measured, not assumed):
+    at sf0.001 the sweep mirrors knn_pq's exact encode/table arithmetic."""
+    from evaluations.retrieval_eval import pq_adc_recall
+
+    sweep = pq_adc_recall("/root/testdata/sf0.001", n_queries=20)
+    r25, r50, r100 = (sweep[s]["recall"] for s in ("25", "50", "100"))
+    assert r25 <= r50 <= r100
+    assert r100 > 0.3  # the pool at 20% scan must beat random by a wide margin
