@@ -160,16 +160,22 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
         r = len(b) % k
         return b + b"\x00" * (k - r) if r else b
 
-    # mini stream: concatenation of 64-byte-padded small streams
+    # mini stream: concatenation of 64-byte-padded small streams; the
+    # mini-FAT is indexed BY SECTOR, so entries are emitted per occupied
+    # sector in layout order (a zero-byte stream occupies no sectors and
+    # must emit none — its directory start is ENDOFCHAIN)
     mini = bytearray()
     mini_start: dict[str, int] = {}
-    for n in small:
-        mini_start[n] = len(mini) // msize
-        mini += pad(streams[n], msize)
     minifat: list[int] = []
     for n in small:
-        k = (len(pad(streams[n], msize))) // msize
-        base = mini_start[n]
+        if not streams[n]:
+            mini_start[n] = _ENDOFCHAIN
+            continue
+        base = len(mini) // msize
+        mini_start[n] = base
+        padded = pad(streams[n], msize)
+        mini += padded
+        k = len(padded) // msize
         minifat.extend(list(range(base + 1, base + k)) + [_ENDOFCHAIN])
 
     n_dir_sectors = -(-((len(names) + 1) * 128) // ssize)

