@@ -28,6 +28,12 @@ The transport is injected (any ``Callable[[list[str]], list[list[float]]]``
 factory), so tests exercise batching/retry/isolation against a fake, and a
 real deployment passes a litellm/OpenAI/Ollama-backed transport without
 touching engine code.
+
+All three external-model contracts get a worked adapter here:
+dense embed (``remote_embed_udf``), ColPali-style multivector
+(``remote_multivector_udf`` — feeds operators/maxsim directly), and
+cross-encoder rerank (``remote_rerank_kernel`` — plugs into
+operators/rerank.make_reranker unchanged).
 """
 
 from __future__ import annotations
@@ -46,6 +52,8 @@ __all__ = [
     "TransientEmbeddingError",
     "remote_embed_udf",
     "embed_column_remote",
+    "remote_multivector_udf",
+    "remote_rerank_kernel",
     "PGVECTOR_MAX_DIMENSIONS",
 ]
 
@@ -123,7 +131,9 @@ class EmbeddingServiceClient:
                     time.sleep(self.retry_backoff_s * attempt)
         if len(vecs) != len(texts):
             raise ValueError(f"provider returned {len(vecs)} embeddings for {len(texts)} texts")
-        if vecs and len(vecs[0]) != self.dimensions:
+        first = vecs[0] if vecs else None
+        is_multivector = bool(first) and isinstance(first[0], (list, tuple))
+        if first is not None and not is_multivector and len(first) != self.dimensions:
             # reference warns and keeps going (litellm_embedding.py:86-91);
             # we do the same — dims mismatch is a config problem, not a row
             # problem, and nulling data for it would be worse.
@@ -185,3 +195,70 @@ def embed_column_remote(
     """The engine's embed_column contract served by an external model."""
     udf = remote_embed_udf(client_factory, on_error=on_error)
     return df.withColumn(out_col, udf(F.col(text_col)))
+
+
+def remote_multivector_udf(
+    client_factory: Callable[[], EmbeddingServiceClient],
+    on_error: str = "null",
+):
+    """ColPali-shaped multivector adapter: text/page column →
+    ``array<array<double>>`` (one vector per token/patch, ragged).
+
+    Reference colpali_embedding_model.py:66-320 batches pages through the
+    model and returns per-page multivectors; the engine consumes them via
+    the MaxSim operators (operators/maxsim.py). Same iterator-UDF shape as
+    the dense adapter: one client per worker, provider-limit sub-batching,
+    retries, sub-batch failure isolation. The transport returns one
+    ``list[list[float]]`` (a token-vectors matrix) PER INPUT; dimension
+    validation applies to the inner vectors.
+    """
+    if on_error not in ("null", "raise"):
+        raise ValueError("on_error must be 'null' or 'raise'")
+
+    @F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        client = client_factory()
+        sub = client.effective_batch_size()
+        for texts in batches:
+            out: list[Optional[list[list[float]]]] = [None] * len(texts)
+            send = [i for i, t in enumerate(texts) if isinstance(t, str) and t.strip()]
+            for lo in range(0, len(send), sub):
+                idxs = send[lo : lo + sub]
+                chunk = [texts.iloc[i] for i in idxs]
+                try:
+                    mats = client.embed_batch(chunk)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                for i, mat in zip(idxs, mats):
+                    out[i] = [[float(x) for x in vec] for vec in mat]
+            yield pd.Series(out)
+
+    return embed
+
+
+def remote_rerank_kernel(
+    client_factory: Callable[[], EmbeddingServiceClient],
+) -> Callable[[str, list[str]], list[float]]:
+    """Cross-encoder kernel for operators/rerank.make_reranker backed by an
+    external scoring service (reference flag_reranker.py:30-60).
+
+    The transport receives ``[query + SEP + content, ...]`` pair-texts and
+    returns one ``[score]`` per pair; retries/batching come from the same
+    client. Returns a plain ``(query, contents) -> scores`` callable — the
+    exact kernel contract make_reranker already takes, so the Spark side
+    (oversample → Arrow rescore → re-sort) is unchanged.
+    """
+
+    def kernel(query: str, contents: list[str]) -> list[float]:
+        client = client_factory()
+        sub = client.effective_batch_size()
+        pairs = [f"{query}\x1f{c or ''}" for c in contents]
+        scores: list[float] = []
+        for lo in range(0, len(pairs), sub):
+            vecs = client.embed_batch(pairs[lo : lo + sub])
+            scores.extend(float(v[0]) for v in vecs)
+        return scores
+
+    return kernel

@@ -182,3 +182,74 @@ def test_udf_is_a_column_transform_not_a_collect(spark):
     )
     out = df.filter(F.col("id") < 3).withColumn("e", udf(F.col("t")))
     assert out.count() == 3
+
+
+# ---------------------------------------------- multivector + rerank
+
+
+def _multivector_transport(texts, params):
+    # one matrix per text: one 2-dim vector per whitespace token (ragged)
+    return [[[float(ti), float(len(tok))] for ti, tok in enumerate(t.split())] for t in texts]
+
+
+def test_multivector_udf_ragged_shapes_and_isolation(spark):
+    from morphik_core_spark.functions.model_adapters import remote_multivector_udf
+
+    df = spark.createDataFrame(
+        [(0, "one"), (1, "two tokens"), (2, None), (3, "three token text")],
+        "id int, t string",
+    ).coalesce(1)
+
+    def factory():
+        return EmbeddingServiceClient(transport=_multivector_transport, batch_size=2)
+
+    udf = remote_multivector_udf(factory)
+    rows = {r.id: r.mv for r in df.withColumn("mv", udf(F.col("t"))).collect()}
+    assert [len(v) for v in rows[1]] == [2, 2] and len(rows[1]) == 2  # ragged rows x 2 dims
+    assert len(rows[3]) == 3 and rows[3][2] == [2.0, 4.0]
+    assert rows[2] is None  # null text never reaches the provider
+
+
+def test_multivector_feeds_maxsim(spark):
+    """The adapter's output schema is exactly what the MaxSim operators eat."""
+    from morphik_core_spark.functions.model_adapters import remote_multivector_udf
+    from morphik_core_spark.operators.maxsim import maxsim_pandas
+
+    df = spark.createDataFrame(
+        [("d1", "alpha beta gamma"), ("d2", "alpha alpha")], "doc_id string, t string"
+    )
+    udf = remote_multivector_udf(
+        lambda: EmbeddingServiceClient(transport=_multivector_transport)
+    )
+    mv = df.withColumn("mv", udf(F.col("t"))).select("doc_id", "mv")
+    q = [[0.0, 5.0], [1.0, 4.0]]
+    out = maxsim_pandas(mv, q, id_cols=("doc_id",), mv_col="mv")
+    got = {r.doc_id: r.maxsim for r in out.collect()}
+    assert set(got) == {"d1", "d2"} and all(v is not None for v in got.values())
+
+
+def test_remote_rerank_kernel_plugs_into_make_reranker(spark):
+    from morphik_core_spark.functions.model_adapters import remote_rerank_kernel
+    from morphik_core_spark.operators.rerank import make_reranker
+
+    def scoring_transport(pair_texts, params):
+        # score = overlap of the query/content halves, one [score] per pair
+        out = []
+        for p in pair_texts:
+            q, c = p.split("\x1f")
+            out.append([float(len(set(q.split()) & set(c.split())))])
+        return out
+
+    kernel = remote_rerank_kernel(
+        lambda: EmbeddingServiceClient(transport=scoring_transport, batch_size=2)
+    )
+    # driver-side kernel check: batching preserved order
+    assert kernel("a b", ["a b", "x", "b c"]) == [2.0, 0.0, 1.0]
+
+    df = spark.createDataFrame(
+        [("c1", "spark shuffles data", 0.2), ("c2", "cats purr softly", 0.9)],
+        "chunk_id string, content string, score double",
+    )
+    reranked = make_reranker("spark data", kernel=kernel)(df)
+    got = {r.chunk_id: r.score for r in reranked.collect()}
+    assert got["c1"] == 2.0 and got["c2"] == 0.0  # model score replaced the prior
