@@ -1016,6 +1016,30 @@ def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup (first occurrence wins globally). The
+    single-line corpus is re-lined deterministically (4-token windows →
+    paragraphs) so cross-document boilerplate actually exists; the
+    reconstructed text participates in the value hash."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    tk = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    synth = tk.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.expr(
+                "transform(sequence(0, int(ceil(size(tk)/4.0)) - 1), "
+                "i -> concat_ws(' ', slice(tk, i*4+1, 4)))"
+            ),
+        ).alias("t"),
+    )
+    from morphik_core_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(synth, "t", "doc_id")
+
+
 def _q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style bigram-LM perplexity per doc (add-one smoothing,
     corpus-trained, <s> start token). Low ppl = fluent-under-corpus."""
@@ -1080,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "perplexity": _q_perplexity,
         "knn_pq": _q_knn_pq,
+        "paragraph_dedup": _q_paragraph_dedup,
         "sessionization": _q_sessionization,
         "rollup_counts": _q_rollup_counts,
         "pivot_counts": _q_pivot_counts,
@@ -2026,6 +2051,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND({_fts_rank}, {_SCORE_DECIMALS}) > 0
             ORDER BY rank DESC, doc_id ASC
             LIMIT 20
+        """,
+        "paragraph_dedup": """
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS tk
+                FROM documents WHERE text IS NOT NULL AND len(text) > 0
+            ),
+            synth AS (
+                SELECT doc_id,
+                       string_agg(array_to_string(tk[i*4+1 : i*4+4], ' '), chr(10) ORDER BY i) AS t
+                FROM base,
+                     LATERAL (SELECT unnest(generate_series(0,
+                         CAST(ceil(len(tk)/4.0) AS INT) - 1)) AS i) g
+                GROUP BY doc_id
+            ),
+            lines AS (
+                SELECT doc_id, i - 1 AS pos, p[i] AS para
+                FROM (SELECT doc_id, string_split(t, chr(10)) AS p FROM synth),
+                     LATERAL (SELECT unnest(generate_series(1, len(p))) AS i) g
+            ),
+            valid AS (SELECT * FROM lines WHERE len(para) > 0),
+            tot AS (SELECT doc_id, count(*) AS n_paras FROM valid GROUP BY doc_id),
+            ranked AS (
+                SELECT doc_id, pos, para,
+                       row_number() OVER (PARTITION BY md5(para)
+                                          ORDER BY doc_id ASC, pos ASC) AS rn
+                FROM valid
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(para, chr(10) ORDER BY pos) AS text_dedup
+                FROM ranked WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_paras,
+                   COALESCE(a.n_kept, 0) AS n_kept,
+                   COALESCE(a.text_dedup, '') AS text_dedup
+            FROM tot t LEFT JOIN agg a USING (doc_id)
         """,
         "knn_pq": f"""
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

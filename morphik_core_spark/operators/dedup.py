@@ -46,6 +46,7 @@ __all__ = [
     "embedding_near_dup_pandas",
     "connected_components",
     "resolve_duplicate_clusters",
+    "paragraph_dedup",
 ]
 
 # 60-bit hash keeps (a*h30 + b) inside int64 after the 30-bit fold
@@ -611,4 +612,59 @@ def resolve_duplicate_clusters(
             F.coalesce("keeper_id", F.col(id_col)).alias("keeper_id"),
             F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
         )
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup: split documents into
+    paragraphs, drop every paragraph whose exact content already appeared
+    earlier in the corpus (first occurrence by (doc, position) wins,
+    globally), and reconstruct the surviving text per document.
+
+    Output: (id, n_paras, n_kept, text_dedup) — text_dedup preserves the
+    original paragraph order; a document whose every paragraph was seen
+    elsewhere keeps n_kept=0 and ''. This removes boilerplate
+    (headers/footers/navigation) that whole-document dedup can't touch.
+
+    Plan shape: posexplode → md5 → winner per hash via one window on the
+    hash key (one shuffle) → per-doc rebuild (second shuffle). At 100 TB
+    the hash shuffle is the cost — salting is unnecessary because md5
+    keys are uniform by construction; boilerplate hashes ARE hot, so the
+    window (not a join against a collected winner set) keeps them
+    streaming through a single pass.
+    """
+    from pyspark.sql import Window
+
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .filter(F.length("para") > 0)
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    kept = paras.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("text_dedup"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
     )

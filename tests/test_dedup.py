@@ -219,3 +219,38 @@ def test_resolve_duplicate_clusters_keeps_isolated_docs(spark):
     # the dedup contract: keepers form the surviving corpus
     keepers = {d for d, (k, _) in rows.items() if d == k}
     assert keepers == {0, 1, 2, 3, 5 - 2}  # 0,1,2,3 survive; 4,5 drop
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from morphik_core_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        ("a", "intro text\nshared footer\nunique a"),
+        ("b", "different intro\nshared footer\nunique b"),
+        ("c", "shared footer"),  # nothing survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r for r in paragraph_dedup(df, "text", "doc_id").collect()}
+
+    assert got["a"].text_dedup == "intro text\nshared footer\nunique a"
+    assert (got["a"].n_paras, got["a"].n_kept) == (3, 3)  # doc 'a' owns the footer
+    assert got["b"].text_dedup == "different intro\nunique b"  # footer removed
+    assert (got["b"].n_paras, got["b"].n_kept) == (3, 2)
+    assert got["c"].text_dedup == "" and got["c"].n_kept == 0  # fully boilerplate
+    # empty paragraphs (double separators) never count
+    df2 = spark.createDataFrame([("x", "one\n\ntwo")], "doc_id string, text string")
+    r = paragraph_dedup(df2, "text", "doc_id").collect()[0]
+    assert (r.n_paras, r.text_dedup) == (2, "one\ntwo")
+
+
+def test_paragraph_dedup_fires_on_corpus(spark, sf_dir):
+    """The 4-token re-lining of the synthetic corpus must actually contain
+    cross-document duplicates, or the query proves nothing."""
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.queries()["paragraph_dedup"](spark, sf_dir)
+    agg = out.agg(
+        F.sum("n_paras").alias("total"), F.sum("n_kept").alias("kept")
+    ).first()
+    assert agg.kept < agg.total  # duplicates existed and were dropped
+    assert agg.kept > 0
