@@ -1016,6 +1016,25 @@ def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style URL filtering: scheme allowlist + subdomain-aware domain
+    blocklist. URLs synthesized deterministically (every 5th doc gets a
+    non-web scheme; hosts rotate through blocked/clean domains)."""
+    docs = _t(spark, sf_dir, "documents")
+    scheme = F.when(F.col("n_chars") % 5 == 0, F.lit("ftp")).otherwise(F.lit("https"))
+    tail = (
+        F.when(F.col("n_chars") % 3 == 0, F.lit(".ads.example.com"))
+        .when(F.col("n_chars") % 3 == 1, F.lit(".example.org"))
+        .otherwise(F.lit(".tracker.net"))
+    )
+    url = F.concat(scheme, F.lit("://"), F.col("source"), tail, F.lit("/doc/"), F.col("doc_id"))
+    from morphik_core_spark.operators.curation import url_filter
+
+    return url_filter(
+        docs.withColumn("url", url), "url", "doc_id", ["ads.example.com", "tracker.net"]
+    )
+
+
 def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style paragraph dedup (first occurrence wins globally). The
     single-line corpus is re-lined deterministically (4-token windows →
@@ -1105,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": _q_perplexity,
         "knn_pq": _q_knn_pq,
         "paragraph_dedup": _q_paragraph_dedup,
+        "url_filter": _q_url_filter,
         "sessionization": _q_sessionization,
         "rollup_counts": _q_rollup_counts,
         "pivot_counts": _q_pivot_counts,
@@ -2051,6 +2071,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND({_fts_rank}, {_SCORE_DECIMALS}) > 0
             ORDER BY rank DESC, doc_id ASC
             LIMIT 20
+        """,
+        "url_filter": """
+            WITH urls AS (
+                SELECT doc_id,
+                       (CASE WHEN n_chars % 5 = 0 THEN 'ftp' ELSE 'https' END) || '://' ||
+                       source ||
+                       (CASE WHEN n_chars % 3 = 0 THEN '.ads.example.com'
+                             WHEN n_chars % 3 = 1 THEN '.example.org'
+                             ELSE '.tracker.net' END) || '/doc/' || doc_id AS url
+                FROM documents
+            ),
+            parsed AS (
+                SELECT doc_id,
+                       nullif(lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)), '') AS scheme,
+                       nullif(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)), '') AS host
+                FROM urls
+            ),
+            m AS (
+                SELECT doc_id, scheme, host,
+                       list_filter(['ads.example.com', 'tracker.net'],
+                                   d -> host = d OR ends_with(host, '.' || d)) AS matched
+                FROM parsed
+            )
+            SELECT doc_id, scheme, host,
+                   matched[1] AS blocked_by,
+                   COALESCE(scheme IN ('http', 'https') AND host IS NOT NULL
+                            AND matched[1] IS NULL, FALSE) AS keep
+            FROM m
         """,
         "paragraph_dedup": """
             WITH base AS (

@@ -49,6 +49,7 @@ __all__ = [
     "pii_scrub",
     "PII_PATTERNS",
     "perplexity_scores",
+    "url_filter",
 ]
 
 # Gopher-inspired rule thresholds (Rae et al. 2021 A1.1), adapted to the
@@ -444,4 +445,49 @@ def perplexity_scores(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.exp(-F.sum("lp") / F.count(F.lit(1))), decimals).alias("ppl"),
+    )
+
+
+def url_filter(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    blocked_domains: list[str],
+    allowed_schemes: tuple[str, ...] = ("http", "https"),
+) -> DataFrame:
+    """C4/RefinedWeb-style URL filtering: parse scheme/host, drop rows on a
+    domain blocklist (subdomain-aware: ``ads.example.com`` blocks itself
+    and any ``*.ads.example.com``) or with a non-web scheme.
+
+    Output: (id, scheme, host, blocked_by, keep) — ``blocked_by`` is the
+    FIRST matching blocklist entry (in the caller's order, deterministic),
+    NULL when clean; malformed URLs (no scheme) keep NULL scheme/host and
+    keep=false. Pure codegen: regexp parse + a literal-array suffix scan,
+    no shuffle, no UDF — the blocklist rides into every task as part of
+    the plan (for million-entry blocklists switch to a broadcast join on
+    the registrable-domain suffix instead).
+    """
+    url = F.col(url_col)
+    scheme = F.nullif(F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)), F.lit(""))
+    host = F.nullif(
+        F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)), F.lit("")
+    )
+    base = df.select(F.col(id_col), scheme.alias("scheme"), host.alias("host"))
+    domains = F.array(*[F.lit(d.lower()) for d in blocked_domains])
+    matched = F.filter(
+        domains,
+        lambda d: (F.col("host") == d) | F.col("host").endswith(F.concat(F.lit("."), d)),
+    )
+    # F.get (0-based) returns NULL on empty arrays under ANSI mode, where
+    # element_at would raise
+    blocked_by = F.get(matched, 0)
+    keep = (
+        F.col("scheme").isin(*[s.lower() for s in allowed_schemes])
+        & F.col("host").isNotNull()
+        & blocked_by.isNull()
+    )
+    return base.select(
+        F.col(id_col), "scheme", "host",
+        blocked_by.alias("blocked_by"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
     )

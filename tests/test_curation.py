@@ -233,3 +233,29 @@ def test_perplexity_bigram_lm_hand_check(spark):
     assert got[2].n_bigrams == 4 and got[2].ppl == pytest.approx(ppl(d2), abs=1e-6)
     # d2 contains the rarer (b,b) transition -> higher perplexity
     assert got[2].ppl > got[1].ppl
+
+
+def test_url_filter_schemes_subdomains_and_malformed(spark):
+    from morphik_core_spark.operators.curation import url_filter
+
+    rows = [
+        (1, "https://good.example.org/page"),
+        (2, "https://ads.example.com/x"),          # exact blocklist hit
+        (3, "https://sub.ads.example.com/x"),      # subdomain hit
+        (4, "https://notads.example.com/x"),       # suffix must NOT match mid-label
+        (5, "ftp://good.example.org/x"),           # scheme rejected
+        (6, "no scheme at all"),                   # malformed
+        (7, None),
+        (8, "HTTPS://ADS.EXAMPLE.COM/upper"),      # case-insensitive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r for r in url_filter(df, "url", "doc_id", ["ads.example.com"]).collect()}
+
+    assert got[1].keep and got[1].blocked_by is None and got[1].host == "good.example.org"
+    assert not got[2].keep and got[2].blocked_by == "ads.example.com"
+    assert not got[3].keep and got[3].blocked_by == "ads.example.com"
+    assert got[4].keep  # 'notads.example.com' does not end with '.ads.example.com'
+    assert not got[5].keep and got[5].blocked_by is None and got[5].scheme == "ftp"
+    assert not got[6].keep and got[6].host is None
+    assert not got[7].keep
+    assert not got[8].keep and got[8].blocked_by == "ads.example.com"
