@@ -1016,6 +1016,15 @@ def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup: 6-hour time_bucket_gapfill over events with
+    last-observation-carried-forward across the gap buckets."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.sessions import time_bucket_gapfill
+
+    return time_bucket_gapfill(events, bucket_secs=21600)
+
+
 def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style URL filtering: scheme allowlist + subdomain-aware domain
     blocklist. URLs synthesized deterministically (every 5th doc gets a
@@ -1125,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq": _q_knn_pq,
         "paragraph_dedup": _q_paragraph_dedup,
         "url_filter": _q_url_filter,
+        "gapfill_locf": _q_gapfill_locf,
         "sessionization": _q_sessionization,
         "rollup_counts": _q_rollup_counts,
         "pivot_counts": _q_pivot_counts,
@@ -2071,6 +2081,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND({_fts_rank}, {_SCORE_DECIMALS}) > 0
             ORDER BY rank DESC, doc_id ASC
             LIMIT 20
+        """,
+        "gapfill_locf": """
+            WITH ev AS (
+                SELECT user_id, epoch_us(ts) // 21600000000 AS b, value AS v
+                FROM events
+            ),
+            agg AS (
+                SELECT user_id, b, count(*) AS n_events, ROUND(SUM(v), 6) AS v_sum
+                FROM ev GROUP BY user_id, b
+            ),
+            rng AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM agg GROUP BY user_id),
+            grid AS (
+                SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM rng
+            ),
+            j AS (
+                SELECT g.user_id, g.b, COALESCE(a.n_events, 0) AS n_events, a.v_sum
+                FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b
+            )
+            SELECT user_id, make_timestamp(b * 21600000000) AS bucket_ts,
+                   n_events, v_sum,
+                   last_value(v_sum IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+            FROM j
         """,
         "url_filter": """
             WITH urls AS (

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats", "streaming_session_counts"]
+__all__ = ["sessionize", "session_stats", "streaming_session_counts", "time_bucket_gapfill"]
 
 
 def sessionize(
@@ -79,4 +79,57 @@ def streaming_session_counts(
             F.col("session_window.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+def time_bucket_gapfill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_secs: int = 21600,
+    decimals: int = 6,
+) -> DataFrame:
+    """Hypertable-style time_bucket_gapfill + LOCF (the TimescaleDB
+    operator a telemetry rollup needs): bucket events per key, materialize
+    EVERY bucket in the key's [min, max] span, and carry the last observed
+    value forward across the gaps.
+
+    Output: (key, bucket_ts, n_events, v_sum, v_locf) — gap rows have
+    n_events=0 and NULL v_sum; v_locf is the last non-null (rounded)
+    bucket sum at or before the row. Bucketing is integer µs floor
+    division, exactly reproducible relationally.
+
+    Plan shape: one groupBy on (key, bucket) (map-side combined), a tiny
+    per-key range aggregate, sequence-explode for the grid (no driver
+    loop), a left equi-join back, and one per-key ordered window for LOCF.
+    The window partition is bounded by a key's bucket span, not corpus
+    size — no global-sort hazard at 100 TB; keys are the shuffle unit.
+    """
+    us = bucket_secs * 1_000_000
+    b = F.expr(f"unix_micros(`{ts_col}`) div {us}")
+    agg = (
+        events.select(F.col(key_col), b.alias("b"), F.col(value_col).alias("v"))
+        .groupBy(key_col, "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("v"), decimals).alias("v_sum"),
+        )
+    )
+    rng = agg.groupBy(key_col).agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    grid = rng.select(
+        F.col(key_col), F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b")
+    )
+    joined = grid.join(agg, [key_col, "b"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("b").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(key_col),
+        F.expr(f"timestamp_micros(b * {us})").alias("bucket_ts"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.col("v_sum"),
+        F.last("v_sum", ignorenulls=True).over(w).alias("v_locf"),
     )

@@ -74,3 +74,27 @@ def test_streaming_matches_batch(spark, events, tmp_path):
         for r in batch.join(starts, ["user_id", "session_id"]).collect()
     }
     assert streamed == batch_rows
+
+
+def test_time_bucket_gapfill_locf(spark):
+    from datetime import datetime
+
+    from morphik_core_spark.operators.sessions import time_bucket_gapfill
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), 10.0),
+        (1, datetime(2024, 1, 1, 0, 45), 5.0),   # same bucket as above
+        (1, datetime(2024, 1, 1, 3, 10), 2.0),   # bucket +3 (two gap buckets)
+        (2, datetime(2024, 1, 1, 5, 0), 7.0),    # single-bucket key
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = time_bucket_gapfill(df, bucket_secs=3600).orderBy("user_id", "bucket_ts").collect()
+
+    u1 = [r for r in out if r.user_id == 1]
+    assert len(u1) == 4  # buckets 0,1,2,3 — gaps materialized
+    assert [r.n_events for r in u1] == [2, 0, 0, 1]
+    assert u1[0].v_sum == 15.0 and u1[1].v_sum is None
+    assert [r.v_locf for r in u1] == [15.0, 15.0, 15.0, 2.0]  # carried forward
+    assert u1[0].bucket_ts == datetime(2024, 1, 1, 0, 0)
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].v_locf == 7.0
