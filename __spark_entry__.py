@@ -1016,6 +1016,15 @@ def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling: 50 docs drawn proportional to
+    n_chars, reproducibly (exact power-of-two-rational uniform)."""
+    docs = _t(spark, sf_dir, "documents")
+    from morphik_core_spark.operators.curation import weighted_sample
+
+    return weighted_sample(docs, "doc_id", "n_chars", k=50)
+
+
 def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped 3-way join (customer ⋈ orders ⋈ lineitem): selective
     dim filter broadcast into the fact join, decimal-exact revenue agg,
@@ -1161,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": _q_url_filter,
         "gapfill_locf": _q_gapfill_locf,
         "shipping_priority": _q_shipping_priority,
+        "weighted_sample": _q_weighted_sample,
         "sessionization": _q_sessionization,
         "rollup_counts": _q_rollup_counts,
         "pivot_counts": _q_pivot_counts,
@@ -2107,6 +2117,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND({_fts_rank}, {_SCORE_DECIMALS}) > 0
             ORDER BY rank DESC, doc_id ASC
             LIMIT 20
+        """,
+        "weighted_sample": """
+            WITH keyed AS (
+                SELECT doc_id, n_chars,
+                       ROUND(ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                                      AS BIGINT) % 1073741824 + 1) / 1073741824.0)
+                             / CAST(n_chars AS DOUBLE), 6) AS sample_key
+                FROM documents
+                WHERE CAST(n_chars AS DOUBLE) > 0
+            )
+            SELECT doc_id, n_chars, sample_key
+            FROM keyed
+            ORDER BY sample_key DESC, doc_id ASC
+            LIMIT 50
         """,
         "shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -50,6 +50,7 @@ __all__ = [
     "PII_PATTERNS",
     "perplexity_scores",
     "url_filter",
+    "weighted_sample",
 ]
 
 # Gopher-inspired rule thresholds (Rae et al. 2021 A1.1), adapted to the
@@ -490,4 +491,39 @@ def url_filter(
         F.col(id_col), "scheme", "host",
         blocked_by.alias("blocked_by"),
         F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ws",
+    decimals: int = 6,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each row draws key = ln(u)/w from a
+    portable-hash uniform u, and the top-k keys win — rows are included
+    with probability proportional to ``weight_col``, reproducibly.
+
+    The uniform is exact cross-engine: u = (h mod 2^30 + 1) / 2^30 with h
+    the portable md5 hash — both the modulo and the power-of-two division
+    are exact in doubles, so u is bit-identical everywhere; ln and the
+    weight division are mirrored expression-for-expression in the oracle.
+
+    Scale shape: one map computes keys, one TakeOrderedAndProject keeps k
+    (per-partition heaps, no full sort, no shuffle beyond the final
+    gather) — the streaming-friendly way to cut a weighted 1% of 100 TB.
+    Rows with non-positive weights never qualify.
+    """
+    h30 = portable_hash(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % (1 << 30)
+    u = (h30 + F.lit(1)).cast("double") / F.lit(float(1 << 30))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w, decimals)
+    return (
+        df.filter(w > 0)
+        .select(F.col(id_col), F.col(weight_col), key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
     )

@@ -259,3 +259,31 @@ def test_url_filter_schemes_subdomains_and_malformed(spark):
     assert not got[6].keep and got[6].host is None
     assert not got[7].keep
     assert not got[8].keep and got[8].blocked_by == "ads.example.com"
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from morphik_core_spark.operators.curation import weighted_sample
+
+    # heavy ids weighted 50x: they must dominate the sample
+    rows = [(f"h{i}", 5000) for i in range(50)] + [(f"l{i}", 100) for i in range(450)]
+    df = spark.createDataFrame(rows, "doc_id string, w int")
+    got = [r.doc_id for r in weighted_sample(df, "doc_id", "w", k=50).collect()]
+    heavy = sum(1 for d in got if d.startswith("h"))
+    assert heavy >= 25  # 10% of rows carry ~36% of weight; E-S should over-select them
+
+    again = [r.doc_id for r in weighted_sample(df, "doc_id", "w", k=50).collect()]
+    assert got == again  # bit-reproducible, ordering included
+    # different salt -> different (but still deterministic) draw
+    other = [r.doc_id for r in weighted_sample(df, "doc_id", "w", k=50, salt="other").collect()]
+    assert got != other
+    # non-positive weights never qualify
+    dfz = spark.createDataFrame([("a", 0), ("b", -3), ("c", 10)], "doc_id string, w int")
+    assert [r.doc_id for r in weighted_sample(dfz, "doc_id", "w", k=5).collect()] == ["c"]
+
+
+def test_weighted_sample_plan_is_takeordered(spark):
+    from morphik_core_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame([(str(i), i + 1) for i in range(100)], "doc_id string, w int")
+    plan = weighted_sample(df, "doc_id", "w", k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no full sort
