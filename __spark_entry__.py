@@ -1111,6 +1111,88 @@ def _q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_scores(docs, "text", "doc_id")
 
 
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct parts per returnflag (p=9, ~4.6%
+    std error) — the sketch that replaces countDistinct at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    from morphik_core_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(li, ["l_returnflag"], "l_partkey", p=9)
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters: top-20 tokens with their exact counts and
+    the (always >=) sketch estimates from a deliberately tight 3x16
+    sketch, so collisions are visible and the min-over-depths matters."""
+    docs = _t(spark, sf_dir, "documents")
+    from morphik_core_spark.operators.dedup import normalize_text
+    from morphik_core_spark.operators.sketches import cms_estimates, cms_sketch
+
+    toks = docs.select(F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    sketch = cms_sketch(counts, "tok", "exact_cnt", depth=3, width=16)
+    cands = counts.orderBy(F.col("exact_cnt").desc(), F.col("tok").asc()).limit(20)
+    return cms_estimates(cands, sketch, "tok", depth=3, width=16).select(
+        "tok", "exact_cnt", "cms_est"
+    )
+
+
+def _q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI with pair count >= 5 (Church & Hanks)."""
+    docs = _t(spark, sf_dir, "documents")
+    from morphik_core_spark.operators.text_analysis import pmi_bigrams
+
+    return pmi_bigrams(docs, "text", min_count=5, k=20)
+
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span coverage over word 4-grams (Lee et al.
+    ExactSubstr signal at word granularity)."""
+    docs = _t(spark, sf_dir, "documents")
+    from morphik_core_spark.operators.dedup import span_dedup
+
+    return span_dedup(docs, "text", "doc_id", n=4)
+
+
+def _q_moving_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sliding-window features over the last 6 events (frame-spec
+    window; DECIMAL-exact rolling sum)."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.sessions import moving_aggregates
+
+    return moving_aggregates(events, "user_id", "ts", "event_id", "value", lookback_rows=5)
+
+
+def _q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join audit: urgent-order keys -> 8192-bit
+    bloom -> lineitem key prefilter -> exact semi-join; one row counting
+    keys at each stage plus the realized false-positive rate."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    from morphik_core_spark.operators.sketches import bloom_bits, bloom_pass_keys
+
+    auth = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    bits = bloom_bits(auth, "o_orderkey", num_bits=8192, num_hashes=3)
+    keys = li.select(F.col("l_orderkey")).distinct()
+    passed = bloom_pass_keys(keys, "l_orderkey", bits, num_bits=8192, num_hashes=3)
+    exact = keys.join(auth, keys["l_orderkey"] == auth["o_orderkey"], "left_semi")
+    stats = (
+        keys.agg(F.count(F.lit(1)).alias("n_keys"))
+        .crossJoin(passed.agg(F.count(F.lit(1)).alias("n_bloom_pass")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_pass")))
+    )
+    return stats.select(
+        "n_keys",
+        "n_bloom_pass",
+        "n_exact_pass",
+        (F.col("n_bloom_pass") - F.col("n_exact_pass")).alias("n_false_pos"),
+        F.expr(
+            "ROUND(CAST(n_bloom_pass - n_exact_pass AS DOUBLE) / "
+            "CAST(n_keys - n_exact_pass AS DOUBLE), 6)"
+        ).alias("fp_rate"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -1180,6 +1262,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "usage_rollup": _q_usage_rollup,
         "folder_children": _q_folder_children,
         "folder_descendants": _q_folder_descendants,
+        "hll_distinct": _q_hll_distinct,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "span_dedup": _q_span_dedup,
+        "moving_aggregates": _q_moving_aggregates,
+        "bloom_semi_join": _q_bloom_semi_join,
     }
 
 
@@ -1204,6 +1292,11 @@ _SHINGLES_CTE = (
 )
 _H30_CTE = (
     "h AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741824 AS h30 FROM sh)"
+)
+# HLL raw estimator, the exact expression tree sketches.hll_distinct builds
+# (p=9): alpha_m * m^2 * 2^SCALE / S with the integer-scaled harmonic sum S
+_HLL_EST = (
+    "((0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 * 4503599627370496.0) / CAST(s AS DOUBLE)"
 )
 
 
@@ -2471,6 +2564,146 @@ def oracle_sql() -> dict[str, str]:
                 FROM folders f JOIN r ON f.parent_id = r.id
             )
             SELECT root, id, rel_depth FROM r
+        """,
+        "hll_distinct": f"""
+            WITH h AS (
+                SELECT l_returnflag,
+                       CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM lineitem WHERE l_partkey IS NOT NULL
+            ),
+            r AS (SELECT l_returnflag, h % 512 AS reg, h // 512 AS w FROM h),
+            rho AS (
+                SELECT l_returnflag, reg,
+                       52 - (CASE WHEN w = 0 THEN 0 ELSE length(to_base(w, 2)) END) AS rho
+                FROM r
+            ),
+            regs AS (SELECT l_returnflag, reg, MAX(rho) AS max_rho FROM rho GROUP BY 1, 2),
+            agg AS (
+                SELECT l_returnflag, COUNT(*) AS registers_used,
+                       SUM(CAST(1 AS BIGINT) << (52 - max_rho)) AS s_occ
+                FROM regs GROUP BY 1
+            ),
+            fin AS (
+                SELECT l_returnflag, registers_used,
+                       s_occ + (512 - registers_used) * CAST(4503599627370496 AS BIGINT) AS s
+                FROM agg
+            )
+            SELECT l_returnflag, registers_used,
+                   ROUND(CASE WHEN {_HLL_EST} <= 2.5 * 512.0 AND registers_used < 512
+                         THEN 512.0 * ln(512.0 / (512 - registers_used))
+                         ELSE {_HLL_EST} END, 6) AS distinct_est
+            FROM fin
+        """,
+        "cms_heavy_hitters": f"""
+            WITH {_TOKENS_CTE},
+            tok AS (SELECT unnest(tk) AS tok FROM tk),
+            cnt AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
+            sketch AS (
+                SELECT d,
+                       CAST(('0x' || substr(md5('cms' || d || '|' || tok), 1, 15)) AS BIGINT) % 16 AS bucket,
+                       CAST(SUM(exact_cnt) AS BIGINT) AS bucket_count
+                FROM cnt, (SELECT unnest([0, 1, 2]) AS d)
+                GROUP BY 1, 2
+            ),
+            cands AS (SELECT tok, exact_cnt FROM cnt ORDER BY exact_cnt DESC, tok LIMIT 20),
+            probes AS (
+                SELECT tok, d,
+                       CAST(('0x' || substr(md5('cms' || d || '|' || tok), 1, 15)) AS BIGINT) % 16 AS bucket
+                FROM cands, (SELECT unnest([0, 1, 2]) AS d)
+            ),
+            est AS (
+                SELECT tok, MIN(bucket_count) AS cms_est
+                FROM probes JOIN sketch USING (d, bucket) GROUP BY tok
+            )
+            SELECT c.tok, c.exact_cnt, e.cms_est FROM cands c JOIN est e USING (tok)
+        """,
+        "pmi_bigrams": f"""
+            WITH {_TOKENS_CTE},
+            ucnt AS (
+                SELECT w, count(*) AS c1
+                FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY w
+            ),
+            bi AS (
+                SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+                       unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+                FROM tk WHERE len(tk) >= 2
+            ),
+            bcnt AS (
+                SELECT w1, w2, count(*) AS pair_cnt FROM bi GROUP BY 1, 2
+                HAVING count(*) >= 5
+            ),
+            tot AS (
+                SELECT CAST(SUM(len(tk)) AS BIGINT) AS n_uni,
+                       CAST(SUM(greatest(len(tk) - 1, 0)) AS BIGINT) AS n_bi
+                FROM tk
+            )
+            SELECT w1, w2, pair_cnt,
+                   ROUND(ln((CAST(pair_cnt AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)) /
+                         (CAST(n_bi AS DOUBLE) * CAST(ux.c1 AS DOUBLE) * CAST(uy.c1 AS DOUBLE))), 6) AS pmi
+            FROM bcnt
+            JOIN ucnt ux ON bcnt.w1 = ux.w
+            JOIN ucnt uy ON bcnt.w2 = uy.w
+            CROSS JOIN tot
+            ORDER BY pmi DESC, w1, w2 LIMIT 20
+        """,
+        "span_dedup": f"""
+            WITH {_TOKENS_CTE},
+            g AS (
+                SELECT doc_id,
+                       unnest(range(1, len(tk) - 2)) AS pos,
+                       unnest(list_transform(range(1, len(tk) - 2),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS gram
+                FROM tk WHERE len(tk) >= 4
+            ),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+            cov AS (
+                SELECT DISTINCT doc_id, pos2
+                FROM (SELECT doc_id, unnest(range(pos, pos + 4)) AS pos2
+                      FROM g JOIN dup USING (gram))
+            ),
+            per AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id),
+            lens AS (SELECT doc_id, len(tk) AS n_tokens FROM tk)
+            SELECT l.doc_id, n_tokens, coalesce(dup_tokens, 0) AS dup_tokens,
+                   ROUND(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS dup_fraction
+            FROM lens l LEFT JOIN per USING (doc_id)
+        """,
+        "moving_aggregates": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(18,6)) AS mov_sum,
+                   MIN(value) OVER w AS mov_min,
+                   MAX(value) OVER w AS mov_max,
+                   COUNT(*) OVER w AS mov_cnt
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        """,
+        "bloom_semi_join": """
+            WITH auth AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+            bits AS (
+                SELECT DISTINCT
+                       CAST(('0x' || substr(md5('bloom' || j || '|' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 8192 AS bit
+                FROM auth, (SELECT unnest([0, 1, 2]) AS j)
+            ),
+            keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+            probes AS (
+                SELECT l_orderkey,
+                       CAST(('0x' || substr(md5('bloom' || j || '|' || CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 8192 AS bit
+                FROM keys, (SELECT unnest([0, 1, 2]) AS j)
+            ),
+            pass AS (
+                SELECT l_orderkey FROM probes JOIN bits USING (bit)
+                GROUP BY l_orderkey HAVING count(*) = 3
+            ),
+            stats AS (
+                SELECT (SELECT count(*) FROM keys) AS n_keys,
+                       (SELECT count(*) FROM pass) AS n_bloom_pass,
+                       (SELECT count(*) FROM keys WHERE l_orderkey IN (SELECT o_orderkey FROM auth)) AS n_exact_pass
+            )
+            SELECT n_keys, n_bloom_pass, n_exact_pass,
+                   n_bloom_pass - n_exact_pass AS n_false_pos,
+                   ROUND(CAST(n_bloom_pass - n_exact_pass AS DOUBLE) /
+                         CAST(n_keys - n_exact_pass AS DOUBLE), 6) AS fp_rate
+            FROM stats
         """,
     }
 

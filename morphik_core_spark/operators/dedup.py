@@ -47,6 +47,7 @@ __all__ = [
     "connected_components",
     "resolve_duplicate_clusters",
     "paragraph_dedup",
+    "span_dedup",
 ]
 
 # 60-bit hash keeps (a*h30 + b) inside int64 after the 30-bit fold
@@ -667,4 +668,64 @@ def paragraph_dedup(
         "n_paras",
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 4,
+) -> DataFrame:
+    """Exact duplicated-span coverage per document (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — their
+    ExactSubstr at word granularity: a position is *duplicated* when some
+    word n-gram covering it also occurs in another document).
+
+    Output: (id, n_tokens, dup_tokens, dup_fraction) for every document
+    (zero coverage included). Unlike whole-doc or paragraph dedup this
+    measures partial overlap — quote reuse, template prose — and is the
+    signal you'd threshold to trim spans out of a training corpus.
+
+    Plan shape: the gram inverted index is the only corpus-wide shuffle
+    (uniform md5-like key space); duplicated grams join back against the
+    positional explode as a plain equi-join — at 100 TB you'd df-cap the
+    gram index exactly like `jaccard_pairs` does for shingles. Coverage
+    union is an explode of at most n positions per duplicated gram,
+    distinct-ed per doc — bounded by document length, not corpus size.
+    """
+    grams_expr = F.expr(
+        f"transform(sequence(0, size(tk) - {n}), "
+        f"i -> struct(i AS pos, concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))}) AS gram))"
+    )
+    base = df.select(F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("tk"))
+    lengths = base.select(F.col(id_col), F.size("tk").alias("n_tokens"))
+    g = (
+        base.filter(F.size("tk") >= n)
+        .select(F.col(id_col), F.explode(grams_expr).alias("g"))
+        .select(F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") > 1)
+        .select("gram")
+    )
+    covered = (
+        g.join(dup, "gram")
+        .select(F.col(id_col), F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("cov"))
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    return (
+        lengths.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            F.expr("ROUND(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)").alias(
+                "dup_fraction"
+            ),
+        )
     )

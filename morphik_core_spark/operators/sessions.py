@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats", "streaming_session_counts", "time_bucket_gapfill"]
+__all__ = [
+    "sessionize",
+    "session_stats",
+    "streaming_session_counts",
+    "time_bucket_gapfill",
+    "moving_aggregates",
+]
 
 
 def sessionize(
@@ -132,4 +138,46 @@ def time_bucket_gapfill(
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         F.col("v_sum"),
         F.last("v_sum", ignorenulls=True).over(w).alias("v_locf"),
+    )
+
+
+def moving_aggregates(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    lookback_rows: int = 5,
+    scale: int = 6,
+) -> DataFrame:
+    """Frame-spec sliding-window aggregates per key: for each event, the
+    DECIMAL-exact sum plus min/max/count of ``value_col`` over the last
+    ``lookback_rows`` rows (and itself), ordered by (ts, tiebreak).
+
+    The reference has no frame windows (SURVEY §2.5) — this is the
+    Spark-native extension for per-entity rolling features (rate limits,
+    rolling spend, anomaly baselines). Output columns:
+    (key, tiebreak, mov_sum, mov_min, mov_max, mov_cnt).
+
+    Exactness: the sliding sum runs over DECIMAL(18, scale) — exact and
+    associative, so segment-tree vs running-sum window implementations
+    cannot disagree (a DOUBLE sliding sum is association-dependent and
+    would break cross-engine parity). min/max/count are order-free.
+
+    Scale: window partitions are per-key — bounded by a key's event
+    count, never corpus size; the one shuffle is the key repartition.
+    """
+    dec = f"decimal(18,{scale})"
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(-lookback_rows, Window.currentRow)
+    )
+    return events.select(
+        F.col(key_col),
+        F.col(tiebreak_col),
+        F.sum(F.col(value_col).cast(dec)).over(w).cast(dec).alias("mov_sum"),
+        F.min(value_col).over(w).alias("mov_min"),
+        F.max(value_col).over(w).alias("mov_max"),
+        F.count(F.lit(1)).over(w).alias("mov_cnt"),
     )

@@ -1,0 +1,233 @@
+"""Sketch operators: approximate distinct (HLL), count-min frequency
+estimation, and bloom-filter membership prefilters.
+
+The reference has no sketch machinery (its cardinalities live in Postgres
+planner stats) — these are the sketches a 100 TB pipeline needs where exact
+answers stop being affordable:
+
+- ``hll_distinct``: HyperLogLog-style per-group distinct estimate. The
+  register table is tiny (``m`` rows per group) and builds with map-side
+  partial MAX aggregation — one shuffle of at most ``groups x m`` rows no
+  matter how many input rows, which is the entire point vs
+  ``countDistinct`` (whose shuffle carries every distinct value).
+- ``cms_sketch`` / ``cms_estimates``: count-min sketch over a token
+  stream. The sketch is ``depth x width`` integers, built by additive
+  groupBy (map-side combine collapses each partition to the sketch size
+  before the shuffle); estimates come from a broadcast join against the
+  sketch — the classic heavy-hitters-without-a-vocabulary-table shape.
+- ``bloom_bits`` / ``bloom_pass_keys``: bloom-filter semi-join prefilter.
+  The scale path for the authorized-docs semi-join
+  (reference `core/vector_store/pgvector_store.py:469-471` consumes a
+  doc-id list) when the key set is too large to ship as a literal list
+  but small as bits: ship ``num_bits`` bits, drop most non-matching fact
+  rows before the exact join. Spark injects runtime bloom filters itself
+  (`spark.sql.optimizer.runtime.bloomFilter.enabled`); the explicit
+  relational form here is oracle-checkable and engine-independent.
+
+Every hash derives from the portable md5 scheme (`dedup.portable_hash`) so
+DuckDB reproduces each operator bit-for-bit. All register/bucket math stays
+in int64 (scaled powers of two, not float ``pow``) so aggregation order can
+never change a result; the only float ops are the final estimate division
+and (for HLL) one ``ln`` — single IEEE ops on exact integer operands.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from morphik_core_spark.operators.dedup import portable_hash
+
+__all__ = [
+    "hll_distinct",
+    "cms_sketch",
+    "cms_estimates",
+    "bloom_bits",
+    "bloom_pass_keys",
+]
+
+# portable_hash is 60-bit; the rho window is what remains after the
+# register index is peeled off
+_HASH_BITS = 60
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 9,
+) -> DataFrame:
+    """Per-group approximate COUNT(DISTINCT value) via HyperLogLog.
+
+    Returns ``group_cols + (registers_used, distinct_est)``. ``m = 2**p``
+    registers; standard-error ~= 1.04/sqrt(m) (~4.6% at p=9). Uses the
+    classic Flajolet/Fu sion/Gandouet/Meunier estimator with the
+    linear-counting small-range correction.
+
+    Exactness-for-parity notes (the whole design pivots on these):
+    - register value = MAX(rho) is integer, so partial aggregation order
+      is irrelevant;
+    - the harmonic sum is computed in *scaled integer space*:
+      ``sum(2**(SCALE - rho))`` with ``SCALE = window_bits + 1`` — an
+      int64 sum (<= m * 2**SCALE = 2**(p + SCALE) <= 2**61), exact and
+      associative, where a float ``sum(2**-rho)`` would depend on
+      aggregation order;
+    - rho uses the bit length of the windowed hash via binary-string
+      length (``conv(w, 10, 2)`` / DuckDB ``to_base(w, 2)``), never
+      ``log2`` (libm, inexact at boundaries).
+    """
+    m = 1 << p
+    window_bits = _HASH_BITS - p
+    scale = window_bits + 1  # rho in [1, scale]; empty register ~ rho 0
+    pow_scale = 1 << scale
+
+    regs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, portable_hash(F.col(value_col).cast("string")).alias("h"))
+        .select(*group_cols, (F.col("h") % m).alias("reg"), F.expr(f"h div {m}").alias("w"))
+        .withColumn(
+            "rho",
+            F.expr(
+                f"{window_bits} + 1 - (CASE WHEN w = 0 THEN 0 "
+                f"ELSE length(conv(CAST(w AS STRING), 10, 2)) END)"
+            ),
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    # the D suffix forces DOUBLE literals: a bare 0.7213 parses as
+    # DECIMAL(5,4) in Spark SQL and the whole tree would go through
+    # decimal division (different rounding than the oracle's doubles)
+    alpha_expr = f"(0.7213D / (1.0D + 1.079D / {m}.0D))"
+    est_raw = f"({alpha_expr} * {m}.0D * {m}.0D * {pow_scale}.0D) / CAST(s AS DOUBLE)"
+    return (
+        regs.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("registers_used"),
+            F.expr(f"sum(shiftleft(CAST(1 AS BIGINT), {scale} - max_rho))").alias("s_occ"),
+        )
+        .withColumn("s", F.expr(f"s_occ + ({m} - registers_used) * CAST({pow_scale} AS BIGINT)"))
+        .withColumn(
+            "distinct_est",
+            F.expr(
+                f"ROUND(CASE WHEN {est_raw} <= 2.5D * {m}.0D AND registers_used < {m} "
+                f"THEN {m}.0D * ln({m}.0D / ({m} - registers_used)) "
+                f"ELSE {est_raw} END, 6)"
+            ),
+        )
+        .select(*group_cols, "registers_used", "distinct_est")
+    )
+
+
+def cms_sketch(
+    counts: DataFrame,
+    token_col: str,
+    count_col: str,
+    depth: int = 3,
+    width: int = 16,
+) -> DataFrame:
+    """Count-min sketch (depth x width) from an additive count table.
+
+    ``counts`` may be raw rows with ``count_col = 1`` or (cheaper, what
+    you'd do at scale) a pre-combined per-token count table — counts are
+    additive, so both build the identical sketch. Returns
+    ``(depth_i, bucket, bucket_count)``.
+    """
+    rows = []
+    for d in range(depth):
+        bucket = portable_hash(F.concat(F.lit(f"cms{d}|"), F.col(token_col))) % width
+        rows.append(
+            counts.select(
+                F.lit(d).alias("depth_i"),
+                bucket.alias("bucket"),
+                F.col(count_col).alias("n"),
+            )
+        )
+    stream = rows[0]
+    for r in rows[1:]:
+        stream = stream.unionByName(r)
+    return stream.groupBy("depth_i", "bucket").agg(F.sum("n").alias("bucket_count"))
+
+
+def cms_estimates(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    token_col: str,
+    depth: int = 3,
+    width: int = 16,
+) -> DataFrame:
+    """Attach ``cms_est`` = min over sketch rows of the hashed bucket count.
+
+    The sketch is depth*width rows — always broadcast. CMS guarantees
+    ``cms_est >= true count`` (collisions only ever inflate).
+    """
+    probes = candidates.select(
+        token_col,
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("depth_i"),
+    ).withColumn(
+        "bucket",
+        (portable_hash(F.concat(F.concat(F.lit("cms"), F.col("depth_i").cast("string"), F.lit("|")), F.col(token_col))) % width),
+    )
+    joined = probes.join(F.broadcast(sketch), ["depth_i", "bucket"])
+    est = joined.groupBy(token_col).agg(F.min("bucket_count").alias("cms_est"))
+    return candidates.join(est, token_col)
+
+
+def bloom_bits(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 8192,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Distinct set bit positions of a bloom filter over ``keys``.
+
+    At most ``num_bits`` rows regardless of key count — the build is a
+    groupBy-distinct that combines map-side.
+    """
+    probes = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    portable_hash(F.concat(F.lit(f"bloom{j}|"), F.col(key_col).cast("string"))) % num_bits
+                    for j in range(num_hashes)
+                ]
+            )
+        ).alias("bit")
+    )
+    return probes.distinct()
+
+
+def bloom_pass_keys(
+    keys: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    num_bits: int = 8192,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Keys whose every hash position is set in ``bits`` (no false
+    negatives; false positives at the configured rate).
+
+    ``bits`` is <= num_bits rows — broadcast — so the membership test
+    costs one map-side join plus a small groupBy on the key, never a
+    full-size shuffle of the fact table.
+    """
+    probes = keys.select(
+        key_col,
+        F.posexplode(
+            F.array(
+                *[
+                    portable_hash(F.concat(F.lit(f"bloom{j}|"), F.col(key_col).cast("string"))) % num_bits
+                    for j in range(num_hashes)
+                ]
+            )
+        ).alias("j", "bit"),
+    )
+    matched = probes.join(F.broadcast(bits), "bit")
+    return (
+        matched.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == num_hashes)
+        .select(key_col)
+    )

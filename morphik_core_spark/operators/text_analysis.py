@@ -25,6 +25,7 @@ __all__ = [
     "bpe_token_stats",
     "repetition_signals",
     "bm25_topk",
+    "pmi_bigrams",
     "BPE_TOKEN_RE",
     "STOPWORDS",
 ]
@@ -366,4 +367,68 @@ def bm25_topk(
         out.filter(F.col("score") > 0)
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information.
+
+    ``pmi(x,y) = ln( P(x,y) / (P(x)P(y)) )`` over corpus bigram/unigram
+    frequencies — the classic collocation detector (Church & Hanks 1990).
+    Output: (w1, w2, pair_cnt, pmi), the k highest-PMI bigrams with
+    ``pair_cnt >= min_count``, ties broken on (w1, w2).
+
+    Plan shape: one scan explodes bigrams, a second explodes unigrams;
+    both aggregate with map-side combine (vocab-sized shuffles, not
+    corpus-sized). The two corpus totals ride along as scalar aggregates
+    via cross-joined 1-row frames — no collect, no second pass. Top-k is
+    TakeOrderedAndProject.
+
+    Float discipline: counts stay int64 until a single division tree
+    ``(c_xy * N * N) / (N_bi * c_x * c_y)`` evaluated in doubles (each
+    operand exact below 2**53), one ln, ROUND(6) — the identical
+    expression tree an oracle engine reproduces bit-for-bit.
+    """
+    tk = df.select(tokens(F.col(text_col)).alias("tk"))
+    uni = tk.select(F.explode("tk").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    bi = (
+        tk.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i + 1] AS w2))")
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c1").alias("n_uni"))
+    n_bi = tk.select(
+        F.greatest(F.size("tk") - 1, F.lit(0)).alias("nb")
+    ).agg(F.sum("nb").alias("n_bi"))
+    scored = (
+        bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "cx"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "cy"), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .withColumn(
+            "pmi",
+            F.expr(
+                "ROUND(ln((CAST(pair_cnt AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)) / "
+                "(CAST(n_bi AS DOUBLE) * CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 6)"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+        .select("w1", "w2", "pair_cnt", "pmi")
     )
