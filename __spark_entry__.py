@@ -1193,6 +1193,60 @@ def _q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel view -> click -> purchase: users reaching each
+    step after their earliest completion of the previous one."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.analytics import funnel_counts
+
+    return funnel_counts(events, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: distinct users per (first-activity epoch week,
+    week offset) — integer epoch bucketing, no tz/DST dependence."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.analytics import cohort_retention
+
+    return cohort_retention(events, "user_id", "ts")
+
+
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (25.0) value histogram per event type."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.analytics import value_histogram
+
+    return value_histogram(events, "event_type", "value", 25.0)
+
+
+def _q_anomaly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type mean/std from DECIMAL-exact sums + |z|>3 outlier counts."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.analytics import anomaly_stats
+
+    return anomaly_stats(events, "event_type", "value", 3.0)
+
+
+def _q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the customer-nation -> supplier-nation
+    trade graph (lineitem x orders x customer x supplier edges); exact
+    int64 micro-unit arithmetic makes 3 iterations bit-reproducible."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    from morphik_core_spark.operators.graph import pagerank_fixed_point
+
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank_fixed_point(edges, "src", "dst", "w", iterations=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -1268,6 +1322,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _q_span_dedup,
         "moving_aggregates": _q_moving_aggregates,
         "bloom_semi_join": _q_bloom_semi_join,
+        "funnel_steps": _q_funnel_steps,
+        "cohort_retention": _q_cohort_retention,
+        "value_histogram": _q_value_histogram,
+        "anomaly_stats": _q_anomaly_stats,
+        "nation_pagerank": _q_nation_pagerank,
     }
 
 
@@ -1293,6 +1352,53 @@ _SHINGLES_CTE = (
 _H30_CTE = (
     "h AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741824 AS h30 FROM sh)"
 )
+def _pagerank_oracle(iterations: int = 3, damping_pct: int = 85) -> str:
+    """DuckDB twin of graph.pagerank_fixed_point over the nation trade
+    graph — iterations unrolled as CTEs, `//` mirroring Spark's `div`
+    (identical for the all-positive operands here), SUM(BIGINT) cast back
+    from HUGEINT."""
+    from morphik_core_spark.operators.graph import UNIT
+
+    teleport_u = (UNIT * (100 - damping_pct)) // 100
+    ctes = [
+        """edges AS (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        )""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n_nodes FROM nodes)",
+        "ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src)",
+        "ew AS (SELECT src, dst, w, out_w FROM edges JOIN ow USING (src))",
+        f"r0 AS (SELECT node, CAST({UNIT} AS BIGINT) // n_nodes AS rank_u FROM nodes, nn)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""c{i} AS (
+                SELECT dst AS node, CAST(SUM((rank_u * w) // out_w) AS BIGINT) AS c_sum
+                FROM r{i - 1} r JOIN ew ON r.node = ew.src GROUP BY dst
+            )"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+                SELECT n.node,
+                       CAST({teleport_u} AS BIGINT) // nn.n_nodes +
+                       ({damping_pct} * coalesce(c_sum, CAST(0 AS BIGINT))) // 100 AS rank_u
+                FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node, nn
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT node, rank_u,
+               ROUND(CAST(rank_u AS DOUBLE) / {UNIT}.0, 6) AS rank
+        FROM r{iterations}
+    """
+    )
+
+
 # HLL raw estimator, the exact expression tree sketches.hll_distinct builds
 # (p=9): alpha_m * m^2 * 2^SCALE / S with the integer-scaled harmonic sum S
 _HLL_EST = (
@@ -2705,6 +2811,60 @@ def oracle_sql() -> dict[str, str]:
                          CAST(n_keys - n_exact_pass AS DOUBLE), 6) AS fp_rate
             FROM stats
         """,
+        "funnel_steps": """
+            WITH r0 AS (SELECT user_id, MIN(ts) AS t_prev FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            r1 AS (SELECT e.user_id, MIN(e.ts) AS t_prev FROM events e
+                   JOIN r0 ON e.user_id = r0.user_id
+                   WHERE e.event_type = 'click' AND e.ts > r0.t_prev
+                   GROUP BY e.user_id),
+            r2 AS (SELECT e.user_id, MIN(e.ts) AS t_prev FROM events e
+                   JOIN r1 ON e.user_id = r1.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > r1.t_prev
+                   GROUP BY e.user_id)
+            SELECT 0 AS step_index, 'view' AS step_name, (SELECT count(*) FROM r0) AS n_users
+            UNION ALL
+            SELECT 1, 'click', (SELECT count(*) FROM r1)
+            UNION ALL
+            SELECT 2, 'purchase', (SELECT count(*) FROM r2)
+        """,
+        "cohort_retention": """
+            WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+            f AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id)
+            SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+            FROM w JOIN f USING (user_id) GROUP BY 1, 2
+        """,
+        "value_histogram": """
+            SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+                   CAST(CAST(floor(value / 25.0) AS BIGINT) AS DOUBLE) * 25.0 AS bin_lo,
+                   count(*) AS n_events
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+        """,
+        "anomaly_stats": """
+            WITH s AS (
+                SELECT event_type, count(*) AS n,
+                       SUM(CAST(value AS DECIMAL(18,6))) AS s,
+                       SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
+                FROM events WHERE value IS NOT NULL GROUP BY 1
+            ),
+            m AS (
+                SELECT event_type, n,
+                       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_raw,
+                       sqrt((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) -
+                            ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) *
+                             (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) AS std_raw
+                FROM s
+            ),
+            o AS (
+                SELECT e.event_type, count(*) AS n_outliers FROM events e
+                JOIN m ON e.event_type = m.event_type
+                WHERE abs(e.value - m.mean_raw) > 3.0 * m.std_raw GROUP BY 1
+            )
+            SELECT m.event_type, n, ROUND(mean_raw, 6) AS mean, ROUND(std_raw, 6) AS std,
+                   coalesce(n_outliers, 0) AS n_outliers
+            FROM m LEFT JOIN o USING (event_type)
+        """,
+        "nation_pagerank": _pagerank_oracle(),
     }
 
 

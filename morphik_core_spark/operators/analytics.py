@@ -1,0 +1,181 @@
+"""Event-analytics operators: funnel conversion, cohort retention, value
+histograms, and per-group anomaly statistics.
+
+Extensions beyond the reference surface (morphik-core's telemetry is
+driver-side counters — `core/services/telemetry.py` — with no analytical
+queries); these are the event-table rollups a usage-facing deployment
+runs at warehouse scale. All pure DataFrame ops, oracle-checkable:
+
+- integer math (counts, epoch-week `div`) wherever possible;
+- the one float-bearing operator (`anomaly_stats`) accumulates in exact
+  DECIMAL and converts to DOUBLE only inside a fixed expression tree, so
+  aggregation order can never change a result;
+- histogram bins come from `floor(value / width)` — a single IEEE double
+  division + floor, deterministic in any engine.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "funnel_counts",
+    "cohort_retention",
+    "value_histogram",
+    "anomaly_stats",
+]
+
+
+def funnel_counts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Strict-order funnel: how many users performed step k AFTER their
+    earliest completion of step k-1. Output: (step_index, step_name,
+    n_users), one row per step.
+
+    Each stage is a user-keyed conditional-min aggregate joined to the
+    previous stage's reach — k-1 small shuffles on the user key plus the
+    per-step scans. The per-user state is one timestamp, so stage frames
+    stay reach-sized (shrinking monotonically), never event-sized.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    reach = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_prev"))
+    )
+    out = reach.groupBy().agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit(0).alias("step_index"), F.lit(steps[0]).alias("step_name"), "n_users"
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("t_step")
+        )
+        reach = (
+            reach.join(nxt, user_col)
+            .filter(F.col("t_step") > F.col("t_prev"))
+            .groupBy(user_col)
+            .agg(F.min("t_step").alias("t_prev"))
+        )
+        out = out.unionByName(
+            reach.groupBy().agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).alias("step_index"), F.lit(step).alias("step_name"), "n_users"
+            )
+        )
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket_secs: int = 7 * 86400,
+) -> DataFrame:
+    """Classic retention triangle: users bucketed by first-activity epoch
+    week (cohort), counted per (cohort, week-offset) of later activity.
+    Output: (cohort_week, week_offset, n_users).
+
+    Epoch bucketing is integer `unix_micros div bucket_us` — exact, no
+    timezone/DST dependence. Two user-keyed aggregates plus one count
+    per (cohort, offset); distinct-per-bucket happens before the final
+    count so the last shuffle carries at most users x observed-offsets.
+    """
+    us = bucket_secs * 1_000_000
+    w = events.select(
+        F.col(user_col), F.expr(f"unix_micros(`{ts_col}`) div {us}").alias("week")
+    ).distinct()
+    first = w.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
+    return (
+        w.join(first, user_col)
+        .select("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def value_histogram(
+    events: DataFrame,
+    group_col: str,
+    value_col: str,
+    bin_width: float = 25.0,
+) -> DataFrame:
+    """Fixed-width histogram per group: (group, bin, bin_lo, n_events).
+
+    ``bin = floor(value / width)`` — one double division + floor, bin
+    edges reconstructed as ``bin * width``. Pure codegen, one shuffle on
+    (group, bin) with map-side combine; output is bins, not events.
+    """
+    b = F.expr(f"CAST(floor(`{value_col}` / {bin_width}D) AS BIGINT)")
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            group_col,
+            "bin",
+            F.expr(f"CAST(bin AS DOUBLE) * {bin_width}D").alias("bin_lo"),
+            "n_events",
+        )
+    )
+
+
+def anomaly_stats(
+    events: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group mean/std plus the count of |z| > threshold outliers.
+    Output: (group, n, mean, std, n_outliers).
+
+    Accumulation is DECIMAL(18,6)-exact (sum and sum-of-squares), so the
+    group aggregates are associative and order-free; mean/variance are
+    then one fixed DOUBLE expression tree over the exact sums — the same
+    doubles in any engine. The outlier pass re-scans with the per-group
+    stats broadcast — two scans total, no per-row UDF.
+    """
+    d = F.col(value_col).cast("decimal(18,6)")
+    stats = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d).alias("s"),
+            F.sum(d * d).alias("s2"),
+        )
+        .withColumn("mean_raw", F.expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn(
+            "std_raw",
+            F.expr(
+                "sqrt((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) - "
+                "((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))"
+            ),
+        )
+    )
+    flagged = (
+        events.filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(stats.select(group_col, "mean_raw", "std_raw")), group_col)
+        .filter(
+            F.expr(f"abs(`{value_col}` - mean_raw) > {z_threshold}D * std_raw")
+        )
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        stats.join(flagged, group_col, "left")
+        .select(
+            group_col,
+            "n",
+            F.expr("ROUND(mean_raw, 6)").alias("mean"),
+            F.expr("ROUND(std_raw, 6)").alias("std"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
+        )
+    )

@@ -1,0 +1,141 @@
+"""Event-analytics + graph operators: hand-checked semantics, exactness
+invariants, and plan shapes. Cross-engine parity lives in
+test_oracle_parity."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _ts(s: int):
+    return datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    rows = [
+        # u1 completes the funnel in order
+        (1, _ts(0), "view"), (1, _ts(10), "click"), (1, _ts(20), "purchase"),
+        # u2 clicks BEFORE viewing: click must not count
+        (2, _ts(10), "click"), (2, _ts(20), "view"),
+        # u3 views only
+        (3, _ts(0), "view"),
+        # u4 purchases without clicking: stops at view
+        (4, _ts(0), "view"), (4, _ts(5), "purchase"),
+    ]
+    return spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+
+
+def test_funnel_strict_ordering(funnel_events):
+    from morphik_core_spark.operators.analytics import funnel_counts
+
+    out = {r["step_name"]: r["n_users"] for r in funnel_counts(
+        funnel_events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    assert out == {"view": 4, "click": 1, "purchase": 1}
+
+
+def test_funnel_counts_monotonic_on_real_shape(funnel_events):
+    from morphik_core_spark.operators.analytics import funnel_counts
+
+    rows = funnel_counts(
+        funnel_events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).orderBy("step_index").collect()
+    vals = [r["n_users"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_cohort_retention_offsets(spark):
+    from morphik_core_spark.operators.analytics import cohort_retention
+
+    day = 86400
+    rows = [
+        (1, _ts(0)), (1, _ts(8 * day)),          # week 0 cohort, back week 1
+        (2, _ts(0)), (2, _ts(1 * day)),          # week 0 cohort, week 0 only
+        (3, _ts(7 * day)), (3, _ts(21 * day)),   # week 1 cohort, back week 2 offset
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = cohort_retention(df, "user_id", "ts", bucket_secs=7 * day).collect()
+    # normalize cohorts relative to the earliest
+    base = min(r["cohort_week"] for r in out)
+    got = {(r["cohort_week"] - base, r["week_offset"]): r["n_users"] for r in out}
+    assert got == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 2): 1}
+
+
+def test_value_histogram_bins_and_totals(spark):
+    from morphik_core_spark.operators.analytics import value_histogram
+
+    rows = [("a", 0.0), ("a", 24.99), ("a", 25.0), ("a", 60.0), ("b", 10.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {(r["event_type"], r["bin"]): r for r in value_histogram(df, "event_type", "value").collect()}
+    assert out[("a", 0)]["n_events"] == 2
+    assert out[("a", 1)]["n_events"] == 1 and out[("a", 1)]["bin_lo"] == 25.0
+    assert out[("a", 2)]["n_events"] == 1 and out[("a", 2)]["bin_lo"] == 50.0
+    assert sum(r["n_events"] for r in out.values()) == 5
+
+
+def test_anomaly_stats_matches_population_moments(spark):
+    from morphik_core_spark.operators.analytics import anomaly_stats
+
+    vals = [10.0, 12.0, 11.0, 9.0, 13.0, 100.0]  # 100 is a blatant outlier
+    df = spark.createDataFrame([("a", v) for v in vals], "event_type string, value double")
+    [r] = anomaly_stats(df, "event_type", "value", z_threshold=2.0).collect()
+    mean = sum(vals) / len(vals)
+    var = sum(v * v for v in vals) / len(vals) - mean * mean
+    assert r["n"] == 6
+    assert abs(r["mean"] - mean) < 1e-6
+    assert abs(r["std"] - math.sqrt(var)) < 1e-6
+    assert r["n_outliers"] == 1
+
+
+def test_pagerank_fixed_point_exact_hand_values(spark):
+    from morphik_core_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame([("A", "B", 1)], "src string, dst string, w int")
+    out = {r["node"]: r["rank_u"] for r in pagerank_fixed_point(edges, "src", "dst", "w", iterations=3).collect()}
+    # N=2: teleport = 150e9 // 2 = 75e9; A never receives -> settles at 75e9
+    assert out["A"] == 75_000_000_000
+    # B: 75e9 + 85% of A's 75e9 = 138.75e9 after convergence of the chain
+    assert out["B"] == 138_750_000_000
+
+
+def test_pagerank_favors_high_inweight_nodes(spark):
+    from morphik_core_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [("a", "hub", 5), ("b", "hub", 5), ("c", "hub", 5), ("hub", "a", 1)],
+        "src string, dst string, w int",
+    )
+    ranks = {r["node"]: r["rank_u"] for r in pagerank_fixed_point(edges, "src", "dst", "w").collect()}
+    assert ranks["hub"] > ranks["b"] and ranks["hub"] > ranks["c"]
+
+
+def test_analytics_plan_shapes(spark, funnel_events):
+    from morphik_core_spark.operators.analytics import (
+        anomaly_stats, funnel_counts, value_histogram,
+    )
+    from morphik_core_spark.operators.graph import pagerank_fixed_point
+
+    vplan = _plan(value_histogram(funnel_events.withColumn("value", F.rand(7) * 100), "event_type", "value"))
+    assert vplan.count("Exchange") == 1  # one (group, bin) shuffle
+    assert "BatchEvalPython" not in vplan
+
+    fplan = _plan(funnel_counts(funnel_events, "user_id", "ts", "event_type", ["view", "click"]))
+    assert "CartesianProduct" not in fplan
+
+    aplan = _plan(anomaly_stats(funnel_events.withColumn("value", F.rand(7) * 100), "event_type", "value"))
+    assert "BroadcastHashJoin" in aplan  # per-group stats broadcast to the rescan
+    assert "CartesianProduct" not in aplan
+
+    edges = spark.createDataFrame([("A", "B", 1)], "src string, dst string, w int")
+    gplan = _plan(pagerank_fixed_point(edges, "src", "dst", "w", iterations=2))
+    assert "CartesianProduct" not in gplan
+    assert "BroadcastNestedLoopJoin" in gplan  # 1-row node count rides broadcasts
