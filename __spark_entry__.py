@@ -1247,6 +1247,24 @@ def _q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(edges, "src", "dst", "w", iterations=3)
 
 
+def _q_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 per event type from the width-5 histogram sketch
+    (mergeable scale path beside length_percentiles' exact ranks)."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.analytics import quantile_estimate
+
+    return quantile_estimate(events, "event_type", "value")
+
+
+def _q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding by 5: native F.window sliding semantics,
+    integer-bucket oracle pins the epoch alignment."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.analytics import sliding_window_counts
+
+    return sliding_window_counts(events, "event_type", "ts", 600, 300)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -1327,6 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": _q_value_histogram,
         "anomaly_stats": _q_anomaly_stats,
         "nation_pagerank": _q_nation_pagerank,
+        "quantile_estimate": _q_quantile_estimate,
+        "sliding_window_agg": _q_sliding_window_agg,
     }
 
 
@@ -2865,6 +2885,35 @@ def oracle_sql() -> dict[str, str]:
             FROM m LEFT JOIN o USING (event_type)
         """,
         "nation_pagerank": _pagerank_oracle(),
+        "quantile_estimate": """
+            WITH h AS (
+                SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS bin_n
+                FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT event_type, bin, CAST(bin AS DOUBLE) * 5.0 AS bin_lo, bin_n,
+                       CAST(SUM(bin_n) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum
+                FROM h
+            ),
+            c2 AS (SELECT *, cum - bin_n AS cum_prev FROM c),
+            t AS (SELECT event_type, count(*) AS n FROM events WHERE value IS NOT NULL GROUP BY 1),
+            tg AS (
+                SELECT event_type, q, q * CAST(n AS DOUBLE) AS target
+                FROM (SELECT event_type, n,
+                      unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q
+                      FROM t)
+            )
+            SELECT c2.event_type, q,
+                   ROUND(bin_lo + 5.0 * ((target - CAST(cum_prev AS DOUBLE)) / CAST(bin_n AS DOUBLE)), 6) AS est
+            FROM c2 JOIN tg ON c2.event_type = tg.event_type
+            WHERE cum >= target AND cum_prev < target
+        """,
+        "sliding_window_agg": """
+            WITH b AS (SELECT event_type, epoch_us(ts) // 300000000 AS sb FROM events),
+            w AS (SELECT event_type, unnest([sb, sb - 1]) AS wb FROM b)
+            SELECT event_type, make_timestamp(wb * 300000000) AS window_start, count(*) AS n_events
+            FROM w GROUP BY 1, 2
+        """,
     }
 
 

@@ -26,6 +26,8 @@ __all__ = [
     "cohort_retention",
     "value_histogram",
     "anomaly_stats",
+    "quantile_estimate",
+    "sliding_window_counts",
 ]
 
 
@@ -178,4 +180,84 @@ def anomaly_stats(
             F.expr("ROUND(std_raw, 6)").alias("std"),
             F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
         )
+    )
+
+
+def quantile_estimate(
+    events: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    bin_width: float = 5.0,
+) -> DataFrame:
+    """Histogram-sketch quantiles per group: (group, q, est).
+
+    The mergeable scale path beside `curation.length_percentiles`' exact
+    nearest-rank: the histogram is a fixed-size additive sketch (combine
+    map-side, merge across days/partitions), and quantiles come from
+    linear interpolation inside the covering bin — the classic
+    equi-width analog of t-digest/KLL for when value ranges are known.
+
+    Determinism: cumulative counts are exact int64 window sums; the
+    interpolation ``lo + width*((q*n - cum_prev)/bin_n)`` is one fixed
+    IEEE tree per row. The covering bin is selected by integer compare
+    against ``q*n`` (an exact double), so engines cannot disagree on the
+    bin either.
+    """
+    from pyspark.sql import Window
+
+    hist = value_histogram(events, group_col, value_col, bin_width)
+    w = Window.partitionBy(group_col).orderBy("bin")
+    cum = hist.select(
+        group_col,
+        "bin",
+        "bin_lo",
+        F.col("n_events").alias("bin_n"),
+        F.sum("n_events").over(w).alias("cum"),
+    ).withColumn("cum_prev", F.col("cum") - F.col("bin_n"))
+    totals = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qdf = F.array(*[F.lit(float(q)) for q in quantiles])
+    targets = totals.select(
+        group_col, "n", F.explode(qdf).alias("q")
+    ).withColumn("target", F.expr("q * CAST(n AS DOUBLE)"))
+    hit = cum.join(targets, group_col).filter(
+        (F.col("cum") >= F.col("target")) & (F.col("cum_prev") < F.col("target"))
+    )
+    return hit.select(
+        group_col,
+        "q",
+        F.expr(
+            f"ROUND(bin_lo + {bin_width}D * ((target - CAST(cum_prev AS DOUBLE)) / "
+            f"CAST(bin_n AS DOUBLE)), 6)"
+        ).alias("est"),
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    group_col: str,
+    ts_col: str,
+    window_secs: int = 600,
+    slide_secs: int = 300,
+) -> DataFrame:
+    """Sliding event-time window counts per group via Spark's native
+    ``F.window`` (each event lands in window_secs/slide_secs overlapping
+    windows): (group, window_start, n_events).
+
+    Same operator Structured Streaming uses for sliding aggregations —
+    batch here, `readStream` + watermark for the incremental twin. The
+    oracle restates the epoch-aligned bucket arithmetic in integer space,
+    pinning Spark's window alignment semantics.
+    """
+    return (
+        events.groupBy(
+            F.col(group_col),
+            F.window(F.col(ts_col), f"{window_secs} seconds", f"{slide_secs} seconds").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(group_col, F.col("w.start").alias("window_start"), "n_events")
     )

@@ -25,6 +25,8 @@ __all__ = [
     "write_chunks_table",
     "merge_upsert_partitioned",
     "salted_join",
+    "zorder_value",
+    "zorder_write",
     "explain_has",
 ]
 
@@ -142,3 +144,64 @@ def explain_has(df: DataFrame, *needles: str) -> dict[str, bool]:
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     return {n: (n in plan) for n in needles}
+
+
+def zorder_value(cols: list[Column], bits: int = 8) -> Column:
+    """Interleave the low ``bits`` bits of non-negative integer columns
+    into a Z-order (Morton) value. With k columns the result uses
+    ``bits*k`` bits (must stay under 63).
+
+    Bit i of column j lands at position ``i*k + j`` — pure shift/mask
+    codegen, no UDF. Inputs are expected pre-gridded (see
+    ``zorder_write``); values >= 2**bits wrap (masked), so grid first.
+    """
+    k = len(cols)
+    if bits * k > 62:
+        raise ValueError("bits * len(cols) must be <= 62")
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * k + j)
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int = 8,
+) -> None:
+    """Write ``df`` clustered by the Z-order of ``cols`` — the multi-column
+    layout that makes parquet min/max (row-group / file) pruning work for
+    filters on ANY of the clustered columns, where a linear sort only
+    serves its leading column. This is the Delta OPTIMIZE ZORDER BY /
+    pgvector-composite-B-tree analog for our parquet layout (reference
+    indexes `(app_id, folder_*)` B-trees — `core/database/models.py:35-47`).
+
+    Columns are first normalized onto a 2**bits grid with per-column
+    min/max from a one-row broadcast aggregate (no global sort, no
+    sampling pass), then range-partitioned and sorted by the interleaved
+    value so each output file covers a compact hyper-rectangle.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    stats = df.agg(*aggs)
+    grid = 1 << bits
+    gridded = df.crossJoin(F.broadcast(stats))
+    gcols = []
+    for c in cols:
+        gcols.append(
+            F.expr(f"CAST((CAST(`{c}` - `_mn_{c}` AS DOUBLE) / CAST(`_mx_{c}` - `_mn_{c}` + 1 AS DOUBLE)) * {grid} AS BIGINT)")
+        )
+    gridded = gridded.withColumn("_z", zorder_value(gcols, bits))
+    (
+        gridded.drop(*[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

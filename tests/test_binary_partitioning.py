@@ -176,3 +176,54 @@ def test_plan_shapes_round2_operators(spark, sf_dir):
     knn = entry_mod.queries()["knn_lsh"](spark, sf_dir)
     plan = knn._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from morphik_core_spark.plans.partitioning import zorder_value
+
+    df = spark.createDataFrame([(3, 5)], "x int, y int")
+    # x=0b011, y=0b101, k=2: z bits x->even positions, y->odd
+    # z = (1<<0)+(1<<2) for x bits 0,1 ... hand-compute:
+    # x bit0=1 -> pos0; x bit1=1 -> pos2; y bit0=1 -> pos1; y bit2=1 -> pos5
+    [r] = df.select(zorder_value([F.col("x"), F.col("y")], bits=3).alias("z")).collect()
+    assert r["z"] == (1 << 0) + (1 << 2) + (1 << 1) + (1 << 5)
+
+
+def test_zorder_write_clusters_both_columns(spark, tmp_path):
+    """Z-order layout bounds EVERY clustered column's per-file range —
+    a linear sort only bounds its leading column. Per-file min/max is
+    exactly what parquet row-group pruning consumes, so smaller ranges
+    = more pruning for filters on the second column."""
+    from pyspark.sql import functions as F
+
+    from morphik_core_spark.plans.partitioning import zorder_write
+
+    df = (
+        spark.range(4096)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.abs(F.hash(F.col("id").cast("string"))) % 64).alias("y"),
+        )
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    zorder_write(df, zpath, ["x", "y"], bits=6, num_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.mode("overwrite").parquet(lpath)
+
+    def avg_span(path, col):
+        got = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .agg(F.avg("span"))
+            .collect()[0][0]
+        )
+        return float(got)
+
+    # linear-by-x serves x but leaves y unclustered (full-range files)
+    assert avg_span(lpath, "y") > 55
+    # z-order bounds both dimensions: y spans shrink drastically, x stays
+    # far below full range too
+    assert avg_span(zpath, "y") < 35
+    assert avg_span(zpath, "x") < 35
