@@ -1265,6 +1265,25 @@ def _q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_window_counts(events, "event_type", "ts", 600, 300)
 
 
+def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands SCD2 reconstruction: per-user intervals of
+    unchanged event_type from the append-only event log."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.sessions import change_intervals
+
+    return change_intervals(events, "user_id", "ts", "event_id", "event_type")
+
+
+def _q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — completes the grouping-analytics
+    family next to rollup_counts/pivot_counts (SURVEY §2.4 notes the
+    reference lacks these; Spark has them built-in)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -1347,6 +1366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_pagerank": _q_nation_pagerank,
         "quantile_estimate": _q_quantile_estimate,
         "sliding_window_agg": _q_sliding_window_agg,
+        "scd2_intervals": _q_scd2_intervals,
+        "cube_counts": _q_cube_counts,
     }
 
 
@@ -2913,6 +2934,29 @@ def oracle_sql() -> dict[str, str]:
             w AS (SELECT event_type, unnest([sb, sb - 1]) AS wb FROM b)
             SELECT event_type, make_timestamp(wb * 300000000) AS window_start, count(*) AS n_events
             FROM w GROUP BY 1, 2
+        """,
+        "scd2_intervals": """
+            WITH m AS (
+                SELECT user_id, ts, event_type,
+                       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS island
+                FROM events
+            ),
+            g AS (
+                SELECT user_id, event_type, island, MIN(ts) AS valid_from,
+                       MAX(next_ts) AS mx, COUNT(*) AS n_events,
+                       COUNT(*) - COUNT(next_ts) AS op
+                FROM m GROUP BY 1, 2, 3
+            )
+            SELECT user_id, event_type, valid_from,
+                   CASE WHEN op > 0 THEN NULL ELSE mx END AS valid_to,
+                   n_events, op > 0 AS is_current
+            FROM g
+        """,
+        "cube_counts": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
     }
 

@@ -676,6 +676,7 @@ def span_dedup(
     text_col: str,
     id_col: str,
     n: int = 4,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact duplicated-span coverage per document (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" — their
@@ -705,6 +706,10 @@ def span_dedup(
         .select(F.col(id_col), F.explode(grams_expr).alias("g"))
         .select(F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
     )
+    if persist:
+        # g feeds both the dup-gram index and the coverage join; without a
+        # persist the corpus-wide explode runs twice
+        g = g.persist()
     dup = (
         g.groupBy("gram")
         .agg(F.count_distinct(F.col(id_col)).alias("df"))

@@ -21,6 +21,7 @@ __all__ = [
     "streaming_session_counts",
     "time_bucket_gapfill",
     "moving_aggregates",
+    "change_intervals",
 ]
 
 
@@ -180,4 +181,57 @@ def moving_aggregates(
         F.min(value_col).over(w).alias("mov_min"),
         F.max(value_col).over(w).alias("mov_max"),
         F.count(F.lit(1)).over(w).alias("mov_cnt"),
+    )
+
+
+def change_intervals(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    state_col: str,
+) -> DataFrame:
+    """SCD2-style history reconstruction (gaps-and-islands): collapse each
+    key's event stream into intervals of unchanged state. Output:
+    (key, state, valid_from, valid_to, n_events, is_current) — valid_to
+    is the next interval's start (NULL on the open, current interval).
+
+    This is the CDC pattern for rebuilding a slowly-changing dimension
+    from an append-only change log — the warehouse twin of the
+    reference's in-place Postgres row updates (`postgres_database.py`
+    update_document): replaying the log yields full history instead of
+    last-write-only. Islands come from the classic
+    ``row_number() - row_number(per state)`` difference; all windows
+    partition by key (bounded per entity, never corpus-wide).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    ws = Window.partitionBy(key_col, state_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    marked = events.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(state_col),
+        F.lead(ts_col).over(w).alias("next_ts"),
+        (F.row_number().over(w) - F.row_number().over(ws)).alias("island"),
+    )
+    return (
+        marked.groupBy(key_col, state_col, "island")
+        .agg(
+            F.min(ts_col).alias("valid_from"),
+            F.max("next_ts").alias("_max_next"),
+            F.count(F.lit(1)).alias("n_events"),
+            # the island holding the key's final event has one NULL lead
+            (F.count(F.lit(1)) - F.count("next_ts")).alias("_open"),
+        )
+        .select(
+            key_col,
+            state_col,
+            "valid_from",
+            # interior leads are within-island: only the closing row's lead
+            # is the next interval's start, and the open interval has none
+            F.when(F.col("_open") > 0, F.lit(None)).otherwise(F.col("_max_next")).alias("valid_to"),
+            "n_events",
+            (F.col("_open") > 0).alias("is_current"),
+        )
     )

@@ -98,3 +98,28 @@ def test_time_bucket_gapfill_locf(spark):
     assert u1[0].bucket_ts == datetime(2024, 1, 1, 0, 0)
     u2 = [r for r in out if r.user_id == 2]
     assert len(u2) == 1 and u2[0].v_locf == 7.0
+
+
+def test_change_intervals_scd2_semantics(spark):
+    import datetime
+
+    from morphik_core_spark.operators.sessions import change_intervals
+
+    t = lambda s: datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=s)
+    rows = [
+        # user 1: A A B A — four events, three islands; final island open
+        (1, t(0), 1, "A"), (1, t(10), 2, "A"), (1, t(20), 3, "B"), (1, t(30), 4, "A"),
+        # user 2: single state, multi-event open island (regression: its
+        # interior leads must NOT leak into valid_to)
+        (2, t(0), 5, "X"), (2, t(10), 6, "X"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int, event_type string")
+    out = change_intervals(df, "user_id", "ts", "event_id", "event_type").collect()
+    u1 = sorted([r for r in out if r["user_id"] == 1], key=lambda r: r["valid_from"])
+    assert [(r["event_type"], r["n_events"], r["is_current"]) for r in u1] == [
+        ("A", 2, False), ("B", 1, False), ("A", 1, True)
+    ]
+    assert u1[0]["valid_to"] == t(20) and u1[1]["valid_to"] == t(30)
+    assert u1[2]["valid_to"] is None
+    [u2] = [r for r in out if r["user_id"] == 2]
+    assert u2["n_events"] == 2 and u2["is_current"] and u2["valid_to"] is None
