@@ -1284,6 +1284,17 @@ def _q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-blocked semantic near-dup removal over the dense
+    embeddings (IVF clusters as the blocking structure)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from morphik_core_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        emb, _centroids(spark, sf_dir), tau=0.35, max_cluster_size=5000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -1368,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_agg": _q_sliding_window_agg,
         "scd2_intervals": _q_scd2_intervals,
         "cube_counts": _q_cube_counts,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -2957,6 +2969,37 @@ def oracle_sql() -> dict[str, str]:
         "cube_counts": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "semantic_dedup": f"""
+            WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                          FROM embeddings WHERE vec_id BETWEEN 1 AND {_IVF_LISTS}),
+            assign AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv) /
+                                   (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                                    sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cid ASC) AS rn
+                    FROM embeddings e, cent c
+                ) WHERE rn = 1
+            ),
+            e2 AS (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+                       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm,
+                       a.cid
+                FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+            ),
+            ok AS (SELECT cid FROM e2 GROUP BY cid HAVING count(*) <= 5000),
+            d AS (
+                SELECT DISTINCT y.vec_id
+                FROM e2 x
+                JOIN e2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+                JOIN ok ON x.cid = ok.cid
+                WHERE ROUND(list_dot_product(x.ev, y.ev) / (x.nrm * y.nrm), 6) >= 0.35
+            )
+            SELECT e2.vec_id, cid AS cluster_id, d.vec_id IS NULL AS kept
+            FROM e2 LEFT JOIN d ON e2.vec_id = d.vec_id
         """,
     }
 

@@ -48,6 +48,7 @@ __all__ = [
     "resolve_duplicate_clusters",
     "paragraph_dedup",
     "span_dedup",
+    "semantic_dedup",
 ]
 
 # 60-bit hash keeps (a*h30 + b) inside int64 after the 30-bit fold
@@ -732,5 +733,87 @@ def span_dedup(
             F.expr("ROUND(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)").alias(
                 "dup_fraction"
             ),
+        )
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_cluster_size: int | None = None,
+    decimals: int = 6,
+    persist: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster-blocked semantic
+    near-dup removal over dense embeddings.
+
+    Vectors are assigned to k-means clusters (`similarity.ivf_assign` —
+    a shuffle-free map against inlined centroid literals); within each
+    cluster, pairwise cosine >= ``tau`` marks the higher-id vector as a
+    semantic duplicate (greedy keep-first, deterministic). Output:
+    (id, cluster_id, kept).
+
+    The cluster structure is what makes this scale: the O(n^2) similarity
+    space shrinks to per-cluster blocks (the paper's design), exactly
+    like `lsh_candidate_pairs`' band buckets; ``max_cluster_size`` is the
+    same hot-block guard — oversized clusters skip pair generation (their
+    members are all kept) rather than detonating the self-join.
+
+    Float discipline: each cosine is one array-ordered fold
+    (`_dot_sql`'s sequential aggregate == DuckDB list_dot_product), norms
+    computed once per vector, ROUND(decimals) before the threshold
+    compare — so engines agree on every pair decision.
+    """
+    from morphik_core_spark.operators.similarity import _dot_sql, ivf_assign
+
+    assigned = ivf_assign(embeddings, centroids, emb_col=emb_col, decimals=decimals).select(
+        F.col(id_col),
+        F.expr(f"cast(`{emb_col}` as array<double>)").alias("ev"),
+        "ivf_cid",
+    )
+    assigned = assigned.withColumn("nrm", F.expr(f"sqrt({_dot_sql('ev', 'ev')})"))
+    if persist:
+        # read by both self-join sides and the final keep-join; without a
+        # persist the centroid argmax runs three times over the corpus
+        assigned = assigned.persist()
+    pair_src = assigned
+    if max_cluster_size is not None:
+        ok = (
+            assigned.groupBy("ivf_cid")
+            .agg(F.count(F.lit(1)).alias("csz"))
+            .filter(F.col("csz") <= max_cluster_size)
+            .select("ivf_cid")
+        )
+        pair_src = assigned.join(F.broadcast(ok), "ivf_cid")
+    a = pair_src.select(
+        F.col("ivf_cid"),
+        F.col(id_col).alias("a_id"),
+        F.col("ev").alias("a_ev"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = pair_src.select(
+        F.col("ivf_cid"),
+        F.col(id_col).alias("b_id"),
+        F.col("ev").alias("b_ev"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = f"ROUND({_dot_sql('a_ev', 'b_ev')} / (a_nrm * b_nrm), {decimals})"
+    dups = (
+        a.join(b, "ivf_cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.expr(f"{cos} >= {float(tau)!r}D"))
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dups.withColumn("_dup", F.lit(1)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("ivf_cid").alias("cluster_id"),
+            F.col("_dup").isNull().alias("kept"),
         )
     )

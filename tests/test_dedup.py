@@ -254,3 +254,33 @@ def test_paragraph_dedup_fires_on_corpus(spark, sf_dir):
     ).first()
     assert agg.kept < agg.total  # duplicates existed and were dropped
     assert agg.kept > 0
+
+
+def test_semantic_dedup_keeps_first_and_blocks_by_cluster(spark):
+    from morphik_core_spark.operators.dedup import semantic_dedup
+
+    # two orthogonal centroids; near-identical pair (1,2) + distinct 3
+    cents = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])]
+    rows = [
+        (10, [1.0, 0.05, 0.0, 0.0]),   # cluster 1
+        (11, [1.0, 0.06, 0.0, 0.0]),   # ~dup of 10
+        (12, [0.2, 0.98, 0.0, 0.0]),   # cluster 2, unique
+        (13, [0.0, 1.0, 0.5, 0.0]),    # cluster 2, cos~0.88 to 12 < tau
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, cents, tau=0.95).collect()}
+    assert out[10]["kept"] and not out[11]["kept"]  # higher id drops
+    assert out[12]["kept"] and out[13]["kept"]
+    assert out[10]["cluster_id"] == 1 and out[12]["cluster_id"] == 2
+
+
+def test_semantic_dedup_cluster_cap_skips_pairgen(spark):
+    from morphik_core_spark.operators.dedup import semantic_dedup
+
+    cents = [(1, [1.0, 0.0])]
+    rows = [(i, [1.0, 0.001 * i]) for i in range(10)]  # all near-dups, one cluster
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    capped = semantic_dedup(df, cents, tau=0.9, max_cluster_size=5).collect()
+    assert all(r["kept"] for r in capped)  # oversized cluster: everyone kept
+    uncapped = semantic_dedup(df, cents, tau=0.9).collect()
+    assert sum(1 for r in uncapped if r["kept"]) == 1  # only vec 0 survives
