@@ -638,6 +638,15 @@ def _q_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof.asof_backward(probes, series, key="user_id").select("event_id", "user_id", "matched_ts")
 
 
+def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of (earliest at or after) — merge_asof direction=forward;
+    completes the backward/forward/nearest family."""
+    events = _t(spark, sf_dir, "events")
+    probes = events.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    series = events.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    return asof.asof_forward(probes, series, key="user_id").select("event_id", "user_id", "matched_ts")
+
+
 def _q_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot upsert: updates replace base rows on the key (§2.1 doc store)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1338,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_stats": _q_chunk_stats,
         "asof_nearest": _q_asof_nearest,
         "asof_backward": _q_asof_backward,
+        "asof_forward": _q_asof_forward,
         "upsert_docs": _q_upsert_docs,
         "folder_move": _q_folder_move,
         "batch_get": _q_batch_get,
@@ -2289,6 +2299,17 @@ def oracle_sql() -> dict[str, str]:
             m AS (
                 SELECT p.event_id, MAX(s.ts) AS matched_ts
                 FROM probes p JOIN serie s ON p.user_id = s.user_id AND s.ts <= p.ts
+                GROUP BY p.event_id
+            )
+            SELECT p.event_id, p.user_id, m.matched_ts
+            FROM probes p LEFT JOIN m ON p.event_id = m.event_id
+        """,
+        "asof_forward": """
+            WITH probes AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+            serie AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+            m AS (
+                SELECT p.event_id, MIN(s.ts) AS matched_ts
+                FROM probes p JOIN serie s ON p.user_id = s.user_id AND s.ts >= p.ts
                 GROUP BY p.event_id
             )
             SELECT p.event_id, p.user_id, m.matched_ts

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["asof_backward", "asof_nearest", "at_time_padding"]
+__all__ = ["asof_backward", "asof_forward", "asof_nearest", "at_time_padding"]
 
 
 def _us(col: Column) -> Column:
@@ -45,6 +45,30 @@ def asof_backward(
         p.join(s, (F.col(f"p.{key}") == F.col(f"s.{key}")) & (F.col(f"s.{series_ts}") <= F.col(f"p.{probe_ts}")))
         .groupBy(F.col(f"p.{probe_id}").alias(probe_id))
         .agg(F.max(F.col(f"s.{series_ts}")).alias("matched_ts"))
+    )
+    return probes.join(matched, probe_id, "left")
+
+
+def asof_forward(
+    probes: DataFrame,
+    series: DataFrame,
+    key: str,
+    probe_ts: str = "ts",
+    series_ts: str = "ts",
+    probe_id: str = "event_id",
+) -> DataFrame:
+    """Forward as-of: earliest series row at or after each probe — the
+    mirror of :func:`asof_backward` (pandas merge_asof direction=
+    'forward'); completes the backward/forward/nearest family.
+
+    Returns probe columns + matched_ts (NULL when nothing follows).
+    """
+    p = probes.alias("p")
+    s = series.alias("s")
+    matched = (
+        p.join(s, (F.col(f"p.{key}") == F.col(f"s.{key}")) & (F.col(f"s.{series_ts}") >= F.col(f"p.{probe_ts}")))
+        .groupBy(F.col(f"p.{probe_id}").alias(probe_id))
+        .agg(F.min(F.col(f"s.{series_ts}")).alias("matched_ts"))
     )
     return probes.join(matched, probe_id, "left")
 
