@@ -94,6 +94,36 @@ def main() -> None:
         "lsh_recall_bucket_capped": pair_recall(lsh_capped),
     }
     out["value"] = out["lsh_recall_bucket_capped"]
+
+    # --- SemDeDup: planted embedding near-dups ------------------------
+    # jittered copies of every 4th embedding; measure how many planted
+    # copies semantic_dedup removes (recall) and how many originals it
+    # wrongly drops (false-drop) at the served tau.
+    import numpy as np
+
+    erows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    rng = np.random.default_rng(7)
+    eplanted, planted_ids = [], set()
+    enext = 20_000_000
+    for vid, vec in erows[::4]:
+        v = np.asarray(vec, dtype=np.float64)
+        jit = v + rng.normal(0.0, 0.02 * float(np.abs(v).mean()), size=v.shape)
+        eplanted.append((enext, [float(x) for x in jit]))
+        planted_ids.add(enext)
+        enext += 1
+    emb = spark.createDataFrame(
+        [(int(a), [float(x) for x in b]) for a, b in erows] + eplanted,
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(i + 1, [float(x) for x in erows[i][1]]) for i in range(8)]
+    sem = dedup.semantic_dedup(emb, cents, tau=0.9).collect()
+    dropped = {r["vec_id"] for r in sem if not r["kept"]}
+    out["semdedup_planted"] = len(planted_ids)
+    out["semdedup_recall"] = round(len(planted_ids & dropped) / max(1, len(planted_ids)), 4)
+    originals = {int(a) for a, _ in erows}
+    out["semdedup_false_drop"] = round(len(originals & dropped) / max(1, len(originals)), 4)
     print(json.dumps(out))
     spark.stop()
 
