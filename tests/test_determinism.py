@@ -1,0 +1,50 @@
+"""Partition-invariance: the queries whose math could in principle depend
+on aggregation order (float sums, iterative updates, sketch merges) must
+return IDENTICAL rows under different shuffle-partition counts.
+
+This is the local stand-in for the 1000-executor question: if a result
+survives 3-vs-17 partitions bit-for-bit, the arithmetic is order-free
+(integer/decimal accumulation, array-ordered folds, fixed expression
+trees) rather than accidentally stable."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# the queries with float-bearing or iterative math whose design claims
+# order-freedom; plain integer aggregates are trivially invariant
+SENSITIVE = [
+    "hll_distinct",
+    "anomaly_stats",
+    "nation_pagerank",
+    "semantic_dedup",
+    "moving_aggregates",
+    "quantile_estimate",
+    "pmi_bigrams",
+    "perplexity",
+    "bm25_topk",
+    "weighted_sample",
+]
+
+
+def _rows(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    cols = sorted(df.columns)
+    return sorted(tuple(repr(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_is_partition_invariant(spark, name):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _rows(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b, f"{name}: result depends on partitioning"
