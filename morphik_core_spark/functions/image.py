@@ -41,10 +41,14 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 def decode_image(data: bytes) -> np.ndarray:
     """Sniff + decode → (H, W, 3) uint8 RGB. Raises ValueError on formats
-    these kernels don't cover (progressive JPEG, GIF, TIFF, ...) so callers
+    these kernels don't cover (progressive JPEG, TIFF, ...) so callers
     isolate the row."""
     if data is None or len(data) < 8:
         raise ValueError("empty or truncated image payload")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from morphik_core_spark.functions.gif import decode_gif
+
+        return decode_gif(data)
     if data[:8] == _PNG_MAGIC:
         return decode_png(data)
     if data[:2] == b"BM":

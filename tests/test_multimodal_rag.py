@@ -31,7 +31,8 @@ def test_image_features_row_level_failure_isolation(spark):
             ("m1", _png((200, 30, 60))),
             ("m2", b""),
             ("m3", None),
-            ("m4", b"GIF89a not a supported format"),
+            ("m4", b"II*\x00 tiff is not a supported format"),
+            ("m5", b"GIF89a corrupt gif body \x00\x01\x02\x03\x04\x05"),
         ],
         "media_id string, payload binary",
     )
@@ -42,6 +43,7 @@ def test_image_features_row_level_failure_isolation(spark):
     assert not rows["m2"].ok and "empty" in rows["m2"].err
     assert not rows["m3"].ok  # corrupt rows never kill the job
     assert not rows["m4"].ok and "unsupported" in rows["m4"].err
+    assert not rows["m5"].ok  # corrupt GIF fails its own row, nothing else
 
 
 def test_image_features_resize_and_nonblank(spark):
