@@ -41,14 +41,18 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 def decode_image(data: bytes) -> np.ndarray:
     """Sniff + decode → (H, W, 3) uint8 RGB. Raises ValueError on formats
-    these kernels don't cover (progressive JPEG, TIFF, ...) so callers
-    isolate the row."""
+    these kernels don't cover (progressive JPEG, tiled/16-bit TIFF, ...)
+    so callers isolate the row."""
     if data is None or len(data) < 8:
         raise ValueError("empty or truncated image payload")
     if data[:6] in (b"GIF87a", b"GIF89a"):
         from morphik_core_spark.functions.gif import decode_gif
 
         return decode_gif(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from morphik_core_spark.functions.tiff import decode_tiff
+
+        return decode_tiff(data)
     if data[:8] == _PNG_MAGIC:
         return decode_png(data)
     if data[:2] == b"BM":
@@ -57,7 +61,7 @@ def decode_image(data: bytes) -> np.ndarray:
         from morphik_core_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(data)
-    raise ValueError("unsupported image format (PNG, BMP, baseline JPEG only)")
+    raise ValueError("unsupported image format (PNG, BMP, GIF, baseline TIFF/JPEG only)")
 
 
 # ------------------------------------------------------------------ PNG

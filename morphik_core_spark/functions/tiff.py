@@ -1,0 +1,367 @@
+"""Pure-Python/numpy baseline TIFF codec: uncompressed, PackBits, and
+TIFF-LZW (MSB-first, early-change) strips; gray/RGB/palette photometrics;
+horizontal predictor; II and MM byte orders; first IFD only.
+
+With GIF done this closes the last common still-image gap except
+progressive JPEG (reference ingests arbitrary images via PIL —
+`core/services/ingestion_service.py:1365-1448`). Tiled TIFFs, 16-bit
+samples, and exotic photometrics raise row-level like every other
+unsupported vintage.
+
+TIFF LZW is NOT GIF LZW: codes pack MSB-first, the clear code is 256
+over byte-wide roots, and the code width grows one code EARLY (at table
+length 2**width - 1, the spec's 510/1022/2046 switch points) — both
+sides here implement that variant and the fixture encoder is
+hypothesis-round-tripped against the decoder."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_tiff", "encode_tiff"]
+
+_TAG_WIDTH = 256
+_TAG_HEIGHT = 257
+_TAG_BPS = 258
+_TAG_COMPRESSION = 259
+_TAG_PHOTOMETRIC = 262
+_TAG_STRIP_OFFSETS = 273
+_TAG_SPP = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_COUNTS = 279
+_TAG_PREDICTOR = 317
+_TAG_COLORMAP = 320
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _read_ifd(data: bytes, e: str):
+    off = struct.unpack_from(e + "I", data, 4)[0]
+    n = struct.unpack_from(e + "H", data, off)[0]
+    tags = {}
+    for i in range(n):
+        base = off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(e + "HHI", data, base)
+        size = _TYPE_SIZES.get(typ)
+        if size is None:
+            continue
+        total = size * cnt
+        if total <= 4:
+            raw = data[base + 8 : base + 8 + total]
+        else:
+            p = struct.unpack_from(e + "I", data, base + 8)[0]
+            raw = data[p : p + total]
+        if typ == 3:
+            vals = list(struct.unpack(e + "H" * cnt, raw))
+        elif typ == 4:
+            vals = list(struct.unpack(e + "I" * cnt, raw))
+        elif typ == 1:
+            vals = list(raw)
+        else:
+            continue
+        tags[tag] = vals
+    return tags
+
+
+def _packbits_decode(blob: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(blob) and len(out) < expected:
+        n = blob[i]
+        i += 1
+        if n < 128:
+            out += blob[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += blob[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise ValueError("PackBits strip truncated")
+    return bytes(out[:expected])
+
+
+def _lzw_decode_tiff(blob: bytes, expected: int) -> bytes:
+    clear, eoi = 256, 257
+    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))  # MSB-first
+    out = bytearray()
+    pos = 0
+    width = 9
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    reset()
+    prev: bytes | None = None
+    weights9 = {w: (1 << np.arange(w - 1, -1, -1, dtype=np.int64)) for w in (9, 10, 11, 12)}
+    total = len(bits)
+    while len(out) < expected and pos + width <= total:
+        code = int(bits[pos : pos + width] @ weights9[width])
+        pos += width
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF LZW stream")
+        out += entry
+        prev = entry
+        # EARLY change: widen one entry before the table is actually full
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError("TIFF pixel data truncated")
+    return bytes(out[:expected])
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """First IFD as (H, W, 3) uint8 RGB."""
+    if data[:4] == b"II*\x00":
+        e = "<"
+    elif data[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    tags = _read_ifd(data, e)
+    try:
+        w = tags[_TAG_WIDTH][0]
+        h = tags[_TAG_HEIGHT][0]
+        offsets = tags[_TAG_STRIP_OFFSETS]
+        counts = tags[_TAG_STRIP_COUNTS]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag {exc}") from exc
+    comp = tags.get(_TAG_COMPRESSION, [1])[0]
+    photo = tags.get(_TAG_PHOTOMETRIC, [1])[0]
+    spp = tags.get(_TAG_SPP, [1])[0]
+    bps = tags.get(_TAG_BPS, [8])
+    rows_per_strip = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
+    predictor = tags.get(_TAG_PREDICTOR, [1])[0]
+    if any(b != 8 for b in bps):
+        raise ValueError(f"unsupported TIFF bits-per-sample {bps}")
+    if photo not in (0, 1, 2, 3):
+        raise ValueError(f"unsupported TIFF photometric {photo}")
+    if photo == 2 and spp < 3:
+        raise ValueError("RGB TIFF with <3 samples")
+
+    row_bytes = w * spp
+    raw = bytearray()
+    for i, (o, c) in enumerate(zip(offsets, counts)):
+        nrows = min(rows_per_strip, h - i * rows_per_strip)
+        expected = nrows * row_bytes
+        blob = data[o : o + c]
+        if comp == 1:
+            if len(blob) < expected:
+                raise ValueError("TIFF strip truncated")
+            raw += blob[:expected]
+        elif comp == 32773:
+            raw += _packbits_decode(blob, expected)
+        elif comp == 5:
+            raw += _lzw_decode_tiff(blob, expected)
+        else:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
+    elif predictor != 1:
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if photo == 2:
+        return np.ascontiguousarray(px[:, :, :3])
+    if photo == 3:
+        cmap = tags.get(_TAG_COLORMAP)
+        if not cmap:
+            raise ValueError("palette TIFF without ColorMap")
+        n = len(cmap) // 3
+        # TIFF colormaps are 16-bit; PIL-style downshift to 8-bit
+        cm = (np.asarray(cmap, dtype=np.uint32).reshape(3, n).T >> 8).astype(np.uint8)
+        return cm[px[:, :, 0]]
+    g = px[:, :, 0]
+    if photo == 0:  # WhiteIsZero
+        g = 255 - g
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    # literal-only PackBits (valid, not maximally compressed) with real
+    # run encoding for repeats of >=3 — enough to exercise both branches
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+        else:
+            j = i + 1
+            while j < n and (j - i) < 128:
+                nxt = 1
+                while j + nxt < n and nxt < 3 and row[j + nxt] == row[j]:
+                    nxt += 1
+                if nxt >= 3:
+                    break
+                j += 1
+            out += bytes([j - i - 1]) + row[i:j]
+            i = j
+    return bytes(out)
+
+
+def _lzw_encode_tiff(payload: bytes) -> bytes:
+    clear, eoi = 256, 257
+    out_bits: list[tuple[int, int]] = []
+    width = 9
+    table: dict[bytes, int] = {}
+    next_code = 258
+    dec_len = 258
+    since_clear = 0
+
+    def reset():
+        nonlocal width, table, next_code, dec_len, since_clear
+        width = 9
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        dec_len = 258
+        since_clear = 0
+
+    def emit(code: int):
+        nonlocal dec_len, width, since_clear
+        out_bits.append((code, width))
+        since_clear += 1
+        if since_clear >= 2:
+            dec_len += 1
+            if dec_len == (1 << width) - 1 and width < 12:  # early change
+                width += 1
+
+    out_bits.append((clear, 9))
+    reset()
+    prev = b""
+    for v in payload:
+        cur = prev + bytes([v])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        prev = bytes([v])
+        if next_code > 4093:
+            out_bits.append((clear, width))
+            reset()
+    if prev:
+        emit(table[prev])
+    out_bits.append((eoi, width))
+
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for code, wd in out_bits:
+        acc = (acc << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def encode_tiff(
+    px: np.ndarray,
+    compression: int = 1,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+    predictor: int = 1,
+) -> bytes:
+    """(H, W, 3) uint8 RGB → single-IFD TIFF. Fixture/round-trip aid;
+    compression 1 (none), 5 (LZW), or 32773 (PackBits)."""
+    e = ">" if big_endian else "<"
+    h, w, _ = px.shape
+    rps = rows_per_strip or h
+    src = px.astype(np.uint8)
+    if predictor == 2:
+        d = src.astype(np.int16)
+        d[:, 1:] = d[:, 1:] - d[:, :-1]
+        src = (d % 256).astype(np.uint8)
+    strips = []
+    for r0 in range(0, h, rps):
+        chunk = src[r0 : r0 + rps].tobytes()
+        if compression == 1:
+            strips.append(chunk)
+        elif compression == 32773:
+            strips.append(_packbits_encode(chunk))
+        elif compression == 5:
+            strips.append(_lzw_encode_tiff(chunk))
+        else:
+            raise ValueError(f"unsupported compression {compression}")
+
+    header = struct.pack(e + "2sHI", b"II" if not big_endian else b"MM", 42, 8)
+    n_strips = len(strips)
+    entries = []
+
+    def entry(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    entry(_TAG_WIDTH, 4, [w])
+    entry(_TAG_HEIGHT, 4, [h])
+    entry(_TAG_BPS, 3, [8, 8, 8])
+    entry(_TAG_COMPRESSION, 3, [compression])
+    entry(_TAG_PHOTOMETRIC, 3, [2])
+    entry(_TAG_STRIP_OFFSETS, 4, [0] * n_strips)  # patched below
+    entry(_TAG_SPP, 3, [3])
+    entry(_TAG_ROWS_PER_STRIP, 4, [rps])
+    entry(_TAG_STRIP_COUNTS, 4, [len(s) for s in strips])
+    if predictor != 1:
+        entry(_TAG_PREDICTOR, 3, [predictor])
+    entries.sort()
+
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    # layout: header, IFD, overflow arrays, strip data
+    overflow = bytearray()
+    overflow_base = ifd_off + ifd_size
+
+    def pack_vals(typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        return struct.pack(e + fmt * len(vals), *vals)
+
+    # first pass to size overflow
+    sizes = []
+    for tag, typ, vals in entries:
+        b = pack_vals(typ, vals)
+        sizes.append(len(b))
+    fixed_overflow = sum(sz for sz in sizes if sz > 4)
+    data_base = overflow_base + fixed_overflow
+    offs = []
+    acc_off = data_base
+    for s in strips:
+        offs.append(acc_off)
+        acc_off += len(s)
+
+    ifd = bytearray(struct.pack(e + "H", len(entries)))
+    for tag, typ, vals in entries:
+        if tag == _TAG_STRIP_OFFSETS:
+            vals = offs
+        b = pack_vals(typ, vals)
+        if len(b) <= 4:
+            ifd += struct.pack(e + "HHI", tag, typ, len(vals)) + b.ljust(4, b"\x00")
+        else:
+            ifd += struct.pack(e + "HHII", tag, typ, len(vals), overflow_base + len(overflow))
+            overflow += b
+    ifd += struct.pack(e + "I", 0)  # no next IFD
+    return header + bytes(ifd) + bytes(overflow) + b"".join(strips)

@@ -31,7 +31,7 @@ def test_image_features_row_level_failure_isolation(spark):
             ("m1", _png((200, 30, 60))),
             ("m2", b""),
             ("m3", None),
-            ("m4", b"II*\x00 tiff is not a supported format"),
+            ("m4", b"RIFF\x00\x00\x00\x00WEBPVP8 webp is not supported"),
             ("m5", b"GIF89a corrupt gif body \x00\x01\x02\x03\x04\x05"),
         ],
         "media_id string, payload binary",
