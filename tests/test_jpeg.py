@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from morphik_core_spark.functions.image import decode_image
 from morphik_core_spark.functions.jpeg import decode_jpeg, encode_jpeg_baseline
@@ -64,7 +66,9 @@ def test_grayscale_single_component():
     assert err.mean() < 3.0
 
 
-def test_progressive_and_garbage_raise():
+def test_mislabeled_progressive_and_garbage_raise():
+    # a baseline stream relabeled SOF2 is structurally invalid progressive
+    # (its single scan has Se=63 with Ss=0, illegal for a DC scan)
     data = bytearray(encode_jpeg_baseline(IMG))
     sof = bytes(data).find(b"\xff\xc0")
     data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
@@ -83,7 +87,7 @@ def test_decode_image_sniffs_jpeg():
 
 def test_image_features_e2e_with_jpeg_rows(spark):
     """JPEG payloads now flow through the multimodal feature kernel; a
-    progressive row still fails row-level without touching its neighbors."""
+    corrupt row still fails row-level without touching its neighbors."""
     from morphik_core_spark.operators.multimodal import extract_image_features
 
     good = encode_jpeg_baseline(_gradient(40, 64), subsample=True)
@@ -97,5 +101,69 @@ def test_image_features_e2e_with_jpeg_rows(spark):
     rows = {r.media_id: r for r in extract_image_features(df).collect()}
     assert rows["j1"].ok and rows["j1"].width == 64 and rows["j1"].height == 40
     assert not rows["j1"].is_blank
-    assert not rows["j2"].ok and "progressive" in rows["j2"].err
+    assert not rows["j2"].ok and "progressive" in rows["j2"].err  # invalid scan header
     assert rows["j3"].ok and rows["j3"].is_blank
+
+
+# ------------------------------------------------------------- progressive
+
+
+def test_progressive_round_trip_matches_baseline():
+    from morphik_core_spark.functions.jpeg import encode_jpeg_progressive
+
+    out = decode_jpeg(encode_jpeg_progressive(IMG))
+    ref = decode_jpeg(encode_jpeg_baseline(IMG))
+    assert np.array_equal(out, ref)
+
+
+def test_progressive_subsampled_and_grayscale():
+    from morphik_core_spark.functions.jpeg import encode_jpeg_progressive
+
+    for kw in ({"subsample": True}, {"grayscale": True}):
+        out = decode_jpeg(encode_jpeg_progressive(IMG, **kw))
+        ref = decode_jpeg(encode_jpeg_baseline(IMG, **kw))
+        assert np.array_equal(out, ref), kw
+
+
+def test_progressive_eob_run_and_refine_stress():
+    """Dense noise maximizes newly-significant/refine traffic; flat areas
+    maximize EOB runs — both paths must round-trip exactly."""
+    from morphik_core_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    img = np.zeros((48, 80, 3), dtype=np.uint8)
+    img[:24] = rng.integers(0, 256, size=(24, 80, 3), dtype=np.uint8)  # noise
+    img[24:] = 130  # flat -> long EOB runs
+    out = decode_jpeg(encode_jpeg_progressive(img))
+    ref = decode_jpeg(encode_jpeg_baseline(img))
+    assert np.array_equal(out, ref)
+
+
+def test_progressive_through_decode_image_and_features(spark):
+    from morphik_core_spark.functions.image import decode_image
+    from morphik_core_spark.functions.jpeg import encode_jpeg_progressive
+    from morphik_core_spark.operators.multimodal import extract_image_features
+
+    data = encode_jpeg_progressive(IMG, subsample=True)
+    assert decode_image(data).shape == IMG.shape
+    df = spark.createDataFrame([("p1", bytearray(data))], "media_id string, payload binary")
+    [row] = extract_image_features(df).collect()
+    assert row.ok and row.width == IMG.shape[1] and row.height == IMG.shape[0]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    seed=st.integers(0, 10_000),
+    mode=st.sampled_from(["color", "gray", "420"]),
+)
+def test_progressive_property_round_trip(h, w, seed, mode):
+    from morphik_core_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    kw = {"grayscale": mode == "gray", "subsample": mode == "420"}
+    out = decode_jpeg(encode_jpeg_progressive(img, **kw))
+    ref = decode_jpeg(encode_jpeg_baseline(img, **kw))
+    assert np.array_equal(out, ref)
