@@ -1,0 +1,73 @@
+"""Versioned snapshots (time travel) and compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from morphik_core_spark.plans.maintenance import (
+    compact,
+    current_version,
+    list_versions,
+    read_version,
+    versioned_upsert,
+    versioned_write,
+)
+
+
+def _docs(spark, n, tag):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(tag).alias("status")
+    )
+
+
+def test_versioned_upsert_keeps_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v0 = versioned_write(_docs(spark, 10, "a"), t)
+    updates = _docs(spark, 3, "b")  # doc_id 0..2 -> status b
+    v1 = versioned_upsert(spark, t, updates, ["doc_id"])
+    assert (v0, v1) == (0, 1)
+    assert current_version(t) == 1
+
+    now = read_version(spark, t)
+    assert now.count() == 10
+    assert now.filter(F.col("status") == "b").count() == 3
+    # time travel: version 0 is untouched
+    then = read_version(spark, t, 0)
+    assert then.filter(F.col("status") == "b").count() == 0
+    ops = [e["op"] for e in list_versions(t)]
+    assert ops == ["write", "upsert"]
+
+
+def test_upsert_inserts_new_keys(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned_write(_docs(spark, 5, "a"), t)
+    newrows = spark.createDataFrame([(100, "new")], "doc_id long, status string")
+    versioned_upsert(spark, t, newrows, ["doc_id"])
+    assert read_version(spark, t).count() == 6
+
+
+def test_compaction_reduces_files_preserves_rows_and_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    # fragment deliberately: 16 files of ~6 rows
+    versioned_write(_docs(spark, 100, "a").repartition(16), t)
+    files_before = len([f for f in os.listdir(os.path.join(t, "v=0")) if f.endswith(".parquet")])
+    assert files_before == 16
+    v = compact(spark, t, target_rows_per_file=50)
+    files_after = len([f for f in os.listdir(os.path.join(t, f"v={v}")) if f.endswith(".parquet")])
+    assert files_after == 2
+    # same data, old layout still readable
+    a = sorted(r["doc_id"] for r in read_version(spark, t).collect())
+    b = sorted(r["doc_id"] for r in read_version(spark, t, 0).collect())
+    assert a == b == list(range(100))
+
+
+def test_read_missing_version_raises(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned_write(_docs(spark, 3, "a"), t)
+    with pytest.raises(ValueError, match="version 7"):
+        read_version(spark, t, 7)
+    with pytest.raises(FileNotFoundError):
+        current_version(str(tmp_path / "nope"))
