@@ -1,53 +1,180 @@
-"""WAV audio decode + features with stdlib wave/audioop-free numpy.
+"""WAV audio decode + features, stdlib-free numpy RIFF parsing.
 
 The reference treats audio/video through external parsers (SURVEY §2.1
 video parse; assemblyai/ffmpeg behind config). Those libraries aren't in
-this container; WAV (PCM) is decodable with the stdlib ``wave`` module +
-numpy, so the audio modality gets a REAL kernel for the canonical
-interchange format: duration/sample-rate/channel metadata plus the
-loudness/activity features a training-data pipeline filters on.
-Compressed codecs (mp3/aac/ogg) raise and surface as row-level parse
-failures, same isolation as every other kernel.
+this container, so the canonical interchange containers get REAL kernels:
+
+- PCM 8/16/32-bit (format 1) — the original coverage;
+- IEEE float32/64 (format 3);
+- G.711 mu-law and A-law (formats 7/6) — telephony corpora;
+- IMA ADPCM (format 17, the 4-bit DVI codec) — legacy voice recordings.
+
+Fixture encoders for every format keep the decoder paths testable
+libless (`encode_wav`). Perceptual codecs (mp3/aac/ogg) raise and
+surface as row-level parse failures, same isolation as every other
+kernel. The ADPCM inner loop is per-nibble Python — inherent to its
+predictor recursion and fine at feature-extraction sizes; everything
+else is vectorized.
 """
 
 from __future__ import annotations
 
-import io
-import wave
+import struct
 
 import numpy as np
 
-__all__ = ["decode_wav", "audio_features"]
+__all__ = ["decode_wav", "audio_features", "encode_wav"]
 
 _WIDTH_DTYPE = {1: np.uint8, 2: np.int16, 4: np.int32}
 
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
 
-def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """WAV bytes → (samples float64 in [-1, 1] shaped (n, channels), rate).
 
-    8-bit PCM is unsigned per the WAV spec; 16/32-bit are signed. 24-bit
-    and non-PCM compression raise.
-    """
+def _riff_chunks(data: bytes):
     if data is None or len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    try:
-        wf = wave.open(io.BytesIO(data), "rb")
-    except wave.Error as exc:
-        raise ValueError(f"unreadable WAV: {exc}") from exc
-    with wf:
-        width = wf.getsampwidth()
+    i = 12
+    n = len(data)
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        (size,) = struct.unpack_from("<I", data, i + 4)
+        yield cid, data[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def _mulaw_decode(u: np.ndarray) -> np.ndarray:
+    u = (~u) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant.astype(np.int64) << 3) + 0x84) << exp) - 0x84
+    return np.where(sign != 0, -mag, mag).astype(np.float64) / 32768.0
+
+
+def _alaw_decode(a: np.ndarray) -> np.ndarray:
+    a = a.astype(np.int64) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    # G.711 A-law sign bit SET means positive (opposite of mu-law)
+    return np.where(sign == 0, -mag, mag).astype(np.float64) / 32768.0
+
+
+def _ima_decode_block(block: bytes, channels: int, samples_per_block: int) -> np.ndarray:
+    """One IMA ADPCM block → (samples_per_block, channels) int16 values."""
+    out = np.zeros((samples_per_block, channels), dtype=np.int64)
+    pred = np.zeros(channels, dtype=np.int64)
+    index = np.zeros(channels, dtype=np.int64)
+    for c in range(channels):
+        pred[c] = struct.unpack_from("<h", block, c * 4)[0]
+        index[c] = block[c * 4 + 2]
+        out[0, c] = pred[c]
+    pos = 4 * channels
+    # nibbles come in 4-byte words per channel, interleaved by channel
+    s = 1
+    while s < samples_per_block:
+        for c in range(channels):
+            word = block[pos : pos + 4]
+            pos += 4
+            for b in word:
+                for nib in (b & 0x0F, b >> 4):
+                    if s >= samples_per_block:
+                        break
+                    step = int(_IMA_STEPS[index[c]])
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    if nib & 8:
+                        pred[c] -= diff
+                    else:
+                        pred[c] += diff
+                    pred[c] = max(-32768, min(32767, pred[c]))
+                    index[c] = max(0, min(88, index[c] + int(_IMA_INDEX[nib & 7])))
+                    out[s, c] = pred[c]
+                    s += 1
+                else:
+                    continue
+                break
+        # in multi-channel IMA the sample counter advances per 8-sample
+        # word group across channels; mono (our fixture surface) is the
+        # simple sequential case handled above
+    return out
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (samples float64 in [-1, 1] shaped (n, channels), rate)."""
+    fmt = None
+    payload = None
+    for cid, body in _riff_chunks(data):
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            payload = body
+    if fmt is None or payload is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if tag == 0xFFFE and len(fmt) >= 26:  # WAVE_FORMAT_EXTENSIBLE
+        tag = struct.unpack_from("<H", fmt, 24)[0]
+    if channels < 1:
+        raise ValueError("WAV with zero channels")
+
+    if tag == 1:  # PCM
+        width = bits // 8
         dtype = _WIDTH_DTYPE.get(width)
         if dtype is None:
             raise ValueError(f"unsupported sample width {width} bytes")
-        channels = wf.getnchannels()
-        rate = wf.getframerate()
-        raw = wf.readframes(wf.getnframes())
-    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-    if width == 1:
-        samples = (samples - 128.0) / 128.0
+        usable = len(payload) - (len(payload) % (width * channels))
+        samples = np.frombuffer(payload[:usable], dtype=dtype).astype(np.float64)
+        if width == 1:
+            samples = (samples - 128.0) / 128.0
+        else:
+            samples = samples / float(2 ** (bits - 1))
+    elif tag == 3:  # IEEE float
+        dtype = {32: np.float32, 64: np.float64}.get(bits)
+        if dtype is None:
+            raise ValueError(f"unsupported float width {bits}")
+        width = bits // 8
+        usable = len(payload) - (len(payload) % (width * channels))
+        samples = np.frombuffer(payload[:usable], dtype=dtype).astype(np.float64)
+    elif tag == 7:  # G.711 mu-law
+        samples = _mulaw_decode(np.frombuffer(payload, dtype=np.uint8))
+    elif tag == 6:  # G.711 A-law
+        samples = _alaw_decode(np.frombuffer(payload, dtype=np.uint8))
+    elif tag == 17:  # IMA ADPCM
+        if channels != 1:
+            raise ValueError("IMA ADPCM: mono only")
+        block_align = struct.unpack_from("<H", fmt, 12)[0]
+        if len(fmt) >= 20:
+            spb = struct.unpack_from("<H", fmt, 18)[0]
+        else:
+            spb = (block_align - 4) * 2 + 1
+        chunks = []
+        for off in range(0, len(payload) - block_align + 1, block_align):
+            chunks.append(_ima_decode_block(payload[off : off + block_align], 1, spb))
+        if not chunks:
+            raise ValueError("IMA ADPCM: no complete block")
+        samples = np.concatenate(chunks).astype(np.float64) / 32768.0
+        return samples.reshape(-1, 1), rate
     else:
-        samples = samples / float(2 ** (8 * width - 1))
+        raise ValueError(f"unsupported WAV format tag {tag}")
+
     if channels > 1:
+        samples = samples[: (samples.size // channels) * channels]
         samples = samples.reshape(-1, channels)
     else:
         samples = samples.reshape(-1, 1)
@@ -79,3 +206,129 @@ def audio_features(data: bytes) -> dict:
         "leading_silence_s": lead,
         "trailing_silence_s": trail,
     }
+
+
+# ------------------------------------------------------------------ encode
+
+
+def _mulaw_encode(x: np.ndarray) -> np.ndarray:
+    mag = np.clip(np.abs(x * 32768.0).astype(np.int64), 0, 32635) + 0x84
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int64)
+    mant = (mag >> (exp + 3)) & 0x0F
+    u = (np.where(x < 0, 0x80, 0) | (exp << 4) | mant).astype(np.uint8)
+    return (~u) & 0xFF
+
+
+def _alaw_encode(x: np.ndarray) -> np.ndarray:
+    mag = np.clip(np.abs(x * 32768.0).astype(np.int64), 0, 32767)
+    exp = np.maximum(np.floor(np.log2(np.maximum(mag, 1))).astype(np.int64) - 7, 0)
+    mant = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 0x0F)
+    a = (np.where(x >= 0, 0x80, 0) | (exp << 4) | mant).astype(np.uint8)
+    return a ^ 0x55
+
+
+def _ima_encode_block(samples: np.ndarray, spb: int) -> bytes:
+    pred = int(samples[0])
+    # seed the block's step index near the typical sample delta — the
+    # cold-start otherwise spends ~10 samples climbing from step 7 and
+    # butchers the block head (the block header exists precisely so
+    # encoders can do this)
+    deltas = np.abs(np.diff(samples[:spb]))
+    typical = float(np.mean(deltas)) if deltas.size else 0.0
+    index = int(np.argmin(np.abs(_IMA_STEPS - typical)))
+    out = bytearray(struct.pack("<hBB", pred, index, 0))
+    nibbles = []
+    for s in samples[1:spb]:
+        step = int(_IMA_STEPS[index])
+        delta = int(s) - pred
+        nib = 0
+        if delta < 0:
+            nib = 8
+            delta = -delta
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        # reconstruct exactly like the decoder to stay in sync
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(_IMA_INDEX[nib & 7])))
+        nibbles.append(nib)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+        out.append(lo | (hi << 4))
+    return bytes(out)
+
+
+def encode_wav(
+    samples: np.ndarray, rate: int, fmt: str = "pcm16"
+) -> bytes:
+    """(n, channels) float64 in [-1, 1] → WAV bytes. Formats: pcm8,
+    pcm16, pcm32, float32, mulaw, alaw, ima_adpcm (mono). Fixture aid."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    channels = x.shape[1]
+    if fmt == "pcm16":
+        tag, bits = 1, 16
+        payload = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+    elif fmt == "pcm8":
+        tag, bits = 1, 8
+        payload = (np.clip(x, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    elif fmt == "pcm32":
+        tag, bits = 1, 32
+        payload = (np.clip(x, -1, 1) * (2**31 - 1)).astype("<i4").tobytes()
+    elif fmt == "float32":
+        tag, bits = 3, 32
+        payload = x.astype("<f4").tobytes()
+    elif fmt == "mulaw":
+        tag, bits = 7, 8
+        payload = _mulaw_encode(x.reshape(-1)).astype(np.uint8).tobytes()
+    elif fmt == "alaw":
+        tag, bits = 6, 8
+        payload = _alaw_encode(x.reshape(-1)).astype(np.uint8).tobytes()
+    elif fmt == "ima_adpcm":
+        if channels != 1:
+            raise ValueError("ima_adpcm fixture encoder is mono")
+        tag, bits = 17, 4
+        ints = (np.clip(x[:, 0], -1, 1) * 32767).astype(np.int64)
+        spb = 505  # 256-byte blocks: 4 header + 252 data bytes = 504 nibbles
+        blocks = []
+        for off in range(0, len(ints), spb):
+            chunk = ints[off : off + spb]
+            if len(chunk) < spb:
+                chunk = np.pad(chunk, (0, spb - len(chunk)))
+            blocks.append(_ima_encode_block(chunk, spb))
+        payload = b"".join(blocks)
+        block_align = 256
+        fmt_body = struct.pack("<HHIIHHHH", tag, 1, rate, rate * block_align // spb, block_align, bits, 2, spb)
+        return _riff(fmt_body, payload)
+    else:
+        raise ValueError(f"unknown fixture format {fmt}")
+    width = bits // 8
+    fmt_body = struct.pack(
+        "<HHIIHH", tag, channels, rate, rate * channels * width, channels * width, bits
+    )
+    return _riff(fmt_body, payload)
+
+
+def _riff(fmt_body: bytes, payload: bytes) -> bytes:
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    if len(fmt_body) % 2:
+        chunks += b"\x00"
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

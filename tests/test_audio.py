@@ -80,3 +80,75 @@ def test_extract_audio_features_operator(spark):
     assert rows["a1"].ok and rows["a1"].duration_s == pytest.approx(0.5)
     assert rows["a1"].sample_rate == 8000
     assert not rows["a2"].ok and not rows["a3"].ok  # row-level isolation
+
+
+def test_g711_and_float_round_trips():
+    import numpy as np
+
+    from morphik_core_spark.functions.audio import decode_wav, encode_wav
+
+    t = np.linspace(0, 1, 4000)
+    sig = (0.6 * np.sin(2 * np.pi * 220 * t)).clip(-1, 1)
+    for fmt, tol in [("mulaw", 0.02), ("alaw", 0.02), ("float32", 1e-7), ("pcm32", 1e-8)]:
+        out, rate = decode_wav(encode_wav(sig, 4000, fmt))
+        assert rate == 4000
+        err = float(np.abs(out[: len(sig), 0] - sig).max())
+        assert err < tol, (fmt, err)
+
+
+def test_g711_sign_symmetry():
+    import numpy as np
+
+    from morphik_core_spark.functions.audio import decode_wav, encode_wav
+
+    sig = np.array([0.5, -0.5, 0.25, -0.25, 0.03, -0.03])
+    for fmt in ("mulaw", "alaw"):
+        out, _ = decode_wav(encode_wav(sig, 8000, fmt))
+        got = out[: len(sig), 0]
+        # +x and -x decode to exact negations
+        assert float(np.abs(got[0::2] + got[1::2]).max()) < 1e-12, fmt
+
+
+def test_ima_adpcm_round_trip_quality():
+    import numpy as np
+
+    from morphik_core_spark.functions.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    t = np.linspace(0, 1, 8000)
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.normal(size=t.size)).clip(-1, 1)
+    out, rate = decode_wav(encode_wav(sig, 8000, "ima_adpcm"))
+    got = out[: len(sig), 0]
+    err = np.abs(got - sig)
+    # 4-bit codec: tight on the bulk, bounded on transients
+    assert float(np.quantile(err, 0.99)) < 0.1
+    assert float(np.corrcoef(got, sig)[0, 1]) > 0.98
+
+
+def test_audio_features_on_compressed_formats():
+    import numpy as np
+
+    from morphik_core_spark.functions.audio import audio_features, encode_wav
+
+    t = np.linspace(0, 1, 8000)
+    sig = np.zeros_like(t)
+    sig[2000:6000] = 0.5 * np.sin(2 * np.pi * 100 * t[2000:6000])
+    for fmt in ("mulaw", "alaw", "ima_adpcm", "float32"):
+        f = audio_features(encode_wav(sig, 8000, fmt))
+        assert 0.2 < f["leading_silence_s"] < 0.3, fmt
+        assert f["rms"] > 0.1, fmt
+
+
+def test_unsupported_format_tag_raises():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from morphik_core_spark.functions.audio import decode_wav, encode_wav
+
+    data = bytearray(encode_wav(np.zeros(100), 8000, "pcm16"))
+    i = data.find(b"fmt ")
+    data[i + 8 : i + 10] = struct.pack("<H", 85)  # mp3-in-wav
+    with pytest.raises(ValueError, match="format tag"):
+        decode_wav(bytes(data))
