@@ -23,7 +23,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_wav", "audio_features", "encode_wav"]
+__all__ = ["decode_wav", "decode_audio", "audio_features", "encode_wav"]
 
 _WIDTH_DTYPE = {1: np.uint8, 2: np.int16, 4: np.int32}
 
@@ -181,11 +181,20 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Sniff + decode WAV (any supported format tag) or FLAC."""
+    if data is not None and data[:4] == b"fLaC":
+        from morphik_core_spark.functions.flac import decode_flac
+
+        return decode_flac(data)
+    return decode_wav(data)
+
+
 def audio_features(data: bytes) -> dict:
-    """WAV bytes → the filter features a data pipeline needs: duration,
-    rate, channels, RMS loudness, peak, zero-crossing rate, leading/
-    trailing silence (below 1% of full scale)."""
-    samples, rate = decode_wav(data)
+    """WAV/FLAC bytes → the filter features a data pipeline needs:
+    duration, rate, channels, RMS loudness, peak, zero-crossing rate,
+    leading/trailing silence (below 1% of full scale)."""
+    samples, rate = decode_audio(data)
     n = samples.shape[0]
     if n == 0:
         raise ValueError("WAV contains no frames")
