@@ -336,6 +336,12 @@ def _best_fixed_order(vals: np.ndarray) -> int:
 
 
 def _write_subframe(bw: _BitW, vals: np.ndarray, width: int) -> None:
+    if np.all(vals == vals[0]):  # CONSTANT subframe (digital silence etc)
+        bw.write(0, 1)
+        bw.write(0, 6)
+        bw.write(0, 1)
+        bw.write(int(vals[0]) & ((1 << width) - 1), width)
+        return
     order = _best_fixed_order(vals)
     bw.write(0, 1)
     bw.write(8 + order, 6)

@@ -88,3 +88,77 @@ def test_lossless_property(n, seed, noise, block, stereo):
         _assert_lossless(x, block_size=block, stereo_mode="mid_side")
     else:
         _assert_lossless(x, block_size=block)
+
+
+def test_constant_subframe_for_silence():
+    sig = np.full(2000, 0.25)
+    data = encode_flac(sig, 8000)
+    # constant blocks compress to almost nothing
+    assert len(data) < 200
+    _assert_lossless(sig)
+
+
+def test_lpc_subframe_decodes():
+    """Hand-build a frame with an order-2 LPC subframe (the encoder only
+    emits fixed predictors, so the LPC decode path needs its own
+    fixture) and check the recurrence exactly."""
+    from morphik_core_spark.functions.flac import _BitW, _write_utf8_number, _write_residuals
+
+    bps, n = 16, 64
+    warm = [100, 130]
+    coefs = [3, -1]          # prediction = (3*prev - 1*prevprev) >> shift
+    shift = 1
+    resid = [((i * 37) % 11) - 5 for i in range(n - 2)]
+    vals = list(warm)
+    for r in resid:
+        acc = coefs[0] * vals[-1] + coefs[1] * vals[-2]
+        vals.append((acc >> shift) + r)
+
+    si = _BitW()
+    si.write(n, 16); si.write(n, 16); si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(bps - 1, 5); si.write(n, 36)
+    head = b"fLaC" + bytes([0x80]) + (len(bytes(si.out)) + 16).to_bytes(3, "big") + bytes(si.out) + bytes(16)
+
+    bw = _BitW()
+    bw.write(0x3FFE, 14); bw.write(0, 1); bw.write(0, 1)
+    bw.write(7, 4); bw.write(0, 4); bw.write(0, 4); bw.write(4, 3); bw.write(0, 1)
+    _write_utf8_number(bw, 0)
+    bw.write(n - 1, 16)
+    bw.write(0, 8)
+    # LPC subframe: type 0b100000 + (order-1)
+    bw.write(0, 1); bw.write(32 + (2 - 1), 6); bw.write(0, 1)
+    for wv in warm:
+        bw.write(wv & 0xFFFF, 16)
+    bw.write(15 - 1, 4)          # precision 15 bits
+    bw.write(shift, 5)
+    for c in coefs:
+        bw.write(c & 0x7FFF, 15)
+    _write_residuals(bw, resid)
+    bw.align(); bw.write(0, 16)
+
+    out, rate = decode_flac(head + bytes(bw.out))
+    got = np.round(out[:, 0] * (1 << 15)).astype(np.int64)
+    assert np.array_equal(got, np.asarray(vals))
+
+
+def test_verbatim_subframe_decodes():
+    from morphik_core_spark.functions.flac import _BitW, _write_utf8_number
+
+    bps, n = 16, 40
+    vals = [((i * 9173) % 4001) - 2000 for i in range(n)]
+    si = _BitW()
+    si.write(n, 16); si.write(n, 16); si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(bps - 1, 5); si.write(n, 36)
+    head = b"fLaC" + bytes([0x80]) + (len(bytes(si.out)) + 16).to_bytes(3, "big") + bytes(si.out) + bytes(16)
+    bw = _BitW()
+    bw.write(0x3FFE, 14); bw.write(0, 1); bw.write(0, 1)
+    bw.write(7, 4); bw.write(0, 4); bw.write(0, 4); bw.write(4, 3); bw.write(0, 1)
+    _write_utf8_number(bw, 0)
+    bw.write(n - 1, 16); bw.write(0, 8)
+    bw.write(0, 1); bw.write(1, 6); bw.write(0, 1)  # VERBATIM
+    for v in vals:
+        bw.write(v & 0xFFFF, 16)
+    bw.align(); bw.write(0, 16)
+    out, _ = decode_flac(head + bytes(bw.out))
+    got = np.round(out[:, 0] * (1 << 15)).astype(np.int64)
+    assert np.array_equal(got, np.asarray(vals))
