@@ -7,15 +7,20 @@ extractor handles the common simple-PDF subset for real and reports
 everything else honestly as a parse failure.
 
 Supported:
-- uncompressed and FlateDecode content streams (zlib)
+- uncompressed, FlateDecode, LZWDecode, ASCIIHexDecode, ASCII85Decode,
+  and RunLengthDecode content streams (chained filters honored)
 - literal strings incl. nested parens, escape sequences, octal escapes
 - hex strings (<...>), UTF-16BE strings (BOM-detected)
 - text operators Tj, TJ (arrays), ' and " (with line breaks)
 - line layout from Td/TD/T*/ET → newlines
 
+Embedded raster images decode for real via :func:`extract_pdf_images`
+(DCTDecode through the JPEG codec, Flate/raw RGB+Gray bitmaps) — the
+scanned-PDF page-image path without a rasterizer.
+
 Not supported (returns whatever it can, or raises ValueError when nothing
 decodes): CID/Type0 composite fonts with custom CMaps (bytes are not
-character codes there), LZW/DCT/other filters, encrypted PDFs. A real
+character codes there), encrypted PDFs, vector-page rasterization. A real
 deployment swaps :func:`extract_pdf_text` for a PyMuPDF/Docling kernel —
 the Spark plumbing in sources/binary.py is identical either way.
 """
@@ -25,7 +30,7 @@ from __future__ import annotations
 import re
 import zlib
 
-__all__ = ["extract_pdf_text", "looks_like_pdf"]
+__all__ = ["extract_pdf_text", "extract_pdf_images", "apply_stream_filters", "looks_like_pdf"]
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _ESCAPES = {
@@ -166,7 +171,30 @@ def extract_pdf_text(data: bytes) -> str:
     if not looks_like_pdf(data):
         raise ValueError("not a PDF (missing %PDF- header)")
     parts: list[str] = []
+    # streams WITH a dict go through the declared filter chain (Flate,
+    # LZW, ASCIIHex/85, RunLength); dict-less matches fall back to the
+    # try-zlib-else-raw heuristic below
+    covered: set[int] = set()
+    for dict_body, raw, span in _iter_dict_streams_spans(data):
+        covered.add(span)
+        filters = _stream_filters(dict_body)
+        try:
+            if filters:
+                stream = apply_stream_filters(raw, filters)
+            else:
+                try:
+                    stream = zlib.decompress(raw)
+                except zlib.error:
+                    stream = raw
+        except ValueError:
+            continue  # unsupported filter: no text in this stream
+        if b"BT" in stream:
+            extracted = _extract_from_content(stream)
+            if extracted.strip():
+                parts.append(extracted.strip("\n"))
     for m in _STREAM_RE.finditer(data):
+        if m.start(1) in covered:
+            continue
         raw = m.group(1)
         stream = None
         for candidate in (raw, raw.rstrip(b"\r\n")):
@@ -185,3 +213,150 @@ def extract_pdf_text(data: bytes) -> str:
     if not text:
         raise ValueError("no extractable text (encrypted/image-only/unsupported encoding)")
     return text
+
+
+# --------------------------------------------------- stream filters / images
+
+_DICT_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[([^\]]*)\]|\s*/([A-Za-z0-9]+))")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+
+
+def _stream_filters(dict_body: bytes) -> list[str]:
+    m = _FILTER_RE.search(dict_body)
+    if not m:
+        return []
+    if m.group(2):
+        return [m.group(2).decode("latin-1")]
+    return [n.decode("latin-1") for n in _NAME_RE.findall(m.group(1))]
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c == 128:
+            break
+        if c < 128:
+            out += data[i : i + c + 1]
+            i += c + 1
+        else:
+            out += data[i : i + 1] * (257 - c)
+            i += 1
+    return bytes(out)
+
+
+def apply_stream_filters(raw: bytes, filters: list[str]) -> bytes:
+    """Chain-apply the PDF stream filters this subset implements. The
+    image filters (DCTDecode) pass through — callers hand those bytes to
+    the matching codec."""
+    import base64
+    import binascii
+
+    data = raw
+    for f in filters:
+        if f in ("FlateDecode", "Fl"):
+            for candidate in (data, data.rstrip(b"\r\n")):
+                try:
+                    data = zlib.decompress(candidate)
+                    break
+                except zlib.error:
+                    continue
+            else:
+                raise ValueError("bad FlateDecode stream")
+        elif f in ("LZWDecode", "LZW"):
+            from morphik_core_spark.functions.tiff import _lzw_decode_tiff
+
+            data = _lzw_decode_tiff(data.rstrip(b"\r\n"), None)
+        elif f in ("ASCIIHexDecode", "AHx"):
+            h = data.split(b">")[0]
+            h = re.sub(rb"\s+", b"", h)
+            if len(h) % 2:
+                h += b"0"
+            data = binascii.unhexlify(h)
+        elif f in ("ASCII85Decode", "A85"):
+            body = data
+            if body.lstrip().startswith(b"<~"):
+                body = body.lstrip()[2:]
+            end = body.find(b"~>")
+            if end >= 0:
+                body = body[:end]
+            body = re.sub(rb"\s+", b"", body)
+            data = base64.a85decode(b"<~" + body + b"~>", adobe=True)
+        elif f in ("DCTDecode", "DCT"):
+            return data  # JPEG bytes — decoded by the image path
+        elif f == "RunLengthDecode":
+            data = _runlength_decode(data)
+        else:
+            raise ValueError(f"unsupported PDF stream filter {f}")
+    return data
+
+
+def _iter_dict_streams(data: bytes):
+    """Yield (dict_body, stream_bytes) for each <<...>> stream pair."""
+    for m in _DICT_STREAM_RE.finditer(data):
+        end = data.find(b"endstream", m.end())
+        if end < 0:
+            continue
+        yield m.group(1), data[m.end() : end].rstrip(b"\r\n")
+
+
+def extract_pdf_images(data: bytes) -> list:
+    """Decode the embedded raster images (XObject /Image): DCTDecode
+    streams through the JPEG codec, Flate/raw RGB+Gray bitmaps directly.
+
+    This is the real substance of the reference's PDF page-image path
+    (`document_service.py:1901-2011` renders pages for ColPali): scanned
+    PDFs — the corpus case that actually needs page images — store each
+    page AS an embedded DCT image, so extraction covers them without a
+    rasterizer. Vector-only pages still have no image to give; that
+    boundary is documented in COVERAGE.md.
+
+    Returns a list of (H, W, 3) uint8 arrays; undecodable images are
+    skipped (callers treat absence, not errors — same contract as the
+    reference's best-effort page rendering).
+    """
+    import numpy as np
+
+    if not looks_like_pdf(data):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    out = []
+    for dict_body, raw in _iter_dict_streams(data):
+        if b"/Subtype" not in dict_body or b"/Image" not in dict_body:
+            continue
+        filters = _stream_filters(dict_body)
+        try:
+            payload = apply_stream_filters(raw, filters)
+            if filters and filters[-1] in ("DCTDecode", "DCT"):
+                from morphik_core_spark.functions.jpeg import decode_jpeg
+
+                out.append(decode_jpeg(payload))
+                continue
+            wm = re.search(rb"/Width\s+(\d+)", dict_body)
+            hm = re.search(rb"/Height\s+(\d+)", dict_body)
+            bm = re.search(rb"/BitsPerComponent\s+(\d+)", dict_body)
+            if not (wm and hm) or (bm and bm.group(1) != b"8"):
+                continue
+            w, h = int(wm.group(1)), int(hm.group(1))
+            if b"/DeviceRGB" in dict_body and len(payload) >= w * h * 3:
+                out.append(np.frombuffer(payload[: w * h * 3], dtype=np.uint8).reshape(h, w, 3))
+            elif b"/DeviceGray" in dict_body and len(payload) >= w * h:
+                g = np.frombuffer(payload[: w * h], dtype=np.uint8).reshape(h, w)
+                out.append(np.repeat(g[:, :, None], 3, axis=2))
+        except Exception:  # noqa: BLE001 — best-effort, skip bad images
+            continue
+    return out
+
+
+def _iter_dict_streams_spans(data: bytes):
+    """Like _iter_dict_streams but also yields the payload start offset
+    (aligned with _STREAM_RE.start(1)) so the legacy fallback can skip
+    already-handled streams."""
+    for m in _DICT_STREAM_RE.finditer(data):
+        end = data.find(b"endstream", m.end())
+        if end < 0:
+            continue
+        yield m.group(1), data[m.end() : end].rstrip(b"\r\n"), m.end()

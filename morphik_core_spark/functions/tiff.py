@@ -83,7 +83,10 @@ def _packbits_decode(blob: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
-def _lzw_decode_tiff(blob: bytes, expected: int) -> bytes:
+def _lzw_decode_tiff(blob: bytes, expected: int | None) -> bytes:
+    """TIFF/PDF-variant LZW (MSB-first, early change). ``expected=None``
+    decodes until EOI/end-of-data (the PDF stream case, which carries no
+    decoded-length hint)."""
     clear, eoi = 256, 257
     bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))  # MSB-first
     out = bytearray()
@@ -100,7 +103,7 @@ def _lzw_decode_tiff(blob: bytes, expected: int) -> bytes:
     prev: bytes | None = None
     weights9 = {w: (1 << np.arange(w - 1, -1, -1, dtype=np.int64)) for w in (9, 10, 11, 12)}
     total = len(bits)
-    while len(out) < expected and pos + width <= total:
+    while (expected is None or len(out) < expected) and pos + width <= total:
         code = int(bits[pos : pos + width] @ weights9[width])
         pos += width
         if code == clear:
@@ -124,6 +127,8 @@ def _lzw_decode_tiff(blob: bytes, expected: int) -> bytes:
         # EARLY change: widen one entry before the table is actually full
         if len(table) == (1 << width) - 1 and width < 12:
             width += 1
+    if expected is None:
+        return bytes(out)
     if len(out) < expected:
         raise ValueError("TIFF pixel data truncated")
     return bytes(out[:expected])

@@ -106,3 +106,101 @@ def test_pdf_ingest_end_to_end(spark, tmp_path):
     pdf_chunks = chunks.filter(chunks.document_id.endswith("good.pdf")).collect()
     assert len(pdf_chunks) > 1  # 1000+ chars at size 256 → real chunking
     assert all(len(c.embedding) == 16 for c in pdf_chunks)
+
+
+# ----------------------------------------------- stream filters / images
+
+
+def _obj_stream(dict_body: bytes, payload: bytes) -> bytes:
+    return b"<<" + dict_body + b">>\nstream\n" + payload + b"\nendstream\n"
+
+
+def _pdf(body: bytes) -> bytes:
+    return b"%PDF-1.4\n" + body + b"%%EOF"
+
+
+def _content(text: str) -> bytes:
+    return b"BT (" + text.encode() + b") Tj ET"
+
+
+def test_lzw_ascii85_hex_runlength_filters():
+    import base64
+    import binascii
+    import zlib as _z
+
+    from morphik_core_spark.functions.pdf import extract_pdf_text
+    from morphik_core_spark.functions.tiff import _lzw_encode_tiff
+
+    c1 = _content("lzw stream text")
+    c2 = _content("a85 stream text")
+    c3 = _content("hex stream text")
+    c4 = _content("runlength text")
+    body = (
+        _obj_stream(b"/Length 0 /Filter /LZWDecode", _lzw_encode_tiff(c1))
+        + _obj_stream(b"/Filter /ASCII85Decode", base64.a85encode(c2) + b"~>")
+        + _obj_stream(b"/Filter /ASCIIHexDecode", binascii.hexlify(c3) + b">")
+        + _obj_stream(
+            b"/Filter [/ASCII85Decode /FlateDecode]",
+            base64.a85encode(_z.compress(c4)) + b"~>",
+        )
+    )
+    text = extract_pdf_text(_pdf(body))
+    for want in ("lzw stream text", "a85 stream text", "hex stream text", "runlength text"):
+        assert want in text
+
+
+def test_runlength_filter_decodes():
+    from morphik_core_spark.functions.pdf import apply_stream_filters
+
+    # 3x 'a' as a run + literal 'bc' + EOD
+    data = bytes([254]) + b"a" + bytes([1]) + b"bc" + bytes([128])
+    assert apply_stream_filters(data, ["RunLengthDecode"]) == b"aaabc"
+
+
+def test_extract_embedded_dct_image():
+    import numpy as np
+
+    from morphik_core_spark.functions.jpeg import decode_jpeg, encode_jpeg_baseline
+    from morphik_core_spark.functions.pdf import extract_pdf_images
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    jpg = encode_jpeg_baseline(img)
+    body = _obj_stream(
+        b"/Subtype /Image /Width 32 /Height 24 /BitsPerComponent 8 "
+        b"/ColorSpace /DeviceRGB /Filter /DCTDecode", jpg
+    ) + _obj_stream(b"/Length 20", _content("some page text"))
+    images = extract_pdf_images(_pdf(body))
+    assert len(images) == 1
+    assert np.array_equal(images[0], decode_jpeg(jpg))
+
+
+def test_extract_flate_rgb_and_gray_images():
+    import zlib as _z
+
+    import numpy as np
+
+    from morphik_core_spark.functions.pdf import extract_pdf_images
+
+    rgb = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    body = _obj_stream(
+        b"/Subtype /Image /Width 6 /Height 4 /BitsPerComponent 8 "
+        b"/ColorSpace /DeviceRGB /Filter /FlateDecode", _z.compress(rgb.tobytes())
+    ) + _obj_stream(
+        b"/Subtype /Image /Width 4 /Height 3 /BitsPerComponent 8 "
+        b"/ColorSpace /DeviceGray", gray.tobytes()
+    )
+    images = extract_pdf_images(_pdf(body))
+    assert len(images) == 2
+    assert np.array_equal(images[0], rgb)
+    assert np.array_equal(images[1], np.repeat(gray[:, :, None], 3, axis=2))
+
+
+def test_bad_image_is_skipped_not_fatal():
+    from morphik_core_spark.functions.pdf import extract_pdf_images
+
+    body = _obj_stream(
+        b"/Subtype /Image /Width 8 /Height 8 /Filter /DCTDecode", b"not a jpeg"
+    )
+    assert extract_pdf_images(_pdf(body)) == []
