@@ -31,6 +31,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_media",
     "extract_image_features",
+    "extract_pdf_page_images",
     "extract_audio_features",
     "extract_video_frame_features",
     "sample_video_frames",
@@ -214,3 +215,54 @@ def sample_video_frames(
         id_col,
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).withColumn("frame_ts", F.col("frame_idx") / F.lit(frame_sample_rate))
+
+
+def extract_pdf_page_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_side: int = 256,
+) -> DataFrame:
+    """Scanned-PDF page-image extraction for the ColPali path: per PDF,
+    decode every embedded raster image (`functions/pdf.extract_pdf_images`
+    — DCT through the JPEG codec, Flate/raw bitmaps) and emit one row per
+    page image with the same features as `extract_image_features`.
+
+    Output: (media_id, page_idx, ok, err, width, height, mean_r, mean_g,
+    mean_b, is_blank). A text-only/vector PDF yields one ok=true row with
+    page_idx = -1 and NULL features (so 'no page images' is visible, not
+    silent); a broken PDF yields one ok=false row. This is the real
+    substance of the reference's page rendering
+    (document_service.py:1901-2011): scanned corpora store pages AS
+    embedded DCT images, no rasterizer needed.
+    """
+    from morphik_core_spark.functions.image import is_blank_image, resize_max_side
+    from morphik_core_spark.functions.pdf import extract_pdf_images
+
+    out_schema = (
+        f"{id_col} string, page_idx int, ok boolean, err string, width int, height int, "
+        "mean_r double, mean_g double, mean_b double, is_blank boolean"
+    )
+    cols = [id_col, "page_idx", "ok", "err", "width", "height", "mean_r", "mean_g", "mean_b", "is_blank"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    images = extract_pdf_images(bytes(payload) if payload is not None else b"")
+                    if not images:
+                        rows.append((mid, -1, True, None, None, None, None, None, None, None))
+                        continue
+                    for pi, px in enumerate(images):
+                        h, w = px.shape[:2]
+                        small = resize_max_side(px, max_side)
+                        means = small.reshape(-1, 3).mean(axis=0)
+                        rows.append(
+                            (mid, pi, True, None, w, h, *[float(m) for m in means], is_blank_image(small))
+                        )
+                except Exception as exc:  # noqa: BLE001 — row-level isolation
+                    rows.append((mid, -1, False, str(exc), None, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

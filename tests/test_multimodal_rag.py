@@ -107,3 +107,28 @@ def test_rerank_hook_changes_order(spark):
 
 def test_token_overlap_kernel():
     assert token_overlap_scores("a b", ["a b c", "x", ""]) == [1.0, 0.0, 0.0]
+
+
+def test_pdf_page_image_extraction_pipeline(spark):
+    import numpy as np
+
+    from morphik_core_spark.functions.jpeg import encode_jpeg_baseline
+    from morphik_core_spark.operators.multimodal import extract_pdf_page_images
+
+    rng = np.random.default_rng(5)
+    page = rng.integers(0, 256, size=(30, 20, 3), dtype=np.uint8)
+    jpg = encode_jpeg_baseline(page)
+    scanned = (
+        b"%PDF-1.4\n<</Subtype /Image /Width 20 /Height 30 /BitsPerComponent 8 "
+        b"/ColorSpace /DeviceRGB /Filter /DCTDecode /Length "
+        + str(len(jpg)).encode() + b">>\nstream\n" + jpg + b"\nendstream\n%%EOF"
+    )
+    textonly = b"%PDF-1.4\n<</Length 20>>\nstream\nBT (hi) Tj ET\nendstream\n%%EOF"
+    df = spark.createDataFrame(
+        [("scan", bytearray(scanned)), ("text", bytearray(textonly)), ("bad", b"nope")],
+        "media_id string, payload binary",
+    )
+    rows = {(r.media_id, r.page_idx): r for r in extract_pdf_page_images(df).collect()}
+    assert rows[("scan", 0)].ok and rows[("scan", 0)].width == 20 and rows[("scan", 0)].height == 30
+    assert rows[("text", -1)].ok and rows[("text", -1)].width is None  # no page images, visibly
+    assert not rows[("bad", -1)].ok
