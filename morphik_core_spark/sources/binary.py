@@ -99,14 +99,58 @@ def _parse_document_udf():
     return parse
 
 
+def _decompress_udf():
+    """Transparent .gz/.bz2/.xz unwrap (stdlib codecs); a corrupt archive
+    yields NULL content → the row lands in parse_failed, never the task."""
+    import bz2
+    import gzip
+    import lzma
+
+    @F.pandas_udf("binary")
+    def dec(payloads: pd.Series, codecs: pd.Series) -> pd.Series:
+        out = []
+        for b, c in zip(payloads, codecs):
+            if b is None or c is None:
+                out.append(b)
+                continue
+            try:
+                if c == "gzip":
+                    out.append(gzip.decompress(bytes(b)))
+                elif c == "bz2":
+                    out.append(bz2.decompress(bytes(b)))
+                else:
+                    out.append(lzma.decompress(bytes(b)))
+            except Exception:  # noqa: BLE001
+                out.append(None)
+        return pd.Series(out)
+
+    return dec
+
+
 def files_to_raw_docs(files: DataFrame, app_id: str | None = None, folder_path: str | None = None) -> DataFrame:
     """binaryFile rows → raw-doc rows for ingest_batch.
 
     parse_status: 'ok' (decoded), 'unsupported' (needs an external parser),
     'empty'. Unsupported/empty rows keep NULL text so ingest_batch marks
     them failed — same row-level isolation as the reference worker.
+    Compressed documents (.gz/.bz2/.xz wrapper over any supported type)
+    unwrap transparently before MIME routing.
     """
-    filename = F.element_at(F.split(F.col("path"), "/"), -1)
+    outer_name = F.element_at(F.split(F.col("path"), "/"), -1)
+    codec = (
+        F.when(outer_name.endswith(".gz"), F.lit("gzip"))
+        .when(outer_name.endswith(".bz2"), F.lit("bz2"))
+        .when(outer_name.endswith(".xz"), F.lit("xz"))
+    )
+    filename = F.when(
+        codec.isNotNull(), F.regexp_replace(outer_name, r"\.(gz|bz2|xz)$", "")
+    ).otherwise(outer_name)
+    files = files.withColumn(
+        "content",
+        F.when(codec.isNotNull(), _decompress_udf()(F.col("content"), codec)).otherwise(
+            F.col("content")
+        ),
+    )
     mime = infer_mime(filename)
     is_text = F.lit(False)
     for p in _TEXT_MIME_PREFIXES:
@@ -126,7 +170,10 @@ def files_to_raw_docs(files: DataFrame, app_id: str | None = None, folder_path: 
     )
 
     parse_status = (
-        F.when(F.length("content") == 0, "empty")
+        # NULL content only arises from a failed decompression (binaryFile
+        # itself always yields bytes)
+        F.when(F.col("content").isNull(), "parse_failed")
+        .when(F.length("content") == 0, "empty")
         .when(is_text, "ok")
         .when(is_parseable, F.coalesce(F.col("_parsed.status"), F.lit("parse_failed")))
         .otherwise("unsupported")

@@ -45,3 +45,37 @@ def test_glob_filter(spark, tmp_path):
     (d / "b.csv").write_text("y")
     only_txt = read_binary_dir(spark, str(d), glob="*.txt")
     assert only_txt.count() == 1
+
+
+def test_compressed_documents_unwrap_transparently(spark, tmp_path):
+    import bz2
+    import gzip
+    import lzma
+
+    from morphik_core_spark.sources.binary import files_to_raw_docs, read_binary_dir
+
+    (tmp_path / "a.txt.gz").write_bytes(gzip.compress(b"gz body text"))
+    (tmp_path / "b.txt.bz2").write_bytes(bz2.compress(b"bz2 body text"))
+    (tmp_path / "c.md.xz").write_bytes(lzma.compress(b"# xz markdown"))
+    (tmp_path / "plain.txt").write_bytes(b"uncompressed")
+    (tmp_path / "broken.txt.gz").write_bytes(b"\x1f\x8bnot really gzip")
+    out = {r["filename"]: r for r in files_to_raw_docs(read_binary_dir(spark, str(tmp_path))).collect()}
+    assert out["a.txt"]["text"] == "gz body text" and out["a.txt"]["parse_status"] == "ok"
+    assert out["b.txt"]["text"] == "bz2 body text"
+    assert out["c.md"]["text"] == "# xz markdown"
+    assert out["plain.txt"]["parse_status"] == "ok"
+    assert out["broken.txt"]["parse_status"] == "parse_failed" and out["broken.txt"]["text"] is None
+    # MIME is inferred from the INNER name
+    assert out["a.txt"]["content_type"] == "text/plain"
+
+
+def test_compressed_pdf_routes_through_parser(spark, tmp_path):
+    import gzip
+
+    from morphik_core_spark.sources.binary import files_to_raw_docs, read_binary_dir
+
+    pdf = b"%PDF-1.4\n<</Length 20>>\nstream\nBT (compressed pdf text) Tj ET\nendstream\n%%EOF"
+    (tmp_path / "doc.pdf.gz").write_bytes(gzip.compress(pdf))
+    [row] = files_to_raw_docs(read_binary_dir(spark, str(tmp_path))).collect()
+    assert row["parse_status"] == "ok"
+    assert "compressed pdf text" in row["text"]
