@@ -13,14 +13,16 @@ Supported:
 - hex strings (<...>), UTF-16BE strings (BOM-detected)
 - text operators Tj, TJ (arrays), ' and " (with line breaks)
 - line layout from Td/TD/T*/ET → newlines
+- CID/Type0 (Identity-H) fonts WITH a /ToUnicode CMap: Tf font tracking
+  routes 2-byte CID codes through the parsed bfchar/bfrange tables
 
 Embedded raster images decode for real via :func:`extract_pdf_images`
 (DCTDecode through the JPEG codec, Flate/raw RGB+Gray bitmaps) — the
 scanned-PDF page-image path without a rasterizer.
 
 Not supported (returns whatever it can, or raises ValueError when nothing
-decodes): CID/Type0 composite fonts with custom CMaps (bytes are not
-character codes there), encrypted PDFs, vector-page rasterization. A real
+decodes): CID fonts WITHOUT a ToUnicode map (their bytes genuinely are
+not character codes), encrypted PDFs, vector-page rasterization. A real
 deployment swaps :func:`extract_pdf_text` for a PyMuPDF/Docling kernel —
 the Spark plumbing in sources/binary.py is identical either way.
 """
@@ -59,8 +61,8 @@ def _decode_string_bytes(raw: bytes) -> str:
     return raw.decode("latin-1", errors="replace")
 
 
-def _parse_literal_string(buf: bytes, i: int) -> tuple[str, int]:
-    """Parse from the byte after '(' to the matching ')'; returns (text, next_i)."""
+def _parse_literal_bytes(buf: bytes, i: int) -> tuple[bytes, int]:
+    """Parse from the byte after '(' to the matching ')'; returns (raw, next_i)."""
     out = bytearray()
     depth = 1
     n = len(buf)
@@ -99,34 +101,69 @@ def _parse_literal_string(buf: bytes, i: int) -> tuple[str, int]:
         elif c == 0x29:  # )
             depth -= 1
             if depth == 0:
-                return _decode_string_bytes(bytes(out)), i + 1
+                return bytes(out), i + 1
             out.append(c)
             i += 1
         else:
             out.append(c)
             i += 1
-    return _decode_string_bytes(bytes(out)), i
+    return bytes(out), i
+
+
+def _parse_literal_string(buf: bytes, i: int) -> tuple[str, int]:
+    raw, j = _parse_literal_bytes(buf, i)
+    return _decode_string_bytes(raw), j
 
 
 _OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
 
 
-def _extract_from_content(content: bytes) -> str:
+_NAME_TOKEN_RE = re.compile(rb"/([A-Za-z0-9.+_-]+)")
+
+
+def _cmap_decode(raw: bytes, cmap: dict) -> str:
+    """2-byte CID codes (Identity-H convention) → unicode via ToUnicode."""
+    out = []
+    for k in range(0, len(raw) - 1, 2):
+        code = (raw[k] << 8) | raw[k + 1]
+        got = cmap.get(code)
+        if got is not None:
+            out.append(got)
+    return "".join(out)
+
+
+def _extract_from_content(content: bytes, font_cmaps: dict | None = None) -> str:
     """One pass over a content stream: collect show-text strings, map the
-    line-positioning operators to newlines."""
+    line-positioning operators to newlines. ``font_cmaps`` maps resource
+    font names (from Tf) to ToUnicode tables; strings shown under such a
+    font decode as 2-byte CID codes instead of byte characters."""
     out: list[str] = []
-    pending: list[str] = []
+    pending: list[bytes] = []
+    cur_cmap: dict | None = None
+    last_name: str | None = None
     i, n = 0, len(content)
 
     def newline() -> None:
         if out and not out[-1].endswith("\n"):
             out.append("\n")
 
+    def show() -> None:
+        for raw in pending:
+            out.append(_cmap_decode(raw, cur_cmap) if cur_cmap else _decode_string_bytes(raw))
+        pending.clear()
+
     while i < n:
         c = content[i]
         if c == 0x28:  # ( literal string
-            s, i = _parse_literal_string(content, i + 1)
-            pending.append(s)
+            raw, i = _parse_literal_bytes(content, i + 1)
+            pending.append(raw)
+        elif c == 0x2F:  # /Name token (tracked for Tf)
+            m = _NAME_TOKEN_RE.match(content, i)
+            if m:
+                last_name = m.group(1).decode("latin-1")
+                i = m.end()
+            else:
+                i += 1
         elif c == 0x3C and not content.startswith(b"<<", i):  # <hex>
             end = content.find(b">", i + 1)
             if end == -1:
@@ -135,7 +172,7 @@ def _extract_from_content(content: bytes) -> str:
             if len(hx) % 2:
                 hx += b"0"
             try:
-                pending.append(_decode_string_bytes(bytes.fromhex(hx.decode("ascii"))))
+                pending.append(bytes.fromhex(hx.decode("ascii")))
             except ValueError:
                 pass
             i = end + 1
@@ -143,16 +180,13 @@ def _extract_from_content(content: bytes) -> str:
             m = _OP_RE.match(content, i)
             op = m.group(0) if m else b""
             i = m.end() if m else i + 1
-            if op in (b"Tj",):
-                out.extend(pending)
-                pending.clear()
-            elif op == b"TJ":
-                out.extend(pending)
-                pending.clear()
+            if op in (b"Tj", b"TJ"):
+                show()
             elif op in (b"'", b'"'):
                 newline()
-                out.extend(pending)
-                pending.clear()
+                show()
+            elif op == b"Tf":
+                cur_cmap = (font_cmaps or {}).get(last_name)
             elif op in (b"Td", b"TD", b"T*"):
                 newline()
             elif op == b"ET":
@@ -171,6 +205,7 @@ def extract_pdf_text(data: bytes) -> str:
     if not looks_like_pdf(data):
         raise ValueError("not a PDF (missing %PDF- header)")
     parts: list[str] = []
+    font_cmaps = _collect_font_cmaps(data)
     # streams WITH a dict go through the declared filter chain (Flate,
     # LZW, ASCIIHex/85, RunLength); dict-less matches fall back to the
     # try-zlib-else-raw heuristic below
@@ -189,7 +224,7 @@ def extract_pdf_text(data: bytes) -> str:
         except ValueError:
             continue  # unsupported filter: no text in this stream
         if b"BT" in stream:
-            extracted = _extract_from_content(stream)
+            extracted = _extract_from_content(stream, font_cmaps)
             if extracted.strip():
                 parts.append(extracted.strip("\n"))
     for m in _STREAM_RE.finditer(data):
@@ -206,7 +241,7 @@ def extract_pdf_text(data: bytes) -> str:
         if stream is None:
             stream = raw  # uncompressed (or an unsupported filter — no BT, skipped)
         if b"BT" in stream:
-            extracted = _extract_from_content(stream)
+            extracted = _extract_from_content(stream, font_cmaps)
             if extracted.strip():
                 parts.append(extracted.strip("\n"))
     text = "\n".join(parts).strip()
@@ -360,3 +395,85 @@ def _iter_dict_streams_spans(data: bytes):
         if end < 0:
             continue
         yield m.group(1), data[m.end() : end].rstrip(b"\r\n"), m.end()
+
+
+# ----------------------------------------------------- CID fonts / ToUnicode
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_RANGE3_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_RANGE_ARR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]", re.DOTALL)
+_HEX1_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16_hex(h: bytes) -> str:
+    raw = bytes.fromhex(h.decode("ascii"))
+    if len(raw) % 2:
+        raw += b"\x00"
+    return raw.decode("utf-16-be", errors="replace")
+
+
+def parse_tounicode_cmap(data: bytes) -> dict:
+    """ToUnicode CMap stream → {CID code: unicode string} (bfchar +
+    bfrange incl. the array destination form)."""
+    mapping: dict[int, str] = {}
+    for m in _BFRANGE_RE.finditer(data):
+        body = m.group(1)
+        for lo, hi, arr in _RANGE_ARR_RE.findall(body):
+            for k, d in enumerate(_HEX1_RE.findall(arr)):
+                mapping[int(lo, 16) + k] = _utf16_hex(d)
+        body_no_arr = _RANGE_ARR_RE.sub(b"", body)
+        for lo, hi, dst in _RANGE3_RE.findall(body_no_arr):
+            base = int(dst, 16)
+            for c in range(int(lo, 16), int(hi, 16) + 1):
+                mapping[c] = chr(base + (c - int(lo, 16)))
+    for m in _BFCHAR_RE.finditer(data):
+        for src, dst in _HEXPAIR_RE.findall(m.group(1)):
+            mapping[int(src, 16)] = _utf16_hex(dst)
+    return mapping
+
+
+def _collect_font_cmaps(data: bytes) -> dict:
+    """{resource font name: ToUnicode mapping} for the document's CID
+    fonts — the subset needed to read Identity-H text: every font object
+    carrying /ToUnicode gets its CMap stream decoded (honoring stream
+    filters), and resource names pointing at that font object bind to it
+    (last binding wins across pages)."""
+    objects: dict[int, bytes] = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    cmaps_by_font_obj: dict[int, dict] = {}
+    for objnum, body in objects.items():
+        if b"/Font" not in body and b"/Type0" not in body:
+            continue
+        m = _TOUNI_RE.search(body)
+        if not m:
+            continue
+        cm_obj = objects.get(int(m.group(1)))
+        if cm_obj is None:
+            continue
+        try:
+            for dict_body, raw, _span in _iter_dict_streams_spans(cm_obj):
+                stream = apply_stream_filters(raw, _stream_filters(dict_body)) if _stream_filters(dict_body) else raw
+                cmaps_by_font_obj[objnum] = parse_tounicode_cmap(stream)
+                break
+            else:
+                # stream may sit directly in the object without our dict regex
+                sm = _STREAM_RE.search(cm_obj)
+                if sm:
+                    raw = sm.group(1)
+                    try:
+                        raw = zlib.decompress(raw)
+                    except zlib.error:
+                        pass
+                    cmaps_by_font_obj[objnum] = parse_tounicode_cmap(raw)
+        except ValueError:
+            continue
+    out: dict[str, dict] = {}
+    for objnum, cmap in cmaps_by_font_obj.items():
+        for m in re.finditer(rb"/([A-Za-z0-9.+_-]+)\s+" + str(objnum).encode() + rb"\s+\d+\s+R", data):
+            name = m.group(1).decode("latin-1")
+            if name not in ("ToUnicode", "Length", "Parent", "Contents"):
+                out[name] = cmap
+    return out

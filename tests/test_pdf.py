@@ -204,3 +204,47 @@ def test_bad_image_is_skipped_not_fatal():
         b"/Subtype /Image /Width 8 /Height 8 /Filter /DCTDecode", b"not a jpeg"
     )
     assert extract_pdf_images(_pdf(body)) == []
+
+
+def test_cid_font_with_tounicode_cmap():
+    import zlib as _z
+
+    from morphik_core_spark.functions.pdf import extract_pdf_text
+
+    # CMap: CIDs 1..3 -> "Héllo" pieces via bfchar + bfrange
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar\n<0001> <0048>\n<0002> <00E9>\n endbfchar\n"
+        b"1 beginbfrange\n<0003> <0005> <006C>\nendbfrange\n"  # l m n
+        b"1 beginbfrange\n<0010> <0010> [<0057006F0072006C0064>]\nendbfrange\n"
+        b"endcmap end end"
+    )
+    cmap_z = _z.compress(cmap)
+    # text: CIDs 1 2 3 (H é l), then 0x0010 -> "World"
+    content = b"BT /F7 12 Tf <000100020003> Tj ( ) Tj <0010> Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"4 0 obj <</Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-H "
+        b"/ToUnicode 5 0 R>> endobj\n"
+        b"5 0 obj <</Length " + str(len(cmap_z)).encode() + b" /Filter /FlateDecode>>\n"
+        b"stream\n" + cmap_z + b"\nendstream endobj\n"
+        b"6 0 obj <</Font <</F7 4 0 R>>>> endobj\n"
+        b"7 0 obj <</Length " + str(len(content)).encode() + b">>\nstream\n"
+        + content + b"\nendstream endobj\n%%EOF"
+    )
+    text = extract_pdf_text(pdf)
+    assert "Hél" in text
+    assert "World" in text
+    # the CID bytes must NOT leak through as latin-1 garbage
+    assert "\x00" not in text
+
+
+def test_non_cid_text_unaffected_by_cid_machinery():
+    from morphik_core_spark.functions.pdf import extract_pdf_text
+
+    pdf = (
+        b"%PDF-1.4\n<</Length 30>>\nstream\n"
+        b"BT /F1 10 Tf (plain latin text) Tj ET\nendstream\n%%EOF"
+    )
+    assert "plain latin text" in extract_pdf_text(pdf)
