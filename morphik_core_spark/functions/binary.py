@@ -33,6 +33,11 @@ _EXT_MIME = {
     "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
     "ppt": "application/vnd.ms-powerpoint",
     "pptx": "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    "odt": "application/vnd.oasis.opendocument.text",
+    "ods": "application/vnd.oasis.opendocument.spreadsheet",
+    "rtf": "application/rtf",
+    "eml": "message/rfc822",
+    "epub": "application/epub+zip",
     "png": "image/png",
     "jpg": "image/jpeg",
     "jpeg": "image/jpeg",

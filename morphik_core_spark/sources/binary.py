@@ -52,8 +52,17 @@ _DOCX_MIME = "application/vnd.openxmlformats-officedocument.wordprocessingml.doc
 _DOC_MIME = "application/msword"
 _XLS_MIME = "application/vnd.ms-excel"
 _HTML_MIMES = ("text/html", "application/xhtml+xml")
+_PPTX_MIME = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
+_ODF_MIMES = (
+    "application/vnd.oasis.opendocument.text",
+    "application/vnd.oasis.opendocument.spreadsheet",
+)
+_RTF_MIME = "application/rtf"
+_EML_MIME = "message/rfc822"
+_EPUB_MIME = "application/epub+zip"
 _PARSEABLE_MIMES = (
-    "application/pdf", _XLSX_MIME, _DOCX_MIME, _DOC_MIME, _XLS_MIME, *_HTML_MIMES
+    "application/pdf", _XLSX_MIME, _DOCX_MIME, _DOC_MIME, _XLS_MIME, *_HTML_MIMES,
+    _PPTX_MIME, *_ODF_MIMES, _RTF_MIME, _EML_MIME, _EPUB_MIME,
 )
 
 
@@ -69,6 +78,11 @@ def _parse_document_udf():
     from morphik_core_spark.functions.office import extract_docx_text, extract_xlsx_markdown
     from morphik_core_spark.functions.pdf import extract_pdf_text
 
+    from morphik_core_spark.functions.docs_extra import (
+        extract_eml_text, extract_epub_text, extract_odf_text,
+        extract_pptx_text, extract_rtf_text,
+    )
+
     kernels = {
         "application/pdf": extract_pdf_text,
         _XLSX_MIME: extract_xlsx_markdown,
@@ -76,6 +90,11 @@ def _parse_document_udf():
         _DOC_MIME: extract_doc_text,
         _XLS_MIME: extract_xls_markdown,
         **{m: extract_html_text for m in _HTML_MIMES},
+        _PPTX_MIME: extract_pptx_text,
+        **{m: extract_odf_text for m in _ODF_MIMES},
+        _RTF_MIME: extract_rtf_text,
+        _EML_MIME: extract_eml_text,
+        _EPUB_MIME: extract_epub_text,
     }
 
     @F.pandas_udf("text string, status string")
