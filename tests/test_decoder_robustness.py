@@ -1,0 +1,91 @@
+"""Corruption robustness: every binary decoder must FAIL FAST (any
+exception is acceptable — mapInPandas isolates rows) on truncated and
+bit-flipped versions of valid inputs. What this sweep actually guards
+against is the other failure modes: infinite loops, unbounded memory,
+or silently returning success on garbage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SEEDS = [0, 1, 2]
+
+
+def _fixtures():
+    from morphik_core_spark.functions.audio import encode_wav
+    from morphik_core_spark.functions.flac import encode_flac
+    from morphik_core_spark.functions.gif import encode_gif
+    from morphik_core_spark.functions.image import encode_png
+    from morphik_core_spark.functions.jpeg import encode_jpeg_baseline, encode_jpeg_progressive
+    from morphik_core_spark.functions.mp4 import build_mp4_moov
+    from morphik_core_spark.functions.tiff import encode_tiff
+    from morphik_core_spark.sources.warc import build_warc
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    pal = img // 64 * 64  # <=64 distinct colors for GIF
+    sig = np.sin(np.linspace(0, 50, 3000)) * 0.5
+    return {
+        "png": encode_png(img),
+        "gif": encode_gif(pal),
+        "tiff": encode_tiff(img, compression=5),
+        "jpeg": encode_jpeg_baseline(img),
+        "jpeg_prog": encode_jpeg_progressive(img),
+        "wav": encode_wav(sig, 8000, "ima_adpcm"),
+        "flac": encode_flac(sig, 8000),
+        "mp4": build_mp4_moov(5.0, [{"kind": "video", "codec": "avc1", "width": 64, "height": 48}]),
+        "warc": build_warc([("http://x", "2026-01-01T00:00:00Z", 200, "text/html", b"<p>x</p>")]),
+    }
+
+
+def _decoders():
+    from morphik_core_spark.functions.audio import decode_audio
+    from morphik_core_spark.functions.image import decode_image
+    from morphik_core_spark.functions.mp4 import probe_mp4
+    from morphik_core_spark.sources.warc import iter_warc_records
+
+    return {
+        "png": decode_image, "gif": decode_image, "tiff": decode_image,
+        "jpeg": decode_image, "jpeg_prog": decode_image,
+        "wav": decode_audio, "flac": decode_audio,
+        "mp4": probe_mp4,
+        "warc": lambda b: list(iter_warc_records(b)),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_decoders().keys()))
+def test_truncations_fail_fast_or_decode(name):
+    fix = _fixtures()[name]
+    dec = _decoders()[name]
+    rng = np.random.default_rng(13)
+    cuts = sorted({int(x) for x in rng.integers(1, len(fix), size=12)} | {8, 16, len(fix) // 2})
+    for cut in cuts:
+        try:
+            dec(fix[:cut])  # a prefix MAY decode (e.g. metadata-only probes)
+        except Exception:
+            pass  # any exception = row-isolated; the test is that we RETURN
+
+
+@pytest.mark.parametrize("name", sorted(_decoders().keys()))
+@pytest.mark.parametrize("seed", SEEDS)
+def test_bitflips_fail_fast_or_decode(name, seed):
+    fix = bytearray(_fixtures()[name])
+    dec = _decoders()[name]
+    rng = np.random.default_rng(seed)
+    for _ in range(8):
+        mutated = bytearray(fix)
+        for pos in rng.integers(0, len(fix), size=max(2, len(fix) // 200)):
+            mutated[pos] ^= int(rng.integers(1, 256))
+        try:
+            dec(bytes(mutated))
+        except Exception:
+            pass
+
+
+def test_pure_noise_rejected_by_all():
+    rng = np.random.default_rng(3)
+    noise = bytes(rng.integers(0, 256, size=4096, dtype=np.uint8))
+    for name, dec in _decoders().items():
+        with pytest.raises(Exception):
+            dec(noise)
