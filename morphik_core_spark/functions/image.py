@@ -1,4 +1,4 @@
-"""Pure-Python/numpy image kernels: PNG + BMP decode, resize, blank detect.
+"""Pure-Python/numpy image kernels: PNG/BMP decode (GIF/TIFF/JPEG route to their codec modules), resize, blank detect.
 
 The reference uses PIL for page-image handling
 (/root/reference/core/services/ingestion_service.py:1365-1566): resize to
@@ -11,9 +11,9 @@ renders are PNG) and BMP — are decoded for real with stdlib zlib + numpy:
   (alpha dropped over white), all five scanline filters, multi-IDAT.
 - BMP: uncompressed BITMAPINFOHEADER 24/32 bpp, bottom-up or top-down.
 
-Baseline sequential JPEG decodes for real via ``functions/jpeg``
-(progressive raises, surfacing as a row-level parse failure in the
-multimodal operators, same isolation as elsewhere). ``encode_png`` exists
+JPEG (baseline AND progressive) decodes for real via ``functions/jpeg``;
+GIF via ``functions/gif``; baseline TIFF via ``functions/tiff`` — all
+dispatched from :func:`decode_image`. ``encode_png`` exists
 so tests and the page-render pipeline can round-trip without PIL. Resize
 is nearest-neighbor (deterministic, vectorized); PIL's default bicubic is
 a documented deviation.

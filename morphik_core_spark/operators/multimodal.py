@@ -4,10 +4,11 @@ The reference renders PDFs to page images (DPI 150), resizes to ≤256 px
 JPEG q70, detects blank pages, and feeds images to ColPali
 (/root/reference/core/services/ingestion_service.py:1365-1640,
 document_service.py:1901-2011). PIL/PyMuPDF are NOT in this container;
-PNG, BMP, and baseline-sequential JPEG decode is REAL
-(functions/image.py + functions/jpeg.py, stdlib + numpy), including the
-reference's resize-to-256 and grayscale-extrema blank-page rule.
-Progressive-JPEG/GIF/TIFF rows raise inside the kernel and surface as
+PNG, BMP, GIF, baseline TIFF, and JPEG (baseline AND progressive)
+decode is REAL (functions/image|jpeg|gif|tiff, stdlib + numpy),
+including the reference's resize-to-256 and grayscale-extrema
+blank-page rule. Remaining exotic vintages (arithmetic JPEG,
+tiled/16-bit TIFF, WebP/AVIF) raise inside the kernel and surface as
 row-level parse failures; swap functions/image.decode_image for a PIL
 call to widen coverage and nothing else changes.
 
