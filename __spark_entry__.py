@@ -44,6 +44,7 @@ _MV_DIMS = 8
 # only in distribution, not value — both engines read it from the table
 # itself, so parity holds at every sf).
 _QUERY_VEC_ID = 0
+_EMB_DIMS = 64  # embeddings.parquet vector width
 _SCORE_DECIMALS = 6
 
 
@@ -1304,6 +1305,15 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN (SQ8): per-dim affine uint8 codes + asymmetric
+    reconstruction scoring — completes binary→SQ8→PQ quantization ladder."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    queries_df = spark.createDataFrame([(0, qv)], "q_id long, qv array<double>")
+    return similarity.knn_sq8(emb, queries_df, k=10, dims=_EMB_DIMS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -1390,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": _q_scd2_intervals,
         "cube_counts": _q_cube_counts,
         "semantic_dedup": _q_semantic_dedup,
+        "knn_sq8": _q_knn_sq8,
     }
 
 
@@ -1460,6 +1471,42 @@ def _pagerank_oracle(iterations: int = 3, damping_pct: int = 85) -> str:
         FROM r{iterations}
     """
     )
+
+
+def _sq8_oracle(dims: int = 64, k: int = 10) -> str:
+    """DuckDB twin of similarity.knn_sq8 — same affine-code tree (ROUND on
+    one double expression, positive values so half-up == half-away), same
+    CASE for constant dims, and the reconstruction dot written as an
+    explicit left-associated sum mirroring the Spark fold."""
+    terms = " + ".join(
+        f"(CASE WHEN (st.mx[{i}] - st.mn[{i}]) = 0.0 THEN st.mn[{i}] "
+        f"ELSE (CAST(ec.codes[{i}] AS DOUBLE) / 255.0) * (st.mx[{i}] - st.mn[{i}]) + st.mn[{i}] END) * q.qv[{i}]"
+        for i in range(1, dims + 1)
+    )
+    mins = ", ".join(f"MIN(CAST(embedding[{i}] AS DOUBLE))" for i in range(1, dims + 1))
+    maxs = ", ".join(f"MAX(CAST(embedding[{i}] AS DOUBLE))" for i in range(1, dims + 1))
+    return f"""
+        WITH st AS (SELECT [{mins}] AS mn, [{maxs}] AS mx FROM embeddings),
+        q AS (SELECT CAST(0 AS BIGINT) AS q_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+        ec AS (
+            SELECT e.vec_id,
+                   list_transform(range(1, {dims + 1}), i ->
+                       CAST(least(255, greatest(0,
+                           CASE WHEN (st.mx[i] - st.mn[i]) = 0.0 THEN 0
+                           ELSE CAST(round(((CAST(e.embedding[i] AS DOUBLE) - st.mn[i]) /
+                                (st.mx[i] - st.mn[i])) * 255.0) AS INT) END)) AS INT)) AS codes
+            FROM embeddings e, st
+        ),
+        sc AS (
+            SELECT q.q_id, ec.vec_id, ROUND(0.0 + {terms}, 6) AS score
+            FROM ec, st, q
+        )
+        SELECT q_id, vec_id, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rn
+            FROM sc
+        ) WHERE rn <= {k}
+    """
 
 
 # HLL raw estimator, the exact expression tree sketches.hll_distinct builds
@@ -2939,6 +2986,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m LEFT JOIN o USING (event_type)
         """,
         "nation_pagerank": _pagerank_oracle(),
+        "knn_sq8": _sq8_oracle(),
         "quantile_estimate": """
             WITH h AS (
                 SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS bin_n

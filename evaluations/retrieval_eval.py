@@ -84,6 +84,7 @@ def main() -> None:
     out["lsh_probes"] = lsh_probe_recall(sf_dir)
     out["ivf_probes"] = ivf_probe_recall(sf_dir)
     out["pq_candidates"] = pq_adc_recall(sf_dir)
+    out["sq8"] = sq8_recall(sf_dir)
     print(json.dumps(out))
 
 
@@ -223,5 +224,30 @@ def pq_adc_recall(sf_dir: str, m: int = 8, k: int = 10, n_queries: int = 50) -> 
     return result
 
 
+
+
+def sq8_recall(sf_dir: str, k: int = 10, n_queries: int = 50) -> dict:
+    """Recall@k of SQ8 asymmetric scoring vs exact inner product —
+    mirrors operators/similarity.knn_sq8 (per-dim affine uint8 codes,
+    full-precision query) in numpy."""
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.asarray([r[0] for r in emb])
+    mat = np.asarray([r[1] for r in emb], dtype=np.float64)
+    mn, mx = mat.min(axis=0), mat.max(axis=0)
+    span = np.where(mx - mn == 0, 1.0, mx - mn)
+    codes = np.clip(np.round((mat - mn) / span * 255.0), 0, 255)
+    recon = codes / 255.0 * span + mn
+
+    recalls = []
+    for qi in ids[:n_queries]:
+        q = mat[qi]
+        exact = np.argsort(-(mat @ q))
+        exact_top = set(ids[[i for i in exact if ids[i] != qi][:k]])
+        approx = np.argsort(-(recon @ q))
+        got = set(ids[[i for i in approx if ids[i] != qi][:k]])
+        recalls.append(len(exact_top & got) / k)
+    return {"recall_at_10": round(float(np.mean(recalls)), 4)}
 if __name__ == "__main__":
     main()

@@ -33,6 +33,8 @@ __all__ = [
     "kmeans_fit",
     "pq_codebooks",
     "knn_pq",
+    "sq8_stats",
+    "knn_sq8",
 ]
 
 
@@ -410,4 +412,67 @@ def knn_pq(
         candidates.select(F.col(id_col), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def sq8_stats(embeddings: DataFrame, dims: int, emb_col: str = "embedding") -> DataFrame:
+    """One-row per-dimension min/max arrays — the SQ8 'codebook' (a few
+    hundred bytes; rides broadcasts, persisted offline at scale exactly
+    like IVF centroids)."""
+    mins = F.array(*[F.min(F.expr(f"CAST(`{emb_col}`[{i}] AS DOUBLE)")) for i in range(dims)])
+    maxs = F.array(*[F.max(F.expr(f"CAST(`{emb_col}`[{i}] AS DOUBLE)")) for i in range(dims)])
+    return embeddings.agg(mins.alias("mn"), maxs.alias("mx"))
+
+
+def knn_sq8(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dims: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "qv",
+    decimals: int | None = 6,
+) -> DataFrame:
+    """Scalar-quantized ANN (SQ8, the pgvector scalar-quantization /
+    FAISS SQ8 model): per-dimension affine uint8 codes (4x smaller at
+    rest than float32, 8x vs double), scored by asymmetric distance —
+    the query stays full precision, vectors reconstruct per dimension
+    inside one array-ordered fold.
+
+    Exactness-for-parity: the code assignment is ROUND on one fixed
+    double tree then integer clamp; scoring folds dimensions in array
+    order (same association as DuckDB's sequential list fold in the
+    oracle); constant dimensions (span 0) reconstruct to their minimum
+    via an explicit CASE mirrored in both engines.
+
+    Scale shape: the stats row broadcasts; scoring is one codegen map
+    over the fact table + TakeOrderedAndProject-style window top-k. At
+    rest you store ONLY the uint8 codes + the stats row.
+    """
+    stats = sq8_stats(embeddings, dims, emb_col)
+    code = (
+        "transform(sequence(0, {d} - 1), i -> CAST(least(255, greatest(0, "
+        "CASE WHEN (mx[i] - mn[i]) = 0.0D THEN 0 "
+        "ELSE CAST(round(((CAST(`{e}`[i] AS DOUBLE) - mn[i]) / (mx[i] - mn[i])) * 255.0D) AS INT) END)) AS INT))"
+    ).format(d=dims, e=emb_col)
+    recon_dot = (
+        "aggregate(sequence(0, {d} - 1), 0.0D, (acc, i) -> acc + "
+        "(CASE WHEN (mx[i] - mn[i]) = 0.0D THEN mn[i] "
+        "ELSE (CAST(codes[i] AS DOUBLE) / 255.0D) * (mx[i] - mn[i]) + mn[i] END) * `{q}`[i])"
+    ).format(d=dims, q=q_emb_col)
+    scored = (
+        embeddings.crossJoin(F.broadcast(stats))
+        .withColumn("codes", F.expr(code))
+        .crossJoin(F.broadcast(queries))
+        .withColumn("score", F.expr(recon_dot))
+    )
+    if decimals is not None:
+        scored = scored.withColumn("score", F.round("score", decimals))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(q_id_col, id_col, "score")
     )
