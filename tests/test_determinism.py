@@ -28,6 +28,7 @@ SENSITIVE = [
     "perplexity",
     "bm25_topk",
     "weighted_sample",
+    "knn_sq8",
 ]
 
 

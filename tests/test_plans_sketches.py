@@ -93,3 +93,17 @@ def test_pmi_totals_ride_broadcasts_not_cartesians(spark):
     # is the correct plan for scalar attachment
     assert "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_sq8_scoring_is_codegen_with_broadcast_stats(spark):
+    from morphik_core_spark.operators.similarity import knn_sq8
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), float(i % 3), 1.0]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])], "q_id long, qv array<double>")
+    plan = _plan(knn_sq8(emb, q, k=5, dims=4))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats + query batch broadcast
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
