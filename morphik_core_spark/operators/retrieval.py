@@ -87,6 +87,7 @@ def scoped_chunks(
     auth_docs: DataFrame,
     doc_col: str = "document_id",
     broadcast_threshold: int | None = 1_000_000,
+    auth_rows_hint: int | None = None,
 ) -> DataFrame:
     """Restrict the chunks fact table to authorized documents
     (pgvector_store.py:469-471 ``WHERE document_id IN``).
@@ -102,8 +103,17 @@ def scoped_chunks(
     semi-join shuffles on ``doc_col`` and AQE stays free to re-plan from real
     runtime sizes. ``broadcast_threshold=None`` skips the probe and forces
     the broadcast (callers that know the set is tiny by construction).
+    ``auth_rows_hint`` (from persisted `plans/stats` manifests) answers
+    the gate without running the probe — the cluster path, where stats
+    are computed once per snapshot instead of one probe per query.
     """
-    if broadcast_threshold is None or auth_docs.limit(broadcast_threshold + 1).count() <= broadcast_threshold:
+    if broadcast_threshold is None:
+        small = True
+    elif auth_rows_hint is not None:
+        small = auth_rows_hint <= broadcast_threshold
+    else:
+        small = auth_docs.limit(broadcast_threshold + 1).count() <= broadcast_threshold
+    if small:
         auth_docs = F.broadcast(auth_docs)
     return chunks.join(auth_docs, on=doc_col, how="left_semi")
 
