@@ -1314,6 +1314,37 @@ def _q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_sq8(emb, queries_df, k=10, dims=_EMB_DIMS)
 
 
+def _q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders whose quantity sits below 20%
+    of the part's average — the correlated-aggregate-decorrelated-to-a-
+    join pattern. Per-part averages come from DECIMAL-exact sums (a
+    double SUM would be aggregation-order-dependent); the 0.2x threshold
+    and the compare are one fixed double tree."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    brand = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    avgs = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("avg_qty", F.expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .select("l_partkey", "avg_qty")
+    )
+    small = (
+        li.join(F.broadcast(brand), li["l_partkey"] == brand["p_partkey"])
+        .join(avgs, "l_partkey")
+        .filter(F.expr("l_quantity < 0.2D * avg_qty"))
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6))").alias(
+            "small_revenue"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -1401,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": _q_cube_counts,
         "semantic_dedup": _q_semantic_dedup,
         "knn_sq8": _q_knn_sq8,
+        "small_quantity_revenue": _q_small_quantity_revenue,
     }
 
 
@@ -2987,6 +3019,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nation_pagerank": _pagerank_oracle(),
         "knn_sq8": _sq8_oracle(),
+        "small_quantity_revenue": """
+            WITH avgs AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) /
+                       CAST(COUNT(*) AS DOUBLE) AS avg_qty
+                FROM lineitem GROUP BY l_partkey
+            ),
+            brand AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4')
+            SELECT COUNT(*) AS n_small,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS small_revenue
+            FROM lineitem l
+            JOIN brand b ON l.l_partkey = b.p_partkey
+            JOIN avgs a ON l.l_partkey = a.l_partkey
+            WHERE l.l_quantity < 0.2 * a.avg_qty
+        """,
         "quantile_estimate": """
             WITH h AS (
                 SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS bin_n
