@@ -535,11 +535,11 @@ def connected_components(
     list is re-used across rounds (persisted), and per-round results are
     ``localCheckpoint``-ed so lineage doesn't re-derive the whole chain
     (same pattern as folders.descendants_by_id). At web scale with
-    billion-edge graphs you'd switch to alternating large-star/small-star
-    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
-    same primitive ops, fewer rounds on high-diameter graphs; near-dup
-    graphs don't have high diameter, so plain propagation is the right
-    default.
+    billion-edge graphs (or high-diameter shapes) switch to
+    :func:`graph.connected_components_star` — the alternating
+    large-star/small-star implementation (Kiveris et al.),
+    equivalence-tested against this one; near-dup graphs don't have high
+    diameter, so plain propagation is the right default.
     """
     from pyspark import StorageLevel
 

@@ -139,3 +139,34 @@ def test_analytics_plan_shapes(spark, funnel_events):
     gplan = _plan(pagerank_fixed_point(edges, "src", "dst", "w", iterations=2))
     assert "CartesianProduct" not in gplan
     assert "BroadcastNestedLoopJoin" in gplan  # 1-row node count rides broadcasts
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_star_cc_matches_propagation_on_random_graphs(spark, seed):
+    import random
+
+    from morphik_core_spark.operators.dedup import connected_components
+    from morphik_core_spark.operators.graph import connected_components_star
+
+    rng = random.Random(seed)
+    pairs = set()
+    # random clusters + noise edges
+    for _ in range(60):
+        a, b = rng.randrange(100), rng.randrange(100)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(pairs), "id_a int, id_b int")
+    star = {(r["node"], r["component"]) for r in connected_components_star(df).collect()}
+    prop = {(r["node"], r["component"]) for r in connected_components(df).collect()}
+    assert star == prop
+
+
+def test_star_cc_converges_fast_on_a_long_chain(spark):
+    """The case that motivates the algorithm: a 300-hop chain needs 300
+    propagation rounds but converges in O(log^2 n) star rounds."""
+    from morphik_core_spark.operators.graph import connected_components_star
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(300)], "id_a int, id_b int")
+    out = connected_components_star(chain, max_rounds=15).collect()
+    assert len(out) == 301
+    assert all(r["component"] == 0 for r in out)
