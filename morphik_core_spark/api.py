@@ -500,3 +500,49 @@ class MorphikSpark:
         if apply:
             self.update_document_metadata(document_id, {k: v for k, v in extracted.items() if v is not None})
         return extracted
+
+    # ------------------------------------------------------------- chat
+
+    def append_chat_message(
+        self,
+        conversation_id: str,
+        role: str,
+        content: str,
+        auth: AuthContext | None = None,
+    ) -> None:
+        """Append one turn to a conversation history — the engine-scoped
+        slice of the reference's chat_conversations table
+        (core/database/models.py:129-144: history JSONB keyed by
+        conversation id; SSE/completion orchestration stays driver-side).
+        Append-only parquet keyed by (conversation_id, seq); seq assigned
+        from the current max so history order is total."""
+        import time as _time
+
+        existing = self.chat_history(conversation_id)
+        seq = len(existing)
+        row = self.spark.createDataFrame(
+            [(
+                conversation_id,
+                seq,
+                role,
+                content,
+                (auth.app_id if auth else None),
+                int(_time.time() * 1_000_000),
+            )],
+            "conversation_id string, seq int, role string, content string, "
+            "app_id string, created_at_us long",
+        )
+        row.write.mode("append").parquet(self._path("chat"))
+
+    def chat_history(self, conversation_id: str) -> list[dict]:
+        """Ordered turns for one conversation (empty list if none)."""
+        p = self._path("chat")
+        if not os.path.exists(p):
+            return []
+        rows = (
+            self.spark.read.parquet(p)
+            .filter(F.col("conversation_id") == conversation_id)
+            .orderBy("seq")
+            .collect()
+        )
+        return [r.asDict() for r in rows]

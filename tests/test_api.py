@@ -232,3 +232,18 @@ def test_search_documents_by_name(client):
     assert all(d["filename"] != "cats.txt" for d in none)
     # rank column present and non-negative
     assert all(d["rank"] >= 0 for d in got)
+
+
+def test_chat_history_append_and_order(spark, tmp_path):
+    from morphik_core_spark.api import MorphikSpark
+
+    client = MorphikSpark(spark, str(tmp_path / "m"))
+    assert client.chat_history("c1") == []
+    client.append_chat_message("c1", "user", "hello")
+    client.append_chat_message("c1", "assistant", "hi there")
+    client.append_chat_message("c2", "user", "other convo")
+    h = client.chat_history("c1")
+    assert [(m["seq"], m["role"], m["content"]) for m in h] == [
+        (0, "user", "hello"), (1, "assistant", "hi there"),
+    ]
+    assert len(client.chat_history("c2")) == 1
