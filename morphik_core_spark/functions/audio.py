@@ -4,7 +4,7 @@ The reference treats audio/video through external parsers (SURVEY §2.1
 video parse; assemblyai/ffmpeg behind config). Those libraries aren't in
 this container, so the canonical interchange containers get REAL kernels:
 
-- PCM 8/16/32-bit (format 1) — the original coverage;
+- PCM 8/16/24/32-bit (format 1);
 - IEEE float32/64 (format 3);
 - G.711 mu-law and A-law (formats 7/6) — telephony corpora;
 - IMA ADPCM (format 17, the 4-bit DVI codec) — legacy voice recordings.
@@ -135,15 +135,22 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
     if tag == 1:  # PCM
         width = bits // 8
-        dtype = _WIDTH_DTYPE.get(width)
-        if dtype is None:
-            raise ValueError(f"unsupported sample width {width} bytes")
-        usable = len(payload) - (len(payload) % (width * channels))
-        samples = np.frombuffer(payload[:usable], dtype=dtype).astype(np.float64)
-        if width == 1:
-            samples = (samples - 128.0) / 128.0
+        if width == 3:  # 24-bit: compose little-endian triplets, sign-extend
+            usable = len(payload) - (len(payload) % (3 * channels))
+            b = np.frombuffer(payload[:usable], dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            samples = v.astype(np.float64) / float(1 << 23)
         else:
-            samples = samples / float(2 ** (bits - 1))
+            dtype = _WIDTH_DTYPE.get(width)
+            if dtype is None:
+                raise ValueError(f"unsupported sample width {width} bytes")
+            usable = len(payload) - (len(payload) % (width * channels))
+            samples = np.frombuffer(payload[:usable], dtype=dtype).astype(np.float64)
+            if width == 1:
+                samples = (samples - 128.0) / 128.0
+            else:
+                samples = samples / float(2 ** (bits - 1))
     elif tag == 3:  # IEEE float
         dtype = {32: np.float32, 64: np.float64}.get(bits)
         if dtype is None:
@@ -296,6 +303,12 @@ def encode_wav(
     elif fmt == "pcm8":
         tag, bits = 1, 8
         payload = (np.clip(x, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    elif fmt == "pcm24":
+        tag, bits = 1, 24
+        v = (np.clip(x, -1, 1).reshape(-1) * ((1 << 23) - 1)).astype(np.int32)
+        u = np.where(v < 0, v + (1 << 24), v).astype(np.uint32)
+        trip = np.stack([u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF], axis=1)
+        payload = trip.astype(np.uint8).tobytes()
     elif fmt == "pcm32":
         tag, bits = 1, 32
         payload = (np.clip(x, -1, 1) * (2**31 - 1)).astype("<i4").tobytes()

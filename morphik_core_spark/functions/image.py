@@ -7,8 +7,9 @@ max width 256, and blank-page detection as grayscale extrema range <= 2
 formats the reference's own pipeline emits/needs most — PNG (its PDF page
 renders are PNG) and BMP — are decoded for real with stdlib zlib + numpy:
 
-- PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4/6
-  (alpha dropped over white), all five scanline filters, multi-IDAT.
+- PNG: 8- and 16-bit depth (high-byte downshift), Adam7 interlace,
+  color types 0 (gray), 2 (RGB), 3 (palette), 4/6 (alpha composited
+  over white), all five scanline filters, multi-IDAT.
 - BMP: uncompressed BITMAPINFOHEADER 24/32 bpp, bottom-up or top-down.
 
 JPEG (baseline AND progressive) decodes for real via ``functions/jpeg``;
@@ -41,8 +42,8 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 def decode_image(data: bytes) -> np.ndarray:
     """Sniff + decode → (H, W, 3) uint8 RGB. Raises ValueError on formats
-    these kernels don't cover (progressive JPEG, tiled/16-bit TIFF, ...)
-    so callers isolate the row."""
+    these kernels don't cover (arithmetic JPEG, WebP/AVIF, exotic TIFF
+    photometrics, ...) so callers isolate the row."""
     if data is None or len(data) < 8:
         raise ValueError("empty or truncated image payload")
     if data[:6] in (b"GIF87a", b"GIF89a"):
@@ -114,9 +115,17 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
     return out
 
 
+# Adam7 interlace pass grid: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     width = height = None
     bit_depth = color_type = None
+    interlace = 0
     palette = None
     idat = bytearray()
     for ctype, body in _png_chunks(data):
@@ -124,10 +133,8 @@ def decode_png(data: bytes) -> np.ndarray:
             width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if bit_depth != 8:
+            if bit_depth not in (8, 16):
                 raise ValueError(f"unsupported PNG bit depth {bit_depth}")
-            if interlace:
-                raise ValueError("interlaced PNG unsupported")
         elif ctype == b"PLTE":
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -137,9 +144,37 @@ def decode_png(data: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
+    if bit_depth == 16 and color_type == 3:
+        raise ValueError("16-bit palette PNG is not a thing")
+    sample_bytes = bit_depth // 8
+    bpp = channels * sample_bytes
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = width * channels
-    px = _unfilter(raw, height, stride, channels).reshape(height, width, channels)
+
+    def to_samples(byte_img: np.ndarray, h: int, w: int) -> np.ndarray:
+        if sample_bytes == 1:
+            return byte_img.reshape(h, w, channels)
+        # 16-bit is big-endian: the high byte is the PIL-style 8-bit value
+        return byte_img.reshape(h, w, channels, 2)[..., 0]
+
+    if interlace == 0:
+        px = to_samples(_unfilter(raw, height, width * bpp, bpp), height, width)
+    elif interlace == 1:  # Adam7: seven independently-filtered sub-images
+        px = np.zeros((height, width, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * bpp
+            sub_raw = raw[pos : pos + ph * (1 + stride)]
+            pos += ph * (1 + stride)
+            sub = to_samples(_unfilter(sub_raw, ph, stride, bpp), ph, pw)
+            px[y0::dy, x0::dx] = sub
+        if pos != len(raw):
+            raise ValueError("interlaced PNG data length mismatch")
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
 
     if color_type == 3:
         if palette is None:
@@ -155,38 +190,63 @@ def decode_png(data: bytes) -> np.ndarray:
     return (rgb.astype(np.float32) * alpha + 255.0 * (1.0 - alpha)).round().astype(np.uint8)
 
 
-def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(
+    px: np.ndarray, filter_type: int = 0, interlace: bool = False, bits: int = 8
+) -> bytes:
     """(H, W, 3) uint8 → PNG (one IDAT) — fixture/round-trip aid. Any of
-    the five scanline filters can be requested so decoder paths are
-    testable without external fixtures."""
+    the five scanline filters can be requested; ``interlace=True`` emits
+    Adam7 (each pass independently filtered); ``bits=16`` writes the
+    samples into the high byte so the decoder's downshift round-trips."""
     h, w, _ = px.shape
-    bpp = 3
-    lines = []
-    prev = np.zeros(w * bpp, dtype=np.int32)
-    for y in range(h):
-        cur = px[y].reshape(-1).astype(np.int32)
-        if filter_type == 0:
-            enc = cur
-        elif filter_type == 1:
-            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
-            enc = (cur - left) & 0xFF
-        elif filter_type == 2:
-            enc = (cur - prev) & 0xFF
-        elif filter_type == 3:
-            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
-            enc = (cur - ((left + prev) >> 1)) & 0xFF
-        elif filter_type == 4:
-            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
-            upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
-            p = left + prev - upleft
-            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
-            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
-            enc = (cur - pred) & 0xFF
-        else:
-            raise ValueError(f"unknown filter {filter_type}")
-        lines.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
-        prev = cur
-    body = b"".join(lines)
+    bpp = 3 * (bits // 8)
+
+    def sample_bytes(img: np.ndarray) -> np.ndarray:
+        if bits == 8:
+            return img.reshape(img.shape[0], -1).astype(np.int32)
+        # big-endian 16-bit: high byte = value, low byte = 0
+        wide = np.zeros(img.shape[:2] + (3, 2), dtype=np.uint8)
+        wide[..., 0] = img
+        return wide.reshape(img.shape[0], -1).astype(np.int32)
+
+    def filtered(img: np.ndarray) -> bytes:
+        rows = sample_bytes(img)
+        stride = rows.shape[1]
+        lines = []
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(rows.shape[0]):
+            cur = rows[y]
+            if filter_type == 0:
+                enc = cur
+            elif filter_type == 1:
+                left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+                enc = (cur - left) & 0xFF
+            elif filter_type == 2:
+                enc = (cur - prev) & 0xFF
+            elif filter_type == 3:
+                left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+                enc = (cur - ((left + prev) >> 1)) & 0xFF
+            elif filter_type == 4:
+                left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+                upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+                p = left + prev - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+                enc = (cur - pred) & 0xFF
+            else:
+                raise ValueError(f"unknown filter {filter_type}")
+            lines.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
+            prev = cur
+        return b"".join(lines)
+
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(filtered(sub))
+        body = b"".join(parts)
+    else:
+        body = filtered(px)
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
         return (
@@ -196,7 +256,7 @@ def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bits, 2, 0, 0, 1 if interlace else 0)
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)

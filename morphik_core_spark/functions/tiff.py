@@ -1,12 +1,12 @@
 """Pure-Python/numpy baseline TIFF codec: uncompressed, PackBits, and
 TIFF-LZW (MSB-first, early-change) strips; gray/RGB/palette photometrics;
-horizontal predictor; II and MM byte orders; first IFD only.
+horizontal predictor; strip AND tile layouts; 8/16-bit samples
+(PIL-style high-byte downshift); II and MM byte orders; first IFD only.
 
 With GIF done this closes the last common still-image gap except
 progressive JPEG (reference ingests arbitrary images via PIL —
-`core/services/ingestion_service.py:1365-1448`). Tiled TIFFs, 16-bit
-samples, and exotic photometrics raise row-level like every other
-unsupported vintage.
+`core/services/ingestion_service.py:1365-1448`). Exotic photometrics (CMYK, YCbCr-in-TIFF) raise row-level like every
+other unsupported vintage.
 
 TIFF LZW is NOT GIF LZW: codes pack MSB-first, the clear code is 256
 over byte-wide roots, and the code width grows one code EARLY (at table
@@ -33,6 +33,10 @@ _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
 _TAG_PREDICTOR = 317
 _TAG_COLORMAP = 320
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -146,40 +150,71 @@ def decode_tiff(data: bytes) -> np.ndarray:
     try:
         w = tags[_TAG_WIDTH][0]
         h = tags[_TAG_HEIGHT][0]
-        offsets = tags[_TAG_STRIP_OFFSETS]
-        counts = tags[_TAG_STRIP_COUNTS]
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag {exc}") from exc
     comp = tags.get(_TAG_COMPRESSION, [1])[0]
     photo = tags.get(_TAG_PHOTOMETRIC, [1])[0]
     spp = tags.get(_TAG_SPP, [1])[0]
     bps = tags.get(_TAG_BPS, [8])
-    rows_per_strip = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
     predictor = tags.get(_TAG_PREDICTOR, [1])[0]
-    if any(b != 8 for b in bps):
+    if any(b not in (8, 16) for b in bps) or len(set(bps)) != 1:
         raise ValueError(f"unsupported TIFF bits-per-sample {bps}")
+    sample_bytes = bps[0] // 8
     if photo not in (0, 1, 2, 3):
         raise ValueError(f"unsupported TIFF photometric {photo}")
     if photo == 2 and spp < 3:
         raise ValueError("RGB TIFF with <3 samples")
+    if photo == 3 and sample_bytes != 1:
+        raise ValueError("16-bit palette TIFF unsupported")
 
-    row_bytes = w * spp
-    raw = bytearray()
-    for i, (o, c) in enumerate(zip(offsets, counts)):
-        nrows = min(rows_per_strip, h - i * rows_per_strip)
-        expected = nrows * row_bytes
-        blob = data[o : o + c]
+    def decode_blob(blob: bytes, expected: int) -> bytes:
         if comp == 1:
             if len(blob) < expected:
                 raise ValueError("TIFF strip truncated")
-            raw += blob[:expected]
-        elif comp == 32773:
-            raw += _packbits_decode(blob, expected)
-        elif comp == 5:
-            raw += _lzw_decode_tiff(blob, expected)
-        else:
-            raise ValueError(f"unsupported TIFF compression {comp}")
-    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+            return blob[:expected]
+        if comp == 32773:
+            return _packbits_decode(blob, expected)
+        if comp == 5:
+            return _lzw_decode_tiff(blob, expected)
+        raise ValueError(f"unsupported TIFF compression {comp}")
+
+    if _TAG_TILE_OFFSETS in tags:  # tiled layout
+        tw = tags[_TAG_TILE_WIDTH][0]
+        tl = tags[_TAG_TILE_LENGTH][0]
+        offsets = tags[_TAG_TILE_OFFSETS]
+        counts = tags[_TAG_TILE_COUNTS]
+        tiles_x = -(-w // tw)
+        tiles_y = -(-h // tl)
+        if len(offsets) != tiles_x * tiles_y:
+            raise ValueError("TIFF tile count mismatch")
+        dt = np.uint8 if sample_bytes == 1 else (e + "u2")
+        full = np.zeros((tiles_y * tl, tiles_x * tw, spp), dtype=np.uint16 if sample_bytes == 2 else np.uint8)
+        expected = tw * tl * spp * sample_bytes
+        for ti, (o, c) in enumerate(zip(offsets, counts)):
+            blob = decode_blob(data[o : o + c], expected)
+            tile = np.frombuffer(blob, dtype=dt).reshape(tl, tw, spp)
+            ty, tx = divmod(ti, tiles_x)
+            full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = tile
+        px = full[:h, :w]
+    else:
+        try:
+            offsets = tags[_TAG_STRIP_OFFSETS]
+            counts = tags[_TAG_STRIP_COUNTS]
+        except KeyError as exc:
+            raise ValueError(f"TIFF missing required tag {exc}") from exc
+        rows_per_strip = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
+        row_bytes = w * spp * sample_bytes
+        raw = bytearray()
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            nrows = min(rows_per_strip, h - i * rows_per_strip)
+            raw += decode_blob(data[o : o + c], nrows * row_bytes)
+        dt = np.uint8 if sample_bytes == 1 else (e + "u2")
+        px = np.frombuffer(bytes(raw), dtype=dt).reshape(h, w, spp)
+    if sample_bytes == 2:
+        if predictor == 2:
+            px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint16)
+        px = (px >> 8).astype(np.uint8)  # PIL-style downshift to 8-bit
+        predictor = 1
     if predictor == 2:
         px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
     elif predictor != 1:
@@ -292,28 +327,55 @@ def encode_tiff(
     big_endian: bool = False,
     rows_per_strip: int | None = None,
     predictor: int = 1,
+    tile: tuple[int, int] | None = None,
+    bits: int = 8,
 ) -> bytes:
     """(H, W, 3) uint8 RGB → single-IFD TIFF. Fixture/round-trip aid;
-    compression 1 (none), 5 (LZW), or 32773 (PackBits)."""
+    compression 1 (none), 5 (LZW), or 32773 (PackBits); ``tile=(tw,tl)``
+    emits a tiled layout instead of strips; ``bits=16`` scales samples
+    to the high byte so the decoder's downshift round-trips exactly."""
     e = ">" if big_endian else "<"
     h, w, _ = px.shape
     rps = rows_per_strip or h
-    src = px.astype(np.uint8)
-    if predictor == 2:
-        d = src.astype(np.int16)
-        d[:, 1:] = d[:, 1:] - d[:, :-1]
-        src = (d % 256).astype(np.uint8)
-    strips = []
-    for r0 in range(0, h, rps):
-        chunk = src[r0 : r0 + rps].tobytes()
+    if bits == 8:
+        src = px.astype(np.uint8)
+        if predictor == 2:
+            d = src.astype(np.int16)
+            d[:, 1:] = d[:, 1:] - d[:, :-1]
+            src = (d % 256).astype(np.uint8)
+        def tobytes(a):
+            return a.tobytes()
+    elif bits == 16:
+        if predictor == 2:
+            raise ValueError("fixture encoder: predictor only at 8-bit")
+        src = (px.astype(np.uint16) << 8).astype(e + "u2")
+        def tobytes(a):
+            return np.ascontiguousarray(a).tobytes()
+    else:
+        raise ValueError("bits must be 8 or 16")
+
+    def compress_chunk(chunk: bytes) -> bytes:
         if compression == 1:
-            strips.append(chunk)
-        elif compression == 32773:
-            strips.append(_packbits_encode(chunk))
-        elif compression == 5:
-            strips.append(_lzw_encode_tiff(chunk))
-        else:
-            raise ValueError(f"unsupported compression {compression}")
+            return chunk
+        if compression == 32773:
+            return _packbits_encode(chunk)
+        if compression == 5:
+            return _lzw_encode_tiff(chunk)
+        raise ValueError(f"unsupported compression {compression}")
+
+    tile_tags = None
+    if tile is not None:
+        tw, tl = tile
+        tiles_x, tiles_y = -(-w // tw), -(-h // tl)
+        padded = np.zeros((tiles_y * tl, tiles_x * tw, 3), dtype=src.dtype)
+        padded[:h, :w] = src
+        strips = []
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                strips.append(compress_chunk(tobytes(padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw])))
+        tile_tags = (tw, tl)
+    else:
+        strips = [compress_chunk(tobytes(src[r0 : r0 + rps])) for r0 in range(0, h, rps)]
 
     header = struct.pack(e + "2sHI", b"II" if not big_endian else b"MM", 42, 8)
     n_strips = len(strips)
@@ -324,13 +386,19 @@ def encode_tiff(
 
     entry(_TAG_WIDTH, 4, [w])
     entry(_TAG_HEIGHT, 4, [h])
-    entry(_TAG_BPS, 3, [8, 8, 8])
+    entry(_TAG_BPS, 3, [bits, bits, bits])
     entry(_TAG_COMPRESSION, 3, [compression])
     entry(_TAG_PHOTOMETRIC, 3, [2])
-    entry(_TAG_STRIP_OFFSETS, 4, [0] * n_strips)  # patched below
     entry(_TAG_SPP, 3, [3])
-    entry(_TAG_ROWS_PER_STRIP, 4, [rps])
-    entry(_TAG_STRIP_COUNTS, 4, [len(s) for s in strips])
+    if tile_tags is not None:
+        entry(_TAG_TILE_WIDTH, 4, [tile_tags[0]])
+        entry(_TAG_TILE_LENGTH, 4, [tile_tags[1]])
+        entry(_TAG_TILE_OFFSETS, 4, [0] * n_strips)  # patched below
+        entry(_TAG_TILE_COUNTS, 4, [len(s) for s in strips])
+    else:
+        entry(_TAG_STRIP_OFFSETS, 4, [0] * n_strips)  # patched below
+        entry(_TAG_ROWS_PER_STRIP, 4, [rps])
+        entry(_TAG_STRIP_COUNTS, 4, [len(s) for s in strips])
     if predictor != 1:
         entry(_TAG_PREDICTOR, 3, [predictor])
     entries.sort()
@@ -360,7 +428,7 @@ def encode_tiff(
 
     ifd = bytearray(struct.pack(e + "H", len(entries)))
     for tag, typ, vals in entries:
-        if tag == _TAG_STRIP_OFFSETS:
+        if tag in (_TAG_STRIP_OFFSETS, _TAG_TILE_OFFSETS):
             vals = offs
         b = pack_vals(typ, vals)
         if len(b) <= 4:

@@ -152,3 +152,19 @@ def test_unsupported_format_tag_raises():
     data[i + 8 : i + 10] = struct.pack("<H", 85)  # mp3-in-wav
     with pytest.raises(ValueError, match="format tag"):
         decode_wav(bytes(data))
+
+
+def test_pcm24_round_trip():
+    import numpy as np
+
+    from morphik_core_spark.functions.audio import decode_wav, encode_wav
+
+    t = np.linspace(0, 1, 3000)
+    sig = (0.7 * np.sin(2 * np.pi * 180 * t)).clip(-1, 1)
+    out, rate = decode_wav(encode_wav(sig, 8000, "pcm24"))
+    assert rate == 8000
+    err = float(np.abs(out[: len(sig), 0] - sig).max())
+    # quantization step 1/2^23 plus the (2^23-1)/2^23 scale convention
+    assert err < 3e-7
+    # negative samples survive the sign extension
+    assert float(out[:, 0].min()) < -0.6

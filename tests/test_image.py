@@ -104,3 +104,26 @@ def test_blank_rule_matches_reference_tolerance():
     almost[0, 0] = 131  # gray delta 3 > tolerance 2
     assert not is_blank_image(almost)
     assert to_grayscale(np.array([[[255, 0, 0]]], dtype=np.uint8))[0, 0] == 76  # .299*255
+
+
+def test_adam7_interlaced_png_round_trips():
+    import numpy as np
+
+    from morphik_core_spark.functions.image import decode_png, encode_png
+
+    rng = np.random.default_rng(9)
+    for h, w in [(1, 1), (3, 5), (8, 8), (23, 17)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for ft in (0, 2, 4):
+            assert np.array_equal(decode_png(encode_png(px, filter_type=ft, interlace=True)), px), (h, w, ft)
+
+
+def test_16bit_png_downshifts():
+    import numpy as np
+
+    from morphik_core_spark.functions.image import decode_png, encode_png
+
+    rng = np.random.default_rng(10)
+    px = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px, bits=16)), px)
+    assert np.array_equal(decode_png(encode_png(px, bits=16, interlace=True)), px)

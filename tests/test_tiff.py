@@ -102,3 +102,23 @@ def test_round_trip_property(h, w, seed, comp, big_endian, rps, predictor):
         rows_per_strip=min(rps, h), predictor=predictor,
     )
     assert np.array_equal(decode_tiff(data), px)
+
+
+@pytest.mark.parametrize("comp", [1, 5, 32773])
+def test_tiled_layout_round_trips(comp):
+    px = _img(37, 53, 6)  # non-multiple of tile size exercises edge tiles
+    data = encode_tiff(px, compression=comp, tile=(16, 16))
+    assert np.array_equal(decode_tiff(data), px)
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_16bit_samples_downshift(big_endian):
+    px = _img(9, 11, 7)
+    data = encode_tiff(px, bits=16, big_endian=big_endian)
+    assert np.array_equal(decode_tiff(data), px)
+
+
+def test_tiled_16bit_lzw():
+    px = _img(20, 30, 8)
+    data = encode_tiff(px, compression=5, tile=(16, 8), bits=16)
+    assert np.array_equal(decode_tiff(data), px)
