@@ -1345,6 +1345,44 @@ def _q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose order total crosses a threshold —
+    HAVING on a DECIMAL-exact sum, hydrated against the customer dim,
+    top-20 by total."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))").alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("total") > 1_500_000)
+    )
+    return (
+        big.join(F.broadcast(cust), big["o_custkey"] == cust["c_custkey"])
+        .select(F.col("c_custkey"), F.col("c_name"), "total", "n_orders")
+        .orderBy(F.col("total").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def _q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts per priority where EXISTS a line item
+    shipped 30+ days after the order date — a semi-join whose condition
+    mixes the equi key with a range predicate."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (orders["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > F.date_add(orders["o_orderdate"], 30)
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -1433,6 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "knn_sq8": _q_knn_sq8,
         "small_quantity_revenue": _q_small_quantity_revenue,
+        "large_order_customers": _q_large_order_customers,
+        "late_ship_priority": _q_late_ship_priority,
     }
 
 
@@ -3033,6 +3073,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN brand b ON l.l_partkey = b.p_partkey
             JOIN avgs a ON l.l_partkey = a.l_partkey
             WHERE l.l_quantity < 0.2 * a.avg_qty
+        """,
+        "large_order_customers": """
+            WITH big AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY o_custkey
+                HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) > 1500000
+            )
+            SELECT c.c_custkey, c.c_name, b.total, b.n_orders
+            FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
+            ORDER BY b.total DESC, c.c_custkey ASC LIMIT 20
+        """,
+        "late_ship_priority": """
+            SELECT o_orderpriority, COUNT(*) AS n
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+            )
+            GROUP BY o_orderpriority
         """,
         "quantile_estimate": """
             WITH h AS (
