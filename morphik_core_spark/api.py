@@ -246,9 +246,16 @@ class MorphikSpark:
         end_user_id: str | None = None,
         padding: int = 0,
         use_reranker: bool = False,
-        min_score: float | None = None,  # accepted-and-ignored, reference parity
+        min_score: float | None = None,
+        apply_min_score: bool = False,
     ) -> list[dict]:
-        """Filtered vector top-k (§3.1). Returns ChunkResult-shaped dicts."""
+        """Filtered vector top-k (§3.1). Returns ChunkResult-shaped dicts.
+
+        ``min_score`` is accepted-and-ignored by default — bug-for-bug
+        reference parity (every retrieval API takes it, nothing applies
+        it; SURVEY §0). ``apply_min_score=True`` opts into the behavior
+        the parameter advertises: drop hits below the threshold (padding
+        rows keep their score-0 convention and survive)."""
         hits = self._retrieve_chunks_df(
             query,
             k=k,
@@ -261,6 +268,11 @@ class MorphikSpark:
             use_reranker=use_reranker,
         )
         rows = [r.asDict(recursive=True) for r in hits.collect()]
+        if apply_min_score and min_score is not None:
+            rows = [
+                r for r in rows
+                if r["score"] >= min_score or (padding > 0 and r["score"] == 0.0)
+            ]
         return sorted(rows, key=lambda r: (-r["score"], str(r["document_id"]), r["chunk_number"]))
 
     def _retrieve_chunks_df(

@@ -247,3 +247,22 @@ def test_chat_history_append_and_order(spark, tmp_path):
         (0, "user", "hello"), (1, "assistant", "hi there"),
     ]
     assert len(client.chat_history("c2")) == 1
+
+
+def test_min_score_ignored_by_default_applied_on_flag(spark, tmp_path):
+    from morphik_core_spark.api import MorphikSpark
+    from morphik_core_spark.operators.scopes import AuthContext
+
+    client = MorphikSpark(spark, str(tmp_path / "m"))
+    auth = AuthContext(user_id="u", app_id="a")
+    client.ingest_texts(
+        ["spark catalyst optimizer rewrites plans", "totally unrelated words here"],
+        auth=auth,
+    )
+    ignored = client.retrieve_chunks("catalyst optimizer", k=5, auth=auth, min_score=0.99)
+    assert len(ignored) == 2  # reference parity: threshold not applied
+    applied = client.retrieve_chunks(
+        "catalyst optimizer", k=5, auth=auth, min_score=0.99, apply_min_score=True
+    )
+    assert len(applied) < len(ignored)
+    assert all(r["score"] >= 0.99 for r in applied)
