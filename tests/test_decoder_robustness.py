@@ -28,8 +28,10 @@ def _fixtures():
     sig = np.sin(np.linspace(0, 50, 3000)) * 0.5
     return {
         "png": encode_png(img),
+        "png_adam7_16": encode_png(img, filter_type=4, interlace=True, bits=16),
         "gif": encode_gif(pal),
         "tiff": encode_tiff(img, compression=5),
+        "tiff_tiled_16": encode_tiff(img, compression=5, tile=(16, 16), bits=16),
         "jpeg": encode_jpeg_baseline(img),
         "jpeg_prog": encode_jpeg_progressive(img),
         "wav": encode_wav(sig, 8000, "ima_adpcm"),
@@ -46,7 +48,8 @@ def _decoders():
     from morphik_core_spark.sources.warc import iter_warc_records
 
     return {
-        "png": decode_image, "gif": decode_image, "tiff": decode_image,
+        "png": decode_image, "png_adam7_16": decode_image,
+        "gif": decode_image, "tiff": decode_image, "tiff_tiled_16": decode_image,
         "jpeg": decode_image, "jpeg_prog": decode_image,
         "wav": decode_audio, "flac": decode_audio,
         "mp4": probe_mp4,
