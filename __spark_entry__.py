@@ -1383,6 +1383,69 @@ def _q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag-of-words models for target (source='src1') vs raw, per-doc log
+    importance weight in exact int64 micro-units — engine- and
+    partitioning-independent (the data-selection stage of a training-data
+    pipeline)."""
+    from morphik_core_spark.operators.curation import dsir_importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, "text", "doc_id", target_pred=F.col("source") == "src1", buckets=512
+    )
+
+
+def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing per language (Wenzek et
+    al. 2020): nearest-rank terciles over the ROUND(6) bigram-LM ppl both
+    engines carry; per-(lang, bucket) counts and ppl ranges."""
+    from morphik_core_spark.operators.curation import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, "text", "doc_id", "lang")
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding training: per query, top-5
+    vectors scoring inside the confusable band [0.5, 0.95) — similar but
+    not near-dup (the contrastive-training negative selector)."""
+    from morphik_core_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    return hard_negatives(emb, queries_df, k=5, lo=0.5, hi=0.95, decimals=_SCORE_DECIMALS)
+
+
+def _q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval (MRL): coarse top-50 on the first
+    8 dims -> exact 64-dim rescore -> top-10; the dimension-truncation
+    rung of the quantization ladder (binary -> SQ8 -> PQ -> prefix)."""
+    from morphik_core_spark.operators.similarity import knn_matryoshka
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return knn_matryoshka(
+        emb, qv, k=10, coarse_dims=8, candidates=50, decimals=_SCORE_DECIMALS
+    )
+
+
+def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-space embedding covariance (the PCA/OPQ pretransform
+    statistics): per dim-pair int64 Gram sums from one mapInPandas matmul
+    kernel + the sample covariance as one fixed double tree. Only the
+    upper-triangle pairs of the first 16 dims are emitted (the full 64
+    would be 2080 rows — same math, noisier to eyeball)."""
+    from morphik_core_spark.operators.embedding_stats import covariance_sums
+
+    emb = _t(spark, sf_dir, "embeddings")
+    narrow = emb.select(F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias("embedding"))
+    return covariance_sums(narrow, dims=16, scale_bits=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -1473,6 +1536,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": _q_small_quantity_revenue,
         "large_order_customers": _q_large_order_customers,
         "late_ship_priority": _q_late_ship_priority,
+        "dsir_weights": _q_dsir_weights,
+        "ppl_buckets": _q_ppl_buckets,
+        "hard_negatives": _q_hard_negatives,
+        "matryoshka_topk": _q_matryoshka_topk,
+        "embedding_covariance": _q_embedding_covariance,
     }
 
 
@@ -3178,6 +3246,178 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e2.vec_id, cid AS cluster_id, d.vec_id IS NULL AS kept
             FROM e2 LEFT JOIN d ON e2.vec_id = d.vec_id
+        """,
+        # DSIR: all counts integer; the per-bucket log-ratio is ONE fixed
+        # double tree truncated to int64 micro-units, so the per-doc sum is
+        # exact — mirrors curation.dsir_importance_weights expression-for-
+        # expression (ln args are exact ints -> identical doubles).
+        "dsir_weights": f"""
+            WITH toks AS (
+                SELECT doc_id, (source = 'src1') AS is_target,
+                       string_split({_NORM_TEXT}, ' ') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ),
+            grams AS (
+                SELECT doc_id, is_target, g.gram
+                FROM toks, LATERAL (
+                    SELECT unnest(list_concat(
+                        tk,
+                        list_transform(generate_series(1, len(tk) - 1),
+                                       i -> tk[i] || ' ' || tk[i + 1])
+                    )) AS gram
+                ) g
+            ),
+            bucketed AS (
+                SELECT doc_id, is_target,
+                       CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 512 AS bucket
+                FROM grams
+            ),
+            counts AS (
+                SELECT bucket,
+                       CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                       CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
+                FROM bucketed GROUP BY bucket
+            ),
+            totals AS (
+                SELECT CAST(SUM(ct) AS BIGINT) AS t_total,
+                       CAST(SUM(cr) AS BIGINT) AS r_total
+                FROM counts
+            ),
+            model AS (
+                SELECT bucket,
+                       CAST(floor((ln(ct + 1.0) - ln(t_total + 512.0)
+                                   - ln(cr + 1.0) + ln(r_total + 512.0))
+                                  * 1000000.0) AS BIGINT) AS lr_micro
+                FROM counts, totals
+            )
+            SELECT b.doc_id, count(*) AS n_grams,
+                   CAST(SUM(m.lr_micro) AS BIGINT) / 1000000.0 AS logw
+            FROM bucketed b JOIN model m USING (bucket)
+            GROUP BY b.doc_id
+        """,
+        # head/middle/tail on the ROUND(6) ppl both engines carry; cuts are
+        # nearest-rank terciles (value at row ceil(n/3) / ceil(2n/3))
+        "ppl_buckets": f"""
+            WITH toks AS (
+                SELECT doc_id, list_prepend('<s>', string_split({_NORM_TEXT}, ' ')) AS tk
+                FROM documents WHERE text IS NOT NULL
+            ),
+            big AS (
+                SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
+                FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) t
+                WHERE len(tk) >= 2
+            ),
+            cb AS (SELECT prev, cur, count(*) AS c_big FROM big GROUP BY prev, cur),
+            cu AS (SELECT prev, count(*) AS c_prev FROM big GROUP BY prev),
+            v AS (SELECT count(DISTINCT cur) AS vocab FROM big),
+            scored AS (
+                SELECT b.doc_id, ln((cb.c_big + 1.0) / (cu.c_prev + v.vocab)) AS lp
+                FROM big b JOIN cb USING (prev, cur) JOIN cu USING (prev), v
+            ),
+            ppl AS (
+                SELECT doc_id, ROUND(exp(-SUM(lp) / count(*)), {_SCORE_DECIMALS}) AS ppl
+                FROM scored GROUP BY doc_id
+            ),
+            j AS (
+                SELECT d.lang, p.doc_id, p.ppl
+                FROM ppl p JOIN documents d USING (doc_id)
+            ),
+            r AS (
+                SELECT lang, doc_id, ppl,
+                       row_number() OVER (PARTITION BY lang ORDER BY ppl ASC, doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS cnt
+                FROM j
+            ),
+            cuts AS (
+                SELECT lang,
+                       MAX(CASE WHEN rn = ceil(cnt / 3) THEN ppl END) AS c1,
+                       MAX(CASE WHEN rn = ceil(cnt * 2 / 3) THEN ppl END) AS c2
+                FROM r GROUP BY lang
+            )
+            SELECT j.lang,
+                   CASE WHEN j.ppl <= c.c1 THEN 'head'
+                        WHEN j.ppl <= c.c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   count(*) AS n_docs, MIN(j.ppl) AS min_ppl, MAX(j.ppl) AS max_ppl
+            FROM j JOIN cuts c USING (lang)
+            GROUP BY 1, 2
+        """,
+        # band applied to the ROUND(6) score BEFORE the per-query rank —
+        # mirror of similarity.hard_negatives
+        "hard_negatives": f"""
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < {_KNN_QUERIES})
+            SELECT q_id, vec_id, score FROM (
+                SELECT q_id, vec_id, score,
+                       row_number() OVER (
+                           PARTITION BY q_id ORDER BY score DESC, vec_id ASC
+                       ) AS rn
+                FROM (
+                    SELECT q.q_id, e.vec_id, {_COS_SCORE} AS score
+                    FROM embeddings e, q
+                ) WHERE score >= 0.5 AND score < 0.95
+            ) WHERE rn <= 5
+        """,
+        # coarse cut on the ROUND(6) prefix-cosine, exact full-dim rescore
+        "matryoshka_topk": f"""
+            WITH q AS (
+                SELECT embedding::DOUBLE[] AS qfull,
+                       (embedding::DOUBLE[])[1:8] AS qpre
+                FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+            ),
+            coarse AS (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+                       ROUND((1.0 + list_dot_product((e.embedding::DOUBLE[])[1:8], q.qpre) /
+                           (sqrt(list_dot_product((e.embedding::DOUBLE[])[1:8],
+                                                  (e.embedding::DOUBLE[])[1:8])) *
+                            sqrt(list_dot_product(q.qpre, q.qpre)))) / 2.0,
+                           {_SCORE_DECIMALS}) AS cs
+                FROM embeddings e, q
+                ORDER BY cs DESC, e.vec_id ASC
+                LIMIT 50
+            )
+            SELECT c.vec_id,
+                   ROUND((1.0 + list_dot_product(c.ev, q.qfull) /
+                       (sqrt(list_dot_product(c.ev, c.ev)) *
+                        sqrt(list_dot_product(q.qfull, q.qfull)))) / 2.0,
+                       {_SCORE_DECIMALS}) AS score
+            FROM coarse c, q
+            ORDER BY score DESC, c.vec_id ASC
+            LIMIT 10
+        """,
+        # relational pair-explode twin of the int64 Gram-matrix kernel:
+        # q = floor(x * 2^10) exactly on both engines, everything else ints
+        # until the one covariance double tree
+        "embedding_covariance": """
+            WITH qv AS (
+                SELECT list_transform((embedding::DOUBLE[])[1:16],
+                                      x -> CAST(floor(x * 1024.0) AS BIGINT)) AS q
+                FROM embeddings
+            ),
+            n AS (SELECT count(*) AS n FROM qv),
+            pairs AS (
+                SELECT CAST(ij.i - 1 AS INT) AS i, CAST(ij.j - 1 AS INT) AS j,
+                       CAST(SUM(q[ij.i] * q[ij.j]) AS BIGINT) AS sij
+                FROM qv, LATERAL (
+                    SELECT i.i, j.j
+                    FROM (SELECT unnest(generate_series(1, 16)) AS i) i,
+                         (SELECT unnest(generate_series(1, 16)) AS j) j
+                    WHERE j.j >= i.i
+                ) ij
+                GROUP BY 1, 2
+            ),
+            firsts AS (
+                SELECT CAST(d.d - 1 AS INT) AS d, CAST(SUM(q[d.d]) AS BIGINT) AS sd
+                FROM qv, LATERAL (SELECT unnest(generate_series(1, 16)) AS d) d
+                GROUP BY 1
+            )
+            SELECT p.i, p.j, p.sij,
+                   ROUND((CAST(p.sij AS DOUBLE)
+                          - CAST(fi.sd AS DOUBLE) * CAST(fj.sd AS DOUBLE) / CAST(n.n AS DOUBLE))
+                         / (CAST(n.n AS DOUBLE) - 1.0), 6) AS cov
+            FROM pairs p
+            JOIN firsts fi ON fi.d = p.i
+            JOIN firsts fj ON fj.d = p.j, n
         """,
     }
 

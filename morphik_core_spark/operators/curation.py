@@ -49,8 +49,11 @@ __all__ = [
     "pii_scrub",
     "PII_PATTERNS",
     "perplexity_scores",
+    "perplexity_buckets",
     "url_filter",
     "weighted_sample",
+    "dsir_importance_weights",
+    "dsir_resample",
 ]
 
 # Gopher-inspired rule thresholds (Rae et al. 2021 A1.1), adapted to the
@@ -526,4 +529,154 @@ def weighted_sample(
         .select(F.col(id_col), F.col(weight_col), key.alias("sample_key"))
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_pred: Column,
+    buckets: int = 512,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how target-like it looks under hashed-n-gram bag-of-words models.
+
+    Features are word unigrams + bigrams hashed into ``buckets`` buckets
+    (the paper uses 10k; small here so collisions are exercised). Two
+    add-one-smoothed multinomials are fit — p over docs matching
+    ``target_pred``, q over the rest — and each doc scores
+
+        log w(doc) = sum over gram instances of  ln p(b) - ln q(b)
+                   = sum of  ln(ct_b+1) - ln(T+B) - ln(cr_b+1) + ln(R+B)
+
+    Arithmetic is exact and engine/partitioning-independent: all counts
+    are integers, the per-bucket log-ratio is ONE fixed double expression
+    truncated to int64 micro-units (floor(lr*1e6)), and the per-doc sum
+    runs in integer space — only the final /1e6 returns to double.
+
+    Output: (id, n_grams, logw). Positive = more target-like; feed to
+    :func:`dsir_resample` for the gumbel top-k selection step.
+
+    Scale shape: the model is a ``buckets``-row dimension (fixed size —
+    1e5 at production scale) built by one shuffle on the bucket id, then
+    broadcast; the scoring pass is explode -> broadcast join -> per-doc
+    partial aggregate. Nothing shuffles on anything wider than the
+    bucket id or the doc id, and at 100 TB the model side can be fit on
+    a sample while the scoring pass stays a single map-heavy job.
+    """
+    tk = F.split(normalize_text(F.col(text_col)), " ")
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), target_pred.alias("is_target"), tk.alias("tk")
+    )
+    grams = toks.select(
+        F.col(id_col),
+        "is_target",
+        F.explode(
+            F.concat(
+                F.col("tk"),
+                # sequence(1, 0) would DESCEND for 1-token docs — guard it
+                F.expr(
+                    "CASE WHEN size(tk) >= 2 THEN "
+                    "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i])) "
+                    "ELSE slice(tk, 1, 0) END"
+                ),
+            )
+        ).alias("gram"),
+    ).withColumn("bucket", portable_hash(F.col("gram")) % F.lit(buckets))
+
+    counts = grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
+    )
+    totals = counts.agg(F.sum("ct").alias("t_total"), F.sum("cr").alias("r_total"))
+    # one fixed double tree, then exact micro-units (mirrored in oracles)
+    lr = (
+        F.log(F.col("ct") + F.lit(1.0))
+        - F.log(F.col("t_total") + F.lit(float(buckets)))
+        - F.log(F.col("cr") + F.lit(1.0))
+        + F.log(F.col("r_total") + F.lit(float(buckets)))
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket", F.floor(lr * F.lit(1000000.0)).cast("bigint").alias("lr_micro")
+    )
+    return (
+        grams.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            (F.sum("lr_micro") / F.lit(1000000.0)).alias("logw"),
+        )
+    )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    logw_col: str = "logw",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR selection step: gumbel top-k over the importance weights —
+    sampling without replacement proportional to w = exp(logw).
+
+    g = -ln(-ln(u)) with the exact cross-engine uniform
+    u = (h mod 2^30 + 1)/2^30; the winners are the top ``k`` rows by
+    logw + g. One TakeOrderedAndProject (per-partition heaps, no sort).
+    """
+    h30 = portable_hash(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % (1 << 30)
+    u = (h30 + F.lit(1)).cast("double") / F.lit(float(1 << 30))
+    key = F.col(logw_col) + (-F.log(-F.log(u)))
+    return (
+        weights.select(F.col(id_col), F.col(logw_col), F.round(key, 6).alias("gumbel_key"))
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): per
+    group (language), split documents at the nearest-rank perplexity
+    terciles — head = most fluent third, tail = least.
+
+    Cut points are the ppl values at rows ceil(n/3) and ceil(2n/3) of the
+    group ordered by (ppl, id); assignment is ppl <= cut (ties inside one
+    value stay in the earlier bucket, matching CCNet's cumulative-size
+    split). Output: (group, bucket, n_docs, min_ppl, max_ppl).
+
+    All comparisons run on the ROUND(6) ppl both engines carry, so
+    bucketing is engine-exact. Scale shape: the scored pass reuses
+    :func:`perplexity_scores`; the cuts are a per-group aggregate over a
+    rank window (or ``approx_percentile`` at 100 TB — same two-column
+    cuts dimension), broadcast back for a map-side bucket label.
+    """
+    scored = perplexity_scores(df, text_col, id_col, decimals=decimals).join(
+        df.select(F.col(id_col), F.col(group_col)), id_col
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("ppl").asc(), F.col(id_col).asc())
+    wg = Window.partitionBy(group_col)
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wg)
+    )
+    cuts = ranked.groupBy(group_col).agg(
+        F.max(F.when(F.col("rn") == F.ceil(F.col("cnt") / 3), F.col("ppl"))).alias("c1"),
+        F.max(F.when(F.col("rn") == F.ceil(F.col("cnt") * 2 / 3), F.col("ppl"))).alias("c2"),
+    )
+    bucketed = scored.join(F.broadcast(cuts), group_col).withColumn(
+        "bucket",
+        F.when(F.col("ppl") <= F.col("c1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return bucketed.groupBy(group_col, "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("ppl").alias("min_ppl"),
+        F.max("ppl").alias("max_ppl"),
     )

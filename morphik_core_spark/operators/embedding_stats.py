@@ -1,0 +1,166 @@
+"""Embedding-matrix statistics: exact distributed covariance and PCA.
+
+The preprocessing stage in front of large-scale ANN / semantic-dedup
+pipelines (FAISS's OPQ/PCA pretransforms, SemDeDup-style whitening):
+estimate the embedding covariance over the full corpus, eigendecompose
+once on the driver, and project every vector — mean-centering + rotation
+as a pure map.
+
+Design for exactness AND scale:
+
+- The corpus-wide pass computes INTEGER moments: each component is
+  quantized to q = floor(x * 2^scale_bits) (floor of the same double on
+  every engine — exact), and all sums run in int64. With |x| <= ~32,
+  scale_bits=10 and up to ~2^39 rows the Gram sums stay inside int64 —
+  order- and partitioning-independent, so the result is bit-identical on
+  any cluster layout (the same trick as the fixed-point PageRank).
+- The serving kernel is one ``mapInPandas`` pass emitting per-batch
+  partial Gram matrices via a single int64 ``Q.T @ Q`` matmul (dims^2
+  numbers per batch, NOT per row), reduced by one tiny groupBy — the
+  classic map-side-combine covariance. The relational pair-explode twin
+  (dims^2 rows per vector) exists for the oracle only.
+- Covariance / eigh / projection happen on dims x dims numbers — driver
+  scale, the same offline-trainer boundary as
+  :func:`~morphik_core_spark.operators.similarity.kmeans_fit` for IVF.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "covariance_sums",
+    "pca_fit",
+    "pca_project",
+]
+
+
+def _moment_sums(embeddings: DataFrame, dims: int, scale_bits: int, emb_col: str) -> DataFrame:
+    """One-pass exact integer moments: rows (i, j, s) with j >= i holding
+    the second-moment sums SUM(q_i*q_j) and j = -1 rows holding the first
+    moments SUM(q_i). Per-batch partials come from one int64 matmul."""
+    mul = float(1 << scale_bits)
+
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        iu = np.triu_indices(dims)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
+            q = np.floor(x * mul).astype(np.int64)
+            g = q.T @ q
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu[0], np.arange(dims)]).astype(np.int32),
+                    "j": np.concatenate([iu[1], np.full(dims, -1)]).astype(np.int32),
+                    "s": np.concatenate([g[iu], q.sum(axis=0)]),
+                }
+            )
+
+    partials = embeddings.select(emb_col).mapInPandas(gram, "i int, j int, s bigint")
+    return partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+
+
+def covariance_sums(
+    embeddings: DataFrame,
+    dims: int,
+    scale_bits: int = 10,
+    emb_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact int-space covariance statistics over an embedding column.
+
+    Output: one row per ordered pair i <= j (0-based dims):
+    ``(i, j, sij, cov)`` where ``sij = SUM(q_i * q_j)`` over all vectors
+    (int64-exact) and ``cov`` is the sample covariance of the QUANTIZED
+    components, ``(sij - si*sj/n) / (n-1)``, rounded to ``decimals`` —
+    one fixed double tree over integer inputs, engine- and
+    partitioning-exact.
+
+    Plan: one mapInPandas scan emits per-batch partial sums, a single
+    groupBy (i, j) reduces dims*(dims+3)/2 keys — shuffle bytes are
+    O(batches * dims^2), independent of row count.
+    """
+    sums = _moment_sums(embeddings, dims, scale_bits, emb_col)
+    n_row = embeddings.agg(F.count(F.lit(1)).alias("n"))
+    firsts = sums.filter(F.col("j") == -1).select(F.col("i").alias("d"), F.col("s").alias("sd"))
+    pairs = sums.filter(F.col("j") >= 0).withColumnRenamed("s", "sij")
+    cov = (
+        F.col("sij").cast("double")
+        - F.col("si").cast("double") * F.col("sj").cast("double") / F.col("n").cast("double")
+    ) / (F.col("n").cast("double") - F.lit(1.0))
+    return (
+        pairs.join(F.broadcast(firsts.select(F.col("d").alias("i"), F.col("sd").alias("si"))), "i")
+        .join(F.broadcast(firsts.select(F.col("d").alias("j"), F.col("sd").alias("sj"))), "j")
+        .crossJoin(F.broadcast(n_row))
+        .select("i", "j", "sij", F.round(cov, decimals).alias("cov"))
+    )
+
+
+def pca_fit(
+    embeddings: DataFrame,
+    dims: int,
+    scale_bits: int = 10,
+    emb_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA from the exact integer sums: returns (mean, components,
+    explained_variance) in the ORIGINAL (unquantized) coordinate scale.
+
+    Only dims*(dims+3)/2 numbers reach the driver; eigh on the
+    dims x dims matrix is driver-scale by design. components[k] is the
+    k-th principal axis; rows are ordered by descending eigenvalue with a
+    deterministic sign convention (largest-|coord| entry positive), so
+    the fit is reproducible across runs and cluster layouts.
+    """
+    mul = float(1 << scale_bits)
+    rows = _moment_sums(embeddings, dims, scale_bits, emb_col).collect()
+    n = embeddings.count()
+    s1 = np.zeros(dims, dtype=np.float64)
+    s2 = np.zeros((dims, dims), dtype=np.float64)
+    for r in rows:
+        if r.j == -1:
+            s1[r.i] = float(r.s)
+        else:
+            s2[r.i, r.j] = s2[r.j, r.i] = float(r.s)
+    cov_q = (s2 - np.outer(s1, s1) / n) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov_q)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order].T
+    for k in range(dims):
+        m = int(np.argmax(np.abs(evecs[k])))
+        if evecs[k, m] < 0:
+            evecs[k] = -evecs[k]
+    mean = s1 / (n * mul)
+    return mean, evecs, evals / (mul * mul)
+
+
+def pca_project(
+    embeddings: DataFrame,
+    mean: Sequence[float],
+    components: np.ndarray,
+    n_components: int,
+    emb_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto the top ``n_components`` axes — a pure map
+    (mean-center + rotate) expressed as codegen array math against
+    literal component vectors: no UDF, no shuffle, scales as a scan.
+    """
+    mean_lit = F.lit([float(x) for x in mean]).cast("array<double>")
+    centered = F.zip_with(F.col(emb_col).cast("array<double>"), mean_lit, lambda a, b: a - b)
+    outs = []
+    for k in range(n_components):
+        comp = F.lit([float(x) for x in components[k]]).cast("array<double>")
+        outs.append(
+            F.aggregate(
+                F.zip_with(centered, comp, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    return embeddings.withColumn(out_col, F.array(*outs))

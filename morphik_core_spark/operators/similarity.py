@@ -35,6 +35,8 @@ __all__ = [
     "knn_pq",
     "sq8_stats",
     "knn_sq8",
+    "hard_negatives",
+    "knn_matryoshka",
 ]
 
 
@@ -476,3 +478,90 @@ def knn_sq8(
         .filter(F.col("rn") <= k)
         .select(q_id_col, id_col, "score")
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    lo: float,
+    hi: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "qv",
+    decimals: int | None = 6,
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training: per query, the
+    top-k vectors whose score lands in the band [lo, hi) — similar enough
+    to be confusable, not so similar they are positives/near-dups
+    (the standard contrastive-training negative selection, e.g. DPR /
+    SimCSE hard negatives).
+
+    Same plan as :func:`knn_brute_force` — broadcast query batch, one
+    scan, band filter BEFORE the per-query window so the rank only sees
+    band rows — plus the band predicate is applied to the rounded score
+    both engines carry, keeping the boundary engine-exact. At billion-
+    vector scale swap the scan for the LSH/IVF candidate generator and
+    band-filter its rescored output; the band logic is unchanged.
+    """
+    scored = embeddings.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        retrieval_score(F.col(emb_col).cast("array<double>"), F.col(q_emb_col)).alias("score"),
+    )
+    if decimals is not None:
+        scored = scored.withColumn("score", F.round("score", decimals))
+    banded = scored.filter((F.col("score") >= lo) & (F.col("score") < hi))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        banded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def knn_matryoshka(
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    k: int,
+    coarse_dims: int,
+    candidates: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    decimals: int | None = 6,
+) -> DataFrame:
+    """Matryoshka two-stage retrieval (Kusupati et al. 2022, MRL): coarse
+    top-``candidates`` on the embedding PREFIX (first ``coarse_dims``
+    dims), exact full-dimension rescore, top-k — the dimension-truncation
+    rung of the quantization ladder (binary -> SQ8 -> PQ -> prefix dims).
+
+    With MRL-trained embeddings the prefix is itself a valid embedding,
+    so stage 1 is just ``slice`` + the same cosine expression — no codes,
+    no codebooks. Stage 1 is one scan + TakeOrderedAndProject over
+    ``candidates`` rows; stage 2 rescores only those. At scale the prefix
+    can be materialized as its own narrow column (or its own table,
+    cutting stage-1 bytes read by dims/coarse_dims) without touching
+    this logic.
+    """
+    q = [float(x) for x in query_vector]
+    q_coarse = F.lit(q[:coarse_dims]).cast("array<double>")
+    q_full = F.lit(q).cast("array<double>")
+    prefix = F.slice(F.col(emb_col).cast("array<double>"), 1, coarse_dims)
+    coarse_score = retrieval_score(prefix, q_coarse)
+    if decimals is not None:
+        # cut candidates on the ROUND(decimals) value both engines carry —
+        # the boundary is then engine-exact (id tiebreak settles ties)
+        coarse_score = F.round(coarse_score, decimals)
+    coarse = (
+        embeddings.select(id_col, emb_col, coarse_score.alias("coarse_score"))
+        .orderBy(F.col("coarse_score").desc(), F.col(id_col).asc())
+        .limit(candidates)
+    )
+    rescored = coarse.select(
+        id_col,
+        retrieval_score(F.col(emb_col).cast("array<double>"), q_full).alias("score"),
+    )
+    if decimals is not None:
+        rescored = rescored.withColumn("score", F.round("score", decimals))
+    return rescored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

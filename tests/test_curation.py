@@ -287,3 +287,65 @@ def test_weighted_sample_plan_is_takeordered(spark):
     df = spark.createDataFrame([(str(i), i + 1) for i in range(100)], "doc_id string, w int")
     plan = weighted_sample(df, "doc_id", "w", k=10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # per-partition heaps, no full sort
+
+
+def test_dsir_weights_separate_target_like_docs(spark):
+    # target model trained on "alpha" vocabulary; raw pool is "beta" docs
+    # plus one alpha-flavored raw doc that should outscore its beta peers
+    rows = (
+        [(i, "alpha gamma alpha delta alpha gamma", True) for i in range(10)]
+        + [(100 + i, "beta epsilon beta zeta beta epsilon", False) for i in range(10)]
+        + [(999, "alpha gamma alpha gamma alpha", False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = curation.dsir_importance_weights(df, "text", "doc_id", F.col("is_t"), buckets=64)
+    logw = {r.doc_id: r.logw for r in out.collect()}
+    beta_scores = [logw[100 + i] for i in range(10)]
+    assert logw[999] > max(beta_scores)  # target-like raw doc wins
+    # deterministic across runs and partitionings (int micro-unit sums)
+    out2 = curation.dsir_importance_weights(
+        df.repartition(7), "text", "doc_id", F.col("is_t"), buckets=64
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_dsir_single_token_and_empty_docs_survive(spark):
+    df = spark.createDataFrame(
+        [(1, "one", True), (2, "", False), (3, None, False), (4, "a b", False)],
+        "doc_id long, text string, is_t boolean",
+    )
+    out = curation.dsir_importance_weights(df, "text", "doc_id", F.col("is_t"), buckets=16)
+    got = {r.doc_id: r.n_grams for r in out.collect()}
+    assert got[1] == 1  # unigram only, no bigram blowup
+    assert got[4] == 3  # 2 unigrams + 1 bigram
+    assert 3 not in got  # NULL text filtered
+
+
+def test_dsir_resample_is_gumbel_topk_deterministic(spark):
+    rows = [(i, float(i) / 10.0) for i in range(100)]
+    w = spark.createDataFrame(rows, "doc_id long, logw double")
+    a = curation.dsir_resample(w, k=10, id_col="doc_id").collect()
+    b = curation.dsir_resample(w, k=10, id_col="doc_id").collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert len(a) == 10
+    # higher logw should dominate the winners (gumbel noise is O(1),
+    # weights span 0..9.9)
+    assert sum(1 for r in a if r.logw > 5.0) >= 8
+
+
+def test_perplexity_buckets_tercile_sizes_and_ranges(docs):
+    out = curation.perplexity_buckets(docs, "text", "doc_id", "lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {"head", "middle", "tail"}
+        n = sum(r.n_docs for r in buckets.values())
+        if n >= 3:
+            # head gets ceil(n/3) rows; no bucket is more than half the group
+            assert all(r.n_docs <= (n + 1) // 2 for r in buckets.values())
+            # ppl ranges are ordered head <= middle <= tail
+            if "head" in buckets and "middle" in buckets:
+                assert buckets["head"].max_ppl <= buckets["middle"].min_ppl
+            if "middle" in buckets and "tail" in buckets:
+                assert buckets["middle"].max_ppl <= buckets["tail"].min_ppl

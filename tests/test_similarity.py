@@ -200,3 +200,50 @@ def test_pq_recall_monotone_in_candidate_pool():
     r25, r50, r100 = (sweep[s]["recall"] for s in ("25", "50", "100"))
     assert r25 <= r50 <= r100
     assert r100 > 0.3  # the pool at 20% scan must beat random by a wide margin
+
+
+def test_hard_negatives_band_and_excludes_self(spark, emb_df):
+    df, rows = emb_df
+    out = similarity.hard_negatives(
+        df, _queries(spark, rows), k=5, lo=0.5, hi=0.95
+    ).collect()
+    for r in out:
+        assert 0.5 <= r.score < 0.95
+        assert r.vec_id != r.q_id or r.score < 0.95  # self scores 1.0 -> banded out
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.q_id, []).append(r.score)
+    for q_id, scores in per_q.items():
+        assert len(scores) <= 5
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_matryoshka_full_prefix_equals_brute_force(spark, emb_df):
+    df, rows = emb_df
+    qv = rows[0][1]
+    full = similarity.knn_matryoshka(df, qv, k=5, coarse_dims=DIMS, candidates=50)
+    brute = similarity.knn_brute_force(
+        df, _queries(spark, rows, n=1), k=5
+    ).select("vec_id", "score")
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_matryoshka_recall_improves_with_candidates(spark, emb_df):
+    df, rows = emb_df
+    qv = rows[0][1]
+    exact = {r.vec_id for r in similarity.knn_brute_force(df, _queries(spark, rows, n=1), k=10).collect()}
+
+    def recall(cands):
+        got = {r.vec_id for r in similarity.knn_matryoshka(df, qv, 10, coarse_dims=4, candidates=cands).collect()}
+        return len(got & exact) / len(exact)
+
+    r_small, r_big = recall(15), recall(120)
+    assert r_big >= r_small
+    assert r_big >= 0.8  # 120 of 200 candidates must nearly saturate
+
+
+def test_matryoshka_plan_is_two_takeordered_no_exchange(spark, emb_df):
+    df, rows = emb_df
+    plan = similarity.knn_matryoshka(df, rows[0][1], 5, 4, 20)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert "PythonUDF" not in plan
