@@ -23,7 +23,15 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_wav", "decode_audio", "audio_features", "encode_wav"]
+__all__ = [
+    "decode_wav",
+    "decode_audio",
+    "audio_features",
+    "encode_wav",
+    "log_mel_spectrogram",
+    "audio_embedding",
+    "spectral_stats",
+]
 
 _WIDTH_DTYPE = {1: np.uint8, 2: np.int16, 4: np.int32}
 
@@ -354,3 +362,101 @@ def _riff(fmt_body: bytes, payload: bytes) -> bytes:
     if len(payload) % 2:
         chunks += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# ------------------------------------------------------- spectral features
+
+
+def _mel_filterbank(n_mels: int, n_fft: int, rate: int, fmin: float = 0.0, fmax: float | None = None) -> np.ndarray:
+    """Triangular mel filterbank (Slaney-style mel = 2595*log10(1+f/700)),
+    shape (n_mels, n_fft//2 + 1)."""
+    fmax = fmax if fmax is not None else rate / 2.0
+
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+    def from_mel(m):
+        return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+    pts = from_mel(np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2))
+    bins = np.floor((n_fft + 1) * pts / rate).astype(np.int64)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(1, n_mels + 1):
+        lo, c, hi = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(lo, c):
+            if c > lo:
+                fb[m - 1, k] = (k - lo) / (c - lo)
+        for k in range(c, hi):
+            if hi > c:
+                fb[m - 1, k] = (hi - k) / (hi - c)
+    return fb
+
+
+def log_mel_spectrogram(
+    samples: np.ndarray,
+    rate: int,
+    n_fft: int = 1024,
+    hop: int = 512,
+    n_mels: int = 24,
+    top_db: float = 60.0,
+) -> np.ndarray:
+    """Log-mel energies, shape (frames, n_mels) — the standard acoustic
+    feature front-end (Hann window → |rFFT|² → mel filterbank → log,
+    floored ``top_db`` below the clip's peak band à la power_to_db).
+    The relative floor matters: an absolute epsilon floor makes silent
+    bands encode the numeric floor, so any added noise rewrites most of
+    the vector — clamping to peak−top_db keeps descriptors stable under
+    noise. Mono input (channels averaged); all numpy, no audio libs."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    if len(mono) < n_fft:
+        mono = np.pad(mono, (0, n_fft - len(mono)))
+    window = np.hanning(n_fft)
+    n_frames = 1 + (len(mono) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = mono[idx] * window
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    mel = power @ _mel_filterbank(n_mels, n_fft, rate).T
+    m = np.log(mel + 1e-20)
+    return np.maximum(m, m.max() - top_db * np.log(10.0) / 10.0)
+
+
+def audio_embedding(samples: np.ndarray, rate: int, n_mels: int = 24) -> np.ndarray:
+    """Fixed-size acoustic descriptor: per-band mean and std of the
+    log-mel spectrogram (2*n_mels dims), L2-normalized. Deterministic,
+    model-free — drops straight into the repo's cosine kNN / near-dup /
+    SemDeDup operators as an ``array<double>`` column, giving audio the
+    same similarity/dedup surface text and images have."""
+    m = log_mel_spectrogram(samples, rate, n_mels=n_mels)
+    m = m - m.mean()  # per-clip mean normalization (CMN): a recording's
+    # overall level / noise floor is common-mode, the descriptor should
+    # encode spectral SHAPE — without this, mild broadband noise shifts
+    # every silent band and tanks cosine similarity between variants
+    v = np.concatenate([m.mean(axis=0), m.std(axis=0)])
+    nrm = np.linalg.norm(v)
+    return v / nrm if nrm > 0 else v
+
+
+def spectral_stats(samples: np.ndarray, rate: int, n_fft: int = 1024, hop: int = 512) -> dict:
+    """Frame-averaged spectral shape features: centroid (Hz), rolloff-85%
+    (Hz), bandwidth (Hz), flatness — the audio-quality analog of the text
+    quality signals (detects tone-only, silence-heavy, clipped uploads)."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    if len(mono) < n_fft:
+        mono = np.pad(mono, (0, n_fft - len(mono)))
+    window = np.hanning(n_fft)
+    n_frames = 1 + (len(mono) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    power = np.abs(np.fft.rfft(mono[idx] * window, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+    tot = power.sum(axis=1) + 1e-20
+    centroid = (power * freqs).sum(axis=1) / tot
+    cum = np.cumsum(power, axis=1)
+    roll_bin = np.argmax(cum >= 0.85 * tot[:, None], axis=1)
+    bandwidth = np.sqrt((power * (freqs[None, :] - centroid[:, None]) ** 2).sum(axis=1) / tot)
+    flatness = np.exp(np.mean(np.log(power + 1e-20), axis=1)) / (power.mean(axis=1) + 1e-20)
+    return {
+        "centroid_hz": float(centroid.mean()),
+        "rolloff_hz": float(freqs[roll_bin].mean()),
+        "bandwidth_hz": float(bandwidth.mean()),
+        "flatness": float(flatness.mean()),
+    }

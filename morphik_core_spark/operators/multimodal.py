@@ -36,6 +36,9 @@ __all__ = [
     "extract_audio_features",
     "extract_video_frame_features",
     "sample_video_frames",
+    "image_perceptual_hash",
+    "image_near_dup_pairs",
+    "extract_audio_embeddings",
 ]
 
 # typed metadata travelling with every binary payload
@@ -264,6 +267,141 @@ def extract_pdf_page_images(
                         )
                 except Exception as exc:  # noqa: BLE001 — row-level isolation
                     rows.append((mid, -1, False, str(exc), None, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def image_perceptual_hash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    method: str = "dhash",
+) -> DataFrame:
+    """Perceptual fingerprint per image (ahash | dhash | phash from
+    :mod:`morphik_core_spark.functions.imagehash`) — the image analog of
+    the text SimHash stage. Output: (media_id, ok, err, width, height,
+    hash) with hash a signed 64-bit int; failures are row-level.
+
+    Scale shape: pure map (mapInPandas over the payload column, nothing
+    shuffles); feed the result to :func:`image_near_dup_pairs` for the
+    banded pair generation.
+    """
+    from morphik_core_spark.functions import imagehash
+    from morphik_core_spark.functions.image import decode_image, to_grayscale
+
+    hasher = {"ahash": imagehash.ahash, "dhash": imagehash.dhash, "phash": imagehash.phash}[method]
+    out_schema = f"{id_col} string, ok boolean, err string, width int, height int, hash bigint"
+    cols = [id_col, "ok", "err", "width", "height", "hash"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    px = decode_image(bytes(payload) if payload is not None else None)
+                    h, w = px.shape[:2]
+                    rows.append((mid, True, None, w, h, hasher(to_grayscale(px))))
+                except Exception as exc:  # noqa: BLE001 — row-level isolation
+                    rows.append((mid, False, str(exc), None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame,
+    max_distance: int = 3,
+    bands: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "hash",
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance on the perceptual
+    hash — banded exactly like MinHash-LSH: split the 64-bit hash into
+    ``bands`` bit-slices, bucket-join on any shared band (pigeonhole: a
+    pair within distance ``bands - 1`` MUST share a band, so recall is
+    exact for ``max_distance <= bands - 1``), then verify candidates with
+    the true popcount distance.
+
+    Same hot-bucket cap as `dedup.lsh_pairs` (a banner image repeated a
+    million times would otherwise make one bucket quadratic).
+    Output: (id_a, id_b, distance), id_a < id_b.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.select(F.col(id_col), F.col(hash_col))
+    banded = h.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.lit(idx * (1 << width))
+                        + F.shiftrightunsigned(F.col(hash_col), idx * width).bitwiseAND(F.lit(mask))
+                    ).alias(f"b{idx}")
+                    for idx in range(bands)
+                ]
+            )
+        ).alias("band"),
+    )
+    sizes = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+    ok = sizes.filter(F.col("n") <= max_bucket_size).select("band")
+    banded = banded.join(F.broadcast(ok), "band")
+    a = banded.select(F.col("band"), F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"))
+    b = banded.select(F.col("band"), F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"))
+    cand = (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("distance", dist)
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )
+
+
+def extract_audio_embeddings(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_mels: int = 24,
+) -> DataFrame:
+    """Decode (WAV/FLAC, real) → fixed-size log-mel acoustic descriptor
+    (2*n_mels dims, L2-normalized) + spectral-shape stats, via mapInPandas.
+
+    The embedding column drops straight into the cosine kNN / near-dup /
+    SemDeDup operators, giving audio corpora the same similarity and
+    dedup surface as text and images. Output: (media_id, ok, err,
+    embedding array<double>, centroid_hz, rolloff_hz, bandwidth_hz,
+    flatness); failures are row-level.
+    """
+    from morphik_core_spark.functions.audio import audio_embedding, decode_audio, spectral_stats
+
+    out_schema = (
+        f"{id_col} string, ok boolean, err string, embedding array<double>, "
+        "centroid_hz double, rolloff_hz double, bandwidth_hz double, flatness double"
+    )
+    cols = [id_col, "ok", "err", "embedding", "centroid_hz", "rolloff_hz", "bandwidth_hz", "flatness"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    samples, rate = decode_audio(bytes(payload) if payload is not None else None)
+                    emb = [float(x) for x in audio_embedding(samples, rate, n_mels=n_mels)]
+                    st = spectral_stats(samples, rate)
+                    rows.append(
+                        (mid, True, None, emb, st["centroid_hz"], st["rolloff_hz"],
+                         st["bandwidth_hz"], st["flatness"])
+                    )
+                except Exception as exc:  # noqa: BLE001 — row-level isolation
+                    rows.append((mid, False, str(exc), None, None, None, None, None))
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -36,7 +36,7 @@ from pyspark.sql.types import (
 
 from morphik_core_spark.functions.html import extract_html_text
 
-__all__ = ["iter_warc_records", "parse_http_response", "read_warc_dir", "build_warc"]
+__all__ = ["iter_warc_records", "parse_http_response", "read_warc_dir", "build_warc", "build_wet"]
 
 
 def _split_gzip_members(data: bytes) -> Iterator[bytes]:
@@ -127,7 +127,11 @@ _SCHEMA = StructType([
 def _records_frame(path: str, data: bytes) -> list[dict]:
     rows: list[dict] = []
     for headers, payload in iter_warc_records(data):
-        if headers.get("warc-type") != "response":
+        rtype = headers.get("warc-type")
+        # response = raw crawl (WARC); conversion = pre-extracted text
+        # (WET — Common Crawl's *.warc.wet.gz companions, plain payload,
+        # no HTTP envelope)
+        if rtype not in ("response", "conversion"):
             continue
         row = {
             "archive": path,
@@ -139,12 +143,17 @@ def _records_frame(path: str, data: bytes) -> list[dict]:
             "ok": None,
         }
         try:
-            status, hh, body = parse_http_response(payload)
-            row["status"] = status
-            ctype = hh.get("content-type", "").split(";")[0].strip().lower()
-            row["content_type"] = ctype or None
-            raw = body.decode("utf-8", errors="replace")
-            row["text"] = extract_html_text(raw) if "html" in ctype else raw
+            if rtype == "conversion":
+                ctype = headers.get("content-type", "").split(";")[0].strip().lower()
+                row["content_type"] = ctype or "text/plain"
+                row["text"] = payload.decode("utf-8", errors="replace")
+            else:
+                status, hh, body = parse_http_response(payload)
+                row["status"] = status
+                ctype = hh.get("content-type", "").split(";")[0].strip().lower()
+                row["content_type"] = ctype or None
+                raw = body.decode("utf-8", errors="replace")
+                row["text"] = extract_html_text(raw) if "html" in ctype else raw
         except Exception as exc:  # noqa: BLE001 — row-level isolation
             row["ok"] = f"{type(exc).__name__}: {exc}"[:200]
         rows.append(row)
@@ -207,4 +216,22 @@ def build_warc(
             out += gzip.compress(bytes(rec))
         else:
             out += rec
+    return bytes(out)
+
+
+def build_wet(records: list[tuple[str, str, str]]) -> bytes:
+    """Fixture writer: (url, date, text) → WET bytes (WARC conversion
+    records, plain-text payload — the Common Crawl *.wet layout)."""
+    out = bytearray()
+    for url, date, text in records:
+        body = text.encode("utf-8")
+        out += (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {date}\r\n"
+            "WARC-Record-ID: <urn:uuid:1>\r\n"
+            "Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body + b"\r\n\r\n"
     return bytes(out)

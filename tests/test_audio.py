@@ -7,6 +7,7 @@ import wave
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from morphik_core_spark.functions.audio import audio_features, decode_wav
 
@@ -168,3 +169,76 @@ def test_pcm24_round_trip():
     assert err < 3e-7
     # negative samples survive the sign extension
     assert float(out[:, 0].min()) < -0.6
+
+
+def test_log_mel_pure_tone_energy_lands_in_right_band():
+    from morphik_core_spark.functions.audio import _mel_filterbank, log_mel_spectrogram
+
+    rate, f = 8000, 1000.0
+    t = np.arange(rate) / rate
+    sig = 0.5 * np.sin(2 * np.pi * f * t)
+    m = log_mel_spectrogram(sig, rate, n_mels=24)
+    assert m.shape[1] == 24
+    hot = int(np.argmax(m.mean(axis=0)))
+    # the 1 kHz band index from the same filterbank's center freqs
+    fb = _mel_filterbank(24, 1024, rate)
+    freqs = np.fft.rfftfreq(1024, d=1.0 / rate)
+    centers = (fb * freqs[None, :]).sum(axis=1) / fb.sum(axis=1)
+    assert abs(centers[hot] - f) < 300  # within a band of the tone
+
+
+def test_spectral_stats_separate_tone_from_noise():
+    from morphik_core_spark.functions.audio import spectral_stats
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    tone = 0.5 * np.sin(2 * np.pi * 500 * t)
+    noise = np.random.default_rng(3).uniform(-0.5, 0.5, size=rate)
+    st_t, st_n = spectral_stats(tone, rate), spectral_stats(noise, rate)
+    assert st_t["flatness"] < 0.01 < st_n["flatness"]  # tone is peaky
+    assert abs(st_t["centroid_hz"] - 500) < 150
+    assert st_n["bandwidth_hz"] > st_t["bandwidth_hz"]
+
+
+def test_audio_embedding_similarity_ladder():
+    from morphik_core_spark.functions.audio import audio_embedding
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    rng = np.random.default_rng(5)
+    a = 0.5 * np.sin(2 * np.pi * 440 * t)
+    a_noisy = a + rng.normal(0, 0.01, size=rate)
+    b = 0.5 * np.sin(2 * np.pi * 2000 * t)
+    ea, ean, eb = (audio_embedding(x, rate) for x in (a, a_noisy, b))
+    assert abs(np.linalg.norm(ea) - 1.0) < 1e-9
+    same = float(ea @ ean)
+    diff = float(ea @ eb)
+    assert same > 0.97
+    assert same > diff + 0.05
+
+
+def test_extract_audio_embeddings_sparkside(spark):
+    from morphik_core_spark.functions.audio import encode_wav
+    from morphik_core_spark.operators.multimodal import extract_audio_embeddings
+    from morphik_core_spark.operators import similarity
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    clips = {
+        "tone_a": 0.5 * np.sin(2 * np.pi * 440 * t),
+        "tone_a2": 0.5 * np.sin(2 * np.pi * 443 * t),
+        "tone_b": 0.5 * np.sin(2 * np.pi * 3000 * t),
+    }
+    rows = [(k, encode_wav(v, rate)) for k, v in clips.items()] + [("bad", b"xx")]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = extract_audio_embeddings(df)
+    got = {r.media_id: r for r in out.collect()}
+    assert got["bad"].ok is False
+    assert len(got["tone_a"].embedding) == 48
+    # the embedding column drives the existing kNN operator unchanged
+    emb = out.filter("ok").select(F.col("media_id").alias("vec_id"), "embedding")
+    q = emb.filter("vec_id = 'tone_a'").select(
+        F.lit("q").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    top = similarity.knn_brute_force(emb, q, k=2, id_col="vec_id").collect()
+    assert [r.vec_id for r in top] == ["tone_a", "tone_a2"]  # nearest = the 3 Hz detune

@@ -75,3 +75,22 @@ def test_pipeline_feeds_curation(spark, tmp_path):
     )
     out = text_stats(docs, "text", "doc_id").collect()
     assert len(out) == 2 and all(r["token_cnt"] > 0 for r in out)
+
+
+def test_read_wet_conversion_records(spark, tmp_path):
+    from morphik_core_spark.sources.warc import build_wet, read_warc_dir
+
+    wet = build_wet(
+        [
+            ("http://a.example/x", "2024-01-01T00:00:00Z", "pre extracted text one"),
+            ("http://b.example/y", "2024-01-01T00:00:01Z", "another wet record"),
+        ]
+    )
+    p = tmp_path / "crawl-00000.warc.wet"
+    p.write_bytes(wet)
+    out = read_warc_dir(spark, str(tmp_path), glob="*.wet").collect()
+    got = {r.url: r for r in out}
+    assert got["http://a.example/x"].text == "pre extracted text one"
+    assert got["http://a.example/x"].content_type == "text/plain"
+    assert got["http://a.example/x"].status is None  # no HTTP envelope in WET
+    assert got["http://b.example/y"].ok is None
