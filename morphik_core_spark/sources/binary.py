@@ -119,11 +119,14 @@ def _parse_document_udf():
 
 
 def _decompress_udf():
-    """Transparent .gz/.bz2/.xz unwrap (stdlib codecs); a corrupt archive
-    yields NULL content → the row lands in parse_failed, never the task."""
+    """Transparent .gz/.bz2/.xz/.lz4 unwrap (stdlib codecs + the pure-
+    Python LZ4 frame decoder); a corrupt archive yields NULL content →
+    the row lands in parse_failed, never the task."""
     import bz2
     import gzip
     import lzma
+
+    from morphik_core_spark.functions.lz4 import decompress_lz4_frame
 
     @F.pandas_udf("binary")
     def dec(payloads: pd.Series, codecs: pd.Series) -> pd.Series:
@@ -137,6 +140,8 @@ def _decompress_udf():
                     out.append(gzip.decompress(bytes(b)))
                 elif c == "bz2":
                     out.append(bz2.decompress(bytes(b)))
+                elif c == "lz4":
+                    out.append(decompress_lz4_frame(bytes(b)))
                 else:
                     out.append(lzma.decompress(bytes(b)))
             except Exception:  # noqa: BLE001
@@ -152,17 +157,18 @@ def files_to_raw_docs(files: DataFrame, app_id: str | None = None, folder_path: 
     parse_status: 'ok' (decoded), 'unsupported' (needs an external parser),
     'empty'. Unsupported/empty rows keep NULL text so ingest_batch marks
     them failed — same row-level isolation as the reference worker.
-    Compressed documents (.gz/.bz2/.xz wrapper over any supported type)
-    unwrap transparently before MIME routing.
+    Compressed documents (.gz/.bz2/.xz/.lz4 wrapper over any supported
+    type) unwrap transparently before MIME routing.
     """
     outer_name = F.element_at(F.split(F.col("path"), "/"), -1)
     codec = (
         F.when(outer_name.endswith(".gz"), F.lit("gzip"))
         .when(outer_name.endswith(".bz2"), F.lit("bz2"))
         .when(outer_name.endswith(".xz"), F.lit("xz"))
+        .when(outer_name.endswith(".lz4"), F.lit("lz4"))
     )
     filename = F.when(
-        codec.isNotNull(), F.regexp_replace(outer_name, r"\.(gz|bz2|xz)$", "")
+        codec.isNotNull(), F.regexp_replace(outer_name, r"\.(gz|bz2|xz|lz4)$", "")
     ).otherwise(outer_name)
     files = files.withColumn(
         "content",
