@@ -538,6 +538,7 @@ def dsir_importance_weights(
     id_col: str,
     target_pred: Column,
     buckets: int = 512,
+    persist: bool = True,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw document
@@ -585,6 +586,16 @@ def dsir_importance_weights(
             )
         ).alias("gram"),
     ).withColumn("bucket", portable_hash(F.col("gram")) % F.lit(buckets))
+    # the gram string is only needed for the hash — drop it before the
+    # (possibly persisted) frame so the cache holds 3 narrow columns
+    grams = grams.select(id_col, "is_target", "bucket")
+    if persist:
+        from pyspark import StorageLevel
+
+        # read twice (model counts + scoring join); without a persist the
+        # explode + md5 run twice. At 100 TB fit the model on a sample
+        # instead and leave the scoring pass streaming (persist=False).
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
 
     counts = grams.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
