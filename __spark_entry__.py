@@ -1383,6 +1383,47 @@ def _q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    orders, late lines (shipped 60+ days after order date) from suppliers
+    who were the ONLY late supplier in a multi-supplier order — a semi-join
+    AND an anti-join against the same fact, each mixing the equi key with
+    a supplier inequality. 'Late' is restated on l_shipdate vs o_orderdate
+    (this testdata carries no commit/receipt dates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    fo = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(fo, li["l_orderkey"] == fo["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    ).distinct()
+    late_others = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    ).distinct()
+    multi = late.join(
+        others,
+        (late["l_orderkey"] == others["ok2"]) & (late["l_suppkey"] != others["sk2"]),
+        "left_semi",
+    )
+    sole_late = multi.join(
+        late_others,
+        (multi["l_orderkey"] == late_others["ok3"]) & (multi["l_suppkey"] != late_others["sk3"]),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(supp), sole_late["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     bag-of-words models for target (source='src1') vs raw, per-doc log
@@ -1536,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": _q_small_quantity_revenue,
         "large_order_customers": _q_large_order_customers,
         "late_ship_priority": _q_late_ship_priority,
+        "waiting_suppliers": _q_waiting_suppliers,
         "dsir_weights": _q_dsir_weights,
         "ppl_buckets": _q_ppl_buckets,
         "hard_negatives": _q_hard_negatives,
@@ -3246,6 +3288,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e2.vec_id, cid AS cluster_id, d.vec_id IS NULL AS kept
             FROM e2 LEFT JOIN d ON e2.vec_id = d.vec_id
+        """,
+        "waiting_suppliers": """
+            WITH fo AS (
+                SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+            ),
+            late AS (
+                SELECT l.l_orderkey, l.l_suppkey
+                FROM lineitem l JOIN fo ON l.l_orderkey = fo.o_orderkey
+                WHERE l.l_shipdate > fo.o_orderdate + INTERVAL 60 DAY
+            )
+            SELECT s.s_name, COUNT(*) AS numwait
+            FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+            )
+            AND NOT EXISTS (
+                SELECT 1 FROM late l3
+                WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            )
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name ASC
+            LIMIT 20
         """,
         # DSIR: all counts integer; the per-bucket log-ratio is ONE fixed
         # double tree truncated to int64 micro-units, so the per-doc sum is

@@ -119,7 +119,7 @@ def _parse_document_udf():
 
 
 def _decompress_udf():
-    """Transparent .gz/.bz2/.xz/.lz4 unwrap (stdlib codecs + the pure-
+    """Transparent .gz/.bz2/.xz/.lz4/.snappy unwrap (stdlib codecs + the pure-
     Python LZ4 frame decoder); a corrupt archive yields NULL content →
     the row lands in parse_failed, never the task."""
     import bz2
@@ -127,6 +127,10 @@ def _decompress_udf():
     import lzma
 
     from morphik_core_spark.functions.lz4 import decompress_lz4_frame
+    from morphik_core_spark.functions.snappy import (
+        decompress_snappy_block,
+        decompress_snappy_framed,
+    )
 
     @F.pandas_udf("binary")
     def dec(payloads: pd.Series, codecs: pd.Series) -> pd.Series:
@@ -142,6 +146,14 @@ def _decompress_udf():
                     out.append(bz2.decompress(bytes(b)))
                 elif c == "lz4":
                     out.append(decompress_lz4_frame(bytes(b)))
+                elif c == "snappy":
+                    raw = bytes(b)
+                    # framed stream or a bare raw block — both ship as
+                    # .snappy in the wild; sniff the stream identifier
+                    if raw.startswith(b"\xff\x06\x00\x00sNaPpY"):
+                        out.append(decompress_snappy_framed(raw))
+                    else:
+                        out.append(decompress_snappy_block(raw))
                 else:
                     out.append(lzma.decompress(bytes(b)))
             except Exception:  # noqa: BLE001
@@ -157,8 +169,8 @@ def files_to_raw_docs(files: DataFrame, app_id: str | None = None, folder_path: 
     parse_status: 'ok' (decoded), 'unsupported' (needs an external parser),
     'empty'. Unsupported/empty rows keep NULL text so ingest_batch marks
     them failed — same row-level isolation as the reference worker.
-    Compressed documents (.gz/.bz2/.xz/.lz4 wrapper over any supported
-    type) unwrap transparently before MIME routing.
+    Compressed documents (.gz/.bz2/.xz/.lz4/.snappy wrapper over any
+    supported type) unwrap transparently before MIME routing.
     """
     outer_name = F.element_at(F.split(F.col("path"), "/"), -1)
     codec = (
@@ -166,9 +178,10 @@ def files_to_raw_docs(files: DataFrame, app_id: str | None = None, folder_path: 
         .when(outer_name.endswith(".bz2"), F.lit("bz2"))
         .when(outer_name.endswith(".xz"), F.lit("xz"))
         .when(outer_name.endswith(".lz4"), F.lit("lz4"))
+        .when(outer_name.endswith(".snappy"), F.lit("snappy"))
     )
     filename = F.when(
-        codec.isNotNull(), F.regexp_replace(outer_name, r"\.(gz|bz2|xz|lz4)$", "")
+        codec.isNotNull(), F.regexp_replace(outer_name, r"\.(gz|bz2|xz|lz4|snappy)$", "")
     ).otherwise(outer_name)
     files = files.withColumn(
         "content",
