@@ -85,6 +85,7 @@ def main() -> None:
     out["ivf_probes"] = ivf_probe_recall(sf_dir)
     out["pq_candidates"] = pq_adc_recall(sf_dir)
     out["sq8"] = sq8_recall(sf_dir)
+    out["matryoshka"] = matryoshka_recall(sf_dir)
     print(json.dumps(out))
 
 
@@ -249,5 +250,31 @@ def sq8_recall(sf_dir: str, k: int = 10, n_queries: int = 50) -> dict:
         got = set(ids[[i for i in approx if ids[i] != qi][:k]])
         recalls.append(len(exact_top & got) / k)
     return {"recall_at_10": round(float(np.mean(recalls)), 4)}
+def matryoshka_recall(sf_dir: str, k: int = 10, candidates: int = 50, n_queries: int = 50) -> dict:
+    """Recall@k of prefix-coarse -> full rescore (knn_matryoshka) vs exact
+    cosine, swept over coarse prefix widths — shows how many dims the
+    coarse stage needs before the candidate pool covers the true top-k.
+    (These embeddings are not MRL-trained, so this is the pessimistic
+    bound; MRL checkpoints concentrate variance in the prefix.)"""
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.asarray([r[0] for r in emb])
+    mat = np.asarray([r[1] for r in emb], dtype=np.float64)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for cd in (4, 8, 16, 32):
+        pre = mat[:, :cd] / (np.linalg.norm(mat[:, :cd], axis=1, keepdims=True) + 1e-30)
+        recalls = []
+        for qi in ids[:n_queries]:
+            exact = [i for i in np.argsort(-(norm @ norm[qi])) if ids[i] != qi][:k]
+            pool = np.argsort(-(pre @ pre[qi]))[:candidates]
+            rescored = pool[np.argsort(-(norm[pool] @ norm[qi]))]
+            got = [i for i in rescored if ids[i] != qi][:k]
+            recalls.append(len(set(exact) & set(got)) / k)
+        out[str(cd)] = round(float(np.mean(recalls)), 4)
+    return out
+
+
 if __name__ == "__main__":
     main()

@@ -671,6 +671,11 @@ def perplexity_buckets(
     scored = perplexity_scores(df, text_col, id_col, decimals=decimals).join(
         df.select(F.col(id_col), F.col(group_col)), id_col
     )
+    # read twice (tercile cuts + bucket labels); cache the scored rows so
+    # the whole bigram-LM pipeline doesn't run again for the second read
+    from pyspark import StorageLevel
+
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     w = Window.partitionBy(group_col).orderBy(F.col("ppl").asc(), F.col(id_col).asc())
     wg = Window.partitionBy(group_col)
     ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
