@@ -1383,6 +1383,60 @@ def _q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_range_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs moving_aggregates' ROWS frame): per
+    event, count and DECIMAL-exact value sum over the user's trailing
+    hour — rangeBetween on integer epoch-µs so both engines bound the
+    frame with the same integer compares."""
+    events = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("decimal(18,6)")
+        .alias("sum_last_hour"),
+    )
+
+
+def _q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms: tf from one token explode, df/idf from
+    a vocab-sized aggregate, idf = ln((N+1)/(df+1)) as one fixed double
+    tree over exact ints, per-doc rank window with term tiebreak (the
+    keyword-extraction stage of a search/labeling pipeline)."""
+    docs = _t(spark, sf_dir, "documents")
+    from morphik_core_spark.operators.dedup import normalize_text
+
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.filter(F.col("text").isNotNull()).agg(F.count(F.lit(1)).alias("n"))
+    idf = F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", "tf", F.round(F.col("tf") * idf, _SCORE_DECIMALS).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "score")
+    )
+
+
 def _q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
     orders, late lines (shipped 60+ days after order date) from suppliers
@@ -1578,6 +1632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_order_customers": _q_large_order_customers,
         "late_ship_priority": _q_late_ship_priority,
         "waiting_suppliers": _q_waiting_suppliers,
+        "range_window_agg": _q_range_window_agg,
+        "tfidf_topterms": _q_tfidf_topterms,
         "dsir_weights": _q_dsir_weights,
         "ppl_buckets": _q_ppl_buckets,
         "hard_negatives": _q_hard_negatives,
@@ -3288,6 +3344,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e2.vec_id, cid AS cluster_id, d.vec_id IS NULL AS kept
             FROM e2 LEFT JOIN d ON e2.vec_id = d.vec_id
+        """,
+        "range_window_agg": """
+            SELECT user_id, event_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(18,6)) AS sum_last_hour
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+            )
+        """,
+        "tfidf_topterms": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split({_NORM_TEXT}, ' ')) AS term
+                FROM documents WHERE text IS NOT NULL
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            df AS (
+                SELECT term, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+            ),
+            n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       ROUND(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), {_SCORE_DECIMALS}) AS score
+                FROM tf JOIN df USING (term), n
+            )
+            SELECT doc_id, rank, term, tf, score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term ASC
+                ) AS rank
+                FROM scored
+            ) WHERE rank <= 3
         """,
         "waiting_suppliers": """
             WITH fo AS (
