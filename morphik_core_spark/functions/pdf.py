@@ -198,12 +198,18 @@ def _extract_from_content(content: bytes, font_cmaps: dict | None = None) -> str
 
 
 def extract_pdf_text(data: bytes) -> str:
-    """PDF bytes → extracted text. Raises ValueError when the input is not
-    a PDF or yields no text (encrypted, image-only, CID-encoded, or an
-    unsupported filter) so callers can mark the row parse_failed instead
-    of silently indexing an empty document."""
+    """PDF bytes → extracted text. Standard-handler encrypted documents
+    (RC4 / AES-128, empty user password — the owner-locked kind) are
+    decrypted transparently via functions/pdf_crypt. Raises ValueError
+    when the input is not a PDF or yields no text (password-protected,
+    image-only, CID-encoded, or an unsupported filter) so callers can
+    mark the row parse_failed instead of silently indexing an empty
+    document."""
     if not looks_like_pdf(data):
         raise ValueError("not a PDF (missing %PDF- header)")
+    from morphik_core_spark.functions.pdf_crypt import decrypt_pdf
+
+    data = decrypt_pdf(data)
     parts: list[str] = []
     font_cmaps = _collect_font_cmaps(data)
     # streams WITH a dict go through the declared filter chain (Flate,
@@ -354,6 +360,9 @@ def extract_pdf_images(data: bytes) -> list:
     skipped (callers treat absence, not errors — same contract as the
     reference's best-effort page rendering).
     """
+    from morphik_core_spark.functions.pdf_crypt import decrypt_pdf
+
+    data = decrypt_pdf(data)
     import numpy as np
 
     if not looks_like_pdf(data):
