@@ -89,12 +89,36 @@ def test_unencrypted_passthrough_is_identity():
     assert decrypt_pdf(pdf) is pdf
 
 
-def test_unsupported_v5_raises():
+def test_v5_without_ue_raises():
+    # a V5 dict missing /UE (or with a short /U) must fail loudly, not
+    # produce garbage
     pdf = _pdf(b"BT (x) Tj ET")
     enc = encrypt_pdf(pdf, "rc4-128")
     bad = enc.replace(b"/V 2 /R 3", b"/V 5 /R 6")
-    with pytest.raises(ValueError, match="V 5"):
+    with pytest.raises(ValueError, match="UE"):
         decrypt_pdf(bad)
+
+
+@pytest.mark.parametrize("method", ["aes-256"])
+def test_aes256_v5_roundtrip_and_password(method):
+    pdf = _pdf(b"BT (v5 secret text) Tj ET")
+    enc = encrypt_pdf(pdf, method)
+    assert "v5 secret text" in extract_pdf_text(enc)
+    locked = encrypt_pdf(pdf, method, user_pw=b"pw")
+    with pytest.raises(ValueError, match="password"):
+        decrypt_pdf(locked)
+    assert "v5 secret text" in extract_pdf_text(decrypt_pdf(locked, password=b"pw"))
+
+
+def test_aes256_fips197_vector():
+    key = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ks = _expand_key(key)
+    ct = _aes_encrypt_block(ks, pt)
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert _aes_decrypt_block(ks, ct) == pt
 
 
 def test_encrypted_pdf_through_binary_source(spark, tmp_path):
