@@ -8,6 +8,10 @@ engine, so a reference user can switch workloads 1:1:
 - ``retrieve_docs``                    → POST /retrieve/docs (doc-level agg)
 - ``query``                            → POST /query (RAG completion, §3.2)
 - ``list_documents`` / ``get_document``→ listing surface (§2.6)
+- ``get_document_status``              → GET /documents/{id}/status
+- ``get_document_by_filename``         → GET /documents/filename/{name}
+- ``update_document_text``             → POST /documents/{id}/update_text
+- ``document_summary`` / ``upsert_document_summary`` → GET/PUT summary
 - ``update_document_metadata``         → metadata merge + snapshot rewrite
 - ``delete_document``                  → snapshot rewrite
 - ``move_folder``                      → folder subtree move
@@ -85,9 +89,12 @@ class MorphikSpark:
             return self.spark.createDataFrame([], _DOCS_SCHEMA)
         # the table is partitioned by app_id (tenant pruning + partition-
         # granularity upserts); re-select in schema order since parquet
-        # reads append partition columns at the end
-        cols = self.spark.createDataFrame([], _DOCS_SCHEMA).columns
-        return self.spark.read.parquet(p).select(*cols)
+        # reads append partition columns at the end, and CAST each column:
+        # a table whose only partition value is NULL infers the partition
+        # column as VOID, which poisons later partitioned writes
+        schema = self.spark.createDataFrame([], _DOCS_SCHEMA).schema
+        df = self.spark.read.parquet(p)
+        return df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
 
     def chunks(self) -> DataFrame:
         p = self._path("chunks")
@@ -363,6 +370,46 @@ class MorphikSpark:
         rows = self.documents().filter(F.col("external_id") == document_id).limit(1).collect()
         return rows[0].asDict(recursive=True) if rows else None
 
+    def get_document_status(self, document_id: str) -> dict | None:
+        """Lifecycle probe (reference GET /documents/{id}/status,
+        routes/documents.py:169-205): the status fields only — a cheap
+        poll that never hydrates metadata or chunks."""
+        rows = (
+            self.documents()
+            .filter(F.col("external_id") == document_id)
+            .select("external_id", "status", "filename", "created_at", "updated_at")
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return None
+        r = rows[0]
+        return {
+            "document_id": r.external_id,
+            "status": r.status,
+            "filename": r.filename,
+            "created_at": r.created_at,
+            "updated_at": r.updated_at,
+        }
+
+    def get_document_by_filename(
+        self, filename: str, auth: AuthContext | None = None
+    ) -> dict | None:
+        """Newest document with this filename (reference GET
+        /documents/filename/{filename}, routes/documents.py:259-293 —
+        'most recently updated wins' when filenames collide)."""
+        from morphik_core_spark.operators.scopes import access_predicate
+
+        docs = self.documents().filter(F.col("filename") == filename)
+        if auth is not None:
+            docs = docs.filter(access_predicate(auth))
+        rows = (
+            docs.orderBy(F.col("updated_at").desc(), F.col("external_id").asc())
+            .limit(1)
+            .collect()
+        )
+        return rows[0].asDict(recursive=True) if rows else None
+
     def search_documents_by_name(
         self,
         query: str,
@@ -424,6 +471,92 @@ class MorphikSpark:
             .withColumn("updated_at", F.lit(now))
         )
         self._merge_documents(updated)
+
+    def update_document_text(
+        self, document_id: str, content: str, filename: str | None = None
+    ) -> dict:
+        """Replace a document's content: re-clean, re-chunk, re-embed, swap
+        ONLY this document's chunks, bump updated_at (reference POST
+        /documents/{id}/update_text, routes/documents.py:397-440). The
+        documents-table mutation rides the partition-granularity merge;
+        the chunk swap is a filter + union snapshot (at 100 TB chunks are
+        bucketed by document_id — the swap touches one bucket's files)."""
+        doc = self.get_document(document_id)
+        if doc is None:
+            raise KeyError(document_id)
+        now = datetime.now(UTC).replace(tzinfo=None)
+        ok = bool(content and content.strip())
+        updated = (
+            self.documents()
+            .filter(F.col("external_id") == document_id)
+            .withColumn("updated_at", F.lit(now))
+            .withColumn("status", F.lit("completed" if ok else "failed"))
+        )
+        if filename is not None:
+            updated = updated.withColumn("filename", F.lit(filename))
+        kept = self.chunks().filter(F.col("document_id") != document_id)
+        if ok:
+            raw = self.spark.createDataFrame(
+                [(document_id, content)], "external_id string, text string"
+            ).withColumn("text", clean_control_chars(F.col("text")))
+            new_chunks = chunk_documents(
+                raw, text_col="text", id_col="external_id",
+                chunk_size=self.chunk_size, chunk_overlap=self.chunk_overlap,
+            ).select(
+                "document_id",
+                "chunk_number",
+                "content",
+                self._embed_udf(F.col("content")).alias("embedding"),
+                F.lit(doc["app_id"]).cast("string").alias("app_id"),
+                F.lit(doc["folder_path"]).cast("string").alias("folder_path"),
+            )
+            kept = kept.unionByName(new_chunks)
+        self._write_chunks(kept)
+        self._merge_documents(updated)
+        return self.get_document(document_id)
+
+    # ------------------------------------------------------------ summaries
+
+    def document_summary(self, document_id: str, summarizer: Callable[[str], str] | None = None) -> str:
+        """Stored summary, or generate-on-first-read (reference GET
+        /documents/{id}/summary, routes/documents.py:207-219 — generation
+        is the CompletionModel seam; the default is a deterministic
+        extractive head so the engine stays model-free)."""
+        p = self._path("summaries")
+        if os.path.exists(p):
+            rows = (
+                self.spark.read.parquet(p)
+                .filter(F.col("document_id") == document_id)
+                .limit(1)
+                .collect()
+            )
+            if rows:
+                return rows[0].summary
+        chunk_rows = (
+            self.chunks()
+            .filter(F.col("document_id") == document_id)
+            .orderBy("chunk_number")
+            .limit(1)
+            .collect()
+        )
+        if not chunk_rows:
+            raise KeyError(document_id)
+        text = chunk_rows[0].content
+        summary = (summarizer or (lambda t: " ".join(t.split()[:60])))(text)
+        self.upsert_document_summary(document_id, summary)
+        return summary
+
+    def upsert_document_summary(self, document_id: str, summary: str) -> None:
+        """Manual summary override (reference PUT /documents/{id}/summary)."""
+        p = self._path("summaries")
+        now = datetime.now(UTC).replace(tzinfo=None)
+        new = self.spark.createDataFrame(
+            [(document_id, summary, now)], "document_id string, summary string, updated_at timestamp"
+        )
+        if os.path.exists(p):
+            base = self.spark.read.parquet(p).filter(F.col("document_id") != document_id)
+            new = base.unionByName(new)
+        self._overwrite(new, "summaries", "document_id string, summary string, updated_at timestamp")
 
     def delete_document(self, document_id: str) -> None:
         self._write_documents(self.documents().filter(F.col("external_id") != document_id))

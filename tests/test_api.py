@@ -266,3 +266,56 @@ def test_min_score_ignored_by_default_applied_on_flag(spark, tmp_path):
     )
     assert len(applied) < len(ignored)
     assert all(r["score"] >= 0.99 for r in applied)
+
+
+def _mk(spark, path):
+    from pyspark.sql import functions as F  # noqa: F401 — used by tests below
+    return MorphikSpark(spark, str(path), chunk_size=120, chunk_overlap=12)
+
+
+def test_document_status_and_by_filename(spark, tmp_path):
+    m = _mk(spark, tmp_path / "api_status")
+    a = m.ingest_text("first version of the report", filename="report.txt")
+    m.ingest_text("unrelated", filename="other.txt")
+    st = m.get_document_status(a)
+    assert st["status"] == "completed" and st["filename"] == "report.txt"
+    assert m.get_document_status("nope") is None
+    # newest-wins on filename collision
+    c = m.ingest_text("second doc, same name", filename="report.txt")
+    got = m.get_document_by_filename("report.txt")
+    assert got["external_id"] == c
+    assert m.get_document_by_filename("missing.txt") is None
+
+
+def test_update_document_text_replaces_chunks_and_bumps(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    m = _mk(spark, tmp_path / "api_upd")
+    did = m.ingest_text("the original body about alpha topics", filename="d.txt")
+    other = m.ingest_text("untouched sibling document", filename="e.txt")
+    before = m.get_document(did)
+    out = m.update_document_text(did, "entirely new body about beta topics", filename="d2.txt")
+    assert out["filename"] == "d2.txt" and out["status"] == "completed"
+    assert out["updated_at"] >= before["updated_at"]
+    texts = [r.content for r in m.chunks().filter(F.col("document_id") == did).collect()]
+    assert texts and all("beta" in t for t in texts) and all("alpha" not in t for t in texts)
+    # sibling untouched; retrieval finds the new content
+    assert m.chunks().filter(F.col("document_id") == other).count() == 1
+    hits = m.retrieve_chunks("beta topics", k=1)
+    assert hits and hits[0]["document_id"] == did
+    with pytest.raises(KeyError):
+        m.update_document_text("missing", "x")
+
+
+def test_document_summary_generate_and_override(spark, tmp_path):
+    m = _mk(spark, tmp_path / "api_sum")
+    did = m.ingest_text("sentence one here. sentence two there. " * 30)
+    s1 = m.document_summary(did)
+    assert s1.startswith("sentence one here.")
+    assert len(s1.split()) <= 60
+    # stored: second read returns the same without regenerating
+    assert m.document_summary(did, summarizer=lambda t: "SHOULD NOT RUN") == s1
+    m.upsert_document_summary(did, "manual override")
+    assert m.document_summary(did) == "manual override"
+    with pytest.raises(KeyError):
+        m.document_summary("missing")
