@@ -1478,6 +1478,25 @@ def _q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit (the text-cleaning stage that makes
+    dedup see composed and combining forms as the same bytes). Every 3rd
+    doc gets a deliberately decomposed suffix (e+U+0301, i+U+0308) — the
+    ASCII corpus itself is NFC-invariant — so changed flags, char counts,
+    and the normalized-text digest all discriminate."""
+    from morphik_core_spark.operators.curation import unicode_normalization_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    suffix = " cafe\u0301 nai\u0308ve"  # combining acute / diaeresis (decomposed)
+    staged = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(suffix)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return unicode_normalization_stats(staged, "text", "doc_id")
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     bag-of-words models for target (source='src1') vs raw, per-doc log
@@ -1632,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_order_customers": _q_large_order_customers,
         "late_ship_priority": _q_late_ship_priority,
         "waiting_suppliers": _q_waiting_suppliers,
+        "nfc_normalize": _q_nfc_normalize,
         "range_window_agg": _q_range_window_agg,
         "tfidf_topterms": _q_tfidf_topterms,
         "dsir_weights": _q_dsir_weights,
@@ -3344,6 +3364,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e2.vec_id, cid AS cluster_id, d.vec_id IS NULL AS kept
             FROM e2 LEFT JOIN d ON e2.vec_id = d.vec_id
+        """,
+        "nfc_normalize": """
+            WITH staged AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+                            ELSE text END AS t
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id,
+                   nfc_normalize(t) <> t AS changed,
+                   length(t) AS len_before,
+                   length(nfc_normalize(t)) AS len_after,
+                   md5(nfc_normalize(t)) AS norm_md5
+            FROM staged
         """,
         "range_window_agg": """
             SELECT user_id, event_id,

@@ -54,6 +54,7 @@ __all__ = [
     "weighted_sample",
     "dsir_importance_weights",
     "dsir_resample",
+    "unicode_normalization_stats",
 ]
 
 # Gopher-inspired rule thresholds (Rae et al. 2021 A1.1), adapted to the
@@ -695,4 +696,41 @@ def perplexity_buckets(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("ppl").alias("min_ppl"),
         F.max("ppl").alias("max_ppl"),
+    )
+
+
+def unicode_normalization_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization audit + canonical form — the text-cleaning
+    stage that makes dedup/fingerprinting see 'café' (precomposed) and
+    'café' (combining accent) as the same bytes. Output per doc:
+    (id, changed, len_before, len_after, norm_md5).
+
+    Normalization itself is an Arrow-batched pandas UDF over
+    ``unicodedata.normalize`` (Spark has no built-in NFC); everything
+    derived from it — flags, lengths, digest — is codegen. Scale: pure
+    map, no shuffle; run it once at ingest and persist the normalized
+    column so every downstream pass reads canonical text.
+    """
+    # unannotated on purpose: stringified hints under `from __future__
+    # import annotations` break eval-type inference (NOTES round-2)
+    @F.pandas_udf("string")
+    def norm(texts):
+        import unicodedata
+
+        return texts.map(lambda t: unicodedata.normalize(form, t) if t is not None else None)
+
+    out = df.select(F.col(id_col), F.col(text_col).alias("_raw")).withColumn(
+        "_norm", norm(F.col("_raw"))
+    )
+    return out.select(
+        id_col,
+        (F.col("_norm") != F.col("_raw")).alias("changed"),
+        F.length("_raw").alias("len_before"),
+        F.length("_norm").alias("len_after"),
+        F.md5(F.col("_norm").cast("binary")).alias("norm_md5"),
     )

@@ -349,3 +349,21 @@ def test_perplexity_buckets_tercile_sizes_and_ranges(docs):
                 assert buckets["head"].max_ppl <= buckets["middle"].min_ppl
             if "middle" in buckets and "tail" in buckets:
                 assert buckets["middle"].max_ppl <= buckets["tail"].min_ppl
+
+
+def test_unicode_normalization_stats_nfc(spark):
+    rows = [
+        (1, "plain ascii"),
+        (2, "cafe\u0301 combining"),      # NFC shortens: e+U+0301 -> é
+        (3, "caf\u00e9 precomposed"),     # already NFC
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curation.unicode_normalization_stats(df, "text", "doc_id").collect()}
+    assert out[1].changed is False and out[1].len_before == out[1].len_after
+    assert out[2].changed is True and out[2].len_after == out[2].len_before - 1
+    assert out[3].changed is False
+    # composed and decomposed inputs converge to the same digest
+    df2 = spark.createDataFrame([(9, "cafe\u0301"), (10, "caf\u00e9")], "doc_id long, text string")
+    got = {r.doc_id: r.norm_md5 for r in curation.unicode_normalization_stats(df2, "text", "doc_id").collect()}
+    assert got[9] == got[10]
