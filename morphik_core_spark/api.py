@@ -515,6 +515,33 @@ class MorphikSpark:
         self._merge_documents(updated)
         return self.get_document(document_id)
 
+    def update_document_file(self, document_id: str, payload: bytes, filename: str) -> dict:
+        """Replace a document's content from a FILE (reference POST
+        /documents/{id}/update_file, routes/documents.py:442-484): the
+        payload runs through the exact binary-source routing — compressed
+        unwrap, MIME inference, format parse with row-level isolation —
+        then the update_text swap. A payload that fails to parse marks
+        the document failed (its old chunks are removed, matching the
+        reference's failed-reprocess state), never raises mid-pipeline."""
+        from morphik_core_spark.sources.binary import files_to_raw_docs
+
+        doc = self.get_document(document_id)
+        if doc is None:
+            raise KeyError(document_id)
+        files = self.spark.createDataFrame([(filename, payload)], "path string, content binary")
+        row = files_to_raw_docs(files).collect()[0]
+        out = self.update_document_text(
+            document_id, row.text if row.parse_status == "ok" and row.text else "", filename=row.filename
+        )
+        ct = (
+            self.documents()
+            .filter(F.col("external_id") == document_id)
+            .withColumn("content_type", F.lit(row.content_type).cast("string"))
+        )
+        self._merge_documents(ct)
+        out["content_type"] = row.content_type
+        return out
+
     # ------------------------------------------------------------ summaries
 
     def document_summary(self, document_id: str, summarizer: Callable[[str], str] | None = None) -> str:

@@ -319,3 +319,28 @@ def test_document_summary_generate_and_override(spark, tmp_path):
     assert m.document_summary(did) == "manual override"
     with pytest.raises(KeyError):
         m.document_summary("missing")
+
+
+def test_update_document_file_parses_and_swaps(spark, tmp_path):
+    import zlib
+
+    m = _mk(spark, tmp_path / "api_updf")
+    did = m.ingest_text("old plain body", filename="doc.txt")
+
+    def _obj(n, d, p):
+        return b"%d 0 obj << %s /Length %d >> stream\n%s\nendstream endobj\n" % (n, d, len(p), p)
+
+    pdf = (
+        b"%PDF-1.4\n"
+        + _obj(1, b"/Filter /FlateDecode", zlib.compress(b"BT (replacement pdf body) Tj ET"))
+        + b"%%EOF"
+    )
+    out = m.update_document_file(did, pdf, "doc.pdf")
+    assert out["content_type"] == "application/pdf" and out["status"] == "completed"
+    hits = m.retrieve_chunks("replacement pdf", k=1)
+    assert hits and hits[0]["document_id"] == did
+    # corrupt payload -> failed, old chunks gone, no exception
+    out2 = m.update_document_file(did, b"\x00garbage", "doc.pdf")
+    assert out2["status"] == "failed"
+    from pyspark.sql import functions as F
+    assert m.chunks().filter(F.col("document_id") == did).count() == 0
