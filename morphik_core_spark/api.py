@@ -542,6 +542,44 @@ class MorphikSpark:
         out["content_type"] = row.content_type
         return out
 
+    def get_document_content(self, document_id: str) -> str:
+        """Reconstruct the document's stored text from its chunks in order
+        (the engine analog of GET /documents/{id}/file — the reference
+        streams stored bytes from S3, routes/documents.py:334-394; this
+        engine's stored form IS the chunk table). Overlap-aware: chunking
+        prepends the previous chunk's tail, so the join strips the
+        ``chunk_overlap`` prefix from every chunk after the first."""
+        rows = (
+            self.chunks()
+            .filter(F.col("document_id") == document_id)
+            .orderBy("chunk_number")
+            .select("content")
+            .collect()
+        )
+        if not rows:
+            raise KeyError(document_id)
+        # the splitter's overlap COMPOUNDS with recursion depth (reference
+        # quirk, functions/chunking.py), so a fixed-width strip is wrong:
+        # de-overlap by the longest chunk prefix that is a suffix of the
+        # text reconstructed so far — exact by construction, since every
+        # prepended context IS the previous chunk's tail
+        acc = rows[0].content
+        for r in rows[1:]:
+            c = r.content
+            # compounding prepends the SAME tail once per recursion level,
+            # so strip matching copies until the prefix is fresh content
+            # (exact unless the document genuinely repeats its own chunk
+            # boundary — the inherent ambiguity of overlap-joined storage)
+            while True:
+                k = min(len(c), len(acc))
+                while k > 0 and not acc.endswith(c[:k]):
+                    k -= 1
+                if k == 0:
+                    break
+                c = c[k:]
+            acc += c
+        return acc
+
     # ------------------------------------------------------------ summaries
 
     def document_summary(self, document_id: str, summarizer: Callable[[str], str] | None = None) -> str:

@@ -37,6 +37,9 @@ __all__ = [
     "knn_sq8",
     "hard_negatives",
     "knn_matryoshka",
+    "write_ivf_layout",
+    "probe_list_ids",
+    "knn_ivf_partitioned",
 ]
 
 
@@ -565,3 +568,68 @@ def knn_matryoshka(
     if decimals is not None:
         rescored = rescored.withColumn("score", F.round("score", decimals))
     return rescored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def write_ivf_layout(
+    embeddings: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    path: str,
+    emb_col: str = "embedding",
+) -> None:
+    """Materialize the at-rest IVF layout: nearest-centroid assignment
+    (pure map) + parquet partitioned by ``ivf_cid`` — one directory per
+    inverted list, so probes prune at the FILE level like a pgvector
+    ivfflat / FAISS IVF index scan. This is the physical half of the
+    `knn_ivf` docstring's scale story; `knn_ivf_partitioned` is the
+    matching read path and the pruning is test-asserted via inputFiles.
+    """
+    ivf_assign(embeddings, centroids, emb_col=emb_col).write.mode("overwrite").partitionBy(
+        "ivf_cid"
+    ).parquet(path)
+
+
+def probe_list_ids(
+    query_vector: Sequence[float],
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    n_probes: int,
+    decimals: int = 6,
+) -> list[int]:
+    """Driver-side twin of the query-probe selection in `knn_ivf`: the
+    ids of the ``n_probes`` centroids nearest the query (rounded cosine,
+    ties to the smaller cid) — the values a partitioned scan prunes on."""
+    q = [float(x) for x in query_vector]
+    qn = math.sqrt(sum(x * x for x in q))
+    scored = []
+    for cid, cv in centroids:
+        cn = math.sqrt(sum(float(x) * float(x) for x in cv))
+        cos = sum(a * float(b) for a, b in zip(q, cv)) / (qn * cn)
+        scored.append((round(cos, decimals), -cid))
+    scored.sort(reverse=True)
+    return [-n for _, n in scored[:n_probes]]
+
+
+def knn_ivf_partitioned(
+    spark,
+    path: str,
+    query_vector: Sequence[float],
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    k: int,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    decimals: int | None = 6,
+) -> DataFrame:
+    """IVF search against the partitioned layout: read ONLY the probed
+    list partitions (`ivf_cid` is a partition column, so the isin filter
+    becomes a PartitionFilter — untouched lists contribute zero input
+    files), exact-rescore the probed fraction, top-k."""
+    probes = probe_list_ids(query_vector, centroids, n_probes, decimals=decimals or 6)
+    df = spark.read.parquet(path).filter(F.col("ivf_cid").isin(probes))
+    q = F.lit([float(x) for x in query_vector]).cast("array<double>")
+    scored = df.select(
+        id_col,
+        retrieval_score(F.col(emb_col).cast("array<double>"), q).alias("score"),
+    )
+    if decimals is not None:
+        scored = scored.withColumn("score", F.round("score", decimals))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -344,3 +344,13 @@ def test_update_document_file_parses_and_swaps(spark, tmp_path):
     assert out2["status"] == "failed"
     from pyspark.sql import functions as F
     assert m.chunks().filter(F.col("document_id") == did).count() == 0
+
+
+def test_get_document_content_roundtrips_ingested_text(spark, tmp_path):
+    m = _mk(spark, tmp_path / "api_content")
+    body = "word%d " * 1  # placeholder, built below
+    body = " ".join(f"token{i}" for i in range(400)) + "."
+    did = m.ingest_text(body)
+    assert m.get_document_content(did) == body
+    with pytest.raises(KeyError):
+        m.get_document_content("missing")

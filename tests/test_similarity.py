@@ -247,3 +247,40 @@ def test_matryoshka_plan_is_two_takeordered_no_exchange(spark, emb_df):
     plan = similarity.knn_matryoshka(df, rows[0][1], 5, 4, 20)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("TakeOrderedAndProject") == 2
     assert "PythonUDF" not in plan
+
+
+def test_ivf_partitioned_layout_prunes_files_and_matches_inmemory(spark, emb_df, tmp_path):
+    df, rows = emb_df
+    centroids = [(i, rows[i][1]) for i in range(1, 9)]
+    path = str(tmp_path / "ivf_layout")
+    similarity.write_ivf_layout(df, centroids, path)
+
+    qv = rows[0][1]
+    got = similarity.knn_ivf_partitioned(spark, path, qv, centroids, k=5, n_probes=2)
+    # pruning is physical: the runtime file set (input_file_name during
+    # execution — inputFiles() reports the PRE-pruning relation) touches
+    # only the probed lists' directories
+    probed = set(similarity.probe_list_ids(qv, centroids, 2))
+    from pyspark.sql import functions as F
+    read_files = [
+        r.f
+        for r in spark.read.parquet(path)
+        .filter(F.col("ivf_cid").isin(list(probed)))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    assert read_files
+    assert all(any(f"ivf_cid={cid}" in f for cid in probed) for f in read_files)
+    all_files = spark.read.parquet(path).inputFiles()
+    assert len(read_files) < len(all_files)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cid" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # same answers as the in-memory knn_ivf on identical centroids/probes
+    q = spark.createDataFrame([(0, qv)], "q_id long, qv array<double>")
+    expect = sorted(
+        (r.vec_id, r.score)
+        for r in similarity.knn_ivf(df, centroids, q, k=5, n_probes=2).collect()
+    )
+    assert sorted((r.vec_id, r.score) for r in got.collect()) == expect
