@@ -1497,6 +1497,76 @@ def _q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unicode_normalization_stats(staged, "text", "doc_id")
 
 
+def _q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix vs the labeled lang column — the
+    accuracy diagnostic run after any classifier-ish curation stage
+    (rows: true lang x predicted lang with counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = text_analysis.language_id(docs, "text", "doc_id")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup rate per source domain — the corpus-health diagnostic
+    that decides which crawl sources need harder dedup: docs touched by
+    any banded-LSH candidate pair, as a fraction of the source's docs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _q_lsh_pairs(spark, sf_dir)
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    flagged = docs.select("doc_id", "source").join(
+        dup_ids.withColumn("is_dup", F.lit(1)), "doc_id", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup"),
+        F.round(
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            _SCORE_DECIMALS,
+        ).alias("dup_rate"),
+    )
+
+
+def _q_semantic_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit per IVF cluster: vectors whose cosine
+    to their OWN nearest centroid falls below a floor are cleaning
+    candidates (mislabeled/garbage embeddings). Per-cluster counts and an
+    exact average from micro-int sums (engine- and order-independent)."""
+    from morphik_core_spark.operators.similarity import _argmax_centroid_sql
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _centroids(spark, sf_dir)
+    arr = _argmax_centroid_sql(
+        "cast(`embedding` as array<double>)",
+        "sqrt(aggregate(zip_with(cast(`embedding` as array<double>), cast(`embedding` as array<double>), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x))",
+        cents,
+        _SCORE_DECIMALS,
+    )
+    assigned = emb.select(
+        "vec_id",
+        F.expr(f"-array_max({arr}).n").alias("cluster_id"),
+        F.expr(f"array_max({arr}).c").alias("cos"),
+    ).withColumn("cos_micro", F.expr("CAST(round(cos * 1000000.0, 0) AS BIGINT)"))
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("cos") < 0.2, 1).otherwise(0)).alias("n_outliers"),
+        F.round(
+            F.sum("cos_micro").cast("double") / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0)),
+            _SCORE_DECIMALS,
+        ).alias("avg_cos"),
+        F.min("cos").alias("min_cos"),
+    )
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     bag-of-words models for target (source='src1') vs raw, per-doc log
@@ -1652,6 +1722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_ship_priority": _q_late_ship_priority,
         "waiting_suppliers": _q_waiting_suppliers,
         "nfc_normalize": _q_nfc_normalize,
+        "langid_confusion": _q_langid_confusion,
+        "dup_rate_by_source": _q_dup_rate_by_source,
+        "semantic_outliers": _q_semantic_outliers,
         "range_window_agg": _q_range_window_agg,
         "tfidf_topterms": _q_tfidf_topterms,
         "dsir_weights": _q_dsir_weights,
@@ -3364,6 +3437,70 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e2.vec_id, cid AS cluster_id, d.vec_id IS NULL AS kept
             FROM e2 LEFT JOIN d ON e2.vec_id = d.vec_id
+        """,
+        "langid_confusion": f"""
+            WITH {_TOKENS_CTE},
+            s AS (
+                SELECT doc_id,
+                       len(list_filter(tk, x -> list_contains({_STOPLIST['en']}, x))) AS s_en,
+                       len(list_filter(tk, x -> list_contains({_STOPLIST['de']}, x))) AS s_de,
+                       len(list_filter(tk, x -> list_contains({_STOPLIST['fr']}, x))) AS s_fr
+                FROM tk
+            ),
+            pred AS (
+                SELECT doc_id,
+                       CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                            WHEN s_de >= s_fr THEN 'de'
+                            ELSE 'fr' END AS pred_lang
+                FROM s
+            )
+            SELECT d.lang, p.pred_lang, count(*) AS n
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY 1, 2
+        """,
+        "dup_rate_by_source": f"""
+            {_lsh_ctes()},
+            dup AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT id_a AS doc_id FROM cand
+                    UNION ALL SELECT id_b FROM cand
+                )
+            )
+            SELECT d.source, count(*) AS n_docs,
+                   CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                   ROUND(CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), {_SCORE_DECIMALS}) AS dup_rate
+            FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+            GROUP BY d.source
+        """,
+        "semantic_outliers": f"""
+            WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                          FROM embeddings WHERE vec_id BETWEEN 1 AND {_IVF_LISTS}),
+            scored AS (
+                SELECT e.vec_id, c.cid,
+                       ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv) /
+                           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                            sqrt(list_dot_product(c.cv, c.cv))), {_SCORE_DECIMALS}) AS cos,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv) /
+                               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                                sqrt(list_dot_product(c.cv, c.cv))), {_SCORE_DECIMALS}) DESC,
+                               c.cid ASC
+                       ) AS rn
+                FROM embeddings e, cent c
+            ),
+            a AS (
+                SELECT vec_id, cid AS cluster_id, cos,
+                       CAST(round(cos * 1000000.0, 0) AS BIGINT) AS cos_micro
+                FROM scored WHERE rn = 1
+            )
+            SELECT cluster_id, count(*) AS n,
+                   CAST(SUM(CASE WHEN cos < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   ROUND(CAST(CAST(SUM(cos_micro) AS BIGINT) AS DOUBLE)
+                         / (CAST(count(*) AS DOUBLE) * 1000000.0), {_SCORE_DECIMALS}) AS avg_cos,
+                   MIN(cos) AS min_cos
+            FROM a GROUP BY cluster_id
         """,
         "nfc_normalize": """
             WITH staged AS (
