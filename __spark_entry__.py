@@ -1630,10 +1630,177 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_sums(narrow, dims=16, scale_bits=10)
 
 
+def _q_in_transit_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big×big point-in-interval join via bucket decomposition — the
+    range-join restatement Spark lacks natively (Trino/Databricks range
+    hints do the same): each lineitem carries a bounded ship→receipt
+    interval (receipt synthesized as ship + 1 + l_suppkey%28 days), each
+    distinct order date is a probe point, and the join runs as a plain
+    hash equi-join on 32-day buckets with the exact BETWEEN as residual.
+    Per order date: in-transit line count + DECIMAL-exact quantity sum.
+    The day axis is integer (days since 1992-01-01) so bucket arithmetic
+    and residual compares are exact on both engines."""
+    from morphik_core_spark.operators.asof import interval_point_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    epoch = F.lit("1992-01-01").cast("date")
+    lo = F.datediff(F.col("l_shipdate"), epoch)
+    ivals = li.select(
+        lo.alias("lo_day"),
+        (lo + 1 + (F.col("l_suppkey") % 28).cast("int")).alias("hi_day"),
+        F.col("l_quantity").cast("decimal(18,4)").alias("qty"),
+    )
+    pts = orders.select(F.datediff(F.col("o_orderdate"), epoch).alias("day")).distinct()
+    joined = interval_point_join(pts, ivals, "day", "lo_day", "hi_day", bucket_width=32)
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_open"),
+            F.round(F.sum(F.col("qty")).cast("double"), 4).alias("qty_sum"),
+        )
+        .select(
+            F.date_add(epoch, F.col("day").cast("int")).alias("d"),
+            "n_open",
+            "qty_sum",
+        )
+    )
+
+
+def _q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-overlap sketches between crawl sources: per source, the
+    k=128 smallest distinct shingle hashes; per source pair, estimated
+    distinct counts, union, k-min Jaccard, and estimated intersection —
+    'how much of crawl B is already in crawl A' without joining corpora
+    (Beyer et al. 2007). Sketches are keys×k rows, so every pair join is
+    broadcast-sized; hashes are exact ints, estimates fixed double trees."""
+    from morphik_core_spark.operators.dedup import word_shingles
+    from morphik_core_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "text", "source", n=3)
+    sk = kmv_sketch(sh, "source", "shingle", k=128)
+    return kmv_overlap(sk, "source", k=128)
+
+
+def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-page cleaning (Raffel et al. 2020 §2.2): terminal-
+    punctuation + min-word line filter, lorem-ipsum / curly-brace page
+    flags, 3-kept-lines page rule — pure codegen array pipeline, zero
+    shuffles. The single-line corpus is re-lined deterministically
+    (6-token windows, so the 5-word line rule can actually pass), ~3/4 of
+    lines get terminal punctuation by md5 parity, and every 37th/41st doc
+    gets a lorem-ipsum / curly-brace line so every rule fires both ways."""
+    from morphik_core_spark.operators.curation import c4_line_filters
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    synth = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("tk"),
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.expr(
+                "transform(transform(sequence(0, int(ceil(size(tk)/6.0)) - 1), "
+                "i -> concat_ws(' ', slice(tk, i*6+1, 6))), "
+                "l -> CASE WHEN locate(substr(md5(l), 1, 1), '0123456789ab') > 0 "
+                "THEN l || '.' ELSE l END)"
+            ),
+        ).alias("t"),
+    )
+    synth = synth.select(
+        "doc_id",
+        F.concat(
+            F.col("t"),
+            F.when(F.col("doc_id") % 37 == 0, F.lit("\nlorem ipsum filler text here okay.")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 41 == 0, F.lit("\ncode sample { return x; } done.")).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return c4_line_filters(synth, "t", "doc_id")
+
+
+def _q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic uniform 10-sample (distributed reservoir
+    analog): k smallest exact cross-engine uniforms per language — the
+    'eyeball N docs per stratum' curation step, reproducible across
+    runs/engines/partitionings. Complements weighted_sample (global,
+    weight-proportional) and group_topn (ordered, not uniform)."""
+    from morphik_core_spark.operators.curation import group_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_sample(docs, "doc_id", "lang", k=10)
+
+
+def _q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration audit for the dedup stack: per banded-LSH
+    candidate pair, the signature-estimated Jaccard (fraction of the 8
+    MinHash values that agree) vs the exact shingle Jaccard, plus the
+    absolute error — the query you run before trusting a (bands, rows)
+    configuration at 100 TB. Exact-side shingle joins are restricted to
+    the candidate pairs, so the audit stays inside the blocked set."""
+    sigs = _q_minhash_signatures(spark, sf_dir)
+    cand = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", bands=_LSH_BANDS, rows_per_band=_LSH_ROWS, max_bucket_size=_LSH_MAX_BUCKET
+    )
+    sig_a = sigs.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)])
+    sig_b = sigs.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)])
+    agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8))
+    est = cand.join(sig_a, "id_a").join(sig_b, "id_b").select(
+        "id_a", "id_b", (agree.cast("double") / F.lit(8.0)).alias("est_j")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "text", "doc_id", n=3)
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    out = (
+        est.join(common, ["id_a", "id_b"], "left")
+        .join(sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("common", F.coalesce(F.col("common"), F.lit(0)))
+    )
+    exact = F.col("common") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    est_r = F.round(F.col("est_j"), _SCORE_DECIMALS)
+    exact_r = F.round(exact, _SCORE_DECIMALS)
+    return out.select(
+        "id_a",
+        "id_b",
+        est_r.alias("est_jaccard"),
+        exact_r.alias("exact_jaccard"),
+        F.round(F.abs(est_r - exact_r), _SCORE_DECIMALS).alias("abs_err"),
+    )
+
+
+def _q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard plan: hash-shard + hash-order = the
+    global shuffle for training output (one repartition shuffle at any
+    scale, append-stable). Output is the per-shard audit: doc count,
+    token sum, distinct sources, order-key range over 16 shards."""
+    from morphik_core_spark.operators.curation import training_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return training_shards(docs, "doc_id", "n_chars", "source", n_shards=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
         "hydration_join": _q_hydration_join,
+        "in_transit_by_day": _q_in_transit_by_day,
+        "kmv_source_overlap": _q_kmv_source_overlap,
+        "c4_filters": _q_c4_filters,
+        "group_sample": _q_group_sample,
+        "minhash_calibration": _q_minhash_calibration,
+        "training_shards": _q_training_shards,
         "topk_cosine": _q_topk_cosine,
         "doc_max_score": _q_doc_max_score,
         "status_counts": _q_status_counts,
@@ -2030,6 +2197,200 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, o_orderdate, o_orderpriority,
                    ROUND(l_extendedprice, 2) AS price
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "training_shards": """
+            WITH assigned AS (
+                SELECT CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % 16 AS shard,
+                       CAST(('0x' || substr(md5('shard:o:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % 1073741824 AS order_key,
+                       n_chars AS tokens, source AS grp
+                FROM documents
+            )
+            SELECT shard, count(*) AS n_docs,
+                   CAST(SUM(tokens) AS BIGINT) AS tokens,
+                   count(DISTINCT grp) AS n_groups,
+                   min(order_key) AS min_key, max(order_key) AS max_key
+            FROM assigned GROUP BY shard
+        """,
+        "minhash_calibration": f"""
+            {_lsh_ctes()},
+            est AS (
+                SELECT c.id_a, c.id_b,
+                       (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END
+                      + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
+                      + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END
+                      + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END
+                      + CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END
+                      + CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END
+                      + CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END
+                      + CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) / 8.0 AS est_j
+                FROM cand c JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b
+            ),
+            common AS (
+                SELECT c.id_a, c.id_b, count(*) AS common
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.id_a
+                JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+                GROUP BY c.id_a, c.id_b
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+            SELECT e.id_a, e.id_b,
+                   ROUND(e.est_j, {_SCORE_DECIMALS}) AS est_jaccard,
+                   ROUND(COALESCE(cm.common, 0) * 1.0
+                         / (sa.sz + sb.sz - COALESCE(cm.common, 0)), {_SCORE_DECIMALS}) AS exact_jaccard,
+                   ROUND(ABS(ROUND(e.est_j, {_SCORE_DECIMALS})
+                             - ROUND(COALESCE(cm.common, 0) * 1.0
+                                     / (sa.sz + sb.sz - COALESCE(cm.common, 0)), {_SCORE_DECIMALS})),
+                         {_SCORE_DECIMALS}) AS abs_err
+            FROM est e
+            LEFT JOIN common cm ON cm.id_a = e.id_a AND cm.id_b = e.id_b
+            JOIN sz sa ON sa.doc_id = e.id_a
+            JOIN sz sb ON sb.doc_id = e.id_b
+        """,
+        "group_sample": """
+            WITH keyed AS (
+                SELECT lang, doc_id,
+                       (CAST(('0x' || substr(md5('gs:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                            % 1073741824 + 1) / 1073741824.0 AS u
+                FROM documents
+            ),
+            r AS (
+                SELECT lang, doc_id, u,
+                       row_number() OVER (PARTITION BY lang ORDER BY u ASC, doc_id ASC) AS rk
+                FROM keyed
+            )
+            SELECT lang, doc_id, ROUND(u, 6) AS u, rk FROM r WHERE rk <= 10
+        """,
+        "c4_filters": """
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS tk
+                FROM documents WHERE text IS NOT NULL AND len(text) > 0
+            ),
+            relined AS (
+                SELECT doc_id,
+                       string_agg(
+                           CASE WHEN strpos('0123456789ab', substr(md5(ln), 1, 1)) > 0
+                                THEN ln || '.' ELSE ln END,
+                           chr(10) ORDER BY i) AS t
+                FROM (
+                    SELECT doc_id, i,
+                           array_to_string(tk[i*6+1 : i*6+6], ' ') AS ln
+                    FROM base,
+                         LATERAL (SELECT unnest(generate_series(0,
+                             CAST(ceil(len(tk)/6.0) AS INT) - 1)) AS i) g
+                )
+                GROUP BY doc_id
+            ),
+            synth AS (
+                SELECT doc_id,
+                       t || CASE WHEN doc_id % 37 = 0
+                                 THEN chr(10) || 'lorem ipsum filler text here okay.' ELSE '' END
+                         || CASE WHEN doc_id % 41 = 0
+                                 THEN chr(10) || 'code sample { return x; } done.' ELSE '' END AS t
+                FROM relined
+            ),
+            split2 AS (
+                SELECT doc_id, t, string_split(t, chr(10)) AS lns,
+                       list_filter(string_split(t, chr(10)),
+                           l -> regexp_matches(l, '[.!?"]$')
+                                AND len(string_split(l, ' ')) >= 5) AS kept
+                FROM synth
+            )
+            SELECT doc_id,
+                   len(lns) AS n_lines,
+                   len(kept) AS n_kept,
+                   CAST(len(COALESCE(array_to_string(kept, chr(10)), '')) AS INT) AS clean_chars,
+                   contains(lower(t), 'lorem ipsum') AS has_lorem,
+                   contains(t, '{') AS has_brace,
+                   (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+                        AND NOT contains(t, '{')) AS doc_pass,
+                   COALESCE(array_to_string(kept, chr(10)), '') AS text_clean
+            FROM split2
+        """,
+        # estimator mirrored as the same fixed double tree: exact count below
+        # k, else (k-1)*2^30/kth — 127*2^30 is exactly representable so the
+        # only inexact op is the final division, identical on both engines
+        "kmv_source_overlap": f"""
+            WITH tks AS (SELECT source, string_split({_NORM_TEXT}, ' ') AS tk FROM documents),
+            shs AS (
+                SELECT source, unnest(list_distinct(list_transform(
+                    range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+                FROM tks WHERE len(tk) >= 3
+            ),
+            hv AS (
+                SELECT DISTINCT source,
+                       CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741824 AS v
+                FROM shs
+            ),
+            sk AS (
+                SELECT source, v,
+                       row_number() OVER (PARTITION BY source ORDER BY v ASC) AS rk
+                FROM hv QUALIFY rk <= 128
+            ),
+            per_key AS (SELECT source, count(*) AS cnt, max(v) AS kth FROM sk GROUP BY source),
+            pairs AS (
+                SELECT a.source AS ka, b.source AS kb,
+                       a.cnt AS cnt_a, a.kth AS kth_a, b.cnt AS cnt_b, b.kth AS kth_b
+                FROM per_key a JOIN per_key b ON a.source < b.source
+            ),
+            pv AS (
+                SELECT DISTINCT ka, kb, v FROM (
+                    SELECT p.ka, p.kb, s.v FROM pairs p JOIN sk s ON s.source = p.ka
+                    UNION ALL
+                    SELECT p.ka, p.kb, s.v FROM pairs p JOIN sk s ON s.source = p.kb
+                )
+            ),
+            merged AS (
+                SELECT ka, kb, v,
+                       row_number() OVER (PARTITION BY ka, kb ORDER BY v ASC) AS rk
+                FROM pv QUALIFY rk <= 128
+            ),
+            flagged AS (
+                SELECT m.ka, m.kb, m.v,
+                       CASE WHEN sa.v IS NOT NULL AND sb.v IS NOT NULL THEN 1 ELSE 0 END AS both_in
+                FROM merged m
+                LEFT JOIN sk sa ON sa.source = m.ka AND sa.v = m.v
+                LEFT JOIN sk sb ON sb.source = m.kb AND sb.v = m.v
+            ),
+            ustats AS (
+                SELECT ka, kb, count(*) AS cnt_u, max(v) AS kth_u,
+                       CAST(SUM(both_in) AS BIGINT) AS match_k
+                FROM flagged GROUP BY ka, kb
+            )
+            SELECT p.ka, p.kb,
+                   ROUND(CASE WHEN p.cnt_a < 128 THEN CAST(p.cnt_a AS DOUBLE)
+                              ELSE 127.0 * 1073741824.0 / CAST(p.kth_a AS DOUBLE) END, 4) AS est_distinct_a,
+                   ROUND(CASE WHEN p.cnt_b < 128 THEN CAST(p.cnt_b AS DOUBLE)
+                              ELSE 127.0 * 1073741824.0 / CAST(p.kth_b AS DOUBLE) END, 4) AS est_distinct_b,
+                   ROUND(CASE WHEN u.cnt_u < 128 THEN CAST(u.cnt_u AS DOUBLE)
+                              ELSE 127.0 * 1073741824.0 / CAST(u.kth_u AS DOUBLE) END, 4) AS est_union,
+                   u.match_k,
+                   ROUND(CAST(u.match_k AS DOUBLE) / CAST(least(128, u.cnt_u) AS DOUBLE), 6) AS est_jaccard,
+                   ROUND((CAST(u.match_k AS DOUBLE) / CAST(least(128, u.cnt_u) AS DOUBLE)) *
+                         (CASE WHEN u.cnt_u < 128 THEN CAST(u.cnt_u AS DOUBLE)
+                               ELSE 127.0 * 1073741824.0 / CAST(u.kth_u AS DOUBLE) END), 4) AS est_intersection
+            FROM pairs p JOIN ustats u ON p.ka = u.ka AND p.kb = u.kb
+        """,
+        # oracle is the NAIVE theta join (BETWEEN) — it verifies the bucket
+        # decomposition produces exactly the rows the direct range join would
+        "in_transit_by_day": """
+            WITH iv AS (
+                SELECT datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS lo_day,
+                       datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+                           + 1 + CAST(l_suppkey % 28 AS INT) AS hi_day,
+                       CAST(l_quantity AS DECIMAL(18,4)) AS qty
+                FROM lineitem
+            ),
+            pts AS (
+                SELECT DISTINCT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day
+                FROM orders
+            )
+            SELECT DATE '1992-01-01' + CAST(day AS INT) AS d,
+                   count(*) AS n_open,
+                   ROUND(CAST(SUM(qty) AS DOUBLE), 4) AS qty_sum
+            FROM pts JOIN iv ON day BETWEEN lo_day AND hi_day
+            GROUP BY day
         """,
         "topk_cosine": f"""
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})

@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["asof_backward", "asof_forward", "asof_nearest", "at_time_padding"]
+__all__ = [
+    "asof_backward",
+    "asof_forward",
+    "asof_nearest",
+    "at_time_padding",
+    "interval_point_join",
+]
 
 
 def _us(col: Column) -> Column:
@@ -156,4 +162,56 @@ def at_time_padding(
             & (F.col(f"s.{series_ts}") <= F.col("w.win_end")),
         )
         .select(F.col(f"w.{probe_id}").alias(probe_id), F.col(f"s.{series_ts}").alias("matched_ts"))
+    )
+
+
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int = 32,
+) -> DataFrame:
+    """Point-in-interval join via bucket decomposition — the equi-join
+    restatement of ``p BETWEEN lo AND hi`` that survives big×big inputs.
+
+    Spark has no native range join; a raw theta join compiles to
+    BroadcastNestedLoopJoin (driver-bound) or a cartesian shuffle. The
+    classic fix (Trino/Databricks range-join hints do the same under the
+    hood): quantize the point axis into fixed-width buckets, explode each
+    interval into the buckets it covers, map each point to its single
+    bucket, equi-join on the bucket id, then re-apply the exact range
+    predicate as a residual filter. Per-interval fan-out is
+    ``len/width + 1`` rows, so for bounded interval lengths the plan is a
+    plain hash equi-join shuffle — both sides can be 100 TB.
+
+    ``point_col``/``lo_col``/``hi_col`` must already be integers on a
+    shared axis (day numbers, epoch seconds, ids); keeping the axis
+    integral keeps the bucket arithmetic and the residual compare exact
+    on every engine. Inclusive on both ends, NULL bounds never match.
+
+    Returns all points columns + all intervals columns (inner join;
+    aggregate on top). Pick ``bucket_width`` ≈ the typical interval
+    length: smaller → more fan-out rows, larger → more residual misses.
+    """
+    def _floor_bucket(c):
+        c = c.cast("long")
+        return c - F.pmod(c, F.lit(bucket_width))
+
+    p = points.withColumn("_b", _floor_bucket(F.col(point_col)))
+    i = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                _floor_bucket(F.col(lo_col)),
+                _floor_bucket(F.col(hi_col)),
+                F.lit(bucket_width),
+            )
+        ),
+    )
+    return (
+        p.join(i, on="_b", how="inner")
+        .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col)))
+        .drop("_b")
     )

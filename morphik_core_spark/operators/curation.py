@@ -55,6 +55,9 @@ __all__ = [
     "dsir_importance_weights",
     "dsir_resample",
     "unicode_normalization_stats",
+    "c4_line_filters",
+    "group_sample",
+    "training_shards",
 ]
 
 # Gopher-inspired rule thresholds (Rae et al. 2021 A1.1), adapted to the
@@ -733,4 +736,129 @@ def unicode_normalization_stats(
         F.length("_raw").alias("len_before"),
         F.length("_norm").alias("len_after"),
         F.md5(F.col("_norm").cast("binary")).alias("norm_md5"),
+    )
+
+
+def c4_line_filters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line + page cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in a terminal punctuation mark AND contain at least
+    ``min_words`` words; flag pages containing ``lorem ipsum`` or a curly
+    brace; a page passes when it keeps at least ``min_kept_lines`` lines
+    and neither flag fires.
+
+    Output per doc: (id, n_lines, n_kept, clean_chars, has_lorem,
+    has_brace, doc_pass, text_clean) — text_clean is the surviving lines
+    re-joined in order (C4 keeps page order).
+
+    Scale shape: the entire operator is one array pipeline over the split
+    text — ``filter`` + ``rlike`` + ``concat_ws`` are whole-stage codegen,
+    so this is a pure map over the scan: zero shuffles, zero Python, and
+    the filter composes with predicate pushdown on any preceding scan
+    filters. (The complementary *cross-document* C4 step — three-sentence
+    dedup — is :func:`morphik_core_spark.operators.dedup.paragraph_dedup`
+    / ``span_dedup``; this operator is the per-page stage.)
+    """
+    lns = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lns,
+        lambda l: l.rlike('[.!?"]$') & (F.size(F.split(l, " ")) >= min_words),
+    )
+    has_lorem = F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum"))
+    has_brace = F.contains(F.col(text_col), F.lit("{"))
+    text_clean = F.concat_ws("\n", kept)
+    return df.select(
+        F.col(id_col),
+        F.size(lns).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.length(text_clean).alias("clean_chars"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (F.size(kept) >= min_kept_lines) & ~has_lorem & ~has_brace
+        ).alias("doc_pass"),
+        text_clean.alias("text_clean"),
+    )
+
+
+def group_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "gs",
+) -> DataFrame:
+    """Per-group deterministic uniform k-sample — the distributed
+    reservoir-sampling analog (every group yields min(k, |group|) rows,
+    each member equally likely over the hash family, reproducible across
+    runs, engines, and partitionings).
+
+    Each row draws the exact cross-engine uniform u = (h mod 2^30 + 1) /
+    2^30 (h = portable md5 of salt:id) and the k smallest u win per
+    group. Unlike ``weighted_sample`` (global, weight-proportional) this
+    is per-group and uniform — the "10 eyeball docs per language /
+    source" curation step.
+
+    Scale shape: one window per group key. For skewed groups at 100 TB,
+    pre-filter on an approximate per-group u-threshold from a sample
+    (same trick as ``group_topn``) so the window sees ~k rows per group
+    instead of the whole group.
+    """
+    h30 = portable_hash(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % (1 << 30)
+    u = (h30 + F.lit(1)).cast("double") / F.lit(float(1 << 30))
+    w = Window.partitionBy(group_col).orderBy(F.col("_u").asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(group_col), F.col(id_col), u.alias("_u"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(group_col, id_col, F.round(F.col("_u"), 6).alias("u"), "rk")
+    )
+
+
+def training_shards(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    group_col: str,
+    n_shards: int = 64,
+    salt: str = "shard",
+) -> DataFrame:
+    """Training-output shard plan: the deterministic global shuffle +
+    shard assignment that turns a curated corpus into N training files.
+
+    Every doc gets shard = portable_hash(salt:id) mod n_shards and an
+    independent intra-shard order key (a second hash) — hash order IS the
+    global shuffle, so every shard is an unbiased interleave of all
+    groups/sources with no sort over the corpus. The physical write is
+    ``df.repartition(n_shards, 'shard').sortWithinPartitions('order_key')``
+    — exactly one shuffle at any scale, and re-running after appends
+    never reassigns an existing doc.
+
+    Returns the per-shard audit a pipeline checks before training: doc
+    count, token sum, distinct groups, and the order-key range (balance
+    across shards falls out of hash uniformity; a skewed row here means a
+    corrupted id column, not an unlucky run).
+    """
+    sid = F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    oid = F.concat(F.lit(salt + ":o:"), F.col(id_col).cast("string"))
+    assigned = df.select(
+        F.pmod(portable_hash(sid), F.lit(n_shards)).alias("shard"),
+        (portable_hash(oid) % (1 << 30)).alias("order_key"),
+        F.col(token_col).cast("bigint").alias("tokens"),
+        F.col(group_col).alias("grp"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("tokens"),
+            F.countDistinct("grp").alias("n_groups"),
+            F.min("order_key").alias("min_key"),
+            F.max("order_key").alias("max_key"),
+        )
     )

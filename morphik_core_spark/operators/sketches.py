@@ -231,3 +231,113 @@ def bloom_pass_keys(
         .filter(F.col("n_hit") == num_hashes)
         .select(key_col)
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch per key: the ``k`` smallest
+    DISTINCT portable-hash values of ``value_col`` within each key group.
+
+    Output: (key, v, rk) with rk = 1..k ascending by hash value — plus
+    every group's full value set when it has fewer than k distinct values
+    (the sketch then IS the set and downstream estimates become exact).
+
+    Why KMV next to HLL: HLL answers "how many distinct" per group; KMV
+    sketches are *mergeable by union* and support SET operations —
+    intersection/Jaccard/containment between groups (Beyer et al. 2007,
+    Dasu et al. 2002) — which HLL registers cannot. That makes KMV the
+    corpus-overlap sketch: "how much of crawl B is already in crawl A"
+    without ever joining the corpora.
+
+    Scale shape: distinct-(key, h30) collapses map-side, then ONE window
+    over at most the distinct values ranks and cuts to k. The sketch is
+    ``keys x k`` rows — driver-safe to collect, broadcast-safe to join.
+    Hashes stay in exact int space (h30 = portable md5 folded to 30 bits)
+    so every engine ranks identically; ties are impossible within a group
+    (values are distinct post-fold — cross-fold collisions simply merge,
+    identically everywhere).
+    """
+    from pyspark.sql import Window
+
+    h30 = (portable_hash(F.col(value_col)) % (1 << 30)).alias("v")
+    base = df.select(F.col(key_col), h30).distinct()
+    w = Window.partitionBy(key_col).orderBy(F.col("v").asc())
+    return (
+        base.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def kmv_overlap(sketches: DataFrame, key_col: str, k: int = 128) -> DataFrame:
+    """Pairwise corpus-overlap estimates from per-key KMV sketches.
+
+    For every key pair (a < b): distinct-count estimates for each side and
+    the union, the k-min agreement count, and the Jaccard estimate —
+    match_k / min(k, |union sketch|) over the union's k minimum values
+    (exact when a pair has fewer than k distinct values total).
+
+    The KMV estimator: with v_k the k-th smallest of n distinct 30-bit
+    hashes, D ≈ (k-1) * 2^30 / v_k; groups smaller than k report their
+    exact count. est_intersection = jaccard * est_union (Beyer et al.).
+
+    All comparisons/counts are int-exact; each estimate is one fixed
+    double expression over exact ints, mirrored verbatim in the oracle.
+    Input is the output of :func:`kmv_sketch`; sketches are tiny, so every
+    join below is a broadcast — zero large shuffles regardless of corpus
+    size.
+    """
+    space = float(1 << 30)
+
+    def est(cnt, kth):  # exact below k, KMV estimator at k
+        return F.when(cnt < k, cnt.cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(space) / kth.cast("double")
+        )
+
+    per_key = sketches.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("v").alias("kth")
+    )
+    keys = per_key.select(F.col(key_col).alias("ka"), F.col("cnt").alias("cnt_a"), F.col("kth").alias("kth_a"))
+    keys_b = per_key.select(F.col(key_col).alias("kb"), F.col("cnt").alias("cnt_b"), F.col("kth").alias("kth_b"))
+    pairs = keys.crossJoin(keys_b).filter(F.col("ka") < F.col("kb"))
+
+    sa = sketches.select(F.col(key_col).alias("ka"), F.col("v").alias("v"))
+    sb = sketches.select(F.col(key_col).alias("kb"), F.col("v").alias("v"))
+    pair_vals = (
+        pairs.select("ka", "kb")
+        .join(sa, "ka")
+        .select("ka", "kb", "v")
+        .unionByName(pairs.select("ka", "kb").join(sb, "kb").select("ka", "kb", "v"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ka", "kb").orderBy(F.col("v").asc())
+    merged = pair_vals.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    flagged = (
+        merged.join(sa.withColumn("in_a", F.lit(1)), ["ka", "v"], "left")
+        .join(sb.withColumn("in_b", F.lit(1)), ["kb", "v"], "left")
+    )
+    union_stats = flagged.groupBy("ka", "kb").agg(
+        F.count(F.lit(1)).alias("cnt_u"),
+        F.max("v").alias("kth_u"),
+        F.sum(
+            F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1).otherwise(0)
+        ).alias("match_k"),
+    )
+    out = pairs.join(union_stats, ["ka", "kb"])
+    jac = F.col("match_k").cast("double") / F.least(F.lit(k), F.col("cnt_u")).cast("double")
+    est_u = est(F.col("cnt_u"), F.col("kth_u"))
+    return out.select(
+        "ka",
+        "kb",
+        F.round(est(F.col("cnt_a"), F.col("kth_a")), 4).alias("est_distinct_a"),
+        F.round(est(F.col("cnt_b"), F.col("kth_b")), 4).alias("est_distinct_b"),
+        F.round(est_u, 4).alias("est_union"),
+        F.col("match_k").cast("bigint").alias("match_k"),
+        F.round(jac, 6).alias("est_jaccard"),
+        F.round(jac * est_u, 4).alias("est_intersection"),
+    )
