@@ -1791,6 +1791,48 @@ def _q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_shards(docs, "doc_id", "n_chars", "source", n_shards=16)
 
 
+def _q_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-TF-IDF cluster labeling (Grootendorst 2022, BERTopic): the
+    top-5 terms characterizing each language cluster — tf within cluster
+    × ln(1 + avg_cluster_tokens / corpus_tf). The labeling stage run
+    after any clustering (IVF cells, dedup clusters, topics); per-doc
+    keyword extraction is tfidf_topterms, this is the per-CLUSTER dual."""
+    from morphik_core_spark.operators.text_analysis import ctfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return ctfidf_keywords(docs, "text", "lang", top_n=5)
+
+
+def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 CDC merge: apply a change batch (I/U/D ops) to the documents
+    snapshot in ONE anti-join + union — deletes drop rows, updates
+    replace, inserts append. The batch is synthesized deterministically
+    from the snapshot itself (doc_id%10: 0→D, 1→U with lang rewritten,
+    3→I as a shifted new id) so every op path is exercised."""
+    from morphik_core_spark.operators.docstore import cdc_apply
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    ten = F.col("doc_id") % 10
+    deletes = docs.filter(ten == 0).select("doc_id", "lang", "source", "n_chars").withColumn("op", F.lit("D"))
+    updates = (
+        docs.filter(ten == 1)
+        .select("doc_id", F.lit("xx").alias("lang"), "source", "n_chars")
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = (
+        docs.filter(ten == 3)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "lang",
+            F.lit("cdc_new").alias("source"),
+            "n_chars",
+        )
+        .withColumn("op", F.lit("I"))
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    return cdc_apply(docs, changes, ["doc_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -1801,6 +1843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample": _q_group_sample,
         "minhash_calibration": _q_minhash_calibration,
         "training_shards": _q_training_shards,
+        "cluster_keywords": _q_cluster_keywords,
+        "cdc_apply": _q_cdc_apply,
         "topk_cosine": _q_topk_cosine,
         "doc_max_score": _q_doc_max_score,
         "status_counts": _q_status_counts,
@@ -2197,6 +2241,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, o_orderdate, o_orderpriority,
                    ROUND(l_extendedprice, 2) AS price
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "cluster_keywords": f"""
+            WITH toks AS (
+                SELECT lang AS cluster, unnest(string_split({_NORM_TEXT}, ' ')) AS term
+                FROM documents WHERE text IS NOT NULL
+            ),
+            ctf AS (SELECT cluster, term, count(*) AS ctf FROM toks GROUP BY cluster, term),
+            corpus AS (SELECT term, count(*) AS f_t FROM toks GROUP BY term),
+            totals AS (SELECT count(*) AS a_num, count(DISTINCT cluster) AS a_den FROM toks),
+            scored AS (
+                SELECT c.cluster, c.term, c.ctf,
+                       ROUND(c.ctf * ln(1.0 + CAST(t.a_num AS DOUBLE)
+                                              / CAST(t.a_den * f.f_t AS DOUBLE)),
+                             {_SCORE_DECIMALS}) AS score
+                FROM ctf c JOIN corpus f USING (term), totals t
+            ),
+            ranked AS (
+                SELECT cluster, term, ctf, score,
+                       row_number() OVER (PARTITION BY cluster
+                                          ORDER BY score DESC, term ASC) AS rank
+                FROM scored
+            )
+            SELECT cluster, rank, term, CAST(ctf AS BIGINT) AS ctf, score
+            FROM ranked WHERE rank <= 5
+        """,
+        "cdc_apply": """
+            WITH snap AS (SELECT doc_id, lang, source, n_chars FROM documents),
+            changes AS (
+                SELECT doc_id, lang, source, n_chars, 'D' AS op FROM snap WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id, 'xx', source, n_chars, 'U' FROM snap WHERE doc_id % 10 = 1
+                UNION ALL
+                SELECT doc_id + 1000000, lang, 'cdc_new', n_chars, 'I' FROM snap WHERE doc_id % 10 = 3
+            )
+            SELECT s.doc_id, s.lang, s.source, s.n_chars FROM snap s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM changes c WHERE c.op IN ('U', 'D') AND c.doc_id = s.doc_id
+            )
+            UNION ALL
+            SELECT doc_id, lang, source, n_chars FROM changes WHERE op IN ('U', 'I')
         """,
         "training_shards": """
             WITH assigned AS (

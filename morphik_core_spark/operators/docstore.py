@@ -86,3 +86,31 @@ def grouped_response(
         .withColumn("is_padding", F.col("_is_match").isNull())
         .drop("_is_match")
     )
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change batch (ops I/U/D) to a snapshot — the SCD1
+    MERGE: deletes drop base rows, updates replace them, inserts append.
+
+    ``changes`` carries the snapshot's payload columns plus ``op_col``
+    ('I' | 'U' | 'D'); the batch is assumed key-deduplicated (one final
+    op per key — the standard compaction contract of a CDC feed; apply
+    ``row_number() over (key ORDER BY seq DESC)`` upstream otherwise).
+
+    Plan: ONE left-anti join keyed on ``key_cols`` (drops deleted AND
+    replaced rows) + a union of the U/I payloads. At 100 TB the batch is
+    small relative to the snapshot → the anti-join broadcasts the change
+    keys and the snapshot never shuffles; pair with
+    `plans.partitioning.merge_upsert_partitioned` to rewrite only the
+    partitions the batch touches.
+    """
+    keys = list(key_cols)
+    touched = changes.filter(F.col(op_col).isin("U", "D")).select(*keys).distinct()
+    kept = snapshot.join(touched, on=keys, how="left_anti")
+    incoming = changes.filter(F.col(op_col).isin("U", "I")).drop(op_col)
+    return kept.unionByName(incoming.select(*snapshot.columns))

@@ -432,3 +432,63 @@ def pmi_bigrams(
         .limit(k)
         .select("w1", "w2", "pair_cnt", "pmi")
     )
+
+
+def ctfidf_keywords(
+    df: DataFrame,
+    text_col: str,
+    cluster_col: str,
+    top_n: int = 5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Class-TF-IDF cluster keywords (Grootendorst 2022, BERTopic): the
+    terms that CHARACTERIZE each cluster, not each document —
+
+        score(t, c) = tf_{t,c} * ln(1 + A / f_t)
+
+    with tf_{t,c} the term's count inside cluster c, f_t its corpus
+    count, and A the average token count per cluster. Complements
+    ``tfidf_topterms`` (per-document): this is the labeling stage run
+    after any clustering (IVF cells, dedup clusters, languages, topics).
+
+    All counts are exact ints; A/f_t enters ln as one fixed double tree
+    (A kept as num/den ints so no engine ever rounds an intermediate),
+    rounded once at ``decimals``. Plan: one token explode feeding two
+    partial aggregates (cluster-term and corpus-term) + a per-cluster
+    top-n window over vocab-sized frames — nothing downstream of the
+    explode scales with the corpus, only with the vocabulary.
+    """
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(cluster_col).alias("cluster"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    )
+    ctf = toks.groupBy("cluster", "term").agg(F.count(F.lit(1)).alias("ctf"))
+    corpus = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f_t"))
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("a_num"),
+        F.countDistinct("cluster").alias("a_den"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        ctf.join(corpus, "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("ctf")
+                * F.log(
+                    F.lit(1.0)
+                    + F.col("a_num").cast("double")
+                    / (F.col("a_den") * F.col("f_t")).cast("double")
+                ),
+                decimals,
+            ),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("cluster", "rank", "term", "ctf", "score")
+    )

@@ -185,3 +185,43 @@ def test_training_shards_append_stable(spark):
     rows = audit.collect()
     assert sum(r.n_docs for r in rows) == 300
     assert len(rows) <= 16
+
+
+# ------------------------------------------------------------ CDC / c-TF-IDF
+
+
+def test_cdc_apply_ops(spark):
+    from morphik_core_spark.operators.docstore import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (4, "d", "I")], "id long, v string, op string"
+    )
+    out = {r.id: r.v for r in cdc_apply(snap, changes, ["id"]).collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}  # 3 deleted, 2 replaced, 4 inserted
+
+
+def test_cdc_apply_empty_batch(spark):
+    from morphik_core_spark.operators.docstore import cdc_apply
+
+    snap = spark.createDataFrame([(1, "a")], "id long, v string")
+    empty = spark.createDataFrame([], "id long, v string, op string")
+    assert [tuple(r) for r in cdc_apply(snap, empty, ["id"]).collect()] == [(1, "a")]
+
+
+def test_ctfidf_distinguishes_clusters(spark):
+    from morphik_core_spark.operators.text_analysis import ctfidf_keywords
+
+    rows = [
+        (1, "c1", "apple apple apple shared shared"),
+        (2, "c1", "apple shared"),
+        (3, "c2", "banana banana banana shared shared"),
+        (4, "c2", "banana shared"),
+    ]
+    df = spark.createDataFrame(rows, "id long, cl string, t string")
+    out = ctfidf_keywords(df, "t", "cl", top_n=1)
+    top = {r.cluster: r.term for r in out.collect()}
+    # the cluster-exclusive term must outrank the corpus-wide one
+    assert top == {"c1": "apple", "c2": "banana"}
