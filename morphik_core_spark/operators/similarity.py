@@ -40,6 +40,8 @@ __all__ = [
     "write_ivf_layout",
     "probe_list_ids",
     "knn_ivf_partitioned",
+    "ivf_append",
+    "ivf_drift_audit",
 ]
 
 
@@ -217,6 +219,7 @@ def ivf_assign(
     centroids: Sequence[tuple[int, Sequence[float]]],
     emb_col: str = "embedding",
     decimals: int = 6,
+    with_cos: bool = False,
 ) -> DataFrame:
     """Append an ``ivf_cid`` column: the id of the nearest centroid by
     cosine (rounded to ``decimals``; ties break to the smallest cid).
@@ -232,7 +235,12 @@ def ivf_assign(
     v = f"cast(`{emb_col}` as array<double>)"
     vnorm = f"sqrt({_dot_sql(v, v)})"
     arr = _argmax_centroid_sql(v, vnorm, centroids, decimals)
-    return embeddings.withColumn("ivf_cid", F.expr(f"-array_max({arr}).n"))
+    out = embeddings.withColumn("ivf_cid", F.expr(f"-array_max({arr}).n"))
+    if with_cos:
+        # assignment quality, persisted at write time so index audits
+        # (`ivf_drift_audit`) never recompute distances over the corpus
+        out = out.withColumn("ivf_cos", F.expr(f"array_max({arr}).c"))
+    return out
 
 
 def knn_ivf(
@@ -583,9 +591,9 @@ def write_ivf_layout(
     `knn_ivf` docstring's scale story; `knn_ivf_partitioned` is the
     matching read path and the pruning is test-asserted via inputFiles.
     """
-    ivf_assign(embeddings, centroids, emb_col=emb_col).write.mode("overwrite").partitionBy(
-        "ivf_cid"
-    ).parquet(path)
+    ivf_assign(embeddings, centroids, emb_col=emb_col, with_cos=True).write.mode(
+        "overwrite"
+    ).partitionBy("ivf_cid").parquet(path)
 
 
 def probe_list_ids(
@@ -633,3 +641,78 @@ def knn_ivf_partitioned(
     if decimals is not None:
         scored = scored.withColumn("score", F.round("score", decimals))
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_append(
+    new_embeddings: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    path: str,
+    emb_col: str = "embedding",
+) -> None:
+    """Incremental IVF index maintenance: assign ONLY the new vectors to
+    the EXISTING centroids (same shuffle-free nearest-centroid map as
+    `ivf_assign`) and append into the partitioned layout — no rebuild, no
+    read of existing lists, untouched list partitions keep their files
+    byte-identical (parquet append only adds files).
+
+    This is how a live vector index absorbs an ingest batch between
+    retrains (FAISS `add` on a trained IVF / pgvector insert into
+    ivfflat). The cluster structure degrades as the corpus drifts off the
+    training distribution; run :func:`ivf_drift_audit` periodically and
+    retrain (`kmeans_fit` + `write_ivf_layout`) when balance or
+    assignment quality trips a threshold.
+    """
+    ivf_assign(new_embeddings, centroids, emb_col=emb_col, with_cos=True).write.mode(
+        "append"
+    ).partitionBy("ivf_cid").parquet(path)
+
+
+def ivf_drift_audit(
+    spark,
+    path: str,
+    n_total_lists: int,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-list health report for a materialized IVF layout — the nightly
+    index-audit job that decides when to recluster.
+
+    Emits per inverted list: vector count, share of the corpus, the
+    balance ratio vs the ideal uniform share (count / (total/lists) — a
+    ratio ≫ 1 means the list absorbs a hot region and its probes rescore
+    too much), and the assignment cosine stats (mean from exact micro-int
+    sums, min) — a falling mean says new data sits far from the trained
+    centroid: retrain.
+
+    One scan of the layout (the `ivf_cos` column is written at
+    assign time, so the audit never recomputes distances), one
+    vocab-sized aggregate.
+    """
+    df = spark.read.parquet(path)
+    per_list = df.groupBy("ivf_cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(round(ivf_cos * 1000000.0, 0) AS BIGINT)")).alias("cos_micro_sum"),
+        F.round(F.min("ivf_cos"), decimals).alias("min_cos"),
+    )
+    total = per_list.agg(F.sum("n").alias("n_total"))
+    return (
+        per_list.crossJoin(F.broadcast(total))
+        .select(
+            "ivf_cid",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_total").cast("double"), decimals).alias(
+                "share"
+            ),
+            F.round(
+                F.col("n").cast("double")
+                * F.lit(float(n_total_lists))
+                / F.col("n_total").cast("double"),
+                decimals,
+            ).alias("balance_ratio"),
+            F.round(
+                F.col("cos_micro_sum").cast("double")
+                / (F.col("n").cast("double") * F.lit(1000000.0)),
+                decimals,
+            ).alias("mean_cos"),
+            "min_cos",
+        )
+    )

@@ -284,3 +284,64 @@ def test_ivf_partitioned_layout_prunes_files_and_matches_inmemory(spark, emb_df,
         for r in similarity.knn_ivf(df, centroids, q, k=5, n_probes=2).collect()
     )
     assert sorted((r.vec_id, r.score) for r in got.collect()) == expect
+
+
+def test_ivf_append_incremental_and_drift_audit(spark, emb_df, tmp_path):
+    import hashlib
+    import os
+
+    df, rows = emb_df
+    centroids = [(i, rows[i][1]) for i in range(1, 5)]
+    path = str(tmp_path / "ivf_inc")
+    base = df.filter(F.col("vec_id") < 150)
+    similarity.write_ivf_layout(base, centroids, path)
+
+    def file_hashes():
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    before = file_hashes()
+
+    new = df.filter(F.col("vec_id") >= 150)
+    similarity.ivf_append(new, centroids, path)
+
+    # append-only maintenance: every pre-existing file is byte-identical
+    after = file_hashes()
+    assert all(after[p] == h for p, h in before.items())
+    assert len(after) > len(before)
+
+    # the index serves appended vectors without a rebuild
+    probe_vec = rows[170][1]
+    got = similarity.knn_ivf_partitioned(spark, path, probe_vec, centroids, k=3, n_probes=4)
+    assert 170 in [r.vec_id for r in got.collect()]
+
+    audit = similarity.ivf_drift_audit(spark, path, n_total_lists=4).collect()
+    assert sum(r.n for r in audit) == N
+    assert abs(sum(r.share for r in audit) - 1.0) < 1e-6
+    for r in audit:
+        assert -1.0 <= r.min_cos <= r.mean_cos <= 1.0
+
+
+def test_ivf_assign_with_cos_matches_manual(spark, emb_df):
+    import math
+
+    df, rows = emb_df
+    centroids = [(i, rows[i][1]) for i in range(1, 5)]
+    assigned = {
+        r.vec_id: (r.ivf_cid, r.ivf_cos)
+        for r in similarity.ivf_assign(df, centroids, with_cos=True).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for vid in (0, 17, 99):
+        v = rows[vid][1]
+        best = max(((round(cos(v, cv), 6), -cid) for cid, cv in centroids))
+        assert assigned[vid] == (-best[1], best[0])
