@@ -93,7 +93,11 @@ def timed(fn) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ops", default="dsir,ppl_buckets,covariance,image_bands,neardup_batch,tfidf")
+    ap.add_argument(
+        "--ops",
+        default="dsir,ppl_buckets,covariance,image_bands,neardup_batch,tfidf,"
+        "c4,kmv,interval,shards,ctfidf",
+    )
     args = ap.parse_args()
     ops = set(args.ops.split(","))
 
@@ -133,6 +137,40 @@ def main() -> None:
         runs["tfidf_tf"] = tfidf
     if "neardup_batch" in ops:
         runs["neardup_batch"] = lambda d: mat(near_dup_batch(d, store=None, text_col="text", id_col="doc_id")[0])
+    if "c4" in ops:
+        def c4(d):
+            relined = d.filter(F.col("text").isNotNull()).select(
+                "doc_id", F.regexp_replace("text", " (\\w+ \\w+ \\w+ \\w+ \\w+)", "\n$1.").alias("t")
+            )
+            mat(curation.c4_line_filters(relined, "t", "doc_id"))
+        runs["c4_filters"] = c4
+    if "kmv" in ops:
+        from morphik_core_spark.operators.dedup import word_shingles
+        from morphik_core_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+        def kmv(d):
+            sh = word_shingles(d, "text", "source", n=3)
+            mat(kmv_overlap(kmv_sketch(sh, "source", "shingle", k=128), "source", k=128))
+        runs["kmv_overlap"] = kmv
+    if "shards" in ops:
+        runs["training_shards"] = lambda d: mat(
+            curation.training_shards(d, "doc_id", "n_chars", "source", n_shards=64)
+        )
+    if "ctfidf" in ops:
+        from morphik_core_spark.operators.text_analysis import ctfidf_keywords
+
+        runs["ctfidf_keywords"] = lambda d: mat(ctfidf_keywords(d, "text", "lang", top_n=5))
+    if "interval" in ops:
+        from morphik_core_spark.operators.asof import interval_point_join
+
+        def interval(d):
+            iv = d.select(
+                (F.col("doc_id") % 100000).alias("lo"),
+                ((F.col("doc_id") % 100000) + (F.col("n_chars") % 29)).alias("hi"),
+            )
+            pts = d.select((F.col("doc_id") % 120000).alias("p")).distinct()
+            mat(interval_point_join(pts, iv, "p", "lo", "hi", bucket_width=32))
+        runs["interval_join"] = interval
 
     out = []
     for name, fn in runs.items():
