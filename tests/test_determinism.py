@@ -29,6 +29,12 @@ SENSITIVE = [
     "bm25_topk",
     "weighted_sample",
     "knn_sq8",
+    # round-6 float-bearing additions
+    "kmv_source_overlap",
+    "minhash_calibration",
+    "cluster_keywords",
+    "group_sample",
+    "in_transit_by_day",
 ]
 
 
