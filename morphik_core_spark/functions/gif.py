@@ -34,6 +34,10 @@ def _read_subblocks(data: bytes, off: int) -> tuple[bytes, int]:
         off += n
 
 
+# corrupt-header allocation cap (see tiff.py: fail, never memset GBs)
+_MAX_PIXELS = 1 << 26
+
+
 def _lzw_decode(blob: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     clear = 1 << min_code_size
     end = clear + 1
@@ -111,6 +115,8 @@ def decode_gif(data: bytes) -> np.ndarray:
                 off += 3 * n
             if ct is None:
                 raise ValueError("GIF frame without a color table")
+            if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+                raise ValueError(f"GIF dimensions out of range ({w}x{h})")
             min_code = data[off]
             off += 1
             blob, off = _read_subblocks(data, off)

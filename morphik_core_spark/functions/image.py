@@ -25,6 +25,9 @@ from __future__ import annotations
 import struct
 import zlib
 
+# corrupt-header allocation cap (see tiff.py: fail, never memset GBs)
+_MAX_PIXELS = 1 << 26
+
 import numpy as np
 
 __all__ = [
@@ -148,7 +151,15 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("16-bit palette PNG is not a thing")
     sample_bytes = bit_depth // 8
     bpp = channels * sample_bytes
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if width <= 0 or height <= 0 or width * height > _MAX_PIXELS:
+        raise ValueError(f"PNG dimensions out of range ({width}x{height})")
+    # bound the inflate output by what the declared geometry can need —
+    # a corrupt IDAT must not deflate-bomb gigabytes in one C call
+    max_raw = (height + 8) * (width * bpp + 8)
+    d = zlib.decompressobj()
+    raw = np.frombuffer(d.decompress(bytes(idat), max_raw), dtype=np.uint8)
+    if d.unconsumed_tail:
+        raise ValueError("PNG IDAT larger than declared geometry")
 
     def to_samples(byte_img: np.ndarray, h: int, w: int) -> np.ndarray:
         if sample_bytes == 1:

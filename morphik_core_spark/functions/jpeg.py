@@ -51,6 +51,9 @@ ZIGZAG = np.array([
 
 # Orthonormal 8-point DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1)u pi/16),
 # c(0)=1/sqrt(2). spatial = A.T @ coeffs @ A ; coeffs = A @ spatial @ A.T
+# corrupt-header allocation cap (see tiff.py: fail, never memset GBs)
+_MAX_PIXELS = 1 << 26
+
 _A = np.zeros((8, 8))
 for _u in range(8):
     _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
@@ -199,6 +202,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
             h, w = struct.unpack_from(">HH", body, 1)
+            if h <= 0 or w <= 0 or h * w > _MAX_PIXELS:
+                raise ValueError(f"JPEG dimensions out of range ({w}x{h})")
             ncomp = body[5]
             comps = []
             for c in range(ncomp):

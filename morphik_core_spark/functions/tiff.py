@@ -41,6 +41,12 @@ _TAG_TILE_COUNTS = 325
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 
+# decode cap: corrupt headers must raise, never allocate unbounded
+# buffers (a flipped dimension bit otherwise memsets gigabytes inside a
+# single numpy call, unkillable row-side). 2^26 px = 8192x8192.
+_MAX_PIXELS = 1 << 26
+
+
 def _read_ifd(data: bytes, e: str):
     off = struct.unpack_from(e + "I", data, 4)[0]
     n = struct.unpack_from(e + "H", data, off)[0]
@@ -51,12 +57,19 @@ def _read_ifd(data: bytes, e: str):
         size = _TYPE_SIZES.get(typ)
         if size is None:
             continue
+        # cnt is a raw u32: a corrupt value can't need more bytes than the
+        # file holds — reject before "H"*cnt builds a gigabyte format
+        # string (the unkillable-allocation class _MAX_PIXELS guards too)
+        if cnt > len(data) // size:
+            raise ValueError(f"TIFF tag {tag} count {cnt} exceeds file size")
         total = size * cnt
         if total <= 4:
             raw = data[base + 8 : base + 8 + total]
         else:
             p = struct.unpack_from(e + "I", data, base + 8)[0]
             raw = data[p : p + total]
+        if len(raw) < total:
+            raise ValueError(f"TIFF tag {tag} data truncated")
         if typ == 3:
             vals = list(struct.unpack(e + "H" * cnt, raw))
         elif typ == 4:
@@ -152,6 +165,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
         h = tags[_TAG_HEIGHT][0]
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag {exc}") from exc
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"TIFF dimensions out of range ({w}x{h})")
     comp = tags.get(_TAG_COMPRESSION, [1])[0]
     photo = tags.get(_TAG_PHOTOMETRIC, [1])[0]
     spp = tags.get(_TAG_SPP, [1])[0]
@@ -183,10 +198,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
         tl = tags[_TAG_TILE_LENGTH][0]
         offsets = tags[_TAG_TILE_OFFSETS]
         counts = tags[_TAG_TILE_COUNTS]
+        if tw <= 0 or tl <= 0:
+            raise ValueError("TIFF tile size out of range")
         tiles_x = -(-w // tw)
         tiles_y = -(-h // tl)
         if len(offsets) != tiles_x * tiles_y:
             raise ValueError("TIFF tile count mismatch")
+        if tiles_x * tw * tiles_y * tl > 4 * _MAX_PIXELS:
+            # padded tile grid from a corrupt header must FAIL, not
+            # allocate gigabytes (fail-fast contract of the parse UDFs)
+            raise ValueError("TIFF padded tile grid out of range")
         dt = np.uint8 if sample_bytes == 1 else (e + "u2")
         full = np.zeros((tiles_y * tl, tiles_x * tw, spp), dtype=np.uint16 if sample_bytes == 2 else np.uint8)
         expected = tw * tl * spp * sample_bytes

@@ -12,7 +12,16 @@ import pytest
 SEEDS = [0, 1, 2]
 
 
+_FIX_CACHE = None
+
+
 def _fixtures():
+    # encoding all 11 fixtures is pure-Python-expensive (progressive JPEG,
+    # FLAC); build once per process — every test reads, none mutates
+    # (bitflip tests copy into a fresh bytearray first)
+    global _FIX_CACHE
+    if _FIX_CACHE is not None:
+        return _FIX_CACHE
     from morphik_core_spark.functions.audio import encode_wav
     from morphik_core_spark.functions.flac import encode_flac
     from morphik_core_spark.functions.gif import encode_gif
@@ -26,7 +35,7 @@ def _fixtures():
     img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
     pal = img // 64 * 64  # <=64 distinct colors for GIF
     sig = np.sin(np.linspace(0, 50, 3000)) * 0.5
-    return {
+    _FIX_CACHE = {
         "png": encode_png(img),
         "png_adam7_16": encode_png(img, filter_type=4, interlace=True, bits=16),
         "gif": encode_gif(pal),
@@ -39,6 +48,7 @@ def _fixtures():
         "mp4": build_mp4_moov(5.0, [{"kind": "video", "codec": "avc1", "width": 64, "height": 48}]),
         "warc": build_warc([("http://x", "2026-01-01T00:00:00Z", 200, "text/html", b"<p>x</p>")]),
     }
+    return _FIX_CACHE
 
 
 def _decoders():
