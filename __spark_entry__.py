@@ -1748,7 +1748,10 @@ def _q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute error — the query you run before trusting a (bands, rows)
     configuration at 100 TB. Exact-side shingle joins are restricted to
     the candidate pairs, so the audit stays inside the blocked set."""
-    sigs = _q_minhash_signatures(spark, sf_dir)
+    # the signature frame feeds the LSH chain AND both sides of the
+    # estimate join — persist so the shingle aggregation runs once
+    # (the lsh_pairs persist treatment, NOTES.md round-5)
+    sigs = _q_minhash_signatures(spark, sf_dir).persist()
     cand = dedup.lsh_candidate_pairs(
         sigs, "doc_id", bands=_LSH_BANDS, rows_per_band=_LSH_ROWS, max_bucket_size=_LSH_MAX_BUCKET
     )
