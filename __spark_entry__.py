@@ -1843,6 +1843,55 @@ def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_apply(docs, changes, ["doc_id"])
 
 
+def _q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / MDM pipeline over dirty records: exact-name
+    collapse → prefix blocking → within-block fuzzy match (levenshtein
+    ≤ 2) → connected components → entity ids. Every 3rd part spawns a
+    deterministic dirty twin (one char dropped at partkey mod len), so
+    true merges, blocking misses, AND cross-name accidental matches all
+    occur. The exact collapse BEFORE fuzzy matching is the scale move:
+    pairwise distance runs on distinct names (vocabulary-sized), never
+    on records; blocks bound the pair generator like every other
+    pair-producing family here. Output at distinct-name grain: each
+    name's record count, resolved entity id, and entity totals."""
+    part = _t(spark, sf_dir, "part")
+    clean = part.select((F.col("p_partkey") * 2).alias("rec_id"), F.col("p_name").alias("name"))
+    dirty = part.filter(F.col("p_partkey") % 3 == 0).select(
+        (F.col("p_partkey") * 2 + 1).alias("rec_id"),
+        F.concat(
+            F.expr("substr(p_name, 1, cast(p_partkey % length(p_name) as int))"),
+            F.expr("substr(p_name, cast(p_partkey % length(p_name) as int) + 2)"),
+        ).alias("name"),
+    )
+    records = clean.unionByName(dirty)
+    names = records.groupBy("name").agg(
+        F.min("rec_id").alias("name_id"), F.count(F.lit(1)).alias("n_recs")
+    )
+    blocked = names.withColumn("blk", F.substring("name", 1, 3))
+    a = blocked.select(F.col("blk"), F.col("name_id").alias("id_a"), F.col("name").alias("name_a"))
+    b = blocked.select(F.col("blk"), F.col("name_id").alias("id_b"), F.col("name").alias("name_b"))
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select("id_a", "id_b")
+    )
+    comp = dedup.connected_components(pairs)
+    resolved = names.join(comp, names["name_id"] == comp["node"], "left").select(
+        "name",
+        "name_id",
+        "n_recs",
+        F.coalesce(F.col("component"), F.col("name_id")).alias("entity_id"),
+    )
+    sizes = resolved.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("entity_names"),
+        F.sum("n_recs").alias("entity_recs"),
+    )
+    return resolved.join(sizes, "entity_id").select(
+        "name", "name_id", "n_recs", "entity_id", "entity_names", "entity_recs"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -1855,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": _q_training_shards,
         "cluster_keywords": _q_cluster_keywords,
         "cdc_apply": _q_cdc_apply,
+        "entity_resolution": _q_entity_resolution,
         "topk_cosine": _q_topk_cosine,
         "doc_max_score": _q_doc_max_score,
         "status_counts": _q_status_counts,
@@ -2275,6 +2325,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cluster, rank, term, CAST(ctf AS BIGINT) AS ctf, score
             FROM ranked WHERE rank <= 5
+        """,
+        "entity_resolution": """
+            WITH RECURSIVE
+            clean AS (SELECT p_partkey * 2 AS rec_id, p_name AS name FROM part),
+            dirty AS (
+                SELECT p_partkey * 2 + 1 AS rec_id,
+                       substr(p_name, 1, CAST(p_partkey % len(p_name) AS INT))
+                       || substr(p_name, CAST(p_partkey % len(p_name) AS INT) + 2) AS name
+                FROM part WHERE p_partkey % 3 = 0
+            ),
+            records AS (SELECT * FROM clean UNION ALL SELECT * FROM dirty),
+            names AS (
+                SELECT name, min(rec_id) AS name_id, count(*) AS n_recs
+                FROM records GROUP BY name
+            ),
+            blocked AS (SELECT name, name_id, n_recs, substr(name, 1, 3) AS blk FROM names),
+            pairs AS (
+                SELECT a.name_id AS id_a, b.name_id AS id_b
+                FROM blocked a JOIN blocked b
+                  ON a.blk = b.blk AND a.name_id < b.name_id
+                WHERE levenshtein(a.name, b.name) <= 2
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            reach(node, lbl) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src
+            ),
+            comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+            resolved AS (
+                SELECT n.name, n.name_id, n.n_recs,
+                       COALESCE(c.component, n.name_id) AS entity_id
+                FROM names n LEFT JOIN comp c ON n.name_id = c.node
+            ),
+            sizes AS (
+                SELECT entity_id, count(*) AS entity_names,
+                       CAST(SUM(n_recs) AS BIGINT) AS entity_recs
+                FROM resolved GROUP BY entity_id
+            )
+            SELECT r.name, r.name_id, r.n_recs, r.entity_id, s.entity_names, s.entity_recs
+            FROM resolved r JOIN sizes s USING (entity_id)
         """,
         "cdc_apply": """
             WITH snap AS (SELECT doc_id, lang, source, n_chars FROM documents),
