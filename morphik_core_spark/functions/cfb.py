@@ -118,11 +118,16 @@ class CfbFile:
         def mini_chain(start: int) -> bytes:
             out = bytearray()
             cur = start
+            seen = 0
             while cur not in (_ENDOFCHAIN, _FREESECT):
-                if cur >= len(minifat):
+                # a chain can't be longer than the mini-FAT itself — a
+                # corrupt cyclic chain must fail, not loop forever (same
+                # guard as the main FAT walker above)
+                if cur >= len(minifat) or seen > len(minifat):
                     raise ValueError("broken CFB mini-FAT chain")
                 out += mini_stream[cur * msize : (cur + 1) * msize]
                 cur = minifat[cur]
+                seen += 1
             return bytes(out)
 
         self.streams: dict[str, bytes] = {}
