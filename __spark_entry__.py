@@ -1892,6 +1892,42 @@ def _q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-aggregate subquery + anti-join): customers
+    whose balance exceeds the average positive balance AND who placed no
+    URGENT order since 1997, counted per nation band with a DECIMAL-exact
+    balance sum. The scalar average is a one-row broadcast; the anti-join
+    keys on custkey against the filtered order subset (every customer has
+    SOME order in this testdata, so the restriction is what makes the
+    anti-join discriminate) — the 'lapsed high-value accounts' report."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    dec = F.col("c_acctbal").cast("decimal(18,4)")
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(dec) / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(dec > F.col("avg_bal"))
+        .join(
+            orders.filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            ).select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+    )
+    return (
+        rich.groupBy((F.col("c_nationkey") % 5).cast("int").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(dec).cast("double"), 4).alias("totacctbal"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semi_join_auth": _q_semi_join_auth,
@@ -1905,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keywords": _q_cluster_keywords,
         "cdc_apply": _q_cdc_apply,
         "entity_resolution": _q_entity_resolution,
+        "idle_rich_customers": _q_idle_rich_customers,
         "topk_cosine": _q_topk_cosine,
         "doc_max_score": _q_doc_max_score,
         "status_counts": _q_status_counts,
@@ -2325,6 +2362,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cluster, rank, term, CAST(ctf AS BIGINT) AS ctf, score
             FROM ranked WHERE rank <= 5
+        """,
+        "idle_rich_customers": """
+            WITH avg_pos AS (
+                SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) / COUNT(*) AS avg_bal
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT CAST(c_nationkey % 5 AS INT) AS band,
+                   COUNT(*) AS numcust,
+                   ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS totacctbal
+            FROM customer, avg_pos
+            WHERE CAST(c_acctbal AS DECIMAL(18,4)) > avg_bal
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT'
+                    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              )
+            GROUP BY CAST(c_nationkey % 5 AS INT)
         """,
         "entity_resolution": """
             WITH RECURSIVE
