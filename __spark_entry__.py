@@ -2613,7 +2613,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(u.match_k AS DOUBLE) / CAST(least(128, u.cnt_u) AS DOUBLE), 6) AS est_jaccard,
                    ROUND((CAST(u.match_k AS DOUBLE) / CAST(least(128, u.cnt_u) AS DOUBLE)) *
                          (CASE WHEN u.cnt_u < 128 THEN CAST(u.cnt_u AS DOUBLE)
-                               ELSE 127.0 * 1073741824.0 / CAST(u.kth_u AS DOUBLE) END), 4) AS est_intersection
+                               ELSE 127.0 * 1073741824.0 / CAST(u.kth_u AS DOUBLE) END), 4) AS est_intersection,
+                   ROUND(least(((CAST(u.match_k AS DOUBLE) / CAST(least(128, u.cnt_u) AS DOUBLE)) *
+                                (CASE WHEN u.cnt_u < 128 THEN CAST(u.cnt_u AS DOUBLE)
+                                      ELSE 127.0 * 1073741824.0 / CAST(u.kth_u AS DOUBLE) END))
+                               / (CASE WHEN p.cnt_a < 128 THEN CAST(p.cnt_a AS DOUBLE)
+                                       ELSE 127.0 * 1073741824.0 / CAST(p.kth_a AS DOUBLE) END), 1.0), 6)
+                       AS est_containment_a,
+                   ROUND(least(((CAST(u.match_k AS DOUBLE) / CAST(least(128, u.cnt_u) AS DOUBLE)) *
+                                (CASE WHEN u.cnt_u < 128 THEN CAST(u.cnt_u AS DOUBLE)
+                                      ELSE 127.0 * 1073741824.0 / CAST(u.kth_u AS DOUBLE) END))
+                               / (CASE WHEN p.cnt_b < 128 THEN CAST(p.cnt_b AS DOUBLE)
+                                       ELSE 127.0 * 1073741824.0 / CAST(p.kth_b AS DOUBLE) END), 1.0), 6)
+                       AS est_containment_b
             FROM pairs p JOIN ustats u ON p.ka = u.ka AND p.kb = u.kb
         """,
         # oracle is the NAIVE theta join (BETWEEN) — it verifies the bucket

@@ -276,9 +276,13 @@ def kmv_overlap(sketches: DataFrame, key_col: str, k: int = 128) -> DataFrame:
     """Pairwise corpus-overlap estimates from per-key KMV sketches.
 
     For every key pair (a < b): distinct-count estimates for each side and
-    the union, the k-min agreement count, and the Jaccard estimate —
+    the union, the k-min agreement count, the Jaccard estimate —
     match_k / min(k, |union sketch|) over the union's k minimum values
-    (exact when a pair has fewer than k distinct values total).
+    (exact when a pair has fewer than k distinct values total) — and both
+    directed containments C(A|B) = |A∩B|/|B| and C(B|A) = |A∩B|/|A|
+    (est_intersection over the per-side estimates): the asymmetric
+    "how much of crawl B is already inside A" question that Jaccard
+    alone understates when the corpora differ in size.
 
     The KMV estimator: with v_k the k-th smallest of n distinct 30-bit
     hashes, D ≈ (k-1) * 2^30 / v_k; groups smaller than k report their
@@ -331,13 +335,18 @@ def kmv_overlap(sketches: DataFrame, key_col: str, k: int = 128) -> DataFrame:
     out = pairs.join(union_stats, ["ka", "kb"])
     jac = F.col("match_k").cast("double") / F.least(F.lit(k), F.col("cnt_u")).cast("double")
     est_u = est(F.col("cnt_u"), F.col("kth_u"))
+    est_a = est(F.col("cnt_a"), F.col("kth_a"))
+    est_b = est(F.col("cnt_b"), F.col("kth_b"))
+    inter = jac * est_u
     return out.select(
         "ka",
         "kb",
-        F.round(est(F.col("cnt_a"), F.col("kth_a")), 4).alias("est_distinct_a"),
-        F.round(est(F.col("cnt_b"), F.col("kth_b")), 4).alias("est_distinct_b"),
+        F.round(est_a, 4).alias("est_distinct_a"),
+        F.round(est_b, 4).alias("est_distinct_b"),
         F.round(est_u, 4).alias("est_union"),
         F.col("match_k").cast("bigint").alias("match_k"),
         F.round(jac, 6).alias("est_jaccard"),
-        F.round(jac * est_u, 4).alias("est_intersection"),
+        F.round(inter, 4).alias("est_intersection"),
+        F.round(F.least(inter / est_a, F.lit(1.0)), 6).alias("est_containment_a"),
+        F.round(F.least(inter / est_b, F.lit(1.0)), 6).alias("est_containment_b"),
     )

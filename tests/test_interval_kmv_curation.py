@@ -93,6 +93,7 @@ def test_kmv_overlap_identical_sets(spark):
     out = kmv_overlap(sk, "k", k=128).first()
     assert out.est_jaccard == 1.0
     assert out.match_k == 128
+    assert out.est_containment_a == 1.0 and out.est_containment_b == 1.0
 
 
 def test_kmv_overlap_disjoint_sets(spark):
@@ -102,6 +103,7 @@ def test_kmv_overlap_disjoint_sets(spark):
     out = kmv_overlap(sk, "k", k=128).first()
     assert out.est_jaccard == 0.0
     assert out.match_k == 0
+    assert out.est_containment_a == 0.0 and out.est_containment_b == 0.0
 
 
 # ------------------------------------------------------------ C4
@@ -225,3 +227,51 @@ def test_ctfidf_distinguishes_clusters(spark):
     top = {r.cluster: r.term for r in out.collect()}
     # the cluster-exclusive term must outrank the corpus-wide one
     assert top == {"c1": "apple", "c2": "banana"}
+
+
+def test_kmv_containment_asymmetric(spark):
+    # B is a strict subset of A at a quarter the size: containment of the
+    # intersection in B must be ~1 while in A it is ~1/4
+    rows = [("a", f"value-{i}") for i in range(2000)] + [
+        ("b", f"value-{i}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k string, v string")
+    out = kmv_overlap(kmv_sketch(df, "k", "v", k=128), "k", k=128).first()
+    # three compounded KMV estimates at k=128 carry ~15% noise; the
+    # assertion is the ORDERING and rough magnitude, not tight values
+    assert out.est_containment_b > 0.65  # B inside A
+    assert 0.1 < out.est_containment_a < 0.5  # A only quarter-covered
+    assert out.est_containment_b > 2 * out.est_containment_a
+
+
+def test_interval_join_property(spark):
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        pts=st.lists(st.integers(-200, 200), min_size=1, max_size=25),
+        ivs=st.lists(
+            st.tuples(st.integers(-200, 200), st.integers(0, 40)),
+            min_size=1,
+            max_size=25,
+        ),
+        width=st.integers(1, 64),
+    )
+    def check(pts, ivs, width):
+        points = spark.createDataFrame([(p,) for p in set(pts)], "p long")
+        intervals = spark.createDataFrame(
+            [(i, lo, lo + ln) for i, (lo, ln) in enumerate(ivs)], "iid long, lo long, hi long"
+        )
+        got = sorted(
+            (r.p, r.iid)
+            for r in interval_point_join(points, intervals, "p", "lo", "hi", width).collect()
+        )
+        want = sorted(
+            (p, i)
+            for p in set(pts)
+            for i, (lo, ln) in enumerate(ivs)
+            if lo <= p <= lo + ln
+        )
+        assert got == want
+
+    check()
