@@ -150,21 +150,21 @@ def extract_video_frame_features(
     frame_sample_rate: float = 1.0,
     max_side: int = 256,
 ) -> DataFrame:
-    """REAL video frame sampling + decode for MJPEG-AVI payloads
+    """REAL video frame sampling + decode for MJPEG- and DIB-AVI payloads
     (reference parse_video.py:91-280 samples at ``frame_sample_rate`` fps
     and feeds frames to the image pipeline; here every sampled frame runs
     through the same resize/blank kernels as still images).
 
     Output: one row per SAMPLED frame — (media_id, ok, err, frame_idx,
     frame_ts, width, height, mean_r, mean_g, mean_b, is_blank). Non-AVI /
-    non-MJPEG / corrupt payloads yield a single ok=false row; a corrupt
+    foreign-codec / corrupt payloads yield a single ok=false row; a corrupt
     individual frame fails only its own row. mapInPandas keeps the
     payload bytes executor-side; at 100 TB repartition by payload size
     first so one long video cannot skew an executor (same note as the
     image kernel).
     """
     from morphik_core_spark.functions.image import is_blank_image, resize_max_side
-    from morphik_core_spark.functions.video import decode_jpeg, parse_avi_mjpeg
+    from morphik_core_spark.functions.video import decode_dib_frame, decode_jpeg, parse_avi
 
     out_schema = (
         f"{id_col} string, ok boolean, err string, frame_idx int, frame_ts double, "
@@ -178,7 +178,7 @@ def extract_video_frame_features(
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    fps, _w, _h, frames = parse_avi_mjpeg(
+                    fps, fw, fh, frames, codec = parse_avi(
                         bytes(payload) if payload is not None else None
                     )
                 except Exception as exc:  # noqa: BLE001 — row-level isolation
@@ -187,7 +187,11 @@ def extract_video_frame_features(
                 step = max(1, int(round(fps / frame_sample_rate)))
                 for idx in range(0, len(frames), step):
                     try:
-                        px = decode_jpeg(frames[idx])
+                        px = (
+                            decode_jpeg(frames[idx])
+                            if codec == "MJPG"
+                            else decode_dib_frame(frames[idx], fw, fh)
+                        )
                         h, w = px.shape[:2]
                         small = resize_max_side(px, max_side)
                         means = small.reshape(-1, 3).mean(axis=0)

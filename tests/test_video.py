@@ -73,3 +73,53 @@ def test_video_frame_features_samples_and_isolates(spark):
     assert [r.frame_idx for r in v3] == [0, 6]
     assert not v3[0].ok and "progressive" in v3[0].err  # frame-level isolation
     assert v3[1].ok
+
+
+def test_dib_avi_roundtrip_exact():
+    import numpy as np
+
+    from morphik_core_spark.functions.video import (
+        decode_dib_frame,
+        encode_avi_dib,
+        parse_avi,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, size=(15, 21, 3), dtype=np.uint8) for _ in range(4)]
+    fps, w, h, payloads, codec = parse_avi(encode_avi_dib(frames, fps=8.0))
+    assert (fps, w, h, codec) == (8.0, 21, 15, "DIB")
+    # lossless: every frame decodes bit-identically
+    for orig, p in zip(frames, payloads):
+        assert np.array_equal(decode_dib_frame(p, w, h), orig)
+
+
+def test_dib_frame_features_match_source(spark):
+    import numpy as np
+
+    from morphik_core_spark.functions.video import encode_avi_dib
+    from morphik_core_spark.operators.multimodal import extract_video_frame_features
+
+    rng = np.random.default_rng(12)
+    frames = [np.full((16, 16, 3), (i * 40) % 256, dtype=np.uint8) for i in range(3)]
+    blob = encode_avi_dib(frames, fps=1.0)
+    df = spark.createDataFrame([("v1", bytearray(blob))], "media_id string, payload binary")
+    rows = {r.frame_idx: r for r in extract_video_frame_features(df, frame_sample_rate=1.0).collect()}
+    assert len(rows) == 3 and all(r.ok for r in rows.values())
+    # DIB is lossless: channel means are exactly the fill values
+    for i in range(3):
+        assert rows[i].mean_r == float((i * 40) % 256)
+
+
+def test_dib_short_frame_fails_its_row_only():
+    import numpy as np
+
+    from morphik_core_spark.functions.video import decode_dib_frame
+
+    # a frame shorter than stride*height must raise (row-level isolation
+    # upstream), never read out of bounds or allocate from bad geometry
+    with pytest.raises(ValueError):
+        decode_dib_frame(b"\x00" * 10, 8, 8)
+    with pytest.raises(ValueError):
+        decode_dib_frame(b"\x00" * 1024, 0, 8)
+    ok = decode_dib_frame(b"\x00" * (8 * 3 * 8), 8, 8)
+    assert ok.shape == (8, 8, 3)
