@@ -29,6 +29,7 @@ def _fixtures():
     from morphik_core_spark.functions.jpeg import encode_jpeg_baseline, encode_jpeg_progressive
     from morphik_core_spark.functions.mp4 import build_mp4_moov
     from morphik_core_spark.functions.tiff import encode_tiff
+    from morphik_core_spark.functions.video import encode_avi_dib, encode_avi_mjpeg
     from morphik_core_spark.sources.warc import build_warc
 
     rng = np.random.default_rng(7)
@@ -46,6 +47,8 @@ def _fixtures():
         "wav": encode_wav(sig, 8000, "ima_adpcm"),
         "flac": encode_flac(sig, 8000),
         "mp4": build_mp4_moov(5.0, [{"kind": "video", "codec": "avc1", "width": 64, "height": 48}]),
+        "avi_mjpeg": encode_avi_mjpeg([img, img], fps=5.0),
+        "avi_dib": encode_avi_dib([img, img], fps=5.0),
         "warc": build_warc([("http://x", "2026-01-01T00:00:00Z", 200, "text/html", b"<p>x</p>")]),
     }
     return _FIX_CACHE
@@ -55,7 +58,13 @@ def _decoders():
     from morphik_core_spark.functions.audio import decode_audio
     from morphik_core_spark.functions.image import decode_image
     from morphik_core_spark.functions.mp4 import probe_mp4
+    from morphik_core_spark.functions.video import decode_dib_frame, decode_jpeg, parse_avi
     from morphik_core_spark.sources.warc import iter_warc_records
+
+    def full_avi_decode(b):
+        fps, w, h, frames, codec = parse_avi(b)
+        for f in frames:
+            (decode_jpeg if codec == "MJPG" else lambda x: decode_dib_frame(x, w, h))(f)
 
     return {
         "png": decode_image, "png_adam7_16": decode_image,
@@ -63,6 +72,8 @@ def _decoders():
         "jpeg": decode_image, "jpeg_prog": decode_image,
         "wav": decode_audio, "flac": decode_audio,
         "mp4": probe_mp4,
+        "avi_mjpeg": full_avi_decode,
+        "avi_dib": full_avi_decode,
         "warc": lambda b: list(iter_warc_records(b)),
     }
 
