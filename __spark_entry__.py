@@ -49,6 +49,14 @@ _SCORE_DECIMALS = 6
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # Harness boundary: these queries DEFINE their timestamp semantics
+        # as UTC (matching the DuckDB oracles, whose naive TIMESTAMPs are
+        # the stored wall clocks). load_table() itself no longer mutates
+        # the session timezone — the instant conversion inside it is
+        # tz-independent — but date_trunc/window rendering and collect()
+        # are session-tz-sensitive, so the harness session is pinned here.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return load_table(spark, name, sf_dir)
 
 
@@ -1929,57 +1937,13 @@ def _q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order matters: the driver's CORRECTNESS gate checks the first 50
+    # entries only. Rounds 1-4 verified the block now at the bottom
+    # (semi_join_auth .. asof_nearest); round 5 leads with the 60 entries
+    # that had only local-parity coverage so they earn driver-green rows
+    # too. The local gate (tests/test_oracle_parity.py) covers every entry
+    # regardless of order.
     return {
-        "semi_join_auth": _q_semi_join_auth,
-        "hydration_join": _q_hydration_join,
-        "in_transit_by_day": _q_in_transit_by_day,
-        "kmv_source_overlap": _q_kmv_source_overlap,
-        "c4_filters": _q_c4_filters,
-        "group_sample": _q_group_sample,
-        "minhash_calibration": _q_minhash_calibration,
-        "training_shards": _q_training_shards,
-        "cluster_keywords": _q_cluster_keywords,
-        "cdc_apply": _q_cdc_apply,
-        "entity_resolution": _q_entity_resolution,
-        "idle_rich_customers": _q_idle_rich_customers,
-        "topk_cosine": _q_topk_cosine,
-        "doc_max_score": _q_doc_max_score,
-        "status_counts": _q_status_counts,
-        "listing_page": _q_listing_page,
-        "padding_selfjoin": _q_padding_selfjoin,
-        "colpali_merge": _q_colpali_merge,
-        "lang_counts": _q_lang_counts,
-        "filter_dsl_events": _q_filter_dsl_events,
-        "maxsim_exact": _q_maxsim_exact,
-        "maxsim_hamming": _q_maxsim_hamming,
-        "two_stage_topk": _q_two_stage_topk,
-        "dedup_exact": _q_dedup_exact,
-        "minhash_signatures": _q_minhash_signatures,
-        "lsh_pairs": _q_lsh_pairs,
-        "simhash": _q_simhash,
-        "jaccard_pairs": _q_jaccard_pairs,
-        "knn_batch": _q_knn_batch,
-        "knn_lsh": _q_knn_lsh,
-        "knn_ivf": _q_knn_ivf,
-        "near_dup_embedding": _q_near_dup_embedding,
-        "text_stats": _q_text_stats,
-        "language_id": _q_language_id,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "bpe_token_stats": _q_bpe_token_stats,
-        "quality_filter": _q_quality_filter,
-        "stratified_split": _q_stratified_split,
-        "group_topn": _q_group_topn,
-        "length_percentiles": _q_length_percentiles,
-        "sequence_packing": _q_sequence_packing,
-        "sequence_packing_sharded": _q_sequence_packing_sharded,
-        "dup_clusters": _q_dup_clusters,
-        "decontaminate": _q_decontaminate,
-        "repetition_signals": _q_repetition_signals,
-        "mixture_sample": _q_mixture_sample,
-        "event_window_agg": _q_event_window_agg,
-        "hash_embed_retrieval": _q_hash_embed_retrieval,
-        "chunk_stats": _q_chunk_stats,
-        "asof_nearest": _q_asof_nearest,
         "asof_backward": _q_asof_backward,
         "asof_forward": _q_asof_forward,
         "upsert_docs": _q_upsert_docs,
@@ -2040,6 +2004,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _q_hard_negatives,
         "matryoshka_topk": _q_matryoshka_topk,
         "embedding_covariance": _q_embedding_covariance,
+        "semi_join_auth": _q_semi_join_auth,
+        "hydration_join": _q_hydration_join,
+        "in_transit_by_day": _q_in_transit_by_day,
+        "kmv_source_overlap": _q_kmv_source_overlap,
+        "c4_filters": _q_c4_filters,
+        "group_sample": _q_group_sample,
+        "minhash_calibration": _q_minhash_calibration,
+        "training_shards": _q_training_shards,
+        "cluster_keywords": _q_cluster_keywords,
+        "cdc_apply": _q_cdc_apply,
+        "entity_resolution": _q_entity_resolution,
+        "idle_rich_customers": _q_idle_rich_customers,
+        "topk_cosine": _q_topk_cosine,
+        "doc_max_score": _q_doc_max_score,
+        "status_counts": _q_status_counts,
+        "listing_page": _q_listing_page,
+        "padding_selfjoin": _q_padding_selfjoin,
+        "colpali_merge": _q_colpali_merge,
+        "lang_counts": _q_lang_counts,
+        "filter_dsl_events": _q_filter_dsl_events,
+        "maxsim_exact": _q_maxsim_exact,
+        "maxsim_hamming": _q_maxsim_hamming,
+        "two_stage_topk": _q_two_stage_topk,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_signatures": _q_minhash_signatures,
+        "lsh_pairs": _q_lsh_pairs,
+        "simhash": _q_simhash,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "knn_batch": _q_knn_batch,
+        "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
+        "near_dup_embedding": _q_near_dup_embedding,
+        "text_stats": _q_text_stats,
+        "language_id": _q_language_id,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "quality_filter": _q_quality_filter,
+        "stratified_split": _q_stratified_split,
+        "group_topn": _q_group_topn,
+        "length_percentiles": _q_length_percentiles,
+        "sequence_packing": _q_sequence_packing,
+        "sequence_packing_sharded": _q_sequence_packing_sharded,
+        "dup_clusters": _q_dup_clusters,
+        "decontaminate": _q_decontaminate,
+        "repetition_signals": _q_repetition_signals,
+        "mixture_sample": _q_mixture_sample,
+        "event_window_agg": _q_event_window_agg,
+        "hash_embed_retrieval": _q_hash_embed_retrieval,
+        "chunk_stats": _q_chunk_stats,
+        "asof_nearest": _q_asof_nearest,
     }
 
 
@@ -2437,7 +2451,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s.doc_id, s.lang, s.source, s.n_chars FROM snap s
             WHERE NOT EXISTS (
-                SELECT 1 FROM changes c WHERE c.op IN ('U', 'D') AND c.doc_id = s.doc_id
+                SELECT 1 FROM changes c WHERE c.doc_id = s.doc_id
             )
             UNION ALL
             SELECT doc_id, lang, source, n_chars FROM changes WHERE op IN ('U', 'I')

@@ -68,14 +68,30 @@ class MorphikSpark:
         chunk_overlap: int = 64,
         embed_text: Callable[[str], list[float]] | None = None,
         embed_udf=None,
+        embedder: str | dict | None = None,
+        reranker: str | dict | None = None,
     ) -> None:
+        """``embedder``/``reranker`` select models by spec — the facade
+        analog of the reference's morphik.toml registered_models
+        (morphik.toml:17-56): ``"hash"`` (default), ``"hash:<dims>"``, or
+        ``"remote:<api_base>"`` / a provider dict for an OpenAI-compatible
+        endpoint served through the batched, retrying, failure-isolated
+        adapter (functions/model_registry.py). Explicit ``embed_text`` /
+        ``embed_udf`` callables override the spec (power-user seam)."""
+        from morphik_core_spark.functions.model_registry import (
+            build_embedder,
+            build_rerank_kernel,
+        )
+
         self.spark = spark
         self.root = root
         self.embed_dims = embed_dims
         self.chunk_size = chunk_size
         self.chunk_overlap = chunk_overlap
-        self._embed_text = embed_text or (lambda t: hash_embed(t, embed_dims))
-        self._embed_udf = embed_udf or hash_embed_udf(embed_dims)
+        spec_text, spec_udf = build_embedder(embedder, default_dims=embed_dims)
+        self._embed_text = embed_text or spec_text
+        self._embed_udf = embed_udf or spec_udf
+        self._rerank_kernel = build_rerank_kernel(reranker)
         self._compiler = MetadataFilterCompiler()
 
     # ------------------------------------------------------------- tables
@@ -301,7 +317,14 @@ class MorphikSpark:
             folder_path=folder_path, folder_depth=folder_depth, end_user_id=end_user_id
         )
         qv = self._embed_text(query)
-        reranker = make_reranker(query) if use_reranker else None
+        if use_reranker:
+            reranker = (
+                make_reranker(query, kernel=self._rerank_kernel)
+                if self._rerank_kernel is not None
+                else make_reranker(query)
+            )
+        else:
+            reranker = None
         hits = retrieval.retrieve_chunks(
             self.documents(),
             self.chunks(),

@@ -89,11 +89,37 @@ def train_bpe(word_freqs: Iterable[tuple[str, int]], n_merges: int) -> list[tupl
     return merges
 
 
-def train_bpe_from_df(df: DataFrame, text_col: str, n_merges: int) -> list[tuple[str, str]]:
-    """Distributed word counts -> driver-side merge loop. The collect is
-    the vocab table (small by construction), mirroring `kmeans_fit`'s
-    offline-trainer boundary."""
-    rows = word_frequencies(df, text_col).collect()
+def train_bpe_from_df(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    *,
+    min_freq: int = 2,
+    max_words: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Distributed word counts -> driver-side merge loop.
+
+    The collect is a declared offline-trainer boundary (like
+    ``kmeans_fit``), but it must be BOUNDED: on a web-scale corpus the
+    distinct-"word" table is billions of rows (URLs, hex blobs, noise).
+    Real BPE trainers prune the same way (Sennrich's procedure drops
+    hapaxes): rows below ``min_freq`` are filtered executor-side, and at
+    most ``max_words`` rows — the most frequent, ties broken by word so
+    the cap is deterministic — ever reach the driver. Both pushes happen
+    before the collect, so driver memory is O(max_words) regardless of
+    corpus size. Tail words pruned here can only contribute pair counts
+    below ``min_freq``, which never win a merge round against the head.
+
+    Set ``min_freq=1, max_words=None``-ish (a huge cap) only for small
+    fixture corpora where exact parity with the unpruned procedure
+    matters.
+    """
+    wf = word_frequencies(df, text_col)
+    if min_freq > 1:
+        wf = wf.filter(F.col("freq") >= min_freq)
+    # TakeOrdered-shaped cap: per-partition top-N then driver merge —
+    # never a full sort, never an unbounded collect.
+    rows = wf.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(int(max_words)).collect()
     return train_bpe([(r["word"], r["freq"]) for r in rows], n_merges)
 
 

@@ -160,6 +160,27 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = np.frombuffer(d.decompress(bytes(idat), max_raw), dtype=np.uint8)
     if d.unconsumed_tail:
         raise ValueError("PNG IDAT larger than declared geometry")
+    # decompressobj returns PARTIAL bytes for a truncated stream (unlike
+    # zlib.decompress, which raised) — check the exact expected raw size
+    # now so truncation surfaces as a diagnosable error here, not as a
+    # numpy reshape/broadcast error deep in _unfilter. Trailing non-zlib
+    # garbage after the deflate stream is likewise corruption, not slack.
+    if interlace == 1:
+        expected_raw = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw and ph:
+                expected_raw += ph * (1 + pw * bpp)
+    else:
+        expected_raw = height * (1 + width * bpp)
+    if len(raw) != expected_raw:
+        raise ValueError(
+            f"PNG IDAT truncated or corrupt: inflated {len(raw)} raw bytes, "
+            f"geometry {width}x{height}x{bpp}bpp needs {expected_raw}"
+        )
+    if d.unused_data.strip(b"\x00"):
+        raise ValueError("trailing garbage after PNG deflate stream")
 
     def to_samples(byte_img: np.ndarray, h: int, w: int) -> np.ndarray:
         if sample_bytes == 1:

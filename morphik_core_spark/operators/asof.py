@@ -200,15 +200,23 @@ def interval_point_join(
         return c - F.pmod(c, F.lit(bucket_width))
 
     p = points.withColumn("_b", _floor_bucket(F.col(point_col)))
-    i = intervals.withColumn(
-        "_b",
-        F.explode(
-            F.sequence(
-                _floor_bucket(F.col(lo_col)),
-                _floor_bucket(F.col(hi_col)),
-                F.lit(bucket_width),
-            )
-        ),
+    # Degenerate-interval guard: BETWEEN simply matches nothing when
+    # hi < lo or a bound is NULL, but F.sequence(floor(lo), floor(hi), +w)
+    # throws "illegal sequence boundaries" at runtime — one corrupt row
+    # must not kill a 100 TB job. Filter those rows out first; this is the
+    # exact set BETWEEN would drop anyway, so semantics are unchanged.
+    i = (
+        intervals.filter(F.col(lo_col).isNotNull() & (F.col(lo_col) <= F.col(hi_col)))
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    _floor_bucket(F.col(lo_col)),
+                    _floor_bucket(F.col(hi_col)),
+                    F.lit(bucket_width),
+                )
+            ),
+        )
     )
     return (
         p.join(i, on="_b", how="inner")

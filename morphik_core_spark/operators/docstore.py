@@ -108,9 +108,15 @@ def cdc_apply(
     keys and the snapshot never shuffles; pair with
     `plans.partitioning.merge_upsert_partitioned` to rewrite only the
     partitions the batch touches.
+
+    'I' keys join the touched set too, making inserts upsert-safe: a feed
+    that emits I for a key already present replaces the base row instead
+    of silently duplicating the key (same cost — the touched set is built
+    from the whole batch either way, and a true insert's key simply
+    anti-matches nothing).
     """
     keys = list(key_cols)
-    touched = changes.filter(F.col(op_col).isin("U", "D")).select(*keys).distinct()
+    touched = changes.select(*keys).distinct()
     kept = snapshot.join(touched, on=keys, how="left_anti")
     incoming = changes.filter(F.col(op_col).isin("U", "I")).drop(op_col)
     return kept.unionByName(incoming.select(*snapshot.columns))

@@ -643,6 +643,19 @@ def knn_ivf_partitioned(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _require_ivf_cos(layout_df: DataFrame, path: str) -> None:
+    """Layouts written before `write_ivf_layout` stored `ivf_cos` would
+    otherwise fail with a missing-column error deep in a job — or worse,
+    read NULLs depending on which parquet footer Spark samples. Fail at
+    the API boundary with the remedy instead (ADVICE, similarity.py)."""
+    if "ivf_cos" not in layout_df.columns:
+        raise ValueError(
+            f"IVF layout at {path!r} has no 'ivf_cos' column — it was "
+            "written by a pre-ivf_cos version of write_ivf_layout. "
+            "Rebuild it with write_ivf_layout before appending/auditing."
+        )
+
+
 def ivf_append(
     new_embeddings: DataFrame,
     centroids: Sequence[tuple[int, Sequence[float]]],
@@ -662,9 +675,18 @@ def ivf_append(
     retrain (`kmeans_fit` + `write_ivf_layout`) when balance or
     assignment quality trips a threshold.
     """
-    ivf_assign(new_embeddings, centroids, emb_col=emb_col, with_cos=True).write.mode(
-        "append"
-    ).partitionBy("ivf_cid").parquet(path)
+    assigned = ivf_assign(new_embeddings, centroids, emb_col=emb_col, with_cos=True)
+    # Schema-compat guard before mixing files: appending ivf_cos rows into
+    # a legacy (pre-ivf_cos) layout would leave readers seeing the column
+    # or not depending on which footer Spark samples. Footer-only check.
+    spark = new_embeddings.sparkSession
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        existing = None  # first write into an empty/new path: nothing to clash with
+    if existing is not None:
+        _require_ivf_cos(existing, path)
+    assigned.write.mode("append").partitionBy("ivf_cid").parquet(path)
 
 
 def ivf_drift_audit(
@@ -688,6 +710,7 @@ def ivf_drift_audit(
     vocab-sized aggregate.
     """
     df = spark.read.parquet(path)
+    _require_ivf_cos(df, path)
     per_list = df.groupBy("ivf_cid").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.expr("CAST(round(ivf_cos * 1000000.0, 0) AS BIGINT)")).alias("cos_micro_sum"),

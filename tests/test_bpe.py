@@ -53,6 +53,32 @@ def test_distributed_train_and_tokenize(spark):
     assert "est</w>" in symbols
 
 
+def test_trainer_vocab_collect_is_bounded(spark):
+    # heavy-tail corpus: 4 head words + 500 distinct hapaxes (the
+    # URL/noise tail that would OOM an unbounded driver collect at scale)
+    head = "low low low low low lower lower newest newest newest newest newest newest widest widest widest"
+    tail = " ".join(f"hapax{i:04d}" for i in range(500))
+    df = spark.createDataFrame([(head,), (tail,)], "text string")
+
+    # default min_freq=2 prunes every hapax executor-side -> merges are
+    # identical to training on the head corpus alone (Sennrich example)
+    merges = train_bpe_from_df(df, "text", 4)
+    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")]
+
+    # max_words caps what reaches the driver: top-2 by freq = newest(6),
+    # low(5); 'es'/'est' still dominate, then 'n e' from newest alone
+    merges2 = train_bpe_from_df(df, "text", 2, min_freq=2, max_words=2)
+    exp = train_bpe([("newest", 6), ("low", 5)], 2)
+    assert merges2 == exp
+
+    # the cap itself must live in the plan (GlobalLimit), not post-collect
+    from morphik_core_spark.functions.bpe import word_frequencies as _wf
+    capped = _wf(df, "text").filter(F.col("freq") >= 2).orderBy(
+        F.col("freq").desc(), F.col("word").asc()
+    ).limit(2)
+    assert len(capped.collect()) == 2
+
+
 def test_tokenizer_is_arrow_batched_not_row_python(spark):
     df = spark.createDataFrame([("a b c",)] * 10, "text string")
     merges = [("a", "b")]

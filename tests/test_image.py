@@ -127,3 +127,38 @@ def test_16bit_png_downshifts():
     px = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
     assert np.array_equal(decode_png(encode_png(px, bits=16)), px)
     assert np.array_equal(decode_png(encode_png(px, bits=16, interlace=True)), px)
+
+
+def test_truncated_idat_raises_descriptive_error():
+    # decompressobj yields PARTIAL output on truncation; the decoder must
+    # turn that into a diagnosable error at the decode site, not a numpy
+    # shape error from _unfilter (ADVICE, image.py)
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    data = bytearray(encode_png(px))
+    # find the IDAT chunk and truncate its deflate payload mid-stream,
+    # recomputing length + CRC so chunk framing stays valid
+    i = data.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", data[i : i + 4])
+    body = bytes(data[i + 8 : i + 8 + length][: length // 2])
+    chunk = struct.pack(">I", len(body)) + b"IDAT" + body + struct.pack(
+        ">I", zlib.crc32(b"IDAT" + body) & 0xFFFFFFFF
+    )
+    rebuilt = bytes(data[:i]) + chunk + bytes(data[i + 12 + length :])
+    with pytest.raises(ValueError, match="truncated|needs"):
+        decode_png(rebuilt)
+
+
+def test_trailing_garbage_after_deflate_raises():
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    data = bytearray(encode_png(px))
+    i = data.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", data[i : i + 4])
+    body = bytes(data[i + 8 : i + 8 + length]) + b"GARBAGE!"
+    chunk = struct.pack(">I", len(body)) + b"IDAT" + body + struct.pack(
+        ">I", zlib.crc32(b"IDAT" + body) & 0xFFFFFFFF
+    )
+    rebuilt = bytes(data[:i]) + chunk + bytes(data[i + 12 + length :])
+    with pytest.raises(ValueError, match="trailing garbage"):
+        decode_png(rebuilt)

@@ -205,6 +205,31 @@ def test_cdc_apply_ops(spark):
     assert out == {1: "a", 2: "B", 4: "d"}  # 3 deleted, 2 replaced, 4 inserted
 
 
+def test_cdc_apply_insert_on_existing_key_upserts(spark):
+    # upsert-style feeds emit 'I' for keys already in the snapshot; the
+    # result must carry exactly one row for that key (the incoming one),
+    # never a silent duplicate (ADVICE, docstore.py cdc_apply)
+    from morphik_core_spark.operators.docstore import cdc_apply
+
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    changes = spark.createDataFrame([(2, "B2", "I")], "id long, v string, op string")
+    rows = sorted(tuple(r) for r in cdc_apply(snap, changes, ["id"]).collect())
+    assert rows == [(1, "a"), (2, "B2")]
+
+
+def test_interval_join_tolerates_malformed_intervals(spark):
+    # hi < lo and NULL bounds: BETWEEN matches nothing; the bucket
+    # decomposition must drop those rows instead of letting F.sequence
+    # throw 'illegal sequence boundaries' and kill the job (ADVICE)
+    pts = spark.createDataFrame([(5,), (15,)], "p long")
+    iv = spark.createDataFrame(
+        [(1, 20, 10), (2, None, 8), (3, 4, None), (4, 10, 20)],
+        "iid long, lo long, hi long",
+    )
+    got = interval_point_join(pts, iv, "p", "lo", "hi", bucket_width=4)
+    assert sorted((r.p, r.iid) for r in got.collect()) == [(15, 4)]
+
+
 def test_cdc_apply_empty_batch(spark):
     from morphik_core_spark.operators.docstore import cdc_apply
 

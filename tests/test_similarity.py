@@ -327,6 +327,26 @@ def test_ivf_append_incremental_and_drift_audit(spark, emb_df, tmp_path):
         assert -1.0 <= r.min_cos <= r.mean_cos <= 1.0
 
 
+def test_legacy_ivf_layout_rejected_with_remedy(spark, emb_df, tmp_path):
+    # a layout written before ivf_cos existed must fail loudly at the API
+    # boundary (with the rebuild remedy), not as a missing-column error
+    # mid-job or sampled NULLs (ADVICE, similarity.py)
+    df, rows = emb_df
+    centroids = [(i, rows[i][1]) for i in range(1, 5)]
+    path = str(tmp_path / "ivf_legacy")
+    # simulate the pre-ivf_cos writer: assignment without the cos column
+    similarity.ivf_assign(df, centroids, with_cos=False).write.mode("overwrite").partitionBy(
+        "ivf_cid"
+    ).parquet(path)
+
+    with pytest.raises(ValueError, match="write_ivf_layout"):
+        similarity.ivf_drift_audit(spark, path, n_total_lists=4).collect()
+    with pytest.raises(ValueError, match="write_ivf_layout"):
+        similarity.ivf_append(df.limit(5), centroids, path)
+    # and the guard must not have appended anything to the legacy layout
+    assert "ivf_cos" not in spark.read.parquet(path).columns
+
+
 def test_ivf_assign_with_cos_matches_manual(spark, emb_df):
     import math
 
