@@ -152,15 +152,58 @@ def _lexeme_eq(value: str):
     return lambda t: t == F.lit(value)
 
 
+# Precomputed harmonic-square prefix sums: _H2_TABLE[tf] = sum_{j=1..tf}
+# 1/j², accumulated left-to-right ascending — the SAME IEEE evaluation
+# order as the aggregate fallback and the DuckDB oracle's list_sum, so
+# the lookup is bit-identical to recomputation. Kept SMALL deliberately:
+# the array literal is a CreateArray node per entry until constant
+# folding, and Catalyst re-walks it on every analysis pass — a 1024-entry
+# table measurably slowed plan construction. 32 covers any real
+# filename's per-lexeme tf; beyond that the exact fold still runs.
+_H2_TABLE_N = 32
+
+
+def _h2_prefix_sums() -> list[float]:
+    out = [0.0]
+    acc = 0.0
+    for j in range(1, _H2_TABLE_N + 1):
+        acc += 1.0 / (j * j)
+        out.append(acc)
+    return out
+
+
+_H2_TABLE = _h2_prefix_sums()
+_H2_TABLE_COL: list = []  # lazily-built one-element cache (needs a live session)
+
+
+def _h2_table_col() -> Column:
+    # ONE parsed SQL literal (constant-folded to a single Literal array by
+    # the optimizer) — F.lit(list)/F.array would create 1025 py4j Column
+    # objects and dominate plan-construction time. repr() round-trips
+    # doubles exactly, so the parsed values are bit-identical.
+    if not _H2_TABLE_COL:
+        _H2_TABLE_COL.append(F.expr("array(" + ", ".join(f"{x!r}D" for x in _H2_TABLE) + ")"))
+    return _H2_TABLE_COL[0]
+
+
 def ts_rank(lexemes: Column, query_lexemes: list[str]) -> Column:
     """PG ts_rank (default normalization 0, uniform D weights) over a lexeme
-    array: per query lexeme 0.1 * H2(tf) / zeta(2), averaged over the query."""
+    array: per query lexeme 0.1 * H2(tf) / zeta(2), averaged over the query.
+
+    Fast shape: tf via ``size(a) - size(array_remove(a, q))`` (two plain
+    codegen array ops, no lambda) and H2 via an array-literal prefix-sum
+    lookup — no sequence/aggregate higher-order functions, which dominate
+    both plan-construction and execution time for this expression. The
+    exact fold remains as the >_H2_TABLE_N fallback, so values are
+    identical for every tf."""
     if not query_lexemes:
         return F.lit(0.0)
+    table = _h2_table_col()
+    n = F.size(lexemes)
     terms = []
     for q in query_lexemes:
-        tf = F.size(F.filter(lexemes, _lexeme_eq(q)))
-        h2 = F.when(tf <= 0, F.lit(0.0)).otherwise(
+        tf = n - F.size(F.array_remove(lexemes, q))
+        h2 = F.when(tf <= F.lit(_H2_TABLE_N), F.get(table, tf)).otherwise(
             F.aggregate(
                 F.sequence(F.lit(1), tf),
                 F.lit(0.0),

@@ -231,21 +231,30 @@ def extract_pdf_page_images(
     id_col: str = "media_id",
     max_side: int = 256,
 ) -> DataFrame:
-    """Scanned-PDF page-image extraction for the ColPali path: per PDF,
-    decode every embedded raster image (`functions/pdf.extract_pdf_images`
-    — DCT through the JPEG codec, Flate/raw bitmaps) and emit one row per
-    page image with the same features as `extract_image_features`.
+    """PDF page-image extraction for the ColPali path: per PDF, emit one
+    row per page with the same features as `extract_image_features`.
+
+    Two-tier, covering both corpus shapes the reference renders
+    (document_service.py:1901-2011, ingestion_service.py:1449-1640):
+
+    1. **Scanned corpora** store pages AS embedded raster images — decode
+       them directly (`functions/pdf.extract_pdf_images`: DCT through the
+       JPEG codec, Flate/raw bitmaps).
+    2. **Text/vector PDFs** have no embedded rasters — rasterize each
+       page via the glyph-box renderer
+       (`functions/pdf_render.rasterize_pdf_pages`, DPI 150 like the
+       reference) so text-only documents produce one real page bitmap per
+       page instead of vanishing from the visual-retrieval path.
 
     Output: (media_id, page_idx, ok, err, width, height, mean_r, mean_g,
-    mean_b, is_blank). A text-only/vector PDF yields one ok=true row with
-    page_idx = -1 and NULL features (so 'no page images' is visible, not
-    silent); a broken PDF yields one ok=false row. This is the real
-    substance of the reference's page rendering
-    (document_service.py:1901-2011): scanned corpora store pages AS
-    embedded DCT images, no rasterizer needed.
+    mean_b, is_blank). A PDF with neither embedded images nor parseable
+    pages yields one ok=true row with page_idx = -1 and NULL features (so
+    'no page images' is visible, not silent); a broken PDF yields one
+    ok=false row.
     """
     from morphik_core_spark.functions.image import is_blank_image, resize_max_side
     from morphik_core_spark.functions.pdf import extract_pdf_images
+    from morphik_core_spark.functions.pdf_render import rasterize_pdf_pages
 
     out_schema = (
         f"{id_col} string, page_idx int, ok boolean, err string, width int, height int, "
@@ -258,7 +267,15 @@ def extract_pdf_page_images(
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    images = extract_pdf_images(bytes(payload) if payload is not None else b"")
+                    data = bytes(payload) if payload is not None else b""
+                    images = extract_pdf_images(data)
+                    if not images:
+                        # text/vector pages: glyph-box rasterization at
+                        # the reference's DPI, grayscale -> RGB planes
+                        images = [
+                            np.repeat(gray[:, :, None], 3, axis=2)
+                            for gray in rasterize_pdf_pages(data, dpi=150)
+                        ]
                     if not images:
                         rows.append((mid, -1, True, None, None, None, None, None, None, None))
                         continue

@@ -248,6 +248,26 @@ def test_ts_rank_matches_pg_formula(spark):
     assert got["z"] == 0.0
 
 
+def test_ts_rank_h2_lookup_equals_fold_across_table_edge(spark):
+    """The H2 prefix-sum lookup and the exact aggregate fallback must be
+    bit-identical at and beyond the table boundary (tf = N-1, N, N+1)."""
+    from morphik_core_spark.functions.text import _H2_TABLE_N, ts_rank
+
+    rows = [
+        (str(tf), ["q"] * tf)
+        for tf in (1, _H2_TABLE_N - 1, _H2_TABLE_N, _H2_TABLE_N + 1, _H2_TABLE_N + 7)
+    ]
+    df = spark.createDataFrame(rows, "id string, lex array<string>")
+    got = {r.id: r.rank for r in df.select("id", ts_rank(F.col("lex"), ["q"]).alias("rank")).collect()}
+    zeta2_exact = 1.64493406685
+    for tf_s, rank in got.items():
+        tf = int(tf_s)
+        acc = 0.0
+        for j in range(1, tf + 1):
+            acc += 1.0 / (j * j)
+        assert rank == (acc * (0.1 / zeta2_exact)) / 1.0, tf  # bit-exact, no approx
+
+
 def test_ts_rank_sql_twin_agrees(spark):
     """DuckDB twin produces the same rank on the same lexeme lists."""
     import duckdb

@@ -124,11 +124,19 @@ def test_pdf_page_image_extraction_pipeline(spark):
         + str(len(jpg)).encode() + b">>\nstream\n" + jpg + b"\nendstream\n%%EOF"
     )
     textonly = b"%PDF-1.4\n<</Length 20>>\nstream\nBT (hi) Tj ET\nendstream\n%%EOF"
+    empty = b"%PDF-1.4\n%%EOF"
     df = spark.createDataFrame(
-        [("scan", bytearray(scanned)), ("text", bytearray(textonly)), ("bad", b"nope")],
+        [("scan", bytearray(scanned)), ("text", bytearray(textonly)),
+         ("empty", bytearray(empty)), ("bad", b"nope")],
         "media_id string, payload binary",
     )
     rows = {(r.media_id, r.page_idx): r for r in extract_pdf_page_images(df).collect()}
     assert rows[("scan", 0)].ok and rows[("scan", 0)].width == 20 and rows[("scan", 0)].height == 30
-    assert rows[("text", -1)].ok and rows[("text", -1)].width is None  # no page images, visibly
+    # text-only PDFs now RASTERIZE (glyph-box renderer at DPI 150) instead
+    # of vanishing: one real page bitmap, letter-sized, with ink -> not blank
+    t = rows[("text", 0)]
+    assert t.ok and t.width == round(612 * 150 / 72) and t.height == round(792 * 150 / 72)
+    assert t.is_blank is False and t.mean_r < 255.0
+    # a PDF with neither images nor pages stays visibly page-less
+    assert rows[("empty", -1)].ok and rows[("empty", -1)].width is None
     assert not rows[("bad", -1)].ok

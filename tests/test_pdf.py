@@ -248,3 +248,83 @@ def test_non_cid_text_unaffected_by_cid_machinery():
         b"BT /F1 10 Tf (plain latin text) Tj ET\nendstream\n%%EOF"
     )
     assert "plain latin text" in extract_pdf_text(pdf)
+
+
+# ------------------------------------------------- page rasterization
+
+
+def make_pdf_pages(pages_ops: list[bytes], media_box: bytes = b"[0 0 612 792]") -> bytes:
+    """A multi-page PDF: one content stream per page, shared font."""
+    out = [b"%PDF-1.4\n", b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"]
+    kids = b" ".join(b"%d 0 R" % (3 + 2 * i) for i in range(len(pages_ops)))
+    out.append(
+        b"2 0 obj << /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(len(pages_ops)).encode() + b" /MediaBox " + media_box + b" >> endobj\n"
+    )
+    for i, ops in enumerate(pages_ops):
+        pnum, cnum = 3 + 2 * i, 4 + 2 * i
+        out.append(
+            b"%d 0 obj << /Type /Page /Parent 2 0 R /Contents %d 0 R "
+            b"/Resources << /Font << /F1 99 0 R >> >> >> endobj\n" % (pnum, cnum)
+        )
+        out.append(
+            b"%d 0 obj << /Length %d >> stream\n" % (cnum, len(ops)) + ops + b"\nendstream endobj\n"
+        )
+    out.append(b"99 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+    out.append(b"trailer << /Root 1 0 R >>\n%%EOF\n")
+    return b"".join(out)
+
+
+def test_rasterize_one_bitmap_per_page_for_text_only_pdf():
+    """VERDICT item 5's done-bar: a text-only PDF yields one page image
+    per page, in page-tree order, with ink where the text ops put it."""
+    import numpy as np
+
+    from morphik_core_spark.functions.pdf_render import rasterize_pdf_pages
+
+    pdf = make_pdf_pages([
+        b"BT /F1 12 Tf 72 720 Td (Top of page one) Tj ET",
+        b"BT /F1 12 Tf 72 100 Td (Bottom of page two) Tj ET",
+        b"",  # an empty (vector-only) page still renders a bitmap
+    ])
+    pages = rasterize_pdf_pages(pdf, dpi=72)
+    assert len(pages) == 3
+    assert all(p.shape == (792, 612) for p in pages)
+    # page 1 inks near the top (y=720pt -> row ~72), page 2 near the bottom
+    r1 = np.where((pages[0] < 255).any(axis=1))[0]
+    r2 = np.where((pages[1] < 255).any(axis=1))[0]
+    assert 55 <= r1.min() and r1.max() <= 80
+    assert 675 <= r2.min() and r2.max() <= 700
+    assert (pages[2] == 255).all()  # blank page, full-size bitmap
+
+
+def test_rasterize_respects_tm_and_dpi():
+    import numpy as np
+
+    from morphik_core_spark.functions.pdf_render import rasterize_pdf_pages
+
+    # Tm places text at (200, 400); DPI 144 doubles the bitmap
+    pdf = make_pdf_pages([b"BT /F1 10 Tf 1 0 0 1 200 400 Tm (X) Tj ET"])
+    (page,) = rasterize_pdf_pages(pdf, dpi=144)
+    assert page.shape == (1584, 1224)
+    rows = np.where((page < 255).any(axis=1))[0]
+    cols = np.where((page < 255).any(axis=0))[0]
+    assert abs(cols.min() - 200 * 2) <= 2
+    assert abs(rows.max() - (792 - 400) * 2) <= 6  # baseline+descent below y=400pt
+
+
+def test_rasterize_compressed_content_and_crypt_path():
+    from morphik_core_spark.functions.pdf_render import rasterize_pdf_pages
+
+    pdf = make_pdf(BASIC_OPS, compress=True)
+    pages = rasterize_pdf_pages(pdf, dpi=72)
+    assert len(pages) == 1 and (pages[0] < 255).any()
+
+
+def test_rasterize_rejects_non_pdf():
+    import pytest as _pytest
+
+    from morphik_core_spark.functions.pdf_render import rasterize_pdf_pages
+
+    with _pytest.raises(ValueError, match="PDF"):
+        rasterize_pdf_pages(b"plain text")
