@@ -767,15 +767,64 @@ class MorphikSpark:
         )
         row.write.mode("append").parquet(self._path("chat"))
 
-    def chat_history(self, conversation_id: str) -> list[dict]:
-        """Ordered turns for one conversation (empty list if none)."""
+    def chat_history(
+        self,
+        conversation_id: str,
+        auth: AuthContext | None = None,
+        limit: int | None = None,
+        offset: int = 0,
+    ) -> list[dict]:
+        """Ordered turns for one conversation (empty list if none).
+
+        Scope parity with the reference's history read
+        (postgres_database.py get_chat_history: an app-scoped token only
+        sees conversations stored under its app — a stored app_id that
+        differs from the caller's yields nothing; NULL-scoped rows stay
+        visible). ``limit``/``offset`` page by seq — a keyset cut, not a
+        driver-side slice, so a long conversation never fully collects."""
         p = self._path("chat")
         if not os.path.exists(p):
             return []
-        rows = (
-            self.spark.read.parquet(p)
-            .filter(F.col("conversation_id") == conversation_id)
-            .orderBy("seq")
-            .collect()
+        df = self.spark.read.parquet(p).filter(F.col("conversation_id") == conversation_id)
+        if auth is not None and auth.app_id is not None:
+            df = df.filter(F.col("app_id").isNull() | (F.col("app_id") == auth.app_id))
+        if offset:
+            df = df.filter(F.col("seq") >= offset)
+        df = df.orderBy("seq")
+        if limit is not None:
+            df = df.limit(limit)
+        return [r.asDict() for r in df.collect()]
+
+    def list_chat_conversations(
+        self, auth: AuthContext | None = None, limit: int = 100
+    ) -> list[dict]:
+        """Conversations ordered by last update, newest first, with the
+        last message and an auto-title — the reference's conversation
+        listing (postgres_database.py list_chat_conversations: ORDER BY
+        updated_at DESC LIMIT :limit, history->-1 preview; title
+        auto-generated from the first user message's first 50 chars,
+        upsert_chat_history). One groupBy over the turns table — the
+        rollup happens in the engine, the driver gets ``limit`` rows."""
+        p = self._path("chat")
+        if not os.path.exists(p):
+            return []
+        df = self.spark.read.parquet(p)
+        if auth is not None and auth.app_id is not None:
+            df = df.filter(F.col("app_id").isNull() | (F.col("app_id") == auth.app_id))
+        rolled = (
+            df.groupBy("conversation_id")
+            .agg(
+                F.max("created_at_us").alias("updated_at_us"),
+                F.min("created_at_us").alias("created_at_us"),
+                F.max_by(
+                    F.struct("role", "content"), F.col("seq")
+                ).alias("last_message"),
+                F.min_by(
+                    F.when(F.col("role") == "user", F.substring("content", 1, 50)),
+                    F.when(F.col("role") == "user", F.col("seq")),
+                ).alias("title"),
+            )
+            .orderBy(F.col("updated_at_us").desc(), F.col("conversation_id").asc())
+            .limit(limit)
         )
-        return [r.asDict() for r in rows]
+        return [r.asDict(recursive=True) for r in rolled.collect()]

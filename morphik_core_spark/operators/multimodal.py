@@ -149,22 +149,30 @@ def extract_video_frame_features(
     id_col: str = "media_id",
     frame_sample_rate: float = 1.0,
     max_side: int = 256,
+    external_decoder_factory=None,
 ) -> DataFrame:
     """REAL video frame sampling + decode for MJPEG- and DIB-AVI payloads
     (reference parse_video.py:91-280 samples at ``frame_sample_rate`` fps
     and feeds frames to the image pipeline; here every sampled frame runs
     through the same resize/blank kernels as still images).
 
+    ``external_decoder_factory`` is the declared modern-codec boundary
+    (functions/av_adapter.ffmpeg_video_decoder, or any factory returning
+    the same ``(payload, sample_rate) -> (meta, frames)`` contract): when
+    the built-in decoder rejects a payload (H.264/HEVC/...), the external
+    decoder gets it, its frames flow through the SAME feature kernel, and
+    a payload neither can decode fails only its own row. The factory runs
+    once per Python worker so process/pool startup is amortized.
+
     Output: one row per SAMPLED frame — (media_id, ok, err, frame_idx,
-    frame_ts, width, height, mean_r, mean_g, mean_b, is_blank). Non-AVI /
-    foreign-codec / corrupt payloads yield a single ok=false row; a corrupt
-    individual frame fails only its own row. mapInPandas keeps the
-    payload bytes executor-side; at 100 TB repartition by payload size
-    first so one long video cannot skew an executor (same note as the
-    image kernel).
+    frame_ts, width, height, mean_r, mean_g, mean_b, is_blank). Corrupt
+    payloads yield a single ok=false row; a corrupt individual frame
+    fails only its own row. mapInPandas keeps the payload bytes
+    executor-side; at 100 TB repartition by payload size first so one
+    long video cannot skew an executor (same note as the image kernel).
     """
+    from morphik_core_spark.functions.av_adapter import builtin_video_decoder
     from morphik_core_spark.functions.image import is_blank_image, resize_max_side
-    from morphik_core_spark.functions.video import decode_dib_frame, decode_jpeg, parse_avi
 
     out_schema = (
         f"{id_col} string, ok boolean, err string, frame_idx int, frame_ts double, "
@@ -174,33 +182,34 @@ def extract_video_frame_features(
             "mean_r", "mean_g", "mean_b", "is_blank"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        builtin = builtin_video_decoder()
+        external = external_decoder_factory() if external_decoder_factory else None
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else None
                 try:
-                    fps, fw, fh, frames, codec = parse_avi(
-                        bytes(payload) if payload is not None else None
-                    )
-                except Exception as exc:  # noqa: BLE001 — row-level isolation
-                    rows.append((mid, False, str(exc), *([None] * 8)))
-                    continue
-                step = max(1, int(round(fps / frame_sample_rate)))
-                for idx in range(0, len(frames), step):
+                    _meta, frames = builtin(data, frame_sample_rate)
+                except Exception as exc:  # noqa: BLE001 — try the declared boundary
+                    if external is None:
+                        rows.append((mid, False, str(exc), *([None] * 8)))
+                        continue
                     try:
-                        px = (
-                            decode_jpeg(frames[idx])
-                            if codec == "MJPG"
-                            else decode_dib_frame(frames[idx], fw, fh)
-                        )
-                        h, w = px.shape[:2]
-                        small = resize_max_side(px, max_side)
-                        means = small.reshape(-1, 3).mean(axis=0)
-                        rows.append(
-                            (mid, True, None, idx, idx / fps, w, h,
-                             *[float(m) for m in means], is_blank_image(small))
-                        )
-                    except Exception as exc:  # noqa: BLE001 — frame-level isolation
-                        rows.append((mid, False, str(exc), idx, idx / fps, *([None] * 6)))
+                        _meta, frames = external(data, frame_sample_rate)
+                    except Exception as exc2:  # noqa: BLE001 — row-level isolation
+                        rows.append((mid, False, f"{exc}; external: {exc2}", *([None] * 8)))
+                        continue
+                for idx, ts, px in frames:
+                    if isinstance(px, Exception):  # per-frame failure, in place
+                        rows.append((mid, False, str(px), idx, ts, *([None] * 6)))
+                        continue
+                    h, w = px.shape[:2]
+                    small = resize_max_side(px, max_side)
+                    means = small.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (mid, True, None, idx, ts, w, h,
+                         *[float(m) for m in means], is_blank_image(small))
+                    )
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)

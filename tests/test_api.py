@@ -249,6 +249,45 @@ def test_chat_history_append_and_order(spark, tmp_path):
     assert len(client.chat_history("c2")) == 1
 
 
+def test_chat_history_pagination_and_app_scope(spark, tmp_path):
+    from morphik_core_spark.api import MorphikSpark
+    from morphik_core_spark.operators.scopes import AuthContext
+
+    client = MorphikSpark(spark, str(tmp_path / "m"))
+    for i in range(6):
+        client.append_chat_message("c1", "user" if i % 2 == 0 else "assistant", f"turn {i}")
+    # keyset pagination by seq: offset/limit cut in-engine
+    page = client.chat_history("c1", limit=2, offset=2)
+    assert [(m["seq"], m["content"]) for m in page] == [(2, "turn 2"), (3, "turn 3")]
+    assert len(client.chat_history("c1", limit=10)) == 6
+
+    # app scope: a conversation stored under another app is invisible to
+    # an app-scoped caller (reference get_chat_history app_id check)
+    client.append_chat_message("capp", "user", "scoped", auth=AuthContext(app_id="app-A"))
+    assert client.chat_history("capp", auth=AuthContext(app_id="app-B")) == []
+    assert len(client.chat_history("capp", auth=AuthContext(app_id="app-A"))) == 1
+    # NULL-scoped history stays visible to scoped callers, as in the reference
+    assert len(client.chat_history("c1", auth=AuthContext(app_id="app-A"))) == 6
+
+
+def test_list_chat_conversations_rollup(spark, tmp_path):
+    from morphik_core_spark.api import MorphikSpark
+
+    client = MorphikSpark(spark, str(tmp_path / "m"))
+    assert client.list_chat_conversations() == []
+    client.append_chat_message("old", "user", "a question that is quite long " + "x" * 60)
+    client.append_chat_message("old", "assistant", "the answer")
+    client.append_chat_message("new", "user", "later convo")
+    convos = client.list_chat_conversations(limit=10)
+    # newest-updated first, reference ORDER BY updated_at DESC
+    assert [c["conversation_id"] for c in convos] == ["new", "old"]
+    old = convos[1]
+    assert old["last_message"] == {"role": "assistant", "content": "the answer"}
+    # auto-title = first user message's first 50 chars
+    assert old["title"] == ("a question that is quite long " + "x" * 60)[:50]
+    assert client.list_chat_conversations(limit=1)[0]["conversation_id"] == "new"
+
+
 def test_min_score_ignored_by_default_applied_on_flag(spark, tmp_path):
     from morphik_core_spark.api import MorphikSpark
     from morphik_core_spark.operators.scopes import AuthContext
