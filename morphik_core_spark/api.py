@@ -70,6 +70,7 @@ class MorphikSpark:
         embed_udf=None,
         embedder: str | dict | None = None,
         reranker: str | dict | None = None,
+        storage=None,
     ) -> None:
         """``embedder``/``reranker`` select models by spec — the facade
         analog of the reference's morphik.toml registered_models
@@ -92,6 +93,10 @@ class MorphikSpark:
         self._embed_text = embed_text or spec_text
         self._embed_udf = embed_udf or spec_udf
         self._rerank_kernel = build_rerank_kernel(reranker)
+        # object store for source-file payloads + download-URL hydration
+        # (sources/object_store; reference base_storage.py contract).
+        # None = text-only deployment, download_url stays null.
+        self._storage = storage
         self._compiler = MetadataFilterCompiler()
 
     # ------------------------------------------------------------- tables
@@ -202,6 +207,7 @@ class MorphikSpark:
         auth: AuthContext | None = None,
         folder_path: str | None = None,
         end_user_id: str | None = None,
+        content_types: Sequence[str] | None = None,
     ) -> list[str]:
         """Batch text ingestion: normalize metadata → chunk → embed → index."""
         auth = auth or AuthContext(user_id="local")
@@ -210,9 +216,12 @@ class MorphikSpark:
         filenames = filenames or [None] * n
         metadatas = metadatas or [None] * n
         metadata_types_list = metadata_types_list or [None] * n
+        content_types = content_types or ["text/plain"] * n
 
         doc_rows, ids = [], []
-        for content, filename, md, hints in zip(contents, filenames, metadatas, metadata_types_list):
+        for content, filename, md, hints, ctype in zip(
+            contents, filenames, metadatas, metadata_types_list, content_types
+        ):
             doc_id = str(uuid.uuid4())
             ids.append(doc_id)
             values, types = normalize_metadata(md or {}, hints)
@@ -221,7 +230,7 @@ class MorphikSpark:
                 (
                     doc_id,
                     filename,
-                    "text/plain",
+                    ctype,
                     json.dumps(values),
                     types,
                     "completed" if ok else "failed",
@@ -255,6 +264,66 @@ class MorphikSpark:
             self._write_chunks(self.chunks().unionByName(new_chunks))
         self._merge_documents(new_docs)
         return ids
+
+    def ingest_file(
+        self,
+        data: bytes,
+        filename: str,
+        metadata: dict[str, Any] | None = None,
+        auth: AuthContext | None = None,
+        folder_path: str | None = None,
+        end_user_id: str | None = None,
+        pdf_layout: bool = False,
+    ) -> str:
+        """Single-file ingestion at the serving edge (reference POST
+        /ingest/file, ingestion_service.py): infer MIME from the
+        extension, parse through the SAME kernel table the distributed
+        drop-dir pipeline uses (sources/binary.parse_kernels — PDF incl.
+        optional XY-cut layout mode, Office, HTML, ...), store the source
+        payload in the configured object store, and index the text.
+
+        With a storage configured, the document's metadata carries
+        ``external_storage`` (bucket/key JSON — the engine-side analog of
+        the reference Document.storage_info) and retrieval results
+        hydrate ``download_url`` from it (document_service.py:1720-1738).
+        A payload the kernels cannot parse still ingests — status
+        'failed', payload stored — matching the reference worker's
+        keep-the-file-mark-the-row behavior."""
+        from morphik_core_spark.functions.binary import _DEFAULT_MIME, _EXT_MIME
+        from morphik_core_spark.sources.binary import parse_kernels
+
+        auth = auth or AuthContext(user_id="local")
+        ext = filename.rsplit(".", 1)[-1].lower() if "." in filename else ""
+        mime = _EXT_MIME.get(ext, _DEFAULT_MIME)
+        text = ""
+        if mime.startswith("text/") and mime != "text/html":
+            try:
+                text = data.decode("utf-8", errors="replace")
+            except Exception:  # noqa: BLE001
+                text = ""
+        else:
+            kernel = parse_kernels(pdf_layout).get(mime)
+            if kernel is not None:
+                try:
+                    text = kernel(data)
+                except Exception:  # noqa: BLE001 — failed parse = failed row
+                    text = ""
+
+        md = dict(metadata or {})
+        if self._storage is not None:
+            doc_key = f"ingest/{uuid.uuid4()}/{filename}"
+            bucket = auth.app_id or "storage"
+            self._storage.upload(bucket, doc_key, data)
+            md["external_storage"] = json.dumps({"bucket": bucket, "key": doc_key})
+        return self.ingest_texts(
+            [text],
+            filenames=[filename],
+            metadatas=[md],
+            auth=auth,
+            folder_path=folder_path,
+            end_user_id=end_user_id,
+            content_types=[mime],
+        )[0]
 
     # ----------------------------------------------------------- retrieval
 
@@ -291,12 +360,32 @@ class MorphikSpark:
             use_reranker=use_reranker,
         )
         rows = [r.asDict(recursive=True) for r in hits.collect()]
+        for r in rows:
+            r["download_url"] = self._download_url_for(r.get("metadata"))
         if apply_min_score and min_score is not None:
             rows = [
                 r for r in rows
                 if r["score"] >= min_score or (padding > 0 and r["score"] == 0.0)
             ]
         return sorted(rows, key=lambda r: (-r["score"], str(r["document_id"]), r["chunk_number"]))
+
+    def _download_url_for(self, metadata_json: str | None) -> str | None:
+        """ChunkResult download-URL hydration (reference
+        document_service.py:1720-1738): when the document's metadata
+        carries external_storage and a store is configured, hand back a
+        presigned/file URL for the source payload. Serving-edge only —
+        runs over the k collected rows, never inside a plan. A missing
+        file or store error yields None, like the reference's
+        warn-and-continue."""
+        if self._storage is None or not metadata_json:
+            return None
+        try:
+            info = json.loads(json.loads(metadata_json).get("external_storage") or "null")
+            if not info:
+                return None
+            return self._storage.get_download_url(info["bucket"], info["key"])
+        except Exception:  # noqa: BLE001 — reference warns and continues
+            return None
 
     def _retrieve_chunks_df(
         self,

@@ -405,3 +405,250 @@ def rasterize_pdf_pages(data: bytes, dpi: int = 150) -> list[np.ndarray]:
 
     data = decrypt_pdf(data)
     return [rasterize_page(content, mb, dpi=dpi) for mb, content in parse_page_tree(data)]
+
+
+# ----------------------------------------------- layout-aware extraction
+
+
+def page_text_runs(
+    content: bytes, font_cmaps: dict | None = None
+) -> list[tuple[float, float, float, float, float, str]]:
+    """Interpret a page's text ops into positioned runs:
+    [(x0, y0, x1, y1, size, text)] in PDF user space (y up), one run per
+    show op. The same text machine as rasterize_page, but decoding the
+    strings (CID CMaps included) instead of inking boxes — the substrate
+    for reading-order reconstruction."""
+    from morphik_core_spark.functions.pdf import _cmap_decode, _decode_string_bytes
+
+    runs: list[tuple[float, float, float, float, float, str]] = []
+    ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    ctm = ident
+    ctm_stack: list[tuple] = []
+    tm = lm = ident
+    size = 12.0
+    leading = 0.0
+    in_text = False
+    cur_cmap: dict | None = None
+    last_name: str | None = None
+    pend: list[bytes] = []
+    operands: list[float] = []
+
+    def show(items) -> None:
+        nonlocal tm
+        for it in items:
+            if isinstance(it, (int, float)):
+                tm = _mat_mul((1, 0, 0, 1, -it / 1000.0 * size, 0), tm)
+                continue
+            text = _cmap_decode(it, cur_cmap) if cur_cmap else _decode_string_bytes(it)
+            if not text:
+                continue
+            adv = sum(_SPACE_W if ch == " " else _GLYPH_W for ch in text) * size
+            g = _mat_mul(tm, ctm)
+            ax0, ay0 = _apply(g, 0.0, -_DESCENT * size)
+            ax1, ay1 = _apply(g, adv, _ASCENT * size)
+            if text.strip():
+                runs.append(
+                    (min(ax0, ax1), min(ay0, ay1), max(ax0, ax1), max(ay0, ay1), size, text)
+                )
+            tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == 0x28:
+            raw, i = _parse_literal_bytes(content, i + 1)
+            pend.append(raw)
+        elif c == 0x3C and not content.startswith(b"<<", i):
+            end = content.find(b">", i + 1)
+            if end == -1:
+                break
+            hx = re.sub(rb"\s", b"", content[i + 1 : end])
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                pend.append(bytes.fromhex(hx.decode("ascii")))
+            except ValueError:
+                pass
+            i = end + 1
+        elif c == 0x2F:
+            m = re.compile(rb"/([A-Za-z0-9.+_-]+)").match(content, i)
+            if m:
+                last_name = m.group(1).decode("latin-1")
+                i = m.end()
+            else:
+                i += 1
+        elif c in (0x5B, 0x5D):
+            i += 1
+        elif chr(c).isdigit() or c in b"+-.":
+            m = _NUM_RE.match(content, i)
+            if not m:
+                i += 1
+                continue
+            operands.append(float(m.group(0)))
+            i = m.end()
+        else:
+            m = _OP_RE.match(content, i)
+            if not m:
+                i += 1
+                continue
+            op = m.group(0)
+            i = m.end()
+            if op == b"BT":
+                in_text, tm, lm = True, ident, ident
+            elif op == b"ET":
+                in_text = False
+            elif op == b"Tf":
+                if operands:
+                    size = operands[-1]
+                cur_cmap = (font_cmaps or {}).get(last_name)
+            elif op == b"TL" and operands:
+                leading = operands[-1]
+            elif op == b"Tm" and len(operands) >= 6:
+                tm = lm = tuple(operands[-6:])
+            elif op in (b"Td", b"TD") and len(operands) >= 2:
+                tx, ty = operands[-2], operands[-1]
+                if op == b"TD":
+                    leading = -ty
+                lm = _mat_mul((1, 0, 0, 1, tx, ty), lm)
+                tm = lm
+            elif op == b"T*":
+                lm = _mat_mul((1, 0, 0, 1, 0, -leading), lm)
+                tm = lm
+            elif op in (b"Tj", b"TJ") and in_text:
+                show(pend)
+            elif op in (b"'", b'"') and in_text:
+                lm = _mat_mul((1, 0, 0, 1, 0, -leading), lm)
+                tm = lm
+                show(pend)
+            elif op == b"cm" and len(operands) >= 6:
+                ctm = _mat_mul(tuple(operands[-6:]), ctm)
+            elif op == b"q":
+                ctm_stack.append(ctm)
+            elif op == b"Q":
+                ctm = ctm_stack.pop() if ctm_stack else ident
+            pend.clear()
+            operands.clear()
+    return runs
+
+
+def _gaps(intervals: list[tuple[float, float]], min_gap: float) -> list[float]:
+    """Midpoints of gaps wider than min_gap between merged intervals."""
+    if not intervals:
+        return []
+    intervals = sorted(intervals)
+    merged = [list(intervals[0])]
+    for lo, hi in intervals[1:]:
+        if lo <= merged[-1][1] + min_gap:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return [(merged[k][1] + merged[k + 1][0]) / 2.0 for k in range(len(merged) - 1)]
+
+
+def _xy_cut(runs: list, depth: int = 0) -> list:
+    """Recursive XY-cut reading order (Nagy et al.'s classic document
+    layout algorithm): split on the widest whitespace gully — horizontal
+    cuts first (top-to-bottom bands), then vertical (left-to-right
+    columns) — and recurse; leaves fall back to line clustering. This is
+    what turns a two-column paper into left-column-then-right-column
+    text, the reading-order half of layout-aware parsing (reference
+    delegates it to Docling, morphik_parser.py:295-346)."""
+    if len(runs) <= 1 or depth > 16:
+        return _line_order(runs)
+    med_size = sorted(r[4] for r in runs)[len(runs) // 2]
+    y_cuts = _gaps([(r[1], r[3]) for r in runs], min_gap=med_size * 0.9)
+    if y_cuts:
+        bands: dict[int, list] = {}
+        for r in runs:
+            yc = (r[1] + r[3]) / 2.0
+            band = sum(1 for cut in y_cuts if yc < cut)  # 0 = topmost band
+            bands.setdefault(band, []).append(r)
+        out = []
+        for band in sorted(bands):  # top (y above all cuts) first
+            out.extend(_xy_cut(bands[band], depth + 1))
+        return out
+    x_cuts = _gaps([(r[0], r[2]) for r in runs], min_gap=med_size * 1.6)
+    if x_cuts:
+        cols: dict[int, list] = {}
+        for r in runs:
+            xc = (r[0] + r[2]) / 2.0
+            col = sum(1 for cut in x_cuts if xc > cut)  # 0 = leftmost
+            cols.setdefault(col, []).append(r)
+        out = []
+        for col in sorted(cols):
+            out.extend(_xy_cut(cols[col], depth + 1))
+        return out
+    return _line_order(runs)
+
+
+def _line_order(runs: list) -> list:
+    """Cluster runs into baselines (y tolerance ~ half the median size),
+    top line first, left-to-right within a line; a LINE-BREAK sentinel
+    run separates lines for the assembler."""
+    if not runs:
+        return []
+    med_size = sorted(r[4] for r in runs)[len(runs) // 2]
+    tol = med_size * 0.6
+    lines: list[list] = []
+    for r in sorted(runs, key=lambda r: (-r[1], r[0])):
+        for line in lines:
+            if abs(line[0][1] - r[1]) <= tol:
+                line.append(r)
+                break
+        else:
+            lines.append([r])
+    lines.sort(key=lambda line: -max(x[3] for x in line))
+    out = []
+    for line in lines:
+        out.extend(sorted(line, key=lambda r: r[0]))
+        out.append(None)  # line break sentinel
+    return out
+
+
+def _assemble(ordered: list) -> str:
+    parts: list[str] = []
+    prev = None
+    for r in ordered:
+        if r is None:
+            if parts and not parts[-1].endswith("\n"):
+                parts.append("\n")
+            prev = None
+            continue
+        if prev is not None:
+            gap = r[0] - prev[2]
+            if gap > prev[4] * 0.2 and not prev[5].endswith(" ") and not r[5].startswith(" "):
+                parts.append(" ")
+        parts.append(r[5])
+        prev = r
+    return "".join(parts).strip("\n")
+
+
+def extract_pdf_text_layout(data: bytes) -> str:
+    """Layout-aware PDF text extraction: positioned runs -> XY-cut
+    reading order -> line assembly, per page, pages joined by form feed.
+
+    Where `extract_pdf_text` emits show-operator order (fast, faithful
+    for linear PDFs), this reconstructs READING order from geometry, so
+    multi-column layouts and out-of-order content streams come out as a
+    human reads them — the engine-local answer to the reference's
+    Docling reading-order pass (morphik_parser.py:295-346). Raises
+    ValueError for non-PDFs or when no text is recovered, same row-level
+    contract as extract_pdf_text."""
+    if not looks_like_pdf(data):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    from morphik_core_spark.functions.pdf import _collect_font_cmaps
+    from morphik_core_spark.functions.pdf_crypt import decrypt_pdf
+
+    data = decrypt_pdf(data)
+    font_cmaps = _collect_font_cmaps(data)
+    pages_text = []
+    for _mb, content in parse_page_tree(data):
+        runs = page_text_runs(content, font_cmaps)
+        if runs:
+            pages_text.append(_assemble(_xy_cut(runs)))
+    text = "\f".join(t for t in pages_text if t).strip()
+    if not text:
+        raise ValueError("no extractable text (encrypted/image-only/unsupported encoding)")
+    return text

@@ -66,25 +66,26 @@ _PARSEABLE_MIMES = (
 )
 
 
-def _parse_document_udf():
-    """Arrow-batched document parse with per-row failure isolation: routes
-    on MIME inside the batch (PDF / xlsx-markdown / docx) and returns a
-    (text, status) struct; a row that fails to parse becomes
-    (NULL, 'parse_failed') instead of failing the batch — the same
-    isolation contract as the reference worker's per-file try/except
-    (ingestion_worker.py:546-588)."""
+def parse_kernels(pdf_layout: bool = False) -> dict:
+    """MIME -> ``bytes -> text`` kernel table — the single routing map
+    shared by the distributed parse UDF and the serving edge's one-file
+    ``api.ingest_file``. ``pdf_layout=True`` swaps the PDF kernel for the
+    layout-aware extractor (functions/pdf_render.extract_pdf_text_layout:
+    XY-cut reading order) — the Docling-shaped option for multi-column
+    corpora, at ~2x the per-document parse cost."""
     from morphik_core_spark.functions.html import extract_html_text
     from morphik_core_spark.functions.legacy_office import extract_doc_text, extract_xls_markdown
     from morphik_core_spark.functions.office import extract_docx_text, extract_xlsx_markdown
     from morphik_core_spark.functions.pdf import extract_pdf_text
+    from morphik_core_spark.functions.pdf_render import extract_pdf_text_layout
 
     from morphik_core_spark.functions.docs_extra import (
         extract_eml_text, extract_epub_text, extract_odf_text,
         extract_pptx_text, extract_rtf_text,
     )
 
-    kernels = {
-        "application/pdf": extract_pdf_text,
+    return {
+        "application/pdf": extract_pdf_text_layout if pdf_layout else extract_pdf_text,
         _XLSX_MIME: extract_xlsx_markdown,
         _DOCX_MIME: extract_docx_text,
         _DOC_MIME: extract_doc_text,
@@ -96,6 +97,16 @@ def _parse_document_udf():
         _EML_MIME: extract_eml_text,
         _EPUB_MIME: extract_epub_text,
     }
+
+
+def _parse_document_udf(pdf_layout: bool = False):
+    """Arrow-batched document parse with per-row failure isolation: routes
+    on MIME inside the batch (PDF / xlsx-markdown / docx) and returns a
+    (text, status) struct; a row that fails to parse becomes
+    (NULL, 'parse_failed') instead of failing the batch — the same
+    isolation contract as the reference worker's per-file try/except
+    (ingestion_worker.py:546-588)."""
+    kernels = parse_kernels(pdf_layout)
 
     @F.pandas_udf("text string, status string")
     def parse(payloads: pd.Series, mimes: pd.Series) -> pd.DataFrame:
@@ -163,7 +174,12 @@ def _decompress_udf():
     return dec
 
 
-def files_to_raw_docs(files: DataFrame, app_id: str | None = None, folder_path: str | None = None) -> DataFrame:
+def files_to_raw_docs(
+    files: DataFrame,
+    app_id: str | None = None,
+    folder_path: str | None = None,
+    pdf_layout: bool = False,
+) -> DataFrame:
     """binaryFile rows → raw-doc rows for ingest_batch.
 
     parse_status: 'ok' (decoded), 'unsupported' (needs an external parser),
@@ -204,7 +220,7 @@ def files_to_raw_docs(files: DataFrame, app_id: str | None = None, folder_path: 
     # catches its own failures so a bad payload can never abort the stage
     staged = files.withColumn(
         "_parsed",
-        F.when(is_parseable & nonempty, _parse_document_udf()(F.col("content"), mime)),
+        F.when(is_parseable & nonempty, _parse_document_udf(pdf_layout)(F.col("content"), mime)),
     )
 
     parse_status = (

@@ -79,3 +79,27 @@ def test_compressed_pdf_routes_through_parser(spark, tmp_path):
     [row] = files_to_raw_docs(read_binary_dir(spark, str(tmp_path))).collect()
     assert row["parse_status"] == "ok"
     assert "compressed pdf text" in row["text"]
+
+
+def test_pdf_layout_option_reorders_columns(spark, tmp_path):
+    """files_to_raw_docs(pdf_layout=True) routes PDFs through the XY-cut
+    layout extractor; default stays show-operator order."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_pdf import make_pdf_pages
+
+    from morphik_core_spark.sources.binary import files_to_raw_docs, read_binary_dir
+
+    ops = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 72 700 Tm (L1) Tj 1 0 0 1 350 700 Tm (R1) Tj "
+        b"1 0 0 1 72 684 Tm (L2) Tj 1 0 0 1 350 684 Tm (R2) Tj ET"
+    )
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "cols.pdf").write_bytes(make_pdf_pages([ops]))
+    files = read_binary_dir(spark, str(d))
+    default = files_to_raw_docs(files).select("text").first()["text"]
+    layout = files_to_raw_docs(files, pdf_layout=True).select("text").first()["text"]
+    assert layout.splitlines() == ["L1", "L2", "R1", "R2"]
+    assert default.splitlines() != layout.splitlines()  # show order interleaves

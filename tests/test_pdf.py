@@ -328,3 +328,65 @@ def test_rasterize_rejects_non_pdf():
 
     with _pytest.raises(ValueError, match="PDF"):
         rasterize_pdf_pages(b"plain text")
+
+
+def test_layout_extraction_reading_order_two_columns():
+    """XY-cut reading order: a two-column page whose content stream
+    interleaves the columns line-by-line (show order != reading order)
+    must come out left-column-complete, then right column."""
+    from morphik_core_spark.functions.pdf_render import extract_pdf_text_layout
+
+    ops = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 72 700 Tm (Left one) Tj "
+        b"1 0 0 1 350 700 Tm (Right one) Tj "
+        b"1 0 0 1 72 684 Tm (Left two) Tj "
+        b"1 0 0 1 350 684 Tm (Right two) Tj "
+        b"ET"
+    )
+    text = extract_pdf_text_layout(make_pdf_pages([ops]))
+    assert text.splitlines() == ["Left one", "Left two", "Right one", "Right two"]
+
+
+def test_layout_extraction_scrambled_stream_order():
+    """Runs emitted bottom-up in the stream still read top-down."""
+    from morphik_core_spark.functions.pdf_render import extract_pdf_text_layout
+
+    ops = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 72 100 Tm (last line) Tj "
+        b"1 0 0 1 72 700 Tm (first line) Tj "
+        b"1 0 0 1 72 400 Tm (middle line) Tj "
+        b"ET"
+    )
+    text = extract_pdf_text_layout(make_pdf_pages([ops]))
+    assert text.splitlines() == ["first line", "middle line", "last line"]
+
+
+def test_layout_extraction_joins_runs_on_one_line():
+    from morphik_core_spark.functions.pdf_render import extract_pdf_text_layout
+
+    # two Tj runs on the same baseline, second placed just past the first
+    ops = (
+        b"BT /F1 12 Tf 72 700 Td (Hello) Tj ET "
+        b"BT /F1 12 Tf 110 700 Td (World) Tj ET"
+    )
+    text = extract_pdf_text_layout(make_pdf_pages([ops]))
+    assert text == "Hello World"
+
+
+def test_layout_extraction_multipage_formfeed():
+    from morphik_core_spark.functions.pdf_render import extract_pdf_text_layout
+
+    pdf = make_pdf_pages([
+        b"BT /F1 12 Tf 72 700 Td (page one) Tj ET",
+        b"BT /F1 12 Tf 72 700 Td (page two) Tj ET",
+    ])
+    assert extract_pdf_text_layout(pdf) == "page one\fpage two"
+
+
+def test_layout_extraction_matches_linear_for_simple_pdf():
+    from morphik_core_spark.functions.pdf_render import extract_pdf_text_layout
+
+    text = extract_pdf_text_layout(make_pdf(BASIC_OPS))
+    assert text.splitlines() == ["Hello World", "Second line"]
