@@ -1797,7 +1797,7 @@ def _q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _q_minhash_signatures(spark, sf_dir).persist()
     cand = dedup.lsh_candidate_pairs(
         sigs, "doc_id", bands=_LSH_BANDS, rows_per_band=_LSH_ROWS, max_bucket_size=_LSH_MAX_BUCKET
-    )
+    ).persist()
     sig_a = sigs.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)])
     sig_b = sigs.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)])
     agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8))
@@ -1805,7 +1805,20 @@ def _q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", (agree.cast("double") / F.lit(8.0)).alias("est_j")
     )
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, "text", "doc_id", n=3)
+    # exact-side work is bounded by the CANDIDATE set, not the corpus:
+    # shingle only the docs that appear in a candidate pair (left-semi on
+    # the pair ids), then persist that small table — it feeds two pair
+    # joins and the size aggregate. At 100 TB the corpus-wide shingle
+    # explode never happens here; the audit's cost scales with the
+    # blocked pair list like every other exact-rescore stage.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = dedup.word_shingles(
+        docs.join(cand_ids, "doc_id", "left_semi"), "text", "doc_id", n=3
+    ).persist()
     sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
     common = (

@@ -514,6 +514,7 @@ def embedding_near_dup_pandas(
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 30,
+    driver_pair_limit: int = 200_000,
 ) -> DataFrame:
     """(node, component) for every node in the ``(id_a, id_b)`` pair list:
     component = the smallest node id reachable through the pair graph —
@@ -540,8 +541,55 @@ def connected_components(
     large-star/small-star implementation (Kiveris et al.),
     equivalence-tested against this one; near-dup graphs don't have high
     diameter, so plain propagation is the right default.
+
+    SIZE GATE (the same pattern as the auth-broadcast gate,
+    retrieval.py): blocked candidate-pair graphs are usually
+    vocabulary-sized, not corpus-sized — thousands of pairs even when
+    the corpus has billions of rows. Below ``driver_pair_limit`` pairs
+    the component labels come from a driver-side union-find (one
+    collect of the ALREADY-materialized pair list, microseconds of CPU)
+    instead of paying per-iteration shuffle+checkpoint rounds; the
+    union-find tracks min-id roots so its output is IDENTICAL to the
+    propagation's min-label components (equivalence-tested). Above the
+    gate — billion-edge web-dedup graphs — the distributed propagation
+    runs unchanged. The gate's count() materializes the pair plan once,
+    work both paths need anyway.
     """
     from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    n_pairs = pairs.count()
+    if n_pairs <= driver_pair_limit:
+        rows = pairs.select("id_a", "id_b").collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = find(r[0]), find(r[1])
+            if a != b:
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo  # min id stays the root -> min-label parity
+        nodes = set()
+        for r in rows:
+            nodes.add(r[0])
+            nodes.add(r[1])
+        out_rows = [(node, find(node)) for node in sorted(nodes)]
+        id_type = pairs.schema["id_a"].dataType
+        spark = pairs.sparkSession
+        pairs.unpersist()
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [StructField("node", id_type, False), StructField("component", id_type, False)]
+        )
+        return spark.createDataFrame(out_rows, schema)
 
     # pairs are distinct with id_a < id_b, so the two-direction union is
     # already duplicate-free — no distinct() shuffle needed
@@ -580,6 +628,7 @@ def connected_components(
         if changed.isEmpty():
             break
     edges.unpersist()
+    pairs.unpersist()
     return labels
 
 

@@ -210,6 +210,37 @@ def test_connected_components_chain_and_cycle(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
 
 
+def test_connected_components_driver_and_distributed_paths_agree(spark):
+    """The size-gated union-find fast path must be bit-identical to the
+    distributed min-label propagation — same components, same labels —
+    on a graph with chains, cycles, cross-links, and string ids."""
+    import random
+
+    rng = random.Random(7)
+    edges = set()
+    # 40 random clusters knitted from chains + random chords
+    for c in range(40):
+        members = [c * 100 + i for i in range(rng.randint(2, 9))]
+        for a, b in zip(members, members[1:]):
+            edges.add((a, b))
+        for _ in range(2):
+            a, b = rng.sample(members, 2)
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    fast = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    slow = {
+        r.node: r.component
+        for r in dedup.connected_components(pairs, driver_pair_limit=0).collect()
+    }
+    assert fast == slow and len(fast) > 80
+
+    # string ids survive the driver path with their type intact
+    spairs = spark.createDataFrame([("b", "c"), ("a", "b")], "id_a string, id_b string")
+    out = dedup.connected_components(spairs)
+    assert dict(out.dtypes) == {"node": "string", "component": "string"}
+    assert {r.node: r.component for r in out.collect()} == {"a": "a", "b": "a", "c": "a"}
+
+
 def test_resolve_duplicate_clusters_keeps_isolated_docs(spark):
     docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
     pairs = spark.createDataFrame([(1, 4), (4, 5)], "id_a long, id_b long")
