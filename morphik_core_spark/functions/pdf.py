@@ -450,8 +450,13 @@ def _collect_font_cmaps(data: bytes) -> dict:
     fonts — the subset needed to read Identity-H text: every font object
     carrying /ToUnicode gets its CMap stream decoded (honoring stream
     filters), and resource names pointing at that font object bind to it
-    (last binding wins across pages)."""
-    objects: dict[int, bytes] = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    (last binding wins across pages). Font dicts packed inside PDF 1.5+
+    /ObjStm object streams are visible too (pdf_render._parse_objects
+    inflates them); their ToUnicode CMap streams are always direct
+    objects, so the stream lookup below needs no change."""
+    from morphik_core_spark.functions.pdf_render import _parse_objects
+
+    objects: dict[int, bytes] = _parse_objects(data)
     cmaps_by_font_obj: dict[int, dict] = {}
     for objnum, body in objects.items():
         if b"/Font" not in body and b"/Type0" not in body:
@@ -480,9 +485,17 @@ def _collect_font_cmaps(data: bytes) -> dict:
         except ValueError:
             continue
     out: dict[str, dict] = {}
+    # resource dicts binding names to font objects may themselves be
+    # packed in an ObjStm — scan the raw file AND the unpacked bodies
+    # (direct bodies are substrings of data; re-scanning them would just
+    # double the per-document regex cost, so only packed ones are added)
+    direct = {int(m.group(1)) for m in _OBJ_RE.finditer(data)}
+    spaces = [data, *(b for num, b in objects.items() if num not in direct)]
     for objnum, cmap in cmaps_by_font_obj.items():
-        for m in re.finditer(rb"/([A-Za-z0-9.+_-]+)\s+" + str(objnum).encode() + rb"\s+\d+\s+R", data):
-            name = m.group(1).decode("latin-1")
-            if name not in ("ToUnicode", "Length", "Parent", "Contents"):
-                out[name] = cmap
+        pat = re.compile(rb"/([A-Za-z0-9.+_-]+)\s+" + str(objnum).encode() + rb"\s+\d+\s+R")
+        for space in spaces:
+            for m in pat.finditer(space):
+                name = m.group(1).decode("latin-1")
+                if name not in ("ToUnicode", "Length", "Parent", "Contents"):
+                    out[name] = cmap
     return out

@@ -58,11 +58,17 @@ _DESCENT = 0.21
 
 
 def _parse_objects(data: bytes) -> dict[int, bytes]:
-    """Object number -> body bytes (between 'N G obj' and 'endobj').
+    """Object number -> body bytes.
 
-    Classic uncompressed xref layout only (object streams are a declared
-    boundary — same scope as extract_pdf_text). Scanning by regex instead
-    of the xref table tolerates the broken offsets real-world PDFs ship.
+    Two layers: the classic ``N G obj ... endobj`` layout (scanned by
+    regex instead of the xref table, which tolerates the broken offsets
+    real-world PDFs ship), THEN any /Type /ObjStm object streams found
+    among those objects are inflated and their packed objects added —
+    the PDF 1.5+ layout where page dicts, font dicts, and the catalog
+    live compressed inside a stream (only non-stream objects can, so
+    content streams always remain directly visible). A cross-reference
+    STREAM (/Type /XRef) never needs parsing for this: object numbers
+    come from the ObjStm's own N-pair header.
     """
     objs: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(data):
@@ -70,6 +76,34 @@ def _parse_objects(data: bytes) -> dict[int, bytes]:
         if end == -1:
             continue
         objs[int(m.group(1))] = data[m.end():end]
+
+    for body in list(objs.values()):
+        head = _dict_body(body)
+        if not re.search(rb"/Type\s*/ObjStm\b", head):
+            continue
+        dec = _decoded_stream(body)
+        if dec is None:
+            continue
+        n_raw = _dict_value(head, b"N")
+        first_raw = _dict_value(head, b"First")
+        try:
+            n = int(n_raw or 0)
+            first = int(first_raw or 0)
+        except ValueError:
+            continue
+        if not (0 < n <= 65536 and 0 <= first <= len(dec)):
+            continue  # corrupt header: skip the stream, keep the document
+        header_nums = _NUM_RE.findall(dec[:first])
+        pairs = [
+            (int(header_nums[2 * i]), int(header_nums[2 * i + 1]))
+            for i in range(min(n, len(header_nums) // 2))
+        ]
+        for idx, (objnum, off) in enumerate(pairs):
+            start = first + off
+            stop = first + pairs[idx + 1][1] if idx + 1 < len(pairs) else len(dec)
+            if 0 <= start <= stop <= len(dec):
+                # direct objects win over packed ones (hybrid/updated files)
+                objs.setdefault(objnum, dec[start:stop])
     return objs
 
 

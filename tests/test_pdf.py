@@ -390,3 +390,110 @@ def test_layout_extraction_matches_linear_for_simple_pdf():
 
     text = extract_pdf_text_layout(make_pdf(BASIC_OPS))
     assert text.splitlines() == ["Hello World", "Second line"]
+
+
+def make_pdf_objstm(pages_ops: list[bytes]) -> bytes:
+    """A PDF 1.5-style file: catalog/pages/page dicts packed into a
+    Flate-compressed /ObjStm; content streams stay direct objects."""
+    packed = []
+    packed.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    kids = b" ".join(b"%d 0 R" % (10 + i) for i in range(len(pages_ops)))
+    packed.append((2, b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+                   + str(len(pages_ops)).encode() + b" /MediaBox [0 0 612 792] >>"))
+    for i in range(len(pages_ops)):
+        packed.append((10 + i, b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>" % (50 + i)))
+    bodies = [b for _, b in packed]
+    offsets, pos = [], 0
+    for b in bodies:
+        offsets.append(pos)
+        pos += len(b) + 1
+    header = b" ".join(b"%d %d" % (num, off) for (num, _), off in zip(packed, offsets)) + b"\n"
+    payload = header + b"\n".join(bodies) + b"\n"
+    stm = zlib.compress(payload)
+    out = [b"%PDF-1.5\n"]
+    out.append(
+        b"90 0 obj << /Type /ObjStm /N " + str(len(packed)).encode()
+        + b" /First " + str(len(header)).encode()
+        + b" /Filter /FlateDecode /Length " + str(len(stm)).encode()
+        + b" >> stream\n" + stm + b"\nendstream endobj\n"
+    )
+    for i, ops in enumerate(pages_ops):
+        out.append(
+            b"%d 0 obj << /Length %d >> stream\n" % (50 + i, len(ops)) + ops + b"\nendstream endobj\n"
+        )
+    out.append(b"trailer << /Root 1 0 R >>\n%%EOF\n")
+    return b"".join(out)
+
+
+def test_objstm_page_tree_rasterize_and_layout():
+    """PDF 1.5 object streams: page/catalog dicts live compressed inside
+    an /ObjStm — the page tree, rasterizer, and layout extractor must
+    all see them."""
+    import numpy as np
+
+    from morphik_core_spark.functions.pdf_render import (
+        extract_pdf_text_layout, parse_page_tree, rasterize_pdf_pages,
+    )
+
+    pdf = make_pdf_objstm([
+        b"BT /F1 12 Tf 72 700 Td (packed page one) Tj ET",
+        b"BT /F1 12 Tf 72 700 Td (packed page two) Tj ET",
+    ])
+    pages = parse_page_tree(pdf)
+    assert len(pages) == 2
+    assert pages[0][0] == (0.0, 0.0, 612.0, 792.0)  # MediaBox inherited via Parent in ObjStm
+    bitmaps = rasterize_pdf_pages(pdf, dpi=72)
+    assert len(bitmaps) == 2 and all((p < 255).any() for p in bitmaps)
+    assert extract_pdf_text_layout(pdf) == "packed page one\fpacked page two"
+
+
+def test_objstm_corrupt_header_keeps_document_usable():
+    from morphik_core_spark.functions.pdf_render import parse_page_tree
+
+    pdf = bytearray(make_pdf_objstm([b"BT (x) Tj ET"]))
+    i = pdf.index(b"/N 3")
+    pdf[i : i + 4] = b"/N 0"  # header count zeroed: stream skipped, no crash
+    pages = parse_page_tree(bytes(pdf))
+    # packed page dicts lost -> pseudo-page fallback over BT streams
+    assert len(pages) == 1 and b"BT" in pages[0][1]
+
+
+def test_cid_font_packed_in_objstm_still_decodes():
+    """PDF 1.5 layout: the Type0 font dict AND the resource dict binding
+    /F7 to it live inside an /ObjStm; the CMap stream stays direct. CID
+    text must still decode through the packed font graph."""
+    from morphik_core_spark.functions.pdf import extract_pdf_text
+
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfrange\n<0010> <0010> [<0057006F0072006C0064>]\nendbfrange\n"
+        b"endcmap end end"
+    )
+    cmap_z = zlib.compress(cmap)
+    content = b"BT /F7 12 Tf <0010> Tj ET"
+
+    packed = [
+        (4, b"<</Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-H /ToUnicode 5 0 R>>"),
+        (6, b"<</Font <</F7 4 0 R>>>>"),
+    ]
+    bodies = [b for _, b in packed]
+    offsets, pos = [], 0
+    for b in bodies:
+        offsets.append(pos)
+        pos += len(b) + 1
+    header = b" ".join(b"%d %d" % (num, off) for (num, _), off in zip(packed, offsets)) + b"\n"
+    stm = zlib.compress(header + b"\n".join(bodies) + b"\n")
+    pdf = (
+        b"%PDF-1.5\n"
+        b"90 0 obj << /Type /ObjStm /N 2 /First " + str(len(header)).encode()
+        + b" /Filter /FlateDecode /Length " + str(len(stm)).encode() + b" >> stream\n"
+        + stm + b"\nendstream endobj\n"
+        b"5 0 obj <</Length " + str(len(cmap_z)).encode() + b" /Filter /FlateDecode>>\n"
+        b"stream\n" + cmap_z + b"\nendstream endobj\n"
+        b"7 0 obj <</Length " + str(len(content)).encode() + b">>\nstream\n"
+        + content + b"\nendstream endobj\n%%EOF"
+    )
+    text = extract_pdf_text(pdf)
+    assert "World" in text
+    assert "\x00" not in text
