@@ -1673,6 +1673,39 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_sums(narrow, dims=16, scale_bits=10)
 
 
+_QC_POS_SOURCES = ("src1", "src3", "src5")
+_QC_ITERATIONS = 3
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (GPT-3 Appendix A / LLaMA's
+    quality classifier; pairs with the rule-based `quality_filter`):
+    TRAIN a logistic-style classifier in-engine — positives = docs from
+    a reference source set, one shuffle-free integer-gradient aggregate
+    per iteration — then SCORE the corpus as a pure map. All boundary
+    arithmetic is int64 micro-units + FLOOR of IEEE divisions and the
+    link is the rational fast-sigmoid, so training is bit-reproducible
+    under any partitioning and the DuckDB oracle can replay the exact
+    run as unrolled CTEs (the pagerank-oracle pattern applied to
+    gradient descent)."""
+    from morphik_core_spark.operators.classifier import (
+        logreg_score, logreg_train, quality_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").persist()
+    feats = quality_features(F.col("text"))
+    label = F.col("source").isin(*_QC_POS_SOURCES).cast("double")
+    weights = logreg_train(docs, feats, label, iterations=_QC_ITERATIONS)
+    scored = logreg_score(docs, feats, weights)
+    out = scored.select(
+        "doc_id",
+        F.col("source").isin(*_QC_POS_SOURCES).cast("int").alias("is_positive"),
+        "quality_score",
+    )
+    docs.unpersist()
+    return out
+
+
 def _q_in_transit_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big×big point-in-interval join via bucket decomposition — the
     range-join restatement Spark lacks natively (Trino/Databricks range
@@ -2102,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed_retrieval": _q_hash_embed_retrieval,
         "chunk_stats": _q_chunk_stats,
         "asof_nearest": _q_asof_nearest,
+        "quality_classifier": _q_quality_classifier,
     }
 
 
@@ -2170,6 +2204,66 @@ def _pagerank_oracle(iterations: int = 3, damping_pct: int = 85) -> str:
         SELECT node, rank_u,
                ROUND(CAST(rank_u AS DOUBLE) / {UNIT}.0, 6) AS rank
         FROM r{iterations}
+    """
+    )
+
+
+def _quality_classifier_oracle(iterations: int = _QC_ITERATIONS) -> str:
+    """DuckDB twin of the in-engine logistic training run — gradient
+    descent unrolled as CTEs (the _pagerank_oracle pattern): identical
+    feature expressions, the same rational fast-sigmoid (no exp — IEEE
+    add/mul/div only), int64 micro-unit gradient sums via FLOOR, and the
+    same floor-of-IEEE-division weight update. Replays the exact bits of
+    classifier.logreg_train + logreg_score."""
+    pos = ", ".join(f"'{s}'" for s in _QC_POS_SOURCES)
+    feats = [
+        "1.0",
+        "least(CAST(length(text) AS DOUBLE), 5000.0) / 5000.0",
+        "least(CAST(len(string_split(text, ' ')) AS DOUBLE), 1000.0) / 1000.0",
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / "
+        "greatest(CAST(length(text) AS DOUBLE), 1.0)",
+    ]
+    nf = len(feats)
+    fcols = ", ".join(f"{e} AS f{j}" for j, e in enumerate(feats))
+    zero_w = ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(nf))
+
+    def z_expr(walias: str) -> str:
+        # left-assoc sum mirroring classifier._dot's Column fold
+        return " + ".join(f"f{j} * ({walias}.w{j} / 1000000.0)" for j in range(nf))
+
+    ctes = [
+        f"""feats AS (
+            SELECT doc_id,
+                   CASE WHEN source IN ({pos}) THEN 1.0 ELSE 0.0 END AS y,
+                   {fcols}
+            FROM documents
+        )""",
+        f"wi0 AS (SELECT {zero_w})",
+    ]
+    for i in range(1, iterations + 1):
+        gsums = ", ".join(
+            f"SUM(CAST(FLOOR((s - y) * f{j} * 1000000) AS BIGINT)) AS g{j}" for j in range(nf)
+        )
+        ctes.append(
+            f"""gi{i} AS (
+                SELECT {gsums}, COUNT(*) AS n
+                FROM (
+                    SELECT y, {', '.join(f'f{j}' for j in range(nf))},
+                           0.5 + z / (2.0 * (1.0 + abs(z))) AS s
+                    FROM (SELECT feats.*, {z_expr(f'wi{i-1}')} AS z FROM feats, wi{i-1})
+                )
+            )"""
+        )
+        wupd = ", ".join(
+            f"w.w{j} - CAST(FLOOR(CAST(g.g{j} AS DOUBLE) / g.n) AS BIGINT) AS w{j}"
+            for j in range(nf)
+        )
+        ctes.append(f"wi{i} AS (SELECT {wupd} FROM wi{i-1} w, gi{i} g)")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT doc_id, CAST(y AS INT) AS is_positive,
+               ROUND(0.5 + z / (2.0 * (1.0 + abs(z))), 6) AS quality_score
+        FROM (SELECT feats.*, {z_expr(f'wi{iterations}')} AS z FROM feats, wi{iterations})
     """
     )
 
@@ -4424,6 +4518,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN firsts fi ON fi.d = p.i
             JOIN firsts fj ON fj.d = p.j, n
         """,
+        "quality_classifier": _quality_classifier_oracle(),
     }
 
 
