@@ -1706,6 +1706,25 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SEMDECON_STRIDE = 97
+_SEMDECON_THRESHOLD = 0.27
+
+
+def _q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level train/eval decontamination (the semantic
+    complement of the n-gram `decontaminate`): per corpus vector, max
+    cosine against the benchmark subset, nearest benchmark id, and the
+    contamination flag. Benchmark = every 97th vec_id (eval sets are
+    small by nature, so the benchmark side broadcasts — no corpus×corpus
+    pairs anywhere)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % _SEMDECON_STRIDE == 0)
+    corpus = emb.filter(F.col("vec_id") % _SEMDECON_STRIDE != 0)
+    return similarity.semantic_decontaminate(
+        corpus, bench, threshold=_SEMDECON_THRESHOLD, decimals=_SCORE_DECIMALS
+    )
+
+
 def _q_in_transit_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big×big point-in-interval join via bucket decomposition — the
     range-join restatement Spark lacks natively (Trino/Databricks range
@@ -2136,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_stats": _q_chunk_stats,
         "asof_nearest": _q_asof_nearest,
         "quality_classifier": _q_quality_classifier,
+        "semantic_decontaminate": _q_semantic_decontaminate,
     }
 
 
@@ -4519,6 +4539,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN firsts fj ON fj.d = p.j, n
         """,
         "quality_classifier": _quality_classifier_oracle(),
+        "semantic_decontaminate": f"""
+            WITH b AS (
+                SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+                FROM embeddings WHERE vec_id % {_SEMDECON_STRIDE} = 0
+            ),
+            c AS (
+                SELECT vec_id, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id % {_SEMDECON_STRIDE} <> 0
+            ),
+            pairs AS (
+                SELECT c.vec_id, b.bench_id,
+                       ROUND(list_dot_product(cv, bv) /
+                             (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(bv, bv))),
+                             {_SCORE_DECIMALS}) AS cos
+                FROM c, b
+            ),
+            best AS (
+                SELECT vec_id, max(struct_pack(c := cos, n := -bench_id)) AS m
+                FROM pairs GROUP BY vec_id
+            )
+            SELECT vec_id, m.c AS max_benchmark_cos, -m.n AS nearest_bench_id,
+                   CAST(m.c >= {_SEMDECON_THRESHOLD} AS INT) AS contaminated
+            FROM best
+        """,
     }
 
 

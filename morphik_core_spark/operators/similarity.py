@@ -42,6 +42,7 @@ __all__ = [
     "knn_ivf_partitioned",
     "ivf_append",
     "ivf_drift_audit",
+    "semantic_decontaminate",
 ]
 
 
@@ -738,4 +739,46 @@ def ivf_drift_audit(
             ).alias("mean_cos"),
             "min_cos",
         )
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.27,
+    decimals: int = 6,
+) -> DataFrame:
+    """Embedding-level train/eval decontamination: per corpus vector, the
+    max cosine against ANY benchmark vector, the nearest benchmark id,
+    and a contamination flag — the semantic complement of the n-gram
+    `curation.decontaminate` (near-paraphrases of eval items slip past
+    string overlap; cf. the SemDeDup observation that semantic dups
+    evade exact matching).
+
+    Scale shape: benchmark/eval sets are SMALL by nature (thousands of
+    rows), so the benchmark side broadcasts and the pass over the corpus
+    is a map + one groupBy-max per corpus id — no corpus×corpus pair
+    generation anywhere. Cosines are rounded BEFORE the max and ties
+    break to the smallest benchmark id (struct max over
+    (cos, -bench_id)), so engines agree bit-for-bit.
+    """
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"), F.col(emb_col).cast("array<double>").alias("bv")
+    )
+    c = corpus.select(F.col(id_col), F.col(emb_col).cast("array<double>").alias("cv"))
+    cos = F.expr(
+        f"round({_dot_sql('cv', 'bv')} / "
+        f"(sqrt({_dot_sql('cv', 'cv')}) * sqrt({_dot_sql('bv', 'bv')})), {decimals})"
+    )
+    pairs = c.join(F.broadcast(b)).select(id_col, "bench_id", cos.alias("cos"))
+    best = pairs.groupBy(id_col).agg(
+        F.max(F.struct(F.col("cos").alias("c"), (-F.col("bench_id")).alias("n"))).alias("m")
+    )
+    return best.select(
+        id_col,
+        F.col("m.c").alias("max_benchmark_cos"),
+        (-F.col("m.n")).alias("nearest_bench_id"),
+        (F.col("m.c") >= F.lit(threshold)).cast("int").alias("contaminated"),
     )

@@ -365,3 +365,26 @@ def test_ivf_assign_with_cos_matches_manual(spark, emb_df):
         v = rows[vid][1]
         best = max(((round(cos(v, cv), 6), -cid) for cid, cv in centroids))
         assert assigned[vid] == (-best[1], best[0])
+
+
+def test_semantic_decontaminate_flags_planted_near_dup(spark):
+    # corpus vector 100 is a near-copy of benchmark vector 0; vector 101
+    # is orthogonal. Only 100 gets flagged, and its nearest id is 0.
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (7, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(100, [0.99, 0.01, 0.0, 0.0]), (101, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r.vec_id: r
+        for r in similarity.semantic_decontaminate(corpus, bench, threshold=0.9).collect()
+    }
+    assert rows[100].contaminated == 1 and rows[100].nearest_bench_id == 0
+    assert rows[100].max_benchmark_cos > 0.99
+    assert rows[101].contaminated == 0
+
+    plan = similarity.semantic_decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan  # benchmark side broadcasts
