@@ -260,7 +260,13 @@ def filename_search(
     desc nulls last. All codegen expressions — no UDFs, no shuffle."""
     name = F.col(filename_col)
     norm = normalize_filename(name)
-    lexemes = tsvector_lexemes(norm)
+    # stored projection wins: rank from the ingest-time lexeme column
+    # (with_filename_lexemes) instead of re-running the stemming chain —
+    # the stored-tsvector amortization, transparent to callers
+    if "filename_lexemes" in df.columns:
+        lexemes = F.col("filename_lexemes")
+    else:
+        lexemes = tsvector_lexemes(norm)
     q_lex = plainto_lexemes(query)
     simple_toks = [t for t in query.lower().split() if t]
 

@@ -338,3 +338,19 @@ def test_streaming_ingestion_end_to_end(spark, tmp_path):
     shutil.rmtree(os.path.join(out, "_checkpoint"))
     run_ingestion_stream(spark, inp, out, chunk_size=80, chunk_overlap=8)
     assert spark.read.parquet(os.path.join(out, "documents")).count() == 2
+
+
+def test_filename_search_uses_stored_lexeme_projection(spark):
+    """filename_search ranks from a stored filename_lexemes column when
+    present, and results equal the recompute path exactly."""
+    from morphik_core_spark.functions.text import filename_search, with_filename_lexemes
+
+    df = spark.createDataFrame(
+        [(1, "annual_report.txt"), (2, "notes-misc.txt"), (3, "report-report.txt")],
+        "id long, filename string",
+    )
+    plain = filename_search(df, "report").select("id", "rank").collect()
+    stored = filename_search(with_filename_lexemes(df), "report").select("id", "rank").collect()
+    assert sorted((r.id, r.rank) for r in plain) == sorted((r.id, r.rank) for r in stored)
+    plan = filename_search(with_filename_lexemes(df), "report")._jdf.queryExecution().optimizedPlan().toString()
+    assert "filename_lexemes" in plan  # the stored column is what's read
