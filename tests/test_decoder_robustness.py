@@ -32,6 +32,10 @@ def _fixtures():
     from morphik_core_spark.functions.video import encode_avi_dib, encode_avi_mjpeg
     from morphik_core_spark.sources.warc import build_warc
 
+    import sys, os as _os
+    sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from test_pdf import make_pdf_objstm, make_pdf_pages
+
     rng = np.random.default_rng(7)
     img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
     pal = img // 64 * 64  # <=64 distinct colors for GIF
@@ -50,6 +54,11 @@ def _fixtures():
         "avi_mjpeg": encode_avi_mjpeg([img, img], fps=5.0),
         "avi_dib": encode_avi_dib([img, img], fps=5.0),
         "warc": build_warc([("http://x", "2026-01-01T00:00:00Z", 200, "text/html", b"<p>x</p>")]),
+        "pdf_pages": make_pdf_pages([
+            b"BT /F1 12 Tf 72 700 Td (alpha beta) Tj ET",
+            b"BT /F1 10 Tf 1 0 0 1 100 300 Tm (gamma) Tj ET",
+        ]),
+        "pdf_objstm": make_pdf_objstm([b"BT /F1 12 Tf 72 700 Td (packed) Tj ET"]),
     }
     return _FIX_CACHE
 
@@ -59,6 +68,7 @@ def _decoders():
     from morphik_core_spark.functions.image import decode_image
     from morphik_core_spark.functions.mp4 import probe_mp4
     from morphik_core_spark.functions.video import decode_dib_frame, decode_jpeg, parse_avi
+    from morphik_core_spark.functions.pdf_render import rasterize_pdf_pages
     from morphik_core_spark.sources.warc import iter_warc_records
 
     def full_avi_decode(b):
@@ -75,6 +85,11 @@ def _decoders():
         "avi_mjpeg": full_avi_decode,
         "avi_dib": full_avi_decode,
         "warc": lambda b: list(iter_warc_records(b)),
+        # rasterization must survive corrupt page trees/content streams
+        # (the round-4 lesson: header count fields are allocation bombs —
+        # ObjStm /N, MediaBox dims, and content sizes are all capped)
+        "pdf_pages": lambda b: rasterize_pdf_pages(b, dpi=36),
+        "pdf_objstm": lambda b: rasterize_pdf_pages(b, dpi=36),
     }
 
 
