@@ -281,6 +281,39 @@ def main() -> None:
 
         report("cdc_apply", cdc, docs1, docs10)
 
+    if "classifier" in ops:
+        from pyspark.sql import functions as FF
+
+        from morphik_core_spark.operators.classifier import (
+            logreg_score, logreg_train, quality_features,
+        )
+
+        def classifier(d):
+            feats = quality_features(FF.col("text"))
+            label = (FF.col("doc_id") % 7 == 0).cast("double")
+            w = logreg_train(d, feats, label, iterations=3)
+            mat(logreg_score(d, feats, w))
+
+        report("quality_classifier", classifier, docs1, docs10)
+
+    if "semdecon" in ops:
+        # The benchmark/eval set is FIXED-SIZE in reality (eval suites
+        # don't grow with the corpus), so scale the CORPUS side only —
+        # pairs then grow linearly with corpus rows. (Scaling both sides
+        # 10x measured 8.9x: the quadratic you get if you let the
+        # broadcast side grow, which is exactly what the operator's
+        # contract says not to do.)
+        from morphik_core_spark.operators.similarity import semantic_decontaminate
+
+        emb10_l = spark.read.parquet(os.path.join(tmp, "emb10"))
+        bench = emb1.filter(F.col("vec_id") % 97 == 0)
+
+        def semdecon(e):
+            corpus = e.filter(F.col("vec_id") % 97 != 0)
+            mat(semantic_decontaminate(corpus, bench))
+
+        report("semantic_decontaminate", semdecon, emb1, emb10_l)
+
     if "pagerank" in ops:
         # 10x the EDGE-BUILD input (lineitem fan-out); the node set (25
         # nations) is constant, so the fixed-point iterations should not
