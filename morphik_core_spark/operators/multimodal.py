@@ -39,6 +39,8 @@ __all__ = [
     "image_perceptual_hash",
     "image_near_dup_pairs",
     "extract_audio_embeddings",
+    "page_patch_multivectors",
+    "text_query_multivector",
 ]
 
 # typed metadata travelling with every binary payload
@@ -435,3 +437,111 @@ def extract_audio_embeddings(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def _pool_page_patches(gray: np.ndarray, grid: int, cell: int) -> list[list[float]]:
+    """(H, W) grayscale page -> grid×grid patch vectors, each the L2-
+    normalized cell×cell mean-ink map of its region. Pure numpy, exact
+    given identical bitmaps."""
+    ink = (255.0 - gray.astype(np.float64)) / 255.0
+    h, w = ink.shape
+    vecs: list[list[float]] = []
+    for gy in range(grid):
+        for gx in range(grid):
+            patch = ink[
+                h * gy // grid : h * (gy + 1) // grid,
+                w * gx // grid : w * (gx + 1) // grid,
+            ]
+            ph, pw = patch.shape
+            v = np.empty(cell * cell, dtype=np.float64)
+            for cy in range(cell):
+                for cx in range(cell):
+                    sub = patch[
+                        ph * cy // cell : ph * (cy + 1) // cell,
+                        pw * cx // cell : pw * (cx + 1) // cell,
+                    ]
+                    v[cy * cell + cx] = float(sub.mean()) if sub.size else 0.0
+            n = float(np.linalg.norm(v))
+            vecs.append([float(x) for x in (v / n if n > 0 else v)])
+    return vecs
+
+
+def page_patch_multivectors(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    grid: int = 4,
+    cell: int = 4,
+    dpi: int = 54,
+) -> DataFrame:
+    """ColPali-shaped multivectors from PDF pages WITHOUT a model: each
+    page rasterizes through the glyph-box renderer
+    (functions/pdf_render), splits into a grid×grid patch grid, and each
+    patch becomes an L2-normalized cell×cell ink-density vector — one
+    ``array<array<double>>`` multivector per page, ready for
+    operators/maxsim (the layout-feature analog of ColPali's per-patch
+    embeddings; a live model drops into the same schema via
+    model_adapters.remote_multivector_udf).
+
+    What this buys: the full visual-retrieval pipeline — page →
+    multivector → MaxSim late interaction — runs end-to-end,
+    deterministic and testable, on text/vector PDFs that previously had
+    no visual representation at all. Output: (media_id, page_idx, ok,
+    err, multivector); broken PDFs fail their own row.
+    """
+    from morphik_core_spark.functions.pdf_render import rasterize_pdf_pages
+
+    out_schema = (
+        f"{id_col} string, page_idx int, ok boolean, err string, "
+        "multivector array<array<double>>"
+    )
+    cols = [id_col, "page_idx", "ok", "err", "multivector"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    pages = rasterize_pdf_pages(
+                        bytes(payload) if payload is not None else b"", dpi=dpi
+                    )
+                    for pi, gray in enumerate(pages):
+                        rows.append((mid, pi, True, None, _pool_page_patches(gray, grid, cell)))
+                    if not pages:
+                        rows.append((mid, -1, True, None, None))
+                except Exception as exc:  # noqa: BLE001 — row-level isolation
+                    rows.append((mid, -1, False, str(exc), None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def text_query_multivector(
+    text: str, grid: int = 4, cell: int = 4, dpi: int = 54, font_size: float = 18.0
+) -> list[list[float]]:
+    """Driver-side query encoder for the model-free visual path: render
+    the query text onto a letter page with the SAME glyph-box renderer
+    and pool it with the SAME patch kernel, so query and page vectors
+    live in one feature space (what a ColPali query encoder does with a
+    model). Long queries wrap every ~40 glyphs."""
+    from morphik_core_spark.functions.pdf_render import rasterize_page
+
+    lines = []
+    words, cur = text.split(), ""
+    for wd in words:
+        if len(cur) + len(wd) + 1 > 40:
+            lines.append(cur)
+            cur = wd
+        else:
+            cur = f"{cur} {wd}".strip()
+    if cur:
+        lines.append(cur)
+    ops = [b"BT /F1 %d Tf" % int(font_size)]
+    y = 720
+    for line in lines:
+        safe = line.replace("\\", "").replace("(", "").replace(")", "").encode("latin-1", "ignore")
+        ops.append(b"1 0 0 1 72 %d Tm (%s) Tj" % (y, safe))
+        y -= int(font_size * 1.3)
+    ops.append(b"ET")
+    gray = rasterize_page(b" ".join(ops), (0.0, 0.0, 612.0, 792.0), dpi=dpi)
+    return _pool_page_patches(gray, grid, cell)

@@ -140,3 +140,45 @@ def test_pdf_page_image_extraction_pipeline(spark):
     # a PDF with neither images nor pages stays visibly page-less
     assert rows[("empty", -1)].ok and rows[("empty", -1)].width is None
     assert not rows[("bad", -1)].ok
+
+
+def test_visual_multivector_pipeline_end_to_end(spark):
+    """Model-free visual retrieval: PDF pages -> patch multivectors ->
+    MaxSim. A query rendered from the same text as page A must score A
+    above a page with a different layout/content, and an identical-copy
+    page ties A exactly."""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from test_pdf import make_pdf_pages
+
+    from morphik_core_spark.operators.maxsim import maxsim_pandas
+    from morphik_core_spark.operators.multimodal import (
+        page_patch_multivectors, text_query_multivector,
+    )
+
+    text_a = "quarterly revenue grew nine percent on cloud demand"
+    ops_a = b"BT /F1 18 Tf 1 0 0 1 72 720 Tm (" + text_a.encode() + b") Tj ET"
+    ops_b = b"BT /F1 10 Tf 1 0 0 1 300 200 Tm (unrelated tiny footnote) Tj ET"
+    df = spark.createDataFrame(
+        [("A", bytearray(make_pdf_pages([ops_a]))),
+         ("Acopy", bytearray(make_pdf_pages([ops_a]))),
+         ("B", bytearray(make_pdf_pages([ops_b]))),
+         ("bad", b"not a pdf")],
+        "media_id string, payload binary",
+    )
+    mv = page_patch_multivectors(df)
+    rows = {r.media_id: r for r in mv.collect()}
+    assert rows["A"].ok and len(rows["A"].multivector) == 16  # 4x4 grid
+    assert all(abs(sum(x * x for x in v) - 1.0) < 1e-9 or all(x == 0 for x in v)
+               for v in rows["A"].multivector)
+    assert not rows["bad"].ok
+
+    q = text_query_multivector(text_a)
+    scored = {
+        r.media_id: r.maxsim
+        for r in maxsim_pandas(
+            mv.filter("ok"), q, id_cols=("media_id", "page_idx")
+        ).collect()
+    }
+    assert scored["A"] == scored["Acopy"]  # identical pages tie exactly
+    assert scored["A"] > scored["B"]  # layout match beats mismatch
