@@ -274,6 +274,7 @@ class MorphikSpark:
         folder_path: str | None = None,
         end_user_id: str | None = None,
         pdf_layout: bool = False,
+        use_colpali: bool = False,
     ) -> str:
         """Single-file ingestion at the serving edge (reference POST
         /ingest/file, ingestion_service.py): infer MIME from the
@@ -315,7 +316,7 @@ class MorphikSpark:
             bucket = auth.app_id or "storage"
             self._storage.upload(bucket, doc_key, data)
             md["external_storage"] = json.dumps({"bucket": bucket, "key": doc_key})
-        return self.ingest_texts(
+        doc_id = self.ingest_texts(
             [text],
             filenames=[filename],
             metadatas=[md],
@@ -324,6 +325,33 @@ class MorphikSpark:
             end_user_id=end_user_id,
             content_types=[mime],
         )[0]
+        if use_colpali and mime == "application/pdf":
+            # visual path (reference use_colpali=True, ingestion_service
+            # renders pages -> multivectors -> colpali store): one
+            # multivector row per page via the model-free patch kernel;
+            # a live ColPali model writes the same schema through
+            # model_adapters.remote_multivector_udf
+            from morphik_core_spark.operators.multimodal import page_patch_multivectors
+
+            pages = page_patch_multivectors(
+                self.spark.createDataFrame([(doc_id, bytearray(data))], "media_id string, payload binary")
+            ).filter(F.col("ok") & F.col("multivector").isNotNull())
+            rows = pages.select(
+                F.col("media_id").alias("document_id"),
+                F.col("page_idx").alias("chunk_number"),
+                "multivector",
+                F.lit(auth.app_id).cast("string").alias("app_id"),
+            )
+            rows.write.mode("append").parquet(self._path("page_multivectors"))
+        return doc_id
+
+    def page_multivectors(self) -> DataFrame:
+        p = self._path("page_multivectors")
+        if not os.path.exists(p):
+            return self.spark.createDataFrame(
+                [], "document_id string, chunk_number int, multivector array<array<double>>, app_id string"
+            )
+        return self.spark.read.parquet(p)
 
     # ----------------------------------------------------------- retrieval
 
@@ -340,6 +368,7 @@ class MorphikSpark:
         use_reranker: bool = False,
         min_score: float | None = None,
         apply_min_score: bool = False,
+        use_colpali: bool = False,
     ) -> list[dict]:
         """Filtered vector top-k (§3.1). Returns ChunkResult-shaped dicts.
 
@@ -347,7 +376,15 @@ class MorphikSpark:
         reference parity (every retrieval API takes it, nothing applies
         it; SURVEY §0). ``apply_min_score=True`` opts into the behavior
         the parameter advertises: drop hits below the threshold (padding
-        rows keep their score-0 convention and survive)."""
+        rows keep their score-0 convention and survive).
+
+        ``use_colpali=True`` adds the visual path (reference
+        document_service.py retrieve_chunks configuration 2: colpali
+        chunks + regular chunks, visual rows replacing text rows on the
+        same chunk key — merge_colpali semantics at the serving edge):
+        stored page multivectors are MaxSim-scored against the query
+        rendered through the same patch kernel, normalized by query token
+        count, and the union is re-cut to k."""
         hits = self._retrieve_chunks_df(
             query,
             k=k,
@@ -362,12 +399,69 @@ class MorphikSpark:
         rows = [r.asDict(recursive=True) for r in hits.collect()]
         for r in rows:
             r["download_url"] = self._download_url_for(r.get("metadata"))
+        if use_colpali:
+            for r in rows:
+                r["is_visual"] = False
+            visual = self._visual_page_hits(query, k, auth)
+            if visual:
+                keys = {(v["document_id"], v["chunk_number"]) for v in visual}
+                rows = [r for r in rows if (r["document_id"], r["chunk_number"]) not in keys]
+                template = {kk: None for kk in rows[0]} if rows else {}
+                for v in visual:
+                    merged = dict(template)
+                    merged.update(v)
+                    rows.append(merged)
+                # re-cut to k among scored rows; padding rows ride along
+                pad = [r for r in rows if r.get("is_padding")]
+                main = sorted(
+                    (r for r in rows if not r.get("is_padding")),
+                    key=lambda r: (-r["score"], str(r["document_id"]), r["chunk_number"]),
+                )[:k]
+                rows = main + pad
         if apply_min_score and min_score is not None:
             rows = [
                 r for r in rows
                 if r["score"] >= min_score or (padding > 0 and r["score"] == 0.0)
             ]
         return sorted(rows, key=lambda r: (-r["score"], str(r["document_id"]), r["chunk_number"]))
+
+    def _visual_page_hits(self, query: str, k: int, auth: AuthContext | None) -> list[dict]:
+        """Top-k visually-matching pages from the stored multivectors:
+        MaxSim against the rendered query, app-scoped, hydrated with the
+        document's filename/metadata and a download URL. Driver-side work
+        is k rows; the MaxSim scan is the engine's."""
+        from morphik_core_spark.operators.maxsim import maxsim_pandas
+        from morphik_core_spark.operators.multimodal import text_query_multivector
+
+        mv = self.page_multivectors()
+        if auth is not None and auth.app_id is not None:
+            mv = mv.filter(F.col("app_id").isNull() | (F.col("app_id") == auth.app_id))
+        q = text_query_multivector(query)
+        if not q or mv.isEmpty():
+            return []
+        scored = maxsim_pandas(mv, q, id_cols=("document_id", "chunk_number")).select(
+            "document_id",
+            "chunk_number",
+            F.round(F.col("maxsim") / F.lit(float(len(q))), 6).alias("score"),
+        )
+        top = scored.orderBy(F.col("score").desc(), "document_id", "chunk_number").limit(k).collect()
+        out = []
+        for r in top:
+            doc = self.get_document(r["document_id"]) or {}
+            out.append(
+                {
+                    "document_id": r["document_id"],
+                    "chunk_number": r["chunk_number"],
+                    "content": None,  # page hit: content is the page image
+                    "score": r["score"],
+                    "filename": doc.get("filename"),
+                    "metadata": doc.get("metadata"),
+                    "content_type": doc.get("content_type"),
+                    "download_url": self._download_url_for(doc.get("metadata")),
+                    "is_visual": True,
+                }
+            )
+        return out
 
     def _download_url_for(self, metadata_json: str | None) -> str | None:
         """ChunkResult download-URL hydration (reference

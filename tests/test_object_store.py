@@ -93,3 +93,35 @@ def test_ingest_file_without_storage_has_null_download_url(spark, tmp_path):
     api.ingest_file(b"plain words about joins", "note.txt")
     hits = api.retrieve_chunks("joins", k=1)
     assert hits and hits[0]["download_url"] is None
+
+
+def test_use_colpali_ingest_and_visual_retrieval(spark, tmp_path):
+    """Reference use_colpali=True parity: file ingestion writes page
+    multivectors; retrieve_chunks(use_colpali=True) merges MaxSim page
+    hits with the text path (visual rows replace same-key text rows)."""
+    from test_pdf import make_pdf_pages
+
+    from morphik_core_spark.api import MorphikSpark
+
+    api = MorphikSpark(spark, str(tmp_path / "m"))
+    text_a = "quarterly revenue grew nine percent on cloud demand"
+    pdf_a = make_pdf_pages([
+        b"BT /F1 18 Tf 1 0 0 1 72 720 Tm (" + text_a.encode() + b") Tj ET",
+    ])
+    pdf_b = make_pdf_pages([b"BT /F1 10 Tf 1 0 0 1 300 200 Tm (tiny footnote) Tj ET"])
+    id_a = api.ingest_file(pdf_a, "a.pdf", use_colpali=True)
+    id_b = api.ingest_file(pdf_b, "b.pdf", use_colpali=True)
+    api.ingest_file(b"plain text, no visual rows", "c.txt", use_colpali=True)
+
+    mv = api.page_multivectors()
+    assert {r.document_id for r in mv.collect()} == {id_a, id_b}  # txt adds none
+
+    hits = api.retrieve_chunks("quarterly revenue grew nine percent on cloud demand",
+                               k=3, use_colpali=True)
+    visual = [h for h in hits if h.get("is_visual")]
+    assert visual, "visual page hits must appear in the merged results"
+    assert visual[0]["document_id"] == id_a  # layout match ranks first
+    assert visual[0]["filename"] == "a.pdf" and visual[0]["content"] is None
+    # without the flag the result shape is unchanged (no is_visual key)
+    plain = api.retrieve_chunks("quarterly revenue", k=2)
+    assert all("is_visual" not in h for h in plain)
