@@ -1706,6 +1706,16 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax/mT5 temperature balancing (T=4) over the LANGUAGE axis —
+    the skewed grouping (en dominates ~2.9:1) where balancing actually
+    bites: low-resource langs get boost > 1, en gets boost < 1. sqrt-
+    chain exponent + micro-int normalizer sum keep both engines
+    bit-identical (see curation.temperature_mixture_rates)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.temperature_mixture_rates(docs, "lang", temperature=4)
+
+
 _SEMDECON_STRIDE = 97
 _SEMDECON_THRESHOLD = 0.27
 
@@ -2156,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": _q_asof_nearest,
         "quality_classifier": _q_quality_classifier,
         "semantic_decontaminate": _q_semantic_decontaminate,
+        "temperature_mixture": _q_temperature_mixture,
     }
 
 
@@ -4562,6 +4573,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, m.c AS max_benchmark_cos, -m.n AS nearest_bench_id,
                    CAST(m.c >= {_SEMDECON_THRESHOLD} AS INT) AS contaminated
             FROM best
+        """,
+        "temperature_mixture": """
+            WITH counts AS (
+                SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+            ),
+            tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts),
+            base AS (
+                SELECT lang, n_docs,
+                       CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS natural_share,
+                       CAST(FLOOR(sqrt(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)))
+                                  * 1000000000000.0) AS BIGINT) AS w_micro
+                FROM counts, tot
+            ),
+            z AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS z_micro FROM base)
+            SELECT lang, n_docs,
+                   ROUND(natural_share, 6) AS natural_share,
+                   ROUND(CAST(w_micro AS DOUBLE) / CAST(z_micro AS DOUBLE), 6) AS temp_share,
+                   ROUND((CAST(w_micro AS DOUBLE) / CAST(z_micro AS DOUBLE)) / natural_share, 6) AS boost
+            FROM base, z
         """,
     }
 

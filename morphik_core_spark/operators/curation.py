@@ -862,3 +862,60 @@ def training_shards(
             F.max("order_key").alias("max_key"),
         )
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    group_col: str,
+    temperature: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """Temperature-balanced mixture weights per group — the UniMax / mT5
+    language-balancing rule (w_g ∝ p_g^(1/T)): T=1 reproduces natural
+    proportions, larger T flattens toward uniform, boosting low-resource
+    groups. The output is the RATES TABLE a sampler like
+    :func:`mixture_sample` consumes: per group its document count,
+    natural share, temperature share, and the boost factor
+    (temp/natural — >1 means the group is upsampled).
+
+    Engine discipline: ``temperature`` must be a power of two so the
+    exponent 1/T evaluates as a CHAIN OF SQRTs — sqrt is IEEE-correctly-
+    rounded on every engine, while pow(x, 1/T) is not guaranteed to the
+    last ulp and would poison value parity. The normalizer sums
+    micro-scaled int64 weights (floor at 1e12), so the cross-group sum
+    is partition-order-free and exactly replayable in SQL.
+
+    Scale shape: one count aggregate over the corpus (map-side combine),
+    then arithmetic over the group-cardinality-sized table; the corpus
+    is touched once.
+    """
+    t = int(temperature)
+    if t < 1 or (t & (t - 1)) != 0:
+        raise ValueError("temperature must be a power of two (sqrt-chain exponent)")
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    base = counts.crossJoin(F.broadcast(total)).withColumn(
+        "natural_share", F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+    )
+    w = F.col("natural_share")
+    k = t
+    while k > 1:
+        w = F.sqrt(w)
+        k //= 2
+    base = base.withColumn("w_micro", F.floor(w * F.lit(1_000_000_000_000.0)).cast("bigint"))
+    z = base.agg(F.sum("w_micro").alias("z_micro"))
+    out = base.crossJoin(F.broadcast(z)).select(
+        group_col,
+        "n_docs",
+        F.round("natural_share", decimals).alias("natural_share"),
+        F.round(
+            F.col("w_micro").cast("double") / F.col("z_micro").cast("double"), decimals
+        ).alias("temp_share"),
+        F.round(
+            (F.col("w_micro").cast("double") / F.col("z_micro").cast("double"))
+            / F.col("natural_share"),
+            decimals,
+        ).alias("boost"),
+    )
+    return out

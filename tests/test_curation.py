@@ -367,3 +367,25 @@ def test_unicode_normalization_stats_nfc(spark):
     df2 = spark.createDataFrame([(9, "cafe\u0301"), (10, "caf\u00e9")], "doc_id long, text string")
     got = {r.doc_id: r.norm_md5 for r in curation.unicode_normalization_stats(df2, "text", "doc_id").collect()}
     assert got[9] == got[10]
+
+
+def test_temperature_mixture_rates_balances_and_validates(spark):
+    from morphik_core_spark.operators.curation import temperature_mixture_rates
+
+    df = spark.createDataFrame(
+        [(i, "hi" if i < 90 else "lo") for i in range(100)], "id long, grp string"
+    )
+    out = {r.grp: r for r in temperature_mixture_rates(df, "grp", temperature=4).collect()}
+    # T=4 flattens: the minority group is upsampled, the majority damped
+    assert out["lo"].boost > 1.0 > out["hi"].boost
+    assert abs(out["hi"].temp_share + out["lo"].temp_share - 1.0) < 1e-5
+    assert out["hi"].natural_share == 0.9
+
+    # T=1 is the identity mixture (natural == temp, boost == 1)
+    ident = {r.grp: r for r in temperature_mixture_rates(df, "grp", temperature=1).collect()}
+    assert ident["hi"].boost == 1.0 == ident["lo"].boost
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="power of two"):
+        temperature_mixture_rates(df, "grp", temperature=3)
