@@ -429,7 +429,14 @@ class MorphikSpark:
         """Top-k visually-matching pages from the stored multivectors:
         MaxSim against the rendered query, app-scoped, hydrated with the
         document's filename/metadata and a download URL. Driver-side work
-        is k rows; the MaxSim scan is the engine's."""
+        is k rows; the MaxSim scan is the engine's.
+
+        Caveat (measured in evaluations/visual_retrieval_eval.py): the
+        model-free patch kernel matches page LAYOUT, not words — glyph
+        boxes carry no glyph identity. Content-level visual retrieval
+        needs a real ColPali encoder writing the same multivector schema
+        (functions/model_adapters.remote_multivector_udf); the merge
+        machinery here is identical either way."""
         from morphik_core_spark.operators.maxsim import maxsim_pandas
         from morphik_core_spark.operators.multimodal import text_query_multivector
 
