@@ -2046,6 +2046,496 @@ def _q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- TPC-H shape extensions
+# The remaining TPC-H query shapes (Q2, Q5-Q16, Q19, Q20) restated over the
+# synthetic star schema; Q1/Q3/Q4/Q17/Q18/Q21/Q22 shapes exist above as
+# pricing_summary / shipping_priority / late_ship_priority /
+# small_quantity_revenue / large_order_customers / waiting_suppliers /
+# idle_rich_customers. Where the schema lacks a TPC-H column or table
+# (partsupp, l_shipmode, l_commitdate, p_container, supplier complaints)
+# the FILTER is adapted to an equivalent-shape predicate over existing
+# columns, but the join/aggregation/subquery STRUCTURE — the part the
+# planner has to get right — is preserved, and every predicate branch is
+# verified non-vacuous at sf0.001 and sf0.01. Money math follows the house
+# rule (cf. pricing_summary): DECIMAL(18,4)-exact sums, cast to DOUBLE and
+# ROUND only at the output edge, so results are bit-identical across
+# shuffle-partition counts and vs the DuckDB oracle.
+
+_DEC14 = "decimal(18,4)"
+
+
+def _dec(c: str):  # money-typed column, the exact-aggregation input form
+    return F.col(c).cast(_DEC14)
+
+
+def _one_dec():  # F.lit needs a live SparkContext, so these stay lazy
+    return F.lit(1).cast(_DEC14)
+
+
+def _zero_dec():
+    return F.lit(0).cast(_DEC14)
+
+
+def _disc_price():
+    """l_extendedprice * (1 - l_discount) as an exact DECIMAL product."""
+    return _dec("l_extendedprice") * (_one_dec() - _dec("l_discount"))
+
+
+def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part): the correlated-min
+    subquery decorrelated as a per-part `min(struct(price, suppkey))` —
+    ONE shuffle on partkey, and the lexicographic struct-min yields the
+    price minimum with a deterministic suppkey tiebreak inside the same
+    aggregate (the textbook decorrelation joins the min back and scans
+    the fact twice). partsupp doesn't exist in this schema, so supply
+    cost = observed unit price l_extendedprice / l_quantity from
+    lineitem — per-row IEEE division, bit-exact in both engines."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    unit = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_partkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        "l_suppkey",
+    )
+    best = unit.groupBy("p_partkey").agg(
+        F.min(F.struct("unit_price", "l_suppkey")).alias("m")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        best.join(F.broadcast(supp), F.col("m.l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.round(F.col("m.unit_price"), 6).alias("unit_price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey").asc())
+        .limit(100)
+    )
+
+
+def _q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the region→nation dim
+    chain is broadcast into the supplier side; customer joins on BOTH
+    custkey and the s_nationkey = c_nationkey closure that makes the
+    supplier "local". The only big-big shuffle is lineitem⋈orders on
+    orderkey — every dimension side broadcasts."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(asia), supp.s_nationkey == asia.n_nationkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum(_disc_price()).cast("double"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def _q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the pure scan-filter
+    aggregate — every conjunct pushes to the parquet scan (shipdate,
+    discount band, quantity cap), zero joins, one partial+final agg.
+    The query whole-stage codegen should reduce to a single stage."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double"), 4
+        ).alias("revenue")
+    )
+
+
+def _q_bilateral_shipping_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two trade blocs): nation
+    bands (n_nationkey % 5) stand in for the two named nations so the
+    pair predicate is non-vacuous at every SF. The disjunctive pair
+    filter runs after both dim broadcasts; only lineitem⋈orders and the
+    custkey join move data."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", (F.col("s_nationkey") % 5).cast("int").alias("supp_band")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_nationkey") % 5).cast("int").alias("cust_band")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_band") == 1) & (F.col("cust_band") == 2))
+            | ((F.col("supp_band") == 2) & (F.col("cust_band") == 1))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_band", "cust_band",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_disc_price()).cast("double"), 4).alias("revenue"))
+        .orderBy("supp_band", "cust_band", "l_year")
+    )
+
+
+def _q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share of a supplier bloc in one region's
+    PROMO market): the two-role nation join — customer nations route
+    through region AMERICA (broadcast chain), supplier nations only
+    contribute the bloc membership flag. Numerator and denominator are
+    conditional DECIMAL sums in ONE aggregation pass; the share divides
+    in DOUBLE only at the output edge."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    am_keys = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    vol = _disc_price()
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(am_keys), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    grouped = joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("s_nationkey") % 5 == 0, vol).otherwise(_zero_dec())
+        ).alias("bloc_dec"),
+        F.sum(vol).alias("total_dec"),
+    )
+    return grouped.select(
+        "o_year",
+        F.round(
+            F.col("bloc_dec").cast("double") / F.col("total_dec").cast("double"), 6
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+def _q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): parts
+    picked by p_name substring as in the original; without ps_supplycost
+    the cost leg is p_retailprice × l_quantity (schema-native),
+    preserving the two-product DECIMAL-exact amount expression and the
+    orders join that only contributes the year. Part/supplier/nation all
+    broadcast; lineitem⋈orders on orderkey is the single big shuffle."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    amount = _disc_price() - _dec("p_retailprice") * _dec("l_quantity")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy(
+            "n_name", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount).cast("double"), 4).alias("sum_profit"))
+        .orderBy(F.col("n_name").asc(), F.col("o_year").desc())
+    )
+
+
+def _q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): one-quarter order
+    window, returnflag='R' lines, revenue per customer with the nation
+    name carried through a broadcast, top-20 by lost revenue. The
+    grouping keys include the functionally-dependent customer attributes
+    exactly as the original does — Catalyst folds them into one
+    shuffle on the composite key."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_disc_price()).cast("double"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def _q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part value
+    restricted to a supplier bloc, kept where the part's value exceeds a
+    fraction of the bloc-wide total. The group-total-vs-global-scalar
+    HAVING is the one-row broadcast crossJoin (BroadcastNestedLoopJoin
+    over a single row — same shape as idle_rich_customers' scalar
+    average); partsupp is restated over lineitem revenue."""
+    supp5 = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 5)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vals = (
+        li.join(F.broadcast(supp5), li.l_suppkey == supp5.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_disc_price()).alias("val_dec"))
+    )
+    tot = vals.agg(F.sum("val_dec").alias("tot_dec"))
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("val_dec").cast("double") > F.col("tot_dec").cast("double") * 0.001
+        )
+        .select(
+            "l_partkey", F.round(F.col("val_dec").cast("double"), 4).alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+def _q_priority_line_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority classes): l_returnflag
+    stands in for the missing l_shipmode as the class column; the
+    CASE-sum conditional aggregation over the orders⋈lineitem single
+    shuffle is the shape under test (urgent vs non-urgent line counts
+    per class)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT outer
+    join with the order filter folded into the join CONDITION — not a
+    WHERE — so zero-order customers survive into the c_count=0 bucket;
+    then a second, tiny aggregation over the per-customer counts."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_custkey", "o_orderkey")
+    )
+    counts = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def _q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): one month of lineitem, part
+    type routed through a broadcast, promo and total revenue as two
+    conditional DECIMAL sums in one pass, percentage formed in DOUBLE
+    at the edge with the literal-first association the oracle mirrors."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = _disc_price()
+    agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(_zero_dec())).alias(
+            "promo_dec"
+        ),
+        F.sum(vol).alias("total_dec"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0)
+            * (F.col("promo_dec").cast("double") / F.col("total_dec").cast("double")),
+            6,
+        ).alias("promo_share")
+    )
+
+
+def _q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue): revenue per
+    supplier over one quarter, then the max-revenue tie set selected by
+    EXACT DECIMAL equality against a one-row broadcast max (the view +
+    correlated max of the original, without the second fact scan)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("total_dec"))
+    mx = rev.agg(F.max("total_dec").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_dec") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("total_dec").cast("double"), 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def _q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    counts per (brand, type, size) over an in-list of sizes with a
+    brand exclusion, minus a flagged-supplier set via LEFT ANTI join
+    (the complaints NOT IN of the original; flagging is the
+    deterministic s_suppkey % 7 == 3 since s_comment doesn't exist).
+    COUNT(DISTINCT) forces the two-phase exact distinct aggregation."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 7 == 3)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(flagged), li.l_suppkey == flagged.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), F.col("p_brand").asc(),
+            F.col("p_type").asc(), F.col("p_size").asc(),
+        )
+    )
+
+
+def _q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicate revenue): the OR-of-ANDs
+    predicate mixes part and lineitem attributes, so no disjunct can be
+    pushed below the join on its own — the equi-join on partkey carries
+    it and the residual evaluates as one codegen'd filter over the
+    broadcast join output. The shape that punishes planners which only
+    push conjuncts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    pred = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(5, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & F.col("l_quantity").between(10, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(F.round(F.sum(_disc_price()).cast("double"), 4).alias("revenue"))
+    )
+
+
+def _q_promotable_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (parts ready for promotion): semi-join chain —
+    part('red%') broadcast into one year of lineitem, rolled up per
+    supplier, kept where the supplier moved > 1.25× the bloc average
+    (ps_availqty doesn't exist; the relative threshold reuses the
+    global-scalar one-row broadcast shape of Q11/Q22), then a LEFT SEMI
+    join back onto supplier. No aggregate ever leaves the blocked set."""
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    q = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+    )
+    avg = q.agg(F.sum("qty_dec").alias("tot_dec"), F.count(F.lit(1)).alias("n"))
+    promo = q.crossJoin(F.broadcast(avg)).filter(
+        F.col("qty_dec").cast("double")
+        > F.lit(1.25) * (F.col("tot_dec").cast("double") / F.col("n"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(
+            promo.select("l_suppkey"), supp.s_suppkey == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -2167,6 +2657,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "semantic_decontaminate": _q_semantic_decontaminate,
         "temperature_mixture": _q_temperature_mixture,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "regional_supplier_volume": _q_regional_supplier_volume,
+        "revenue_forecast": _q_revenue_forecast,
+        "bilateral_shipping_volume": _q_bilateral_shipping_volume,
+        "market_share": _q_market_share,
+        "product_type_profit": _q_product_type_profit,
+        "returned_item_report": _q_returned_item_report,
+        "important_part_values": _q_important_part_values,
+        "priority_line_classes": _q_priority_line_classes,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "promo_revenue_share": _q_promo_revenue_share,
+        "top_revenue_supplier": _q_top_revenue_supplier,
+        "supplier_part_variety": _q_supplier_part_variety,
+        "disjunctive_revenue": _q_disjunctive_revenue,
+        "promotable_part_suppliers": _q_promotable_part_suppliers,
     }
 
 
@@ -4592,6 +5097,247 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(w_micro AS DOUBLE) / CAST(z_micro AS DOUBLE), 6) AS temp_share,
                    ROUND((CAST(w_micro AS DOUBLE) / CAST(z_micro AS DOUBLE)) / natural_share, 6) AS boost
             FROM base, z
+        """,
+        "min_cost_supplier": """
+            WITH target AS (
+                SELECT p_partkey FROM part
+                WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+            ),
+            u AS (
+                SELECT p_partkey, l_extendedprice / l_quantity AS unit_price, l_suppkey
+                FROM lineitem JOIN target ON l_partkey = p_partkey
+            ),
+            best AS (
+                SELECT p_partkey,
+                       min(struct_pack(unit_price := unit_price,
+                                       l_suppkey := l_suppkey)) AS m
+                FROM u GROUP BY p_partkey
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey,
+                   ROUND(m.unit_price, 6) AS unit_price
+            FROM best
+            JOIN supplier ON m.l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            ORDER BY s_acctbal DESC, p_partkey ASC
+            LIMIT 100
+        """,
+        "regional_supplier_volume": """
+            SELECT n_name,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                       AS DOUBLE), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+        """,
+        "revenue_forecast": """
+            SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "bilateral_shipping_volume": """
+            WITH j AS (
+                SELECT CAST(s_nationkey % 5 AS INT) AS supp_band,
+                       CAST(c_nationkey % 5 AS INT) AS cust_band,
+                       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+                       CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS vol
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            )
+            SELECT supp_band, cust_band, l_year,
+                   ROUND(CAST(SUM(vol) AS DOUBLE), 4) AS revenue
+            FROM j
+            WHERE (supp_band = 1 AND cust_band = 2) OR (supp_band = 2 AND cust_band = 1)
+            GROUP BY supp_band, cust_band, l_year
+            ORDER BY supp_band, cust_band, l_year
+        """,
+        "market_share": """
+            WITH j AS (
+                SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                       s_nationkey,
+                       CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS vol
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region ON cn.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            )
+            SELECT o_year,
+                   ROUND(CAST(SUM(CASE WHEN s_nationkey % 5 = 0 THEN vol
+                                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                         / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+            FROM j
+            GROUP BY o_year
+            ORDER BY o_year
+        """,
+        "product_type_profit": """
+            SELECT n_name,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                   ROUND(CAST(SUM(
+                       CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                       - CAST(p_retailprice AS DECIMAL(18,4)) *
+                         CAST(l_quantity AS DECIMAL(18,4))
+                   ) AS DOUBLE), 4) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT)
+            ORDER BY n_name ASC, o_year DESC
+        """,
+        "returned_item_report": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                       AS DOUBLE), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "important_part_values": """
+            WITH vals AS (
+                SELECT l_partkey,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                           AS val_dec
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                WHERE s_nationkey < 5
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, ROUND(CAST(val_dec AS DOUBLE), 4) AS part_value
+            FROM vals
+            WHERE CAST(val_dec AS DOUBLE) >
+                  (SELECT CAST(SUM(val_dec) AS DOUBLE) FROM vals) * 0.001
+            ORDER BY part_value DESC, l_partkey ASC
+        """,
+        "priority_line_classes": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "customer_order_distribution": """
+            WITH counts AS (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+                GROUP BY c_custkey
+            )
+            SELECT c_count, COUNT(*) AS custdist
+            FROM counts
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "promo_revenue_share": """
+            WITH j AS (
+                SELECT p_type,
+                       CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS vol
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            )
+            SELECT ROUND(100.0 *
+                   (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol
+                                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                    / CAST(SUM(vol) AS DOUBLE)), 6) AS promo_share
+            FROM j
+        """,
+        "top_revenue_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                           AS total_dec
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name,
+                   ROUND(CAST(total_dec AS DOUBLE), 4) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_dec = (SELECT MAX(total_dec) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "supplier_part_variety": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#9'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 3)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+        """,
+        "disjunctive_revenue": """
+            SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                       AS DOUBLE), 4) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25
+                   AND l_quantity BETWEEN 5 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+                   AND l_quantity BETWEEN 10 AND 40)
+        """,
+        "promotable_part_suppliers": """
+            WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+            q AS (
+                SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_dec
+                FROM lineitem JOIN red ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                GROUP BY l_suppkey
+            ),
+            a AS (SELECT SUM(qty_dec) AS tot_dec, COUNT(*) AS n FROM q)
+            SELECT s_suppkey, s_name
+            FROM supplier
+            WHERE s_suppkey IN (
+                SELECT l_suppkey FROM q, a
+                WHERE CAST(qty_dec AS DOUBLE) > 1.25 * (CAST(tot_dec AS DOUBLE) / n)
+            )
+            ORDER BY s_suppkey
         """,
     }
 

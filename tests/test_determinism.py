@@ -35,6 +35,13 @@ SENSITIVE = [
     "cluster_keywords",
     "group_sample",
     "in_transit_by_day",
+    # round-5 TPC-H shape extensions: per-row double division feeding a
+    # struct-min (Q2), DOUBLE-edge shares over DECIMAL sums (Q8/Q14),
+    # two-product DECIMAL subtraction (Q9)
+    "min_cost_supplier",
+    "market_share",
+    "promo_revenue_share",
+    "product_type_profit",
 ]
 
 
