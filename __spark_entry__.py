@@ -1496,21 +1496,23 @@ def _q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
         .select("l_orderkey", "l_suppkey")
     )
-    others = li.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
-    ).distinct()
-    late_others = late.select(
-        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
-    ).distinct()
-    multi = late.join(
-        others,
-        (late["l_orderkey"] == others["ok2"]) & (late["l_suppkey"] != others["sk2"]),
-        "left_semi",
+    # EXISTS(other supplier) ≡ n_supp >= 2; NOT EXISTS(other LATE supplier)
+    # ≡ n_late_supp == 1 (the row's own supplier is late by construction).
+    # The aggregation form replaces two fact-vs-fact joins whose
+    # equi-key + supplier-inequality conditions force row-by-row
+    # comparisons inside each order group with two partial-aggregated
+    # countDistincts — at 100 TB the shuffle carries one row per
+    # (order, supplier) instead of the whole fact, twice.
+    ostats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
     )
-    sole_late = multi.join(
-        late_others,
-        (multi["l_orderkey"] == late_others["ok3"]) & (multi["l_suppkey"] != late_others["sk3"]),
-        "left_anti",
+    lstats = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_late_supp")
+    )
+    sole_late = (
+        late.join(ostats, "l_orderkey")
+        .join(lstats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     return (
         sole_late.join(F.broadcast(supp), sole_late["l_suppkey"] == supp["s_suppkey"])
