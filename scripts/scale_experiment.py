@@ -350,6 +350,123 @@ def main() -> None:
         t10 = timed(lambda: cov(emb10))
         print(json.dumps({"op": "embedding_covariance", "t_1x": t1, "t_10x": t10, "ratio": round(t10 / t1, 2)}))
 
+    if "tpch" in ops:
+        # TPC-H shape family on a 10x-tiled lineitem with FIXED dims —
+        # the realistic axis (facts grow, dimensions don't). Four
+        # representative plans: Q5 (multi-join, every dim broadcast),
+        # Q21 aggregation form (per-order countDistincts), Q11
+        # (global-scalar HAVING via one-row broadcast), Q19 (disjunctive
+        # predicate residual after a broadcast join). Each twin mirrors
+        # the __spark_entry__ query but takes the fact as a parameter.
+        li1 = load_table(spark, "lineitem", SF_DIR)
+        li10_parts = [li1 for _ in range(10)]
+        li10 = li10_parts[0]
+        for p in li10_parts[1:]:
+            li10 = li10.unionByName(p)
+        li10_p = os.path.join(tmp, "li10_tpch")
+        li10.write.mode("overwrite").parquet(li10_p)
+        li10 = spark.read.parquet(li10_p)
+
+        orders = load_table(spark, "orders", SF_DIR)
+        cust = load_table(spark, "customer", SF_DIR)
+        supp = load_table(spark, "supplier", SF_DIR)
+        nation = load_table(spark, "nation", SF_DIR)
+        region = load_table(spark, "region", SF_DIR)
+        part = load_table(spark, "part", SF_DIR)
+        dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+        disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+
+        def q5(li):
+            asia = nation.join(
+                F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                nation["n_regionkey"] == region["r_regionkey"],
+            ).select("n_nationkey", "n_name")
+            o96 = orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            )
+            joined = (
+                li.join(o96, li["l_orderkey"] == o96["o_orderkey"])
+                .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+                .join(F.broadcast(asia), supp["s_nationkey"] == asia["n_nationkey"])
+                .join(
+                    F.broadcast(cust),
+                    (o96["o_custkey"] == cust["c_custkey"])
+                    & (supp["s_nationkey"] == cust["c_nationkey"]),
+                )
+            )
+            mat(
+                joined.groupBy("n_name").agg(
+                    F.round(F.sum(disc_price).cast("double"), 4).alias("revenue")
+                )
+            )
+
+        def q21(li):
+            fo = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+            late = (
+                li.join(fo, li["l_orderkey"] == fo["o_orderkey"])
+                .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+                .select("l_orderkey", "l_suppkey")
+            )
+            ostats = li.groupBy("l_orderkey").agg(F.countDistinct("l_suppkey").alias("n_supp"))
+            lstats = late.groupBy("l_orderkey").agg(
+                F.countDistinct("l_suppkey").alias("n_late_supp")
+            )
+            sole = (
+                late.join(ostats, "l_orderkey")
+                .join(lstats, "l_orderkey")
+                .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+            )
+            mat(
+                sole.join(F.broadcast(supp), sole["l_suppkey"] == supp["s_suppkey"])
+                .groupBy("s_name")
+                .agg(F.count(F.lit(1)).alias("numwait"))
+            )
+
+        def q11(li):
+            supp5 = supp.filter(F.col("s_nationkey") < 5).select("s_suppkey")
+            vals = (
+                li.join(F.broadcast(supp5), li["l_suppkey"] == supp5["s_suppkey"])
+                .groupBy("l_partkey")
+                .agg(F.sum(disc_price).alias("val_dec"))
+            )
+            tot = vals.agg(F.sum("val_dec").alias("tot_dec"))
+            mat(
+                vals.crossJoin(F.broadcast(tot)).filter(
+                    F.col("val_dec").cast("double")
+                    > F.col("tot_dec").cast("double") * 0.001
+                )
+            )
+
+        def q19(li):
+            pred = (
+                (
+                    (F.col("p_brand") == "Brand#1")
+                    & F.col("p_size").between(1, 10)
+                    & F.col("l_quantity").between(1, 20)
+                )
+                | (
+                    (F.col("p_brand") == "Brand#2")
+                    & F.col("p_size").between(5, 25)
+                    & F.col("l_quantity").between(5, 30)
+                )
+                | (
+                    (F.col("p_brand") == "Brand#3")
+                    & F.col("p_size").between(10, 40)
+                    & F.col("l_quantity").between(10, 40)
+                )
+            )
+            mat(
+                li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+                .filter(pred)
+                .agg(F.round(F.sum(disc_price).cast("double"), 4).alias("revenue"))
+            )
+
+        report("tpch_q5_volume", q5, li1, li10)
+        report("tpch_q21_aggform", q21, li1, li10)
+        report("tpch_q11_scalar", q11, li1, li10)
+        report("tpch_q19_disjunct", q19, li1, li10)
+
 
 if __name__ == "__main__":
     main()
