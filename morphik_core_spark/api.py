@@ -526,9 +526,13 @@ class MorphikSpark:
             reranker=reranker,
         )
         if padding > 0:
+            matches = hits.select("document_id", "chunk_number")
             hits = retrieval.with_padding(
                 hits.select("document_id", "chunk_number", "score"), self.chunks(), padding
             )
+            # is_padding = key ∉ original matches (document_service.py:715),
+            # flagged relationally — score==0.0 alone is not the contract
+            hits = docstore.grouped_response(hits, matches)
         # hydration join (§2.3): attach document fields to chunk results
         doc_meta = self.documents().select(
             F.col("external_id").alias("document_id"), "filename", "metadata", "content_type"
@@ -543,6 +547,150 @@ class MorphikSpark:
         docs = retrieval.document_results(hits)
         rows = [r.asDict(recursive=True) for r in docs.collect()]
         return sorted(rows, key=lambda r: (-r["score"], str(r["document_id"])))[:k]
+
+    def retrieve_chunks_grouped(
+        self,
+        query: str,
+        k: int = 5,
+        padding: int = 0,
+        **kwargs,
+    ) -> dict:
+        """GroupedChunkResponse (reference POST /retrieve/chunks/grouped,
+        document_service.py:692-819): the flat chunk list with is_padding
+        flags PLUS per-main-chunk groups {main_chunk, padding_chunks,
+        total_chunks}. The padding self-join and the is_padding flag
+        (key ∉ original matches) are engine-side; group assembly is
+        serving-edge work over ≤ k·(2·padding+1) collected rows, exactly
+        where the reference does it in memory. Padding chunks attach to
+        the first main chunk that claims them, scanned ±1..±padding —
+        the reference's processed_chunks walk (:745-763)."""
+        rows = self.retrieve_chunks(query, k=k, padding=padding, **kwargs)
+        if padding <= 0:
+            for r in rows:
+                r.setdefault("is_padding", False)
+            return {
+                "chunks": rows,
+                "groups": [
+                    {"main_chunk": r, "padding_chunks": [], "total_chunks": 1}
+                    for r in rows
+                ],
+                "total_results": len(rows),
+                "has_padding": False,
+            }
+        mains = [r for r in rows if not r.get("is_padding")]
+        pads = {
+            (r["document_id"], r["chunk_number"]): r for r in rows if r.get("is_padding")
+        }
+        processed: set[tuple] = set()
+        groups = []
+        for m in mains:
+            key = (m["document_id"], m["chunk_number"])
+            if key in processed:
+                continue
+            padding_chunks = []
+            for i in range(1, padding + 1):
+                for nk in (
+                    (m["document_id"], m["chunk_number"] - i),
+                    (m["document_id"], m["chunk_number"] + i),
+                ):
+                    r = pads.get(nk)
+                    if r is not None and nk not in processed:
+                        padding_chunks.append(r)
+                        processed.add(nk)
+            groups.append(
+                {
+                    "main_chunk": m,
+                    "padding_chunks": padding_chunks,
+                    "total_chunks": 1 + len(padding_chunks),
+                }
+            )
+            processed.add(key)
+        return {
+            "chunks": rows,
+            "groups": groups,
+            "total_results": len(rows),
+            "has_padding": True,
+        }
+
+    def batch_get_documents(
+        self,
+        document_ids: Sequence[str],
+        auth: AuthContext | None = None,
+        folder_path: str | None = None,
+        folder_depth: int = 0,
+        end_user_id: str | None = None,
+        fields: Sequence[str] | None = None,
+    ) -> list[dict]:
+        """Batch document fetch (reference POST /batch/documents,
+        document_service.py:853-887): access + folder scoping ANDed in
+        front, id-deduplicated, optional field projection. The id list
+        rides a broadcast semi-join (docstore.batch_get) — never an
+        OR-chain predicate."""
+        if not document_ids:
+            return []
+        from morphik_core_spark.operators.scopes import access_predicate, system_predicate
+
+        docs = self.documents()
+        if auth is not None:
+            docs = docs.filter(access_predicate(auth))
+        system_filters = build_folder_scope(
+            folder_path=folder_path, folder_depth=folder_depth, end_user_id=end_user_id
+        )
+        if system_filters:
+            docs = docs.filter(system_predicate(system_filters))
+        wanted = [(i,) for i in dict.fromkeys(document_ids)]
+        out = listing.project(
+            docstore.batch_get(docs, wanted, ["external_id"]), fields
+        )
+        return [r.asDict(recursive=True) for r in out.collect()]
+
+    def batch_get_chunks(
+        self,
+        sources: Sequence[tuple[str, int]],
+        auth: AuthContext | None = None,
+        folder_path: str | None = None,
+        folder_depth: int = 0,
+        end_user_id: str | None = None,
+        output_format: str = "base64",
+    ) -> list[dict]:
+        """Batch chunk fetch (reference POST /batch/chunks,
+        document_service.py:888-1010): authorize the DISTINCT document
+        ids first, restrict the requested (document_id, chunk_number)
+        tuples to authorized docs, then ONE composite-key broadcast
+        semi-join against chunks — duplicate requests collapse, order of
+        the request list does not matter. Hydrates filename/metadata and
+        a download URL per row (output_format='url' skips inline content,
+        the reference's skip_image_content switch)."""
+        if not sources:
+            return []
+        doc_ids = list(dict.fromkeys(d for d, _ in sources))
+        authorized = {
+            r["external_id"]
+            for r in self.batch_get_documents(
+                doc_ids,
+                auth=auth,
+                folder_path=folder_path,
+                folder_depth=folder_depth,
+                end_user_id=end_user_id,
+                fields=["external_id"],
+            )
+        }
+        wanted = [
+            (d, int(n)) for d, n in dict.fromkeys(tuple(s) for s in sources) if d in authorized
+        ]
+        if not wanted:
+            return []
+        hits = docstore.batch_get(self.chunks(), wanted, ["document_id", "chunk_number"])
+        doc_meta = self.documents().select(
+            F.col("external_id").alias("document_id"), "filename", "metadata", "content_type"
+        )
+        hydrated = hits.join(F.broadcast(doc_meta), "document_id", "left")
+        rows = [r.asDict(recursive=True) for r in hydrated.collect()]
+        for r in rows:
+            r["download_url"] = self._download_url_for(r.get("metadata"))
+            if output_format == "url":
+                r["content"] = None
+        return sorted(rows, key=lambda r: (str(r["document_id"]), r["chunk_number"]))
 
     def query(
         self,
@@ -843,6 +991,53 @@ class MorphikSpark:
     def move_folder(self, old_prefix: str, new_prefix: str) -> None:
         self._write_documents(docstore.move_folder(self.documents(), old_prefix, new_prefix))
         self._write_chunks(docstore.move_folder(self.chunks(), old_prefix, new_prefix))
+
+    def add_document_to_folder(self, folder_path: str, document_id: str) -> None:
+        """Folder membership add (reference POST
+        /folders/{folder}/documents/{id}, postgres_database.py folder
+        association + the doc's folder columns). This engine keeps
+        membership doc-side only (SURVEY §1.1: tree ops via path
+        columns, no document_ids array), so add = set the folder columns
+        on the document and its chunks."""
+        name = folder_path.rstrip("/").rsplit("/", 1)[-1] if folder_path else None
+
+        def _set(df: DataFrame, id_col: str) -> DataFrame:
+            hit = F.col(id_col) == document_id
+            out = df.withColumn(
+                "folder_path", F.when(hit, F.lit(folder_path)).otherwise(F.col("folder_path"))
+            )
+            if "folder_name" in df.columns:
+                out = out.withColumn(
+                    "folder_name", F.when(hit, F.lit(name)).otherwise(F.col("folder_name"))
+                )
+            return out
+
+        self._write_documents(_set(self.documents(), "external_id"))
+        self._write_chunks(_set(self.chunks(), "document_id"))
+
+    def remove_document_from_folder(self, folder_path: str, document_id: str) -> None:
+        """Folder membership remove (reference DELETE
+        /folders/{folder}/documents/{id}): clear the folder columns on
+        the document — only when it is actually in that folder, matching
+        the reference's association check."""
+
+        def _clear(df: DataFrame, id_col: str) -> DataFrame:
+            out = df.withColumn(
+                "_hit", (F.col(id_col) == document_id) & (F.col("folder_path") == folder_path)
+            )
+            out = out.withColumn(
+                "folder_path",
+                F.when(F.col("_hit"), F.lit(None).cast("string")).otherwise(F.col("folder_path")),
+            )
+            if "folder_name" in df.columns:
+                out = out.withColumn(
+                    "folder_name",
+                    F.when(F.col("_hit"), F.lit(None).cast("string")).otherwise(F.col("folder_name")),
+                )
+            return out.drop("_hit")
+
+        self._write_documents(_clear(self.documents(), "external_id"))
+        self._write_chunks(_clear(self.chunks(), "document_id"))
 
     # ----------------------------------------------------- file ingestion
 

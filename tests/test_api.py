@@ -393,3 +393,78 @@ def test_get_document_content_roundtrips_ingested_text(spark, tmp_path):
     assert m.get_document_content(did) == body
     with pytest.raises(KeyError):
         m.get_document_content("missing")
+
+
+def test_retrieve_chunks_grouped(client):
+    _seed(client)
+    resp = client.retrieve_chunks_grouped("spark shuffle executors", k=1, auth=AUTH, padding=1)
+    assert resp["has_padding"] is True
+    assert resp["total_results"] == len(resp["chunks"])
+    mains = [c for c in resp["chunks"] if not c["is_padding"]]
+    pads = [c for c in resp["chunks"] if c["is_padding"]]
+    assert mains and pads  # both kinds present with padding=1 on a 3+-chunk doc
+    assert all(p["score"] == 0.0 for p in pads)
+    # every chunk lands in exactly one group; groups' totals add up
+    grouped_keys = []
+    for g in resp["groups"]:
+        grouped_keys.append((g["main_chunk"]["document_id"], g["main_chunk"]["chunk_number"]))
+        assert g["total_chunks"] == 1 + len(g["padding_chunks"])
+        for p in g["padding_chunks"]:
+            assert p["document_id"] == g["main_chunk"]["document_id"]
+            assert abs(p["chunk_number"] - g["main_chunk"]["chunk_number"]) <= 1
+    assert len(grouped_keys) == len(set(grouped_keys)) == len(mains)
+    n_grouped_pads = sum(len(g["padding_chunks"]) for g in resp["groups"])
+    assert n_grouped_pads == len(pads)
+
+    flat = client.retrieve_chunks_grouped("spark shuffle executors", k=2, auth=AUTH, padding=0)
+    assert flat["has_padding"] is False
+    assert all(g["total_chunks"] == 1 and g["padding_chunks"] == [] for g in flat["groups"])
+    assert len(flat["groups"]) == len(flat["chunks"])
+
+
+def test_batch_get_documents_and_chunks(client):
+    ids = _seed(client)
+    # dup-safe id list + projection; unknown ids silently drop (reference
+    # returns only what exists and is authorized)
+    docs = client.batch_get_documents(
+        [ids[0], ids[1], ids[0], "nope"], auth=AUTH, fields=["external_id", "filename"]
+    )
+    assert sorted(d["external_id"] for d in docs) == sorted([ids[0], ids[1]])
+    assert set(docs[0].keys()) == {"external_id", "filename"}
+    # folder scoping ANDs in front, like every reference read
+    assert client.batch_get_documents([ids[0]], auth=AUTH, folder_path="/elsewhere") == []
+
+    chunks = client.batch_get_chunks(
+        [(ids[0], 0), (ids[0], 0), (ids[2], 0), ("nope", 3)], auth=AUTH
+    )
+    keys = {(c["document_id"], c["chunk_number"]) for c in chunks}
+    assert keys == {(ids[0], 0), (ids[2], 0)}  # deduped, unauthorized/unknown dropped
+    assert all(c["filename"] for c in chunks)  # hydration attached doc fields
+    urls = client.batch_get_chunks([(ids[0], 0)], auth=AUTH, output_format="url")
+    assert urls and urls[0]["content"] is None  # url mode skips inline content
+
+    # wrong-app auth sees nothing
+    other = AuthContext(user_id="u2", app_id="other-app")
+    assert client.batch_get_chunks([(ids[0], 0)], auth=other) == []
+
+
+def test_folder_membership_add_remove(client):
+    ids = _seed(client)
+    client.add_document_to_folder("/corp/archive", ids[0])
+    moved = client.get_document(ids[0])
+    assert moved["folder_path"] == "/corp/archive" and moved["folder_name"] == "archive"
+    # chunks follow the document's folder columns
+    in_folder = client.retrieve_chunks(
+        "spark shuffles data", k=3, auth=AUTH, folder_path="/corp/archive"
+    )
+    assert in_folder and all(h["document_id"] == ids[0] for h in in_folder)
+
+    # removing from a folder the doc is NOT in is a no-op
+    client.remove_document_from_folder("/corp/docs", ids[0])
+    assert client.get_document(ids[0])["folder_path"] == "/corp/archive"
+
+    client.remove_document_from_folder("/corp/archive", ids[0])
+    cleared = client.get_document(ids[0])
+    assert cleared["folder_path"] is None and cleared["folder_name"] is None
+    # others untouched
+    assert client.get_document(ids[1])["folder_path"] == "/corp/docs"
