@@ -265,6 +265,108 @@ class MorphikSpark:
         self._merge_documents(new_docs)
         return ids
 
+    def _parse_payload(self, data: bytes, filename: str, pdf_layout: bool = False) -> tuple[str, str]:
+        """MIME-from-extension + the SAME kernel table the distributed
+        drop-dir pipeline uses (sources/binary.parse_kernels). Returns
+        (text, mime); an unparseable payload yields text '' — the caller
+        decides whether that means status='failed' (ingest) or an empty
+        analysis (on-the-fly)."""
+        from morphik_core_spark.functions.binary import _DEFAULT_MIME, _EXT_MIME
+        from morphik_core_spark.sources.binary import parse_kernels
+
+        ext = filename.rsplit(".", 1)[-1].lower() if "." in filename else ""
+        mime = _EXT_MIME.get(ext, _DEFAULT_MIME)
+        text = ""
+        if mime.startswith("text/") and mime != "text/html":
+            try:
+                text = data.decode("utf-8", errors="replace")
+            except Exception:  # noqa: BLE001
+                text = ""
+        else:
+            kernel = parse_kernels(pdf_layout).get(mime)
+            if kernel is not None:
+                try:
+                    text = kernel(data)
+                except Exception:  # noqa: BLE001 — failed parse = failed row
+                    text = ""
+        return text, mime
+
+    def query_document(
+        self,
+        data: bytes,
+        filename: str,
+        prompt: str,
+        schema: dict[str, Any] | None = None,
+        model: rag.CompletionModel | None = None,
+        auth: AuthContext | None = None,
+        ingest: bool = False,
+        metadata: dict[str, Any] | None = None,
+        folder_path: str | None = None,
+        end_user_id: str | None = None,
+        pdf_layout: bool = False,
+    ) -> dict[str, Any]:
+        """One-off analysis of an UN-ingested file (reference POST
+        /document/query, routes/ingest.py:471 — 'Morphik On-the-Fly'):
+        parse the payload through the same kernel table as ingestion,
+        run the prompt over the full document text (plain completion, or
+        schema-enforced structured output through the same normalized
+        schema path as extract_metadata), and optionally queue the
+        follow-up ingestion the reference's ingestion_options control.
+
+        Returns {completion, structured_output, document_id, status} —
+        the DocumentQueryResponse shape; document_id/status are set only
+        when ``ingest=True``."""
+        auth = auth or AuthContext(user_id="local")
+        text, _mime = self._parse_payload(data, filename, pdf_layout)
+        model = model or rag.StubCompletionModel()
+        completion: str | None = None
+        structured: dict[str, Any] | None = None
+        if schema:
+            from morphik_core_spark.operators.extraction import extract_structured
+
+            # the user's prompt rides ahead of the document text, inside
+            # the same extraction-prompt envelope extract_metadata uses
+            # (reference on-the-fly passes prompt + content to one call)
+            one = self.spark.createDataFrame(
+                [("__on_the_fly__", f"{prompt}\n\n{text}")],
+                "document_id string, content string",
+            )
+            row = extract_structured(one, schema, model).collect()[0]
+            structured = {
+                k: v
+                for k, v in row.asDict(recursive=True).items()
+                if k not in ("document_id", "content", "raw_extraction")
+            }
+        else:
+            completion = model.complete(
+                rag.build_prompt(
+                    prompt,
+                    text,
+                    "Analyze the document below and answer.\n\nDocument:\n{context}"
+                    "\n\nTask: {question}\nAnswer:",
+                )
+            )
+        doc_id = None
+        status = None
+        if ingest:
+            doc_id = self.ingest_file(
+                data,
+                filename,
+                metadata=metadata,
+                auth=auth,
+                folder_path=folder_path,
+                end_user_id=end_user_id,
+                pdf_layout=pdf_layout,
+            )
+            got = self.get_document_status(doc_id)
+            status = got["status"] if got else None
+        return {
+            "completion": completion,
+            "structured_output": structured,
+            "document_id": doc_id,
+            "status": status,
+        }
+
     def ingest_file(
         self,
         data: bytes,
@@ -290,26 +392,8 @@ class MorphikSpark:
         A payload the kernels cannot parse still ingests — status
         'failed', payload stored — matching the reference worker's
         keep-the-file-mark-the-row behavior."""
-        from morphik_core_spark.functions.binary import _DEFAULT_MIME, _EXT_MIME
-        from morphik_core_spark.sources.binary import parse_kernels
-
         auth = auth or AuthContext(user_id="local")
-        ext = filename.rsplit(".", 1)[-1].lower() if "." in filename else ""
-        mime = _EXT_MIME.get(ext, _DEFAULT_MIME)
-        text = ""
-        if mime.startswith("text/") and mime != "text/html":
-            try:
-                text = data.decode("utf-8", errors="replace")
-            except Exception:  # noqa: BLE001
-                text = ""
-        else:
-            kernel = parse_kernels(pdf_layout).get(mime)
-            if kernel is not None:
-                try:
-                    text = kernel(data)
-                except Exception:  # noqa: BLE001 — failed parse = failed row
-                    text = ""
-
+        text, mime = self._parse_payload(data, filename, pdf_layout)
         md = dict(metadata or {})
         if self._storage is not None:
             doc_key = f"ingest/{uuid.uuid4()}/{filename}"

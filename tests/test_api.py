@@ -468,3 +468,42 @@ def test_folder_membership_add_remove(client):
     assert cleared["folder_path"] is None and cleared["folder_name"] is None
     # others untouched
     assert client.get_document(ids[1])["folder_path"] == "/corp/docs"
+
+
+def test_query_document_on_the_fly(client):
+    import json as _json
+
+    payload = ("quarterly revenue was nine million dollars and growth stayed strong " * 4).encode()
+
+    # plain completion path: prompt + full document text reach the model
+    class EchoModel:
+        def complete(self, prompt, max_tokens=None, temperature=None):
+            assert "revenue" in prompt and "summarize" in prompt
+            return "one-off summary"
+
+    out = client.query_document(payload, "report.txt", "summarize this", model=EchoModel())
+    assert out["completion"] == "one-off summary"
+    assert out["structured_output"] is None and out["document_id"] is None
+    # nothing was ingested
+    assert client.list_documents() == []
+
+    # structured path: schema-enforced typed output, still no ingestion
+    class FieldModel:
+        def complete(self, prompt, max_tokens=None, temperature=None):
+            return _json.dumps({"topic": "finance", "n_words": 44.0})
+
+    out = client.query_document(
+        payload, "report.txt", "extract the fields",
+        schema={"topic": "string", "n_words": "number"}, model=FieldModel(),
+    )
+    assert out["structured_output"] == {"topic": "finance", "n_words": 44.0}
+    assert out["completion"] is None
+
+    # ingestion_options analog: ingest=True queues the normal pipeline
+    out = client.query_document(
+        payload, "report.txt", "summarize this", model=EchoModel(),
+        ingest=True, auth=AUTH, folder_path="/corp/docs", metadata={"kind": "report"},
+    )
+    assert out["document_id"] and out["status"] == "completed"
+    doc = client.get_document(out["document_id"])
+    assert doc["folder_path"] == "/corp/docs"
