@@ -1562,9 +1562,11 @@ def _q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     any banded-LSH candidate pair, as a fraction of the source's docs."""
     docs = _t(spark, sf_dir, "documents")
     pairs = _q_lsh_pairs(spark, sf_dir)
+    # one explode, not a self-union: referencing `pairs` twice would
+    # re-evaluate the whole signature+banding pipeline a second time
+    # (Spark reuses nothing across DAG branches without a persist)
     dup_ids = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
         .distinct()
     )
     flagged = docs.select("doc_id", "source").join(
