@@ -387,7 +387,16 @@ def knn_pq(
     cbs = pq_codebooks(pivots, m)
     e = "_ev"  # pre-projected double array keeps the generated expr compact
 
-    code_exprs: list[str] = []
+    # Each subspace's centroid-distance array is projected ONCE as a
+    # named column `_d{j}`; array_position/array_min then reference the
+    # column instead of re-inlining the (16 centroids × sub dims) term
+    # array twice per subspace. Halves the generated-SQL size (the
+    # dominant cost here was driver-side parse/analysis of a ~100 KB
+    # expression string) and guarantees the array is built once per row.
+    # The arithmetic — term order, repr'd literals, 1-based
+    # array_position, the -1/+1 dance — is byte-for-byte what the
+    # inlined form computed, so oracle parity is unchanged.
+    dist_cols: list = []
     adc_terms: list[str] = []
     for j, cb in enumerate(cbs):
         dists = ", ".join(
@@ -397,15 +406,17 @@ def knn_pq(
             )
             for c in cb
         )
-        dj = f"array({dists})"
-        code_exprs.append(f"(array_position({dj}, array_min({dj})) - 1)")
+        dist_cols.append(F.expr(f"array({dists})").alias(f"_d{j}"))
         # asymmetric distance table: query-to-centroid per subspace,
         # plain Python float sums in the same left-to-right order
         table = [
             sum((float(query_vec[j * sub + i]) - c[i]) ** 2 for i in range(sub)) for c in cb
         ]
         tbl = ", ".join(repr(t) for t in table)
-        adc_terms.append(f"element_at(array({tbl}), int({code_exprs[j]}) + 1)")
+        adc_terms.append(
+            f"element_at(array({tbl}), "
+            f"int(array_position(_d{j}, array_min(_d{j})) - 1) + 1)"
+        )
 
     approx = " + ".join(adc_terms)
     candidates = (
@@ -414,6 +425,7 @@ def knn_pq(
             F.col(emb_col),
             F.col(emb_col).cast("array<double>").alias("_ev"),
         )
+        .select(F.col(id_col), F.col(emb_col), *dist_cols)
         .select(F.col(id_col), F.col(emb_col), F.expr(approx).alias("approx_dist"))
         .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
         .limit(n_candidates)
