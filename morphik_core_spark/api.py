@@ -1076,6 +1076,128 @@ class MorphikSpark:
         self._write_documents(docstore.move_folder(self.documents(), old_prefix, new_prefix))
         self._write_chunks(docstore.move_folder(self.chunks(), old_prefix, new_prefix))
 
+    def extract_document_pages(
+        self,
+        document_id: str,
+        start_page: int,
+        end_page: int,
+        output_format: str = "base64",
+        dpi: int = 150,
+    ) -> dict[str, Any]:
+        """Render specific pages of a stored PDF as images (reference
+        POST /documents/pages, routes/documents.py:520 +
+        document_service.extract_pdf_pages:1936): download the source
+        payload from the object store, rasterize the 1-indexed page
+        window through the pure-Python renderer (DPI 150 default, the
+        reference's), and return PNG data URIs — or, with
+        output_format='url', store each page image and return presigned
+        URLs. Returns the DocumentPagesResponse shape
+        {document_id, pages, start_page, end_page, total_pages}.
+
+        Serving-edge by design (a page window of one document); corpus-
+        scale page rendering runs through the multimodal mapInPandas
+        path instead (operators/multimodal.pdf_page_images)."""
+        import base64
+
+        import numpy as np
+
+        from morphik_core_spark.functions.image import encode_png
+        from morphik_core_spark.functions.pdf_render import rasterize_pdf_pages
+
+        if start_page > end_page:
+            raise ValueError("start_page must be <= end_page")
+        doc = self.get_document(document_id)
+        if doc is None:
+            raise KeyError(document_id)
+        info = None
+        try:
+            info = json.loads(doc.get("metadata") or "{}").get("external_storage")
+            info = json.loads(info) if isinstance(info, str) else info
+        except Exception:  # noqa: BLE001
+            info = None
+        if not info or not info.get("bucket") or not info.get("key") or self._storage is None:
+            raise KeyError(f"{document_id}: source payload not in storage")
+        data = self._storage.download(info["bucket"], info["key"])
+        bitmaps = rasterize_pdf_pages(data, dpi=dpi)
+        total = len(bitmaps)
+        lo = max(1, start_page)
+        hi = min(end_page, total)
+        pages: list[str] = []
+        for idx in range(lo, hi + 1):
+            g = bitmaps[idx - 1]
+            rgb = np.repeat(g[:, :, None], 3, axis=2)
+            png = encode_png(rgb)
+            if output_format == "url":
+                page_key = f"document-pages/{info['key'].replace('/', '_')}/page_{idx}.png"
+                self._storage.upload(info["bucket"], page_key, png)
+                pages.append(self._storage.get_download_url(info["bucket"], page_key))
+            else:
+                pages.append("data:image/png;base64," + base64.b64encode(png).decode("utf-8"))
+        return {
+            "document_id": document_id,
+            "pages": pages,
+            "start_page": start_page,
+            "end_page": end_page,
+            "total_pages": total,
+        }
+
+    def folder_details(
+        self,
+        identifiers: Sequence[str] | None = None,
+        auth: AuthContext | None = None,
+        include_documents: bool = False,
+        include_document_count: bool = True,
+        include_status_counts: bool = False,
+        document_skip: int = 0,
+        document_limit: int = 20,
+        document_filters: dict[str, Any] | None = None,
+        document_fields: Sequence[str] | None = None,
+    ) -> list[dict]:
+        """Folder metadata with optional per-folder document statistics
+        (reference POST /folders/details, routes/folders.py:149): for
+        each requested folder path (or every folder when none given),
+        the document count, status breakdown, and a stable document page
+        with has_more/next_skip — each piece the same engine operator the
+        standalone endpoints use (listing.sorted_page / value_counts),
+        scoped by the folder-path system filter."""
+        from morphik_core_spark.operators.scopes import access_predicate, system_predicate
+
+        docs = self.documents()
+        if auth is not None:
+            docs = docs.filter(access_predicate(auth))
+        if document_filters:
+            docs = docs.filter(self._compiler.compile(document_filters))
+        paths = list(identifiers) if identifiers else [
+            f["folder_path"] for f in self.list_folders(auth)
+        ]
+        out: list[dict] = []
+        for path in paths:
+            scoped = docs.filter(system_predicate({"folder_path": path}))
+            entry: dict[str, Any] = {
+                "folder_path": path,
+                "folder_name": path.rstrip("/").rsplit("/", 1)[-1] if path else None,
+            }
+            if include_document_count:
+                entry["document_count"] = scoped.count()
+            if include_status_counts:
+                entry["status_counts"] = {
+                    r[0]: r[1] for r in listing.value_counts(scoped, "status").collect()
+                }
+            if include_documents:
+                page = listing.sorted_page(
+                    scoped, skip=document_skip, limit=document_limit + 1
+                )
+                rows = [
+                    r.asDict(recursive=True)
+                    for r in listing.project(page, document_fields).collect()
+                ]
+                has_more = len(rows) > document_limit
+                entry["documents"] = rows[:document_limit]
+                entry["has_more"] = has_more
+                entry["next_skip"] = document_skip + document_limit if has_more else None
+            out.append(entry)
+        return out
+
     def add_document_to_folder(self, folder_path: str, document_id: str) -> None:
         """Folder membership add (reference POST
         /folders/{folder}/documents/{id}, postgres_database.py folder

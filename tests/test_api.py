@@ -507,3 +507,64 @@ def test_query_document_on_the_fly(client):
     assert out["document_id"] and out["status"] == "completed"
     doc = client.get_document(out["document_id"])
     assert doc["folder_path"] == "/corp/docs"
+
+
+def test_extract_document_pages(spark, tmp_path):
+    import base64 as _b64
+
+    from test_pdf import make_pdf_pages
+
+    from morphik_core_spark.functions.image import decode_png
+    from morphik_core_spark.sources.object_store import PresignedStubStore
+
+    store = PresignedStubStore(str(tmp_path / "objects"))
+    api = MorphikSpark(spark, str(tmp_path / "m"), storage=store, chunk_size=120, chunk_overlap=12)
+    pdf = make_pdf_pages([
+        b"BT /F1 12 Tf 72 720 Td (page one content here) Tj ET",
+        b"BT /F1 12 Tf 72 720 Td (page two content here) Tj ET",
+        b"BT /F1 12 Tf 72 720 Td (page three content) Tj ET",
+    ])
+    doc_id = api.ingest_file(pdf, "tri.pdf")
+
+    out = api.extract_document_pages(doc_id, 2, 3, dpi=36)
+    assert out["total_pages"] == 3 and out["start_page"] == 2 and out["end_page"] == 3
+    assert len(out["pages"]) == 2
+    assert all(p.startswith("data:image/png;base64,") for p in out["pages"])
+    px = decode_png(_b64.b64decode(out["pages"][0].split(",", 1)[1]))
+    assert px.shape[2] == 3 and px.shape[0] > 50  # real decodable page image
+
+    # window clamps to the document, 1-indexed
+    clamped = api.extract_document_pages(doc_id, 1, 99, dpi=36)
+    assert len(clamped["pages"]) == 3
+
+    # url mode stores page images and returns presigned URLs
+    urls = api.extract_document_pages(doc_id, 1, 1, output_format="url", dpi=36)
+    assert urls["pages"] and urls["pages"][0].startswith("http")
+    assert store.verify_url(urls["pages"][0])
+
+    with pytest.raises(ValueError):
+        api.extract_document_pages(doc_id, 3, 2)
+    with pytest.raises(KeyError):
+        api.extract_document_pages("missing", 1, 1)
+
+
+def test_folder_details(client):
+    ids = _seed(client)
+    client.ingest_text("other folder text " * 10, filename="x.txt", auth=AUTH, folder_path="/corp/other")
+    details = client.folder_details(
+        auth=AUTH, include_document_count=True, include_status_counts=True,
+        include_documents=True, document_limit=2,
+    )
+    by_path = {d["folder_path"]: d for d in details}
+    assert set(by_path) == {"/corp/docs", "/corp/other"}
+    d = by_path["/corp/docs"]
+    assert d["folder_name"] == "docs" and d["document_count"] == 3
+    assert d["status_counts"] == {"completed": 3}
+    assert len(d["documents"]) == 2 and d["has_more"] is True and d["next_skip"] == 2
+    assert by_path["/corp/other"]["document_count"] == 1
+    # explicit identifiers + metadata filter compose
+    only = client.folder_details(
+        identifiers=["/corp/docs"], auth=AUTH,
+        document_filters={"topic": "engine"}, include_documents=True,
+    )
+    assert only[0]["document_count"] == 2 and only[0]["has_more"] is False
