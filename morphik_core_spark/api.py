@@ -1325,6 +1325,74 @@ class MorphikSpark:
             self.update_document_metadata(document_id, {k: v for k, v in extracted.items() if v is not None})
         return extracted
 
+    # ------------------------------------------------------------- usage
+
+    def app_storage_usage(self, auth: AuthContext) -> dict[str, Any]:
+        """Per-app storage usage rollup (reference GET /usage/app-storage,
+        routes/usage.py:28): raw payload bytes, chunk text bytes,
+        multivector bytes, and the document count, reported in MB with
+        the reference's rounding. The reference reads counters it
+        maintains at ingest (app_storage_usage table,
+        core/database/models.py:50-80); here the same numbers roll up
+        LIVE from the engine tables — one aggregation per table, plus
+        object-store HEADs for the raw payloads (listing-scale driver
+        work; at 100 TB this becomes a maintained summary table exactly
+        like the plans/stats manifests)."""
+        from morphik_core_spark.operators.scopes import access_predicate
+
+        if auth is None or not auth.app_id:
+            raise ValueError("app_id is required")
+
+        def _mb(b: int) -> float:
+            return round(b / (1024 * 1024), 2) if b else 0.0
+
+        docs = self.documents().filter(access_predicate(auth))
+        doc_rows = docs.select("external_id", "metadata").collect()
+        raw_bytes = 0
+        if self._storage is not None:
+            for r in doc_rows:
+                info = None
+                try:
+                    info = json.loads(r["metadata"] or "{}").get("external_storage")
+                    info = json.loads(info) if isinstance(info, str) else info
+                except Exception:  # noqa: BLE001
+                    info = None
+                if info and info.get("bucket") and info.get("key"):
+                    try:
+                        raw_bytes += int(self._storage.object_size(info["bucket"], info["key"]))
+                    except Exception:  # noqa: BLE001 — missing payloads count zero
+                        pass
+        chunk_bytes = (
+            self.chunks()
+            .filter(F.col("app_id") == auth.app_id)
+            .agg(F.coalesce(F.sum(F.octet_length("content")), F.lit(0)).alias("b"))
+            .collect()[0]["b"]
+        )
+        mv_bytes = (
+            self.page_multivectors()
+            .filter(F.col("app_id") == auth.app_id)
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.expr(
+                            "aggregate(multivector, 0L, (acc, v) -> acc + size(v)) * 8"
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        total = int(raw_bytes) + int(chunk_bytes) + int(mv_bytes)
+        return {
+            "app_id": auth.app_id,
+            "doc_raw_bytes_mb": _mb(int(raw_bytes)),
+            "chunk_raw_bytes_mb": _mb(int(chunk_bytes)),
+            "multivector_mb": _mb(int(mv_bytes)),
+            "total_mb": _mb(total),
+            "document_count": len(doc_rows),
+        }
+
     # ------------------------------------------------------------- chat
 
     def append_chat_message(

@@ -56,6 +56,11 @@ class LocalObjectStore:
         with open(self._path(bucket, key), "rb") as fh:
             return fh.read()
 
+    def object_size(self, bucket: str, key: str) -> int:
+        """Payload size in bytes without reading it (S3 HEAD analog) —
+        feeds the app-storage usage rollup."""
+        return os.path.getsize(self._path(bucket, key))
+
     def get_download_url(self, bucket: str, key: str, expires_in: int = 3600) -> str:
         p = self._path(bucket, key)
         if not os.path.exists(p):

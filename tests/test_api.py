@@ -568,3 +568,32 @@ def test_folder_details(client):
         document_filters={"topic": "engine"}, include_documents=True,
     )
     assert only[0]["document_count"] == 2 and only[0]["has_more"] is False
+
+
+def test_app_storage_usage(spark, tmp_path):
+    from test_pdf import make_pdf
+
+    from morphik_core_spark.sources.object_store import PresignedStubStore
+
+    store = PresignedStubStore(str(tmp_path / "objects"))
+    api = MorphikSpark(spark, str(tmp_path / "m"), storage=store, chunk_size=120, chunk_overlap=12)
+    auth = AuthContext(user_id="u1", app_id="app1")
+    pdf = make_pdf(b"BT /F1 12 Tf 72 720 Td (storage usage accounting text) Tj ET")
+    api.ingest_file(pdf, "a.pdf", auth=auth, use_colpali=True)
+    # big enough that the reference's 2-decimal MB rounding registers
+    big = ("plain text body " * 20 + "\n") * 9000
+    api.ingest_file(big.encode(), "b.txt", auth=auth)
+
+    usage = api.app_storage_usage(auth)
+    assert usage["app_id"] == "app1" and usage["document_count"] == 2
+    assert usage["doc_raw_bytes_mb"] == round((len(pdf) + len(big)) / (1024 * 1024), 2)
+    assert usage["doc_raw_bytes_mb"] > 1.0  # ~2.9 MB of stored payloads
+    assert usage["chunk_raw_bytes_mb"] > 1.0  # chunk text covers the body
+    assert usage["multivector_mb"] >= 0.0  # one tiny page rounds to 0.00
+    assert usage["total_mb"] >= usage["doc_raw_bytes_mb"]
+
+    # other app sees nothing
+    other = api.app_storage_usage(AuthContext(user_id="x", app_id="elsewhere"))
+    assert other["document_count"] == 0 and other["total_mb"] == 0.0
+    with pytest.raises(ValueError):
+        api.app_storage_usage(AuthContext(user_id="x"))
