@@ -45,14 +45,9 @@ def asof_backward(
 
     Returns probe columns + matched_ts (NULL when no series row precedes).
     """
-    p = probes.alias("p")
-    s = series.alias("s")
-    matched = (
-        p.join(s, (F.col(f"p.{key}") == F.col(f"s.{key}")) & (F.col(f"s.{series_ts}") <= F.col(f"p.{probe_ts}")))
-        .groupBy(F.col(f"p.{probe_id}").alias(probe_id))
-        .agg(F.max(F.col(f"s.{series_ts}")).alias("matched_ts"))
+    return _asof_directional(
+        probes, series, key, probe_ts, series_ts, probe_id, direction="backward"
     )
-    return probes.join(matched, probe_id, "left")
 
 
 def asof_forward(
@@ -69,12 +64,72 @@ def asof_forward(
 
     Returns probe columns + matched_ts (NULL when nothing follows).
     """
-    p = probes.alias("p")
-    s = series.alias("s")
+    return _asof_directional(
+        probes, series, key, probe_ts, series_ts, probe_id, direction="forward"
+    )
+
+
+def _asof_directional(
+    probes: DataFrame,
+    series: DataFrame,
+    key: str,
+    probe_ts: str,
+    series_ts: str,
+    probe_id: str,
+    direction: str,
+) -> DataFrame:
+    """Union-tag-window as-of — the form that survives 100 TB.
+
+    The join+groupBy restatement (`p ⋈ s ON key AND s.ts <= p.ts` then
+    max) materializes a per-key cross product before aggregating: a key
+    with P probes and S series rows emits P×S join rows, which detonates
+    on dense keys. Here probes and series union into one stream, sort
+    once per key by (ts, series-first-on-tie), and a running
+    last/first-ignorenulls window picks each probe's match — one
+    shuffle + sort, O(P+S) rows per key, the same shape a streaming
+    state-store implementation walks. Tie rule: a series row AT the
+    probe's timestamp sorts before (backward) / after (forward) the
+    probe, preserving the <= / >= semantics of the join form
+    (equivalence-tested row-for-row in tests/test_asof_docstore.py).
+    """
+    from pyspark.sql import Window
+
+    backward = direction == "backward"
+    p = probes.select(
+        F.col(key).alias("_k"),
+        F.col(probe_ts).alias("_t"),
+        F.lit(0).alias("_is_s"),
+        F.col(probe_id).alias("_pid"),
+    )
+    id_type = dict(probes.dtypes)[probe_id]
+    s = series.select(
+        F.col(key).alias("_k"),
+        F.col(series_ts).alias("_t"),
+        F.lit(1).alias("_is_s"),
+        F.lit(None).cast(id_type).alias("_pid"),
+    )
+    tagged = p.unionByName(s)
+    if backward:
+        # series row at equal ts comes first -> included (<= semantics)
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t").asc(), F.col("_is_s").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last(F.when(F.col("_is_s") == 1, F.col("_t")), ignorenulls=True)
+    else:
+        # ascending scan with a FOLLOWING frame; series at equal ts sorts
+        # after the probe -> included (>= semantics)
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t").asc(), F.col("_is_s").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first(F.when(F.col("_is_s") == 1, F.col("_t")), ignorenulls=True)
     matched = (
-        p.join(s, (F.col(f"p.{key}") == F.col(f"s.{key}")) & (F.col(f"s.{series_ts}") >= F.col(f"p.{probe_ts}")))
-        .groupBy(F.col(f"p.{probe_id}").alias(probe_id))
-        .agg(F.min(F.col(f"s.{series_ts}")).alias("matched_ts"))
+        tagged.withColumn("matched_ts", pick.over(w))
+        .filter(F.col("_is_s") == 0)
+        .select(F.col("_pid").alias(probe_id), "matched_ts")
     )
     return probes.join(matched, probe_id, "left")
 

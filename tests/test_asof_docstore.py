@@ -92,3 +92,48 @@ def test_batch_get_composite_keys(spark):
     t = spark.createDataFrame([(1, 1, "x"), (1, 2, "y"), (2, 1, "z")], "a long, b int, v string")
     got = {(r.a, r.b) for r in docstore.batch_get(t, [(1, 2), (2, 1), (9, 9)], ["a", "b"]).collect()}
     assert got == {(1, 2), (2, 1)}
+
+
+def test_asof_directional_window_form_equals_join_form(spark):
+    """The union-tag-window implementation must reproduce the join+groupBy
+    semantics row-for-row — including series rows exactly AT a probe's
+    timestamp (<= / >= tie inclusion) and keys with no match (NULL)."""
+    from pyspark.sql import functions as F
+
+    from morphik_core_spark.operators import asof
+
+    probes = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 10:00:00"),
+         (2, "u1", "2024-01-01 12:00:00"),
+         (3, "u2", "2024-01-01 09:00:00"),   # before any series row
+         (4, "u2", "2024-01-01 11:00:00"),
+         (5, "u3", "2024-01-01 11:00:00")],  # key with no series at all
+        "event_id int, user_id string, ts string",
+    ).select("event_id", "user_id", F.to_timestamp("ts").alias("ts"))
+    series = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00"),  # exact tie with probe 1
+         ("u1", "2024-01-01 11:30:00"),
+         ("u2", "2024-01-01 10:00:00"),
+         ("u2", "2024-01-01 11:00:00")],  # exact tie with probe 4
+        "user_id string, ts string",
+    ).select("user_id", F.to_timestamp("ts").alias("ts"))
+
+    def join_form(direction):
+        p, s = probes.alias("p"), series.alias("s")
+        cmp = F.col("s.ts") <= F.col("p.ts") if direction == "backward" else F.col("s.ts") >= F.col("p.ts")
+        agg = F.max("s.ts") if direction == "backward" else F.min("s.ts")
+        m = (p.join(s, (F.col("p.user_id") == F.col("s.user_id")) & cmp)
+             .groupBy(F.col("p.event_id").alias("event_id")).agg(agg.alias("matched_ts")))
+        return probes.join(m, "event_id", "left")
+
+    for direction, fn in (("backward", asof.asof_backward), ("forward", asof.asof_forward)):
+        got = sorted(map(tuple, fn(probes, series, key="user_id")
+                         .select("event_id", "matched_ts").collect()))
+        want = sorted(map(tuple, join_form(direction)
+                          .select("event_id", "matched_ts").collect()))
+        assert got == want, direction
+    # ties included: probe 1 backward matches its own timestamp
+    back = {r["event_id"]: r["matched_ts"] for r in
+            asof.asof_backward(probes, series, key="user_id").collect()}
+    assert str(back[1]) == "2024-01-01 10:00:00"
+    assert back[3] is None and back[5] is None
