@@ -147,32 +147,53 @@ def asof_nearest(
     Returns probe columns + matched_ts (NULL when the series is empty for
     the key).
     """
-    p = probes.alias("p")
-    s = series.alias("s")
+    from pyspark.sql import Window
 
-    before = (
-        p.join(s, (F.col(f"p.{key}") == F.col(f"s.{key}")) & (F.col(f"s.{series_ts}") <= F.col(f"p.{probe_ts}")))
-        .groupBy(F.col(f"p.{probe_id}").alias(probe_id))
-        .agg(F.max(F.col(f"s.{series_ts}")).alias("bts"))
+    # Same union-tag-window shape as _asof_directional, but BOTH
+    # directions read off ONE sort: with series-first-on-tie ordering,
+    # the PRECEDING frame sees series rows <= the probe's ts and the
+    # FOLLOWING frame sees strictly > — exactly the reference's
+    # before/after candidate split (video.py:55-85). Two frames over the
+    # same (partition, order) reuse the single shuffle+sort; the old
+    # form joined the fact against the series twice.
+    p = probes.select(
+        F.col(key).alias("_k"),
+        F.col(probe_ts).alias("_t"),
+        F.lit(0).alias("_is_s"),
+        F.col(probe_id).alias("_pid"),
     )
-    after = (
-        p.join(s, (F.col(f"p.{key}") == F.col(f"s.{key}")) & (F.col(f"s.{series_ts}") > F.col(f"p.{probe_ts}")))
-        .groupBy(F.col(f"p.{probe_id}").alias(probe_id))
-        .agg(F.min(F.col(f"s.{series_ts}")).alias("ats"))
+    id_type = dict(probes.dtypes)[probe_id]
+    s = series.select(
+        F.col(key).alias("_k"),
+        F.col(series_ts).alias("_t"),
+        F.lit(1).alias("_is_s"),
+        F.lit(None).cast(id_type).alias("_pid"),
     )
-    t, b, a = F.col(probe_ts), F.col("bts"), F.col("ats")
+    order = [F.col("_t").asc(), F.col("_is_s").desc()]
+    w_before = (
+        Window.partitionBy("_k").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_after = (
+        Window.partitionBy("_k").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    series_t = F.when(F.col("_is_s") == 1, F.col("_t"))
+    matched = (
+        p.unionByName(s)
+        .withColumn("bts", F.last(series_t, ignorenulls=True).over(w_before))
+        .withColumn("ats", F.first(series_t, ignorenulls=True).over(w_after))
+        .filter(F.col("_is_s") == 0)
+    )
+    t, b, a = F.col("_t"), F.col("bts"), F.col("ats")
     nearest = (
         F.when(b.isNull(), a)
         .when(a.isNull(), b)
         .when((_us(t) - _us(b)) > (_us(a) - _us(t)), a)
         .otherwise(b)  # ties -> earlier, per reference
     )
-    return (
-        probes.join(before, probe_id, "left")
-        .join(after, probe_id, "left")
-        .withColumn("matched_ts", nearest)
-        .drop("bts", "ats")
-    )
+    picked = matched.select(F.col("_pid").alias(probe_id), nearest.alias("matched_ts"))
+    return probes.join(picked, probe_id, "left")
 
 
 def at_time_padding(
