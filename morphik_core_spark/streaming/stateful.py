@@ -24,7 +24,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_counter_stream", "gap_session_stream", "dedup_stream", "dedup_docs_stream"]
+__all__ = [
+    "running_counter_stream",
+    "gap_session_stream",
+    "dedup_stream",
+    "dedup_docs_stream",
+    "asof_backward_stream",
+]
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 STATE_SCHEMA = "n bigint, total double"
@@ -107,6 +113,59 @@ def running_counter_stream(events: DataFrame) -> DataFrame:
         _update,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ASOF_OUTPUT_SCHEMA = "event_id bigint, user_id bigint, matched_ts timestamp"
+ASOF_STATE_SCHEMA = "last_series_us bigint"
+
+
+def asof_backward_stream(tagged: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Streaming twin of the batch backward as-of join
+    (operators/asof.asof_backward): one interleaved stream of probe and
+    series rows per key — columns (key, ts, is_series, event_id) — emits
+    one row per PROBE carrying the most recent series timestamp at or
+    before it. The state is exactly what the batch union-tag-window form
+    carries through its running ``last(...ignorenulls)``: ONE bigint (the
+    latest series µs seen) per key.
+
+    Within each micro-batch rows are sorted by (ts, series-first-on-tie),
+    so in-batch disorder repairs itself and a series row AT a probe's
+    timestamp matches it (the batch <= rule). Across micro-batches the
+    operator is correct under per-key event-time-ordered arrival — the
+    log-stream contract; a series row arriving AFTER a later probe was
+    already emitted cannot retro-match it (append mode has no
+    retraction). Equivalence with the batch operator under ordered
+    feeds is test-asserted across a checkpoint restart.
+    """
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        (last_us,) = state.get if state.exists else (None,)
+        out_rows: list[tuple] = []
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_us"] = (
+                pd.to_datetime(pdf["ts"]).values.astype("datetime64[us]").astype("int64")
+            )
+            pdf = pdf.sort_values(["_us", "is_series"], ascending=[True, False])
+            for _us, is_s, eid in zip(pdf["_us"], pdf["is_series"], pdf["event_id"]):
+                if int(is_s) == 1:
+                    t = int(_us)
+                    last_us = t if last_us is None else max(last_us, t)
+                else:
+                    out_rows.append((int(eid), key_val, last_us))
+        state.update((last_us,))
+        out = pd.DataFrame(out_rows, columns=["event_id", "user_id", "matched_us"])
+        out["matched_ts"] = pd.to_datetime(out["matched_us"], unit="us")
+        yield out[["event_id", "user_id", "matched_ts"]]
+
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

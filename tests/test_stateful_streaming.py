@@ -226,3 +226,79 @@ def test_streaming_sliding_windows_match_batch_operator(spark, tmp_path):
     missing = expected - got
     assert all(ws + timedelta(seconds=600) > watermark for _, ws, _ in missing)
     assert len(got) >= len(expected) * 0.5  # the bulk was emitted closed
+
+
+def test_asof_backward_stream_matches_batch_across_restart(spark, tmp_path):
+    """Streaming backward as-of ≡ batch asof_backward under per-key
+    event-time-ordered feeds, with state carried across a checkpoint
+    restart (the second batch's probes match series rows from the
+    first)."""
+    from datetime import timedelta
+
+    from morphik_core_spark.operators.asof import asof_backward
+    from morphik_core_spark.streaming.stateful import asof_backward_stream
+
+    schema = "user_id long, ts timestamp, is_series int, event_id long"
+    t0 = datetime(2024, 5, 1, 8, 0, 0)
+
+    def m(minutes):
+        return t0 + timedelta(minutes=minutes)
+
+    # batch 1: series then probes, incl. an exact-tie probe (u1 @10) and
+    # a probe before any series (u2 @1)
+    batch1 = [
+        (1, m(0), 1, None), (1, m(10), 1, None),
+        (1, m(10), 0, 101), (1, m(15), 0, 102),
+        (2, m(1), 0, 201), (2, m(5), 1, None), (2, m(7), 0, 202),
+    ]
+    # batch 2 (after restart): u1's probe must match batch-1 state;
+    # a fresh series row then advances it
+    batch2 = [
+        (1, m(20), 0, 103), (1, m(25), 1, None), (1, m(30), 0, 104),
+    ]
+
+    src, out, chk = (str(tmp_path / d) for d in ("in", "out", "chk"))
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            asof_backward_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+
+    run_once(batch1)
+    run_once(batch2)
+
+    got = {
+        r.event_id: r.matched_ts
+        for r in spark.read.parquet(out).collect()
+    }
+
+    all_rows = batch1 + batch2
+    probes = spark.createDataFrame(
+        [(e, u, ts) for (u, ts, s, e) in all_rows if s == 0],
+        "event_id long, user_id long, ts timestamp",
+    )
+    series = spark.createDataFrame(
+        [(u, ts) for (u, ts, s, _e) in all_rows if s == 1],
+        "user_id long, ts timestamp",
+    )
+    want = {
+        r.event_id: r.matched_ts
+        for r in asof_backward(probes, series, key="user_id").collect()
+    }
+    assert got == want
+    assert got[101] == m(10)  # exact tie matches (<= rule)
+    assert got[201] is None  # probe before any series
+    assert got[103] == m(10)  # state survived the restart
+    assert got[104] == m(25)  # new series row advanced the state
