@@ -2540,6 +2540,30 @@ def _q_promotable_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality gate over the documents table: one
+    aggregation pass computes row count, completeness, key
+    distinctness, numeric + length stats, and a language-allowlist
+    rate, then derives pass/fail constraint rows from the SAME
+    aggregate — adding a rule never adds a scan. The lang in_set
+    threshold is deliberately above the corpus's real ~0.71 en/de/fr
+    share so the fail path is exercised alongside the passing checks."""
+    docs = _t(spark, sf_dir, "documents")
+    from morphik_core_spark.operators.validation import validation_suite
+
+    return validation_suite(
+        docs,
+        completeness_cols=["doc_id", "text", "lang"],
+        unique_cols=["doc_id"],
+        numeric_cols=["n_chars"],
+        length_cols=["text"],
+        in_set={"lang": ["en", "de", "fr"]},
+        min_completeness={"text": 0.999},
+        min_in_set_rate={"lang": 0.9},
+        numeric_range={"n_chars": (1.0, 100000.0)},
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -2676,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_variety": _q_supplier_part_variety,
         "disjunctive_revenue": _q_disjunctive_revenue,
         "promotable_part_suppliers": _q_promotable_part_suppliers,
+        "validation_suite": _q_validation_suite,
     }
 
 
@@ -5342,6 +5367,55 @@ def oracle_sql() -> dict[str, str]:
                 WHERE CAST(qty_dec AS DOUBLE) > 1.25 * (CAST(tot_dec AS DOUBLE) / n)
             )
             ORDER BY s_suppkey
+        """,
+        "validation_suite": """
+            WITH s AS (
+                SELECT count(*) AS n,
+                       count(doc_id) AS nn_doc, count(text) AS nn_text,
+                       count(lang) AS nn_lang,
+                       count(DISTINCT doc_id) AS d_doc,
+                       CAST(min(n_chars) AS DOUBLE) AS min_nc,
+                       CAST(max(n_chars) AS DOUBLE) AS max_nc,
+                       SUM(CAST(n_chars AS DECIMAL(27,6))) AS sum_nc,
+                       count(n_chars) AS cnt_nc,
+                       CAST(min(length(text)) AS DOUBLE) AS minlen,
+                       CAST(max(length(text)) AS DOUBLE) AS maxlen,
+                       SUM(CAST(length(text) AS DECIMAL(27,6))) AS sumlen,
+                       count(text) AS cntlen,
+                       SUM(CASE WHEN lang IN ('en','de','fr') THEN 1 ELSE 0 END) AS inset_lang
+                FROM documents
+            ),
+            r AS (
+                SELECT *,
+                       ROUND(CAST(nn_doc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS comp_doc,
+                       ROUND(CAST(nn_text AS DOUBLE) / CAST(n AS DOUBLE), 6) AS comp_text,
+                       ROUND(CAST(nn_lang AS DOUBLE) / CAST(n AS DOUBLE), 6) AS comp_lang,
+                       ROUND(CAST(d_doc AS DOUBLE) / CAST(nn_doc AS DOUBLE), 6) AS dist_doc,
+                       ROUND(CAST(sum_nc AS DOUBLE) / CAST(cnt_nc AS DOUBLE), 6) AS mean_nc,
+                       ROUND(CAST(sumlen AS DOUBLE) / CAST(cntlen AS DOUBLE), 6) AS avglen,
+                       ROUND(CAST(inset_lang AS DOUBLE) / CAST(nn_lang AS DOUBLE), 6) AS inset_rate
+                FROM s
+            )
+            SELECT '_table' AS entity, 'row_count' AS metric, CAST(n AS DOUBLE) AS value FROM r
+            UNION ALL SELECT 'doc_id', 'completeness', comp_doc FROM r
+            UNION ALL SELECT 'text', 'completeness', comp_text FROM r
+            UNION ALL SELECT 'lang', 'completeness', comp_lang FROM r
+            UNION ALL SELECT 'doc_id', 'distinctness', dist_doc FROM r
+            UNION ALL SELECT 'n_chars', 'min', min_nc FROM r
+            UNION ALL SELECT 'n_chars', 'max', max_nc FROM r
+            UNION ALL SELECT 'n_chars', 'mean', mean_nc FROM r
+            UNION ALL SELECT 'text', 'min_length', minlen FROM r
+            UNION ALL SELECT 'text', 'max_length', maxlen FROM r
+            UNION ALL SELECT 'text', 'avg_length', avglen FROM r
+            UNION ALL SELECT 'lang', 'in_set_rate', inset_rate FROM r
+            UNION ALL SELECT 'doc_id', 'check:unique',
+                CAST(CASE WHEN dist_doc >= 1.0 THEN 1 ELSE 0 END AS DOUBLE) FROM r
+            UNION ALL SELECT 'text', 'check:complete',
+                CAST(CASE WHEN comp_text >= 0.999 THEN 1 ELSE 0 END AS DOUBLE) FROM r
+            UNION ALL SELECT 'lang', 'check:in_set',
+                CAST(CASE WHEN inset_rate >= 0.9 THEN 1 ELSE 0 END AS DOUBLE) FROM r
+            UNION ALL SELECT 'n_chars', 'check:range',
+                CAST(CASE WHEN min_nc >= 1.0 AND max_nc <= 100000.0 THEN 1 ELSE 0 END AS DOUBLE) FROM r
         """,
     }
 

@@ -1,0 +1,127 @@
+"""Data-quality validation suite: metric values on a synthetic frame with
+known nulls/dups, empty-table NULL semantics, approx path schema parity,
+and the one-scan plan contract (adding rules must not add scans)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from morphik_core_spark.operators.validation import profile_table, validation_suite
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        Row(k=1, v=10.0, s="aa", lang="en"),
+        Row(k=2, v=20.0, s="bbb", lang="de"),
+        Row(k=2, v=None, s=None, lang="xx"),
+        Row(k=None, v=40.0, s="c", lang=None),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _lookup(df):
+    return {(r.entity, r.metric): r.value for r in df.collect()}
+
+
+def test_profile_metrics(frame):
+    m = _lookup(
+        profile_table(
+            frame,
+            completeness_cols=["k", "v", "s"],
+            unique_cols=["k"],
+            numeric_cols=["v"],
+            length_cols=["s"],
+            in_set={"lang": ["en", "de"]},
+        )
+    )
+    assert m[("_table", "row_count")] == 4.0
+    assert m[("k", "completeness")] == 0.75
+    assert m[("v", "completeness")] == 0.75
+    assert m[("s", "completeness")] == 0.75
+    # 2 distinct of 3 non-null keys
+    assert m[("k", "distinctness")] == round(2 / 3, 6)
+    assert m[("v", "min")] == 10.0
+    assert m[("v", "max")] == 40.0
+    assert m[("v", "mean")] == round(70.0 / 3, 6)
+    assert m[("s", "min_length")] == 1.0
+    assert m[("s", "max_length")] == 3.0
+    assert m[("s", "avg_length")] == 2.0
+    # 2 of 3 non-null langs in the set
+    assert m[("lang", "in_set_rate")] == round(2 / 3, 6)
+
+
+def test_checks_pass_and_fail(frame):
+    m = _lookup(
+        validation_suite(
+            frame,
+            unique_cols=["k"],
+            completeness_cols=["v"],
+            numeric_cols=["v"],
+            in_set={"lang": ["en", "de"]},
+            min_completeness={"v": 0.5},
+            min_in_set_rate={"lang": 0.9},
+            numeric_range={"v": (0.0, 100.0)},
+        )
+    )
+    assert m[("k", "check:unique")] == 0.0  # dup key 2
+    assert m[("v", "check:complete")] == 1.0  # 0.75 >= 0.5
+    assert m[("lang", "check:in_set")] == 0.0  # 0.667 < 0.9
+    assert m[("v", "check:range")] == 1.0
+
+
+def test_empty_table_ratios_null_and_checks_fail(spark):
+    empty = spark.createDataFrame([], "k bigint, v double")
+    m = _lookup(
+        validation_suite(
+            empty,
+            completeness_cols=["k"],
+            unique_cols=["k"],
+            numeric_cols=["v"],
+            min_completeness={"k": 0.5},
+        )
+    )
+    assert m[("_table", "row_count")] == 0.0
+    assert m[("k", "completeness")] is None
+    assert m[("k", "distinctness")] is None
+    assert m[("v", "mean")] is None
+    # NULL metric -> failing gate, never a silent pass
+    assert m[("k", "check:unique")] == 0.0
+    assert m[("k", "check:complete")] == 0.0
+
+
+def test_approx_same_schema_and_close(frame):
+    exact = profile_table(frame, unique_cols=["k"])
+    approx = profile_table(frame, unique_cols=["k"], approx=True)
+    assert exact.columns == approx.columns
+    e = _lookup(exact)[("k", "distinctness")]
+    a = _lookup(approx)[("k", "distinctness")]
+    assert abs(e - a) < 0.05  # HLL exact at tiny cardinalities
+
+
+def test_single_scan_plan(spark, sf_dir):
+    """The whole suite — metrics plus four rules — must read the table
+    once: one scan node, no join/union of per-rule branches."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = validation_suite(
+        docs,
+        completeness_cols=["doc_id", "text"],
+        unique_cols=["doc_id"],
+        numeric_cols=["n_chars"],
+        min_completeness={"text": 0.9},
+        numeric_range={"n_chars": (0.0, 1e6)},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_in_set_rate_null_poison_safe(spark):
+    # values NOT in the set and NULL values are both non-hits, but NULLs
+    # leave the denominator too
+    df = spark.createDataFrame([Row(c="a"), Row(c="b"), Row(c=None)])
+    m = _lookup(profile_table(df, in_set={"c": ["a"]}))
+    assert m[("c", "in_set_rate")] == 0.5
