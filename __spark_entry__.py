@@ -2564,6 +2564,55 @@ def _q_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (the MDM step after `entity_resolution`):
+    multi-source dirty records collapse to one golden row per entity —
+    per-field mode of non-null values, ties to the lexicographically
+    smallest. Two deterministic variant feeds exercise every path:
+    every 3rd part contributes a corrupted name + NULL brand/size
+    (null-skip), every 5th a lowercased brand (1-1 conflict resolved by
+    the tie-break) — so mode wins, tie-breaks, and null-skips all occur
+    at both SFs. Plan: one melt explode + two entity-keyed shuffles,
+    independent of field count."""
+    part = _t(spark, sf_dir, "part")
+    base = part.select(
+        F.col("p_partkey").alias("entity_key"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("ptype"),
+        F.col("p_size").alias("psize"),
+    )
+    va = part.filter(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("entity_key"),
+        F.concat(
+            F.expr("substr(p_name, 1, cast(p_partkey % length(p_name) as int))"),
+            F.expr("substr(p_name, cast(p_partkey % length(p_name) as int) + 2)"),
+        ).alias("name"),
+        F.lit(None).cast("string").alias("brand"),
+        F.col("p_type").alias("ptype"),
+        F.lit(None).cast("int").alias("psize"),
+    )
+    vb = part.filter(F.col("p_partkey") % 5 == 0).select(
+        F.col("p_partkey").alias("entity_key"),
+        F.col("p_name").alias("name"),
+        F.lower(F.col("p_brand")).alias("brand"),
+        F.lit(None).cast("string").alias("ptype"),
+        F.col("p_size").alias("psize"),
+    )
+    records = base.unionByName(va).unionByName(vb)
+    from morphik_core_spark.operators.dedup import golden_record
+
+    out = golden_record(records, "entity_key", ["name", "brand", "ptype", "psize"])
+    return out.select(
+        F.col("entity").alias("entity_key"),
+        "n_records",
+        "name",
+        "brand",
+        "ptype",
+        F.col("psize").cast("int").alias("psize"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -2701,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": _q_disjunctive_revenue,
         "promotable_part_suppliers": _q_promotable_part_suppliers,
         "validation_suite": _q_validation_suite,
+        "golden_record": _q_golden_record,
     }
 
 
@@ -5416,6 +5466,46 @@ def oracle_sql() -> dict[str, str]:
                 CAST(CASE WHEN inset_rate >= 0.9 THEN 1 ELSE 0 END AS DOUBLE) FROM r
             UNION ALL SELECT 'n_chars', 'check:range',
                 CAST(CASE WHEN min_nc >= 1.0 AND max_nc <= 100000.0 THEN 1 ELSE 0 END AS DOUBLE) FROM r
+        """,
+        "golden_record": """
+            WITH recs AS (
+                SELECT p_partkey AS entity_key, p_name AS name, p_brand AS brand,
+                       p_type AS ptype, p_size AS psize FROM part
+                UNION ALL
+                SELECT p_partkey,
+                       substr(p_name, 1, CAST(p_partkey % len(p_name) AS INT))
+                       || substr(p_name, CAST(p_partkey % len(p_name) AS INT) + 2),
+                       NULL, p_type, NULL
+                FROM part WHERE p_partkey % 3 = 0
+                UNION ALL
+                SELECT p_partkey, p_name, lower(p_brand), NULL, p_size
+                FROM part WHERE p_partkey % 5 = 0
+            ),
+            melt AS (
+                SELECT entity_key, 'name' AS field, name AS value FROM recs WHERE name IS NOT NULL
+                UNION ALL SELECT entity_key, 'brand', brand FROM recs WHERE brand IS NOT NULL
+                UNION ALL SELECT entity_key, 'ptype', ptype FROM recs WHERE ptype IS NOT NULL
+                UNION ALL SELECT entity_key, 'psize', CAST(psize AS VARCHAR) FROM recs WHERE psize IS NOT NULL
+            ),
+            cnt AS (SELECT entity_key, field, value, count(*) AS c FROM melt GROUP BY 1, 2, 3),
+            rk AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY entity_key, field ORDER BY c DESC, value ASC
+                ) AS rn FROM cnt
+            ),
+            surv AS (SELECT entity_key, field, value FROM rk WHERE rn = 1),
+            wide AS (
+                SELECT entity_key,
+                       MAX(CASE WHEN field = 'name' THEN value END) AS name,
+                       MAX(CASE WHEN field = 'brand' THEN value END) AS brand,
+                       MAX(CASE WHEN field = 'ptype' THEN value END) AS ptype,
+                       MAX(CASE WHEN field = 'psize' THEN value END) AS psize
+                FROM surv GROUP BY entity_key
+            ),
+            n AS (SELECT entity_key, count(*) AS n_records FROM recs GROUP BY 1)
+            SELECT n.entity_key, n.n_records, wide.name, wide.brand, wide.ptype,
+                   CAST(wide.psize AS INT) AS psize
+            FROM n LEFT JOIN wide USING (entity_key)
         """,
     }
 

@@ -49,6 +49,7 @@ __all__ = [
     "paragraph_dedup",
     "span_dedup",
     "semantic_dedup",
+    "golden_record",
 ]
 
 # 60-bit hash keeps (a*h30 + b) inside int64 after the 30-bit fold
@@ -866,3 +867,61 @@ def semantic_dedup(
             F.col("_dup").isNull().alias("kept"),
         )
     )
+
+
+def golden_record(
+    records: DataFrame,
+    entity_col: str,
+    fields: Sequence[str],
+) -> DataFrame:
+    """Survivorship / golden-record merge — the step after entity
+    resolution in an MDM pipeline (reference has no analog; its
+    documents are single-source so `core/services/document_service.py`
+    never reconciles conflicting field values).
+
+    Per entity and per field, the survivor is the MODE of the non-null
+    values, ties broken by the lexicographically smallest rendered
+    value — fully deterministic, engine- and partitioning-independent.
+
+    Scale shape: all fields melt into ONE long frame (field values
+    rendered to string), so the plan is two entity-keyed shuffles total
+    — count per (entity, field, value), then argmax + re-widen —
+    regardless of how many fields survive. The melt fan-out is
+    len(fields) rows per record, bounded by the schema, never by data.
+    Output: (entity, n_records, <one string column per field>).
+    Callers re-cast typed fields; the demo query shows the pattern.
+    """
+    structs = [
+        F.struct(
+            F.lit(f).alias("field"),
+            F.col(f).cast("string").alias("value"),
+        )
+        for f in fields
+    ]
+    melt = (
+        records.select(
+            F.col(entity_col).alias("entity"),
+            F.explode(F.array(*structs)).alias("fv"),
+        )
+        .select("entity", "fv.field", "fv.value")
+        .filter(F.col("value").isNotNull())
+    )
+    counts = melt.groupBy("entity", "field", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # min_by over (-count, value): max count first, smallest value on ties
+    surv = counts.groupBy("entity", "field").agg(
+        F.min_by("value", F.struct((-F.col("c")).alias("nc"), F.col("value"))).alias(
+            "value"
+        )
+    )
+    wide = surv.groupBy("entity").agg(
+        *[
+            F.max(F.when(F.col("field") == f, F.col("value"))).alias(f)
+            for f in fields
+        ]
+    )
+    n = records.groupBy(F.col(entity_col).alias("entity")).agg(
+        F.count(F.lit(1)).alias("n_records")
+    )
+    return n.join(wide, "entity", "left").select("entity", "n_records", *fields)
