@@ -2613,6 +2613,41 @@ def _q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a standing (event_type, epoch-day)
+    rollup built from pre-cutoff events as mergeable state, then a
+    post-cutoff DELTA batch merged in — merge(state, delta) must equal
+    the full recompute (which is exactly what the oracle computes).
+    Cutoff 2024-01-20 splits the fixture roughly 2:1 at both SFs, so
+    both the state and delta branches carry real rows. All sums live in
+    DECIMAL state; means derive at read time. At scale the merge
+    shuffles state-sized frames only — the delta is the only raw scan."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.incremental import (
+        agg_state,
+        finalize_agg,
+        merge_agg_states,
+    )
+
+    cutoff_us = 1705708800000000  # 2024-01-20T00:00:00Z
+    day = F.expr("unix_micros(`ts`) div 86400000000").alias("day")
+    base = events.select("event_type", day, "value", F.col("ts"))
+    old = base.filter(F.expr(f"unix_micros(`ts`) < {cutoff_us}"))
+    new = base.filter(F.expr(f"unix_micros(`ts`) >= {cutoff_us}"))
+    keys = ["event_type", "day"]
+    state = agg_state(old, keys, {"value": "value"})
+    delta = agg_state(new, keys, {"value": "value"})
+    merged = merge_agg_states([state, delta], keys)
+    out = finalize_agg(merged, means=["value"])
+    return out.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_events"),
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
+        F.col("mean_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -2751,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promotable_part_suppliers": _q_promotable_part_suppliers,
         "validation_suite": _q_validation_suite,
         "golden_record": _q_golden_record,
+        "incremental_agg": _q_incremental_agg,
     }
 
 
@@ -5506,6 +5542,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.entity_key, n.n_records, wide.name, wide.brand, wide.ptype,
                    CAST(wide.psize AS INT) AS psize
             FROM n LEFT JOIN wide USING (entity_key)
+        """,
+        "incremental_agg": """
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS day,
+                   count(*) AS n_events,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 4) AS sum_value,
+                   CASE WHEN count(*) > 0 THEN
+                       ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) /
+                             CAST(count(*) AS DOUBLE), 6)
+                   END AS mean_value
+            FROM events
+            GROUP BY 1, 2
         """,
     }
 

@@ -1,0 +1,106 @@
+"""Incremental aggregate maintenance: mergeable partial-aggregate state
+tables plus a delta-merge step, so a standing rollup absorbs a new batch
+with delta-sized work instead of a full recompute.
+
+Extension beyond the reference surface (morphik-core recomputes its
+usage/stat reads per request against Postgres —
+`core/database/postgres_database.py` — it has no materialized rollups);
+at 100 TB the only viable standing aggregate is one maintained
+incrementally: scan the DELTA, merge into key-partitioned state.
+
+The algebra is the classic commutative-monoid decomposition every
+distributed engine's partial aggregation already uses, lifted to a
+TABLE you can persist between batches:
+
+- state(keys) = (n, sum_m1, sum_m2, ...) — counts and DECIMAL-exact
+  sums, so merge order can never change a digit;
+- merge(a, b) = groupBy(keys).sum over the union — associative and
+  commutative, so state tables from different shards/epochs combine in
+  any order (the same contract sketches.py relies on);
+- finalize derives non-mergeable outputs (means) from the sums at read
+  time, ROUND(6) through one fixed double tree.
+
+AVG/stddev-style metrics must live in state as (sum, sumsq, n) — never
+finalized values — or the merge is wrong; `finalize_agg` exists so that
+mistake has a pit-of-success API. MIN/MAX merge the same way (they are
+monoids too); add them to a state via ordinary agg columns if needed.
+
+Pairs with `streaming/cdc.py` (epoch-tagged commits make replays
+no-op) and `plans/maintenance.versioned_write` for exactly-once state
+evolution; the demo query `incremental_agg` proves merge(state, delta)
+== full recompute via the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["agg_state", "merge_agg_states", "finalize_agg"]
+
+_STATE_DECIMAL = "decimal(27,6)"
+
+
+def agg_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    measures: Mapping[str, str],
+) -> DataFrame:
+    """Build partial-aggregate state: per ``keys``, a row count ``n`` and
+    a DECIMAL-exact ``sum_<name>`` per measure (``measures`` maps output
+    name -> input column). One shuffle, map-side combined; NULL measure
+    values are skipped by SQL sum semantics (count them separately as
+    their own measure if completeness matters)."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for name, col in measures.items():
+        # re-cast the widened sum so state schema is identical at every
+        # merge generation (sum(decimal(27,6)) widens to (37,6))
+        aggs.append(
+            F.sum(F.col(col).cast(_STATE_DECIMAL)).cast(_STATE_DECIMAL).alias(f"sum_{name}")
+        )
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def merge_agg_states(states: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Merge state tables produced by :func:`agg_state` over the same
+    keys/measures: union + one re-aggregation. The shuffle carries
+    state-sized frames (distinct keys per input), never raw rows — the
+    point of keeping state mergeable. Sums stay in DECIMAL; Spark widens
+    the precision on re-sum, so re-cast keeps the state schema stable
+    across arbitrarily many merge generations."""
+    if not states:
+        raise ValueError("states must be non-empty")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    sum_cols = [c for c in states[0].columns if c.startswith("sum_")]
+    aggs = [F.sum("n").alias("n")] + [
+        F.sum(c).cast(_STATE_DECIMAL).alias(c) for c in sum_cols
+    ]
+    return out.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def finalize_agg(
+    state: DataFrame,
+    means: Sequence[str] = (),
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Derive read-time outputs from mergeable state: for each name in
+    ``means``, ``mean_<name>`` = sum/n through one fixed ROUND tree.
+    Everything else passes through, so the result is state + derived
+    columns (project what you serve)."""
+    out = state
+    for name in means:
+        out = out.withColumn(
+            f"mean_{name}",
+            F.when(
+                F.col("n") > 0,
+                F.round(
+                    F.col(f"sum_{name}").cast("double") / F.col("n").cast("double"),
+                    round_decimals,
+                ),
+            ),
+        )
+    return out
