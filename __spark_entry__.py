@@ -2648,6 +2648,19 @@ def _q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew audit: power-of-two count-of-counts histogram over
+    lineitem's l_partkey — the pre-flight check before keying a 100 TB
+    join. Bucketing is floor(log2) computed by INTEGER bit-length
+    (length(bin(cnt))-1), so no libm call can put a boundary count in
+    different bins on different engines; the grand total rides a
+    one-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    from morphik_core_spark.plans.stats import key_skew_histogram
+
+    return key_skew_histogram(li, ["l_partkey"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -2787,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_suite": _q_validation_suite,
         "golden_record": _q_golden_record,
         "incremental_agg": _q_incremental_agg,
+        "key_skew_audit": _q_key_skew_audit,
     }
 
 
@@ -5554,6 +5568,19 @@ def oracle_sql() -> dict[str, str]:
                    END AS mean_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "key_skew_audit": """
+            WITH c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+            h AS (
+                SELECT CAST(length(bin(cnt)) - 1 AS INT) AS bucket,
+                       count(*) AS n_keys,
+                       CAST(SUM(cnt) AS BIGINT) AS n_rows
+                FROM c GROUP BY 1
+            ),
+            t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+            SELECT bucket, (1::BIGINT << bucket) AS bucket_lo, n_keys, n_rows,
+                   ROUND(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS pct_rows
+            FROM h, t
         """,
     }
 

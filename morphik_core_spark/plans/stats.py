@@ -22,7 +22,14 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["compute_table_stats", "write_stats", "read_stats", "should_broadcast"]
+__all__ = [
+    "compute_table_stats",
+    "write_stats",
+    "read_stats",
+    "should_broadcast",
+    "key_skew_histogram",
+    "top_heavy_keys",
+]
 
 _STATS_FILE = "_stats.json"
 
@@ -77,3 +84,50 @@ def should_broadcast(stats: dict | None, max_rows: int) -> bool | None:
     if not stats or "row_count" not in stats:
         return None
     return stats["row_count"] <= max_rows
+
+
+def key_skew_histogram(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Shuffle-skew audit for a prospective join/agg key: per-key counts
+    bucketed into power-of-two bins — the count-of-counts histogram that
+    tells you BEFORE running a 100 TB join whether the key needs
+    salting/AQE skew handling (one hot key = one straggler task).
+
+    Output: (bucket, bucket_lo, n_keys, n_rows, pct_rows) where
+    bucket = floor(log2(per-key count)) computed in INTEGER space
+    (length of the binary rendering — no libm, so engines can't
+    disagree at power-of-two boundaries) and bucket_lo = 2^bucket.
+
+    Cost: one key-keyed aggregate (map-side combined) + one bucket-sized
+    aggregate; the grand total rides a one-row broadcast. The histogram
+    is O(log max_count) rows no matter the table size.
+    """
+    counts = df.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    hist = (
+        counts.withColumn("bucket", (F.length(F.bin(F.col("cnt"))) - 1).cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("n_rows"))
+    )
+    total = hist.agg(F.sum("n_rows").alias("total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        F.expr("shiftleft(1L, bucket)").alias("bucket_lo"),
+        "n_keys",
+        "n_rows",
+        F.round(F.col("n_rows").cast("double") / F.col("total").cast("double"), 6).alias(
+            "pct_rows"
+        ),
+    )
+
+
+def top_heavy_keys(df: DataFrame, key_cols: list[str], k: int = 20) -> DataFrame:
+    """The named offenders behind a skewed histogram: top-k keys by row
+    count, ties broken by key so the report is deterministic. Served by
+    TakeOrderedAndProject (per-partition heaps), never a full sort."""
+    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.orderBy(
+        F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols]
+    ).limit(k)
