@@ -2661,6 +2661,50 @@ def _q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_histogram(li, ["l_partkey"])
 
 
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization before url-keyed dedup: synthesized messy
+    URLs (mixed-case scheme/host, default AND non-default ports,
+    fragments, unsorted + utm_* query params, a .CO.UK multi-part
+    suffix) collapse to canonical form + registrable domain. Every rule
+    fires both ways at both SFs by construction of the mod cycles."""
+    docs = _t(spark, sf_dir, "documents")
+    m4 = F.col("n_chars") % 4
+    scheme = (
+        F.when(m4 == 0, F.lit("HTTP"))
+        .when(m4 == 1, F.lit("https"))
+        .when(m4 == 2, F.lit("http"))
+        .otherwise(F.lit("HTTPS"))
+    )
+    www = F.when(F.col("n_chars") % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    m3 = F.col("doc_id") % 3
+    sfx = (
+        F.when(m3 == 0, F.lit(".CO.UK")).when(m3 == 1, F.lit(".com")).otherwise(F.lit(".org"))
+    )
+    m5 = F.col("doc_id") % 5
+    port = (
+        F.when(m5 == 0, F.lit(":80"))
+        .when(m5 == 1, F.lit(":443"))
+        .when(m5 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    m7 = F.col("doc_id") % 7
+    qs = (
+        F.when(m7 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(m7 == 1, F.lit("?b=2&a=1"))
+        .when(m7 == 2, F.lit("?utm_campaign=z"))
+        .when(m7 == 3, F.lit("?z=9"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(F.col("doc_id") % 2 == 0, F.lit("#Sec")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme, F.lit("://"), www, F.col("source"), F.lit(".Example"), sfx, port,
+        F.lit("/Doc/"), F.col("doc_id"), qs, frag,
+    )
+    from morphik_core_spark.operators.curation import url_canonicalize
+
+    return url_canonicalize(docs.withColumn("url", url), "url", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -2801,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_record": _q_golden_record,
         "incremental_agg": _q_incremental_agg,
         "key_skew_audit": _q_key_skew_audit,
+        "url_canonicalize": _q_url_canonicalize,
     }
 
 
@@ -5581,6 +5626,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, (1::BIGINT << bucket) AS bucket_lo, n_keys, n_rows,
                    ROUND(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS pct_rows
             FROM h, t
+        """,
+        "url_canonicalize": """
+            WITH u AS (
+                SELECT doc_id,
+                       (CASE n_chars % 4 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+                             WHEN 2 THEN 'http' ELSE 'HTTPS' END)
+                       || '://'
+                       || (CASE WHEN n_chars % 3 = 0 THEN 'WWW.' ELSE '' END)
+                       || source || '.Example'
+                       || (CASE doc_id % 3 WHEN 0 THEN '.CO.UK' WHEN 1 THEN '.com' ELSE '.org' END)
+                       || (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                             WHEN 2 THEN ':8080' ELSE '' END)
+                       || '/Doc/' || doc_id
+                       || (CASE doc_id % 7 WHEN 0 THEN '?utm_source=x&b=2&a=1'
+                             WHEN 1 THEN '?b=2&a=1' WHEN 2 THEN '?utm_campaign=z'
+                             WHEN 3 THEN '?z=9' ELSE '' END)
+                       || (CASE WHEN doc_id % 2 = 0 THEN '#Sec' ELSE '' END) AS url
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id,
+                       lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS s,
+                       lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+                       regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+                       regexp_extract(url, '\?([^#]*)', 1) AS q
+                FROM u
+            ),
+            h AS (
+                SELECT doc_id, s, pth, q,
+                       CASE WHEN s = 'http' AND regexp_matches(hp, ':80$')
+                                THEN regexp_replace(hp, ':80$', '')
+                            WHEN s = 'https' AND regexp_matches(hp, ':443$')
+                                THEN regexp_replace(hp, ':443$', '')
+                            ELSE hp END AS hst
+                FROM p
+            ),
+            c AS (
+                SELECT doc_id, s, hst, pth,
+                       array_to_string(list_sort(list_filter(string_split(q, '&'),
+                           x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS prm,
+                       regexp_replace(hst, ':[0-9]+$', '') AS hostn
+                FROM h
+            ),
+            r AS (
+                SELECT doc_id, s, hst, pth, prm, hostn,
+                       string_split(hostn, '.') AS parts
+                FROM c
+            )
+            SELECT doc_id,
+                   s || '://' || hst || pth ||
+                   CASE WHEN prm <> '' THEN '?' || prm ELSE '' END AS canonical_url,
+                   CASE WHEN len(parts) >= 3
+                             AND parts[-2] || '.' || parts[-1] IN ('co.uk', 'com.au', 'co.jp')
+                        THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+                        WHEN len(parts) >= 2 THEN parts[-2] || '.' || parts[-1]
+                        ELSE hostn END AS registrable_domain
+            FROM r
         """,
     }
 

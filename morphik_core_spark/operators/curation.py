@@ -51,6 +51,7 @@ __all__ = [
     "perplexity_scores",
     "perplexity_buckets",
     "url_filter",
+    "url_canonicalize",
     "weighted_sample",
     "dsir_importance_weights",
     "dsir_resample",
@@ -919,3 +920,84 @@ def temperature_mixture_rates(
         ).alias("boost"),
     )
     return out
+
+
+def url_canonicalize(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    multi_part_suffixes: tuple[str, ...] = ("co.uk", "com.au", "co.jp"),
+    drop_param_prefixes: tuple[str, ...] = ("utm_",),
+) -> DataFrame:
+    """URL canonicalization — the normalization pass BEFORE url-keyed
+    dedup/blocklists, so `HTTP://WWW.Ex.COM:80/p?b=2&utm_source=x&a=1#f`
+    and `http://www.ex.com/p?a=1&b=2` collapse to one key (crawl corpora
+    are full of such twins; without this, URL dedup silently misses).
+
+    Rules (the standard RFC 3986 §6 safe set + tracking-param strip):
+    lowercase scheme and host; drop the fragment; strip default ports
+    (:80 http, :443 https — a :8080 survives); drop query params with a
+    ``drop_param_prefixes`` prefix (utm_* by default); sort surviving
+    params byte-lexicographically. Path case and order are preserved
+    (paths are case-sensitive per spec). Also emits the registrable
+    domain (eTLD+1 under a small public-suffix table — swap in the full
+    PSL as a broadcast dimension at production scale).
+
+    Pure codegen: regexp part-split + array filter/sort, no UDF, no
+    shuffle — canonicalization cost rides the scan. Output: (id,
+    canonical_url, registrable_domain).
+    """
+    url = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+
+    host = F.when(
+        (scheme == "http") & hostport.rlike(":80$"),
+        F.regexp_replace(hostport, ":80$", ""),
+    ).when(
+        (scheme == "https") & hostport.rlike(":443$"),
+        F.regexp_replace(hostport, ":443$", ""),
+    ).otherwise(hostport)
+
+    keep_param = " AND ".join(
+        ["x != ''"] + [f"NOT startswith(x, '{p}')" for p in drop_param_prefixes]
+    )
+    params = F.expr(
+        f"array_join(array_sort(filter(split({'__q'}, '&'), x -> {keep_param})), '&')"
+    )
+
+    base = df.select(
+        F.col(id_col),
+        scheme.alias("__s"),
+        host.alias("__h"),
+        path.alias("__p"),
+        query.alias("__q"),
+    )
+    canon = F.concat(
+        F.col("__s"),
+        F.lit("://"),
+        F.col("__h"),
+        F.col("__p"),
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )
+
+    hostn = F.regexp_replace(F.col("__h"), ":[0-9]+$", "")
+    parts = F.split(hostn, r"\.")
+    nparts = F.size(parts)
+    last2 = F.concat(F.try_element_at(parts, F.lit(-2)), F.lit("."), F.try_element_at(parts, F.lit(-1)))
+    suffixes = F.array(*[F.lit(s) for s in multi_part_suffixes])
+    reg = (
+        F.when(
+            (nparts >= 3) & F.array_contains(suffixes, last2),
+            F.concat(F.try_element_at(parts, F.lit(-3)), F.lit("."), last2),
+        )
+        .when(nparts >= 2, last2)
+        .otherwise(hostn)
+    )
+    return base.select(
+        F.col(id_col),
+        canon.alias("canonical_url"),
+        reg.alias("registrable_domain"),
+    )
