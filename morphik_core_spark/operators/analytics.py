@@ -28,6 +28,7 @@ __all__ = [
     "anomaly_stats",
     "quantile_estimate",
     "sliding_window_counts",
+    "touch_attribution",
 ]
 
 
@@ -260,4 +261,71 @@ def sliding_window_counts(
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(group_col, F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def touch_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    conversion_type: str,
+    tiebreak_col: str,
+    direct_label: str = "direct",
+) -> DataFrame:
+    """First-touch / last-touch revenue attribution: each conversion
+    event credits (a) the user's last non-conversion event before it
+    (last-touch) and (b) the user's first non-conversion event ever
+    (first-touch); conversions with no touch credit ``direct_label``.
+
+    Output long-format: (model, channel, n_conversions, revenue) with
+    model in {'first_touch', 'last_touch'} — one row per model×channel,
+    revenue DECIMAL-summed then ROUND(4).
+
+    Plan: both touch lookups are window functions over the SAME
+    (user, ts, tiebreak) sort, so Spark runs one shuffle + one sort and
+    evaluates both frames in a single Window pass; the final rollup
+    shuffles channel-sized frames. Windows partition per user — bounded
+    state, no global sort. Ordering ties break on ``tiebreak_col`` so
+    results are engine- and partitioning-independent.
+    """
+    from pyspark.sql.window import Window
+
+    touch = F.when(F.col(type_col) != conversion_type, F.col(type_col))
+    order = [F.col(ts_col), F.col(tiebreak_col)]
+    w_last = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_first = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    tagged = events.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(type_col),
+        F.col(value_col),
+        F.col(tiebreak_col),
+        F.last(touch, ignorenulls=True).over(w_last).alias("_last_touch"),
+        F.first(touch, ignorenulls=True).over(w_first).alias("_first_touch"),
+    ).filter(F.col(type_col) == conversion_type)
+
+    def rollup(model: str, channel: Column) -> DataFrame:
+        return (
+            tagged.groupBy(F.coalesce(channel, F.lit(direct_label)).alias("channel"))
+            .agg(
+                F.count(F.lit(1)).alias("n_conversions"),
+                F.round(
+                    F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double"), 4
+                ).alias("revenue"),
+            )
+            .select(F.lit(model).alias("model"), "channel", "n_conversions", "revenue")
+        )
+
+    return rollup("last_touch", F.col("_last_touch")).unionByName(
+        rollup("first_touch", F.col("_first_touch"))
     )
