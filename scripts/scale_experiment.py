@@ -467,6 +467,101 @@ def main() -> None:
         report("tpch_q11_scalar", q11, li1, li10)
         report("tpch_q19_disjunct", q19, li1, li10)
 
+    if "r5ext" in ops:
+        # Round-5 additions: validation suite (one agg pass), golden
+        # record (melt + 2 keyed shuffles; the 10x corpus IS 10 variants
+        # per base doc, so entities deepen 1 -> 10 records — the
+        # adversarial axis for survivorship), skew histogram, URL
+        # canonicalization (pure map), incremental state merge, and
+        # touch attribution on 10x-deep user windows.
+        from morphik_core_spark.operators.analytics import touch_attribution
+        from morphik_core_spark.operators.dedup import golden_record
+        from morphik_core_spark.operators.incremental import agg_state, merge_agg_states
+        from morphik_core_spark.operators.validation import validation_suite
+        from morphik_core_spark.plans.stats import key_skew_histogram
+
+        def validate(d):
+            mat(
+                validation_suite(
+                    d,
+                    completeness_cols=["doc_id", "text", "lang"],
+                    unique_cols=["doc_id"],
+                    numeric_cols=["n_chars"],
+                    length_cols=["text"],
+                    in_set={"lang": ["en", "de", "fr"]},
+                    min_completeness={"text": 0.999},
+                    numeric_range={"n_chars": (1.0, 1e6)},
+                )
+            )
+
+        def golden(d):
+            recs = d.select(
+                (F.col("doc_id") / 10).cast("bigint").alias("entity"),
+                "lang",
+                "source",
+                F.split(F.col("text"), " ").getItem(0).alias("firstword"),
+            )
+            mat(golden_record(recs, "entity", ["lang", "source", "firstword"]))
+
+        def skew(d):
+            mat(key_skew_histogram(d, ["source"]))
+
+        def urlcanon(d):
+            from morphik_core_spark.operators.curation import url_canonicalize
+
+            u = d.withColumn(
+                "url",
+                F.concat(
+                    F.lit("HTTP://WWW."),
+                    F.col("source"),
+                    F.lit(".Example.CO.UK:80/Doc/"),
+                    F.col("doc_id"),
+                    F.lit("?utm_source=x&b=2&a=1#f"),
+                ),
+            )
+            mat(url_canonicalize(u, "url", "doc_id"))
+
+        def increment(d):
+            keys = ["lang", "source"]
+            old = agg_state(d.filter(F.col("doc_id") % 2 == 0), keys, {"nc": "n_chars"})
+            delta = agg_state(d.filter(F.col("doc_id") % 2 == 1), keys, {"nc": "n_chars"})
+            mat(merge_agg_states([old, delta], keys))
+
+        report("validation_suite", validate, docs1, docs10)
+        report("golden_record", golden, docs1, docs10)
+        report("key_skew_histogram", skew, docs1, docs10)
+        report("url_canonicalize", urlcanon, docs1, docs10)
+        report("incremental_merge", increment, docs1, docs10)
+
+        ev1 = load_table(spark, "events", SF_DIR)
+        tiles = []
+        for k in range(10):
+            tiles.append(
+                ev1.select(
+                    (F.col("event_id") * 10 + k).alias("event_id"),
+                    (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+                    "user_id",
+                    "event_type",
+                    "value",
+                )
+            )
+        ev10 = tiles[0]
+        for t in tiles[1:]:
+            ev10 = ev10.unionByName(t)
+        ev10_p = os.path.join(tmp, "ev10")
+        ev10.write.mode("overwrite").parquet(ev10_p)
+        ev10 = spark.read.parquet(ev10_p)
+        ev1s = ev1.select("event_id", "ts", "user_id", "event_type", "value")
+
+        def attrib(e):
+            mat(
+                touch_attribution(
+                    e, "user_id", "ts", "event_type", "value", "purchase", "event_id"
+                )
+            )
+
+        report("touch_attribution", attrib, ev1s, ev10)
+
 
 if __name__ == "__main__":
     main()
