@@ -37,6 +37,7 @@ __all__ = [
     "extract_video_frame_features",
     "sample_video_frames",
     "image_perceptual_hash",
+    "extract_image_exif",
     "image_near_dup_pairs",
     "extract_audio_embeddings",
     "page_patch_multivectors",
@@ -545,3 +546,53 @@ def text_query_multivector(
     ops.append(b"ET")
     gray = rasterize_page(b" ".join(ops), (0.0, 0.0, 612.0, 792.0), dpi=dpi)
     return _pool_page_patches(gray, grid, cell)
+
+
+def extract_image_exif(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """EXIF metadata → typed columns, via mapInPandas (Arrow-batched,
+    row-level failure isolation like every decoder here — 'no Exif
+    segment' surfaces as ok=false + err, never a task failure).
+
+    The signals a curation pipeline keys on: burst/device dedup via
+    (make, model, datetime_original), orientation-fix before feature
+    extraction, GPS presence for privacy filtering. Pure map — no
+    shuffle; pairs with `image_perceptual_hash` on the same scan.
+    """
+    from morphik_core_spark.functions.exif import extract_exif
+
+    out_schema = (
+        f"{id_col} string, ok boolean, err string, make string, model string, "
+        "orientation int, datetime_original string, exposure_time double, "
+        "f_number double, iso int, pixel_width int, pixel_height int, "
+        "gps_lat double, gps_lon double, has_gps boolean"
+    )
+    cols = [
+        id_col, "ok", "err", "make", "model", "orientation",
+        "datetime_original", "exposure_time", "f_number", "iso",
+        "pixel_width", "pixel_height", "gps_lat", "gps_lon", "has_gps",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    m = extract_exif(bytes(payload) if payload is not None else b"")
+                    rows.append(
+                        (
+                            mid, True, None, m["make"], m["model"], m["orientation"],
+                            m["datetime_original"], m["exposure_time"], m["f_number"],
+                            m["iso"], m["pixel_width"], m["pixel_height"],
+                            m["gps_lat"], m["gps_lon"],
+                            m["gps_lat"] is not None and m["gps_lon"] is not None,
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001 — row-level isolation
+                    rows.append((mid, False, str(exc)) + (None,) * 12)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
