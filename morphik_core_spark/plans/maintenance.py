@@ -41,6 +41,7 @@ __all__ = [
     "versioned_write",
     "versioned_upsert",
     "compact",
+    "vacuum",
 ]
 
 _MANIFEST = "_versions.json"
@@ -131,3 +132,43 @@ def compact(
     n = df.count()
     n_files = max(1, -(-n // target_rows_per_file))
     return versioned_write(df.repartition(n_files), table_path, op=f"compact({n_files})")
+
+
+def vacuum(
+    table_path: str,
+    keep_versions: int = 2,
+) -> list[int]:
+    """Retention cleanup (Delta VACUUM analog): physically delete
+    snapshot directories older than the newest ``keep_versions``
+    versions and drop them from the manifest, returning the deleted
+    version numbers.
+
+    The manifest commits BEFORE the directories are removed — the same
+    order Delta's tombstone-then-delete protocol uses — so a crash
+    mid-vacuum leaves unreferenced directories (harmless, re-vacuumable)
+    rather than a manifest pointing at deleted data. Time travel
+    contracts shrink accordingly: `read_version` on a vacuumed version
+    raises the same not-found error as an unknown one.
+
+    ``keep_versions`` must be >= 1; the latest snapshot is never
+    deletable. At 100 TB the deletes are object-store calls per data
+    file — driver-side here to match the directory-manifest scale, the
+    manifest protocol is what carries over.
+    """
+    import shutil
+
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    m = _load_manifest(table_path)
+    if not m:
+        raise FileNotFoundError(f"no versions at {table_path}")
+    if len(m) <= keep_versions:
+        return []
+    drop, keep = m[:-keep_versions], m[-keep_versions:]
+    _commit(table_path, keep)
+    deleted = []
+    for e in drop:
+        d = os.path.join(table_path, e["dir"])
+        shutil.rmtree(d, ignore_errors=True)
+        deleted.append(e["version"])
+    return deleted

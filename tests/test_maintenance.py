@@ -115,3 +115,43 @@ def test_stats_hint_drives_scoped_chunks_gate(spark):
     # large hint -> shuffle semi-join, AQE free to re-plan
     p_large = plan(scoped_chunks(chunks, auth, broadcast_threshold=100, auth_rows_hint=10_000))
     assert "BroadcastHashJoin" not in p_large
+
+
+def test_vacuum_retention(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from morphik_core_spark.plans.maintenance import (
+        list_versions,
+        read_version,
+        vacuum,
+        versioned_write,
+    )
+
+    table = str(tmp_path / "vac")
+    for i in range(4):
+        versioned_write(
+            spark.createDataFrame([(i,)], "x int"), table, op=f"w{i}"
+        )
+    assert [e["version"] for e in list_versions(table)] == [0, 1, 2, 3]
+
+    deleted = vacuum(table, keep_versions=2)
+    assert deleted == [0, 1]
+    assert [e["version"] for e in list_versions(table)] == [2, 3]
+    # latest still readable; vacuumed version now raises like unknown
+    assert read_version(spark, table).collect()[0].x == 3
+    assert read_version(spark, table, 2).collect()[0].x == 2
+    with pytest.raises(ValueError, match="not found"):
+        read_version(spark, table, 0)
+    # directories actually gone
+    assert not os.path.exists(os.path.join(table, "v=0"))
+    assert os.path.exists(os.path.join(table, "v=3"))
+
+    # no-op when inside retention; latest never deletable
+    assert vacuum(table, keep_versions=5) == []
+    with pytest.raises(ValueError):
+        vacuum(table, keep_versions=0)
+    # versions keep increasing monotonically after a vacuum
+    versioned_write(spark.createDataFrame([(9,)], "x int"), table)
+    assert [e["version"] for e in list_versions(table)] == [2, 3, 4]
