@@ -36,6 +36,8 @@ def _fixtures():
     sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
     from test_pdf import make_pdf_objstm, make_pdf_pages
 
+    from morphik_core_spark.functions.exif import build_exif_jpeg
+
     rng = np.random.default_rng(7)
     img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
     pal = img // 64 * 64  # <=64 distinct colors for GIF
@@ -59,6 +61,10 @@ def _fixtures():
             b"BT /F1 10 Tf 1 0 0 1 100 300 Tm (gamma) Tj ET",
         ]),
         "pdf_objstm": make_pdf_objstm([b"BT /F1 12 Tf 72 700 Td (packed) Tj ET"]),
+        "pdf_layout": make_pdf_pages([
+            b"BT /F1 10 Tf 1 0 0 1 72 40 Tm (foot) Tj 1 0 0 1 72 700 Tm (head) Tj ET",
+        ]),
+        "exif_jpeg": build_exif_jpeg(),
     }
     return _FIX_CACHE
 
@@ -68,6 +74,8 @@ def _decoders():
     from morphik_core_spark.functions.image import decode_image
     from morphik_core_spark.functions.mp4 import probe_mp4
     from morphik_core_spark.functions.video import decode_dib_frame, decode_jpeg, parse_avi
+    from morphik_core_spark.functions.exif import extract_exif
+    from morphik_core_spark.functions.pdf import extract_pdf_text_layout
     from morphik_core_spark.functions.pdf_render import rasterize_pdf_pages
     from morphik_core_spark.sources.warc import iter_warc_records
 
@@ -90,6 +98,8 @@ def _decoders():
         # ObjStm /N, MediaBox dims, and content sizes are all capped)
         "pdf_pages": lambda b: rasterize_pdf_pages(b, dpi=36),
         "pdf_objstm": lambda b: rasterize_pdf_pages(b, dpi=36),
+        "pdf_layout": extract_pdf_text_layout,
+        "exif_jpeg": extract_exif,
     }
 
 
