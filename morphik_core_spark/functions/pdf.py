@@ -260,155 +260,6 @@ def extract_pdf_text(data: bytes) -> str:
     return text
 
 
-_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
-
-
-def _extract_segments_from_content(
-    content: bytes, font_cmaps: dict | None = None
-) -> list[tuple[float, float, str]]:
-    """One pass over a content stream tracking the text position: every
-    show-text op records (y, x, text). Operand handling is PostScript
-    style — numbers stack up and the consuming operator takes the last
-    k, then the stack clears — so TJ kerning arrays can't leak into a
-    following Td. Position model: Tm sets the line origin absolutely
-    (e, f); Td/TD translate it; T* applies the TL leading; x advances
-    are unknown without font metrics, so same-line segments keep their
-    show order (stable downstream sort)."""
-    segs: list[tuple[float, float, str]] = []
-    pending: list[bytes] = []
-    cur_cmap: dict | None = None
-    last_name: str | None = None
-    nums: list[float] = []
-    x = y = line_x = 0.0
-    leading = 0.0
-    i, n = 0, len(content)
-
-    def show() -> None:
-        for raw in pending:
-            txt = _cmap_decode(raw, cur_cmap) if cur_cmap else _decode_string_bytes(raw)
-            if txt:
-                segs.append((y, x, txt))
-        pending.clear()
-
-    while i < n:
-        c = content[i]
-        if c == 0x28:  # ( literal string
-            raw, i = _parse_literal_bytes(content, i + 1)
-            pending.append(raw)
-        elif c == 0x2F:  # /Name token (tracked for Tf)
-            m = _NAME_TOKEN_RE.match(content, i)
-            if m:
-                last_name = m.group(1).decode("latin-1")
-                i = m.end()
-            else:
-                i += 1
-        elif c == 0x3C and not content.startswith(b"<<", i):  # <hex>
-            end = content.find(b">", i + 1)
-            if end == -1:
-                break
-            hx = re.sub(rb"\s", b"", content[i + 1 : end])
-            if len(hx) % 2:
-                hx += b"0"
-            try:
-                pending.append(bytes.fromhex(hx.decode("ascii")))
-            except ValueError:
-                pass
-            i = end + 1
-        elif (0x30 <= c <= 0x39) or c in (0x2D, 0x2B, 0x2E):  # number
-            m = _NUM_RE.match(content, i)
-            if m:
-                try:
-                    nums.append(float(m.group(0)))
-                except ValueError:
-                    pass
-                i = m.end()
-            else:
-                i += 1
-        elif 0x41 <= (c | 0x20) <= 0x7A or c in (0x27, 0x22):  # operator-ish
-            m = _OP_RE.match(content, i)
-            op = m.group(0) if m else b""
-            i = m.end() if m else i + 1
-            if op in (b"Tj", b"TJ"):
-                show()
-            elif op in (b"'", b'"'):
-                y -= leading
-                x = line_x
-                show()
-            elif op == b"Tf":
-                cur_cmap = (font_cmaps or {}).get(last_name)
-            elif op == b"Tm" and len(nums) >= 6:
-                line_x = x = nums[-2]
-                y = nums[-1]
-            elif op in (b"Td", b"TD") and len(nums) >= 2:
-                line_x += nums[-2]
-                y += nums[-1]
-                x = line_x
-                if op == b"TD":
-                    leading = -nums[-1]
-            elif op == b"TL" and nums:
-                leading = nums[-1]
-            elif op == b"T*":
-                y -= leading
-                x = line_x
-            elif op == b"BT":
-                x = y = line_x = 0.0
-            elif op == b"ET":
-                pending.clear()
-            nums.clear()
-        else:
-            i += 1
-    return segs
-
-
-def extract_pdf_text_layout(data: bytes, line_tolerance: float = 3.0) -> str:
-    """Layout-aware text extraction: segments re-ordered GEOMETRICALLY —
-    top-down by baseline y, left-to-right within a line — instead of
-    show-operator order. This recovers reading order for documents whose
-    content streams emit text out of order (z-ordered draws, footers
-    first, two-column flows emitted column-interleaved), the gap
-    VERDICT tracks vs the reference's Docling path
-    (core/parser/morphik_parser.py:295-346); table-structure recovery
-    remains out of scope. Baselines within ``line_tolerance`` points
-    merge into one line.
-
-    Same decryption/filter/raise contract as :func:`extract_pdf_text`;
-    per-stream segments keep stream order as the final tie-break so
-    pathological zero-position streams degrade to exactly the flat
-    extractor's behavior."""
-    if not looks_like_pdf(data):
-        raise ValueError("not a PDF (missing %PDF- header)")
-    from morphik_core_spark.functions.pdf_crypt import decrypt_pdf
-
-    data = decrypt_pdf(data)
-    font_cmaps = _collect_font_cmaps(data)
-    parts: list[str] = []
-    for stream in _iter_text_streams(data):
-        segs = _extract_segments_from_content(stream, font_cmaps)
-        if not segs:
-            continue
-        # cluster baselines: sort unique y desc, merge within tolerance
-        ordered = sorted(
-            ((round(sy, 3), sx, k, txt) for k, (sy, sx, txt) in enumerate(segs)),
-            key=lambda t: -t[0],
-        )
-        lines: list[list[tuple[float, int, str]]] = []
-        cur_y: float | None = None
-        for sy, sx, k, txt in ordered:
-            if cur_y is None or cur_y - sy > line_tolerance:
-                lines.append([])
-                cur_y = sy
-            lines[-1].append((sx, k, txt))
-        text = "\n".join(
-            "".join(t for _, _, t in sorted(line)) for line in lines
-        ).strip("\n")
-        if text.strip():
-            parts.append(text)
-    out = "\n".join(parts).strip()
-    if not out:
-        raise ValueError("no extractable text (encrypted/image-only/unsupported encoding)")
-    return out
-
-
 # --------------------------------------------------- stream filters / images
 
 _DICT_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)

@@ -75,8 +75,7 @@ def _decoders():
     from morphik_core_spark.functions.mp4 import probe_mp4
     from morphik_core_spark.functions.video import decode_dib_frame, decode_jpeg, parse_avi
     from morphik_core_spark.functions.exif import extract_exif
-    from morphik_core_spark.functions.pdf import extract_pdf_text_layout
-    from morphik_core_spark.functions.pdf_render import rasterize_pdf_pages
+    from morphik_core_spark.functions.pdf_render import extract_pdf_text_layout, rasterize_pdf_pages
     from morphik_core_spark.sources.warc import iter_warc_records
 
     def full_avi_decode(b):

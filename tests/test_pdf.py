@@ -497,85 +497,3 @@ def test_cid_font_packed_in_objstm_still_decodes():
     text = extract_pdf_text(pdf)
     assert "World" in text
     assert "\x00" not in text
-
-
-# --------------------------------------------- layout-aware reading order
-
-
-def test_layout_reorders_out_of_order_draws():
-    from morphik_core_spark.functions.pdf import (
-        extract_pdf_text,
-        extract_pdf_text_layout,
-    )
-
-    # content stream draws the FOOTER first, then header, then body —
-    # legal PDF, common from z-ordered generators
-    ops = (
-        b"BT /F1 10 Tf 1 0 0 1 72 40 Tm (Page footer) Tj "
-        b"1 0 0 1 72 720 Tm (Report Title) Tj "
-        b"1 0 0 1 72 700 Tm (First paragraph.) Tj ET"
-    )
-    pdf = make_pdf(ops)
-    flat = extract_pdf_text(pdf)
-    assert flat.index("Page footer") < flat.index("Report Title")  # emit order
-    layout = extract_pdf_text_layout(pdf)
-    assert layout.splitlines() == ["Report Title", "First paragraph.", "Page footer"]
-
-
-def test_layout_merges_same_baseline_left_to_right():
-    from morphik_core_spark.functions.pdf import extract_pdf_text_layout
-
-    ops = (
-        b"BT /F1 10 Tf 1 0 0 1 300 700 Tm (world) Tj "
-        b"1 0 0 1 72 700.5 Tm (hello ) Tj ET"  # within tolerance, left of it
-    )
-    assert extract_pdf_text_layout(make_pdf(ops)) == "hello world"
-
-
-def test_layout_two_column_flow():
-    from morphik_core_spark.functions.pdf import extract_pdf_text_layout
-
-    # generator emits column-interleaved; geometric order keeps lines
-    # top-down regardless
-    ops = (
-        b"BT /F1 10 Tf 1 0 0 1 320 700 Tm (R1) Tj "
-        b"1 0 0 1 72 700 Tm (L1) Tj "
-        b"1 0 0 1 320 650 Tm (R2) Tj "
-        b"1 0 0 1 72 650 Tm (L2) Tj ET"
-    )
-    assert extract_pdf_text_layout(make_pdf(ops)).splitlines() == ["L1R1", "L2R2"]
-
-
-def test_layout_td_tstar_relative_positions():
-    from morphik_core_spark.functions.pdf import extract_pdf_text_layout
-
-    # Td/TL/T* only — the flat-extractor fixture shape, positions tracked
-    # relatively; order already correct, layout must preserve it
-    ops = (
-        b"BT /F1 12 Tf 14 TL 72 720 Td (Line one) Tj T* (Line two) Tj "
-        b"0 -14 Td (Line three) Tj ET"
-    )
-    out = extract_pdf_text_layout(make_pdf(ops))
-    assert out.splitlines() == ["Line one", "Line two", "Line three"]
-
-
-def test_layout_kerning_array_does_not_leak_into_td():
-    from morphik_core_spark.functions.pdf import extract_pdf_text_layout
-
-    # TJ's kerning numbers must not be consumed by the following Td
-    ops = (
-        b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [(ab) -250 (cd)] TJ "
-        b"0 -20 Td (next) Tj ET"
-    )
-    out = extract_pdf_text_layout(make_pdf(ops))
-    assert out.splitlines() == ["abcd", "next"]
-
-
-def test_layout_matches_flat_on_basic_fixture():
-    from morphik_core_spark.functions.pdf import (
-        extract_pdf_text,
-        extract_pdf_text_layout,
-    )
-
-    pdf = make_pdf(BASIC_OPS)
-    assert extract_pdf_text_layout(pdf).splitlines() == extract_pdf_text(pdf).splitlines()
