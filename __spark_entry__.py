@@ -2719,6 +2719,75 @@ def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column processing: events.props is a JSON string;
+    extract $.k, bucket by tens, roll up per (event_type, bucket) —
+    get_json_object stays JVM-side codegen (no UDF), malformed/missing
+    JSON degrades to NULL on both engines identically."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", F.expr("k div 10").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def _q_grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the §2.4 shape rollup/cube can't express: two
+    independent one-dimension breakdowns plus the grand total in ONE
+    pass (Spark expands once, aggregates once; no self-union of scans).
+    Placeholder '*' marks the aggregated-away dimension (the fixture
+    columns are never NULL, so COALESCE is unambiguous)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '*') AS returnflag,
+               COALESCE(l_linestatus, '*') AS linestatus,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def _q_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile decile report over customer balances: per decile the row
+    count, balance band, and DECIMAL-exact mean. The ntile order is
+    made total by the c_custkey tie-break, so engines can't disagree
+    about which side of a boundary a tied balance falls on.
+
+    Scale note: an unpartitioned ntile funnels through one task — fine
+    for dimension-sized inputs like customers (exact rank semantics are
+    the point of the report); for fact-sized inputs use the histogram/
+    nearest-rank cuts (`quantile_estimate`, `length_percentiles`) and
+    bucket by broadcast cut points instead."""
+    from pyspark.sql.window import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    dec = F.col("c_acctbal").cast("decimal(18,4)")
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+            F.round(
+                (F.sum(dec) / F.count(F.lit(1))).cast("double"), 6
+            ).alias("mean_bal"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -2861,6 +2930,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_audit": _q_key_skew_audit,
         "url_canonicalize": _q_url_canonicalize,
         "attribution": _q_attribution,
+        "json_props_stats": _q_json_props_stats,
+        "grouping_sets_counts": _q_grouping_sets_counts,
+        "balance_deciles": _q_balance_deciles,
     }
 
 
@@ -5719,6 +5791,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'first_touch', coalesce(ft, 'direct'), count(*),
                    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
             FROM p GROUP BY 2
+        """,
+        "json_props_stats": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS INT) AS k
+                FROM events
+            )
+            SELECT event_type, k // 10 AS k_bucket, count(*) AS n_events,
+                   min(k) AS min_k, max(k) AS max_k
+            FROM e WHERE k IS NOT NULL GROUP BY 1, 2
+        """,
+        "grouping_sets_counts": """
+            SELECT COALESCE(l_returnflag, '*') AS returnflag,
+                   COALESCE(l_linestatus, '*') AS linestatus,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "balance_deciles": """
+            WITH d AS (
+                SELECT c_acctbal,
+                       ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+                FROM customer
+            )
+            SELECT decile, count(*) AS n_customers,
+                   ROUND(min(c_acctbal), 4) AS min_bal,
+                   ROUND(max(c_acctbal), 4) AS max_bal,
+                   ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) /
+                         CAST(count(*) AS DOUBLE), 6) AS mean_bal
+            FROM d GROUP BY 1
         """,
     }
 
