@@ -42,6 +42,14 @@ SENSITIVE = [
     "market_share",
     "promo_revenue_share",
     "product_type_profit",
+    # round-5 continuation: ratio trees over one-pass aggregates, mode
+    # tie-breaks, DECIMAL state merges, window-credited DECIMAL revenue,
+    # exact-rank ntile boundaries
+    "validation_suite",
+    "golden_record",
+    "incremental_agg",
+    "attribution",
+    "balance_deciles",
 ]
 
 
