@@ -562,6 +562,25 @@ def main() -> None:
 
         report("touch_attribution", attrib, ev1s, ev10)
 
+        from morphik_core_spark.operators.asof import asof_backward, asof_nearest
+
+        def asof_b(e):
+            probes = e.filter(F.col("event_type") == "error").select(
+                "event_id", "user_id", "ts"
+            )
+            series = e.filter(F.col("event_type") == "signup").select("user_id", "ts")
+            mat(asof_backward(probes, series, key="user_id"))
+
+        def asof_n(e):
+            probes = e.filter(F.col("event_type") == "error").select(
+                "event_id", "user_id", "ts"
+            )
+            series = e.filter(F.col("event_type") == "signup").select("user_id", "ts")
+            mat(asof_nearest(probes, series, key="user_id"))
+
+        report("asof_backward", asof_b, ev1s, ev10)
+        report("asof_nearest", asof_n, ev1s, ev10)
+
 
 if __name__ == "__main__":
     main()
