@@ -72,3 +72,28 @@ def test_gapfill_grid_has_no_python_and_joins_on_key(spark):
     plan = _plan(time_bucket_gapfill(df, bucket_secs=3600))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_single_exchange_no_join(spark):
+    """The round-5 as-of shape: probe payload rides the window sort as a
+    struct, so the whole operator is ONE exchange (the per-key sort) and
+    ZERO joins — the join-back that doubled the largest shuffle is gone
+    and must stay gone."""
+    from morphik_core_spark.operators.asof import (
+        asof_backward,
+        asof_forward,
+        asof_nearest,
+    )
+
+    from datetime import datetime
+
+    probes = spark.createDataFrame(
+        [(1, 10, datetime(2024, 1, 1, 1))], "event_id long, user_id long, ts timestamp"
+    )
+    series = spark.createDataFrame(
+        [(10, datetime(2024, 1, 1, 0))], "user_id long, ts timestamp"
+    )
+    for fn in (asof_backward, asof_forward, asof_nearest):
+        plan = _plan(fn(probes, series, key="user_id"))
+        assert plan.count("Exchange") == 1, (fn.__name__, plan)
+        assert "Join" not in plan, (fn.__name__, plan)
