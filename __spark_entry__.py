@@ -2788,6 +2788,26 @@ def _q_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type: first half of January
+    vs second half over fixed-width value bins — the drift gate a
+    training pipeline runs between crawl snapshots. Each bin term is
+    one fixed double tree rounded to 1e-12 and summed as a scaled
+    INTEGER, so the float sum can never depend on aggregation order."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.analytics import population_stability
+
+    cutoff_us = 1705276800000000  # 2024-01-15T00:00:00Z
+    binned = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr("unix_micros(`ts`)").alias("us"),
+        F.expr("CAST(floor(value / 25.0) AS BIGINT)").alias("vbin"),
+    )
+    base = binned.filter(F.col("us") < cutoff_us)
+    cur = binned.filter(F.col("us") >= cutoff_us)
+    return population_stability(base, cur, ["event_type"], "vbin")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -2933,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": _q_json_props_stats,
         "grouping_sets_counts": _q_grouping_sets_counts,
         "balance_deciles": _q_balance_deciles,
+        "drift_psi": _q_drift_psi,
     }
 
 
@@ -5822,6 +5843,41 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) /
                          CAST(count(*) AS DOUBLE), 6) AS mean_bal
             FROM d GROUP BY 1
+        """,
+        "drift_psi": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(floor(value / 25.0) AS BIGINT) AS vbin,
+                       CASE WHEN epoch_us(ts) < 1705276800000000 THEN 'a' ELSE 'b' END AS side
+                FROM events WHERE value IS NOT NULL
+            ),
+            c AS (
+                SELECT event_type, vbin,
+                       CAST(count(*) FILTER (side = 'a') AS BIGINT) AS n_a,
+                       CAST(count(*) FILTER (side = 'b') AS BIGINT) AS n_b
+                FROM e GROUP BY 1, 2
+            ),
+            t AS (
+                SELECT event_type,
+                       CAST(SUM(n_a) AS BIGINT) AS tot_a,
+                       CAST(SUM(n_b) AS BIGINT) AS tot_b,
+                       count(*) AS n_bins
+                FROM c GROUP BY 1
+            ),
+            terms AS (
+                SELECT c.event_type, t.n_bins,
+                       CAST(ROUND((
+                         (CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + n_bins AS DOUBLE)
+                          - CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + n_bins AS DOUBLE))
+                         * ln((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + n_bins AS DOUBLE))
+                              / (CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + n_bins AS DOUBLE)))
+                       ) * 1e12) AS BIGINT) AS term_scaled
+                FROM c JOIN t ON c.event_type = t.event_type
+            )
+            SELECT event_type, n_bins,
+                   ROUND(CAST(SUM(term_scaled) AS DOUBLE) / 1e12, 6) AS psi,
+                   ROUND(CAST(SUM(term_scaled) AS DOUBLE) / 1e12, 6) > 0.2 AS drift
+            FROM terms GROUP BY 1, 2
         """,
     }
 

@@ -29,6 +29,7 @@ __all__ = [
     "quantile_estimate",
     "sliding_window_counts",
     "touch_attribution",
+    "population_stability",
 ]
 
 
@@ -328,4 +329,78 @@ def touch_attribution(
 
     return rollup("last_touch", F.col("_last_touch")).unionByName(
         rollup("first_touch", F.col("_first_touch"))
+    )
+
+
+def population_stability(
+    baseline: DataFrame,
+    current: DataFrame,
+    key_cols: Sequence[str],
+    bin_col: str,
+    alert_threshold: float = 0.2,
+) -> DataFrame:
+    """Population Stability Index per key: how far the ``current``
+    distribution over ``bin_col`` drifted from ``baseline`` — the
+    standard drift gate between crawl snapshots / training runs
+    (PSI < 0.1 stable, 0.1-0.2 moderate, > 0.2 action).
+
+    PSI = Σ_bins (p - q) · ln(p / q), with add-one smoothing over the
+    UNION of observed bins so a bin present on one side only contributes
+    a finite term instead of ±inf.
+
+    Determinism contract: p and q are single divisions of exact ints;
+    each bin's term is one fixed double tree ROUNDed to 1e-12 and summed
+    as a scaled INTEGER, so aggregation order can never change the
+    reported PSI (the float Σ would be order-dependent — the same trick
+    as the HLL harmonic sum). Shuffles carry bin-level frames only:
+    one count per (key, bin, side) plus key-sized rollups.
+
+    Output: key_cols + (n_bins, psi, drift) sorted-free; ``drift`` uses
+    the ROUNDed psi so a reported 0.2 never flips the flag by ulps.
+    """
+    keys = [F.col(k) for k in key_cols]
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.filter(F.col(bin_col).isNotNull())
+            .groupBy(*keys, F.col(bin_col).alias("_bin"))
+            .agg(F.count(F.lit(1)).alias(f"n_{name}"))
+        )
+    a = side(baseline, "a")
+    b = side(current, "b")
+    bins = a.join(b, [*key_cols, "_bin"], "full_outer").select(
+        *key_cols,
+        "_bin",
+        F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+    )
+    totals = bins.groupBy(*keys).agg(
+        F.sum("n_a").alias("tot_a"),
+        F.sum("n_b").alias("tot_b"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    terms = bins.join(totals, list(key_cols)).select(
+        *key_cols,
+        "n_bins",
+        F.expr(
+            "CAST(ROUND(("
+            "  (CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + n_bins AS DOUBLE)"
+            "   - CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + n_bins AS DOUBLE))"
+            "  * ln((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + n_bins AS DOUBLE))"
+            "       / (CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + n_bins AS DOUBLE)))"
+            ") * 1e12) AS BIGINT)"
+        ).alias("term_scaled"),
+    )
+    return (
+        terms.groupBy(*keys, "n_bins")
+        .agg(F.sum("term_scaled").alias("s"))
+        .select(
+            *key_cols,
+            "n_bins",
+            F.round(F.col("s").cast("double") / F.lit(1e12), 6).alias("psi"),
+            (
+                F.round(F.col("s").cast("double") / F.lit(1e12), 6)
+                > F.lit(float(alert_threshold))
+            ).alias("drift"),
+        )
     )
