@@ -2808,6 +2808,23 @@ def _q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return population_stability(base, cur, ["event_type"], "vbin")
 
 
+def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift over (user, purchase-item) baskets — items are
+    the JSON props key bucketed by tens, purchases only, so baskets sit
+    at ~7 of 10 items and BOTH the support filter and the per-basket
+    cap (9) genuinely discriminate at both SFs (cap drops 1/15 resp.
+    3/150 baskets — the hot-basket rule, in the oracle too);
+    item-count dimensions broadcast."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.analytics import basket_lift
+
+    items = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("CAST(get_json_object(props, '$.k') AS INT) div 10").alias("item"),
+    ).filter(F.col("item").isNotNull())
+    return basket_lift(items, "user_id", "item", min_support=5, max_items_per_group=9)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -2954,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_counts": _q_grouping_sets_counts,
         "balance_deciles": _q_balance_deciles,
         "drift_psi": _q_drift_psi,
+        "basket_lift": _q_basket_lift,
     }
 
 
@@ -5878,6 +5896,31 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(SUM(term_scaled) AS DOUBLE) / 1e12, 6) AS psi,
                    ROUND(CAST(SUM(term_scaled) AS DOUBLE) / 1e12, 6) > 0.2 AS drift
             FROM terms GROUP BY 1, 2
+        """,
+        "basket_lift": """
+            WITH items AS (
+                SELECT DISTINCT user_id AS g,
+                       CAST(json_extract_string(props, '$.k') AS INT) // 10 AS it
+                FROM events
+                WHERE event_type = 'purchase'
+                  AND json_extract_string(props, '$.k') IS NOT NULL
+            ),
+            ok AS (SELECT g FROM items GROUP BY g HAVING count(*) <= 9),
+            capped AS (SELECT items.* FROM items JOIN ok USING (g)),
+            n AS (SELECT count(DISTINCT g) AS n_groups FROM capped),
+            ic AS (SELECT it, count(*) AS n_item FROM capped GROUP BY 1),
+            pairs AS (
+                SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_ab
+                FROM capped a JOIN capped b ON a.g = b.g AND a.it < b.it
+                GROUP BY 1, 2 HAVING count(*) >= 5
+            )
+            SELECT item_a, item_b, n_ab,
+                   ROUND(CAST(n_ab * n_groups AS DOUBLE) /
+                         CAST(ca.n_item * cb.n_item AS DOUBLE), 6) AS lift
+            FROM pairs
+            JOIN ic ca ON pairs.item_a = ca.it
+            JOIN ic cb ON pairs.item_b = cb.it
+            CROSS JOIN n
         """,
     }
 

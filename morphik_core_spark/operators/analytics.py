@@ -30,6 +30,7 @@ __all__ = [
     "sliding_window_counts",
     "touch_attribution",
     "population_stability",
+    "basket_lift",
 ]
 
 
@@ -402,5 +403,64 @@ def population_stability(
                 F.round(F.col("s").cast("double") / F.lit(1e12), 6)
                 > F.lit(float(alert_threshold))
             ).alias("drift"),
+        )
+    )
+
+
+def basket_lift(
+    events: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_items_per_group: int = 64,
+) -> DataFrame:
+    """Market-basket co-occurrence: for every item pair, how many groups
+    (users/sessions) contain both, plus the lift
+    P(ab)·N / (P(a)·P(b)·N²)⁻¹-style ratio ``n_ab·N / (n_a·n_b)`` — the
+    "users who X also Y" signal.
+
+    Scale shape: the ONLY pair generator is a self-equi-join on the
+    group key over the DISTINCT (group, item) table, so a group with k
+    items fans out k² rows — bounded by ``max_items_per_group`` (groups
+    above the cap are dropped entirely, the same hot-block rule as the
+    LSH bucket caps; a mega-basket carries no pairwise signal worth k²
+    rows). All counts are exact ints; N rides a one-row broadcast and
+    lift is one double division tree, ROUND(6).
+
+    Output: (item_a, item_b, n_ab, lift) for pairs with
+    ``n_ab >= min_support``; item_a < item_b canonical order.
+    """
+    items = events.select(F.col(group_col).alias("g"), F.col(item_col).alias("it")).distinct()
+    sizes = items.groupBy("g").agg(F.count(F.lit(1)).alias("k"))
+    ok = sizes.filter(F.col("k") <= max_items_per_group).select("g")
+    capped = items.join(ok, "g", "left_semi")
+    n_groups = capped.select("g").distinct().groupBy().agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+    item_counts = capped.groupBy("it").agg(F.count(F.lit(1)).alias("n_item"))
+    a = capped.select("g", F.col("it").alias("item_a"))
+    b = capped.select("g", F.col("it").alias("item_b"))
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_support))
+    )
+    ca = item_counts.select(F.col("it").alias("item_a"), F.col("n_item").alias("n_a"))
+    cb = item_counts.select(F.col("it").alias("item_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab") * F.col("n_groups")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
         )
     )
