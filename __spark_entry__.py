@@ -2825,6 +2825,33 @@ def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basket_lift(items, "user_id", "item", min_support=5, max_items_per_group=9)
 
 
+def _q_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the nation trade graph (customer nation —
+    supplier nation edges): degree-ordered orientation counts each
+    triangle once with join fan-out bounded by oriented out-degree —
+    the celebrity-node-proof restatement (Suri & Vassilvitskii) of the
+    one graph op where naive self-joins detonate. Oracle is the naive
+    canonical triple join, so the orientation trick is verified
+    row-for-row."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    from morphik_core_spark.operators.graph import triangle_count
+
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -2972,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balance_deciles": _q_balance_deciles,
         "drift_psi": _q_drift_psi,
         "basket_lift": _q_basket_lift,
+        "trade_triangles": _q_trade_triangles,
     }
 
 
@@ -5921,6 +5949,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN ic ca ON pairs.item_a = ca.it
             JOIN ic cb ON pairs.item_b = cb.it
             CROSS JOIN n
+        """,
+        "trade_triangles": """
+            WITH raw AS (
+                SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS a,
+                                CAST(s_nationkey AS BIGINT) AS b
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+            ),
+            e AS (
+                SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM raw WHERE a <> b
+            ),
+            deg AS (
+                SELECT n, count(*) AS d FROM (
+                    SELECT u AS n FROM e UNION ALL SELECT v FROM e
+                ) GROUP BY 1
+            ),
+            tri AS (
+                SELECT count(*) AS n_triangles
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+            ),
+            s AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                       CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+                FROM deg
+            )
+            SELECT n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   CAST(n_triangles AS BIGINT) AS n_triangles,
+                   n_wedges,
+                   CASE WHEN n_wedges > 0 THEN
+                       ROUND(CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
+                   END AS global_clustering
+            FROM s, tri
         """,
     }
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_fixed_point", "connected_components_star"]
+__all__ = ["pagerank_fixed_point", "connected_components_star", "triangle_count"]
 
 # 1.0 of rank == 1e12 micro-units; int64 headroom: rank_u * weight must
 # stay under 2^63, i.e. per-edge weights up to ~9e6 at full rank
@@ -190,4 +190,81 @@ def connected_components_star(
     return (
         all_nodes.join(labeled, "node", "left")
         .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle census over an undirected graph — one row:
+    (n_nodes, n_edges, n_triangles, n_wedges, global_clustering).
+
+    The scale move is the degree-ordered ORIENTATION (Schank; Suri &
+    Vassilvitskii's MR variant): every undirected edge points from its
+    (degree, id)-smaller endpoint to the larger, so each triangle is
+    counted exactly once AND the wedge-join fan-out per node is bounded
+    by its oriented out-degree — O(sqrt(m)) for any graph, which is what
+    keeps one celebrity node from detonating the self-join at 100 TB.
+    Input edges may be directed/duplicated/self-looped; they normalize
+    to canonical undirected form first. Clustering = 3·triangles /
+    wedges via exact ints into one ROUND(6) division.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"),
+            F.greatest("a", "b").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n")).unionByName(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    # orient from (deg, id)-smaller to larger
+    oriented = (
+        e.join(du, "u").join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("o")
+        )
+        .select("o.s", "o.t")
+    )
+    w1 = oriented.select(F.col("s"), F.col("t").alias("x"))
+    w2 = oriented.select(F.col("s"), F.col("t").alias("y"))
+    wedges = w1.join(w2, "s").filter(F.col("x") < F.col("y"))
+    # a wedge (s; x, y) closes iff {x, y} is an edge (canonical form)
+    tri = wedges.join(
+        e.select(F.col("u").alias("x2"), F.col("v").alias("y2")),
+        (F.least("x", "y") == F.col("x2")) & (F.greatest("x", "y") == F.col("y2")),
+        "left_semi",
+    )
+    stats = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+        )
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(tri.agg(F.count(F.lit(1)).alias("n_triangles"))))
+    )
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges").cast("double"),
+                6,
+            ),
+        ).alias("global_clustering"),
     )

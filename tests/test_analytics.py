@@ -170,3 +170,30 @@ def test_star_cc_converges_fast_on_a_long_chain(spark):
     out = connected_components_star(chain, max_rounds=15).collect()
     assert len(out) == 301
     assert all(r["component"] == 0 for r in out)
+
+
+def test_triangle_count_known_graphs(spark):
+    from morphik_core_spark.operators.graph import triangle_count
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, "src int, dst int")
+        return triangle_count(df).collect()[0]
+
+    k4 = tri([(a, b) for a in range(4) for b in range(4) if a < b])
+    assert (k4.n_triangles, k4.n_wedges, k4.global_clustering) == (4, 12, 1.0)
+    path = tri([(0, 1), (1, 2), (2, 3)])
+    assert path.n_triangles == 0 and path.global_clustering == 0.0
+    # reversed duplicates + self-loop normalize to one triangle
+    messy = tri([(0, 1), (1, 0), (1, 1), (1, 2), (2, 0), (0, 2)])
+    assert (messy.n_nodes, messy.n_edges, messy.n_triangles) == (3, 3, 1)
+
+
+def test_triangle_orientation_handles_hub(spark):
+    from morphik_core_spark.operators.graph import triangle_count
+
+    # star hub + one rim edge: exactly 1 triangle, hub degree 50 —
+    # orientation must point rim->hub so the wedge join never fans out 50^2
+    edges = [(100, i) for i in range(50)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    r = triangle_count(df).collect()[0]
+    assert r.n_triangles == 1
