@@ -2852,6 +2852,30 @@ def _q_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def _q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst collapse per (user, event type): drop events arriving
+    within 12 hours of the previous same-key event (retry-storm /
+    double-fire cleanup before counting; 12 h so the keep AND drop
+    branches both fire at both SFs — ~21%% of fixture events collapse).
+    One lag window on integer epoch-us, event_id tie-break; suppression
+    stays auditable via the kept flag and per-type counts."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.sessions import debounce_events
+
+    flagged = debounce_events(
+        events, ["user_id", "event_type"], "ts", 43200, tiebreak_col="event_id"
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("keep_rate"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -3000,6 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": _q_drift_psi,
         "basket_lift": _q_basket_lift,
         "trade_triangles": _q_trade_triangles,
+        "debounce": _q_debounce,
     }
 
 
@@ -5987,6 +6012,23 @@ def oracle_sql() -> dict[str, str]:
                        ROUND(CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
                    END AS global_clustering
             FROM s, tri
+        """,
+        "debounce": """
+            WITH g AS (
+                SELECT event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY epoch_us(ts), event_id
+                       ) AS gap_us
+                FROM events
+            )
+            SELECT event_type, count(*) AS n_events,
+                   CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us >= 43200000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   ROUND(CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us >= 43200000000
+                                       THEN 1 ELSE 0 END) AS DOUBLE) /
+                         CAST(count(*) AS DOUBLE), 6) AS keep_rate
+            FROM g GROUP BY 1
         """,
     }
 

@@ -22,6 +22,7 @@ __all__ = [
     "time_bucket_gapfill",
     "moving_aggregates",
     "change_intervals",
+    "debounce_events",
 ]
 
 
@@ -235,3 +236,42 @@ def change_intervals(
             (F.col("_open") > 0).alias("is_current"),
         )
     )
+
+
+def debounce_events(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    min_gap_secs: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Burst collapse: keep an event only when at least ``min_gap_secs``
+    passed since the PREVIOUS event of the same key — the dedupe rule
+    for retry storms / double-clicks / sensor chatter before events
+    feed counts or sessionization.
+
+    Semantics note: the gap is measured to the previous RAW event (one
+    lag window over integer epoch-µs), not the previous KEPT event —
+    the kept-event form needs sequential state (its streaming twin is
+    exactly `applyInPandasWithState`-shaped) while this form stays one
+    window pass, partitioning bounded per key. For bursts shorter than
+    ``min_gap_secs`` both forms keep just the first event, which is the
+    operational case; a steady sub-gap drizzle suppresses everything
+    after the first under this rule (documented trade).
+
+    Output: input rows + kept flag (callers filter) — keeping the flag
+    makes suppression auditable, the same pattern as the curation
+    filters. Ties on ts order by ``tiebreak_col`` so engines agree.
+    """
+    from pyspark.sql import Window
+
+    order = [F.expr(f"unix_micros(`{ts_col}`)")]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    prev_us = F.lag(F.expr(f"unix_micros(`{ts_col}`)")).over(w)
+    gap_ok = (
+        prev_us.isNull()
+        | ((F.expr(f"unix_micros(`{ts_col}`)") - prev_us) >= min_gap_secs * 1_000_000)
+    )
+    return events.withColumn("kept", gap_ok)

@@ -197,3 +197,29 @@ def test_triangle_orientation_handles_hub(spark):
     df = spark.createDataFrame(edges, "src int, dst int")
     r = triangle_count(df).collect()[0]
     assert r.n_triangles == 1
+
+
+def test_debounce_semantics(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from morphik_core_spark.operators.sessions import debounce_events
+
+    rows = [
+        # user 1: burst at t=0,30s,70s -> only t=0 and t=70 kept (gap to
+        # previous RAW event: 30<60 dropped, 40<60 dropped? no: 70-30=40 -> dropped)
+        (1, "c", datetime(2024, 1, 1, 0, 0, 0), 1),
+        (1, "c", datetime(2024, 1, 1, 0, 0, 30), 2),
+        (1, "c", datetime(2024, 1, 1, 0, 1, 10), 3),
+        (1, "c", datetime(2024, 1, 1, 0, 3, 0), 4),  # 110s gap -> kept
+        # different type: independent stream
+        (1, "d", datetime(2024, 1, 1, 0, 0, 10), 5),
+        # tie on ts: event_id orders them; second of the tie is dropped
+        (2, "c", datetime(2024, 1, 1, 0, 0, 0), 6),
+        (2, "c", datetime(2024, 1, 1, 0, 0, 0), 7),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp, event_id int")
+    out = debounce_events(df, ["user_id", "event_type"], "ts", 60, tiebreak_col="event_id")
+    kept = {r.event_id for r in out.filter("kept").collect()}
+    assert kept == {1, 4, 5, 6}
