@@ -30,6 +30,7 @@ __all__ = [
     "dedup_stream",
     "dedup_docs_stream",
     "asof_backward_stream",
+    "debounce_stream",
 ]
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -204,3 +205,56 @@ def dedup_docs_stream(
 
     with_fp = docs.withColumn("fp", F.md5(normalize_text(F.col(text_col))))
     return dedup_stream(with_fp, ["fp"], ts_col=ts_col, watermark=watermark)
+
+
+DEBOUNCE_OUTPUT_SCHEMA = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+DEBOUNCE_STATE_SCHEMA = "last_kept_us bigint"
+
+
+def debounce_stream(
+    events: DataFrame,
+    min_gap_secs: int,
+) -> DataFrame:
+    """Streaming debounce with TRUE previous-KEPT-event state — the
+    sequential form the batch `sessions.debounce_events` docstring
+    declares out of window reach: an event is kept iff at least
+    ``min_gap_secs`` passed since the last event this operator KEPT for
+    the same (user_id, event_type), so a steady sub-gap drizzle emits
+    one event per gap interval instead of only the first (the batch
+    lag-gap rule and this rule agree exactly when bursts are shorter
+    than the gap — asserted in tests).
+
+    State is ONE bigint (last kept µs) per key; in-batch disorder
+    repairs itself via the per-batch (ts, event_id) sort; across
+    micro-batches the log-stream ordered-arrival contract applies, same
+    as `asof_backward_stream`. Emits kept rows only (append mode —
+    suppression is the point here, the batch form keeps the audit flag).
+    """
+    gap_us = int(min_gap_secs) * 1_000_000
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        user_val, type_val = key
+        (last_kept,) = state.get if state.exists else (None,)
+        out_rows: list[tuple] = []
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_us"] = (
+                pd.to_datetime(pdf["ts"]).values.astype("datetime64[us]").astype("int64")
+            )
+            pdf = pdf.sort_values(["_us", "event_id"])
+            for _us, eid in zip(pdf["_us"], pdf["event_id"]):
+                if last_kept is None or int(_us) - last_kept >= gap_us:
+                    last_kept = int(_us)
+                    out_rows.append((int(eid), user_val, type_val, int(_us)))
+        state.update((last_kept,))
+        out = pd.DataFrame(out_rows, columns=["event_id", "user_id", "event_type", "_us"])
+        out["ts"] = pd.to_datetime(out["_us"], unit="us")
+        yield out[["event_id", "user_id", "event_type", "ts"]]
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -302,3 +302,93 @@ def test_asof_backward_stream_matches_batch_across_restart(spark, tmp_path):
     assert got[201] is None  # probe before any series
     assert got[103] == m(10)  # state survived the restart
     assert got[104] == m(25)  # new series row advanced the state
+
+
+def test_debounce_stream_kept_state_across_restart(spark, tmp_path):
+    """Streaming debounce keeps previous-KEPT state: a steady sub-gap
+    drizzle emits one event per gap interval (where the batch lag rule
+    would keep only the first), state survives a checkpoint restart,
+    and short bursts match the batch rule exactly."""
+    from datetime import timedelta
+
+    from morphik_core_spark.streaming.stateful import debounce_stream
+
+    schema = "user_id long, event_type string, ts timestamp, event_id long"
+    t0 = datetime(2024, 5, 1, 8, 0, 0)
+
+    def s(secs):
+        return t0 + timedelta(seconds=secs)
+
+    # user 1: drizzle every 40 s with a 60 s gap -> kept at 0, 80, 160
+    batch1 = [(1, "c", s(k * 40), k + 1) for k in range(4)]  # 0,40,80,120
+    # after restart: 160 kept (last kept 80 at +80), 200 dropped (40 gap)
+    batch2 = [(1, "c", s(160), 5), (1, "c", s(200), 6)]
+
+    src, out, chk = (str(tmp_path / d) for d in ("din", "dout", "dchk"))
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            debounce_stream(stream, 60)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+
+    run_once(batch1)
+    run_once(batch2)
+    kept = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 3, 5]
+
+
+def test_debounce_stream_agrees_with_batch_on_short_bursts(spark, tmp_path):
+    """Bursts shorter than the gap: streaming (kept-state) and batch
+    (lag-gap) rules agree exactly."""
+    from datetime import timedelta
+
+    from morphik_core_spark.operators.sessions import debounce_events
+    from morphik_core_spark.streaming.stateful import debounce_stream
+
+    schema = "user_id long, event_type string, ts timestamp, event_id long"
+    t0 = datetime(2024, 5, 1, 8, 0, 0)
+
+    def s(secs):
+        return t0 + timedelta(seconds=secs)
+
+    rows = [
+        (1, "c", s(0), 1), (1, "c", s(10), 2), (1, "c", s(20), 3),  # burst
+        (1, "c", s(200), 4),  # fresh
+        (2, "c", s(0), 5), (2, "c", s(0), 6),  # tie
+    ]
+    src, out, chk = (str(tmp_path / d) for d in ("bin", "bout", "bchk"))
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    def sink(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        debounce_stream(stream, 60)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+
+    batch = debounce_events(
+        spark.createDataFrame(rows, schema),
+        ["user_id", "event_type"], "ts", 60, tiebreak_col="event_id",
+    )
+    want = sorted(r.event_id for r in batch.filter("kept").collect())
+    assert got == want == [1, 4, 5]
