@@ -2876,6 +2876,17 @@ def _q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the readability rung of the
+    quality-filter ladder. Sentence/word/vowel-group counts are pure
+    regexp arithmetic (no UDF, no shuffle); the score is one fixed
+    double tree ROUND(4)."""
+    docs = _t(spark, sf_dir, "documents")
+    from morphik_core_spark.operators.text_analysis import readability
+
+    return readability(docs, "text", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -3025,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_lift": _q_basket_lift,
         "trade_triangles": _q_trade_triangles,
         "debounce": _q_debounce,
+        "readability": _q_readability,
     }
 
 
@@ -6029,6 +6041,28 @@ def oracle_sql() -> dict[str, str]:
                                        THEN 1 ELSE 0 END) AS DOUBLE) /
                          CAST(count(*) AS DOUBLE), 6) AS keep_rate
             FROM g GROUP BY 1
+        """,
+        "readability": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       regexp_replace(lower(text), '[aeiouy]+', 'V', 'g') AS marked
+                FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            c AS (
+                SELECT doc_id,
+                       greatest(len(string_split_regex(text, '[.!?]+')) - 1, 1) AS n_sentences,
+                       greatest(len(list_filter(string_split_regex(text, '\\s+'),
+                                                x -> x <> '')), 1) AS n_words,
+                       length(marked) - length(replace(marked, 'V', '')) AS vg
+                FROM base
+            )
+            SELECT doc_id, n_sentences, n_words,
+                   greatest(vg, n_words) AS n_syllables,
+                   ROUND(206.835
+                         - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                         - 84.6 * (CAST(greatest(vg, n_words) AS DOUBLE) / CAST(n_words AS DOUBLE)),
+                         4) AS flesch
+            FROM c
         """,
     }
 

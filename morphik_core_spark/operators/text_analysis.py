@@ -28,6 +28,7 @@ __all__ = [
     "pmi_bigrams",
     "BPE_TOKEN_RE",
     "STOPWORDS",
+    "readability",
 ]
 
 # compact stopword profiles for the heuristic language scorer
@@ -491,4 +492,56 @@ def ctfidf_keywords(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
         .select("cluster", "rank", "term", "ctf", "score")
+    )
+
+
+def readability(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-document Flesch reading-ease — the readability axis of the
+    quality-filter family (Gopher/C4 filter on length/repetition;
+    production curation stacks also gate on readability bands).
+
+    score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    Everything is codegen string/regexp arithmetic, zero shuffle:
+    sentences = [.!?]+ runs (min 1), words = whitespace tokens (min 1),
+    syllables = vowel GROUPS per word (the standard heuristic: 'aeiouy'
+    runs, each word min 1 — counted corpus-wide by marking groups with
+    a regexp_replace and diffing lengths, so no per-word Python). The
+    two divisions and the final ROUND(4) are one fixed double tree —
+    cross-engine exact, and safe to aggregate further via the
+    scaled-integer pattern if a corpus rollup is needed.
+
+    Output: (id, n_sentences, n_words, n_syllables, flesch).
+    """
+    t = F.col(text_col)
+    lower = F.lower(t)
+    # sentence terminator runs; documents with no terminator count as 1
+    n_sent = F.greatest(
+        F.size(F.split(t, r"[.!?]+")) - 1, F.lit(1)
+    )
+    n_words = F.greatest(
+        F.size(F.filter(F.split(t, r"\s+"), lambda w: w != "")), F.lit(1)
+    )
+    # mark each vowel run as one char, count the marks
+    marked = F.regexp_replace(lower, "[aeiouy]+", "V")
+    vowel_groups = F.length(marked) - F.length(F.regexp_replace(marked, "V", ""))
+    # every word has >= 1 syllable: consonant-only words contribute 0
+    # vowel groups, so top syllables up to the word count
+    n_syll = F.greatest(vowel_groups, n_words)
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double")),
+        4,
+    )
+    return df.filter(t.isNotNull() & (F.length(t) > 0)).select(
+        F.col(id_col),
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        flesch.alias("flesch"),
     )

@@ -223,3 +223,20 @@ def test_debounce_semantics(spark):
     out = debounce_events(df, ["user_id", "event_type"], "ts", 60, tiebreak_col="event_id")
     kept = {r.event_id for r in out.filter("kept").collect()}
     assert kept == {1, 4, 5, 6}
+
+
+def test_readability_known_values(spark):
+    from morphik_core_spark.operators.text_analysis import readability
+
+    rows = [
+        (1, "The cat sat. The dog ran."),      # 6 words, 2 sentences, 6 syllables
+        (2, "zzz grr pfft"),                   # consonant-only: syllables = words
+        (3, "One sentence without terminator"),  # n_sentences floors to 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in readability(df, "text", "doc_id").collect()}
+    r1 = out[1]
+    assert (r1.n_sentences, r1.n_words, r1.n_syllables) == (2, 6, 6)
+    assert r1.flesch == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)
+    assert out[2].n_syllables == out[2].n_words == 3
+    assert out[3].n_sentences == 1
