@@ -2887,6 +2887,27 @@ def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability(docs, "text", "doc_id")
 
 
+def _q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-script composition per document (Latin/digit/CJK/space/
+    other ratios + mixed-script flag) — the mojibake/spam/wrong-langid
+    gate. Code-point classes via \\x{...} ranges behave identically in
+    Java regex and RE2 (verified)."""
+    docs = _t(spark, sf_dir, "documents")
+    from morphik_core_spark.operators.text_analysis import script_mix
+
+    # the synthetic corpus is pure ASCII; every 7th doc gets a CJK tail
+    # long enough (66 chars vs <=553-char docs) to push cjk_ratio past
+    # the 0.1 mixed-script threshold, so BOTH flag branches fire
+    mixed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.expr("repeat('漢字', 33)")),
+        ).otherwise(F.col("text")),
+    )
+    return script_mix(mixed, "text", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -3037,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_triangles": _q_trade_triangles,
         "debounce": _q_debounce,
         "readability": _q_readability,
+        "script_mix": _q_script_mix,
     }
 
 
@@ -6062,6 +6084,33 @@ def oracle_sql() -> dict[str, str]:
                          - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
                          - 84.6 * (CAST(greatest(vg, n_words) AS DOUBLE) / CAST(n_words AS DOUBLE)),
                          4) AS flesch
+            FROM c
+        """,
+        "script_mix": """
+            WITH m AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' ' || repeat('漢字', 33)
+                            ELSE text END AS text
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       length(text) - length(regexp_replace(text, '[A-Za-z\\x{00c0}-\\x{024f}]', '', 'g')) AS n_latin,
+                       length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                       length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}\\x{ac00}-\\x{d7af}]', '', 'g')) AS n_cjk,
+                       length(text) - length(regexp_replace(text, '[\\s]', '', 'g')) AS n_space
+                FROM m WHERE text IS NOT NULL AND length(text) > 0
+            )
+            SELECT doc_id, n_chars,
+                   ROUND(CAST(n_latin AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS latin_ratio,
+                   ROUND(CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS digit_ratio,
+                   ROUND(CAST(n_cjk AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS cjk_ratio,
+                   ROUND(CAST(n_space AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS space_ratio,
+                   ROUND(CAST(n_chars - n_latin - n_digit - n_cjk - n_space AS DOUBLE)
+                         / CAST(n_chars AS DOUBLE), 6) AS other_ratio,
+                   (ROUND(CAST(n_latin AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) > 0.1
+                    AND ROUND(CAST(n_cjk AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) > 0.1) AS mixed_script
             FROM c
         """,
     }

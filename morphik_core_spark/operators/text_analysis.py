@@ -29,6 +29,7 @@ __all__ = [
     "BPE_TOKEN_RE",
     "STOPWORDS",
     "readability",
+    "script_mix",
 ]
 
 # compact stopword profiles for the heuristic language scorer
@@ -544,4 +545,52 @@ def readability(
         n_words.alias("n_words"),
         n_syll.alias("n_syllables"),
         flesch.alias("flesch"),
+    )
+
+
+def script_mix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document character-script composition: fractions of Latin
+    letters, digits, CJK ideographs, whitespace, and other — plus a
+    mixed-script flag (two scripts each above 10%), the classic spam /
+    encoding-mojibake / wrong-langid signal web-corpus cleaning gates on
+    (CJK spam inside Latin pages and vice versa).
+
+    Counts come from length-diff after regexp_replace with explicit
+    \\x{...} code-point classes — identical semantics in Java regex and
+    RE2, verified cross-engine; ratios are exact-int divisions through
+    ROUND(decimals) trees. Pure codegen, zero shuffle.
+
+    Output: (id, n_chars, latin_ratio, digit_ratio, cjk_ratio,
+    space_ratio, other_ratio, mixed_script).
+    """
+    t = F.col(text_col)
+    total = F.length(t)
+
+    def count_class(pattern: str) -> Column:
+        return total - F.length(F.regexp_replace(t, pattern, ""))
+
+    n_latin = count_class("[A-Za-z\\x{00c0}-\\x{024f}]")
+    n_digit = count_class("[0-9]")
+    n_cjk = count_class("[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}\\x{ac00}-\\x{d7af}]")
+    n_space = count_class("[\\s]")
+
+    def ratio(n: Column) -> Column:
+        return F.round(n.cast("double") / total.cast("double"), decimals)
+
+    latin_r, cjk_r = ratio(n_latin), ratio(n_cjk)
+    mixed = (latin_r > 0.1) & (cjk_r > 0.1)
+    return df.filter(t.isNotNull() & (total > 0)).select(
+        F.col(id_col),
+        total.alias("n_chars"),
+        latin_r.alias("latin_ratio"),
+        ratio(n_digit).alias("digit_ratio"),
+        cjk_r.alias("cjk_ratio"),
+        ratio(n_space).alias("space_ratio"),
+        ratio(total - n_latin - n_digit - n_cjk - n_space).alias("other_ratio"),
+        mixed.alias("mixed_script"),
     )

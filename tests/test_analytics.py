@@ -240,3 +240,23 @@ def test_readability_known_values(spark):
     assert r1.flesch == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)
     assert out[2].n_syllables == out[2].n_words == 3
     assert out[3].n_sentences == 1
+
+
+def test_script_mix_classes(spark):
+    from morphik_core_spark.operators.text_analysis import script_mix
+
+    rows = [
+        (1, "abcd efgh"),            # latin + space only
+        (2, "漢字漢字"),              # pure CJK
+        (3, "ab 漢字 12"),            # mixed above both thresholds
+        (4, "1234"),                 # digits only
+        (5, "éàü abc"),              # extended latin counts as latin
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in script_mix(df, "text", "doc_id").collect()}
+    assert out[1].latin_ratio == 8 / 10 and out[1].cjk_ratio == 0.0
+    assert out[2].cjk_ratio == 1.0 and not out[2].mixed_script
+    assert out[3].mixed_script
+    assert out[4].digit_ratio == 1.0
+    assert out[5].latin_ratio == 6 / 8
+    assert not out[1].mixed_script
