@@ -254,9 +254,9 @@ def test_script_mix_classes(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     out = {r.doc_id: r for r in script_mix(df, "text", "doc_id").collect()}
-    assert out[1].latin_ratio == 8 / 10 and out[1].cjk_ratio == 0.0
+    assert out[1].latin_ratio == round(8 / 9, 6) and out[1].cjk_ratio == 0.0
     assert out[2].cjk_ratio == 1.0 and not out[2].mixed_script
     assert out[3].mixed_script
     assert out[4].digit_ratio == 1.0
-    assert out[5].latin_ratio == 6 / 8
+    assert out[5].latin_ratio == round(6 / 7, 6)
     assert not out[1].mixed_script
