@@ -581,6 +581,120 @@ def main() -> None:
         report("asof_backward", asof_b, ev1s, ev10)
         report("asof_nearest", asof_n, ev1s, ev10)
 
+    if "r5b" in ops:
+        # Late round-5 batch: PSI drift (bin-level shuffles only),
+        # basket lift (capped pair join — the 10x axis multiplies
+        # baskets, not basket size), triangle census (10x edges via
+        # perturbed tiling), debounce (one lag window over 10x-deep
+        # keys), readability + script mix (pure maps).
+        from morphik_core_spark.operators.analytics import (
+            basket_lift,
+            population_stability,
+        )
+        from morphik_core_spark.operators.graph import triangle_count
+        from morphik_core_spark.operators.sessions import debounce_events
+        from morphik_core_spark.operators.text_analysis import readability, script_mix
+
+        ev1 = load_table(spark, "events", SF_DIR).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        tiles = []
+        for k in range(10):
+            tiles.append(
+                ev1.select(
+                    (F.col("event_id") * 10 + k).alias("event_id"),
+                    (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+                    (F.col("user_id") * 10 + k).alias("user_id"),
+                    "event_type",
+                    "value",
+                    "props",
+                )
+            )
+        ev10 = tiles[0]
+        for t in tiles[1:]:
+            ev10 = ev10.unionByName(t)
+        ev10_p = os.path.join(tmp, "ev10b")
+        ev10.write.mode("overwrite").parquet(ev10_p)
+        ev10 = spark.read.parquet(ev10_p)
+
+        def psi(e):
+            binned = e.filter(F.col("value").isNotNull()).select(
+                "event_type",
+                F.expr("unix_micros(`ts`)").alias("us"),
+                F.expr("CAST(floor(value / 25.0) AS BIGINT)").alias("vbin"),
+            )
+            cut = 1705276800000000
+            mat(
+                population_stability(
+                    binned.filter(F.col("us") < cut),
+                    binned.filter(F.col("us") >= cut),
+                    ["event_type"],
+                    "vbin",
+                )
+            )
+
+        def basket(e):
+            items = e.filter(F.col("event_type") == "purchase").select(
+                "user_id",
+                F.expr("CAST(get_json_object(props, '$.k') AS INT) div 10").alias("item"),
+            ).filter(F.col("item").isNotNull())
+            mat(basket_lift(items, "user_id", "item", min_support=5, max_items_per_group=9))
+
+        def debounce(e):
+            mat(
+                debounce_events(
+                    e, ["user_id", "event_type"], "ts", 43200, tiebreak_col="event_id"
+                )
+            )
+
+        report("drift_psi", psi, ev1, ev10)
+        report("basket_lift", basket, ev1, ev10)
+        report("debounce", debounce, ev1, ev10)
+
+        def tri(edges):
+            mat(triangle_count(edges))
+
+        li1 = load_table(spark, "lineitem", SF_DIR)
+        orders = load_table(spark, "orders", SF_DIR)
+        cust = load_table(spark, "customer", SF_DIR)
+        supp = load_table(spark, "supplier", SF_DIR)
+        base_edges = (
+            li1.join(orders, li1["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(supp), li1["l_suppkey"] == supp["s_suppkey"])
+            .select(
+                F.col("c_nationkey").cast("bigint").alias("src"),
+                F.col("s_nationkey").cast("bigint").alias("dst"),
+            )
+            .distinct()
+        )
+        e1_p = os.path.join(tmp, "edges1")
+        base_edges.write.mode("overwrite").parquet(e1_p)
+        edges1 = spark.read.parquet(e1_p)
+        etiles = [
+            edges1.select(
+                (F.col("src") * 10 + k).alias("src"),
+                (F.col("dst") * 10 + ((k + F.col("dst")) % 10)).alias("dst"),
+            )
+            for k in range(10)
+        ]
+        edges10 = etiles[0]
+        for t in etiles[1:]:
+            edges10 = edges10.unionByName(t)
+        e10_p = os.path.join(tmp, "edges10")
+        edges10.write.mode("overwrite").parquet(e10_p)
+        edges10 = spark.read.parquet(e10_p)
+        report("triangle_count", tri, edges1, edges10)
+
+        def read_q(d):
+            mat(readability(d, "text", "doc_id"))
+
+        def script_q(d):
+            mat(script_mix(d, "text", "doc_id"))
+
+        report("readability", read_q, docs1, docs10)
+        report("script_mix", script_q, docs1, docs10)
+
 
 if __name__ == "__main__":
     main()
