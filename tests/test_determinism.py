@@ -50,6 +50,11 @@ SENSITIVE = [
     "incremental_agg",
     "attribution",
     "balance_deciles",
+    # late round-5: scaled-int PSI sum, lift ratios, clustering ratio,
+    # per-doc fixed trees (trivially invariant but cheap to pin)
+    "drift_psi",
+    "basket_lift",
+    "trade_triangles",
 ]
 
 
