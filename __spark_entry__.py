@@ -2908,6 +2908,42 @@ def _q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_mix(mixed, "text", "doc_id")
 
 
+def _q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized bounce report: 6-hour-gap sessions per user, per
+    event-count band (1 = bounce, 2-3, 4+) — the engagement rollup on
+    top of the gaps-and-islands sessionizer. Exact-int session stats;
+    the band share is one ROUND(6) division. 6 h keeps single- AND
+    multi-event sessions populated at both SFs."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.sessions import session_stats
+
+    stats = session_stats(events, gap_seconds=21600)
+    band = (
+        F.when(F.col("n_events") == 1, F.lit("bounce"))
+        .when(F.col("n_events") <= 3, F.lit("short"))
+        .otherwise(F.lit("engaged"))
+    )
+    total = stats.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        stats.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.expr("sum(duration_us) div 1000000").alias("total_secs"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "band",
+            "n_sessions",
+            "n_events",
+            "total_secs",
+            F.round(
+                F.col("n_sessions").cast("double") / F.col("n_total").cast("double"), 6
+            ).alias("share"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -3059,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce": _q_debounce,
         "readability": _q_readability,
         "script_mix": _q_script_mix,
+        "bounce_rate": _q_bounce_rate,
     }
 
 
@@ -6112,6 +6149,40 @@ def oracle_sql() -> dict[str, str]:
                    (ROUND(CAST(n_latin AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) > 0.1
                     AND ROUND(CAST(n_cjk AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) > 0.1) AS mixed_script
             FROM c
+        """,
+        "bounce_rate": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
+                                 OR lag(epoch_us(ts)) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       SUM(is_new) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts), event_id) - 1 AS session_id
+                FROM o
+            ),
+            st AS (
+                SELECT user_id, session_id, count(*) AS n_events,
+                       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+                FROM sess GROUP BY 1, 2
+            ),
+            banded AS (
+                SELECT CASE WHEN n_events = 1 THEN 'bounce'
+                            WHEN n_events <= 3 THEN 'short'
+                            ELSE 'engaged' END AS band,
+                       n_events, duration_us
+                FROM st
+            ),
+            tot AS (SELECT count(*) AS n_total FROM banded)
+            SELECT band, count(*) AS n_sessions,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
+                   CAST(SUM(duration_us) // 1000000 AS BIGINT) AS total_secs,
+                   ROUND(CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share
+            FROM banded, tot GROUP BY 1, n_total
         """,
     }
 
