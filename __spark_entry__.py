@@ -2944,6 +2944,34 @@ def _q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, seconds from the
+    earliest view to the earliest purchase AFTER it, then exact
+    nearest-rank p50/p90/p99 — integer microsecond diffs truncated with
+    div, every output an actual observed latency (the funnel_steps
+    companion: not just HOW MANY convert, but HOW FAST)."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.curation import length_percentiles
+
+    views = events.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts"))).alias("t_view")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("t_p")
+    )
+    lat = (
+        views.join(purchases, "user_id")
+        .filter(F.col("t_p") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("t_p").alias("t_purchase"))
+        .select(
+            F.lit("all").alias("cohort"),
+            F.expr("(t_purchase - t_view) div 1000000").alias("latency_s"),
+        )
+    )
+    return length_percentiles(lat, "cohort", "latency_s")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -3096,6 +3124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         "script_mix": _q_script_mix,
         "bounce_rate": _q_bounce_rate,
+        "funnel_timing": _q_funnel_timing,
     }
 
 
@@ -6183,6 +6212,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(duration_us) // 1000000 AS BIGINT) AS total_secs,
                    ROUND(CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share
             FROM banded, tot GROUP BY 1, n_total
+        """,
+        "funnel_timing": """
+            WITH v AS (
+                SELECT user_id, MIN(epoch_us(ts)) AS t_view FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ),
+            l AS (
+                SELECT 'all' AS cohort,
+                       (MIN(epoch_us(e.ts)) - v.t_view) // 1000000 AS latency_s
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t_view
+                GROUP BY e.user_id, v.t_view
+            ),
+            r AS (
+                SELECT cohort, latency_s,
+                       row_number() OVER (PARTITION BY cohort ORDER BY latency_s ASC) AS rn,
+                       count(*) OVER (PARTITION BY cohort) AS cnt
+                FROM l
+            )
+            SELECT cohort,
+                   MAX(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN latency_s END) AS p50,
+                   MAX(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT) THEN latency_s END) AS p90,
+                   MAX(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT) THEN latency_s END) AS p99
+            FROM r GROUP BY 1
         """,
     }
 
