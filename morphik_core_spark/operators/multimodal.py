@@ -36,6 +36,7 @@ __all__ = [
     "extract_audio_features",
     "extract_video_frame_features",
     "sample_video_frames",
+    "detect_scene_cuts",
     "image_perceptual_hash",
     "extract_image_exif",
     "image_near_dup_pairs",
@@ -593,6 +594,78 @@ def extract_image_exif(
                     )
                 except Exception as exc:  # noqa: BLE001 — row-level isolation
                     rows.append((mid, False, str(exc)) + (None,) * 12)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def detect_scene_cuts(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame_sample_rate: float = 1.0,
+    cut_threshold: float = 30.0,
+    external_decoder_factory=None,
+) -> DataFrame:
+    """Scene-change detection over sampled video frames: mean absolute
+    grayscale difference between consecutive sampled frames, cut where
+    it exceeds ``cut_threshold`` (0-255 scale) — the shot-boundary pass
+    that decides WHICH frames are worth feature-extraction/captioning
+    in a video ingestion pipeline (one keyframe per scene instead of
+    one per second).
+
+    Same decode stack and contracts as `extract_video_frame_features`:
+    built-in MJPEG/DIB-AVI decoder, ``external_decoder_factory`` as the
+    declared modern-codec boundary, row-level failure isolation. Diffs
+    are sequential WITHIN one video (per-row Python over that video's
+    frames — bounded by one payload); videos parallelize across the
+    scan. Output: one row per sampled frame — (media_id, ok, err,
+    frame_idx, frame_ts, diff, is_cut); frame 0 has diff NULL / is_cut
+    false (a first frame starts scene 0, it doesn't "cut").
+    """
+    import numpy as np
+
+    from morphik_core_spark.functions.av_adapter import builtin_video_decoder
+
+    out_schema = (
+        f"{id_col} string, ok boolean, err string, frame_idx int, "
+        "frame_ts double, diff double, is_cut boolean"
+    )
+    cols = [id_col, "ok", "err", "frame_idx", "frame_ts", "diff", "is_cut"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        builtin = builtin_video_decoder()
+        external = external_decoder_factory() if external_decoder_factory else None
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else None
+                try:
+                    _meta, frames = builtin(data, frame_sample_rate)
+                except Exception as exc:  # noqa: BLE001 — declared boundary next
+                    if external is None:
+                        rows.append((mid, False, str(exc), None, None, None, None))
+                        continue
+                    try:
+                        _meta, frames = external(data, frame_sample_rate)
+                    except Exception as exc2:  # noqa: BLE001 — row-level isolation
+                        rows.append(
+                            (mid, False, f"{exc}; external: {exc2}", None, None, None, None)
+                        )
+                        continue
+                prev = None
+                for idx, ts, px in frames:
+                    if isinstance(px, Exception):
+                        rows.append((mid, False, str(px), idx, ts, None, None))
+                        prev = None  # a lost frame breaks the diff chain
+                        continue
+                    gray = px.astype(np.float64).mean(axis=2)
+                    if prev is None or prev.shape != gray.shape:
+                        rows.append((mid, True, None, idx, ts, None, False))
+                    else:
+                        d = float(np.abs(gray - prev).mean())
+                        rows.append((mid, True, None, idx, ts, d, d > cut_threshold))
+                    prev = gray
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -182,3 +182,28 @@ def test_visual_multivector_pipeline_end_to_end(spark):
     }
     assert scored["A"] == scored["Acopy"]  # identical pages tie exactly
     assert scored["A"] > scored["B"]  # layout match beats mismatch
+
+
+def test_scene_cut_detection(spark):
+    import numpy as np
+
+    from morphik_core_spark.functions.video import encode_avi_mjpeg
+    from morphik_core_spark.operators.multimodal import detect_scene_cuts
+
+    dark = np.full((16, 16, 3), 20, dtype=np.uint8)
+    dark2 = np.full((16, 16, 3), 24, dtype=np.uint8)  # tiny drift: no cut
+    bright = np.full((16, 16, 3), 220, dtype=np.uint8)  # hard cut
+    avi = encode_avi_mjpeg([dark, dark2, bright, bright], fps=1.0)
+    df = spark.createDataFrame(
+        [("v1", bytearray(avi)), ("bad", bytearray(b"nope"))],
+        "media_id string, payload binary",
+    )
+    rows = detect_scene_cuts(df, frame_sample_rate=1.0, cut_threshold=30.0).collect()
+    v1 = sorted(
+        [r for r in rows if r.media_id == "v1"], key=lambda r: r.frame_idx
+    )
+    assert [r.is_cut for r in v1] == [False, False, True, False]
+    assert v1[0].diff is None  # first frame starts scene 0
+    assert v1[2].diff > 150
+    bad = [r for r in rows if r.media_id == "bad"][0]
+    assert not bad.ok and bad.err
