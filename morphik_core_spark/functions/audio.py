@@ -31,6 +31,7 @@ __all__ = [
     "log_mel_spectrogram",
     "audio_embedding",
     "spectral_stats",
+    "silence_segments",
 ]
 
 _WIDTH_DTYPE = {1: np.uint8, 2: np.int16, 4: np.int32}
@@ -460,3 +461,63 @@ def spectral_stats(samples: np.ndarray, rate: int, n_fft: int = 1024, hop: int =
         "bandwidth_hz": float(bandwidth.mean()),
         "flatness": float(flatness.mean()),
     }
+
+
+def silence_segments(
+    samples: np.ndarray,
+    rate: int,
+    *,
+    frame_ms: int = 20,
+    silence_rms: float = 0.01,
+    min_silence_ms: int = 300,
+    min_segment_ms: int = 100,
+) -> list[tuple[float, float]]:
+    """Voice-activity segmentation by silence gaps: (start_s, end_s)
+    spans of activity, split wherever the per-frame RMS stays below
+    ``silence_rms`` (fraction of full scale) for at least
+    ``min_silence_ms`` — the pre-ASR chunking step (reference ships
+    whole files to AssemblyAI, `core/parser/video/parse_video.py`; an
+    engine-side splitter is what makes hour-long audio batchable).
+
+    Pure numpy frame-RMS walk, one pass; segments shorter than
+    ``min_segment_ms`` are dropped (clicks). Mono-mixes multi-channel
+    input the same way `audio_features` does.
+    """
+    if samples.ndim == 2:
+        samples = samples.mean(axis=1)
+    n = len(samples)
+    if n == 0:
+        return []
+    flen = max(1, rate * frame_ms // 1000)
+    n_frames = -(-n // flen)
+    pad = np.zeros(n_frames * flen)
+    pad[:n] = samples
+    frames = pad.reshape(n_frames, flen)
+    rms = np.sqrt((frames * frames).mean(axis=1))
+    active = rms >= silence_rms
+
+    min_sil_frames = max(1, min_silence_ms // frame_ms)
+    segs: list[tuple[float, float]] = []
+    start = None
+    silent_run = 0
+    for i, a in enumerate(active):
+        if a:
+            if start is None:
+                start = i
+            silent_run = 0
+        elif start is not None:
+            silent_run += 1
+            if silent_run >= min_sil_frames:
+                segs.append((start, i - silent_run + 1))
+                start, silent_run = None, 0
+    if start is not None:
+        end = n_frames
+        while end > start and not active[end - 1]:
+            end -= 1
+        segs.append((start, end))
+    out = []
+    for s, e in segs:
+        t0, t1 = s * flen / rate, min(e * flen, n) / rate
+        if (t1 - t0) * 1000 >= min_segment_ms:
+            out.append((round(t0, 6), round(t1, 6)))
+    return out

@@ -37,6 +37,7 @@ __all__ = [
     "extract_video_frame_features",
     "sample_video_frames",
     "detect_scene_cuts",
+    "segment_audio",
     "image_perceptual_hash",
     "extract_image_exif",
     "image_near_dup_pairs",
@@ -666,6 +667,53 @@ def detect_scene_cuts(
                         d = float(np.abs(gray - prev).mean())
                         rows.append((mid, True, None, idx, ts, d, d > cut_threshold))
                     prev = gray
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def segment_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    min_silence_ms: int = 300,
+    silence_rms: float = 0.01,
+) -> DataFrame:
+    """Silence-gap audio segmentation → one row per speech/activity
+    span: (media_id, ok, err, segment_idx, start_s, end_s, duration_s).
+    The pre-ASR chunking pass — hour-long recordings become
+    batchable spans that drop straight into the ingestion chunker, the
+    same role the scene-cut pass plays for video keyframes. Decode is
+    the real WAV/FLAC stack; row-level failure isolation as everywhere;
+    files that are ALL silence yield ok=true with zero segment rows
+    (distinguishable from decode failure)."""
+    from morphik_core_spark.functions.audio import decode_audio, silence_segments
+
+    out_schema = (
+        f"{id_col} string, ok boolean, err string, segment_idx int, "
+        "start_s double, end_s double, duration_s double"
+    )
+    cols = [id_col, "ok", "err", "segment_idx", "start_s", "end_s", "duration_s"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    samples, rate = decode_audio(
+                        bytes(payload) if payload is not None else None
+                    )
+                    segs = silence_segments(
+                        samples, rate,
+                        min_silence_ms=min_silence_ms, silence_rms=silence_rms,
+                    )
+                except Exception as exc:  # noqa: BLE001 — row-level isolation
+                    rows.append((mid, False, str(exc), None, None, None, None))
+                    continue
+                if not segs:
+                    rows.append((mid, True, None, None, None, None, None))
+                for i, (t0, t1) in enumerate(segs):
+                    rows.append((mid, True, None, i, t0, t1, round(t1 - t0, 6)))
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -207,3 +207,34 @@ def test_scene_cut_detection(spark):
     assert v1[2].diff > 150
     bad = [r for r in rows if r.media_id == "bad"][0]
     assert not bad.ok and bad.err
+
+
+def test_audio_silence_segmentation(spark):
+    import numpy as np
+
+    from morphik_core_spark.functions.audio import encode_wav
+    from morphik_core_spark.operators.multimodal import segment_audio
+
+    rate = 8000
+
+    def tone(sec):
+        return 0.5 * np.sin(np.linspace(0, 2 * np.pi * 440 * sec, int(rate * sec)))
+
+    speechy = np.concatenate([tone(1.0), np.zeros(int(rate * 0.5)), tone(0.7)])
+    wav = encode_wav(speechy, rate)
+    silent = encode_wav(np.zeros(rate), rate)
+    df = spark.createDataFrame(
+        [
+            ("a", bytearray(wav)),
+            ("quiet", bytearray(silent)),
+            ("bad", bytearray(b"RIFFnope")),
+        ],
+        "media_id string, payload binary",
+    )
+    rows = segment_audio(df).collect()
+    a = sorted([r for r in rows if r.media_id == "a"], key=lambda r: r.segment_idx)
+    assert [(r.start_s, r.end_s) for r in a] == [(0.0, 1.0), (1.5, 2.2)]
+    quiet = [r for r in rows if r.media_id == "quiet"][0]
+    assert quiet.ok and quiet.segment_idx is None  # all-silence, not an error
+    bad = [r for r in rows if r.media_id == "bad"][0]
+    assert not bad.ok and bad.err
