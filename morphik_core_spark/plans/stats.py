@@ -29,6 +29,7 @@ __all__ = [
     "should_broadcast",
     "key_skew_histogram",
     "top_heavy_keys",
+    "estimate_join_rows",
 ]
 
 _STATS_FILE = "_stats.json"
@@ -131,3 +132,32 @@ def top_heavy_keys(df: DataFrame, key_cols: list[str], k: int = 20) -> DataFrame
     return counts.orderBy(
         F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols]
     ).limit(k)
+
+
+def estimate_join_rows(
+    stats_a: dict | None,
+    stats_b: dict | None,
+    key_a: str,
+    key_b: str | None = None,
+) -> int | None:
+    """Classic System-R equi-join cardinality estimate from persisted
+    table stats: |A ⋈ B| ≈ rows_A · rows_B / max(ndv_A, ndv_B) — the
+    containment-of-value-sets assumption every cost-based optimizer
+    ships. Returns None when either side lacks stats (callers fall back
+    to probing, exactly like `should_broadcast`).
+
+    The ndv's come from the same HLL `compute_table_stats` persists, so
+    the estimate is free at plan time. Use it to pick shuffle-partition
+    counts for the join output or to veto a join order BEFORE launching
+    a 100 TB stage; Spark's own CBO does this when ANALYZE stats exist —
+    this is the same arithmetic for tables managed outside the catalog.
+    """
+    key_b = key_b or key_a
+    if not stats_a or not stats_b:
+        return None
+    ca = stats_a.get("columns", {}).get(key_a)
+    cb = stats_b.get("columns", {}).get(key_b)
+    if not ca or not cb or not ca.get("approx_ndv") or not cb.get("approx_ndv"):
+        return None
+    ndv = max(ca["approx_ndv"], cb["approx_ndv"])
+    return int(stats_a["row_count"] * stats_b["row_count"] // ndv)

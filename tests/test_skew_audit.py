@@ -37,3 +37,17 @@ def test_top_heavy_keys_deterministic(spark):
     assert [r.k for r in top] == ["hot", "warm", "a", "b"]  # ties by key asc
     plan = top_heavy_keys(_frame(spark), ["k"], k=4)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_estimate_join_rows(spark, sf_dir):
+    from morphik_core_spark.plans.stats import compute_table_stats, estimate_join_rows
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    so = compute_table_stats(orders, ["o_custkey"])
+    sc = compute_table_stats(cust, ["c_custkey"])
+    est = estimate_join_rows(so, sc, "o_custkey", "c_custkey")
+    actual = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    # every order matches one customer -> estimate ~= |orders|; HLL error bounds
+    assert est is not None and abs(est - actual) / actual < 0.15, (est, actual)
+    assert estimate_join_rows(None, sc, "x") is None
