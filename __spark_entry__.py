@@ -2972,6 +2972,60 @@ def _q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_percentiles(lat, "cohort", "latency_s")
 
 
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: the dense ranking
+    (seeded hash-embedding cosine, query = doc 0) and the sparse
+    ranking (BM25 over 3 terms) fuse as Σ 1/(60+rank) — the standard
+    hybrid-search combiner (Cormack et al.; what the reference's
+    colpali/regular merge approximates with score unioning). Ranks come
+    from ROUNDED scores with doc_id tie-breaks, so both engines rank
+    identically; each fused score is a two-term fixed tree. Rank
+    windows run over 30-row candidate lists (TakeOrdered upstream),
+    never the corpus."""
+    from morphik_core_spark.functions.embedder import hash_embed_components
+    from morphik_core_spark.operators.text_analysis import bm25_topk
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    comps = hash_embed_components(docs, "text", "doc_id", dims=_EMBED_DIMS, seed=_EMBED_SEED)
+    qcomps = (
+        hash_embed_components(docs.filter(F.col("doc_id") == 0), "text", "doc_id", _EMBED_DIMS, _EMBED_SEED)
+        .select("idx", F.col("val").alias("qval"))
+    )
+    norms = comps.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm"))
+    qnorm = qcomps.agg(F.sqrt(F.sum(F.col("qval") * F.col("qval"))).alias("qnorm"))
+    dots = (
+        comps.join(F.broadcast(qcomps), "idx")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+    )
+    dense = (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "doc_id",
+            F.round((F.lit(1.0) + F.col("dot") / (F.col("norm") * F.col("qnorm"))) / 2.0, _SCORE_DECIMALS).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(30)
+    )
+    sparse = bm25_topk(docs, "text", "doc_id", ["join", "window", "hash"], k=30)
+    wd = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    d_ranked = dense.select("doc_id", F.row_number().over(wd).alias("r_dense"))
+    s_ranked = sparse.select("doc_id", F.row_number().over(wd).alias("r_sparse"))
+    fused = d_ranked.join(s_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_dense",
+        "r_sparse",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("r_dense")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("r_sparse")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -3125,6 +3179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mix": _q_script_mix,
         "bounce_rate": _q_bounce_rate,
         "funnel_timing": _q_funnel_timing,
+        "hybrid_rrf": _q_hybrid_rrf,
     }
 
 
@@ -6236,6 +6291,76 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT) THEN latency_s END) AS p90,
                    MAX(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT) THEN latency_s END) AS p99
             FROM r GROUP BY 1
+        """,
+        "hybrid_rrf": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                FROM documents
+            ),
+            tok2 AS (SELECT doc_id, tok FROM tok WHERE length(tok) > 0),
+            hh AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('42:' || tok), 1, 15)) AS BIGINT) AS h
+                FROM tok2
+            ),
+            comp AS (
+                SELECT doc_id, h % 16 AS idx,
+                       SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS val
+                FROM hh GROUP BY doc_id, h % 16
+            ),
+            norms AS (SELECT doc_id, sqrt(SUM(val * val)) AS norm FROM comp GROUP BY doc_id),
+            q AS (SELECT idx, val AS qval FROM comp WHERE doc_id = 0),
+            qn AS (SELECT sqrt(SUM(qval * qval)) AS qnorm FROM q),
+            dots AS (
+                SELECT c.doc_id, SUM(c.val * q.qval) AS dot
+                FROM comp c JOIN q USING (idx) GROUP BY c.doc_id
+            ),
+            dense AS (
+                SELECT doc_id, ROUND((1.0 + dot / (norm * qnorm)) / 2.0, 6) AS score
+                FROM dots JOIN norms USING (doc_id), qn
+                ORDER BY score DESC, doc_id ASC LIMIT 30
+            ),
+            d_ranked AS (
+                SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r_dense
+                FROM dense
+            ),
+            tf AS (
+                SELECT doc_id, len(tk) AS dl,
+                       len(list_filter(tk, t -> t = 'join')) AS tf_0,
+                       len(list_filter(tk, t -> t = 'window')) AS tf_1,
+                       len(list_filter(tk, t -> t = 'hash')) AS tf_2
+                FROM (
+                    SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS tk
+                    FROM documents WHERE text IS NOT NULL
+                )
+            ),
+            stats AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                       SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                       SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                       SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+                FROM tf
+            ),
+            bscored AS (
+                SELECT doc_id, ROUND(ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * tf_0 * (1.2 + 1.0) / (tf_0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) * tf_1 * (1.2 + 1.0) / (tf_1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) * tf_2 * (1.2 + 1.0) / (tf_2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 6) AS score
+                FROM tf, stats
+            ),
+            sparse AS (
+                SELECT doc_id, score FROM bscored WHERE score > 0
+                ORDER BY score DESC, doc_id ASC LIMIT 30
+            ),
+            s_ranked AS (
+                SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r_sparse
+                FROM sparse
+            ),
+            fused AS (
+                SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id, d.r_dense, s.r_sparse,
+                       ROUND(COALESCE(1.0 / (60.0 + d.r_dense), 0.0)
+                             + COALESCE(1.0 / (60.0 + s.r_sparse), 0.0), 6) AS rrf_score
+                FROM d_ranked d FULL OUTER JOIN s_ranked s ON d.doc_id = s.doc_id
+            )
+            SELECT doc_id, r_dense, r_sparse, rrf_score
+            FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
         """,
     }
 
