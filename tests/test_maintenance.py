@@ -155,3 +155,37 @@ def test_vacuum_retention(spark, tmp_path):
     # versions keep increasing monotonically after a vacuum
     versioned_write(spark.createDataFrame([(9,)], "x int"), table)
     assert [e["version"] for e in list_versions(table)] == [2, 3, 4]
+
+
+def test_diff_versions_and_schema_diff(spark, tmp_path):
+    from morphik_core_spark.plans.maintenance import (
+        diff_versions,
+        schema_diff,
+        versioned_write,
+    )
+
+    table = str(tmp_path / "diff")
+    v0 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None)], "id int, s string, x double"
+    )
+    versioned_write(v0, table)
+    v1 = spark.createDataFrame(
+        # 2 changed, 3: NULL -> '' must count as changed, 4 added, 1 same
+        [(1, "a", 1.0), (2, "B", 2.0), (3, "c", float("nan")), (4, "d", 0.0)],
+        "id int, s string, x double",
+    )
+    versioned_write(v1, table)
+    d = {r.id: r.change for r in diff_versions(spark, table, ["id"], 0, 1).collect()}
+    assert d == {2: "changed", 3: "changed", 4: "added"}
+
+    # removed rows + unchanged rows excluded
+    d2 = {r.id: r.change for r in diff_versions(spark, table, ["id"], 1, 0).collect()}
+    assert d2[4] == "removed"
+
+    sd = schema_diff(spark, table, 0, 1)
+    assert sd["compatible"] and sd["added"] == [] and sd["removed"] == []
+
+    v2 = spark.createDataFrame([(1, "a", 5)], "id int, s string, x bigint")
+    versioned_write(v2, table)
+    sd2 = schema_diff(spark, table, 1, 2)
+    assert not sd2["compatible"] and "x" in sd2["type_changed"]
