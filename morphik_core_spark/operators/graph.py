@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_fixed_point", "connected_components_star", "triangle_count"]
+__all__ = ["pagerank_fixed_point", "connected_components_star", "triangle_count", "k_core"]
 
 # 1.0 of rank == 1e12 micro-units; int64 headroom: rank_u * weight must
 # stay under 2^63, i.e. per-edge weights up to ~9e6 at full rank
@@ -267,4 +267,73 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
                 6,
             ),
         ).alias("global_clustering"),
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node has degree >= k, via iterative peeling — remove all
+    nodes below k, recompute degrees, repeat to fixpoint. The community
+    -density filter used to strip crawl-graph tendrils and bot chains
+    before running expensive per-community work (dedup clusters,
+    PageRank) on what remains.
+
+    The iterative-DELETE pattern complements the iterative-PROPAGATE
+    family here (connected_components, pagerank): each round is one
+    degree aggregate + one semi-join, `localCheckpoint(eager)` per
+    round truncates lineage exactly like connected_components, early
+    exit when no node was removed. Peeling halves the node set at most
+    `max_rounds` times in adversarial chains; real graphs converge in a
+    handful of rounds.
+
+    Output: (node, degree) for the surviving subgraph — degrees are
+    WITHIN the core, by definition >= k. Input may be directed /
+    duplicated / self-looped; normalizes first like triangle_count.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionByName(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n").localCheckpoint(eager=True)
+        n_keep = keep.count()
+        n_nodes = deg.count()
+        if n_keep == n_nodes:
+            return deg.select(F.col("n").alias("node"), F.col("d").alias("degree"))
+        if n_keep == 0:
+            schema_df = deg.select(
+                F.col("n").alias("node"), F.col("d").alias("degree")
+            )
+            return schema_df.filter(F.lit(False))
+        e = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    # max_rounds exhausted: return the current (possibly non-fixpoint)
+    # core candidates honestly rather than looping forever
+    deg = (
+        e.select(F.col("u").alias("n")).unionByName(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.filter(F.col("d") >= k).select(
+        F.col("n").alias("node"), F.col("d").alias("degree")
     )

@@ -260,3 +260,23 @@ def test_script_mix_classes(spark):
     assert out[4].digit_ratio == 1.0
     assert out[5].latin_ratio == round(6 / 7, 6)
     assert not out[1].mixed_script
+
+
+def test_k_core_known_graphs(spark):
+    from morphik_core_spark.operators.graph import k_core
+
+    def core(edges, k):
+        df = spark.createDataFrame(edges, "src int, dst int")
+        return {r.node: r.degree for r in k_core(df, k).collect()}
+
+    # triangle with a tail: 2-core = the triangle, tail peels off
+    tri_tail = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    assert core(tri_tail, 2) == {0: 2, 1: 2, 2: 2}
+    # star: 2-core empty (leaves have degree 1; hub collapses after peel)
+    star = [(100, i) for i in range(6)]
+    assert core(star, 2) == {}
+    # chain peeling cascade: path of 5 -> 2-core empty via MULTIPLE rounds
+    path = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    assert core(path, 2) == {}
+    # k=1 keeps everything with at least one edge
+    assert set(core(path, 1)) == {0, 1, 2, 3, 4}
