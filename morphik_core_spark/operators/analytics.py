@@ -31,6 +31,7 @@ __all__ = [
     "touch_attribution",
     "population_stability",
     "basket_lift",
+    "decayed_counts",
 ]
 
 
@@ -462,5 +463,51 @@ def basket_lift(
                 / (F.col("n_a") * F.col("n_b")).cast("double"),
                 6,
             ).alias("lift"),
+        )
+    )
+
+
+def decayed_counts(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    half_life_days: int = 7,
+    max_half_lives: int = 20,
+) -> DataFrame:
+    """Trending score per key: each event contributes 2^-(age //
+    half_life) — an exponentially-decayed count with the decay
+    quantized to WHOLE half-lives, which makes every weight an exact
+    power of two: weights sum as plain BIGINTs (scaled by 2^max) and no
+    engine, partitioning, or libm pow() can change a digit. The
+    freshness ranking behind "trending now" panels and crawl-frontier
+    prioritization, in the same determinism family as the HLL harmonic
+    sum and the PSI term sum.
+
+    The reference time is max(ts) over the input (one-row broadcast) —
+    derived from data, so the operator stays reproducible; pass a
+    pre-filtered frame to pin a different 'now'. Events older than
+    ``max_half_lives`` half-lives contribute 0. Output: key_cols +
+    (n_events, trending_score) with score = Σ weights / 2^max, ROUND(6).
+    """
+    us_per = int(half_life_days) * 86_400_000_000
+    ref = events.agg(F.max(F.expr(f"unix_micros(`{ts_col}`)")).alias("_ref_us"))
+    aged = events.crossJoin(F.broadcast(ref)).withColumn(
+        "_hl", F.expr(f"(_ref_us - unix_micros(`{ts_col}`)) div {us_per}")
+    )
+    weight = F.when(F.col("_hl") >= max_half_lives, F.lit(0).cast("bigint")).otherwise(
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_half_lives} - CAST(_hl AS INT))")
+    )
+    return (
+        aged.groupBy(*[F.col(c) for c in key_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(weight).alias("_w"),
+        )
+        .select(
+            *key_cols,
+            "n_events",
+            F.round(
+                F.col("_w").cast("double") / F.lit(float(1 << max_half_lives)), 6
+            ).alias("trending_score"),
         )
     )

@@ -280,3 +280,21 @@ def test_k_core_known_graphs(spark):
     assert core(path, 2) == {}
     # k=1 keeps everything with at least one edge
     assert set(core(path, 1)) == {0, 1, 2, 3, 4}
+
+
+def test_decayed_counts_exact_power_weights(spark):
+    from datetime import datetime, timedelta
+
+    from morphik_core_spark.operators.analytics import decayed_counts
+
+    t0 = datetime(2024, 6, 1)
+    rows = [
+        ("a", t0),                      # age 0 half-lives -> weight 1
+        ("a", t0 - timedelta(days=7)),  # 1 half-life -> 0.5
+        ("a", t0 - timedelta(days=15)), # 2 half-lives -> 0.25
+        ("b", t0 - timedelta(days=7 * 25)),  # beyond max: weight 0
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = {r.k: r for r in decayed_counts(df, ["k"], "ts").collect()}
+    assert out["a"].trending_score == 1.75
+    assert out["b"].trending_score == 0.0 and out["b"].n_events == 1
