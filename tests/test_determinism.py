@@ -55,6 +55,11 @@ SENSITIVE = [
     "drift_psi",
     "basket_lift",
     "trade_triangles",
+    "hybrid_rrf",
+    "trending_items",
+    "bounce_rate",
+    "readability",
+    "script_mix",
 ]
 
 
