@@ -695,6 +695,84 @@ def main() -> None:
         report("readability", read_q, docs1, docs10)
         report("script_mix", script_q, docs1, docs10)
 
+    if "r5c" in ops:
+        # Final round-5 batch: k-core peeling (10x edges), decayed
+        # trending counts, RRF fusion (candidate lists stay k-sized —
+        # the corpus only feeds the two rankers), bloom index build.
+        from morphik_core_spark.operators.analytics import decayed_counts
+        from morphik_core_spark.operators.graph import k_core
+        from morphik_core_spark.plans.skipping import write_bloom_index
+
+        ev1 = load_table(spark, "events", SF_DIR).select("event_id", "ts", "event_type", "props")
+        tiles = [
+            ev1.select(
+                (F.col("event_id") * 10 + k).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+                "event_type",
+                "props",
+            )
+            for k in range(10)
+        ]
+        ev10 = tiles[0]
+        for t in tiles[1:]:
+            ev10 = ev10.unionByName(t)
+        ev10_p = os.path.join(tmp, "ev10c")
+        ev10.write.mode("overwrite").parquet(ev10_p)
+        ev10 = spark.read.parquet(ev10_p)
+
+        def trend(e):
+            items = e.select(
+                "event_type",
+                F.expr("CAST(get_json_object(props, '$.k') AS INT) div 20").alias("item"),
+                "ts",
+            ).filter(F.col("item").isNotNull())
+            mat(decayed_counts(items, ["event_type", "item"], "ts"))
+
+        report("trending_items", trend, ev1, ev10)
+
+        li1 = load_table(spark, "lineitem", SF_DIR)
+        pairs1 = li1.select(
+            (F.col("l_partkey") % 2000).alias("src"),
+            (F.col("l_suppkey") % 2000).alias("dst"),
+        ).distinct()
+        p1 = os.path.join(tmp, "kc1")
+        pairs1.write.mode("overwrite").parquet(p1)
+        pairs1 = spark.read.parquet(p1)
+        ktiles = [
+            pairs1.select(
+                (F.col("src") * 10 + k).alias("src"),
+                (F.col("dst") * 10 + ((k + F.col("dst")) % 10)).alias("dst"),
+            )
+            for k in range(10)
+        ]
+        pairs10 = ktiles[0]
+        for t in ktiles[1:]:
+            pairs10 = pairs10.unionByName(t)
+        p10 = os.path.join(tmp, "kc10")
+        pairs10.write.mode("overwrite").parquet(p10)
+        pairs10 = spark.read.parquet(p10)
+
+        def kcore(e):
+            mat(k_core(e, 3))
+
+        report("k_core", kcore, pairs1, pairs10)
+
+        docs10_p = os.path.join(tmp, "docs10_bloom")
+        docs10.repartition(16).write.mode("overwrite").parquet(docs10_p)
+
+        def bloom1():
+            write_bloom_index(spark, os.path.join(tmp, "docs10_bloom"), "doc_id")
+
+        docs1_p = os.path.join(tmp, "docs1_bloom")
+        docs1.repartition(16).write.mode("overwrite").parquet(docs1_p)
+
+        def bloom_small():
+            write_bloom_index(spark, docs1_p, "doc_id")
+
+        t1 = timed(bloom_small)
+        t10 = timed(bloom1)
+        print(json.dumps({"op": "bloom_index_build", "t_1x": t1, "t_10x": t10, "ratio": round(t10 / t1, 2)}))
+
 
 if __name__ == "__main__":
     main()
