@@ -79,15 +79,24 @@ def write_bloom_index(
         .distinct()
         .collect()
     )
+    root = os.path.abspath(table_path)
     by_file: dict[str, set] = {}
     for r in pairs:
-        by_file.setdefault(r["file"], set()).add(int(r["bit"]))
+        # manifest keys are paths RELATIVE to the table root so
+        # partitioned layouts (k=.../part-*.parquet) resolve correctly
+        f = r["file"]
+        for prefix in ("file://", "file:"):
+            if f.startswith(prefix):
+                f = f[len(prefix):]
+                break
+        rel = os.path.relpath(os.path.abspath(f), root)
+        by_file.setdefault(rel, set()).add(int(r["bit"]))
     files = {}
     for f, bits in by_file.items():
         bitmap = bytearray(num_bits // 8)
         for b in bits:
             bitmap[b // 8] |= 1 << (b % 8)
-        files[os.path.basename(f)] = bytes(bitmap).hex()
+        files[f] = bytes(bitmap).hex()
     manifest = {
         "key_col": key_col,
         "num_bits": num_bits,
@@ -121,15 +130,18 @@ def prune_files(table_path: str, values) -> list[str] | None:
         [_py_bit(v, j, nb) for j in range(nh)] for v in values
     ]
     keep = []
-    for fname in sorted(os.listdir(table_path)):
-        if not fname.endswith(".parquet"):
-            continue
-        bitmap = m["files"].get(fname)
-        if bitmap is None:
-            keep.append(os.path.join(table_path, fname))
-            continue
-        if any(all(_bit_set(bitmap, b) for b in pr) for pr in probes):
-            keep.append(os.path.join(table_path, fname))
+    for dirpath, _dirs, fnames in os.walk(table_path):
+        for fname in sorted(fnames):
+            if not fname.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, fname)
+            rel = os.path.relpath(full, table_path)
+            bitmap = m["files"].get(rel)
+            if bitmap is None:
+                keep.append(full)
+                continue
+            if any(all(_bit_set(bitmap, b) for b in pr) for pr in probes):
+                keep.append(full)
     return keep
 
 
@@ -150,4 +162,6 @@ def scan_with_bloom(
         return spark.read.parquet(table_path).filter(pred)
     if not files:
         return spark.read.parquet(table_path).filter(F.lit(False))
-    return spark.read.parquet(*files).filter(pred)
+    # basePath keeps hive-partition columns resolvable when reading
+    # pruned leaf files out of a partitioned layout
+    return spark.read.option("basePath", table_path).parquet(*files).filter(pred)

@@ -74,3 +74,26 @@ def test_unindexed_falls_back_to_full_scan(spark, tmp_path):
     path = _table(spark, tmp_path)
     assert prune_files(path, [1]) is None
     assert scan_with_bloom(spark, path, "k", [1]).count() == 1
+
+
+def test_partitioned_layout_prunes_within_partitions(spark, tmp_path):
+    """Hive-partitioned tables: manifest keys are root-relative paths,
+    so pruning works INSIDE partition directories and the partition
+    column survives the leaf-file read (basePath)."""
+    path = str(tmp_path / "ptbl")
+    df = spark.range(800).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+    )
+    df.repartitionByRange(4, "k").write.partitionBy("p").mode("overwrite").parquet(path)
+    write_bloom_index(spark, path, "k")
+
+    got = scan_with_bloom(spark, path, "k", [17]).collect()
+    assert [(r.k, r.p) for r in got] == [(17, 1)]  # partition col intact
+    all_files = [
+        os.path.join(d, f)
+        for d, _s, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    kept = prune_files(path, [17])
+    assert 0 < len(kept) < len(all_files)
