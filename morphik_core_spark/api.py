@@ -1487,3 +1487,40 @@ class MorphikSpark:
             .limit(limit)
         )
         return [r.asDict(recursive=True) for r in rolled.collect()]
+
+    # ------------------------------------------------- corpus operations
+
+    def corpus_profile(self, auth: AuthContext | None = None) -> DataFrame:
+        """Data-quality gate over the store's own tables — the ops health
+        check a deployment runs before trusting retrieval results
+        (engine extension; the reference validates rows only at the API
+        edge via Pydantic). One aggregation pass per table
+        (operators/validation): completeness of the columns retrieval
+        depends on, key uniqueness, text length stats, status
+        sanity — metric AND check rows, long format, tagged by table.
+        Scoped to ``auth``'s app when given (same tenancy rule as every
+        read path)."""
+        from morphik_core_spark.operators.validation import validation_suite
+
+        docs = self.documents()
+        chunks = self.chunks()
+        if auth is not None and auth.app_id is not None:
+            docs = docs.filter(F.col("app_id") == auth.app_id)
+            chunks = chunks.filter(F.col("app_id") == auth.app_id)
+        d = validation_suite(
+            docs,
+            completeness_cols=["external_id", "status", "content_type"],
+            unique_cols=["external_id"],
+            length_cols=["filename"],
+            in_set={"status": ["completed", "processing", "failed"]},
+            min_completeness={"external_id": 1.0},
+            min_in_set_rate={"status": 1.0},
+        ).select(F.lit("documents").alias("table"), "entity", "metric", "value")
+        c = validation_suite(
+            chunks,
+            completeness_cols=["document_id", "chunk_number", "content"],
+            numeric_cols=["chunk_number"],
+            length_cols=["content"],
+            min_completeness={"document_id": 1.0, "content": 1.0},
+        ).select(F.lit("chunks").alias("table"), "entity", "metric", "value")
+        return d.unionByName(c)

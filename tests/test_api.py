@@ -597,3 +597,19 @@ def test_app_storage_usage(spark, tmp_path):
     assert other["document_count"] == 0 and other["total_mb"] == 0.0
     with pytest.raises(ValueError):
         api.app_storage_usage(AuthContext(user_id="x"))
+
+
+def test_corpus_profile_health_gate(client):
+    _seed(client)
+    prof = client.corpus_profile(auth=AUTH)
+    rows = {(r.table, r.entity, r.metric): r.value for r in prof.collect()}
+    # both tables profiled; retrieval-critical checks pass on a healthy store
+    assert rows[("documents", "_table", "row_count")] == 3.0
+    assert rows[("documents", "external_id", "check:unique")] == 1.0
+    assert rows[("documents", "status", "check:in_set")] == 1.0
+    assert rows[("chunks", "document_id", "check:complete")] == 1.0
+    assert rows[("chunks", "_table", "row_count")] > 3.0  # chunking fanned out
+    # tenancy: another app sees an empty (0-row) profile, not this app's
+    other = client.corpus_profile(auth=AuthContext(user_id="x", app_id="other"))
+    vals = {(r.table, r.metric): r.value for r in other.collect()}
+    assert vals[("documents", "row_count")] == 0.0
