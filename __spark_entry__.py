@@ -3043,6 +3043,41 @@ def _q_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_counts(items, ["event_type", "item"], "ts", half_life_days=7)
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup AFTER canonicalization — the composition
+    url_canonicalize exists for: the synthesized corpus emits the same
+    logical URL in mixed case / with tracking params / fragments /
+    default ports (doc pairs (2k, 2k+1) differ only in those), so
+    canonical-form grouping collapses twins raw-string grouping would
+    miss. Output: per canonical URL with duplicates, the keeper (min
+    doc_id), group size, and distinct RAW forms collapsed."""
+    docs = _t(spark, sf_dir, "documents")
+    from morphik_core_spark.operators.curation import url_canonicalize
+
+    base = F.concat(F.lit("ex"), (F.col("doc_id") / 2).cast("bigint").cast("string"))
+    messy = F.col("doc_id") % 2 == 1
+    url = F.concat(
+        F.when(messy, F.lit("HTTP://WWW.")).otherwise(F.lit("http://www.")),
+        base,
+        F.lit(".Example.com"),
+        F.when(messy, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p"),
+        F.when(messy, F.lit("?utm_source=x#frag")).otherwise(F.lit("")),
+    )
+    canon = url_canonicalize(docs.withColumn("url", url), "url", "doc_id")
+    raw = docs.select("doc_id", url.alias("raw_url"))
+    joined = canon.join(raw, "doc_id")
+    return (
+        joined.groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("raw_url").alias("n_raw_forms"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -3198,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_timing": _q_funnel_timing,
         "hybrid_rrf": _q_hybrid_rrf,
         "trending_items": _q_trending_items,
+        "url_dedup": _q_url_dedup,
     }
 
 
@@ -6399,6 +6435,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, item, count(*) AS n_events,
                    ROUND(CAST(SUM(wt) AS DOUBLE) / 1048576.0, 6) AS trending_score
             FROM w GROUP BY 1, 2
+        """,
+        "url_dedup": """
+            WITH u AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 2 = 1 THEN 'HTTP://WWW.' ELSE 'http://www.' END)
+                       || 'ex' || CAST(doc_id // 2 AS VARCHAR) || '.Example.com'
+                       || (CASE WHEN doc_id % 2 = 1 THEN ':80' ELSE '' END)
+                       || '/p'
+                       || (CASE WHEN doc_id % 2 = 1 THEN '?utm_source=x#frag' ELSE '' END) AS url
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS s,
+                       lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+                       regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+                       regexp_extract(url, '\\?([^#]*)', 1) AS q
+                FROM u
+            ),
+            c AS (
+                SELECT doc_id, url,
+                       s || '://' ||
+                       (CASE WHEN s = 'http' AND regexp_matches(hp, ':80$')
+                             THEN regexp_replace(hp, ':80$', '')
+                             WHEN s = 'https' AND regexp_matches(hp, ':443$')
+                             THEN regexp_replace(hp, ':443$', '')
+                             ELSE hp END)
+                       || pth ||
+                       (CASE WHEN array_to_string(list_sort(list_filter(string_split(q, '&'),
+                                 x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') <> ''
+                             THEN '?' || array_to_string(list_sort(list_filter(string_split(q, '&'),
+                                 x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&')
+                             ELSE '' END) AS canonical_url
+                FROM p
+            )
+            SELECT canonical_url, MIN(doc_id) AS keeper_id, count(*) AS group_size,
+                   count(DISTINCT url) AS n_raw_forms
+            FROM c GROUP BY 1 HAVING count(*) > 1
         """,
     }
 
