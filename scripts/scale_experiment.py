@@ -773,6 +773,24 @@ def main() -> None:
         t10 = timed(bloom1)
         print(json.dumps({"op": "bloom_index_build", "t_1x": t1, "t_10x": t10, "ratio": round(t10 / t1, 2)}))
 
+    if "pipeline" in ops:
+        # the COMPOSED curation pipeline end-to-end: if each stage is
+        # sublinear but the composition weren't (e.g. a stage forcing
+        # recomputation of everything upstream per count), this is where
+        # it would show. Stage stats run .count() per stage, so the 10x
+        # corpus also exercises repeated-action lineage costs.
+        from morphik_core_spark.pipeline import run_curation_pipeline
+
+        rates = {f"src{i}": 40 + (13 * i) % 61 for i in range(20)}
+
+        def full_pipeline(d):
+            curated, audit, _stats = run_curation_pipeline(
+                d, mixture_rates=rates, n_shards=16
+            )
+            mat(audit)
+
+        report("curation_pipeline", full_pipeline, docs1, docs10)
+
 
 if __name__ == "__main__":
     main()
