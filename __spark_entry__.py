@@ -3078,6 +3078,135 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier over part (minimize retail price, maximize
+    size): the skyline operator (Börzsönyi et al. ICDE'01) — "best
+    price/capability trade-offs" — via `analytics.pareto_frontier_2d`'s
+    bucket-local prune + exact per-cost-group pass. The oracle states
+    the quadratic NOT EXISTS dominance spec; the engine plan is
+    O(n log n) with no self-join."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    from morphik_core_spark.operators.analytics import pareto_frontier_2d
+
+    return pareto_frontier_2d(part, "p_retailprice", "p_size").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (`analytics.transition_counts`): lag window keyed by user, count per
+    (prev→next) state pair, per-prev normalization on the |states|²
+    aggregate. Ordering ties break on event_id (oracle orders by
+    epoch_us + event_id — the micro-truncation parity rule from
+    debounce)."""
+    ev = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.analytics import transition_counts
+
+    return transition_counts(ev, "user_id", "ts", "event_type", "event_id")
+
+
+def _q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of order volume: per-dow order
+    count, exact DECIMAL revenue, and a seasonality index (dow mean
+    order value / overall mean). dow = days-since-Monday-epoch mod 7 —
+    pure integer date arithmetic, engine-portable (no locale-dependent
+    DAYOFWEEK). The index divides two decimal-exact means inside one
+    fixed double tree; the normalizer is a window over the 7-row
+    aggregate (sanctioned dimension-sized global window)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    dec2 = F.col("o_totalprice").cast("decimal(18,2)")
+    agg = orders.groupBy(
+        F.expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-05') % 7").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec2).cast("decimal(18,2)").alias("total_price"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    idx = (
+        F.col("total_price").cast("double") / F.col("n_orders").cast("double")
+    ) / (
+        F.sum("total_price").over(w).cast("double")
+        / F.sum("n_orders").over(w).cast("double")
+    )
+    return agg.select(
+        "dow", "n_orders", "total_price", F.round(idx, 6).alias("seasonality_idx")
+    )
+
+
+def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram type/token diversity (`text_analysis.
+    ngram_diversity`): total vs distinct word trigrams per source —
+    the cross-document repetitiveness audit (template/boilerplate
+    sources score low). Same token recipe as the MinHash shingler,
+    WITHOUT per-doc distinct."""
+    docs = _t(spark, sf_dir, "documents")
+    from morphik_core_spark.operators.text_analysis import ngram_diversity
+
+    return ngram_diversity(docs, "text", "source", n=3)
+
+
+def _q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope per source (`text_analysis.zipf_slope`):
+    OLS of ln(freq) on ln(rank) over each source's top tokens, with ln
+    values quantized to scaled BIGINTs before the regression sums so the
+    slope is partitioning-independent (PSI/HLL scaled-integer rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    from morphik_core_spark.operators.text_analysis import zipf_slope
+
+    return zipf_slope(docs, "text", "source", top_n=500)
+
+
+def _q_sq8_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantization QA (`similarity.sq8_reconstruction_error`):
+    reconstruct every vector through the exact knn_sq8 code path and
+    report per-label reconstruction MSE — the is-4x-compression-safe
+    audit run before building the quantized index. Per-vector MSE folds
+    in array order then quantizes to pico-scaled BIGINTs; group sums are
+    exact integers."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from morphik_core_spark.operators.similarity import sq8_reconstruction_error
+
+    return sq8_reconstruction_error(emb, dims=_EMB_DIMS, group_col="label")
+
+
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel audit (`pipeline.curation_funnel`): documents
+    surviving input → language gate → quality rules → exact dedup, as
+    one relational plan (no per-stage actions). Synthetic twins (every
+    7th doc re-ingested under a shifted id — the re-crawl case) make the
+    dedup stage non-vacuous, and the language gate reads the declared
+    `lang` column (en/de/fr) so it actually drops es/zh docs; each
+    stage's predicate evaluates on the previous stage's survivors,
+    keeper = min id per fingerprint among quality-passing docs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dup_twins = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = docs.unionByName(dup_twins)
+    from morphik_core_spark.pipeline import curation_funnel
+
+    return curation_funnel(
+        corpus, "text", "doc_id", keep_langs=("en", "de", "fr"), lang_col="lang"
+    )
+
+
+def _q_dedup_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event dedup (`sessions.keep_first_per_window`):
+    at most one event per (user, type, aligned hour) — earliest ts wins,
+    event_id tie-break — with the per-window suppression count. Batch
+    twin of dropDuplicatesWithinWatermark; one partitioned window, no
+    join."""
+    ev = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.sessions import keep_first_per_window
+
+    kept = keep_first_per_window(ev, ["user_id", "event_type"], "ts", "event_id", 3600)
+    return kept.select("event_id", "user_id", "event_type", "window_start", "n_in_window")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -3234,6 +3363,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "trending_items": _q_trending_items,
         "url_dedup": _q_url_dedup,
+        "skyline_parts": _q_skyline_parts,
+        "event_transitions": _q_event_transitions,
+        "dow_seasonality": _q_dow_seasonality,
+        "ngram_diversity": _q_ngram_diversity,
+        "zipf_audit": _q_zipf_audit,
+        "sq8_error_audit": _q_sq8_error_audit,
+        "curation_funnel": _q_curation_funnel,
+        "dedup_per_window": _q_dedup_per_window,
     }
 
 
@@ -3447,6 +3584,53 @@ def _lsh_ctes(recursive: bool = False) -> str:
             )"""
 
 _STOPLIST = {lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lang, ws in text_analysis.STOPWORDS.items()}
+
+
+def _sq8_error_oracle(dims: int = 64) -> str:
+    """DuckDB twin of similarity.sq8_reconstruction_error — same affine
+    code tree as _sq8_oracle, squared-error fold written as the explicit
+    left-associated sum mirroring the Spark aggregate(), pico-scaled
+    BIGINT per-vector MSE so the group sums are exact integers."""
+
+    def recon(i: int) -> str:
+        return (
+            f"(CASE WHEN (st.mx[{i}] - st.mn[{i}]) = 0.0 THEN st.mn[{i}] "
+            f"ELSE (CAST(ec.codes[{i}] AS DOUBLE) / 255.0) * (st.mx[{i}] - st.mn[{i}]) + st.mn[{i}] END)"
+        )
+
+    terms = " + ".join(
+        f"({recon(i)} - CAST(ec.embedding[{i}] AS DOUBLE)) * "
+        f"({recon(i)} - CAST(ec.embedding[{i}] AS DOUBLE))"
+        for i in range(1, dims + 1)
+    )
+    mins = ", ".join(f"MIN(CAST(embedding[{i}] AS DOUBLE))" for i in range(1, dims + 1))
+    maxs = ", ".join(f"MAX(CAST(embedding[{i}] AS DOUBLE))" for i in range(1, dims + 1))
+    return f"""
+        WITH st AS (SELECT [{mins}] AS mn, [{maxs}] AS mx FROM embeddings),
+        ec AS (
+            SELECT e.vec_id, e.label, e.embedding,
+                   list_transform(range(1, {dims + 1}), i ->
+                       CAST(least(255, greatest(0,
+                           CASE WHEN (st.mx[i] - st.mn[i]) = 0.0 THEN 0
+                           ELSE CAST(round(((CAST(e.embedding[i] AS DOUBLE) - st.mn[i]) /
+                                (st.mx[i] - st.mn[i])) * 255.0) AS INT) END)) AS INT)) AS codes
+            FROM embeddings e, st
+        ),
+        pv AS (
+            SELECT ec.label,
+                   CAST(round(((0.0 + {terms}) / {dims}.0) * 1000000000000.0) AS BIGINT) AS mse_pico
+            FROM ec, st
+        ),
+        a AS (
+            SELECT label, count(*) AS n_vecs,
+                   CAST(SUM(mse_pico) AS BIGINT) AS s, MAX(mse_pico) AS mxp
+            FROM pv GROUP BY 1
+        )
+        SELECT label, n_vecs,
+               ROUND(CAST(s AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000000000.0, 12) AS mean_mse,
+               ROUND(CAST(mxp AS DOUBLE) / 1000000000000.0, 12) AS max_mse
+        FROM a
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6473,6 +6657,153 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, MIN(doc_id) AS keeper_id, count(*) AS group_size,
                    count(DISTINCT url) AS n_raw_forms
             FROM c GROUP BY 1 HAVING count(*) > 1
+        """,
+        "skyline_parts": """
+            SELECT a.p_partkey, a.p_retailprice, a.p_size
+            FROM part a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+                  AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+            )
+        """,
+        "event_transitions": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ) AS prev
+                FROM events
+            ),
+            c AS (
+                SELECT prev AS prev_state, event_type AS next_state,
+                       count(*) AS n_transitions
+                FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT prev_state, next_state, n_transitions,
+                   ROUND(CAST(n_transitions AS DOUBLE) /
+                         CAST(SUM(n_transitions) OVER (PARTITION BY prev_state) AS DOUBLE),
+                         6) AS prob
+            FROM c
+        """,
+        "dow_seasonality": """
+            WITH agg AS (
+                SELECT datediff('day', TIMESTAMP '1970-01-05', o_orderdate) % 7 AS dow,
+                       count(*) AS n_orders,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+                FROM orders GROUP BY 1
+            )
+            SELECT dow, n_orders, total_price,
+                   ROUND((CAST(total_price AS DOUBLE) / CAST(n_orders AS DOUBLE)) /
+                         (CAST(SUM(total_price) OVER () AS DOUBLE) /
+                          CAST(SUM(n_orders) OVER () AS DOUBLE)), 6) AS seasonality_idx
+            FROM agg
+        """,
+        "ngram_diversity": f"""
+            WITH tks AS (SELECT source, string_split({_NORM_TEXT}, ' ') AS tk FROM documents),
+            g AS (
+                SELECT source, unnest(list_transform(
+                    range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+                FROM tks WHERE len(tk) >= 3
+            )
+            SELECT source, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct,
+                   ROUND(CAST(count(DISTINCT gram) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS diversity
+            FROM g GROUP BY 1
+        """,
+        "zipf_audit": f"""
+            WITH tks AS (SELECT source, string_split({_NORM_TEXT}, ' ') AS tk FROM documents),
+            t AS (SELECT source, unnest(tk) AS tok FROM tks),
+            c AS (SELECT source, tok, count(*) AS freq FROM t GROUP BY 1, 2),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY freq DESC, tok ASC) AS rnk
+                FROM c
+            ),
+            s AS (
+                SELECT source,
+                       CAST(round(ln(CAST(rnk AS DOUBLE)) * 100000.0) AS BIGINT) AS x,
+                       CAST(round(ln(CAST(freq AS DOUBLE)) * 100000.0) AS BIGINT) AS y
+                FROM r WHERE rnk <= 500
+            ),
+            a AS (
+                SELECT source, count(*) AS n_terms,
+                       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+                FROM s GROUP BY 1
+            )
+            SELECT source, n_terms,
+                   ROUND(CAST(n_terms * sxy - sx * sy AS DOUBLE) /
+                         CAST(n_terms * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+            FROM a
+        """,
+        "sq8_error_audit": _sq8_error_oracle(),
+        "curation_funnel": f"""
+            WITH corpus AS (
+                SELECT doc_id, text, lang FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 7 = 0
+            ),
+            base AS (SELECT doc_id, text, lang FROM corpus
+                     WHERE text IS NOT NULL AND length(text) > 0),
+            norm AS (SELECT doc_id, lang, {_NORM_TEXT} AS t FROM base),
+            sigbase AS (
+                SELECT doc_id, string_split(t, ' ') AS words, length(t) AS n_chars_norm,
+                       length(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS symbol_chars
+                FROM norm
+            ),
+            sig AS (
+                SELECT doc_id, len(words) AS word_count,
+                       ROUND(list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words), 6) AS mean_word_len,
+                       ROUND(symbol_chars * 1.0 / greatest(n_chars_norm, 1), 6) AS symbol_ratio,
+                       ROUND(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) * 1.0 / len(words), 6) AS alpha_word_ratio,
+                       len(list_filter(words, w -> list_contains({_STOP_SQL}, w))) AS stop_hits
+                FROM sigbase
+            ),
+            flags AS (
+                SELECT n.doc_id, md5(n.t) AS fp,
+                       (n.lang IN ('en', 'de', 'fr')) AS f1,
+                       (n.lang IN ('en', 'de', 'fr')) AND
+                       (s.word_count BETWEEN {curation.MIN_WORDS} AND {curation.MAX_WORDS}
+                        AND s.mean_word_len BETWEEN {curation.MIN_MEAN_WORD_LEN} AND {curation.MAX_MEAN_WORD_LEN}
+                        AND s.symbol_ratio <= {curation.MAX_SYMBOL_RATIO}
+                        AND s.alpha_word_ratio >= {curation.MIN_ALPHA_WORD_RATIO}
+                        AND s.stop_hits >= {curation.MIN_STOPWORD_HITS}) AS f2
+                FROM norm n JOIN sig s USING (doc_id)
+            ),
+            k AS (
+                SELECT *, MIN(CASE WHEN f2 THEN doc_id END) OVER (PARTITION BY fp) AS keeper
+                FROM flags
+            ),
+            agg AS (
+                SELECT count(*) AS s0,
+                       CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+                       CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+                       CAST(SUM(CASE WHEN f2 AND doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT) AS s3
+                FROM k
+            )
+            SELECT 0 AS stage_idx, 'input' AS stage, s0 AS n_docs FROM agg
+            UNION ALL SELECT 1, 'language_id', s1 FROM agg
+            UNION ALL SELECT 2, 'quality_filter', s2 FROM agg
+            UNION ALL SELECT 3, 'exact_dedup', s3 FROM agg
+        """,
+        "dedup_per_window": """
+            WITH b AS (
+                SELECT event_id, user_id, event_type, ts,
+                       epoch_us(ts) // 3600000000 AS wb
+                FROM events
+            ),
+            r AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type, wb
+                           ORDER BY epoch_us(ts), event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id, event_type, wb) AS n_in_window
+                FROM b
+            )
+            SELECT event_id, user_id, event_type,
+                   make_timestamp(wb * 3600000000) AS window_start,
+                   CAST(n_in_window AS BIGINT) AS n_in_window
+            FROM r WHERE rn = 1
         """,
     }
 

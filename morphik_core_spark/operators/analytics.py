@@ -32,6 +32,8 @@ __all__ = [
     "population_stability",
     "basket_lift",
     "decayed_counts",
+    "pareto_frontier_2d",
+    "transition_counts",
 ]
 
 
@@ -510,4 +512,106 @@ def decayed_counts(
                 F.col("_w").cast("double") / F.lit(float(1 << max_half_lives)), 6
             ).alias("trending_score"),
         )
+    )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    prune_partitions: int = 32,
+) -> DataFrame:
+    """2-D skyline: rows not strictly dominated on (minimize ``minimize_col``,
+    maximize ``maximize_col``). Row B dominates A iff B.min <= A.min AND
+    B.max >= A.max with at least one strict — the classic Pareto-frontier
+    operator (Börzsönyi et al., "The Skyline Operator", ICDE 2001) that
+    SQL engines expose as SKYLINE OF and Spark lacks natively.
+
+    Plan: the textbook distributed shape — a LOCAL prune per hash bucket
+    (a row with a bucket-mate that is <= on cost and STRICTLY > on gain
+    is provably dominated globally, so dropping it is always safe; the
+    bucket window is partitioned, no global funnel), then the EXACT
+    dominance test on the surviving candidate set. Frontier sizes are
+    O(distinct cost values) in 2-D, so the final pass's unpartitioned
+    window runs over a frontier-sized frame, not the fact table — the
+    sanctioned warn-level global window (`plans.audit`). The exact pass
+    needs no self-join: group by cost → per-cost max gain, one running
+    max over strictly-cheaper cost groups, join back.
+
+    Ties survive: rows equal on BOTH dimensions dominate each other only
+    non-strictly, so all of them stay on the frontier (matching the
+    NOT EXISTS(...strict...) relational spec the oracle states).
+    """
+    from pyspark.sql import Window
+
+    mn, mx = F.col(minimize_col), F.col(maximize_col)
+    bucketed = df.withColumn("_b", F.pmod(F.hash(mn), F.lit(prune_partitions)))
+    w_local = (
+        Window.partitionBy("_b")
+        .orderBy(mn.asc(), mx.desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # preceding rows in this order have cost <= mine; one with gain
+    # STRICTLY above mine dominates me (strict in gain). Equal-gain
+    # predecessors are inconclusive here (could be a both-equal tie) —
+    # kept, resolved exactly below. False keeps OK, false drops never.
+    local = (
+        bucketed.withColumn("_premax", F.max(mx).over(w_local))
+        .filter(F.col("_premax").isNull() | (F.col("_premax") <= mx))
+        .drop("_b", "_premax")
+    )
+    per_cost = local.groupBy(mn.alias("_cost")).agg(F.max(mx).alias("_eqmax"))
+    w_cheaper = (
+        Window.orderBy(F.col("_cost").asc()).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_costs = per_cost.withColumn("_cheapermax", F.max("_eqmax").over(w_cheaper))
+    out = local.join(
+        F.broadcast(frontier_costs), local[minimize_col] == frontier_costs["_cost"]
+    )
+    keep = (F.col("_cheapermax").isNull() | (F.col("_cheapermax") < mx)) & (
+        F.col("_eqmax") <= mx
+    )
+    return out.filter(keep).drop("_cost", "_eqmax", "_cheapermax")
+
+
+def transition_counts(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event streams:
+    order each key's events by (ts, tiebreak), pair every event with its
+    predecessor's state via one lag window, count (prev_state →
+    next_state) transitions, and normalize per source state. The
+    next-action / clickstream-flow model behind "where do users go
+    after X" panels and behavioral-cloning data audits.
+
+    Output: (prev_state, next_state, n_transitions, prob) where prob =
+    n / Σ n over the same prev_state, ROUND(``decimals``) from integer
+    counts (float-parity rule: one division, rounded once).
+
+    Scale: the lag window partitions by key (no global funnel); the
+    count groupBy shuffles state-pair rows (cardinality = |states|²),
+    and the per-prev normalizer is a window over that tiny aggregate.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    paired = events.withColumn("_prev", F.lag(state_col).over(w)).filter(
+        F.col("_prev").isNotNull()
+    )
+    counts = paired.groupBy(
+        F.col("_prev").alias("prev_state"), F.col(state_col).alias("next_state")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    w_tot = Window.partitionBy("prev_state")
+    return counts.select(
+        "prev_state",
+        "next_state",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(w_tot), decimals
+        ).alias("prob"),
     )

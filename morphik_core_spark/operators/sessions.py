@@ -23,6 +23,7 @@ __all__ = [
     "moving_aggregates",
     "change_intervals",
     "debounce_events",
+    "keep_first_per_window",
 ]
 
 
@@ -275,3 +276,43 @@ def debounce_events(
         | ((F.expr(f"unix_micros(`{ts_col}`)") - prev_us) >= min_gap_secs * 1_000_000)
     )
     return events.withColumn("kept", gap_ok)
+
+
+def keep_first_per_window(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Tumbling-window dedup: keep the FIRST event (earliest ts, min id
+    tie-break) per (keys, aligned window) — "at most one event per user
+    per hour", the rate-normalization every metrics pipeline applies
+    before counting. Complements :func:`debounce_events` (that one
+    suppresses by GAP from the previously-kept event; this one dedups
+    within fixed epoch-aligned buckets) and is the batch twin of
+    Structured Streaming's ``dropDuplicatesWithinWatermark``.
+
+    Output: the kept rows with their window start (``window_start``,
+    timestamp) and how many events the window held (``n_in_window`` —
+    the suppression audit). Windows align to the epoch: bucket =
+    unix_micros div width, exact integer arithmetic on any engine.
+
+    Scale: one partitioned window (keys + bucket) — no global funnel,
+    no join; the shuffle key includes the bucket so even a single hot
+    user spreads across time.
+    """
+    width_us = int(window_seconds) * 1_000_000
+    bucketed = events.withColumn(
+        "_wb", F.expr(f"unix_micros(`{ts_col}`) div {width_us}")
+    )
+    w = Window.partitionBy(*key_cols, "_wb").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        bucketed.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_in_window", F.count(F.lit(1)).over(Window.partitionBy(*key_cols, "_wb")))
+        .filter(F.col("_rn") == 1)
+        .withColumn("window_start", F.expr(f"timestamp_micros(_wb * {width_us})"))
+        .drop("_wb", "_rn")
+    )

@@ -35,6 +35,7 @@ __all__ = [
     "knn_pq",
     "sq8_stats",
     "knn_sq8",
+    "sq8_reconstruction_error",
     "hard_negatives",
     "knn_matryoshka",
     "write_ivf_layout",
@@ -793,4 +794,73 @@ def semantic_decontaminate(
         F.col("m.c").alias("max_benchmark_cos"),
         (-F.col("m.n")).alias("nearest_bench_id"),
         (F.col("m.c") >= F.lit(threshold)).cast("int").alias("contaminated"),
+    )
+
+
+def sq8_reconstruction_error(
+    embeddings: DataFrame,
+    dims: int,
+    group_col: str = "label",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Quantization QA for the SQ8 index: quantize every vector with the
+    exact :func:`knn_sq8` code path, reconstruct, and report per-group
+    reconstruction MSE — the audit that decides whether 4x-at-rest
+    compression is safe for a corpus BEFORE the index is built (FAISS
+    exposes the same number as quantizer training error).
+
+    Determinism: the per-vector MSE folds dimensions in array order on
+    one fixed double-expression tree (identical association in the
+    DuckDB oracle's sequential list fold), then is quantized to a
+    scaled BIGINT (round(mse·10¹²)) so the per-group SUM/MAX are exact
+    integer arithmetic — aggregation order cannot change a digit.
+    mean/max convert back through the same double division both engines
+    evaluate identically.
+
+    Scale: stats row broadcasts (few hundred bytes); one codegen map
+    over the vectors; one uniform groupBy on ``group_col``.
+    """
+    stats = sq8_stats(embeddings, dims, emb_col)
+    code = (
+        "transform(sequence(0, {d} - 1), i -> CAST(least(255, greatest(0, "
+        "CASE WHEN (mx[i] - mn[i]) = 0.0D THEN 0 "
+        "ELSE CAST(round(((CAST(`{e}`[i] AS DOUBLE) - mn[i]) / (mx[i] - mn[i])) * 255.0D) AS INT) END)) AS INT))"
+    ).format(d=dims, e=emb_col)
+    sq_err = (
+        "aggregate(sequence(0, {d} - 1), 0.0D, (acc, i) -> acc + "
+        "((CASE WHEN (mx[i] - mn[i]) = 0.0D THEN mn[i] "
+        "ELSE (CAST(codes[i] AS DOUBLE) / 255.0D) * (mx[i] - mn[i]) + mn[i] END) "
+        "- CAST(`{e}`[i] AS DOUBLE)) * "
+        "((CASE WHEN (mx[i] - mn[i]) = 0.0D THEN mn[i] "
+        "ELSE (CAST(codes[i] AS DOUBLE) / 255.0D) * (mx[i] - mn[i]) + mn[i] END) "
+        "- CAST(`{e}`[i] AS DOUBLE)))"
+    ).format(d=dims, e=emb_col)
+    per_vec = (
+        embeddings.crossJoin(F.broadcast(stats))
+        .withColumn("codes", F.expr(code))
+        .withColumn(
+            "_mse_pico",
+            F.expr(f"CAST(round(({sq_err} / {dims}.0D) * 1000000000000.0D) AS BIGINT)"),
+        )
+    )
+    return (
+        per_vec.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("_mse_pico").alias("_sum_pico"),
+            F.max("_mse_pico").alias("_max_pico"),
+        )
+        .select(
+            group_col,
+            "n_vecs",
+            F.round(
+                F.col("_sum_pico").cast("double")
+                / F.col("n_vecs").cast("double")
+                / F.lit(1000000000000.0),
+                12,
+            ).alias("mean_mse"),
+            F.round(
+                F.col("_max_pico").cast("double") / F.lit(1000000000000.0), 12
+            ).alias("max_mse"),
+        )
     )

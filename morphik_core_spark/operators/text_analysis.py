@@ -30,6 +30,8 @@ __all__ = [
     "STOPWORDS",
     "readability",
     "script_mix",
+    "ngram_diversity",
+    "zipf_slope",
 ]
 
 # compact stopword profiles for the heuristic language scorer
@@ -593,4 +595,99 @@ def script_mix(
         ratio(n_space).alias("space_ratio"),
         ratio(total - n_latin - n_digit - n_cjk - n_space).alias("other_ratio"),
         mixed.alias("mixed_script"),
+    )
+
+
+def ngram_diversity(
+    df: DataFrame, text_col: str, group_col: str, n: int = 3, decimals: int = 6
+) -> DataFrame:
+    """Corpus-diversity audit: per group, total word n-grams vs distinct
+    word n-grams and their ratio (the n-gram type/token ratio). Low
+    values flag template-generated or self-repetitive sources — the
+    cross-document complement of the per-document `repetition_signals`
+    (this one catches a source whose DOCUMENTS are individually clean
+    but near-identical to each other), and a standard diversity metric
+    in data-mixture reports (cf. self-BLEU / distinct-n in generation
+    eval).
+
+    Plan: one projection builds the n-gram array per doc (same token
+    recipe as the MinHash shingler, but WITHOUT the per-doc distinct —
+    totals must count repeats), one explode, one groupBy with a distinct
+    agg (Spark expands it to the standard two-level partial aggregation;
+    the shuffle is keyed on (group, gram) — uniform, no hot keys).
+    Ratio from raw integer counts, rounded once.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.expr(
+        f"transform(sequence(0, size(tk) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))}))"
+    )
+    exploded = (
+        df.select(F.col(group_col), toks.alias("tk"))
+        .filter(F.size("tk") >= n)
+        .select(F.col(group_col), F.explode(grams).alias("gram"))
+    )
+    return (
+        exploded.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("gram").alias("n_distinct"),
+        )
+        .select(
+            group_col,
+            "n_grams",
+            "n_distinct",
+            F.round(F.col("n_distinct") / F.col("n_grams"), decimals).alias("diversity"),
+        )
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    top_n: int = 500,
+    decimals: int = 6,
+) -> DataFrame:
+    """Zipf rank-frequency audit: per group, the OLS slope of ln(freq)
+    on ln(rank) over the ``top_n`` most frequent tokens. Natural text
+    sits near −1; slopes far from it flag synthetic/templated or
+    boilerplate-heavy sources — a corpus-health diagnostic from the
+    same family as the language-ID confusion and dup-rate panels.
+
+    Determinism: ln values are quantized to scaled BIGINTs
+    (round(ln·10⁵)) BEFORE the regression sums, so every Σx, Σy, Σxy,
+    Σx² is exact integer arithmetic — aggregation order cannot change a
+    digit (the PSI/HLL scaled-integer rule). The scale bounds overflow:
+    |ln| ≤ ~20 ⇒ terms ≤ 4·10¹², n·Σxy ≤ ~2·10¹⁸ < 2⁶³ for top_n ≤ 10³.
+    Slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²); the 10¹⁰ scale cancels.
+
+    Plan: token count groupBy (uniform shuffle on (group, token)), a
+    per-group rank window over the aggregate (aggregate-sized, not
+    corpus-sized), top_n filter, one final groupBy.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(group_col, "tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("freq").desc(), F.col("tok").asc())
+    ranked = counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= top_n)
+    x = F.expr("CAST(round(ln(CAST(rnk AS DOUBLE)) * 100000.0D) AS BIGINT)")
+    y = F.expr("CAST(round(ln(CAST(freq AS DOUBLE)) * 100000.0D) AS BIGINT)")
+    sums = ranked.select(F.col(group_col), x.alias("x"), y.alias("y")).groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return sums.select(
+        group_col, "n_terms", F.round(slope, decimals).alias("zipf_slope")
     )

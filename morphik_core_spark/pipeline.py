@@ -29,7 +29,7 @@ from morphik_core_spark.functions.text import token_count
 from morphik_core_spark.operators import curation, dedup
 from morphik_core_spark.operators.text_analysis import language_id
 
-__all__ = ["run_curation_pipeline"]
+__all__ = ["run_curation_pipeline", "curation_funnel"]
 
 
 def run_curation_pipeline(
@@ -128,3 +128,70 @@ def run_curation_pipeline(
         }
     )
     return cur, audit, stats
+
+
+def curation_funnel(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_langs: tuple[str, ...] = ("en", "de", "fr"),
+    lang_col: str | None = None,
+) -> DataFrame:
+    """Single-pass funnel audit for the cheap curation stages: how many
+    documents survive input → language gate → quality rules → exact
+    dedup, as (stage_idx, stage, n_docs) rows — the retention funnel
+    every pipeline run reports, computed WITHOUT running the pipeline
+    (no per-stage actions, one relational plan; the relational twin of
+    ``run_curation_pipeline``'s counted stage_stats for its stages 1-3).
+
+    Semantics match the sequential pipeline exactly: each stage's
+    predicate is evaluated on the documents that survived the previous
+    stage — in particular the exact-dedup keeper is the min doc id per
+    fingerprint AMONG quality-surviving docs (a duplicate group whose
+    keeper failed quality elects a new keeper, just as running dedup
+    after the filter would).
+
+    The language gate reads ``lang_col`` (a declared/metadata language
+    column) when given, else runs the `language_id` detector — both are
+    real deployments (crawl corpora trust the detector; curated corpora
+    trust their metadata).
+
+    Plan: 1:1 joins on ``id_col`` (language + quality signal frames —
+    both map-side expression pipelines over the same scan), one
+    fingerprint window for the keeper, one global 4-counter aggregate
+    unpivoted with ``stack``. No corpus-sized collect, no self-join.
+    """
+    from pyspark.sql import Window
+
+    base = docs.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+    qual = curation.quality_filter(base, text_col, id_col).select(id_col, "passes")
+    flags = base.select(
+        F.col(id_col),
+        F.md5(dedup.normalize_text(F.col(text_col))).alias("_fp"),
+        *([F.col(lang_col)] if lang_col else []),
+    )
+    if lang_col is None:
+        lang = language_id(base, text_col, id_col).select(id_col, "pred_lang")
+        flags = flags.join(lang, id_col).withColumn(
+            "_f1", F.col("pred_lang").isin(list(keep_langs))
+        )
+    else:
+        flags = flags.withColumn("_f1", F.col(lang_col).isin(list(keep_langs)))
+    flags = flags.join(qual, id_col).withColumn("_f2", F.col("_f1") & F.col("passes"))
+    keeper = F.min(F.when(F.col("_f2"), F.col(id_col))).over(
+        Window.partitionBy("_fp")
+    )
+    flags = flags.withColumn("_f3", F.col("_f2") & (F.col(id_col) == keeper))
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(F.col("_f1").cast("bigint")).alias("s1"),
+        F.sum(F.col("_f2").cast("bigint")).alias("s2"),
+        F.sum(F.col("_f3").cast("bigint")).alias("s3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 0, 'input', s0, 1, 'language_id', s1, "
+            "2, 'quality_filter', s2, 3, 'exact_dedup', s3) "
+            "AS (stage_idx, stage, n_docs)"
+        )
+    )

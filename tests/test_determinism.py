@@ -60,6 +60,13 @@ SENSITIVE = [
     "bounce_rate",
     "readability",
     "script_mix",
+    # this session: scaled-int OLS (zipf), pico-scaled MSE sums (sq8),
+    # ratio trees over integer counts (transitions, diversity, dow index)
+    "zipf_audit",
+    "sq8_error_audit",
+    "event_transitions",
+    "ngram_diversity",
+    "dow_seasonality",
 ]
 
 
