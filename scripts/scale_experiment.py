@@ -184,6 +184,99 @@ def main() -> None:
         t10 = timed(lambda: fn(in10))
         print(json.dumps({"op": name, "t_1x": t1, "t_10x": t10, "ratio": round(t10 / t1, 2)}))
 
+    if "audits" in ops:
+        # this session's corpus-audit batch. Events tile 10x with shifted
+        # ids/timestamps (window + lag structure preserved per user);
+        # parts tile 10x with perturbed price so the skyline's
+        # distinct-cost set actually grows.
+        from morphik_core_spark.operators.analytics import (
+            pareto_frontier_2d,
+            transition_counts,
+        )
+        from morphik_core_spark.operators.sessions import keep_first_per_window
+        from morphik_core_spark.operators.similarity import sq8_reconstruction_error
+        from morphik_core_spark.operators.text_analysis import ngram_diversity, zipf_slope
+        from morphik_core_spark.pipeline import curation_funnel
+
+        ev1 = load_table(spark, "events", SF_DIR)
+        ev_tiles = [
+            ev1.select(
+                (F.col("event_id") * 10 + k).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+                (F.col("user_id") * 10 + k).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            for k in range(10)
+        ]
+        ev10_df = ev_tiles[0]
+        for t in ev_tiles[1:]:
+            ev10_df = ev10_df.unionByName(t)
+        ev10_p = os.path.join(tmp, "ev10")
+        ev10_df.write.mode("overwrite").parquet(ev10_p)
+        ev10 = spark.read.parquet(ev10_p)
+
+        part1 = load_table(spark, "part", SF_DIR).select(
+            "p_partkey", "p_retailprice", "p_size"
+        )
+        pt_tiles = [
+            part1.select(
+                (F.col("p_partkey") * 10 + k).alias("p_partkey"),
+                (F.col("p_retailprice") + k * 0.013).alias("p_retailprice"),
+                "p_size",
+            )
+            for k in range(10)
+        ]
+        part10_df = pt_tiles[0]
+        for t in pt_tiles[1:]:
+            part10_df = part10_df.unionByName(t)
+        part10_p = os.path.join(tmp, "part10")
+        part10_df.write.mode("overwrite").parquet(part10_p)
+        part10 = spark.read.parquet(part10_p)
+
+        report(
+            "ngram_diversity",
+            lambda d: mat(ngram_diversity(d, "text", "source")),
+            docs1,
+            docs10,
+        )
+        report(
+            "zipf_slope", lambda d: mat(zipf_slope(d, "text", "source")), docs1, docs10
+        )
+        report(
+            "curation_funnel",
+            lambda d: mat(curation_funnel(d, lang_col="lang")),
+            docs1,
+            docs10,
+        )
+        report(
+            "transition_counts",
+            lambda e: mat(transition_counts(e, "user_id", "ts", "event_type", "event_id")),
+            ev1,
+            ev10,
+        )
+        report(
+            "keep_first_per_window",
+            lambda e: mat(
+                keep_first_per_window(e, ["user_id", "event_type"], "ts", "event_id", 3600)
+            ),
+            ev1,
+            ev10,
+        )
+        report(
+            "pareto_frontier",
+            lambda p: mat(pareto_frontier_2d(p, "p_retailprice", "p_size")),
+            part1,
+            part10,
+        )
+        report(
+            "sq8_reconstruction_error",
+            lambda e: mat(sq8_reconstruction_error(e, dims=64)),
+            emb1,
+            emb10,
+        )
+
     if "entity" in ops:
         # Entity resolution at 10x: the DISTINCT-NAME table must grow
         # with the corpus for the experiment to mean anything (the raw
