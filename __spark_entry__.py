@@ -3207,6 +3207,65 @@ def _q_dedup_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("event_id", "user_id", "event_type", "window_start", "n_in_window")
 
 
+def _q_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch length buckets (`curation.length_bucketing`): CASE
+    bucket assignment + per-bucket padding-waste audit. The (16,32,64)
+    menu keeps the overflow/truncation branch non-vacuous at every SF
+    (corpus word counts run 10-99)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.length_bucketing(docs, "text", "doc_id", buckets=(16, 32, 64))
+
+
+def _q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup (`streaming.neardup.near_dup_batch`, the
+    batch API of the streaming near-dup filter, here against a band
+    STORE built from the standing corpus): docs_id%5==0 play today's
+    increment, the rest the standing corpus. A new doc is kept iff no
+    LSH band matches the store AND no smaller-id batch-mate claimed one
+    of its bands — exactly the store-then-claim contract the streaming
+    path applies per micro-batch. Output: every new doc with its kept
+    verdict."""
+    docs = _t(spark, sf_dir, "documents")
+    from morphik_core_spark.streaming.neardup import doc_band_keys, near_dup_batch
+
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    store = doc_band_keys(old, "text", "doc_id", num_hashes=_MINHASHES, bands=4).select(
+        "band", "key"
+    )
+    kept_docs, _bands = near_dup_batch(new, store, "text", "doc_id", num_hashes=_MINHASHES, bands=4)
+    kept_flag = kept_docs.select("doc_id").withColumn("kept", F.lit(True))
+    return (
+        new.select("doc_id")
+        .join(kept_flag, "doc_id", "left")
+        .select("doc_id", F.coalesce("kept", F.lit(False)).alias("kept"))
+    )
+
+
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label exact centroids (`embedding_stats.label_centroids`),
+    exploded to (label, n_vecs, dim, value) scalar rows: per-dim means
+    from scaled-int sums — bit-identical under any partitioning."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from morphik_core_spark.operators.embedding_stats import label_centroids
+
+    cents = label_centroids(emb, dims=_EMB_DIMS)
+    return cents.select(
+        "label", "n_vecs", F.posexplode("centroid").alias("dim", "value")
+    )
+
+
+def _q_centroid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix (`embedding_stats.
+    centroid_confusion`): every vector assigned to its cosine-nearest
+    class prototype, counted as (true label → assigned label) — the
+    label-separability audit; rounded-cos argmax with min-cid ties."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from morphik_core_spark.operators.embedding_stats import centroid_confusion
+
+    return centroid_confusion(emb, dims=_EMB_DIMS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -3371,6 +3430,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_error_audit": _q_sq8_error_audit,
         "curation_funnel": _q_curation_funnel,
         "dedup_per_window": _q_dedup_per_window,
+        "length_bucketing": _q_length_bucketing,
+        "incremental_neardup": _q_incremental_neardup,
+        "label_centroids": _q_label_centroids,
+        "centroid_assignments": _q_centroid_assignments,
     }
 
 
@@ -3631,6 +3694,24 @@ def _sq8_error_oracle(dims: int = 64) -> str:
                ROUND(CAST(mxp AS DOUBLE) / 1000000000000.0, 12) AS max_mse
         FROM a
     """
+
+
+def _centroid_ctes(dims: int = 64) -> str:
+    """Shared DuckDB CTEs for the label-centroid oracles: per-label
+    scaled-int sums (round(x·10⁷) BIGINT — exact, order-free) and the
+    centroid arrays rebuilt through the same double tree the Spark
+    operator evaluates (ROUND(s/n/10⁷, 6) + 0.0 to collapse −0.0)."""
+    sums = ", ".join(
+        f"SUM(CAST(round(CAST(embedding[{i}] AS DOUBLE) * 10000000.0) AS BIGINT)) AS s{i}"
+        for i in range(1, dims + 1)
+    )
+    cent = ", ".join(
+        f"ROUND(CAST(CAST(s{i} AS BIGINT) AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0, 6) + 0.0"
+        for i in range(1, dims + 1)
+    )
+    return f"""
+        s AS (SELECT label, count(*) AS n, {sums} FROM embeddings GROUP BY label),
+        c AS (SELECT label, n, [{cent}] AS centroid FROM s)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6804,6 +6885,67 @@ def oracle_sql() -> dict[str, str]:
                    make_timestamp(wb * 3600000000) AS window_start,
                    CAST(n_in_window AS BIGINT) AS n_in_window
             FROM r WHERE rn = 1
+        """,
+        "length_bucketing": f"""
+            WITH wcs AS (SELECT doc_id, len(string_split({_NORM_TEXT}, ' ')) AS wc FROM documents),
+            b AS (
+                SELECT doc_id, wc,
+                       CASE WHEN wc <= 16 THEN 16 WHEN wc <= 32 THEN 32
+                            WHEN wc <= 64 THEN 64 ELSE 64 END AS bucket
+                FROM wcs
+            ),
+            a AS (
+                SELECT bucket, count(*) AS n_docs,
+                       CAST(SUM(CASE WHEN wc > bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+                       CAST(SUM(wc) AS BIGINT) AS total_tokens,
+                       CAST(SUM(least(wc, bucket)) AS BIGINT) AS effective_tokens
+                FROM b GROUP BY 1
+            )
+            SELECT bucket, n_docs, n_truncated, total_tokens, effective_tokens,
+                   n_docs * bucket AS padded_tokens,
+                   ROUND(CAST(n_docs * bucket - effective_tokens AS DOUBLE) /
+                         CAST(n_docs * bucket AS DOUBLE), 6) AS waste_ratio
+            FROM a
+        """,
+        "incremental_neardup": f"""
+            {_lsh_ctes()},
+            oldb AS (SELECT band, key FROM buckets WHERE doc_id % 5 <> 0),
+            newb AS (SELECT * FROM buckets WHERE doc_id % 5 = 0),
+            hit AS (SELECT DISTINCT n.doc_id FROM newb n JOIN oldb o USING (band, key)),
+            surv AS (SELECT * FROM newb WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+            claims AS (SELECT band, key, MIN(doc_id) AS claimer FROM surv GROUP BY 1, 2),
+            dropped AS (
+                SELECT DISTINCT s.doc_id FROM surv s
+                JOIN claims cl ON s.band = cl.band AND s.key = cl.key
+                WHERE cl.claimer < s.doc_id
+            )
+            SELECT d.doc_id,
+                   (d.doc_id NOT IN (SELECT doc_id FROM hit)
+                    AND d.doc_id NOT IN (SELECT doc_id FROM dropped)) AS kept
+            FROM documents d WHERE d.doc_id % 5 = 0
+        """,
+        "label_centroids": f"""
+            WITH {_centroid_ctes()}
+            SELECT label, CAST(n AS BIGINT) AS n_vecs,
+                   CAST(u.i - 1 AS INT) AS dim, centroid[u.i] AS value
+            FROM c CROSS JOIN (SELECT unnest(range(1, 65)) AS i) u
+        """,
+        "centroid_assignments": f"""
+            WITH {_centroid_ctes()},
+            sc AS (
+                SELECT e.vec_id, e.label AS true_label, c.label AS cid,
+                       -ROUND(list_dot_product(e.embedding::DOUBLE[], c.centroid) /
+                              (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                               sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS nc
+                FROM embeddings e, c
+            ),
+            b AS (
+                SELECT vec_id, true_label, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY nc ASC, cid ASC) AS rn
+                FROM sc
+            )
+            SELECT true_label, cid AS assigned_label, count(*) AS n_vecs
+            FROM b WHERE rn = 1 GROUP BY 1, 2
         """,
     }
 

@@ -59,6 +59,8 @@ __all__ = [
     "c4_line_filters",
     "group_sample",
     "training_shards",
+    "length_bucketing",
+    "LENGTH_BUCKETS",
 ]
 
 # Gopher-inspired rule thresholds (Rae et al. 2021 A1.1), adapted to the
@@ -1000,4 +1002,58 @@ def url_canonicalize(
         F.col(id_col),
         canon.alias("canonical_url"),
         reg.alias("registrable_domain"),
+    )
+
+
+LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def length_bucketing(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: tuple[int, ...] = LENGTH_BUCKETS,
+    decimals: int = 6,
+) -> DataFrame:
+    """Training-batch length bucketing: assign every document to the
+    smallest bucket in a fixed menu that holds its token count and
+    report per-bucket padding waste — the planning audit behind bucketed
+    batching (samples batched with near-equal lengths so the pad-to-max
+    overhead stays low; the menu is the fixed shape set a compiled
+    training stack wants). Documents longer than the largest bucket are
+    assigned to it and counted as truncated.
+
+    Output per bucket: (bucket, n_docs, n_truncated, total_tokens,
+    effective_tokens = Σ min(len, bucket), padded_tokens = n·bucket,
+    waste_ratio = (padded − effective) / padded). Ratios come from raw
+    integer counts, rounded once.
+
+    Scale: one map computing the CASE-chain bucket, one groupBy over
+    |menu| keys. The skewed-bucket worry is inverted here — few keys is
+    the POINT; per-bucket rows are counters, not payloads.
+    """
+    wc = F.size(F.split(normalize_text(F.col(text_col)), " "))
+    b = F.when(wc <= buckets[0], F.lit(buckets[0]))
+    for bk in buckets[1:]:
+        b = b.when(wc <= bk, F.lit(bk))
+    b = b.otherwise(F.lit(buckets[-1]))
+    base = df.select(F.col(id_col), wc.alias("_wc"), b.alias("bucket"))
+    agg = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("_wc") > F.col("bucket")).cast("bigint")).alias("n_truncated"),
+        F.sum("_wc").alias("total_tokens"),
+        F.sum(F.least(F.col("_wc"), F.col("bucket"))).alias("effective_tokens"),
+    )
+    padded = F.col("n_docs") * F.col("bucket")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "n_truncated",
+        "total_tokens",
+        "effective_tokens",
+        padded.alias("padded_tokens"),
+        F.round(
+            (padded - F.col("effective_tokens")).cast("double") / padded.cast("double"),
+            decimals,
+        ).alias("waste_ratio"),
     )

@@ -37,6 +37,8 @@ __all__ = [
     "covariance_sums",
     "pca_fit",
     "pca_project",
+    "label_centroids",
+    "centroid_confusion",
 ]
 
 
@@ -164,3 +166,90 @@ def pca_project(
             )
         )
     return embeddings.withColumn(out_col, F.array(*outs))
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    dims: int,
+    group_col: str = "label",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group exact centroid (class prototype): per-dimension mean
+    computed from scaled-integer sums — each component quantizes to
+    round(x·10⁷) int64 before the group SUM, so the centroid is
+    partitioning-independent to the last bit (the covariance/PageRank
+    scaled-int rule; |x| ≤ ~90 keeps 10⁷-scaled sums inside int64 up to
+    ~10⁹ rows per group). The prototype table behind nearest-centroid
+    audits, cluster naming, and class-balance drift checks.
+
+    Output: (group, n_vecs, centroid array<double>), each dim ROUND(6)
+    (+0.0 collapses −0.0 so reprs agree across engines).
+
+    Scale: one map + one groupBy producing |groups| rows of dims
+    numbers — broadcastable downstream like IVF centroids.
+    """
+    q = [
+        F.sum(
+            F.expr(f"CAST(round(CAST(`{emb_col}`[{i}] AS DOUBLE) * 10000000.0D) AS BIGINT)")
+        ).alias(f"_s{i}")
+        for i in range(dims)
+    ]
+    sums = embeddings.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_vecs"), *q)
+    centroid = F.array(
+        *[
+            F.round(
+                F.col(f"_s{i}").cast("double")
+                / F.col("n_vecs").cast("double")
+                / F.lit(10000000.0),
+                decimals,
+            )
+            + F.lit(0.0)
+            for i in range(dims)
+        ]
+    )
+    return sums.select(group_col, "n_vecs", centroid.alias("centroid"))
+
+
+def centroid_confusion(
+    embeddings: DataFrame,
+    dims: int,
+    group_col: str = "label",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Nearest-centroid confusion matrix: assign every vector to its
+    cosine-nearest class centroid (from :func:`label_centroids`) and
+    count (true group → assigned group) pairs — the label-quality /
+    class-separability audit run before trusting labels for training
+    (high off-diagonal mass = mislabeled or inseparable classes).
+
+    Determinism: cosine is rounded BEFORE the argmax and ties break to
+    the smallest centroid id via one struct-min aggregation (the same
+    rounded-argmax rule as `ivf_assign`); centroid values are the
+    exact scaled-int means, identical on any engine.
+
+    Scale: the centroid frame is |groups|·dims numbers — broadcast; one
+    nested-loop broadcast join (sanctioned sketch-size pattern), one
+    struct-min groupBy per vector, one tiny confusion groupBy.
+    """
+    cents = label_centroids(embeddings, dims, group_col, emb_col, id_col, decimals).select(
+        F.col(group_col).alias("cid"), "centroid"
+    )
+
+    def dot(a: str, b: str) -> str:
+        return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+    v = f"cast(`{emb_col}` as array<double>)"
+    cos = f"({dot(v, 'centroid')}) / (sqrt({dot(v, v)}) * sqrt({dot('centroid', 'centroid')}))"
+    joined = embeddings.crossJoin(F.broadcast(cents)).withColumn(
+        "_nc", -F.round(F.expr(cos), decimals)
+    )
+    best = joined.groupBy(id_col, group_col).agg(
+        F.min(F.struct(F.col("_nc"), F.col("cid"))).alias("_b")
+    )
+    return best.groupBy(
+        F.col(group_col).alias("true_label"), F.col("_b.cid").alias("assigned_label")
+    ).agg(F.count(F.lit(1)).alias("n_vecs"))

@@ -260,3 +260,76 @@ def test_curation_funnel_detector_path(spark):
     df = spark.createDataFrame([(1, good, "xx")], "doc_id BIGINT, text STRING, lang STRING")
     got = {r.stage: r.n_docs for r in curation_funnel(df, keep_langs=("en",)).collect()}
     assert got["language_id"] == 1
+
+
+# ------------------------------------------------------- length bucketing
+
+from morphik_core_spark.operators.curation import length_bucketing
+
+
+def test_length_bucketing_hand_case(spark):
+    texts = [
+        (1, " ".join(["w"] * 10)),   # bucket 16, eff 10
+        (2, " ".join(["w"] * 16)),   # bucket 16, eff 16 (boundary inclusive)
+        (3, " ".join(["w"] * 17)),   # bucket 32
+        (4, " ".join(["w"] * 100)),  # > max -> bucket 64, truncated, eff 64
+    ]
+    df = spark.createDataFrame(texts, "doc_id BIGINT, text STRING")
+    got = {r.bucket: r for r in length_bucketing(df, "text", "doc_id", buckets=(16, 32, 64)).collect()}
+    assert got[16].n_docs == 2 and got[16].effective_tokens == 26 and got[16].padded_tokens == 32
+    assert got[16].n_truncated == 0
+    assert got[32].n_docs == 1 and got[32].waste_ratio == pytest.approx(15 / 32, abs=1e-6)
+    assert got[64].n_truncated == 1 and got[64].effective_tokens == 64
+
+
+def test_length_bucketing_waste_zero_when_exact(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 32))], "doc_id BIGINT, text STRING"
+    )
+    row = length_bucketing(df, "text", "doc_id", buckets=(16, 32, 64)).first()
+    assert row.bucket == 32 and row.waste_ratio == 0.0
+
+
+# ------------------------------------------------------------- centroids
+
+from morphik_core_spark.operators.embedding_stats import (
+    centroid_confusion,
+    label_centroids,
+)
+
+
+def test_label_centroids_exact_means(spark):
+    rows = [(1, [1.0, 0.0], 0), (2, [3.0, 0.5], 0), (3, [10.0, -1.0], 1)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    got = {r.label: r for r in label_centroids(df, dims=2).collect()}
+    assert got[0].centroid == [2.0, 0.25] and got[0].n_vecs == 2
+    assert got[1].centroid == [10.0, -1.0]
+
+
+def test_label_centroids_no_negative_zero(spark):
+    # a mean that rounds to zero from below must surface as +0.0
+    rows = [(1, [-1e-9], 0), (2, [0.0], 0)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    v = label_centroids(df, dims=1).first().centroid[0]
+    assert repr(v) == "0.0"
+
+
+def test_centroid_confusion_separable_classes_diagonal(spark):
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    got = {(r.true_label, r.assigned_label): r.n_vecs for r in centroid_confusion(df, dims=2).collect()}
+    assert got == {(0, 0): 2, (1, 1): 2}
+
+
+def test_centroid_confusion_flags_mislabeled_vector(spark):
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),
+        (3, [0.0, 1.0], 1), (4, [0.0, 1.0], 1), (5, [0.0, 1.0], 1),
+        (6, [0.0, 1.0], 0),  # mislabeled: sits on class 1's centroid
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    got = {(r.true_label, r.assigned_label): r.n_vecs for r in centroid_confusion(df, dims=2).collect()}
+    assert got[(0, 1)] == 1  # the off-diagonal hit

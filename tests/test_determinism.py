@@ -67,6 +67,10 @@ SENSITIVE = [
     "event_transitions",
     "ngram_diversity",
     "dow_seasonality",
+    # scaled-int centroid means + rounded-cos argmax; bucketed waste ratios
+    "label_centroids",
+    "centroid_assignments",
+    "length_bucketing",
 ]
 
 
