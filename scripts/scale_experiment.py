@@ -277,6 +277,32 @@ def main() -> None:
             emb10,
         )
 
+        from morphik_core_spark.operators.curation import length_bucketing
+        from morphik_core_spark.operators.embedding_stats import centroid_confusion
+        from morphik_core_spark.streaming.neardup import doc_band_keys, near_dup_batch
+
+        report(
+            "length_bucketing",
+            lambda d: mat(length_bucketing(d, "text", "doc_id", buckets=(16, 32, 64))),
+            docs1,
+            docs10,
+        )
+
+        def incr_neardup(d):
+            new = d.filter(F.col("doc_id") % 5 == 0)
+            old = d.filter(F.col("doc_id") % 5 != 0)
+            store = doc_band_keys(old, "text", "doc_id").select("band", "key")
+            kept, _ = near_dup_batch(new, store, "text", "doc_id")
+            mat(kept)
+
+        report("incremental_neardup", incr_neardup, docs1, docs10)
+        report(
+            "centroid_confusion",
+            lambda e: mat(centroid_confusion(e, dims=64)),
+            emb1,
+            emb10,
+        )
+
     if "entity" in ops:
         # Entity resolution at 10x: the DISTINCT-NAME table must grow
         # with the corpus for the experiment to mean anything (the raw
