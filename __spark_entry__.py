@@ -3229,11 +3229,15 @@ def _q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from morphik_core_spark.streaming.neardup import doc_band_keys, near_dup_batch
 
     new = docs.filter(F.col("doc_id") % 5 == 0)
-    old = docs.filter(F.col("doc_id") % 5 != 0)
-    store = doc_band_keys(old, "text", "doc_id", num_hashes=_MINHASHES, bands=4).select(
-        "band", "key"
+    # ONE signature pass over the whole corpus, split by id afterwards —
+    # banding old and new separately would run the dominant
+    # shingle→minhash pipeline twice (the self-union lesson, NOTES.md)
+    bands_all = doc_band_keys(docs, "text", "doc_id", num_hashes=_MINHASHES, bands=4).persist()
+    store = bands_all.filter(F.col("doc_id") % 5 != 0).select("band", "key")
+    new_bands = bands_all.filter(F.col("doc_id") % 5 == 0)
+    kept_docs, _bands = near_dup_batch(
+        new, store, "text", "doc_id", num_hashes=_MINHASHES, bands=4, batch_bands=new_bands
     )
-    kept_docs, _bands = near_dup_batch(new, store, "text", "doc_id", num_hashes=_MINHASHES, bands=4)
     kept_flag = kept_docs.select("doc_id").withColumn("kept", F.lit(True))
     return (
         new.select("doc_id")

@@ -190,26 +190,24 @@ def label_centroids(
     Scale: one map + one groupBy producing |groups| rows of dims
     numbers — broadcastable downstream like IVF centroids.
     """
-    q = [
-        F.sum(
-            F.expr(f"CAST(round(CAST(`{emb_col}`[{i}] AS DOUBLE) * 10000000.0D) AS BIGINT)")
-        ).alias(f"_s{i}")
-        for i in range(dims)
-    ]
-    sums = embeddings.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_vecs"), *q)
-    centroid = F.array(
+    # one parsed SQL string per aggregate and ONE for the centroid array:
+    # the Column-API form (64 nested F.sum/F.round/F.cast chains) cost
+    # ~1.6 s of py4j/analysis per call (the F.expr-vs-py4j-literals
+    # lesson, NOTES.md round 4)
+    sums = embeddings.groupBy(group_col).agg(
+        F.expr("count(1) AS n_vecs"),
         *[
-            F.round(
-                F.col(f"_s{i}").cast("double")
-                / F.col("n_vecs").cast("double")
-                / F.lit(10000000.0),
-                decimals,
+            F.expr(
+                f"SUM(CAST(round(CAST(`{emb_col}`[{i}] AS DOUBLE) * 10000000.0D) AS BIGINT)) AS _s{i}"
             )
-            + F.lit(0.0)
             for i in range(dims)
-        ]
+        ],
     )
-    return sums.select(group_col, "n_vecs", centroid.alias("centroid"))
+    cent = ", ".join(
+        f"round(CAST(_s{i} AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 10000000.0D, {decimals}) + 0.0D"
+        for i in range(dims)
+    )
+    return sums.selectExpr(f"`{group_col}`", "n_vecs", f"array({cent}) AS centroid")
 
 
 def centroid_confusion(
@@ -235,16 +233,26 @@ def centroid_confusion(
     nested-loop broadcast join (sanctioned sketch-size pattern), one
     struct-min groupBy per vector, one tiny confusion groupBy.
     """
+    # dots as EXPLICIT indexed sums, not zip_with/aggregate folds: the
+    # higher-order functions interpret per element (~1.7 µs/elem measured
+    # — 2.2 s for 2k vectors × 10 centroids × 64 dims) while the explicit
+    # chain stays inside whole-stage codegen; same left-associated
+    # doubles (0-init fold ≡ bare chain). Norms are hoisted out of the
+    # per-(vector, centroid) expression: once per centroid row, once per
+    # vector row — the pair expression multiplies only the cross dot.
+    def xdot(a, b) -> str:
+        return " + ".join(f"({a(i)} * {b(i)})" for i in range(dims))
+
+    ve = lambda i: f"CAST(`{emb_col}`[{i}] AS DOUBLE)"
+    ce = lambda i: f"centroid[{i}]"
     cents = label_centroids(embeddings, dims, group_col, emb_col, id_col, decimals).select(
-        F.col(group_col).alias("cid"), "centroid"
+        F.col(group_col).alias("cid"),
+        "centroid",
+        F.expr(f"sqrt({xdot(ce, ce)})").alias("_cnorm"),
     )
-
-    def dot(a: str, b: str) -> str:
-        return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
-
-    v = f"cast(`{emb_col}` as array<double>)"
-    cos = f"({dot(v, 'centroid')}) / (sqrt({dot(v, v)}) * sqrt({dot('centroid', 'centroid')}))"
-    joined = embeddings.crossJoin(F.broadcast(cents)).withColumn(
+    vecs = embeddings.withColumn("_vnorm", F.expr(f"sqrt({xdot(ve, ve)})"))
+    cos = f"({xdot(ve, ce)}) / (_vnorm * _cnorm)"
+    joined = vecs.crossJoin(F.broadcast(cents)).withColumn(
         "_nc", -F.round(F.expr(cos), decimals)
     )
     best = joined.groupBy(id_col, group_col).agg(

@@ -78,16 +78,25 @@ def near_dup_batch(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     bands: int = 4,
+    batch_bands: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch of the streaming filter. Returns (kept_docs,
     new_band_rows): docs whose bands were all unclaimed — by the store
     AND by smaller-id docs in the same batch — plus the band rows to
-    append for them."""
+    append for them.
+
+    Pass ``batch_bands`` (precomputed ``doc_band_keys`` rows for exactly
+    ``batch_docs``) when the caller already ran the signature pipeline —
+    e.g. an incremental run that banded old+new corpora in ONE pass and
+    split by id; recomputing signatures here would double the dominant
+    cost."""
     from pyspark import StorageLevel
 
-    buckets = doc_band_keys(batch_docs, text_col, id_col, num_hashes, bands).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    buckets = (
+        batch_bands
+        if batch_bands is not None
+        else doc_band_keys(batch_docs, text_col, id_col, num_hashes, bands)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if store is not None:
         hit = buckets.join(store, ["band", "key"], "left_semi").select(id_col).distinct()
         surv = buckets.join(hit, id_col, "left_anti")
