@@ -3270,6 +3270,145 @@ def _q_centroid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_confusion(emb, dims=_EMB_DIMS)
 
 
+def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (`analytics.rfm_segments`): per user
+    Recency/Frequency/Monetary, each ntile-scored 1..5 with user-id
+    tie-breaks, rolled up per (r,f,m) cell. Recency is exact integer
+    days vs the corpus max ts; monetary sums are DECIMAL-exact."""
+    events = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    from morphik_core_spark.operators.analytics import rfm_segments
+
+    return rfm_segments(events, "user_id", "ts", "value")
+
+
+def _q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding (Micci-Barreca 2001) of order
+    priority against the finished-status target, plus the leave-one-out
+    encode band per category (`curation.target_encoding`). Exact int
+    counts; each float is one fixed expression tree rounded once."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "is_final", (F.col("o_orderstatus") == "F").cast("int")
+    )
+    from morphik_core_spark.operators.curation import target_encoding
+
+    return target_encoding(orders, "o_orderpriority", "is_final", m_smoothing=10)
+
+
+def _q_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity orphan audit (`validation.referential_orphans`)
+    across four FK edges of the star schema. The dimensions are
+    synthetically restricted (key % prime != 0 rows dropped) so the
+    orphan counts are non-vacuous at every sf; each edge is one
+    broadcast left join + conditional count, no fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    from morphik_core_spark.operators.validation import referential_orphans
+
+    return referential_orphans(
+        [
+            ("lineitem->orders", li, "l_orderkey",
+             orders.filter(F.col("o_orderkey") % 97 != 0), "o_orderkey"),
+            ("orders->customer", orders, "o_custkey",
+             cust.filter(F.col("c_custkey") % 89 != 0), "c_custkey"),
+            ("lineitem->part", li, "l_partkey",
+             part.filter(F.col("p_partkey") % 83 != 0), "p_partkey"),
+            ("lineitem->supplier", li, "l_suppkey",
+             supp.filter(F.col("s_suppkey") % 79 != 0), "s_suppkey"),
+        ]
+    )
+
+
+def _q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths (`sessions.session_paths`): first 3
+    event types of every 6-hour-gap session, '>'-joined, with session
+    and user counts. In-session order is total via the event_id
+    tie-break, so the collected prefix is engine-independent."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.sessions import session_paths
+
+    return session_paths(events, gap_seconds=21600, path_len=3)
+
+
+def _q_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema inference (`validation.json_schema_profile`):
+    per top-level JSON key — presence count/rate, numeric-castable
+    count, exact distinct values, min/max string value. The profiled
+    JSON is synthesized deterministically from events.props so the key
+    set has real variety: 'k' always, 'u' on every 3rd user, 't' on
+    purchases only, 'm' mixed numeric/string by event-id parity."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.validation import json_schema_profile
+
+    k = F.get_json_object("props", "$.k")
+    js = F.concat(
+        F.lit('{"k":'), k,
+        F.when(
+            F.col("user_id") % 3 == 0,
+            F.concat(F.lit(',"u":"u'), F.col("user_id").cast("string"), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(F.lit(',"t":"'), F.col("event_type"), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.concat(
+            F.lit(',"m":'),
+            F.when(F.col("event_id") % 2 == 0, k).otherwise(
+                F.concat(F.lit('"x'), k, F.lit('"'))
+            ),
+        ),
+        F.lit("}"),
+    )
+    return json_schema_profile(events.select(js.alias("js")), "js")
+
+
+def _q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (`plans.stats.salted_agg`): revenue
+    and line count per part key computed as (key, salt) partials merged
+    on the key — the manual skew-mitigation shape for a hot aggregation
+    key. The oracle is the DIRECT single-stage groupBy, so the salted
+    plan's exact equivalence is what the gate verifies. Top-20 by
+    revenue with key tie-break keeps the report deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    from morphik_core_spark.plans.stats import salted_agg
+
+    out = salted_agg(
+        li,
+        ["l_partkey"],
+        {
+            "revenue": "SUM(CAST(l_extendedprice AS DECIMAL(18,2)))",
+            "n_lines": "COUNT(1)",
+        },
+        n_salts=16,
+        salt_col="l_orderkey",
+    )
+    return out.orderBy(F.col("revenue").desc(), F.col("l_partkey").asc()).limit(20)
+
+
+def _q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popularity-proportional negative sampling for contrastive
+    training (`curation.negative_sampling`, word2vec-style unigram
+    draws): 3 deterministic inverse-CDF draws per purchase positive,
+    collisions with the positive item dropped, rolled up as the
+    (pos_item, neg_item) draw matrix. Portable-hash uniforms make
+    retraining see identical negatives on any engine/partitioning."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.curation import negative_sampling
+
+    positives = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("CAST(get_json_object(props, '$.k') AS INT) div 10").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+    )
+    return negative_sampling(positives, "user_id", "item", "event_id", k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate checks the first 50
     # entries only. Rounds 1-4 verified the block now at the bottom
@@ -3438,6 +3577,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardup": _q_incremental_neardup,
         "label_centroids": _q_label_centroids,
         "centroid_assignments": _q_centroid_assignments,
+        "rfm_segments": _q_rfm_segments,
+        "target_encoding": _q_target_encoding,
+        "orphan_audit": _q_orphan_audit,
+        "session_paths": _q_session_paths,
+        "json_schema_profile": _q_json_schema_profile,
+        "skew_salted_agg": _q_skew_salted_agg,
+        "negative_sampling": _q_negative_sampling,
     }
 
 
@@ -6284,7 +6430,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS pct_rows
             FROM h, t
         """,
-        "url_canonicalize": """
+        "url_canonicalize": r"""
             WITH u AS (
                 SELECT doc_id,
                        (CASE n_chars % 4 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
@@ -6950,6 +7096,158 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT true_label, cid AS assigned_label, count(*) AS n_vecs
             FROM b WHERE rn = 1 GROUP BY 1, 2
+        """,
+        "rfm_segments": """
+            WITH pu AS (
+                SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS frequency,
+                       SUM(CAST(value AS DECIMAL(18,6))) AS monetary
+                FROM events WHERE value IS NOT NULL GROUP BY 1
+            ),
+            g AS (SELECT MAX(epoch_us(ts)) AS gmax FROM events WHERE value IS NOT NULL),
+            r AS (
+                SELECT user_id, (gmax - last_us) // 86400000000 AS recency_days,
+                       frequency, monetary
+                FROM pu CROSS JOIN g
+            ),
+            sc AS (
+                SELECT monetary,
+                       ntile(5) OVER (ORDER BY recency_days DESC, user_id ASC) AS r_score,
+                       ntile(5) OVER (ORDER BY frequency ASC, user_id ASC) AS f_score,
+                       ntile(5) OVER (ORDER BY monetary ASC, user_id ASC) AS m_score
+                FROM r
+            )
+            SELECT r_score, f_score, m_score, COUNT(*) AS n_users,
+                   ROUND(CAST(SUM(monetary) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_monetary
+            FROM sc GROUP BY 1, 2, 3
+        """,
+        "target_encoding": """
+            WITH pc AS (
+                SELECT o_orderpriority AS category, COUNT(*) AS n,
+                       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_pos
+                FROM orders GROUP BY 1
+            ),
+            g AS (
+                SELECT COUNT(*) AS gn,
+                       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS gpos
+                FROM orders
+            )
+            SELECT category, n, n_pos,
+                   ROUND((CAST(n_pos AS DOUBLE) + 10.0 * (CAST(gpos AS DOUBLE) / CAST(gn AS DOUBLE)))
+                         / (CAST(n AS DOUBLE) + 10.0), 6) AS encoded,
+                   ROUND(CASE WHEN n <= 1 THEN NULL
+                              WHEN n_pos > 0 THEN CAST(n_pos - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                              ELSE CAST(n_pos AS DOUBLE) / CAST(n - 1 AS DOUBLE) END, 6) AS loo_min,
+                   ROUND(CASE WHEN n <= 1 THEN NULL
+                              WHEN n_pos < n THEN CAST(n_pos AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                              ELSE CAST(n_pos - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END, 6) AS loo_max
+            FROM pc CROSS JOIN g
+        """,
+        "orphan_audit": """
+            SELECT 'lineitem->orders' AS edge, COUNT(*) AS n_rows,
+                   SUM(CASE WHEN k._k IS NULL THEN 1 ELSE 0 END) AS n_orphans,
+                   COUNT(DISTINCT CASE WHEN k._k IS NULL THEN f._fk END) AS n_orphan_keys
+            FROM (SELECT l_orderkey AS _fk FROM lineitem) f
+            LEFT JOIN (SELECT DISTINCT o_orderkey AS _k FROM orders WHERE o_orderkey % 97 <> 0) k
+              ON f._fk = k._k
+            UNION ALL
+            SELECT 'orders->customer', COUNT(*),
+                   SUM(CASE WHEN k._k IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT CASE WHEN k._k IS NULL THEN f._fk END)
+            FROM (SELECT o_custkey AS _fk FROM orders) f
+            LEFT JOIN (SELECT DISTINCT c_custkey AS _k FROM customer WHERE c_custkey % 89 <> 0) k
+              ON f._fk = k._k
+            UNION ALL
+            SELECT 'lineitem->part', COUNT(*),
+                   SUM(CASE WHEN k._k IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT CASE WHEN k._k IS NULL THEN f._fk END)
+            FROM (SELECT l_partkey AS _fk FROM lineitem) f
+            LEFT JOIN (SELECT DISTINCT p_partkey AS _k FROM part WHERE p_partkey % 83 <> 0) k
+              ON f._fk = k._k
+            UNION ALL
+            SELECT 'lineitem->supplier', COUNT(*),
+                   SUM(CASE WHEN k._k IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT CASE WHEN k._k IS NULL THEN f._fk END)
+            FROM (SELECT l_suppkey AS _fk FROM lineitem) f
+            LEFT JOIN (SELECT DISTINCT s_suppkey AS _k FROM supplier WHERE s_suppkey % 79 <> 0) k
+              ON f._fk = k._k
+        """,
+        "session_paths": """
+            WITH e AS (
+                SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, event_id, event_type, ts,
+                       SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                FROM e
+            ),
+            p AS (
+                SELECT user_id, session_id,
+                       array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>') AS path
+                FROM s GROUP BY 1, 2
+            )
+            SELECT path, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users
+            FROM p GROUP BY 1
+        """,
+        "json_schema_profile": """
+            WITH j AS (
+                SELECT '{"k":' || json_extract_string(props, '$.k')
+                       || CASE WHEN user_id % 3 = 0
+                               THEN ',"u":"u' || CAST(user_id AS VARCHAR) || '"' ELSE '' END
+                       || CASE WHEN event_type = 'purchase'
+                               THEN ',"t":"' || event_type || '"' ELSE '' END
+                       || ',"m":' || CASE WHEN event_id % 2 = 0
+                                          THEN json_extract_string(props, '$.k')
+                                          ELSE '"x' || json_extract_string(props, '$.k') || '"' END
+                       || '}' AS js
+                FROM events
+            ),
+            t AS (SELECT COUNT(*) AS n FROM j WHERE js IS NOT NULL),
+            kv AS (SELECT js, unnest(json_keys(js)) AS key FROM j WHERE js IS NOT NULL),
+            v AS (SELECT key, json_extract_string(js, '$.' || key) AS value FROM kv)
+            SELECT key, COUNT(*) AS n_present,
+                   ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(t.n) AS DOUBLE), 6) AS present_rate,
+                   COUNT(CASE WHEN TRY_CAST(value AS DOUBLE) IS NOT NULL THEN 1 END) AS n_numeric,
+                   COUNT(DISTINCT value) AS n_distinct,
+                   MIN(value) AS min_value, MAX(value) AS max_value
+            FROM v CROSS JOIN t GROUP BY key
+        """,
+        "skew_salted_agg": """
+            SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+                   COUNT(1) AS n_lines
+            FROM lineitem GROUP BY 1
+            ORDER BY revenue DESC, l_partkey ASC LIMIT 20
+        """,
+        "negative_sampling": """
+            WITH pos AS (
+                SELECT user_id, event_id, item FROM (
+                    SELECT user_id, event_id,
+                           CAST(json_extract_string(props, '$.k') AS INT) // 10 AS item
+                    FROM events WHERE event_type = 'purchase'
+                ) WHERE item IS NOT NULL
+            ),
+            pop AS (SELECT item, COUNT(*) AS w FROM pos GROUP BY 1),
+            cdf AS (
+                SELECT item,
+                       SUM(w) OVER (ORDER BY item ASC ROWS UNBOUNDED PRECEDING) - w AS lo,
+                       SUM(w) OVER (ORDER BY item ASC ROWS UNBOUNDED PRECEDING) AS hi
+                FROM pop
+            ),
+            tot AS (SELECT SUM(w) AS t FROM pop),
+            draws AS (
+                SELECT pos.item AS pos_item,
+                       CAST(('0x' || substr(md5('neg:' || CAST(event_id AS VARCHAR) || ':'
+                                                || CAST(js.j AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % t AS u
+                FROM pos CROSS JOIN (VALUES (0), (1), (2)) AS js(j) CROSS JOIN tot
+            )
+            SELECT pos_item, cdf.item AS neg_item, COUNT(*) AS n_draws
+            FROM draws JOIN cdf ON draws.u >= cdf.lo AND draws.u < cdf.hi
+            WHERE cdf.item <> draws.pos_item
+            GROUP BY 1, 2
         """,
     }
 

@@ -34,6 +34,7 @@ __all__ = [
     "decayed_counts",
     "pareto_frontier_2d",
     "transition_counts",
+    "rfm_segments",
 ]
 
 
@@ -614,4 +615,72 @@ def transition_counts(
         F.round(
             F.col("n_transitions") / F.sum("n_transitions").over(w_tot), decimals
         ).alias("prob"),
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    n_tiles: int = 5,
+    decimals: int = 6,
+) -> DataFrame:
+    """RFM customer segmentation (Hughes 1994): per user, Recency (days
+    since last event, relative to the corpus max timestamp), Frequency
+    (event count), Monetary (DECIMAL-exact value sum); each dimension is
+    scored 1..``n_tiles`` by ntile so that ``n_tiles`` is best (most
+    recent / most frequent / highest spend), then users are rolled up
+    per (r_score, f_score, m_score) cell.
+
+    Output: (r_score, f_score, m_score, n_users, avg_monetary) — at most
+    ``n_tiles``³ rows. Every ntile order is made total by the user-id
+    tie-break, so engines can never disagree about which side of a
+    boundary a tied user falls on; recency is exact integer day counts
+    (µs difference ``div`` 86.4e9), monetary sums are DECIMAL(18,6) and
+    the single reported float is one division rounded once.
+
+    Scale note: the unpartitioned ntile funnels the per-user rollup
+    (users-dimension-sized, not fact-sized) through one task — the same
+    documented trade as `balance_deciles`; at billions of users switch
+    the scoring to broadcast quantile cut points (`quantile_estimate`)
+    and keep the rollup shape unchanged.
+    """
+    from pyspark.sql import Window
+
+    per_user = events.groupBy(user_col).agg(
+        F.max(F.unix_micros(F.col(ts_col))).alias("_last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("monetary"),
+    )
+    # corpus max ts as a one-row broadcast — recency must be relative to
+    # the data, not the wall clock, to stay deterministic
+    gmax = events.agg(F.max(F.unix_micros(F.col(ts_col))).alias("_gmax_us"))
+    per_user = per_user.join(F.broadcast(gmax)).withColumn(
+        "recency_days", F.expr("(_gmax_us - _last_us) div 86400000000")
+    )
+    uid = F.col(user_col).asc()
+    w_r = Window.orderBy(F.col("recency_days").desc(), uid)  # ntile n = smallest recency = best
+    w_f = Window.orderBy(F.col("frequency").asc(), uid)
+    w_m = Window.orderBy(F.col("monetary").asc(), uid)
+    scored = (
+        per_user.withColumn("r_score", F.ntile(n_tiles).over(w_r))
+        .withColumn("f_score", F.ntile(n_tiles).over(w_f))
+        .withColumn("m_score", F.ntile(n_tiles).over(w_m))
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("monetary").alias("_msum"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_users",
+            F.round(
+                F.expr("CAST(_msum AS DOUBLE) / CAST(n_users AS DOUBLE)"), decimals
+            ).alias("avg_monetary"),
+        )
     )

@@ -61,6 +61,8 @@ __all__ = [
     "training_shards",
     "length_bucketing",
     "LENGTH_BUCKETS",
+    "target_encoding",
+    "negative_sampling",
 ]
 
 # Gopher-inspired rule thresholds (Rae et al. 2021 A1.1), adapted to the
@@ -1056,4 +1058,143 @@ def length_bucketing(
             (padded - F.col("effective_tokens")).cast("double") / padded.cast("double"),
             decimals,
         ).alias("waste_ratio"),
+    )
+
+
+def target_encoding(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    m_smoothing: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Smoothed mean target encoding (Micci-Barreca 2001) of a
+    categorical feature against a 0/1 target — the ML-feature-prep
+    transform a tabular training pipeline runs before gradient boosting:
+
+        enc(c) = (pos_c + m * prior) / (n_c + m)
+
+    with ``prior`` the global positive rate. Also reports the
+    leave-one-out band per category (min/max of the per-row LOO encode
+    ``(pos_c - y_i) / (n_c - 1)``) — the leakage-free variant's value
+    range, derivable from the same aggregates without a second scan.
+
+    Output: (category, n, n_pos, encoded, loo_min, loo_max). All counts
+    are exact ints; each float is one fixed expression tree over those
+    ints, rounded once — identical in any engine.
+
+    Scale: one map-side-combined groupBy over the fact table plus a
+    one-row global aggregate broadcast into the category dimension.
+    """
+    y = F.col(target_col).cast("bigint")
+    per_cat = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(y).alias("n_pos")
+    )
+    glob = df.agg(
+        F.count(F.lit(1)).alias("_gn"), F.sum(y).alias("_gpos")
+    )
+    m = int(m_smoothing)
+    prior = "(CAST(_gpos AS DOUBLE) / CAST(_gn AS DOUBLE))"
+    return (
+        per_cat.join(F.broadcast(glob))
+        .select(
+            "category",
+            "n",
+            "n_pos",
+            F.round(
+                F.expr(
+                    f"(CAST(n_pos AS DOUBLE) + {m}D * {prior}) / (CAST(n AS DOUBLE) + {m}D)"
+                ),
+                decimals,
+            ).alias("encoded"),
+            # LOO min comes from a positive row when any exists (pos-1 in the
+            # numerator), else from a negative row; max symmetrically.
+            F.round(
+                F.expr(
+                    "CASE WHEN n <= 1 THEN NULL "
+                    "WHEN n_pos > 0 THEN CAST(n_pos - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) "
+                    "ELSE CAST(n_pos AS DOUBLE) / CAST(n - 1 AS DOUBLE) END"
+                ),
+                decimals,
+            ).alias("loo_min"),
+            F.round(
+                F.expr(
+                    "CASE WHEN n <= 1 THEN NULL "
+                    "WHEN n_pos < n THEN CAST(n_pos AS DOUBLE) / CAST(n - 1 AS DOUBLE) "
+                    "ELSE CAST(n_pos - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END"
+                ),
+                decimals,
+            ).alias("loo_max"),
+        )
+    )
+
+
+def negative_sampling(
+    positives: DataFrame,
+    user_col: str,
+    item_col: str,
+    draw_key_col: str,
+    k: int = 3,
+    salt: str = "neg",
+) -> DataFrame:
+    """Popularity-proportional negative sampling for contrastive /
+    recsys training (word2vec-style unigram sampling, Mikolov et al.
+    2013 §2.2, with exponent 1 to keep the weights integer-exact): for
+    every observed positive (user, item) pair, draw ``k`` deterministic
+    candidates from the item-popularity distribution and keep those that
+    differ from the positive item.
+
+    Sampling is inverse-CDF over integer popularity weights: the item
+    dimension gets cumulative ranges [cum_lo, cum_hi) from a window
+    cumsum ordered by item; each (positive, draw j) maps a portable-hash
+    uniform u ∈ [0, total) into its covering range. Fully reproducible
+    across engines, runs, and partitionings — retraining sees the same
+    negatives.
+
+    Output: (pos_item, neg_item, n_draws) — the sampled co-occurrence
+    matrix (collision draws where the sample equals the positive are
+    dropped, so expected yield is k * (1 - p_item) per positive; callers
+    needing exactly-k use a larger k and per-pair limit).
+
+    Scale: the item CDF is dimension-sized and broadcast; the fact side
+    maps each draw to its bucket via the range condition inside a
+    broadcast join — no fact shuffle until the final small rollup.
+    """
+    from pyspark.sql import Window
+
+    pop = positives.groupBy(F.col(item_col).alias("_item")).agg(
+        F.count(F.lit(1)).alias("_w")
+    )
+    w_cum = Window.orderBy(F.col("_item").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = pop.select(
+        "_item",
+        (F.sum("_w").over(w_cum) - F.col("_w")).alias("_lo"),
+        F.sum("_w").over(w_cum).alias("_hi"),
+    )
+    total = pop.agg(F.sum("_w").alias("_total"))
+    draws = (
+        positives.select(
+            F.col(item_col).alias("pos_item"),
+            F.col(draw_key_col).cast("string").alias("_dk"),
+        )
+        .withColumn("_j", F.explode(F.array(*[F.lit(j) for j in range(k)])))
+        .join(F.broadcast(total))
+        .withColumn(
+            "_u",
+            portable_hash(
+                F.concat(F.lit(salt + ":"), F.col("_dk"), F.lit(":"), F.col("_j"))
+            )
+            % F.col("_total"),
+        )
+    )
+    sampled = draws.join(
+        F.broadcast(cdf),
+        (F.col("_u") >= F.col("_lo")) & (F.col("_u") < F.col("_hi")),
+    )
+    return (
+        sampled.filter(F.col("_item") != F.col("pos_item"))
+        .groupBy("pos_item", F.col("_item").alias("neg_item"))
+        .agg(F.count(F.lit(1)).alias("n_draws"))
     )

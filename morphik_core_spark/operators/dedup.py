@@ -925,3 +925,52 @@ def golden_record(
         F.count(F.lit(1)).alias("n_records")
     )
     return n.join(wide, "entity", "left").select("entity", "n_records", *fields)
+
+
+def blocking_recall(
+    truth_pairs: DataFrame,
+    candidate_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    decimals: int = 6,
+) -> DataFrame:
+    """Blocking-quality audit: how much of the ground-truth duplicate set
+    does a candidate generator (banded LSH, sign buckets, an inverted
+    index) actually surface? The recall/precision QA every dedup stack
+    needs before anyone trusts "dups removed" numbers — a blocked
+    pipeline silently misses exactly the pairs its buckets never
+    co-locate.
+
+    Both inputs are canonical pairs (id_a < id_b). Output: one row —
+    (n_truth, n_candidates, n_hits, recall, precision). ``precision``
+    here reads "fraction of candidates that are true dups" — for LSH it
+    is expected to be low (candidates are *verified* downstream); recall
+    is the number that must stay near 1.
+
+    Scale: one equi-join on the pair key (truth side is the small,
+    often-synthesized set → broadcast), three one-row aggregates.
+    """
+    t = truth_pairs.select(F.col(id_a).alias("_ta"), F.col(id_b).alias("_tb"))
+    c = candidate_pairs.select(F.col(id_a).alias("_ca"), F.col(id_b).alias("_cb"))
+    hits = c.join(
+        F.broadcast(t), (F.col("_ca") == F.col("_ta")) & (F.col("_cb") == F.col("_tb"))
+    )
+    n_t = t.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_c = c.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_t.join(F.broadcast(n_c))
+        .join(F.broadcast(n_h))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.round(
+                F.expr("CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE)"), decimals
+            ).alias("recall"),
+            F.round(
+                F.expr("CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE)"),
+                decimals,
+            ).alias("precision"),
+        )
+    )

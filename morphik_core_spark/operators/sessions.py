@@ -24,6 +24,7 @@ __all__ = [
     "change_intervals",
     "debounce_events",
     "keep_first_per_window",
+    "session_paths",
 ]
 
 
@@ -315,4 +316,57 @@ def keep_first_per_window(
         .filter(F.col("_rn") == 1)
         .withColumn("window_start", F.expr(f"timestamp_micros(_wb * {width_us})"))
         .drop("_wb", "_rn")
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_seconds: int,
+    path_len: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Top navigation paths: the first ``path_len`` event types of every
+    gap-based session, concatenated with '>' — the clickstream-path
+    report on top of :func:`sessionize` (what sequences do sessions
+    start with, and how many users produce each).
+
+    Output: (path, n_sessions, n_users). The in-session order is made
+    total by the tie-break column, so the collected prefix is identical
+    in any engine/partitioning; sessions shorter than ``path_len`` keep
+    their (shorter) full path.
+
+    Scale: sessionize's lag/cumsum windows partition by user; the
+    collect_list aggregates per (user, session) — bounded by session
+    length, never corpus-sized — and the final rollup shuffles one row
+    per session.
+    """
+    s = sessionize(events, gap_seconds, user_col, ts_col, order_tiebreak)
+    per_session = (
+        s.groupBy(user_col, "session_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros(F.col(ts_col)).alias("us"),
+                            F.col(order_tiebreak).alias("tb"),
+                            F.col(type_col).alias("et"),
+                        )
+                    )
+                ),
+                1,
+                path_len,
+            ).alias("_prefix")
+        )
+        .select(
+            user_col,
+            F.expr("concat_ws('>', transform(_prefix, x -> x.et))").alias("path"),
+        )
+    )
+    return per_session.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct(user_col).alias("n_users"),
     )

@@ -37,7 +37,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "validation_suite"]
+__all__ = ["profile_table", "validation_suite", "referential_orphans", "json_schema_profile"]
 
 
 def _ratio(num: Column, den: Column) -> Column:
@@ -203,3 +203,97 @@ def validation_suite(
             & (vals[(c, "max")] <= F.lit(float(hi))),
         )
     return _explode_long(one, rows)
+
+
+def referential_orphans(
+    edges: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit: for each (name, fact, fact_key, dim,
+    dim_key) edge, count fact rows whose key has no match in the
+    dimension — the FK-orphan check a warehouse runs after every load
+    (Deequ's ``isContainedIn`` / dbt's ``relationships`` test).
+
+    Output: one row per edge — (edge, n_rows, n_orphans,
+    n_orphan_keys). NULL fact keys count as orphans (they reference
+    nothing), consistent with the strict FK reading.
+
+    Scale: per edge, the dimension's distinct keys broadcast into one
+    scan of the fact table (left join + conditional count — no fact
+    shuffle); the per-edge one-row aggregates union into the report.
+    """
+    parts = []
+    for name, fact, fact_key, dim, dim_key in edges:
+        keys = dim.select(F.col(dim_key).alias("_k")).distinct()
+        joined = fact.select(F.col(fact_key).alias("_fk")).join(
+            F.broadcast(keys), F.col("_fk") == F.col("_k"), "left"
+        )
+        parts.append(
+            joined.agg(
+                F.lit(name).alias("edge"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0)).alias("n_orphans"),
+                F.countDistinct(F.when(F.col("_k").isNull(), F.col("_fk"))).alias(
+                    "n_orphan_keys"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def json_schema_profile(
+    df: DataFrame,
+    json_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Schema inference over a semi-structured JSON string column: per
+    top-level key, how often it appears, how often its value parses as a
+    number, its distinct-value count, and the min/max string value — the
+    profiling pass that decides which JSON props are promotable to typed
+    columns (Snowflake VARIANT / BigQuery JSON schema auto-detection).
+
+    Output: (key, n_present, present_rate, n_numeric, n_distinct,
+    min_value, max_value), over rows whose ``json_col`` parses as a JSON
+    object. Values are compared AS STRINGS (the storage form) — numeric
+    promotion is what ``n_numeric`` is for.
+
+    Scale: one explode of the per-row key list (bounded by object
+    width), one groupBy on key — map-side combined except the exact
+    distinct, which the 100 TB path swaps for HLL.
+    """
+    total = df.agg(F.count(F.when(F.col(json_col).isNotNull(), 1)).alias("_n"))
+    kv = (
+        df.filter(F.col(json_col).isNotNull())
+        .select(
+            F.explode(
+                F.map_entries(F.from_json(F.col(json_col), "map<string,string>"))
+            ).alias("e")
+        )
+        .select(F.col("e.key").alias("key"), F.col("e.value").alias("value"))
+    )
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.count(
+                F.when(F.expr("try_cast(value AS DOUBLE)").isNotNull(), 1)
+            ).alias("n_numeric"),
+            F.countDistinct("value").alias("n_distinct"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "key",
+            "n_present",
+            F.round(F.expr("CAST(n_present AS DOUBLE) / CAST(_n AS DOUBLE)"), decimals).alias(
+                "present_rate"
+            ),
+            "n_numeric",
+            "n_distinct",
+            "min_value",
+            "max_value",
+        )
+    )

@@ -30,6 +30,7 @@ __all__ = [
     "key_skew_histogram",
     "top_heavy_keys",
     "estimate_join_rows",
+    "salted_agg",
 ]
 
 _STATS_FILE = "_stats.json"
@@ -161,3 +162,46 @@ def estimate_join_rows(
         return None
     ndv = max(ca["approx_ndv"], cb["approx_ndv"])
     return int(stats_a["row_count"] * stats_b["row_count"] // ndv)
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    agg_exprs: dict[str, str],
+    n_salts: int = 16,
+    salt_col: str | None = None,
+) -> DataFrame:
+    """Two-stage salted aggregation — the manual skew-mitigation shape
+    for a hot-keyed groupBy (what AQE's skew handling does for joins,
+    applied to aggregation): stage 1 aggregates on (key, salt) so a hot
+    key's rows spread over ``n_salts`` reducers; stage 2 merges the
+    per-salt partials on the key alone, touching at most ``n_salts``
+    rows per key.
+
+    ``agg_exprs`` maps output column → a SQL aggregate over the input
+    (e.g. ``{"revenue": "SUM(CAST(x AS DECIMAL(18,2)))", "n": "COUNT(1)"}``).
+    Only associative aggregates are legal (SUM/COUNT/MIN/MAX — the
+    partials merge by the same function; COUNT partials merge by SUM,
+    handled here). Results are bit-identical to the direct groupBy —
+    that equivalence is what the oracle checks.
+
+    ``salt_col`` names a column whose hash spreads the hot key's rows; by
+    default a per-row deterministic spread from ``spark_partition_id`` is
+    NOT used (non-deterministic under retries) — instead the first
+    non-key column hash. Callers pick a high-cardinality column.
+    """
+    if salt_col is None:
+        non_key = [c for c in df.columns if c not in key_cols]
+        salt_col = non_key[0]
+    salt = F.pmod(F.hash(F.col(salt_col)), F.lit(n_salts)).alias("_salt")
+    stage1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(*[F.expr(e).alias(name) for name, e in agg_exprs.items()])
+    )
+    merge_exprs = []
+    for name, e in agg_exprs.items():
+        fn = e.strip().split("(", 1)[0].upper()
+        merge_fn = {"COUNT": "SUM", "SUM": "SUM", "MIN": "MIN", "MAX": "MAX"}[fn]
+        merge_exprs.append(F.expr(f"{merge_fn}(`{name}`)").alias(name))
+    return stage1.groupBy(*key_cols).agg(*merge_exprs)

@@ -71,6 +71,14 @@ SENSITIVE = [
     "label_centroids",
     "centroid_assignments",
     "length_bucketing",
+    # this session: ntile boundaries over DECIMAL monetary, smoothed-
+    # prior ratio trees, salted two-stage DECIMAL merge, present-rate
+    # ratios, hash-CDF draws
+    "rfm_segments",
+    "target_encoding",
+    "skew_salted_agg",
+    "json_schema_profile",
+    "negative_sampling",
 ]
 
 
