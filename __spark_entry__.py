@@ -3409,13 +3409,39 @@ def _q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_sampling(positives, "user_id", "item", "event_id", k=3)
 
 
+# The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
+# entries, so each round rotates 50 never-driver-checked names to the
+# front (the local gate tests/test_oracle_parity.py covers every entry
+# regardless of order). Round-5 window: 50 names green in rounds 1-4 are
+# excluded; 52 more never-checked names remain for the round-6 window.
+_DRIVER_WINDOW = [
+    "asof_forward", "bm25_topk", "pii_scrub", "perplexity", "knn_pq",
+    "paragraph_dedup", "url_filter", "gapfill_locf", "shipping_priority",
+    "weighted_sample", "usage_rollup", "folder_children",
+    "folder_descendants", "hll_distinct", "cms_heavy_hitters",
+    "pmi_bigrams", "span_dedup", "moving_aggregates", "bloom_semi_join",
+    "funnel_steps", "cohort_retention", "value_histogram",
+    "anomaly_stats", "nation_pagerank", "quantile_estimate",
+    "sliding_window_agg", "scd2_intervals", "cube_counts",
+    "semantic_dedup", "knn_sq8", "small_quantity_revenue",
+    "large_order_customers", "late_ship_priority", "waiting_suppliers",
+    "nfc_normalize", "langid_confusion", "dup_rate_by_source",
+    "semantic_outliers", "range_window_agg", "tfidf_topterms",
+    "dsir_weights", "ppl_buckets", "hard_negatives", "matryoshka_topk",
+    "embedding_covariance", "quality_classifier",
+    "semantic_decontaminate", "temperature_mixture", "min_cost_supplier",
+    "regional_supplier_volume",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order matters: the driver's CORRECTNESS gate checks the first 50
-    # entries only. Rounds 1-4 verified the block now at the bottom
-    # (semi_join_auth .. asof_nearest); round 5 leads with the 60 entries
-    # that had only local-parity coverage so they earn driver-green rows
-    # too. The local gate (tests/test_oracle_parity.py) covers every entry
-    # regardless of order.
+    base = _queries_unordered()
+    ordered = {k: base[k] for k in _DRIVER_WINDOW}
+    ordered.update((k, v) for k, v in base.items() if k not in ordered)
+    return ordered
+
+
+def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "asof_backward": _q_asof_backward,
         "asof_forward": _q_asof_forward,
