@@ -3409,6 +3409,126 @@ def _q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_sampling(positives, "user_id", "item", "event_id", k=3)
 
 
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (`validation.k_anonymity_audit`)
+    of customer under the quasi-identifier (nation, market segment,
+    account-balance band): equivalence classes rolled up by class size
+    with at-risk flags (size < 5) and the sensitive-attribute diversity
+    band (sensitive proxy: custkey mod 7 — the synthetic table has no
+    true sensitive column). Counts exact; row_share one rounded
+    division."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0)).alias("bal_band"),
+        (F.col("c_custkey") % 7).alias("sens"),
+    )
+    from morphik_core_spark.operators.validation import k_anonymity_audit
+
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment", "bal_band"], "sens", k=5
+    )
+
+
+def _q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford screen (`validation.benford_audit`) over
+    lineitem extended prices per return flag. Digits are extracted
+    lexically from the DECIMAL rendering (no float log path); expected
+    shares are shared full-precision literals; observed shares one
+    division of exact counts. TPC-H prices are ~uniform, so the
+    deviations are real and non-vacuous."""
+    li = _t(spark, sf_dir, "lineitem")
+    from morphik_core_spark.operators.validation import benford_audit
+
+    return benford_audit(li, "l_extendedprice", ["l_returnflag"])
+
+
+def _q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value feature screen
+    (`curation.woe_iv`) of order priority against the finished-status
+    target — `target_encoding`'s credit-scoring sibling. Per-category
+    ln trees rounded once; the IV total summed as scaled integers so
+    aggregation order can't move it."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "is_final", (F.col("o_orderstatus") == "F").cast("int")
+    )
+    from morphik_core_spark.operators.curation import woe_iv
+
+    return woe_iv(orders, "o_orderpriority", "is_final")
+
+
+def _q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test A/B readout (`analytics.ab_test_summary`)
+    over a SWITCHBACK design: the randomization unit is (user, day) —
+    the corpus has only ~15 users per mille of sf, all of whom
+    purchase, so user-grain conversion saturates at 1.0 (measured,
+    NOTES.md non-vacuity rule) — hash-assigned to control/variant_a/
+    variant_b with the portable md5 bucket. Conversion = any purchase
+    in the unit, plus a deterministic hash uplift on variant_a
+    (~1 in 5 non-converting units flip) so `significant` exercises
+    BOTH branches at sf0.01 (z≈6 for variant_a, |z|<2 for variant_b)."""
+    events = _t(spark, sf_dir, "events")
+    from morphik_core_spark.operators.analytics import ab_test_summary
+    from morphik_core_spark.operators.dedup import portable_hash
+
+    day = F.expr("unix_micros(ts) div 86400000000")
+    unit = F.concat(F.col("user_id").cast("string"), F.lit(":"), day.cast("string"))
+    units = (
+        events.select(unit.alias("unit"),
+                      (F.col("event_type") == "purchase").cast("int").alias("p"))
+        .groupBy("unit")
+        .agg(F.max("p").alias("base_conv"))
+    )
+    bucket = portable_hash(F.concat(F.lit("ab:"), F.col("unit"))) % 3
+    uplift = portable_hash(F.concat(F.lit("up:"), F.col("unit"))) % 5 == 0
+    variant = (
+        F.when(bucket == 0, F.lit("control"))
+        .when(bucket == 1, F.lit("variant_a"))
+        .otherwise(F.lit("variant_b"))
+    )
+    assigned = units.select(
+        "unit",
+        variant.alias("variant"),
+        ((F.col("base_conv") == 1) | ((bucket == 1) & uplift)).alias("conv"),
+    )
+    return ab_test_summary(assigned, "variant", "unit", "conv")
+
+
+def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversification (`rerank.mmr_diversify`)
+    of a 12-candidate ANN fan-in for 3 probe queries: greedy λ=0.5
+    trade of relevance vs max cosine to the already-picked set, k=3.
+    Pure DataFrame loop — every compared float is one rounded tree
+    with id tie-breaks, so the picked set is engine-independent."""
+    from pyspark.sql import Window
+
+    from morphik_core_spark.functions.vectors import retrieval_score
+    from morphik_core_spark.operators.rerank import mmr_diversify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    scored = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(retrieval_score(F.col("vec"), F.col("qv")), _SCORE_DECIMALS).alias(
+                "score"
+            ),
+            "vec",
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    cands = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 12)
+    out = mmr_diversify(cands, "q_id", "vec_id", "score", "vec", lam=0.5, k=3)
+    return out.withColumnRenamed("rank", "mmr_rank")
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -3610,6 +3730,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_schema_profile": _q_json_schema_profile,
         "skew_salted_agg": _q_skew_salted_agg,
         "negative_sampling": _q_negative_sampling,
+        "k_anonymity": _q_k_anonymity,
+        "benford_audit": _q_benford_audit,
+        "woe_iv": _q_woe_iv,
+        "ab_test": _q_ab_test,
+        "mmr_rerank": _q_mmr_rerank,
     }
 
 
@@ -7274,6 +7399,172 @@ def oracle_sql() -> dict[str, str]:
             FROM draws JOIN cdf ON draws.u >= cdf.lo AND draws.u < cdf.hi
             WHERE cdf.item <> draws.pos_item
             GROUP BY 1, 2
+        """,
+        "k_anonymity": """
+            WITH q AS (
+                SELECT c_nationkey, c_mktsegment,
+                       CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_band,
+                       c_custkey % 7 AS sens
+                FROM customer
+            ),
+            cls AS (
+                SELECT c_nationkey, c_mktsegment, bal_band,
+                       COUNT(*) AS sz, COUNT(DISTINCT sens) AS l
+                FROM q GROUP BY 1, 2, 3
+            ),
+            t AS (SELECT COUNT(*) AS n FROM q)
+            SELECT sz AS class_size, COUNT(*) AS n_classes,
+                   CAST(SUM(sz) AS BIGINT) AS n_rows,
+                   sz < 5 AS at_risk,
+                   MIN(l) AS min_l, MAX(l) AS max_l,
+                   ROUND(CAST(CAST(SUM(sz) AS BIGINT) AS DOUBLE) / CAST(MAX(t.n) AS DOUBLE), 6) AS row_share
+            FROM cls CROSS JOIN t GROUP BY sz
+        """,
+        "benford_audit": r"""
+            WITH v AS (
+                SELECT l_returnflag,
+                       CAST(regexp_extract(
+                           regexp_replace(CAST(abs(l_extendedprice) AS VARCHAR), '^0\.0*', ''),
+                           '([1-9])', 1) AS INT) AS digit
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+            ),
+            c AS (SELECT l_returnflag, digit, COUNT(*) AS n FROM v GROUP BY 1, 2),
+            g AS (SELECT l_returnflag, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1),
+            spine AS (
+                SELECT digit, CAST(expected AS DOUBLE) AS expected FROM (VALUES
+                    (1, '0.3010299956639812'), (2, '0.17609125905568124'),
+                    (3, '0.12493873660829992'), (4, '0.09691001300805642'),
+                    (5, '0.07918124604762482'), (6, '0.06694678963061322'),
+                    (7, '0.05799194697768673'), (8, '0.05115252244738129'),
+                    (9, '0.04575749056067514')) AS s(digit, expected)
+            )
+            SELECT g.l_returnflag, spine.digit,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+                   ROUND(CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(g.total AS DOUBLE), 6) AS observed,
+                   ROUND(spine.expected, 6) AS expected,
+                   ROUND(abs(CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(g.total AS DOUBLE)
+                             - spine.expected), 6) AS abs_dev
+            FROM g CROSS JOIN spine
+            LEFT JOIN c ON c.l_returnflag = g.l_returnflag AND c.digit = spine.digit
+        """,
+        "woe_iv": """
+            WITH pc AS (
+                SELECT o_orderpriority AS category, COUNT(*) AS n,
+                       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+                FROM orders GROUP BY 1
+            ),
+            g AS (
+                SELECT COUNT(*) AS gn,
+                       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS gpos
+                FROM orders
+            ),
+            t AS (
+                SELECT category, n, n_pos, n - n_pos AS n_neg,
+                       ROUND(ln(((CAST(n_pos AS DOUBLE) + 0.5) / (CAST(gpos AS DOUBLE) + 0.5))
+                                / ((CAST(n - n_pos AS DOUBLE) + 0.5) / (CAST(gn - gpos AS DOUBLE) + 0.5))), 6) AS woe,
+                       ROUND((((CAST(n_pos AS DOUBLE) + 0.5) / (CAST(gpos AS DOUBLE) + 0.5))
+                              - ((CAST(n - n_pos AS DOUBLE) + 0.5) / (CAST(gn - gpos AS DOUBLE) + 0.5)))
+                             * (ln(((CAST(n_pos AS DOUBLE) + 0.5) / (CAST(gpos AS DOUBLE) + 0.5))
+                                   / ((CAST(n - n_pos AS DOUBLE) + 0.5) / (CAST(gn - gpos AS DOUBLE) + 0.5)))), 6) AS iv_term,
+                       CAST(ROUND(((((CAST(n_pos AS DOUBLE) + 0.5) / (CAST(gpos AS DOUBLE) + 0.5))
+                              - ((CAST(n - n_pos AS DOUBLE) + 0.5) / (CAST(gn - gpos AS DOUBLE) + 0.5)))
+                             * (ln(((CAST(n_pos AS DOUBLE) + 0.5) / (CAST(gpos AS DOUBLE) + 0.5))
+                                   / ((CAST(n - n_pos AS DOUBLE) + 0.5) / (CAST(gn - gpos AS DOUBLE) + 0.5))))) * 1e12) AS BIGINT) AS s
+                FROM pc CROSS JOIN g
+            ),
+            tot AS (
+                SELECT ROUND(CAST(CAST(SUM(s) AS BIGINT) AS DOUBLE) / 1e12, 6) AS iv_total FROM t
+            )
+            SELECT category, n, n_pos, n_neg, woe, iv_term, iv_total
+            FROM t CROSS JOIN tot
+        """,
+        "ab_test": """
+            WITH un AS (
+                SELECT CAST(user_id AS VARCHAR) || ':' ||
+                       CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS unit,
+                       MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS base_conv
+                FROM events GROUP BY 1
+            ),
+            u AS (
+                SELECT unit,
+                       CASE (CAST(('0x' || substr(md5('ab:' || unit), 1, 15)) AS BIGINT) % 3)
+                            WHEN 0 THEN 'control' WHEN 1 THEN 'variant_a'
+                            ELSE 'variant_b' END AS variant,
+                       CASE WHEN base_conv = 1
+                              OR (CAST(('0x' || substr(md5('ab:' || unit), 1, 15)) AS BIGINT) % 3 = 1
+                                  AND CAST(('0x' || substr(md5('up:' || unit), 1, 15)) AS BIGINT) % 5 = 0)
+                            THEN 1 ELSE 0 END AS conv
+                FROM un
+            ),
+            v AS (
+                SELECT variant, COUNT(*) AS n_users, CAST(SUM(conv) AS BIGINT) AS n_conv
+                FROM u GROUP BY 1
+            ),
+            c AS (SELECT n_users AS cn, n_conv AS cx FROM v WHERE variant = 'control')
+            SELECT variant, n_users, n_conv,
+                   ROUND((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)), 6) AS rate,
+                   ROUND((CAST(cx AS DOUBLE) / CAST(cn AS DOUBLE)), 6) AS control_rate,
+                   ROUND((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+                         - (CAST(cx AS DOUBLE) / CAST(cn AS DOUBLE)), 6) AS lift,
+                   ROUND(CASE WHEN (n_conv + cx) = 0 OR (n_conv + cx) = (n_users + cn) THEN NULL ELSE
+                         (((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)))
+                          - ((CAST(cx AS DOUBLE) / CAST(cn AS DOUBLE))))
+                         / sqrt((CAST(n_conv + cx AS DOUBLE) / CAST(n_users + cn AS DOUBLE))
+                                * (1.0 - (CAST(n_conv + cx AS DOUBLE) / CAST(n_users + cn AS DOUBLE)))
+                                * (1.0 / CAST(n_users AS DOUBLE) + 1.0 / CAST(cn AS DOUBLE))) END, 6) AS z_score,
+                   abs(ROUND(CASE WHEN (n_conv + cx) = 0 OR (n_conv + cx) = (n_users + cn) THEN NULL ELSE
+                         (((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)))
+                          - ((CAST(cx AS DOUBLE) / CAST(cn AS DOUBLE))))
+                         / sqrt((CAST(n_conv + cx AS DOUBLE) / CAST(n_users + cn AS DOUBLE))
+                                * (1.0 - (CAST(n_conv + cx AS DOUBLE) / CAST(n_users + cn AS DOUBLE)))
+                                * (1.0 / CAST(n_users AS DOUBLE) + 1.0 / CAST(cn AS DOUBLE))) END, 6)) > 1.959963984540054 AS significant
+            FROM v CROSS JOIN c WHERE variant <> 'control'
+        """,
+        "mmr_rerank": """
+            WITH p AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            sc AS (
+                SELECT p.q_id, e.vec_id,
+                       ROUND((1.0 + list_dot_product(e.embedding::DOUBLE[], p.qv)
+                              / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                                 * sqrt(list_dot_product(p.qv, p.qv)))) / 2.0, 6) AS score,
+                       e.embedding::DOUBLE[] AS vec
+                FROM embeddings e, p WHERE e.vec_id <> p.q_id
+            ),
+            c AS (SELECT q_id, vec_id, score, vec FROM (
+                    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rn
+                    FROM sc) WHERE rn <= 12),
+            s1 AS (SELECT q_id, vec_id, score, vec FROM (
+                    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rn
+                    FROM c) WHERE rn = 1),
+            o2 AS (
+                SELECT c.q_id, c.vec_id, c.score, c.vec,
+                       ROUND(0.5 * c.score - 0.5 * ROUND(list_dot_product(c.vec, s1.vec)
+                             / (sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(s1.vec, s1.vec))), 6), 6) AS mmr
+                FROM c JOIN s1 ON c.q_id = s1.q_id AND c.vec_id <> s1.vec_id
+            ),
+            s2 AS (SELECT q_id, vec_id, score, vec, mmr FROM (
+                    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, vec_id ASC) AS rn
+                    FROM o2) WHERE rn = 1),
+            o3 AS (
+                SELECT c.q_id, c.vec_id, c.score,
+                       ROUND(0.5 * c.score - 0.5 * GREATEST(
+                           ROUND(list_dot_product(c.vec, s1.vec)
+                                 / (sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(s1.vec, s1.vec))), 6),
+                           ROUND(list_dot_product(c.vec, s2.vec)
+                                 / (sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(s2.vec, s2.vec))), 6)), 6) AS mmr
+                FROM c JOIN s1 ON c.q_id = s1.q_id JOIN s2 ON c.q_id = s2.q_id
+                WHERE c.vec_id <> s1.vec_id AND c.vec_id <> s2.vec_id
+            ),
+            s3 AS (SELECT q_id, vec_id, score, mmr FROM (
+                    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, vec_id ASC) AS rn
+                    FROM o3) WHERE rn = 1)
+            SELECT q_id, 1 AS mmr_rank, vec_id, score, score AS mmr_score FROM s1
+            UNION ALL
+            SELECT q_id, 2 AS mmr_rank, vec_id, score, mmr AS mmr_score FROM s2
+            UNION ALL
+            SELECT q_id, 3 AS mmr_rank, vec_id, score, mmr AS mmr_score FROM s3
         """,
     }
 

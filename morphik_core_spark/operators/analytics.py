@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -35,6 +35,8 @@ __all__ = [
     "pareto_frontier_2d",
     "transition_counts",
     "rfm_segments",
+    "ab_test_summary",
+    "Z_CRIT_95",
 ]
 
 
@@ -682,5 +684,87 @@ def rfm_segments(
             F.round(
                 F.expr("CAST(_msum AS DOUBLE) / CAST(n_users AS DOUBLE)"), decimals
             ).alias("avg_monetary"),
+        )
+    )
+
+
+# two-sided 95% critical value, full-precision double literal so engine
+# and oracle compare against the IDENTICAL constant
+Z_CRIT_95 = 1.959963984540054
+
+
+def ab_test_summary(
+    df: DataFrame,
+    variant_col: str,
+    user_col: str,
+    conv_col,
+    control: str = "control",
+    decimals: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test of every experiment variant against the
+    control arm — the A/B readout an event pipeline materializes per
+    experiment. Unit of analysis is the USER (first collapse to one
+    row per user so multi-event users don't inflate n), conversion is
+    "any converting event".
+
+        p̂ = (x_v + x_c) / (n_v + n_c)
+        z = (p_v − p_c) / sqrt(p̂ (1−p̂) (1/n_v + 1/n_c))
+
+    Determinism: counts are exact BIGINTs; rate/lift/z are each ONE
+    fixed double tree rounded once (sqrt is IEEE-754 correctly rounded
+    in every engine, unlike ln — no quantization needed); the
+    significance flag compares the ROUNDed z to a shared full-precision
+    critical-value literal so a reported z never flips the verdict.
+
+    Output: one row per non-control variant — (variant, n_users,
+    n_conv, rate, control_rate, lift, z_score, significant).
+
+    Scale: per-user collapse is one map-side-combined groupBy on
+    (user, variant); per-variant rollup carries one row per variant;
+    the control row is a one-row broadcast. Extension beyond the
+    reference surface (sits with the event-analytics family).
+    """
+    conv = conv_col if isinstance(conv_col, Column) else F.col(conv_col)
+    per_user = df.groupBy(
+        F.col(user_col).alias("_user"), F.col(variant_col).alias("variant")
+    ).agg(F.max(conv.cast("int")).alias("_conv"))
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("_conv").alias("n_conv"),
+    )
+    ctrl = (
+        per_variant.filter(F.col("variant") == control)
+        .select(
+            F.col("n_users").alias("_cn"),
+            F.col("n_conv").alias("_cx"),
+        )
+    )
+    rate = "(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))"
+    crate = "(CAST(_cx AS DOUBLE) / CAST(_cn AS DOUBLE))"
+    pool = "(CAST(n_conv + _cx AS DOUBLE) / CAST(n_users + _cn AS DOUBLE))"
+    # pooled rate 0 or 1 ⇒ zero standard error: z is undefined (NULL),
+    # guarded on the exact INTEGER condition so ANSI mode never divides
+    # by a 0.0 that float rounding produced
+    z = (
+        "CASE WHEN (n_conv + _cx) = 0 OR (n_conv + _cx) = (n_users + _cn) "
+        "THEN NULL ELSE "
+        f"(({rate}) - ({crate})) / "
+        f"sqrt({pool} * (1.0D - {pool}) * "
+        f"(1.0D / CAST(n_users AS DOUBLE) + 1.0D / CAST(_cn AS DOUBLE))) END"
+    )
+    return (
+        per_variant.filter(F.col("variant") != control)
+        .join(F.broadcast(ctrl))
+        .select(
+            "variant",
+            "n_users",
+            "n_conv",
+            F.round(F.expr(rate), decimals).alias("rate"),
+            F.round(F.expr(crate), decimals).alias("control_rate"),
+            F.round(F.expr(f"{rate} - {crate}"), decimals).alias("lift"),
+            F.round(F.expr(z), decimals).alias("z_score"),
+            (F.abs(F.round(F.expr(z), decimals)) > F.lit(Z_CRIT_95)).alias(
+                "significant"
+            ),
         )
     )

@@ -63,6 +63,7 @@ __all__ = [
     "LENGTH_BUCKETS",
     "target_encoding",
     "negative_sampling",
+    "woe_iv",
 ]
 
 # Gopher-inspired rule thresholds (Rae et al. 2021 A1.1), adapted to the
@@ -1198,3 +1199,65 @@ def negative_sampling(
         .groupBy("pos_item", F.col("_item").alias("neg_item"))
         .agg(F.count(F.lit(1)).alias("n_draws"))
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Weight of Evidence + Information Value of a categorical feature
+    against a 0/1 target — the credit-scoring-lineage feature screen
+    (Siddiqi 2006) a tabular pipeline runs beside `target_encoding`:
+
+        woe(c) = ln( ((pos_c + 0.5) / (gpos + 0.5))
+                   / ((neg_c + 0.5) / (gneg + 0.5)) )
+        iv(c)  = (pos_share_c - neg_share_c) * woe(c),   IV = Σ_c iv(c)
+
+    with the conventional +0.5 adjustment so zero-count cells stay
+    finite. IV reads: < 0.02 useless, 0.02-0.1 weak, 0.1-0.3 medium,
+    > 0.3 strong predictor.
+
+    Determinism contract (same as `population_stability`): counts are
+    exact BIGINTs; each category's woe/iv is ONE fixed double tree over
+    those ints; the cross-category IV total is summed as ROUND(x*1e12)
+    scaled integers so aggregation order cannot change the reported
+    value by an ulp.
+
+    Output: (category, n, n_pos, n_neg, woe, iv_term, iv_total) — the
+    total repeated per row via a one-row broadcast, so the frame is
+    self-contained for a feature-ranking dashboard.
+
+    Scale: one map-side-combined groupBy over the fact table; global
+    aggregates are one-row broadcasts. Extension beyond the reference
+    surface (no feature-screening analog in morphik-core).
+    """
+    y = F.col(target_col).cast("bigint")
+    per_cat = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(y).alias("n_pos")
+    )
+    glob = df.agg(F.count(F.lit(1)).alias("_gn"), F.sum(y).alias("_gpos"))
+    pos_share = "((CAST(n_pos AS DOUBLE) + 0.5D) / (CAST(_gpos AS DOUBLE) + 0.5D))"
+    neg_share = (
+        "((CAST(n - n_pos AS DOUBLE) + 0.5D)"
+        " / (CAST(_gn - _gpos AS DOUBLE) + 0.5D))"
+    )
+    woe = f"ln({pos_share} / {neg_share})"
+    terms = per_cat.join(F.broadcast(glob)).select(
+        "category",
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.round(F.expr(woe), decimals).alias("woe"),
+        F.round(F.expr(f"({pos_share} - {neg_share}) * ({woe})"), decimals).alias(
+            "iv_term"
+        ),
+        F.expr(
+            f"CAST(ROUND((({pos_share} - {neg_share}) * ({woe})) * 1e12) AS BIGINT)"
+        ).alias("_iv_scaled"),
+    )
+    total = terms.agg(F.sum("_iv_scaled").alias("_s")).select(
+        F.round(F.col("_s").cast("double") / F.lit(1e12), decimals).alias("iv_total")
+    )
+    return terms.drop("_iv_scaled").join(F.broadcast(total))

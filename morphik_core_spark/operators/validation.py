@@ -37,7 +37,15 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "validation_suite", "referential_orphans", "json_schema_profile"]
+__all__ = [
+    "profile_table",
+    "validation_suite",
+    "referential_orphans",
+    "json_schema_profile",
+    "k_anonymity_audit",
+    "benford_audit",
+    "BENFORD_EXPECTED",
+]
 
 
 def _ratio(num: Column, den: Column) -> Column:
@@ -295,5 +303,151 @@ def json_schema_profile(
             "n_distinct",
             "min_value",
             "max_value",
+        )
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+    decimals: int = 6,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier tuple
+    (Sweeney 2002; Machanavajjhala 2007): group rows by the QI columns
+    into equivalence classes, then roll classes up BY CLASS SIZE so the
+    re-identification risk profile of a 100 TB table compresses to a
+    few dozen rows.
+
+    Output per distinct class size: ``class_size``, ``n_classes``,
+    ``n_rows``, ``at_risk`` (size < k — these rows are re-identifiable
+    below the k bar), ``min_l`` / ``max_l`` (distinct sensitive values
+    per class — l-diversity; min_l = 1 means an attacker who locates
+    the class learns the sensitive value outright), and ``row_share``
+    of the table. Counts are exact BIGINTs; the share is one division
+    ROUNDed once.
+
+    Scale: two shuffles, both shrinking — QI groupBy (map-side
+    combined, carries one row per class) then size groupBy (carries
+    one row per distinct size). The exact per-class distinct uses the
+    count-distinct expand inside the first agg; at 100 TB swap to
+    ``approx_count_distinct`` with the same output schema.
+
+    No reference analog (morphik-core's governance is per-row ACLs,
+    `core/models/auth.py`); this is the corpus-release gate that sits
+    beside `pii_scrub` in a training-data pipeline.
+    """
+    classes = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).alias("_size"),
+        F.countDistinct(F.col(sensitive_col)).alias("_l"),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        classes.groupBy(F.col("_size").alias("class_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("_size").alias("n_rows"),
+            F.min("_l").alias("min_l"),
+            F.max("_l").alias("max_l"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "class_size",
+            "n_classes",
+            "n_rows",
+            (F.col("class_size") < F.lit(k)).alias("at_risk"),
+            "min_l",
+            "max_l",
+            F.round(
+                F.expr("CAST(n_rows AS DOUBLE) / CAST(_n AS DOUBLE)"), decimals
+            ).alias("row_share"),
+        )
+    )
+
+
+# log10(1 + 1/d) for d = 1..9, written as full-precision double literals
+# so Spark and any oracle engine use the IDENTICAL constant (no runtime
+# log10 call whose last ulp could differ between libm implementations).
+BENFORD_EXPECTED = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    decimals: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law per group —
+    the classic fabricated-data / corruption screen for financial and
+    telemetry columns (Nigrini 2012). Values <= 0 or NULL are excluded
+    (Benford applies to positive magnitudes).
+
+    The first significant digit is taken LEXICALLY — first char of the
+    decimal rendering of ``abs(value)`` with leading "0."/zeros
+    stripped — which is exact for DECIMAL columns and avoids any
+    log/pow float path entirely. Expected shares are compile-time
+    double literals (``BENFORD_EXPECTED``), observed shares one
+    division of exact BIGINTs; ``abs_dev`` is one fixed ROUND tree.
+
+    Output: group_cols + (digit, n, observed, expected, abs_dev).
+    Groups missing a digit entirely still emit its row (n=0) via a
+    broadcast digit spine, so the downstream MAD-over-digits screen
+    (flag when mean |obs-exp| > 0.015) always averages over 9 terms.
+
+    Scale: one groupBy(group, digit) with map-side combine — the
+    shuffle carries at most 9 rows per group; the digit spine is a
+    9-row broadcast. No reference analog (extension; sits with the
+    validation suite).
+    """
+    spark = df.sparkSession
+    gcols = [F.col(c) for c in group_cols]
+    digit = F.regexp_extract(
+        F.regexp_replace(
+            F.abs(F.col(value_col)).cast("string"), r"^0\.0*", ""
+        ),
+        r"([1-9])",
+        1,
+    )
+    counted = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .groupBy(*gcols, digit.cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    groups = counted.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.sum("n").alias("_total")
+    )
+    spine = spark.createDataFrame(
+        [(d, e) for d, e in BENFORD_EXPECTED.items()], "digit INT, expected DOUBLE"
+    )
+    return (
+        groups.join(F.broadcast(spine))
+        .join(counted, [*group_cols, "digit"], "left")
+        .select(
+            *[F.col(c) for c in group_cols],
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.round(
+                F.expr("CAST(COALESCE(n, 0) AS DOUBLE) / CAST(_total AS DOUBLE)"),
+                decimals,
+            ).alias("observed"),
+            F.round(F.col("expected"), decimals).alias("expected"),
+            F.round(
+                F.abs(
+                    F.expr("CAST(COALESCE(n, 0) AS DOUBLE) / CAST(_total AS DOUBLE)")
+                    - F.col("expected")
+                ),
+                decimals,
+            ).alias("abs_dev"),
         )
     )

@@ -79,6 +79,14 @@ SENSITIVE = [
     "skew_salted_agg",
     "json_schema_profile",
     "negative_sampling",
+    # governance/experimentation batch: scaled-int IV sum, sqrt z-trees,
+    # rounded-cos greedy argmax (engine-independent selection), share
+    # ratios vs literal Benford constants
+    "woe_iv",
+    "ab_test",
+    "mmr_rerank",
+    "benford_audit",
+    "k_anonymity",
 ]
 
 
