@@ -892,6 +892,130 @@ def main() -> None:
         t10 = timed(bloom1)
         print(json.dumps({"op": "bloom_index_build", "t_1x": t1, "t_10x": t10, "ratio": round(t10 / t1, 2)}))
 
+    if "gov" in ops:
+        # Governance/experimentation batch: k-anonymity (10x customers
+        # deepen every equivalence class), Benford (10x prices), WOE/IV
+        # (10x orders), switchback A/B (10x user-days), and MMR over a
+        # 10x embedding corpus (the candidate SCORING pass scales with
+        # the corpus; the greedy loop stays k x fan-in).
+        from morphik_core_spark.functions.vectors import retrieval_score
+        from morphik_core_spark.operators.analytics import ab_test_summary
+        from morphik_core_spark.operators.curation import woe_iv
+        from morphik_core_spark.operators.dedup import portable_hash
+        from morphik_core_spark.operators.rerank import mmr_diversify
+        from morphik_core_spark.operators.validation import (
+            benford_audit,
+            k_anonymity_audit,
+        )
+        from pyspark.sql import Window
+
+        cust1 = load_table(spark, "customer", SF_DIR).select(
+            "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+        )
+        ctiles = [
+            cust1.select(
+                (F.col("c_custkey") * 10 + k).alias("c_custkey"),
+                "c_nationkey", "c_mktsegment", "c_acctbal",
+            )
+            for k in range(10)
+        ]
+        cust10 = ctiles[0]
+        for t in ctiles[1:]:
+            cust10 = cust10.unionByName(t)
+        c10_p = os.path.join(tmp, "cust10")
+        cust10.write.mode("overwrite").parquet(c10_p)
+        cust10 = spark.read.parquet(c10_p)
+
+        def kanon(c):
+            qi = c.select(
+                "c_nationkey", "c_mktsegment",
+                F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0)).alias("band"),
+                (F.col("c_custkey") % 7).alias("sens"),
+            )
+            mat(k_anonymity_audit(qi, ["c_nationkey", "c_mktsegment", "band"], "sens", k=5))
+
+        report("k_anonymity", kanon, cust1, cust10)
+
+        li1g = load_table(spark, "lineitem", SF_DIR).select("l_returnflag", "l_extendedprice")
+        ltiles = [
+            li1g.select("l_returnflag", (F.col("l_extendedprice") + k * 0.07).alias("l_extendedprice"))
+            for k in range(10)
+        ]
+        li10 = ltiles[0]
+        for t in ltiles[1:]:
+            li10 = li10.unionByName(t)
+        l10_p = os.path.join(tmp, "li10gov")
+        li10.write.mode("overwrite").parquet(l10_p)
+        li10 = spark.read.parquet(l10_p)
+        report(
+            "benford_audit",
+            lambda d: mat(benford_audit(d, "l_extendedprice", ["l_returnflag"])),
+            li1g,
+            li10,
+        )
+
+        ord1 = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_orderpriority", "o_orderstatus")
+        otiles = [
+            ord1.select((F.col("o_orderkey") * 10 + k).alias("o_orderkey"), "o_orderpriority", "o_orderstatus")
+            for k in range(10)
+        ]
+        ord10 = otiles[0]
+        for t in otiles[1:]:
+            ord10 = ord10.unionByName(t)
+        o10_p = os.path.join(tmp, "ord10gov")
+        ord10.write.mode("overwrite").parquet(o10_p)
+        ord10 = spark.read.parquet(o10_p)
+
+        def woe(d):
+            mat(woe_iv(d.withColumn("y", (F.col("o_orderstatus") == "F").cast("int")), "o_orderpriority", "y"))
+
+        report("woe_iv", woe, ord1, ord10)
+
+        ev1g = load_table(spark, "events", SF_DIR).select("user_id", "ts", "event_type")
+        gtiles = [
+            ev1g.select((F.col("user_id") * 10 + k).alias("user_id"), "ts", "event_type")
+            for k in range(10)
+        ]
+        ev10g = gtiles[0]
+        for t in gtiles[1:]:
+            ev10g = ev10g.unionByName(t)
+        e10_pg = os.path.join(tmp, "ev10gov")
+        ev10g.write.mode("overwrite").parquet(e10_pg)
+        ev10g = spark.read.parquet(e10_pg)
+
+        def ab(e):
+            day = F.expr("unix_micros(ts) div 86400000000")
+            unit = F.concat(F.col("user_id").cast("string"), F.lit(":"), day.cast("string"))
+            units = (
+                e.select(unit.alias("unit"), (F.col("event_type") == "purchase").cast("int").alias("p"))
+                .groupBy("unit").agg(F.max("p").alias("bc"))
+            )
+            b = portable_hash(F.concat(F.lit("ab:"), F.col("unit"))) % 3
+            assigned = units.select(
+                "unit",
+                F.when(b == 0, F.lit("control")).when(b == 1, F.lit("a")).otherwise(F.lit("b")).alias("variant"),
+                (F.col("bc") == 1).alias("conv"),
+            )
+            mat(ab_test_summary(assigned, "variant", "unit", "conv"))
+
+        report("ab_test", ab, ev1g, ev10g)
+
+        def mmr(e):
+            probes = e.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv")
+            )
+            scored = (
+                e.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+                .crossJoin(F.broadcast(probes))
+                .filter(F.col("vec_id") != F.col("q_id"))
+                .select("q_id", "vec_id", F.round(retrieval_score(F.col("vec"), F.col("qv")), 6).alias("score"), "vec")
+            )
+            w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            cands = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 12)
+            mat(mmr_diversify(cands, "q_id", "vec_id", "score", "vec", lam=0.5, k=3))
+
+        report("mmr_diversify", mmr, emb1, emb10)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing
