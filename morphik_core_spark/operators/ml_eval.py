@@ -1,0 +1,218 @@
+"""Model-quality evaluation operators: exact AUC/Gini, calibration
+reliability bins + ECE, and Cohen's kappa inter-rater agreement.
+
+Extensions beyond the reference surface (morphik-core has no model-QA
+analytics); these are the evaluation rollups a training-data pipeline
+runs over classifier scores, heuristic quality signals, and weak labels
+before trusting them to filter a 100 TB corpus.
+
+Determinism contracts (the repo-wide rules):
+
+- AUC is computed from EXACT integer rank sums over scores quantized to
+  ``decimals`` places — the Mann-Whitney U statistic with midrank tie
+  handling, kept integral by carrying 2·U — so the only float ops are
+  the final divisions, each one fixed tree rounded once.
+- Calibration's per-bin mean prediction sums ROUND(p·10^decimals)
+  integers (exact because the scores are already rounded); ECE sums
+  per-bin scaled-integer terms, so aggregation order can't move it.
+- Kappa is pure integer contingency counts into one rounded tree.
+
+Scale shapes:
+
+- :func:`auc_roc` — one map-side-combined groupBy on the quantized
+  score, then a prefix-sum window over DISTINCT scores. For scores in
+  [0, 1] at 6 decimals that frame is ≤ 10^6+1 rows REGARDLESS of corpus
+  size, so the unpartitioned window is bounded by construction (for
+  unbounded score ranges, range-repartition the distinct frame and
+  two-pass the prefix sums).
+- :func:`calibration_bins` — one groupBy on ≤ n_bins keys.
+- :func:`cohens_kappa` — one groupBy on the (a, b) label pairs (≤
+  |labels|² rows), then driver-free broadcasts of the marginals.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["auc_roc", "calibration_bins", "cohens_kappa"]
+
+
+def auc_roc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact ROC AUC of a score against a 0/1 label via the rank-sum
+    (Mann-Whitney U) identity, with midrank tie correction:
+
+        AUC = (Σ_{positives} rank_i − n⁺(n⁺+1)/2) / (n⁺ · n⁻)
+
+    Ranks are over the score quantized to ``decimals`` (ties share the
+    midrank). Carrying 2·rank keeps everything integral: for a tied
+    score group starting after ``c`` rows with ``cnt`` members, each
+    member's 2·midrank = 2c + cnt + 1, so
+
+        2U = Σ_groups pos_cnt · (2c + cnt + 1) − n⁺(n⁺+1)
+
+    and AUC = 2U / (2 n⁺ n⁻) — one division, rounded once. Gini =
+    2·AUC − 1 from the same unrounded tree.
+
+    Output: one row (n_pos, n_neg, auc, gini); auc/gini NULL when
+    either class is empty.
+    """
+    scale = 10**decimals
+    q = F.expr(
+        f"CAST(ROUND(CAST({score_col} AS DOUBLE) * {scale}) AS BIGINT)"
+    ).alias("_s")
+    y = F.col(label_col).cast("bigint")
+    groups = (
+        df.filter(F.col(score_col).isNotNull() & y.isNotNull())
+        .select(q, y.alias("_y"))
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("_y").alias("pos"))
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = groups.select(
+        "pos",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("c_before"),
+    )
+    # the rank sum is O(N²): accumulate in DECIMAL(38,0) (exact to 1e38)
+    # so a corpus-scale N never overflows int64 under ANSI — pos is cast
+    # BEFORE the multiply, since pos·(2c+cnt+1) alone can exceed 2⁶³
+    agg = ranked.agg(
+        F.sum(
+            F.col("pos").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("c_before") + F.col("cnt") + F.lit(1))
+        ).alias("rank2_pos"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n_neg"),
+    )
+    auc = (
+        "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE "
+        "CAST(rank2_pos - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) AS DOUBLE) "
+        "/ (2.0D * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END"
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(F.expr(auc), decimals).alias("auc"),
+        F.round(F.expr(f"2.0D * ({auc}) - 1.0D"), decimals).alias("gini"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Reliability-diagram bins + Expected Calibration Error for a
+    probability column in [0, 1] (Naeini 2015 binned ECE): rows land in
+    ``floor(p · n_bins)`` (top edge clamped into the last bin), each
+    bin reports its mean predicted probability, observed positive rate,
+    and |gap|; ECE = Σ_b (n_b/N)·|obs_b − pred_b| is summed as
+    ROUND(x·1e12) scaled integers and repeated per row.
+
+    ``prob_col`` must already be rounded to ``decimals`` (every score
+    producer in this repo rounds at the edge) — that makes the per-bin
+    probability sums EXACT integer arithmetic.
+
+    Output: (bin, n, mean_pred, observed, gap, ece) — at most n_bins
+    rows; one map-side-combined groupBy plus a one-row broadcast.
+    """
+    scale = 10**decimals
+    b = F.least(
+        F.floor(F.col(prob_col).cast("double") * n_bins).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    y = F.col(label_col).cast("bigint")
+    bins = (
+        df.filter(F.col(prob_col).isNotNull() & y.isNotNull())
+        .select(
+            b.alias("bin"),
+            F.expr(f"CAST(ROUND(CAST({prob_col} AS DOUBLE) * {scale}) AS BIGINT)").alias("_p"),
+            y.alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_p").alias("_sp"),
+            F.sum("_y").alias("_np"),
+        )
+    )
+    total = bins.agg(F.sum("n").alias("_tn"))
+    pred = f"(CAST(_sp AS DOUBLE) / (CAST(n AS DOUBLE) * {float(scale)}D))"
+    obs = "(CAST(_np AS DOUBLE) / CAST(n AS DOUBLE))"
+    gap = f"abs({obs} - {pred})"
+    terms = bins.join(F.broadcast(total)).select(
+        "bin",
+        "n",
+        F.round(F.expr(pred), decimals).alias("mean_pred"),
+        F.round(F.expr(obs), decimals).alias("observed"),
+        F.round(F.expr(gap), decimals).alias("gap"),
+        F.expr(
+            f"CAST(ROUND((CAST(n AS DOUBLE) / CAST(_tn AS DOUBLE)) * ({gap}) * 1e12) AS BIGINT)"
+        ).alias("_t"),
+    )
+    ece = terms.agg(F.sum("_t").alias("_s")).select(
+        F.round(F.col("_s").cast("double") / F.lit(1e12), decimals).alias("ece")
+    )
+    return terms.drop("_t").join(F.broadcast(ece))
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Cohen's kappa agreement between two categorical columns (weak
+    labels, annotator pairs, declared-vs-predicted language):
+
+        κ = (p_o − p_e) / (1 − p_e),
+        p_o = Σ_i n_ii / N,   p_e = Σ_i (row_i · col_i) / N²
+
+    Counts are exact; p_o/p_e/κ form one fixed double tree rounded
+    once; κ is NULL when p_e = 1, detected STRUCTURALLY (exactly one
+    contingency cell and it is diagonal ⇔ both raters constant) — an
+    integer n·n guard would overflow int64 beyond ~3·10⁹ rows and a
+    float comparison would be inexact past 2⁵³.
+
+    Output: one row (n, observed_agreement, expected_agreement, kappa).
+    Scale: one groupBy on label pairs (≤ |labels|²), marginals derived
+    from that tiny frame — the corpus contributes one combinable scan.
+    """
+    pairs = (
+        df.filter(F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull())
+        .groupBy(F.col(rater_a_col).alias("_a"), F.col(rater_b_col).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    row_m = pairs.groupBy("_a").agg(F.sum("c").alias("ra"))
+    col_m = pairs.groupBy("_b").agg(F.sum("c").alias("cb"))
+    chance = (
+        row_m.join(col_m, F.col("_a") == F.col("_b"))
+        .agg(F.sum(F.col("ra") * F.col("cb")).alias("rc"))
+    )
+    diag = pairs.agg(
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("c")).otherwise(F.lit(0))).alias("agree"),
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    po = "(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE))"
+    pe = "(CAST(COALESCE(rc, 0) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    kappa = (
+        f"CASE WHEN n_cells = 1 AND agree = n THEN NULL "
+        f"ELSE ({po} - {pe}) / (1.0D - {pe}) END"
+    )
+    return diag.join(F.broadcast(chance)).select(
+        "n",
+        F.round(F.expr(po), decimals).alias("observed_agreement"),
+        F.round(F.expr(pe), decimals).alias("expected_agreement"),
+        F.round(F.expr(kappa), decimals).alias("kappa"),
+    )

@@ -87,6 +87,10 @@ SENSITIVE = [
     "mmr_rerank",
     "benford_audit",
     "k_anonymity",
+    # ml-eval: DECIMAL(38,0) rank sums, scaled-int ECE, contingency trees
+    "auc_score",
+    "calibration",
+    "rater_agreement",
 ]
 
 

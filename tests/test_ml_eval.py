@@ -1,0 +1,72 @@
+"""Unit tests for ml_eval: exact AUC (hand-computed rank sums, ties,
+degenerate classes), calibration bins + ECE, Cohen's kappa."""
+
+from __future__ import annotations
+
+from morphik_core_spark.operators.ml_eval import (
+    auc_roc,
+    calibration_bins,
+    cohens_kappa,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_auc_hand_computed_with_midrank_ties(spark):
+    # ranks asc: 0.1(-)=1, 0.7 tie -> midrank 2.5 (one +, one -),
+    # 0.8(-)=4, 0.9(+)=5; U = (5+2.5) - 2*3/2 = 4.5; AUC = 4.5/(2*3)
+    rows = [(0.9, 1), (0.8, 0), (0.7, 1), (0.7, 0), (0.1, 0)]
+    r = auc_roc(_df(spark, rows, "s double, y int"), "s", "y").collect()[0]
+    assert r["n_pos"] == 2 and r["n_neg"] == 3
+    assert r["auc"] == 0.75
+    assert r["gini"] == 0.5
+
+
+def test_auc_perfect_and_degenerate(spark):
+    rows = [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+    r = auc_roc(_df(spark, rows, "s double, y int"), "s", "y").collect()[0]
+    assert r["auc"] == 1.0 and r["gini"] == 1.0
+    # single class -> NULL auc, not a crash
+    r2 = auc_roc(_df(spark, [(0.5, 1), (0.7, 1)], "s double, y int"), "s", "y").collect()[0]
+    assert r2["auc"] is None and r2["gini"] is None
+
+
+def test_calibration_bins_and_ece(spark):
+    # bin 1 (0.1..0.2): preds 0.1,0.15 / 1 positive -> obs 0.5, pred 0.125
+    # bin 9: prob 1.0 clamps into bin 9; obs 1.0, pred mean (0.95+1.0)/2
+    rows = [(0.1, 0), (0.15, 1), (0.95, 1), (1.0, 1)]
+    out = {r["bin"]: r for r in calibration_bins(_df(spark, rows, "p double, y int"), "p", "y").collect()}
+    assert set(out) == {1, 9}
+    assert out[1]["mean_pred"] == 0.125 and out[1]["observed"] == 0.5
+    assert out[9]["mean_pred"] == 0.975 and out[9]["observed"] == 1.0
+    assert out[1]["gap"] == 0.375 and out[9]["gap"] == 0.025
+    ece = round((2 / 4) * 0.375 + (2 / 4) * 0.025, 6)
+    assert out[1]["ece"] == ece == out[9]["ece"]
+
+
+def test_cohens_kappa_hand_computed(spark):
+    # classic 2x2: a/a 20, a/b 5, b/a 10, b/b 15 -> po=0.7,
+    # pe = (25*30 + 25*20)/50^2 = 0.5, kappa = 0.4
+    rows = [("a", "a")] * 20 + [("a", "b")] * 5 + [("b", "a")] * 10 + [("b", "b")] * 15
+    r = cohens_kappa(_df(spark, rows, "r1 string, r2 string"), "r1", "r2").collect()[0]
+    assert r["n"] == 50
+    assert r["observed_agreement"] == 0.7
+    assert r["expected_agreement"] == 0.5
+    assert r["kappa"] == round((0.7 - 0.5) / 0.5, 6)
+
+
+def test_cohens_kappa_edges(spark):
+    # perfect agreement over 2 labels -> kappa 1.0
+    rows = [("x", "x")] * 3 + [("y", "y")] * 3
+    r = cohens_kappa(_df(spark, rows, "r1 string, r2 string"), "r1", "r2").collect()[0]
+    assert r["kappa"] == 1.0
+    # both raters constant -> pe = 1 -> NULL (structural guard)
+    rows2 = [("x", "x")] * 4
+    r2 = cohens_kappa(_df(spark, rows2, "r1 string, r2 string"), "r1", "r2").collect()[0]
+    assert r2["kappa"] is None and r2["observed_agreement"] == 1.0
+    # constant but DISAGREEING raters -> pe = 0, kappa = po = 0
+    rows3 = [("x", "y")] * 4
+    r3 = cohens_kappa(_df(spark, rows3, "r1 string, r2 string"), "r1", "r2").collect()[0]
+    assert r3["kappa"] == 0.0 and r3["expected_agreement"] == 0.0
