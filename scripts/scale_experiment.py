@@ -1016,6 +1016,38 @@ def main() -> None:
 
         report("mmr_diversify", mmr, emb1, emb10)
 
+    if "mleval" in ops:
+        from morphik_core_spark.operators.classifier import fast_sigmoid
+        from morphik_core_spark.operators.dedup import portable_hash
+        from morphik_core_spark.operators.ml_eval import (
+            auc_roc,
+            calibration_bins,
+            cohens_kappa,
+        )
+
+        def scored(d):
+            z = F.expr("(CAST(n_chars AS DOUBLE) - 298.0D) / 100.0D")
+            return d.select(
+                F.round(fast_sigmoid(z), 6).alias("score"),
+                (F.col("source") == "src1").cast("int").alias("y"),
+            )
+
+        report("auc_roc", lambda d: mat(auc_roc(scored(d), "score", "y")), docs1, docs10)
+        report(
+            "calibration_bins",
+            lambda d: mat(calibration_bins(scored(d), "score", "y")),
+            docs1,
+            docs10,
+        )
+
+        def kappa(d):
+            nxt = F.concat(F.lit("x"), F.col("lang"))
+            keep = portable_hash(F.concat(F.lit("r:"), F.col("doc_id").cast("string"))) % 10 < 7
+            rated = d.select("lang", F.when(keep, F.col("lang")).otherwise(nxt).alias("b"))
+            mat(cohens_kappa(rated, "lang", "b"))
+
+        report("cohens_kappa", kappa, docs1, docs10)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing
