@@ -3596,6 +3596,65 @@ def _q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohens_kappa(rated, "lang", "annotator")
 
 
+def _q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume autocorrelation at lags 1..7
+    (`analytics.autocorrelation`): integer deviations n·x−S, DECIMAL(38,0)
+    product sums, one division per lag — the weekly-seasonality screen
+    over the event stream."""
+    from morphik_core_spark.operators.analytics import autocorrelation
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return autocorrelation(daily, "di", "x", max_lag=7)
+
+
+def _q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detector (`analytics.cusum_screen`) over daily
+    event volume with a deterministic +33% uplift injected on the last
+    10 of 30 days (the raw series' wander never crosses h at any sf —
+    measured, NOTES.md non-vacuity rule — so the drift is synthesized
+    to light the alarm in the tail and ONLY the tail). Closed form
+    P_d − min(0, running-min P) keeps the recursion in two exact
+    integer windows."""
+    from morphik_core_spark.operators.analytics import cusum_screen
+
+    events = _t(spark, sf_dir, "events")
+    d0 = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("x0"))
+    lo = d0.agg(F.min("di").alias("_dmin"))
+    drifted = d0.join(F.broadcast(lo)).select(
+        "di",
+        (
+            F.col("x0")
+            + F.when(
+                F.col("di") >= F.col("_dmin") + 20, F.expr("x0 div 3")
+            ).otherwise(F.lit(0))
+        ).alias("x"),
+    )
+    return cusum_screen(drifted, "di", "x", h_mult=1)
+
+
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality audit (`similarity.recall_at_k`): IVF (8 lists, 2
+    probes) top-10 vs brute-force exact top-10 for 3 probe queries —
+    the recall gate an ANN index must pass after every (re)build.
+    Both sides are k-sized frames; the audit itself is O(queries·k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    exact = similarity.knn_brute_force(emb, queries_df, k=10, decimals=_SCORE_DECIMALS)
+    approx = similarity.knn_ivf(
+        emb, _centroids(spark, sf_dir), queries_df, k=10,
+        n_probes=_IVF_PROBES, decimals=_SCORE_DECIMALS,
+    )
+    return similarity.recall_at_k(exact, approx)
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -3805,6 +3864,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_score": _q_auc_score,
         "calibration": _q_calibration,
         "rater_agreement": _q_rater_agreement,
+        "acf_daily": _q_acf_daily,
+        "cusum_drift": _q_cusum_drift,
+        "ann_recall": _q_ann_recall,
     }
 
 
@@ -7721,6 +7783,99 @@ def oracle_sql() -> dict[str, str]:
                           - (CAST(COALESCE(rc, 0) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
                          / (1.0 - (CAST(COALESCE(rc, 0) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) END, 6) AS kappa
             FROM dg CROSS JOIN ch
+        """,
+        "acf_daily": """
+            WITH d AS (SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS x
+                       FROM events GROUP BY 1),
+            g AS (SELECT CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n FROM d),
+            dev AS (SELECT di, n * x - s AS dd FROM d CROSS JOIN g),
+            den AS (SELECT SUM(CAST(dd AS HUGEINT) * dd) AS den FROM dev),
+            lags AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) AS l(lag)),
+            pairs AS (
+                SELECT l.lag, a.dd AS da, b.dd AS db
+                FROM dev a JOIN lags l ON TRUE
+                JOIN dev b ON b.di = a.di + l.lag
+            ),
+            num AS (SELECT lag, COUNT(*) AS n_pairs,
+                           SUM(CAST(da AS HUGEINT) * db) AS num
+                    FROM pairs GROUP BY 1)
+            SELECT lag, n_pairs,
+                   ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+            FROM num CROSS JOIN den
+        """,
+        "cusum_drift": """
+            WITH d0 AS (SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS x0
+                        FROM events GROUP BY 1),
+            lo AS (SELECT MIN(di) AS dmin FROM d0),
+            d AS (SELECT di, x0 + CASE WHEN di >= dmin + 20 THEN x0 // 3 ELSE 0 END AS x
+                  FROM d0 CROSS JOIN lo),
+            g AS (SELECT CAST(SUM(x) AS BIGINT) // COUNT(*) AS t FROM d),
+            c AS (SELECT di, x, SUM(x - t) OVER (ORDER BY di ASC ROWS UNBOUNDED PRECEDING) AS p
+                  FROM d CROSS JOIN g),
+            m AS (SELECT di, x, p,
+                         LEAST(0, MIN(p) OVER (ORDER BY di ASC ROWS UNBOUNDED PRECEDING)) AS mn
+                  FROM c)
+            SELECT di AS idx, x AS value, CAST(p AS BIGINT) AS excess,
+                   CAST(p - mn AS BIGINT) AS cusum,
+                   (p - mn) > t AS alarm
+            FROM m CROSS JOIN g
+        """,
+        "ann_recall": """
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            ex AS (
+                SELECT q_id, vec_id FROM (
+                    SELECT q.q_id, e.vec_id,
+                           row_number() OVER (
+                               PARTITION BY q.q_id
+                               ORDER BY ROUND((1.0 + list_dot_product(e.embedding::DOUBLE[], q.qv) / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv)))) / 2.0, 6) DESC, e.vec_id ASC
+                           ) AS rn
+                    FROM embeddings e, q
+                ) WHERE rn <= 10
+            ),
+            cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                     FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+            assign AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv) /
+                                   (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                                    sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cid ASC) AS rn
+                    FROM embeddings e, cent c
+                ) WHERE rn = 1
+            ),
+            probes AS (
+                SELECT q_id, cid FROM (
+                    SELECT q.q_id, c.cid, row_number() OVER (
+                        PARTITION BY q.q_id
+                        ORDER BY ROUND(list_dot_product(q.qv, c.cv) /
+                            (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6)
+                            DESC, c.cid ASC) AS rn
+                    FROM cent c, q
+                ) WHERE rn <= 2
+            ),
+            ap AS (
+                SELECT q_id, vec_id FROM (
+                    SELECT q.q_id, e.vec_id,
+                           row_number() OVER (
+                               PARTITION BY q.q_id
+                               ORDER BY ROUND((1.0 + list_dot_product(e.embedding::DOUBLE[], q.qv) / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv)))) / 2.0, 6) DESC, e.vec_id ASC
+                           ) AS rn
+                    FROM embeddings e
+                    JOIN assign a ON e.vec_id = a.vec_id
+                    JOIN probes p ON a.cid = p.cid
+                    JOIN q ON q.q_id = p.q_id
+                ) WHERE rn <= 10
+            ),
+            base AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY 1),
+            hits AS (SELECT ex.q_id, COUNT(*) AS n_hits
+                     FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+                     GROUP BY 1)
+            SELECT base.q_id, n_exact, COALESCE(n_hits, 0) AS n_hits,
+                   ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall
+            FROM base LEFT JOIN hits ON base.q_id = hits.q_id
         """,
     }
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -37,6 +37,8 @@ __all__ = [
     "rfm_segments",
     "ab_test_summary",
     "Z_CRIT_95",
+    "autocorrelation",
+    "cusum_screen",
 ]
 
 
@@ -767,4 +769,111 @@ def ab_test_summary(
                 "significant"
             ),
         )
+    )
+
+
+def autocorrelation(
+    series: DataFrame,
+    idx_col: str,
+    val_col: str,
+    max_lag: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """Sample autocorrelation of an integer-indexed series at lags
+    1..``max_lag`` — the seasonality/persistence screen a telemetry
+    pipeline runs on daily event counts (lag-7 spike = weekly cycle).
+
+        acf(k) = Σ_d (x_d − x̄)(x_{d+k} − x̄) / Σ_d (x_d − x̄)²
+
+    Exactness: with S = Σx and n = #points, each deviation is the exact
+    INTEGER n·x_d − S; products accumulate in DECIMAL(38,0) (a corpus-
+    scale day count times n² · x² passes 2⁶³ easily), and the n²
+    factors cancel in the ratio, so acf is one double division rounded
+    once. Pairs exist only where BOTH indexes are present (gaps drop
+    pairs, the denominator stays full-series — the standard convention).
+
+    Scale: the series is an already-aggregated frame (days, hours,
+    buckets — dimension-sized, not fact-sized); lags fan out via a
+    ``max_lag``-row spine and one equi-join on the shifted index.
+
+    Output: (lag, n_pairs, acf).
+    """
+    base = series.select(
+        F.col(idx_col).cast("bigint").alias("_i"), F.col(val_col).cast("bigint").alias("_x")
+    )
+    glob = base.agg(
+        F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    dev = base.join(F.broadcast(glob)).select(
+        "_i", (F.col("_n") * F.col("_x") - F.col("_s")).alias("_d")
+    )
+    den = dev.agg(
+        F.sum(F.col("_d").cast("decimal(38,0)") * F.col("_d")).alias("_den")
+    )
+    spine = F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)])).alias("lag")
+    left = dev.select(spine, "_i", F.col("_d").alias("_da")).withColumn(
+        "_j", F.col("_i") + F.col("lag")
+    )
+    pairs = left.join(
+        dev.select(F.col("_i").alias("_j"), F.col("_d").alias("_db")), "_j"
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("_da").cast("decimal(38,0)") * F.col("_db")).alias("_num"),
+    )
+    return num.join(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        F.round(
+            F.expr("CAST(_num AS DOUBLE) / CAST(_den AS DOUBLE)"), decimals
+        ).alias("acf"),
+    )
+
+
+def cusum_screen(
+    series: DataFrame,
+    idx_col: str,
+    val_col: str,
+    h_mult: int = 3,
+) -> DataFrame:
+    """One-sided CUSUM change detector over an integer series (Page
+    1954): cumulative excess over the series' floor-mean target, with
+    an alarm when it passes ``h_mult`` × target — the drift screen for
+    daily volumes between pipeline runs.
+
+    The textbook recursion s_d = max(0, s_{d−1} + (x_d − target)) is
+    not a window function, but its closed form is: with prefix sums
+    P_d = Σ_{j≤d}(x_j − target),
+
+        s_d = P_d − min(0, min_{j≤d} P_j)
+
+    — two running windows (prefix sum + running min), both exact
+    integers, so the alarm sequence is engine- and partitioning-
+    independent with no float in sight.
+
+    The ordered windows are global over the SERIES (an aggregated
+    dimension-sized frame — days, not events); for multi-key screens
+    partition the windows by the key.
+
+    Output per point: (idx, value, excess P_d, cusum, alarm).
+    """
+    base = series.select(
+        F.col(idx_col).cast("bigint").alias("idx"),
+        F.col(val_col).cast("bigint").alias("value"),
+    )
+    glob = base.agg(
+        F.expr("CAST(sum(value) AS BIGINT) div count(1)").alias("_target")
+    )
+    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        base.join(F.broadcast(glob))
+        .withColumn("_p", F.sum(F.col("value") - F.col("_target")).over(w))
+        .withColumn("_m", F.least(F.lit(0), F.min("_p").over(w)))
+    )
+    return cum.select(
+        "idx",
+        "value",
+        F.col("_p").alias("excess"),
+        (F.col("_p") - F.col("_m")).alias("cusum"),
+        ((F.col("_p") - F.col("_m")) > F.col("_target") * h_mult).alias("alarm"),
     )

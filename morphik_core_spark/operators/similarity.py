@@ -44,6 +44,7 @@ __all__ = [
     "ivf_append",
     "ivf_drift_audit",
     "semantic_decontaminate",
+    "recall_at_k",
 ]
 
 
@@ -862,5 +863,41 @@ def sq8_reconstruction_error(
             F.round(
                 F.col("_max_pico").cast("double") / F.lit(1000000000000.0), 12
             ).alias("max_mse"),
+        )
+    )
+
+
+def recall_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    q_col: str = "q_id",
+    id_col: str = "vec_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Recall audit of an approximate retrieval result set against the
+    exact ground truth: per query, |approx ∩ exact| / |exact| — the
+    index-quality gate run after every IVF/LSH/PQ (re)build before the
+    index serves traffic (FAISS benchmarks report exactly this number).
+
+    Both inputs are top-k frames (query, id) — k-sized per query, so
+    every join/aggregate here touches only O(n_queries · k) rows no
+    matter how large the corpus behind them was.
+
+    Output: (q_col, n_exact, n_hits, recall).
+    """
+    e = exact.select(F.col(q_col).alias("_q"), F.col(id_col).alias("_id"))
+    a = approx.select(F.col(q_col).alias("_q"), F.col(id_col).alias("_id"))
+    base = e.groupBy("_q").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = e.join(a, ["_q", "_id"]).groupBy("_q").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        base.join(hits, "_q", "left")
+        .select(
+            F.col("_q").alias(q_col),
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.expr("CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE)"),
+                decimals,
+            ).alias("recall"),
         )
     )

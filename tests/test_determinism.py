@@ -91,6 +91,11 @@ SENSITIVE = [
     "auc_score",
     "calibration",
     "rater_agreement",
+    # time-series QA + index audit: DECIMAL(38,0) ACF products, integer
+    # CUSUM windows, recall ratio of two rank-stable top-k sets
+    "acf_daily",
+    "cusum_drift",
+    "ann_recall",
 ]
 
 

@@ -1,0 +1,57 @@
+"""Unit tests for the time-series QA + index-audit batch: exact ACF
+(hand-computed, gap handling), CUSUM closed form vs the textbook
+recursion, recall_at_k arithmetic."""
+
+from __future__ import annotations
+
+from morphik_core_spark.operators.analytics import autocorrelation, cusum_screen
+from morphik_core_spark.operators.similarity import recall_at_k
+
+
+def test_acf_hand_computed_perfect_alternation(spark):
+    # x = [1, -1, 1, -1] (as 2/0 around mean 1): acf(1) = -1, acf(2) = +1
+    rows = [(0, 2), (1, 0), (2, 2), (3, 0)]
+    df = spark.createDataFrame(rows, "di long, x long")
+    out = {r["lag"]: r for r in autocorrelation(df, "di", "x", max_lag=2).collect()}
+    # devs (n=4, S=4): 4*2-4=4, -4, 4, -4; den = 4*16 = 64
+    # lag1: 3 pairs, each 4*-4 = -16 -> num -48 -> acf -0.75
+    # lag2: 2 pairs, each +16 -> num 32 -> acf 0.5
+    assert out[1]["n_pairs"] == 3 and out[1]["acf"] == -0.75
+    assert out[2]["n_pairs"] == 2 and out[2]["acf"] == 0.5
+
+
+def test_acf_gaps_drop_pairs_only(spark):
+    # index 2 missing: lag-1 pairs are (0,1) and (3,4) only
+    rows = [(0, 5), (1, 7), (3, 7), (4, 5)]
+    df = spark.createDataFrame(rows, "di long, x long")
+    out = {r["lag"]: r for r in autocorrelation(df, "di", "x", max_lag=1).collect()}
+    assert out[1]["n_pairs"] == 2
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    # hand series with a level shift; replay the max(0, s+e) recursion
+    xs = [10, 9, 11, 10, 10, 16, 17, 18]
+    rows = [(i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "di long, x long")
+    out = {r["idx"]: r for r in cusum_screen(df, "di", "x", h_mult=1).collect()}
+    target = sum(xs) // len(xs)  # 12
+    s = 0
+    for i, x in enumerate(xs):
+        s = max(0, s + (x - target))
+        assert out[i]["cusum"] == s, (i, s, out[i]["cusum"])
+        assert out[i]["alarm"] is (s > target * 1)
+    # the shift tail must alarm, the stable head must not
+    assert out[7]["alarm"] is True and out[0]["alarm"] is False
+
+
+def test_recall_at_k_counts(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)], "q long, id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (1, 12), (2, 77)], "q long, id long"
+    )
+    out = {r["q"]: r for r in recall_at_k(exact, approx, "q", "id").collect()}
+    assert out[1]["n_exact"] == 3 and out[1]["n_hits"] == 2
+    assert out[1]["recall"] == round(2 / 3, 6)
+    assert out[2]["n_hits"] == 0 and out[2]["recall"] == 0.0
