@@ -1048,6 +1048,53 @@ def main() -> None:
 
         report("cohens_kappa", kappa, docs1, docs10)
 
+    if "tsqa" in ops:
+        # ACF/CUSUM scale with the FACT scan feeding the daily rollup
+        # (the series itself stays 30 rows); ann_recall scales with the
+        # candidate scoring side.
+        from morphik_core_spark.operators.analytics import autocorrelation, cusum_screen
+        from morphik_core_spark.operators.similarity import (
+            knn_brute_force,
+            knn_ivf,
+            recall_at_k,
+        )
+
+        ev1t = load_table(spark, "events", SF_DIR).select("event_id", "ts")
+        ttiles = [
+            ev1t.select((F.col("event_id") * 10 + k).alias("event_id"), "ts")
+            for k in range(10)
+        ]
+        ev10t = ttiles[0]
+        for t in ttiles[1:]:
+            ev10t = ev10t.unionByName(t)
+        t10_p = os.path.join(tmp, "ev10ts")
+        ev10t.write.mode("overwrite").parquet(t10_p)
+        ev10t = spark.read.parquet(t10_p)
+
+        def daily(e):
+            return e.groupBy(F.expr("unix_micros(ts) div 86400000000").alias("di")).agg(
+                F.count(F.lit(1)).alias("x")
+            )
+
+        report("acf_daily", lambda e: mat(autocorrelation(daily(e), "di", "x", 7)), ev1t, ev10t)
+        report("cusum_screen", lambda e: mat(cusum_screen(daily(e), "di", "x")), ev1t, ev10t)
+
+        cents = [
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in emb1.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8))
+            .orderBy("vec_id").collect()
+        ]
+
+        def rec(e):
+            qdf = e.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv")
+            )
+            ex = knn_brute_force(e, qdf, k=10)
+            ap = knn_ivf(e, cents, qdf, k=10, n_probes=2)
+            mat(recall_at_k(ex, ap))
+
+        report("ann_recall", rec, emb1, emb10)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing
