@@ -3433,7 +3433,9 @@ def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-digit Benford screen (`validation.benford_audit`) over
     lineitem extended prices per return flag. Digits are extracted
-    lexically from the DECIMAL rendering (no float log path); expected
+    lexically from the string rendering (no float log path; the DOUBLE
+    column renders shortest-round-trip identically in both engines at
+    price magnitudes — oracle-proven); expected
     shares are shared full-precision literals; observed shares one
     division of exact counts. TPC-H prices are ~uniform, so the
     deviations are real and non-vacuous."""
@@ -3655,6 +3657,58 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.recall_at_k(exact, approx)
 
 
+def _q_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic (`analytics.ks_statistic`) between
+    finished- and open-order total prices in cents — the sup-norm drift
+    test beside PSI; cross-multiplied DECIMAL(38,0) CDF gaps, arg-max
+    on exact integers, smallest-value tie-break."""
+    from morphik_core_spark.operators.analytics import ks_statistic
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.expr("CAST(o_totalprice * 100 AS BIGINT)").alias("cents"),
+    )
+    return ks_statistic(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        orders.filter(F.col("o_orderstatus") == "O"),
+        "cents",
+    )
+
+
+def _q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini (`analytics.lorenz_gini`) over
+    per-customer order totals in cents (DECIMAL-exact sums over the
+    DOUBLE source column) — the inequality audit for
+    "how concentrated is spend"; exact grouped-rank arithmetic in
+    DECIMAL(38,0) over the distinct-value grid."""
+    from morphik_core_spark.operators.analytics import lorenz_gini
+
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    return lorenz_gini(per_cust, "cents")
+
+
+def _q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest (`analytics.forecast_backtest`) of daily
+    event volume at season 7: MAPE/sMAPE from ROUND(x·1e12)-scaled
+    per-point ratios, RMSE from exact integer squared errors — the
+    accuracy floor a real forecaster must beat."""
+    from morphik_core_spark.operators.analytics import forecast_backtest
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return forecast_backtest(daily, "di", "x", season=7)
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -3867,6 +3921,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_daily": _q_acf_daily,
         "cusum_drift": _q_cusum_drift,
         "ann_recall": _q_ann_recall,
+        "ks_price_drift": _q_ks_price_drift,
+        "revenue_gini": _q_revenue_gini,
+        "forecast_backtest": _q_forecast_backtest,
     }
 
 
@@ -7876,6 +7933,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT base.q_id, n_exact, COALESCE(n_hits, 0) AS n_hits,
                    ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall
             FROM base LEFT JOIN hits ON base.q_id = hits.q_id
+        """,
+        "ks_price_drift": """
+            WITH u AS (
+                SELECT CAST(o_totalprice * 100 AS BIGINT) AS v,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS sa,
+                       CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS sb
+                FROM orders WHERE o_orderstatus IN ('F', 'O')
+            ),
+            pv AS (SELECT v, CAST(SUM(sa) AS BIGINT) AS ca, CAST(SUM(sb) AS BIGINT) AS cb
+                   FROM u WHERE v IS NOT NULL GROUP BY 1),
+            cum AS (SELECT v,
+                           SUM(ca) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum_a,
+                           SUM(cb) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum_b
+                    FROM pv),
+            tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM pv),
+            gaps AS (SELECT v, n_a, n_b,
+                            abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a) AS gap
+                     FROM cum CROSS JOIN tot),
+            mx AS (SELECT MAX(gap) AS m FROM gaps)
+            SELECT n_a, n_b,
+                   ROUND(CAST(m AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_stat,
+                   MIN(v) AS at_value
+            FROM gaps CROSS JOIN mx WHERE gap = m GROUP BY 1, 2, 3
+        """,
+        "revenue_gini": """
+            WITH pc AS (SELECT o_custkey,
+                               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+                        FROM orders GROUP BY 1),
+            pv AS (SELECT v, COUNT(*) AS c FROM pc WHERE v IS NOT NULL GROUP BY 1),
+            cum AS (SELECT v, c,
+                           SUM(c) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) - c AS r0
+                    FROM pv),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                           SUM(CAST(v AS HUGEINT) * c) AS total FROM pv),
+            terms AS (SELECT n, total, CAST(v AS HUGEINT) * c * (2 * r0 + c - n) AS t
+                      FROM cum CROSS JOIN tot)
+            SELECT n, CAST(total AS BIGINT) AS total,
+                   ROUND(CASE WHEN total = 0 THEN NULL ELSE
+                         CAST(SUM(t) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) END, 6) AS gini
+            FROM terms GROUP BY n, terms.total
+        """,
+        "forecast_backtest": """
+            WITH d AS (SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS x
+                       FROM events GROUP BY 1),
+            j AS (SELECT a.x AS x, b.x AS f FROM d a JOIN d b ON a.di = b.di + 7 WHERE a.x > 0),
+            agg AS (SELECT COUNT(*) AS n,
+                           CAST(SUM(CAST(ROUND((abs(CAST(x - f AS DOUBLE)) / CAST(x AS DOUBLE)) * 1e12) AS BIGINT)) AS BIGINT) AS sa,
+                           CAST(SUM(CAST(ROUND((2.0 * abs(CAST(x - f AS DOUBLE)) / CAST(x + f AS DOUBLE)) * 1e12) AS BIGINT)) AS BIGINT) AS ss,
+                           SUM(CAST(x - f AS HUGEINT) * (x - f)) AS se
+                    FROM j)
+            SELECT n AS n_forecasts,
+                   ROUND(CAST(sa AS DOUBLE) / 1e12 / CAST(n AS DOUBLE), 6) AS mape,
+                   ROUND(CAST(ss AS DOUBLE) / 1e12 / CAST(n AS DOUBLE), 6) AS smape,
+                   ROUND(sqrt(CAST(se AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS rmse
+            FROM agg
         """,
     }
 

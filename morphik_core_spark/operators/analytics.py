@@ -39,6 +39,9 @@ __all__ = [
     "Z_CRIT_95",
     "autocorrelation",
     "cusum_screen",
+    "ks_statistic",
+    "lorenz_gini",
+    "forecast_backtest",
 ]
 
 
@@ -876,4 +879,183 @@ def cusum_screen(
         F.col("_p").alias("excess"),
         (F.col("_p") - F.col("_m")).alias("cusum"),
         ((F.col("_p") - F.col("_m")) > F.col("_target") * h_mult).alias("alarm"),
+    )
+
+
+def ks_statistic(
+    a: DataFrame,
+    b: DataFrame,
+    val_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic — the
+    distribution-drift test beside `population_stability` for when you
+    want the sup-norm of the CDF gap rather than a binned divergence:
+
+        D = sup_v |F_a(v) − F_b(v)|
+
+    Computed exactly over the DISTINCT value grid: per value, cumulative
+    counts via one ordered window; the gap compares the cross-multiplied
+    integers |cum_a·n_b − cum_b·n_a| in DECIMAL(38,0) (corpus-scale
+    cum·n passes 2⁶³), so the arg-max value is chosen on exact integers
+    and only the final D is one rounded division. Ties at the max break
+    to the SMALLEST value.
+
+    The ordered window runs over distinct values — bounded by the value
+    domain (cents grids, day indexes), not the corpus; quantize truly
+    continuous doubles first. Output: one row
+    (n_a, n_b, ks_stat, at_value — value domain dtype preserved).
+    """
+    ua = a.select(F.col(val_col).alias("_v")).withColumn("_sa", F.lit(1)).withColumn("_sb", F.lit(0))
+    ub = b.select(F.col(val_col).alias("_v")).withColumn("_sa", F.lit(0)).withColumn("_sb", F.lit(1))
+    per_v = (
+        ua.unionByName(ub)
+        .filter(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(F.sum("_sa").alias("ca"), F.sum("_sb").alias("cb"))
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.select(
+        "_v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = per_v.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    gaps = cum.join(F.broadcast(tot)).select(
+        "_v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+            - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+        ).alias("_gap"),
+    )
+    # arg-max with smallest-value tiebreak: max gap first, then min _v
+    mx = gaps.agg(F.max("_gap").alias("_mx"))
+    return (
+        gaps.join(F.broadcast(mx))
+        .filter(F.col("_gap") == F.col("_mx"))
+        .groupBy("n_a", "n_b")
+        .agg(F.min("_v").alias("at_value"), F.first("_mx").alias("_g"))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                F.expr(
+                    "CAST(_g AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+                ),
+                decimals,
+            ).alias("ks_stat"),
+            "at_value",
+        )
+    )
+
+
+def lorenz_gini(
+    df: DataFrame,
+    val_col,
+    decimals: int = 6,
+) -> DataFrame:
+    """Gini coefficient of a non-negative INTEGER value distribution
+    (revenue cents, token counts) — the concentration audit ("what share
+    of revenue sits in the top customers", source-imbalance checks):
+
+        G = Σ_i (2i − n − 1)·v_(i) / (n · Σv)
+
+    over ascending-sorted individuals. Grouping ties: a block of c equal
+    values v after r0 predecessors contributes v·c·(2r0 + c − n), so the
+    whole numerator is exact DECIMAL(38,0) arithmetic over the distinct-
+    value grid (the same bounded-domain window as `ks_statistic`), and
+    G is one rounded division. Output: one row (n, total, gini); gini
+    NULL when total = 0.
+    """
+    v = val_col if isinstance(val_col, Column) else F.col(val_col)
+    per_v = (
+        df.select(v.cast("bigint").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.select("_v", "c", (F.sum("c").over(w) - F.col("c")).alias("r0"))
+    tot = per_v.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("_v").cast("decimal(38,0)") * F.col("c")).alias("total"),
+    )
+    terms = cum.join(F.broadcast(tot)).select(
+        "n",
+        "total",
+        (
+            F.col("_v").cast("decimal(38,0)")
+            * F.col("c")
+            * (F.lit(2) * F.col("r0") + F.col("c") - F.col("n"))
+        ).alias("_t"),
+    )
+    return (
+        terms.groupBy("n", "total")
+        .agg(F.sum("_t").alias("_num"))
+        .select(
+            "n",
+            F.col("total").cast("bigint").alias("total"),
+            F.round(
+                F.expr(
+                    "CASE WHEN total = 0 THEN NULL ELSE "
+                    "CAST(_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) END"
+                ),
+                decimals,
+            ).alias("gini"),
+        )
+    )
+
+
+def forecast_backtest(
+    series: DataFrame,
+    idx_col: str,
+    val_col: str,
+    season: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecast x̂_d = x_{d−season} over
+    an integer-indexed series — the accuracy floor every real forecast
+    must beat (M-competition convention):
+
+        MAPE  = mean |x − x̂| / x          (x > 0 points)
+        sMAPE = mean 2|x − x̂| / (x + x̂)
+        RMSE  = sqrt(mean (x − x̂)²)
+
+    Per-point ratios are fixed double trees ROUND(x·1e12)-scaled before
+    the mean so summation order can't move the reported error; the
+    squared errors are exact integers in DECIMAL(38,0). One self
+    equi-join on the shifted index over the dimension-sized series.
+
+    Output: one row (n_forecasts, mape, smape, rmse).
+    """
+    base = series.select(
+        F.col(idx_col).cast("bigint").alias("_i"), F.col(val_col).cast("bigint").alias("_x")
+    )
+    prev = base.select((F.col("_i") + season).alias("_i"), F.col("_x").alias("_f"))
+    joined = base.join(prev, "_i").filter(F.col("_x") > 0)
+    ape = "(abs(CAST(_x - _f AS DOUBLE)) / CAST(_x AS DOUBLE))"
+    sape = "(2.0D * abs(CAST(_x - _f AS DOUBLE)) / CAST(_x + _f AS DOUBLE))"
+    agg = joined.select(
+        F.expr(f"CAST(ROUND({ape} * 1e12) AS BIGINT)").alias("_a"),
+        F.expr(f"CAST(ROUND({sape} * 1e12) AS BIGINT)").alias("_s"),
+        ((F.col("_x") - F.col("_f")).cast("decimal(38,0)") * (F.col("_x") - F.col("_f"))).alias("_e2"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        F.sum("_a").alias("_sa"),
+        F.sum("_s").alias("_ss"),
+        F.sum("_e2").alias("_se"),
+    )
+    return agg.select(
+        "n_forecasts",
+        F.round(
+            F.expr("CAST(_sa AS DOUBLE) / 1e12 / CAST(n_forecasts AS DOUBLE)"), decimals
+        ).alias("mape"),
+        F.round(
+            F.expr("CAST(_ss AS DOUBLE) / 1e12 / CAST(n_forecasts AS DOUBLE)"), decimals
+        ).alias("smape"),
+        F.round(
+            F.expr("sqrt(CAST(_se AS DOUBLE) / CAST(n_forecasts AS DOUBLE))"), decimals
+        ).alias("rmse"),
     )

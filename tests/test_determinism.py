@@ -96,6 +96,11 @@ SENSITIVE = [
     "acf_daily",
     "cusum_drift",
     "ann_recall",
+    # distribution audits: DECIMAL(38,0) CDF gaps / grouped-rank sums,
+    # scaled-int error means
+    "ks_price_drift",
+    "revenue_gini",
+    "forecast_backtest",
 ]
 
 

@@ -55,3 +55,52 @@ def test_recall_at_k_counts(spark):
     assert out[1]["n_exact"] == 3 and out[1]["n_hits"] == 2
     assert out[1]["recall"] == round(2 / 3, 6)
     assert out[2]["n_hits"] == 0 and out[2]["recall"] == 0.0
+
+
+def test_ks_statistic_hand_computed(spark):
+    from morphik_core_spark.operators.analytics import ks_statistic
+
+    a = spark.createDataFrame([(1,), (2,), (3,), (4,)], "v long")
+    b = spark.createDataFrame([(3,), (4,), (5,), (6,)], "v long")
+    r = ks_statistic(a, b, "v").collect()[0]
+    # F_a jumps to 1.0 at v=4 while F_b = 0.5 -> D = 0.5, first at v=2
+    # (gap |cum_a*n_b - cum_b*n_a|: v=2 -> |2*4-0| = 8 = max ties v=3,4)
+    assert r["n_a"] == 4 and r["n_b"] == 4
+    assert r["ks_stat"] == 0.5
+    assert r["at_value"] == 2  # smallest value among the tied maxima
+
+
+def test_ks_identical_distributions_zero(spark):
+    from morphik_core_spark.operators.analytics import ks_statistic
+
+    a = spark.createDataFrame([(1,), (2,)], "v long")
+    r = ks_statistic(a, a, "v").collect()[0]
+    assert r["ks_stat"] == 0.0
+
+
+def test_lorenz_gini_hand_computed(spark):
+    from morphik_core_spark.operators.analytics import lorenz_gini
+
+    # equal values -> gini 0; one-holder economy of 4 -> 0.75
+    eq = spark.createDataFrame([(5,)] * 4, "v long")
+    assert lorenz_gini(eq, "v").collect()[0]["gini"] == 0.0
+    one = spark.createDataFrame([(0,), (0,), (0,), (100,)], "v long")
+    r = lorenz_gini(one, "v").collect()[0]
+    assert r["gini"] == 0.75 and r["total"] == 100
+    # all-zero -> NULL
+    z = spark.createDataFrame([(0,)] * 3, "v long")
+    assert lorenz_gini(z, "v").collect()[0]["gini"] is None
+
+
+def test_forecast_backtest_hand_computed(spark):
+    from morphik_core_spark.operators.analytics import forecast_backtest
+
+    # season 2: pairs (idx2: x=12 f=10), (idx3: x=9 f=10)
+    rows = [(0, 10), (1, 10), (2, 12), (3, 9)]
+    df = spark.createDataFrame(rows, "di long, x long")
+    r = forecast_backtest(df, "di", "x", season=2).collect()[0]
+    assert r["n_forecasts"] == 2
+    mape = round((round((2 / 12) * 1e12) + round((1 / 9) * 1e12)) / 1e12 / 2, 6)
+    assert r["mape"] == mape
+    import math
+    assert r["rmse"] == round(math.sqrt((4 + 1) / 2), 6)
