@@ -1095,6 +1095,61 @@ def main() -> None:
 
         report("ann_recall", rec, emb1, emb10)
 
+    if "dist" in ops:
+        # Distribution audits: KS/Gini windows run over DISTINCT value
+        # grids; forecast backtest over the 30-row daily series. The 10x
+        # corpora grow the scan + per-value counts, not the windows.
+        from morphik_core_spark.operators.analytics import (
+            forecast_backtest,
+            ks_statistic,
+            lorenz_gini,
+        )
+
+        ord1d = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_custkey")
+        dtiles = [
+            ord1d.select((F.col("o_orderkey") * 10 + k).alias("o_orderkey"), "o_orderstatus",
+                         (F.col("o_totalprice") + k * 0.01).alias("o_totalprice"),
+                         (F.col("o_custkey") * 10 + k).alias("o_custkey"))
+            for k in range(10)
+        ]
+        ord10d = dtiles[0]
+        for t in dtiles[1:]:
+            ord10d = ord10d.unionByName(t)
+        od_p = os.path.join(tmp, "ord10dist")
+        ord10d.write.mode("overwrite").parquet(od_p)
+        ord10d = spark.read.parquet(od_p)
+
+        def ks(o):
+            c = o.select("o_orderstatus", F.expr("CAST(o_totalprice * 100 AS BIGINT)").alias("v"))
+            mat(ks_statistic(c.filter(F.col("o_orderstatus") == "F"),
+                             c.filter(F.col("o_orderstatus") == "O"), "v"))
+
+        report("ks_statistic", ks, ord1d, ord10d)
+
+        def gini(o):
+            pc = o.groupBy("o_custkey").agg(
+                F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)").alias("v")
+            )
+            mat(lorenz_gini(pc, "v"))
+
+        report("lorenz_gini", gini, ord1d, ord10d)
+
+        ev1f = load_table(spark, "events", SF_DIR).select("event_id", "ts")
+        ftiles = [ev1f.select((F.col("event_id") * 10 + k).alias("event_id"), "ts") for k in range(10)]
+        ev10f = ftiles[0]
+        for t in ftiles[1:]:
+            ev10f = ev10f.unionByName(t)
+        ef_p = os.path.join(tmp, "ev10dist")
+        ev10f.write.mode("overwrite").parquet(ef_p)
+        ev10f = spark.read.parquet(ef_p)
+
+        def bt(e):
+            daily = e.groupBy(F.expr("unix_micros(ts) div 86400000000").alias("di")).agg(
+                F.count(F.lit(1)).alias("x"))
+            mat(forecast_backtest(daily, "di", "x", season=7))
+
+        report("forecast_backtest", bt, ev1f, ev10f)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing
