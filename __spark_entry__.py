@@ -3709,6 +3709,73 @@ def _q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forecast_backtest(daily, "di", "x", season=7)
 
 
+def _q_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (`analytics.cuped_adjust`)
+    over the same switchback (user, day) units as `ab_test`: metric =
+    purchases in the unit, covariate = total events in the unit (the
+    pre-exposure activity proxy — strongly correlated with purchases,
+    so the reported var_reduction is real). All moments are exact
+    DECIMAL(38,0); θ and each adjusted mean are single rounded trees."""
+    from morphik_core_spark.operators.analytics import cuped_adjust
+    from morphik_core_spark.operators.dedup import portable_hash
+
+    events = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    unit = F.concat(F.col("user_id").cast("string"), F.lit(":"), day.cast("string"))
+    units = (
+        events.select(
+            unit.alias("unit"),
+            (F.col("event_type") == "purchase").cast("int").alias("p"),
+        )
+        .groupBy("unit")
+        .agg(F.sum("p").alias("y"), F.count(F.lit(1)).alias("x"))
+    )
+    bucket = portable_hash(F.concat(F.lit("ab:"), F.col("unit"))) % 3
+    variant = (
+        F.when(bucket == 0, F.lit("control"))
+        .when(bucket == 1, F.lit("variant_a"))
+        .otherwise(F.lit("variant_b"))
+    )
+    assigned = units.select(variant.alias("variant"), "y", "x")
+    return cuped_adjust(assigned, "variant", "y", "x")
+
+
+def _q_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier session-length survival (`analytics.survival_curve`):
+    subjects are 6-hour-gap sessions, duration = event count, sessions
+    ending in the corpus' final day are right-censored (~4% measured).
+    Quantized-ln product carried as integer prefix sums; the exp/round
+    edge follows the perplexity precedent."""
+    from pyspark.sql import Window
+
+    from morphik_core_spark.operators.analytics import survival_curve
+
+    events = _t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(us).over(worder)
+    new_sess = (prev.isNull() | ((us - prev) > 21600 * 1_000_000)).cast("int")
+    sid = F.sum(new_sess).over(
+        worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ses = (
+        events.select("user_id", "event_id", "ts", sid.alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.max(F.expr("unix_micros(ts)")).alias("last_us"),
+        )
+    )
+    mx = events.agg(F.max(F.expr("unix_micros(ts)")).alias("_m"))
+    subjects = ses.join(F.broadcast(mx)).select(
+        F.col("n_ev").alias("dur"),
+        F.when(F.col("_m") - F.col("last_us") < 86400 * 1_000_000, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("ev"),
+    )
+    return survival_curve(subjects, "dur", "ev")
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -3924,6 +3991,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_price_drift": _q_ks_price_drift,
         "revenue_gini": _q_revenue_gini,
         "forecast_backtest": _q_forecast_backtest,
+        "cuped_ab": _q_cuped_ab,
+        "session_survival": _q_session_survival,
     }
 
 
@@ -7988,6 +8057,99 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(ss AS DOUBLE) / 1e12 / CAST(n AS DOUBLE), 6) AS smape,
                    ROUND(sqrt(CAST(se AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS rmse
             FROM agg
+        """,
+        "cuped_ab": """
+            WITH un AS (
+                SELECT CAST(user_id AS VARCHAR) || ':' ||
+                       CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS unit,
+                       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+                       COUNT(*) AS x
+                FROM events GROUP BY 1
+            ),
+            a AS (
+                SELECT CASE (CAST(('0x' || substr(md5('ab:' || unit), 1, 15)) AS BIGINT) % 3)
+                            WHEN 0 THEN 'control' WHEN 1 THEN 'variant_a'
+                            ELSE 'variant_b' END AS variant, y, x
+                FROM un
+            ),
+            v AS (SELECT variant, COUNT(*) AS n_units,
+                         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+                  FROM a GROUP BY 1),
+            p AS (SELECT COUNT(*) AS _n, CAST(SUM(x) AS BIGINT) AS _sx,
+                         CAST(SUM(y) AS BIGINT) AS _sy,
+                         SUM(CAST(x AS HUGEINT) * x) AS _sxx,
+                         SUM(CAST(x AS HUGEINT) * y) AS _sxy,
+                         SUM(CAST(y AS HUGEINT) * y) AS _syy
+                  FROM a)
+            SELECT variant, n_units,
+                   ROUND((CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)), 6) AS mean_y,
+                   ROUND((CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)), 6) AS mean_x,
+                   ROUND(CASE WHEN (_n * _sxx - CAST(_sx AS HUGEINT) * _sx) = 0
+                              THEN (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)) ELSE
+                         (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE))
+                         - (CASE WHEN (_n * _sxx - CAST(_sx AS HUGEINT) * _sx) = 0 THEN NULL
+                                 ELSE CAST((_n * _sxy - CAST(_sx AS HUGEINT) * _sy) AS DOUBLE)
+                                      / CAST((_n * _sxx - CAST(_sx AS HUGEINT) * _sx) AS DOUBLE) END)
+                           * ((CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE))
+                              - (CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE))) END, 6) AS adj_mean,
+                   ROUND(CASE WHEN (_n * _sxx - CAST(_sx AS HUGEINT) * _sx) = 0 THEN NULL
+                              ELSE CAST((_n * _sxy - CAST(_sx AS HUGEINT) * _sy) AS DOUBLE)
+                                   / CAST((_n * _sxx - CAST(_sx AS HUGEINT) * _sx) AS DOUBLE) END, 6) AS theta,
+                   ROUND(CASE WHEN (_n * _sxx - CAST(_sx AS HUGEINT) * _sx) = 0
+                                OR (_n * _syy - CAST(_sy AS HUGEINT) * _sy) = 0 THEN NULL
+                              ELSE ((CASE WHEN (_n * _sxx - CAST(_sx AS HUGEINT) * _sx) = 0 THEN NULL
+                                          ELSE CAST((_n * _sxy - CAST(_sx AS HUGEINT) * _sy) AS DOUBLE)
+                                               / CAST((_n * _sxx - CAST(_sx AS HUGEINT) * _sx) AS DOUBLE) END)
+                                    * (CASE WHEN (_n * _sxx - CAST(_sx AS HUGEINT) * _sx) = 0 THEN NULL
+                                            ELSE CAST((_n * _sxy - CAST(_sx AS HUGEINT) * _sy) AS DOUBLE)
+                                                 / CAST((_n * _sxx - CAST(_sx AS HUGEINT) * _sx) AS DOUBLE) END))
+                                   * (CAST((_n * _sxx - CAST(_sx AS HUGEINT) * _sx) AS DOUBLE)
+                                      / CAST((_n * _syy - CAST(_sy AS HUGEINT) * _sy) AS DOUBLE)) END, 6) AS var_reduction
+            FROM v CROSS JOIN p
+        """,
+        "session_survival": """
+            WITH e AS (
+                SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+                FROM events
+            ),
+            s AS (
+                SELECT user_id,
+                       SUM(CASE WHEN pus IS NULL OR us - pus > 21600000000 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid,
+                       ts
+                FROM e
+            ),
+            ses AS (SELECT user_id, sid, COUNT(*) AS n_ev, MAX(epoch_us(ts)) AS last_us
+                    FROM s GROUP BY 1, 2),
+            mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+            subj AS (SELECT n_ev AS t,
+                            CASE WHEN m - last_us < 86400000000 THEN 0 ELSE 1 END AS ev
+                     FROM ses CROSS JOIN mx),
+            pt AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS n_events,
+                          CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+                   FROM subj GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_events + n_censored) AS BIGINT) AS _n FROM pt),
+            rk AS (SELECT t, n_events, n_censored,
+                          CAST(_n - (SUM(n_events + n_censored)
+                                     OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING)
+                                     - (n_events + n_censored)) AS BIGINT) AS n_at_risk
+                   FROM pt CROSS JOIN tot),
+            tm AS (SELECT t, n_at_risk, n_events, n_censored,
+                          CASE WHEN n_events = 0 OR n_events = n_at_risk THEN 0
+                               ELSE CAST(ROUND(ln(CAST(n_at_risk - n_events AS DOUBLE)
+                                                  / CAST(n_at_risk AS DOUBLE)) * 1e12) AS BIGINT) END AS term,
+                          CASE WHEN n_events = n_at_risk AND n_events > 0 THEN 1 ELSE 0 END AS dd
+                   FROM rk),
+            cm AS (SELECT t, n_at_risk, n_events, n_censored,
+                          SUM(term) OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS l,
+                          MAX(dd) OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS dead
+                   FROM tm)
+            SELECT t, n_at_risk, n_events, n_censored,
+                   CASE WHEN dead = 1 THEN CAST(0.0 AS DOUBLE)
+                        ELSE ROUND(exp(CAST(l AS DOUBLE) / 1e12), 6) END AS survival
+            FROM cm
         """,
     }
 

@@ -42,6 +42,8 @@ __all__ = [
     "ks_statistic",
     "lorenz_gini",
     "forecast_backtest",
+    "cuped_adjust",
+    "survival_curve",
 ]
 
 
@@ -1058,4 +1060,142 @@ def forecast_backtest(
         F.round(
             F.expr("sqrt(CAST(_se AS DOUBLE) / CAST(n_forecasts AS DOUBLE))"), decimals
         ).alias("rmse"),
+    )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    covariate_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013):
+    adjust each arm's metric mean by a pre-exposure covariate,
+
+        θ = Cov(X, Y) / Var(X)   (pooled across all units)
+        adj_mean_v = Ȳ_v − θ · (X̄_v − X̄)
+
+    — the industry-standard trick that cuts A/B confidence intervals
+    by the covariate's R². Also reports ``var_reduction`` =
+    θ²·Var(X)/Var(Y), the fraction of metric variance the covariate
+    removes.
+
+    Exactness: X and Y are integer unit metrics; every moment is an
+    exact DECIMAL(38,0) sum (n·ΣXY − ΣX·ΣY etc. — the n² factors
+    cancel), so θ and each adjusted mean are single double trees
+    rounded once. θ is NULL (and adj_mean falls back to the raw mean)
+    when Var(X) = 0, guarded on the exact integer moment.
+
+    Scale: one map-side-combined groupBy per arm + a one-row pooled
+    broadcast. Output: one row per variant —
+    (variant, n_units, mean_y, mean_x, adj_mean, theta, var_reduction).
+    """
+    x = F.col(covariate_col).cast("bigint")
+    y = F.col(metric_col).cast("bigint")
+    per_v = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+    )
+    pooled = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x.cast("decimal(38,0)") * x).alias("_sxx"),
+        F.sum(x.cast("decimal(38,0)") * y).alias("_sxy"),
+        F.sum(y.cast("decimal(38,0)") * y).alias("_syy"),
+    )
+    # exact integer moments: varx = n·Σx² − (Σx)², cov = n·Σxy − Σx·Σy
+    varx = "(_n * _sxx - CAST(_sx AS DECIMAL(38,0)) * _sx)"
+    vary = "(_n * _syy - CAST(_sy AS DECIMAL(38,0)) * _sy)"
+    cov = "(_n * _sxy - CAST(_sx AS DECIMAL(38,0)) * _sy)"
+    theta = f"CASE WHEN {varx} = 0 THEN NULL ELSE CAST({cov} AS DOUBLE) / CAST({varx} AS DOUBLE) END"
+    mean_y = "(CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE))"
+    mean_x = "(CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE))"
+    pooled_mx = "(CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE))"
+    adj = (
+        f"CASE WHEN {varx} = 0 THEN {mean_y} ELSE "
+        f"{mean_y} - ({theta}) * ({mean_x} - {pooled_mx}) END"
+    )
+    var_red = (
+        f"CASE WHEN {varx} = 0 OR {vary} = 0 THEN NULL ELSE "
+        f"(({theta}) * ({theta})) * (CAST({varx} AS DOUBLE) / CAST({vary} AS DOUBLE)) END"
+    )
+    return per_v.join(F.broadcast(pooled)).select(
+        "variant",
+        "n_units",
+        F.round(F.expr(mean_y), decimals).alias("mean_y"),
+        F.round(F.expr(mean_x), decimals).alias("mean_x"),
+        F.round(F.expr(adj), decimals).alias("adj_mean"),
+        F.round(F.expr(theta), decimals).alias("theta"),
+        F.round(F.expr(var_red), decimals).alias("var_reduction"),
+    )
+
+
+def survival_curve(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival estimate over right-censored durations
+    (Kaplan & Meier 1958) — retention/session-length curves where some
+    subjects are still "alive" at observation end:
+
+        S(t) = Π_{tᵢ ≤ t, dᵢ > 0} (1 − dᵢ / nᵢ)
+
+    with nᵢ the at-risk count entering time tᵢ (deaths AND censored
+    leave the risk set after their time). The product is carried as a
+    prefix sum of ROUND(ln((n−d)/n)·1e12) scaled integers (the PSI/
+    zipf ln-quantization recipe), so partitioning can't move it;
+    S = ROUND(exp(Σ/1e12), 6) (the perplexity exp precedent). A step
+    where every at-risk subject dies sends S to exactly 0.0 via an
+    integer flag — never through ln(0), which Spark NULLs and DuckDB
+    -infs.
+
+    The ordered window runs over DISTINCT durations (a grid, not the
+    corpus). Output per distinct duration: (t, n_at_risk, n_events,
+    n_censored, survival).
+    """
+    per_t = (
+        subjects.select(
+            F.col(duration_col).cast("bigint").alias("t"),
+            F.col(event_col).cast("int").alias("_e"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.sum("_e").alias("n_events"),
+            F.sum(F.lit(1) - F.col("_e")).alias("n_censored"),
+        )
+    )
+    total = per_t.agg(F.sum(F.col("n_events") + F.col("n_censored")).alias("_n"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = per_t.join(F.broadcast(total)).withColumn(
+        "n_at_risk",
+        F.col("_n")
+        - (
+            F.sum(F.col("n_events") + F.col("n_censored")).over(w)
+            - (F.col("n_events") + F.col("n_censored"))
+        ),
+    )
+    term = (
+        "CASE WHEN n_events = 0 OR n_events = n_at_risk THEN 0 ELSE "
+        "CAST(ROUND(ln(CAST(n_at_risk - n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE)) * 1e12) AS BIGINT) END"
+    )
+    dead = "CASE WHEN n_events = n_at_risk AND n_events > 0 THEN 1 ELSE 0 END"
+    cum = risk.withColumn("_l", F.sum(F.expr(term)).over(w)).withColumn(
+        "_dead", F.max(F.expr(dead)).over(w)
+    )
+    return cum.select(
+        "t",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.when(F.col("_dead") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.col("_l").cast("double") / F.lit(1e12)), decimals)
+        )
+        .alias("survival"),
     )

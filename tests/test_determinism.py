@@ -101,6 +101,10 @@ SENSITIVE = [
     "ks_price_drift",
     "revenue_gini",
     "forecast_backtest",
+    # experimentation + survival: DECIMAL moments, quantized-ln prefix
+    # products with exp at the edge
+    "cuped_ab",
+    "session_survival",
 ]
 
 

@@ -104,3 +104,61 @@ def test_forecast_backtest_hand_computed(spark):
     assert r["mape"] == mape
     import math
     assert r["rmse"] == round(math.sqrt((4 + 1) / 2), 6)
+
+
+def test_cuped_adjust_hand_computed(spark):
+    from morphik_core_spark.operators.analytics import cuped_adjust
+
+    # y = x + arm effect: control x=[1,2,3] y=[1,2,3]; treat x=[1,2,3] y=[2,3,4]
+    rows = [("c", 1, 1), ("c", 2, 2), ("c", 3, 3), ("t", 2, 1), ("t", 3, 2), ("t", 4, 3)]
+    df = spark.createDataFrame(rows, "variant string, y long, x long")
+    out = {r["variant"]: r for r in cuped_adjust(df, "variant", "y", "x").collect()}
+    # pooled: n=6, sx=12, sy=15, sxx=28, sxy=34 -> cov = 6*34-12*15 = 24,
+    # varx = 6*28-144 = 24 -> theta = 1.0
+    assert out["c"]["theta"] == 1.0 == out["t"]["theta"]
+    # both arms have the same x-mean (=pooled), so adjustment is a no-op
+    assert out["c"]["adj_mean"] == out["c"]["mean_y"] == 2.0
+    assert out["t"]["adj_mean"] == out["t"]["mean_y"] == 3.0
+    # constant covariate -> theta NULL, adj falls back to raw mean
+    rows2 = [("c", 1, 5), ("c", 3, 5), ("t", 2, 5)]
+    df2 = spark.createDataFrame(rows2, "variant string, y long, x long")
+    out2 = {r["variant"]: r for r in cuped_adjust(df2, "variant", "y", "x").collect()}
+    assert out2["c"]["theta"] is None and out2["c"]["adj_mean"] == 2.0
+
+
+def test_cuped_covariate_imbalance_is_corrected(spark):
+    from morphik_core_spark.operators.analytics import cuped_adjust
+
+    # y == x exactly (pure covariate effect, no treatment effect), but
+    # the treat arm drew bigger-x units; CUPED must pull the arms together
+    rows = [("c", 1, 1), ("c", 2, 2), ("t", 3, 3), ("t", 4, 4)]
+    df = spark.createDataFrame(rows, "variant string, y long, x long")
+    out = {r["variant"]: r for r in cuped_adjust(df, "variant", "y", "x").collect()}
+    assert out["c"]["theta"] == 1.0
+    assert out["c"]["adj_mean"] == out["t"]["adj_mean"] == 2.5
+
+
+def test_survival_curve_hand_computed(spark):
+    from morphik_core_spark.operators.analytics import survival_curve
+
+    # classic: deaths at t=1 (2 of 5), censored at t=2 (1), death at t=3 (1 of 2)
+    rows = [(1, 1), (1, 1), (2, 0), (3, 1), (3, 0)]
+    df = spark.createDataFrame(rows, "t long, e int")
+    out = {r["t"]: r for r in survival_curve(df, "t", "e").collect()}
+    import math
+    assert out[1]["n_at_risk"] == 5 and out[1]["n_events"] == 2
+    s1 = round(math.exp(round(math.log(3 / 5) * 1e12) / 1e12), 6)
+    assert out[1]["survival"] == s1
+    # censoring at t=2 doesn't change survival
+    assert out[2]["survival"] == s1 and out[2]["n_at_risk"] == 3
+    l3 = round(math.log(3 / 5) * 1e12) + round(math.log(1 / 2) * 1e12)
+    assert out[3]["survival"] == round(math.exp(l3 / 1e12), 6)
+
+
+def test_survival_curve_total_death_hits_zero(spark):
+    from morphik_core_spark.operators.analytics import survival_curve
+
+    rows = [(1, 1), (2, 1), (2, 1)]  # everyone left dies at t=2
+    df = spark.createDataFrame(rows, "t long, e int")
+    out = {r["t"]: r for r in survival_curve(df, "t", "e").collect()}
+    assert out[2]["survival"] == 0.0 and out[1]["survival"] > 0.0
