@@ -1150,6 +1150,57 @@ def main() -> None:
 
         report("forecast_backtest", bt, ev1f, ev10f)
 
+    if "exp" in ops:
+        # CUPED moments ride the unit collapse; KM windows run over the
+        # distinct-duration grid (10 values here no matter the corpus).
+        from morphik_core_spark.operators.analytics import cuped_adjust, survival_curve
+        from morphik_core_spark.operators.dedup import portable_hash
+
+        ev1e = load_table(spark, "events", SF_DIR).select("user_id", "ts", "event_type", "event_id")
+        etiles2 = [
+            ev1e.select((F.col("user_id") * 10 + k).alias("user_id"), "ts", "event_type",
+                        (F.col("event_id") * 10 + k).alias("event_id"))
+            for k in range(10)
+        ]
+        ev10e = etiles2[0]
+        for t in etiles2[1:]:
+            ev10e = ev10e.unionByName(t)
+        ee_p = os.path.join(tmp, "ev10exp")
+        ev10e.write.mode("overwrite").parquet(ee_p)
+        ev10e = spark.read.parquet(ee_p)
+
+        def cuped(e):
+            day = F.expr("unix_micros(ts) div 86400000000")
+            unit = F.concat(F.col("user_id").cast("string"), F.lit(":"), day.cast("string"))
+            units = (
+                e.select(unit.alias("unit"), (F.col("event_type") == "purchase").cast("int").alias("p"))
+                .groupBy("unit").agg(F.sum("p").alias("y"), F.count(F.lit(1)).alias("x"))
+            )
+            b = portable_hash(F.concat(F.lit("ab:"), F.col("unit"))) % 3
+            assigned = units.select(
+                F.when(b == 0, F.lit("c")).when(b == 1, F.lit("a")).otherwise(F.lit("b")).alias("variant"),
+                "y", "x")
+            mat(cuped_adjust(assigned, "variant", "y", "x"))
+
+        report("cuped_adjust", cuped, ev1e, ev10e)
+
+        def km(e):
+            from pyspark.sql import Window as W
+            us = F.expr("unix_micros(ts)")
+            worder = W.partitionBy("user_id").orderBy("ts", "event_id")
+            new_s = (F.lag(us).over(worder).isNull() | ((us - F.lag(us).over(worder)) > 21600000000)).cast("int")
+            sid = F.sum(new_s).over(worder.rowsBetween(W.unboundedPreceding, W.currentRow))
+            ses = (e.select("user_id", "event_id", "ts", sid.alias("sid"))
+                   .groupBy("user_id", "sid")
+                   .agg(F.count(F.lit(1)).alias("n_ev"), F.max(F.expr("unix_micros(ts)")).alias("last_us")))
+            mx = e.agg(F.max(F.expr("unix_micros(ts)")).alias("_m"))
+            subj = ses.join(F.broadcast(mx)).select(
+                F.col("n_ev").alias("dur"),
+                F.when(F.col("_m") - F.col("last_us") < 86400000000, F.lit(0)).otherwise(F.lit(1)).alias("ev"))
+            mat(survival_curve(subj, "dur", "ev"))
+
+        report("survival_curve", km, ev1e, ev10e)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing
