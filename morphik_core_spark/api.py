@@ -1524,3 +1524,72 @@ class MorphikSpark:
             min_completeness={"document_id": 1.0, "content": 1.0},
         ).select(F.lit("chunks").alias("table"), "entity", "metric", "value")
         return d.unionByName(c)
+
+    def privacy_report(
+        self,
+        auth: AuthContext | None = None,
+        k: int = 5,
+    ) -> DataFrame:
+        """Privacy gate over the store's own tables, the release check
+        that pairs with :meth:`corpus_profile` (engine extension; the
+        reference's governance is per-row ACLs only): PII hit totals
+        over chunk text (`curation.pii_scrub`'s counters — emails,
+        phones, IPv4s actually redacted) plus a k-anonymity audit
+        (`validation.k_anonymity_audit`) of the document metadata
+        quasi-identifier (folder_name, content_type, status) — how many
+        documents sit in metadata equivalence classes smaller than
+        ``k``, i.e. re-identifiable by their metadata alone.
+
+        Long format (section, metric, value) like the profile, so the
+        two gates concatenate into one dashboard feed. Scoped to
+        ``auth``'s app when given.
+        """
+        from morphik_core_spark.operators.curation import pii_scrub
+        from morphik_core_spark.operators.validation import k_anonymity_audit
+
+        docs = self.documents()
+        chunks = self.chunks()
+        if auth is not None and auth.app_id is not None:
+            docs = docs.filter(F.col("app_id") == auth.app_id)
+            chunks = chunks.filter(F.col("app_id") == auth.app_id)
+        pii = pii_scrub(chunks, "content", "document_id").agg(
+            F.sum("email_cnt").alias("email_cnt"),
+            F.sum("phone_cnt").alias("phone_cnt"),
+            F.sum("ipv4_cnt").alias("ipv4_cnt"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        pii_rows = pii.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("pii_email_hits").alias("metric"), F.col("email_cnt").cast("double").alias("value")),
+                    F.struct(F.lit("pii_phone_hits").alias("metric"), F.col("phone_cnt").cast("double").alias("value")),
+                    F.struct(F.lit("pii_ipv4_hits").alias("metric"), F.col("ipv4_cnt").cast("double").alias("value")),
+                    F.struct(F.lit("n_chunks_scanned").alias("metric"), F.col("n_chunks").cast("double").alias("value")),
+                )
+            ).alias("r")
+        ).select(F.lit("pii").alias("section"), F.col("r.metric"), F.col("r.value"))
+        kan = k_anonymity_audit(
+            docs.select(
+                F.coalesce(F.col("folder_name"), F.lit("")).alias("folder_name"),
+                "content_type",
+                "status",
+            ),
+            ["folder_name", "content_type", "status"],
+            "status",
+            k=k,
+        )
+        kan_rows = kan.agg(
+            F.sum(F.when(F.col("at_risk"), F.col("n_rows")).otherwise(F.lit(0))).alias("at_risk_rows"),
+            F.sum("n_rows").alias("total_rows"),
+            F.sum(F.when(F.col("at_risk"), F.col("n_classes")).otherwise(F.lit(0))).alias("at_risk_classes"),
+            F.min(F.when(F.col("class_size") >= k, F.col("min_l"))).alias("min_l_safe"),
+        ).select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("k_anonymity_at_risk_rows").alias("metric"), F.col("at_risk_rows").cast("double").alias("value")),
+                    F.struct(F.lit("k_anonymity_total_rows").alias("metric"), F.col("total_rows").cast("double").alias("value")),
+                    F.struct(F.lit("k_anonymity_at_risk_classes").alias("metric"), F.col("at_risk_classes").cast("double").alias("value")),
+                )
+            ).alias("r")
+        ).select(F.lit("k_anonymity").alias("section"), F.col("r.metric"), F.col("r.value"))
+        return pii_rows.unionByName(kan_rows)

@@ -613,3 +613,26 @@ def test_corpus_profile_health_gate(client):
     other = client.corpus_profile(auth=AuthContext(user_id="x", app_id="other"))
     vals = {(r.table, r.metric): r.value for r in other.collect()}
     assert vals[("documents", "row_count")] == 0.0
+
+
+def test_privacy_report_gate(client):
+    _seed(client)
+    # add a doc with real PII so the counters are non-vacuous
+    client.ingest_text(
+        "contact admin@corp.io or call 555-123-4567 from 10.0.0.1 " * 3,
+        filename="pii.txt",
+        auth=AUTH,
+        folder_path="/corp/docs",
+    )
+    rep = client.privacy_report(auth=AUTH)
+    rows = {(r.section, r.metric): r.value for r in rep.collect()}
+    assert rows[("pii", "pii_email_hits")] >= 3.0
+    assert rows[("pii", "pii_ipv4_hits")] >= 3.0
+    assert rows[("pii", "n_chunks_scanned")] >= 4.0
+    # 4 docs share one (folder, type, status) class -> all in classes < 5
+    assert rows[("k_anonymity", "k_anonymity_total_rows")] == 4.0
+    assert rows[("k_anonymity", "k_anonymity_at_risk_rows")] == 4.0
+    # tenancy scoping
+    other = client.privacy_report(auth=AuthContext(user_id="x", app_id="other"))
+    vals = {(r.section, r.metric): r.value for r in other.collect()}
+    assert vals[("pii", "n_chunks_scanned")] == 0.0
