@@ -44,6 +44,7 @@ __all__ = [
     "forecast_backtest",
     "cuped_adjust",
     "survival_curve",
+    "did_estimate",
 ]
 
 
@@ -1199,3 +1200,69 @@ def survival_curve(
         )
         .alias("survival"),
     )
+
+
+def did_estimate(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    metric_col,
+    treat_value: str = "treatment",
+    post_value: str = "post",
+    decimals: int = 6,
+) -> DataFrame:
+    """Difference-in-differences estimate over a 2×2 (group × period)
+    design (Card & Krueger 1994): the causal workhorse when treatment
+    arrives at a known time,
+
+        DiD = (Ȳ_treat,post − Ȳ_treat,pre) − (Ȳ_ctrl,post − Ȳ_ctrl,pre)
+
+    Cell means come from exact integer sums; the estimate is one fixed
+    double tree rounded once. Cells are identified by ``treat_value`` /
+    ``post_value`` (all other labels fold into control/pre), so the
+    input can carry raw variant/period labels.
+
+    Output: the four cell rows (group, period, n_units, mean) plus the
+    same four columns with group='__did__' carrying the estimate in
+    ``mean`` — one frame, dashboard-ready. Scale: one map-side
+    groupBy to 4 rows.
+    """
+    y = metric_col if isinstance(metric_col, Column) else F.col(metric_col)
+    g = F.when(F.col(group_col) == treat_value, F.lit("treatment")).otherwise(
+        F.lit("control")
+    )
+    p = F.when(F.col(period_col) == post_value, F.lit("post")).otherwise(F.lit("pre"))
+    cells = (
+        df.select(g.alias("grp"), p.alias("period"), y.cast("bigint").alias("_y"))
+        .groupBy("grp", "period")
+        .agg(F.count(F.lit(1)).alias("n_units"), F.sum("_y").alias("_s"))
+    )
+    mean = "(CAST(_s AS DOUBLE) / CAST(n_units AS DOUBLE))"
+    base = cells.select(
+        F.col("grp").alias("group"),
+        "period",
+        "n_units",
+        F.round(F.expr(mean), decimals).alias("mean"),
+    )
+    # pivot the 4 cells into one row via conditional firsts (4-row frame)
+    wide = cells.agg(
+        *[
+            F.first(
+                F.when(
+                    (F.col("grp") == grp) & (F.col("period") == per), F.expr(mean)
+                ),
+                ignorenulls=True,
+            ).alias(f"_{grp[0]}{per[1]}")
+            for grp in ("treatment", "control")
+            for per in ("post", "pre")
+        ]
+    )
+    did = wide.select(
+        F.lit("__did__").alias("group"),
+        F.lit("effect").alias("period"),
+        F.lit(0).cast("bigint").alias("n_units"),
+        F.round(
+            (F.col("_to") - F.col("_tr")) - (F.col("_co") - F.col("_cr")), decimals
+        ).alias("mean"),
+    )
+    return base.unionByName(did)

@@ -105,6 +105,7 @@ SENSITIVE = [
     # products with exp at the edge
     "cuped_ab",
     "session_survival",
+    "did_effect",
 ]
 
 

@@ -162,3 +162,24 @@ def test_survival_curve_total_death_hits_zero(spark):
     df = spark.createDataFrame(rows, "t long, e int")
     out = {r["t"]: r for r in survival_curve(df, "t", "e").collect()}
     assert out[2]["survival"] == 0.0 and out[1]["survival"] > 0.0
+
+
+def test_did_estimate_hand_computed(spark):
+    from morphik_core_spark.operators.analytics import did_estimate
+
+    # treat: pre mean 1, post mean 4 (delta 3); ctrl: pre 2, post 3 (delta 1)
+    rows = (
+        [("t", "pre", 1)] * 2 + [("t", "post", 4)] * 2
+        + [("c", "pre", 2)] * 3 + [("c", "post", 3)] * 3
+    )
+    df = spark.createDataFrame(rows, "g string, p string, y long")
+    out = did_estimate(df, "g", "p", "y", treat_value="t", post_value="post")
+    rowsd = {(r["group"], r["period"]): r for r in out.collect()}
+    assert rowsd[("treatment", "pre")]["mean"] == 1.0
+    assert rowsd[("control", "post")]["n_units"] == 3
+    assert rowsd[("__did__", "effect")]["mean"] == 2.0
+    # unknown group labels fold into control
+    rows2 = rows + [("other", "pre", 2)]
+    df2 = spark.createDataFrame(rows2, "g string, p string, y long")
+    out2 = {(r["group"], r["period"]): r for r in did_estimate(df2, "g", "p", "y", treat_value="t").collect()}
+    assert out2[("control", "pre")]["n_units"] == 4
