@@ -3825,6 +3825,38 @@ def _q_did_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Jensen-Shannon divergence (`text_analysis.vocab_jsd`)
+    between the single-digit sources (src0-9) and the rest — the
+    vocabulary-drift scalar between crawl cohorts; per-term trees
+    summed as scaled integers, finite even for disjoint vocab."""
+    from morphik_core_spark.operators.text_analysis import vocab_jsd
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_jsd(
+        docs.filter(F.length("source") == 4),
+        docs.filter(F.length("source") != 4),
+        "text",
+    )
+
+
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-vs-train 3-gram novelty (`text_analysis.novelty_rate`):
+    even doc_ids are train, odd are test; per-document distinct
+    shingles, novel = unseen anywhere in train — the diversity
+    complement of `decontaminate`."""
+    from morphik_core_spark.operators.text_analysis import novelty_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    return novelty_rate(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+        n=3,
+    )
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -4043,6 +4075,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_ab": _q_cuped_ab,
         "session_survival": _q_session_survival,
         "did_effect": _q_did_effect,
+        "vocab_drift": _q_vocab_drift,
+        "ngram_novelty": _q_ngram_novelty,
     }
 
 
@@ -8246,6 +8280,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT '__did__', 'effect', CAST(0 AS BIGINT),
                    ROUND((tpo - tpr) - (cpo - cpr), 6)
             FROM wide
+        """,
+        "vocab_drift": r"""
+            WITH ta AS (
+                SELECT term, COUNT(*) AS ca FROM (
+                    SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+                    FROM documents WHERE length(source) = 4
+                ) WHERE term <> '' GROUP BY 1
+            ),
+            tb AS (
+                SELECT term, COUNT(*) AS cb FROM (
+                    SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+                    FROM documents WHERE length(source) <> 4
+                ) WHERE term <> '' GROUP BY 1
+            ),
+            terms AS (
+                SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+                FROM ta FULL OUTER JOIN tb USING (term)
+            ),
+            tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM terms),
+            scaled AS (
+                SELECT na, nb,
+                       CAST(ROUND((CASE WHEN ca = 0 THEN 0.0 ELSE
+                                 0.5 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                                 * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                                      / (((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                                          + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) / 2.0)) END
+                               + CASE WHEN cb = 0 THEN 0.0 ELSE
+                                 0.5 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                                 * ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                                      / (((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                                          + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) / 2.0)) END)
+                              * 1e12) AS BIGINT) AS t
+                FROM terms CROSS JOIN tot
+            )
+            SELECT COUNT(*) AS n_terms, na AS n_tokens_a, nb AS n_tokens_b,
+                   ROUND(CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE) / 1e12, 6) AS jsd_nats,
+                   ROUND(CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE) / 1e12 / 0.6931471805599453, 6) AS jsd_bits
+            FROM scaled GROUP BY na, nb
+        """,
+        "ngram_novelty": r"""
+            WITH tk AS (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk FROM documents),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+                FROM tk WHERE len(tk) >= 3
+            ),
+            tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+            te AS (SELECT shingle FROM sh WHERE doc_id % 2 = 1),
+            novel AS (SELECT te.shingle FROM te LEFT JOIN tr ON te.shingle = tr.shingle
+                      WHERE tr.shingle IS NULL),
+            s AS (SELECT COUNT(*) AS n_test_shingles, COUNT(DISTINCT shingle) AS n_distinct_test FROM te),
+            nv AS (SELECT COUNT(*) AS n_novel, COUNT(DISTINCT shingle) AS n_distinct_novel FROM novel)
+            SELECT n_test_shingles, n_novel,
+                   ROUND(CAST(n_novel AS DOUBLE) / CAST(n_test_shingles AS DOUBLE), 6) AS novelty_rate,
+                   n_distinct_test, n_distinct_novel,
+                   ROUND(CAST(n_distinct_novel AS DOUBLE) / CAST(n_distinct_test AS DOUBLE), 6) AS distinct_novelty_rate
+            FROM s CROSS JOIN nv
         """,
     }
 

@@ -32,6 +32,8 @@ __all__ = [
     "script_mix",
     "ngram_diversity",
     "zipf_slope",
+    "vocab_jsd",
+    "novelty_rate",
 ]
 
 # compact stopword profiles for the heuristic language scorer
@@ -690,4 +692,128 @@ def zipf_slope(
     )
     return sums.select(
         group_col, "n_terms", F.round(slope, decimals).alias("zipf_slope")
+    )
+
+
+def vocab_jsd(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpora's unigram
+    distributions — the vocabulary-drift scalar between crawl
+    snapshots / sources (bounded [0, ln 2] nats, symmetric, finite
+    even for disjoint vocabularies — the reasons it beats raw KL for
+    corpus monitoring):
+
+        JSD = ½·KL(p‖m) + ½·KL(q‖m),   m = (p+q)/2
+
+    Per-term counts are exact ints; each term's contribution is ONE
+    double tree over (ca, cb, na, nb) summed as ROUND(x·1e12) scaled
+    integers (the PSI recipe), so partitioning can't move the result.
+    Zero-count sides contribute only their ½·q·ln(q/m) half — no
+    smoothing constants to tune.
+
+    Output: one row (n_terms, n_tokens_a, n_tokens_b, jsd_nats,
+    jsd_bits). Scale: one token explode + one map-side-combined
+    groupBy on the term; the scalar agg collapses term rows.
+    """
+    ta = (
+        a.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    tb = (
+        b.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    terms = (
+        ta.join(tb, "term", "full_outer")
+        .select(
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+    )
+    tot = terms.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    p = "(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+    q = "(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    m = f"(({p} + {q}) / 2.0D)"
+    term_val = (
+        f"(CASE WHEN ca = 0 THEN 0.0D ELSE 0.5D * {p} * ln({p} / {m}) END"
+        f" + CASE WHEN cb = 0 THEN 0.0D ELSE 0.5D * {q} * ln({q} / {m}) END)"
+    )
+    scaled = terms.join(F.broadcast(tot)).select(
+        F.lit(1).alias("one"),
+        F.expr(f"CAST(ROUND({term_val} * 1e12) AS BIGINT)").alias("_t"),
+        "na",
+        "nb",
+    )
+    return (
+        scaled.groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("_t").alias("_s"))
+        .select(
+            "n_terms",
+            F.col("na").alias("n_tokens_a"),
+            F.col("nb").alias("n_tokens_b"),
+            F.round(F.col("_s").cast("double") / F.lit(1e12), decimals).alias("jsd_nats"),
+            F.round(
+                F.col("_s").cast("double") / F.lit(1e12) / F.lit(0.6931471805599453),
+                decimals,
+            ).alias("jsd_bits"),
+        )
+    )
+
+
+def novelty_rate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """Share of the test corpus' word n-grams never seen in train — the
+    memorization/diversity complement of `decontaminate` (high novelty
+    = the eval set isn't a paraphrase of the training data; near-zero
+    novelty on generated text = regurgitation):
+
+    Per-document DISTINCT shingles (the decontamination convention,
+    `dedup.word_shingles`); "novel" = no occurrence anywhere in train.
+    Counts exact; rates one rounded division each.
+
+    Output: one row (n_test_shingles, n_novel, novelty_rate,
+    n_distinct_test, n_distinct_novel, distinct_novelty_rate).
+    Scale: shuffle keyed on the shingle (left-anti against the train
+    DISTINCT set — bloom-prefilterable at 100 TB, `plans/skipping`).
+    """
+    from morphik_core_spark.operators.dedup import word_shingles
+
+    tr = word_shingles(train, text_col, id_col, n=n).select("shingle").distinct()
+    te = word_shingles(test, text_col, id_col, n=n)
+    novel = te.join(tr, "shingle", "left_anti")
+    stats = te.agg(
+        F.count(F.lit(1)).alias("n_test_shingles"),
+        F.countDistinct("shingle").alias("n_distinct_test"),
+    )
+    nstats = novel.agg(
+        F.count(F.lit(1)).alias("n_novel"),
+        F.countDistinct("shingle").alias("n_distinct_novel"),
+    )
+    return stats.join(F.broadcast(nstats)).select(
+        "n_test_shingles",
+        "n_novel",
+        F.round(
+            F.expr("CAST(n_novel AS DOUBLE) / CAST(n_test_shingles AS DOUBLE)"),
+            decimals,
+        ).alias("novelty_rate"),
+        "n_distinct_test",
+        "n_distinct_novel",
+        F.round(
+            F.expr("CAST(n_distinct_novel AS DOUBLE) / CAST(n_distinct_test AS DOUBLE)"),
+            decimals,
+        ).alias("distinct_novelty_rate"),
     )

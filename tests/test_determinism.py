@@ -106,6 +106,9 @@ SENSITIVE = [
     "cuped_ab",
     "session_survival",
     "did_effect",
+    # corpus drift: per-term ln trees as scaled-int sums; ratio trees
+    "vocab_drift",
+    "ngram_novelty",
 ]
 
 

@@ -112,3 +112,35 @@ def test_bm25_plan_is_codegen_broadcast(spark):
     plan = ta.bm25_topk(df, "text", "doc_id", ["join"])._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan  # no explode
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_vocab_jsd_bounds_and_symmetry(spark):
+    from morphik_core_spark.operators.text_analysis import vocab_jsd
+
+    a = spark.createDataFrame([("x y x z",)], "t string")
+    b = spark.createDataFrame([("x y w w",)], "t string")
+    r1 = vocab_jsd(a, b, "t").collect()[0]
+    r2 = vocab_jsd(b, a, "t").collect()[0]
+    assert r1["jsd_nats"] == r2["jsd_nats"] > 0  # symmetric
+    import math
+    assert r1["jsd_nats"] <= round(math.log(2), 6)
+    assert r1["n_terms"] == 4  # union vocab x,y,z,w
+    # identical corpora -> 0
+    assert vocab_jsd(a, a, "t").collect()[0]["jsd_nats"] == 0.0
+    # disjoint vocab -> exactly ln 2
+    c = spark.createDataFrame([("p q",)], "t string")
+    assert vocab_jsd(a, c, "t").collect()[0]["jsd_bits"] == 1.0
+
+
+def test_novelty_rate_counts(spark):
+    from morphik_core_spark.operators.text_analysis import novelty_rate
+
+    train = spark.createDataFrame([(1, "a b c d")], "id long, t string")
+    # test doc 1: 'a b c' seen, 'b c x' novel; test doc 2 repeats 'a b c'
+    test = spark.createDataFrame(
+        [(2, "a b c x"), (3, "a b c")], "id long, t string"
+    )
+    r = novelty_rate(train, test, "t", "id", n=3).collect()[0]
+    assert r["n_test_shingles"] == 3  # (abc, bcx) + (abc)
+    assert r["n_novel"] == 1 and r["novelty_rate"] == round(1 / 3, 6)
+    assert r["n_distinct_test"] == 2 and r["n_distinct_novel"] == 1
