@@ -841,6 +841,7 @@ def cusum_screen(
     idx_col: str,
     val_col: str,
     h_mult: int = 3,
+    target: int | None = None,
 ) -> DataFrame:
     """One-sided CUSUM change detector over an integer series (Page
     1954): cumulative excess over the series' floor-mean target, with
@@ -867,9 +868,16 @@ def cusum_screen(
         F.col(idx_col).cast("bigint").alias("idx"),
         F.col(val_col).cast("bigint").alias("value"),
     )
-    glob = base.agg(
-        F.expr("CAST(sum(value) AS BIGINT) div count(1)").alias("_target")
-    )
+    if target is None:
+        glob = base.agg(
+            F.expr("CAST(sum(value) AS BIGINT) div count(1)").alias("_target")
+        )
+    else:
+        # fixed trained target: the form a streaming monitor uses
+        # (`streaming.stateful.cusum_stream` is the incremental twin)
+        glob = base.sparkSession.range(1).select(
+            F.lit(int(target)).cast("bigint").alias("_target")
+        )
     w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = (
         base.join(F.broadcast(glob))

@@ -31,6 +31,7 @@ __all__ = [
     "dedup_docs_stream",
     "asof_backward_stream",
     "debounce_stream",
+    "cusum_stream",
 ]
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -255,6 +256,70 @@ def debounce_stream(
         update,
         outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
         stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+CUSUM_OUTPUT_SCHEMA = (
+    "series_key string, idx bigint, value bigint, cusum bigint, alarm boolean"
+)
+CUSUM_STATE_SCHEMA = "s bigint, last_idx bigint"
+
+
+def cusum_stream(
+    series: DataFrame,
+    target: int,
+    h: int,
+    key_col: str = "series_key",
+    idx_col: str = "idx",
+    val_col: str = "value",
+) -> DataFrame:
+    """Streaming CUSUM monitor — the incremental twin of
+    `analytics.cusum_screen(target=...)`: per series key, the textbook
+    recursion s = max(0, s + (x − target)) runs AS a recursion (one
+    bigint of state), emitting (idx, value, cusum, alarm s > h) per
+    point. The batch form needs the closed-form prefix-sum/running-min
+    rewrite; here the state IS the running value, which is why CUSUM is
+    the standard production drift monitor — O(1) state per key.
+
+    Input is the pre-aggregated series stream (the upstream per-bucket
+    rollup is `streaming/incremental`'s job); ``target``/``h`` are the
+    trained baseline parameters, exactly as a deployed monitor receives
+    them. Points must arrive in non-decreasing ``idx`` order per key
+    across micro-batches (the log-stream contract shared by
+    `asof_backward_stream`/`debounce_stream`); in-batch disorder
+    repairs itself via the per-batch sort. Out-of-order rows across
+    batches (idx ≤ last seen) are DROPPED, never applied twice —
+    replay-safe under at-least-once delivery. Exact integer state:
+    bit-identical to the batch closed form on the same inputs
+    (equivalence-tested).
+    """
+    tgt = int(target)
+    hh = int(h)
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        s_val, last_idx = state.get if state.exists else (0, None)
+        out_rows: list[tuple] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(idx_col)
+            for i, x in zip(pdf[idx_col], pdf[val_col]):
+                i = int(i)
+                if last_idx is not None and i <= last_idx:
+                    continue  # replayed/out-of-order point: already applied
+                last_idx = i
+                s_val = max(0, s_val + (int(x) - tgt))
+                out_rows.append((key_val, i, int(x), s_val, s_val > hh))
+        state.update((s_val, last_idx))
+        yield pd.DataFrame(
+            out_rows, columns=["series_key", "idx", "value", "cusum", "alarm"]
+        )
+
+    return series.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -392,3 +392,60 @@ def test_debounce_stream_agrees_with_batch_on_short_bursts(spark, tmp_path):
     )
     want = sorted(r.event_id for r in batch.filter("kept").collect())
     assert got == want == [1, 4, 5]
+
+
+def test_cusum_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """Streaming CUSUM state (one bigint per key) survives a checkpoint
+    restart, matches the batch closed form bit-for-bit on the same
+    fixed target, and drops replayed points instead of double-applying."""
+    from morphik_core_spark.operators.analytics import cusum_screen
+    from morphik_core_spark.streaming.stateful import cusum_stream
+
+    schema = "series_key string, idx long, value long"
+    xs = [10, 9, 11, 10, 16, 17, 18, 12]
+    batch1 = [("k", i, x) for i, x in enumerate(xs[:4])]
+    # batch2 REPLAYS idx 3 (must be ignored) then continues
+    batch2 = [("k", 3, 999)] + [("k", i + 4, x) for i, x in enumerate(xs[4:])]
+
+    src, out, chk = (str(tmp_path / d) for d in ("cin", "cout", "cchk"))
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            cusum_stream(stream, target=12, h=6)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+
+    run_once(batch1)
+    run_once(batch2)
+    got = {
+        r.idx: (r.value, r.cusum, r.alarm)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == len(xs)  # replayed idx 3 emitted once, value 10 kept
+    assert got[3][0] == 10
+
+    series = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "idx long, x long"
+    )
+    batch = {
+        r.idx: (r.value, r.cusum, r.alarm)
+        for r in cusum_screen(series, "idx", "x", h_mult=1, target=12).collect()
+    }
+    # batch h = target * h_mult = 12; stream used h=6: compare cusum only,
+    # then alarms against the stream's own threshold
+    assert {i: v[1] for i, v in got.items()} == {i: v[1] for i, v in batch.items()}
+    s_replay = 0
+    for i, x in enumerate(xs):
+        s_replay = max(0, s_replay + x - 12)
+        assert got[i][2] is (s_replay > 6)
