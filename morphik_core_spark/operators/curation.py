@@ -64,6 +64,8 @@ __all__ = [
     "target_encoding",
     "negative_sampling",
     "woe_iv",
+    "grouped_split",
+    "temporal_split",
 ]
 
 # Gopher-inspired rule thresholds (Rae et al. 2021 A1.1), adapted to the
@@ -1261,3 +1263,105 @@ def woe_iv(
         F.round(F.col("_s").cast("double") / F.lit(1e12), decimals).alias("iv_total")
     )
     return terms.drop("_iv_scaled").join(F.broadcast(total))
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Group-aware train/val/test split audit: the split hash runs on
+    the GROUP key (user, document, session), so every row of a group
+    lands in one split — the leakage-hygiene rule for ML data with
+    repeated entities (a user in both train and test leaks their
+    behavior into eval). Same portable md5 bucket as `split_bucket`,
+    so re-running after new rows arrive never moves an old group.
+
+    Output per split: (split, n_groups, n_rows, row_share) — the audit
+    a pipeline logs; group-leakage is zero BY CONSTRUCTION (the split
+    is a pure function of the group key), which the unit test asserts
+    by counting groups in >1 split.
+
+    Scale: one map-side hash + one groupBy on (split, group) collapsed
+    to split-level counts — shuffle carries one row per group.
+    """
+    bucket = split_bucket(F.col(group_col).cast("string"))
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per_group = (
+        df.select(split.alias("split"), F.col(group_col).alias("_g"))
+        .groupBy("split", "_g")
+        .agg(F.count(F.lit(1)).alias("_rows"))
+    )
+    total = per_group.agg(F.sum("_rows").alias("_n"))
+    return (
+        per_group.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("_rows").alias("n_rows"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "split",
+            "n_groups",
+            "n_rows",
+            F.round(
+                F.expr("CAST(n_rows AS DOUBLE) / CAST(_n AS DOUBLE)"), decimals
+            ).alias("row_share"),
+        )
+    )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_idx_col,
+    cutoff_idx: int,
+    embargo: int = 0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Time-based train/test split with an embargo gap (de Prado 2018's
+    purged split, the leakage rule for forecasting data): train =
+    strictly before ``cutoff_idx``, test = at/after ``cutoff_idx +
+    embargo``, rows inside the embargo window are DROPPED so
+    trailing-window features computed at the cutoff can't see test
+    rows. ``ts_idx_col`` is an integer time index (day number, epoch
+    bucket).
+
+    Output per split (train/embargo/test): (split, n_rows, min_idx,
+    max_idx, row_share) — the boundary audit; min/max make the
+    no-overlap property checkable downstream (train.max < cutoff ≤
+    embargo rows < cutoff+embargo ≤ test.min).
+
+    Scale: pure map + 3-row groupBy.
+    """
+    idx = ts_idx_col if isinstance(ts_idx_col, Column) else F.col(ts_idx_col)
+    c, e = int(cutoff_idx), int(embargo)
+    split = (
+        F.when(idx < c, F.lit("train"))
+        .when(idx < c + e, F.lit("embargo"))
+        .otherwise(F.lit("test"))
+    )
+    per = (
+        df.select(split.alias("split"), idx.cast("bigint").alias("_i"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_i").alias("min_idx"),
+            F.max("_i").alias("max_idx"),
+        )
+    )
+    total = per.agg(F.sum("n_rows").alias("_n"))
+    return per.join(F.broadcast(total)).select(
+        "split",
+        "n_rows",
+        "min_idx",
+        "max_idx",
+        F.round(
+            F.expr("CAST(n_rows AS DOUBLE) / CAST(_n AS DOUBLE)"), decimals
+        ).alias("row_share"),
+    )

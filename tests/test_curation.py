@@ -389,3 +389,34 @@ def test_temperature_mixture_rates_balances_and_validates(spark):
 
     with _pytest.raises(ValueError, match="power of two"):
         temperature_mixture_rates(df, "grp", temperature=3)
+
+
+def test_grouped_split_no_group_leakage(spark):
+    from morphik_core_spark.operators.curation import grouped_split, split_bucket
+    from pyspark.sql import functions as F
+
+    rows = [(u, i) for u in range(40) for i in range(3)]
+    df = spark.createDataFrame(rows, "uid long, item long")
+    out = {r["split"]: r for r in grouped_split(df, "uid").collect()}
+    assert sum(r["n_rows"] for r in out.values()) == 120
+    # every group's 3 rows land in ONE split
+    assert sum(r["n_groups"] for r in out.values()) == 40
+    # leakage check from first principles: split is a function of uid
+    per = (
+        df.select("uid", (split_bucket(F.col("uid").cast("string")) < 90).alias("s"))
+        .groupBy("uid").agg(F.countDistinct("s").alias("k")).agg(F.max("k")).collect()[0][0]
+    )
+    assert per == 1
+
+
+def test_temporal_split_embargo_bounds(spark):
+    from morphik_core_spark.operators.curation import temporal_split
+
+    df = spark.createDataFrame([(i,) for i in range(30)], "d long")
+    out = {r["split"]: r for r in temporal_split(df, "d", cutoff_idx=20, embargo=2).collect()}
+    assert out["train"]["max_idx"] == 19 and out["train"]["n_rows"] == 20
+    assert out["embargo"]["min_idx"] == 20 and out["embargo"]["max_idx"] == 21
+    assert out["test"]["min_idx"] == 22 and out["test"]["n_rows"] == 8
+    # zero embargo: no embargo rows emitted
+    out2 = {r["split"]: r for r in temporal_split(df, "d", cutoff_idx=20, embargo=0).collect()}
+    assert set(out2) == {"train", "test"} and out2["test"]["min_idx"] == 20

@@ -109,6 +109,9 @@ SENSITIVE = [
     # corpus drift: per-term ln trees as scaled-int sums; ratio trees
     "vocab_drift",
     "ngram_novelty",
+    # split hygiene: share ratios over hash/threshold partitions
+    "grouped_split",
+    "temporal_split",
 ]
 
 
