@@ -1201,6 +1201,31 @@ def main() -> None:
 
         report("survival_curve", km, ev1e, ev10e)
 
+    if "drift" in ops:
+        from morphik_core_spark.operators.curation import grouped_split, temporal_split
+        from morphik_core_spark.operators.text_analysis import novelty_rate, vocab_jsd
+
+        report(
+            "vocab_jsd",
+            lambda d: mat(vocab_jsd(
+                d.filter(F.col("doc_id") % 2 == 0),
+                d.filter(F.col("doc_id") % 2 == 1), "text")),
+            docs1, docs10,
+        )
+        report(
+            "novelty_rate",
+            lambda d: mat(novelty_rate(
+                d.filter(F.col("doc_id") % 2 == 0),
+                d.filter(F.col("doc_id") % 2 == 1), "text", "doc_id", n=3)),
+            docs1, docs10,
+        )
+        report("grouped_split", lambda d: mat(grouped_split(d, "source")), docs1, docs10)
+        report(
+            "temporal_split",
+            lambda d: mat(temporal_split(d.select((F.col("doc_id") % 30).alias("d")), "d", 20, 2)),
+            docs1, docs10,
+        )
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing
