@@ -3659,14 +3659,14 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic (`analytics.ks_statistic`) between
-    finished- and open-order total prices in cents — the sup-norm drift
+    finished- and open-order total prices in cents (via DECIMAL(18,2), the engine-portable cents conversion — raw double*100 casts truncate in Spark but round in DuckDB) — the sup-norm drift
     test beside PSI; cross-multiplied DECIMAL(38,0) CDF gaps, arg-max
     on exact integers, smallest-value tie-break."""
     from morphik_core_spark.operators.analytics import ks_statistic
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderstatus",
-        F.expr("CAST(o_totalprice * 100 AS BIGINT)").alias("cents"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
     )
     return ks_statistic(
         orders.filter(F.col("o_orderstatus") == "F"),
@@ -3881,6 +3881,26 @@ def _q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         (day - F.col("_dmin")).alias("rel_day")
     )
     return temporal_split(rel, "rel_day", cutoff_idx=20, embargo=2)
+
+
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier screen (`analytics.mad_outliers`)
+    over order totals in cents per priority — `anomaly_stats`' heavy-
+    tail-safe sibling; exact lower medians from per-group grid
+    windows, integer-only modified-z flags. TPC-H prices are ~uniform
+    (zero natural MAD outliers at any sf — measured), so every 97th
+    order is inflated 20x: the screen must flag those whales and
+    ONLY roughly those (~1%), exercising both flag branches."""
+    from morphik_core_spark.operators.analytics import mad_outliers
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " * (CASE WHEN o_orderkey % 97 = 0 THEN 20 ELSE 1 END)"
+        ).alias("cents"),
+    )
+    return mad_outliers(orders, "priority", "cents", z=3.5)
 
 
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
@@ -4105,6 +4125,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _q_ngram_novelty,
         "grouped_split": _q_grouped_split,
         "temporal_split": _q_temporal_split,
+        "mad_outliers": _q_mad_outliers,
     }
 
 
@@ -8117,7 +8138,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ks_price_drift": """
             WITH u AS (
-                SELECT CAST(o_totalprice * 100 AS BIGINT) AS v,
+                SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
                        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS sa,
                        CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS sb
                 FROM orders WHERE o_orderstatus IN ('F', 'O')
@@ -8396,6 +8417,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, n_rows, min_idx, max_idx,
                    ROUND(CAST(n_rows AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS row_share
             FROM p CROSS JOIN t
+        """,
+        "mad_outliers": """
+            WITH b AS (SELECT o_orderpriority AS g,
+                              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                              * (CASE WHEN o_orderkey % 97 = 0 THEN 20 ELSE 1 END) AS v
+                       FROM orders WHERE o_totalprice IS NOT NULL),
+            grid AS (SELECT g, v, COUNT(*) AS c FROM b GROUP BY 1, 2),
+            rk AS (SELECT g, v,
+                          SUM(c) OVER (PARTITION BY g ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum,
+                          SUM(c) OVER (PARTITION BY g) AS n
+                   FROM grid),
+            med AS (SELECT g, MIN(v) AS median, CAST(MAX(n) AS BIGINT) AS n
+                    FROM rk WHERE cum * 2 >= n GROUP BY 1),
+            dev AS (SELECT b.g, abs(b.v - med.median) AS d FROM b JOIN med ON b.g = med.g),
+            dgrid AS (SELECT g, d, COUNT(*) AS c FROM dev GROUP BY 1, 2),
+            drk AS (SELECT g, d,
+                           SUM(c) OVER (PARTITION BY g ORDER BY d ASC ROWS UNBOUNDED PRECEDING) AS cum,
+                           SUM(c) OVER (PARTITION BY g) AS n
+                    FROM dgrid),
+            mad AS (SELECT g, MIN(d) AS mad FROM drk WHERE cum * 2 >= n GROUP BY 1),
+            fl AS (SELECT dev.g, COUNT(*) AS n_outliers
+                   FROM dev JOIN mad ON dev.g = mad.g
+                   WHERE CAST(dev.d AS HUGEINT) * 674500 > 3500000 * CAST(mad.mad AS HUGEINT)
+                   GROUP BY 1)
+            SELECT med.g AS priority, med.n AS n, med.median, mad.mad,
+                   CAST(COALESCE(fl.n_outliers, 0) AS BIGINT) AS n_outliers,
+                   ROUND(CAST(COALESCE(fl.n_outliers, 0) AS DOUBLE) / CAST(med.n AS DOUBLE), 6) AS outlier_share
+            FROM med JOIN mad ON med.g = mad.g
+            LEFT JOIN fl ON med.g = fl.g
         """,
     }
 

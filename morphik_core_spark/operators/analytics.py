@@ -45,6 +45,7 @@ __all__ = [
     "cuped_adjust",
     "survival_curve",
     "did_estimate",
+    "mad_outliers",
 ]
 
 
@@ -1274,3 +1275,89 @@ def did_estimate(
         ).alias("mean"),
     )
     return base.unionByName(did)
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    val_col,
+    z: float = 3.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Robust outlier screen per group: median / MAD / modified-z count
+    (Iglewicz & Hoaglin 1993) — the heavy-tail-safe complement of
+    `anomaly_stats`' mean/std (one whale order inflates σ and hides
+    every other outlier; the median absolute deviation doesn't budge).
+
+        outlier ⇔ 0.6745 · |x − med| / MAD > z
+
+    Exactness: values must be integers (cents, counts). Medians are
+    exact LOWER medians (rank ⌈n/2⌉) picked from per-group cumulative
+    counts over the distinct-value grid — always an observed integer,
+    no averaging. The outlier test is rearranged to pure integer
+    arithmetic, |x − med| · 6745 · 10³ > z·10⁶·MAD… via shared scaled
+    literals, so no float ever decides a flag.
+
+    Output per group: (group, n, median, mad, n_outliers, outlier_share).
+    Scale: three passes over the fact table, each collapsing to the
+    per-(group, value) grid with map-side combine; all windows are
+    partitioned BY GROUP over that grid, never over raw rows.
+    """
+    v = val_col if isinstance(val_col, Column) else F.col(val_col)
+    zscaled = int(round(float(z) * 1_000_000))
+
+    def lower_median(frame: DataFrame, gcol: str, vcol: str, out: str) -> DataFrame:
+        grid = frame.groupBy(gcol, vcol).agg(F.count(F.lit(1)).alias("_c"))
+        wcum = (
+            Window.partitionBy(gcol)
+            .orderBy(vcol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wtot = Window.partitionBy(gcol)
+        ranked = grid.select(
+            gcol,
+            vcol,
+            F.sum("_c").over(wcum).alias("_cum"),
+            F.sum("_c").over(wtot).alias("_n"),
+        )
+        # lower median = rank ceil(n/2): smallest v with 2*cum >= n
+        # (2*cum >= n+1 would pick the UPPER median for even n)
+        hit = ranked.filter(F.col("_cum") * 2 >= F.col("_n"))
+        return hit.groupBy(gcol).agg(
+            F.min(vcol).alias(out), F.first("_n").alias("_n_" + out)
+        )
+
+    base = df.select(F.col(group_col).alias("_g"), v.cast("bigint").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    med = lower_median(base, "_g", "_v", "median")
+    dev = base.join(F.broadcast(med), "_g").select(
+        "_g", F.abs(F.col("_v") - F.col("median")).alias("_d")
+    )
+    mad = lower_median(dev, "_g", "_d", "mad")
+    flagged = (
+        dev.join(F.broadcast(mad.select("_g", "mad")), "_g")
+        .filter(
+            F.col("_d").cast("decimal(38,0)") * F.lit(674_500)
+            > F.lit(zscaled) * F.col("mad").cast("decimal(38,0)")
+        )
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        med.join(mad.select("_g", "mad"), "_g")
+        .join(flagged, "_g", "left")
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_n_median").alias("n"),
+            "median",
+            "mad",
+            F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
+            F.round(
+                F.expr(
+                    "CAST(COALESCE(n_outliers, 0) AS DOUBLE) / CAST(_n_median AS DOUBLE)"
+                ),
+                decimals,
+            ).alias("outlier_share"),
+        )
+    )

@@ -112,6 +112,7 @@ SENSITIVE = [
     # split hygiene: share ratios over hash/threshold partitions
     "grouped_split",
     "temporal_split",
+    "mad_outliers",
 ]
 
 

@@ -183,3 +183,33 @@ def test_did_estimate_hand_computed(spark):
     df2 = spark.createDataFrame(rows2, "g string, p string, y long")
     out2 = {(r["group"], r["period"]): r for r in did_estimate(df2, "g", "p", "y", treat_value="t").collect()}
     assert out2[("control", "pre")]["n_units"] == 4
+
+
+def test_mad_outliers_hand_computed(spark):
+    from morphik_core_spark.operators.analytics import mad_outliers
+
+    # group g: values 1..9 plus a whale 1000. lower median of 10 = 5
+    # (rank 5); deviations |x-5| = 4,3,2,1,0,1,2,3,4,995 -> sorted
+    # 0,1,1,2,2,3,3,4,4,995: lower median (rank 5) = 2 -> MAD 2.
+    # modified z: 0.6745*d/2 > 3.5 <=> d > 10.378 -> only the whale.
+    rows = [("g", v) for v in list(range(1, 10)) + [1000]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = mad_outliers(df, "g", "v", z=3.5).collect()[0]
+    assert r["n"] == 10 and r["median"] == 5 and r["mad"] == 2
+    assert r["n_outliers"] == 1 and r["outlier_share"] == 0.1
+    # mean/std would call the whale ~3 sigma and hide everything else;
+    # median/MAD is unmoved by it: drop the whale, stats barely change
+    r2 = mad_outliers(df.filter("v < 1000"), "g", "v").collect()[0]
+    assert r2["median"] == 5 and r2["mad"] == 2 and r2["n_outliers"] == 0
+
+
+def test_mad_outliers_zero_mad_flags_any_deviation(spark):
+    from morphik_core_spark.operators.analytics import mad_outliers
+
+    # >50% identical -> MAD 0 -> every nonzero deviation flags (the
+    # documented modified-z degeneracy; callers with spiky data should
+    # pre-bin)
+    rows = [("g", 5)] * 6 + [("g", 7)] * 2
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = mad_outliers(df, "g", "v").collect()[0]
+    assert r["mad"] == 0 and r["n_outliers"] == 2
