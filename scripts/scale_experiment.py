@@ -1134,6 +1134,15 @@ def main() -> None:
 
         report("lorenz_gini", gini, ord1d, ord10d)
 
+        from morphik_core_spark.operators.analytics import mad_outliers
+
+        def madop(o):
+            c = o.select("o_orderstatus",
+                         F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("v"))
+            mat(mad_outliers(c, "o_orderstatus", "v"))
+
+        report("mad_outliers", madop, ord1d, ord10d)
+
         ev1f = load_table(spark, "events", SF_DIR).select("event_id", "ts")
         ftiles = [ev1f.select((F.col("event_id") * 10 + k).alias("event_id"), "ts") for k in range(10)]
         ev10f = ftiles[0]
