@@ -3903,6 +3903,41 @@ def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(orders, "priority", "cents", z=3.5)
 
 
+def _q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix (`analytics.numeric_corr`) over
+    lineitem's numeric columns, integer-scaled (whole quantities,
+    price cents, discount/tax hundredths — the portable conversions):
+    qty↔price strongly positive by construction, discount/tax ≈ 0.
+    One aggregation pass for all moments; DECIMAL(38,0) exact."""
+    from morphik_core_spark.operators.analytics import numeric_corr
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("qty"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("price_c"),
+        F.expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("disc_h"),
+        F.expr("CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("tax_h"),
+    )
+    return numeric_corr(li, ["qty", "price_c", "disc_h", "tax_h"])
+
+
+def _q_term_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary concentration (`analytics.lorenz_gini` over term
+    frequencies): how unequal the corpus' unigram mass is — the Zipf
+    audit's scalar complement, zero new machinery (subjects = terms,
+    value = frequency)."""
+    from morphik_core_spark.operators.analytics import lorenz_gini
+    from morphik_core_spark.operators.text_analysis import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return lorenz_gini(freqs, "freq")
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -4126,6 +4161,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_split": _q_grouped_split,
         "temporal_split": _q_temporal_split,
         "mad_outliers": _q_mad_outliers,
+        "lineitem_corr": _q_lineitem_corr,
+        "term_gini": _q_term_gini,
     }
 
 
@@ -8446,6 +8483,80 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(COALESCE(fl.n_outliers, 0) AS DOUBLE) / CAST(med.n AS DOUBLE), 6) AS outlier_share
             FROM med JOIN mad ON med.g = mad.g
             LEFT JOIN fl ON med.g = fl.g
+        """,
+        "lineitem_corr": """
+            WITH b AS (
+                SELECT CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+                       CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc_h,
+                       CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS tax_h
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+            ),
+            m AS (
+                SELECT COUNT(*) AS n,
+                       CAST(SUM(qty) AS BIGINT) AS s_q, SUM(CAST(qty AS HUGEINT) * qty) AS ss_q,
+                       CAST(SUM(price_c) AS BIGINT) AS s_p, SUM(CAST(price_c AS HUGEINT) * price_c) AS ss_p,
+                       CAST(SUM(disc_h) AS BIGINT) AS s_d, SUM(CAST(disc_h AS HUGEINT) * disc_h) AS ss_d,
+                       CAST(SUM(tax_h) AS BIGINT) AS s_t, SUM(CAST(tax_h AS HUGEINT) * tax_h) AS ss_t,
+                       SUM(CAST(qty AS HUGEINT) * price_c) AS sp_qp,
+                       SUM(CAST(qty AS HUGEINT) * disc_h) AS sp_qd,
+                       SUM(CAST(qty AS HUGEINT) * tax_h) AS sp_qt,
+                       SUM(CAST(price_c AS HUGEINT) * disc_h) AS sp_pd,
+                       SUM(CAST(price_c AS HUGEINT) * tax_h) AS sp_pt,
+                       SUM(CAST(disc_h AS HUGEINT) * tax_h) AS sp_dt
+                FROM b
+            )
+            SELECT 'qty' AS col_a, 'price_c' AS col_b, n,
+                   ROUND(CASE WHEN (n * ss_q - CAST(s_q AS HUGEINT) * s_q) = 0 OR (n * ss_p - CAST(s_p AS HUGEINT) * s_p) = 0 THEN NULL ELSE
+                         CAST((n * sp_qp - CAST(s_q AS HUGEINT) * s_p) AS DOUBLE)
+                         / sqrt(CAST((n * ss_q - CAST(s_q AS HUGEINT) * s_q) AS DOUBLE) * CAST((n * ss_p - CAST(s_p AS HUGEINT) * s_p) AS DOUBLE)) END, 6) AS corr FROM m
+            UNION ALL
+            SELECT 'qty', 'disc_h', n,
+                   ROUND(CASE WHEN (n * ss_q - CAST(s_q AS HUGEINT) * s_q) = 0 OR (n * ss_d - CAST(s_d AS HUGEINT) * s_d) = 0 THEN NULL ELSE
+                         CAST((n * sp_qd - CAST(s_q AS HUGEINT) * s_d) AS DOUBLE)
+                         / sqrt(CAST((n * ss_q - CAST(s_q AS HUGEINT) * s_q) AS DOUBLE) * CAST((n * ss_d - CAST(s_d AS HUGEINT) * s_d) AS DOUBLE)) END, 6) FROM m
+            UNION ALL
+            SELECT 'qty', 'tax_h', n,
+                   ROUND(CASE WHEN (n * ss_q - CAST(s_q AS HUGEINT) * s_q) = 0 OR (n * ss_t - CAST(s_t AS HUGEINT) * s_t) = 0 THEN NULL ELSE
+                         CAST((n * sp_qt - CAST(s_q AS HUGEINT) * s_t) AS DOUBLE)
+                         / sqrt(CAST((n * ss_q - CAST(s_q AS HUGEINT) * s_q) AS DOUBLE) * CAST((n * ss_t - CAST(s_t AS HUGEINT) * s_t) AS DOUBLE)) END, 6) FROM m
+            UNION ALL
+            SELECT 'price_c', 'disc_h', n,
+                   ROUND(CASE WHEN (n * ss_p - CAST(s_p AS HUGEINT) * s_p) = 0 OR (n * ss_d - CAST(s_d AS HUGEINT) * s_d) = 0 THEN NULL ELSE
+                         CAST((n * sp_pd - CAST(s_p AS HUGEINT) * s_d) AS DOUBLE)
+                         / sqrt(CAST((n * ss_p - CAST(s_p AS HUGEINT) * s_p) AS DOUBLE) * CAST((n * ss_d - CAST(s_d AS HUGEINT) * s_d) AS DOUBLE)) END, 6) FROM m
+            UNION ALL
+            SELECT 'price_c', 'tax_h', n,
+                   ROUND(CASE WHEN (n * ss_p - CAST(s_p AS HUGEINT) * s_p) = 0 OR (n * ss_t - CAST(s_t AS HUGEINT) * s_t) = 0 THEN NULL ELSE
+                         CAST((n * sp_pt - CAST(s_p AS HUGEINT) * s_t) AS DOUBLE)
+                         / sqrt(CAST((n * ss_p - CAST(s_p AS HUGEINT) * s_p) AS DOUBLE) * CAST((n * ss_t - CAST(s_t AS HUGEINT) * s_t) AS DOUBLE)) END, 6) FROM m
+            UNION ALL
+            SELECT 'disc_h', 'tax_h', n,
+                   ROUND(CASE WHEN (n * ss_d - CAST(s_d AS HUGEINT) * s_d) = 0 OR (n * ss_t - CAST(s_t AS HUGEINT) * s_t) = 0 THEN NULL ELSE
+                         CAST((n * sp_dt - CAST(s_d AS HUGEINT) * s_t) AS DOUBLE)
+                         / sqrt(CAST((n * ss_d - CAST(s_d AS HUGEINT) * s_d) AS DOUBLE) * CAST((n * ss_t - CAST(s_t AS HUGEINT) * s_t) AS DOUBLE)) END, 6) FROM m
+        """,
+        "term_gini": """
+            WITH freqs AS (
+                SELECT term, COUNT(*) AS f FROM (
+                    SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS term
+                    FROM documents
+                ) WHERE term <> '' GROUP BY 1
+            ),
+            pv AS (SELECT f AS v, COUNT(*) AS c FROM freqs GROUP BY 1),
+            cum AS (SELECT v, c,
+                           SUM(c) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) - c AS r0
+                    FROM pv),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                           SUM(CAST(v AS HUGEINT) * c) AS total FROM pv),
+            terms AS (SELECT n, total, CAST(v AS HUGEINT) * c * (2 * r0 + c - n) AS t
+                      FROM cum CROSS JOIN tot)
+            SELECT n, CAST(total AS BIGINT) AS total,
+                   ROUND(CASE WHEN total = 0 THEN NULL ELSE
+                         CAST(SUM(t) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) END, 6) AS gini
+            FROM terms GROUP BY n, terms.total
         """,
     }
 

@@ -46,6 +46,7 @@ __all__ = [
     "survival_curve",
     "did_estimate",
     "mad_outliers",
+    "numeric_corr",
 ]
 
 
@@ -1361,3 +1362,57 @@ def mad_outliers(
             ).alias("outlier_share"),
         )
     )
+
+
+def numeric_corr(
+    df: DataFrame,
+    cols: Sequence[str],
+    decimals: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over INTEGER-scaled numeric
+    columns — the EDA screen before feature selection (collinear
+    features, leakage hints). Caller scales continuous columns to
+    integers first (cents, basis points): every moment (Σx, Σx², Σxy)
+    then accumulates EXACTLY in DECIMAL(38,0), and each correlation is
+    one double tree over those moments rounded once —
+
+        r = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+
+    NULL when either variance is zero (integer-moment guard). Rows with
+    a NULL in ANY column are dropped (complete-case, the convention
+    that keeps all pairs on the same n).
+
+    Output: one row per unordered pair (col_a, col_b, n, corr).
+    Scale: ONE aggregation pass computes all k(k+3)/2 moments
+    map-side; k is the column count, so the shuffle carries one row.
+    """
+    base = df.select(*[F.col(c).cast("bigint").alias(c) for c in cols])
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(c).alias(f"_s_{c}"))
+        aggs.append(F.sum(F.col(c).cast("decimal(38,0)") * F.col(c)).alias(f"_ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(F.col(a).cast("decimal(38,0)") * F.col(b)).alias(f"_sp_{a}_{b}")
+        )
+    m = base.agg(*aggs)
+    out = None
+    for a, b in pairs:
+        var_a = f"(_n * _ss_{a} - CAST(_s_{a} AS DECIMAL(38,0)) * _s_{a})"
+        var_b = f"(_n * _ss_{b} - CAST(_s_{b} AS DECIMAL(38,0)) * _s_{b})"
+        cov = f"(_n * _sp_{a}_{b} - CAST(_s_{a} AS DECIMAL(38,0)) * _s_{b})"
+        corr = (
+            f"CASE WHEN {var_a} = 0 OR {var_b} = 0 THEN NULL ELSE "
+            f"CAST({cov} AS DOUBLE) / sqrt(CAST({var_a} AS DOUBLE) * CAST({var_b} AS DOUBLE)) END"
+        )
+        row = m.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col("_n").alias("n"),
+            F.round(F.expr(corr), decimals).alias("corr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -113,6 +113,8 @@ SENSITIVE = [
     "grouped_split",
     "temporal_split",
     "mad_outliers",
+    "lineitem_corr",
+    "term_gini",
 ]
 
 

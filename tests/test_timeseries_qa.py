@@ -213,3 +213,22 @@ def test_mad_outliers_zero_mad_flags_any_deviation(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     r = mad_outliers(df, "g", "v").collect()[0]
     assert r["mad"] == 0 and r["n_outliers"] == 2
+
+
+def test_numeric_corr_hand_computed(spark):
+    from morphik_core_spark.operators.analytics import numeric_corr
+
+    # y = 2x exactly -> r = 1; z anti-correlated with x -> r = -1;
+    # constant w -> NULL
+    rows = [(1, 2, 3, 5), (2, 4, 2, 5), (3, 6, 1, 5)]
+    df = spark.createDataFrame(rows, "x long, y long, z long, w long")
+    out = {(r["col_a"], r["col_b"]): r for r in numeric_corr(df, ["x", "y", "z", "w"]).collect()}
+    assert len(out) == 6 and all(r["n"] == 3 for r in out.values())
+    assert out[("x", "y")]["corr"] == 1.0
+    assert out[("x", "z")]["corr"] == -1.0
+    assert out[("x", "w")]["corr"] is None
+    # NULL rows are dropped complete-case: all pairs share n
+    rows2 = rows + [(4, None, 9, 5)]
+    df2 = spark.createDataFrame(rows2, "x long, y long, z long, w long")
+    out2 = numeric_corr(df2, ["x", "y", "z", "w"]).collect()
+    assert all(r["n"] == 3 for r in out2)
