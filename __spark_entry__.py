@@ -3938,6 +3938,24 @@ def _q_term_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lorenz_gini(freqs, "freq")
 
 
+def _q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized price summary (`analytics.winsorize_stats`) per
+    return flag with the same 20x whale injection as `mad_outliers`:
+    P5/P95 fences from exact nearest-rank grid counts, clipped mean vs
+    raw mean — the whales move the raw mean and NOT the winsorized
+    one, which is the point."""
+    from morphik_core_spark.operators.analytics import winsorize_stats
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " * (CASE WHEN l_orderkey % 97 = 0 THEN 20 ELSE 1 END)"
+        ).alias("cents"),
+    )
+    return winsorize_stats(li, "l_returnflag", "cents", lo_pct=5, hi_pct=95)
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -4163,6 +4181,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": _q_mad_outliers,
         "lineitem_corr": _q_lineitem_corr,
         "term_gini": _q_term_gini,
+        "winsorized_prices": _q_winsorized_prices,
     }
 
 
@@ -8557,6 +8576,38 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN total = 0 THEN NULL ELSE
                          CAST(SUM(t) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) END, 6) AS gini
             FROM terms GROUP BY n, terms.total
+        """,
+        "winsorized_prices": """
+            WITH b AS (
+                SELECT l_returnflag AS g,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * (CASE WHEN l_orderkey % 97 = 0 THEN 20 ELSE 1 END) AS v
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ),
+            grid AS (SELECT g, v, COUNT(*) AS c FROM b GROUP BY 1, 2),
+            rk AS (SELECT g, v, c,
+                          SUM(c) OVER (PARTITION BY g ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum,
+                          SUM(c) OVER (PARTITION BY g) AS n
+                   FROM grid),
+            f AS (SELECT g,
+                         MIN(CASE WHEN cum * 100 >= 5 * n THEN v END) AS p_lo,
+                         MIN(CASE WHEN cum * 100 >= 95 * n THEN v END) AS p_hi,
+                         CAST(MAX(n) AS BIGINT) AS n
+                  FROM rk GROUP BY 1),
+            cl AS (SELECT rk.g, rk.c, rk.v,
+                          GREATEST(f.p_lo, LEAST(f.p_hi, rk.v)) AS w
+                   FROM rk JOIN f ON rk.g = f.g),
+            a AS (SELECT g,
+                         SUM(CAST(v AS HUGEINT) * c) AS sv,
+                         SUM(CAST(w AS HUGEINT) * c) AS sw,
+                         CAST(SUM(CASE WHEN v < w THEN c ELSE 0 END) AS BIGINT) AS n_clipped_low,
+                         CAST(SUM(CASE WHEN v > w THEN c ELSE 0 END) AS BIGINT) AS n_clipped_high
+                  FROM cl GROUP BY 1)
+            SELECT f.g AS l_returnflag, f.n, f.p_lo, f.p_hi,
+                   a.n_clipped_low, a.n_clipped_high,
+                   ROUND(CAST(a.sv AS DOUBLE) / CAST(f.n AS DOUBLE), 6) AS mean,
+                   ROUND(CAST(a.sw AS DOUBLE) / CAST(f.n AS DOUBLE), 6) AS winsorized_mean
+            FROM f JOIN a ON f.g = a.g
         """,
     }
 

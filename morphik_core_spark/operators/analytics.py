@@ -47,6 +47,7 @@ __all__ = [
     "did_estimate",
     "mad_outliers",
     "numeric_corr",
+    "winsorize_stats",
 ]
 
 
@@ -1416,3 +1417,85 @@ def numeric_corr(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def winsorize_stats(
+    df: DataFrame,
+    group_col: str,
+    val_col,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    decimals: int = 6,
+) -> DataFrame:
+    """Winsorized summary per group: exact nearest-rank P(lo)/P(hi)
+    fences (rank ⌈p·n⌉, `length_percentiles`' convention — always an
+    observed integer), values clamped into [P_lo, P_hi], and the
+    clipped mean — the outlier-robust aggregate a metrics pipeline
+    reports when `mad_outliers` says the tail is contaminated.
+
+    Exactness: fences picked on integer cumulative counts
+    (100·cum ≥ p·n, the ⌈p·n/100⌉ identity with no float division);
+    clipped sums are exact DECIMAL(38,0) over the per-(group, value)
+    grid; both means are single rounded trees.
+
+    Output: (group, n, p_lo, p_hi, n_clipped_low, n_clipped_high,
+    mean, winsorized_mean). Scale: one grid groupBy + group-
+    partitioned grid windows + one grid re-aggregation — the fact
+    table is touched once.
+    """
+    v = val_col if isinstance(val_col, Column) else F.col(val_col)
+    base = df.select(F.col(group_col).alias("_g"), v.cast("bigint").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    grid = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    wcum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("_g")
+    ranked = grid.select(
+        "_g",
+        "_v",
+        "_c",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wtot).alias("_n"),
+    )
+    lo = int(lo_pct)
+    hi = int(hi_pct)
+    fences = ranked.groupBy("_g").agg(
+        F.min(F.when(F.col("_cum") * 100 >= F.lit(lo) * F.col("_n"), F.col("_v"))).alias("p_lo"),
+        F.min(F.when(F.col("_cum") * 100 >= F.lit(hi) * F.col("_n"), F.col("_v"))).alias("p_hi"),
+        F.first("_n").alias("n"),
+    )
+    clamped = ranked.join(F.broadcast(fences.select("_g", "p_lo", "p_hi")), "_g").select(
+        "_g",
+        "_c",
+        "_v",
+        F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col("_v"))).alias("_w"),
+    )
+    agg = clamped.groupBy("_g").agg(
+        F.sum(F.col("_v").cast("decimal(38,0)") * F.col("_c")).alias("_sv"),
+        F.sum(F.col("_w").cast("decimal(38,0)") * F.col("_c")).alias("_sw"),
+        F.sum(F.when(F.col("_v") < F.col("_w"), F.col("_c")).otherwise(F.lit(0))).alias(
+            "n_clipped_low"
+        ),
+        F.sum(F.when(F.col("_v") > F.col("_w"), F.col("_c")).otherwise(F.lit(0))).alias(
+            "n_clipped_high"
+        ),
+    )
+    return (
+        fences.join(agg, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n",
+            "p_lo",
+            "p_hi",
+            "n_clipped_low",
+            "n_clipped_high",
+            F.round(F.expr("CAST(_sv AS DOUBLE) / CAST(n AS DOUBLE)"), decimals).alias("mean"),
+            F.round(F.expr("CAST(_sw AS DOUBLE) / CAST(n AS DOUBLE)"), decimals).alias(
+                "winsorized_mean"
+            ),
+        )
+    )

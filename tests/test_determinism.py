@@ -115,6 +115,7 @@ SENSITIVE = [
     "mad_outliers",
     "lineitem_corr",
     "term_gini",
+    "winsorized_prices",
 ]
 
 

@@ -232,3 +232,20 @@ def test_numeric_corr_hand_computed(spark):
     df2 = spark.createDataFrame(rows2, "x long, y long, z long, w long")
     out2 = numeric_corr(df2, ["x", "y", "z", "w"]).collect()
     assert all(r["n"] == 3 for r in out2)
+
+
+def test_winsorize_stats_hand_computed(spark):
+    from morphik_core_spark.operators.analytics import winsorize_stats
+
+    # 1..20: P5 fence = rank ceil(0.05*20)=1 -> 1; P95 = rank 19 -> 19;
+    # only 20 clips (to 19): winsorized sum = 210 - 1 = 209
+    rows = [("g", v) for v in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = winsorize_stats(df, "g", "v", lo_pct=5, hi_pct=95).collect()[0]
+    assert r["p_lo"] == 1 and r["p_hi"] == 19
+    assert r["n_clipped_low"] == 0 and r["n_clipped_high"] == 1
+    assert r["mean"] == 10.5 and r["winsorized_mean"] == round(209 / 20, 6)
+    # a whale moves the raw mean, not the winsorized one
+    df2 = spark.createDataFrame(rows + [("g", 10_000)], "g string, v long")
+    r2 = winsorize_stats(df2, "g", "v").collect()[0]
+    assert r2["mean"] > 480 and r2["winsorized_mean"] < 12
