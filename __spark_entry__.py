@@ -3956,6 +3956,38 @@ def _q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize_stats(li, "l_returnflag", "cents", lo_pct=5, hi_pct=95)
 
 
+def _q_ucb_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 allocation snapshot (`analytics.ucb_allocation`) over the
+    switchback units with the variant_a uplift: the policy must pick
+    variant_a (highest bound), exercising both would_pick branches.
+    Per-arm ln trees rounded once; rounded-bound argmax with name
+    tie-break."""
+    from morphik_core_spark.operators.analytics import ucb_allocation
+    from morphik_core_spark.operators.dedup import portable_hash
+
+    events = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    unit = F.concat(F.col("user_id").cast("string"), F.lit(":"), day.cast("string"))
+    units = (
+        events.select(unit.alias("unit"),
+                      (F.col("event_type") == "purchase").cast("int").alias("p"))
+        .groupBy("unit")
+        .agg(F.max("p").alias("base_conv"))
+    )
+    bucket = portable_hash(F.concat(F.lit("ab:"), F.col("unit"))) % 3
+    uplift = portable_hash(F.concat(F.lit("up:"), F.col("unit"))) % 5 == 0
+    variant = (
+        F.when(bucket == 0, F.lit("control"))
+        .when(bucket == 1, F.lit("variant_a"))
+        .otherwise(F.lit("variant_b"))
+    )
+    assigned = units.select(
+        variant.alias("variant"),
+        ((F.col("base_conv") == 1) | ((bucket == 1) & uplift)).alias("conv"),
+    )
+    return ucb_allocation(assigned, "variant", "conv")
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -4182,6 +4214,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_corr": _q_lineitem_corr,
         "term_gini": _q_term_gini,
         "winsorized_prices": _q_winsorized_prices,
+        "ucb_allocation": _q_ucb_allocation,
     }
 
 
@@ -8608,6 +8641,38 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(a.sv AS DOUBLE) / CAST(f.n AS DOUBLE), 6) AS mean,
                    ROUND(CAST(a.sw AS DOUBLE) / CAST(f.n AS DOUBLE), 6) AS winsorized_mean
             FROM f JOIN a ON f.g = a.g
+        """,
+        "ucb_allocation": """
+            WITH un AS (
+                SELECT CAST(user_id AS VARCHAR) || ':' ||
+                       CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS unit,
+                       MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS base_conv
+                FROM events GROUP BY 1
+            ),
+            u AS (
+                SELECT CASE (CAST(('0x' || substr(md5('ab:' || unit), 1, 15)) AS BIGINT) % 3)
+                            WHEN 0 THEN 'control' WHEN 1 THEN 'variant_a'
+                            ELSE 'variant_b' END AS variant,
+                       CASE WHEN base_conv = 1
+                              OR (CAST(('0x' || substr(md5('ab:' || unit), 1, 15)) AS BIGINT) % 3 = 1
+                                  AND CAST(('0x' || substr(md5('up:' || unit), 1, 15)) AS BIGINT) % 5 = 0)
+                            THEN 1 ELSE 0 END AS conv
+                FROM un
+            ),
+            arms AS (SELECT variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS n_reward
+                     FROM u GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM arms),
+            sc AS (
+                SELECT variant, n, n_reward,
+                       ROUND(CAST(n_reward AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_reward,
+                       ROUND((CAST(n_reward AS DOUBLE) / CAST(n AS DOUBLE))
+                             + sqrt(2.0 * ln(CAST(tn AS DOUBLE)) / CAST(n AS DOUBLE)), 6) AS ucb
+                FROM arms CROSS JOIN t
+            ),
+            b AS (SELECT MAX({'u': ucb, 'v': variant}) AS bb FROM sc)
+            SELECT variant, n, n_reward, mean_reward, ucb,
+                   (ucb = bb.u AND variant = bb.v) AS would_pick
+            FROM sc CROSS JOIN b
         """,
     }
 

@@ -48,6 +48,7 @@ __all__ = [
     "mad_outliers",
     "numeric_corr",
     "winsorize_stats",
+    "ucb_allocation",
 ]
 
 
@@ -1498,4 +1499,58 @@ def winsorize_stats(
                 "winsorized_mean"
             ),
         )
+    )
+
+
+def ucb_allocation(
+    df: DataFrame,
+    variant_col: str,
+    reward_col,
+    c: float = 2.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """UCB1 bandit snapshot (Auer 2002): per arm, the upper confidence
+    bound mean + √(c·ln N / n) over 0/1 rewards, plus which arm the
+    policy would pull next — the allocation audit for an adaptive
+    experiment (batch platforms recompute this per epoch; the argmax
+    is what the next traffic split follows).
+
+    Counts are exact; each arm's bound is one double tree (ln of an
+    exact integer, per-arm, rounded once — the woe_iv convention);
+    ``would_pick`` compares ROUNDED bounds with the arm name as the
+    tie-break, so the pick can't flip on an ulp.
+
+    Output: (variant, n, n_reward, mean_reward, ucb, would_pick).
+    Scale: one map-side-combined groupBy to |arms| rows + broadcasts.
+    """
+    y = reward_col if isinstance(reward_col, Column) else F.col(reward_col)
+    arms = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(y.cast("bigint")).alias("n_reward")
+    )
+    total = arms.agg(F.sum("n").alias("_tn"))
+    ucb = (
+        f"(CAST(n_reward AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" + sqrt({float(c)}D * ln(CAST(_tn AS DOUBLE)) / CAST(n AS DOUBLE))"
+    )
+    scored = arms.join(F.broadcast(total)).select(
+        "variant",
+        "n",
+        "n_reward",
+        F.round(F.expr("CAST(n_reward AS DOUBLE) / CAST(n AS DOUBLE)"), decimals).alias(
+            "mean_reward"
+        ),
+        F.round(F.expr(ucb), decimals).alias("ucb"),
+    )
+    best = scored.agg(
+        F.max(F.struct(F.col("ucb"), F.col("variant"))).alias("_b")
+    ).select(F.col("_b.ucb").alias("_bu"), F.col("_b.variant").alias("_bv"))
+    return scored.join(F.broadcast(best)).select(
+        "variant",
+        "n",
+        "n_reward",
+        "mean_reward",
+        "ucb",
+        ((F.col("ucb") == F.col("_bu")) & (F.col("variant") == F.col("_bv"))).alias(
+            "would_pick"
+        ),
     )

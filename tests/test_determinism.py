@@ -116,6 +116,7 @@ SENSITIVE = [
     "lineitem_corr",
     "term_gini",
     "winsorized_prices",
+    "ucb_allocation",
 ]
 
 

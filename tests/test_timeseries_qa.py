@@ -249,3 +249,25 @@ def test_winsorize_stats_hand_computed(spark):
     df2 = spark.createDataFrame(rows + [("g", 10_000)], "g string, v long")
     r2 = winsorize_stats(df2, "g", "v").collect()[0]
     assert r2["mean"] > 480 and r2["winsorized_mean"] < 12
+
+
+def test_ucb_allocation_hand_computed(spark):
+    import math
+
+    from morphik_core_spark.operators.analytics import ucb_allocation
+
+    # arm a: 10 pulls 5 wins; arm b: 2 pulls 1 win -> same mean, but b's
+    # bonus is larger (less explored) so UCB picks b
+    rows = [("a", i < 5) for i in range(10)] + [("b", i < 1) for i in range(2)]
+    df = spark.createDataFrame(rows, "v string, r boolean")
+    out = {r["variant"]: r for r in ucb_allocation(df, "v", "r").collect()}
+    n_total = 12
+    ucb_a = round(0.5 + math.sqrt(2 * math.log(n_total) / 10), 6)
+    ucb_b = round(0.5 + math.sqrt(2 * math.log(n_total) / 2), 6)
+    assert out["a"]["ucb"] == ucb_a and out["b"]["ucb"] == ucb_b
+    assert out["b"]["would_pick"] is True and out["a"]["would_pick"] is False
+    # exact tie on the rounded bound: max arm NAME wins (documented)
+    rows2 = [("x", True), ("y", True)]
+    df2 = spark.createDataFrame(rows2, "v string, r boolean")
+    out2 = {r["variant"]: r["would_pick"] for r in ucb_allocation(df2, "v", "r").collect()}
+    assert out2 == {"x": False, "y": True}
