@@ -1235,6 +1235,54 @@ def main() -> None:
             docs1, docs10,
         )
 
+    if "robust" in ops:
+        from morphik_core_spark.operators.analytics import (
+            numeric_corr,
+            ucb_allocation,
+            winsorize_stats,
+        )
+
+        li1r = load_table(spark, "lineitem", SF_DIR).select(
+            "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        )
+        rtiles = [
+            li1r.select((F.col("l_orderkey") * 10 + k).alias("l_orderkey"), "l_returnflag",
+                        "l_quantity", (F.col("l_extendedprice") + k * 0.07).alias("l_extendedprice"),
+                        "l_discount", "l_tax")
+            for k in range(10)
+        ]
+        li10r = rtiles[0]
+        for t in rtiles[1:]:
+            li10r = li10r.unionByName(t)
+        lr_p = os.path.join(tmp, "li10rob")
+        li10r.write.mode("overwrite").parquet(lr_p)
+        li10r = spark.read.parquet(lr_p)
+
+        def win(li):
+            c = li.select("l_returnflag",
+                          F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("v"))
+            mat(winsorize_stats(c, "l_returnflag", "v"))
+
+        report("winsorize_stats", win, li1r, li10r)
+
+        def corr(li):
+            c = li.select(
+                F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("q"),
+                F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("p"),
+                F.expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("d"),
+            )
+            mat(numeric_corr(c, ["q", "p", "d"]))
+
+        report("numeric_corr", corr, li1r, li10r)
+
+        def ucb(li):
+            mat(ucb_allocation(
+                li.select("l_returnflag", (F.col("l_quantity") > 25).alias("r")),
+                "l_returnflag", "r"))
+
+        report("ucb_allocation", ucb, li1r, li10r)
+
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing
