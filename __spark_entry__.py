@@ -3988,6 +3988,29 @@ def _q_ucb_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ucb_allocation(assigned, "variant", "conv")
 
 
+def _q_theil_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T revenue inequality (`analytics.theil_decomposition`)
+    across customers grouped by nation: how much spend concentration
+    is BETWEEN nations vs WITHIN them — the decomposition Gini can't
+    give. Customer revenue in DECIMAL-exact cents; nation dim
+    broadcast."""
+    from morphik_core_spark.operators.analytics import theil_decomposition
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            ).alias("cents")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select((F.col("c_nationkey") % 5).alias("bloc"), "cents")
+    )
+    return theil_decomposition(per_cust, "bloc", "cents")
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -4215,6 +4238,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_gini": _q_term_gini,
         "winsorized_prices": _q_winsorized_prices,
         "ucb_allocation": _q_ucb_allocation,
+        "theil_nations": _q_theil_nations,
     }
 
 
@@ -8673,6 +8697,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT variant, n, n_reward, mean_reward, ucb,
                    (ucb = bb.u AND variant = bb.v) AS would_pick
             FROM sc CROSS JOIN b
+        """,
+        "theil_nations": """
+            WITH pc AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+                FROM orders GROUP BY 1
+            ),
+            b AS (
+                SELECT c.c_nationkey % 5 AS g, pc.cents AS x
+                FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+                WHERE pc.cents IS NOT NULL AND pc.cents >= 0
+            ),
+            gs AS (SELECT g, COUNT(*) AS ng, SUM(CAST(x AS HUGEINT)) AS sg FROM b GROUP BY 1),
+            t AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS s FROM gs),
+            w AS (
+                SELECT b.g, gs.ng, gs.sg,
+                       SUM(CASE WHEN b.x = 0 THEN 0 ELSE
+                           CAST(ROUND(((CAST(b.x AS DOUBLE) * CAST(gs.ng AS DOUBLE) / CAST(gs.sg AS DOUBLE))
+                                       * ln(CAST(b.x AS DOUBLE) * CAST(gs.ng AS DOUBLE) / CAST(gs.sg AS DOUBLE)))
+                                      * 1e12) AS BIGINT) END) AS tw
+                FROM b JOIN gs ON b.g = gs.g
+                GROUP BY 1, 2, 3
+            ),
+            rows_ AS (
+                SELECT w.g, w.ng, w.sg, t.n, t.s,
+                       ROUND((CAST(w.sg AS DOUBLE) / CAST(t.s AS DOUBLE)), 6) AS value_share,
+                       ROUND(CAST(CAST(w.tw AS BIGINT) AS DOUBLE) / 1e12 / CAST(w.ng AS DOUBLE), 6) AS theil_within,
+                       CASE WHEN w.sg = 0 THEN 0 ELSE
+                            CAST(ROUND(((CAST(w.sg AS DOUBLE) / CAST(t.s AS DOUBLE))
+                                        * ln((CAST(w.sg AS DOUBLE) / CAST(t.s AS DOUBLE))
+                                             / (CAST(w.ng AS DOUBLE) / CAST(t.n AS DOUBLE)))) * 1e12) AS BIGINT) END AS bt,
+                       CAST(ROUND((CAST(w.sg AS DOUBLE) / CAST(t.s AS DOUBLE))
+                                  * (CAST(CAST(w.tw AS BIGINT) AS DOUBLE) / 1e12 / CAST(w.ng AS DOUBLE)) * 1e12) AS BIGINT) AS wc
+                FROM w CROSS JOIN t
+            ),
+            tt AS (
+                SELECT ROUND(CAST(CAST(SUM(bt) AS BIGINT) AS DOUBLE) / 1e12, 6) AS theil_between,
+                       ROUND((CAST(CAST(SUM(bt) AS BIGINT) AS DOUBLE) + CAST(CAST(SUM(wc) AS BIGINT) AS DOUBLE)) / 1e12, 6) AS theil_total
+                FROM rows_
+            )
+            SELECT g AS bloc, CAST(ng AS BIGINT) AS n, value_share, theil_within,
+                   ROUND(CAST(CAST(bt AS BIGINT) AS DOUBLE) / 1e12, 6) AS between_term,
+                   theil_between, theil_total
+            FROM rows_ CROSS JOIN tt
         """,
     }
 

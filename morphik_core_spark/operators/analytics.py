@@ -49,6 +49,7 @@ __all__ = [
     "numeric_corr",
     "winsorize_stats",
     "ucb_allocation",
+    "theil_decomposition",
 ]
 
 
@@ -1553,4 +1554,94 @@ def ucb_allocation(
         ((F.col("ucb") == F.col("_bu")) & (F.col("variant") == F.col("_bv"))).alias(
             "would_pick"
         ),
+    )
+
+
+def theil_decomposition(
+    df: DataFrame,
+    group_col: str,
+    val_col,
+    decimals: int = 6,
+) -> DataFrame:
+    """Theil-T inequality with its additive between/within decomposition
+    (Theil 1967) — what Gini can't do: say how much of the revenue /
+    token-mass concentration lives BETWEEN cohorts (sources, nations)
+    vs WITHIN them,
+
+        T        = T_between + Σ_g s_g · T_g
+        T_g      = (1/N_g) Σ_{i∈g} (x_i/μ_g) ln(x_i/μ_g)
+        T_between = Σ_g s_g ln(s_g / (N_g/N)),   s_g = group value share
+
+    Zero-valued subjects contribute 0 (the x·ln x limit), guarded on
+    the exact integer. Per-subject and per-group ln trees are summed
+    as ROUND(x·1e12) scaled integers (the PSI recipe); group stats
+    broadcast back to the subject frame, so the only fact-sized work
+    is one join-free…broadcast-join scan.
+
+    Output per group: (group, n, value_share, theil_within,
+    between_term, theil_between, theil_total) — the two totals
+    repeated per row from one-row broadcasts.
+    """
+    v = val_col if isinstance(val_col, Column) else F.col(val_col)
+    base = df.select(F.col(group_col).alias("_g"), v.cast("bigint").alias("_x")).filter(
+        F.col("_x").isNotNull() & (F.col("_x") >= 0)
+    )
+    gstats = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_ng"), F.sum(F.col("_x").cast("decimal(38,0)")).alias("_sg")
+    )
+    tot = gstats.agg(
+        F.sum("_ng").alias("_n"), F.sum("_sg").alias("_s")
+    )
+    # within: per subject (x/μg)·ln(x/μg) with μg = Sg/Ng ⇒ the tree
+    # uses only exact ints: (x·Ng/Sg)·ln(x·Ng/Sg)
+    xr = "(CAST(_x AS DOUBLE) * CAST(_ng AS DOUBLE) / CAST(_sg AS DOUBLE))"
+    term = (
+        f"CASE WHEN _x = 0 THEN 0 ELSE "
+        f"CAST(ROUND(({xr} * ln({xr})) * 1e12) AS BIGINT) END"
+    )
+    within = (
+        base.join(F.broadcast(gstats), "_g")
+        .select("_g", "_ng", "_sg", F.expr(term).alias("_t"))
+        .groupBy("_g", "_ng", "_sg")
+        .agg(F.sum("_t").alias("_tw"))
+    )
+    share = "(CAST(_sg AS DOUBLE) / CAST(_s AS DOUBLE))"
+    nshare = "(CAST(_ng AS DOUBLE) / CAST(_n AS DOUBLE))"
+    btree = (
+        f"CASE WHEN _sg = 0 THEN 0 ELSE "
+        f"CAST(ROUND(({share} * ln({share} / {nshare})) * 1e12) AS BIGINT) END"
+    )
+    rows = within.join(F.broadcast(tot)).select(
+        "_g",
+        "_ng",
+        "_sg",
+        "_n",
+        "_s",
+        F.round(F.expr(share), decimals).alias("value_share"),
+        F.round(
+            F.expr("CAST(_tw AS DOUBLE) / 1e12 / CAST(_ng AS DOUBLE)"), decimals
+        ).alias("theil_within"),
+        F.expr(btree).alias("_bt"),
+        # s_g·T_g contribution to the total, kept scaled for the exact sum
+        F.expr(
+            f"CAST(ROUND({share} * (CAST(_tw AS DOUBLE) / 1e12 / CAST(_ng AS DOUBLE)) * 1e12) AS BIGINT)"
+        ).alias("_wc"),
+    )
+    totals = rows.agg(
+        F.sum("_bt").alias("_b"), F.sum("_wc").alias("_w")
+    ).select(
+        F.round(F.col("_b").cast("double") / F.lit(1e12), decimals).alias("theil_between"),
+        F.round(
+            (F.col("_b").cast("double") + F.col("_w").cast("double")) / F.lit(1e12),
+            decimals,
+        ).alias("theil_total"),
+    )
+    return rows.join(F.broadcast(totals)).select(
+        F.col("_g").alias(group_col),
+        F.col("_ng").alias("n"),
+        "value_share",
+        "theil_within",
+        F.round(F.col("_bt").cast("double") / F.lit(1e12), decimals).alias("between_term"),
+        "theil_between",
+        "theil_total",
     )

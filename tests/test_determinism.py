@@ -117,6 +117,7 @@ SENSITIVE = [
     "term_gini",
     "winsorized_prices",
     "ucb_allocation",
+    "theil_nations",
 ]
 
 

@@ -271,3 +271,42 @@ def test_ucb_allocation_hand_computed(spark):
     df2 = spark.createDataFrame(rows2, "v string, r boolean")
     out2 = {r["variant"]: r["would_pick"] for r in ucb_allocation(df2, "v", "r").collect()}
     assert out2 == {"x": False, "y": True}
+
+
+def test_theil_decomposition_hand_computed(spark):
+    import math
+
+    from morphik_core_spark.operators.analytics import theil_decomposition
+
+    # two groups: a = [1, 3] (unequal within), b = [2, 2] (equal within)
+    rows = [("a", 1), ("a", 3), ("b", 2), ("b", 2)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {r["g"]: r for r in theil_decomposition(df, "g", "x").collect()}
+
+    def q(v):
+        return round(v * 1e12)
+
+    # within a: mean 2 -> (0.5 ln 0.5 + 1.5 ln 1.5)/2 via quantized terms
+    tw_a = (q(0.5 * math.log(0.5)) + q(1.5 * math.log(1.5))) / 1e12 / 2
+    assert out["a"]["theil_within"] == round(tw_a, 6)
+    assert out["b"]["theil_within"] == 0.0
+    # equal group means -> value shares equal pop shares -> between = 0
+    assert out["a"]["theil_between"] == 0.0
+    assert out["a"]["value_share"] == 0.5
+    # total = sum of share-weighted withins
+    wc_a = round(0.5 * round(tw_a, 12) * 1e12)  # engine quantizes the product too
+    assert out["a"]["theil_total"] > 0
+    # perfectly equal corpus -> everything 0
+    eq = spark.createDataFrame([("a", 5), ("b", 5)], "g string, x long")
+    r = theil_decomposition(eq, "g", "x").collect()[0]
+    assert r["theil_total"] == 0.0 and r["theil_between"] == 0.0
+
+
+def test_theil_zero_values_contribute_nothing(spark):
+    from morphik_core_spark.operators.analytics import theil_decomposition
+
+    a = spark.createDataFrame([("g", 0), ("g", 4), ("g", 4)], "g string, x long")
+    b = spark.createDataFrame([("g", 4), ("g", 4)], "g string, x long")
+    ra = theil_decomposition(a, "g", "x").collect()[0]
+    # the zero subject still counts in N (mean shifts) but its x·ln x term is 0
+    assert ra["n"] == 3 and ra["theil_within"] > 0
