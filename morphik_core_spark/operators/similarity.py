@@ -888,9 +888,15 @@ def recall_at_k(
     e = exact.select(F.col(q_col).alias("_q"), F.col(id_col).alias("_id"))
     a = approx.select(F.col(q_col).alias("_q"), F.col(id_col).alias("_id"))
     base = e.groupBy("_q").agg(F.count(F.lit(1)).alias("n_exact"))
-    hits = e.join(a, ["_q", "_id"]).groupBy("_q").agg(F.count(F.lit(1)).alias("n_hits"))
+    # both sides are k-sized per query by contract — broadcast so the
+    # intersection and the final stitch never sort-merge (plan-audited)
+    hits = (
+        e.join(F.broadcast(a), ["_q", "_id"])
+        .groupBy("_q")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
     return (
-        base.join(hits, "_q", "left")
+        base.join(F.broadcast(hits), "_q", "left")
         .select(
             F.col("_q").alias(q_col),
             "n_exact",
