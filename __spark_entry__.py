@@ -4011,6 +4011,17 @@ def _q_theil_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_decomposition(per_cust, "bloc", "cents")
 
 
+def _q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix diversity scalars (`analytics.diversity_metrics`)
+    over the documents source distribution: HHI/Simpson and
+    entropy/Shannon effective source counts — the mixture-health
+    dashboard row beside the gini/theil concentration audits."""
+    from morphik_core_spark.operators.analytics import diversity_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    return diversity_metrics(docs, "source")
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -4239,6 +4250,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_prices": _q_winsorized_prices,
         "ucb_allocation": _q_ucb_allocation,
         "theil_nations": _q_theil_nations,
+        "source_diversity": _q_source_diversity,
     }
 
 
@@ -8741,6 +8753,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(CAST(bt AS BIGINT) AS DOUBLE) / 1e12, 6) AS between_term,
                    theil_between, theil_total
             FROM rows_ CROSS JOIN tt
+        """,
+        "source_diversity": """
+            WITH cats AS (
+                SELECT source AS c, COUNT(*) AS k FROM documents
+                WHERE source IS NOT NULL GROUP BY 1
+            ),
+            t AS (SELECT CAST(SUM(k) AS BIGINT) AS n FROM cats),
+            terms AS (
+                SELECT n,
+                       CAST(ROUND(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                                   * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))) * 1e12) AS BIGINT) AS h,
+                       CAST(ROUND((-1.0 * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                                   * ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))) * 1e12) AS BIGINT) AS e
+                FROM cats CROSS JOIN t
+            )
+            SELECT COUNT(*) AS n_categories, n AS n_rows,
+                   ROUND(CAST(CAST(SUM(h) AS BIGINT) AS DOUBLE) / 1e12, 6) AS hhi,
+                   ROUND(1e12 / CAST(CAST(SUM(h) AS BIGINT) AS DOUBLE), 6) AS effective_simpson,
+                   ROUND(CAST(CAST(SUM(e) AS BIGINT) AS DOUBLE) / 1e12, 6) AS entropy_nats,
+                   ROUND(exp(CAST(CAST(SUM(e) AS BIGINT) AS DOUBLE) / 1e12), 6) AS effective_shannon
+            FROM terms GROUP BY n
         """,
     }
 

@@ -50,6 +50,7 @@ __all__ = [
     "winsorize_stats",
     "ucb_allocation",
     "theil_decomposition",
+    "diversity_metrics",
 ]
 
 
@@ -1644,4 +1645,62 @@ def theil_decomposition(
         F.round(F.col("_bt").cast("double") / F.lit(1e12), decimals).alias("between_term"),
         "theil_between",
         "theil_total",
+    )
+
+
+def diversity_metrics(
+    df: DataFrame,
+    cat_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Categorical diversity scalars over one distribution — the corpus
+    mix dashboard beside `lorenz_gini`/`theil_decomposition`:
+
+        HHI      = Σ p_i²             (Herfindahl concentration)
+        entropy  = −Σ p_i ln p_i      (nats)
+        effective categories = exp(entropy)   ("perplexity of the mix")
+        inverse-HHI          = 1 / HHI         (Simpson effective number)
+
+    Counts are exact; each category's p² and p·ln p terms are single
+    double trees summed as ROUND(x·1e12) scaled integers, and the two
+    "effective number" transforms apply once at the edge (exp is the
+    perplexity precedent; 1/HHI one division).
+
+    Output: one row (n_categories, n_rows, hhi, effective_simpson,
+    entropy_nats, effective_shannon). Scale: one map-side-combined
+    groupBy to |categories| rows.
+    """
+    cats = (
+        df.filter(F.col(cat_col).isNotNull())
+        .groupBy(F.col(cat_col).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_k"))
+    )
+    tot = cats.agg(F.sum("_k").alias("_n"))
+    p = "(CAST(_k AS DOUBLE) / CAST(_n AS DOUBLE))"
+    terms = cats.join(F.broadcast(tot)).select(
+        "_n",
+        F.expr(f"CAST(ROUND(({p} * {p}) * 1e12) AS BIGINT)").alias("_h"),
+        F.expr(f"CAST(ROUND((-1.0D * {p} * ln({p})) * 1e12) AS BIGINT)").alias("_e"),
+    )
+    return (
+        terms.groupBy("_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_categories"),
+            F.sum("_h").alias("_sh"),
+            F.sum("_e").alias("_se"),
+        )
+        .select(
+            "n_categories",
+            F.col("_n").alias("n_rows"),
+            F.round(F.col("_sh").cast("double") / F.lit(1e12), decimals).alias("hhi"),
+            F.round(
+                F.lit(1e12) / F.col("_sh").cast("double"), decimals
+            ).alias("effective_simpson"),
+            F.round(F.col("_se").cast("double") / F.lit(1e12), decimals).alias(
+                "entropy_nats"
+            ),
+            F.round(
+                F.exp(F.col("_se").cast("double") / F.lit(1e12)), decimals
+            ).alias("effective_shannon"),
+        )
     )

@@ -118,6 +118,7 @@ SENSITIVE = [
     "winsorized_prices",
     "ucb_allocation",
     "theil_nations",
+    "source_diversity",
 ]
 
 

@@ -310,3 +310,24 @@ def test_theil_zero_values_contribute_nothing(spark):
     ra = theil_decomposition(a, "g", "x").collect()[0]
     # the zero subject still counts in N (mean shifts) but its x·ln x term is 0
     assert ra["n"] == 3 and ra["theil_within"] > 0
+
+
+def test_diversity_metrics_hand_computed(spark):
+    import math
+
+    from morphik_core_spark.operators.analytics import diversity_metrics
+
+    # 80/20 two-source mix
+    rows = [("a",)] * 8 + [("b",)] * 2
+    df = spark.createDataFrame(rows, "s string")
+    r = diversity_metrics(df, "s").collect()[0]
+    h = round((round(0.64 * 1e12) + round(0.04 * 1e12)) / 1e12, 6)
+    assert r["hhi"] == h and r["n_categories"] == 2
+    assert r["effective_simpson"] == round(1e12 / (round(0.64e12) + round(0.04e12)), 6)
+    e = (round(-0.8 * math.log(0.8) * 1e12) + round(-0.2 * math.log(0.2) * 1e12)) / 1e12
+    assert r["entropy_nats"] == round(e, 6)
+    assert r["effective_shannon"] == round(math.exp(e), 6)
+    # single source -> no diversity
+    one = spark.createDataFrame([("x",)] * 5, "s string")
+    r1 = diversity_metrics(one, "s").collect()[0]
+    assert r1["hhi"] == 1.0 and r1["entropy_nats"] == 0.0 and r1["effective_shannon"] == 1.0
