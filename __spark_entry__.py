@@ -4022,6 +4022,19 @@ def _q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diversity_metrics(docs, "source")
 
 
+def _q_event_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily-volume trend slopes
+    (`analytics.group_trend_slopes`): exact integer OLS moments, sign
+    of an integer decides `rising` — the growth screen over segments."""
+    from morphik_core_spark.operators.analytics import group_trend_slopes
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return group_trend_slopes(daily, ["event_type"], "di", "x")
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -4251,6 +4264,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ucb_allocation": _q_ucb_allocation,
         "theil_nations": _q_theil_nations,
         "source_diversity": _q_source_diversity,
+        "event_trends": _q_event_trends,
     }
 
 
@@ -8774,6 +8788,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(CAST(SUM(e) AS BIGINT) AS DOUBLE) / 1e12, 6) AS entropy_nats,
                    ROUND(exp(CAST(CAST(SUM(e) AS BIGINT) AS DOUBLE) / 1e12), 6) AS effective_shannon
             FROM terms GROUP BY n
+        """,
+        "event_trends": """
+            WITH d AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS di, COUNT(*) AS x
+                FROM events GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT event_type, COUNT(*) AS n_points,
+                       CAST(SUM(di) AS BIGINT) AS sx, CAST(SUM(x) AS BIGINT) AS sy,
+                       SUM(CAST(di AS HUGEINT) * di) AS sxx,
+                       SUM(CAST(di AS HUGEINT) * x) AS sxy
+                FROM d GROUP BY 1
+            )
+            SELECT event_type, n_points,
+                   ROUND(CASE WHEN (n_points * sxx - CAST(sx AS HUGEINT) * sx) = 0 THEN NULL ELSE
+                         CAST((n_points * sxy - CAST(sx AS HUGEINT) * sy) AS DOUBLE)
+                         / CAST((n_points * sxx - CAST(sx AS HUGEINT) * sx) AS DOUBLE) END, 6) AS slope,
+                   CASE WHEN (n_points * sxx - CAST(sx AS HUGEINT) * sx) = 0 THEN NULL
+                        ELSE (n_points * sxy - CAST(sx AS HUGEINT) * sy) > 0 END AS rising
+            FROM m
         """,
     }
 

@@ -51,6 +51,7 @@ __all__ = [
     "ucb_allocation",
     "theil_decomposition",
     "diversity_metrics",
+    "group_trend_slopes",
 ]
 
 
@@ -1703,4 +1704,55 @@ def diversity_metrics(
                 F.exp(F.col("_se").cast("double") / F.lit(1e12)), decimals
             ).alias("effective_shannon"),
         )
+    )
+
+
+def group_trend_slopes(
+    series: DataFrame,
+    key_cols: Sequence[str],
+    idx_col: str,
+    val_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-segment OLS trend slope over an integer-indexed series —
+    "which event types / sources are growing" in one pass:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    Both numerator and denominator are EXACT DECIMAL(38,0) integer
+    moments (x = time index, y = count — no ln, no quantization), so
+    the ``rising`` flag comes from the SIGN OF AN INTEGER and can
+    never flip on an ulp; only the reported slope is one rounded
+    division. NULL slope for segments with < 2 distinct indexes
+    (integer denominator-zero guard).
+
+    Output: key_cols + (n_points, slope, rising). Scale: the series is
+    an upstream per-(key, idx) rollup; this adds one map-side-combined
+    groupBy on the keys.
+    """
+    keys = [F.col(k) for k in key_cols]
+    x = F.col(idx_col).cast("bigint")
+    y = F.col(val_col).cast("bigint")
+    m = series.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x.cast("decimal(38,0)") * x).alias("_sxx"),
+        F.sum(x.cast("decimal(38,0)") * y).alias("_sxy"),
+    )
+    num = "(n_points * _sxy - CAST(_sx AS DECIMAL(38,0)) * _sy)"
+    den = "(n_points * _sxx - CAST(_sx AS DECIMAL(38,0)) * _sx)"
+    return m.select(
+        *key_cols,
+        "n_points",
+        F.round(
+            F.expr(
+                f"CASE WHEN {den} = 0 THEN NULL ELSE "
+                f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) END"
+            ),
+            decimals,
+        ).alias("slope"),
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN NULL ELSE {num} > 0 END"
+        ).alias("rising"),
     )

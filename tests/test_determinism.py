@@ -119,6 +119,7 @@ SENSITIVE = [
     "ucb_allocation",
     "theil_nations",
     "source_diversity",
+    "event_trends",
 ]
 
 

@@ -331,3 +331,22 @@ def test_diversity_metrics_hand_computed(spark):
     one = spark.createDataFrame([("x",)] * 5, "s string")
     r1 = diversity_metrics(one, "s").collect()[0]
     assert r1["hhi"] == 1.0 and r1["entropy_nats"] == 0.0 and r1["effective_shannon"] == 1.0
+
+
+def test_group_trend_slopes_hand_computed(spark):
+    from morphik_core_spark.operators.analytics import group_trend_slopes
+
+    # up: y = 2x + 1 -> slope 2; down: y = 10 - x -> slope -1; flat -> 0;
+    # single point -> NULL
+    rows = (
+        [("up", i, 2 * i + 1) for i in range(5)]
+        + [("down", i, 10 - i) for i in range(5)]
+        + [("flat", i, 7) for i in range(5)]
+        + [("single", 3, 9)]
+    )
+    df = spark.createDataFrame(rows, "k string, di long, x long")
+    out = {r["k"]: r for r in group_trend_slopes(df, ["k"], "di", "x").collect()}
+    assert out["up"]["slope"] == 2.0 and out["up"]["rising"] is True
+    assert out["down"]["slope"] == -1.0 and out["down"]["rising"] is False
+    assert out["flat"]["slope"] == 0.0 and out["flat"]["rising"] is False
+    assert out["single"]["slope"] is None and out["single"]["rising"] is None
