@@ -1283,6 +1283,55 @@ def main() -> None:
         report("ucb_allocation", ucb, li1r, li10r)
 
 
+    if "conc" in ops:
+        from morphik_core_spark.operators.analytics import (
+            diversity_metrics,
+            group_trend_slopes,
+            theil_decomposition,
+        )
+
+        ord1c = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_custkey", "o_totalprice")
+        cust_c = load_table(spark, "customer", SF_DIR).select("c_custkey", "c_nationkey")
+        ctiles2 = [
+            ord1c.select((F.col("o_orderkey") * 10 + k).alias("o_orderkey"),
+                         (F.col("o_custkey") * 10 + k).alias("o_custkey"),
+                         (F.col("o_totalprice") + k * 0.01).alias("o_totalprice"))
+            for k in range(10)
+        ]
+        ord10c = ctiles2[0]
+        for t in ctiles2[1:]:
+            ord10c = ord10c.unionByName(t)
+        oc_p = os.path.join(tmp, "ord10conc")
+        ord10c.write.mode("overwrite").parquet(oc_p)
+        ord10c = spark.read.parquet(oc_p)
+
+        def theil(o):
+            pc = o.groupBy("o_custkey").agg(
+                F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)").alias("v"))
+            pc = pc.select((F.col("o_custkey") % 25).alias("g"), "v")
+            mat(theil_decomposition(pc, "g", "v"))
+
+        report("theil_decomposition", theil, ord1c, ord10c)
+
+        ev1c = load_table(spark, "events", SF_DIR).select("event_type", "ts")
+        etiles3 = [ev1c for _ in range(10)]
+        ev10c = etiles3[0]
+        for t in etiles3[1:]:
+            ev10c = ev10c.unionByName(t)
+        ec_p = os.path.join(tmp, "ev10conc")
+        ev10c.write.mode("overwrite").parquet(ec_p)
+        ev10c = spark.read.parquet(ec_p)
+
+        report("diversity_metrics", lambda e: mat(diversity_metrics(e, "event_type")), ev1c, ev10c)
+
+        def trend(e):
+            d = e.groupBy("event_type", F.expr("unix_micros(ts) div 86400000000").alias("di")).agg(
+                F.count(F.lit(1)).alias("x"))
+            mat(group_trend_slopes(d, ["event_type"], "di", "x"))
+
+        report("group_trend_slopes", trend, ev1c, ev10c)
+
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing
