@@ -1209,11 +1209,14 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_moving_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user sliding-window features over the last 6 events (frame-spec
-    window; DECIMAL-exact rolling sum)."""
+    window; DECIMAL-exact rolling sum). The exact DECIMAL sum is cast to
+    DOUBLE+ROUND at the output edge only (the `shipping_priority` pattern)
+    so the harness value-hash sees a float, not a decimal rendering."""
     events = _t(spark, sf_dir, "events")
     from morphik_core_spark.operators.sessions import moving_aggregates
 
-    return moving_aggregates(events, "user_id", "ts", "event_id", "value", lookback_rows=5)
+    out = moving_aggregates(events, "user_id", "ts", "event_id", "value", lookback_rows=5)
+    return out.withColumn("mov_sum", F.round(F.col("mov_sum").cast("double"), 6))
 
 
 def _q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1382,9 +1385,9 @@ def _q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return small.agg(
         F.count(F.lit(1)).alias("n_small"),
-        F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6))").alias(
-            "small_revenue"
-        ),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6)"
+        ).alias("small_revenue"),
     )
 
 
@@ -1404,7 +1407,12 @@ def _q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(F.broadcast(cust), big["o_custkey"] == cust["c_custkey"])
-        .select(F.col("c_custkey"), F.col("c_name"), "total", "n_orders")
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.round(F.col("total").cast("double"), 2).alias("total"),
+            "n_orders",
+        )
         .orderBy(F.col("total").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -1443,10 +1451,9 @@ def _q_range_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .over(w)
-        .cast("decimal(18,6)")
-        .alias("sum_last_hour"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 6
+        ).alias("sum_last_hour"),
     )
 
 
@@ -3133,7 +3140,10 @@ def _q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sum("n_orders").over(w).cast("double")
     )
     return agg.select(
-        "dow", "n_orders", "total_price", F.round(idx, 6).alias("seasonality_idx")
+        "dow",
+        "n_orders",
+        F.round(F.col("total_price").cast("double"), 2).alias("total_price"),
+        F.round(idx, 6).alias("seasonality_idx"),
     )
 
 
@@ -3384,7 +3394,11 @@ def _q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
         salt_col="l_orderkey",
     )
-    return out.orderBy(F.col("revenue").desc(), F.col("l_partkey").asc()).limit(20)
+    return (
+        out.orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
+        .limit(20)
+        .withColumn("revenue", F.round(F.col("revenue").cast("double"), 2))
+    )
 
 
 def _q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4041,22 +4055,27 @@ def _q_event_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of order). Round-5 window: 50 names green in rounds 1-4 are
 # excluded; 52 more never-checked names remain for the round-6 window.
 _DRIVER_WINDOW = [
-    "asof_forward", "bm25_topk", "pii_scrub", "perplexity", "knn_pq",
-    "paragraph_dedup", "url_filter", "gapfill_locf", "shipping_priority",
-    "weighted_sample", "usage_rollup", "folder_children",
-    "folder_descendants", "hll_distinct", "cms_heavy_hitters",
-    "pmi_bigrams", "span_dedup", "moving_aggregates", "bloom_semi_join",
-    "funnel_steps", "cohort_retention", "value_histogram",
-    "anomaly_stats", "nation_pagerank", "quantile_estimate",
-    "sliding_window_agg", "scd2_intervals", "cube_counts",
-    "semantic_dedup", "knn_sq8", "small_quantity_revenue",
-    "large_order_customers", "late_ship_priority", "waiting_suppliers",
-    "nfc_normalize", "langid_confusion", "dup_rate_by_source",
-    "semantic_outliers", "range_window_agg", "tfidf_topterms",
-    "dsir_weights", "ppl_buckets", "hard_negatives", "matryoshka_topk",
-    "embedding_covariance", "quality_classifier",
-    "semantic_decontaminate", "temperature_mixture", "min_cost_supplier",
-    "regional_supplier_volume",
+    # 4 round-5 driver-red rows, re-proven with the DOUBLE+ROUND edge fix
+    "moving_aggregates", "range_window_agg", "small_quantity_revenue",
+    "large_order_customers",
+    # 46 never-driver-checked rotations (analytics/ml-eval family first,
+    # plus the two latent-DECIMAL queries fixed this round)
+    "dow_seasonality", "skew_salted_agg",
+    "ab_test", "mmr_rerank", "auc_score", "calibration",
+    "rater_agreement", "acf_daily", "cusum_drift", "ann_recall",
+    "ks_price_drift", "revenue_gini", "forecast_backtest", "cuped_ab",
+    "session_survival", "did_effect", "vocab_drift", "ngram_novelty",
+    "grouped_split", "temporal_split", "mad_outliers", "lineitem_corr",
+    "term_gini", "winsorized_prices", "ucb_allocation", "theil_nations",
+    "source_diversity", "event_trends",
+    "revenue_forecast", "bilateral_shipping_volume", "market_share",
+    "product_type_profit", "returned_item_report",
+    "important_part_values", "priority_line_classes",
+    "customer_order_distribution", "promo_revenue_share",
+    "top_revenue_supplier", "supplier_part_variety",
+    "disjunctive_revenue", "promotable_part_suppliers",
+    "validation_suite", "golden_record", "incremental_agg",
+    "key_skew_audit", "url_canonicalize",
 ]
 
 
@@ -6194,7 +6213,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "moving_aggregates": """
             SELECT user_id, event_id,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(18,6)) AS mov_sum,
+                   ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(18,6)) AS DOUBLE), 6) AS mov_sum,
                    MIN(value) OVER w AS mov_min,
                    MAX(value) OVER w AS mov_max,
                    COUNT(*) OVER w AS mov_cnt
@@ -6294,7 +6313,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             brand AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4')
             SELECT COUNT(*) AS n_small,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS small_revenue
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS small_revenue
             FROM lineitem l
             JOIN brand b ON l.l_partkey = b.p_partkey
             JOIN avgs a ON l.l_partkey = a.l_partkey
@@ -6308,7 +6327,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders GROUP BY o_custkey
                 HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) > 1500000
             )
-            SELECT c.c_custkey, c.c_name, b.total, b.n_orders
+            SELECT c.c_custkey, c.c_name,
+                   ROUND(CAST(b.total AS DOUBLE), 2) AS total, b.n_orders
             FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
             ORDER BY b.total DESC, c.c_custkey ASC LIMIT 20
         """,
@@ -6487,7 +6507,7 @@ def oracle_sql() -> dict[str, str]:
         "range_window_agg": """
             SELECT user_id, event_id,
                    CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(18,6)) AS sum_last_hour
+                   ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(18,6)) AS DOUBLE), 6) AS sum_last_hour
             FROM events
             WINDOW w AS (
                 PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -7605,7 +7625,8 @@ def oracle_sql() -> dict[str, str]:
                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
                 FROM orders GROUP BY 1
             )
-            SELECT dow, n_orders, total_price,
+            SELECT dow, n_orders,
+                   ROUND(CAST(total_price AS DOUBLE), 2) AS total_price,
                    ROUND((CAST(total_price AS DOUBLE) / CAST(n_orders AS DOUBLE)) /
                          (CAST(SUM(total_price) OVER () AS DOUBLE) /
                           CAST(SUM(n_orders) OVER () AS DOUBLE)), 6) AS seasonality_idx
@@ -7897,10 +7918,14 @@ def oracle_sql() -> dict[str, str]:
             FROM v CROSS JOIN t GROUP BY key
         """,
         "skew_salted_agg": """
-            SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
-                   COUNT(1) AS n_lines
-            FROM lineitem GROUP BY 1
-            ORDER BY revenue DESC, l_partkey ASC LIMIT 20
+            WITH agg AS (
+                SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+                       COUNT(1) AS n_lines
+                FROM lineitem GROUP BY 1
+                ORDER BY revenue DESC, l_partkey ASC LIMIT 20
+            )
+            SELECT l_partkey, ROUND(CAST(revenue AS DOUBLE), 2) AS revenue, n_lines
+            FROM agg
         """,
         "negative_sampling": """
             WITH pos AS (

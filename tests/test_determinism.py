@@ -29,6 +29,12 @@ SENSITIVE = [
     "bm25_topk",
     "weighted_sample",
     "knn_sq8",
+    # round-6 DOUBLE-edge fixes over DECIMAL internals (driver-red class)
+    "range_window_agg",
+    "small_quantity_revenue",
+    "large_order_customers",
+    "dow_seasonality",
+    "skew_salted_agg",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",
