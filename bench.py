@@ -59,14 +59,27 @@ def main() -> None:
             warmup_failed.append(wname)
             print(f"bench: warmup {wname} failed (continuing)", file=sys.stderr)
 
+    from morphik_core_spark.plans.cache import release_scoped
+
+    def cleanup() -> None:
+        # release operator-scoped persists and anything else cached so no
+        # query's timing rides another's leaked partitions (the round-5
+        # bench measured 1.7-2x diffuse inflation from exactly this) and
+        # executor storage stays flat across the 199x2 executions
+        release_scoped()
+        spark.catalog.clearCache()
+
     def timed(fn) -> float:
         # min of two runs: the first run can absorb scheduler/JIT noise
-        # (observed ±60% variance on single runs); min is the stable signal
+        # (observed ±60% variance on single runs); min is the stable signal.
+        # Cache state is reset outside the clock, so both runs are
+        # cold-cache and measure the plan, not a predecessor's leftovers.
         best = float("inf")
         for _ in range(2):
             start = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - start)
+            cleanup()
         return round(best, 4)
 
     def timed_safe(name: str, fn) -> None:

@@ -426,38 +426,62 @@ def perplexity_scores(
         ppl(doc)    = exp(−(1/N) Σ ln P)       N = #bigrams in the doc
     Output: (id, n_bigrams, ppl), low = fluent-under-corpus.
 
-    Plan shape: bigram explode → two count aggregates reused as the model
-    → equi-join back on (prev, cur) / prev → per-doc aggregate; vocab
-    size rides along as a broadcast one-row aggregate. At 100 TB train
-    the counts on a sample (or load a published LM as a dimension table)
-    and broadcast-join it — the scoring pass is then map-side only.
+    Plan shape: bigram explode (persisted — read by both model aggregates,
+    the vocab count, and the scoring join; without the persist the
+    normalize+split+explode runs four times, the round-5 bench's dominant
+    cost here) → the model is assembled FIRST as one (prev, cur, lp)
+    dimension frame (cb ⋈ cu is a distinct-bigram-sized shuffle, far
+    smaller than corpus instances) → ONE corpus-sized equi-join on
+    (prev, cur) scores every instance. At 100 TB train the counts on a
+    sample (or load a published LM as a dimension table) and
+    broadcast-join it — the scoring pass is then map-side only.
     """
     from morphik_core_spark.operators.dedup import normalize_text
+    from morphik_core_spark.plans.cache import scoped_persist
 
+    # pre-compute spread: a small corpus often arrives as 1-2 scan
+    # partitions (one parquet file), which would serialize the regex
+    # normalize + split + explode — the operator's dominant CPU — on one
+    # task. Exchange the RAW (id, text) rows BEFORE any per-row work so
+    # the whole tokenize/explode pipeline runs on every core. Only when
+    # the scan under-parallelizes — at real scale the input already has
+    # more partitions than cores and no shuffle is added.
+    base = df.filter(F.col(text_col).isNotNull()).select(F.col(id_col), F.col(text_col))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
     tk = F.split(normalize_text(F.col(text_col)), " ")
-    toks = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.concat(F.array(F.lit("<s>")), tk).alias("tk"))
-        .filter(F.size("tk") >= 2)
-    )
+    toks = base.select(
+        F.col(id_col), F.concat(F.array(F.lit("<s>")), tk).alias("tk")
+    ).filter(F.size("tk") >= 2)
     bigrams = toks.select(
         F.col(id_col),
         F.explode(
             F.expr("transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS prev, tk[i] AS cur))")
         ).alias("bg"),
     ).select(F.col(id_col), F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    bigrams = scoped_persist(bigrams)
 
     cb = bigrams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_big"))
     cu = bigrams.groupBy("prev").agg(F.count(F.lit(1)).alias("c_prev"))
     vocab = bigrams.agg(F.countDistinct("cur").alias("vocab"))
 
+    # identical double tree per (prev, cur) as before — precomputed once
+    # per DISTINCT bigram instead of once per corpus instance
     lp = F.log((F.col("c_big") + F.lit(1.0)) / (F.col("c_prev") + F.col("vocab")))
-    scored = (
-        bigrams.join(cb, ["prev", "cur"])
-        .join(cu, ["prev"])
+    model = scoped_persist(
+        cb.join(cu, ["prev"])
         .crossJoin(F.broadcast(vocab))
-        .select(F.col(id_col), lp.alias("lp"))
+        .select("prev", "cur", lp.alias("lp"))
     )
+    # the model is distinct-bigram-sized, usually orders of magnitude
+    # smaller than the instance stream — broadcast it when it fits so the
+    # scoring join is map-side over the persisted bigrams (no corpus-wide
+    # (prev, cur) shuffle). The count is one aggregate over the persisted
+    # model, not a recompute.
+    if model.count() <= 1_000_000:
+        model = F.broadcast(model)
+    scored = bigrams.join(model, ["prev", "cur"]).select(F.col(id_col), "lp")
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.exp(-F.sum("lp") / F.count(F.lit(1))), decimals).alias("ppl"),
@@ -602,12 +626,13 @@ def dsir_importance_weights(
     # (possibly persisted) frame so the cache holds 3 narrow columns
     grams = grams.select(id_col, "is_target", "bucket")
     if persist:
-        from pyspark import StorageLevel
+        from morphik_core_spark.plans.cache import scoped_persist
 
         # read twice (model counts + scoring join); without a persist the
         # explode + md5 run twice. At 100 TB fit the model on a sample
         # instead and leave the scoring pass streaming (persist=False).
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        # Scoped: freed by the caller's next release_scoped().
+        grams = scoped_persist(grams)
 
     counts = grams.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
@@ -685,9 +710,10 @@ def perplexity_buckets(
     )
     # read twice (tercile cuts + bucket labels); cache the scored rows so
     # the whole bigram-LM pipeline doesn't run again for the second read
-    from pyspark import StorageLevel
+    # (scoped: freed by the caller's next release_scoped())
+    from morphik_core_spark.plans.cache import scoped_persist
 
-    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    scored = scoped_persist(scored)
     w = Window.partitionBy(group_col).orderBy(F.col("ppl").asc(), F.col(id_col).asc())
     wg = Window.partitionBy(group_col)
     ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(

@@ -158,10 +158,11 @@ def lsh_candidate_pairs(
         # the plan reads buckets up to four times (size histogram, cap
         # anti-join, both self-join sides); without a persist each read
         # re-derives the whole signature pipeline. bands × n_docs rows —
-        # tiny next to the shingle explode it guards.
-        from pyspark import StorageLevel
+        # tiny next to the shingle explode it guards. Scoped: freed by the
+        # caller's next plans.cache.release_scoped().
+        from morphik_core_spark.plans.cache import scoped_persist
 
-        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+        buckets = scoped_persist(buckets)
     if max_bucket_size is not None:
         oversized = (
             buckets.groupBy("band", "key")
@@ -297,9 +298,9 @@ def jaccard_pairs(
         )
         shingles = shingles.join(F.broadcast(frequent), "shingle", "left_anti")
     if persist:
-        from pyspark import StorageLevel
+        from morphik_core_spark.plans.cache import scoped_persist
 
-        shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+        shingles = scoped_persist(shingles)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -369,9 +370,9 @@ def embedding_near_dup(
     the oracle SQL tractable.
     """
     if persist:
-        from pyspark import StorageLevel
+        from morphik_core_spark.plans.cache import scoped_persist
 
-        comps = comps.persist(StorageLevel.MEMORY_AND_DISK)
+        comps = scoped_persist(comps)
     norms = comps.groupBy(id_col).agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm"))
     bdot = (
         comps.join(F.broadcast(hyperplane_comps), comps["idx"] == hyperplane_comps["hidx"])
@@ -759,8 +760,11 @@ def span_dedup(
     )
     if persist:
         # g feeds both the dup-gram index and the coverage join; without a
-        # persist the corpus-wide explode runs twice
-        g = g.persist()
+        # persist the corpus-wide explode runs twice (scoped: freed by the
+        # caller's next release_scoped())
+        from morphik_core_spark.plans.cache import scoped_persist
+
+        g = scoped_persist(g)
     dup = (
         g.groupBy("gram")
         .agg(F.count_distinct(F.col(id_col)).alias("df"))
@@ -829,7 +833,10 @@ def semantic_dedup(
     if persist:
         # read by both self-join sides and the final keep-join; without a
         # persist the centroid argmax runs three times over the corpus
-        assigned = assigned.persist()
+        # (scoped: freed by the caller's next release_scoped())
+        from morphik_core_spark.plans.cache import scoped_persist
+
+        assigned = scoped_persist(assigned)
     pair_src = assigned
     if max_cluster_size is not None:
         ok = (

@@ -72,9 +72,12 @@ def pagerank_fixed_point(
     if persist:
         # nodes and the weighted edge list are loop-invariant: without a
         # persist every iteration's join re-derives the (possibly huge)
-        # edge aggregation from source
-        nodes = nodes.persist()
-        weighted = weighted.persist()
+        # edge aggregation from source (scoped: freed by the caller's
+        # next release_scoped())
+        from morphik_core_spark.plans.cache import scoped_persist
+
+        nodes = scoped_persist(nodes)
+        weighted = scoped_persist(weighted)
 
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", F.expr(f"CAST({UNIT} AS BIGINT) div n_nodes").alias("rank_u")
@@ -126,13 +129,14 @@ def connected_components_star(
     aggregate. Equivalence with the propagation implementation is
     asserted in tests over random graphs including degenerate chains.
     """
-    from pyspark import StorageLevel
+    from morphik_core_spark.plans.cache import scoped_persist
 
-    edges = (
+    # read per star round AND by the final all_nodes hydration, which the
+    # returned lazy plan re-reads — scoped, not in-function unpersist
+    edges = scoped_persist(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def signature(e: DataFrame) -> tuple[int, int]:

@@ -90,13 +90,15 @@ def near_dup_batch(
     e.g. an incremental run that banded old+new corpora in ONE pass and
     split by id; recomputing signatures here would double the dominant
     cost."""
-    from pyspark import StorageLevel
+    from morphik_core_spark.plans.cache import scoped_persist
 
-    buckets = (
+    # read by the hit/claim/kept branches below AND by the caller's lazy
+    # append plan — scoped, freed at the caller's next release_scoped()
+    buckets = scoped_persist(
         batch_bands
         if batch_bands is not None
         else doc_band_keys(batch_docs, text_col, id_col, num_hashes, bands)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if store is not None:
         hit = buckets.join(store, ["band", "key"], "left_semi").select(id_col).distinct()
         surv = buckets.join(hit, id_col, "left_anti")
