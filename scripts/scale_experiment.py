@@ -1332,6 +1332,48 @@ def main() -> None:
         report("group_trend_slopes", trend, ev1c, ev10c)
 
 
+    if "asof" in ops:
+        # Round-5 rewrote the as-of family from join+groupBy to
+        # union-tag-window; this experiment documents WHY on the exact
+        # case the old form detonates: DENSE keys. Both corpora share the
+        # SAME 100 keys; the 10x corpus has 10x the rows per key, so the
+        # old form's per-key P x S join grows ~100x while the new form's
+        # per-key sort grows ~10 log 10. Probes/series split by event-id
+        # parity keeps both sides dense.
+        from morphik_core_spark.operators.asof import asof_backward
+
+        ev_a = load_table(spark, "events", SF_DIR).select(
+            (F.col("user_id") % 100).alias("k"), "ts", "event_id"
+        )
+        a1_p, a10_p = os.path.join(tmp, "asof1"), os.path.join(tmp, "asof10")
+        ev_a.orderBy("event_id").limit(20_000).write.mode("overwrite").parquet(a1_p)
+        ev_a.orderBy("event_id").limit(200_000).write.mode("overwrite").parquet(a10_p)
+        asof1 = spark.read.parquet(a1_p)
+        asof10 = spark.read.parquet(a10_p)
+
+        def _split(d):
+            return (
+                d.filter(F.col("event_id") % 2 == 0),
+                d.filter(F.col("event_id") % 2 == 1),
+            )
+
+        def asof_union_window(d):
+            p, s = _split(d)
+            mat(asof_backward(p, s, "k", "ts", "ts", "event_id"))
+
+        def asof_join_groupby(d):
+            # the PRE-round-5 form, restated for comparison (payload
+            # join-back omitted — generous to the old form)
+            p, s = _split(d)
+            sr = s.select(F.col("k").alias("_sk"), F.col("ts").alias("sts"))
+            j = p.join(
+                sr, (F.col("k") == F.col("_sk")) & (F.col("sts") <= F.col("ts")), "left"
+            )
+            mat(j.groupBy("event_id").agg(F.max("sts").alias("matched_ts")))
+
+        report("asof_union_window", asof_union_window, asof1, asof10)
+        report("asof_join_groupby", asof_join_groupby, asof1, asof10)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing
