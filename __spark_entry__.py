@@ -309,6 +309,9 @@ _LSH_BANDS = 4
 _LSH_ROWS = 2
 _JACCARD_N = 3
 _JACCARD_THRESHOLD = 0.02
+# max-containment gate: ~200 pairs at sf0.01, about half below the
+# Jaccard gate (size-mismatched excerpts) — measured, non-vacuous
+_CONTAINMENT_THRESHOLD = 0.10
 # Skew guards. Both deliberately low enough to bite at sf0.01 so the
 # capped code path is the one the driver's oracle verifies; production
 # values are corpus-relative (e.g. df > 0.5% of docs, buckets > ~1000).
@@ -373,6 +376,48 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.word_shingles(docs, "text", "doc_id", n=_JACCARD_N)
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=_JACCARD_THRESHOLD, max_df=_JACCARD_MAX_DF)
     return pairs.select("id_a", "id_b", F.round("jaccard", _SCORE_DECIMALS).alias("jaccard"))
+
+
+def _q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (`dedup.containment_pairs`):
+    C(a in b) = |S_a ∩ S_b|/|S_a| over the same capped shingle index as
+    `jaccard_pairs` — catches excerpt/boilerplate-wrapped copies whose
+    size mismatch hides them from Jaccard (on this corpus roughly half
+    the pairs ≥ 0.10 sit below the Jaccard gate)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "text", "doc_id", n=_JACCARD_N)
+    return dedup.containment_pairs(
+        sh, "doc_id", threshold=_CONTAINMENT_THRESHOLD, max_df=_JACCARD_MAX_DF
+    )
+
+
+def _q_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query MRR/NDCG@10 retrieval evaluation (`ml_eval.
+    ranking_metrics`): exact cosine top-10 for 5 query vectors
+    (self-hits excluded), relevance = shared embedding label — the
+    order-sensitive complement of `ann_recall`'s set-overlap audit.
+    Scaled-integer DCG terms keep per-query sums order-free."""
+    from morphik_core_spark.operators.ml_eval import ranking_metrics
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    topk = similarity.knn_brute_force(
+        emb, queries_df.select("q_id", "qv"), k=11, decimals=_SCORE_DECIMALS
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    ranked = (
+        topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .join(F.broadcast(queries_df.select("q_id", "q_label")), "q_id")
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .withColumn("rel", (F.col("label") == F.col("q_label")).cast("int"))
+    )
+    return ranking_metrics(ranked, "q_id", "rank", "rel", k=10)
 
 
 def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4176,6 +4221,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": _q_lsh_pairs,
         "simhash": _q_simhash,
         "jaccard_pairs": _q_jaccard_pairs,
+        "containment_dedup": _q_containment_dedup,
+        "ranking_quality": _q_ranking_quality,
         "knn_batch": _q_knn_batch,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -5303,6 +5350,75 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE common * 1.0 / (sa.sz + sb.sz - common) >= {_JACCARD_THRESHOLD}
+        """,
+        "containment_dedup": f"""
+            {_MINHASH_CTES},
+            shc AS (
+                SELECT * FROM sh WHERE shingle NOT IN (
+                    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {_JACCARD_MAX_DF}
+                )
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
+                   ROUND(common * 1.0 / sa.sz, 6) AS c_a,
+                   ROUND(common * 1.0 / sb.sz, 6) AS c_b
+            FROM common
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE greatest(common * 1.0 / sa.sz, common * 1.0 / sb.sz)
+                  >= {_CONTAINMENT_THRESHOLD}
+        """,
+        "ranking_quality": f"""
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label AS q_label
+                       FROM embeddings WHERE vec_id < {_KNN_QUERIES}),
+            ranked AS (
+                SELECT q_id, vec_id, q_label, rn AS rank FROM (
+                    SELECT q.q_id, e.vec_id, q.q_label,
+                           row_number() OVER (
+                               PARTITION BY q.q_id
+                               ORDER BY {_COS_SCORE} DESC, e.vec_id ASC
+                           ) AS rn
+                    FROM embeddings e, q
+                    WHERE e.vec_id <> q.q_id
+                ) WHERE rn <= 10
+            ),
+            judged AS (
+                SELECT r.q_id, r.rank,
+                       CASE WHEN e.label = r.q_label THEN 1 ELSE 0 END AS rel
+                FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+            ),
+            gains AS (
+                SELECT q_id, rank, rel,
+                       CAST(ROUND(CAST(rel AS DOUBLE) / log2(rank + 1) * 1e12) AS BIGINT) AS gain_u,
+                       row_number() OVER (
+                           PARTITION BY q_id ORDER BY rel DESC, rank ASC
+                       ) AS ipos
+                FROM judged
+            ),
+            igains AS (
+                SELECT *, CAST(ROUND(CAST(rel AS DOUBLE) / log2(ipos + 1) * 1e12) AS BIGINT) AS igain_u
+                FROM gains
+            ),
+            agg AS (
+                SELECT q_id,
+                       CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+                       MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel_rank,
+                       CAST(SUM(gain_u) AS BIGINT) AS dcg_u,
+                       CAST(SUM(igain_u) AS BIGINT) AS idcg_u
+                FROM igains GROUP BY q_id
+            )
+            SELECT q_id, n_rel, first_rel_rank,
+                   CASE WHEN first_rel_rank IS NULL THEN 0.0
+                        ELSE ROUND(1.0 / first_rel_rank, 6) END AS rr,
+                   ROUND(dcg_u / 1e12, 6) AS dcg,
+                   ROUND(idcg_u / 1e12, 6) AS idcg,
+                   CASE WHEN idcg_u > 0 THEN ROUND(dcg_u * 1.0 / idcg_u, 6) END AS ndcg
+            FROM agg
         """,
         "knn_batch": f"""
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv

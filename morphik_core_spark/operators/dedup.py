@@ -42,6 +42,7 @@ __all__ = [
     "simhash",
     "simhash_pandas",
     "jaccard_pairs",
+    "containment_pairs",
     "embedding_near_dup",
     "embedding_near_dup_pandas",
     "connected_components",
@@ -328,6 +329,72 @@ def jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
     return out
+
+
+def containment_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_df: int | None = None,
+    persist: bool = True,
+    decimals: int = 6,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle-set CONTAINMENT:
+
+        C(a in b) = |S_a ∩ S_b| / |S_a|
+
+    (Broder's containment, the measure behind "doc A is a quoted /
+    excerpted / boilerplate-wrapped copy inside doc B"). Jaccard misses
+    exactly these: a 50-shingle doc fully embedded in a 5000-shingle doc
+    has J ≈ 0.01 but C = 1.0 — on the test corpus roughly half the
+    pairs over the default threshold are invisible to `jaccard_pairs`.
+
+    Output: (id_a, id_b, common, sz_a, sz_b, c_a, c_b) for pairs where
+    max(c_a, c_b) ≥ threshold; c_a = fraction of a's shingles found in
+    b (and vice versa), rounded at the edge, filtered unrounded.
+
+    Same inverted-index join + ``max_df`` hot-shingle cap + scoped
+    persist as `jaccard_pairs` — the pair space is the shared-shingle
+    join, never O(n²), and the frequent set broadcasts.
+    """
+    if max_df is not None:
+        frequent = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(F.broadcast(frequent), "shingle", "left_anti")
+    if persist:
+        from morphik_core_spark.plans.cache import scoped_persist
+
+        shingles = scoped_persist(shingles)
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    c_a = F.col("common") / F.col("sz_a")
+    c_b = F.col("common") / F.col("sz_b")
+    return (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .filter(F.greatest(c_a, c_b) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            "sz_a",
+            "sz_b",
+            F.round(c_a, decimals).alias("c_a"),
+            F.round(c_b, decimals).alias("c_b"),
+        )
+    )
 
 
 def embedding_near_dup(

@@ -1,5 +1,6 @@
 """Model-quality evaluation operators: exact AUC/Gini, calibration
-reliability bins + ECE, and Cohen's kappa inter-rater agreement.
+reliability bins + ECE, Cohen's kappa inter-rater agreement, and
+MRR/NDCG@k ranking quality.
 
 Extensions beyond the reference surface (morphik-core has no model-QA
 analytics); these are the evaluation rollups a training-data pipeline
@@ -37,7 +38,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["auc_roc", "calibration_bins", "cohens_kappa"]
+__all__ = ["auc_roc", "calibration_bins", "cohens_kappa", "ranking_metrics"]
 
 
 def auc_roc(
@@ -215,4 +216,72 @@ def cohens_kappa(
         F.round(F.expr(po), decimals).alias("observed_agreement"),
         F.round(F.expr(pe), decimals).alias("expected_agreement"),
         F.round(F.expr(kappa), decimals).alias("kappa"),
+    )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-query ranking quality: reciprocal rank and NDCG@k — the two
+    rollups a retrieval/rerank evaluation runs over a judged result list
+    (complements `similarity.recall_at_k`, which only checks set overlap
+    against an exact baseline; these grade the ORDER).
+
+    Input: one row per (query, result) with its 1-based ``rank_col`` and
+    a non-negative graded ``rel_col`` (binary or graded relevance).
+    Output per query: (query, n_rel, first_rel_rank, rr, dcg, idcg,
+    ndcg); ``rr`` = 1/first_rel_rank (0.0 when nothing in the top-k is
+    relevant — the standard MRR convention), ``ndcg`` NULL when idcg is
+    0. Mean rr over queries = MRR; mean ndcg = mean NDCG@k.
+
+    Determinism: each row's DCG term rel/log2(rank+1) is ONE fixed
+    double tree scaled to integer micro-units (ROUND(x·1e12) AS BIGINT)
+    before summation, so per-query sums are aggregation-order-free; the
+    ideal ordering ranks by (rel DESC, rank ASC) — the observed rank as
+    the tie-break makes IDCG unique. The final rr/ndcg divisions round
+    once at the edge.
+
+    Scale: one groupBy + one per-query window over ≤ k rows each —
+    partitions are query-sized, never corpus-sized; with Q queries the
+    shuffled frame is Q·k rows.
+    """
+    scale = 1_000_000_000_000  # 1e12 micro-unit grid (repo-wide recipe)
+    qcol, rnk = F.col(query_col), F.col(rank_col).cast("bigint")
+    rel = F.col(rel_col).cast("double")
+    in_k = ranked.filter(rnk <= k).select(
+        qcol.alias("_q"),
+        rnk.alias("_rank"),
+        rel.alias("_rel"),
+        F.expr(
+            f"CAST(ROUND(CAST({rel_col} AS DOUBLE) / LOG2(CAST({rank_col} AS BIGINT) + 1)"
+            f" * {scale}) AS BIGINT)"
+        ).alias("_gain_u"),
+    )
+    iw = Window.partitionBy("_q").orderBy(F.col("_rel").desc(), F.col("_rank").asc())
+    ideal = in_k.withColumn("_ipos", F.row_number().over(iw)).withColumn(
+        "_igain_u",
+        F.expr(f"CAST(ROUND(_rel / LOG2(_ipos + 1) * {scale}) AS BIGINT)"),
+    )
+    agg = ideal.groupBy("_q").agg(
+        F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0)).alias("n_rel"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_rank"))).alias("first_rel_rank"),
+        F.sum("_gain_u").alias("_dcg_u"),
+        F.sum("_igain_u").alias("_idcg_u"),
+    )
+    return agg.select(
+        F.col("_q").alias(query_col),
+        "n_rel",
+        "first_rel_rank",
+        F.when(F.col("first_rel_rank").isNull(), F.lit(0.0))
+        .otherwise(F.round(F.lit(1.0) / F.col("first_rel_rank"), decimals))
+        .alias("rr"),
+        F.round(F.col("_dcg_u") / F.lit(float(scale)), decimals).alias("dcg"),
+        F.round(F.col("_idcg_u") / F.lit(float(scale)), decimals).alias("idcg"),
+        F.when(F.col("_idcg_u") > 0, F.round(F.col("_dcg_u") / F.col("_idcg_u"), decimals))
+        .alias("ndcg"),
     )

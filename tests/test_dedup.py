@@ -315,3 +315,39 @@ def test_semantic_dedup_cluster_cap_skips_pairgen(spark):
     assert all(r["kept"] for r in capped)  # oversized cluster: everyone kept
     uncapped = semantic_dedup(df, cents, tau=0.9).collect()
     assert sum(1 for r in uncapped if r["kept"]) == 1  # only vec 0 survives
+
+
+def test_containment_pairs_catches_what_jaccard_misses(spark):
+    from morphik_core_spark.operators.dedup import containment_pairs, jaccard_pairs, word_shingles
+
+    # doc 2 is a verbatim excerpt of doc 1 plus nothing else; doc 1 is
+    # much larger, so Jaccard is tiny but containment of 2 in 1 is 1.0
+    big = " ".join(f"w{i} w{i+1} w{i+2}" for i in range(0, 120, 3))
+    small = "w0 w1 w2 w3 w4"
+    other = "completely different tokens entirely unrelated corpus"
+    df = spark.createDataFrame(
+        [(1, big), (2, small), (3, other)], "doc_id long, text string"
+    )
+    sh = word_shingles(df, "text", "doc_id", n=3)
+    cont = {(r["id_a"], r["id_b"]): r.asDict() for r in containment_pairs(sh, "doc_id", threshold=0.9).collect()}
+    assert (1, 2) in cont
+    pair = cont[(1, 2)]
+    assert pair["c_b"] == 1.0  # all of doc 2's shingles are inside doc 1
+    assert pair["c_a"] < 0.2
+    # jaccard at the same gate sees nothing
+    assert jaccard_pairs(sh, "doc_id", threshold=0.9).count() == 0
+    # unrelated doc pairs with nobody
+    assert all(3 not in k for k in cont)
+
+
+def test_containment_pairs_max_df_drops_hot_shingles(spark):
+    from morphik_core_spark.operators.dedup import containment_pairs, word_shingles
+
+    # a boilerplate shingle shared by every doc would pair everyone;
+    # max_df removes it, so docs that ONLY share boilerplate never meet
+    boiler = "terms of service apply"
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(df, "text", "doc_id", n=3)
+    assert containment_pairs(sh, "doc_id", threshold=0.1, max_df=3).count() == 0
+    assert containment_pairs(sh, "doc_id", threshold=0.1).count() == 15

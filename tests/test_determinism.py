@@ -35,6 +35,10 @@ SENSITIVE = [
     "large_order_customers",
     "dow_seasonality",
     "skew_salted_agg",
+    # round-6 new operators: scaled-int DCG sums + edge divisions;
+    # containment's two per-pair divisions
+    "ranking_quality",
+    "containment_dedup",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",

@@ -70,3 +70,38 @@ def test_cohens_kappa_edges(spark):
     rows3 = [("x", "y")] * 4
     r3 = cohens_kappa(_df(spark, rows3, "r1 string, r2 string"), "r1", "r2").collect()[0]
     assert r3["kappa"] == 0.0 and r3["expected_agreement"] == 0.0
+
+
+def test_ranking_metrics_hand_check(spark):
+    import math
+
+    from morphik_core_spark.operators.ml_eval import ranking_metrics
+
+    rows = [
+        # q1: relevant at ranks 2 (rel 1) and 3 (rel 2)
+        (1, 1, 0.0), (1, 2, 1.0), (1, 3, 2.0), (1, 4, 0.0),
+        # q2: nothing relevant -> rr 0.0, ndcg NULL
+        (2, 1, 0.0), (2, 2, 0.0),
+        # q3: perfectly ordered graded relevance
+        (3, 1, 2.0), (3, 2, 1.0),
+    ]
+    df = _df(spark, rows, "q long, rank long, rel double")
+    out = {r["q"]: r.asDict() for r in ranking_metrics(df, "q", "rank", "rel", k=10).collect()}
+    dcg = 1.0 / math.log2(3) + 2.0 / math.log2(4)
+    idcg = 2.0 / math.log2(2) + 1.0 / math.log2(3)
+    assert out[1]["rr"] == 0.5 and out[1]["first_rel_rank"] == 2
+    assert abs(out[1]["ndcg"] - dcg / idcg) < 2e-6
+    assert out[2]["rr"] == 0.0 and out[2]["ndcg"] is None and out[2]["first_rel_rank"] is None
+    assert out[3]["ndcg"] == 1.0 and out[3]["rr"] == 1.0 and out[3]["n_rel"] == 2
+
+
+def test_ranking_metrics_k_cutoff(spark):
+    from morphik_core_spark.operators.ml_eval import ranking_metrics
+
+    # the only relevant hit sits at rank 4 — invisible at k=3
+    rows = [(1, r, 1.0 if r == 4 else 0.0) for r in range(1, 6)]
+    df = _df(spark, rows, "q long, rank long, rel double")
+    at3 = ranking_metrics(df, "q", "rank", "rel", k=3).collect()[0]
+    at5 = ranking_metrics(df, "q", "rank", "rel", k=5).collect()[0]
+    assert at3["rr"] == 0.0 and at3["n_rel"] == 0
+    assert at5["rr"] == 0.25 and at5["first_rel_rank"] == 4
