@@ -48,6 +48,16 @@ _EMB_DIMS = 64  # embeddings.parquet vector width
 _SCORE_DECIMALS = 6
 
 
+def _scoped(df: DataFrame) -> DataFrame:
+    """Persist through the engine's lifecycle registry: any boundary
+    (bench iteration, API edge, driver round) frees these via
+    plans.cache.release_scoped() — a bare .persist() here would outlive
+    the query and accumulate for the session (round-5 defect)."""
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    return scoped_persist(df)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Harness boundary: these queries DEFINE their timestamp semantics
@@ -1748,7 +1758,7 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         logreg_score, logreg_train, quality_features,
     )
 
-    docs = _t(spark, sf_dir, "documents").persist()
+    docs = _scoped(_t(spark, sf_dir, "documents"))
     feats = quality_features(F.col("text"))
     label = F.col("source").isin(*_QC_POS_SOURCES).cast("double")
     weights = logreg_train(docs, feats, label, iterations=_QC_ITERATIONS)
@@ -1912,10 +1922,12 @@ def _q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the signature frame feeds the LSH chain AND both sides of the
     # estimate join — persist so the shingle aggregation runs once
     # (the lsh_pairs persist treatment, NOTES.md round-5)
-    sigs = _q_minhash_signatures(spark, sf_dir).persist()
-    cand = dedup.lsh_candidate_pairs(
-        sigs, "doc_id", bands=_LSH_BANDS, rows_per_band=_LSH_ROWS, max_bucket_size=_LSH_MAX_BUCKET
-    ).persist()
+    sigs = _scoped(_q_minhash_signatures(spark, sf_dir))
+    cand = _scoped(
+        dedup.lsh_candidate_pairs(
+            sigs, "doc_id", bands=_LSH_BANDS, rows_per_band=_LSH_ROWS, max_bucket_size=_LSH_MAX_BUCKET
+        )
+    )
     sig_a = sigs.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)])
     sig_b = sigs.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)])
     agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8))
@@ -1934,9 +1946,11 @@ def _q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cand.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    sh = dedup.word_shingles(
-        docs.join(cand_ids, "doc_id", "left_semi"), "text", "doc_id", n=3
-    ).persist()
+    sh = _scoped(
+        dedup.word_shingles(
+            docs.join(cand_ids, "doc_id", "left_semi"), "text", "doc_id", n=3
+        )
+    )
     sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
     common = (
@@ -3287,7 +3301,7 @@ def _q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE signature pass over the whole corpus, split by id afterwards —
     # banding old and new separately would run the dominant
     # shingle→minhash pipeline twice (the self-union lesson, NOTES.md)
-    bands_all = doc_band_keys(docs, "text", "doc_id", num_hashes=_MINHASHES, bands=4).persist()
+    bands_all = _scoped(doc_band_keys(docs, "text", "doc_id", num_hashes=_MINHASHES, bands=4))
     store = bands_all.filter(F.col("doc_id") % 5 != 0).select("band", "key")
     new_bands = bands_all.filter(F.col("doc_id") % 5 == 0)
     kept_docs, _bands = near_dup_batch(

@@ -265,7 +265,9 @@ class MorphikSpark:
         self._merge_documents(new_docs)
         return ids
 
-    def _parse_payload(self, data: bytes, filename: str, pdf_layout: bool = False) -> tuple[str, str]:
+    def _parse_payload(
+        self, data: bytes, filename: str, pdf_layout: bool = False, pdf_tables: bool = False
+    ) -> tuple[str, str]:
         """MIME-from-extension + the SAME kernel table the distributed
         drop-dir pipeline uses (sources/binary.parse_kernels). Returns
         (text, mime); an unparseable payload yields text '' — the caller
@@ -283,7 +285,7 @@ class MorphikSpark:
             except Exception:  # noqa: BLE001
                 text = ""
         else:
-            kernel = parse_kernels(pdf_layout).get(mime)
+            kernel = parse_kernels(pdf_layout, pdf_tables).get(mime)
             if kernel is not None:
                 try:
                     text = kernel(data)
@@ -304,6 +306,7 @@ class MorphikSpark:
         folder_path: str | None = None,
         end_user_id: str | None = None,
         pdf_layout: bool = False,
+        pdf_tables: bool = False,
     ) -> dict[str, Any]:
         """One-off analysis of an UN-ingested file (reference POST
         /document/query, routes/ingest.py:471 — 'Morphik On-the-Fly'):
@@ -317,7 +320,7 @@ class MorphikSpark:
         the DocumentQueryResponse shape; document_id/status are set only
         when ``ingest=True``."""
         auth = auth or AuthContext(user_id="local")
-        text, _mime = self._parse_payload(data, filename, pdf_layout)
+        text, _mime = self._parse_payload(data, filename, pdf_layout, pdf_tables)
         model = model or rag.StubCompletionModel()
         completion: str | None = None
         structured: dict[str, Any] | None = None
@@ -376,6 +379,7 @@ class MorphikSpark:
         folder_path: str | None = None,
         end_user_id: str | None = None,
         pdf_layout: bool = False,
+        pdf_tables: bool = False,
         use_colpali: bool = False,
     ) -> str:
         """Single-file ingestion at the serving edge (reference POST
@@ -393,7 +397,7 @@ class MorphikSpark:
         'failed', payload stored — matching the reference worker's
         keep-the-file-mark-the-row behavior."""
         auth = auth or AuthContext(user_id="local")
-        text, mime = self._parse_payload(data, filename, pdf_layout)
+        text, mime = self._parse_payload(data, filename, pdf_layout, pdf_tables)
         md = dict(metadata or {})
         if self._storage is not None:
             doc_key = f"ingest/{uuid.uuid4()}/{filename}"

@@ -1,0 +1,331 @@
+"""Ruled-table extraction from PDF vector graphics.
+
+The reference parses PDFs through Docling, whose table model recovers
+cell structure (core/parser/morphik_parser.py:295-346); the engine's
+XY-cut layout pass (`pdf_render.extract_pdf_text_layout`) recovers
+reading ORDER but flattens tables into interleaved lines. This module
+closes the ruled-table half of that gap with pure Python:
+
+1. interpret the page's GRAPHICS operators (``m``/``l``/``re`` paths,
+   ``cm``/``q``/``Q`` transforms, stroke/fill paints) into axis-aligned
+   line segments — the rules a drawn table is made of;
+2. cluster segment positions into grid candidates (h-lines grouped by
+   y, v-lines by x, tolerance-merged so a 1pt-thick filled rectangle's
+   two edges collapse into one rule);
+3. connect h-lines that share a spanning v-line into one table
+   component, require a ≥ 2×2 cell grid, and assign the page's
+   positioned text runs (`pdf_render.page_text_runs`) to cells by
+   center point.
+
+Unruled (whitespace-aligned) tables are out of scope — without rules
+the column evidence is statistical, and a wrong guess silently corrupts
+text; those still flow through XY-cut as plain lines.
+
+Row-level contract matches the other parse kernels: a malformed page
+contributes no tables rather than failing the document, and
+`extract_pdf_tables` raises ValueError only for non-PDF payloads.
+"""
+
+from __future__ import annotations
+
+import re
+from bisect import bisect_right
+
+from morphik_core_spark.functions.pdf import looks_like_pdf
+from morphik_core_spark.functions.pdf_render import (
+    _apply,
+    _mat_mul,
+    page_text_runs,
+    parse_page_tree,
+)
+
+__all__ = ["page_line_segments", "detect_tables", "extract_pdf_tables", "table_to_markdown"]
+
+_NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+# geometry tolerances in PDF points
+_AXIS_TOL = 0.5  # max off-axis drift for a segment to count as a rule
+_MERGE_TOL = 3.0  # rules within this distance cluster into one grid line
+_MIN_RULE_LEN = 8.0  # ignore decorative ticks shorter than this
+_SPAN_COVER = 0.7  # a v-line must cover this fraction of two h-lines' gap
+
+
+def page_line_segments(
+    content: bytes,
+) -> tuple[list[tuple[float, float, float]], list[tuple[float, float, float]]]:
+    """Axis-aligned painted segments from one page's content stream.
+
+    Returns (horizontal, vertical): horizontal entries are (y, x0, x1),
+    vertical entries are (x, y0, y1), both in PDF user space after CTM.
+    Only PAINTED paths count (stroke or fill); pure clipping paths
+    (``W n``) are dropped, matching what is visibly a rule on the page.
+    """
+    ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    ctm = ident
+    ctm_stack: list[tuple] = []
+    operands: list[float] = []
+    # pending path segments in DEVICE space, committed on a painting op
+    pending: list[tuple[float, float, float, float]] = []
+    cur: tuple[float, float] | None = None
+    start: tuple[float, float] | None = None
+    h_out: list[tuple[float, float, float]] = []
+    v_out: list[tuple[float, float, float]] = []
+    in_text = False
+
+    def emit(segs: list[tuple[float, float, float, float]]) -> None:
+        for x0, y0, x1, y1 in segs:
+            if abs(y1 - y0) <= _AXIS_TOL and abs(x1 - x0) >= _MIN_RULE_LEN:
+                lo, hi = sorted((x0, x1))
+                h_out.append(((y0 + y1) / 2.0, lo, hi))
+            elif abs(x1 - x0) <= _AXIS_TOL and abs(y1 - y0) >= _MIN_RULE_LEN:
+                lo, hi = sorted((y0, y1))
+                v_out.append(((x0 + x1) / 2.0, lo, hi))
+
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == 0x28:  # literal string (text op operand) — skip balanced
+            depth, j = 1, i + 1
+            while j < n and depth:
+                ch = content[j]
+                if ch == 0x5C:
+                    j += 2
+                    continue
+                if ch == 0x28:
+                    depth += 1
+                elif ch == 0x29:
+                    depth -= 1
+                j += 1
+            i = j
+        elif c == 0x3C and not content.startswith(b"<<", i):
+            end = content.find(b">", i + 1)
+            i = n if end == -1 else end + 1
+        elif c == 0x2F:
+            m = re.compile(rb"/[A-Za-z0-9.+_-]*").match(content, i)
+            i = m.end() if m else i + 1
+        elif c in (0x5B, 0x5D, 0x3C, 0x3E):
+            i += 1
+        elif chr(c).isdigit() or c in b"+-.":
+            m = _NUM_RE.match(content, i)
+            if not m:
+                i += 1
+                continue
+            operands.append(float(m.group(0)))
+            i = m.end()
+        else:
+            m = _OP_RE.match(content, i)
+            if not m:
+                i += 1
+                continue
+            op = m.group(0)
+            i = m.end()
+            if op == b"BT":
+                in_text = True
+            elif op == b"ET":
+                in_text = False
+            elif op == b"cm" and len(operands) >= 6:
+                ctm = _mat_mul(tuple(operands[-6:]), ctm)
+            elif op == b"q":
+                ctm_stack.append(ctm)
+            elif op == b"Q":
+                ctm = ctm_stack.pop() if ctm_stack else ident
+            elif not in_text:
+                if op == b"m" and len(operands) >= 2:
+                    cur = start = _apply(ctm, operands[-2], operands[-1])
+                elif op == b"l" and len(operands) >= 2 and cur is not None:
+                    nxt = _apply(ctm, operands[-2], operands[-1])
+                    pending.append((*cur, *nxt))
+                    cur = nxt
+                elif op == b"h" and cur is not None and start is not None:
+                    pending.append((*cur, *start))
+                    cur = start
+                elif op == b"re" and len(operands) >= 4:
+                    x, y, w, h = operands[-4:]
+                    p00 = _apply(ctm, x, y)
+                    p10 = _apply(ctm, x + w, y)
+                    p11 = _apply(ctm, x + w, y + h)
+                    p01 = _apply(ctm, x, y + h)
+                    pending.extend(
+                        [(*p00, *p10), (*p10, *p11), (*p11, *p01), (*p01, *p00)]
+                    )
+                    cur = start = p00
+                elif op in (b"S", b"s", b"B", b"B*", b"b", b"b*", b"f", b"F", b"f*"):
+                    emit(pending)
+                    pending.clear()
+                    cur = start = None
+                elif op == b"n":  # clip-only path: not painted
+                    pending.clear()
+                    cur = start = None
+            operands.clear()
+    return h_out, v_out
+
+
+def _cluster(
+    segs: list[tuple[float, float, float]], tol: float
+) -> list[tuple[float, float, float]]:
+    """Merge segments whose primary coordinate is within ``tol`` AND
+    whose spans overlap (within ``tol``): (position, span_lo, span_hi).
+
+    The span condition matters: two stacked tables share column x
+    positions, and merging their co-linear but spatially DISJOINT
+    v-rules would weld the tables into one bogus grid. Within a
+    position bin, disjoint span intervals stay separate clusters."""
+    bins: list[list[tuple[float, float, float]]] = []
+    for pos, lo, hi in sorted(segs):
+        if bins and pos - bins[-1][-1][0] <= tol:
+            bins[-1].append((pos, lo, hi))
+        else:
+            bins.append([(pos, lo, hi)])
+    out: list[tuple[float, float, float]] = []
+    for members in bins:
+        members.sort(key=lambda s: s[1])
+        cur: list[float] | None = None
+        for pos, lo, hi in members:
+            if cur is not None and lo <= cur[2] + tol:
+                cur[0] = (cur[0] * cur[3] + pos) / (cur[3] + 1)
+                cur[2] = max(cur[2], hi)
+                cur[3] += 1
+            else:
+                if cur is not None:
+                    out.append((cur[0], cur[1], cur[2]))
+                cur = [pos, lo, hi, 1]
+        if cur is not None:
+            out.append((cur[0], cur[1], cur[2]))
+    out.sort()
+    return out
+
+
+def detect_tables(
+    runs: list[tuple[float, float, float, float, float, str]],
+    h_segs: list[tuple[float, float, float]],
+    v_segs: list[tuple[float, float, float]],
+) -> list[dict]:
+    """Grid detection + cell fill. One table per connected rule
+    component; components need ≥ 3 h-rules and ≥ 3 v-rules (a 2×2 cell
+    grid) to count — a lone box or underline never becomes a table."""
+    hs = _cluster(h_segs, _MERGE_TOL)
+    vs = _cluster(v_segs, _MERGE_TOL)
+    if len(hs) < 3 or len(vs) < 3:
+        return []
+
+    # connect h-rules that share a spanning v-rule (union-find over hs)
+    parent = list(range(len(hs)))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    v_members: dict[int, list[int]] = {}
+    for vi, (x, ylo, yhi) in enumerate(vs):
+        touched = [
+            hi_
+            for hi_, (y, xlo, xhi) in enumerate(hs)
+            if ylo - _MERGE_TOL <= y <= yhi + _MERGE_TOL and xlo - _MERGE_TOL <= x <= xhi + _MERGE_TOL
+        ]
+        v_members[vi] = touched
+        for a, b in zip(touched, touched[1:]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    comps: dict[int, dict] = {}
+    for hi_ in range(len(hs)):
+        comps.setdefault(find(hi_), {"h": [], "v": set()})["h"].append(hi_)
+    for vi, touched in v_members.items():
+        if len(touched) >= 2:
+            comps[find(touched[0])]["v"].add(vi)
+
+    tables = []
+    for comp in comps.values():
+        if len(comp["h"]) < 3 or len(comp["v"]) < 3:
+            continue
+        ys = sorted((hs[i][0] for i in comp["h"]), reverse=True)  # top first (y up)
+        xs = sorted(vs[i][0] for i in comp["v"])
+        # require each v-rule to genuinely span the grid, not one cell
+        y_top, y_bot = ys[0], ys[-1]
+        xs = [
+            x
+            for i in sorted(comp["v"])
+            for x in [vs[i][0]]
+            if (min(vs[i][2], y_top) - max(vs[i][1], y_bot)) >= _SPAN_COVER * (y_top - y_bot)
+        ]
+        xs = sorted(xs)
+        if len(xs) < 3:
+            continue
+        n_rows, n_cols = len(ys) - 1, len(xs) - 1
+        cells: list[list[list[tuple]]] = [[[] for _ in range(n_cols)] for _ in range(n_rows)]
+        for r in runs:
+            cx, cy = (r[0] + r[2]) / 2.0, (r[1] + r[3]) / 2.0
+            if not (xs[0] <= cx <= xs[-1] and y_bot <= cy <= y_top):
+                continue
+            col = bisect_right(xs, cx) - 1
+            # ys descend: row index = count of boundaries above the center
+            row = sum(1 for y in ys[1:-1] if cy < y)
+            if 0 <= row < n_rows and 0 <= col < n_cols:
+                cells[row][col].append(r)
+        text_cells = [
+            [
+                " ".join(
+                    r[5].strip()
+                    for r in sorted(cell, key=lambda r: (-r[1], r[0]))
+                    if r[5].strip()
+                )
+                for cell in row_cells
+            ]
+            for row_cells in cells
+        ]
+        tables.append(
+            {
+                "bbox": (xs[0], y_bot, xs[-1], y_top),
+                "n_rows": n_rows,
+                "n_cols": n_cols,
+                "cells": text_cells,
+            }
+        )
+    tables.sort(key=lambda t: -t["bbox"][3])  # top of page first
+    return tables
+
+
+def extract_pdf_tables(data: bytes) -> list[dict]:
+    """All ruled tables in a PDF: [{page, bbox, n_rows, n_cols, cells}],
+    page 1-based in page-tree order. Raises ValueError for non-PDFs;
+    a page whose graphics fail to parse yields no tables (row-level
+    isolation, same contract as the text kernels)."""
+    if not looks_like_pdf(data):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    from morphik_core_spark.functions.pdf import _collect_font_cmaps
+    from morphik_core_spark.functions.pdf_crypt import decrypt_pdf
+
+    data = decrypt_pdf(data)
+    font_cmaps = _collect_font_cmaps(data)
+    out = []
+    for pageno, (_mb, content) in enumerate(parse_page_tree(data), start=1):
+        try:
+            h_segs, v_segs = page_line_segments(content)
+            if len(h_segs) < 3 or len(v_segs) < 3:
+                continue
+            runs = page_text_runs(content, font_cmaps)
+            for t in detect_tables(runs, h_segs, v_segs):
+                t["page"] = pageno
+                out.append(t)
+        except Exception:  # noqa: BLE001 — page-level isolation
+            continue
+    return out
+
+
+def table_to_markdown(table: dict) -> str:
+    """GitHub-style pipe rendering (first row as header) — the plain-text
+    form downstream chunkers can index without a table model."""
+    rows = table["cells"]
+    if not rows:
+        return ""
+    lines = ["| " + " | ".join(c or " " for c in rows[0]) + " |"]
+    lines.append("|" + "|".join([" --- "] * table["n_cols"]) + "|")
+    for row in rows[1:]:
+        lines.append("| " + " | ".join(c or " " for c in row) + " |")
+    return "\n".join(lines)

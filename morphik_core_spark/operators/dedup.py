@@ -94,8 +94,17 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
         f"array_distinct(transform(sequence(0, size(tk) - {n}), "
         f"i -> concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))})))"
     )
+    # pre-fan-out exchange (the perplexity_scores pattern): a small corpus
+    # often arrives as 1-2 scan partitions, which would serialize the
+    # regex normalize + split + shingle explode — the dedup stack's
+    # dominant CPU — on one task. Spread the compact raw rows first, ONLY
+    # when the scan under-parallelizes; at real scale this is a no-op.
+    base = df.select(F.col(id_col), F.col(text_col))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
     return (
-        df.select(F.col(id_col), toks.alias("tk"))
+        base.select(F.col(id_col), toks.alias("tk"))
         .filter(F.size("tk") >= n)
         .select(F.col(id_col), F.explode(shingles).alias("shingle"))
     )

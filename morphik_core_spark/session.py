@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelism-first coalescing (the default) is deliberate: at
+        # local scale most shuffles are KB-sized but CPU-heavy (regex
+        # normalize, explodes), and size-targeted coalescing
+        # (parallelismFirst=false + 64m advisory) collapses those onto
+        # one core — measured net-slower across the bench in round 6
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

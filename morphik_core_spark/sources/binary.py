@@ -66,18 +66,37 @@ _PARSEABLE_MIMES = (
 )
 
 
-def parse_kernels(pdf_layout: bool = False) -> dict:
+def parse_kernels(pdf_layout: bool = False, pdf_tables: bool = False) -> dict:
     """MIME -> ``bytes -> text`` kernel table — the single routing map
     shared by the distributed parse UDF and the serving edge's one-file
     ``api.ingest_file``. ``pdf_layout=True`` swaps the PDF kernel for the
     layout-aware extractor (functions/pdf_render.extract_pdf_text_layout:
     XY-cut reading order) — the Docling-shaped option for multi-column
-    corpora, at ~2x the per-document parse cost."""
+    corpora, at ~2x the per-document parse cost. ``pdf_tables=True``
+    additionally appends each ruled table as a markdown block after the
+    page text (functions/pdf_tables: rule-grid detection + cell fill),
+    closing the ruled half of the reference's Docling table model
+    (core/parser/morphik_parser.py:295-346)."""
     from morphik_core_spark.functions.html import extract_html_text
     from morphik_core_spark.functions.legacy_office import extract_doc_text, extract_xls_markdown
     from morphik_core_spark.functions.office import extract_docx_text, extract_xlsx_markdown
     from morphik_core_spark.functions.pdf import extract_pdf_text
     from morphik_core_spark.functions.pdf_render import extract_pdf_text_layout
+
+    pdf_kernel = extract_pdf_text_layout if pdf_layout else extract_pdf_text
+    if pdf_tables:
+        from morphik_core_spark.functions.pdf_tables import (
+            extract_pdf_tables,
+            table_to_markdown,
+        )
+
+        base_pdf_kernel = pdf_kernel
+
+        def pdf_kernel(data: bytes) -> str:  # noqa: F811 — deliberate wrap
+            text = base_pdf_kernel(data)
+            blocks = [table_to_markdown(t) for t in extract_pdf_tables(data)]
+            blocks = [b for b in blocks if b]
+            return text + ("\n\n" + "\n\n".join(blocks) if blocks else "")
 
     from morphik_core_spark.functions.docs_extra import (
         extract_eml_text, extract_epub_text, extract_odf_text,
@@ -85,7 +104,7 @@ def parse_kernels(pdf_layout: bool = False) -> dict:
     )
 
     return {
-        "application/pdf": extract_pdf_text_layout if pdf_layout else extract_pdf_text,
+        "application/pdf": pdf_kernel,
         _XLSX_MIME: extract_xlsx_markdown,
         _DOCX_MIME: extract_docx_text,
         _DOC_MIME: extract_doc_text,
@@ -99,14 +118,14 @@ def parse_kernels(pdf_layout: bool = False) -> dict:
     }
 
 
-def _parse_document_udf(pdf_layout: bool = False):
+def _parse_document_udf(pdf_layout: bool = False, pdf_tables: bool = False):
     """Arrow-batched document parse with per-row failure isolation: routes
     on MIME inside the batch (PDF / xlsx-markdown / docx) and returns a
     (text, status) struct; a row that fails to parse becomes
     (NULL, 'parse_failed') instead of failing the batch — the same
     isolation contract as the reference worker's per-file try/except
     (ingestion_worker.py:546-588)."""
-    kernels = parse_kernels(pdf_layout)
+    kernels = parse_kernels(pdf_layout, pdf_tables)
 
     @F.pandas_udf("text string, status string")
     def parse(payloads: pd.Series, mimes: pd.Series) -> pd.DataFrame:
@@ -179,6 +198,7 @@ def files_to_raw_docs(
     app_id: str | None = None,
     folder_path: str | None = None,
     pdf_layout: bool = False,
+    pdf_tables: bool = False,
 ) -> DataFrame:
     """binaryFile rows → raw-doc rows for ingest_batch.
 
@@ -220,7 +240,10 @@ def files_to_raw_docs(
     # catches its own failures so a bad payload can never abort the stage
     staged = files.withColumn(
         "_parsed",
-        F.when(is_parseable & nonempty, _parse_document_udf(pdf_layout)(F.col("content"), mime)),
+        F.when(
+            is_parseable & nonempty,
+            _parse_document_udf(pdf_layout, pdf_tables)(F.col("content"), mime),
+        ),
     )
 
     parse_status = (
