@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from morphik_core_spark.functions.vectors import retrieval_score
+from morphik_core_spark.operators.analytics import POISSON1_CDF_U30
 from morphik_core_spark.operators import (
     asof,
     curation,
@@ -386,6 +387,18 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.word_shingles(docs, "text", "doc_id", n=_JACCARD_N)
     pairs = dedup.jaccard_pairs(sh, "doc_id", threshold=_JACCARD_THRESHOLD, max_df=_JACCARD_MAX_DF)
     return pairs.select("id_a", "id_b", F.round("jaccard", _SCORE_DECIMALS).alias("jaccard"))
+
+
+def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% CI for mean order value
+    (`analytics.bootstrap_ci`, Chamandy-style streaming bootstrap):
+    200 reproducible resamples from integer-threshold Poisson(1)
+    weights on portable-hash residues — the experimentation family's
+    uncertainty rollup, exact across engines and partitionings."""
+    from morphik_core_spark.operators.analytics import bootstrap_ci
+
+    orders = _t(spark, sf_dir, "orders")
+    return bootstrap_ci(orders, "o_totalprice", "o_orderkey", n_resamples=200, decimals=2)
 
 
 def _q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4237,6 +4250,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "containment_dedup": _q_containment_dedup,
         "ranking_quality": _q_ranking_quality,
+        "bootstrap_ci": _q_bootstrap_ci,
         "knn_batch": _q_knn_batch,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -5364,6 +5378,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE common * 1.0 / (sa.sz + sb.sz - common) >= {_JACCARD_THRESHOLD}
+        """,
+        "bootstrap_ci": f"""
+            WITH vals AS (
+                SELECT CAST(o_orderkey AS VARCHAR) AS k,
+                       CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS v
+                FROM orders WHERE o_totalprice IS NOT NULL
+            ),
+            drawn AS (
+                SELECT b, v,
+                       CAST(('0x' || substr(md5('boot|' || CAST(b AS VARCHAR) || '|' || k), 1, 15)) AS BIGINT)
+                           % 1073741824 AS r
+                FROM vals, (SELECT unnest(range(0, 200)) AS b)
+            ),
+            weighted AS (
+                SELECT b, v,
+                       ({" + ".join(f"(CASE WHEN r >= {t} THEN 1 ELSE 0 END)" for t in POISSON1_CDF_U30)}) AS w
+                FROM drawn
+            ),
+            means AS (
+                SELECT b, CASE WHEN SUM(w) = 0 THEN NULL
+                          ELSE ROUND(CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 100.0, 2) END AS m
+                FROM weighted GROUP BY b
+            ),
+            ranked AS (
+                SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS rn,
+                       count(*) OVER () AS cnt
+                FROM means WHERE m IS NOT NULL
+            ),
+            fullagg AS (SELECT count(*) AS n_rows, SUM(v) AS sv FROM vals)
+            SELECT n_rows, 200 AS n_resamples,
+                   ROUND(CAST(sv AS DOUBLE) / CAST(n_rows AS DOUBLE) / 100.0, 2) AS mean,
+                   (SELECT m FROM ranked WHERE rn = greatest(1, (25 * cnt + 999) // 1000)) AS ci_lo,
+                   (SELECT m FROM ranked WHERE rn = (975 * cnt + 999) // 1000) AS ci_hi
+            FROM fullagg
         """,
         "containment_dedup": f"""
             {_MINHASH_CTES},

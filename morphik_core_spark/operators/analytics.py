@@ -52,6 +52,8 @@ __all__ = [
     "theil_decomposition",
     "diversity_metrics",
     "group_trend_slopes",
+    "bootstrap_ci",
+    "POISSON1_CDF_U30",
 ]
 
 
@@ -1755,4 +1757,105 @@ def group_trend_slopes(
         F.expr(
             f"CASE WHEN {den} = 0 THEN NULL ELSE {num} > 0 END"
         ).alias("rising"),
+    )
+
+
+# Poisson(1) CDF thresholds on the 2^30 integer grid (floor(cdf_k * 2^30)
+# for k = 0..6): a portable-hash residue h mod 2^30 falls below
+# POISSON1_CDF_U30[k] iff the inverse-CDF draw is <= k, so the bootstrap
+# weight ladder is PURE integer compares — exact in every engine. Tail
+# capped at 7 (P(X >= 7) ~ 8e-5; the truncation bias is far below the
+# resampling noise the CI is measuring).
+POISSON1_CDF_U30 = (
+    395007542, 790015084, 987518855, 1053353445, 1069812093, 1073103822, 1073652444
+)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_resamples: int = 200,
+    decimals: int = 6,
+    seed: str = "boot",
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval for the mean —
+    the experimentation family's uncertainty rollup (Chamandy et al.'s
+    "Estimating Uncertainty for Massive Data Streams": per-row Poisson(1)
+    weights replace multinomial resampling, so each resample is ONE
+    streaming pass and rows never co-locate).
+
+    Every (row, resample) weight is the Poisson(1) inverse CDF evaluated
+    at a portable-hash residue via integer threshold compares
+    (POISSON1_CDF_U30), so resamples are REPRODUCIBLE across engines,
+    partitionings, and reruns — rerunning the experiment readout can
+    never flip a CI boundary by luck of the RNG.
+
+    Output: one row (n_rows, n_resamples, mean, ci_lo, ci_hi) — mean is
+    the full-sample mean; the CI is the nearest-rank 2.5/97.5 percentile
+    of the resample means (exact ranks over ``n_resamples`` values, no
+    interpolation). Values ride as ROUND(x·10^decimals) BIGINTs so every
+    sum is exact; each resample mean is one double division rounded once.
+
+    Scale: the explode is n_resamples×N rows but the per-resample sums
+    map-side combine to ``n_resamples`` groups per partition — the
+    shuffle carries B rows per partition, and the percentile window runs
+    over a B-row frame. N never concentrates.
+    """
+    scale = 10**decimals
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.expr(
+            f"CAST(CAST({value_col} AS DECIMAL(28,{decimals})) * {scale} AS BIGINT)"
+        ).alias("_v"),
+    )
+    full = vals.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_v").alias("_sv"),
+    )
+    from morphik_core_spark.operators.dedup import portable_hash
+
+    h = portable_hash(F.concat(F.lit(f"{seed}|"), F.col("_b").cast("string"), F.lit("|"), F.col("_k")))
+    ladder = " + ".join(
+        f"(CASE WHEN _r >= {t} THEN 1 ELSE 0 END)" for t in POISSON1_CDF_U30
+    )
+    drawn = (
+        vals.select(
+            "_k", "_v", F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("_b")
+        )
+        .withColumn("_r", h % F.lit(1 << 30))
+        .withColumn("_w", F.expr(ladder))
+    )
+    means = drawn.groupBy("_b").agg(
+        F.expr("CASE WHEN SUM(_w) = 0 THEN NULL ELSE "
+               f"ROUND(CAST(SUM(_w * _v) AS DOUBLE) / CAST(SUM(_w) AS DOUBLE) / {scale}.0D, {decimals}) END").alias("_m")
+    )
+    # nearest-rank percentiles over the VALID resample count (a tiny
+    # input can produce all-zero-weight resamples whose mean is NULL;
+    # fixed ranks over n_resamples would then point past the frame).
+    # Integer ceil — (25·cnt + 999) div 1000 — because double 0.025·cnt
+    # can land epsilon above an integer and ceil() off-by-one the rank.
+    w = Window.orderBy(F.col("_m").asc(), F.col("_b").asc())
+    ranked = (
+        means.filter(F.col("_m").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_cnt", F.count(F.lit(1)).over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    )
+    ci = ranked.agg(
+        F.max(
+            F.when(F.col("_rn") == F.greatest(F.lit(1), F.expr("(25 * _cnt + 999) div 1000")), F.col("_m"))
+        ).alias("ci_lo"),
+        F.max(F.when(F.col("_rn") == F.expr("(975 * _cnt + 999) div 1000"), F.col("_m"))).alias("ci_hi"),
+    )
+    return (
+        full.crossJoin(F.broadcast(ci))
+        .select(
+            "n_rows",
+            F.lit(n_resamples).cast("int").alias("n_resamples"),
+            F.expr(
+                f"ROUND(CAST(_sv AS DOUBLE) / CAST(n_rows AS DOUBLE) / {scale}.0D, {decimals})"
+            ).alias("mean"),
+            "ci_lo",
+            "ci_hi",
+        )
     )

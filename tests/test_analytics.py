@@ -298,3 +298,34 @@ def test_decayed_counts_exact_power_weights(spark):
     out = {r.k: r for r in decayed_counts(df, ["k"], "ts").collect()}
     assert out["a"].trending_score == 1.75
     assert out["b"].trending_score == 0.0 and out["b"].n_events == 1
+
+
+def test_bootstrap_ci_statistics_and_reproducibility(spark):
+    from pyspark.sql import functions as F
+
+    from morphik_core_spark.operators.analytics import bootstrap_ci
+
+    df = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).cast("double").alias("x")
+    )
+    r = bootstrap_ci(df, "x", "k", n_resamples=200).collect()[0].asDict()
+    assert r["n_rows"] == 10000 and r["n_resamples"] == 200
+    assert r["mean"] == 49.5
+    # CI brackets the mean with ~4*se width (se = 28.87/sqrt(10000) = 0.289)
+    assert r["ci_lo"] < 49.5 < r["ci_hi"]
+    assert 0.6 < r["ci_hi"] - r["ci_lo"] < 1.9
+    # deterministic: identical under a different partitioning
+    r2 = bootstrap_ci(df.repartition(17), "x", "k", n_resamples=200).collect()[0].asDict()
+    assert r == r2
+
+
+def test_bootstrap_ci_nulls_and_tiny_input(spark):
+    from morphik_core_spark.operators.analytics import bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k long, x double"
+    )
+    r = bootstrap_ci(df, "x", "k", n_resamples=40).collect()[0].asDict()
+    assert r["n_rows"] == 2 and r["mean"] == 20.0
+    # bounds exist and come from the two achievable values' resample mix
+    assert 10.0 <= r["ci_lo"] <= r["ci_hi"] <= 30.0

@@ -36,9 +36,11 @@ SENSITIVE = [
     "dow_seasonality",
     "skew_salted_agg",
     # round-6 new operators: scaled-int DCG sums + edge divisions;
-    # containment's two per-pair divisions
+    # containment's two per-pair divisions; hash-threshold Poisson
+    # bootstrap (integer weights, one division per resample mean)
     "ranking_quality",
     "containment_dedup",
+    "bootstrap_ci",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",
