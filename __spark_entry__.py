@@ -5385,11 +5385,14 @@ def oracle_sql() -> dict[str, str]:
                        CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS v
                 FROM orders WHERE o_totalprice IS NOT NULL
             ),
+            blocks AS (
+                SELECT v, blk, md5('boot|' || CAST(blk AS VARCHAR) || '|' || k) AS d
+                FROM vals, (SELECT unnest(range(0, 50)) AS blk)
+            ),
             drawn AS (
-                SELECT b, v,
-                       CAST(('0x' || substr(md5('boot|' || CAST(b AS VARCHAR) || '|' || k), 1, 15)) AS BIGINT)
-                           % 1073741824 AS r
-                FROM vals, (SELECT unnest(range(0, 200)) AS b)
+                SELECT blk * 4 + j AS b, v,
+                       CAST(('0x' || substr(d, 1 + 8 * j, 8)) AS BIGINT) % 1073741824 AS r
+                FROM blocks, (SELECT unnest(range(0, 4)) AS j)
             ),
             weighted AS (
                 SELECT b, v,

@@ -1809,21 +1809,42 @@ def bootstrap_ci(
             f"CAST(CAST({value_col} AS DECIMAL(28,{decimals})) * {scale} AS BIGINT)"
         ).alias("_v"),
     )
+    # pre-fan-out exchange: the resample explode multiplies rows by
+    # n_resamples and hashes each one — run that on every core, not on
+    # the 1-2 partitions a small scan arrives as. No-op at real scale.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if vals.rdd.getNumPartitions() < par:
+        vals = vals.repartition(par)
     full = vals.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("_v").alias("_sv"),
     )
-    from morphik_core_spark.operators.dedup import portable_hash
-
-    h = portable_hash(F.concat(F.lit(f"{seed}|"), F.col("_b").cast("string"), F.lit("|"), F.col("_k")))
+    # one md5 per (row, block of 4 resamples): the 128-bit digest yields
+    # FOUR independent 30-bit draws (8 hex chars each — a 32-bit value
+    # mod 2^30 is exactly uniform), so the dominant per-draw cost (string
+    # build + md5) drops 4x while draws stay truly independent across
+    # resamples (unlike affine re-mixes of one hash, which correlate the
+    # resample means along lines)
     ladder = " + ".join(
         f"(CASE WHEN _r >= {t} THEN 1 ELSE 0 END)" for t in POISSON1_CDF_U30
     )
+    n_blocks = -(-n_resamples // 4)
+    digest = F.md5(
+        F.concat(F.lit(f"{seed}|"), F.col("_blk").cast("string"), F.lit("|"), F.col("_k"))
+    )
+    blocks = vals.select(
+        "_k", "_v", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_blk")
+    ).withColumn("_d", digest)  # hashed ONCE per block, before the 4-way explode
     drawn = (
-        vals.select(
-            "_k", "_v", F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("_b")
+        blocks.select(
+            "_v", "_blk", "_d", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("_j")
         )
-        .withColumn("_r", h % F.lit(1 << 30))
+        .withColumn("_b", F.expr("_blk * 4 + _j"))
+        .filter(F.col("_b") < n_resamples)
+        .withColumn(
+            "_r",
+            F.expr("CAST(conv(substring(_d, 1 + 8 * _j, 8), 16, 10) AS BIGINT) % 1073741824"),
+        )
         .withColumn("_w", F.expr(ladder))
     )
     means = drawn.groupBy("_b").agg(

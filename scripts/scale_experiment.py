@@ -1332,6 +1332,73 @@ def main() -> None:
         report("group_trend_slopes", trend, ev1c, ev10c)
 
 
+    if "r6" in ops:
+        # round-6 additions. Containment rides the shingle inverted index
+        # (scales with shared-shingle pairs); bootstrap explodes B x N but
+        # map-side combines to B groups per partition; ranking_metrics is
+        # Q x k-bounded so it runs on the 10x EVENT-derived judgments.
+        from morphik_core_spark.operators.analytics import bootstrap_ci
+        from morphik_core_spark.operators.dedup import containment_pairs, word_shingles
+        from morphik_core_spark.operators.ml_eval import ranking_metrics
+
+        def containment(d):
+            sh = word_shingles(d, "text", "doc_id", n=3)
+            mat(containment_pairs(sh, "doc_id", threshold=0.10, max_df=6))
+
+        report("containment_pairs", containment, docs1, docs10)
+
+        ord_b1 = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_totalprice")
+        btiles = [
+            ord_b1.select(
+                (F.col("o_orderkey") * 10 + k).alias("o_orderkey"),
+                (F.col("o_totalprice") + k * 0.01).alias("o_totalprice"),
+            )
+            for k in range(10)
+        ]
+        ord_b10 = btiles[0]
+        for t in btiles[1:]:
+            ord_b10 = ord_b10.unionByName(t)
+        ob_p = os.path.join(tmp, "ord10boot")
+        ord_b10.write.mode("overwrite").parquet(ob_p)
+        ord_b10 = spark.read.parquet(ob_p)
+        report(
+            "bootstrap_ci",
+            lambda o: mat(bootstrap_ci(o, "o_totalprice", "o_orderkey", n_resamples=200, decimals=2)),
+            ord_b1,
+            ord_b10,
+        )
+
+        ev_r1 = load_table(spark, "events", SF_DIR).select("user_id", "event_id", "value", "event_type")
+        rtiles = [
+            ev_r1.select(
+                (F.col("user_id") * 10 + k).alias("user_id"),
+                (F.col("event_id") * 10 + k).alias("event_id"),
+                "value",
+                "event_type",
+            )
+            for k in range(10)
+        ]
+        ev_r10 = rtiles[0]
+        for t in rtiles[1:]:
+            ev_r10 = ev_r10.unionByName(t)
+        er_p = os.path.join(tmp, "ev10rank")
+        ev_r10.write.mode("overwrite").parquet(er_p)
+        ev_r10 = spark.read.parquet(er_p)
+
+        def ranking(e):
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+            judged = (
+                e.filter(F.col("value").isNotNull())
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 10)
+                .withColumn("rel", (F.col("event_type") == "purchase").cast("int"))
+            )
+            mat(ranking_metrics(judged, "user_id", "rank", "rel", k=10))
+
+        report("ranking_metrics", ranking, ev_r1, ev_r10)
+
     if "asof" in ops:
         # Round-5 rewrote the as-of family from join+groupBy to
         # union-tag-window; this experiment documents WHY on the exact
