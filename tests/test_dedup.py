@@ -351,3 +351,30 @@ def test_containment_pairs_max_df_drops_hot_shingles(spark):
     sh = word_shingles(df, "text", "doc_id", n=3)
     assert containment_pairs(sh, "doc_id", threshold=0.1, max_df=3).count() == 0
     assert containment_pairs(sh, "doc_id", threshold=0.1).count() == 15
+
+
+def test_containment_jaccard_invariants_random_corpus(spark):
+    """Structural invariants on a seeded random corpus: for every pair,
+    0 < c_a, c_b <= 1; jaccard <= min(c_a, c_b); and containment recomputed
+    from (common, sz) matches the reported ratio."""
+    import random
+
+    from morphik_core_spark.operators.dedup import containment_pairs, word_shingles
+
+    rng = random.Random(606)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 60))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(df, "text", "doc_id", n=3)
+    pairs = containment_pairs(sh, "doc_id", threshold=0.05).collect()
+    assert pairs, "seeded corpus must produce candidate pairs"
+    for r in pairs:
+        assert 0.0 < r["c_a"] <= 1.0 and 0.0 < r["c_b"] <= 1.0
+        assert r["id_a"] < r["id_b"]
+        jac = r["common"] / (r["sz_a"] + r["sz_b"] - r["common"])
+        assert jac <= min(r["c_a"], r["c_b"]) + 1e-9
+        assert abs(r["c_a"] - round(r["common"] / r["sz_a"], 6)) < 1e-12
+        assert abs(r["c_b"] - round(r["common"] / r["sz_b"], 6)) < 1e-12
