@@ -26,6 +26,7 @@ from morphik_core_spark.operators import (
     curation,
     dedup,
     docstore,
+    graph,
     limits,
     listing,
     maxsim,
@@ -441,6 +442,150 @@ def _q_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rel", (F.col("label") == F.col("q_label")).cast("int"))
     )
     return ranking_metrics(ranked, "q_id", "rank", "rel", k=10)
+
+
+_GRAPH_SEEDS = ["spark"]
+_GRAPH_EXPANSION_K = 5
+_GRAPH_SEED_WEIGHT = 1000
+_OVERLAP_BUCKET_DAYS = 32
+_OVERLAP_EPOCH = "1992-01-01"
+_HAMPEL_HALF_WINDOW = 12
+_LDIV_L = 3
+
+
+def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (`asof.interval_overlap_pairs`):
+    each order opens a priority-dependent fulfillment window (7×digit
+    days); count, per nation, the concurrently-open order pairs and
+    their mean overlap length. Bucket-decomposed equi-join — both
+    sides scale to 100 TB; the brute oracle is the O(n²)-per-nation
+    form this restates."""
+    from morphik_core_spark.operators.asof import interval_overlap_pairs
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    iv = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("c_nationkey").alias("nk"),
+            F.datediff(F.col("o_orderdate"), F.lit(_OVERLAP_EPOCH).cast("date")).alias("s"),
+            (
+                F.datediff(F.col("o_orderdate"), F.lit(_OVERLAP_EPOCH).cast("date"))
+                + 7 * F.substring("o_orderpriority", 1, 1).cast("int")
+            ).alias("e"),
+        )
+    )
+    pairs = interval_overlap_pairs(
+        iv, "k", "s", "e", bucket_width=_OVERLAP_BUCKET_DAYS, key_cols=["nk"]
+    )
+    return (
+        pairs.withColumn(
+            "od", F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b") + F.lit(1)
+        )
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.round(F.avg("od"), 4).alias("avg_overlap_days"))
+        .join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .select("n_name", "n_pairs", "avg_overlap_days")
+    )
+
+
+def _q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity-resolution join (`dedup.edit_distance_pairs`):
+    all customer-name pairs within Levenshtein distance 1, generated by
+    deletion-neighborhood (SymSpell) blocking — an exact, complete
+    candidate set with no all-pairs scan; the oracle is the brute
+    length-banded form."""
+    cust = _t(spark, sf_dir, "customer")
+    pairs = dedup.edit_distance_pairs(cust, "c_name", "c_custkey")
+    return pairs.select(
+        "id_a", "id_b",
+        F.col("text_a").alias("name_a"), F.col("text_b").alias("name_b"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def _q_graph_rag_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphRAG retrieval (`graph.term_cooccurrence_edges` +
+    `graph.seed_expansion_weights`): build the term co-occurrence
+    knowledge graph over the corpus, expand the seed term one hop to
+    its top-5 co-occurring neighbors, then rank documents by
+    tf-weighted matched-entity score — the Spark restatement of the
+    reference's entity-graph build + query-time expansion
+    (core/services/graph_service.py). The weight table is
+    broadcast-sized by construction, so retrieval is one broadcast
+    join over the corpus."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = graph.term_cooccurrence_edges(docs, "text", "doc_id")
+    wts = graph.seed_expansion_weights(
+        edges, _GRAPH_SEEDS, k=_GRAPH_EXPANSION_K, seed_weight=_GRAPH_SEED_WEIGHT
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(wts), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("wt")).alias("score"), F.count(F.lit(1)).alias("n_matched"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 20)
+        .select("doc_id", "score", "n_matched")
+    )
+
+
+def _q_rolling_median_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel-style ingest watchdog (`analytics.rolling_median_flags`):
+    hourly event counts vs the exact median of the ±12-hour
+    neighborhood; a row is anomalous when it deviates from the local
+    median by more than half of it. Twice-the-median int64 arithmetic
+    keeps the flag bit-identical across engines and partitionings."""
+    from morphik_core_spark.operators.analytics import rolling_median_flags
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return rolling_median_flags(
+        hourly, "hr", "n", half_window=_HAMPEL_HALF_WINDOW, rel_num=1, rel_den=2
+    )
+
+
+def _q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class l-diversity detail (`validation.l_diversity_classes`):
+    quasi-identifier = (nation, market segment, account-balance
+    decile), sensitive attribute = order priority of the class's
+    orders, class size in distinct customers — lists the equivalence
+    classes a release gate must generalize or suppress (the
+    remediation complement of `validation_suite`'s k-anonymity
+    rollup)."""
+    from pyspark.sql import Window
+
+    from morphik_core_spark.operators.validation import l_diversity_classes
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    c10 = cust.withColumn("bal_decile", F.ntile(10).over(w))
+    joined = c10.join(orders, c10.c_custkey == orders.o_custkey)
+    return l_diversity_classes(
+        joined,
+        ["c_nationkey", "c_mktsegment", "bal_decile"],
+        "o_orderpriority",
+        l=_LDIV_L,
+        entity_col="c_custkey",
+    )
 
 
 def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4251,6 +4396,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dedup": _q_containment_dedup,
         "ranking_quality": _q_ranking_quality,
         "bootstrap_ci": _q_bootstrap_ci,
+        "interval_overlap": _q_interval_overlap,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "graph_rag_expansion": _q_graph_rag_expansion,
+        "rolling_median_anomaly": _q_rolling_median_anomaly,
+        "l_diversity": _q_l_diversity,
         "knn_batch": _q_knn_batch,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -5437,6 +5587,101 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE greatest(common * 1.0 / sa.sz, common * 1.0 / sb.sz)
                   >= {_CONTAINMENT_THRESHOLD}
+        """,
+        "interval_overlap": f"""
+            WITH iv AS (
+                SELECT o.o_orderkey AS k, c.c_nationkey AS nk,
+                       date_diff('day', DATE '{_OVERLAP_EPOCH}', o.o_orderdate) AS s,
+                       date_diff('day', DATE '{_OVERLAP_EPOCH}', o.o_orderdate)
+                           + 7 * CAST(substr(o.o_orderpriority, 1, 1) AS INT) AS e
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ),
+            p AS (
+                SELECT a.nk, least(a.e, b.e) - greatest(a.s, b.s) + 1 AS od
+                FROM iv a JOIN iv b
+                ON a.nk = b.nk AND a.k < b.k AND a.s <= b.e AND b.s <= a.e
+            )
+            SELECT n.n_name, count(*) AS n_pairs, ROUND(avg(od), 4) AS avg_overlap_days
+            FROM p JOIN nation n ON p.nk = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "fuzzy_name_pairs": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   a.c_name AS name_a, b.c_name AS name_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+            FROM customer a JOIN customer b
+            ON a.c_custkey < b.c_custkey
+               AND abs(length(a.c_name) - length(b.c_name)) <= 1
+               AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "graph_rag_expansion": f"""
+            WITH tok AS (
+                SELECT doc_id, t.term
+                FROM documents, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(term)
+                WHERE t.term <> ''
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            terms AS (SELECT DISTINCT doc_id, term FROM tok),
+            edges AS (
+                SELECT a.term AS ta, b.term AS tb, count(*) AS w
+                FROM terms a JOIN terms b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+                GROUP BY 1, 2
+            ),
+            und AS (
+                SELECT ta AS t1, tb AS t2, w FROM edges
+                UNION ALL SELECT tb, ta, w FROM edges
+            ),
+            nbr AS (
+                SELECT t2 AS term, sum(w) AS wt FROM und
+                WHERE t1 IN ({", ".join("'" + s + "'" for s in _GRAPH_SEEDS)})
+                  AND t2 NOT IN ({", ".join("'" + s + "'" for s in _GRAPH_SEEDS)})
+                GROUP BY t2
+                ORDER BY sum(w) DESC, t2 ASC LIMIT {_GRAPH_EXPANSION_K}
+            ),
+            wts AS (
+                SELECT term, CAST({_GRAPH_SEED_WEIGHT} AS BIGINT) AS wt
+                FROM (SELECT unnest([{", ".join("'" + s + "'" for s in _GRAPH_SEEDS)}]) AS term)
+                UNION ALL SELECT term, CAST(wt AS BIGINT) FROM nbr
+            ),
+            scored AS (
+                SELECT f.doc_id, sum(f.tf * w.wt) AS score, count(*) AS n_matched
+                FROM tf f JOIN wts w USING (term) GROUP BY 1
+            )
+            SELECT doc_id, score, n_matched FROM scored
+            ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "rolling_median_anomaly": f"""
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+                FROM events GROUP BY 1
+            ),
+            m AS (
+                SELECT hr, n,
+                       CAST(2 * median(n) OVER (
+                           ORDER BY hr
+                           ROWS BETWEEN {_HAMPEL_HALF_WINDOW} PRECEDING
+                                    AND {_HAMPEL_HALF_WINDOW} FOLLOWING
+                       ) AS BIGINT) AS m2
+                FROM h
+            )
+            SELECT hr, n, m2 / 2.0 AS med,
+                   2 * abs(2 * n - m2) > m2 AS is_anomaly
+            FROM m
+        """,
+        "l_diversity": f"""
+            WITH c10 AS (
+                SELECT c_custkey, c_nationkey, c_mktsegment,
+                       CAST(ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS INT)
+                           AS bal_decile
+                FROM customer
+            )
+            SELECT c_nationkey, c_mktsegment, bal_decile,
+                   count(DISTINCT c_custkey) AS class_size,
+                   count(DISTINCT o_orderpriority) AS l_div,
+                   count(DISTINCT o_orderpriority) < {_LDIV_L} AS violates_l
+            FROM c10 JOIN orders ON o_custkey = c_custkey
+            GROUP BY 1, 2, 3
         """,
         "ranking_quality": f"""
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label AS q_label

@@ -17,6 +17,8 @@ series table never globally sorts.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -26,6 +28,7 @@ __all__ = [
     "asof_nearest",
     "at_time_padding",
     "interval_point_join",
+    "interval_overlap_pairs",
 ]
 
 
@@ -301,4 +304,86 @@ def interval_point_join(
         p.join(i, on="_b", how="inner")
         .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col)))
         .drop("_b")
+    )
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int = 32,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Interval×interval self overlap join — all unordered pairs whose
+    ``[lo, hi]`` ranges intersect — via the same bucket decomposition as
+    :func:`interval_point_join`, extended to two exploded sides.
+
+    Both intervals explode into the fixed-width buckets they cover and
+    the pair materializes once per SHARED bucket; the count-once rule
+    keeps only the bucket containing ``greatest(lo_a, lo_b)`` (every
+    overlapping pair shares exactly that bucket, because the later
+    start lies inside the earlier interval), so no post-hoc distinct
+    over an O(len/width) duplicate fan-out is needed. The join is a
+    plain hash equi-join on ``(key_cols…, bucket)``; for bounded
+    interval lengths per-row fan-out is ``len/width + 1`` and both
+    sides can be 100 TB. Malformed (``hi < lo`` / NULL-bound) rows are
+    dropped up front — the exact set the overlap predicate would never
+    match — so one corrupt row cannot kill the job via
+    ``F.sequence``'s boundary check.
+
+    ``lo``/``hi`` must be integers on a shared axis (day numbers,
+    epoch seconds); inclusive ends; overlap means ``lo_a <= hi_b AND
+    lo_b <= hi_a``. Output: ``key_cols…, id_a, id_b, lo_a, hi_a,
+    lo_b, hi_b`` with ``id_a < id_b``.
+
+    No reference analog (morphik-core has only the point-lookup
+    ``at_time``, core/models/video.py:41-85); this is the
+    concurrent-validity join a temporal pipeline needs (overlapping
+    sessions, double-booked resources, SCD2 sanity).
+    """
+    def _floor_bucket(c):
+        c = c.cast("long")
+        return c - F.pmod(c, F.lit(bucket_width))
+
+    keys = list(key_cols)
+    exploded = (
+        df.filter(F.col(lo_col).isNotNull() & (F.col(lo_col) <= F.col(hi_col)))
+        .select(
+            *keys,
+            F.col(id_col).alias("_id"),
+            F.col(lo_col).cast("long").alias("_lo"),
+            F.col(hi_col).cast("long").alias("_hi"),
+        )
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    _floor_bucket(F.col("_lo")),
+                    _floor_bucket(F.col("_hi")),
+                    F.lit(bucket_width),
+                )
+            ),
+        )
+    )
+    a = exploded.select(
+        *keys, "_b",
+        F.col("_id").alias("id_a"), F.col("_lo").alias("lo_a"), F.col("_hi").alias("hi_a"),
+    )
+    b = exploded.select(
+        *[F.col(k).alias(f"_r_{k}") for k in keys], F.col("_b").alias("_r_b"),
+        F.col("_id").alias("id_b"), F.col("_lo").alias("lo_b"), F.col("_hi").alias("hi_b"),
+    )
+    cond = (F.col("_b") == F.col("_r_b")) & (F.col("id_a") < F.col("id_b"))
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"_r_{k}"))
+    later_start = F.greatest(F.col("lo_a"), F.col("lo_b"))
+    return (
+        a.join(b, cond)
+        .filter(
+            (F.col("lo_a") <= F.col("hi_b"))
+            & (F.col("lo_b") <= F.col("hi_a"))
+            & (F.col("_b") == later_start - F.pmod(later_start, F.lit(bucket_width)))
+        )
+        .select(*keys, "id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
     )

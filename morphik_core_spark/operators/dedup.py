@@ -43,6 +43,7 @@ __all__ = [
     "simhash_pandas",
     "jaccard_pairs",
     "containment_pairs",
+    "edit_distance_pairs",
     "embedding_near_dup",
     "embedding_near_dup_pandas",
     "connected_components",
@@ -1056,4 +1057,68 @@ def blocking_recall(
                 decimals,
             ).alias("precision"),
         )
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """All pairs of rows whose ``text_col`` values are within Levenshtein
+    distance 1, via deletion-neighborhood blocking (SymSpell / FastSS):
+    each string emits itself plus every single-character deletion as a
+    block key; two strings at distance ≤ 1 ALWAYS share a key (identity
+    for d=0; the deletion at the edit position for a substitution; the
+    shorter string itself for an insert/delete), so the equi-join on the
+    variant is a complete, exact candidate generator — no all-pairs, no
+    length-band scan. Candidates are verified with the real
+    ``levenshtein`` before emission.
+
+    Per-row fan-out is ``len+1`` keys and every bucket is a radius-1
+    deletion ball, so the join keys are near-unique on natural name/id
+    corpora; ``max_bucket_size`` is the hot-bucket valve for degenerate
+    inputs (a million rows of the same short token) — buckets past the
+    cap are dropped via a broadcast anti-join, same contract as
+    ``lsh_candidate_pairs``.
+
+    Output: ``id_a, id_b, text_a, text_b, dist`` with ``id_a < id_b``
+    and ``dist ∈ {0, 1}`` (0 = distinct rows, identical strings).
+
+    The entity-resolution primitive the reference's metadata layer
+    lacks (morphik-core matches filenames only by exact/ILIKE,
+    core/database/postgres_database.py); at 100 TB this is the
+    typo-tolerant join for user/entity name reconciliation.
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_s"))
+    t = "_s"
+    variants = base.select(
+        "_id",
+        "_s",
+        F.explode(
+            F.expr(
+                f"array_union(array({t}), transform(sequence(1, length({t})),"
+                f" i -> concat(substring({t}, 1, i-1),"
+                f" substring({t}, i+1, length({t})-i))))"
+            )
+        ).alias("_v"),
+    )
+    if max_bucket_size is not None:
+        hot = (
+            variants.groupBy("_v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("_v")
+        )
+        variants = variants.join(F.broadcast(hot), "_v", "left_anti")
+    a = variants.select(F.col("_v"), F.col("_id").alias("id_a"), F.col("_s").alias("text_a"))
+    b = variants.select(F.col("_v"), F.col("_id").alias("id_b"), F.col("_s").alias("text_b"))
+    return (
+        a.join(b, ["_v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .filter(F.col("dist") <= 1)
     )

@@ -27,7 +27,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_fixed_point", "connected_components_star", "triangle_count", "k_core"]
+__all__ = [
+    "pagerank_fixed_point",
+    "connected_components_star",
+    "triangle_count",
+    "k_core",
+    "term_cooccurrence_edges",
+    "seed_expansion_weights",
+]
 
 # 1.0 of rank == 1e12 micro-units; int64 headroom: rank_u * weight must
 # stay under 2^63, i.e. per-edge weights up to ~9e6 at full rank
@@ -341,3 +348,99 @@ def k_core(
     return deg.filter(F.col("d") >= k).select(
         F.col("n").alias("node"), F.col("d").alias("degree")
     )
+
+
+def term_cooccurrence_edges(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_weight: int = 1,
+    max_terms_per_doc: int | None = None,
+) -> DataFrame:
+    """Undirected term co-occurrence edge list: ``(term_a, term_b,
+    weight)`` with ``term_a < term_b``, weight = number of documents in
+    which both terms appear (presence, not frequency).
+
+    This is the knowledge-graph BUILD step of a GraphRAG pipeline —
+    the Spark restatement of the reference's entity-graph construction
+    (morphik-core extracts entities per chunk and accumulates
+    entity-pair relationships across chunks,
+    core/services/graph_service.py): here "entities" are whitespace
+    tokens; a real deployment swaps the tokenizer for an NER/model
+    extractor behind the same (doc, term) contract.
+
+    Shape: explode → per-doc DISTINCT term set → within-doc pair join.
+    The join is keyed on the doc id, so pair fan-out is |terms|² PER
+    DOCUMENT — bounded by ``max_terms_per_doc`` (keep the top-N by
+    frequency per doc, ties lexicographic), never by corpus size. One
+    groupBy on the (a, b) pair with map-side combine aggregates the
+    corpus; edges number at most |vocab|², independent of row count.
+    """
+    terms = (
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    if max_terms_per_doc is not None:
+        from pyspark.sql import Window
+
+        tf = terms.groupBy("_doc", "term").agg(F.count(F.lit(1)).alias("_tf"))
+        w = Window.partitionBy("_doc").orderBy(F.col("_tf").desc(), F.col("term").asc())
+        dist = (
+            tf.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_terms_per_doc)
+            .select("_doc", "term")
+        )
+    else:
+        dist = terms.select("_doc", "term").distinct()
+    a = dist.select("_doc", F.col("term").alias("term_a"))
+    b = dist.select(F.col("_doc").alias("_doc_b"), F.col("term").alias("term_b"))
+    return (
+        a.join(b, (F.col("_doc") == F.col("_doc_b")) & (F.col("term_a") < F.col("term_b")))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )
+
+
+def seed_expansion_weights(
+    edges: DataFrame,
+    seeds: list[str],
+    k: int = 5,
+    seed_weight: int = 1000,
+) -> DataFrame:
+    """Query-time 1-hop graph expansion: from the seed terms, pick the
+    top-``k`` co-occurrence neighbors (by summed edge weight to any
+    seed; ties lexicographic) and return a term → weight table — seeds
+    at ``seed_weight``, neighbors at their integer co-occurrence weight.
+
+    The retrieval-side half of GraphRAG (reference: query entities are
+    expanded through the stored graph before chunk retrieval,
+    core/services/graph_service.py); the output is broadcast-sized by
+    construction (|seeds| + k rows), so the downstream document-scoring
+    join is a broadcast hash join whatever the corpus size.
+    """
+    from pyspark.sql import Window
+
+    und = edges.select(
+        F.col("term_a").alias("t1"), F.col("term_b").alias("t2"), "weight"
+    ).unionByName(
+        edges.select(
+            F.col("term_b").alias("t1"), F.col("term_a").alias("t2"), "weight"
+        )
+    )
+    seed_lit = F.array(*[F.lit(s) for s in seeds])
+    nbr = (
+        und.filter(F.array_contains(seed_lit, F.col("t1")))
+        .filter(~F.array_contains(seed_lit, F.col("t2")))
+        .groupBy(F.col("t2").alias("term"))
+        .agg(F.sum("weight").alias("wt"))
+    )
+    w = Window.orderBy(F.col("wt").desc(), F.col("term").asc())
+    topk = nbr.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).select("term", "wt")
+    seeds_df = edges.sparkSession.createDataFrame(
+        [(s, seed_weight) for s in sorted(set(seeds))], "term string, wt long"
+    )
+    return seeds_df.unionByName(topk.select("term", F.col("wt").cast("long")))

@@ -41,6 +41,10 @@ SENSITIVE = [
     "ranking_quality",
     "containment_dedup",
     "bootstrap_ci",
+    # round-6 session-2 additions: interval avg division; rolling-median
+    # halves (exact .0/.5 doubles from int64 m2)
+    "interval_overlap",
+    "rolling_median_anomaly",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",

@@ -1,0 +1,231 @@
+"""Unit tests for the round-6 second-session operators: interval×interval
+overlap pairs, deletion-neighborhood edit-distance pairs, the GraphRAG
+term-graph build/expansion, the rolling-median anomaly screen, and
+per-class l-diversity.
+
+The oracle-parity gate pins each query's values vs DuckDB; these pin the
+operator properties the oracle can't see: equivalence of the bucket
+decomposition to the naive quadratic overlap join (boundary hits,
+negative axes, malformed rows), completeness/exactness of the SymSpell
+blocking vs brute-force Levenshtein, the expansion's tie rules and caps,
+and the rolling median vs pandas on both window parities.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from morphik_core_spark.operators.analytics import rolling_median_flags
+from morphik_core_spark.operators.asof import interval_overlap_pairs
+from morphik_core_spark.operators.dedup import edit_distance_pairs
+from morphik_core_spark.operators.graph import (
+    seed_expansion_weights,
+    term_cooccurrence_edges,
+)
+from morphik_core_spark.operators.validation import l_diversity_classes
+
+
+# ------------------------------------------------- interval overlap
+
+
+def _naive_pairs(rows):
+    out = set()
+    for (ka, sa, ea), (kb, sb, eb) in itertools.combinations(rows, 2):
+        if sa <= eb and sb <= ea:
+            out.add((min(ka, kb), max(ka, kb)))
+    return out
+
+
+@pytest.mark.parametrize("width", [1, 3, 7, 32])
+def test_interval_overlap_matches_naive(spark, width):
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        lo = rng.randint(-50, 100)
+        rows.append((i, lo, lo + rng.randint(0, 25)))
+    df = spark.createDataFrame(rows, "id long, lo long, hi long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in interval_overlap_pairs(df, "id", "lo", "hi", bucket_width=width).collect()
+    }
+    assert got == _naive_pairs(rows)
+
+
+def test_interval_overlap_pair_emitted_exactly_once(spark):
+    # long intervals spanning many buckets: the count-once rule must not
+    # duplicate the pair per shared bucket
+    df = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 150), (3, 90, 95)], "id long, lo long, hi long"
+    )
+    out = interval_overlap_pairs(df, "id", "lo", "hi", bucket_width=8).collect()
+    pairs = [(r.id_a, r.id_b) for r in out]
+    assert sorted(pairs) == [(1, 2), (1, 3), (2, 3)]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_interval_overlap_boundary_and_keys(spark):
+    # touching endpoints are inclusive; key columns shard the pair space
+    df = spark.createDataFrame(
+        [("a", 1, 0, 10), ("a", 2, 10, 20), ("b", 3, 0, 10), ("b", 4, 11, 20)],
+        "grp string, id long, lo long, hi long",
+    )
+    out = interval_overlap_pairs(df, "id", "lo", "hi", bucket_width=4, key_cols=["grp"])
+    assert [(r.grp, r.id_a, r.id_b) for r in out.collect()] == [("a", 1, 2)]
+
+
+def test_interval_overlap_malformed_rows_dropped(spark):
+    # hi < lo and NULL bounds must not kill the job (F.sequence guard)
+    df = spark.createDataFrame(
+        [(1, 10, 0), (2, None, 5), (3, 0, 5), (4, 3, 8)],
+        "id long, lo long, hi long",
+    )
+    out = interval_overlap_pairs(df, "id", "lo", "hi", bucket_width=4).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(3, 4)]
+
+
+# --------------------------------------------- edit-distance pairs
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    rng = random.Random(11)
+    alphabet = "abc"
+    strings = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 5))) for _ in range(80)]
+    df = spark.createDataFrame(list(enumerate(strings)), "id long, s string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, "s", "id").collect()
+    }
+    want = {
+        (i, j, _lev(strings[i], strings[j]))
+        for i in range(len(strings))
+        for j in range(i + 1, len(strings))
+        if _lev(strings[i], strings[j]) <= 1
+    }
+    assert got == want
+
+
+def test_edit_distance_pairs_edit_kinds(spark):
+    df = spark.createDataFrame(
+        [(1, "spark"), (2, "spark"), (3, "spark!"), (4, "park"), (5, "spurk"), (6, "sprk"),
+         (7, "stork")],
+        "id long, s string",
+    )
+    got = {(r.id_a, r.id_b): r.dist for r in edit_distance_pairs(df, "s", "id").collect()}
+    # identical (d=0), append, delete-first, substitute, delete-middle
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 1 and got[(1, 4)] == 1 and got[(1, 5)] == 1 and got[(1, 6)] == 1
+    assert (1, 7) not in got  # distance 2
+    assert (4, 5) not in got  # park vs spurk = 2
+
+
+def test_edit_distance_pairs_hot_bucket_cap(spark):
+    # 40 copies of one short token: every deletion bucket is hot; the cap
+    # drops them all, so no pairs emerge (the valve, not the default)
+    df = spark.createDataFrame([(i, "aa") for i in range(40)], "id long, s string")
+    assert edit_distance_pairs(df, "s", "id", max_bucket_size=10).count() == 0
+    assert edit_distance_pairs(df, "s", "id").count() == 40 * 39 // 2
+
+
+# --------------------------------------------------------- GraphRAG
+
+
+def test_term_cooccurrence_edges_counts_presence(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b c"), (3, "b c")], "doc_id long, text string"
+    )
+    got = {
+        (r.term_a, r.term_b): r.weight
+        for r in term_cooccurrence_edges(docs, "text", "doc_id").collect()
+    }
+    # presence not frequency: doc 1 contributes (a,b) once
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 2}
+
+
+def test_term_cooccurrence_max_terms_cap(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string"
+    )
+    got = {
+        (r.term_a, r.term_b)
+        for r in term_cooccurrence_edges(
+            docs, "text", "doc_id", max_terms_per_doc=2
+        ).collect()
+    }
+    # top-2 by tf keeps a, b; c is cut -> only the (a, b) edge
+    assert got == {("a", "b")}
+
+
+def test_seed_expansion_weights_topk_and_ties(spark):
+    edges = spark.createDataFrame(
+        [("q", "x", 5), ("q", "y", 5), ("q", "z", 3), ("x", "y", 9)],
+        "term_a string, term_b string, weight long",
+    )
+    got = {(r.term, r.wt) for r in seed_expansion_weights(edges, ["q"], k=2, seed_weight=100).collect()}
+    # x and y tie at 5 -> both beat z; lexicographic tie order doesn't
+    # change membership at k=2; seed rides at seed_weight
+    assert got == {("q", 100), ("x", 5), ("y", 5)}
+    got3 = {r.term for r in seed_expansion_weights(edges, ["q"], k=1, seed_weight=100).collect()}
+    assert got3 == {"q", "x"}  # tie at 5 -> 'x' < 'y'
+
+
+# --------------------------------------------------- rolling median
+
+
+def test_rolling_median_matches_pandas(spark):
+    pd = pytest.importorskip("pandas")
+    rng = random.Random(3)
+    vals = [rng.randint(0, 40) for _ in range(60)]
+    df = spark.createDataFrame(list(enumerate(vals)), "t long, x long")
+    for hw in (2, 3):
+        out = {
+            r.t: r.med
+            for r in rolling_median_flags(df, "t", "x", half_window=hw).collect()
+        }
+        want = (
+            pd.Series(vals).rolling(2 * hw + 1, center=True, min_periods=1).median()
+        )
+        assert out == {i: float(want[i]) for i in range(len(vals))}
+
+
+def test_rolling_median_flag_rule_and_groups(spark):
+    # per-group screens sort independently; |x - med| > med/2 exact rule
+    rows = [("g1", t, 10) for t in range(9)] + [("g2", t, 10) for t in range(9)]
+    rows[4] = ("g1", 4, 16)   # |16-10| = 6 > 5 -> anomaly
+    rows[13] = ("g2", 4, 15)  # |15-10| = 5 = med/2 -> NOT anomaly (strict >)
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    out = rolling_median_flags(df, "t", "x", half_window=4, group_cols=["g"])
+    flagged = {(r.g, r.t) for r in out.filter("is_anomaly").collect()}
+    assert flagged == {("g1", 4)}
+
+
+# ------------------------------------------------------ l-diversity
+
+
+def test_l_diversity_classes_rows_vs_entities(spark):
+    df = spark.createDataFrame(
+        [("q1", "e1", "s1"), ("q1", "e1", "s2"), ("q1", "e2", "s1"),
+         ("q2", "e3", "s1"), ("q2", "e4", "s1")],
+        "qi string, ent string, sens string",
+    )
+    by_rows = {r.qi: (r.class_size, r.l_div, r.violates_l)
+               for r in l_diversity_classes(df, ["qi"], "sens", l=2).collect()}
+    assert by_rows == {"q1": (3, 2, False), "q2": (2, 1, True)}
+    by_ent = {r.qi: r.class_size
+              for r in l_diversity_classes(df, ["qi"], "sens", l=2, entity_col="ent").collect()}
+    assert by_ent == {"q1": 2, "q2": 2}
