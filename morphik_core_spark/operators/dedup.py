@@ -1092,10 +1092,19 @@ def edit_distance_pairs(
     typo-tolerant join for user/entity name reconciliation.
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_s"))
+    # pre-fan-out exchange: a small-file scan arrives as 1-2 partitions
+    # and would run the explode + join on one core; no-op at real scale
+    sc = df.sparkSession.sparkContext
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism)
     t = "_s"
+    # join on the 8-byte hash of the variant, ids only — the strings and
+    # the levenshtein verify rejoin AFTER pair dedup, so each candidate
+    # pair is verified once, not once per shared deletion key, and the
+    # exchange carries (hash, id) instead of full strings. A hash
+    # collision can only ADD a candidate, which the verify then rejects.
     variants = base.select(
         "_id",
-        "_s",
         F.explode(
             F.expr(
                 f"array_union(array({t}), transform(sequence(1, length({t})),"
@@ -1103,22 +1112,29 @@ def edit_distance_pairs(
                 f" substring({t}, i+1, length({t})-i))))"
             )
         ).alias("_v"),
-    )
+    ).select("_id", F.xxhash64("_v").alias("_h"))
     if max_bucket_size is not None:
         hot = (
-            variants.groupBy("_v")
+            variants.groupBy("_h")
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > max_bucket_size)
-            .select("_v")
+            .select("_h")
         )
-        variants = variants.join(F.broadcast(hot), "_v", "left_anti")
-    a = variants.select(F.col("_v"), F.col("_id").alias("id_a"), F.col("_s").alias("text_a"))
-    b = variants.select(F.col("_v"), F.col("_id").alias("id_b"), F.col("_s").alias("text_b"))
-    return (
-        a.join(b, ["_v"])
+        variants = variants.join(F.broadcast(hot), "_h", "left_anti")
+    a = variants.select("_h", F.col("_id").alias("id_a"))
+    b = variants.select("_h", F.col("_id").alias("id_b"))
+    cand = (
+        a.join(b, ["_h"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "text_a", "text_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    na = base.select(F.col("_id").alias("id_a"), F.col("_s").alias("text_a"))
+    nb = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("text_b"))
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn("dist", F.levenshtein("text_a", "text_b"))
         .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "text_a", "text_b", "dist")
     )

@@ -1441,6 +1441,133 @@ def main() -> None:
         report("asof_union_window", asof_union_window, asof1, asof10)
         report("asof_join_groupby", asof_join_groupby, asof1, asof10)
 
+    if "r6b" in ops:
+        # round-6 second-session ops. Tiling choices isolate OPERATOR cost
+        # from true output growth: intervals and l-diversity tile their
+        # KEYS too (per-key density constant -> output ~10x linear);
+        # fuzzy names get fresh unique ids (neighbor density preserved);
+        # the event grid tiles along TIME so the rolling window really
+        # sees a 10x series.
+        from pyspark.sql import Window as _W
+
+        from morphik_core_spark.operators.analytics import rolling_median_flags
+        from morphik_core_spark.operators.asof import interval_overlap_pairs
+        from morphik_core_spark.operators.dedup import edit_distance_pairs
+        from morphik_core_spark.operators.graph import (
+            seed_expansion_weights,
+            term_cooccurrence_edges,
+        )
+        from morphik_core_spark.operators.validation import l_diversity_classes
+
+        def _tile10(df, path, builders):
+            tiles = [df.select(*builders(j)) for j in range(10)]
+            out = tiles[0]
+            for t in tiles[1:]:
+                out = out.unionByName(t)
+            p = os.path.join(tmp, path)
+            out.write.mode("overwrite").parquet(p)
+            return spark.read.parquet(p)
+
+        ord_r = load_table(spark, "orders", SF_DIR)
+        cust_r = load_table(spark, "customer", SF_DIR)
+        iv1 = ord_r.join(cust_r, ord_r.o_custkey == cust_r.c_custkey).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("c_nationkey").cast("long").alias("nk"),
+            F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")).cast("long").alias("s"),
+            (
+                F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+                + 7 * F.substring("o_orderpriority", 1, 1).cast("int")
+            ).cast("long").alias("e"),
+        )
+        iv1_p = os.path.join(tmp, "iv1")
+        iv1.write.mode("overwrite").parquet(iv1_p)
+        iv1 = spark.read.parquet(iv1_p)
+        iv10 = _tile10(
+            iv1, "iv10",
+            lambda j: [
+                (F.col("k") * 10 + j).alias("k"),
+                (F.col("nk") * 10 + j).alias("nk"),
+                F.col("s"), F.col("e"),
+            ],
+        )
+        report(
+            "interval_overlap_pairs",
+            lambda d: mat(
+                interval_overlap_pairs(d, "k", "s", "e", bucket_width=32, key_cols=["nk"])
+                .groupBy("nk").count()
+            ),
+            iv1, iv10,
+        )
+
+        names1 = cust_r.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("s"))
+        names10 = _tile10(
+            names1, "names10",
+            lambda j: [
+                (F.col("id") * 10 + j).alias("id"),
+                F.format_string("Customer#%09d", F.col("id") * 10 + j).alias("s"),
+            ],
+        )
+        report(
+            "edit_distance_pairs",
+            lambda d: mat(edit_distance_pairs(d, "s", "id").groupBy("dist").count()),
+            names1, names10,
+        )
+
+        def grag(d):
+            edges = term_cooccurrence_edges(d, "text", "doc_id")
+            mat(seed_expansion_weights(edges, ["spark"], k=5, seed_weight=1000))
+
+        report("graph_rag_build_expand", grag, docs1, docs10)
+
+        ev_r = load_table(spark, "events", SF_DIR).select("ts")
+        ev10t = _tile10(
+            ev_r, "ev10t",
+            lambda j: [(F.col("ts") + F.expr(f"INTERVAL {30 * j} DAYS")).alias("ts")],
+        )
+
+        def hampel(e):
+            hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            mat(rolling_median_flags(hourly, "hr", "n", half_window=12))
+
+        report("rolling_median_flags", hampel, ev_r, ev10t)
+
+        ldiv1 = (
+            cust_r.select(
+                "c_custkey",
+                F.col("c_nationkey").cast("long").alias("nk"),
+                "c_mktsegment",
+                F.ntile(10)
+                .over(_W.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc()))
+                .alias("bal_decile"),
+            )
+            .join(ord_r, F.col("c_custkey") == F.col("o_custkey"))
+            .select("nk", "c_mktsegment", "bal_decile", "c_custkey", "o_orderpriority")
+        )
+        ldiv1_p = os.path.join(tmp, "ldiv1")
+        ldiv1.write.mode("overwrite").parquet(ldiv1_p)
+        ldiv1 = spark.read.parquet(ldiv1_p)
+        ldiv10 = _tile10(
+            ldiv1, "ldiv10",
+            lambda j: [
+                (F.col("nk") * 10 + j).alias("nk"),
+                F.col("c_mktsegment"), F.col("bal_decile"),
+                (F.col("c_custkey") * 10 + j).alias("c_custkey"),
+                F.col("o_orderpriority"),
+            ],
+        )
+        report(
+            "l_diversity_classes",
+            lambda d: mat(
+                l_diversity_classes(
+                    d, ["nk", "c_mktsegment", "bal_decile"], "o_orderpriority",
+                    l=3, entity_col="c_custkey",
+                )
+            ),
+            ldiv1, ldiv10,
+        )
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing
