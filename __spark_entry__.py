@@ -588,6 +588,109 @@ def _q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line max-concurrency (`asof.peak_concurrency`): per nation,
+    the maximum number of simultaneously-open order fulfillment windows
+    and the first day the peak holds — the HOW-MANY companion to
+    `interval_overlap`'s WHO-overlaps pair join, in O(n) rows with no
+    pair materialization."""
+    from morphik_core_spark.operators.asof import peak_concurrency
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    iv = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_nationkey").alias("nk"),
+        F.datediff(F.col("o_orderdate"), F.lit(_OVERLAP_EPOCH).cast("date")).alias("s"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit(_OVERLAP_EPOCH).cast("date"))
+            + 7 * F.substring("o_orderpriority", 1, 1).cast("int")
+        ).alias("e"),
+    )
+    pk = peak_concurrency(iv, ["nk"], "s", "e")
+    return (
+        pk.join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "peak",
+            F.date_add(F.lit(_OVERLAP_EPOCH).cast("date"), F.col("peak_at").cast("int")).alias(
+                "peak_date"
+            ),
+        )
+    )
+
+
+def _q_changepoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline change-point (`analytics.cusum_split`): the day that
+    maximizes the CUSUM deviation |N·S_t − n_t·S_N| of the daily order
+    volume — binary segmentation's first split, decided on exact
+    DECIMAL(38,0) integers (the offline complement of `cusum_drift`'s
+    online alarm)."""
+    from morphik_core_spark.operators.analytics import cusum_split
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("dt")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cusum_split(daily, "dt", "n").select(
+        F.col("split_at").cast("date").alias("split_day"),
+        "d_stat",
+        "mean_left",
+        "mean_right",
+    )
+
+
+def _q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch re-aggregation (`sketches.hll_registers` + `hll_merge` +
+    `hll_estimate_from_registers`): per-nation HLL sketches of distinct
+    ordering customers MERGE (MAX per register) into region-grain
+    estimates — identical to sketching the region's raw rows, which is
+    what lets 100 TB rollup tables store sketch columns instead of
+    re-scanning facts. The oracle computes the region grain directly;
+    associativity makes the two byte-identical."""
+    from morphik_core_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    facts = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("r_name", "n_nationkey", "o_custkey")
+    )
+    regs = hll_registers(facts, ["r_name", "n_nationkey"], "o_custkey", p=9)
+    merged = hll_merge(regs, ["r_name"])
+    return hll_estimate_from_registers(merged, ["r_name"], p=9)
+
+
+def _q_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining (`analytics.sequence_ngrams`): the top-20 most
+    frequent within-user event-type trigrams (contiguous PrefixSpan
+    case) — what users DO in order, beyond `event_transitions`'
+    bigrams. Lead windows shard by user; the count groupBy is bounded
+    by |event-type vocabulary|³."""
+    from pyspark.sql import Window
+
+    from morphik_core_spark.operators.analytics import sequence_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    tri = sequence_ngrams(ev, ["user_id"], ["ts", "event_id"], "event_type", n=3)
+    w = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("g1").asc(), F.col("g2").asc(), F.col("g3").asc()
+    )
+    return (
+        tri.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 20)
+        .select("g1", "g2", "g3", "n_occurrences")
+    )
+
+
 def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-5 per query for a 5-query batch (ANN baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -4401,6 +4504,10 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_rag_expansion": _q_graph_rag_expansion,
         "rolling_median_anomaly": _q_rolling_median_anomaly,
         "l_diversity": _q_l_diversity,
+        "peak_concurrency": _q_peak_concurrency,
+        "changepoint_split": _q_changepoint_split,
+        "hll_rollup": _q_hll_rollup,
+        "trigram_paths": _q_trigram_paths,
         "knn_batch": _q_knn_batch,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -5650,6 +5757,108 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, score, n_matched FROM scored
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "peak_concurrency": f"""
+            WITH iv AS (
+                SELECT c.c_nationkey AS nk,
+                       date_diff('day', DATE '{_OVERLAP_EPOCH}', o.o_orderdate) AS s,
+                       date_diff('day', DATE '{_OVERLAP_EPOCH}', o.o_orderdate)
+                           + 7 * CAST(substr(o.o_orderpriority, 1, 1) AS INT) AS e
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ),
+            ev AS (
+                SELECT nk, s AS d, 1 AS delta FROM iv
+                UNION ALL SELECT nk, e + 1, -1 FROM iv
+            ),
+            net AS (SELECT nk, d, sum(delta) AS nd FROM ev GROUP BY 1, 2),
+            cum AS (
+                SELECT nk, d,
+                       sum(nd) OVER (
+                           PARTITION BY nk ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS c
+                FROM net
+            ),
+            pk AS (
+                SELECT nk, d, c,
+                       row_number() OVER (PARTITION BY nk ORDER BY c DESC, d ASC) AS rn
+                FROM cum
+            )
+            SELECT n.n_name, CAST(pk.c AS INT) AS peak,
+                   DATE '{_OVERLAP_EPOCH}' + CAST(pk.d AS INT) AS peak_date
+            FROM pk JOIN nation n ON pk.nk = n.n_nationkey
+            WHERE rn = 1
+        """,
+        "changepoint_split": """
+            WITH d AS (
+                SELECT date_trunc('day', o_orderdate) AS dt, count(*) AS n
+                FROM orders GROUP BY 1
+            ),
+            tot AS (SELECT sum(n) AS sn, count(*) AS nn FROM d),
+            c AS (
+                SELECT dt,
+                       sum(n) OVER (ORDER BY dt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st,
+                       count(*) OVER (ORDER BY dt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt
+                FROM d
+            ),
+            dev AS (
+                SELECT dt, st, nt, sn, nn,
+                       abs(CAST(nn AS DECIMAL(38,0)) * CAST(st AS DECIMAL(38,0))
+                           - CAST(nt AS DECIMAL(38,0)) * CAST(sn AS DECIMAL(38,0))) AS dstat
+                FROM c, tot WHERE nt < nn
+            )
+            SELECT dt AS split_day, CAST(dstat AS DOUBLE) AS d_stat,
+                   ROUND(CAST(st AS DOUBLE) / nt, 6) AS mean_left,
+                   ROUND(CAST(sn - st AS DOUBLE) / (nn - nt), 6) AS mean_right
+            FROM dev ORDER BY dstat DESC, dt ASC LIMIT 1
+        """,
+        "hll_rollup": f"""
+            WITH f AS (
+                SELECT r.r_name,
+                       CAST(('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+            ),
+            r AS (SELECT r_name, h % 512 AS reg, h // 512 AS w FROM f),
+            rho AS (
+                SELECT r_name, reg,
+                       52 - (CASE WHEN w = 0 THEN 0 ELSE length(to_base(w, 2)) END) AS rho
+                FROM r
+            ),
+            regs AS (SELECT r_name, reg, MAX(rho) AS max_rho FROM rho GROUP BY 1, 2),
+            agg AS (
+                SELECT r_name, COUNT(*) AS registers_used,
+                       SUM(CAST(1 AS BIGINT) << (52 - max_rho)) AS s_occ
+                FROM regs GROUP BY 1
+            ),
+            fin AS (
+                SELECT r_name, registers_used,
+                       s_occ + (512 - registers_used) * CAST(4503599627370496 AS BIGINT) AS s
+                FROM agg
+            )
+            SELECT r_name, registers_used,
+                   ROUND(CASE WHEN {_HLL_EST} <= 2.5 * 512.0 AND registers_used < 512
+                         THEN 512.0 * ln(512.0 / (512 - registers_used))
+                         ELSE {_HLL_EST} END, 6) AS distinct_est
+            FROM fin
+        """,
+        "trigram_paths": """
+            WITH s AS (
+                SELECT event_type AS g1,
+                       lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g2,
+                       lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g3
+                FROM events
+            ),
+            t AS (
+                SELECT g1, g2, g3, count(*) AS n_occurrences
+                FROM s WHERE g3 IS NOT NULL GROUP BY 1, 2, 3
+            )
+            SELECT g1, g2, g3, n_occurrences FROM t
+            ORDER BY n_occurrences DESC, g1 ASC, g2 ASC, g3 ASC LIMIT 20
         """,
         "rolling_median_anomaly": f"""
             WITH h AS (

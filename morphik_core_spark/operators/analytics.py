@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "rolling_median_flags",
+    "cusum_split",
+    "sequence_ngrams",
     "funnel_counts",
     "cohort_retention",
     "value_histogram",
@@ -1946,4 +1948,109 @@ def rolling_median_flags(
             F.lit(rel_den) * F.abs(2 * x - F.col("_m2")) > F.lit(rel_num) * F.col("_m2"),
         )
         .drop("_m2")
+    )
+
+
+def cusum_split(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Offline single change-point detection over an ordered integer
+    series: the split point maximizing the CUSUM deviation
+    ``D_t = |N·S_t − n_t·S_N|`` (cumulative sum's distance from the
+    proportional line — the binary-segmentation statistic at the heart
+    of change-point trees; equivalent to the scaled between-segment
+    mean gap ``n_t·(N−n_t)·|mean_L − mean_R|``). The offline complement
+    of :func:`cusum_screen`'s online alarm.
+
+    Exactness: S_t, n_t are int64 window sums; the products are
+    DECIMAL(38,0) (N·S at 100 TB row counts overflows int64), so the
+    argmax is decided on exact integers — never an ulp. Ties resolve to
+    the earliest point. Output is ONE row: ``split_at`` (last point of
+    the left segment), ``d_stat`` (DOUBLE at the edge; integral),
+    ``mean_left``, ``mean_right`` (ROUNDed once).
+
+    Scale: the series is an aggregated grid (days, hours), so the one
+    global window sort is grid-bounded, same as the percentile family;
+    totals ride a one-row broadcast.
+    """
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("long")
+    w = Window.orderBy(F.col(order_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = df.select(
+        F.col(order_col).alias("_o"),
+        F.sum(x).over(w).alias("_st"),
+        F.count(F.lit(1)).over(w).alias("_nt"),
+    )
+    tot = df.agg(
+        F.sum(x).alias("_sn"), F.count(F.lit(1)).alias("_nn")
+    )
+    dev = (
+        cum.join(F.broadcast(tot))
+        .filter(F.col("_nt") < F.col("_nn"))
+        .withColumn(
+            "_d",
+            F.abs(
+                F.col("_nn").cast("decimal(38,0)") * F.col("_st").cast("decimal(38,0)")
+                - F.col("_nt").cast("decimal(38,0)") * F.col("_sn").cast("decimal(38,0)")
+            ),
+        )
+    )
+    w_pick = Window.orderBy(F.col("_d").desc(), F.col("_o").asc())
+    return (
+        dev.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_o").alias("split_at"),
+            F.col("_d").cast("double").alias("d_stat"),
+            F.round(F.col("_st").cast("double") / F.col("_nt"), decimals).alias("mean_left"),
+            F.round(
+                (F.col("_sn") - F.col("_st")).cast("double") / (F.col("_nn") - F.col("_nt")),
+                decimals,
+            ).alias("mean_right"),
+        )
+    )
+
+
+def sequence_ngrams(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Frequent length-``n`` subsequences of ``value_col`` within each
+    key's totally-ordered stream (PrefixSpan's contiguous special case —
+    the "what do users DO in order" complement of the bigram
+    `transition_counts`): one lead window per extra position, then a
+    map-side-combined count per n-gram.
+
+    ``order_cols`` must give a total order within each key (pass a
+    tie-breaking id after the timestamp) or the lead() sequence — and
+    therefore the counts — would be partitioning-dependent. Output:
+    ``g1..gn, n_occurrences``; n-grams spanning the end of a stream
+    (NULL leads) are dropped. One shuffle for the window (keyed on
+    ``key_cols``, so it shards by entity), one shrinking groupBy
+    bounded by |vocab|^n, not row count.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
+        *[F.col(o).asc() for o in order_cols]
+    )
+    out = df.select(
+        *[F.col(k) for k in key_cols],
+        F.col(value_col).alias("g1"),
+        *[F.lead(F.col(value_col), i).over(w).alias(f"g{i+1}") for i in range(1, n)],
+    )
+    grams = [f"g{i+1}" for i in range(n)]
+    return (
+        out.filter(F.col(grams[-1]).isNotNull())
+        .groupBy(*grams)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )

@@ -29,6 +29,7 @@ __all__ = [
     "at_time_padding",
     "interval_point_join",
     "interval_overlap_pairs",
+    "peak_concurrency",
 ]
 
 
@@ -386,4 +387,53 @@ def interval_overlap_pairs(
             & (F.col("_b") == later_start - F.pmod(later_start, F.lit(bucket_width)))
         )
         .select(*keys, "id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
+    )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    lo_col: str,
+    hi_col: str,
+) -> DataFrame:
+    """Per-key maximum number of simultaneously-open ``[lo, hi]``
+    intervals, and the earliest axis point where that peak holds — the
+    sweep-line restatement of "max concurrent sessions / double-booked
+    capacity" that never materializes pairs (the pair join answers WHO
+    overlaps; this answers HOW MANY, in O(n) rows).
+
+    Each interval emits +1 at ``lo`` and −1 at ``hi + 1`` (inclusive
+    ends); deltas net per (key, point) — integers, so partial
+    aggregation order is irrelevant — then one running-sum window per
+    key walks the swept axis and a (count DESC, point ASC) row_number
+    picks the peak deterministically. Two shuffles, both on the key;
+    window state is O(1). Malformed (hi < lo / NULL) intervals are
+    dropped, matching :func:`interval_overlap_pairs`.
+
+    Output: ``key_cols…, peak`` (int), ``peak_at`` (first axis point
+    at peak). Axis must be integral, like the other interval ops.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(k) for k in key_cols]
+    ok = df.filter(F.col(lo_col).isNotNull() & (F.col(lo_col) <= F.col(hi_col)))
+    ev = ok.select(
+        *keys, F.col(lo_col).cast("long").alias("_d"), F.lit(1).alias("_delta")
+    ).unionByName(
+        ok.select(
+            *keys, (F.col(hi_col).cast("long") + 1).alias("_d"), F.lit(-1).alias("_delta")
+        )
+    )
+    net = ev.groupBy(*key_cols, "_d").agg(F.sum("_delta").alias("_nd"))
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_d").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_pick = Window.partitionBy(*key_cols).orderBy(F.col("_c").desc(), F.col("_d").asc())
+    return (
+        net.withColumn("_c", F.sum("_nd").over(w_cum))
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(*key_cols, F.col("_c").cast("int").alias("peak"), F.col("_d").alias("peak_at"))
     )

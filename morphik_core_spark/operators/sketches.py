@@ -42,6 +42,9 @@ from morphik_core_spark.operators.dedup import portable_hash
 
 __all__ = [
     "hll_distinct",
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate_from_registers",
     "cms_sketch",
     "cms_estimates",
     "bloom_bits",
@@ -78,12 +81,27 @@ def hll_distinct(
       length (``conv(w, 10, 2)`` / DuckDB ``to_base(w, 2)``), never
       ``log2`` (libm, inexact at boundaries).
     """
+    regs = hll_registers(df, group_cols, value_col, p=p)
+    return hll_estimate_from_registers(regs, group_cols, p=p)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 9,
+) -> DataFrame:
+    """The HLL sketch itself: ``group_cols + (reg, max_rho)`` — at most
+    ``m = 2**p`` integer rows per group, built by one map-side-combined
+    MAX groupBy. This IS the mergeable state: sketches roll up to any
+    coarser grain with another ``MAX(max_rho)`` per (coarse key, reg) —
+    MAX is associative/idempotent, so merging per-nation registers into
+    a region estimate is EXACTLY the estimate built from the region's
+    raw rows (the re-aggregatable-materialized-view property that makes
+    sketch columns storable beside rollup tables at 100 TB)."""
     m = 1 << p
     window_bits = _HASH_BITS - p
-    scale = window_bits + 1  # rho in [1, scale]; empty register ~ rho 0
-    pow_scale = 1 << scale
-
-    regs = (
+    return (
         df.filter(F.col(value_col).isNotNull())
         .select(*group_cols, portable_hash(F.col(value_col).cast("string")).alias("h"))
         .select(*group_cols, (F.col("h") % m).alias("reg"), F.expr(f"h div {m}").alias("w"))
@@ -97,6 +115,28 @@ def hll_distinct(
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("max_rho"))
     )
+
+
+def hll_merge(regs: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Merge register tables to a coarser grain: MAX(max_rho) per
+    (coarse keys, reg). Input register rows may come from different
+    sub-groups, different batches, or storage — union them first."""
+    return regs.groupBy(*group_cols, "reg").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: Sequence[str],
+    p: int = 9,
+) -> DataFrame:
+    """Finalize register rows into ``(registers_used, distinct_est)``
+    per group — the read side of the sketch. See :func:`hll_distinct`
+    for the exactness design (scaled-int harmonic sum; float only in
+    the final fixed expression tree)."""
+    m = 1 << p
+    window_bits = _HASH_BITS - p
+    scale = window_bits + 1
+    pow_scale = 1 << scale
     # the D suffix forces DOUBLE literals: a bare 0.7213 parses as
     # DECIMAL(5,4) in Spark SQL and the whole tree would go through
     # decimal division (different rounding than the oracle's doubles)

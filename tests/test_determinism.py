@@ -45,6 +45,9 @@ SENSITIVE = [
     # halves (exact .0/.5 doubles from int64 m2)
     "interval_overlap",
     "rolling_median_anomaly",
+    # decimal-argmax edge divisions; merged-register harmonic estimate
+    "changepoint_split",
+    "hll_rollup",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",

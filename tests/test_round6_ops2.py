@@ -229,3 +229,103 @@ def test_l_diversity_classes_rows_vs_entities(spark):
     by_ent = {r.qi: r.class_size
               for r in l_diversity_classes(df, ["qi"], "sens", l=2, entity_col="ent").collect()}
     assert by_ent == {"q1": 2, "q2": 2}
+
+
+# ------------------------------------------------- peak concurrency
+
+
+def test_peak_concurrency_matches_naive(spark):
+    from morphik_core_spark.operators.asof import peak_concurrency
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(150):
+        lo = rng.randint(0, 60)
+        rows.append((i % 3, i, lo, lo + rng.randint(0, 15)))
+    df = spark.createDataFrame(rows, "grp int, id long, lo long, hi long")
+    got = {(r.grp): (r.peak, r.peak_at) for r in peak_concurrency(df, ["grp"], "lo", "hi").collect()}
+    for g in (0, 1, 2):
+        ivs = [(lo, hi) for (gg, _i, lo, hi) in rows if gg == g]
+        counts = {}
+        for d in range(0, 80):
+            counts[d] = sum(1 for lo, hi in ivs if lo <= d <= hi)
+        peak = max(counts.values())
+        first = min(d for d, c in counts.items() if c == peak)
+        assert got[g] == (peak, first)
+
+
+def test_peak_concurrency_malformed_dropped(spark):
+    from morphik_core_spark.operators.asof import peak_concurrency
+
+    df = spark.createDataFrame(
+        [(1, 5, 0), (2, None, 3), (3, 1, 4)], "id long, lo long, hi long"
+    )
+    out = peak_concurrency(df.withColumn("g", F.lit(1)), ["g"], "lo", "hi").collect()
+    assert [(r.peak, r.peak_at) for r in out] == [(1, 1)]
+
+
+# ------------------------------------------------- changepoint split
+
+
+def test_cusum_split_finds_level_shift(spark):
+    from morphik_core_spark.operators.analytics import cusum_split
+
+    vals = [10] * 30 + [20] * 30
+    df = spark.createDataFrame(list(enumerate(vals)), "t long, x long")
+    row = cusum_split(df, "t", "x").collect()[0]
+    assert row.split_at == 29  # last point of the left segment
+    assert row.mean_left == 10.0 and row.mean_right == 20.0
+
+
+def test_cusum_split_tie_earliest(spark):
+    from morphik_core_spark.operators.analytics import cusum_split
+
+    # symmetric bump: D_t ties across the flat middle -> earliest wins
+    vals = [0, 10, 10, 0]
+    df = spark.createDataFrame(list(enumerate(vals)), "t long, x long")
+    row = cusum_split(df, "t", "x").collect()[0]
+    assert row.split_at == 0
+
+
+# ------------------------------------------------------- HLL merge
+
+
+def test_hll_merge_equals_direct(spark):
+    from morphik_core_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    rows = [("r1", f"n{i % 5}", f"v{i % 700}") for i in range(3000)] + [
+        ("r2", f"n{i % 3}", f"v{i % 90}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "region string, nat string, v string")
+    fine = hll_registers(df, ["region", "nat"], "v", p=7)
+    merged = hll_estimate_from_registers(hll_merge(fine, ["region"]), ["region"], p=7)
+    direct = hll_distinct(df, ["region"], "v", p=7)
+    got = {r.region: (r.registers_used, r.distinct_est) for r in merged.collect()}
+    want = {r.region: (r.registers_used, r.distinct_est) for r in direct.collect()}
+    assert got == want  # MAX-merge == direct sketch, bit-identical
+
+
+# ------------------------------------------------- sequence n-grams
+
+
+def test_sequence_ngrams_counts(spark):
+    from morphik_core_spark.operators.analytics import sequence_ngrams
+
+    rows = [(1, i, v) for i, v in enumerate("abcabc")] + [(2, i, v) for i, v in enumerate("abX")]
+    df = spark.createDataFrame(rows, "u long, t long, v string")
+    got = {
+        (r.g1, r.g2, r.g3): r.n_occurrences
+        for r in sequence_ngrams(df, ["u"], ["t"], "v", n=3).collect()
+    }
+    # user 1: abc,bca,cab,abc ; user 2: abX
+    assert got == {("a", "b", "c"): 2, ("b", "c", "a"): 1, ("c", "a", "b"): 1, ("a", "b", "X"): 1}
+    bi = {
+        (r.g1, r.g2): r.n_occurrences
+        for r in sequence_ngrams(df, ["u"], ["t"], "v", n=2).collect()
+    }
+    assert bi[("a", "b")] == 3
