@@ -511,9 +511,10 @@ def _q_graph_rag_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     `graph.seed_expansion_weights`): build the term co-occurrence
     knowledge graph over the corpus, expand the seed term one hop to
     its top-5 co-occurring neighbors, then rank documents by
-    tf-weighted matched-entity score — the Spark restatement of the
-    reference's entity-graph build + query-time expansion
-    (core/services/graph_service.py). The weight table is
+    tf-weighted matched-entity score — the GraphRAG shape (build an
+    entity graph offline, expand query entities through it at
+    retrieval time; hosted-tier in morphik, no core analog). The
+    weight table is
     broadcast-sized by construction, so retrieval is one broadcast
     join over the corpus."""
     from pyspark.sql import Window

@@ -361,13 +361,12 @@ def term_cooccurrence_edges(
     weight)`` with ``term_a < term_b``, weight = number of documents in
     which both terms appear (presence, not frequency).
 
-    This is the knowledge-graph BUILD step of a GraphRAG pipeline —
-    the Spark restatement of the reference's entity-graph construction
-    (morphik-core extracts entities per chunk and accumulates
-    entity-pair relationships across chunks,
-    core/services/graph_service.py): here "entities" are whitespace
-    tokens; a real deployment swaps the tokenizer for an NER/model
-    extractor behind the same (doc, term) contract.
+    This is the knowledge-graph BUILD step of a GraphRAG pipeline.
+    No reference analog in this vintage (knowledge-graph retrieval is
+    hosted-tier in morphik; the in-repo trace is the SciER entity-graph
+    evaluation corpus under evaluations/) — here "entities" are
+    whitespace tokens; a real deployment swaps the tokenizer for an
+    NER/model extractor behind the same (doc, term) contract.
 
     Shape: explode → per-doc DISTINCT term set → within-doc pair join.
     The join is keyed on the doc id, so pair fan-out is |terms|² PER
@@ -416,11 +415,11 @@ def seed_expansion_weights(
     seed; ties lexicographic) and return a term → weight table — seeds
     at ``seed_weight``, neighbors at their integer co-occurrence weight.
 
-    The retrieval-side half of GraphRAG (reference: query entities are
-    expanded through the stored graph before chunk retrieval,
-    core/services/graph_service.py); the output is broadcast-sized by
-    construction (|seeds| + k rows), so the downstream document-scoring
-    join is a broadcast hash join whatever the corpus size.
+    The retrieval-side half of GraphRAG (query entities expand through
+    the stored graph before chunk retrieval); the output is
+    broadcast-sized by construction (|seeds| + k rows), so the
+    downstream document-scoring join is a broadcast hash join whatever
+    the corpus size.
     """
     from pyspark.sql import Window
 
