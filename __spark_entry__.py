@@ -692,6 +692,63 @@ def _q_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (`curation.quantile_normalize`): each
+    order's price is replaced by the GLOBAL price at its within-nation
+    per-mille rank — exact nearest-rank integer logic end to end, with
+    the per-mille→global-rank lookup riding the bucket-decomposed
+    `interval_point_join` over the cumulative value grid."""
+    from morphik_core_spark.operators.curation import quantile_normalize
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    d = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_nationkey", "o_totalprice"
+    )
+    return quantile_normalize(d, ["c_nationkey"], "o_totalprice", "o_orderkey")
+
+
+def _q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical feature-relevance screen (`analytics.
+    mutual_information`): I(X;Y) in nats for three column pairs —
+    (lang, source) is genuinely dependent (~0.09 nats), the TPC-H pairs
+    are near-independent (~1e-4) — the multiclass complement of the
+    binary-label WOE/IV ladder. Per-cell ROUND(·1e12) quantized-ln
+    terms keep the sums integer-exact across engines."""
+    from morphik_core_spark.operators.analytics import mutual_information
+
+    docs = _t(spark, sf_dir, "documents")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    parts = [
+        mutual_information(docs, "lang", "source").withColumn(
+            "pair", F.lit("lang_source")
+        ),
+        mutual_information(cust, "c_mktsegment", "c_nationkey").withColumn(
+            "pair", F.lit("segment_nation")
+        ),
+        mutual_information(orders, "o_orderpriority", "o_orderstatus").withColumn(
+            "pair", F.lit("priority_status")
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("pair", "mi_nats")
+
+
+def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling (`curation.curriculum_order`): documents
+    tiled into 10 length-difficulty buckets, deterministically shuffled
+    within bucket by portable hash (partitioning-independent, unlike
+    rand(seed)), then interleaved one-per-bucket so every training
+    epoch sees the full difficulty spectrum early."""
+    from morphik_core_spark.operators.curation import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents")
+    return curriculum_order(docs, "doc_id", "n_chars", n_buckets=10)
+
+
 def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-5 per query for a 5-query batch (ANN baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -4509,6 +4566,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint_split": _q_changepoint_split,
         "hll_rollup": _q_hll_rollup,
         "trigram_paths": _q_trigram_paths,
+        "quantile_normalization": _q_quantile_normalization,
+        "mutual_information": _q_mutual_information,
+        "curriculum_order": _q_curriculum_order,
         "knn_batch": _q_knn_batch,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -5860,6 +5920,74 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT g1, g2, g3, n_occurrences FROM t
             ORDER BY n_occurrences DESC, g1 ASC, g2 ASC, g3 ASC LIMIT 20
+        """,
+        "quantile_normalization": """
+            WITH d AS (
+                SELECT o_orderkey, c_nationkey, o_totalprice
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ),
+            r AS (
+                SELECT o_orderkey, c_nationkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY c_nationkey ORDER BY o_totalprice, o_orderkey
+                       ) AS rr,
+                       count(*) OVER (PARTITION BY c_nationkey) AS n
+                FROM d
+            ),
+            tot AS (SELECT count(*) AS nn FROM d),
+            p AS (SELECT r.*, (rr * nn + n - 1) // n AS k FROM r, tot),
+            vg AS (SELECT o_totalprice AS v, count(*) AS cnt FROM d GROUP BY 1),
+            sp AS (
+                SELECT v, cnt,
+                       sum(cnt) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM vg
+            ),
+            spans AS (SELECT v, cum - cnt + 1 AS lo, cum AS hi FROM sp)
+            SELECT p.o_orderkey, p.c_nationkey, p.o_totalprice, s.v AS norm_value
+            FROM p JOIN spans s ON p.k BETWEEN s.lo AND s.hi
+        """,
+        "mutual_information": """
+            WITH pairs AS (
+                SELECT 'lang_source' AS pair, lang AS x, source AS y FROM documents
+                UNION ALL
+                SELECT 'segment_nation', c_mktsegment, CAST(c_nationkey AS VARCHAR) FROM customer
+                UNION ALL
+                SELECT 'priority_status', o_orderpriority, o_orderstatus FROM orders
+            ),
+            cells AS (SELECT pair, x, y, count(*) AS nxy FROM pairs GROUP BY 1, 2, 3),
+            mx AS (SELECT pair, x, sum(nxy) AS nx FROM cells GROUP BY 1, 2),
+            my AS (SELECT pair, y, sum(nxy) AS ny FROM cells GROUP BY 1, 2),
+            tot AS (SELECT pair, sum(nxy) AS n FROM cells GROUP BY 1),
+            terms AS (
+                SELECT c.pair,
+                       CAST(ROUND(((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)) *
+                           ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)) /
+                              (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))) * 1e12) AS BIGINT) AS t
+                FROM cells c
+                JOIN mx USING (pair, x) JOIN my USING (pair, y) JOIN tot USING (pair)
+            )
+            SELECT pair, ROUND(CAST(sum(t) AS DOUBLE) / 1e12, 8) AS mi_nats
+            FROM terms GROUP BY pair
+        """,
+        "curriculum_order": """
+            WITH t AS (
+                SELECT doc_id, n_chars,
+                       CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS bucket
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, bucket,
+                       row_number() OVER (
+                           PARTITION BY bucket
+                           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                                    doc_id
+                       ) AS rnk
+                FROM t
+            )
+            SELECT CAST(row_number() OVER (ORDER BY rnk, bucket) AS INT) AS position,
+                   bucket, doc_id
+            FROM s
         """,
         "rolling_median_anomaly": f"""
             WITH h AS (

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "rolling_median_flags",
     "cusum_split",
+    "mutual_information",
     "sequence_ngrams",
     "funnel_counts",
     "cohort_retention",
@@ -2053,4 +2054,47 @@ def sequence_ngrams(
         out.filter(F.col(grams[-1]).isNotNull())
         .groupBy(*grams)
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    decimals: int = 8,
+) -> DataFrame:
+    """Mutual information I(X;Y) in nats between two categorical
+    columns — the multiclass generalization of the WOE/IV relevance
+    screen (which only ranks features against a BINARY label):
+    ``Σ_xy p_xy · ln(p_xy / (p_x·p_y))``.
+
+    Exactness (the PSI/Theil recipe): each cell's term is computed on
+    exact integer counts — ``(n_xy/N) · ln(n_xy·N / (n_x·n_y))`` — and
+    immediately ROUND(·1e12)-quantized to a BIGINT, so the cross-cell
+    sum is integer arithmetic and no aggregation order can move an ulp.
+    The int products stay exact in the double domain while n_xy·N ≤
+    2^53; past that (trillion-row × trillion-row) swap the ratio to a
+    DECIMAL division, same tree.
+
+    Scale: one groupBy on (x, y) — map-side combined, output bounded by
+    |X|·|Y| cells — then two broadcast-sized marginal joins over the
+    CELL table, never the fact table. Output is ONE row: ``mi_nats``.
+    """
+    cells = df.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count(F.lit(1)).alias("_nxy"))
+    mx = cells.groupBy("_x").agg(F.sum("_nxy").alias("_nx"))
+    my = cells.groupBy("_y").agg(F.sum("_nxy").alias("_ny"))
+    tot = cells.agg(F.sum("_nxy").alias("_n"))
+    term = (
+        "CAST(ROUND(((CAST(_nxy AS DOUBLE) / CAST(_n AS DOUBLE)) * "
+        "ln((CAST(_nxy AS DOUBLE) * CAST(_n AS DOUBLE)) / "
+        "(CAST(_nx AS DOUBLE) * CAST(_ny AS DOUBLE)))) * 1e12) AS BIGINT)"
+    )
+    return (
+        cells.join(F.broadcast(mx), "_x")
+        .join(F.broadcast(my), "_y")
+        .join(F.broadcast(tot))
+        .agg(F.sum(F.expr(term)).alias("_s"))
+        .select(F.round(F.col("_s") / F.lit(1e12), decimals).alias("mi_nats"))
     )

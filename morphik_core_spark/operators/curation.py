@@ -38,6 +38,8 @@ from morphik_core_spark.operators.dedup import normalize_text, portable_hash
 from morphik_core_spark.operators.text_analysis import STOPWORDS
 
 __all__ = [
+    "quantile_normalize",
+    "curriculum_order",
     "quality_signals",
     "quality_filter",
     "stratified_split",
@@ -1390,4 +1392,130 @@ def temporal_split(
         F.round(
             F.expr("CAST(n_rows AS DOUBLE) / CAST(_n AS DOUBLE)"), decimals
         ).alias("row_share"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    grid: int | None = None,
+) -> DataFrame:
+    """Quantile normalization: replace each value by the GLOBAL value at
+    the same within-group quantile — the cross-group comparability
+    transform (microarray-style quantile normalization / feature
+    calibration across shards) that z-scoring can't give when shapes
+    differ.
+
+    Everything is exact nearest-rank integer logic, both-engine safe:
+    within-group rank r of n (total order: value, then id) maps to the
+    global nearest-rank k = ceil(r·N/n) (so a group's max hits the
+    global max and rank composition is the identity when the group IS
+    the population); the value at k is read from the cumulative
+    value-grid (one row per distinct value owning the rank span
+    [cum−cnt+1, cum]) via the bucket-decomposed
+    :func:`morphik_core_spark.operators.asof.interval_point_join`.
+
+    ``grid`` is the approximation lever: when set, ranks snap to
+    p = ceil(grid·r/n) per-mille cells first and the reference table
+    collapses to ``grid`` broadcastable rows (the double ceiling biases
+    a rank by at most one global step — fine for feature calibration,
+    wrong for the exact-identity contract, hence opt-in).
+
+    Scale: the within-group rank window shards by group; the global
+    value grid is one map-side-combined groupBy (rows = distinct
+    values; quantize values first when that approaches row count — the
+    winsorize lever). Output: ``id_col, group_cols…, value_col,
+    norm_value``.
+    """
+    from pyspark.sql import Window
+
+    from morphik_core_spark.operators.asof import interval_point_join
+
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(*[F.col(g) for g in group_cols])
+    ranked = df.select(
+        F.col(id_col),
+        *[F.col(g) for g in group_cols],
+        F.col(value_col),
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    # global cumulative value grid: one row per distinct value with the
+    # inclusive rank span it owns
+    vg = (
+        df.groupBy(F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w_cum = Window.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spans = vg.withColumn("_cum", F.sum("_cnt").over(w_cum)).select(
+        "_v", (F.col("_cum") - F.col("_cnt") + 1).alias("_lo"), F.col("_cum").alias("_hi")
+    )
+    tot = df.agg(F.count(F.lit(1)).alias("_nn"))
+    if grid is None:
+        pts = ranked.join(F.broadcast(tot)).withColumn(
+            "_k", F.expr("(CAST(_r AS BIGINT) * _nn + _n - 1) div _n")
+        )
+        return interval_point_join(
+            pts, spans, "_k", "_lo", "_hi", bucket_width=64
+        ).select(id_col, *group_cols, value_col, F.col("_v").alias("norm_value"))
+    snapped = ranked.withColumn(
+        "_p", F.expr(f"(CAST(_r AS BIGINT) * {grid} + _n - 1) div _n")
+    )
+    cells = (
+        spans.sparkSession.range(1, grid + 1)
+        .select(F.col("id").alias("_pp"))
+        .join(F.broadcast(tot))
+        .withColumn("_k", F.expr(f"(_pp * _nn + {grid} - 1) div {grid}"))
+    )
+    ref = interval_point_join(
+        cells.select("_pp", "_k"), spans, "_k", "_lo", "_hi", bucket_width=64
+    ).select(F.col("_pp").alias("_p"), F.col("_v").alias("norm_value"))
+    return snapped.join(F.broadcast(ref), "_p").select(
+        id_col, *group_cols, value_col, "norm_value"
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    difficulty_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Curriculum training order with difficulty interleave: bucket rows
+    into ``n_buckets`` difficulty tiles (ntile over the difficulty
+    column with the id as tie-break), shuffle deterministically WITHIN
+    each bucket (portable md5 hash of the id — reproducible on any
+    engine/partitioning, unlike rand(seed) which is partitioning-
+    dependent), then emit the global position that round-robins one
+    item per bucket easiest-first. Every epoch sees the full difficulty
+    spectrum early instead of a hard-first or easy-only warmup — the
+    standard curriculum/anti-curriculum interleave for training-data
+    scheduling.
+
+    Two window sorts: one global ntile over the difficulty grid (at
+    100 TB replace with a precomputed quantile-edge broadcast — same
+    output contract), one per-bucket rank. Output: ``position`` (1-
+    based global), ``bucket`` (1 = easiest), ``id_col``.
+    """
+    from pyspark.sql import Window
+
+    from morphik_core_spark.operators.dedup import portable_hash
+
+    w_tile = Window.orderBy(F.col(difficulty_col).asc(), F.col(id_col).asc())
+    w_shuffle = Window.partitionBy("bucket").orderBy(
+        portable_hash(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    w_pos = Window.orderBy(F.col("_rank").asc(), F.col("bucket").asc())
+    return (
+        df.select(F.col(id_col), F.col(difficulty_col))
+        .withColumn("bucket", F.ntile(n_buckets).over(w_tile))
+        .withColumn("_rank", F.row_number().over(w_shuffle))
+        .withColumn("position", F.row_number().over(w_pos))
+        .select("position", "bucket", id_col)
     )

@@ -48,6 +48,9 @@ SENSITIVE = [
     # decimal-argmax edge divisions; merged-register harmonic estimate
     "changepoint_split",
     "hll_rollup",
+    # quantized-ln cell sums; global-grid nearest-rank selection
+    "mutual_information",
+    "quantile_normalization",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",

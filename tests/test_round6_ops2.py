@@ -329,3 +329,78 @@ def test_sequence_ngrams_counts(spark):
         for r in sequence_ngrams(df, ["u"], ["t"], "v", n=2).collect()
     }
     assert bi[("a", "b")] == 3
+
+
+# -------------------------------------------- quantile normalization
+
+
+def test_quantile_normalize_identity_single_group(spark):
+    # with one group at grid >= n, each value maps to itself (same rank
+    # in group and globally)
+    from morphik_core_spark.operators.curation import quantile_normalize
+
+    rows = [(i, 1, float(v)) for i, v in enumerate([5, 1, 9, 3, 7, 2, 8])]
+    df = spark.createDataFrame(rows, "id long, g int, v double")
+    out = quantile_normalize(df, ["g"], "v", "id").collect()
+    assert all(r.v == r.norm_value for r in out)
+    # the per-mille grid lever may bias a rank by at most one global step
+    approx = quantile_normalize(df, ["g"], "v", "id", grid=1000).collect()
+    ordered = sorted(r[0] for r in df.select("v").collect())
+    for r in approx:
+        i = ordered.index(r.v)
+        assert r.norm_value in ordered[i : i + 2]
+
+
+def test_quantile_normalize_maps_group_max_to_global_max(spark):
+    from morphik_core_spark.operators.curation import quantile_normalize
+
+    # two groups with disjoint ranges: each group's max hits per-mille
+    # 1000 -> the GLOBAL max; each group's min hits the global min span
+    rows = [(i, "lo", float(v)) for i, v in enumerate([1, 2, 3, 4])] + [
+        (i + 10, "hi", float(v)) for i, v in enumerate([101, 102, 103, 104])
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {(r.g, r.v): r.norm_value for r in quantile_normalize(df, ["g"], "v", "id").collect()}
+    assert out[("lo", 4.0)] == 104.0 and out[("hi", 104.0)] == 104.0
+    # same within-group rank -> same normalized value across groups
+    assert out[("lo", 1.0)] == out[("hi", 101.0)]
+
+
+# --------------------------------------------- mutual information
+
+
+def test_mutual_information_independent_and_dependent(spark):
+    from morphik_core_spark.operators.analytics import mutual_information
+
+    import math
+
+    # perfectly dependent: MI = ln(2); independent 2x2: MI = 0
+    dep = spark.createDataFrame([("a", "x")] * 50 + [("b", "y")] * 50, "u string, v string")
+    ind = spark.createDataFrame(
+        [("a", "x")] * 25 + [("a", "y")] * 25 + [("b", "x")] * 25 + [("b", "y")] * 25,
+        "u string, v string",
+    )
+    mi_dep = mutual_information(dep, "u", "v").collect()[0].mi_nats
+    mi_ind = mutual_information(ind, "u", "v").collect()[0].mi_nats
+    assert abs(mi_dep - math.log(2)) < 1e-9
+    assert mi_ind == 0.0
+
+
+# ----------------------------------------------- curriculum order
+
+
+def test_curriculum_order_interleaves_buckets(spark):
+    from morphik_core_spark.operators.curation import curriculum_order
+
+    rows = [(i, i * 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, diff long")
+    out = curriculum_order(df, "id", "diff", n_buckets=4).collect()
+    assert sorted(r.position for r in out) == list(range(1, 41))
+    # the first 4 positions cover all 4 buckets (one per bucket), and so
+    # does every subsequent stripe of 4
+    by_pos = {r.position: r.bucket for r in out}
+    for stripe in range(10):
+        assert sorted(by_pos[stripe * 4 + j] for j in range(1, 5)) == [1, 2, 3, 4]
+    # deterministic under re-run
+    again = {r.position: r.id for r in curriculum_order(df, "id", "diff", n_buckets=4).collect()}
+    assert again == {r.position: r.id for r in out}
