@@ -881,6 +881,129 @@ class MorphikSpark:
         out = filename_search(docs, query, limit=limit)
         return [r.asDict(recursive=True) for r in out.collect()]
 
+    def search_documents_by_name_fuzzy(
+        self,
+        query: str,
+        max_dist: int = 1,
+        limit: int = 10,
+        filters: dict[str, Any] | None = None,
+        auth: AuthContext | None = None,
+    ) -> list[dict]:
+        """Typo-tolerant filename lookup — the single-probe specialization
+        of `dedup.edit_distance_pairs`: for ONE probe string the right
+        plan is a pushed-down length-band scan filter + exact
+        levenshtein, not the deletion-variant self-join (that blocking
+        pays off for probe BATCHES and corpus self-joins). Extends the
+        exact/ILIKE-only reference lookup (postgres_database.py
+        filename matching) with edit-distance tolerance."""
+        from morphik_core_spark.operators.scopes import access_predicate
+
+        docs = self.documents().filter(F.col("filename").isNotNull())
+        if auth is not None:
+            docs = docs.filter(access_predicate(auth))
+        if filters:
+            docs = docs.filter(self._compiler.compile(filters))
+        out = (
+            docs.filter(
+                F.abs(F.length("filename") - F.lit(len(query))) <= F.lit(max_dist)
+            )
+            .withColumn("dist", F.levenshtein(F.col("filename"), F.lit(query)))
+            .filter(F.col("dist") <= max_dist)
+            .orderBy(F.col("dist").asc(), F.col("filename").asc())
+            .limit(limit)
+            .select("external_id", "filename", "dist")
+        )
+        return [r.asDict(recursive=True) for r in out.collect()]
+
+    def build_term_graph(
+        self,
+        min_weight: int = 2,
+        max_terms_per_doc: int | None = 64,
+        auth: AuthContext | None = None,
+    ) -> int:
+        """Build and persist the chunk-content term co-occurrence graph
+        (`graph.term_cooccurrence_edges`) — the offline half of GraphRAG.
+        Tokens stand in for model-extracted entities; a live NER/LLM
+        extractor drops into the same (doc, term) contract. Returns the
+        edge count; edges land beside the other warehouse tables so
+        `graph_retrieve` is a read, not a rebuild."""
+        from morphik_core_spark.operators.graph import term_cooccurrence_edges
+
+        chunks = self.chunks().select(
+            F.col("document_id").alias("doc_id"), F.col("content")
+        )
+        if auth is not None:
+            from morphik_core_spark.operators.scopes import access_predicate
+
+            scoped = self.documents().filter(access_predicate(auth)).select(
+                F.col("external_id").alias("doc_id")
+            )
+            chunks = chunks.join(scoped, "doc_id")
+        edges = term_cooccurrence_edges(
+            chunks, "content", "doc_id",
+            min_weight=min_weight, max_terms_per_doc=max_terms_per_doc,
+        )
+        edges.write.mode("overwrite").parquet(self._path("term_graph"))
+        return self.spark.read.parquet(self._path("term_graph")).count()
+
+    def graph_retrieve(
+        self,
+        seeds: list[str],
+        k_terms: int = 5,
+        k_docs: int = 10,
+        seed_weight: int = 1000,
+        auth: AuthContext | None = None,
+    ) -> list[dict]:
+        """GraphRAG retrieval: expand the seed terms one hop through the
+        persisted term graph (`graph.seed_expansion_weights`, broadcast-
+        sized by construction), then rank documents by tf-weighted
+        matched-term score. Builds the graph on the fly if
+        `build_term_graph` hasn't run."""
+        import os as _os
+
+        from pyspark.sql import Window
+
+        from morphik_core_spark.operators.graph import seed_expansion_weights
+
+        if not _os.path.exists(self._path("term_graph")):
+            self.build_term_graph(auth=auth)
+        edges = self.spark.read.parquet(self._path("term_graph"))
+        wts = seed_expansion_weights(
+            edges, seeds, k=k_terms, seed_weight=seed_weight
+        )
+        chunks = self.chunks().select(
+            F.col("document_id").alias("doc_id"), F.col("content")
+        )
+        if auth is not None:
+            from morphik_core_spark.operators.scopes import access_predicate
+
+            scoped = self.documents().filter(access_predicate(auth)).select(
+                F.col("external_id").alias("doc_id")
+            )
+            chunks = chunks.join(scoped, "doc_id")
+        tf = (
+            chunks.select(
+                "doc_id",
+                F.explode(F.split(F.lower(F.col("content")), r"\s+")).alias("term"),
+            )
+            .filter(F.col("term") != "")
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        out = (
+            tf.join(F.broadcast(wts), "term")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("tf") * F.col("wt")).alias("score"),
+                F.count(F.lit(1)).alias("n_matched"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k_docs)
+            .select(F.col("doc_id").alias("document_id"), "score", "n_matched")
+        )
+        return [r.asDict(recursive=True) for r in out.collect()]
+
     def list_folders(self, auth: AuthContext | None = None) -> list[dict]:
         """Folder summaries with doc counts (reference list_folders_summary):
         aggregate-then-broadcast-join, no document_ids payload."""

@@ -1498,24 +1498,54 @@ def curriculum_order(
     standard curriculum/anti-curriculum interleave for training-data
     scheduling.
 
-    Two window sorts: one global ntile over the difficulty grid (at
-    100 TB replace with a precomputed quantile-edge broadcast — same
-    output contract), one per-bucket rank. Output: ``position`` (1-
-    based global), ``bucket`` (1 = easiest), ``id_col``.
+    No global row sort anywhere (a naive ntile + global row_number pair
+    measured 8.1x at 10x — single-partition sorts of the whole corpus):
+    the global difficulty rank decomposes into the cumulative count of
+    SMALLER difficulty values (a value-grid window — one row per
+    distinct difficulty, the winsorize-family pattern) plus a per-value
+    rank window that SHARDS by difficulty value; the ntile bucket then
+    follows from the rank arithmetically, and the interleave position
+    has the closed form (rank_in_bucket−1)·k + bucket — exactly the
+    row_number over (rank, bucket), because ntile shorts only the LAST
+    buckets, so every stripe is consecutive. Output: ``position``
+    (1-based global), ``bucket`` (1 = easiest), ``id_col``.
     """
     from pyspark.sql import Window
 
     from morphik_core_spark.operators.dedup import portable_hash
 
-    w_tile = Window.orderBy(F.col(difficulty_col).asc(), F.col(id_col).asc())
+    base = df.select(F.col(id_col), F.col(difficulty_col).alias("_diff"))
+    vg = base.groupBy("_diff").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_cum = Window.orderBy(F.col("_diff").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    before = vg.withColumn("_before", F.sum("_cnt").over(w_cum) - F.col("_cnt")).select(
+        "_diff", "_before"
+    )
+    w_intra = Window.partitionBy("_diff").orderBy(F.col(id_col).asc())
+    tot = base.agg(F.count(F.lit(1)).alias("_nn"))
+    k = n_buckets
+    ranked = (
+        base.withColumn("_ir", F.row_number().over(w_intra))
+        .join(F.broadcast(before), "_diff")
+        .join(F.broadcast(tot))
+        .withColumn("_r", F.col("_before") + F.col("_ir"))
+        # ntile(k): first rem = N%k buckets hold q+1 = N div k + 1 rows
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"CAST(CASE WHEN _r <= (_nn % {k}) * (_nn div {k} + 1) "
+                f"THEN (_r - 1) div (_nn div {k} + 1) + 1 "
+                f"ELSE (_nn % {k}) + (_r - (_nn % {k}) * (_nn div {k} + 1) - 1) "
+                f"div (_nn div {k}) + 1 END AS INT)"
+            ),
+        )
+    )
     w_shuffle = Window.partitionBy("bucket").orderBy(
         portable_hash(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
     )
-    w_pos = Window.orderBy(F.col("_rank").asc(), F.col("bucket").asc())
     return (
-        df.select(F.col(id_col), F.col(difficulty_col))
-        .withColumn("bucket", F.ntile(n_buckets).over(w_tile))
-        .withColumn("_rank", F.row_number().over(w_shuffle))
-        .withColumn("position", F.row_number().over(w_pos))
+        ranked.withColumn("_rank", F.row_number().over(w_shuffle))
+        .withColumn("position", ((F.col("_rank") - 1) * k + F.col("bucket")).cast("int"))
         .select("position", "bucket", id_col)
     )

@@ -1568,6 +1568,128 @@ def main() -> None:
             ldiv1, ldiv10,
         )
 
+    if "r6c" in ops:
+        # batch-2/3 round-6 ops. Same key-tiling discipline as r6b.
+        from pyspark.sql import Window as _W2
+
+        from morphik_core_spark.operators.analytics import (
+            cusum_split,
+            mutual_information,
+            sequence_ngrams,
+        )
+        from morphik_core_spark.operators.asof import peak_concurrency
+        from morphik_core_spark.operators.curation import (
+            curriculum_order,
+            quantile_normalize,
+        )
+        from morphik_core_spark.operators.sketches import (
+            hll_estimate_from_registers,
+            hll_merge,
+            hll_registers,
+        )
+
+        def _tile10b(df, path, builders):
+            tiles = [df.select(*builders(j)) for j in range(10)]
+            out = tiles[0]
+            for t in tiles[1:]:
+                out = out.unionByName(t)
+            p = os.path.join(tmp, path)
+            out.write.mode("overwrite").parquet(p)
+            return spark.read.parquet(p)
+
+        ord_c = load_table(spark, "orders", SF_DIR)
+        cust_c2 = load_table(spark, "customer", SF_DIR)
+        ivc1 = ord_c.join(cust_c2, ord_c.o_custkey == cust_c2.c_custkey).select(
+            F.col("c_nationkey").cast("long").alias("nk"),
+            F.col("o_custkey").alias("ck"),
+            F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")).cast("long").alias("s"),
+            (
+                F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+                + 7 * F.substring("o_orderpriority", 1, 1).cast("int")
+            ).cast("long").alias("e"),
+            F.col("o_totalprice").alias("v"),
+            F.col("o_orderkey").alias("k"),
+        )
+        ivc1_p = os.path.join(tmp, "ivc1")
+        ivc1.write.mode("overwrite").parquet(ivc1_p)
+        ivc1 = spark.read.parquet(ivc1_p)
+        ivc10 = _tile10b(
+            ivc1, "ivc10",
+            lambda j: [
+                (F.col("nk") * 10 + j).alias("nk"),
+                (F.col("ck") * 10 + j).alias("ck"),
+                F.col("s"), F.col("e"),
+                (F.col("v") + j * 0.01).alias("v"),
+                (F.col("k") * 10 + j).alias("k"),
+            ],
+        )
+        report(
+            "peak_concurrency",
+            lambda d: mat(peak_concurrency(d, ["nk"], "s", "e")),
+            ivc1, ivc10,
+        )
+        report(
+            "hll_merge_rollup",
+            lambda d: mat(
+                hll_estimate_from_registers(
+                    hll_merge(
+                        hll_registers(
+                            d.withColumn("rk", F.col("nk") % 5), ["rk", "nk"], "ck", p=9
+                        ),
+                        ["rk"],
+                    ),
+                    ["rk"], p=9,
+                )
+            ),
+            ivc1, ivc10,
+        )
+        report(
+            "quantile_normalize",
+            lambda d: mat(quantile_normalize(d, ["nk"], "v", "k")),
+            ivc1, ivc10,
+        )
+        report(
+            "mutual_information",
+            lambda d: mat(
+                mutual_information(
+                    d.withColumn("xc", F.col("nk") % 25).withColumn("yc", F.col("ck") % 7),
+                    "xc", "yc",
+                )
+            ),
+            ivc1, ivc10,
+        )
+
+        # time-tiled daily grid for the change-point (grid grows 10x)
+        daily1 = ord_c.groupBy(
+            F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")).alias("d")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        daily1_p = os.path.join(tmp, "daily1")
+        daily1.write.mode("overwrite").parquet(daily1_p)
+        daily1 = spark.read.parquet(daily1_p)
+        daily10 = _tile10b(
+            daily1, "daily10", lambda j: [(F.col("d") + j * 3700).alias("d"), F.col("n")]
+        )
+        report("cusum_split", lambda d: mat(cusum_split(d, "d", "n")), daily1, daily10)
+
+        ev_c = load_table(spark, "events", SF_DIR).select("user_id", "ts", "event_id", "event_type")
+        ev10c2 = _tile10b(
+            ev_c, "ev10c2",
+            lambda j: [
+                (F.col("user_id") * 10 + j).alias("user_id"),
+                F.col("ts"), F.col("event_id"), F.col("event_type"),
+            ],
+        )
+        report(
+            "sequence_ngrams",
+            lambda d: mat(sequence_ngrams(d, ["user_id"], ["ts", "event_id"], "event_type", n=3)),
+            ev_c, ev10c2,
+        )
+        report(
+            "curriculum_order",
+            lambda d: mat(curriculum_order(d, "k", "v", n_buckets=10)),
+            ivc1, ivc10,
+        )
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

@@ -636,3 +636,37 @@ def test_privacy_report_gate(client):
     other = client.privacy_report(auth=AuthContext(user_id="x", app_id="other"))
     vals = {(r.section, r.metric): r.value for r in other.collect()}
     assert vals[("pii", "n_chunks_scanned")] == 0.0
+
+
+def test_search_documents_by_name_fuzzy(client):
+    _seed(client)
+    got = client.search_documents_by_name_fuzzy("cats.txt", auth=AUTH)
+    assert got and got[0]["filename"] == "cats.txt" and got[0]["dist"] == 0
+    # one substitution away still hits; ranked after the exact match
+    typo = client.search_documents_by_name_fuzzy("cats.txd", auth=AUTH)
+    assert [d["filename"] for d in typo] == ["cats.txt"]
+    assert typo[0]["dist"] == 1
+    # two edits away finds nothing at max_dist=1
+    assert client.search_documents_by_name_fuzzy("cuts.txd", auth=AUTH) == []
+    # metadata filters compose
+    assert (
+        client.search_documents_by_name_fuzzy(
+            "cats.txt", filters={"topic": "engine"}, auth=AUTH
+        )
+        == []
+    )
+
+
+def test_graph_build_and_retrieve(client):
+    _seed(client)
+    n_edges = client.build_term_graph(min_weight=1, auth=AUTH)
+    assert n_edges > 0
+    got = client.graph_retrieve(["catalyst"], k_terms=3, k_docs=3, auth=AUTH)
+    assert got and all(set(d) == {"document_id", "score", "n_matched"} for d in got)
+    # the seed-bearing document outranks everything: seed weight dominates
+    ids = client.ingest_texts  # noqa: F841  (facade still usable after)
+    docs = {d["filename"]: d["external_id"] for d in client.list_documents(auth=AUTH)}
+    assert got[0]["document_id"] == docs["catalyst.txt"]
+    # deterministic across calls (persisted graph, no rebuild)
+    again = client.graph_retrieve(["catalyst"], k_terms=3, k_docs=3, auth=AUTH)
+    assert again == got
