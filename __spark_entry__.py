@@ -749,6 +749,35 @@ def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(docs, "doc_id", "n_chars", n_buckets=10)
 
 
+def _q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct-user estimate per day by SLIDING sketch
+    merge (`sketches.hll_registers` + `hll_merge`): day-grain registers
+    fan out to the ≤7 windows they serve (bounded explode), MAX-merge
+    per (window, register), finalize — the windowed re-aggregation
+    countDistinct can't do without re-scanning every window's raw rows
+    7× (associativity makes it byte-identical to the direct per-window
+    sketch, which is what the oracle computes)."""
+    from morphik_core_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.select(F.to_date(F.col("ts")).alias("day"), "user_id")
+    regs = hll_registers(facts, ["day"], "user_id", p=9)
+    fanned = regs.withColumn(
+        "tday", F.explode(F.expr("sequence(day, date_add(day, 6), interval 1 day)"))
+    ).select(F.col("tday").alias("wday"), "reg", "max_rho")
+    merged = hll_merge(fanned, ["wday"])
+    observed = facts.select("day").distinct()
+    return (
+        hll_estimate_from_registers(merged, ["wday"], p=9)
+        .join(observed, F.col("wday") == F.col("day"), "left_semi")
+        .select(F.col("wday").alias("day"), "registers_used", "distinct_est")
+    )
+
+
 def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-5 per query for a 5-query batch (ANN baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -4569,6 +4598,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalization": _q_quantile_normalization,
         "mutual_information": _q_mutual_information,
         "curriculum_order": _q_curriculum_order,
+        "sliding_distinct_users": _q_sliding_distinct_users,
         "knn_batch": _q_knn_batch,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -5988,6 +6018,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY rnk, bucket) AS INT) AS position,
                    bucket, doc_id
             FROM s
+        """,
+        "sliding_distinct_users": f"""
+            WITH f AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
+            ),
+            days AS (SELECT DISTINCT day FROM f),
+            win AS (
+                SELECT d.day AS wday, f.user_id
+                FROM days d JOIN f ON f.day BETWEEN d.day - 6 AND d.day
+            ),
+            h AS (
+                SELECT wday,
+                       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM win
+            ),
+            r AS (SELECT wday, h % 512 AS reg, h // 512 AS w FROM h),
+            rho AS (
+                SELECT wday, reg,
+                       52 - (CASE WHEN w = 0 THEN 0 ELSE length(to_base(w, 2)) END) AS rho
+                FROM r
+            ),
+            regs AS (SELECT wday, reg, MAX(rho) AS max_rho FROM rho GROUP BY 1, 2),
+            agg AS (
+                SELECT wday, COUNT(*) AS registers_used,
+                       SUM(CAST(1 AS BIGINT) << (52 - max_rho)) AS s_occ
+                FROM regs GROUP BY 1
+            ),
+            fin AS (
+                SELECT wday, registers_used,
+                       s_occ + (512 - registers_used) * CAST(4503599627370496 AS BIGINT) AS s
+                FROM agg
+            )
+            SELECT wday AS day, registers_used,
+                   ROUND(CASE WHEN {_HLL_EST} <= 2.5 * 512.0 AND registers_used < 512
+                         THEN 512.0 * ln(512.0 / (512 - registers_used))
+                         ELSE {_HLL_EST} END, 6) AS distinct_est
+            FROM fin
         """,
         "rolling_median_anomaly": f"""
             WITH h AS (

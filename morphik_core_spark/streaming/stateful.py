@@ -32,6 +32,7 @@ __all__ = [
     "asof_backward_stream",
     "debounce_stream",
     "cusum_stream",
+    "hampel_stream",
 ]
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -320,6 +321,100 @@ def cusum_stream(
         update,
         outputStructType=CUSUM_OUTPUT_SCHEMA,
         stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+HAMPEL_OUTPUT_SCHEMA = (
+    "series_key string, idx bigint, value bigint, med double, is_anomaly boolean"
+)
+HAMPEL_STATE_SCHEMA = "idxs array<bigint>, vals array<bigint>, last_idx bigint"
+
+
+def hampel_stream(
+    series: DataFrame,
+    half_window: int = 12,
+    rel_num: int = 1,
+    rel_den: int = 2,
+    key_col: str = "series_key",
+    idx_col: str = "idx",
+    val_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of `analytics.rolling_median_flags`: a centered
+    rolling-median screen over a live series, with O(window) state per
+    key (a ring of the last 2·half_window+1 points).
+
+    A centered window needs ``half_window`` FUTURE points, so the
+    stream finalizes point ``t`` when ``t+half_window`` arrives —
+    decisions lag the head by half_window points, the inherent latency
+    of a centered statistic (the same reason the batch op exists for
+    backfills). Early points finalize against left-clipped windows,
+    matching the batch op's shrinking edges EXACTLY; the trailing
+    half_window points never finalize until the series ends (batch
+    equivalence on all finalized points is pinned by test). Same
+    ordering/replay contract as `cusum_stream`: non-decreasing idx per
+    key across batches, in-batch disorder sorted away, replayed idx ≤
+    last seen dropped — at-least-once safe. Flag math is the batch
+    op's twice-the-median int64 rule, bit-identical on any engine.
+    """
+    hw = int(half_window)
+    win = 2 * hw + 1
+
+    def _emit(key_val, idxs, vals, center_pos):
+        lo = max(0, center_pos - hw)
+        hi = min(len(vals) - 1, center_pos + hw)
+        neigh = sorted(vals[lo : hi + 1])
+        n = len(neigh)
+        m2 = 2 * neigh[n // 2] if n % 2 == 1 else neigh[n // 2 - 1] + neigh[n // 2]
+        x = vals[center_pos]
+        return (
+            key_val,
+            idxs[center_pos],
+            x,
+            m2 / 2.0,
+            rel_den * abs(2 * x - m2) > rel_num * m2,
+        )
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        if state.exists:
+            idxs, vals, last_idx = state.get
+            idxs, vals = list(idxs), list(vals)
+        else:
+            idxs, vals, last_idx = [], [], None
+        # n_done = points already finalized = positions dropped from the
+        # left of the ring + nothing (the ring keeps exactly the tail
+        # needed: every unfinalized center plus hw of lookback)
+        out_rows: list[tuple] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(idx_col)
+            for i, x in zip(pdf[idx_col], pdf[val_col]):
+                i = int(i)
+                if last_idx is not None and i <= last_idx:
+                    continue
+                last_idx = i
+                idxs.append(i)
+                vals.append(int(x))
+                # newest point sits at position len-1; it finalizes the
+                # center hw positions back (if one exists)
+                center = len(vals) - 1 - hw
+                if center >= 0:
+                    out_rows.append(_emit(key_val, idxs, vals, center))
+                    # positions before center-hw can never be read again
+                    if center - hw > 0:
+                        drop = center - hw
+                        idxs = idxs[drop:]
+                        vals = vals[drop:]
+        state.update((idxs[-win:], vals[-win:], last_idx))
+        yield pd.DataFrame(
+            out_rows, columns=["series_key", "idx", "value", "med", "is_anomaly"]
+        )
+
+    return series.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=HAMPEL_OUTPUT_SCHEMA,
+        stateStructType=HAMPEL_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

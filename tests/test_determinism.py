@@ -51,6 +51,7 @@ SENSITIVE = [
     # quantized-ln cell sums; global-grid nearest-rank selection
     "mutual_information",
     "quantile_normalization",
+    "sliding_distinct_users",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",

@@ -449,3 +449,58 @@ def test_cusum_stream_matches_batch_and_survives_restart(spark, tmp_path):
     for i, x in enumerate(xs):
         s_replay = max(0, s_replay + x - 12)
         assert got[i][2] is (s_replay > 6)
+
+
+def test_hampel_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """Streaming centered rolling-median screen: finalizes each point
+    when its half_window-th successor arrives, matches the batch
+    `rolling_median_flags` EXACTLY on every finalized point (shrinking
+    left edge included), keeps O(window) state across a checkpoint
+    restart, and drops replayed idx instead of double-applying."""
+    import random as _random
+
+    from morphik_core_spark.operators.analytics import rolling_median_flags
+    from morphik_core_spark.streaming.stateful import hampel_stream
+
+    rng = _random.Random(9)
+    xs = [rng.randint(0, 30) for _ in range(25)]
+    xs[12] = 400  # guaranteed spike
+
+    schema = "series_key string, idx long, value long"
+    batch1 = [("k", i, x) for i, x in enumerate(xs[:10])]
+    batch2 = [("k", 9, 999)] + [("k", i + 10, x) for i, x in enumerate(xs[10:])]
+
+    src, out, chk = (str(tmp_path / d) for d in ("hin", "hout", "hchk"))
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            hampel_stream(stream, half_window=4)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+
+    run_once(batch1)
+    run_once(batch2)
+    got = {r.idx: (r.value, r.med, r.is_anomaly) for r in spark.read.parquet(out).collect()}
+    # head..len-hw-1 finalized; trailing hw points pend forever
+    assert sorted(got) == list(range(len(xs) - 4))
+    assert got[9][0] == xs[9]  # replayed idx kept its first value
+
+    series = spark.createDataFrame(list(enumerate(xs)), "t long, x long")
+    want = {
+        r.t: (r.x, r.med, r.is_anomaly)
+        for r in rolling_median_flags(series, "t", "x", half_window=4).collect()
+    }
+    for i in got:
+        assert got[i] == want[i], f"idx {i}: {got[i]} vs {want[i]}"
+    assert any(got[i][2] for i in got)  # the spike fired
