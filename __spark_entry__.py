@@ -778,6 +778,30 @@ def _q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (`asof.interval_islands`): merge each customer's
+    overlapping order-fulfillment windows into maximal busy periods,
+    rolled up per customer — islands complete the interval family
+    (pairs = who, peak = how many, islands = the merged coverage)."""
+    from morphik_core_spark.operators.asof import interval_islands
+
+    orders = _t(spark, sf_dir, "orders")
+    iv = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.col("o_orderdate"), F.lit(_OVERLAP_EPOCH).cast("date")).alias("s"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit(_OVERLAP_EPOCH).cast("date"))
+            + 7 * F.substring("o_orderpriority", 1, 1).cast("int")
+        ).alias("e"),
+    )
+    isl = interval_islands(iv, ["ck"], "s", "e")
+    return isl.groupBy("ck").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("n_intervals").alias("max_merged"),
+        F.sum(F.col("island_end") - F.col("island_start") + 1).alias("covered_days"),
+    )
+
+
 def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-5 per query for a 5-query batch (ANN baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -4599,6 +4623,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information": _q_mutual_information,
         "curriculum_order": _q_curriculum_order,
         "sliding_distinct_users": _q_sliding_distinct_users,
+        "interval_islands": _q_interval_islands,
         "knn_batch": _q_knn_batch,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -6018,6 +6043,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY rnk, bucket) AS INT) AS position,
                    bucket, doc_id
             FROM s
+        """,
+        "interval_islands": f"""
+            WITH iv AS (
+                SELECT o_custkey AS ck,
+                       date_diff('day', DATE '{_OVERLAP_EPOCH}', o_orderdate) AS s,
+                       date_diff('day', DATE '{_OVERLAP_EPOCH}', o_orderdate)
+                           + 7 * CAST(substr(o_orderpriority, 1, 1) AS INT) AS e
+                FROM orders
+            ),
+            m AS (
+                SELECT ck, s, e,
+                       CASE WHEN s > coalesce(max(e) OVER (
+                           PARTITION BY ck ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), -4611686018427387904) THEN 1 ELSE 0 END AS brk
+                FROM iv
+            ),
+            isl AS (
+                SELECT ck, s, e,
+                       sum(brk) OVER (PARTITION BY ck ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+                FROM m
+            ),
+            g AS (
+                SELECT ck, iid, min(s) AS island_start, max(e) AS island_end,
+                       count(*) AS n_intervals
+                FROM isl GROUP BY 1, 2
+            )
+            SELECT ck, count(*) AS n_islands, max(n_intervals) AS max_merged,
+                   sum(island_end - island_start + 1) AS covered_days
+            FROM g GROUP BY ck
         """,
         "sliding_distinct_users": f"""
             WITH f AS (

@@ -30,6 +30,7 @@ __all__ = [
     "interval_point_join",
     "interval_overlap_pairs",
     "peak_concurrency",
+    "interval_islands",
 ]
 
 
@@ -437,3 +438,50 @@ def peak_concurrency(
         .filter(F.col("_rn") == 1)
         .select(*key_cols, F.col("_c").cast("int").alias("peak"), F.col("_d").alias("peak_at"))
     )
+
+
+def interval_islands(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    lo_col: str,
+    hi_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: merge each key's overlapping/touching ``[lo,
+    hi]`` intervals into maximal covered spans — the third member of
+    the interval family (pairs = WHO overlaps, peak = HOW MANY at once,
+    islands = the MERGED coverage itself; SCD2 compaction, busy-period
+    extraction, downtime stitching).
+
+    Classic two-window form, one shuffle total: per key in (lo, hi)
+    order, an interval STARTS an island iff its lo exceeds the running
+    max of all earlier his (ROWS … 1 PRECEDING); the cumulative sum of
+    those break flags is the island id; one groupBy rolls islands up.
+    All integer comparisons — rows tying on (lo, hi) are
+    interchangeable, so island GROUPS are deterministic even though
+    their scan order isn't. Malformed rows dropped as in the sibling
+    ops. Output: ``key_cols…, island_start, island_end, n_intervals``.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(k) for k in key_cols]
+    ok = df.filter(F.col(lo_col).isNotNull() & (F.col(lo_col) <= F.col(hi_col))).select(
+        *keys, F.col(lo_col).cast("long").alias("_lo"), F.col(hi_col).cast("long").alias("_hi")
+    )
+    order = [F.col("_lo").asc(), F.col("_hi").asc()]
+    w_prev = (
+        Window.partitionBy(*key_cols).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(*key_cols).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ok.withColumn(
+        "_brk",
+        (F.col("_lo") > F.coalesce(F.max("_hi").over(w_prev), F.lit(-(1 << 62)))).cast("int"),
+    ).withColumn("_iid", F.sum("_brk").over(w_cum))
+    return flagged.groupBy(*key_cols, "_iid").agg(
+        F.min("_lo").alias("island_start"),
+        F.max("_hi").alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    ).drop("_iid")

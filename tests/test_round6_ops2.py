@@ -404,3 +404,50 @@ def test_curriculum_order_interleaves_buckets(spark):
     # deterministic under re-run
     again = {r.position: r.id for r in curriculum_order(df, "id", "diff", n_buckets=4).collect()}
     assert again == {r.position: r.id for r in out}
+
+
+# ------------------------------------------------- interval islands
+
+
+def test_interval_islands_matches_naive(spark):
+    from morphik_core_spark.operators.asof import interval_islands
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(200):
+        lo = rng.randint(0, 80)
+        rows.append((i % 4, lo, lo + rng.randint(0, 12)))
+    df = spark.createDataFrame(rows, "g int, lo long, hi long")
+    got = {
+        (r.g, r.island_start, r.island_end, r.n_intervals)
+        for r in interval_islands(df, ["g"], "lo", "hi").collect()
+    }
+    want = set()
+    for g in range(4):
+        ivs = sorted((lo, hi) for (gg, lo, hi) in rows if gg == g)
+        cur_s, cur_e, n = None, None, 0
+        for lo, hi in ivs:
+            if cur_s is None or lo > cur_e:
+                if cur_s is not None:
+                    want.add((g, cur_s, cur_e, n))
+                cur_s, cur_e, n = lo, hi, 1
+            else:
+                cur_e, n = max(cur_e, hi), n + 1
+        if cur_s is not None:
+            want.add((g, cur_s, cur_e, n))
+    assert got == want
+
+
+def test_interval_islands_touching_merge_and_malformed(spark):
+    from morphik_core_spark.operators.asof import interval_islands
+
+    df = spark.createDataFrame(
+        [(1, 0, 5), (1, 5, 9), (1, 11, 12), (1, 9, 3), (1, None, 4)],
+        "g int, lo long, hi long",
+    )
+    got = sorted(
+        (r.island_start, r.island_end, r.n_intervals)
+        for r in interval_islands(df, ["g"], "lo", "hi").collect()
+    )
+    # touching at 5 merges (inclusive ends); malformed rows dropped
+    assert got == [(0, 9, 2), (11, 12, 1)]
