@@ -1690,6 +1690,36 @@ def main() -> None:
             ivc1, ivc10,
         )
 
+        from morphik_core_spark.operators.asof import interval_islands
+
+        report(
+            "interval_islands",
+            lambda d: mat(
+                interval_islands(d, ["ck"], "s", "e")
+                .groupBy("ck").agg(F.count(F.lit(1)).alias("n"))
+            ),
+            ivc1, ivc10,
+        )
+
+        def sliding_hll(e):
+            regs = hll_registers(
+                e.select(F.to_date("ts").alias("day"), "user_id"), ["day"], "user_id", p=9
+            )
+            fanned = regs.withColumn(
+                "tday", F.explode(F.expr("sequence(day, date_add(day, 6), interval 1 day)"))
+            ).select(F.col("tday").alias("wday"), "reg", "max_rho")
+            mat(hll_estimate_from_registers(hll_merge(fanned, ["wday"]), ["wday"], p=9))
+
+        ev_h = load_table(spark, "events", SF_DIR).select("ts", "user_id")
+        ev10h = _tile10b(
+            ev_h, "ev10h",
+            lambda j: [
+                (F.col("ts") + F.expr(f"INTERVAL {30 * j} DAYS")).alias("ts"),
+                (F.col("user_id") * 10 + j).alias("user_id"),
+            ],
+        )
+        report("sliding_hll_windows", sliding_hll, ev_h, ev10h)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing
