@@ -802,6 +802,139 @@ def _q_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sliding_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day per-type event volume from SLIDING count-min
+    sketches (`sketches.cms_sketch(group_cols=…)` + additive cell
+    merge): day-grain sketches fan to the ≤7 windows they serve and
+    cells ADD — the CMS sibling of `sliding_distinct_users`' register
+    MAX-merge. Each row carries the exact trailing count beside the
+    estimate, exhibiting the one-sided CMS guarantee (est ≥ exact) on
+    a deliberately tight 3×16 sketch."""
+    from morphik_core_spark.operators.sketches import cms_estimates, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    day_counts = ev.select(F.to_date(F.col("ts")).alias("day"), "event_type").groupBy(
+        "day", "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    day_sketch = cms_sketch(
+        day_counts, "event_type", "n", depth=3, width=16, group_cols=["day"]
+    )
+    fanned = day_sketch.withColumn(
+        "wday", F.explode(F.expr("sequence(day, date_add(day, 6), interval 1 day)"))
+    )
+    merged = fanned.groupBy("wday", "depth_i", "bucket").agg(
+        F.sum("bucket_count").alias("bucket_count")
+    )
+    exact = (
+        day_counts.withColumn(
+            "wday", F.explode(F.expr("sequence(day, date_add(day, 6), interval 1 day)"))
+        )
+        .groupBy("wday", "event_type")
+        .agg(F.sum("n").alias("exact_n"))
+        .join(
+            day_counts.select("day").distinct(),
+            F.col("wday") == F.col("day"),
+            "left_semi",
+        )
+    )
+    return cms_estimates(
+        exact, merged, "event_type", depth=3, width=16, group_cols=["wday"]
+    ).select(F.col("wday").alias("day"), "event_type", "exact_n", "cms_est")
+
+
+def _q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (`analytics.
+    markov_removal_effects`): journeys → first-order transition matrix
+    → conversion-absorption probability from '__start__', re-solved
+    with each channel knocked out; credit = relative conversion drop —
+    the data-driven complement of `attribution`'s positional rules.
+    Truncating-integer micro-unit arithmetic and a fixed 10-round
+    integer fixed point keep it bit-identical across engines (the
+    oracle unrolls the same 10 rounds as CTEs)."""
+    from morphik_core_spark.operators.analytics import markov_removal_effects
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_removal_effects(
+        ev, "user_id", ["ts", "event_id"], "event_type", "purchase", iterations=10
+    )
+
+
+def _markov_oracle_sql(iterations: int = 10) -> str:
+    """The markov_attribution oracle: the same journey split, redirect,
+    and integer fixed point, with the K absorption rounds UNROLLED as
+    chained CTEs (the quality_classifier oracle pattern)."""
+    iters = ",\n".join(
+        f"""
+            p{k + 1} AS (
+                SELECT t.scenario, t.src AS state,
+                       SUM(t.tu * (CASE WHEN t.dst = '__conv__' THEN 1000000
+                                        ELSE coalesce(p.pu, 0) END)) // 1000000 AS pu
+                FROM tmat t LEFT JOIN p{k} p
+                ON p.scenario = t.scenario AND p.state = t.dst
+                GROUP BY 1, 2
+            )"""
+        for k in range(iterations)
+    )
+    return f"""
+            WITH ev AS (
+                SELECT user_id, ts, event_id,
+                       coalesce(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid,
+                       CASE WHEN event_type = 'purchase' THEN '__conv__'
+                            ELSE event_type END AS state
+                FROM events
+            ),
+            ev2 AS (
+                SELECT *, lag(state) OVER (PARTITION BY user_id, jid ORDER BY ts, event_id) AS prev
+                FROM ev
+            ),
+            row_edges AS (SELECT coalesce(prev, '__start__') AS src, state AS dst FROM ev2),
+            jstats AS (
+                SELECT user_id, jid,
+                       max({{'t': ts, 'e': event_id, 's': state}}) AS lastr,
+                       max(CASE WHEN state = '__conv__' THEN 1 ELSE 0 END) AS conv
+                FROM ev2 GROUP BY 1, 2
+            ),
+            null_edges AS (
+                SELECT lastr.s AS src, '__null__' AS dst FROM jstats WHERE conv = 0
+            ),
+            edges AS (
+                SELECT src, dst, count(*) AS n
+                FROM (SELECT * FROM row_edges UNION ALL SELECT * FROM null_edges)
+                GROUP BY 1, 2
+            ),
+            scen AS (
+                SELECT '__base__' AS scenario
+                UNION ALL
+                SELECT DISTINCT dst FROM edges WHERE dst NOT IN ('__conv__', '__null__')
+            ),
+            red AS (
+                SELECT s.scenario, e.src,
+                       CASE WHEN s.scenario <> '__base__' AND e.dst = s.scenario
+                            THEN '__null__' ELSE e.dst END AS dst,
+                       SUM(e.n) AS n
+                FROM edges e, scen s GROUP BY 1, 2, 3
+            ),
+            tot AS (SELECT scenario, src, SUM(n) AS ntot FROM red GROUP BY 1, 2),
+            tmat AS (
+                SELECT r.scenario, r.src, r.dst, (r.n * 1000000) // t.ntot AS tu
+                FROM red r JOIN tot t ON r.scenario = t.scenario AND r.src = t.src
+            ),
+            p0 AS (
+                SELECT CAST(NULL AS VARCHAR) AS scenario, CAST(NULL AS VARCHAR) AS state,
+                       CAST(NULL AS BIGINT) AS pu WHERE 1 = 0
+            ),{iters},
+            strt AS (SELECT scenario, pu FROM p{iterations} WHERE state = '__start__'),
+            base AS (SELECT pu AS pb FROM strt WHERE scenario = '__base__')
+            SELECT s.scenario AS channel,
+                   ROUND(b.pb / 1000000.0, 6) AS p_base,
+                   ROUND(s.pu / 1000000.0, 6) AS p_removed,
+                   ROUND(CAST(b.pb - s.pu AS DOUBLE) / b.pb, 6) AS removal_effect
+            FROM strt s, base b WHERE s.scenario <> '__base__'
+        """
+
+
 def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-5 per query for a 5-query batch (ANN baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -4624,6 +4757,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": _q_curriculum_order,
         "sliding_distinct_users": _q_sliding_distinct_users,
         "interval_islands": _q_interval_islands,
+        "sliding_heavy_hitters": _q_sliding_heavy_hitters,
+        "markov_attribution": _q_markov_attribution,
         "knn_batch": _q_knn_batch,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -6074,6 +6209,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT ck, count(*) AS n_islands, max(n_intervals) AS max_merged,
                    sum(island_end - island_start + 1) AS covered_days
             FROM g GROUP BY ck
+        """,
+        "markov_attribution": _markov_oracle_sql(10),
+        "sliding_heavy_hitters": """
+            WITH dc AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            days AS (SELECT DISTINCT day FROM dc),
+            sk AS (
+                SELECT day, d,
+                       CAST(('0x' || substr(md5('cms' || d || '|' || event_type), 1, 15)) AS BIGINT) % 16 AS bucket,
+                       CAST(SUM(n) AS BIGINT) AS bucket_count
+                FROM dc, (SELECT unnest([0, 1, 2]) AS d)
+                GROUP BY 1, 2, 3
+            ),
+            merged AS (
+                SELECT t.day AS wday, sk.d, sk.bucket,
+                       CAST(SUM(sk.bucket_count) AS BIGINT) AS bucket_count
+                FROM days t JOIN sk ON sk.day BETWEEN t.day - 6 AND t.day
+                GROUP BY 1, 2, 3
+            ),
+            exact AS (
+                SELECT t.day AS wday, dc.event_type, CAST(SUM(dc.n) AS BIGINT) AS exact_n
+                FROM days t JOIN dc ON dc.day BETWEEN t.day - 6 AND t.day
+                GROUP BY 1, 2
+            ),
+            probes AS (
+                SELECT wday, event_type, d,
+                       CAST(('0x' || substr(md5('cms' || d || '|' || event_type), 1, 15)) AS BIGINT) % 16 AS bucket
+                FROM exact, (SELECT unnest([0, 1, 2]) AS d)
+            ),
+            est AS (
+                SELECT p.wday, p.event_type, MIN(m.bucket_count) AS cms_est
+                FROM probes p JOIN merged m
+                ON p.wday = m.wday AND p.d = m.d AND p.bucket = m.bucket
+                GROUP BY 1, 2
+            )
+            SELECT e.wday AS day, e.event_type, e.exact_n, s.cms_est
+            FROM exact e JOIN est s ON e.wday = s.wday AND e.event_type = s.event_type
         """,
         "sliding_distinct_users": f"""
             WITH f AS (

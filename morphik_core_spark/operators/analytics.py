@@ -25,6 +25,8 @@ __all__ = [
     "rolling_median_flags",
     "cusum_split",
     "mutual_information",
+    "markov_journey_transitions",
+    "markov_removal_effects",
     "sequence_ngrams",
     "funnel_counts",
     "cohort_retention",
@@ -2097,4 +2099,165 @@ def mutual_information(
         .join(F.broadcast(tot))
         .agg(F.sum(F.expr(term)).alias("_s"))
         .select(F.round(F.col("_s") / F.lit(1e12), decimals).alias("mi_nats"))
+    )
+
+
+def markov_journey_transitions(
+    events: DataFrame,
+    user_col: str,
+    order_cols: Sequence[str],
+    type_col: str,
+    conv_value: str,
+) -> DataFrame:
+    """Journey transition counts for Markov attribution: split each
+    user's totally-ordered event stream into journeys at conversion
+    events (the conversion is its journey's final state), then count
+    ``src → dst`` steps where src ∈ {'__start__'} ∪ channels and dst ∈
+    channels ∪ {'__conv__', '__null__'} — '__null__' closes journeys
+    that never convert (the trailing slice after a user's last
+    conversion).
+
+    Two keyed windows (user, then user×journey) + one shrinking
+    groupBy; output is at most (channels+1)·(channels+2) rows no matter
+    the corpus. ``order_cols`` must totally order each user's stream.
+    """
+    from pyspark.sql import Window
+
+    w_user = (
+        Window.partitionBy(user_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_conv = (F.col(type_col) == conv_value).cast("long")
+    ev = events.select(user_col, *order_cols, type_col).withColumn(
+        "_jid", F.coalesce(F.sum(is_conv).over(w_user), F.lit(0))
+    )
+    w_j = Window.partitionBy(user_col, "_jid").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    ev2 = ev.withColumn(
+        "_state",
+        F.when(F.col(type_col) == conv_value, F.lit("__conv__")).otherwise(F.col(type_col)),
+    ).withColumn("_prev", F.lag("_state").over(w_j))
+    row_edges = ev2.select(
+        F.coalesce(F.col("_prev"), F.lit("__start__")).alias("src"),
+        F.col("_state").alias("dst"),
+    )
+    last_struct = F.max(
+        F.struct(*[F.col(c) for c in order_cols], F.col("_state"))
+    ).alias("_last")
+    jstats = ev2.groupBy(user_col, "_jid").agg(
+        last_struct,
+        F.max((F.col("_state") == "__conv__").cast("int")).alias("_conv"),
+    )
+    null_edges = jstats.filter(F.col("_conv") == 0).select(
+        F.col("_last._state").alias("src"), F.lit("__null__").alias("dst")
+    )
+    return (
+        row_edges.unionByName(null_edges)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def markov_removal_effects(
+    events: DataFrame,
+    user_col: str,
+    order_cols: Sequence[str],
+    type_col: str,
+    conv_value: str,
+    iterations: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Markov (removal-effect) attribution — the data-driven complement
+    of `touch_attribution`'s positional rules: model journeys as a
+    first-order Markov chain, compute the conversion-absorption
+    probability from '__start__', then for each channel recompute it
+    with that channel knocked out (its inbound edges redirected to
+    '__null__'); the channel's credit is the relative conversion drop
+    (Anderl et al. 2014).
+
+    Exactness: transition probabilities are truncating-integer
+    micro-units ``tu = n·1e6 div n_src``, and absorption runs a FIXED
+    ``iterations``-round integer fixed point ``p ← Σ tu·p div 1e6``
+    (the `pagerank_fixed_point` discipline) — every engine reproduces
+    the result bit-for-bit; the output is DEFINED as the K-round value.
+
+    Scale: the transition matrix is (channels+2)²-bounded whatever the
+    corpus, all scenarios (base + one per channel) ride ONE edge frame
+    tagged by scenario, and the iteration joins touch only that
+    broadcast-sized frame. The channel vocabulary is collected at the
+    driver — a declared boundary, same contract as the BPE vocab.
+
+    Output per channel: ``channel, p_base, p_removed, removal_effect``.
+    """
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    scale = 1_000_000
+    edges = markov_journey_transitions(
+        events, user_col, order_cols, type_col, conv_value
+    )
+    spark = events.sparkSession
+    channels = sorted(
+        r.dst
+        for r in edges.select("dst").distinct().collect()
+        if r.dst not in ("__conv__", "__null__")
+    )
+    scen = spark.createDataFrame(
+        [("__base__",)] + [(c,) for c in channels], "scenario string"
+    )
+    redirected = (
+        edges.crossJoin(F.broadcast(scen))
+        .withColumn(
+            "dst2",
+            F.when(
+                (F.col("scenario") != "__base__") & (F.col("dst") == F.col("scenario")),
+                F.lit("__null__"),
+            ).otherwise(F.col("dst")),
+        )
+        .groupBy("scenario", "src", F.col("dst2").alias("dst"))
+        .agg(F.sum("n").alias("n"))
+    )
+    totals = redirected.groupBy("scenario", "src").agg(F.sum("n").alias("ntot"))
+    tmat = scoped_persist(
+        redirected.join(totals, ["scenario", "src"]).select(
+            "scenario", "src", "dst", F.expr(f"(n * {scale}) div ntot").alias("tu")
+        )
+    )
+    p = spark.createDataFrame([], "scenario string, state string, pu long")
+    for _ in range(iterations):
+        p = (
+            tmat.join(
+                p,
+                (tmat["scenario"] == p["scenario"]) & (tmat["dst"] == p["state"]),
+                "left",
+            )
+            .select(
+                tmat["scenario"].alias("_sc"),
+                tmat["src"].alias("_src"),
+                (
+                    F.col("tu")
+                    * F.when(F.col("dst") == "__conv__", F.lit(scale)).otherwise(
+                        F.coalesce(F.col("pu"), F.lit(0))
+                    )
+                ).alias("_c"),
+            )
+            .groupBy(F.col("_sc").alias("scenario"), F.col("_src").alias("state"))
+            .agg(F.expr(f"sum(_c) div {scale}").alias("pu"))
+        )
+    start = p.filter(F.col("state") == "__start__")
+    base = start.filter(F.col("scenario") == "__base__").select(
+        F.col("pu").alias("_pb")
+    )
+    return (
+        start.filter(F.col("scenario") != "__base__")
+        .join(F.broadcast(base))
+        .select(
+            F.col("scenario").alias("channel"),
+            F.round(F.col("_pb") / F.lit(float(scale)), decimals).alias("p_base"),
+            F.round(F.col("pu") / F.lit(float(scale)), decimals).alias("p_removed"),
+            F.round((F.col("_pb") - F.col("pu")) / F.col("_pb").cast("double"), decimals).alias(
+                "removal_effect"
+            ),
+        )
     )

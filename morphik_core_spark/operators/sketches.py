@@ -167,19 +167,26 @@ def cms_sketch(
     count_col: str,
     depth: int = 3,
     width: int = 16,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Count-min sketch (depth x width) from an additive count table.
 
     ``counts`` may be raw rows with ``count_col = 1`` or (cheaper, what
     you'd do at scale) a pre-combined per-token count table — counts are
     additive, so both build the identical sketch. Returns
-    ``(depth_i, bucket, bucket_count)``.
+    ``(group_cols…, depth_i, bucket, bucket_count)``; with
+    ``group_cols`` set, one independent sketch per group — and because
+    CMS cells are SUMS, sketches re-aggregate to any coarser grain (or
+    any window union) by adding cells, the additive sibling of the HLL
+    register MAX-merge.
     """
+    keys = list(group_cols)
     rows = []
     for d in range(depth):
         bucket = portable_hash(F.concat(F.lit(f"cms{d}|"), F.col(token_col))) % width
         rows.append(
             counts.select(
+                *keys,
                 F.lit(d).alias("depth_i"),
                 bucket.alias("bucket"),
                 F.col(count_col).alias("n"),
@@ -188,7 +195,7 @@ def cms_sketch(
     stream = rows[0]
     for r in rows[1:]:
         stream = stream.unionByName(r)
-    return stream.groupBy("depth_i", "bucket").agg(F.sum("n").alias("bucket_count"))
+    return stream.groupBy(*keys, "depth_i", "bucket").agg(F.sum("n").alias("bucket_count"))
 
 
 def cms_estimates(
@@ -197,22 +204,27 @@ def cms_estimates(
     token_col: str,
     depth: int = 3,
     width: int = 16,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Attach ``cms_est`` = min over sketch rows of the hashed bucket count.
 
-    The sketch is depth*width rows — always broadcast. CMS guarantees
-    ``cms_est >= true count`` (collisions only ever inflate).
+    The sketch is depth*width rows per group — broadcast when the group
+    count is bounded. CMS guarantees ``cms_est >= true count``
+    (collisions only ever inflate). With ``group_cols``, candidates
+    probe their own group's sketch (the sliding-window read path).
     """
+    keys = list(group_cols)
     probes = candidates.select(
+        *keys,
         token_col,
         F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("depth_i"),
     ).withColumn(
         "bucket",
         (portable_hash(F.concat(F.concat(F.lit("cms"), F.col("depth_i").cast("string"), F.lit("|")), F.col(token_col))) % width),
     )
-    joined = probes.join(F.broadcast(sketch), ["depth_i", "bucket"])
-    est = joined.groupBy(token_col).agg(F.min("bucket_count").alias("cms_est"))
-    return candidates.join(est, token_col)
+    joined = probes.join(F.broadcast(sketch), keys + ["depth_i", "bucket"])
+    est = joined.groupBy(*keys, token_col).agg(F.min("bucket_count").alias("cms_est"))
+    return candidates.join(est, keys + [token_col])
 
 
 def bloom_bits(

@@ -52,6 +52,8 @@ SENSITIVE = [
     "mutual_information",
     "quantile_normalization",
     "sliding_distinct_users",
+    # integer fixed-point absorption, double only at the edge
+    "markov_attribution",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",

@@ -451,3 +451,66 @@ def test_interval_islands_touching_merge_and_malformed(spark):
     )
     # touching at 5 merges (inclusive ends); malformed rows dropped
     assert got == [(0, 9, 2), (11, 12, 1)]
+
+
+# ---------------------------------------------- markov attribution
+
+
+def test_markov_journey_transitions_hand_case(spark):
+    from morphik_core_spark.operators.analytics import markov_journey_transitions
+
+    # user 1: a -> b -> CONV, then trailing a (never converts)
+    # user 2: b -> CONV; user 3: a (never converts)
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "buy"), (1, 4, "a"),
+        (2, 1, "b"), (2, 2, "buy"),
+        (3, 1, "a"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, et string")
+    got = {
+        (r.src, r.dst): r.n
+        for r in markov_journey_transitions(df, "u", ["t"], "et", "buy").collect()
+    }
+    assert got == {
+        ("__start__", "a"): 3,
+        ("__start__", "b"): 1,
+        ("a", "b"): 1,
+        ("b", "__conv__"): 2,
+        ("a", "__null__"): 2,
+    }
+
+
+def test_markov_removal_effect_knockout(spark):
+    from morphik_core_spark.operators.analytics import markov_removal_effects
+
+    # every conversion flows through b: removing b kills ALL conversion
+    # (effect 1.0); removing a still leaves start->b->conv paths
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "buy"),
+        (2, 1, "b"), (2, 2, "buy"),
+        (3, 1, "a"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, et string")
+    got = {
+        r.channel: (r.p_base, r.p_removed, r.removal_effect)
+        for r in markov_removal_effects(df, "u", ["t"], "et", "buy", iterations=10).collect()
+    }
+    assert set(got) == {"a", "b"}
+    assert got["b"][1] == 0.0 and got["b"][2] == 1.0
+    assert 0.0 < got["a"][2] < 1.0
+    assert got["a"][0] == got["b"][0]  # same base probability
+
+
+def test_cms_sketch_group_cols_independent(spark):
+    from morphik_core_spark.operators.sketches import cms_estimates, cms_sketch
+
+    rows = [("g1", "x", 5), ("g1", "y", 3), ("g2", "x", 7)]
+    counts = spark.createDataFrame(rows, "g string, tok string, n long")
+    sk = cms_sketch(counts, "tok", "n", depth=3, width=64, group_cols=["g"])
+    cands = counts.selectExpr("g", "tok", "n AS exact")
+    got = {
+        (r.g, r.tok): r.cms_est
+        for r in cms_estimates(cands, sk, "tok", depth=3, width=64, group_cols=["g"]).collect()
+    }
+    # width 64 >> 3 tokens: no collisions, estimates exact per group
+    assert got == {("g1", "x"): 5, ("g1", "y"): 3, ("g2", "x"): 7}
