@@ -935,6 +935,29 @@ def _markov_oracle_sql(iterations: int = 10) -> str:
         """
 
 
+def _q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (`validation.t_closeness_classes`): same QI
+    classes as `l_diversity` (nation × segment × balance decile),
+    total-variation distance between each class's order-priority
+    distribution and the table's — the privacy-ladder rung k-anonymity
+    and l-diversity can't see (a large, diverse class still leaks when
+    its distribution skews). Integer-exact numerator and threshold;
+    one double division at the edge."""
+    from pyspark.sql import Window
+
+    from morphik_core_spark.operators.validation import t_closeness_classes
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    c10 = cust.withColumn("bal_decile", F.ntile(10).over(w))
+    joined = c10.join(orders, c10.c_custkey == orders.o_custkey)
+    return t_closeness_classes(
+        joined, ["c_nationkey", "c_mktsegment", "bal_decile"], "o_orderpriority",
+        t_num=3, t_den=10,
+    )
+
+
 def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-5 per query for a 5-query batch (ANN baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -4759,6 +4782,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_islands": _q_interval_islands,
         "sliding_heavy_hitters": _q_sliding_heavy_hitters,
         "markov_attribution": _q_markov_attribution,
+        "t_closeness": _q_t_closeness,
         "knn_batch": _q_knn_batch,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -6211,6 +6235,41 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY ck
         """,
         "markov_attribution": _markov_oracle_sql(10),
+        "t_closeness": """
+            WITH c10 AS (
+                SELECT c_custkey, c_nationkey, c_mktsegment,
+                       CAST(ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS INT)
+                           AS bal_decile
+                FROM customer
+            ),
+            j AS (
+                SELECT c_nationkey, c_mktsegment, bal_decile, o_orderpriority AS s
+                FROM c10 JOIN orders ON o_custkey = c_custkey
+            ),
+            cls AS (
+                SELECT c_nationkey, c_mktsegment, bal_decile, s, count(*) AS ncs
+                FROM j GROUP BY 1, 2, 3, 4
+            ),
+            csz AS (
+                SELECT c_nationkey, c_mktsegment, bal_decile, CAST(sum(ncs) AS BIGINT) AS nc
+                FROM cls GROUP BY 1, 2, 3
+            ),
+            g AS (SELECT s, count(*) AS ng FROM j GROUP BY 1),
+            tot AS (SELECT count(*) AS nn FROM j),
+            agg AS (
+                SELECT c.c_nationkey, c.c_mktsegment, c.bal_decile, c.nc, t.nn,
+                       CAST(SUM(abs(coalesce(x.ncs, 0) * t.nn - g.ng * c.nc)) AS BIGINT) AS num
+                FROM csz c CROSS JOIN g CROSS JOIN tot t
+                LEFT JOIN cls x
+                ON x.c_nationkey = c.c_nationkey AND x.c_mktsegment = c.c_mktsegment
+                   AND x.bal_decile = c.bal_decile AND x.s = g.s
+                GROUP BY 1, 2, 3, 4, 5
+            )
+            SELECT c_nationkey, c_mktsegment, bal_decile, nc AS class_size,
+                   ROUND(CAST(num AS DOUBLE) / (2.0 * nc * nn), 6) AS tvd,
+                   num * 10 > 6 * nc * nn AS violates_t
+            FROM agg
+        """,
         "sliding_heavy_hitters": """
             WITH dc AS (
                 SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n

@@ -44,6 +44,7 @@ __all__ = [
     "json_schema_profile",
     "k_anonymity_audit",
     "l_diversity_classes",
+    "t_closeness_classes",
     "l_diversity_classes",
     "benford_audit",
     "BENFORD_EXPECTED",
@@ -520,4 +521,59 @@ def l_diversity_classes(
         df.groupBy(*[F.col(c) for c in qi_cols])
         .agg(size_expr, F.countDistinct(F.col(sensitive_col)).alias("l_div"))
         .withColumn("violates_l", F.col("l_div") < F.lit(l))
+    )
+
+
+def t_closeness_classes(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    t_num: int = 3,
+    t_den: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-equivalence-class t-closeness (Li, Li, Venkatasubramanian
+    2007) — the third rung of the privacy ladder after
+    :func:`k_anonymity_audit` and :func:`l_diversity_classes`: a class
+    can be large (k-safe) and diverse (l-safe) yet still leak when its
+    sensitive-value DISTRIBUTION skews far from the table's. Distance
+    is total variation ``tvd = ½·Σ_s |p_class(s) − p_global(s)|`` (the
+    categorical Earth Mover's distance under the discrete metric).
+
+    Exactness: the numerator is the exact integer ``Σ_s |n_cs·N −
+    n_gs·n_c|`` and the ``violates_t`` flag compares ``num·t_den >
+    t_num·2·n_c·N`` in pure int64 — the threshold never touches a
+    float (products stay exact while n_c·N ≤ 2^63; past that, the same
+    tree in DECIMAL). ``tvd`` itself is ROUNDed once for display.
+
+    Scale: one class×sensitive groupBy (map-side combined), then the
+    class table cross-joins only the VOCABULARY-sized global
+    distribution (broadcast) so absent values count as 0. Output is
+    class-grained.
+    """
+    qi = list(qi_cols)
+    cls = df.groupBy(*qi, F.col(sensitive_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_ncs")
+    )
+    csz = cls.groupBy(*qi).agg(F.sum("_ncs").alias("_nc"))
+    g = df.groupBy(F.col(sensitive_col).alias("_s")).agg(F.count(F.lit(1)).alias("_ng"))
+    tot = df.agg(F.count(F.lit(1)).alias("_nn"))
+    full = (
+        csz.crossJoin(F.broadcast(g))
+        .join(cls, qi + ["_s"], "left")
+        .withColumn("_ncs0", F.coalesce(F.col("_ncs"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    agg = full.groupBy(*qi, "_nc", "_nn").agg(
+        F.sum(F.abs(F.col("_ncs0") * F.col("_nn") - F.col("_ng") * F.col("_nc"))).alias("_num")
+    )
+    return agg.select(
+        *qi,
+        F.col("_nc").alias("class_size"),
+        F.round(
+            F.col("_num").cast("double") / (2.0 * F.col("_nc") * F.col("_nn")), decimals
+        ).alias("tvd"),
+        (F.col("_num") * t_den > F.lit(2 * t_num) * F.col("_nc") * F.col("_nn")).alias(
+            "violates_t"
+        ),
     )

@@ -54,6 +54,7 @@ SENSITIVE = [
     "sliding_distinct_users",
     # integer fixed-point absorption, double only at the edge
     "markov_attribution",
+    "t_closeness",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",

@@ -514,3 +514,34 @@ def test_cms_sketch_group_cols_independent(spark):
     }
     # width 64 >> 3 tokens: no collisions, estimates exact per group
     assert got == {("g1", "x"): 5, ("g1", "y"): 3, ("g2", "x"): 7}
+
+
+# -------------------------------------------------- t-closeness
+
+
+def test_t_closeness_skew_and_uniform(spark):
+    from morphik_core_spark.operators.validation import t_closeness_classes
+
+    # global: 50/50 of s1/s2. class q1 mirrors it (tvd 0); class q2 is
+    # all-s1 (tvd 0.5 > 0.3); class q3 60/40 (tvd 0.1, safe)
+    rows = (
+        [("q1", "s1")] * 10 + [("q1", "s2")] * 10
+        + [("q2", "s1")] * 20
+        + [("q3", "s1")] * 12 + [("q3", "s2")] * 8
+    )
+    # rebalance so global is exactly 50/50: add a q4 block
+    rows += [("q4", "s2")] * 14
+    df = spark.createDataFrame(rows, "qi string, s string")
+    got = {
+        r.qi: (r.class_size, r.tvd, r.violates_t)
+        for r in t_closeness_classes(df, ["qi"], "s", t_num=3, t_den=10).collect()
+    }
+    n1 = 10 + 20 + 12          # 42 s1
+    n2 = 10 + 8 + 14           # 32 s2
+    N = n1 + n2
+    def tvd(c1, c2, nc):
+        return 0.5 * (abs(c1 / nc - n1 / N) + abs(c2 / nc - n2 / N))
+    assert got["q2"][2] is True and abs(got["q2"][1] - round(tvd(20, 0, 20), 6)) < 1e-9
+    assert got["q1"][2] is (tvd(10, 10, 20) > 0.3)
+    assert got["q4"][2] is True  # all-s2 block is maximally far
+    assert got["q3"][2] is (tvd(12, 8, 20) > 0.3)
