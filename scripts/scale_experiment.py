@@ -1720,6 +1720,68 @@ def main() -> None:
         )
         report("sliding_hll_windows", sliding_hll, ev_h, ev10h)
 
+        from morphik_core_spark.operators.analytics import markov_removal_effects
+        from morphik_core_spark.operators.sketches import cms_estimates, cms_sketch
+        from morphik_core_spark.operators.validation import t_closeness_classes
+
+        ev_m = load_table(spark, "events", SF_DIR).select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        ev10m = _tile10b(
+            ev_m, "ev10m",
+            lambda j: [
+                (F.col("user_id") * 10 + j).alias("user_id"),
+                F.col("ts"), F.col("event_id"), F.col("event_type"),
+            ],
+        )
+        report(
+            "markov_attribution",
+            lambda e: mat(
+                markov_removal_effects(
+                    e, "user_id", ["ts", "event_id"], "event_type", "purchase", iterations=10
+                )
+            ),
+            ev_m, ev10m,
+        )
+
+        def sliding_cms(e):
+            dc = e.select(F.to_date("ts").alias("day"), "event_type").groupBy(
+                "day", "event_type"
+            ).agg(F.count(F.lit(1)).alias("n"))
+            sk = cms_sketch(dc, "event_type", "n", depth=3, width=16, group_cols=["day"])
+            fanned = sk.withColumn(
+                "wday", F.explode(F.expr("sequence(day, date_add(day, 6), interval 1 day)"))
+            )
+            mat(
+                fanned.groupBy("wday", "depth_i", "bucket").agg(
+                    F.sum("bucket_count").alias("bucket_count")
+                )
+            )
+
+        report("sliding_cms_windows", sliding_cms, ev_m, ev10m)
+
+        report(
+            "t_closeness",
+            lambda d: mat(
+                t_closeness_classes(
+                    d.withColumn("qi", F.col("nk")), ["qi", "c_mktsegment"], "o_orderpriority"
+                )
+            )
+            if "c_mktsegment" in d.columns
+            else None,
+            ivc1.join(cust_c2.select("c_custkey", "c_mktsegment"),
+                      F.col("ck") == F.col("c_custkey")).withColumn(
+                          "o_orderpriority", (F.col("k") % 5).cast("string")),
+            ivc10.join(
+                _tile10b(
+                    cust_c2.select("c_custkey", "c_mktsegment"), "cust10t",
+                    lambda j: [(F.col("c_custkey") * 10 + j).alias("c_custkey"),
+                               F.col("c_mktsegment")],
+                ),
+                F.col("ck") == F.col("c_custkey"),
+            ).withColumn("o_orderpriority", (F.col("k") % 5).cast("string")),
+        )
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing
