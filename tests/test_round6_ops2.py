@@ -545,3 +545,94 @@ def test_t_closeness_skew_and_uniform(spark):
     assert got["q1"][2] is (tvd(10, 10, 20) > 0.3)
     assert got["q4"][2] is True  # all-s2 block is maximally far
     assert got["q3"][2] is (tvd(12, 8, 20) > 0.3)
+
+
+# ------------------------------------------- random-fuzz references
+
+
+def test_quantile_normalize_matches_python_reference(spark):
+    from morphik_core_spark.operators.curation import quantile_normalize
+
+    rng = random.Random(21)
+    rows = [
+        (i, rng.choice("pqr"), float(rng.randint(0, 50)))  # heavy value ties
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {r.id: r.norm_value for r in quantile_normalize(df, ["g"], "v", "id").collect()}
+
+    all_sorted = sorted(v for _i, _g, v in rows)
+    N = len(all_sorted)
+    by_g = {}
+    for i, g, v in rows:
+        by_g.setdefault(g, []).append((v, i))
+    want = {}
+    for g, items in by_g.items():
+        items.sort()
+        n = len(items)
+        for r0, (_v, i) in enumerate(items, 1):
+            k = -(-r0 * N // n)  # ceil
+            want[i] = all_sorted[k - 1]
+    assert got == want
+
+
+def test_markov_matches_python_simulation(spark):
+    from morphik_core_spark.operators.analytics import markov_removal_effects
+
+    rng = random.Random(33)
+    rows = []
+    for u in range(40):
+        t = 0
+        for _ in range(rng.randint(1, 12)):
+            t += 1
+            rows.append((u, t, rng.choice(["a", "b", "c", "buy"])))
+    df = spark.createDataFrame(rows, "u long, t long, et string")
+    got = {
+        r.channel: (r.p_base, r.p_removed)
+        for r in markov_removal_effects(df, "u", ["t"], "et", "buy", iterations=10).collect()
+    }
+
+    # pure-python reference: same journey split, same integer fixed point
+    SCALE = 1_000_000
+    from collections import defaultdict
+
+    edges = defaultdict(int)
+    by_u = defaultdict(list)
+    for u, t, et in rows:
+        by_u[u].append((t, et))
+    for u, evs in by_u.items():
+        evs.sort()
+        prev, converted = "__start__", False
+        for _t, et in evs:
+            st = "__conv__" if et == "buy" else et
+            edges[(prev, st)] += 1
+            if st == "__conv__":
+                prev, converted = "__start__", True
+            else:
+                prev, converted = st, False
+        if prev != "__start__":
+            edges[(prev, "__null__")] += 1
+
+    channels = sorted({d for (_s, d) in edges if d not in ("__conv__", "__null__")})
+
+    def absorb(removed):
+        e2 = defaultdict(int)
+        for (s, d), n in edges.items():
+            e2[(s, "__null__" if d == removed else d)] += n
+        tot = defaultdict(int)
+        for (s, _d), n in e2.items():
+            tot[s] += n
+        tu = {(s, d): n * SCALE // tot[s] for (s, d), n in e2.items()}
+        p = {}
+        for _ in range(10):
+            nxt = defaultdict(int)
+            for (s, d), t_u in tu.items():
+                pv = SCALE if d == "__conv__" else p.get(d, 0)
+                nxt[s] += t_u * pv
+            p = {k: v // SCALE for k, v in nxt.items()}
+        return p.get("__start__", 0)
+
+    pb = absorb(None)
+    for c in channels:
+        want = (round(pb / SCALE, 6), round(absorb(c) / SCALE, 6))
+        assert got[c] == want, f"{c}: {got[c]} vs {want}"
