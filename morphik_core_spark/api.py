@@ -1199,6 +1199,39 @@ class MorphikSpark:
         self._write_documents(self.documents().filter(F.col("external_id") != document_id))
         self._write_chunks(self.chunks().filter(F.col("document_id") != document_id))
 
+    def delete_folder(self, folder_path: str, recursive: bool = False) -> int:
+        """Delete a folder and its documents (reference DELETE
+        /folders/{id}, core/routes/folders.py:417-479): refuses when the
+        folder has descendant folders unless ``recursive=True``, then
+        removes the subtree's documents and chunks. Folders here ARE
+        document paths, so removing the documents removes the folders;
+        deepest-first ordering is therefore implicit. Returns the number
+        of documents deleted."""
+        path = folder_path.rstrip("/") or "/"
+        docs = self.documents()
+        prefix = "/" if path == "/" else path + "/"
+        in_folder = F.col("folder_path") == path
+        in_subtree = in_folder | F.col("folder_path").startswith(prefix)
+        n_desc = docs.filter(
+            F.col("folder_path").startswith(prefix) & (F.col("folder_path") != path)
+        ).select("folder_path").distinct().count()
+        if n_desc and not recursive:
+            raise ValueError(
+                f"Folder {path} has {n_desc} descendant folders; "
+                "set recursive=True to delete the entire subtree."
+            )
+        target = in_subtree if recursive else in_folder
+        doomed = docs.filter(target).select(F.col("external_id").alias("document_id"))
+        n = doomed.count()
+        # chunks first: `doomed`'s lineage reads the documents table, so
+        # it must be consumed BEFORE the documents overwrite lands (the
+        # per-table overwrite staging only protects same-table rewrites)
+        self._write_chunks(
+            self.chunks().join(F.broadcast(doomed), "document_id", "left_anti")
+        )
+        self._write_documents(docs.filter(~F.coalesce(target, F.lit(False))))
+        return n
+
     def move_folder(self, old_prefix: str, new_prefix: str) -> None:
         self._write_documents(docstore.move_folder(self.documents(), old_prefix, new_prefix))
         self._write_chunks(docstore.move_folder(self.chunks(), old_prefix, new_prefix))
@@ -1608,12 +1641,41 @@ class MorphikSpark:
                 F.min_by(
                     F.when(F.col("role") == "user", F.substring("content", 1, 50)),
                     F.when(F.col("role") == "user", F.col("seq")),
-                ).alias("title"),
+                ).alias("_auto_title"),
             )
+        )
+        tp = self._path("chat_titles")
+        if os.path.exists(tp):
+            overrides = (
+                self.spark.read.parquet(tp)
+                .groupBy("conversation_id")
+                .agg(F.max_by("title", "set_at_us").alias("_title_override"))
+            )
+            rolled = rolled.join(F.broadcast(overrides), "conversation_id", "left")
+        else:
+            rolled = rolled.withColumn("_title_override", F.lit(None).cast("string"))
+        out = (
+            rolled.withColumn(
+                "title", F.coalesce(F.col("_title_override"), F.col("_auto_title"))
+            )
+            .drop("_title_override", "_auto_title")
             .orderBy(F.col("updated_at_us").desc(), F.col("conversation_id").asc())
             .limit(limit)
         )
-        return [r.asDict(recursive=True) for r in rolled.collect()]
+        return [r.asDict(recursive=True) for r in out.collect()]
+
+    def rename_chat_title(self, conversation_id: str, title: str) -> None:
+        """Explicit conversation title (reference PATCH
+        /chats/{chat_id}/title): an append-only override row; the
+        listing coalesces the latest override over the auto-generated
+        first-user-message title."""
+        import time as _time
+
+        row = self.spark.createDataFrame(
+            [(conversation_id, title, int(_time.time() * 1_000_000))],
+            "conversation_id string, title string, set_at_us long",
+        )
+        row.write.mode("append").parquet(self._path("chat_titles"))
 
     # ------------------------------------------------- corpus operations
 
