@@ -22,6 +22,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = [
@@ -33,6 +34,8 @@ __all__ = [
     "debounce_stream",
     "cusum_stream",
     "hampel_stream",
+    "hll_stream",
+    "hll_stream_estimates",
 ]
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -417,4 +420,93 @@ def hampel_stream(
         stateStructType=HAMPEL_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+HLL_STREAM_OUTPUT_SCHEMA = "series_key string, n_seen bigint, registers_used int, s bigint"
+HLL_STREAM_STATE_SCHEMA = "regs array<int>, n_seen bigint"
+
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P
+_HLL_WINDOW_BITS = 60 - _HLL_P  # portable_hash is 60-bit
+
+
+def hll_stream(
+    values: DataFrame,
+    key_col: str = "series_key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming HyperLogLog — live distinct counting with O(m) state
+    per key: the incremental twin of `sketches.hll_registers`. State is
+    the 512-register MAX array; each micro-batch folds its values in
+    and emits the key's CURRENT ``(n_seen, registers_used, s)`` — the
+    dashboard shape (`s` is the scaled-integer harmonic sum exactly as
+    the batch op computes it; finalize with
+    :func:`hll_stream_estimates`, which runs the IDENTICAL expression
+    tree, so a stream that has seen the same rows as a batch sketch is
+    BIT-IDENTICAL to it, restart and replay included — MAX-merge makes
+    duplicate delivery harmless, so unlike the ordered-series monitors
+    this operator is idempotent under at-least-once without an idx
+    contract).
+
+    Hashing reproduces `dedup.portable_hash` (md5 hex prefix) in
+    Python, so stream, batch, and the DuckDB oracle all agree on every
+    register.
+    """
+    import hashlib
+
+    scale = _HLL_WINDOW_BITS + 1
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        if state.exists:
+            regs, n_seen = state.get
+            regs = list(regs)
+        else:
+            regs, n_seen = [0] * _HLL_M, 0
+        for pdf in batches:
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                h = int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:15], 16)
+                reg = h % _HLL_M
+                w = h // _HLL_M
+                rho = _HLL_WINDOW_BITS + 1 - (w.bit_length() if w else 0)
+                if rho > regs[reg]:
+                    regs[reg] = rho
+                n_seen += 1
+        state.update((regs, n_seen))
+        used = sum(1 for r in regs if r > 0)
+        s_occ = sum(1 << (scale - r) for r in regs if r > 0)
+        s = s_occ + (_HLL_M - used) * (1 << scale)
+        yield pd.DataFrame(
+            [(key_val, n_seen, used, s)],
+            columns=["series_key", "n_seen", "registers_used", "s"],
+        )
+
+    return values.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=HLL_STREAM_OUTPUT_SCHEMA,
+        stateStructType=HLL_STREAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def hll_stream_estimates(df: DataFrame) -> DataFrame:
+    """Finalize `hll_stream` output rows into ``distinct_est`` with the
+    SAME expression tree as `sketches.hll_estimate_from_registers`
+    (same DOUBLE literals, same ln) — stream estimates are therefore
+    bit-identical to batch estimates over the same rows."""
+    m = _HLL_M
+    pow_scale = 1 << (_HLL_WINDOW_BITS + 1)
+    alpha_expr = f"(0.7213D / (1.0D + 1.079D / {m}.0D))"
+    est_raw = f"({alpha_expr} * {m}.0D * {m}.0D * {pow_scale}.0D) / CAST(s AS DOUBLE)"
+    return df.withColumn(
+        "distinct_est",
+        F.expr(
+            f"ROUND(CASE WHEN {est_raw} <= 2.5D * {m}.0D AND registers_used < {m} "
+            f"THEN {m}.0D * ln({m}.0D / ({m} - registers_used)) "
+            f"ELSE {est_raw} END, 6)"
+        ),
     )

@@ -504,3 +504,59 @@ def test_hampel_stream_matches_batch_and_survives_restart(spark, tmp_path):
     for i in got:
         assert got[i] == want[i], f"idx {i}: {got[i]} vs {want[i]}"
     assert any(got[i][2] for i in got)  # the spike fired
+
+
+def test_hll_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """Streaming HLL state (one 512-register array per key) survives a
+    checkpoint restart, tolerates replayed rows (MAX-merge idempotence —
+    no idx contract needed), and its final per-key snapshot finalizes to
+    the BIT-IDENTICAL estimate the batch sketch computes over the same
+    distinct values."""
+    from morphik_core_spark.operators.sketches import hll_distinct
+    from morphik_core_spark.streaming.stateful import hll_stream, hll_stream_estimates
+
+    schema = "series_key string, value string"
+    vals1 = [("k1", f"v{i % 70}") for i in range(200)] + [("k2", f"u{i % 9}") for i in range(40)]
+    # batch 2 REPLAYS some of batch 1's rows (harmless) and adds new ones
+    vals2 = vals1[:25] + [("k1", f"w{i}") for i in range(50)]
+
+    src, out, chk = (str(tmp_path / d) for d in ("gin", "gout", "gchk"))
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, epoch_id):
+            batch_df.withColumn("epoch", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(epoch_id)) \
+                .write.mode("append").parquet(out)
+
+        q = (
+            hll_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+
+    run_once(vals1)
+    run_once(vals2)
+    snaps = spark.read.parquet(out)
+    from pyspark.sql import functions as F
+
+    last = snaps.orderBy("n_seen").groupBy("series_key").agg(
+        F.max_by(F.struct("registers_used", "s"), "n_seen").alias("fin"),
+        F.max("n_seen").alias("n_seen"),
+    ).select("series_key", "fin.registers_used", "fin.s", "n_seen")
+    got = {
+        r.series_key: (r.registers_used, r.distinct_est)
+        for r in hll_stream_estimates(last).collect()
+    }
+
+    batch_rows = spark.createDataFrame(vals1 + vals2, schema)
+    want = {
+        r.series_key: (r.registers_used, r.distinct_est)
+        for r in hll_distinct(batch_rows, ["series_key"], "value", p=9).collect()
+    }
+    assert got == want  # register-exact AND estimate-bit-identical
