@@ -958,6 +958,18 @@ def _q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly (`curation.token_budget_mixture`): a 10%
+    character budget apportioned across crawl sources by temperature-0.5
+    weights (largest-remainder integer apportionment — allocations sum
+    EXACTLY to the budget), each source then taken greedily in
+    reproducible hash order until its allocation is spent."""
+    from morphik_core_spark.operators.curation import token_budget_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_mixture(docs, "source", "doc_id", "n_chars", budget_frac_den=10)
+
+
 def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-5 per query for a 5-query batch (ANN baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -4783,6 +4795,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_heavy_hitters": _q_sliding_heavy_hitters,
         "markov_attribution": _q_markov_attribution,
         "t_closeness": _q_t_closeness,
+        "token_budget_mixture": _q_token_budget_mixture,
         "knn_batch": _q_knn_batch,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -6235,6 +6248,53 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY ck
         """,
         "markov_attribution": _markov_oracle_sql(10),
+        "token_budget_mixture": """
+            WITH stats AS (
+                SELECT source, CAST(sum(n_chars) AS BIGINT) AS ns FROM documents GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS t FROM documents),
+            w AS (
+                SELECT source, ns,
+                       CAST(floor(sqrt(CAST(ns AS DOUBLE))) AS BIGINT) AS weight,
+                       t // 10 AS b
+                FROM stats, tot
+            ),
+            ws AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+            base AS (
+                SELECT source, weight, b,
+                       (b * weight) // wsum AS alloc0,
+                       (b * weight) % wsum AS rem
+                FROM w, ws
+            ),
+            resid AS (SELECT max(b) - CAST(sum(alloc0) AS BIGINT) AS r FROM base),
+            alloc AS (
+                SELECT source, weight,
+                       alloc0 + CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC) <= r
+                                     THEN 1 ELSE 0 END AS alloc_tokens
+                FROM base, resid
+            ),
+            ordered AS (
+                SELECT source, n_chars,
+                       sum(n_chars) OVER (
+                           PARTITION BY source
+                           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+                                    doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum
+                FROM documents
+            ),
+            taken AS (
+                SELECT o.source, count(*) AS n_docs_taken,
+                       CAST(sum(o.n_chars) AS BIGINT) AS tokens_taken
+                FROM ordered o JOIN alloc a ON o.source = a.source
+                WHERE o.cum <= a.alloc_tokens
+                GROUP BY 1
+            )
+            SELECT a.source, a.weight, a.alloc_tokens,
+                   coalesce(t.n_docs_taken, 0) AS n_docs_taken,
+                   coalesce(t.tokens_taken, 0) AS tokens_taken
+            FROM alloc a LEFT JOIN taken t ON a.source = t.source
+        """,
         "t_closeness": """
             WITH c10 AS (
                 SELECT c_custkey, c_nationkey, c_mktsegment,

@@ -39,6 +39,7 @@ from morphik_core_spark.operators.text_analysis import STOPWORDS
 
 __all__ = [
     "quantile_normalize",
+    "token_budget_mixture",
     "curriculum_order",
     "quality_signals",
     "quality_filter",
@@ -1548,4 +1549,94 @@ def curriculum_order(
         ranked.withColumn("_rank", F.row_number().over(w_shuffle))
         .withColumn("position", ((F.col("_rank") - 1) * k + F.col("bucket")).cast("int"))
         .select("position", "bucket", id_col)
+    )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    size_col: str,
+    budget: int | None = None,
+    budget_frac_den: int = 10,
+) -> DataFrame:
+    """Dataset assembly under a token budget: apportion a total budget
+    across sources by temperature-0.5 weights, then take each source's
+    documents in deterministic hash order until its allocation is spent
+    — the final "build the training mix" step downstream of
+    `temperature_mixture`'s rate weights.
+
+    Every step is exact: weights are ``floor(sqrt(source_tokens))``
+    (IEEE sqrt of an integer + floor — bit-stable on every engine; the
+    0.5 exponent is the standard multilingual rebalancer), the
+    apportionment is largest-remainder/Hamilton in pure int64
+    (``alloc = B·w div W``, residual +1s to the largest ``B·w mod W``,
+    ties by source name — so allocations sum EXACTLY to the budget),
+    and the take is a greedy prefix over ``(portable_hash(id), id)``
+    order (reproducible shuffle, partitioning-independent). ``budget``
+    defaults to ``total_tokens div budget_frac_den``.
+
+    Scale: source stats are a vocabulary-sized broadcast; the take is
+    one per-source window cumsum (shards by source). Output per source:
+    ``source, weight, alloc_tokens, n_docs_taken, tokens_taken``.
+    """
+    from pyspark.sql import Window
+
+    from morphik_core_spark.operators.dedup import portable_hash
+
+    src = F.col(source_col)
+    stats = df.groupBy(src.alias("source")).agg(F.sum(F.col(size_col)).alias("_ns"))
+    tot = df.agg(F.sum(F.col(size_col)).alias("_tot"))
+    b_expr = (
+        F.lit(int(budget))
+        if budget is not None
+        else F.expr(f"_tot div {int(budget_frac_den)}")
+    )
+    weighted = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn("weight", F.floor(F.sqrt(F.col("_ns").cast("double"))).cast("long"))
+        .withColumn("_b", b_expr)
+    )
+    wsum = weighted.agg(F.sum("weight").alias("_w"))
+    base = (
+        weighted.crossJoin(F.broadcast(wsum))
+        .withColumn("_alloc0", F.expr("(_b * weight) div _w"))
+        .withColumn("_rem", F.expr("(_b * weight) % _w"))
+    )
+    resid = base.agg((F.max("_b") - F.sum("_alloc0")).alias("_r"))
+    w_rank = Window.orderBy(F.col("_rem").desc(), F.col("source").asc())
+    alloc = (
+        base.withColumn("_rk", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(resid))
+        .withColumn(
+            "alloc_tokens",
+            (F.col("_alloc0") + (F.col("_rk") <= F.col("_r")).cast("long")).cast("long"),
+        )
+        .select("source", "weight", "alloc_tokens")
+    )
+    w_take = Window.partitionBy(src).orderBy(
+        portable_hash(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    alloc_k = alloc.select(
+        F.col("source").alias("_asrc"), F.col("alloc_tokens").alias("_atok")
+    )
+    taken = (
+        df.withColumn("_cum", F.sum(F.col(size_col)).over(w_take))
+        .join(F.broadcast(alloc_k), src == F.col("_asrc"))
+        .filter(F.col("_cum") <= F.col("_atok"))
+        .groupBy(F.col("_asrc").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_taken"),
+            F.sum(F.col(size_col)).alias("tokens_taken"),
+        )
+    )
+    return (
+        alloc.join(taken, "source", "left")
+        .select(
+            "source",
+            "weight",
+            "alloc_tokens",
+            F.coalesce("n_docs_taken", F.lit(0)).alias("n_docs_taken"),
+            F.coalesce("tokens_taken", F.lit(0)).alias("tokens_taken"),
+        )
     )

@@ -636,3 +636,31 @@ def test_markov_matches_python_simulation(spark):
     for c in channels:
         want = (round(pb / SCALE, 6), round(absorb(c) / SCALE, 6))
         assert got[c] == want, f"{c}: {got[c]} vs {want}"
+
+
+# ------------------------------------------- token budget mixture
+
+
+def test_token_budget_mixture_invariants(spark):
+    from morphik_core_spark.operators.curation import token_budget_mixture
+
+    rng = random.Random(17)
+    rows = [
+        (i, f"s{i % 4}", rng.randint(50, 400)) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, sz long")
+    out = token_budget_mixture(df, "src", "id", "sz", budget=5000).collect()
+    # largest-remainder apportionment sums EXACTLY to the budget
+    assert sum(r.alloc_tokens for r in out) == 5000
+    # greedy prefix never overshoots its allocation
+    assert all(r.tokens_taken <= r.alloc_tokens for r in out)
+    # deterministic under re-run
+    again = token_budget_mixture(df, "src", "id", "sz", budget=5000).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # temperature 0.5: a 16x-larger source gets sqrt(16) = 4x the weight
+    big = [("b", "big", 400)] * 64 + [("s", "small", 400)] * 4
+    df2 = spark.createDataFrame(
+        [(i, s, z) for i, (_k, s, z) in enumerate(big)], "id long, src string, sz long"
+    )
+    w = {r.source: r.weight for r in token_budget_mixture(df2, "src", "id", "sz", budget=100).collect()}
+    assert w["big"] == 160 and w["small"] == 40  # sqrt(64*400), sqrt(4*400)
