@@ -55,6 +55,7 @@ SENSITIVE = [
     # integer fixed-point absorption, double only at the edge
     "markov_attribution",
     "t_closeness",
+    "token_budget_mixture",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",
