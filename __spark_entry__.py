@@ -4651,30 +4651,30 @@ def _q_event_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
-# regardless of order). Round-5 window: 50 names green in rounds 1-4 are
-# excluded; 52 more never-checked names remain for the round-6 window.
+# regardless of order). Round-7 window: 0 red carried (r06 was 50/50
+# green); 50 of the 56 never-driver-checked names rotate in, round-6
+# additions first. Carry-over for round 8: session_paths,
+# json_schema_profile, negative_sampling, k_anonymity, benford_audit,
+# woe_iv (plus any round-7 additions).
 _DRIVER_WINDOW = [
-    # 4 round-5 driver-red rows, re-proven with the DOUBLE+ROUND edge fix
-    "moving_aggregates", "range_window_agg", "small_quantity_revenue",
-    "large_order_customers",
-    # 46 never-driver-checked rotations (analytics/ml-eval family first,
-    # plus the two latent-DECIMAL queries fixed this round)
-    "dow_seasonality", "skew_salted_agg",
-    "ab_test", "mmr_rerank", "auc_score", "calibration",
-    "rater_agreement", "acf_daily", "cusum_drift", "ann_recall",
-    "ks_price_drift", "revenue_gini", "forecast_backtest", "cuped_ab",
-    "session_survival", "did_effect", "vocab_drift", "ngram_novelty",
-    "grouped_split", "temporal_split", "mad_outliers", "lineitem_corr",
-    "term_gini", "winsorized_prices", "ucb_allocation", "theil_nations",
-    "source_diversity", "event_trends",
-    "revenue_forecast", "bilateral_shipping_volume", "market_share",
-    "product_type_profit", "returned_item_report",
-    "important_part_values", "priority_line_classes",
-    "customer_order_distribution", "promo_revenue_share",
-    "top_revenue_supplier", "supplier_part_variety",
-    "disjunctive_revenue", "promotable_part_suppliers",
-    "validation_suite", "golden_record", "incremental_agg",
-    "key_skew_audit", "url_canonicalize",
+    # 21 round-6 additions (newest code, least cross-round evidence)
+    "containment_dedup", "ranking_quality", "bootstrap_ci",
+    "interval_overlap", "fuzzy_name_pairs", "graph_rag_expansion",
+    "rolling_median_anomaly", "l_diversity", "peak_concurrency",
+    "changepoint_split", "hll_rollup", "trigram_paths",
+    "quantile_normalization", "mutual_information", "curriculum_order",
+    "sliding_distinct_users", "interval_islands", "sliding_heavy_hitters",
+    "markov_attribution", "t_closeness", "token_budget_mixture",
+    # 29 carried from the round-5 pool, registry order
+    "attribution", "json_props_stats", "grouping_sets_counts",
+    "balance_deciles", "drift_psi", "basket_lift", "trade_triangles",
+    "debounce", "readability", "script_mix", "bounce_rate",
+    "funnel_timing", "hybrid_rrf", "trending_items", "url_dedup",
+    "skyline_parts", "event_transitions", "ngram_diversity", "zipf_audit",
+    "sq8_error_audit", "curation_funnel", "dedup_per_window",
+    "length_bucketing", "incremental_neardup", "label_centroids",
+    "centroid_assignments", "rfm_segments", "target_encoding",
+    "orphan_audit",
 ]
 
 

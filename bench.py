@@ -59,14 +59,14 @@ def main() -> None:
             warmup_failed.append(wname)
             print(f"bench: warmup {wname} failed (continuing)", file=sys.stderr)
 
-    from morphik_core_spark.plans.cache import release_scoped
+    from morphik_core_spark.plans.cache import release_all_scoped
 
     def cleanup() -> None:
         # release operator-scoped persists and anything else cached so no
         # query's timing rides another's leaked partitions (the round-5
         # bench measured 1.7-2x diffuse inflation from exactly this) and
         # executor storage stays flat across the 199x2 executions
-        release_scoped()
+        release_all_scoped()
         spark.catalog.clearCache()
 
     def timed(fn) -> float:

@@ -915,6 +915,43 @@ class MorphikSpark:
         )
         return [r.asDict(recursive=True) for r in out.collect()]
 
+    def _graph_scope_key(self, auth: AuthContext | None) -> str:
+        """Deterministic per-auth-scope key for the persisted term graph.
+
+        The graph is auth-FILTERED content, so it must be persisted per
+        scope: a shared path would leak co-occurrence weights from
+        inaccessible documents into other callers' seed expansion (or,
+        narrow-scope-built, corrupt broader callers' retrieval)."""
+        import hashlib
+
+        if auth is None:
+            return "public"
+        raw = f"app={auth.app_id or ''}|user={auth.user_id or ''}"
+        return hashlib.sha256(raw.encode()).hexdigest()[:16]
+
+    def _graph_path(self, auth: AuthContext | None) -> str:
+        return self._path(f"term_graph__{self._graph_scope_key(auth)}")
+
+    def _tables_signature(self) -> str:
+        """Content signature of the tables the term graph derives from
+        (chunks for edges, documents for the auth scope set). Local
+        warehouse: max (mtime_ns, size) over both table trees — every
+        mutation path rewrites files, so any ingest/update/delete moves
+        it. On a table format (Delta/Iceberg) this is the snapshot id."""
+        sig = 0
+        for name in ("chunks", "documents"):
+            root = self._path(name)
+            if not os.path.exists(root):
+                continue
+            for dirpath, _dirs, files in os.walk(root):
+                for f in files:
+                    try:
+                        st = os.stat(os.path.join(dirpath, f))
+                        sig = max(sig, st.st_mtime_ns + st.st_size)
+                    except OSError:
+                        pass
+        return str(sig)
+
     def build_term_graph(
         self,
         min_weight: int = 2,
@@ -925,10 +962,16 @@ class MorphikSpark:
         (`graph.term_cooccurrence_edges`) — the offline half of GraphRAG.
         Tokens stand in for model-extracted entities; a live NER/LLM
         extractor drops into the same (doc, term) contract. Returns the
-        edge count; edges land beside the other warehouse tables so
-        `graph_retrieve` is a read, not a rebuild."""
+        edge count; edges land beside the other warehouse tables, keyed
+        by auth scope (see `_graph_scope_key`), stamped with the source-
+        table signature so `graph_retrieve` can detect staleness after
+        ingest/update/delete and rebuild instead of serving stale or
+        cross-scope edges."""
+        import json as _json
+
         from morphik_core_spark.operators.graph import term_cooccurrence_edges
 
+        src_sig = self._tables_signature()
         chunks = self.chunks().select(
             F.col("document_id").alias("doc_id"), F.col("content")
         )
@@ -943,8 +986,25 @@ class MorphikSpark:
             chunks, "content", "doc_id",
             min_weight=min_weight, max_terms_per_doc=max_terms_per_doc,
         )
-        edges.write.mode("overwrite").parquet(self._path("term_graph"))
-        return self.spark.read.parquet(self._path("term_graph")).count()
+        gpath = self._graph_path(auth)
+        edges.write.mode("overwrite").parquet(gpath)
+        # leading underscore => Spark's parquet reader ignores the sidecar
+        with open(os.path.join(gpath, "_graph_meta.json"), "w") as fh:
+            _json.dump({"source_signature": src_sig}, fh)
+        return self.spark.read.parquet(gpath).count()
+
+    def _graph_is_stale(self, gpath: str) -> bool:
+        import json as _json
+
+        meta = os.path.join(gpath, "_graph_meta.json")
+        if not os.path.exists(meta):
+            return True  # pre-metadata build: treat as stale, rebuild once
+        try:
+            with open(meta) as fh:
+                built_sig = _json.load(fh).get("source_signature")
+        except (OSError, ValueError):
+            return True
+        return built_sig != self._tables_signature()
 
     def graph_retrieve(
         self,
@@ -957,17 +1017,20 @@ class MorphikSpark:
         """GraphRAG retrieval: expand the seed terms one hop through the
         persisted term graph (`graph.seed_expansion_weights`, broadcast-
         sized by construction), then rank documents by tf-weighted
-        matched-term score. Builds the graph on the fly if
-        `build_term_graph` hasn't run."""
+        matched-term score. The graph read is pinned to this caller's
+        auth scope and rebuilt if missing or stale (source tables mutated
+        since the build) — a shared/stale graph would leak inaccessible
+        documents' co-occurrence weights across scopes."""
         import os as _os
 
         from pyspark.sql import Window
 
         from morphik_core_spark.operators.graph import seed_expansion_weights
 
-        if not _os.path.exists(self._path("term_graph")):
+        gpath = self._graph_path(auth)
+        if not _os.path.exists(gpath) or self._graph_is_stale(gpath):
             self.build_term_graph(auth=auth)
-        edges = self.spark.read.parquet(self._path("term_graph"))
+        edges = self.spark.read.parquet(gpath)
         wts = seed_expansion_weights(
             edges, seeds, k=k_terms, seed_weight=seed_weight
         )

@@ -232,12 +232,19 @@ def ranking_metrics(
     (complements `similarity.recall_at_k`, which only checks set overlap
     against an exact baseline; these grade the ORDER).
 
-    Input: one row per (query, result) with its 1-based ``rank_col`` and
-    a non-negative graded ``rel_col`` (binary or graded relevance).
-    Output per query: (query, n_rel, first_rel_rank, rr, dcg, idcg,
-    ndcg); ``rr`` = 1/first_rel_rank (0.0 when nothing in the top-k is
-    relevant — the standard MRR convention), ``ndcg`` NULL when idcg is
-    0. Mean rr over queries = MRR; mean ndcg = mean NDCG@k.
+    Input: one row per (query, JUDGED result) with its 1-based
+    ``rank_col`` and a non-negative graded ``rel_col`` (binary or graded
+    relevance). Pass ALL judged rows, not just the top-k: the standard
+    NDCG@k definition builds the ideal list from every judged item
+    (truncated at k), so relevant items the system ranked beyond k still
+    lower NDCG — filtering to rank≤k first would inflate it (round-6
+    ADVICE). Output per query: (query, n_rel, first_rel_rank, rr, dcg,
+    idcg, ndcg); ``n_rel`` counts ALL judged relevant rows, ``dcg`` sums
+    over the observed top-k only, ``idcg`` over the best k of all judged
+    rows, ``rr`` = 1/first_rel_rank within the top-k (0.0 when nothing
+    in the top-k is relevant — the standard MRR@k convention), ``ndcg``
+    NULL when idcg is 0. Mean rr over queries = MRR; mean ndcg = mean
+    NDCG@k.
 
     Determinism: each row's DCG term rel/log2(rank+1) is ONE fixed
     double tree scaled to integer micro-units (ROUND(x·1e12) AS BIGINT)
@@ -246,30 +253,42 @@ def ranking_metrics(
     the tie-break makes IDCG unique. The final rr/ndcg divisions round
     once at the edge.
 
-    Scale: one groupBy + one per-query window over ≤ k rows each —
-    partitions are query-sized, never corpus-sized; with Q queries the
-    shuffled frame is Q·k rows.
+    Scale: one groupBy + one per-query window over the judged rows —
+    partitions are judgment-list-sized, never corpus-sized; with Q
+    queries and J judgments each, the shuffled frame is Q·J rows.
     """
     scale = 1_000_000_000_000  # 1e12 micro-unit grid (repo-wide recipe)
     qcol, rnk = F.col(query_col), F.col(rank_col).cast("bigint")
     rel = F.col(rel_col).cast("double")
-    in_k = ranked.filter(rnk <= k).select(
+    judged = ranked.select(
         qcol.alias("_q"),
         rnk.alias("_rank"),
         rel.alias("_rel"),
-        F.expr(
-            f"CAST(ROUND(CAST({rel_col} AS DOUBLE) / LOG2(CAST({rank_col} AS BIGINT) + 1)"
-            f" * {scale}) AS BIGINT)"
-        ).alias("_gain_u"),
+        # observed DCG gain: only ranks inside the cutoff contribute
+        F.when(
+            rnk <= k,
+            F.expr(
+                f"CAST(ROUND(CAST({rel_col} AS DOUBLE) / LOG2(CAST({rank_col} AS BIGINT) + 1)"
+                f" * {scale}) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("_gain_u"),
     )
     iw = Window.partitionBy("_q").orderBy(F.col("_rel").desc(), F.col("_rank").asc())
-    ideal = in_k.withColumn("_ipos", F.row_number().over(iw)).withColumn(
+    ideal = judged.withColumn("_ipos", F.row_number().over(iw)).withColumn(
         "_igain_u",
-        F.expr(f"CAST(ROUND(_rel / LOG2(_ipos + 1) * {scale}) AS BIGINT)"),
+        # ideal list truncates at k, but ranks over ALL judged rows
+        F.when(
+            F.col("_ipos") <= k,
+            F.expr(f"CAST(ROUND(_rel / LOG2(_ipos + 1) * {scale}) AS BIGINT)"),
+        ).otherwise(F.lit(0).cast("bigint")),
     )
     agg = ideal.groupBy("_q").agg(
         F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0)).alias("n_rel"),
-        F.min(F.when(F.col("_rel") > 0, F.col("_rank"))).alias("first_rel_rank"),
+        F.min(
+            F.when((F.col("_rel") > 0) & (F.col("_rank") <= k), F.col("_rank"))
+        ).alias("first_rel_rank"),
         F.sum("_gain_u").alias("_dcg_u"),
         F.sum("_igain_u").alias("_idcg_u"),
     )

@@ -45,7 +45,6 @@ __all__ = [
     "k_anonymity_audit",
     "l_diversity_classes",
     "t_closeness_classes",
-    "l_diversity_classes",
     "benford_audit",
     "BENFORD_EXPECTED",
 ]
@@ -453,40 +452,6 @@ def benford_audit(
                 decimals,
             ).alias("abs_dev"),
         )
-    )
-
-
-def l_diversity_classes(
-    df: DataFrame,
-    qi_cols: Sequence[str],
-    sensitive_col: str,
-    l: int = 3,
-    entity_col: str | None = None,
-) -> DataFrame:
-    """Per-equivalence-class l-diversity detail — the remediation
-    complement of :func:`k_anonymity_audit`'s size-rollup: one row per
-    distinct quasi-identifier tuple with its size, its count of
-    distinct sensitive values (``l_div``), and a ``violates_l`` flag
-    (Machanavajjhala 2007: a class with fewer than l distinct
-    sensitive values lets an attacker who locates the class infer the
-    sensitive attribute with high confidence).
-
-    ``entity_col`` counts class size in distinct entities (e.g.
-    customers) rather than rows, for fact tables where one entity
-    contributes many rows.
-
-    One shuffle (QI groupBy, map-side combined, one row out per class);
-    at 100 TB the distinct-count pair inside the agg swaps to
-    ``approx_count_distinct`` with the same schema. Output is
-    class-grained — bounded by the QI cardinality, not the row count.
-    """
-    size_expr = (
-        F.countDistinct(F.col(entity_col)) if entity_col else F.count(F.lit(1))
-    ).alias("class_size")
-    return (
-        df.groupBy(*[F.col(c) for c in qi_cols])
-        .agg(size_expr, F.countDistinct(F.col(sensitive_col)).alias("l_div"))
-        .withColumn("violates_l", F.col("l_div") < F.lit(l))
     )
 
 

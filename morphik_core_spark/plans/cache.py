@@ -26,33 +26,36 @@ storage until evictions thrash the shuffle working set.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from typing import Iterator
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-_SCOPED: list[DataFrame] = []
+# Per-thread registries: a boundary release in one request thread must not
+# unpersist another concurrent pipeline's in-flight frames (which would
+# silently force recomputation mid-query). Each thread gets its own list;
+# ``_ALL`` tracks every live list so session teardown can sweep everything.
+_LOCAL = threading.local()
+_ALL_LOCK = threading.Lock()
+_ALL: dict[int, list[DataFrame]] = {}
 
 
-def scoped_persist(
-    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
-) -> DataFrame:
-    """Persist ``df`` and register it for the next ``release_scoped()``."""
-    out = df.persist(level)
-    _SCOPED.append(out)
-    return out
+def _registry() -> list[DataFrame]:
+    reg = getattr(_LOCAL, "scoped", None)
+    if reg is None:
+        reg = []
+        _LOCAL.scoped = reg
+        with _ALL_LOCK:
+            _ALL[threading.get_ident()] = reg
+    return reg
 
 
-def release_scoped() -> int:
-    """Unpersist every registered DataFrame; returns how many were freed.
-
-    Safe to call at any time: plans that still reference a released
-    intermediate recompute it from lineage on their next action.
-    """
+def _drain(reg: list[DataFrame]) -> int:
     n = 0
-    while _SCOPED:
-        df = _SCOPED.pop()
+    while reg:
+        df = reg.pop()
         try:
             df.unpersist()
             n += 1
@@ -62,9 +65,43 @@ def release_scoped() -> int:
     return n
 
 
+def scoped_persist(
+    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """Persist ``df`` and register it for this thread's next
+    ``release_scoped()``."""
+    out = df.persist(level)
+    _registry().append(out)
+    return out
+
+
+def release_scoped() -> int:
+    """Unpersist every DataFrame registered by the CURRENT thread; returns
+    how many were freed.
+
+    Safe to call at any time: plans that still reference a released
+    intermediate recompute it from lineage on their next action. Frames
+    persisted by other threads (concurrent pipelines) are untouched — use
+    :func:`release_all_scoped` at full-session boundaries.
+    """
+    return _drain(_registry())
+
+
+def release_all_scoped() -> int:
+    """Unpersist every registered DataFrame across ALL threads.
+
+    For single-owner boundaries — session shutdown, a bench harness that
+    knows no pipeline is in flight.
+    """
+    with _ALL_LOCK:
+        regs = list(_ALL.values())
+    return sum(_drain(reg) for reg in regs)
+
+
 @contextmanager
 def persist_scope() -> Iterator[None]:
-    """Release any persists registered inside the ``with`` block on exit.
+    """Release any persists this thread registers inside the ``with``
+    block on exit.
 
     For drivers that want per-stage hygiene without tracking individual
     frames::
@@ -72,12 +109,13 @@ def persist_scope() -> Iterator[None]:
         with persist_scope():
             result = semantic_dedup(...).collect()
     """
-    mark = len(_SCOPED)
+    reg = _registry()
+    mark = len(reg)
     try:
         yield
     finally:
-        while len(_SCOPED) > mark:
-            df = _SCOPED.pop()
+        while len(reg) > mark:
+            df = reg.pop()
             try:
                 df.unpersist()
             except Exception:

@@ -672,6 +672,33 @@ def test_graph_build_and_retrieve(client):
     assert again == got
 
 
+def test_graph_is_auth_scoped_and_invalidated(client):
+    """Round-6 ADVICE (medium): the persisted term graph must be keyed by
+    auth scope — one caller's build must not serve another caller's
+    retrieval — and must be rebuilt after document mutation."""
+    from morphik_core_spark.operators.scopes import AuthContext
+
+    _seed(client)
+    other = AuthContext(user_id="intruder")
+    # different scopes persist to different paths
+    assert client._graph_path(AUTH) != client._graph_path(other)
+    assert client._graph_path(None) != client._graph_path(AUTH)
+
+    client.build_term_graph(min_weight=1, auth=AUTH)
+    # the other scope owns no documents: its graph is empty, never AUTH's
+    got = client.graph_retrieve(["catalyst"], k_terms=3, k_docs=3, auth=other)
+    assert got == []
+
+    # mutation invalidates: a new seed-bearing doc must appear after ingest
+    before = client.graph_retrieve(["zeppelin"], k_terms=3, k_docs=3, auth=AUTH)
+    assert before == []
+    client.ingest_text("zeppelin zeppelin flies high " * 5, filename="z.txt", auth=AUTH)
+    after = client.graph_retrieve(["zeppelin"], k_terms=3, k_docs=3, auth=AUTH)
+    assert len(after) == 1
+    docs = {d["filename"]: d["external_id"] for d in client.list_documents(auth=AUTH, limit=50)}
+    assert after[0]["document_id"] == docs["z.txt"]
+
+
 def test_delete_folder_recursive_semantics(client):
     ids = client.ingest_texts(
         ["root doc " * 10, "child doc " * 10, "deep doc " * 10, "other doc " * 10],

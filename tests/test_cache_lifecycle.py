@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
-from morphik_core_spark.plans.cache import persist_scope, release_scoped, scoped_persist
+from morphik_core_spark.plans.cache import (
+    persist_scope,
+    release_all_scoped,
+    release_scoped,
+    scoped_persist,
+)
 
 
 def _cache_manager_empty(spark) -> bool:
@@ -94,3 +99,61 @@ def test_operators_register_their_persists(spark):
     assert _cache_manager_empty(spark)
     # result is still recomputable post-release
     assert pairs.count() == n
+
+
+def test_registry_is_thread_scoped(spark):
+    """A boundary release in one thread must not unpersist a concurrent
+    pipeline's in-flight frames (round-6 ADVICE: the registry was one
+    process-global list, so request A's boundary could evict request B's
+    loop-invariant mid-query)."""
+    import threading
+
+    _reset(spark)
+    worker_df = {}
+    registered = threading.Event()
+    may_finish = threading.Event()
+
+    def worker():
+        df = scoped_persist(spark.range(123))
+        df.count()
+        worker_df["df"] = df
+        registered.set()
+        may_finish.wait(timeout=30)
+        # worker's own boundary frees its own frame
+        assert release_scoped() == 1
+
+    t = threading.Thread(target=worker)
+    t.start()
+    assert registered.wait(timeout=30)
+    mine = scoped_persist(spark.range(7))
+    mine.count()
+    # my boundary frees only MY frame; the worker's stays cached
+    assert release_scoped() == 1
+    assert worker_df["df"].is_cached
+    assert not mine.is_cached
+    may_finish.set()
+    t.join(timeout=30)
+    assert not worker_df["df"].is_cached
+    assert _cache_manager_empty(spark)
+
+
+def test_release_all_scoped_sweeps_other_threads(spark):
+    """Session-teardown boundary: release_all_scoped frees frames
+    registered by every thread (bench.py uses this between timed runs)."""
+    import threading
+
+    _reset(spark)
+    holder = {}
+
+    def worker():
+        df = scoped_persist(spark.range(55))
+        df.count()
+        holder["df"] = df
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join(timeout=30)
+    assert holder["df"].is_cached
+    assert release_all_scoped() >= 1
+    assert not holder["df"].is_cached
+    assert _cache_manager_empty(spark)

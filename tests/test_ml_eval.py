@@ -98,10 +98,34 @@ def test_ranking_metrics_hand_check(spark):
 def test_ranking_metrics_k_cutoff(spark):
     from morphik_core_spark.operators.ml_eval import ranking_metrics
 
-    # the only relevant hit sits at rank 4 — invisible at k=3
+    # the only relevant hit sits at rank 4 — not RETRIEVED at k=3, but
+    # still JUDGED: the ideal list ranks it, so ndcg@3 is 0.0, not NULL
+    # (standard definition; round-6 ADVICE fixed the in-k-only inflation)
     rows = [(1, r, 1.0 if r == 4 else 0.0) for r in range(1, 6)]
     df = _df(spark, rows, "q long, rank long, rel double")
     at3 = ranking_metrics(df, "q", "rank", "rel", k=3).collect()[0]
     at5 = ranking_metrics(df, "q", "rank", "rel", k=5).collect()[0]
-    assert at3["rr"] == 0.0 and at3["n_rel"] == 0
+    assert at3["rr"] == 0.0 and at3["first_rel_rank"] is None
+    assert at3["n_rel"] == 1  # judged-relevant count is cutoff-independent
+    assert at3["ndcg"] == 0.0 and at3["idcg"] == 1.0
     assert at5["rr"] == 0.25 and at5["first_rel_rank"] == 4
+
+
+def test_ranking_metrics_beyond_k_relevance_lowers_ndcg(spark):
+    """A relevant judged item the system ranked beyond k must lower
+    NDCG@k versus a judgment set where it doesn't exist at all."""
+    from morphik_core_spark.operators.ml_eval import ranking_metrics
+
+    # rel at rank 1; second relevant item ranked at 5 (beyond k=2)
+    with_tail = [(1, 1, 1.0), (1, 2, 0.0), (1, 5, 1.0)]
+    without = [(1, 1, 1.0), (1, 2, 0.0)]
+    a = ranking_metrics(
+        _df(spark, with_tail, "q long, rank long, rel double"), "q", "rank", "rel", k=2
+    ).collect()[0]
+    b = ranking_metrics(
+        _df(spark, without, "q long, rank long, rel double"), "q", "rank", "rel", k=2
+    ).collect()[0]
+    assert b["ndcg"] == 1.0  # only judged relevant item is at rank 1
+    # ideal for `a` places both relevant items in the top-2: idcg grows
+    assert a["ndcg"] < 1.0
+    assert a["n_rel"] == 2 and b["n_rel"] == 1
