@@ -39,6 +39,7 @@ __all__ = [
     "word_shingles",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "minhash_signatures_inline",
     "simhash",
     "simhash_pandas",
     "jaccard_pairs",
@@ -131,6 +132,50 @@ def minhash_signatures(
     return base.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_inline(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Map-side MinHash: shingle → hash → min entirely inside codegen.
+
+    Bit-identical to ``word_shingles(...)`` → ``minhash_signatures(...)``
+    (same normalize, same n-gram construction, same portable hash family)
+    but with ZERO shuffles: each row's distinct shingle array is built
+    with ``transform``/``sequence``, hashed once to the 30-bit base, and
+    every universal-hash minimum comes from ``array_min`` over that
+    per-row array. The groupBy in the exploded form only ever re-gathers
+    rows that started together, so the aggregation is a per-row fold —
+    this is that fold, expressed where it runs for free. Use this form
+    whenever the consumer wants one signature row per doc; keep the
+    exploded form where the shingles themselves are reused downstream.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    sh_expr = (
+        f"array_distinct(transform(sequence(0, size(tk) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))})))"
+    )
+    base = df.select(F.col(id_col), toks.alias("tk")).filter(F.size("tk") >= n)
+    # pre-fan-out: same rationale as word_shingles — spread the regex +
+    # shingle CPU when the scan under-parallelizes; no-op at real scale.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    h30s = (
+        f"transform({sh_expr}, s -> "
+        f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % {_H30}L)"
+    )
+    base = base.select(F.col(id_col), F.expr(h30s).alias("hs"))
+    mins = [
+        F.expr(f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {_MERSENNE31}L))").alias(f"mh{i}")
+        for i, (a, b) in enumerate(hash_params(num_hashes, seed))
+    ]
+    return base.select(F.col(id_col), *mins)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -138,6 +183,7 @@ def lsh_candidate_pairs(
     rows_per_band: int,
     max_bucket_size: int | None = None,
     persist: bool = True,
+    carry_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH band.
 
@@ -145,15 +191,32 @@ def lsh_candidate_pairs(
     band-bucket self-join is an equi-join Catalyst hash-partitions — the
     canonical way to avoid the O(n²) all-pairs comparison at scale.
 
-    ``max_bucket_size`` drops buckets with more members than the cap
-    BEFORE the self-join. Without it one hot bucket (boilerplate text,
-    degenerate signatures) goes quadratic — a bucket of 1M docs is 5e11
-    pairs on one reducer. An oversized bucket carries almost no signal
-    (its members collide on a band by bulk, not similarity), so dropping
-    it is the standard recall/robustness trade (cf. datasketch
-    LSH ``_H`` buckets, Spark MinHashLSH docs). The overflow set is tiny
-    by construction, so it broadcasts.
+    ``max_bucket_size`` drops buckets with more members than the cap.
+    Without it one hot bucket (boilerplate text, degenerate signatures)
+    goes quadratic — a bucket of 1M docs is 5e11 pairs on one reducer.
+    An oversized bucket carries almost no signal (its members collide on
+    a band by bulk, not similarity), so dropping it is the standard
+    recall/robustness trade (cf. datasketch LSH ``_H`` buckets, Spark
+    MinHashLSH docs). The cap is also the memory bound on the per-bucket
+    member array below — always set it on real corpora.
+
+    ``carry_cols`` rides extra per-id columns through the pair
+    generation, emitted as ``<col>_a`` / ``<col>_b`` beside the pair
+    ids. A consumer that needs both sides' signatures (estimated-Jaccard
+    calibration, agreement scoring) gets them from the pair generation
+    itself instead of re-joining the signature frame twice.
+
+    Shape (round 7): one groupBy collects each (band, key) bucket's
+    members into a sorted array (the cap filters oversized buckets in
+    the same aggregation), then within-bucket pairs explode via
+    ``transform``/``slice`` inside codegen. vs the previous self-join
+    form this is ONE shuffle instead of three (size histogram, two
+    join sides) and needs no internal persist — the signature pipeline
+    is read exactly once. ``persist`` is kept for API compatibility and
+    is a no-op.
     """
+    del persist  # single-pass plan: nothing is read twice anymore
+    carry = list(carry_cols or [])
     sig_cols = [c for c in signatures.columns if c != id_col]
     assert len(sig_cols) >= bands * rows_per_band
     band_rows = []
@@ -162,38 +225,31 @@ def lsh_candidate_pairs(
         band_rows.append(
             F.struct(F.lit(b).alias("band"), F.concat_ws("_", *[F.col(c) for c in cols]).alias("key"))
         )
-    buckets = signatures.select(F.col(id_col), F.explode(F.array(*band_rows)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    # member struct leads with the id so sort_array orders buckets by id
+    # (ids are unique within a bucket: one row per doc per band), making
+    # every emitted (i < j) pair satisfy id_a < id_b by construction.
+    member = F.struct(F.col(id_col).alias("_id"), *[F.col(c) for c in carry])
+    buckets = signatures.select(member.alias("m"), F.explode(F.array(*band_rows)).alias("bk")).select(
+        "m", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    if persist:
-        # the plan reads buckets up to four times (size histogram, cap
-        # anti-join, both self-join sides); without a persist each read
-        # re-derives the whole signature pipeline. bands × n_docs rows —
-        # tiny next to the shingle explode it guards. Scoped: freed by the
-        # caller's next plans.cache.release_scoped().
-        from morphik_core_spark.plans.cache import scoped_persist
-
-        buckets = scoped_persist(buckets)
+    grouped = buckets.groupBy("band", "key").agg(F.sort_array(F.collect_list("m")).alias("ms"))
+    size_ok = F.size("ms") >= 2
     if max_bucket_size is not None:
-        oversized = (
-            buckets.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_bucket_size)
-            .select("band", "key")
-        )
-        buckets = buckets.join(F.broadcast(oversized), ["band", "key"], "left_anti")
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
+        size_ok = size_ok & (F.size("ms") <= max_bucket_size)
+    pairs = grouped.filter(size_ok).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms) - i - 1), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
     )
+    return pairs.select(
+        F.col("p.a._id").alias("id_a"),
+        F.col("p.b._id").alias("id_b"),
+        *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in carry],
+        *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in carry],
+    ).distinct()
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:

@@ -76,22 +76,19 @@ def test_persist_scope_releases_only_inner(spark):
 
 
 def test_operators_register_their_persists(spark):
-    """An operator with a known internal persist (lsh_candidate_pairs)
-    leaves the CacheManager empty after release_scoped() even when its
-    lazy result was consumed afterwards."""
-    from morphik_core_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        minhash_signatures,
-        word_shingles,
-    )
+    """An operator with a known internal persist (jaccard_pairs caches
+    its exploded shingles) leaves the CacheManager empty after
+    release_scoped() even when its lazy result was consumed afterwards.
+    (lsh_candidate_pairs lost its internal persist in round 7 — its plan
+    is single-pass now — so this gate rides jaccard_pairs instead.)"""
+    from morphik_core_spark.operators.dedup import jaccard_pairs, word_shingles
 
     _reset(spark)
     docs = spark.createDataFrame(
         [(i, "the quick brown fox jumps over the lazy dog " + ("x" * (i % 3))) for i in range(30)],
         "doc_id long, text string",
     )
-    sigs = minhash_signatures(word_shingles(docs, "text", "doc_id"), "doc_id", num_hashes=8)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=2)
+    pairs = jaccard_pairs(word_shingles(docs, "text", "doc_id"), "doc_id", threshold=0.5)
     n = pairs.count()
     assert n >= 0
     assert not _cache_manager_empty(spark)  # the band-bucket persist is live

@@ -43,6 +43,34 @@ def test_minhash_identical_docs_same_signature(docs):
     assert sigs[1] != sigs[4]
 
 
+def test_minhash_inline_bit_identical_to_exploded(docs):
+    """The zero-shuffle map-side fold must match the exploded groupBy-min
+    form exactly — same normalize, shingles, hash family, and types."""
+    sh = dedup.word_shingles(docs, "text", "doc_id", n=3)
+    exploded = sorted(tuple(r) for r in dedup.minhash_signatures(sh, "doc_id").collect())
+    inline = sorted(
+        tuple(r) for r in dedup.minhash_signatures_inline(docs, "text", "doc_id", n=3).collect()
+    )
+    assert inline == exploded
+
+
+def test_lsh_carry_cols_ride_through_pairs(docs):
+    """carry_cols emits both sides' signature columns beside the pair ids,
+    matching what an explicit re-join of the signature frame would give."""
+    sh = dedup.word_shingles(docs, "text", "doc_id", n=3)
+    sigs = dedup.minhash_signatures(sh, "doc_id")
+    mh = [c for c in sigs.columns if c != "doc_id"]
+    carried = dedup.lsh_candidate_pairs(sigs, "doc_id", 4, 2, carry_cols=mh)
+    sig_map = {r.doc_id: {c: r[c] for c in mh} for r in sigs.collect()}
+    rows = carried.collect()
+    assert rows, "expected at least one candidate pair"
+    for r in rows:
+        assert r.id_a < r.id_b
+        for c in mh:
+            assert r[f"{c}_a"] == sig_map[r.id_a][c]
+            assert r[f"{c}_b"] == sig_map[r.id_b][c]
+
+
 def test_lsh_finds_near_dups(docs):
     sh = dedup.word_shingles(docs, "text", "doc_id", n=3)
     sigs = dedup.minhash_signatures(sh, "doc_id")
