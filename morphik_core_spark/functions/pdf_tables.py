@@ -17,9 +17,17 @@ closes the ruled-table half of that gap with pure Python:
    positioned text runs (`pdf_render.page_text_runs`) to cells by
    center point.
 
-Unruled (whitespace-aligned) tables are out of scope — without rules
-the column evidence is statistical, and a wrong guess silently corrupts
-text; those still flow through XY-cut as plain lines.
+Round 7 adds the unruled half (`detect_unruled_tables`): whitespace-
+aligned tables have no painted rules, so the column evidence is the
+page's text geometry itself — lines whose runs split into ≥ 2 chunks
+across gaps much wider than a word space, sharing vertical "gullies"
+(x-bands no run in the block crosses, the same whitespace evidence
+XY-cut uses for column splits). Because a wrong guess silently corrupts
+text, detection is deliberately conservative: ≥ 3 consecutive
+multi-chunk lines, block-spanning gullies, and a cell-fill guard that
+rejects justified two-column prose (whose chunks fill their column;
+table cells don't). Regions already claimed by ruled tables are
+excluded so a bordered grid is never reported twice.
 
 Row-level contract matches the other parse kernels: a malformed page
 contributes no tables rather than failing the document, and
@@ -39,7 +47,13 @@ from morphik_core_spark.functions.pdf_render import (
     parse_page_tree,
 )
 
-__all__ = ["page_line_segments", "detect_tables", "extract_pdf_tables", "table_to_markdown"]
+__all__ = [
+    "page_line_segments",
+    "detect_tables",
+    "detect_unruled_tables",
+    "extract_pdf_tables",
+    "table_to_markdown",
+]
 
 _NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
@@ -291,10 +305,146 @@ def detect_tables(
     return tables
 
 
-def extract_pdf_tables(data: bytes) -> list[dict]:
-    """All ruled tables in a PDF: [{page, bbox, n_rows, n_cols, cells}],
-    page 1-based in page-tree order. Raises ValueError for non-PDFs;
-    a page whose graphics fail to parse yields no tables (row-level
+# unruled-table tolerances (multiples of the block's median font size)
+_LINE_TOL_FACTOR = 0.6  # y-center distance for runs to share a text line
+_COL_GAP_FACTOR = 2.0  # a column gully must be this × wider than a space
+_MIN_UNRULED_ROWS = 3  # header + 2 data rows before we trust alignment
+_MAX_CELL_FILL = 0.7  # mean cell-width / column-width above this = prose
+_ROW_GAP_FACTOR = 2.5  # vertical gap that breaks a block of table rows
+
+
+def _text_lines(
+    runs: list[tuple[float, float, float, float, float, str]], tol: float
+) -> list[list[tuple]]:
+    """Cluster runs into text lines by y-center (top of page first)."""
+    lines: list[list] = []
+    anchor: list[float] = []
+    for r in sorted(runs, key=lambda r: -(r[1] + r[3]) / 2.0):
+        cy = (r[1] + r[3]) / 2.0
+        if lines and anchor[-1] - cy <= tol:
+            lines[-1].append(r)
+        else:
+            lines.append([r])
+            anchor.append(cy)
+    for ln in lines:
+        ln.sort(key=lambda r: r[0])
+    return lines
+
+
+def _chunks(line: list[tuple], gap: float) -> list[tuple[float, float]]:
+    """Merged x-intervals of a line's runs; a split needs a gap > ``gap``."""
+    merged: list[list[float]] = []
+    for r in line:
+        if merged and r[0] <= merged[-1][1] + gap:
+            merged[-1][1] = max(merged[-1][1], r[2])
+        else:
+            merged.append([r[0], r[2]])
+    return [(lo, hi) for lo, hi in merged]
+
+
+def detect_unruled_tables(
+    runs: list[tuple[float, float, float, float, float, str]],
+    exclude_bboxes: list[tuple[float, float, float, float]] | None = None,
+) -> list[dict]:
+    """Whitespace-aligned (unruled) tables from positioned text runs.
+
+    Evidence chain: (1) cluster runs into text lines; (2) a line is
+    tabular when its runs split into ≥ 2 chunks across gaps wider than
+    ``_COL_GAP_FACTOR`` × median font size (word spaces are ~0.3×, so
+    prose never splits); (3) ≥ ``_MIN_UNRULED_ROWS`` consecutive tabular
+    lines form a candidate block; (4) the block's column separators are
+    its whitespace gullies — x-bands no run in ANY block line crosses —
+    so a single ragged line vetoes the column, exactly the conservatism
+    wanted; (5) a mean cell-fill guard rejects justified multi-column
+    prose, whose chunks fill their column width. Emits the same table
+    dict shape as `detect_tables` (kind="unruled").
+    """
+    ex = list(exclude_bboxes or [])
+    if ex:
+        runs = [
+            r
+            for r in runs
+            if not any(
+                x0 <= (r[0] + r[2]) / 2.0 <= x1 and y0 <= (r[1] + r[3]) / 2.0 <= y1
+                for (x0, y0, x1, y1) in ex
+            )
+        ]
+    if not runs:
+        return []
+    sizes = sorted(r[4] for r in runs)
+    med = sizes[len(sizes) // 2] or 12.0
+    line_tol = _LINE_TOL_FACTOR * med
+    col_gap = max(_COL_GAP_FACTOR * med, 10.0)
+    row_gap = _ROW_GAP_FACTOR * med
+    lines = _text_lines(runs, line_tol)
+    line_y = [max(r[3] for r in ln) for ln in lines]  # top edge per line
+    tabular = [len(_chunks(ln, col_gap)) >= 2 for ln in lines]
+
+    tables: list[dict] = []
+    i = 0
+    while i < len(lines):
+        if not tabular[i]:
+            i += 1
+            continue
+        j = i + 1
+        while j < len(lines) and tabular[j] and (line_y[j - 1] - line_y[j]) <= row_gap:
+            j += 1
+        block = lines[i:j]
+        i = j
+        if len(block) < _MIN_UNRULED_ROWS:
+            continue
+        from morphik_core_spark.functions.pdf_render import _gaps
+
+        gullies = _gaps([(r[0], r[2]) for ln in block for r in ln], min_gap=col_gap)
+        if not gullies:
+            continue
+        x_lo = min(r[0] for ln in block for r in ln)
+        x_hi = max(r[2] for ln in block for r in ln)
+        bounds = [x_lo] + gullies + [x_hi]
+        n_cols = len(gullies) + 1
+        cells: list[list[list[tuple]]] = [[[] for _ in range(n_cols)] for _ in block]
+        for ri, ln in enumerate(block):
+            for r in ln:
+                col = bisect_right(gullies, (r[0] + r[2]) / 2.0)
+                cells[ri][col].append(r)
+        # prose guard: table cells are short relative to their column
+        fills = [
+            (max(r[2] for r in cell) - min(r[0] for r in cell))
+            / max(bounds[ci + 1] - bounds[ci], 1e-9)
+            for row in cells
+            for ci, cell in enumerate(row)
+            if cell
+        ]
+        if not fills or sum(fills) / len(fills) > _MAX_CELL_FILL:
+            continue
+        text_cells = [
+            [
+                " ".join(r[5].strip() for r in sorted(cell, key=lambda r: r[0]) if r[5].strip())
+                for cell in row
+            ]
+            for row in cells
+        ]
+        y_bot = min(r[1] for ln in block for r in ln)
+        y_top = max(r[3] for ln in block for r in ln)
+        tables.append(
+            {
+                "bbox": (x_lo, y_bot, x_hi, y_top),
+                "n_rows": len(block),
+                "n_cols": n_cols,
+                "cells": text_cells,
+                "kind": "unruled",
+            }
+        )
+    return tables
+
+
+def extract_pdf_tables(data: bytes, include_unruled: bool = True) -> list[dict]:
+    """All tables in a PDF: [{page, bbox, n_rows, n_cols, cells, kind}],
+    page 1-based in page-tree order, top of page first within a page.
+    Ruled grids come from the graphics interpreter (`detect_tables`);
+    whitespace-aligned tables from text geometry (`detect_unruled_tables`,
+    ruled regions excluded so nothing reports twice). Raises ValueError
+    for non-PDFs; a page whose parse fails yields no tables (row-level
     isolation, same contract as the text kernels)."""
     if not looks_like_pdf(data):
         raise ValueError("not a PDF (missing %PDF- header)")
@@ -306,11 +456,22 @@ def extract_pdf_tables(data: bytes) -> list[dict]:
     out = []
     for pageno, (_mb, content) in enumerate(parse_page_tree(data), start=1):
         try:
+            page_tables: list[dict] = []
+            runs: list | None = None
             h_segs, v_segs = page_line_segments(content)
-            if len(h_segs) < 3 or len(v_segs) < 3:
-                continue
-            runs = page_text_runs(content, font_cmaps)
-            for t in detect_tables(runs, h_segs, v_segs):
+            if len(h_segs) >= 3 and len(v_segs) >= 3:
+                runs = page_text_runs(content, font_cmaps)
+                for t in detect_tables(runs, h_segs, v_segs):
+                    t.setdefault("kind", "ruled")
+                    page_tables.append(t)
+            if include_unruled:
+                if runs is None:
+                    runs = page_text_runs(content, font_cmaps)
+                page_tables.extend(
+                    detect_unruled_tables(runs, [t["bbox"] for t in page_tables])
+                )
+            page_tables.sort(key=lambda t: -t["bbox"][3])
+            for t in page_tables:
                 t["page"] = pageno
                 out.append(t)
         except Exception:  # noqa: BLE001 — page-level isolation

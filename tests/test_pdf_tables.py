@@ -121,6 +121,93 @@ def test_multi_page_numbers_and_isolation():
     assert tables[0]["cells"][0][0] == "p2cell"
 
 
+def _unruled_block(y0=400, xs=(110, 190, 270), rows_text=None, size=10) -> bytes:
+    """Three whitespace-aligned columns, no rules — 20pt line pitch."""
+    rows_text = rows_text or [
+        ("name", "lang", "n"),
+        ("alpha", "en", "3"),
+        ("beta", "de", "7"),
+    ]
+    ops = []
+    for ri, row in enumerate(rows_text):
+        y = y0 - 20 * ri
+        for x, s in zip(xs, row):
+            ops.append(f"BT /F1 {size} Tf {x} {y} Td ({s}) Tj ET".encode())
+    return b" ".join(ops)
+
+
+def test_unruled_whitespace_table_roundtrip():
+    tables = extract_pdf_tables(make_pdf(_unruled_block()))
+    assert len(tables) == 1
+    t = tables[0]
+    assert t["kind"] == "unruled" and (t["n_rows"], t["n_cols"]) == (3, 3)
+    assert t["cells"] == [
+        ["name", "lang", "n"],
+        ["alpha", "en", "3"],
+        ["beta", "de", "7"],
+    ]
+    md = table_to_markdown(t)
+    assert md.splitlines()[0] == "| name | lang | n |"
+    assert "| beta | de | 7 |" in md
+
+
+def test_mixed_ruled_and_unruled_page():
+    ruled = _grid_ops() + b" " + b" ".join(
+        [_cell_text(110, 645, "rk"), _cell_text(190, 645, "rv"), _cell_text(270, 645, "ru"),
+         _cell_text(110, 625, "r1"), _cell_text(190, 625, "r2"), _cell_text(270, 625, "r3")]
+    )
+    tables = extract_pdf_tables(make_pdf(ruled + b" " + _unruled_block(y0=400)))
+    kinds = [t["kind"] for t in tables]
+    assert kinds == ["ruled", "unruled"]  # top of page first
+    assert tables[0]["cells"][0] == ["rk", "rv", "ru"]
+    assert tables[1]["cells"][0] == ["name", "lang", "n"]
+    # the ruled table's text was excluded from unruled detection: exactly 2
+    assert len(tables) == 2
+
+
+def test_prose_lines_do_not_misfire():
+    # word-separated runs with ordinary word gaps merge into one chunk
+    words = ["lorem", "ipsum", "dolor", "sit", "amet", "consectetur"]
+    ops = []
+    for li in range(5):
+        x = 72.0
+        y = 700 - 14 * li
+        for w in words:
+            ops.append(f"BT /F1 12 Tf {x} {y} Td ({w}) Tj ET".encode())
+            x += len(w) * 0.5 * 12 + 4  # ~word-space gap, far below col_gap
+    assert extract_pdf_tables(make_pdf(b" ".join(ops))) == []
+
+
+def test_two_column_prose_rejected_by_fill_guard():
+    # justified two-column layout: two wide chunks per line with a clean
+    # gully between them — the geometry of a 2-col TABLE, but each chunk
+    # fills its column, so the cell-fill guard must reject it
+    left = "abcdefghijklmnopqrstuvwxyzabcdefgh"  # 34 chars -> 170pt at 10pt
+    right = "zyxwvutsrqponmlkjihgfedcbazyxwvuts"
+    ops = []
+    for li in range(6):
+        y = 700 - 14 * li
+        ops.append(f"BT /F1 10 Tf 72 {y} Td ({left}) Tj ET".encode())
+        ops.append(f"BT /F1 10 Tf 310 {y} Td ({right}) Tj ET".encode())
+    assert extract_pdf_tables(make_pdf(b" ".join(ops))) == []
+
+
+def test_short_unruled_block_is_not_a_table():
+    two_rows = _unruled_block(rows_text=[("a", "b", "c"), ("d", "e", "f")])
+    assert extract_pdf_tables(make_pdf(two_rows)) == []
+
+
+def test_unruled_flows_through_parse_kernel():
+    from morphik_core_spark.sources.binary import parse_kernels
+
+    pdf = make_pdf(
+        b"BT /F1 12 Tf 72 720 Td (Quarterly summary) Tj ET " + _unruled_block()
+    )
+    with_tables = parse_kernels(pdf_layout=True, pdf_tables=True)["application/pdf"](pdf)
+    assert "| name | lang | n |" in with_tables
+    assert "Quarterly summary" in with_tables
+
+
 def test_non_pdf_raises():
     with pytest.raises(ValueError, match="not a PDF"):
         extract_pdf_tables(b"definitely not a pdf")
