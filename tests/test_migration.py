@@ -1,0 +1,113 @@
+"""Dual-store index migration (plans/migration): dual-write window,
+reads pinned to the old layout, audited cutover — the Spark restatement
+of the reference's DualMultiVectorStore migration wrapper
+(core/vector_store/dual_multivector_store.py:24-33)."""
+
+from __future__ import annotations
+
+import pytest
+
+from morphik_core_spark.plans.migration import DualIndexStore, MigrationStateError
+
+OLD_CENTROIDS = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+NEW_CENTROIDS = [
+    (0, [1.0, 0.1]),
+    (1, [0.1, 1.0]),
+    (2, [0.7, 0.7]),
+    (3, [1.0, -0.2]),
+]
+
+
+def _batch(spark, start, n):
+    rows = [
+        (i, [1.0 + 0.01 * (i % 7), 0.1 * (i % 5)])
+        for i in range(start, start + n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _store(spark, tmp_path, **kw) -> DualIndexStore:
+    return DualIndexStore(
+        spark,
+        old_path=str(tmp_path / "old_layout"),
+        new_path=str(tmp_path / "new_layout"),
+        old_centroids=OLD_CENTROIDS,
+        new_centroids=NEW_CENTROIDS,
+        state_path=str(tmp_path / "migration_state.json"),
+        **kw,
+    )
+
+
+def test_dual_write_audit_cutover_lifecycle(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    assert store.phase == "dual"
+    r1 = store.ingest(_batch(spark, 0, 12))
+    r2 = store.ingest(_batch(spark, 12, 8))
+    assert r1 == {"old": True, "new": True} and r2 == {"old": True, "new": True}
+
+    # reads are pinned to the old layout during the window
+    assert store.read_path() == store.old_path
+    q = [1.0, 0.05]
+    pinned = [(r[0], r[1]) for r in store.search(q, k=5, n_probes=2).collect()]
+    old_direct = [(r[0], r[1]) for r in store.search_layout("old", q, 5, 2).collect()]
+    assert pinned == old_direct
+
+    # audit: same vectors in both layouts, exact rescore with all lists
+    # probed -> identical top-k, zero score delta
+    audit = store.parity_audit([q, [0.2, 1.0]], k=5, n_probes=4)
+    rows = audit.collect()
+    assert all(r.n_old == r.n_new == 20 for r in rows)
+    assert all(r.topk_overlap == 1.0 and r.max_score_delta == 0.0 for r in rows)
+
+    out = store.cutover([q, [0.2, 1.0]], k=5, n_probes=4, min_overlap=1.0)
+    assert out.count() == 2
+    assert store.phase == "cut"
+    assert store.read_path() == store.new_path
+
+    # post-cutover ingest lands only in the new layout
+    n_old_before = spark.read.parquet(store.old_path).count()
+    assert store.ingest(_batch(spark, 20, 4)) == {"old": False, "new": True}
+    assert spark.read.parquet(store.old_path).count() == n_old_before
+    assert spark.read.parquet(store.new_path).count() == 24
+
+    # search now serves from the new layout and sees the new vectors
+    ids = {r[0] for r in store.search(q, k=24, n_probes=4).collect()}
+    assert {20, 21, 22, 23} <= ids
+
+    with pytest.raises(MigrationStateError, match="already completed"):
+        store.cutover([q], k=5)
+
+
+def test_count_mismatch_blocks_cutover(spark, tmp_path):
+    store = _store(spark, tmp_path, enable_dual_ingestion=False)
+    store.ingest(_batch(spark, 0, 10))
+    # the new layout never received the batch; seed it with a subset so
+    # the audit has something to read but counts disagree
+    from morphik_core_spark.operators.similarity import ivf_append
+
+    ivf_append(_batch(spark, 0, 6), NEW_CENTROIDS, store.new_path)
+    with pytest.raises(MigrationStateError, match="parity audit failed"):
+        store.cutover([[1.0, 0.0]], k=3, n_probes=4)
+    assert store.phase == "dual"
+
+
+def test_unhealed_dual_write_errors_block_cutover(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.ingest(_batch(spark, 0, 10))
+    state = store.state
+    state["new_store_errors"] = 2
+    from morphik_core_spark.plans.migration import _write_state
+
+    _write_state(store.state_path, state)
+    with pytest.raises(MigrationStateError, match="re-drive"):
+        store.cutover([[1.0, 0.0]], k=3)
+
+
+def test_state_survives_reconstruction(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.ingest(_batch(spark, 0, 10))
+    store.cutover([[1.0, 0.0]], k=3, n_probes=4, min_overlap=1.0)
+    # a fresh wrapper over the same paths resumes post-cutover
+    again = _store(spark, tmp_path)
+    assert again.phase == "cut"
+    assert again.read_path() == again.new_path
