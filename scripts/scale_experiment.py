@@ -171,6 +171,30 @@ def main() -> None:
             pts = d.select((F.col("doc_id") % 120000).alias("p")).distinct()
             mat(interval_point_join(pts, iv, "p", "lo", "hi", bucket_width=32))
         runs["interval_join"] = interval
+    if "lsh" in ops:
+        # round-7 single-shuffle LSH: inline signatures (zero-shuffle) ->
+        # groupBy-collect buckets -> in-codegen pair explosion. The 10x
+        # corpus is the dedup worst case (every doc in a 10-clone
+        # cluster), so the capped-bucket valve is what's being measured.
+        from morphik_core_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures_inline,
+        )
+
+        def lsh_new(d):
+            sigs = minhash_signatures_inline(d, "text", "doc_id", n=3, num_hashes=8)
+            mat(lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=2, max_bucket_size=20))
+        runs["lsh_pairs_r7"] = lsh_new
+
+        def lsh_carry(d):
+            sigs = minhash_signatures_inline(d, "text", "doc_id", n=3, num_hashes=8)
+            mh = [f"mh{i}" for i in range(8)]
+            mat(
+                lsh_candidate_pairs(
+                    sigs, "doc_id", bands=4, rows_per_band=2, max_bucket_size=20, carry_cols=mh
+                )
+            )
+        runs["lsh_pairs_r7_carry"] = lsh_carry
 
     out = []
     for name, fn in runs.items():
