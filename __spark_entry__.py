@@ -4218,6 +4218,109 @@ def _q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohens_kappa(rated, "lang", "annotator")
 
 
+def _synthetic_score_and_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared frame for the threshold/ranking ML-eval queries: a score
+    with REAL signal built as 0.7·hash-uniform + 0.3·label (the
+    simulated-annotator construction `rater_agreement` uses) — the
+    heuristic length score is uniform across deciles at this corpus
+    (measured: 8/9/9/7/11/6/4/6/7/8 positives per decile → every lift
+    row ≈ 1.0, vacuous), so gains/threshold tables need a score the
+    label actually moves. Deterministic: the uniform comes from the
+    portable hash in micro-units; one rounded blend."""
+    from morphik_core_spark.operators.dedup import portable_hash
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    u = (
+        portable_hash(F.concat(F.lit("prob:"), F.col("doc_id").cast("string"))) % 1000000
+    ).cast("double") / F.lit(1000000.0)
+    y = F.col("source").isin(*_QC_POS_SOURCES).cast("int")
+    return docs.select(
+        "doc_id",
+        F.round(F.lit(0.7) * u + F.lit(0.3) * y.cast("double"), _SCORE_DECIMALS).alias("score"),
+        y.alias("y"),
+    )
+
+
+def _q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision / PR-AUC (`ml_eval.average_precision`) of the
+    synthetic informative score: step-interpolated AP over distinct
+    quantized scores descending, per-group terms pico-quantized into a
+    DECIMAL(38,0) sum (partition-proof), vs the positive-rate baseline
+    a random ranker would score."""
+    from morphik_core_spark.operators.ml_eval import average_precision
+
+    return average_precision(_synthetic_score_and_label(spark, sf_dir), "score", "y")
+
+
+def _q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (`ml_eval.brier_score`) of the heuristic length
+    probability vs the reference-source label — exact micro-unit squared
+    errors in DECIMAL(38,0), plus the base-rate skill floor p̄(1−p̄)
+    (measured 0.3095 vs floor 0.1275 at sf0.01: the heuristic is WORSE
+    than the constant forecast — exactly the verdict this metric
+    exists to render)."""
+    from morphik_core_spark.operators.ml_eval import brier_score
+
+    return brier_score(_heuristic_score_and_label(spark, sf_dir), "score", "y")
+
+
+def _q_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift deciles (`ml_eval.gains_table`) of the
+    synthetic informative score — top decile captures ~5× random at
+    sf0.01 (36/75 positives, measured). ntile over (score desc, doc_id)
+    total order for cross-engine parity; integer counts, edge ratios."""
+    from morphik_core_spark.operators.ml_eval import gains_table
+
+    return gains_table(_synthetic_score_and_label(spark, sf_dir), "score", "y", "doc_id")
+
+
+def _q_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep (`ml_eval.threshold_sweep`): precision /
+    recall / F1 / accuracy at thresholds 0.1..0.9 over the synthetic
+    informative score. The corpus aggregates once to ≤10⁶+1 distinct
+    quantized scores; the 9-row threshold grid joins that bounded frame
+    — integer confusion counts, one division per ratio."""
+    from morphik_core_spark.operators.ml_eval import threshold_sweep
+
+    return threshold_sweep(_synthetic_score_and_label(spark, sf_dir), "score", "y")
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-vocabulary coverage curve (`text_analysis.vocab_coverage`)
+    over word 3-grams: fraction of all occurrences the top-{100, 1k, 5k}
+    grams explain (measured 0.02 / 0.15 / 0.50 at sf0.01 — a long-tail
+    corpus, non-vacuous grid). Top-N via distributed orderBy/limit,
+    never a full-vocab window."""
+    from morphik_core_spark.operators.text_analysis import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text", n=3, top_ns=(100, 1000, 5000))
+
+
+def _q_demand_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log demand regression per brand (`analytics.grouped_ols`):
+    slope of ln(quantity) on ln(part retail price) — the price-
+    elasticity estimate. Both lns per-term quantized to micro-units so
+    the moment sums are exact integers (DECIMAL(38,0)); the part dim
+    broadcasts into the lineitem side. Synthetic quantities are
+    price-independent, so slopes spread around 0 (−0.67..+0.39 across
+    the 25 brands, measured) — the non-vacuity is the spread and the
+    honest near-zero R²."""
+    from morphik_core_spark.operators.analytics import grouped_ols
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_retailprice")),
+        li.l_partkey == part.p_partkey,
+    ).select(
+        "p_brand",
+        F.expr("CAST(ROUND(ln(CAST(p_retailprice AS DOUBLE)) * 1000000.0) AS BIGINT)").alias("lx"),
+        F.expr("CAST(ROUND(ln(CAST(l_quantity AS DOUBLE)) * 1000000.0) AS BIGINT)").alias("ly"),
+    )
+    return grouped_ols(j, "p_brand", "lx", "ly").orderBy("p_brand")
+
+
 def _q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-volume autocorrelation at lags 1..7
     (`analytics.autocorrelation`): integer deviations n·x−S, DECIMAL(38,0)
@@ -4889,6 +4992,12 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": _q_mmr_rerank,
         "auc_score": _q_auc_score,
         "calibration": _q_calibration,
+        "pr_auc": _q_pr_auc,
+        "brier_score": _q_brier_score,
+        "gains_deciles": _q_gains_deciles,
+        "threshold_metrics": _q_threshold_metrics,
+        "vocab_coverage": _q_vocab_coverage,
+        "demand_elasticity": _q_demand_elasticity,
         "rater_agreement": _q_rater_agreement,
         "acf_daily": _q_acf_daily,
         "cusum_drift": _q_cusum_drift,
@@ -9365,6 +9474,154 @@ def oracle_sql() -> dict[str, str]:
             ),
             e AS (SELECT ROUND(CAST(CAST(SUM(tt) AS BIGINT) AS DOUBLE) / 1e12, 6) AS ece FROM terms)
             SELECT bin, n, mean_pred, observed, gap, ece FROM terms CROSS JOIN e
+        """,
+        "pr_auc": """
+            WITH sc AS (
+                SELECT ROUND(CAST(0.7 AS DOUBLE)
+                         * (CAST((CAST(('0x' || substr(md5('prob:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000) AS DOUBLE) / 1000000.0)
+                         + CAST(0.3 AS DOUBLE) * CAST(y AS DOUBLE), 6) AS score, y
+                FROM (SELECT doc_id, CASE WHEN source IN ('src1', 'src3', 'src5') THEN 1 ELSE 0 END AS y
+                      FROM documents WHERE source IS NOT NULL)
+            ),
+            g AS (SELECT CAST(ROUND(score * 1000000) AS BIGINT) AS s, COUNT(*) AS cnt,
+                         CAST(SUM(y) AS BIGINT) AS pos FROM sc GROUP BY 1),
+            pref AS (SELECT pos,
+                            CAST(SUM(pos) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp_cum,
+                            CAST(SUM(cnt) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum
+                     FROM g),
+            a AS (SELECT CAST(SUM(CAST(ROUND(CAST(pos AS DOUBLE) * CAST(tp_cum AS DOUBLE) * 1e12
+                                             / CAST(n_cum AS DOUBLE)) AS HUGEINT)) AS HUGEINT) AS ap_pico,
+                         CAST(SUM(pos) AS BIGINT) AS n_pos,
+                         CAST(MAX(n_cum) AS BIGINT) AS n_all
+                  FROM pref)
+            SELECT n_pos, n_all - n_pos AS n_neg,
+                   CASE WHEN n_pos > 0 THEN
+                        ROUND(CAST(ap_pico AS DOUBLE) / (CAST(n_pos AS DOUBLE) * 1e12), 6) END AS pr_auc,
+                   ROUND(CAST(n_pos AS DOUBLE) / CAST(n_all AS DOUBLE), 6) AS baseline
+            FROM a
+        """,
+        "brier_score": """
+            WITH p AS (
+                SELECT ROUND(0.5 + ((CAST(n_chars AS DOUBLE) - 298.0) / 100.0)
+                             / (2.0 * (1.0 + abs((CAST(n_chars AS DOUBLE) - 298.0) / 100.0))), 6) AS score,
+                       CASE WHEN source IN ('src1', 'src3', 'src5') THEN 1 ELSE 0 END AS y
+                FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+            ),
+            b AS (SELECT CAST(ROUND(score * 1000000) AS BIGINT) AS sp, y FROM p),
+            a AS (SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+                         CAST(SUM(CAST((sp - y * 1000000) * (sp - y * 1000000) AS HUGEINT)) AS HUGEINT) AS se
+                  FROM b)
+            SELECT n, n_pos,
+                   ROUND(CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 6) AS brier,
+                   ROUND((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(1.0 AS DOUBLE) - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS brier_baseline
+            FROM a
+        """,
+        "gains_deciles": """
+            WITH sc AS (
+                SELECT doc_id,
+                       ROUND(CAST(0.7 AS DOUBLE)
+                         * (CAST((CAST(('0x' || substr(md5('prob:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000) AS DOUBLE) / 1000000.0)
+                         + CAST(0.3 AS DOUBLE) * CAST(y AS DOUBLE), 6) AS score, y
+                FROM (SELECT doc_id, CASE WHEN source IN ('src1', 'src3', 'src5') THEN 1 ELSE 0 END AS y
+                      FROM documents WHERE source IS NOT NULL)
+            ),
+            d AS (SELECT y, CAST(NTILE(10) OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS bucket FROM sc),
+            per AS (SELECT bucket, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos FROM d GROUP BY 1),
+            c AS (SELECT bucket, n, n_pos,
+                         CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+                         CAST(SUM(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+                  FROM per),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(n_pos) AS BIGINT) AS tp FROM per)
+            SELECT bucket, n, n_pos,
+                   ROUND(CAST(cum_pos AS DOUBLE) / CAST(t.tp AS DOUBLE), 6) AS capture_rate,
+                   ROUND((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+                         / (CAST(t.tp AS DOUBLE) / CAST(t.tn AS DOUBLE)), 6) AS cum_lift
+            FROM c CROSS JOIN t ORDER BY bucket
+        """,
+        "threshold_metrics": """
+            WITH sc AS (
+                SELECT ROUND(CAST(0.7 AS DOUBLE)
+                         * (CAST((CAST(('0x' || substr(md5('prob:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000) AS DOUBLE) / 1000000.0)
+                         + CAST(0.3 AS DOUBLE) * CAST(y AS DOUBLE), 6) AS score, y
+                FROM (SELECT doc_id, CASE WHEN source IN ('src1', 'src3', 'src5') THEN 1 ELSE 0 END AS y
+                      FROM documents WHERE source IS NOT NULL)
+            ),
+            g AS (SELECT CAST(ROUND(score * 1000000) AS BIGINT) AS sp, COUNT(*) AS cnt,
+                         CAST(SUM(y) AS BIGINT) AS pos FROM sc GROUP BY 1),
+            thr AS (SELECT CAST(t AS DOUBLE) AS threshold,
+                           CAST(ROUND(t * 1000000) AS BIGINT) AS tm
+                    FROM (SELECT UNNEST([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t)),
+            a AS (SELECT threshold,
+                         CAST(SUM(CASE WHEN sp >= tm THEN pos ELSE 0 END) AS BIGINT) AS tp,
+                         CAST(SUM(CASE WHEN sp >= tm THEN cnt - pos ELSE 0 END) AS BIGINT) AS fp,
+                         CAST(SUM(CASE WHEN sp < tm THEN pos ELSE 0 END) AS BIGINT) AS fn,
+                         CAST(SUM(CASE WHEN sp < tm THEN cnt - pos ELSE 0 END) AS BIGINT) AS tn
+                  FROM g CROSS JOIN thr GROUP BY 1)
+            SELECT threshold, tp, fp, fn, tn,
+                   ROUND(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
+                   ROUND(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
+                   ROUND(CASE WHEN 2 * tp + fp + fn > 0 THEN
+                         CAST(2.0 AS DOUBLE) * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END, 6) AS f1,
+                   ROUND(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy
+            FROM a ORDER BY threshold
+        """,
+        "vocab_coverage": r"""
+            WITH tk AS (SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+                        FROM documents WHERE text IS NOT NULL),
+            tri AS (SELECT unnest(list_transform(range(1, len(tk) - 1),
+                                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+                    FROM tk WHERE len(tk) >= 3),
+            cnt AS (SELECT gram, COUNT(*) AS c FROM tri GROUP BY 1),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_occurrences, COUNT(*) AS vocab_size FROM cnt),
+            r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, gram ASC) AS rk FROM cnt),
+            grid AS (SELECT UNNEST([100, 1000, 5000]) AS top_n),
+            per AS (SELECT top_n, CAST(SUM(c) AS BIGINT) AS covered
+                    FROM grid JOIN r ON r.rk <= grid.top_n GROUP BY 1)
+            SELECT top_n, covered, total_occurrences,
+                   ROUND(CAST(covered AS DOUBLE) / CAST(total_occurrences AS DOUBLE), 6) AS coverage,
+                   vocab_size
+            FROM per CROSS JOIN tot ORDER BY top_n
+        """,
+        "demand_elasticity": """
+            WITH j AS (
+                SELECT p.p_brand,
+                       CAST(ROUND(ln(CAST(p.p_retailprice AS DOUBLE)) * 1000000.0) AS BIGINT) AS lx,
+                       CAST(ROUND(ln(CAST(l.l_quantity AS DOUBLE)) * 1000000.0) AS BIGINT) AS ly
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            ),
+            a AS (
+                SELECT p_brand, COUNT(*) AS n,
+                       CAST(SUM(CAST(lx AS HUGEINT)) AS HUGEINT) AS sx,
+                       CAST(SUM(CAST(ly AS HUGEINT)) AS HUGEINT) AS sy,
+                       CAST(SUM(CAST(lx AS HUGEINT) * CAST(lx AS HUGEINT)) AS HUGEINT) AS sxx,
+                       CAST(SUM(CAST(lx AS HUGEINT) * CAST(ly AS HUGEINT)) AS HUGEINT) AS sxy,
+                       CAST(SUM(CAST(ly AS HUGEINT) * CAST(ly AS HUGEINT)) AS HUGEINT) AS syy
+                FROM j GROUP BY 1
+            ),
+            m AS (
+                SELECT p_brand, n,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(sx AS DOUBLE) / 1000000.0 AS sxd,
+                       CAST(sy AS DOUBLE) / 1000000.0 AS syd,
+                       CAST(sxx AS DOUBLE) / 1000000000000.0 AS sxxd,
+                       CAST(sxy AS DOUBLE) / 1000000000000.0 AS sxyd,
+                       CAST(syy AS DOUBLE) / 1000000000000.0 AS syyd
+                FROM a
+            ),
+            s AS (
+                SELECT p_brand, n, nd, sxd, syd,
+                       nd * sxyd - sxd * syd AS cov_n,
+                       nd * sxxd - sxd * sxd AS varx_n,
+                       nd * syyd - syd * syd AS vary_n
+                FROM m
+            )
+            SELECT p_brand, n,
+                   ROUND(CASE WHEN n >= 2 AND varx_n > 0 THEN cov_n / varx_n END, 6) AS slope,
+                   ROUND((syd - (CASE WHEN n >= 2 AND varx_n > 0 THEN cov_n / varx_n END) * sxd) / nd, 6) AS intercept,
+                   ROUND(CASE WHEN n >= 2 AND varx_n > 0 AND vary_n > 0
+                              THEN (cov_n * cov_n) / (varx_n * vary_n) END, 6) AS r2
+            FROM s ORDER BY p_brand
         """,
         "rater_agreement": """
             WITH rated AS (

@@ -60,6 +60,7 @@ __all__ = [
     "group_trend_slopes",
     "bootstrap_ci",
     "POISSON1_CDF_U30",
+    "grouped_ols",
 ]
 
 
@@ -2253,4 +2254,71 @@ def markov_removal_effects(
         F.round((F.col("_pb") - F.col("pu")) / F.col("_pb").cast("double"), decimals).alias(
             "removal_effect"
         ),
+    )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    in_scale: int = 1_000_000,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS slope / intercept / R²)
+    over PRE-QUANTIZED integer features — the closed-form moments
+    identity:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        R² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    ``x_col``/``y_col`` must already be integer micro-units (the caller
+    quantizes, e.g. ROUND(ln(x)·in_scale) — the repo's per-term
+    quantized-ln recipe), so every Σ is an EXACT integer in
+    DECIMAL(38,0) and partitioning cannot move the result; the moment
+    products form one double tree per group, each output rounded once.
+
+    One combinable groupBy — the classic one-pass regression at any
+    scale. Degenerate groups (n < 2 or zero x-variance) emit NULL slope.
+    Σx² at micro scale is ~n·(10⁶·|x|)²: DECIMAL(38,0) holds 1e38, so
+    even 10¹² rows of |x| ≤ 100 stay exact; raise/lower ``in_scale`` to
+    trade ln precision against that headroom.
+    """
+    s = float(in_scale)
+    dec = "decimal(38,0)"
+    agg = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(x_col).cast(dec)).alias("sx"),
+            F.sum(F.col(y_col).cast(dec)).alias("sy"),
+            F.sum(F.col(x_col).cast(dec) * F.col(x_col).cast(dec)).alias("sxx"),
+            F.sum(F.col(x_col).cast(dec) * F.col(y_col).cast(dec)).alias("sxy"),
+            F.sum(F.col(y_col).cast(dec) * F.col(y_col).cast(dec)).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / F.lit(s)
+    sy = F.col("sy").cast("double") / F.lit(s)
+    sxx = F.col("sxx").cast("double") / F.lit(s * s)
+    sxy = F.col("sxy").cast("double") / F.lit(s * s)
+    syy = F.col("syy").cast("double") / F.lit(s * s)
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = F.when((F.col("n") >= 2) & (varx_n > F.lit(0.0)), cov_n / varx_n)
+    return agg.select(
+        group_col,
+        "n",
+        F.round(slope, decimals).alias("slope"),
+        F.round((sy - slope * sx) / n, decimals).alias("intercept"),
+        F.round(
+            F.when(
+                (F.col("n") >= 2) & (varx_n > F.lit(0.0)) & (vary_n > F.lit(0.0)),
+                (cov_n * cov_n) / (varx_n * vary_n),
+            ),
+            decimals,
+        ).alias("r2"),
     )

@@ -38,7 +38,16 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["auc_roc", "calibration_bins", "cohens_kappa", "ranking_metrics"]
+__all__ = [
+    "auc_roc",
+    "average_precision",
+    "brier_score",
+    "calibration_bins",
+    "cohens_kappa",
+    "gains_table",
+    "ranking_metrics",
+    "threshold_sweep",
+]
 
 
 def auc_roc(
@@ -304,3 +313,244 @@ def ranking_metrics(
         F.when(F.col("_idcg_u") > 0, F.round(F.col("_dcg_u") / F.col("_idcg_u"), decimals))
         .alias("ndcg"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Area under the precision-recall curve as step-interpolated average
+    precision (the `average_precision_score` definition, evaluated at
+    distinct-score granularity so ties are handled as one group):
+
+        AP = Σ_g (pos_g / n⁺) · precision@g,   precision@g = TP_cum / N_cum
+
+    over distinct quantized scores DESCENDING. Like `auc_roc`, the group
+    frame is bounded by the quantization (≤ 10^decimals + 1 rows), so
+    the ordered prefix window never sees corpus-scale input. Each
+    group's term is quantized to pico-units (ROUND(·×10¹²) — the
+    per-term-rounding determinism recipe) and summed in DECIMAL(38,0),
+    so partitioning can't move the result.
+
+    Output: one row (n_pos, n_neg, pr_auc, baseline) — baseline is the
+    positive rate, the AP of a random ranker, the number pr_auc must
+    beat for the score to carry signal.
+    """
+    scale = 10**decimals
+    q = F.expr(f"CAST(ROUND(CAST({score_col} AS DOUBLE) * {scale}) AS BIGINT)").alias("_s")
+    y = F.col(label_col).cast("bigint")
+    groups = (
+        df.filter(F.col(score_col).isNotNull() & y.isNotNull())
+        .select(q, y.alias("_y"))
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("_y").alias("pos"))
+    )
+    w = Window.orderBy(F.col("_s").desc()).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pref = groups.select(
+        "pos",
+        F.sum("pos").over(w).alias("tp_cum"),
+        F.sum("cnt").over(w).alias("n_cum"),
+    )
+    term = F.expr(
+        "CAST(ROUND(CAST(pos AS DOUBLE) * CAST(tp_cum AS DOUBLE) * 1e12 "
+        "/ CAST(n_cum AS DOUBLE)) AS DECIMAL(38,0))"
+    )
+    agg = pref.agg(
+        F.sum(term).alias("ap_pico"),
+        F.sum("pos").alias("n_pos"),
+        F.max("n_cum").alias("n_all"),
+    )
+    return agg.select(
+        "n_pos",
+        (F.col("n_all") - F.col("n_pos")).alias("n_neg"),
+        F.when(
+            F.col("n_pos") > 0,
+            F.round(
+                F.col("ap_pico").cast("double")
+                / (F.col("n_pos").cast("double") * F.lit(1e12)),
+                decimals,
+            ),
+        ).alias("pr_auc"),
+        F.round(F.col("n_pos").cast("double") / F.col("n_all").cast("double"), decimals).alias(
+            "baseline"
+        ),
+    )
+
+
+def brier_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Mean squared error of a probability against a 0/1 outcome — the
+    proper scoring rule that punishes BOTH miscalibration and lack of
+    resolution (its two Murphy-decomposition terms; `calibration_bins`
+    reports the reliability half separately).
+
+    Exact arithmetic: probabilities quantized to micro-units, squared
+    error per row is an int64 ≤ 10¹², accumulated in DECIMAL(38,0) —
+    one division at the edge. Also emits the reference Brier of always
+    predicting the base rate (the skill floor: a useful score comes in
+    BELOW it)."""
+    scale = 10**decimals
+    base = df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull()).select(
+        F.expr(f"CAST(ROUND(CAST({score_col} AS DOUBLE) * {scale}) AS BIGINT)").alias("_sp"),
+        F.col(label_col).cast("bigint").alias("_y"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("n_pos"),
+        F.sum(
+            ((F.col("_sp") - F.col("_y") * F.lit(scale)) * (F.col("_sp") - F.col("_y") * F.lit(scale)))
+            .cast("decimal(38,0)")
+        ).alias("_se"),
+    )
+    brier = F.col("_se").cast("double") / (F.col("n").cast("double") * F.lit(float(scale) ** 2))
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "n",
+        "n_pos",
+        F.round(brier, decimals).alias("brier"),
+        # base-rate reference: p̄(1-p̄), the Brier of the constant forecast
+        F.round(rate * (F.lit(1.0) - rate), decimals).alias("brier_baseline"),
+    )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Cumulative gains / lift table: rank by score descending (id as
+    the deterministic tiebreak — ntile needs a TOTAL order for
+    cross-engine parity), split into ``n_buckets`` equal-count buckets,
+    and report per bucket the positives captured so far and the lift of
+    targeting only the top buckets vs random — the campaign-targeting /
+    review-queue-sizing readout of a classifier.
+
+    Counts are pure integers; the four ratios divide once each at the
+    edge. The global ntile is a single total-order sort: at corpus scale
+    replace it with the curriculum_order decomposition (grid-bounded
+    cumulative + closed-form position) — same output, no global sort;
+    here the sort is the honest oracle-parity form."""
+    base = df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull()).select(
+        F.col(score_col).alias("_s"),
+        F.col(label_col).cast("bigint").alias("_y"),
+        F.col(id_col).alias("_id"),
+    )
+    bucketed = base.select(
+        "_y",
+        F.ntile(n_buckets)
+        .over(Window.orderBy(F.col("_s").desc(), F.col("_id").asc()))
+        .alias("bucket"),
+    )
+    per = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("n_pos")
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = per.agg(
+        F.sum("n").alias("_tn"), F.sum("n_pos").alias("_tp")
+    )
+    cum = per.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("n_pos").over(wc).alias("cum_pos"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            F.round(F.col("cum_pos").cast("double") / F.col("_tp").cast("double"), decimals).alias(
+                "capture_rate"
+            ),
+            F.round(
+                (F.col("cum_pos").cast("double") / F.col("cum_n").cast("double"))
+                / (F.col("_tp").cast("double") / F.col("_tn").cast("double")),
+                decimals,
+            ).alias("cum_lift"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: Sequence[float] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    decimals: int = 6,
+) -> DataFrame:
+    """Precision / recall / F1 / accuracy at each decision threshold —
+    the operating-point table you read before picking the cutoff that
+    gates a 100 TB filter.
+
+    Shape: the corpus aggregates ONCE to distinct quantized scores
+    (≤ 10^decimals + 1 rows by construction), and the threshold grid
+    joins against that bounded frame — so sweeping 9 or 900 thresholds
+    never rescans the data. All counts integral; ratios divide at the
+    edge. Predicted-positive is score ≥ threshold, compared in integer
+    micro-units so float drift can't flip a boundary row."""
+    scale = 10**decimals
+    groups = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            F.expr(f"CAST(ROUND(CAST({score_col} AS DOUBLE) * {scale}) AS BIGINT)").alias("_sp"),
+            F.col(label_col).cast("bigint").alias("_y"),
+        )
+        .groupBy("_sp")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("_y").alias("pos"))
+    )
+    spark = df.sparkSession
+    thr = spark.createDataFrame(
+        [(round(float(t), decimals), int(round(float(t) * scale))) for t in thresholds],
+        "threshold double, _t bigint",
+    )
+    joined = groups.crossJoin(F.broadcast(thr))
+    agg = joined.groupBy("threshold").agg(
+        F.sum(F.when(F.col("_sp") >= F.col("_t"), F.col("pos")).otherwise(F.lit(0))).alias("tp"),
+        F.sum(
+            F.when(F.col("_sp") >= F.col("_t"), F.col("cnt") - F.col("pos")).otherwise(F.lit(0))
+        ).alias("fp"),
+        F.sum(F.when(F.col("_sp") < F.col("_t"), F.col("pos")).otherwise(F.lit(0))).alias("fn"),
+        F.sum(
+            F.when(F.col("_sp") < F.col("_t"), F.col("cnt") - F.col("pos")).otherwise(F.lit(0))
+        ).alias("tn"),
+    )
+    prec = F.when(
+        (F.col("tp") + F.col("fp")) > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+    )
+    rec = F.when(
+        (F.col("tp") + F.col("fn")) > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+    )
+    f1 = F.when(
+        (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
+        F.lit(2.0)
+        * F.col("tp").cast("double")
+        / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+    )
+    acc = (F.col("tp") + F.col("tn")).cast("double") / (
+        F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    ).cast("double")
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, decimals).alias("precision"),
+        F.round(rec, decimals).alias("recall"),
+        F.round(f1, decimals).alias("f1"),
+        F.round(acc, decimals).alias("accuracy"),
+    ).orderBy("threshold")

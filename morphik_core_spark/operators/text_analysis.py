@@ -10,7 +10,9 @@ literal stopword arrays).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from morphik_core_spark.operators.dedup import normalize_text
@@ -34,6 +36,7 @@ __all__ = [
     "zipf_slope",
     "vocab_jsd",
     "novelty_rate",
+    "vocab_coverage",
 ]
 
 # compact stopword profiles for the heuristic language scorer
@@ -816,4 +819,77 @@ def novelty_rate(
             F.expr("CAST(n_distinct_novel AS DOUBLE) / CAST(n_distinct_test AS DOUBLE)"),
             decimals,
         ).alias("distinct_novelty_rate"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    top_ns: Sequence[int] = (100, 1000, 5000),
+    decimals: int = 6,
+) -> DataFrame:
+    """Head-vocabulary coverage: for each candidate vocabulary size N,
+    the fraction of all corpus n-gram OCCURRENCES covered by the N most
+    frequent n-grams — the curve you read before freezing a tokenizer
+    vocabulary or an n-gram LM cutoff (how much of the stream the head
+    explains; the long-tail remainder is what falls to <unk>).
+
+    Plan: one explode → one combinable count per gram → the TOP
+    max(top_ns) grams by (count desc, gram) via a distributed
+    orderBy/limit (TakeOrdered — never a full-vocab single-partition
+    window, which a 100 TB corpus's billions of distinct n-grams would
+    break); rank is a row_number over that LIMIT-bounded frame. Totals
+    come from one scalar agg of the same count frame. Integer counts,
+    one division per output row.
+
+    Output: one row per N — (top_n, covered, total_occurrences,
+    coverage, vocab_size).
+    """
+    tops = sorted(int(t) for t in top_ns)
+    max_n = tops[-1]
+    toks = tokens(F.col(text_col))
+    grams = F.expr(
+        f"transform(sequence(0, size(tk) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))}))"
+    )
+    cnt = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(toks.alias("tk"))
+        .filter(F.size("tk") >= n)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = cnt.agg(
+        F.sum("c").alias("total_occurrences"), F.count(F.lit(1)).alias("vocab_size")
+    )
+    head = cnt.orderBy(F.col("c").desc(), F.col("gram").asc()).limit(max_n)
+    ranked = head.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("gram").asc()))
+        .alias("rk"),
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame([(t,) for t in tops], "top_n int")
+    per = (
+        grid.crossJoin(ranked)
+        .filter(F.col("rk") <= F.col("top_n"))
+        .groupBy("top_n")
+        .agg(F.sum("c").alias("covered"))
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "top_n",
+            "covered",
+            "total_occurrences",
+            F.round(
+                F.col("covered").cast("double") / F.col("total_occurrences").cast("double"),
+                decimals,
+            ).alias("coverage"),
+            "vocab_size",
+        )
+        .orderBy("top_n")
     )

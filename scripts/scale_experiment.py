@@ -195,6 +195,47 @@ def main() -> None:
                 )
             )
         runs["lsh_pairs_r7_carry"] = lsh_carry
+    if "mleval7" in ops:
+        # round-7 eval/coverage ops. Score frames derive from doc_id +
+        # source so the 10x corpus exercises them directly.
+        from morphik_core_spark.operators.dedup import portable_hash
+        from morphik_core_spark.operators.ml_eval import (
+            average_precision,
+            brier_score,
+            gains_table,
+            threshold_sweep,
+        )
+        from morphik_core_spark.operators.text_analysis import vocab_coverage
+
+        def _scored(d):
+            u = (
+                portable_hash(F.concat(F.lit("prob:"), F.col("doc_id").cast("string"))) % 1000000
+            ).cast("double") / F.lit(1000000.0)
+            y = (F.col("source") == "src1").cast("int")
+            return d.select(
+                "doc_id",
+                F.round(F.lit(0.7) * u + F.lit(0.3) * y.cast("double"), 6).alias("score"),
+                y.alias("y"),
+            )
+
+        runs["pr_auc"] = lambda d: mat(average_precision(_scored(d), "score", "y"))
+        runs["brier"] = lambda d: mat(brier_score(_scored(d), "score", "y"))
+        runs["gains"] = lambda d: mat(gains_table(_scored(d), "score", "y", "doc_id"))
+        runs["thresholds"] = lambda d: mat(threshold_sweep(_scored(d), "score", "y"))
+        runs["vocab_coverage"] = lambda d: mat(vocab_coverage(d, "text", n=3))
+    if "ols" in ops:
+        from morphik_core_spark.operators.analytics import grouped_ols
+
+        def ols(d):
+            j = d.select(
+                "source",
+                F.expr("CAST(ROUND(ln(CAST(n_chars AS DOUBLE)) * 1000000.0) AS BIGINT)").alias("lx"),
+                F.expr(
+                    "CAST(ROUND(ln(CAST(length(text) + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)"
+                ).alias("ly"),
+            )
+            mat(grouped_ols(j, "source", "lx", "ly"))
+        runs["grouped_ols"] = ols
 
     out = []
     for name, fn in runs.items():

@@ -329,3 +329,51 @@ def test_bootstrap_ci_nulls_and_tiny_input(spark):
     assert r["n_rows"] == 2 and r["mean"] == 20.0
     # bounds exist and come from the two achievable values' resample mix
     assert 10.0 <= r["ci_lo"] <= r["ci_hi"] <= 30.0
+
+
+def test_grouped_ols_exact_line(spark):
+    from morphik_core_spark.operators.analytics import grouped_ols
+
+    # y = 2x + 1 exactly, in micro-units: slope 2, intercept 1, r2 1
+    rows = [("g", x * 1_000_000, (2 * x + 1) * 1_000_000) for x in (1, 2, 3, 4)]
+    r = grouped_ols(
+        spark.createDataFrame(rows, "g string, x long, y long"), "g", "x", "y"
+    ).collect()[0]
+    assert r["n"] == 4 and r["slope"] == 2.0 and r["intercept"] == 1.0 and r["r2"] == 1.0
+
+
+def test_grouped_ols_degenerate_groups(spark):
+    from morphik_core_spark.operators.analytics import grouped_ols
+
+    rows = [
+        ("single", 1_000_000, 5_000_000),          # n=1 -> NULL slope
+        ("novar", 1_000_000, 1_000_000),           # zero x-variance
+        ("novar", 1_000_000, 2_000_000),
+    ]
+    out = {r["g"]: r for r in grouped_ols(
+        spark.createDataFrame(rows, "g string, x long, y long"), "g", "x", "y"
+    ).collect()}
+    assert out["single"]["slope"] is None
+    assert out["novar"]["slope"] is None and out["novar"]["r2"] is None
+
+
+def test_grouped_ols_matches_numpy(spark):
+    import numpy as np
+    from morphik_core_spark.operators.analytics import grouped_ols
+
+    rng = [(i * 37 % 11) for i in range(40)]
+    xs = [1.0 + 0.1 * v for v in rng]
+    ys = [0.5 * x + 0.25 + 0.01 * ((i * 13) % 7) for i, x in enumerate(xs)]
+    rows = [
+        ("g", int(round(x * 1e6)), int(round(y * 1e6))) for x, y in zip(xs, ys)
+    ]
+    r = grouped_ols(
+        spark.createDataFrame(rows, "g string, x long, y long"), "g", "x", "y"
+    ).collect()[0]
+    qx = np.array([round(x * 1e6) / 1e6 for x in xs])
+    qy = np.array([round(y * 1e6) / 1e6 for y in ys])
+    slope, intercept = np.polyfit(qx, qy, 1)
+    assert abs(r["slope"] - slope) < 1e-6
+    assert abs(r["intercept"] - intercept) < 1e-6
+    corr = np.corrcoef(qx, qy)[0, 1]
+    assert abs(r["r2"] - corr**2) < 1e-6

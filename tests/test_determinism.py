@@ -56,6 +56,15 @@ SENSITIVE = [
     "markov_attribution",
     "t_closeness",
     "token_budget_mixture",
+    # round-7 additions: pico-quantized AP terms, micro-unit squared
+    # errors, ntile lift ratios, threshold-sweep edge divisions,
+    # coverage ratios, quantized-ln OLS moments
+    "pr_auc",
+    "brier_score",
+    "gains_deciles",
+    "threshold_metrics",
+    "vocab_coverage",
+    "demand_elasticity",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",

@@ -129,3 +129,87 @@ def test_ranking_metrics_beyond_k_relevance_lowers_ndcg(spark):
     # ideal for `a` places both relevant items in the top-2: idcg grows
     assert a["ndcg"] < 1.0
     assert a["n_rel"] == 2 and b["n_rel"] == 1
+
+
+def test_average_precision_hand_computed(spark):
+    from morphik_core_spark.operators.ml_eval import average_precision
+
+    # scores desc: 0.9(+) -> P=1/1 term 1/2*1; 0.8(-) skip; 0.7(+) ->
+    # P=2/3 term 1/2*(2/3); AP = (1 + 2/3)/2 = 0.833333
+    rows = [(0.9, 1), (0.8, 0), (0.7, 1), (0.1, 0)]
+    r = average_precision(_df(spark, rows, "s double, y int"), "s", "y").collect()[0]
+    assert r["n_pos"] == 2 and r["n_neg"] == 2
+    assert r["pr_auc"] == 0.833333
+    assert r["baseline"] == 0.5
+
+
+def test_average_precision_tie_group_and_random_reference(spark):
+    from morphik_core_spark.operators.ml_eval import average_precision
+
+    # one tied group holding everything: AP = precision of the whole set
+    rows = [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)]
+    r = average_precision(_df(spark, rows, "s double, y int"), "s", "y").collect()[0]
+    assert r["pr_auc"] == r["baseline"] == 0.5
+    # all negatives -> NULL, not a crash
+    r2 = average_precision(_df(spark, [(0.5, 0)], "s double, y int"), "s", "y").collect()[0]
+    assert r2["pr_auc"] is None
+
+
+def test_brier_hand_computed(spark):
+    from morphik_core_spark.operators.ml_eval import brier_score
+
+    # ((0.8-1)² + (0.3-0)² + (0.5-1)²)/3 = (0.04+0.09+0.25)/3 = 0.126667
+    rows = [(0.8, 1), (0.3, 0), (0.5, 1)]
+    r = brier_score(_df(spark, rows, "s double, y int"), "s", "y").collect()[0]
+    assert r["n"] == 3 and r["n_pos"] == 2
+    assert r["brier"] == 0.126667
+    assert r["brier_baseline"] == round((2 / 3) * (1 / 3), 6)
+
+
+def test_gains_table_separable_score(spark):
+    from morphik_core_spark.operators.ml_eval import gains_table
+
+    # 20 rows, top 10 scores are the 5 positives + 5 negatives mixed so
+    # bucket layout is deterministic: score = id desc, positives are ids
+    # 16..20 -> all captured by bucket 1-2 of 10? use 4 buckets for a
+    # hand-checkable layout: ids 1..20, score=id, positives = id > 15
+    rows = [(float(i), 1 if i > 15 else 0, i) for i in range(1, 21)]
+    out = gains_table(
+        _df(spark, rows, "s double, y int, id int"), "s", "y", "id", n_buckets=4
+    ).collect()
+    assert [r["bucket"] for r in out] == [1, 2, 3, 4]
+    # bucket 1 = ids 20..16 -> 5 positives of 5 total
+    assert out[0]["n_pos"] == 5 and out[0]["capture_rate"] == 1.0
+    assert out[0]["cum_lift"] == 4.0  # 5/5 over base rate 5/20
+    assert out[3]["capture_rate"] == 1.0 and out[3]["cum_lift"] == 1.0
+
+
+def test_threshold_sweep_hand_computed(spark):
+    from morphik_core_spark.operators.ml_eval import threshold_sweep
+
+    rows = [(0.9, 1), (0.6, 0), (0.4, 1), (0.2, 0)]
+    out = {
+        r["threshold"]: r
+        for r in threshold_sweep(
+            _df(spark, rows, "s double, y int"), "s", "y", thresholds=(0.5, 0.95)
+        ).collect()
+    }
+    r5 = out[0.5]
+    assert (r5["tp"], r5["fp"], r5["fn"], r5["tn"]) == (1, 1, 1, 1)
+    assert r5["precision"] == 0.5 and r5["recall"] == 0.5 and r5["f1"] == 0.5
+    r95 = out[0.95]  # nothing predicted positive -> precision NULL
+    assert (r95["tp"], r95["fp"]) == (0, 0)
+    assert r95["precision"] is None and r95["recall"] == 0.0
+
+
+def test_threshold_boundary_is_inclusive_in_integer_units(spark):
+    from morphik_core_spark.operators.ml_eval import threshold_sweep
+
+    # score exactly at the threshold counts as predicted-positive, and
+    # the comparison happens in micro-units so 0.3 (stored as
+    # 0.29999999...) can't flip rows
+    rows = [(0.3, 1), (0.299999, 0)]
+    r = threshold_sweep(
+        _df(spark, rows, "s double, y int"), "s", "y", thresholds=(0.3,)
+    ).collect()[0]
+    assert r["tp"] == 1 and r["fp"] == 0 and r["tn"] == 1

@@ -144,3 +144,29 @@ def test_novelty_rate_counts(spark):
     assert r["n_test_shingles"] == 3  # (abc, bcx) + (abc)
     assert r["n_novel"] == 1 and r["novelty_rate"] == round(1 / 3, 6)
     assert r["n_distinct_test"] == 2 and r["n_distinct_novel"] == 1
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from morphik_core_spark.operators.text_analysis import vocab_coverage
+
+    # trigrams: "a b c" x3 (from doc1 twice via repetition + doc2),
+    # others once each
+    rows = [
+        (1, "a b c a b c"),  # trigrams: "a b c", "b c a", "c a b", "a b c"
+        (2, "a b c"),
+        (3, "x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["top_n"]: r for r in vocab_coverage(df, "text", n=3, top_ns=(1, 2, 100)).collect()}
+    # counts: "a b c"=3, "b c a"=1, "c a b"=1, "x y z"=1 -> total 6, vocab 4
+    assert out[1]["vocab_size"] == 4 and out[1]["total_occurrences"] == 6
+    assert out[1]["covered"] == 3 and out[1]["coverage"] == 0.5
+    assert out[2]["covered"] == 4  # + "b c a" (ties broken by gram asc)
+    assert out[100]["coverage"] == 1.0
+
+
+def test_vocab_coverage_short_docs_dropped(spark):
+    from morphik_core_spark.operators.text_analysis import vocab_coverage
+
+    df = spark.createDataFrame([(1, "just two")], "doc_id long, text string")
+    assert vocab_coverage(df, "text", n=3, top_ns=(10,)).collect() == []
