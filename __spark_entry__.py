@@ -4321,6 +4321,30 @@ def _q_demand_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_ols(j, "p_brand", "lx", "ly").orderBy("p_brand")
 
 
+def _q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-fused quality top-20 (`curation.quality_ensemble`): RRF over
+    word count, type-token ratio, and mean word length ranks — the
+    scale-free consensus for anti-correlated signals (TTR vs length
+    −0.94 measured). Micro-quantized integer RRF terms; total-order
+    ranks; deterministic top-k."""
+    from morphik_core_spark.operators.curation import quality_ensemble
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_ensemble(docs, "text", "doc_id", k=20)
+
+
+def _q_length_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matching resampler audit (`curation.length_matching`):
+    down-sample 100-char length buckets to a uniform profile (bucket
+    shares 0.07–0.22 at sf0.01, measured — non-trivial keep rates).
+    Keep decision is an exact integer inequality on the portable hash,
+    reproduced verbatim in the oracle."""
+    from morphik_core_spark.operators.curation import length_matching
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_matching(docs, "doc_id", "n_chars", bucket_width=100)
+
+
 def _q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-volume autocorrelation at lags 1..7
     (`analytics.autocorrelation`): integer deviations n·x−S, DECIMAL(38,0)
@@ -4998,6 +5022,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_metrics": _q_threshold_metrics,
         "vocab_coverage": _q_vocab_coverage,
         "demand_elasticity": _q_demand_elasticity,
+        "quality_ensemble": _q_quality_ensemble,
+        "length_matching": _q_length_matching,
         "rater_agreement": _q_rater_agreement,
         "acf_daily": _q_acf_daily,
         "cusum_drift": _q_cusum_drift,
@@ -9622,6 +9648,57 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN n >= 2 AND varx_n > 0 AND vary_n > 0
                               THEN (cov_n * cov_n) / (varx_n * vary_n) END, 6) AS r2
             FROM s ORDER BY p_brand
+        """,
+        "quality_ensemble": r"""
+            WITH base AS (
+                SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS words
+                FROM documents WHERE text IS NOT NULL
+            ),
+            sig AS (
+                SELECT doc_id, len(words) AS word_count,
+                       ROUND(CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE), 6) AS ttr,
+                       ROUND(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+                             / CAST(len(words) AS DOUBLE), 6) AS mean_word_len
+                FROM base
+            ),
+            r AS (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY word_count DESC, doc_id ASC) AS INT) AS r_len,
+                       CAST(ROW_NUMBER() OVER (ORDER BY ttr DESC, doc_id ASC) AS INT) AS r_ttr,
+                       CAST(ROW_NUMBER() OVER (ORDER BY mean_word_len DESC, doc_id ASC) AS INT) AS r_mwl
+                FROM sig
+            ),
+            f AS (
+                SELECT doc_id, r_len, r_ttr, r_mwl,
+                       CAST(ROUND(1e6 / (60 + r_len)) AS BIGINT)
+                       + CAST(ROUND(1e6 / (60 + r_ttr)) AS BIGINT)
+                       + CAST(ROUND(1e6 / (60 + r_mwl)) AS BIGINT) AS rrf_micro
+                FROM r
+            )
+            SELECT doc_id, r_len, r_ttr, r_mwl, rrf_micro
+            FROM f ORDER BY rrf_micro DESC, doc_id ASC LIMIT 20
+        """,
+        "length_matching": """
+            WITH rows_ AS (
+                SELECT doc_id, CAST(n_chars AS BIGINT) // 100 AS bucket,
+                       CAST(('0x' || substr(md5('lm:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS h
+                FROM documents WHERE n_chars IS NOT NULL
+            ),
+            hist AS (SELECT bucket, COUNT(*) AS n FROM rows_ GROUP BY 1),
+            m AS (SELECT CAST(MIN(n) AS BIGINT) AS nmin, CAST(SUM(n) AS BIGINT) AS total FROM hist),
+            k AS (
+                SELECT r.bucket, h2.n, m.nmin, m.total,
+                       CAST(SUM(CASE WHEN r.h * h2.n < m.nmin * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS kept_n
+                FROM rows_ r JOIN hist h2 ON r.bucket = h2.bucket CROSS JOIN m
+                GROUP BY 1, 2, 3, 4
+            ),
+            tk AS (SELECT CAST(SUM(kept_n) AS BIGINT) AS tkp FROM k)
+            SELECT bucket, n,
+                   ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS corpus_share,
+                   ROUND(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE), 6) AS keep_rate,
+                   kept_n,
+                   ROUND(CAST(kept_n AS DOUBLE) / CAST(tkp AS DOUBLE), 6) AS kept_share
+            FROM k CROSS JOIN tk ORDER BY bucket
         """,
         "rater_agreement": """
             WITH rated AS (

@@ -69,6 +69,8 @@ __all__ = [
     "woe_iv",
     "grouped_split",
     "temporal_split",
+    "quality_ensemble",
+    "length_matching",
 ]
 
 # Gopher-inspired rule thresholds (Rae et al. 2021 A1.1), adapted to the
@@ -1639,4 +1641,141 @@ def token_budget_mixture(
             F.coalesce("n_docs_taken", F.lit(0)).alias("n_docs_taken"),
             F.coalesce("tokens_taken", F.lit(0)).alias("tokens_taken"),
         )
+    )
+
+
+def quality_ensemble(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Rank-fused document quality: three cheap signals — word count,
+    type-token ratio, mean word length — each ranked corpus-wide, fused
+    with reciprocal-rank fusion (the `hybrid_rrf` retrieval trick turned
+    on the curation axis). Rank fusion beats z-score averaging here
+    because the signals live on incomparable scales and TTR is strongly
+    ANTI-correlated with length (−0.94 measured), so a scale-free
+    consensus is the honest combiner.
+
+    Every rank is a row_number over (signal DESC, id ASC) — a total
+    order, so cross-engine parity holds. Each RRF term is quantized to
+    micro-units (ROUND(10⁶/(rrf_k + rank))) and summed as integers:
+    partitioning cannot move the fusion. Output: top-``k`` docs by
+    (rrf_micro DESC, id ASC) with the per-signal ranks for audit.
+
+    Scale note: the three global rank windows are single total-order
+    sorts (fine at audit scale); for a corpus-sized ranked frame use the
+    curriculum_order decomposition — grid-bounded cumulative counts +
+    closed-form positions — which replaces each sort with two bounded
+    aggregations.
+    """
+    t = normalize_text(F.col(text_col))
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.split(t, " ").alias("words"),
+    )
+    wc = F.size("words")
+    ttr = F.size(F.array_distinct("words")).cast("double") / wc.cast("double")
+    total_word_len = F.aggregate(
+        F.transform(F.col("words"), lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mwl = total_word_len.cast("double") / wc.cast("double")
+    sig = base.select(
+        F.col(id_col),
+        wc.alias("word_count"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(mwl, 6).alias("mean_word_len"),
+    )
+    def rnk(col: str):
+        return F.row_number().over(Window.orderBy(F.col(col).desc(), F.col(id_col).asc()))
+
+    ranked = sig.select(
+        F.col(id_col),
+        rnk("word_count").alias("r_len"),
+        rnk("ttr").alias("r_ttr"),
+        rnk("mean_word_len").alias("r_mwl"),
+    )
+    # 1e6 (not 1000000.0): the fractional literal parses as DECIMAL in
+    # both engines and decimal division rounds differently — the
+    # exponent form is a DOUBLE in Spark SQL and DuckDB alike
+    term = lambda c: F.expr(f"CAST(ROUND(1e6 / ({rrf_k} + {c})) AS BIGINT)")
+    fused = ranked.select(
+        F.col(id_col),
+        "r_len",
+        "r_ttr",
+        "r_mwl",
+        (term("r_len") + term("r_ttr") + term("r_mwl")).alias("rrf_micro"),
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc()).limit(k)
+
+
+def length_matching(
+    df: DataFrame,
+    id_col: str,
+    length_col: str,
+    bucket_width: int = 100,
+    salt: str = "lm",
+    decimals: int = 6,
+) -> DataFrame:
+    """Distribution-matching resampler: down-sample length buckets so the
+    kept corpus is UNIFORM across the observed buckets — the profile-
+    matching step before pretraining mixes (match a target length
+    profile so the model doesn't inherit the crawler's length bias).
+    Uniform target ⇒ per-bucket keep rate n_min/n_b, so the scarcest
+    bucket keeps everything and every other bucket thins to meet it.
+
+    The keep decision is EXACT integer arithmetic: keep iff
+    (hash(id) mod 10⁶) · n_b < n_min · 10⁶ — no float boundary can flip
+    a row, and the same inequality reproduces verbatim in the oracle.
+
+    Plan: one groupBy for the bucket histogram (bounded by the length
+    range / bucket_width), broadcast of that tiny frame back onto the
+    corpus for the keep flag, one re-aggregation of kept counts. Two
+    combinable shuffles on a bounded key space at any corpus size.
+
+    Output per bucket: (bucket, n, corpus_share, keep_rate, kept_n,
+    kept_share) — kept_share ≈ uniform is the audit the caller reads.
+    """
+    b = F.expr(f"CAST(CAST({length_col} AS BIGINT) div {int(bucket_width)} AS BIGINT)").alias(
+        "bucket"
+    )
+    rows = df.filter(F.col(length_col).isNotNull()).select(
+        F.col(id_col), b,
+        (portable_hash(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 1000000).alias(
+            "_h"
+        ),
+    )
+    hist = rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    mins = hist.agg(F.min("n").alias("_nmin"), F.sum("n").alias("_total"))
+    flagged = (
+        rows.join(F.broadcast(hist), "bucket")
+        .join(F.broadcast(mins))
+        .withColumn("_keep", F.col("_h") * F.col("n") < F.col("_nmin") * F.lit(1000000))
+    )
+    kept = flagged.groupBy("bucket").agg(
+        F.max("n").alias("n"),
+        F.max("_nmin").alias("_nmin"),
+        F.max("_total").alias("_total"),
+        F.sum(F.col("_keep").cast("bigint")).alias("kept_n"),
+    )
+    tot_kept = kept.agg(F.sum("kept_n").alias("_tk"))
+    return (
+        kept.join(F.broadcast(tot_kept))
+        .select(
+            "bucket",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_total").cast("double"), decimals).alias(
+                "corpus_share"
+            ),
+            F.round(F.col("_nmin").cast("double") / F.col("n").cast("double"), decimals).alias(
+                "keep_rate"
+            ),
+            "kept_n",
+            F.round(F.col("kept_n").cast("double") / F.col("_tk").cast("double"), decimals).alias(
+                "kept_share"
+            ),
+        )
+        .orderBy("bucket")
     )

@@ -223,6 +223,11 @@ def main() -> None:
         runs["gains"] = lambda d: mat(gains_table(_scored(d), "score", "y", "doc_id"))
         runs["thresholds"] = lambda d: mat(threshold_sweep(_scored(d), "score", "y"))
         runs["vocab_coverage"] = lambda d: mat(vocab_coverage(d, "text", n=3))
+    if "curation7" in ops:
+        from morphik_core_spark.operators.curation import length_matching, quality_ensemble
+
+        runs["quality_ensemble"] = lambda d: mat(quality_ensemble(d, "text", "doc_id", k=20))
+        runs["length_matching"] = lambda d: mat(length_matching(d, "doc_id", "n_chars"))
     if "ols" in ops:
         from morphik_core_spark.operators.analytics import grouped_ols
 

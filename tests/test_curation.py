@@ -420,3 +420,53 @@ def test_temporal_split_embargo_bounds(spark):
     # zero embargo: no embargo rows emitted
     out2 = {r["split"]: r for r in temporal_split(df, "d", cutoff_idx=20, embargo=0).collect()}
     assert set(out2) == {"train", "test"} and out2["test"]["min_idx"] == 20
+
+
+def test_quality_ensemble_rank_fusion(spark):
+    from morphik_core_spark.operators.curation import quality_ensemble
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),      # long, all distinct
+        (2, "a a a a a a"),                               # long but degenerate
+        (3, "wonderful"),                                 # short, max word len
+        (4, "x y"),                                       # short, tiny words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_ensemble(df, "text", "doc_id", k=4)
+    got = {r.doc_id: r for r in out.collect()}
+    # doc1: best TTR rank among the long docs and longest -> top fusion
+    top = out.collect()[0]
+    assert top.doc_id == 1
+    # ranks are a permutation of 1..4 per signal
+    for c in ("r_len", "r_ttr", "r_mwl"):
+        assert sorted(getattr(got[i], c) for i in got) == [1, 2, 3, 4]
+    # rrf term spot-check: doc1 word_count rank 1 (6 words, tie w/ doc2
+    # broken by id), ttr rank 1, mwl: doc3 has mean 9.0 -> r_mwl=1
+    assert got[1].r_len == 1 and got[2].r_len == 2
+    assert got[3].r_mwl == 1
+    expected = sum(round(1e6 / (60 + r)) for r in (got[1].r_len, got[1].r_ttr, got[1].r_mwl))
+    assert got[1].rrf_micro == expected
+
+
+def test_length_matching_uniform_target(spark):
+    from morphik_core_spark.operators.curation import length_matching
+
+    # bucket 0: 4 docs, bucket 1: 12 docs -> keep_rate 1.0 and 1/3
+    rows = [(i, 50) for i in range(4)] + [(100 + i, 150) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    out = {r.bucket: r for r in length_matching(df, "doc_id", "n_chars").collect()}
+    assert out[0]["n"] == 4 and out[0]["keep_rate"] == 1.0 and out[0]["kept_n"] == 4
+    assert out[1]["n"] == 12 and out[1]["keep_rate"] == round(4 / 12, 6)
+    # hash keep thins bucket 1 toward 4; exact count is deterministic
+    assert 0 < out[1]["kept_n"] <= 12
+    k1 = length_matching(df, "doc_id", "n_chars").collect()
+    k2 = length_matching(df.repartition(7), "doc_id", "n_chars").collect()
+    assert sorted(map(tuple, k1)) == sorted(map(tuple, k2))
+
+
+def test_length_matching_single_bucket_keeps_all(spark):
+    from morphik_core_spark.operators.curation import length_matching
+
+    df = spark.createDataFrame([(i, 10 + i) for i in range(8)], "doc_id long, n_chars int")
+    out = length_matching(df, "doc_id", "n_chars", bucket_width=1000).collect()
+    assert len(out) == 1 and out[0]["kept_n"] == 8 and out[0]["keep_rate"] == 1.0

@@ -65,6 +65,8 @@ SENSITIVE = [
     "threshold_metrics",
     "vocab_coverage",
     "demand_elasticity",
+    "quality_ensemble",
+    "length_matching",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",
