@@ -36,6 +36,8 @@ __all__ = [
     "hampel_stream",
     "hll_stream",
     "hll_stream_estimates",
+    "funnel_stream",
+    "funnel_stream_counts",
 ]
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -509,4 +511,84 @@ def hll_stream_estimates(df: DataFrame) -> DataFrame:
             f"THEN {m}.0D * ln({m}.0D / ({m} - registers_used)) "
             f"ELSE {est_raw} END, 6)"
         ),
+    )
+
+
+FUNNEL_OUTPUT_SCHEMA = "user_id bigint, step_index int, step_name string, ts_us bigint"
+FUNNEL_STATE_SCHEMA = "times array<bigint>"
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming strict-order funnel — the incremental twin of
+    `analytics.funnel_counts`: per user, one timestamp of state per step
+    (the earliest valid completion; funnel state is O(n_steps) per key,
+    which is why funnels run fine as live monitors). A step-k event at
+    time t completes the step when step k−1 is already complete at some
+    t' < t and k itself is still open; completions emit exactly one row
+    (user, step_index, step_name, ts_us).
+
+    Replay safety is STRUCTURAL, not ordering-based: funnel updates are
+    monotone set-once transitions, so a redelivered event finds its step
+    already closed and no-ops — at-least-once delivery cannot
+    double-emit. The ordering contract matches the other log-stream
+    operators (per-key batches arrive in non-decreasing event time;
+    in-batch disorder repairs itself via the per-batch sort); a
+    cross-batch straggler can only miss an EARLIER completion time for
+    an already-closed step, never create a false completion.
+
+    Aggregate the emitted rows with `funnel_stream_counts` for the
+    batch-equivalent (step_index, step_name, n_users) readout
+    (equivalence test-asserted against `funnel_counts`).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    idx_of = {s: k for k, s in enumerate(steps)}
+    n_steps = len(steps)
+    typed = events.select(
+        F.col(user_col).cast("bigint").alias("user_id"),
+        F.expr(f"unix_micros({ts_col})").alias("ts_us"),
+        F.col(type_col).alias("etype"),
+    ).filter(F.col("etype").isin(list(steps)))
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        (times,) = state.get if state.exists else ([-1] * n_steps,)
+        times = list(times)
+        out: list[tuple] = []
+        for pdf in batches:
+            pdf = pdf.sort_values("ts_us")
+            for us, et in zip(pdf["ts_us"], pdf["etype"]):
+                k = idx_of.get(et)
+                if k is None or times[k] != -1:
+                    continue  # unknown step or already closed: no-op
+                us = int(us)
+                if k == 0 or (times[k - 1] != -1 and us > times[k - 1]):
+                    times[k] = us
+                    out.append((user, k, steps[k], us))
+        state.update((times,))
+        yield pd.DataFrame(out, columns=["user_id", "step_index", "step_name", "ts_us"])
+
+    return typed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def funnel_stream_counts(completions: DataFrame) -> DataFrame:
+    """Roll `funnel_stream` completions up to the batch `funnel_counts`
+    shape: (step_index, step_name, n_users). Each user emits at most one
+    completion per step, so a plain count is the distinct-user count."""
+    return (
+        completions.groupBy("step_index", "step_name")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("step_index")
     )

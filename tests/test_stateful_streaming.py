@@ -560,3 +560,70 @@ def test_hll_stream_matches_batch_and_survives_restart(spark, tmp_path):
         for r in hll_distinct(batch_rows, ["series_key"], "value", p=9).collect()
     }
     assert got == want  # register-exact AND estimate-bit-identical
+
+
+def test_funnel_stream_matches_batch_and_is_replay_idempotent(spark, tmp_path):
+    """Streaming funnel completions aggregate to the exact batch
+    funnel_counts rows; a replayed batch cannot double-emit because
+    step transitions are set-once; state survives checkpoint restart."""
+    from morphik_core_spark.operators.analytics import funnel_counts
+    from morphik_core_spark.streaming.stateful import funnel_stream, funnel_stream_counts
+
+    schema = "user_id long, ts timestamp, event_type string"
+
+    def t(s):
+        from datetime import datetime
+
+        return datetime(2026, 1, 1, 0, 0, s)
+
+    rows1 = [
+        (1, t(1), "view"), (1, t(2), "click"),
+        (2, t(1), "view"),
+        (3, t(5), "click"),          # click with no prior view: never converts
+        (4, t(1), "view"), (4, t(1), "click"),  # same-ts click is NOT after view
+    ]
+    rows2 = [
+        (1, t(3), "purchase"),
+        (2, t(9), "click"), (2, t(10), "purchase"),
+        (4, t(2), "click"),
+        (1, t(2), "click"),          # replay of an already-closed step: no-op
+    ]
+    steps = ["view", "click", "purchase"]
+    src, out, chk = (str(tmp_path / d) for d in ("fin", "fout", "fchk"))
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            funnel_stream(stream, steps)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+
+    run_once(rows1)
+    run_once(rows2)
+    completions = spark.read.parquet(out)
+    # one completion row per (user, step): the replayed click for user 1
+    # and user 4's same-timestamp click emitted nothing extra
+    assert completions.groupBy("user_id", "step_index").count().filter("count > 1").count() == 0
+    got = {
+        (r.step_index, r.step_name): r.n_users
+        for r in funnel_stream_counts(completions).collect()
+    }
+    batch = {
+        (r.step_index, r.step_name): r.n_users
+        for r in funnel_counts(
+            spark.createDataFrame(rows1 + rows2[:-1], schema), "user_id", "ts", "event_type", steps
+        ).collect()
+    }
+    assert got == batch
+    # hand-check: views 1,2,4; clicks after view: 1@2, 2@9, 4@2; purchases: 1,2
+    assert got[(0, "view")] == 3 and got[(1, "click")] == 3 and got[(2, "purchase")] == 2
