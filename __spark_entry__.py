@@ -4345,6 +4345,23 @@ def _q_length_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_matching(docs, "doc_id", "n_chars", bucket_width=100)
 
 
+def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill + forward-fill per event type
+    (`analytics.gap_fill_series`): the (type, hour) grid is ~6% sparse
+    at sf0.01 (215/3600 holes, measured), so the fill is exercised and
+    every filled row carries the last observed hourly count with an
+    is_gap marker. Integer hour indexes (unix_micros div 3600e6) keep
+    the grid and the parity engine-neutral."""
+    from morphik_core_spark.operators.analytics import gap_fill_series
+
+    events = _t(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.col("event_type"),
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_idx"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return gap_fill_series(hourly, "event_type", "hour_idx", "n")
+
+
 def _q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-volume autocorrelation at lags 1..7
     (`analytics.autocorrelation`): integer deviations n·x−S, DECIMAL(38,0)
@@ -5024,6 +5041,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "demand_elasticity": _q_demand_elasticity,
         "quality_ensemble": _q_quality_ensemble,
         "length_matching": _q_length_matching,
+        "gap_fill": _q_gap_fill,
         "rater_agreement": _q_rater_agreement,
         "acf_daily": _q_acf_daily,
         "cusum_drift": _q_cusum_drift,
@@ -9699,6 +9717,24 @@ def oracle_sql() -> dict[str, str]:
                    kept_n,
                    ROUND(CAST(kept_n AS DOUBLE) / CAST(tkp AS DOUBLE), 6) AS kept_share
             FROM k CROSS JOIN tk ORDER BY bucket
+        """,
+        "gap_fill": """
+            WITH c AS (
+                SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx, COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            r AS (SELECT event_type, MIN(hour_idx) AS mn, MAX(hour_idx) AS mx FROM c GROUP BY 1),
+            g AS (SELECT event_type, unnest(range(mn, mx + 1)) AS hour_idx FROM r),
+            j AS (
+                SELECT g.event_type, g.hour_idx, c.n
+                FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hour_idx = c.hour_idx
+            )
+            SELECT event_type, hour_idx, n,
+                   LAST_VALUE(n IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY hour_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+                   n IS NULL AS is_gap
+            FROM j
         """,
         "rater_agreement": """
             WITH rated AS (

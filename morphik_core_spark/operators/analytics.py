@@ -61,6 +61,7 @@ __all__ = [
     "bootstrap_ci",
     "POISSON1_CDF_U30",
     "grouped_ols",
+    "gap_fill_series",
 ]
 
 
@@ -2321,4 +2322,50 @@ def grouped_ols(
             ),
             decimals,
         ).alias("r2"),
+    )
+
+
+def gap_fill_series(
+    df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Densify a per-key integer-indexed series and forward-fill the
+    holes — the resampling step every downstream window/ACF/forecast
+    operator silently assumes has already happened (a moving average
+    over a sparse series is wrong at every gap).
+
+    Per key, the grid is sequence(min_idx, max_idx) — bounded by the
+    observed range, never the row count — left-joined to the
+    observations; fills carry the LAST observed value forward
+    (`last(val, ignorenulls)` over an unbounded-preceding window, the
+    order-safe forward fill). Leading positions before a key's first
+    observation stay NULL rather than inventing a level. ``is_gap``
+    marks filled rows so downstream aggregates can weight or exclude
+    them.
+
+    Output: (key, idx, value — NULL at gaps, filled_value, is_gap).
+    Shapes: one bounded groupBy for the ranges, one explode of
+    range-sized grids, one equi-join, one per-key ordered window.
+    """
+    obs = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(idx_col).cast("bigint").alias("_i"),
+        F.col(val_col).alias("_v"),
+    )
+    rng = obs.groupBy("_k").agg(F.min("_i").alias("_mn"), F.max("_i").alias("_mx"))
+    grid = rng.select("_k", F.explode(F.expr("sequence(_mn, _mx)")).alias("_i"))
+    joined = grid.join(obs, ["_k", "_i"], "left")
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("_k").alias(key_col),
+        F.col("_i").alias(idx_col),
+        F.col("_v").alias(val_col),
+        F.last("_v", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("_v").isNull().alias("is_gap"),
     )

@@ -228,6 +228,16 @@ def main() -> None:
 
         runs["quality_ensemble"] = lambda d: mat(quality_ensemble(d, "text", "doc_id", k=20))
         runs["length_matching"] = lambda d: mat(length_matching(d, "doc_id", "n_chars"))
+    if "gapfill" in ops:
+        from morphik_core_spark.operators.analytics import gap_fill_series
+
+        def gapfill(d):
+            # per-source char-bucket series with natural holes
+            series = d.groupBy(
+                "source", (F.col("n_chars") % 977).alias("i")
+            ).agg(F.count(F.lit(1)).alias("v"))
+            mat(gap_fill_series(series, "source", "i", "v"))
+        runs["gap_fill"] = gapfill
     if "ols" in ops:
         from morphik_core_spark.operators.analytics import grouped_ols
 

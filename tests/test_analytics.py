@@ -377,3 +377,32 @@ def test_grouped_ols_matches_numpy(spark):
     assert abs(r["intercept"] - intercept) < 1e-6
     corr = np.corrcoef(qx, qy)[0, 1]
     assert abs(r["r2"] - corr**2) < 1e-6
+
+
+def test_gap_fill_series_forward_fill_and_leading_nulls(spark):
+    from morphik_core_spark.operators.analytics import gap_fill_series
+
+    rows = [("a", 10, 5), ("a", 13, 7), ("b", 2, 1)]
+    out = {
+        (r["k"], r["i"]): (r["v"], r["filled_value"], r["is_gap"])
+        for r in gap_fill_series(
+            spark.createDataFrame(rows, "k string, i long, v long"), "k", "i", "v"
+        ).collect()
+    }
+    # grid: a covers 10..13, b covers 2..2
+    assert set(out) == {("a", 10), ("a", 11), ("a", 12), ("a", 13), ("b", 2)}
+    assert out[("a", 10)] == (5, 5, False)
+    assert out[("a", 11)] == (None, 5, True)
+    assert out[("a", 12)] == (None, 5, True)
+    assert out[("a", 13)] == (7, 7, False)
+    assert out[("b", 2)] == (1, 1, False)
+
+
+def test_gap_fill_series_partition_invariant(spark):
+    from morphik_core_spark.operators.analytics import gap_fill_series
+
+    rows = [("k", i, i * 2) for i in range(0, 40, 3)]
+    df = spark.createDataFrame(rows, "k string, i long, v long")
+    a = sorted(map(tuple, gap_fill_series(df, "k", "i", "v").collect()))
+    b = sorted(map(tuple, gap_fill_series(df.repartition(13), "k", "i", "v").collect()))
+    assert a == b and len(a) == 40  # dense grid 0..39
