@@ -44,6 +44,8 @@ __all__ = [
     "extract_audio_embeddings",
     "page_patch_multivectors",
     "text_query_multivector",
+    "video_frame_hashes",
+    "video_near_dup_pairs",
 ]
 
 # typed metadata travelling with every binary payload
@@ -717,3 +719,112 @@ def segment_audio(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_frames: int = 32,
+    method: str = "dhash",
+) -> DataFrame:
+    """Per-video frame fingerprints: decode the MJPEG-AVI payload (the
+    real pure-Python decoder; modern codecs route through the ffmpeg
+    adapter upstream), sample up to ``max_frames`` evenly spaced frames,
+    and perceptual-hash each — the video analog of
+    `image_perceptual_hash`, one row per sampled frame.
+
+    Scale shape: pure map (mapInPandas), the decode cost is the
+    operator; nothing shuffles. Output: (media_id, ok, err, n_frames,
+    frame_idx, hash); a failed decode yields ONE row with ok = false so
+    the corpus-health rollup still sees the video.
+    """
+    from morphik_core_spark.functions import imagehash
+    from morphik_core_spark.functions.image import to_grayscale
+    from morphik_core_spark.functions.jpeg import decode_jpeg
+    from morphik_core_spark.functions.video import parse_avi_mjpeg
+
+    hasher = {"ahash": imagehash.ahash, "dhash": imagehash.dhash, "phash": imagehash.phash}[method]
+    out_schema = f"{id_col} string, ok boolean, err string, n_frames int, frame_idx int, hash bigint"
+    cols = [id_col, "ok", "err", "n_frames", "frame_idx", "hash"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _fps, _w, _h, frames = parse_avi_mjpeg(
+                        bytes(payload) if payload is not None else None
+                    )
+                    n = len(frames)
+                    if n > max_frames:
+                        step = n / max_frames
+                        picks = [int(i * step) for i in range(max_frames)]
+                    else:
+                        picks = list(range(n))
+                    for fi in picks:
+                        px = decode_jpeg(frames[fi])
+                        rows.append((mid, True, None, n, fi, hasher(to_grayscale(px))))
+                except Exception as exc:  # noqa: BLE001 — row-level isolation
+                    rows.append((mid, False, str(exc), None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def video_near_dup_pairs(
+    frame_hashes: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "media_id",
+    hash_col: str = "hash",
+    max_hash_df: int = 10_000,
+    decimals: int = 6,
+) -> DataFrame:
+    """Near-duplicate videos by frame-fingerprint set overlap: two videos
+    are candidates when they share ANY sampled frame hash (an inverted
+    index on the hash — the exact-frame block, same structure as the
+    shingle index in `containment_pairs`), then candidates verify with
+    the true Jaccard of their distinct frame-hash sets via the
+    collect_set → array_intersect pattern (candidate-bounded, zero
+    pair-grain shuffles).
+
+    ``max_hash_df`` drops degenerate frames shared by more videos than
+    the cap (solid-color intros, test cards) before pair generation —
+    the hot-block valve every pair generator in this repo carries.
+
+    Output: (id_a, id_b, jaccard ≥ threshold), id_a < id_b.
+    """
+    fh = (
+        frame_hashes.filter(F.col("ok") & F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+        .distinct()
+    )
+    hot = (
+        fh.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_hash_df)
+        .select("_h")
+    )
+    fh = fh.join(F.broadcast(hot), "_h", "left_anti")
+    a = fh.select(F.col("_h"), F.col("_id").alias("id_a"))
+    b = fh.select(F.col("_h"), F.col("_id").alias("id_b"))
+    cand = (
+        a.join(b, "_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = fh.groupBy("_id").agg(F.collect_set("_h").alias("hs"))
+    joined = (
+        cand.join(sets.select(F.col("_id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+        .join(sets.select(F.col("_id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        joined.withColumn(
+            "jaccard", F.round(inter.cast("double") / union.cast("double"), decimals)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
