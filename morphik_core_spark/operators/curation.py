@@ -1516,33 +1516,15 @@ def curriculum_order(
     from pyspark.sql import Window
 
     from morphik_core_spark.operators.dedup import portable_hash
+    from morphik_core_spark.plans.ranking import exact_global_rank, ntile_from_rank
 
     base = df.select(F.col(id_col), F.col(difficulty_col).alias("_diff"))
-    vg = base.groupBy("_diff").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_cum = Window.orderBy(F.col("_diff").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    before = vg.withColumn("_before", F.sum("_cnt").over(w_cum) - F.col("_cnt")).select(
-        "_diff", "_before"
-    )
-    w_intra = Window.partitionBy("_diff").orderBy(F.col(id_col).asc())
     tot = base.agg(F.count(F.lit(1)).alias("_nn"))
     k = n_buckets
     ranked = (
-        base.withColumn("_ir", F.row_number().over(w_intra))
-        .join(F.broadcast(before), "_diff")
+        exact_global_rank(base, "_diff", id_col, ascending=True, rank_col="_r")
         .join(F.broadcast(tot))
-        .withColumn("_r", F.col("_before") + F.col("_ir"))
-        # ntile(k): first rem = N%k buckets hold q+1 = N div k + 1 rows
-        .withColumn(
-            "bucket",
-            F.expr(
-                f"CAST(CASE WHEN _r <= (_nn % {k}) * (_nn div {k} + 1) "
-                f"THEN (_r - 1) div (_nn div {k} + 1) + 1 "
-                f"ELSE (_nn % {k}) + (_r - (_nn % {k}) * (_nn div {k} + 1) - 1) "
-                f"div (_nn div {k}) + 1 END AS INT)"
-            ),
-        )
+        .withColumn("bucket", ntile_from_rank("_r", "_nn", k))
     )
     w_shuffle = Window.partitionBy("bucket").orderBy(
         portable_hash(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
@@ -1659,18 +1641,17 @@ def quality_ensemble(
     ANTI-correlated with length (−0.94 measured), so a scale-free
     consensus is the honest combiner.
 
-    Every rank is a row_number over (signal DESC, id ASC) — a total
-    order, so cross-engine parity holds. Each RRF term is quantized to
-    micro-units (ROUND(10⁶/(rrf_k + rank))) and summed as integers:
-    partitioning cannot move the fusion. Output: top-``k`` docs by
-    (rrf_micro DESC, id ASC) with the per-signal ranks for audit.
-
-    Scale note: the three global rank windows are single total-order
-    sorts (fine at audit scale); for a corpus-sized ranked frame use the
-    curriculum_order decomposition — grid-bounded cumulative counts +
-    closed-form positions — which replaces each sort with two bounded
-    aggregations.
+    Every rank is a total order over (signal DESC, id ASC), computed by
+    `plans.ranking.exact_global_rank` — the value-grid decomposition,
+    NOT a global sort window: word counts are integers and the two
+    ratios are 6-dp quantized, so each signal's distinct-value grid is
+    bounded and the per-value rank shards across the cluster. Each RRF
+    term is quantized to micro-units (ROUND(10⁶/(rrf_k + rank))) and
+    summed as integers: partitioning cannot move the fusion. Output:
+    top-``k`` docs by (rrf_micro DESC, id ASC) via
+    TakeOrderedAndProject with the per-signal ranks for audit.
     """
+    from morphik_core_spark.plans.ranking import exact_global_rank
     t = normalize_text(F.col(text_col))
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
@@ -1688,14 +1669,14 @@ def quality_ensemble(
         F.round(ttr, 6).alias("ttr"),
         F.round(mwl, 6).alias("mean_word_len"),
     )
-    def rnk(col: str):
-        return F.row_number().over(Window.orderBy(F.col(col).desc(), F.col(id_col).asc()))
-
-    ranked = sig.select(
+    ranked = sig
+    for col, out in (("word_count", "r_len"), ("ttr", "r_ttr"), ("mean_word_len", "r_mwl")):
+        ranked = exact_global_rank(ranked, col, id_col, ascending=False, rank_col=out)
+    ranked = ranked.select(
         F.col(id_col),
-        rnk("word_count").alias("r_len"),
-        rnk("ttr").alias("r_ttr"),
-        rnk("mean_word_len").alias("r_mwl"),
+        F.col("r_len").cast("int").alias("r_len"),
+        F.col("r_ttr").cast("int").alias("r_ttr"),
+        F.col("r_mwl").cast("int").alias("r_mwl"),
     )
     # 1e6 (not 1000000.0): the fractional literal parses as DECIMAL in
     # both engines and decimal division rounds differently — the

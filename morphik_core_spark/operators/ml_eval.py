@@ -435,20 +435,22 @@ def gains_table(
     review-queue-sizing readout of a classifier.
 
     Counts are pure integers; the four ratios divide once each at the
-    edge. The global ntile is a single total-order sort: at corpus scale
-    replace it with the curriculum_order decomposition (grid-bounded
-    cumulative + closed-form position) — same output, no global sort;
-    here the sort is the honest oracle-parity form."""
+    edge. The bucket assignment does NOT use a global ntile sort: the
+    global rank comes from `plans.ranking.exact_global_rank` (bounded
+    value-grid cumulative + per-score sharded row_number — scores are
+    quantized, so the grid is bounded by construction) and the bucket
+    from the closed-form `ntile_from_rank`; equivalence with real
+    NTILE is test-asserted and the oracle uses SQL NTILE directly."""
+    from morphik_core_spark.plans.ranking import exact_global_rank, ntile_from_rank
+
     base = df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull()).select(
         F.col(score_col).alias("_s"),
         F.col(label_col).cast("bigint").alias("_y"),
         F.col(id_col).alias("_id"),
     )
-    bucketed = base.select(
-        "_y",
-        F.ntile(n_buckets)
-        .over(Window.orderBy(F.col("_s").desc(), F.col("_id").asc()))
-        .alias("bucket"),
+    ranked = exact_global_rank(base, "_s", "_id", ascending=False, rank_col="_r")
+    bucketed = ranked.join(F.broadcast(ranked.agg(F.count(F.lit(1)).alias("_nn")))).select(
+        "_y", ntile_from_rank("_r", "_nn", n_buckets).alias("bucket")
     )
     per = bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"), F.sum("_y").alias("n_pos")
