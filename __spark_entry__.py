@@ -4362,6 +4362,23 @@ def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_series(hourly, "event_type", "hour_idx", "n")
 
 
+def _q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual split of daily event volume
+    (`analytics.seasonal_decompose`, period 7): centered 7-day MA trend
+    (full windows only), mean detrended deviation per day-of-week,
+    integer micro-unit arithmetic throughout — the series-health readout
+    that separates drift from weekly shape from genuine anomalies.
+    Complements `dow_seasonality` (raw DOW means) and `acf_daily`
+    (lag correlations) with the decomposition itself."""
+    from morphik_core_spark.operators.analytics import seasonal_decompose
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return seasonal_decompose(daily, "di", "y", period=7)
+
+
 def _q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-volume autocorrelation at lags 1..7
     (`analytics.autocorrelation`): integer deviations n·x−S, DECIMAL(38,0)
@@ -5042,6 +5059,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ensemble": _q_quality_ensemble,
         "length_matching": _q_length_matching,
         "gap_fill": _q_gap_fill,
+        "seasonal_decompose": _q_seasonal_decompose,
         "rater_agreement": _q_rater_agreement,
         "acf_daily": _q_acf_daily,
         "cusum_drift": _q_cusum_drift,
@@ -9717,6 +9735,31 @@ def oracle_sql() -> dict[str, str]:
                    kept_n,
                    ROUND(CAST(kept_n AS DOUBLE) / CAST(tkp AS DOUBLE), 6) AS kept_share
             FROM k CROSS JOIN tk ORDER BY bucket
+        """,
+        "seasonal_decompose": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS y
+                FROM events GROUP BY 1
+            ),
+            t AS (
+                SELECT di, y,
+                       CAST(di % 7 AS INT) AS phase,
+                       CASE WHEN COUNT(*) OVER w = 7 THEN
+                            CAST(ROUND(CAST(SUM(y) OVER w AS DOUBLE) * 1e6 / 7.0) AS BIGINT)
+                       END AS t_micro
+                FROM d
+                WINDOW w AS (ORDER BY di ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ),
+            dev AS (SELECT *, y * 1000000 - t_micro AS dv FROM t),
+            seas AS (
+                SELECT phase, CAST(ROUND(CAST(SUM(dv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS s_micro
+                FROM dev WHERE dv IS NOT NULL GROUP BY 1
+            )
+            SELECT dev.di, dev.y, dev.phase,
+                   ROUND(CAST(t_micro AS DOUBLE) / 1e6, 6) AS trend,
+                   CASE WHEN t_micro IS NOT NULL THEN ROUND(CAST(s_micro AS DOUBLE) / 1e6, 6) END AS seasonal,
+                   CASE WHEN t_micro IS NOT NULL THEN ROUND(CAST(dv - s_micro AS DOUBLE) / 1e6, 6) END AS residual
+            FROM dev LEFT JOIN seas ON dev.phase = seas.phase
         """,
         "gap_fill": """
             WITH c AS (

@@ -62,6 +62,7 @@ __all__ = [
     "POISSON1_CDF_U30",
     "grouped_ols",
     "gap_fill_series",
+    "seasonal_decompose",
 ]
 
 
@@ -2368,4 +2369,78 @@ def gap_fill_series(
         F.col("_v").alias(val_col),
         F.last("_v", ignorenulls=True).over(w).alias("filled_value"),
         F.col("_v").isNull().alias("is_gap"),
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    idx_col: str,
+    val_col: str,
+    period: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """Classical additive decomposition y = trend + seasonal + residual
+    over an integer-indexed series: trend is the centered ``period``-
+    point moving average (emitted only where the full window exists —
+    no half-window inventions at the edges), seasonal is the mean
+    detrended deviation per phase (idx mod period), residual is what's
+    left — the series-health readout that separates "volume is drifting"
+    from "it's just the weekly shape" from "this day is genuinely odd".
+
+    Determinism: the trend is an exact integer window sum divided once
+    (micro-quantized per row), deviations live in integer micro-units,
+    the per-phase seasonal means are integer sums divided once — every
+    float is produced by one fixed expression and rounded immediately,
+    so partitioning cannot move any output (the repo's per-term
+    quantization recipe). Windows partition by nothing but are bounded:
+    the input is a pre-aggregated series (one row per index), not the
+    corpus — at 100 TB the upstream rollup has already reduced to
+    thousands of rows. Integer division is avoided entirely (Spark
+    truncates toward zero, DuckDB floors — they disagree on negatives).
+
+    Output: (idx, value, phase, trend, seasonal, residual) — trend /
+    seasonal / residual NULL where the centered window is incomplete.
+    """
+    half = period // 2
+    base = df.select(
+        F.col(idx_col).cast("bigint").alias("_i"),
+        F.col(val_col).cast("bigint").alias("_y"),
+    )
+    w = Window.orderBy("_i").rowsBetween(-half, half)
+    # rows, not range: the series must be dense — gap_fill_series is the
+    # upstream repair step and the docstring contract
+    trended = base.select(
+        "_i",
+        "_y",
+        F.sum("_y").over(w).alias("_s"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    ).select(
+        "_i",
+        "_y",
+        F.expr(f"pmod(_i, {period})").cast("int").alias("_phase"),
+        F.when(
+            F.col("_n") == period,
+            F.expr(f"CAST(ROUND(CAST(_s AS DOUBLE) * 1e6 / {float(period)}) AS BIGINT)"),
+        ).alias("_t_micro"),
+    )
+    dev = trended.withColumn("_dev", F.col("_y") * F.lit(1000000) - F.col("_t_micro"))
+    seas = (
+        dev.filter(F.col("_dev").isNotNull())
+        .groupBy("_phase")
+        .agg(
+            F.expr("CAST(ROUND(CAST(SUM(_dev) AS DOUBLE) / COUNT(*)) AS BIGINT)").alias("_s_micro")
+        )
+    )
+    out = dev.join(F.broadcast(seas), "_phase", "left")
+    to_d = lambda c: F.round(F.col(c).cast("double") / F.lit(1e6), decimals)
+    return out.select(
+        F.col("_i").alias(idx_col),
+        F.col("_y").alias(val_col),
+        F.col("_phase").alias("phase"),
+        to_d("_t_micro").alias("trend"),
+        F.when(F.col("_t_micro").isNotNull(), to_d("_s_micro")).alias("seasonal"),
+        F.when(
+            F.col("_t_micro").isNotNull(),
+            F.round((F.col("_dev") - F.col("_s_micro")).cast("double") / F.lit(1e6), decimals),
+        ).alias("residual"),
     )

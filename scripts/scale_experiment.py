@@ -238,6 +238,15 @@ def main() -> None:
             ).agg(F.count(F.lit(1)).alias("v"))
             mat(gap_fill_series(series, "source", "i", "v"))
         runs["gap_fill"] = gapfill
+
+        from morphik_core_spark.operators.analytics import seasonal_decompose
+
+        def seasonal(d):
+            series = d.groupBy((F.col("doc_id") % 3650).alias("di")).agg(
+                F.count(F.lit(1)).alias("y")
+            )
+            mat(seasonal_decompose(series, "di", "y", period=7))
+        runs["seasonal_decompose"] = seasonal
     if "ols" in ops:
         from morphik_core_spark.operators.analytics import grouped_ols
 

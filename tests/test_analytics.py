@@ -406,3 +406,32 @@ def test_gap_fill_series_partition_invariant(spark):
     a = sorted(map(tuple, gap_fill_series(df, "k", "i", "v").collect()))
     b = sorted(map(tuple, gap_fill_series(df.repartition(13), "k", "i", "v").collect()))
     assert a == b and len(a) == 40  # dense grid 0..39
+
+
+def test_seasonal_decompose_hand_computed(spark):
+    from morphik_core_spark.operators.analytics import seasonal_decompose
+
+    # constant series + phase bump: y = 10, +7 on phase 0 -> trend = 11,
+    # seasonal(phase0) = +6, other phases = -1, residual = 0 everywhere
+    rows = [(i, 10 + (7 if i % 7 == 0 else 0)) for i in range(21)]
+    out = {r["di"]: r for r in seasonal_decompose(
+        spark.createDataFrame(rows, "di long, y long"), "di", "y", period=7
+    ).collect()}
+    assert len(out) == 21
+    # edges: first/last 3 days have no full window
+    for i in (0, 1, 2, 18, 19, 20):
+        assert out[i]["trend"] is None and out[i]["residual"] is None
+    for i in range(3, 18):
+        assert out[i]["trend"] == 11.0
+        assert out[i]["seasonal"] == (6.0 if i % 7 == 0 else -1.0)
+        assert out[i]["residual"] == 0.0
+
+
+def test_seasonal_decompose_partition_invariant(spark):
+    from morphik_core_spark.operators.analytics import seasonal_decompose
+
+    rows = [(i, 10 + (i * 13) % 9 + (5 if i % 7 in (0, 1) else 0)) for i in range(35)]
+    df = spark.createDataFrame(rows, "di long, y long")
+    a = sorted(map(tuple, seasonal_decompose(df, "di", "y").collect()))
+    b = sorted(map(tuple, seasonal_decompose(df.repartition(11), "di", "y").collect()))
+    assert a == b

@@ -67,6 +67,7 @@ SENSITIVE = [
     "demand_elasticity",
     "quality_ensemble",
     "length_matching",
+    "seasonal_decompose",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",
