@@ -4379,6 +4379,23 @@ def _q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(daily, "di", "y", period=7)
 
 
+def _q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing with one-step backtest
+    (`analytics.holt_linear`, α=0.3, β=0.1) over daily event volume —
+    the forecaster that must beat `forecast_backtest`'s seasonal-naive
+    floor. Integer micro-unit state, one half-away round per step; the
+    recursion runs at the driver over the series-bounded daily rollup
+    (the Markov-solve boundary) and the oracle replays it verbatim as a
+    DuckDB recursive CTE."""
+    from morphik_core_spark.operators.analytics import holt_linear
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return holt_linear(daily, "di", "y", alpha=0.3, beta=0.1)
+
+
 def _q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-volume autocorrelation at lags 1..7
     (`analytics.autocorrelation`): integer deviations n·x−S, DECIMAL(38,0)
@@ -5060,6 +5077,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_matching": _q_length_matching,
         "gap_fill": _q_gap_fill,
         "seasonal_decompose": _q_seasonal_decompose,
+        "holt_forecast": _q_holt_forecast,
         "rater_agreement": _q_rater_agreement,
         "acf_daily": _q_acf_daily,
         "cusum_drift": _q_cusum_drift,
@@ -9735,6 +9753,38 @@ def oracle_sql() -> dict[str, str]:
                    kept_n,
                    ROUND(CAST(kept_n AS DOUBLE) / CAST(tkp AS DOUBLE), 6) AS kept_share
             FROM k CROSS JOIN tk ORDER BY bucket
+        """,
+        "holt_forecast": """
+            WITH RECURSIVE d AS (
+                SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS y
+                FROM events GROUP BY 1
+            ),
+            o AS (SELECT di, y, ROW_NUMBER() OVER (ORDER BY di) AS rn FROM d),
+            n AS (SELECT COUNT(*) AS nn FROM o),
+            hw(rn, l, b, f) AS (
+                SELECT 1,
+                       (SELECT y FROM o WHERE rn = 1) * 1000000,
+                       ((SELECT y FROM o WHERE rn = 2) - (SELECT y FROM o WHERE rn = 1)) * 1000000,
+                       CAST(NULL AS BIGINT)
+                UNION ALL
+                SELECT hw.rn + 1,
+                       CAST(ROUND(CAST(0.3 AS DOUBLE) * (o.y * 1000000)
+                                  + CAST(0.7 AS DOUBLE) * (hw.l + hw.b)) AS BIGINT),
+                       CAST(ROUND(CAST(0.1 AS DOUBLE)
+                                  * (CAST(ROUND(CAST(0.3 AS DOUBLE) * (o.y * 1000000)
+                                                + CAST(0.7 AS DOUBLE) * (hw.l + hw.b)) AS BIGINT)
+                                     - hw.l)
+                                  + CAST(0.9 AS DOUBLE) * hw.b) AS BIGINT),
+                       hw.l + hw.b
+                FROM hw JOIN o ON o.rn = hw.rn + 1 CROSS JOIN n
+                WHERE hw.rn < n.nn
+            )
+            SELECT o.di, o.y,
+                   ROUND(CAST(hw.l AS DOUBLE) / 1e6, 6) AS level,
+                   ROUND(CAST(hw.b AS DOUBLE) / 1e6, 6) AS trend,
+                   ROUND(CAST(hw.f AS DOUBLE) / 1e6, 6) AS forecast,
+                   ROUND(CAST(o.y * 1000000 - hw.f AS DOUBLE) / 1e6, 6) AS error
+            FROM hw JOIN o ON o.rn = hw.rn
         """,
         "seasonal_decompose": """
             WITH d AS (

@@ -63,6 +63,7 @@ __all__ = [
     "grouped_ols",
     "gap_fill_series",
     "seasonal_decompose",
+    "holt_linear",
 ]
 
 
@@ -2443,4 +2444,73 @@ def seasonal_decompose(
             F.col("_t_micro").isNotNull(),
             F.round((F.col("_dev") - F.col("_s_micro")).cast("double") / F.lit(1e6), decimals),
         ).alias("residual"),
+    )
+
+
+def holt_linear(
+    df: DataFrame,
+    idx_col: str,
+    val_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing with one-step-
+    ahead backtest — the actual forecaster that must beat
+    `forecast_backtest`'s seasonal-naive floor:
+
+        l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        ŷ_t = l_{t−1} + b_{t−1}          (forecast made BEFORE seeing y_t)
+
+    The recursion is inherently sequential over the SERIES (not the
+    corpus): the input contract is a pre-aggregated dense series — at
+    100 TB the upstream rollup reduces to thousands of rows — so the
+    recursion runs at the driver over that bounded frame, the same
+    declared boundary as the Markov absorption solve (a distributed
+    restatement is pure stage overhead; see NOTES.md round 6). State is
+    integer micro-units with one half-away-from-zero round per step, so
+    the trajectory is bit-reproducible and the DuckDB oracle replays it
+    verbatim as a recursive CTE.
+
+    Initialization: l₁ = y₁, b₁ = y₂ − y₁ (standard two-point start);
+    needs ≥ 2 points. Output per index: (idx, value, level, trend,
+    forecast, error) — forecast/error NULL at the first point.
+    """
+
+    def _round_half_away(x: float) -> int:
+        import math
+
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    rows = sorted(
+        (int(r[0]), int(r[1]))
+        for r in df.select(idx_col, val_col).collect()
+        if r[0] is not None and r[1] is not None
+    )
+    if len(rows) < 2:
+        raise ValueError("holt_linear needs at least 2 series points")
+    scale = 1_000_000
+    out = []
+    l_prev = rows[0][1] * scale
+    b_prev = (rows[1][1] - rows[0][1]) * scale
+    out.append((rows[0][0], rows[0][1], l_prev, b_prev, None, None))
+    for di, y in rows[1:]:
+        fc = l_prev + b_prev
+        l_t = _round_half_away(alpha * (y * scale) + (1.0 - alpha) * (l_prev + b_prev))
+        b_t = _round_half_away(beta * (l_t - l_prev) + (1.0 - beta) * b_prev)
+        out.append((di, y, l_t, b_t, fc, y * scale - fc))
+        l_prev, b_prev = l_t, b_t
+    spark = df.sparkSession
+    res = spark.createDataFrame(
+        out, f"{idx_col} bigint, {val_col} bigint, _l bigint, _b bigint, _f bigint, _e bigint"
+    )
+    to_d = lambda c: F.round(F.col(c).cast("double") / F.lit(1e6), decimals)
+    return res.select(
+        idx_col,
+        val_col,
+        to_d("_l").alias("level"),
+        to_d("_b").alias("trend"),
+        to_d("_f").alias("forecast"),
+        to_d("_e").alias("error"),
     )

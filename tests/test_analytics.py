@@ -435,3 +435,47 @@ def test_seasonal_decompose_partition_invariant(spark):
     a = sorted(map(tuple, seasonal_decompose(df, "di", "y").collect()))
     b = sorted(map(tuple, seasonal_decompose(df.repartition(11), "di", "y").collect()))
     assert a == b
+
+
+def test_holt_linear_hand_computed_and_tracks_trend(spark):
+    from morphik_core_spark.operators.analytics import holt_linear
+
+    # pure linear series y = 10 + 2t: after the two-point init the state
+    # is exactly on the line, so every forecast is exact and errors = 0
+    rows = [(t, 10 + 2 * t) for t in range(10)]
+    out = {r["di"]: r for r in holt_linear(
+        spark.createDataFrame(rows, "di long, y long"), "di", "y"
+    ).collect()}
+    assert out[0]["forecast"] is None and out[0]["error"] is None
+    for t in range(1, 10):
+        assert out[t]["forecast"] == float(10 + 2 * t)
+        assert out[t]["error"] == 0.0
+        assert out[t]["trend"] == 2.0
+
+
+def test_holt_linear_matches_float_reference(spark):
+    from morphik_core_spark.operators.analytics import holt_linear
+
+    ys = [14, 9, 17, 12, 20, 15, 23, 18, 26, 21, 29, 24]
+    out = {r["di"]: r for r in holt_linear(
+        spark.createDataFrame(list(enumerate(ys)), "di long, y long"), "di", "y",
+        alpha=0.3, beta=0.1,
+    ).collect()}
+    # plain float Holt, no quantization — micro rounding keeps us within 1e-4
+    l, b = float(ys[0]), float(ys[1] - ys[0])
+    for t in range(1, len(ys)):
+        fc = l + b
+        l_new = 0.3 * ys[t] + 0.7 * (l + b)
+        b = 0.1 * (l_new - l) + 0.9 * b
+        l = l_new
+        assert abs(out[t]["forecast"] - fc) < 1e-4
+        assert abs(out[t]["level"] - l) < 1e-4
+
+
+def test_holt_linear_needs_two_points(spark):
+    import pytest as _pytest
+
+    from morphik_core_spark.operators.analytics import holt_linear
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        holt_linear(spark.createDataFrame([(1, 5)], "di long, y long"), "di", "y")

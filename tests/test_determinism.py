@@ -68,6 +68,7 @@ SENSITIVE = [
     "quality_ensemble",
     "length_matching",
     "seasonal_decompose",
+    "holt_forecast",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",
