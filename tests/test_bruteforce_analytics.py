@@ -141,3 +141,74 @@ def test_cohort_retention_matches_bruteforce(spark, seed):
         for w in ws:
             exp[(c, w - c)] += 1
     assert got == dict(exp)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_average_precision_matches_bruteforce(spark, seed):
+    from morphik_core_spark.operators.ml_eval import average_precision
+
+    rng = random.Random(seed)
+    rows = [(round(rng.choice([0.1, 0.25, 0.5, 0.75, 0.9]) + rng.random() * 0.05, 6),
+             rng.randrange(2)) for _ in range(200)]
+    [r] = average_precision(
+        spark.createDataFrame(rows, "s double, y int"), "s", "y"
+    ).collect()
+    # group-level step AP reference
+    groups = defaultdict(lambda: [0, 0])
+    for s, y in rows:
+        g = groups[round(s * 1e6)]
+        g[0] += 1
+        g[1] += y
+    tp = n = 0
+    terms = []
+    n_pos = sum(y for _, y in rows)
+    for s in sorted(groups, reverse=True):
+        cnt, pos = groups[s]
+        tp += pos
+        n += cnt
+        terms.append(round(pos * tp * 1e12 / n))
+    expect = round(sum(terms) / (n_pos * 1e12), 6)
+    assert r["pr_auc"] == expect
+    assert r["n_pos"] == n_pos
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_exact_global_rank_matches_bruteforce(spark, seed):
+    from morphik_core_spark.plans.ranking import exact_global_rank
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randrange(12)) for i in range(150)]
+    got = {
+        r.id: r.rank
+        for r in exact_global_rank(
+            spark.createDataFrame(rows, "id long, v long"), "v", "id", ascending=False
+        ).collect()
+    }
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    expect = {rid: i + 1 for i, (rid, _) in enumerate(order)}
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_length_matching_keep_matches_hash_mirror(spark, seed):
+    """The integer keep inequality must reproduce the portable hash
+    decision exactly — the kept counts equal a plain-Python replay."""
+    import hashlib
+
+    from morphik_core_spark.operators.curation import length_matching
+
+    rng = random.Random(seed)
+    rows = [(i, rng.choice([40, 140, 150, 160, 240])) for i in range(300)]
+    out = {r.bucket: r.kept_n for r in length_matching(
+        spark.createDataFrame(rows, "doc_id long, n_chars int"), "doc_id", "n_chars"
+    ).collect()}
+    hist = defaultdict(int)
+    for _i, c in rows:
+        hist[c // 100] += 1
+    nmin = min(hist.values())
+    expect = defaultdict(int)
+    for i, c in rows:
+        h = int(hashlib.md5(f"lm:{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+        if h * hist[c // 100] < nmin * 1_000_000:
+            expect[c // 100] += 1
+    assert out == dict(expect)
