@@ -4396,6 +4396,20 @@ def _q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_linear(daily, "di", "y", alpha=0.3, beta=0.1)
 
 
+def _q_weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quartiles per return flag
+    (`analytics.weighted_quantiles`): "half the VOLUME ships below this
+    price", measured ~0.3% off the unweighted median at sf0.01 so the
+    operator discriminates. Integer cumulative over the per-(group,
+    value) grid; per-mille integer threshold; selection-only output."""
+    from morphik_core_spark.operators.analytics import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_quantiles(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", qs=(0.25, 0.5, 0.75)
+    )
+
+
 def _q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-volume autocorrelation at lags 1..7
     (`analytics.autocorrelation`): integer deviations n·x−S, DECIMAL(38,0)
@@ -5078,6 +5092,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": _q_gap_fill,
         "seasonal_decompose": _q_seasonal_decompose,
         "holt_forecast": _q_holt_forecast,
+        "weighted_price_quantiles": _q_weighted_price_quantiles,
         "rater_agreement": _q_rater_agreement,
         "acf_daily": _q_acf_daily,
         "cusum_drift": _q_cusum_drift,
@@ -9753,6 +9768,27 @@ def oracle_sql() -> dict[str, str]:
                    kept_n,
                    ROUND(CAST(kept_n AS DOUBLE) / CAST(tkp AS DOUBLE), 6) AS kept_share
             FROM k CROSS JOIN tk ORDER BY bucket
+        """,
+        "weighted_price_quantiles": """
+            WITH grid AS (
+                SELECT l_returnflag, l_extendedprice AS v,
+                       CAST(ROUND(SUM(CAST(l_quantity AS DOUBLE))) AS BIGINT) AS w
+                FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT l_returnflag, v,
+                       CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                FROM grid
+            ),
+            t AS (SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS total_weight FROM grid GROUP BY 1),
+            qg AS (SELECT CAST(q AS DOUBLE) AS q, CAST(ROUND(q * 1000) AS BIGINT) AS p
+                   FROM (SELECT UNNEST([0.25, 0.5, 0.75]) AS q))
+            SELECT c.l_returnflag, qg.q, MIN(c.v) AS value, MAX(t.total_weight) AS total_weight
+            FROM c JOIN t USING (l_returnflag) CROSS JOIN qg
+            WHERE c.cum * 1000 >= qg.p * t.total_weight
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "holt_forecast": """
             WITH RECURSIVE d AS (

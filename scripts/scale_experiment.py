@@ -247,6 +247,16 @@ def main() -> None:
             )
             mat(seasonal_decompose(series, "di", "y", period=7))
         runs["seasonal_decompose"] = seasonal
+
+        from morphik_core_spark.operators.analytics import weighted_quantiles
+
+        def wq(d):
+            rows = d.select(
+                "source", (F.col("n_chars") % 997).cast("double").alias("v"),
+                (1 + F.col("doc_id") % 5).cast("double").alias("w"),
+            )
+            mat(weighted_quantiles(rows, "source", "v", "w"))
+        runs["weighted_quantiles"] = wq
     if "ols" in ops:
         from morphik_core_spark.operators.analytics import grouped_ols
 

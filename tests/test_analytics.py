@@ -479,3 +479,42 @@ def test_holt_linear_needs_two_points(spark):
 
     with _pytest.raises(ValueError, match="at least 2"):
         holt_linear(spark.createDataFrame([(1, 5)], "di long, y long"), "di", "y")
+
+
+def test_weighted_quantiles_hand_computed(spark):
+    from morphik_core_spark.operators.analytics import weighted_quantiles
+
+    # values 1..4 with weights 1,1,1,7: W=10; q=0.5 -> cum>=5 at v=4;
+    # unweighted median would be 2/3 — weights move it
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0), ("g", 4.0, 7.0)]
+    out = {r["q"]: r for r in weighted_quantiles(
+        spark.createDataFrame(rows, "g string, v double, w double"), "g", "v", "w"
+    ).collect()}
+    assert out[0.5]["value"] == 4.0 and out[0.5]["total_weight"] == 10
+    assert out[0.25]["value"] == 3.0  # cum>=2.5 -> v=3 (cum=3)
+    assert out[0.75]["value"] == 4.0
+
+
+def test_weighted_quantiles_uniform_weights_match_nearest_rank(spark):
+    from morphik_core_spark.operators.analytics import weighted_quantiles
+
+    vals = [float(v) for v in (5, 1, 9, 3, 7, 11, 2, 8, 6, 10)]
+    rows = [("g", v, 1.0) for v in vals]
+    out = {r["q"]: r["value"] for r in weighted_quantiles(
+        spark.createDataFrame(rows, "g string, v double, w double"), "g", "v", "w"
+    ).collect()}
+    s = sorted(vals)
+    import math
+
+    for q in (0.25, 0.5, 0.75):
+        assert out[q] == s[math.ceil(q * len(s)) - 1]  # nearest-rank
+
+
+def test_weighted_quantiles_partition_invariant(spark):
+    from morphik_core_spark.operators.analytics import weighted_quantiles
+
+    rows = [("g", float((i * 7) % 23), float(1 + i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    a = sorted(map(tuple, weighted_quantiles(df, "g", "v", "w").collect()))
+    b = sorted(map(tuple, weighted_quantiles(df.repartition(13), "g", "v", "w").collect()))
+    assert a == b

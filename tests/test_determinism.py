@@ -69,6 +69,7 @@ SENSITIVE = [
     "length_matching",
     "seasonal_decompose",
     "holt_forecast",
+    "weighted_price_quantiles",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",
