@@ -38,6 +38,7 @@ __all__ = [
     "hll_stream_estimates",
     "funnel_stream",
     "funnel_stream_counts",
+    "holt_stream",
 ]
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -591,4 +592,88 @@ def funnel_stream_counts(completions: DataFrame) -> DataFrame:
         completions.groupBy("step_index", "step_name")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("step_index")
+    )
+
+
+HOLT_OUTPUT_SCHEMA = (
+    "series_key string, idx bigint, value bigint, level_micro bigint, "
+    "trend_micro bigint, forecast_micro bigint, error_micro bigint"
+)
+HOLT_STATE_SCHEMA = "l bigint, b bigint, last_idx bigint, n_seen bigint, first_val bigint"
+
+
+def holt_stream(
+    series: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    key_col: str = "series_key",
+    idx_col: str = "idx",
+    val_col: str = "value",
+) -> DataFrame:
+    """Streaming Holt linear-trend smoother — the incremental twin of
+    `analytics.holt_linear`, and the reason Holt-class models run as
+    live monitors: the ENTIRE model is two integers of state per key
+    (level and trend in micro-units). Each point emits (level, trend,
+    one-step forecast made before the point, error), all in micro-units
+    so downstream batch finalization divides once.
+
+    Bit-identity with the batch form on the same inputs is structural:
+    both run the identical per-step half-away-rounded integer recursion
+    with the identical two-point initialization (l₁ = y₁,
+    b₁ = y₂ − y₁ — the first point therefore emits no forecast and the
+    trend finalizes when the second arrives). Ordering contract matches
+    the other series monitors (non-decreasing idx per key across
+    batches; in-batch disorder repairs via the per-batch sort; replayed
+    idx ≤ last seen are dropped, never applied twice).
+    """
+
+    def _round_half_away(x: float) -> int:
+        import math
+
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    scale = 1_000_000
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        l_s, b_s, last_idx, n_seen, first_val = (
+            state.get if state.exists else (None, None, None, 0, None)
+        )
+        out: list[tuple] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(idx_col)
+            for i, y in zip(pdf[idx_col], pdf[val_col]):
+                i, y = int(i), int(y)
+                if last_idx is not None and i <= last_idx:
+                    continue  # replayed/out-of-order: already applied
+                last_idx = i
+                n_seen += 1
+                if n_seen == 1:
+                    first_val = y
+                    out.append((key_val, i, y, y * scale, None, None, None))
+                    continue
+                if n_seen == 2:
+                    # two-point init: state as of point 1 becomes known
+                    l_s = first_val * scale
+                    b_s = (y - first_val) * scale
+                fc = l_s + b_s
+                l_new = _round_half_away(alpha * (y * scale) + (1.0 - alpha) * (l_s + b_s))
+                b_new = _round_half_away(beta * (l_new - l_s) + (1.0 - beta) * b_s)
+                l_s, b_s = l_new, b_new
+                out.append((key_val, i, y, l_s, b_s, fc, y * scale - fc))
+        state.update((l_s, b_s, last_idx, n_seen, first_val))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "series_key", "idx", "value", "level_micro",
+                "trend_micro", "forecast_micro", "error_micro",
+            ],
+        )
+
+    return series.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -627,3 +627,50 @@ def test_funnel_stream_matches_batch_and_is_replay_idempotent(spark, tmp_path):
     assert got == batch
     # hand-check: views 1,2,4; clicks after view: 1@2, 2@9, 4@2; purchases: 1,2
     assert got[(0, "view")] == 3 and got[(1, "click")] == 3 and got[(2, "purchase")] == 2
+
+
+def test_holt_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """Streaming Holt state (two ints per key) survives checkpoint
+    restart, drops replayed points, and matches analytics.holt_linear
+    bit-for-bit from the second point on (the first point's trend needs
+    the second point in the batch init — inherent look-ahead, so the
+    stream leaves it NULL and never re-emits)."""
+    from morphik_core_spark.operators.analytics import holt_linear
+    from morphik_core_spark.streaming.stateful import holt_stream
+
+    schema = "series_key string, idx long, value long"
+    ys = [14, 9, 17, 12, 20, 15, 23, 18]
+    batch1 = [("k", i, y) for i, y in enumerate(ys[:3])]
+    batch2 = [("k", 2, 999)] + [("k", i + 3, y) for i, y in enumerate(ys[3:])]
+
+    src, out, chk = (str(tmp_path / d) for d in ("hin", "hout", "hchk"))
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            holt_stream(stream, alpha=0.3, beta=0.1)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, e: b.write.mode("append").parquet(out))
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+
+    run_once(batch1)
+    run_once(batch2)
+    got = {r.idx: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == len(ys)  # replayed idx 2 emitted once
+    assert got[2].value == 17
+
+    batch = {r.di: r for r in holt_linear(
+        spark.createDataFrame(list(enumerate(ys)), "di long, y long"), "di", "y",
+        alpha=0.3, beta=0.1,
+    ).collect()}
+    for i in range(1, len(ys)):
+        assert round(got[i].level_micro / 1e6, 6) == batch[i]["level"]
+        assert round(got[i].trend_micro / 1e6, 6) == batch[i]["trend"]
+        assert round(got[i].forecast_micro / 1e6, 6) == batch[i]["forecast"]
+        assert round(got[i].error_micro / 1e6, 6) == batch[i]["error"]
+    assert got[0].forecast_micro is None and got[0].trend_micro is None
