@@ -4410,6 +4410,26 @@ def _q_weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal eval-sample allocation across line-count strata
+    (`analytics.neyman_allocation`, budget 1000): orders stratified by
+    lineitem count (N_h spans 6..3024 at sf0.01), budget split
+    proportional to N_h·σ_h = sqrt(N·Σx²−(Σx)²) — one IEEE sqrt of an
+    exact cents integer per stratum — with the proportional allocation
+    beside it; both Hamilton-apportioned so each sums exactly to 1000."""
+    from morphik_core_spark.operators.analytics import neyman_allocation
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lc = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    strat = orders.join(lc, "o_orderkey").select(
+        F.col("n_lines").cast("string").alias("stratum"), "o_totalprice"
+    )
+    return neyman_allocation(strat, "stratum", "o_totalprice", budget=1000)
+
+
 def _q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-volume autocorrelation at lags 1..7
     (`analytics.autocorrelation`): integer deviations n·x−S, DECIMAL(38,0)
@@ -5093,6 +5113,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": _q_seasonal_decompose,
         "holt_forecast": _q_holt_forecast,
         "weighted_price_quantiles": _q_weighted_price_quantiles,
+        "neyman_allocation": _q_neyman_allocation,
         "rater_agreement": _q_rater_agreement,
         "acf_daily": _q_acf_daily,
         "cusum_drift": _q_cusum_drift,
@@ -9768,6 +9789,45 @@ def oracle_sql() -> dict[str, str]:
                    kept_n,
                    ROUND(CAST(kept_n AS DOUBLE) / CAST(tkp AS DOUBLE), 6) AS kept_share
             FROM k CROSS JOIN tk ORDER BY bucket
+        """,
+        "neyman_allocation": """
+            WITH lc AS (SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1),
+            s AS (
+                SELECT CAST(n_lines AS VARCHAR) AS stratum,
+                       CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS x
+                FROM orders JOIN lc ON o_orderkey = l_orderkey
+                WHERE o_totalprice IS NOT NULL
+            ),
+            st AS (
+                SELECT stratum, COUNT(*) AS n,
+                       CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                       CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx
+                FROM s GROUP BY 1
+            ),
+            w AS (
+                SELECT stratum, n,
+                       CAST(FLOOR(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS wgt,
+                       ROUND(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * 100.0), 6) AS sigma
+                FROM st
+            ),
+            ws AS (SELECT CAST(SUM(wgt) AS BIGINT) AS tw, CAST(SUM(n) AS BIGINT) AS tn FROM w),
+            a AS (
+                SELECT w.*, (1000 * wgt) // tw AS a0, (1000 * wgt) % tw AS rm,
+                       (1000 * n) // tn AS p0, (1000 * n) % tn AS pm
+                FROM w CROSS JOIN ws
+            ),
+            r AS (SELECT 1000 - CAST(SUM(a0) AS BIGINT) AS ra, 1000 - CAST(SUM(p0) AS BIGINT) AS rp FROM a),
+            k AS (
+                SELECT a.*,
+                       ROW_NUMBER() OVER (ORDER BY rm DESC, stratum ASC) AS rka,
+                       ROW_NUMBER() OVER (ORDER BY pm DESC, stratum ASC) AS rkp
+                FROM a
+            )
+            SELECT stratum, n, sigma,
+                   CAST(a0 + CASE WHEN rka <= r.ra THEN 1 ELSE 0 END AS BIGINT) AS neyman_alloc,
+                   CAST(p0 + CASE WHEN rkp <= r.rp THEN 1 ELSE 0 END AS BIGINT) AS prop_alloc
+            FROM k CROSS JOIN r ORDER BY stratum
         """,
         "weighted_price_quantiles": """
             WITH grid AS (

@@ -65,6 +65,7 @@ __all__ = [
     "seasonal_decompose",
     "holt_linear",
     "weighted_quantiles",
+    "neyman_allocation",
 ]
 
 
@@ -2571,3 +2572,77 @@ def weighted_quantiles(
         .agg(F.min(val_col).alias("value"), F.max("total_weight").alias("total_weight"))
         .orderBy(group_col, "q")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+    value_scale: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: split a sampling
+    budget across strata proportional to N_h·σ_h — the allocation that
+    minimizes the variance of the stratified mean estimator (Neyman
+    1934), the survey-sampling step before cutting an eval or labeling
+    sample from a skewed corpus. A proportional allocation (∝ N_h) is
+    emitted beside it so the report shows exactly where variance
+    knowledge moves the budget.
+
+    Exactness: values quantize once to integer units (``value_scale`` —
+    cents for money), the moments are DECIMAL(38,0) integer sums, and
+    the key identity keeps the weight integral-friendly:
+
+        N_h·σ_h = sqrt(N_h·Σx² − (Σx)²)
+
+    — one IEEE sqrt of an EXACT integer per stratum (bit-stable on every
+    engine, the token_budget_mixture recipe), floored to int64. Both
+    allocations are largest-remainder/Hamilton in pure int64, so each
+    sums EXACTLY to the budget. The stats frame is strata-sized;
+    everything after the one combinable scan is broadcast arithmetic.
+
+    Output per stratum: (stratum, n, sigma, neyman_alloc, prop_alloc).
+    """
+    dec = "decimal(38,0)"
+    x = F.expr(f"CAST(ROUND(CAST({value_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    stats = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(stratum_col).alias("stratum"), x.alias("_x"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_x").cast(dec)).alias("_sx"),
+            F.sum(F.col("_x").cast(dec) * F.col("_x").cast(dec)).alias("_sxx"),
+        )
+    )
+    s2n = F.col("n").cast(dec) * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    weighted = stats.withColumn(
+        "_w", F.floor(F.sqrt(s2n.cast("double"))).cast("long")
+    ).withColumn(
+        "sigma",
+        F.round(
+            F.sqrt(s2n.cast("double")) / (F.col("n").cast("double") * F.lit(float(value_scale))),
+            decimals,
+        ),
+    )
+
+    def hamilton(frame: DataFrame, weight_col: str, out_col: str) -> DataFrame:
+        wsum = frame.agg(F.sum(weight_col).alias("_ws"))
+        base = (
+            frame.crossJoin(F.broadcast(wsum))
+            .withColumn("_a0", F.expr(f"({int(budget)} * {weight_col}) div _ws"))
+            .withColumn("_rm", F.expr(f"({int(budget)} * {weight_col}) % _ws"))
+        )
+        resid = base.agg((F.lit(int(budget)) - F.sum("_a0")).alias("_r"))
+        w_rank = Window.orderBy(F.col("_rm").desc(), F.col("stratum").asc())
+        return (
+            base.withColumn("_rk", F.row_number().over(w_rank))
+            .crossJoin(F.broadcast(resid))
+            .withColumn(out_col, (F.col("_a0") + (F.col("_rk") <= F.col("_r")).cast("long")))
+            .drop("_ws", "_a0", "_rm", "_rk", "_r")
+        )
+
+    out = hamilton(weighted, "_w", "neyman_alloc")
+    out = hamilton(out, "n", "prop_alloc")
+    return out.select("stratum", "n", "sigma", "neyman_alloc", "prop_alloc").orderBy("stratum")

@@ -518,3 +518,33 @@ def test_weighted_quantiles_partition_invariant(spark):
     a = sorted(map(tuple, weighted_quantiles(df, "g", "v", "w").collect()))
     b = sorted(map(tuple, weighted_quantiles(df.repartition(13), "g", "v", "w").collect()))
     assert a == b
+
+
+def test_neyman_allocation_hand_computed(spark):
+    from morphik_core_spark.operators.analytics import neyman_allocation
+
+    # stratum a: N=4, values spread wide; stratum b: N=4, constant ->
+    # sigma_b = 0, so ALL budget goes to a under Neyman; proportional
+    # splits evenly
+    rows = [("a", 0.0), ("a", 100.0), ("a", 0.0), ("a", 100.0),
+            ("b", 50.0), ("b", 50.0), ("b", 50.0), ("b", 50.0)]
+    out = {r["stratum"]: r for r in neyman_allocation(
+        spark.createDataFrame(rows, "s string, v double"), "s", "v", budget=10
+    ).collect()}
+    assert out["a"]["sigma"] == 50.0 and out["b"]["sigma"] == 0.0
+    assert out["a"]["neyman_alloc"] == 10 and out["b"]["neyman_alloc"] == 0
+    assert out["a"]["prop_alloc"] == 5 and out["b"]["prop_alloc"] == 5
+
+
+def test_neyman_allocations_sum_to_budget_exactly(spark):
+    import random
+
+    from morphik_core_spark.operators.analytics import neyman_allocation
+
+    rng = random.Random(3)
+    rows = [(f"s{i % 7}", round(rng.uniform(1, 500), 2)) for i in range(400)]
+    out = neyman_allocation(
+        spark.createDataFrame(rows, "s string, v double"), "s", "v", budget=97
+    ).collect()
+    assert sum(r["neyman_alloc"] for r in out) == 97
+    assert sum(r["prop_alloc"] for r in out) == 97

@@ -70,6 +70,7 @@ SENSITIVE = [
     "seasonal_decompose",
     "holt_forecast",
     "weighted_price_quantiles",
+    "neyman_allocation",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",
