@@ -257,6 +257,13 @@ def main() -> None:
             )
             mat(weighted_quantiles(rows, "source", "v", "w"))
         runs["weighted_quantiles"] = wq
+
+        from morphik_core_spark.operators.analytics import neyman_allocation
+
+        def neyman(d):
+            rows = d.select("source", F.col("n_chars").cast("double").alias("v"))
+            mat(neyman_allocation(rows, "source", "v", budget=1000))
+        runs["neyman_allocation"] = neyman
     if "ols" in ops:
         from morphik_core_spark.operators.analytics import grouped_ols
 
