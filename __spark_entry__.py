@@ -4430,6 +4430,29 @@ def _q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neyman_allocation(strat, "stratum", "o_totalprice", budget=1000)
 
 
+def _q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals on the Holt backtest
+    (`analytics.conformal_interval`, 1/3 calibration, alpha=1/3 — a 67%
+    target interval; the default 90% interval measured coverage 1.0 at
+    BOTH SFs on this short series, a never-false covered flag, so the
+    parameterization was tightened until the flag discriminates:
+    0.85/0.90 measured): the finite-sample-corrected nearest-rank
+    quantile of calibration |errors| widths every evaluation forecast
+    into [lo, hi] with a covered flag and the empirical coverage the
+    guarantee is judged against. Integer micro-units end to end;
+    quantile is selection, never interpolation."""
+    from morphik_core_spark.operators.analytics import conformal_interval, holt_linear
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    fc = holt_linear(daily, "di", "y", alpha=0.3, beta=0.1)
+    return conformal_interval(
+        fc, "di", "y", calib_frac_num=1, calib_frac_den=3, alpha_num=1, alpha_den=3
+    )
+
+
 def _q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-volume autocorrelation at lags 1..7
     (`analytics.autocorrelation`): integer deviations n·x−S, DECIMAL(38,0)
@@ -5114,6 +5137,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_forecast": _q_holt_forecast,
         "weighted_price_quantiles": _q_weighted_price_quantiles,
         "neyman_allocation": _q_neyman_allocation,
+        "conformal_interval": _q_conformal_interval,
         "rater_agreement": _q_rater_agreement,
         "acf_daily": _q_acf_daily,
         "cusum_drift": _q_cusum_drift,
@@ -9789,6 +9813,59 @@ def oracle_sql() -> dict[str, str]:
                    kept_n,
                    ROUND(CAST(kept_n AS DOUBLE) / CAST(tkp AS DOUBLE), 6) AS kept_share
             FROM k CROSS JOIN tk ORDER BY bucket
+        """,
+        "conformal_interval": """
+            WITH RECURSIVE d AS (
+                SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS y
+                FROM events GROUP BY 1
+            ),
+            o AS (SELECT di, y, ROW_NUMBER() OVER (ORDER BY di) AS rn FROM d),
+            n AS (SELECT COUNT(*) AS nn FROM o),
+            hw(rn, l, b, f) AS (
+                SELECT 1,
+                       (SELECT y FROM o WHERE rn = 1) * 1000000,
+                       ((SELECT y FROM o WHERE rn = 2) - (SELECT y FROM o WHERE rn = 1)) * 1000000,
+                       CAST(NULL AS BIGINT)
+                UNION ALL
+                SELECT hw.rn + 1,
+                       CAST(ROUND(CAST(0.3 AS DOUBLE) * (o.y * 1000000)
+                                  + CAST(0.7 AS DOUBLE) * (hw.l + hw.b)) AS BIGINT),
+                       CAST(ROUND(CAST(0.1 AS DOUBLE)
+                                  * (CAST(ROUND(CAST(0.3 AS DOUBLE) * (o.y * 1000000)
+                                                + CAST(0.7 AS DOUBLE) * (hw.l + hw.b)) AS BIGINT)
+                                     - hw.l)
+                                  + CAST(0.9 AS DOUBLE) * hw.b) AS BIGINT),
+                       hw.l + hw.b
+                FROM hw JOIN o ON o.rn = hw.rn + 1 CROSS JOIN n
+                WHERE hw.rn < n.nn
+            ),
+            fc AS (
+                SELECT o.di, o.y, hw.f, o.y * 1000000 - hw.f AS e
+                FROM hw JOIN o ON o.rn = hw.rn WHERE hw.f IS NOT NULL
+            ),
+            rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY di) AS r, COUNT(*) OVER () AS nf FROM fc),
+            parts AS (SELECT *, (nf * 1) // 3 AS ncal FROM rk),
+            calib AS (SELECT abs(e) AS ae, ncal FROM parts WHERE r <= ncal),
+            q AS (
+                SELECT ae AS qv FROM (
+                    SELECT ae, ncal, ROW_NUMBER() OVER (ORDER BY ae ASC) AS ar FROM calib
+                ) WHERE ar = LEAST(ncal, CAST(ceil((ncal + 1) * (1.0 - 1 / CAST(3 AS DOUBLE))) AS BIGINT))
+            ),
+            ev AS (
+                SELECT p.di, p.y, p.f, p.f - q.qv AS lo, p.f + q.qv AS hi,
+                       (p.y * 1000000 >= p.f - q.qv AND p.y * 1000000 <= p.f + q.qv) AS covered
+                FROM parts p CROSS JOIN q WHERE p.r > p.ncal
+            ),
+            cov AS (
+                SELECT ROUND(CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS DOUBLE)
+                             / COUNT(*), 6) AS coverage FROM ev
+            )
+            SELECT ev.di, ev.y,
+                   ROUND(CAST(f AS DOUBLE) / 1e6, 6) AS forecast,
+                   ROUND(CAST(lo AS DOUBLE) / 1e6, 6) AS lo,
+                   ROUND(CAST(hi AS DOUBLE) / 1e6, 6) AS hi,
+                   covered, cov.coverage
+            FROM ev CROSS JOIN cov
         """,
         "neyman_allocation": """
             WITH lc AS (SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1),

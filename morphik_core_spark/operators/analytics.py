@@ -66,6 +66,7 @@ __all__ = [
     "holt_linear",
     "weighted_quantiles",
     "neyman_allocation",
+    "conformal_interval",
 ]
 
 
@@ -2646,3 +2647,92 @@ def neyman_allocation(
     out = hamilton(weighted, "_w", "neyman_alloc")
     out = hamilton(out, "n", "prop_alloc")
     return out.select("stratum", "n", "sigma", "neyman_alloc", "prop_alloc").orderBy("stratum")
+
+
+def conformal_interval(
+    forecasts: DataFrame,
+    idx_col: str,
+    val_col: str,
+    calib_frac_num: int = 2,
+    calib_frac_den: int = 3,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Split-conformal prediction intervals over a backtested forecast
+    frame (`holt_linear` output or any frame with ``forecast``/``error``
+    columns): the first ``calib_frac`` of indexes calibrate — the
+    (1−α) empirical quantile of |error| with the standard conformal
+    finite-sample correction rank ⌈(n+1)(1−α)⌉ — and every later point
+    gets [forecast − q, forecast + q] plus a covered flag; one summary
+    column reports empirical coverage on the evaluation split, the
+    number the (1−α) guarantee is judged against.
+
+    All arithmetic is integer micro-units riding the forecaster's own
+    quantization: the calibration quantile is a nearest-rank SELECTION
+    (never interpolation), the split boundary is an integer index rank,
+    and coverage is a ratio of integer counts rounded once. Fractions
+    arrive as integer num/den pairs so no float parameter can smuggle a
+    boundary ambiguity in.
+
+    The input is a series-bounded frame by contract (same as the
+    forecaster), so the rank windows are bounded.
+    """
+    base = forecasts.select(
+        F.col(idx_col).alias("_i"),
+        F.col(val_col).alias("_y"),
+        # ROUND before the cast: 6-dp doubles times 1e6 can land at
+        # x.9999… and a bare BIGINT cast truncates in Spark
+        F.expr("CAST(ROUND(forecast * 1e6) AS BIGINT)").alias("_f"),
+        F.expr("CAST(ROUND(error * 1e6) AS BIGINT)").alias("_e"),
+    ).filter(F.col("_f").isNotNull())
+    w_rank = Window.orderBy("_i")
+    tot = base.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = base.withColumn("_rk", F.row_number().over(w_rank)).join(F.broadcast(tot))
+    n_cal = F.expr(f"(_n * {int(calib_frac_num)}) div {int(calib_frac_den)}")
+    ranked = ranked.withColumn("_ncal", n_cal)
+    calib = ranked.filter(F.col("_rk") <= F.col("_ncal")).select(
+        F.abs("_e").alias("_ae"), "_ncal"
+    )
+    # conformal rank: ceil((n_cal + 1) * (1 - alpha)), clamped to n_cal
+    q_rank = F.expr(
+        f"least(_ncal, CAST(ceil((_ncal + 1) * (1.0 - {int(alpha_num)} / CAST({int(alpha_den)} AS DOUBLE))) AS BIGINT))"
+    )
+    w_ae = Window.orderBy(F.col("_ae").asc())
+    qhat = (
+        calib.withColumn("_ar", F.row_number().over(w_ae))
+        .withColumn("_qr", q_rank)
+        .filter(F.col("_ar") == F.col("_qr"))
+        .select(F.col("_ae").alias("_q"))
+    )
+    ev = (
+        ranked.filter(F.col("_rk") > F.col("_ncal"))
+        .join(F.broadcast(qhat))
+        .withColumn("_lo", F.col("_f") - F.col("_q"))
+        .withColumn("_hi", F.col("_f") + F.col("_q"))
+        .withColumn(
+            "covered",
+            (F.col("_y") * F.lit(1000000) >= F.col("_lo"))
+            & (F.col("_y") * F.lit(1000000) <= F.col("_hi")),
+        )
+    )
+    cov = ev.agg(
+        F.round(
+            F.sum(F.col("covered").cast("bigint")).cast("double") / F.count(F.lit(1)),
+            decimals,
+        ).alias("coverage")
+    )
+    to_d = lambda c: F.round(F.col(c).cast("double") / F.lit(1e6), decimals)
+    return (
+        ev.join(F.broadcast(cov))
+        .select(
+            F.col("_i").alias(idx_col),
+            F.col("_y").alias(val_col),
+            to_d("_f").alias("forecast"),
+            to_d("_lo").alias("lo"),
+            to_d("_hi").alias("hi"),
+            "covered",
+            "coverage",
+        )
+        .orderBy(idx_col)
+    )

@@ -548,3 +548,35 @@ def test_neyman_allocations_sum_to_budget_exactly(spark):
     ).collect()
     assert sum(r["neyman_alloc"] for r in out) == 97
     assert sum(r["prop_alloc"] for r in out) == 97
+
+
+def test_conformal_interval_hand_computed(spark):
+    from morphik_core_spark.operators.analytics import conformal_interval
+
+    # hand-built forecast frame: 6 calib points (|e| = 1..6), 3 eval.
+    # calib=2/3 of 9 -> ncal=6; alpha=1/3 -> rank ceil(7*(2/3))=5 -> q=5
+    rows = [
+        (i, 100, 100.0 + e, float(-e))
+        for i, e in enumerate([1, -2, 3, -4, 5, -6, 4, -5, 7], start=1)
+    ]
+    df = spark.createDataFrame(rows, "di long, y long, forecast double, error double")
+    out = {r["di"]: r for r in conformal_interval(
+        df, "di", "y", calib_frac_num=2, calib_frac_den=3, alpha_num=1, alpha_den=3
+    ).collect()}
+    assert set(out) == {7, 8, 9}
+    for i in (7, 8, 9):
+        assert out[i]["lo"] == out[i]["forecast"] - 5.0
+        assert out[i]["hi"] == out[i]["forecast"] + 5.0
+    # eval errors -4, +5, -7: |e|<=5 covered for the first two only
+    assert out[7]["covered"] and out[8]["covered"] and not out[9]["covered"]
+    assert out[7]["coverage"] == round(2 / 3, 6)
+
+
+def test_conformal_interval_partition_invariant(spark):
+    from morphik_core_spark.operators.analytics import conformal_interval
+
+    rows = [(i, 10, 10.0 + ((i * 7) % 5 - 2), float(-((i * 7) % 5 - 2))) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "di long, y long, forecast double, error double")
+    a = sorted(map(tuple, conformal_interval(df, "di", "y").collect()))
+    b = sorted(map(tuple, conformal_interval(df.repartition(9), "di", "y").collect()))
+    assert a == b

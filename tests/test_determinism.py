@@ -71,6 +71,7 @@ SENSITIVE = [
     "holt_forecast",
     "weighted_price_quantiles",
     "neyman_allocation",
+    "conformal_interval",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",
