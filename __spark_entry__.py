@@ -4453,6 +4453,21 @@ def _q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration of the synthetic informative score
+    (`ml_eval.isotonic_calibration`): the minimax closed form over the
+    3-dp quantized score grid — a bounded quadratic interval grid, the
+    AUC-family pattern — yields the non-decreasing probability map the
+    reliability diagram only diagnoses. Pooling plateaus appear wherever
+    raw per-score rates are non-monotone (ubiquitous at this corpus's
+    ~1-3 rows per distinct score — measured, discriminating)."""
+    from morphik_core_spark.operators.ml_eval import isotonic_calibration
+
+    return isotonic_calibration(
+        _synthetic_score_and_label(spark, sf_dir), "score", "y", grid_decimals=3
+    )
+
+
 def _q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-volume autocorrelation at lags 1..7
     (`analytics.autocorrelation`): integer deviations n·x−S, DECIMAL(38,0)
@@ -5138,6 +5153,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_price_quantiles": _q_weighted_price_quantiles,
         "neyman_allocation": _q_neyman_allocation,
         "conformal_interval": _q_conformal_interval,
+        "isotonic_calibration": _q_isotonic_calibration,
         "rater_agreement": _q_rater_agreement,
         "acf_daily": _q_acf_daily,
         "cusum_drift": _q_cusum_drift,
@@ -9813,6 +9829,42 @@ def oracle_sql() -> dict[str, str]:
                    kept_n,
                    ROUND(CAST(kept_n AS DOUBLE) / CAST(tkp AS DOUBLE), 6) AS kept_share
             FROM k CROSS JOIN tk ORDER BY bucket
+        """,
+        "isotonic_calibration": """
+            WITH sc AS (
+                SELECT ROUND(CAST(0.7 AS DOUBLE)
+                         * (CAST((CAST(('0x' || substr(md5('prob:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000) AS DOUBLE) / 1000000.0)
+                         + CAST(0.3 AS DOUBLE) * CAST(y AS DOUBLE), 6) AS score, y
+                FROM (SELECT doc_id, CASE WHEN source IN ('src1', 'src3', 'src5') THEN 1 ELSE 0 END AS y
+                      FROM documents WHERE source IS NOT NULL)
+            ),
+            g AS (SELECT CAST(ROUND(score * 1000) AS BIGINT) AS s, COUNT(*) AS cnt,
+                         CAST(SUM(y) AS BIGINT) AS pos FROM sc GROUP BY 1),
+            idx AS (
+                SELECT s, cnt, pos,
+                       ROW_NUMBER() OVER (ORDER BY s) AS i,
+                       CAST(SUM(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nN,
+                       CAST(SUM(pos) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nP
+                FROM g
+            ),
+            grid AS (
+                SELECT l.i AS j, r.i AS k,
+                       CAST(r.nP - (l.nP - l.pos) AS DOUBLE)
+                       / CAST(r.nN - (l.nN - l.cnt) AS DOUBLE) AS a
+                FROM idx l JOIN idx r ON l.i <= r.i
+            ),
+            m AS (
+                SELECT j, k,
+                       MIN(a) OVER (PARTITION BY j ORDER BY k DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mm
+                FROM grid
+            ),
+            iso AS (SELECT k AS i, MAX(mm) AS iso FROM m GROUP BY 1)
+            SELECT ROUND(CAST(idx.s AS DOUBLE) / 1000.0, 3) AS score,
+                   idx.cnt AS n, idx.pos,
+                   ROUND(CAST(idx.pos AS DOUBLE) / CAST(idx.cnt AS DOUBLE), 6) AS raw_rate,
+                   ROUND(iso.iso, 6) AS iso_prob
+            FROM idx JOIN iso ON idx.i = iso.i ORDER BY score
         """,
         "conformal_interval": """
             WITH RECURSIVE d AS (

@@ -72,6 +72,7 @@ SENSITIVE = [
     "weighted_price_quantiles",
     "neyman_allocation",
     "conformal_interval",
+    "isotonic_calibration",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",

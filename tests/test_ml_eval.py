@@ -213,3 +213,64 @@ def test_threshold_boundary_is_inclusive_in_integer_units(spark):
         _df(spark, rows, "s double, y int"), "s", "y", thresholds=(0.3,)
     ).collect()[0]
     assert r["tp"] == 1 and r["fp"] == 0 and r["tn"] == 1
+
+
+def _pava_reference(groups):
+    """Sequential pool-adjacent-violators over (score, n, pos) asc."""
+    blocks = [[n, pos] for _s, n, pos in groups]
+    i = 0
+    merged = [list(b) for b in blocks]
+    out_idx = list(range(len(blocks)))
+    stack = []
+    for b in merged:
+        stack.append(list(b))
+        while len(stack) >= 2 and stack[-2][1] * stack[-1][0] > stack[-1][1] * stack[-2][0]:
+            n2, p2 = stack.pop()
+            stack[-1][0] += n2
+            stack[-1][1] += p2
+    vals = []
+    for n, p in stack:
+        vals.extend([p / n] * 0)  # placeholder
+    # expand: walk blocks re-deriving which block each group landed in
+    res = []
+    it = iter(stack)
+    cur = next(it)
+    left = cur[0]
+    for _s, n, _pos in groups:
+        while left < n:
+            cur = next(it)
+            left = cur[0]
+        res.append(cur[1] / cur[0])
+        left -= n
+    return res
+
+
+def test_isotonic_calibration_matches_sequential_pava(spark):
+    import random
+
+    from morphik_core_spark.operators.ml_eval import isotonic_calibration
+
+    rng = random.Random(5)
+    rows = [(round(rng.randrange(20) / 20 + 0.001, 3), rng.randrange(2)) for _ in range(300)]
+    out = isotonic_calibration(
+        _df(spark, rows, "s double, y int"), "s", "y", grid_decimals=3
+    ).orderBy("score").collect()
+    groups = [(r["score"], r["n"], r["pos"]) for r in out]
+    expect = _pava_reference(groups)
+    for r, e in zip(out, expect):
+        assert abs(r["iso_prob"] - e) < 1e-6, (r["score"], r["iso_prob"], e)
+    # monotone by construction
+    probs = [r["iso_prob"] for r in out]
+    assert probs == sorted(probs)
+
+
+def test_isotonic_calibration_pools_violations(spark):
+    from morphik_core_spark.operators.ml_eval import isotonic_calibration
+
+    # raw rates 0.0, 1.0, 0.0 at scores .1 < .2 < .3: middle violation
+    # pools with the right neighbor -> [0, 0.5, 0.5]
+    rows = [(0.1, 0), (0.1, 0), (0.2, 1), (0.2, 1), (0.3, 0), (0.3, 0)]
+    out = {r["score"]: r["iso_prob"] for r in isotonic_calibration(
+        _df(spark, rows, "s double, y int"), "s", "y", grid_decimals=3
+    ).collect()}
+    assert out[0.1] == 0.0 and out[0.2] == 0.5 and out[0.3] == 0.5
