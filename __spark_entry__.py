@@ -4468,6 +4468,21 @@ def _q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event volume
+    (`analytics.theil_sen_trend`): exact nearest-rank median over the
+    435 pairwise slopes (series-bounded pair grid), micro-quantized
+    slopes, 2x/4x-carried medians — the outlier-proof complement of
+    `grouped_ols`' least-squares line."""
+    from morphik_core_spark.operators.analytics import theil_sen_trend
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return theil_sen_trend(daily, "di", "y")
+
+
 def _q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-volume autocorrelation at lags 1..7
     (`analytics.autocorrelation`): integer deviations n·x−S, DECIMAL(38,0)
@@ -5154,6 +5169,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation": _q_neyman_allocation,
         "conformal_interval": _q_conformal_interval,
         "isotonic_calibration": _q_isotonic_calibration,
+        "theil_sen_trend": _q_theil_sen_trend,
         "rater_agreement": _q_rater_agreement,
         "acf_daily": _q_acf_daily,
         "cusum_drift": _q_cusum_drift,
@@ -9829,6 +9845,44 @@ def oracle_sql() -> dict[str, str]:
                    kept_n,
                    ROUND(CAST(kept_n AS DOUBLE) / CAST(tkp AS DOUBLE), 6) AS kept_share
             FROM k CROSS JOIN tk ORDER BY bucket
+        """,
+        "theil_sen_trend": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS i, COUNT(*) AS y
+                FROM events GROUP BY 1
+            ),
+            pairs AS (
+                SELECT CAST(ROUND(CAST(b.y - a.y AS DOUBLE) * 1e6
+                                  / CAST(b.i - a.i AS DOUBLE)) AS BIGINT) AS s
+                FROM d a JOIN d b ON a.i < b.i
+            ),
+            pc AS (SELECT COUNT(*) AS np FROM pairs),
+            ms AS (
+                SELECT CASE WHEN MAX(np) % 2 = 1 THEN CAST(SUM(s) * 2 AS BIGINT)
+                            ELSE CAST(SUM(s) AS BIGINT) END AS m2,
+                       CAST(MAX(np) AS BIGINT) AS n_pairs
+                FROM (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS r FROM pairs) CROSS JOIN pc
+                WHERE (np % 2 = 1 AND r * 2 = np + 1)
+                   OR (np % 2 = 0 AND (r * 2 = np OR r * 2 = np + 2))
+            ),
+            res AS (
+                SELECT d.y * 2000000 - ms.m2 * d.i AS r2, ms.m2, ms.n_pairs
+                FROM d CROSS JOIN ms
+            ),
+            rc AS (SELECT COUNT(*) AS nr FROM res),
+            im AS (
+                SELECT CASE WHEN MAX(nr) % 2 = 1 THEN CAST(SUM(r2) * 2 AS BIGINT)
+                            ELSE CAST(SUM(r2) AS BIGINT) END AS i4,
+                       CAST(MAX(m2) AS BIGINT) AS m2, CAST(MAX(n_pairs) AS BIGINT) AS n_pairs
+                FROM (SELECT r2, m2, n_pairs, ROW_NUMBER() OVER (ORDER BY r2) AS r FROM res) CROSS JOIN rc
+                WHERE (nr % 2 = 1 AND r * 2 = nr + 1)
+                   OR (nr % 2 = 0 AND (r * 2 = nr OR r * 2 = nr + 2))
+            ),
+            np2 AS (SELECT COUNT(*) AS n_points FROM d)
+            SELECT n_points, n_pairs,
+                   ROUND(CAST(m2 AS DOUBLE) / 2e6, 6) AS slope,
+                   ROUND(CAST(i4 AS DOUBLE) / 4e6, 6) AS intercept
+            FROM np2 CROSS JOIN im
         """,
         "isotonic_calibration": """
             WITH sc AS (

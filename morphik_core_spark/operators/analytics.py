@@ -67,6 +67,7 @@ __all__ = [
     "weighted_quantiles",
     "neyman_allocation",
     "conformal_interval",
+    "theil_sen_trend",
 ]
 
 
@@ -2735,4 +2736,87 @@ def conformal_interval(
             "coverage",
         )
         .orderBy(idx_col)
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    idx_col: str,
+    val_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Theil–Sen robust trend estimate over an integer-indexed series:
+    the MEDIAN of all pairwise slopes (y_k − y_j)/(k − j) — up to ~29%
+    contamination cannot move it, which is why it's the trend you quote
+    when the series has outliers the OLS line would chase. Intercept is
+    the median of y_i − slope·i (the standard robust intercept).
+
+    Exactness: each pairwise slope quantizes once to micro-units
+    (ROUND(dy·10⁶/dx) — dy, dx exact integers, one IEEE division), the
+    median is the exact nearest-rank pair over the sorted slopes carried
+    as 2·median to keep even-count interpolation integral, and the
+    intercept medians over per-point micro residuals the same way.
+
+    The pairwise grid is SERIES-bounded (n(n−1)/2 on the pre-aggregated
+    series — 435 pairs for a 30-day window), the same contract as the
+    other series operators; never row-grain.
+
+    Output: one row (n_points, n_pairs, slope, intercept).
+    """
+    base = df.select(
+        F.col(idx_col).cast("bigint").alias("_i"),
+        F.col(val_col).cast("bigint").alias("_y"),
+    )
+    a = base.select(F.col("_i").alias("_ia"), F.col("_y").alias("_ya"))
+    b = base.select(F.col("_i").alias("_ib"), F.col("_y").alias("_yb"))
+    pairs = a.join(b, F.col("_ia") < F.col("_ib")).select(
+        F.expr(
+            "CAST(ROUND(CAST((_yb - _ya) AS DOUBLE) * 1e6 / CAST(_ib - _ia AS DOUBLE)) AS BIGINT)"
+        ).alias("_s")
+    )
+    # exact median carried as 2*median (the rolling-median recipe):
+    # odd n -> 2*middle; even n -> middle pair sum
+    w = Window.orderBy("_s")
+    cnt = pairs.agg(F.count(F.lit(1)).alias("_np"))
+    med2 = (
+        pairs.withColumn("_r", F.row_number().over(w))
+        .join(F.broadcast(cnt))
+        .filter(
+            ((F.col("_np") % 2 == 1) & (F.col("_r") * 2 == F.col("_np") + 1))
+            | ((F.col("_np") % 2 == 0) & ((F.col("_r") * 2 == F.col("_np")) | (F.col("_r") * 2 == F.col("_np") + 2)))
+        )
+        .agg(
+            F.when(F.max("_np") % 2 == 1, F.sum("_s") * 2).otherwise(F.sum("_s")).alias("_m2"),
+            F.max("_np").alias("n_pairs"),
+        )
+    )
+    n_points = base.agg(F.count(F.lit(1)).alias("n_points"))
+    # residual intercept: median over per-point (y*1e6*2 - slope2*i)
+    resid = (
+        base.join(F.broadcast(med2))
+        .select((F.col("_y") * F.lit(2000000) - F.col("_m2") * F.col("_i")).alias("_res2"), "_m2", "n_pairs")
+    )
+    wr = Window.orderBy("_res2")
+    rcnt = resid.agg(F.count(F.lit(1)).alias("_nr"))
+    imed = (
+        resid.withColumn("_r", F.row_number().over(wr))
+        .join(F.broadcast(rcnt))
+        .filter(
+            ((F.col("_nr") % 2 == 1) & (F.col("_r") * 2 == F.col("_nr") + 1))
+            | ((F.col("_nr") % 2 == 0) & ((F.col("_r") * 2 == F.col("_nr")) | (F.col("_r") * 2 == F.col("_nr") + 2)))
+        )
+        .agg(
+            F.when(F.max("_nr") % 2 == 1, F.sum("_res2") * 2).otherwise(F.sum("_res2")).alias("_i4"),
+            F.max("_m2").alias("_m2"),
+            F.max("n_pairs").alias("n_pairs"),
+        )
+    )
+    return (
+        n_points.join(F.broadcast(imed))
+        .select(
+            "n_points",
+            "n_pairs",
+            F.round(F.col("_m2").cast("double") / F.lit(2e6), decimals).alias("slope"),
+            F.round(F.col("_i4").cast("double") / F.lit(4e6), decimals).alias("intercept"),
+        )
     )

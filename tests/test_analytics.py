@@ -580,3 +580,45 @@ def test_conformal_interval_partition_invariant(spark):
     a = sorted(map(tuple, conformal_interval(df, "di", "y").collect()))
     b = sorted(map(tuple, conformal_interval(df.repartition(9), "di", "y").collect()))
     assert a == b
+
+
+def test_theil_sen_exact_line_and_outlier_immunity(spark):
+    from morphik_core_spark.operators.analytics import theil_sen_trend
+
+    # pure line y = 3x + 7: every pairwise slope is exactly 3
+    rows = [(i, 3 * i + 7) for i in range(10)]
+    [r] = theil_sen_trend(spark.createDataFrame(rows, "i long, y long"), "i", "y").collect()
+    assert (r["slope"], r["intercept"]) == (3.0, 7.0)
+    assert r["n_points"] == 10 and r["n_pairs"] == 45
+    # one wild outlier: OLS would chase it, the median slope must not move
+    rows_out = rows[:-1] + [(9, 10_000)]
+    [r2] = theil_sen_trend(spark.createDataFrame(rows_out, "i long, y long"), "i", "y").collect()
+    assert r2["slope"] == 3.0
+
+
+def test_theil_sen_matches_bruteforce_median(spark):
+    import random
+
+    from morphik_core_spark.operators.analytics import theil_sen_trend
+
+    rng = random.Random(9)
+    rows = [(i, 50 + rng.randrange(-10, 11)) for i in range(16)]
+    [r] = theil_sen_trend(spark.createDataFrame(rows, "i long, y long"), "i", "y").collect()
+    slopes = sorted(
+        round((yb - ya) * 1e6 / (ib - ia))
+        for k, (ia, ya) in enumerate(rows)
+        for ib, yb in rows[k + 1:]
+    )
+    n = len(slopes)
+    m2 = slopes[n // 2] * 2 if n % 2 else slopes[n // 2 - 1] + slopes[n // 2]
+    assert r["slope"] == round(m2 / 2e6, 6)
+
+
+def test_theil_sen_partition_invariant(spark):
+    from morphik_core_spark.operators.analytics import theil_sen_trend
+
+    rows = [(i, 100 + (i * 13) % 17) for i in range(25)]
+    df = spark.createDataFrame(rows, "i long, y long")
+    a = [tuple(r) for r in theil_sen_trend(df, "i", "y").collect()]
+    b = [tuple(r) for r in theil_sen_trend(df.repartition(7), "i", "y").collect()]
+    assert a == b

@@ -73,6 +73,7 @@ SENSITIVE = [
     "neyman_allocation",
     "conformal_interval",
     "isotonic_calibration",
+    "theil_sen_trend",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",
