@@ -4483,6 +4483,27 @@ def _q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_trend(daily, "di", "y")
 
 
+def _q_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method CI for purchases-per-event by hash variant
+    (`analytics.ratio_metric_ci`): the clustered-ratio correction —
+    events within a user correlate (corr(x,y) ~ 0.4-0.5 measured), so
+    the per-user unit frame feeds exact DECIMAL(38,0) moments and one
+    double tree per group."""
+    from morphik_core_spark.operators.analytics import ratio_metric_ci
+    from morphik_core_spark.operators.dedup import portable_hash
+
+    events = _t(spark, sf_dir, "events")
+    grp = F.when(
+        portable_hash(F.concat(F.lit("rm:"), F.col("user_id").cast("string"))) % 2 == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("variant"))
+    units = events.groupBy(F.col("user_id"), grp.alias("grp")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    return ratio_metric_ci(units, "grp", "x", "y")
+
+
 def _q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-volume autocorrelation at lags 1..7
     (`analytics.autocorrelation`): integer deviations n·x−S, DECIMAL(38,0)
@@ -5170,6 +5191,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_interval": _q_conformal_interval,
         "isotonic_calibration": _q_isotonic_calibration,
         "theil_sen_trend": _q_theil_sen_trend,
+        "ratio_metric_ci": _q_ratio_metric_ci,
         "rater_agreement": _q_rater_agreement,
         "acf_daily": _q_acf_daily,
         "cusum_drift": _q_cusum_drift,
@@ -9845,6 +9867,48 @@ def oracle_sql() -> dict[str, str]:
                    kept_n,
                    ROUND(CAST(kept_n AS DOUBLE) / CAST(tkp AS DOUBLE), 6) AS kept_share
             FROM k CROSS JOIN tk ORDER BY bucket
+        """,
+        "ratio_metric_ci": """
+            WITH u AS (
+                SELECT user_id,
+                       CASE WHEN CAST(('0x' || substr(md5('rm:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                            THEN 'control' ELSE 'variant' END AS grp,
+                       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                       COUNT(*) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            a AS (
+                SELECT grp, COUNT(*) AS n_units,
+                       CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                       CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                       CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+                       CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+                       CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+                FROM u GROUP BY 1
+            ),
+            m AS (
+                SELECT grp, n_units,
+                       CAST(sx AS BIGINT) AS sum_num, CAST(sy AS BIGINT) AS sum_den,
+                       CAST(n_units AS DOUBLE) AS nd,
+                       CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                       CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+                       CAST(syy AS DOUBLE) AS syyd
+                FROM a
+            ),
+            t AS (
+                SELECT grp, n_units, sum_num, sum_den,
+                       sxd / syd AS r,
+                       SQRT(((sxxd / nd - (sxd / nd) * (sxd / nd))
+                             - CAST(2.0 AS DOUBLE) * (sxd / syd) * (sxyd / nd - (sxd / nd) * (syd / nd))
+                             + (sxd / syd) * (sxd / syd) * (syyd / nd - (syd / nd) * (syd / nd))) / nd)
+                       / (syd / nd) AS se
+                FROM m
+            )
+            SELECT grp, n_units, sum_num, sum_den,
+                   ROUND(r, 6) AS ratio, ROUND(se, 6) AS se,
+                   ROUND(r - CAST(1.96 AS DOUBLE) * se, 6) AS lo,
+                   ROUND(r + CAST(1.96 AS DOUBLE) * se, 6) AS hi
+            FROM t ORDER BY grp
         """,
         "theil_sen_trend": """
             WITH d AS (

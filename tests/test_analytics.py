@@ -622,3 +622,35 @@ def test_theil_sen_partition_invariant(spark):
     a = [tuple(r) for r in theil_sen_trend(df, "i", "y").collect()]
     b = [tuple(r) for r in theil_sen_trend(df.repartition(7), "i", "y").collect()]
     assert a == b
+
+
+def test_ratio_metric_ci_matches_numpy_delta(spark):
+    import numpy as np
+
+    from morphik_core_spark.operators.analytics import ratio_metric_ci
+
+    xs = [3, 1, 0, 5, 2, 4, 1, 0, 6, 2]
+    ys = [10, 8, 5, 14, 9, 12, 7, 6, 15, 9]
+    rows = [("g", x, y) for x, y in zip(xs, ys)]
+    [r] = ratio_metric_ci(
+        spark.createDataFrame(rows, "g string, x long, y long"), "g", "x", "y"
+    ).collect()
+    x, y = np.array(xs, float), np.array(ys, float)
+    R = x.sum() / y.sum()
+    n = len(x)
+    vx, vy = x.var(), y.var()
+    cxy = ((x * y).mean() - x.mean() * y.mean())
+    se = np.sqrt((vx - 2 * R * cxy + R * R * vy) / n) / y.mean()
+    assert r["ratio"] == round(R, 6)
+    assert abs(r["se"] - se) < 1e-6
+    assert r["lo"] == round(R - 1.96 * se, 6) and r["hi"] == round(R + 1.96 * se, 6)
+
+
+def test_ratio_metric_ci_zero_variance_unit_frame(spark):
+    from morphik_core_spark.operators.analytics import ratio_metric_ci
+
+    rows = [("g", 1, 2)] * 5  # identical units -> se exactly 0
+    [r] = ratio_metric_ci(
+        spark.createDataFrame(rows, "g string, x long, y long"), "g", "x", "y"
+    ).collect()
+    assert r["ratio"] == 0.5 and r["se"] == 0.0 and r["lo"] == r["hi"] == 0.5

@@ -74,6 +74,7 @@ SENSITIVE = [
     "conformal_interval",
     "isotonic_calibration",
     "theil_sen_trend",
+    "ratio_metric_ci",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",
