@@ -4504,6 +4504,42 @@ def _q_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ratio_metric_ci(units, "grp", "x", "y")
 
 
+def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend significance over daily event volume
+    (`analytics.mann_kendall_test`) — the nonparametric companion to
+    `theil_sen_trend`: exact integer S over the series-bounded pair
+    grid, tie-corrected integer variance, continuity-corrected z. Two
+    rows: the RAW series (z ≈ −0.14 at sf0.01, trend 'none') and the
+    cusum_drift-style +50% tail uplift (z ≈ 3.64, 'increasing') so the
+    trend label exercises both branches — the injected-drift precedent
+    from the NOTES non-vacuity rule."""
+    from morphik_core_spark.operators.analytics import mann_kendall_test
+
+    events = _t(spark, sf_dir, "events")
+    d0 = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("x0"))
+    lo = d0.agg(F.min("di").alias("_dmin"))
+    base = d0.join(F.broadcast(lo))
+    raw = mann_kendall_test(base.select("di", F.col("x0").alias("y")), "di", "y")
+    uplifted = mann_kendall_test(
+        base.select(
+            "di",
+            (
+                F.col("x0")
+                + F.when(
+                    F.col("di") >= F.col("_dmin") + 20, F.expr("x0 div 2")
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        ),
+        "di",
+        "y",
+    )
+    return raw.select(F.lit("raw").alias("series"), "*").unionByName(
+        uplifted.select(F.lit("uplifted").alias("series"), "*")
+    )
+
+
 def _q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-volume autocorrelation at lags 1..7
     (`analytics.autocorrelation`): integer deviations n·x−S, DECIMAL(38,0)
@@ -5192,6 +5228,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": _q_isotonic_calibration,
         "theil_sen_trend": _q_theil_sen_trend,
         "ratio_metric_ci": _q_ratio_metric_ci,
+        "mann_kendall": _q_mann_kendall,
         "rater_agreement": _q_rater_agreement,
         "acf_daily": _q_acf_daily,
         "cusum_drift": _q_cusum_drift,
@@ -9867,6 +9904,48 @@ def oracle_sql() -> dict[str, str]:
                    kept_n,
                    ROUND(CAST(kept_n AS DOUBLE) / CAST(tkp AS DOUBLE), 6) AS kept_share
             FROM k CROSS JOIN tk ORDER BY bucket
+        """,
+        "mann_kendall": """
+            WITH d0 AS (
+                SELECT epoch_us(ts) // 86400000000 AS i, COUNT(*) AS x0
+                FROM events GROUP BY 1
+            ),
+            lo AS (SELECT MIN(i) AS dmin FROM d0),
+            d AS (
+                SELECT 'raw' AS series, i, x0 AS y FROM d0
+                UNION ALL
+                SELECT 'uplifted', i,
+                       x0 + CASE WHEN i >= dmin + 20 THEN x0 // 2 ELSE 0 END
+                FROM d0 CROSS JOIN lo
+            ),
+            s AS (
+                SELECT a.series,
+                       CAST(SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+                FROM d a JOIN d b ON a.series = b.series AND a.i < b.i
+                GROUP BY 1
+            ),
+            n AS (SELECT series, COUNT(*) AS n FROM d GROUP BY 1),
+            ties AS (
+                SELECT series, CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+                FROM (SELECT series, COUNT(*) AS t FROM d GROUP BY series, y HAVING COUNT(*) > 1)
+                GROUP BY 1
+            ),
+            j AS (
+                SELECT s.series, s.s, n.n, COALESCE(ties.tie_term, 0) AS tie_term,
+                       CAST(n.n * (n.n - 1) * (2 * n.n + 5) - COALESCE(ties.tie_term, 0) AS DOUBLE) / 18.0 AS var_s
+                FROM s JOIN n USING (series) LEFT JOIN ties USING (series)
+            ),
+            zc AS (
+                SELECT *, CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / SQRT(var_s)
+                               WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / SQRT(var_s)
+                               ELSE CAST(0.0 AS DOUBLE) END AS z
+                FROM j
+            )
+            SELECT series, n AS n_points, s AS s_stat, ROUND(var_s, 6) AS var_s, ROUND(z, 6) AS z,
+                   CASE WHEN ROUND(z, 6) >= 1.96 THEN 'increasing'
+                        WHEN ROUND(z, 6) <= -1.96 THEN 'decreasing'
+                        ELSE 'none' END AS trend
+            FROM zc
         """,
         "ratio_metric_ci": """
             WITH u AS (

@@ -69,6 +69,7 @@ __all__ = [
     "conformal_interval",
     "theil_sen_trend",
     "ratio_metric_ci",
+    "mann_kendall_test",
 ]
 
 
@@ -2885,3 +2886,66 @@ def ratio_metric_ci(
         F.round(r - F.lit(float(z)) * se, decimals).alias("lo"),
         F.round(r + F.lit(float(z)) * se, decimals).alias("hi"),
     ).orderBy(group_col)
+
+
+def mann_kendall_test(
+    df: DataFrame,
+    idx_col: str,
+    val_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Mann–Kendall trend test over an integer-indexed series — the
+    nonparametric significance companion to `theil_sen_trend`'s
+    magnitude: S = Σ_{j<k} sign(y_k − y_j), with the tie-corrected
+    variance
+
+        var(S) = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18
+
+    and the continuity-corrected z = (S ∓ 1)/sqrt(var). S and every
+    variance term are EXACT integers (var is an integer divided by 18
+    once); z is one double tree. Pairs are series-bounded by contract.
+
+    Output: one row (n_points, s_stat, var_s, z, trend) — trend is
+    'increasing' / 'decreasing' / 'none' at |z| ≥ 1.96.
+    """
+    base = df.select(
+        F.col(idx_col).cast("bigint").alias("_i"),
+        F.col(val_col).cast("bigint").alias("_y"),
+    )
+    a = base.select(F.col("_i").alias("_ia"), F.col("_y").alias("_ya"))
+    b = base.select(F.col("_i").alias("_ib"), F.col("_y").alias("_yb"))
+    s_stat = (
+        a.join(b, F.col("_ia") < F.col("_ib"))
+        .agg(F.sum(F.signum((F.col("_yb") - F.col("_ya")).cast("double")).cast("bigint")).alias("s"))
+    )
+    n_row = base.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        base.groupBy("_y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5)), F.lit(0)
+            ).alias("tie_term")
+        )
+    )
+    joined = s_stat.join(F.broadcast(n_row)).join(F.broadcast(ties))
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (F.lit(2) * F.col("n") + 5) - F.col("tie_term")
+    )
+    var_s = var18.cast("double") / F.lit(18.0)
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        F.col("n").alias("n_points"),
+        F.col("s").alias("s_stat"),
+        F.round(var_s, decimals).alias("var_s"),
+        F.round(z, decimals).alias("z"),
+        F.when(F.round(z, decimals) >= 1.96, F.lit("increasing"))
+        .when(F.round(z, decimals) <= -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )

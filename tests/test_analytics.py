@@ -654,3 +654,27 @@ def test_ratio_metric_ci_zero_variance_unit_frame(spark):
         spark.createDataFrame(rows, "g string, x long, y long"), "g", "x", "y"
     ).collect()
     assert r["ratio"] == 0.5 and r["se"] == 0.0 and r["lo"] == r["hi"] == 0.5
+
+
+def test_mann_kendall_hand_computed(spark):
+    from morphik_core_spark.operators.analytics import mann_kendall_test
+
+    # strictly increasing: S = n(n-1)/2 = 45, no ties, z > 1.96
+    rows = [(i, 10 + i) for i in range(10)]
+    [r] = mann_kendall_test(spark.createDataFrame(rows, "i long, y long"), "i", "y").collect()
+    assert r["s_stat"] == 45 and r["trend"] == "increasing"
+    assert r["var_s"] == round(10 * 9 * 25 / 18, 6)
+    # flat series: every pair ties -> S = 0, z = 0, trend none
+    flat = [(i, 7) for i in range(10)]
+    [r2] = mann_kendall_test(spark.createDataFrame(flat, "i long, y long"), "i", "y").collect()
+    assert r2["s_stat"] == 0 and r2["z"] == 0.0 and r2["trend"] == "none"
+
+
+def test_mann_kendall_tie_correction(spark):
+    from morphik_core_spark.operators.analytics import mann_kendall_test
+
+    # values 1,1,2,3: one tie group of t=2 -> var = (4*3*13 - 2*1*9)/18
+    rows = [(0, 1), (1, 1), (2, 2), (3, 3)]
+    [r] = mann_kendall_test(spark.createDataFrame(rows, "i long, y long"), "i", "y").collect()
+    assert r["s_stat"] == 5  # pairs: (1,2)+(1,3)+(1,2)+(1,3)+(2,3) up, 1 tie
+    assert r["var_s"] == round((4 * 3 * 13 - 2 * 1 * 9) / 18, 6)

@@ -75,6 +75,7 @@ SENSITIVE = [
     "isotonic_calibration",
     "theil_sen_trend",
     "ratio_metric_ci",
+    "mann_kendall",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",
