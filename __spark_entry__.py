@@ -4540,6 +4540,45 @@ def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT early-stopping replay (`analytics.sprt_monitor`) over
+    (user, day) conversion units in deterministic hash order, testing
+    p0=0.41 vs p1=0.51 at alpha=beta=0.05 (LLR micro-constants 218254 /
+    -185717, threshold ln(19)*1e6 = 2944439 — computed once, inlined in
+    both engines). The variant carries the ab_test-style 1-in-5
+    non-converter uplift, so control accepts H0 (n~77-125) and variant
+    accepts H1 (n~90-181) at both SFs — both decision branches fire,
+    measured."""
+    from morphik_core_spark.operators.analytics import sprt_monitor
+    from morphik_core_spark.operators.dedup import portable_hash
+
+    events = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    unit = F.concat(F.col("user_id").cast("string"), F.lit(":"), day.cast("string"))
+    units = events.groupBy(unit.alias("unit")).agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv0")
+    )
+    grp = F.when(
+        portable_hash(F.concat(F.lit("grp:"), F.col("unit"))) % 2 == 0, F.lit("control")
+    ).otherwise(F.lit("variant"))
+    uplift = (
+        portable_hash(F.concat(F.lit("up:"), F.col("unit"))) % 5 == 0
+    ).cast("int")
+    staged = units.select(
+        "unit",
+        grp.alias("grp"),
+        portable_hash(F.concat(F.lit("sprt:"), F.col("unit"))).alias("ord"),
+        F.greatest(
+            F.col("conv0"),
+            F.when(grp == "variant", uplift).otherwise(F.lit(0)),
+        ).alias("conv"),
+    )
+    return sprt_monitor(
+        staged, "grp", "ord", "conv",
+        llr_pos_micro=218254, llr_neg_micro=-185717, threshold_micro=2944439,
+    )
+
+
 def _q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-volume autocorrelation at lags 1..7
     (`analytics.autocorrelation`): integer deviations n·x−S, DECIMAL(38,0)
@@ -5229,6 +5268,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_trend": _q_theil_sen_trend,
         "ratio_metric_ci": _q_ratio_metric_ci,
         "mann_kendall": _q_mann_kendall,
+        "sprt_decision": _q_sprt_decision,
         "rater_agreement": _q_rater_agreement,
         "acf_daily": _q_acf_daily,
         "cusum_drift": _q_cusum_drift,
@@ -9904,6 +9944,52 @@ def oracle_sql() -> dict[str, str]:
                    kept_n,
                    ROUND(CAST(kept_n AS DOUBLE) / CAST(tkp AS DOUBLE), 6) AS kept_share
             FROM k CROSS JOIN tk ORDER BY bucket
+        """,
+        "sprt_decision": """
+            WITH u AS (
+                SELECT user_id || ':' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS unit,
+                       MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv0
+                FROM events GROUP BY 1
+            ),
+            staged AS (
+                SELECT unit,
+                       CASE WHEN CAST(('0x' || substr(md5('grp:' || unit), 1, 15)) AS BIGINT) % 2 = 0
+                            THEN 'control' ELSE 'variant' END AS grp,
+                       CAST(('0x' || substr(md5('sprt:' || unit), 1, 15)) AS BIGINT) AS ord,
+                       GREATEST(conv0,
+                           CASE WHEN CAST(('0x' || substr(md5('grp:' || unit), 1, 15)) AS BIGINT) % 2 <> 0
+                                 AND CAST(('0x' || substr(md5('up:' || unit), 1, 15)) AS BIGINT) % 5 = 0
+                                THEN 1 ELSE 0 END) AS conv
+                FROM u
+            ),
+            walked AS (
+                SELECT grp, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY ord) AS rn,
+                       CAST(SUM(CASE WHEN conv = 1 THEN 218254 ELSE -185717 END)
+                            OVER (PARTITION BY grp ORDER BY ord
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                FROM staged
+            ),
+            totals AS (
+                SELECT grp, COUNT(*) AS n_units,
+                       CAST(arg_max(cum, rn) AS BIGINT) AS final
+                FROM walked GROUP BY 1
+            ),
+            crossings AS (
+                SELECT grp, CAST(MIN(rn) AS BIGINT) AS n_at_decision
+                FROM walked WHERE cum >= 2944439 OR cum <= -2944439 GROUP BY 1
+            ),
+            at AS (
+                SELECT w.grp, c.n_at_decision, w.cum AS dec_cum
+                FROM walked w JOIN crossings c ON w.grp = c.grp AND w.rn = c.n_at_decision
+            )
+            SELECT t.grp, t.n_units,
+                   CASE WHEN a.dec_cum >= 2944439 THEN 'accept_h1'
+                        WHEN a.dec_cum <= -2944439 THEN 'accept_h0'
+                        ELSE 'continue' END AS decision,
+                   a.n_at_decision,
+                   ROUND(CAST(a.dec_cum AS DOUBLE) / 1e6, 6) AS llr_at_decision,
+                   ROUND(CAST(t.final AS DOUBLE) / 1e6, 6) AS final_llr
+            FROM totals t LEFT JOIN at a ON t.grp = a.grp ORDER BY t.grp
         """,
         "mann_kendall": """
             WITH d0 AS (

@@ -70,6 +70,7 @@ __all__ = [
     "theil_sen_trend",
     "ratio_metric_ci",
     "mann_kendall_test",
+    "sprt_monitor",
 ]
 
 
@@ -2948,4 +2949,86 @@ def mann_kendall_test(
         .when(F.round(z, decimals) <= -1.96, F.lit("decreasing"))
         .otherwise(F.lit("none"))
         .alias("trend"),
+    )
+
+
+def sprt_monitor(
+    units: DataFrame,
+    group_col: str,
+    order_col: str,
+    outcome_col: str,
+    llr_pos_micro: int,
+    llr_neg_micro: int,
+    threshold_micro: int,
+    decimals: int = 6,
+) -> DataFrame:
+    """Wald's sequential probability ratio test, replayed per group over
+    an ordered unit stream — the early-stopping A/B monitor that decides
+    in O(1/KL) observations instead of waiting for a fixed horizon:
+    cumulative log-likelihood ratio walks until it crosses +b (accept
+    H1) or −b (accept H0), where b = ln((1−β)/α) for the chosen error
+    rates.
+
+    The LLR increments arrive PRE-QUANTIZED as integer micro-units
+    (``llr_pos_micro`` = ln(p1/p0)·10⁶ for a converting unit,
+    ``llr_neg_micro`` = ln((1−p1)/(1−p0))·10⁶ — two constants the
+    caller computes once), so the walk is an exact integer cumulative
+    sum and the crossing index is partition-proof. Decision = state at
+    the FIRST crossing; post-crossing units are reported in n_units but
+    never change the verdict (the sequential contract).
+
+    Scale: the per-group ordered window is the batch REPLAY of an
+    inherently sequential monitor — a deployment runs it incrementally
+    (cusum_stream-style O(1) state); the replay's window shards by
+    group and SPRT's geometric decision time means real inputs decide
+    within O(100) units, so cap the replay input upstream if the unit
+    stream is corpus-scale.
+
+    Output per group: (group, n_units, decision, n_at_decision,
+    llr_at_decision, final_llr) — decision ∈ accept_h1 / accept_h0 /
+    continue.
+    """
+    term = (
+        F.when(F.col(outcome_col).cast("bigint") == 1, F.lit(int(llr_pos_micro)))
+        .otherwise(F.lit(int(llr_neg_micro)))
+        .cast("bigint")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    thr = int(threshold_micro)
+    walked = units.select(
+        F.col(group_col).alias("_g"),
+        F.row_number().over(wr).alias("_rn"),
+        F.sum(term).over(w).alias("_cum"),
+    )
+    totals = walked.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_units"), F.max_by("_cum", "_rn").alias("_final")
+    )
+    crossings = (
+        walked.filter((F.col("_cum") >= thr) | (F.col("_cum") <= -thr))
+        .groupBy("_g")
+        .agg(F.min("_rn").alias("n_at_decision"))
+    )
+    at = walked.join(crossings, ["_g"]).filter(F.col("_rn") == F.col("n_at_decision")).select(
+        "_g", "n_at_decision", F.col("_cum").alias("_dec_cum")
+    )
+    to_d = lambda c: F.round(F.col(c).cast("double") / F.lit(1e6), decimals)
+    return (
+        totals.join(at, "_g", "left")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_units",
+            F.when(F.col("_dec_cum") >= thr, F.lit("accept_h1"))
+            .when(F.col("_dec_cum") <= -thr, F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+            "n_at_decision",
+            to_d("_dec_cum").alias("llr_at_decision"),
+            to_d("_final").alias("final_llr"),
+        )
+        .orderBy(group_col)
     )

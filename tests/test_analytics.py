@@ -678,3 +678,39 @@ def test_mann_kendall_tie_correction(spark):
     [r] = mann_kendall_test(spark.createDataFrame(rows, "i long, y long"), "i", "y").collect()
     assert r["s_stat"] == 5  # pairs: (1,2)+(1,3)+(1,2)+(1,3)+(2,3) up, 1 tie
     assert r["var_s"] == round((4 * 3 * 13 - 2 * 1 * 9) / 18, 6)
+
+
+def test_sprt_monitor_hand_computed(spark):
+    from morphik_core_spark.operators.analytics import sprt_monitor
+
+    # l1=+10, l0=-3, thr=25: outcomes 1,1,1 -> cum 10,20,30: decide at 3
+    rows = [("g", i, o) for i, o in enumerate([1, 1, 1, 0, 1], start=1)]
+    [r] = sprt_monitor(
+        spark.createDataFrame(rows, "g string, ord int, y int"),
+        "g", "ord", "y", llr_pos_micro=10, llr_neg_micro=-3, threshold_micro=25,
+    ).collect()
+    assert r["decision"] == "accept_h1" and r["n_at_decision"] == 3
+    assert r["n_units"] == 5  # post-decision units reported, not applied
+    # all-negative walk accepts H0
+    rows0 = [("g", i, 0) for i in range(1, 12)]
+    [r0] = sprt_monitor(
+        spark.createDataFrame(rows0, "g string, ord int, y int"),
+        "g", "ord", "y", llr_pos_micro=10, llr_neg_micro=-3, threshold_micro=25,
+    ).collect()
+    assert r0["decision"] == "accept_h0" and r0["n_at_decision"] == 9
+    # a short indecisive walk continues
+    [rc] = sprt_monitor(
+        spark.createDataFrame([("g", 1, 1), ("g", 2, 0)], "g string, ord int, y int"),
+        "g", "ord", "y", llr_pos_micro=10, llr_neg_micro=-3, threshold_micro=25,
+    ).collect()
+    assert rc["decision"] == "continue" and rc["n_at_decision"] is None
+
+
+def test_sprt_monitor_partition_invariant(spark):
+    from morphik_core_spark.operators.analytics import sprt_monitor
+
+    rows = [("g", i, 1 if (i * 7) % 3 else 0) for i in range(1, 60)]
+    df = spark.createDataFrame(rows, "g string, ord int, y int")
+    a = [tuple(r) for r in sprt_monitor(df, "g", "ord", "y", 10, -3, 50).collect()]
+    b = [tuple(r) for r in sprt_monitor(df.repartition(11), "g", "ord", "y", 10, -3, 50).collect()]
+    assert a == b

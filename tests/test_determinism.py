@@ -76,6 +76,7 @@ SENSITIVE = [
     "theil_sen_trend",
     "ratio_metric_ci",
     "mann_kendall",
+    "sprt_decision",
     # round-6 float-bearing additions
     "kmv_source_overlap",
     "minhash_calibration",
