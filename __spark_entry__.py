@@ -5025,24 +5025,28 @@ def _q_event_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
 # json_schema_profile, negative_sampling, k_anonymity, benford_audit,
 # woe_iv (plus any round-7 additions).
 _DRIVER_WINDOW = [
-    # 21 round-6 additions (newest code, least cross-round evidence)
-    "containment_dedup", "ranking_quality", "bootstrap_ci",
-    "interval_overlap", "fuzzy_name_pairs", "graph_rag_expansion",
-    "rolling_median_anomaly", "l_diversity", "peak_concurrency",
-    "changepoint_split", "hll_rollup", "trigram_paths",
-    "quantile_normalization", "mutual_information", "curriculum_order",
-    "sliding_distinct_users", "interval_islands", "sliding_heavy_hitters",
-    "markov_attribution", "t_closeness", "token_budget_mixture",
-    # 29 carried from the round-5 pool, registry order
-    "attribution", "json_props_stats", "grouping_sets_counts",
-    "balance_deciles", "drift_psi", "basket_lift", "trade_triangles",
-    "debounce", "readability", "script_mix", "bounce_rate",
-    "funnel_timing", "hybrid_rrf", "trending_items", "url_dedup",
-    "skyline_parts", "event_transitions", "ngram_diversity", "zipf_audit",
-    "sq8_error_audit", "curation_funnel", "dedup_per_window",
-    "length_bucketing", "incremental_neardup", "label_centroids",
-    "centroid_assignments", "rfm_segments", "target_encoding",
+    # 4 round-7 hash reds (value-correct; oracle HUGEINT now CAST at the
+    # edge — the re-check that turns them green)
+    "graph_rag_expansion", "interval_islands", "target_encoding",
     "orphan_audit",
+    # 25 never-driver-checked: 6 pre-round-7 carry-overs + the 19
+    # round-7 additions (all judge-verified exact-value at sf0.01)
+    "session_paths", "json_schema_profile", "negative_sampling",
+    "k_anonymity", "benford_audit", "woe_iv",
+    "pr_auc", "brier_score", "gains_deciles", "threshold_metrics",
+    "vocab_coverage", "demand_elasticity", "quality_ensemble",
+    "length_matching", "gap_fill", "seasonal_decompose", "holt_forecast",
+    "weighted_price_quantiles", "neyman_allocation", "conformal_interval",
+    "isotonic_calibration", "theil_sen_trend", "mann_kendall",
+    "ratio_metric_ci", "sprt_decision",
+    # 21 re-verify slots: the 15 oldest green rows (last checked r01/r03)
+    # + the 6 oldest r04 rows, registry order
+    "asof_backward", "batch_get", "distinct_counts", "filename_fts",
+    "folder_move", "folder_summary", "padding_grouped", "pivot_counts",
+    "pricing_summary", "requeue_failed", "rollup_counts", "sessionization",
+    "storage_rollup", "typed_filter_docs", "upsert_docs",
+    "asof_nearest", "bpe_token_stats", "c4_filters", "cdc_apply",
+    "chunk_stats", "cluster_keywords",
 ]
 
 
@@ -6427,7 +6431,8 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT term, CAST(wt AS BIGINT) FROM nbr
             ),
             scored AS (
-                SELECT f.doc_id, sum(f.tf * w.wt) AS score, count(*) AS n_matched
+                SELECT f.doc_id, CAST(sum(f.tf * w.wt) AS BIGINT) AS score,
+                       count(*) AS n_matched
                 FROM tf f JOIN wts w USING (term) GROUP BY 1
             )
             SELECT doc_id, score, n_matched FROM scored
@@ -6631,7 +6636,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM isl GROUP BY 1, 2
             )
             SELECT ck, count(*) AS n_islands, max(n_intervals) AS max_merged,
-                   sum(island_end - island_start + 1) AS covered_days
+                   CAST(sum(island_end - island_start + 1) AS BIGINT) AS covered_days
             FROM g GROUP BY ck
         """,
         "markov_attribution": _markov_oracle_sql(10),
@@ -9392,7 +9397,8 @@ def oracle_sql() -> dict[str, str]:
         "target_encoding": """
             WITH pc AS (
                 SELECT o_orderpriority AS category, COUNT(*) AS n,
-                       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_pos
+                       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_pos
                 FROM orders GROUP BY 1
             ),
             g AS (
@@ -9413,28 +9419,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orphan_audit": """
             SELECT 'lineitem->orders' AS edge, COUNT(*) AS n_rows,
-                   SUM(CASE WHEN k._k IS NULL THEN 1 ELSE 0 END) AS n_orphans,
+                   CAST(SUM(CASE WHEN k._k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
                    COUNT(DISTINCT CASE WHEN k._k IS NULL THEN f._fk END) AS n_orphan_keys
             FROM (SELECT l_orderkey AS _fk FROM lineitem) f
             LEFT JOIN (SELECT DISTINCT o_orderkey AS _k FROM orders WHERE o_orderkey % 97 <> 0) k
               ON f._fk = k._k
             UNION ALL
             SELECT 'orders->customer', COUNT(*),
-                   SUM(CASE WHEN k._k IS NULL THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN k._k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    COUNT(DISTINCT CASE WHEN k._k IS NULL THEN f._fk END)
             FROM (SELECT o_custkey AS _fk FROM orders) f
             LEFT JOIN (SELECT DISTINCT c_custkey AS _k FROM customer WHERE c_custkey % 89 <> 0) k
               ON f._fk = k._k
             UNION ALL
             SELECT 'lineitem->part', COUNT(*),
-                   SUM(CASE WHEN k._k IS NULL THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN k._k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    COUNT(DISTINCT CASE WHEN k._k IS NULL THEN f._fk END)
             FROM (SELECT l_partkey AS _fk FROM lineitem) f
             LEFT JOIN (SELECT DISTINCT p_partkey AS _k FROM part WHERE p_partkey % 83 <> 0) k
               ON f._fk = k._k
             UNION ALL
             SELECT 'lineitem->supplier', COUNT(*),
-                   SUM(CASE WHEN k._k IS NULL THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN k._k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    COUNT(DISTINCT CASE WHEN k._k IS NULL THEN f._fk END)
             FROM (SELECT l_suppkey AS _fk FROM lineitem) f
             LEFT JOIN (SELECT DISTINCT s_suppkey AS _k FROM supplier WHERE s_suppkey % 79 <> 0) k
@@ -10255,11 +10261,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM grid
             ),
             t AS (SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS total_weight FROM grid GROUP BY 1),
-            qg AS (SELECT CAST(q AS DOUBLE) AS q, CAST(ROUND(q * 1000) AS BIGINT) AS p
+            qg AS (SELECT CAST(q AS DOUBLE) AS q, CAST(ROUND(q * 1000000) AS BIGINT) AS p
                    FROM (SELECT UNNEST([0.25, 0.5, 0.75]) AS q))
             SELECT c.l_returnflag, qg.q, MIN(c.v) AS value, MAX(t.total_weight) AS total_weight
             FROM c JOIN t USING (l_returnflag) CROSS JOIN qg
-            WHERE c.cum * 1000 >= qg.p * t.total_weight
+            WHERE CAST(c.cum AS DECIMAL(38,0)) * 1000000
+                  >= CAST(qg.p AS DECIMAL(38,0)) * CAST(t.total_weight AS DECIMAL(38,0))
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "holt_forecast": """

@@ -2408,7 +2408,16 @@ def seasonal_decompose(
 
     Output: (idx, value, phase, trend, seasonal, residual) — trend /
     seasonal / residual NULL where the centered window is incomplete.
+
+    Even periods use the standard 2x``period`` centered MA (half weight on
+    the two window endpoints, so the average stays centered on the row):
+    ``trend_t = (y_{t-p/2}/2 + y_{t-p/2+1} + ... + y_{t+p/2-1} + y_{t+p/2}/2) / p``
+    over the (period+1)-row window — the classical-decomposition
+    convention (e.g. statsmodels ``seasonal_decompose``), still one
+    exact integer window sum divided once.
     """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
     half = period // 2
     base = df.select(
         F.col(idx_col).cast("bigint").alias("_i"),
@@ -2417,19 +2426,34 @@ def seasonal_decompose(
     w = Window.orderBy("_i").rowsBetween(-half, half)
     # rows, not range: the series must be dense — gap_fill_series is the
     # upstream repair step and the docstring contract
-    trended = base.select(
+    windowed = base.select(
         "_i",
         "_y",
         F.sum("_y").over(w).alias("_s"),
         F.count(F.lit(1)).over(w).alias("_n"),
-    ).select(
+        F.first("_y").over(w).alias("_lo"),
+        F.last("_y").over(w).alias("_hi"),
+    )
+    if period % 2 == 1:
+        t_micro = F.when(
+            F.col("_n") == period,
+            F.expr(f"CAST(ROUND(CAST(_s AS DOUBLE) * 1e6 / {float(period)}) AS BIGINT)"),
+        )
+    else:
+        # (period+1)-row window; endpoints get half weight: 2*S - lo - hi
+        # is the exact integer numerator of the 2x-period MA over 2*period
+        t_micro = F.when(
+            F.col("_n") == period + 1,
+            F.expr(
+                "CAST(ROUND(CAST(2 * _s - _lo - _hi AS DOUBLE) * 1e6"
+                f" / {float(2 * period)}) AS BIGINT)"
+            ),
+        )
+    trended = windowed.select(
         "_i",
         "_y",
         F.expr(f"pmod(_i, {period})").cast("int").alias("_phase"),
-        F.when(
-            F.col("_n") == period,
-            F.expr(f"CAST(ROUND(CAST(_s AS DOUBLE) * 1e6 / {float(period)}) AS BIGINT)"),
-        ).alias("_t_micro"),
+        t_micro.alias("_t_micro"),
     )
     dev = trended.withColumn("_dev", F.col("_y") * F.lit(1000000) - F.col("_t_micro"))
     seas = (
@@ -2544,13 +2568,25 @@ def weighted_quantiles(
     to integer units), the cumulative is an integer window over the
     per-(group, value) GRID (bounded by distinct values per group — the
     winsorize-family pattern, never row-grain), and the threshold test
-    is the integer inequality cum·1000 ≥ p·W with q carried per-mille —
-    no float boundary anywhere. Selection only: the emitted value is an
-    input value, never arithmetic on one.
+    is the integer inequality cum·10⁶ ≥ p·W with q carried in micro-units
+    (the repo convention) in DECIMAL(38,0) so corpus-scale weights can't
+    overflow — no float boundary anywhere. A q that is not representable
+    in millionths (e.g. 1/3) raises rather than silently computing at a
+    rounded q while labeling the row with the caller's exact q.
+    Selection only: the emitted value is an input value, never
+    arithmetic on one.
 
     Output: (group, q, value, total_weight), one row per group × q.
     """
-    ps = [(float(q), int(round(q * 1000))) for q in qs]
+    ps = []
+    for q in qs:
+        p = round(float(q) * 1_000_000)
+        if abs(float(q) * 1_000_000 - p) > 1e-6:
+            raise ValueError(
+                f"quantile {q!r} is not representable at micro-unit (1e-6) "
+                "resolution; pass a q that is an exact multiple of 0.000001"
+            )
+        ps.append((float(q), int(p)))
     grid = (
         df.filter(F.col(val_col).isNotNull() & F.col(weight_col).isNotNull())
         .groupBy(group_col, val_col)
@@ -2572,7 +2608,10 @@ def weighted_quantiles(
     return (
         cum.join(F.broadcast(tot), group_col)
         .crossJoin(F.broadcast(qgrid))
-        .filter(F.col("_cum") * 1000 >= F.col("_p") * F.col("total_weight"))
+        .filter(
+            F.col("_cum").cast("decimal(38,0)") * 1_000_000
+            >= F.col("_p").cast("decimal(38,0)") * F.col("total_weight").cast("decimal(38,0)")
+        )
         .groupBy(group_col, "q")
         .agg(F.min(val_col).alias("value"), F.max("total_weight").alias("total_weight"))
         .orderBy(group_col, "q")

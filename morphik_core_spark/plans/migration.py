@@ -30,10 +30,16 @@ survives process restarts and a crashed migration resumes where it was.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
-from typing import Sequence
+from typing import Iterator, Sequence
+
+try:  # posix; the target runtime is linux executors + a linux driver
+    import fcntl
+except ImportError:  # pragma: no cover - non-posix fallback, lock is a no-op
+    fcntl = None  # type: ignore[assignment]
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,8 +54,10 @@ __all__ = ["DualIndexStore", "MigrationStateError"]
 
 class MigrationStateError(RuntimeError):
     """Raised when an operation is illegal in the current migration phase
-    (e.g. cutover before the parity audit passes, ingest after cutover
-    completed and the window was closed)."""
+    (e.g. cutover before the parity audit passes, or a second cutover).
+    Post-cutover ``ingest`` is NOT illegal: the store keeps accepting
+    batches after the window closes and routes them to the new layout
+    alone — the wrapper degrades to a plain single-store writer."""
 
 
 def _read_state(path: str) -> dict:
@@ -58,6 +66,26 @@ def _read_state(path: str) -> dict:
             return json.load(fh)
     except FileNotFoundError:
         return {"phase": "dual", "new_store_errors": 0, "batches": 0}
+
+
+@contextlib.contextmanager
+def _state_lock(path: str) -> Iterator[None]:
+    """Exclusive advisory lock serializing read–mutate–write cycles on the
+    state file, so two concurrent ``ingest()`` calls can't lose a
+    ``new_store_errors`` increment. Lock file sits next to the state file;
+    held only for the tiny JSON update, never across a Spark write."""
+    if fcntl is None:  # pragma: no cover - non-posix: single-writer contract
+        yield
+        return
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _write_state(path: str, state: dict) -> None:
@@ -118,23 +146,31 @@ class DualIndexStore:
         new layout's failure is swallowed into the state counter exactly
         like the reference's fast-store error handling — the window can
         heal by re-driving missed batches before the audit."""
-        state = self.state
-        if state["phase"] == "cut":
+        if self.phase == "cut":
             # post-cutover the new layout IS the store; single write
             ivf_append(batch, self.new_centroids, self.new_path, emb_col=self.emb_col)
-            state["batches"] = state.get("batches", 0) + 1
-            _write_state(self.state_path, state)
+            with _state_lock(self.state_path):
+                state = self.state
+                state["batches"] = state.get("batches", 0) + 1
+                _write_state(self.state_path, state)
             return {"old": False, "new": True}
         ivf_append(batch, self.old_centroids, self.old_path, emb_col=self.emb_col)
         wrote_new = False
+        new_errors = 0
         if self.enable_dual_ingestion:
             try:
                 ivf_append(batch, self.new_centroids, self.new_path, emb_col=self.emb_col)
                 wrote_new = True
             except Exception:  # noqa: BLE001 — new store must not fail serving writes
-                state["new_store_errors"] = state.get("new_store_errors", 0) + 1
-        state["batches"] = state.get("batches", 0) + 1
-        _write_state(self.state_path, state)
+                new_errors = 1
+        # re-read under the lock so concurrent ingests can't lose a counter
+        # increment (the Spark appends above run lock-free — only the tiny
+        # JSON read-modify-write is serialized)
+        with _state_lock(self.state_path):
+            state = self.state
+            state["new_store_errors"] = state.get("new_store_errors", 0) + new_errors
+            state["batches"] = state.get("batches", 0) + 1
+            _write_state(self.state_path, state)
         return {"old": True, "new": wrote_new}
 
     # ---------------------------------------------------------- reads
@@ -238,6 +274,14 @@ class DualIndexStore:
             raise MigrationStateError(
                 f"parity audit failed for {bad} probe quer(ies) — reads stay on the old layout"
             )
-        state["phase"] = "cut"
-        _write_state(self.state_path, state)
+        with _state_lock(self.state_path):
+            state = self.state
+            if state["phase"] == "cut":
+                raise MigrationStateError("cutover already completed")
+            if state.get("new_store_errors", 0):
+                raise MigrationStateError(
+                    "new-store write errors appeared during the audit — re-drive first"
+                )
+            state["phase"] = "cut"
+            _write_state(self.state_path, state)
         return audit

@@ -546,6 +546,12 @@ def funnel_stream(
     Aggregate the emitted rows with `funnel_stream_counts` for the
     batch-equivalent (step_index, step_name, n_users) readout
     (equivalence test-asserted against `funnel_counts`).
+
+    Changing the funnel definition (length or order of ``steps``)
+    invalidates existing state: resuming a checkpoint whose per-user
+    ``times`` array was sized under a different steps list fails fast
+    with a clear error instead of mis-mapping step indices — reset the
+    checkpoint when the funnel changes.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -561,6 +567,17 @@ def funnel_stream(
         (user,) = key
         (times,) = state.get if state.exists else ([-1] * n_steps,)
         times = list(times)
+        if len(times) != n_steps:
+            # checkpoint written under a DIFFERENT funnel definition:
+            # indexing a stale shorter/longer array with the new step
+            # indices would crash or silently mis-map steps. Changing
+            # the funnel requires a state reset — fail fast and say so.
+            raise ValueError(
+                f"funnel_stream state for user {user} holds {len(times)} step "
+                f"slots but the query defines {n_steps} steps — the checkpoint "
+                "was written under a different funnel definition; reset the "
+                "checkpoint (or run with the original steps list)"
+            )
         out: list[tuple] = []
         for pdf in batches:
             pdf = pdf.sort_values("ts_us")

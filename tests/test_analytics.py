@@ -427,6 +427,53 @@ def test_seasonal_decompose_hand_computed(spark):
         assert out[i]["residual"] == 0.0
 
 
+def test_seasonal_decompose_even_period(spark):
+    from morphik_core_spark.operators.analytics import seasonal_decompose
+
+    # period=4, constant + bump on phase 0: the 2x4 centered MA with
+    # half-weight endpoints sees exactly one full bump per window
+    # (endpoints share phase so contribute 2 halves = 1 full), hence
+    # trend = 10 + 8/4 = 12 everywhere a full 5-row window exists.
+    rows = [(i, 10 + (8 if i % 4 == 0 else 0)) for i in range(16)]
+    out = {r["di"]: r for r in seasonal_decompose(
+        spark.createDataFrame(rows, "di long, y long"), "di", "y", period=4
+    ).collect()}
+    assert len(out) == 16
+    for i in (0, 1, 14, 15):  # half = 2 -> 2 edge rows each side
+        assert out[i]["trend"] is None and out[i]["residual"] is None
+    for i in range(2, 14):
+        assert out[i]["trend"] == 12.0, (i, out[i])
+        assert out[i]["seasonal"] == (6.0 if i % 4 == 0 else -2.0)
+        assert out[i]["residual"] == 0.0
+
+
+def test_seasonal_decompose_even_period_matches_statsmodels_convention(spark):
+    """Cross-check the 2x-period MA against a plain-Python replay of the
+    classical convention (half-weight endpoints) on a non-trivial series."""
+    from morphik_core_spark.operators.analytics import seasonal_decompose
+
+    ys = [10 + (i * 13) % 9 + (5 if i % 6 in (0, 1) else 0) for i in range(30)]
+    rows = [(i, y) for i, y in enumerate(ys)]
+    out = {r["di"]: r for r in seasonal_decompose(
+        spark.createDataFrame(rows, "di long, y long"), "di", "y", period=6
+    ).collect()}
+    p, half = 6, 3
+    for i in range(half, len(ys) - half):
+        num = 2 * sum(ys[i - half: i + half + 1]) - ys[i - half] - ys[i + half]
+        expected = round(round(num * 1e6 / (2 * p)) / 1e6, 6)
+        assert out[i]["trend"] == expected, (i, out[i]["trend"], expected)
+    for i in (0, 1, 2, 27, 28, 29):
+        assert out[i]["trend"] is None
+
+
+def test_seasonal_decompose_rejects_degenerate_period(spark):
+    from morphik_core_spark.operators.analytics import seasonal_decompose
+
+    df = spark.createDataFrame([(0, 1)], "di long, y long")
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, "di", "y", period=1)
+
+
 def test_seasonal_decompose_partition_invariant(spark):
     from morphik_core_spark.operators.analytics import seasonal_decompose
 
@@ -714,3 +761,18 @@ def test_sprt_monitor_partition_invariant(spark):
     a = [tuple(r) for r in sprt_monitor(df, "g", "ord", "y", 10, -3, 50).collect()]
     b = [tuple(r) for r in sprt_monitor(df.repartition(11), "g", "ord", "y", 10, -3, 50).collect()]
     assert a == b
+
+
+def test_weighted_quantiles_micro_resolution_and_rejects_unrepresentable(spark):
+    from morphik_core_spark.operators.analytics import weighted_quantiles
+
+    rows = [("g", float(v), 1.0) for v in range(1, 1001)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    # q at 1e-6 resolution (not a per-mille multiple) computes at the
+    # labeled q, not a rounded one: 0.2505 * 1000 rows -> rank 251
+    out = {r["q"]: r["value"] for r in weighted_quantiles(
+        df, "g", "v", "w", qs=(0.2505,)
+    ).collect()}
+    assert out[0.2505] == 251.0
+    with pytest.raises(ValueError, match="micro-unit"):
+        weighted_quantiles(df, "g", "v", "w", qs=(1 / 3,)).collect()

@@ -111,3 +111,34 @@ def test_state_survives_reconstruction(spark, tmp_path):
     again = _store(spark, tmp_path)
     assert again.phase == "cut"
     assert again.read_path() == again.new_path
+
+
+def test_state_lock_serializes_counter_increments(tmp_path):
+    """Concurrent read-modify-write cycles under _state_lock must not lose
+    increments (ADVICE round-7: lost new_store_errors weakens the cutover
+    gate). Pure-filesystem test — no Spark."""
+    import threading
+
+    from morphik_core_spark.plans.migration import (
+        _read_state,
+        _state_lock,
+        _write_state,
+    )
+
+    path = str(tmp_path / "state.json")
+    _write_state(path, {"phase": "dual", "new_store_errors": 0, "batches": 0})
+
+    def bump(n):
+        for _ in range(n):
+            with _state_lock(path):
+                st = _read_state(path)
+                st["new_store_errors"] += 1
+                _write_state(path, st)
+
+    threads = [threading.Thread(target=bump, args=(50,)) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert _read_state(path)["new_store_errors"] == 400
+

@@ -91,3 +91,26 @@ def test_every_query_has_oracle_or_is_declared():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     missing = [k for k in qs if k not in os_ and k not in ROWS_ONLY]
     assert not missing, f"queries without oracle SQL: {missing}"
+
+
+def test_no_hugeint_or_decimal_oracle_result_types(duck):
+    """The driver hashes TYPED values; DuckDB's untyped SUM(BIGINT) returns
+    HUGEINT (int128) and DECIMAL survives division-free pipelines, so either
+    in an oracle's RESULT schema hash-mismatches against Spark even when all
+    values are equal (round-5 decimal reds; round-7 HUGEINT reds). The local
+    replica can't see this because fetchall() collapses HUGEINT->int, so gate
+    the bound result types directly: every aggregate an oracle returns must be
+    CAST at the oracle edge (NOTES.md convention).
+    """
+    banned = ("HUGEINT", "DECIMAL", "UHUGEINT")
+    offenders = []
+    for name, sql in sorted(entry_mod.oracle_sql().items()):
+        types = [str(t).upper() for t in duck.sql(sql).types]
+        bad = [
+            (c, t)
+            for c, t in zip(duck.sql(sql).columns, types)
+            if any(b in t for b in banned)
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, f"oracle result columns with driver-unsafe types: {offenders}"

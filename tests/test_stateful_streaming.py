@@ -5,6 +5,8 @@ from __future__ import annotations
 import time
 from datetime import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from morphik_core_spark.streaming.stateful import gap_session_stream, running_counter_stream
@@ -674,3 +676,43 @@ def test_holt_stream_matches_batch_and_survives_restart(spark, tmp_path):
         assert round(got[i].forecast_micro / 1e6, 6) == batch[i]["forecast"]
         assert round(got[i].error_micro / 1e6, 6) == batch[i]["error"]
     assert got[0].forecast_micro is None and got[0].trend_micro is None
+
+
+def test_funnel_stream_rejects_stale_state_on_changed_steps(spark, tmp_path):
+    """Resuming a funnel checkpoint with a DIFFERENT steps list must fail
+    fast (ADVICE round-7): the persisted times array is sized to the old
+    definition, so the new indices would mis-map or crash. The error has
+    to surface, not silently produce a wrong funnel."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from morphik_core_spark.streaming.stateful import funnel_stream
+
+    schema = "user_id long, ts timestamp, event_type string"
+
+    def t(s):
+        from datetime import datetime
+
+        return datetime(2026, 1, 1, 0, 0, s)
+
+    src, out, chk = (str(tmp_path / d) for d in ("fin", "fout", "fchk"))
+
+    def run_once(rows, steps):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            funnel_stream(stream, steps)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+
+    run_once([(1, t(1), "view"), (1, t(2), "click")], ["view", "click", "purchase"])
+    with pytest.raises(StreamingQueryException, match="different funnel definition"):
+        run_once([(1, t(3), "purchase")], ["view", "purchase"])
