@@ -5016,6 +5016,111 @@ def _q_event_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_trend_slopes(daily, ["event_type"], "di", "x")
 
 
+def _q_chi_square_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen (`analytics.
+    chi_square_independence`): significance + Cramér's V for the same
+    three pairs `mutual_information` scores in nats — (lang, source) is
+    dependent, the TPC-H pairs are noise. Absent cells contribute their
+    expected counts via the bounded marginal cross-product; per-cell
+    terms ROUND(·1e6)-quantized from exact integer counts."""
+    from morphik_core_spark.operators.analytics import chi_square_independence
+
+    docs = _t(spark, sf_dir, "documents")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    parts = [
+        chi_square_independence(docs, "lang", "source").withColumn(
+            "pair", F.lit("lang_source")
+        ),
+        chi_square_independence(cust, "c_mktsegment", "c_nationkey").withColumn(
+            "pair", F.lit("segment_nation")
+        ),
+        chi_square_independence(orders, "o_orderpriority", "o_orderstatus").withColumn(
+            "pair", F.lit("priority_status")
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("pair", "chi2", "dof", "cramers_v", "n").orderBy("pair")
+
+
+def _q_anova_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (`analytics.anova_oneway`): does mean document
+    length differ across languages / sources more than within-group
+    noise explains — the k-group mean screen upstream of
+    `length_matching`'s repair step. DECIMAL(38,0) moments; per-group
+    S²/n ROUND(·1e6)-quantized before the k-term reduction."""
+    from morphik_core_spark.operators.analytics import anova_oneway
+
+    docs = _t(spark, sf_dir, "documents")
+    by_lang = anova_oneway(docs, "lang", "n_chars").withColumn("split", F.lit("by_lang"))
+    by_source = anova_oneway(docs, "source", "n_chars").withColumn(
+        "split", F.lit("by_source")
+    )
+    return (
+        by_lang.unionByName(by_source)
+        .select("split", "k", "n", "f_stat", "eta_sq", "ssb", "ssw")
+        .orderBy("split")
+    )
+
+
+def _q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HHI concentration (`analytics.hhi_concentration`): per region,
+    how concentrated is order revenue across member nations — the
+    antitrust readout beside `market_share`'s raw shares and
+    `revenue_gini`'s inequality curve. Revenue quantizes once to cents;
+    Σrev² / (Σrev)² is one double division of DECIMAL(38,0) integers
+    per market."""
+    from morphik_core_spark.operators.analytics import hhi_concentration
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    facts = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            F.col("r_name").alias("market"),
+            F.col("n_name").alias("player"),
+            F.col("o_totalprice").alias("rev"),
+        )
+    )
+    return hhi_concentration(facts, "market", "player", "rev", value_scale=100)
+
+
+def _q_js_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon drift (`analytics.js_divergence`): event-type mix
+    of the first half of the month vs the second — the symmetric,
+    ln2-bounded drift number beside `drift_psi` (unbounded, zero-bin
+    fragile) and `ks_price_drift` (continuous-only). Per-cell terms
+    ROUND(·1e12)-quantized from exact integer counts."""
+    from morphik_core_spark.operators.analytics import js_divergence
+
+    events = _t(spark, sf_dir, "events")
+    halved = events.withColumn(
+        "half",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), F.lit("h1")
+        ).otherwise(F.lit("h2")),
+    )
+    return js_divergence(halved, "half", "event_type", "h1", "h2")
+
+
+def _q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index (`analytics.hill_tail_index`) of the order-value
+    distribution over the top-500 order statistics — does revenue have
+    a finite-variance tail, i.e. are mean-based rollups meaningful on
+    it. One distributed top-(k+1); ln ratios of exact cent-quantized
+    integers, ROUND(·1e12)-quantized per term."""
+    from morphik_core_spark.operators.analytics import hill_tail_index
+
+    orders = _t(spark, sf_dir, "orders")
+    return hill_tail_index(orders, "o_totalprice", k=500, value_scale=100)
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -5295,6 +5400,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_nations": _q_theil_nations,
         "source_diversity": _q_source_diversity,
         "event_trends": _q_event_trends,
+        "chi_square_screen": _q_chi_square_screen,
+        "anova_doclen": _q_anova_doclen,
+        "market_concentration": _q_market_concentration,
+        "js_event_drift": _q_js_event_drift,
+        "hill_tail": _q_hill_tail,
     }
 
 
@@ -10998,6 +11108,157 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN (n_points * sxx - CAST(sx AS HUGEINT) * sx) = 0 THEN NULL
                         ELSE (n_points * sxy - CAST(sx AS HUGEINT) * sy) > 0 END AS rising
             FROM m
+        """,
+        "chi_square_screen": """
+            WITH pairs AS (
+                SELECT 'lang_source' AS pair, lang AS x, source AS y FROM documents
+                UNION ALL
+                SELECT 'segment_nation', c_mktsegment, CAST(c_nationkey AS VARCHAR) FROM customer
+                UNION ALL
+                SELECT 'priority_status', o_orderpriority, o_orderstatus FROM orders
+            ),
+            cells AS (SELECT pair, x, y, count(*) AS nxy FROM pairs GROUP BY 1, 2, 3),
+            mx AS (SELECT pair, x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1, 2),
+            my AS (SELECT pair, y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1, 2),
+            tot AS (SELECT pair, CAST(sum(nxy) AS BIGINT) AS n FROM cells GROUP BY 1),
+            ks AS (
+                SELECT pair, CAST(kx AS BIGINT) AS kx, CAST(ky AS BIGINT) AS ky
+                FROM (SELECT pair, count(*) AS kx FROM mx GROUP BY 1)
+                JOIN (SELECT pair, count(*) AS ky FROM my GROUP BY 1) USING (pair)
+            ),
+            full_grid AS (
+                SELECT mx.pair, mx.x, my.y, mx.nx, my.ny, COALESCE(c.nxy, 0) AS nxy
+                FROM mx JOIN my USING (pair)
+                LEFT JOIN cells c ON c.pair = mx.pair AND c.x = mx.x AND c.y = my.y
+            ),
+            terms AS (
+                SELECT f.pair,
+                       CAST(ROUND((
+                           (CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))
+                           * (CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))
+                       ) * 1e6) AS BIGINT) AS t
+                FROM full_grid f JOIN tot USING (pair)
+            ),
+            chi AS (SELECT pair, CAST(sum(t) AS BIGINT) AS chi2u FROM terms GROUP BY 1)
+            SELECT chi.pair,
+                   ROUND(CAST(chi2u AS DOUBLE) / 1e6, 6) AS chi2,
+                   CAST((kx - 1) * (ky - 1) AS BIGINT) AS dof,
+                   ROUND(sqrt((CAST(chi2u AS DOUBLE) / 1e6)
+                              / (CAST(n AS DOUBLE) * CAST(least(kx - 1, ky - 1) AS DOUBLE))), 6) AS cramers_v,
+                   n
+            FROM chi JOIN ks USING (pair) JOIN tot USING (pair)
+            ORDER BY pair
+        """,
+        "anova_doclen": """
+            WITH src AS (
+                SELECT 'by_lang' AS split, lang AS g, n_chars AS v FROM documents
+                UNION ALL
+                SELECT 'by_source', source, n_chars FROM documents
+            ),
+            grp AS (
+                SELECT split, g, count(*) AS ng,
+                       CAST(sum(v) AS HUGEINT) AS sg,
+                       SUM(CAST(v AS HUGEINT) * v) AS sxx
+                FROM src WHERE v IS NOT NULL GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT split, CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+                       CAST(sum(sg) AS HUGEINT) AS s,
+                       CAST(sum(sxx) AS HUGEINT) AS xx,
+                       CAST(sum(CAST(ROUND(CAST(sg * sg AS DOUBLE) / CAST(ng AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS rat_u
+                FROM grp GROUP BY 1
+            )
+            SELECT split, k, n,
+                   ROUND(((CAST(rat_u AS DOUBLE) / 1e6 - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)) / (k - 1)) /
+                         ((CAST(xx AS DOUBLE) - CAST(rat_u AS DOUBLE) / 1e6) / (n - k)), 6) AS f_stat,
+                   ROUND((CAST(rat_u AS DOUBLE) / 1e6 - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)) /
+                         (CAST(xx AS DOUBLE) - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS eta_sq,
+                   ROUND((CAST(rat_u AS DOUBLE) / 1e6 - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)) / 1.0, 6) AS ssb,
+                   ROUND((CAST(xx AS DOUBLE) - CAST(rat_u AS DOUBLE) / 1e6) / 1.0, 6) AS ssw
+            FROM agg ORDER BY split
+        """,
+        "market_concentration": """
+            WITH facts AS (
+                SELECT r.r_name AS market, nt.n_name AS player,
+                       CAST(ROUND(CAST(o.o_totalprice AS DOUBLE) * 100) AS BIGINT) AS x
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+                JOIN region r ON nt.n_regionkey = r.r_regionkey
+                WHERE o.o_totalprice IS NOT NULL
+            ),
+            players AS (
+                SELECT market, player, CAST(sum(x) AS HUGEINT) AS rev
+                FROM facts GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT market, CAST(count(*) AS BIGINT) AS n_players,
+                       CAST(sum(rev * rev) AS HUGEINT) AS sq,
+                       CAST(sum(rev) AS HUGEINT) AS tot,
+                       CAST(max(rev) AS HUGEINT) AS top
+                FROM players GROUP BY 1
+            )
+            SELECT market, n_players,
+                   ROUND(CAST(sq AS DOUBLE) / CAST(tot * tot AS DOUBLE), 8) AS hhi,
+                   CASE WHEN n_players > 1 THEN
+                       ROUND((CAST(sq AS DOUBLE) / CAST(tot * tot AS DOUBLE) - 1.0 / n_players) /
+                             (1.0 - 1.0 / n_players), 8)
+                   END AS hhi_normalized,
+                   ROUND(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE), 8) AS top_share
+            FROM m ORDER BY market
+        """,
+        "js_event_drift": """
+            WITH halved AS (
+                SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'h1' ELSE 'h2' END AS half,
+                       event_type AS c
+                FROM events
+            ),
+            cells AS (
+                SELECT half = 'h1' AS is_l, c, count(*) AS n
+                FROM halved WHERE half IN ('h1', 'h2') GROUP BY 1, 2
+            ),
+            sides AS (
+                SELECT c,
+                       CAST(sum(CASE WHEN is_l THEN n ELSE 0 END) AS BIGINT) AS a,
+                       CAST(sum(CASE WHEN NOT is_l THEN n ELSE 0 END) AS BIGINT) AS b
+                FROM cells GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM sides),
+            terms AS (
+                SELECT
+                    CASE WHEN a > 0 THEN CAST(ROUND(((CAST(a AS DOUBLE) / CAST(na AS DOUBLE)) / 2.0 *
+                        ln((CAST(a AS DOUBLE) / CAST(na AS DOUBLE)) /
+                           (((CAST(a AS DOUBLE) / CAST(na AS DOUBLE)) + (CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))) / 2.0))) * 1e12) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END
+                    + CASE WHEN b > 0 THEN CAST(ROUND(((CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0 *
+                        ln((CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)) /
+                           (((CAST(a AS DOUBLE) / CAST(na AS DOUBLE)) + (CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))) / 2.0))) * 1e12) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS t,
+                    na, nb
+                FROM sides, tot
+            )
+            SELECT ROUND(CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) / 1e12, 8) AS jsd_nats,
+                   CAST(max(na) AS BIGINT) AS n_left, CAST(max(nb) AS BIGINT) AS n_right
+            FROM terms
+        """,
+        "hill_tail": """
+            WITH q AS (
+                SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS x
+                FROM orders WHERE o_totalprice IS NOT NULL
+            ),
+            top AS (SELECT x FROM q WHERE x > 0 ORDER BY x DESC LIMIT 501),
+            thr AS (SELECT min(x) AS xmin FROM top),
+            terms AS (
+                SELECT CAST(ROUND(ln(CAST(x AS DOUBLE) / CAST(xmin AS DOUBLE)) * 1e12) AS BIGINT) AS t,
+                       xmin
+                FROM top, thr WHERE x > xmin
+            )
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   ROUND(CAST(max(xmin) AS DOUBLE) / 100.0, 6) AS x_kplus1,
+                   ROUND(CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) / 1e12 / count(*), 6) AS xi,
+                   ROUND(CAST(count(*) AS DOUBLE) / (CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) / 1e12), 6) AS alpha
+            FROM terms
         """,
     }
 

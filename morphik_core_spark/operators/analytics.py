@@ -71,6 +71,11 @@ __all__ = [
     "ratio_metric_ci",
     "mann_kendall_test",
     "sprt_monitor",
+    "chi_square_independence",
+    "anova_oneway",
+    "hhi_concentration",
+    "js_divergence",
+    "hill_tail_index",
 ]
 
 
@@ -3070,4 +3075,326 @@ def sprt_monitor(
             to_d("_final").alias("final_llr"),
         )
         .orderBy(group_col)
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size — the significance-test
+    companion to `mutual_information`'s effect-size-in-nats screen
+    (MI says how dependent; chi2/V say whether the dependence clears
+    sampling noise and how big it is on a 0..1 scale).
+
+    Every (observed x) × (observed y) cell contributes, including
+    absent combinations (observed 0, expected > 0) — the full
+    cross-product rides the two BOUNDED marginal vocabularies, never
+    the fact table. Per-cell term is computed from exact integer counts
+    as (n_xy·N − n_x·n_y)² / (N·n_x·n_y): the numerator subtraction is
+    exact in the double domain while n_xy·N ≤ 2^53 (the MI bound — past
+    that, swap to DECIMAL, same tree), then one square, one division,
+    and an immediate ROUND(·1e6) BIGINT quantization so the cross-cell
+    sum is integer arithmetic no partitioning can move.
+
+    Output is ONE row: (chi2, dof, cramers_v, n) — V = sqrt(chi2 /
+    (N·min(|X|−1, |Y|−1))), the bias-uncorrected classical form.
+    """
+    cells = df.groupBy(
+        F.col(x_col).cast("string").alias("_x"),
+        F.col(y_col).cast("string").alias("_y"),
+    ).agg(F.count(F.lit(1)).alias("_nxy"))
+    mx = cells.groupBy("_x").agg(F.sum("_nxy").alias("_nx"))
+    my = cells.groupBy("_y").agg(F.sum("_nxy").alias("_ny"))
+    full = mx.crossJoin(F.broadcast(my)).join(cells, ["_x", "_y"], "left").na.fill(
+        {"_nxy": 0}
+    )
+    tot = cells.agg(F.sum("_nxy").alias("_n"))
+    kx = mx.agg(F.count(F.lit(1)).alias("_kx"))
+    ky = my.agg(F.count(F.lit(1)).alias("_ky"))
+    term = (
+        "CAST(ROUND(("
+        "(CAST(_nxy AS DOUBLE) * CAST(_n AS DOUBLE) - CAST(_nx AS DOUBLE) * CAST(_ny AS DOUBLE)) "
+        "* (CAST(_nxy AS DOUBLE) * CAST(_n AS DOUBLE) - CAST(_nx AS DOUBLE) * CAST(_ny AS DOUBLE)) "
+        "/ (CAST(_n AS DOUBLE) * CAST(_nx AS DOUBLE) * CAST(_ny AS DOUBLE))"
+        ") * 1e6) AS BIGINT)"
+    )
+    return (
+        full.join(F.broadcast(tot))
+        .agg(F.sum(F.expr(term)).alias("_chi2u"))
+        .join(F.broadcast(tot))
+        .join(F.broadcast(kx))
+        .join(F.broadcast(ky))
+        .select(
+            F.round(F.col("_chi2u").cast("double") / F.lit(1e6), decimals).alias("chi2"),
+            ((F.col("_kx") - 1) * (F.col("_ky") - 1)).cast("bigint").alias("dof"),
+            F.round(
+                F.sqrt(
+                    (F.col("_chi2u").cast("double") / F.lit(1e6))
+                    / (
+                        F.col("_n").cast("double")
+                        * F.least(F.col("_kx") - 1, F.col("_ky") - 1).cast("double")
+                    )
+                ),
+                decimals,
+            ).alias("cramers_v"),
+            F.col("_n").cast("bigint").alias("n"),
+        )
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    value_scale: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F-test: does the mean of ``val_col`` differ across
+    the levels of ``group_col`` more than within-group noise explains —
+    the k-group generalization of the two-sample t (`ab_test`) and the
+    continuous-outcome sibling of `chi_square_independence`.
+
+    Exactness (the grouped_ols recipe): values quantize once to integer
+    units (``value_scale``), per-group (n, Σx, Σx²) are DECIMAL(38,0)
+    moments, and the sums of squares come from the closed forms
+
+        SSB = Σ_g S_g²/n_g − S²/N        SSW = Σx² − Σ_g S_g²/n_g
+
+    where each per-group ratio S_g²/n_g is one double division
+    immediately ROUND(·1e6)-quantized (integer cross-group sum), so the
+    k-term reduction is order-free. F = (SSB/(k−1))/(SSW/(N−k)) and
+    eta² = SSB/SST are single divisions at the end.
+
+    Scale: one combinable scan into a k-row frame; everything after is
+    broadcast arithmetic. Output ONE row: (k, n, f_stat, eta_sq,
+    ssb, ssw).
+    """
+    dec = "decimal(38,0)"
+    x = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    g = (
+        df.filter(F.col(val_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), x.alias("_x"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("_ng"),
+            F.sum(F.col("_x").cast(dec)).alias("_sg"),
+            F.sum(F.col("_x").cast(dec) * F.col("_x").cast(dec)).alias("_sxx"),
+        )
+    )
+    # per-group S_g^2/n_g in micro-units, quantized before the k-term sum
+    ratio = (
+        "CAST(ROUND(CAST(_sg * _sg AS DOUBLE) / CAST(_ng AS DOUBLE) * 1e6) AS BIGINT)"
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_ng").alias("n"),
+        F.sum("_sg").alias("_s"),
+        F.sum("_sxx").alias("_xx"),
+        F.sum(F.expr(ratio)).alias("_rat_u"),
+    )
+    scale2 = float(value_scale) * float(value_scale)
+    return agg.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.expr(
+                "((CAST(_rat_u AS DOUBLE) / 1e6 - CAST(_s * _s AS DOUBLE) / CAST(n AS DOUBLE)) / (k - 1)) / "
+                "((CAST(_xx AS DOUBLE) - CAST(_rat_u AS DOUBLE) / 1e6) / (n - k))"
+            ),
+            decimals,
+        ).alias("f_stat"),
+        F.round(
+            F.expr(
+                "(CAST(_rat_u AS DOUBLE) / 1e6 - CAST(_s * _s AS DOUBLE) / CAST(n AS DOUBLE)) / "
+                "(CAST(_xx AS DOUBLE) - CAST(_s * _s AS DOUBLE) / CAST(n AS DOUBLE))"
+            ),
+            decimals,
+        ).alias("eta_sq"),
+        F.round(
+            F.expr(
+                f"(CAST(_rat_u AS DOUBLE) / 1e6 - CAST(_s * _s AS DOUBLE) / CAST(n AS DOUBLE)) / {scale2}"
+            ),
+            decimals,
+        ).alias("ssb"),
+        F.round(
+            F.expr(f"(CAST(_xx AS DOUBLE) - CAST(_rat_u AS DOUBLE) / 1e6) / {scale2}"),
+            decimals,
+        ).alias("ssw"),
+    )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    market_col: str,
+    player_col: str,
+    value_col: str,
+    value_scale: int = 100,
+    decimals: int = 8,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per market: HHI =
+    Σ_i s_i² over player revenue shares — the antitrust-grade
+    concentration readout that `market_share`'s top-line shares and
+    `revenue_gini`'s inequality curve both stop short of. Also emits
+    the normalized HHI ((HHI − 1/n)/(1 − 1/n), 0 = perfectly even,
+    1 = monopoly; NULL for single-player markets where it is undefined)
+    and the top player's share.
+
+    Exactness: revenues quantize once to integer units, the per-market
+    Σ rev_i² and (Σ rev_i)² are DECIMAL(38,0) — HHI is ONE double
+    division of exact integers per market, immediately rounded. Two
+    shuffles ((market, player) then market), both map-side combined;
+    output is markets-sized.
+    """
+    dec = "decimal(38,0)"
+    x = F.expr(f"CAST(ROUND(CAST({value_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    players = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(market_col).alias("market"), F.col(player_col).alias("_p"), x.alias("_x"))
+        .groupBy("market", "_p")
+        .agg(F.sum(F.col("_x").cast(dec)).alias("_rev"))
+    )
+    return (
+        players.groupBy("market")
+        .agg(
+            F.count(F.lit(1)).alias("n_players"),
+            F.sum(F.col("_rev") * F.col("_rev")).alias("_sq"),
+            F.sum("_rev").alias("_tot"),
+            F.max("_rev").alias("_top"),
+        )
+        .select(
+            "market",
+            F.col("n_players").cast("bigint").alias("n_players"),
+            F.round(
+                F.expr("CAST(_sq AS DOUBLE) / CAST(_tot * _tot AS DOUBLE)"), decimals
+            ).alias("hhi"),
+            F.when(
+                F.col("n_players") > 1,
+                F.round(
+                    F.expr(
+                        "(CAST(_sq AS DOUBLE) / CAST(_tot * _tot AS DOUBLE) - 1.0 / n_players) / "
+                        "(1.0 - 1.0 / n_players)"
+                    ),
+                    decimals,
+                ),
+            ).alias("hhi_normalized"),
+            F.round(F.expr("CAST(_top AS DOUBLE) / CAST(_tot AS DOUBLE)"), decimals).alias(
+                "top_share"
+            ),
+        )
+        .orderBy("market")
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    split_col: str,
+    cat_col: str,
+    left_value: str,
+    right_value: str,
+    decimals: int = 8,
+) -> DataFrame:
+    """Jensen–Shannon divergence (nats) between the categorical
+    distributions of two slices — the symmetric, always-finite drift
+    measure that PSI (unbounded, bins with zeros blow up) and KS
+    (continuous-only) both miss: JSD = ½KL(P‖M) + ½KL(Q‖M) with
+    M = (P+Q)/2, bounded by ln 2.
+
+    Cells absent on one side contribute their exact finite term (the
+    other side's KL term against M is ½p·ln 2 there) — no epsilon
+    hacks. Per-cell terms are computed from exact integer counts and
+    ROUND(·1e12)-quantized to BIGINT before the cross-cell sum (the MI
+    recipe), so aggregation order cannot move an ulp. One (slice, cat)
+    groupBy into a vocabulary-sized frame; output is ONE row:
+    (jsd_nats, n_left, n_right).
+    """
+    cells = (
+        df.filter(F.col(split_col).isin([left_value, right_value]))
+        .groupBy(
+            (F.col(split_col) == left_value).alias("_is_l"),
+            F.col(cat_col).cast("string").alias("_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    sides = cells.groupBy("_c").agg(
+        F.sum(F.when(F.col("_is_l"), F.col("_n")).otherwise(F.lit(0))).alias("_a"),
+        F.sum(F.when(~F.col("_is_l"), F.col("_n")).otherwise(F.lit(0))).alias("_b"),
+    )
+    tot = sides.agg(F.sum("_a").alias("_na"), F.sum("_b").alias("_nb"))
+    # p = a/na, q = b/nb, m = (p+q)/2; term = p/2·ln(p/m) + q/2·ln(q/m),
+    # each half quantized separately so zero-cells fold in exactly
+    p = "(CAST(_a AS DOUBLE) / CAST(_na AS DOUBLE))"
+    q = "(CAST(_b AS DOUBLE) / CAST(_nb AS DOUBLE))"
+    m = f"(({p} + {q}) / 2.0)"
+    lterm = f"CASE WHEN _a > 0 THEN CAST(ROUND(({p} / 2.0 * ln({p} / {m})) * 1e12) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    rterm = f"CASE WHEN _b > 0 THEN CAST(ROUND(({q} / 2.0 * ln({q} / {m})) * 1e12) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    return (
+        sides.join(F.broadcast(tot))
+        .agg(
+            F.sum(F.expr(lterm) + F.expr(rterm)).alias("_s"),
+            F.max("_na").alias("n_left"),
+            F.max("_nb").alias("n_right"),
+        )
+        .select(
+            F.round(F.col("_s").cast("double") / F.lit(1e12), decimals).alias("jsd_nats"),
+            F.col("n_left").cast("bigint").alias("n_left"),
+            F.col("n_right").cast("bigint").alias("n_right"),
+        )
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    val_col: str,
+    k: int,
+    value_scale: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over the top-k order
+    statistics: ξ = (1/k)·Σ_{i=1..k} ln(x_(i) / x_(k+1)) over the k
+    largest values, α = 1/ξ — the heavy-tail exponent that says whether
+    a value distribution (order sizes, document lengths, session
+    values) has finite variance, i.e. whether mean-based ops are even
+    meaningful on it. Complements the quantile/winsorize family, which
+    bounds the tail without characterizing it.
+
+    The corpus contributes ONE distributed top-(k+1) (orderBy/limit —
+    Spark's per-partition heap + k-row merge, never a global sort);
+    everything after is arithmetic on k+1 rows. Values quantize once to
+    integer units; each ln ratio of exact integers is
+    ROUND(·1e12)-quantized before the k-term sum (order-free).
+
+    Output ONE row: (k, x_kplus1, xi, alpha).
+    """
+    x = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    top = (
+        df.filter(F.col(val_col).isNotNull())
+        .select(x.alias("_x"))
+        .filter(F.col("_x") > 0)
+        .orderBy(F.col("_x").desc())
+        .limit(k + 1)
+    )
+    thr = top.agg(F.min("_x").alias("_xmin"))
+    term = "CAST(ROUND(ln(CAST(_x AS DOUBLE) / CAST(_xmin AS DOUBLE)) * 1e12) AS BIGINT)"
+    return (
+        top.join(F.broadcast(thr))
+        .filter(F.col("_x") > F.col("_xmin"))
+        .agg(
+            F.sum(F.expr(term)).alias("_s"),
+            F.count(F.lit(1)).alias("_kk"),
+            F.max("_xmin").alias("_xm"),
+        )
+        .select(
+            F.col("_kk").cast("bigint").alias("k"),
+            F.round(F.col("_xm").cast("double") / F.lit(float(value_scale)), decimals).alias(
+                "x_kplus1"
+            ),
+            F.round(F.col("_s").cast("double") / 1e12 / F.col("_kk"), decimals).alias("xi"),
+            F.round(
+                F.col("_kk").cast("double") / (F.col("_s").cast("double") / 1e12), decimals
+            ).alias("alpha"),
+        )
     )

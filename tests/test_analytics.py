@@ -776,3 +776,155 @@ def test_weighted_quantiles_micro_resolution_and_rejects_unrepresentable(spark):
     assert out[0.2505] == 251.0
     with pytest.raises(ValueError, match="micro-unit"):
         weighted_quantiles(df, "g", "v", "w", qs=(1 / 3,)).collect()
+
+
+# ---------------------------------------------------------------- round 8
+
+
+def test_chi_square_matches_scipy_formula(spark):
+    from morphik_core_spark.operators.analytics import chi_square_independence
+
+    # 2x2 table: [[10, 20], [30, 5]] -> classic chi2 by hand
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20 + [("b", "x")] * 30 + [("b", "y")] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, c string")
+    [r] = chi_square_independence(df, "g", "c").collect()
+    n = 65
+    obs = {("a", "x"): 10, ("a", "y"): 20, ("b", "x"): 30, ("b", "y"): 5}
+    mx = {"a": 30, "b": 35}
+    my = {"x": 40, "y": 25}
+    chi2 = sum(
+        round((o * n - mx[g] * my[c]) ** 2 / (n * mx[g] * my[c]) * 1e6)
+        for (g, c), o in obs.items()
+    ) / 1e6
+    assert r["chi2"] == round(chi2, 6)
+    assert r["dof"] == 1 and r["n"] == 65
+    assert r["cramers_v"] == round(math.sqrt(chi2 / (65 * 1)), 6)
+
+
+def test_chi_square_counts_absent_cells(spark):
+    """A (x, y) combination never observed still contributes its expected
+    count: for [[5,0],[0,5]] chi2 must be N (=10), not 5."""
+    from morphik_core_spark.operators.analytics import chi_square_independence
+
+    rows = [("a", "x")] * 5 + [("b", "y")] * 5
+    [r] = chi_square_independence(
+        spark.createDataFrame(rows, "g string, c string"), "g", "c"
+    ).collect()
+    assert r["chi2"] == 10.0 and r["cramers_v"] == 1.0
+
+
+def test_anova_matches_plain_python(spark):
+    from morphik_core_spark.operators.analytics import anova_oneway
+
+    groups = {"a": [3.0, 5.0, 7.0], "b": [10.0, 12.0, 14.0, 16.0], "c": [1.0, 2.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    [r] = anova_oneway(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v", value_scale=1
+    ).collect()
+    allv = [v for vs in groups.values() for v in vs]
+    n, k = len(allv), len(groups)
+    gm = sum(allv) / n
+    # replicate the operator's quantization: S_g^2/n_g rounded at 1e6
+    rat = sum(round(sum(vs) ** 2 / len(vs) * 1e6) for vs in groups.values()) / 1e6
+    ssb = rat - sum(allv) ** 2 / n
+    ssw = sum(v * v for v in allv) - rat
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["k"] == 3 and r["n"] == 9
+    assert r["f_stat"] == round(f, 6)
+    assert r["eta_sq"] == round(ssb / (ssb + ssw), 6)
+
+
+def test_anova_null_effect_is_small(spark):
+    from morphik_core_spark.operators.analytics import anova_oneway
+
+    # same distribution in every group -> F near 1, eta^2 near 0
+    rows = [(f"g{i % 4}", float((i * 7) % 13)) for i in range(400)]
+    [r] = anova_oneway(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v"
+    ).collect()
+    assert r["eta_sq"] < 0.05
+
+
+def test_hhi_hand_values(spark):
+    from morphik_core_spark.operators.analytics import hhi_concentration
+
+    rows = [
+        ("m1", "p1", 50.0), ("m1", "p2", 30.0), ("m1", "p3", 20.0),
+        ("m2", "solo", 10.0),
+        ("m3", "e1", 25.0), ("m3", "e2", 25.0), ("m3", "e3", 25.0), ("m3", "e4", 25.0),
+    ]
+    df = spark.createDataFrame(rows, "m string, p string, v double")
+    out = {r["market"]: r for r in hhi_concentration(df, "m", "p", "v").collect()}
+    assert out["m1"]["hhi"] == 0.38 and out["m1"]["top_share"] == 0.5
+    assert out["m2"]["hhi"] == 1.0 and out["m2"]["hhi_normalized"] is None
+    assert out["m3"]["hhi"] == 0.25 and out["m3"]["hhi_normalized"] == 0.0
+    assert out["m1"]["hhi_normalized"] == round((0.38 - 1 / 3) / (1 - 1 / 3), 8)
+
+
+def test_js_divergence_bounds_and_symmetry(spark):
+    from morphik_core_spark.operators.analytics import js_divergence
+
+    # disjoint supports -> exactly ln 2; identical -> 0
+    rows = [("l", "a")] * 10 + [("r", "b")] * 14
+    df = spark.createDataFrame(rows, "s string, c string")
+    [r] = js_divergence(df, "s", "c", "l", "r").collect()
+    assert r["jsd_nats"] == round(math.log(2), 8)
+    assert r["n_left"] == 10 and r["n_right"] == 14
+
+    same = [("l", c) for c in "aabbbc"] + [("r", c) for c in "aabbbc"]
+    [r2] = js_divergence(
+        spark.createDataFrame(same, "s string, c string"), "s", "c", "l", "r"
+    ).collect()
+    assert r2["jsd_nats"] == 0.0
+
+    # symmetry: swapping sides gives the same divergence
+    mixed = [("l", c) for c in "aaab"] + [("r", c) for c in "abbb"]
+    mdf = spark.createDataFrame(mixed, "s string, c string")
+    [fwd] = js_divergence(mdf, "s", "c", "l", "r").collect()
+    [rev] = js_divergence(mdf, "s", "c", "r", "l").collect()
+    assert fwd["jsd_nats"] == rev["jsd_nats"] > 0.0
+
+
+def test_hill_tail_index_recovers_pareto_alpha(spark):
+    from morphik_core_spark.operators.analytics import hill_tail_index
+
+    # exact Pareto(alpha=2) quantiles: x_i = (i/n)^(-1/2), i=1..n
+    n = 2000
+    rows = [(float((i / n) ** -0.5),) for i in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "v double")
+    [r] = hill_tail_index(df, "v", k=200, value_scale=10**6).collect()
+    assert 1.7 < r["alpha"] < 2.3, r
+    assert r["k"] == 200
+
+
+def test_hill_tail_index_partition_invariant(spark):
+    from morphik_core_spark.operators.analytics import hill_tail_index
+
+    rows = [(float(1 + (i * 37) % 500) / 7.0,) for i in range(1000)]
+    df = spark.createDataFrame(rows, "v double")
+    a = hill_tail_index(df, "v", k=50).collect()
+    b = hill_tail_index(df.repartition(17), "v", k=50).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_round8_batch_a_plan_shapes(spark):
+    from morphik_core_spark.operators.analytics import (
+        anova_oneway,
+        chi_square_independence,
+        hhi_concentration,
+        js_divergence,
+    )
+
+    rows = [(f"g{i % 3}", f"c{i % 5}", float(i % 11)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, c string, v double")
+    for out in (
+        chi_square_independence(df, "g", "c"),
+        anova_oneway(df, "g", "v"),
+        hhi_concentration(df, "g", "c", "v"),
+        js_divergence(df, "g", "c", "g0", "g1"),
+    ):
+        plan = _plan(out)
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
