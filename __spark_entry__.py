@@ -5121,6 +5121,100 @@ def _q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hill_tail_index(orders, "o_totalprice", k=500, value_scale=100)
 
 
+def _q_spearman_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (`analytics.spearman_corr`): monotone
+    association for three pairs — (quantity, extendedprice) is strongly
+    monotone, (discount, extendedprice) is noise, (n_chars, token-ish
+    length) on documents is near-1 — the tie-average rank twin of
+    `lineitem_corr`'s Pearson. Ranks come from bounded value grids
+    (no global sort); DECIMAL(38,0) moments, one double division."""
+    from morphik_core_spark.operators.analytics import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "tok_cnt",
+        F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")),
+    )
+    parts = [
+        spearman_corr(li, "l_quantity", "l_extendedprice", 1, 100).withColumn(
+            "pair", F.lit("qty_price")
+        ),
+        spearman_corr(li, "l_discount", "l_extendedprice", 100, 100).withColumn(
+            "pair", F.lit("disc_price")
+        ),
+        spearman_corr(docs, "n_chars", "tok_cnt", 1, 1).withColumn(
+            "pair", F.lit("chars_tokens")
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("pair", "n", "rho").orderBy("pair")
+
+
+def _q_fdr_nation_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR over 25 per-nation A/B z-tests
+    (`analytics.bh_fdr`): order value first half vs second half of the
+    date range, with a +40% uplift injected into one nation's second
+    half so both the reject and no-reject branches execute. p-values
+    ride the shared Abramowitz–Stegun normal tail (exp + IEEE literals
+    only) and are 1e12-quantized before ranking — the BH order is
+    integer-deterministic on both engines."""
+    from morphik_core_spark.operators.analytics import bh_fdr
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    base = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.when(F.col("o_orderdate") < F.lit("1995-06-17").cast("date"), "a")
+            .otherwise("b")
+            .alias("side"),
+            F.col("o_totalprice").alias("v0"),
+        )
+        .withColumn(
+            "v",
+            F.when(
+                (F.col("nation") == "NATION_3") & (F.col("side") == "b"),
+                F.col("v0") * F.lit(1.4),
+            ).otherwise(F.col("v0")),
+        )
+    )
+    return bh_fdr(base, "nation", "side", "v", "a", "b", alpha=0.05)
+
+
+def _q_mcnemar_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test (`ml_eval.mcnemar_test`) between two document
+    quality filters over the same corpus — char-length band vs
+    token-count band — the significance question `cohens_kappa`'s
+    agreement magnitude doesn't answer. Integer discordant counts; one
+    continuity-corrected division."""
+    from morphik_core_spark.operators.ml_eval import mcnemar_test
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").between(150, 450).alias("keep_len"),
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+        ).between(25, 80).alias("keep_tok"),
+    )
+    return mcnemar_test(docs, "keep_len", "keep_tok")
+
+
+def _q_token_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-entropy profile (`text_analysis.token_entropy`):
+    mean Shannon entropy of each doc's token distribution + share below
+    3.0 nats — the degenerate/repetitive-doc rate per source that fixed
+    n-gram repetition ratios approximate. Term-, doc-, and
+    group-quantized integer sums end-to-end."""
+    from morphik_core_spark.operators.text_analysis import token_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_entropy(docs, "doc_id", "text", "source", low_threshold=3.0)
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -5401,6 +5495,10 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_diversity": _q_source_diversity,
         "event_trends": _q_event_trends,
         "chi_square_screen": _q_chi_square_screen,
+        "spearman_screen": _q_spearman_screen,
+        "fdr_nation_ab": _q_fdr_nation_ab,
+        "mcnemar_filters": _q_mcnemar_filters,
+        "token_entropy_profile": _q_token_entropy_profile,
         "anova_doclen": _q_anova_doclen,
         "market_concentration": _q_market_concentration,
         "js_event_drift": _q_js_event_drift,
@@ -11241,6 +11339,145 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROUND(CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) / 1e12, 8) AS jsd_nats,
                    CAST(max(na) AS BIGINT) AS n_left, CAST(max(nb) AS BIGINT) AS n_right
             FROM terms
+        """,
+
+        "spearman_screen": """
+            WITH pairs AS (
+                SELECT 'qty_price' AS pair,
+                       CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1) AS BIGINT) AS xv,
+                       CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS yv
+                FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                UNION ALL
+                SELECT 'disc_price',
+                       CAST(ROUND(CAST(l_discount AS DOUBLE) * 100) AS BIGINT),
+                       CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+                FROM lineitem WHERE l_discount IS NOT NULL AND l_extendedprice IS NOT NULL
+                UNION ALL
+                SELECT 'chars_tokens',
+                       CAST(ROUND(CAST(n_chars AS DOUBLE) * 1) AS BIGINT),
+                       CAST(ROUND(CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                                        t -> t <> '')) AS DOUBLE) * 1) AS BIGINT)
+                FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+            ),
+            gx AS (SELECT pair, xv, count(*) AS c FROM pairs GROUP BY 1, 2),
+            gxr AS (SELECT pair, xv,
+                           2 * (SUM(c) OVER (PARTITION BY pair ORDER BY xv) - c) + c + 1 AS rx
+                    FROM gx),
+            gy AS (SELECT pair, yv, count(*) AS c FROM pairs GROUP BY 1, 2),
+            gyr AS (SELECT pair, yv,
+                           2 * (SUM(c) OVER (PARTITION BY pair ORDER BY yv) - c) + c + 1 AS ry
+                    FROM gy),
+            r AS (
+                SELECT p.pair, rx, ry
+                FROM pairs p JOIN gxr USING (pair, xv) JOIN gyr USING (pair, yv)
+            ),
+            m AS (
+                SELECT pair, CAST(count(*) AS BIGINT) AS n,
+                       SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+                       SUM(CAST(rx AS HUGEINT) * rx) AS sxx, SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+                       SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+                FROM r GROUP BY 1
+            )
+            SELECT pair, n,
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                         (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                          sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+            FROM m ORDER BY pair
+        """,
+        "fdr_nation_ab": """
+            WITH base AS (
+                SELECT nt.n_name AS nation,
+                       CASE WHEN o.o_orderdate < DATE '1995-06-17' THEN 'a' ELSE 'b' END AS side,
+                       CAST(o.o_totalprice AS DOUBLE) AS v0
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+                WHERE o.o_totalprice IS NOT NULL
+            ),
+            vals AS (
+                SELECT nation, side,
+                       CAST(ROUND(CAST(CASE WHEN nation = 'NATION_3' AND side = 'b'
+                                             THEN v0 * 1.4 ELSE v0 END AS DOUBLE) * 100) AS BIGINT) AS x
+                FROM base
+            ),
+            sided AS (
+                SELECT nation AS _g,
+                       CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                       CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                       SUM(CASE WHEN side = 'a' THEN CAST(x AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS _s1,
+                       SUM(CASE WHEN side = 'b' THEN CAST(x AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS _s2,
+                       SUM(CASE WHEN side = 'a' THEN CAST(x AS HUGEINT) * x ELSE CAST(0 AS HUGEINT) END) AS _q1,
+                       SUM(CASE WHEN side = 'b' THEN CAST(x AS HUGEINT) * x ELSE CAST(0 AS HUGEINT) END) AS _q2
+                FROM vals GROUP BY 1
+                HAVING SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) > 1
+                   AND SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) > 1
+            ),
+            tested AS (
+                SELECT _g, n1 AS n_left, n2 AS n_right,
+                       ROUND(((CAST(_s1 AS DOUBLE) / n1 - CAST(_s2 AS DOUBLE) / n2) / sqrt((CAST(_q1 AS DOUBLE) / n1 - (CAST(_s1 AS DOUBLE) / n1) * (CAST(_s1 AS DOUBLE) / n1)) / n1 + (CAST(_q2 AS DOUBLE) / n2 - (CAST(_s2 AS DOUBLE) / n2) * (CAST(_s2 AS DOUBLE) / n2)) / n2)), 6) AS z,
+                       CAST(ROUND((2.0 * (exp(-(abs(((CAST(_s1 AS DOUBLE) / n1 - CAST(_s2 AS DOUBLE) / n2) / sqrt((CAST(_q1 AS DOUBLE) / n1 - (CAST(_s1 AS DOUBLE) / n1) * (CAST(_s1 AS DOUBLE) / n1)) / n1 + (CAST(_q2 AS DOUBLE) / n2 - (CAST(_s2 AS DOUBLE) / n2) * (CAST(_s2 AS DOUBLE) / n2)) / n2)))) * (abs(((CAST(_s1 AS DOUBLE) / n1 - CAST(_s2 AS DOUBLE) / n2) / sqrt((CAST(_q1 AS DOUBLE) / n1 - (CAST(_s1 AS DOUBLE) / n1) * (CAST(_s1 AS DOUBLE) / n1)) / n1 + (CAST(_q2 AS DOUBLE) / n2 - (CAST(_s2 AS DOUBLE) / n2) * (CAST(_s2 AS DOUBLE) / n2)) / n2)))) / 2.0) / 2.5066282746310002 * ((1.0 / (1.0 + 0.2316419 * (abs(((CAST(_s1 AS DOUBLE) / n1 - CAST(_s2 AS DOUBLE) / n2) / sqrt((CAST(_q1 AS DOUBLE) / n1 - (CAST(_s1 AS DOUBLE) / n1) * (CAST(_s1 AS DOUBLE) / n1)) / n1 + (CAST(_q2 AS DOUBLE) / n2 - (CAST(_s2 AS DOUBLE) / n2) * (CAST(_s2 AS DOUBLE) / n2)) / n2)))))) * (0.319381530 + (1.0 / (1.0 + 0.2316419 * (abs(((CAST(_s1 AS DOUBLE) / n1 - CAST(_s2 AS DOUBLE) / n2) / sqrt((CAST(_q1 AS DOUBLE) / n1 - (CAST(_s1 AS DOUBLE) / n1) * (CAST(_s1 AS DOUBLE) / n1)) / n1 + (CAST(_q2 AS DOUBLE) / n2 - (CAST(_s2 AS DOUBLE) / n2) * (CAST(_s2 AS DOUBLE) / n2)) / n2)))))) * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * (abs(((CAST(_s1 AS DOUBLE) / n1 - CAST(_s2 AS DOUBLE) / n2) / sqrt((CAST(_q1 AS DOUBLE) / n1 - (CAST(_s1 AS DOUBLE) / n1) * (CAST(_s1 AS DOUBLE) / n1)) / n1 + (CAST(_q2 AS DOUBLE) / n2 - (CAST(_s2 AS DOUBLE) / n2) * (CAST(_s2 AS DOUBLE) / n2)) / n2)))))) * (1.781477937 + (1.0 / (1.0 + 0.2316419 * (abs(((CAST(_s1 AS DOUBLE) / n1 - CAST(_s2 AS DOUBLE) / n2) / sqrt((CAST(_q1 AS DOUBLE) / n1 - (CAST(_s1 AS DOUBLE) / n1) * (CAST(_s1 AS DOUBLE) / n1)) / n1 + (CAST(_q2 AS DOUBLE) / n2 - (CAST(_s2 AS DOUBLE) / n2) * (CAST(_s2 AS DOUBLE) / n2)) / n2)))))) * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * (abs(((CAST(_s1 AS DOUBLE) / n1 - CAST(_s2 AS DOUBLE) / n2) / sqrt((CAST(_q1 AS DOUBLE) / n1 - (CAST(_s1 AS DOUBLE) / n1) * (CAST(_s1 AS DOUBLE) / n1)) / n1 + (CAST(_q2 AS DOUBLE) / n2 - (CAST(_s2 AS DOUBLE) / n2) * (CAST(_s2 AS DOUBLE) / n2)) / n2)))))) * 1.330274429))))))) * 1e12) AS BIGINT) AS _pu
+                FROM sided
+            ),
+            ranked AS (
+                SELECT *, CAST(count(*) OVER () AS BIGINT) AS _m,
+                       CAST(row_number() OVER (ORDER BY _pu ASC, _g ASC) AS BIGINT) AS p_rank
+                FROM tested
+            ),
+            cut AS (
+                SELECT *, max(CASE WHEN _pu * _m <= CAST(p_rank * ROUND(0.05 * 1e12) AS BIGINT)
+                                   THEN p_rank END) OVER () AS _imax
+                FROM ranked
+            )
+            SELECT _g AS nation, n_left, n_right, z,
+                   ROUND(CAST(_pu AS DOUBLE) / 1e12, 12) AS p_value,
+                   p_rank,
+                   ROUND(CAST(p_rank AS DOUBLE) * 0.05 / _m, 12) AS bh_cutoff,
+                   COALESCE(p_rank <= _imax, FALSE) AS rejected
+            FROM cut ORDER BY p_rank
+        """,
+        "mcnemar_filters": """
+            WITH flags AS (
+                SELECT (n_chars BETWEEN 150 AND 450) AS ka,
+                       (len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                        t -> t <> '')) BETWEEN 25 AND 80) AS kb
+                FROM documents
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
+                   CAST(SUM(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop,
+                   CAST(SUM(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS b_only_a,
+                   CAST(SUM(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS c_only_b,
+                   CASE WHEN SUM(CASE WHEN ka <> kb THEN 1 ELSE 0 END) > 0 THEN
+                       ROUND(CAST((abs(CAST(SUM(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT)
+                                       - CAST(SUM(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT)) - 1)
+                                  * (abs(CAST(SUM(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT)
+                                         - CAST(SUM(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT)) - 1) AS DOUBLE)
+                             / CAST(CAST(SUM(CASE WHEN ka <> kb THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE), 6)
+                   END AS chi2_cc
+            FROM flags
+        """,
+        "token_entropy_profile": """
+            WITH toks AS (
+                SELECT doc_id, source, t.tok, count(*) AS _c
+                FROM documents, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(tok)
+                WHERE t.tok <> '' GROUP BY 1, 2, 3
+            ),
+            d AS (
+                SELECT doc_id, source, CAST(sum(_c) AS BIGINT) AS _n,
+                       CAST(sum(CAST(ROUND(CAST(_c AS DOUBLE) * ln(CAST(_c AS DOUBLE)) * 1e12) AS BIGINT)) AS BIGINT) AS _s
+                FROM toks GROUP BY 1, 2
+            ),
+            h AS (
+                SELECT source,
+                       CAST(ROUND((ln(CAST(_n AS DOUBLE)) - CAST(_s AS DOUBLE) / 1e12 / CAST(_n AS DOUBLE))
+                                  * 1e6) AS BIGINT) AS _h
+                FROM d
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   ROUND(CAST(CAST(sum(_h) AS BIGINT) AS DOUBLE) / count(*) / 1e6, 6) AS mean_token_entropy,
+                   ROUND(CAST(CAST(SUM(CASE WHEN _h < 3000000 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                         / count(*), 6) AS low_entropy_share
+            FROM h GROUP BY source ORDER BY source
         """,
         "hill_tail": """
             WITH q AS (

@@ -3398,3 +3398,181 @@ def hill_tail_index(
             ).alias("alpha"),
         )
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation with standard average-tie ranks — the
+    monotone-association complement of `numeric_corr`'s Pearson (which
+    only sees LINEAR association and is outlier-fragile on the heavy
+    tails `hill_tail_index` diagnoses).
+
+    No global sort and no per-row rank window: the average rank of a
+    value is a function of the VALUE GRID alone — rank_avg(v) =
+    (#rows below v) + (ties(v)+1)/2 — so both rank columns come from
+    bounded distinct-value grids (cumulative window over one row per
+    distinct value, broadcast back). Doubled ranks (2·before+ties+1)
+    keep everything integer; Pearson over the doubled ranks equals
+    Pearson over the ranks exactly (shift/scale invariance).
+
+    Moments are DECIMAL(38,0) — with ranks ≤ 2N the third-moment terms
+    stay within 38 digits to beyond 10^10 rows — and rho is ONE double
+    division of exact integers. Output ONE row: (n, rho).
+    """
+
+    def rank2_grid(col: str, scale: int, out: str):
+        q = F.expr(f"CAST(ROUND(CAST({col} AS DOUBLE) * {int(scale)}) AS BIGINT)")
+        base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+            q.alias("_v")
+        )
+        grid = base.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+        w = Window.orderBy(F.col("_v").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return grid.select(
+            F.col("_v").alias(f"_{out}v"),
+            (2 * (F.sum("_c").over(w) - F.col("_c")) + F.col("_c") + 1).alias(out),
+        )
+
+    dec = "decimal(38,0)"
+    qx = F.expr(f"CAST(ROUND(CAST({x_col} AS DOUBLE) * {int(x_scale)}) AS BIGINT)")
+    qy = F.expr(f"CAST(ROUND(CAST({y_col} AS DOUBLE) * {int(y_scale)}) AS BIGINT)")
+    rows = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        qx.alias("_xv"), qy.alias("_yv")
+    )
+    gx = rank2_grid(x_col, x_scale, "rx")
+    gy = rank2_grid(y_col, y_scale, "ry")
+    ranked = rows.join(F.broadcast(gx), rows["_xv"] == gx["_rxv"]).join(
+        F.broadcast(gy), rows["_yv"] == gy["_ryv"]
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx").cast(dec)).alias("_sx"),
+        F.sum(F.col("ry").cast(dec)).alias("_sy"),
+        F.sum(F.col("rx").cast(dec) * F.col("rx").cast(dec)).alias("_sxx"),
+        F.sum(F.col("ry").cast(dec) * F.col("ry").cast(dec)).alias("_syy"),
+        F.sum(F.col("rx").cast(dec) * F.col("ry").cast(dec)).alias("_sxy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * _sxy - _sx * _sy AS DOUBLE) / "
+                "(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * _sxx - _sx * _sx AS DOUBLE)) * "
+                "sqrt(CAST(CAST(n AS DECIMAL(38,0)) * _syy - _sy * _sy AS DOUBLE)))"
+            ),
+            decimals,
+        ).alias("rho"),
+    )
+
+
+# Abramowitz & Stegun 26.2.17 tail of the standard normal CDF — the
+# five-term rational approximation (|eps| < 7.5e-8), built from exp and
+# IEEE-defined +,*,/ only (no pow — libm pow is not ulp-identical across
+# engines) so Spark and DuckDB produce bit-identical doubles from the
+# same literals. Horner form over t = 1/(1+0.2316419·z); callers feed
+# |z| and get P(Z > |z|).
+_AS_NORMAL_SF = (
+    "(exp(-({z}) * ({z}) / 2.0) / 2.5066282746310002 * "
+    "((1.0 / (1.0 + 0.2316419 * ({z}))) * (0.319381530 + "
+    "(1.0 / (1.0 + 0.2316419 * ({z}))) * (-0.356563782 + "
+    "(1.0 / (1.0 + 0.2316419 * ({z}))) * (1.781477937 + "
+    "(1.0 / (1.0 + 0.2316419 * ({z}))) * (-1.821255978 + "
+    "(1.0 / (1.0 + 0.2316419 * ({z}))) * 1.330274429))))))"
+)
+
+
+def bh_fdr(
+    df: DataFrame,
+    group_col: str,
+    split_col: str,
+    val_col: str,
+    left_value: str,
+    right_value: str,
+    alpha: float = 0.05,
+    value_scale: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group two-sample z-tests with Benjamini–Hochberg FDR
+    correction — the multiple-testing discipline every per-segment A/B
+    readout needs (test 25 segments at p<0.05 and ~1 false positive is
+    EXPECTED; `ab_test`/`cuped_ab` are single-hypothesis ops and can't
+    see that). Step-up rule: reject H0 for all p-ranks ≤ the largest i
+    with p_(i) ≤ i·α/m.
+
+    Exactness: per-(group, side) moments are DECIMAL(38,0) over
+    once-quantized integer values; z is one fixed expression tree; the
+    two-sided p comes from the shared Abramowitz–Stegun 26.2.17
+    rational tail (exp + literals only — engine-portable to the ulp)
+    and is ROUND(·1e12)-quantized to a BIGINT BEFORE ranking, so the BH
+    order is integer-deterministic (group key tie-break). The ranked
+    frame is m rows (m = #groups, bounded); every window rides it, not
+    the corpus.
+
+    Output per group: (group, n_left, n_right, z, p_value, p_rank,
+    bh_cutoff, rejected), ordered by p_rank.
+    """
+    dec = "decimal(38,0)"
+    x = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    sided = (
+        df.filter(F.col(split_col).isin([left_value, right_value]))
+        .filter(F.col(val_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            (F.col(split_col) == left_value).alias("_is_l"),
+            x.alias("_x"),
+        )
+        .groupBy("_g")
+        .agg(
+            F.sum(F.when(F.col("_is_l"), 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(~F.col("_is_l"), 1).otherwise(0)).alias("n2"),
+            F.sum(F.when(F.col("_is_l"), F.col("_x").cast(dec)).otherwise(F.lit(0).cast(dec))).alias("_s1"),
+            F.sum(F.when(~F.col("_is_l"), F.col("_x").cast(dec)).otherwise(F.lit(0).cast(dec))).alias("_s2"),
+            F.sum(F.when(F.col("_is_l"), F.col("_x").cast(dec) * F.col("_x").cast(dec)).otherwise(F.lit(0).cast(dec))).alias("_q1"),
+            F.sum(F.when(~F.col("_is_l"), F.col("_x").cast(dec) * F.col("_x").cast(dec)).otherwise(F.lit(0).cast(dec))).alias("_q2"),
+        )
+        .filter((F.col("n1") > 1) & (F.col("n2") > 1))
+    )
+    # population variance per side from exact integer moments, then the
+    # Welch-style z; one fixed tree, no intermediate rounding
+    zexpr = (
+        "((CAST(_s1 AS DOUBLE) / n1 - CAST(_s2 AS DOUBLE) / n2) / "
+        "sqrt((CAST(_q1 AS DOUBLE) / n1 - (CAST(_s1 AS DOUBLE) / n1) * (CAST(_s1 AS DOUBLE) / n1)) / n1 "
+        "+ (CAST(_q2 AS DOUBLE) / n2 - (CAST(_s2 AS DOUBLE) / n2) * (CAST(_s2 AS DOUBLE) / n2)) / n2))"
+    )
+    p_two = f"(2.0 * {_AS_NORMAL_SF.format(z=f'abs({zexpr})')})"
+    tested = sided.select(
+        "_g",
+        F.col("n1").cast("bigint").alias("n_left"),
+        F.col("n2").cast("bigint").alias("n_right"),
+        F.round(F.expr(zexpr), decimals).alias("z"),
+        F.expr(f"CAST(ROUND({p_two} * 1e12) AS BIGINT)").alias("_pu"),
+    )
+    m_w = Window.orderBy(F.lit(1))
+    rank_w = Window.orderBy(F.col("_pu").asc(), F.col("_g").asc())
+    ranked = tested.withColumn("_m", F.count(F.lit(1)).over(m_w)).withColumn(
+        "p_rank", F.row_number().over(rank_w).cast("bigint")
+    )
+    # step-up: the largest rank whose p clears its own cutoff; everything
+    # at or below that rank is rejected. p·m ≤ i·α in 1e12-integer space.
+    ok = (F.col("_pu") * F.col("_m") <= F.expr(f"CAST(p_rank * ROUND({float(alpha)} * 1e12) AS BIGINT)")).cast("int")
+    thr_w = Window.orderBy(F.lit(1))
+    ranked = ranked.withColumn("_imax", F.max(F.when(ok == 1, F.col("p_rank"))).over(thr_w))
+    return ranked.select(
+        F.col("_g").alias(group_col),
+        "n_left",
+        "n_right",
+        "z",
+        F.round(F.col("_pu").cast("double") / F.lit(1e12), 12).alias("p_value"),
+        "p_rank",
+        F.round(
+            F.col("p_rank").cast("double") * F.lit(float(alpha)) / F.col("_m"), 12
+        ).alias("bh_cutoff"),
+        F.coalesce(F.col("p_rank") <= F.col("_imax"), F.lit(False)).alias("rejected"),
+    ).orderBy("p_rank")

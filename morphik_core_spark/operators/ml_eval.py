@@ -48,6 +48,7 @@ __all__ = [
     "ranking_metrics",
     "threshold_sweep",
     "isotonic_calibration",
+    "mcnemar_test",
 ]
 
 
@@ -640,4 +641,50 @@ def isotonic_calibration(
             F.round(F.col("_iso"), decimals).alias("iso_prob"),
         )
         .orderBy("score")
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    keep_a_col: str,
+    keep_b_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """McNemar's paired test between two binary decision columns over the
+    SAME rows — the correct way to ask "do these two quality filters
+    disagree more than coin-flip noise" (an unpaired chi-square wastes
+    the pairing and understates power; `cohens_kappa` measures agreement
+    magnitude, not its significance). Only the discordant cells matter:
+
+        b = A keeps, B drops;  c = A drops, B keeps
+        chi2_cc = (|b − c| − 1)² / (b + c)      (continuity-corrected)
+
+    Pure integer counts until the single final division; NULL statistic
+    when b + c = 0 (the test is undefined — the filters never disagree).
+    One combinable scan; output ONE row: (n, n_both_keep, n_both_drop,
+    b_only_a, c_only_b, chi2_cc).
+    """
+    a = F.col(keep_a_col).cast("boolean")
+    b = F.col(keep_b_col).cast("boolean")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((a & b).cast("long")).alias("n_both_keep"),
+        F.sum((~a & ~b).cast("long")).alias("n_both_drop"),
+        F.sum((a & ~b).cast("long")).alias("b_only_a"),
+        F.sum((~a & b).cast("long")).alias("c_only_b"),
+    )
+    disc = F.col("b_only_a") + F.col("c_only_b")
+    diff = F.abs(F.col("b_only_a") - F.col("c_only_b"))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_both_keep").cast("bigint").alias("n_both_keep"),
+        F.col("n_both_drop").cast("bigint").alias("n_both_drop"),
+        F.col("b_only_a").cast("bigint").alias("b_only_a"),
+        F.col("c_only_b").cast("bigint").alias("c_only_b"),
+        F.when(
+            disc > 0,
+            F.round(
+                ((diff - 1) * (diff - 1)).cast("double") / disc.cast("double"), decimals
+            ),
+        ).alias("chi2_cc"),
     )

@@ -37,6 +37,7 @@ __all__ = [
     "vocab_jsd",
     "novelty_rate",
     "vocab_coverage",
+    "token_entropy",
 ]
 
 # compact stopword profiles for the heuristic language scorer
@@ -892,4 +893,73 @@ def vocab_coverage(
             "vocab_size",
         )
         .orderBy("top_n")
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    low_threshold: float = 3.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group token-entropy profile: Shannon entropy (nats) of each
+    document's token distribution — H = ln(n) − (1/n)·Σ c·ln c — rolled
+    up to (group, n_docs, mean_token_entropy, low_entropy_share). The
+    gibberish/repetition quality signal `repetition_signals`' fixed
+    n-gram ratios approximate: a doc stuck on few tokens scores low no
+    matter WHICH pattern repeats, so the threshold share is a direct
+    "degenerate docs" rate per source.
+
+    Exactness: per-(doc, token) counts are exact integers; each c·ln c
+    term is ROUND(·1e12)-quantized before the per-doc sum; the per-doc
+    entropy is ROUND(·1e6)-quantized to a BIGINT before the per-group
+    mean — every cross-row reduction is integer arithmetic, so neither
+    token order nor partitioning moves an ulp.
+
+    Scale: one (doc, token) groupBy (map-side combined — the bounded
+    per-doc vocabulary shrinks the explode before it shuffles), one doc
+    groupBy, one group groupBy. No windows, no corpus-sized frames past
+    the first aggregate.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(group_col).alias("_grp"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+        .groupBy("_id", "_grp", "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    cln = "CAST(ROUND(CAST(_c AS DOUBLE) * ln(CAST(_c AS DOUBLE)) * 1e12) AS BIGINT)"
+    docs = toks.groupBy("_id", "_grp").agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.expr(cln)).alias("_s"),
+    )
+    h_micro = (
+        "CAST(ROUND((ln(CAST(_n AS DOUBLE)) - CAST(_s AS DOUBLE) / 1e12 / CAST(_n AS DOUBLE)) "
+        "* 1e6) AS BIGINT)"
+    )
+    scored = docs.select("_grp", F.expr(h_micro).alias("_h"))
+    thr = int(round(float(low_threshold) * 1e6))
+    return (
+        scored.groupBy("_grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_h").alias("_hs"),
+            F.sum((F.col("_h") < thr).cast("long")).alias("_low"),
+        )
+        .select(
+            F.col("_grp").alias(group_col),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round(
+                F.col("_hs").cast("double") / F.col("n_docs") / F.lit(1e6), decimals
+            ).alias("mean_token_entropy"),
+            F.round(
+                F.col("_low").cast("double") / F.col("n_docs"), decimals
+            ).alias("low_entropy_share"),
+        )
+        .orderBy(group_col)
     )

@@ -928,3 +928,112 @@ def test_round8_batch_a_plan_shapes(spark):
         plan = _plan(out)
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_spearman_matches_plain_python_with_ties(spark):
+    from morphik_core_spark.operators.analytics import spearman_corr
+
+    xs = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 5.0, 8.0]
+    ys = [2.0, 1.0, 3.0, 5.0, 4.0, 6.0, 6.0, 9.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    [r] = spearman_corr(df, "x", "y").collect()
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            mid = (i + 1 + j) / 2
+            for k in range(i, j):
+                ranks[order[k]] = mid
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx)) * math.sqrt(
+        sum((b - my) ** 2 for b in ry)
+    )
+    assert r["n"] == n
+    assert abs(r["rho"] - num / den) < 1e-6
+
+
+def test_spearman_monotone_nonlinear_is_one(spark):
+    from morphik_core_spark.operators.analytics import spearman_corr
+
+    rows = [(float(i), float(i) ** 3) for i in range(1, 60)]
+    [r] = spearman_corr(
+        spark.createDataFrame(rows, "x double, y double"), "x", "y", y_scale=1
+    ).collect()
+    assert r["rho"] == 1.0
+
+
+def test_spearman_partition_invariant(spark):
+    from morphik_core_spark.operators.analytics import spearman_corr
+
+    rows = [(float((i * 7) % 23), float((i * 13) % 31)) for i in range(500)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    a = spearman_corr(df, "x", "y").collect()
+    b = spearman_corr(df.repartition(19), "x", "y").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_as_normal_tail_accuracy():
+    """The shared A&S 26.2.17 tail must be within 7.5e-8 of the exact
+    normal survival function (erfc reference)."""
+    from morphik_core_spark.operators.analytics import _AS_NORMAL_SF
+
+    for z in (0.0, 0.5, 1.0, 1.645, 1.96, 2.5758, 3.3, 5.0):
+        expr = _AS_NORMAL_SF.format(z=repr(z))
+        py = expr.replace("exp", "math.exp")
+        got = eval(py, {"math": math})
+        exact = 0.5 * math.erfc(z / math.sqrt(2))
+        assert abs(got - exact) < 7.5e-8, (z, got, exact)
+
+
+def test_bh_fdr_step_up_rule(spark):
+    """Inject one group with a real shift and several null groups: BH must
+    reject the shifted group and respect the step-up ordering."""
+    from morphik_core_spark.operators.analytics import bh_fdr
+
+    rows = []
+    for g in range(6):
+        for i in range(400):
+            base = 100.0 + (i * 17 % 13)  # same shape in every group
+            rows.append((f"g{g}", "a", base))
+            # group 0 gets a genuine +8 shift on the b side
+            rows.append((f"g{g}", "b", base + (8.0 if g == 0 else 0.0)))
+    df = spark.createDataFrame(rows, "g string, side string, v double")
+    out = bh_fdr(df, "g", "side", "v", "a", "b", alpha=0.05).collect()
+    by_g = {r["g"]: r for r in out}
+    assert by_g["g0"]["rejected"] is True
+    assert by_g["g0"]["p_rank"] == 1
+    # null groups have z == 0 exactly (identical sides) -> p = 1, no rejection
+    for g in range(1, 6):
+        assert by_g[f"g{g}"]["rejected"] is False
+    # ranks are a permutation of 1..m and cutoffs increase with rank
+    ranks = sorted(r["p_rank"] for r in out)
+    assert ranks == list(range(1, 7))
+    ordered = sorted(out, key=lambda r: r["p_rank"])
+    cuts = [r["bh_cutoff"] for r in ordered]
+    assert cuts == sorted(cuts)
+
+
+def test_bh_fdr_rejects_nothing_under_null(spark):
+    from morphik_core_spark.operators.analytics import bh_fdr
+
+    rows = []
+    for g in range(8):
+        for i in range(300):
+            rows.append((f"g{g}", "a", 50.0 + ((i * 7 + g) % 11)))
+            rows.append((f"g{g}", "b", 50.0 + ((i * 7 + g) % 11)))
+    out = bh_fdr(
+        spark.createDataFrame(rows, "g string, side string, v double"),
+        "g", "side", "v", "a", "b",
+    ).collect()
+    assert all(r["rejected"] is False for r in out)

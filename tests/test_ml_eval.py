@@ -274,3 +274,28 @@ def test_isotonic_calibration_pools_violations(spark):
         _df(spark, rows, "s double, y int"), "s", "y", grid_decimals=3
     ).collect()}
     assert out[0.1] == 0.0 and out[0.2] == 0.5 and out[0.3] == 0.5
+
+
+def test_mcnemar_hand_values(spark):
+    from morphik_core_spark.operators.ml_eval import mcnemar_test
+
+    # b=8 (A only), c=2 (B only): chi2_cc = (|8-2|-1)^2/10 = 2.5
+    rows = (
+        [(True, True)] * 20 + [(False, False)] * 10 + [(True, False)] * 8 + [(False, True)] * 2
+    )
+    [r] = mcnemar_test(
+        spark.createDataFrame(rows, "ka boolean, kb boolean"), "ka", "kb"
+    ).collect()
+    assert r["n"] == 40 and r["n_both_keep"] == 20 and r["n_both_drop"] == 10
+    assert r["b_only_a"] == 8 and r["c_only_b"] == 2
+    assert r["chi2_cc"] == 2.5
+
+
+def test_mcnemar_undefined_when_no_disagreement(spark):
+    from morphik_core_spark.operators.ml_eval import mcnemar_test
+
+    rows = [(True, True)] * 5 + [(False, False)] * 5
+    [r] = mcnemar_test(
+        spark.createDataFrame(rows, "ka boolean, kb boolean"), "ka", "kb"
+    ).collect()
+    assert r["chi2_cc"] is None

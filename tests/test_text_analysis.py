@@ -170,3 +170,41 @@ def test_vocab_coverage_short_docs_dropped(spark):
 
     df = spark.createDataFrame([(1, "just two")], "doc_id long, text string")
     assert vocab_coverage(df, "text", n=3, top_ns=(10,)).collect() == []
+
+
+def test_token_entropy_hand_values(spark):
+    import math
+
+    from morphik_core_spark.operators.text_analysis import token_entropy
+
+    rows = [
+        (1, "s1", "a a a a"),              # H = 0 (single token)
+        (2, "s1", "a b c d"),              # H = ln 4
+        (3, "s2", "x x y y"),              # H = ln 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in token_entropy(
+        df, "doc_id", "text", "source", low_threshold=0.5
+    ).collect()}
+    h0 = 0.0
+    h4 = round(round((math.log(4) - round(4 * 1 * math.log(1) * 1e12) / 1e12 / 4) * 1e6) / 1e6, 6)
+    assert out["s1"]["n_docs"] == 2
+    assert out["s1"]["mean_token_entropy"] == round((h0 + h4) / 2, 6)
+    assert out["s1"]["low_entropy_share"] == 0.5  # the degenerate doc
+    assert out["s2"]["mean_token_entropy"] == round(
+        round((math.log(4) - round(2 * math.log(2) * 1e12) / 1e12 * 2 / 4) * 1e6) / 1e6, 6
+    )
+
+
+def test_token_entropy_partition_invariant(spark):
+    from morphik_core_spark.operators.text_analysis import token_entropy
+
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [
+        (i, f"s{i % 3}", " ".join(words[(i + j) % 5] for j in range((i % 7) + 2)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = sorted(map(tuple, token_entropy(df, "doc_id", "text", "source").collect()))
+    b = sorted(map(tuple, token_entropy(df.repartition(13), "doc_id", "text", "source").collect()))
+    assert a == b
