@@ -5215,6 +5215,35 @@ def _q_token_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(docs, "doc_id", "text", "source", low_threshold=3.0)
 
 
+def _q_boilerplate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document boilerplate measurement
+    (`curation.boilerplate_profile`): 3-token segments appearing in ≥3
+    distinct docs are boilerplate; per source, the mean share of token
+    mass that is boilerplate + the share of docs containing any — the
+    frequency-threshold complement of `paragraph_dedup`'s first-wins
+    removal. Segments are built inside the token array (codegen, no
+    per-token shuffle); ratios quantize to 1e6 integers before the
+    group mean."""
+    from morphik_core_spark.operators.curation import boilerplate_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_profile(
+        docs, "doc_id", "text", "source", seg_words=3, min_docs=3
+    )
+
+
+def _q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM (`text_analysis.
+    kneser_ney_bigram`) over the corpus — the CCNet/KenLM-style quality
+    LM training step; top-50 bigrams with MLE vs KN probabilities, the
+    continuation counts making the difference visible. All model terms
+    exact integer counts; the bigram vocabulary bounds every frame."""
+    from morphik_core_spark.operators.text_analysis import kneser_ney_bigram
+
+    docs = _t(spark, sf_dir, "documents")
+    return kneser_ney_bigram(docs, "text", discount=0.75, top_n=50)
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -5496,6 +5525,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trends": _q_event_trends,
         "chi_square_screen": _q_chi_square_screen,
         "spearman_screen": _q_spearman_screen,
+        "boilerplate_profile": _q_boilerplate_profile,
+        "kn_bigram_lm": _q_kn_bigram_lm,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -11478,6 +11509,77 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(CAST(SUM(CASE WHEN _h < 3000000 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
                          / count(*), 6) AS low_entropy_share
             FROM h GROUP BY source ORDER BY source
+        """,
+
+        "boilerplate_profile": """
+            WITH arr AS (
+                SELECT doc_id, source,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS a
+                FROM documents
+            ),
+            base AS (SELECT * FROM arr WHERE len(a) > 0),
+            segs AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5(array_to_string(a[i * 3 + 1 : i * 3 + 3], ' ')), 1, 15)) AS BIGINT) AS h,
+                       least(len(a) - i * 3, 3) AS nt
+                FROM base, unnest(range(CAST(ceil(len(a) / 3.0) AS BIGINT))) AS t(i)
+            ),
+            cnt AS (SELECT h, count(DISTINCT doc_id) AS nd FROM segs GROUP BY 1),
+            flagged AS (
+                SELECT s.doc_id, s.source, s.h, s.nt,
+                       CASE WHEN c.nd >= 3 THEN 1 ELSE 0 END AS bp
+                FROM segs s JOIN cnt c USING (h)
+            ),
+            d AS (
+                SELECT doc_id, source,
+                       CAST(sum(nt) AS BIGINT) AS tok,
+                       CAST(sum(nt * bp) AS BIGINT) AS bptok,
+                       max(bp) AS hit
+                FROM flagged GROUP BY 1, 2
+            ),
+            perdoc AS (
+                SELECT source,
+                       CAST(ROUND(CAST(bptok AS DOUBLE) / CAST(tok AS DOUBLE) * 1e6) AS BIGINT) AS r,
+                       hit
+                FROM d
+            ),
+            nbp AS (
+                SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS n_bp_segments
+                FROM flagged WHERE bp = 1 GROUP BY 1
+            ),
+            g AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(r) AS BIGINT) AS rs, CAST(sum(hit) AS BIGINT) AS hits
+                FROM perdoc GROUP BY 1
+            )
+            SELECT g.source, n_docs,
+                   COALESCE(n_bp_segments, 0) AS n_bp_segments,
+                   ROUND(CAST(rs AS DOUBLE) / n_docs / 1e6, 6) AS mean_bp_ratio,
+                   ROUND(CAST(hits AS DOUBLE) / n_docs, 6) AS hit_share
+            FROM g LEFT JOIN nbp USING (source)
+            ORDER BY source
+        """,
+        "kn_bigram_lm": """
+            WITH arr AS (
+                SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS a
+                FROM documents
+            ),
+            base AS (SELECT a FROM arr WHERE len(a) >= 2),
+            pairs AS (
+                SELECT a[i] AS w1, a[i + 1] AS w2
+                FROM base, unnest(range(1, CAST(len(a) AS BIGINT))) AS t(i)
+            ),
+            big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
+            ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_w1, CAST(count(*) AS BIGINT) AS n1_fwd FROM big GROUP BY 1),
+            cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_bwd FROM big GROUP BY 1),
+            nbi AS (SELECT CAST(count(*) AS BIGINT) AS n_bigrams FROM big)
+            SELECT big.w1, big.w2, c, c_w1, n1_fwd, n1_bwd,
+                   ROUND(CAST(c AS DOUBLE) / CAST(c_w1 AS DOUBLE), 8) AS p_mle,
+                   ROUND(greatest(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(c_w1 AS DOUBLE)
+                         + 0.75 * CAST(n1_fwd AS DOUBLE) / CAST(c_w1 AS DOUBLE)
+                         * (CAST(n1_bwd AS DOUBLE) / CAST(n_bigrams AS DOUBLE)), 8) AS p_kn
+            FROM big JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nbi
+            ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 50
         """,
         "hill_tail": """
             WITH q AS (

@@ -40,6 +40,7 @@ from morphik_core_spark.operators.text_analysis import STOPWORDS
 __all__ = [
     "quantile_normalize",
     "token_budget_mixture",
+    "boilerplate_profile",
     "curriculum_order",
     "quality_signals",
     "quality_filter",
@@ -1759,4 +1760,100 @@ def length_matching(
             ),
         )
         .orderBy("bucket")
+    )
+
+
+def boilerplate_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    seg_words: int = 3,
+    min_docs: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """CCNet-style cross-document boilerplate detection: chop each doc
+    into consecutive ``seg_words``-token segments, call a segment
+    boilerplate when it appears in ≥ ``min_docs`` DISTINCT documents
+    (headers/footers/navigation — content that repeats across docs, not
+    within one), and profile each group by how much of its token mass
+    is boilerplate. The frequency-threshold complement of
+    `paragraph_dedup` (which keeps first occurrences; this MEASURES the
+    repeated mass so a pipeline can decide to strip it).
+
+    Plan shape: segments are built INSIDE the token array (transform +
+    slice over sequence — pure codegen, no per-token explode/shuffle);
+    the only corpus-sized exchanges are the segment-count groupBy and
+    the flag join back, both on the segment hash (uniform md5-fold
+    keys). Per-doc ratios quantize to 1e6 integers before the group
+    mean, the repo's order-free reduction recipe.
+
+    Output per group: (group, n_docs, n_bp_segments, mean_bp_ratio,
+    hit_share) — n_bp_segments is the count of distinct boilerplate
+    segments observed in the group, hit_share the fraction of docs
+    containing at least one.
+    """
+    w = int(seg_words)
+    arr = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(group_col).alias("_grp"), arr.alias("_a")
+    ).filter(F.size("_a") > 0)
+    segs = base.select(
+        "_id",
+        "_grp",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.expr(f"CAST(ceil(size(_a) / {float(w)}) AS INT) - 1")),
+                lambda i: F.struct(
+                    F.concat_ws(" ", F.slice(F.col("_a"), i * w + 1, w)).alias("seg"),
+                    F.least(F.size("_a") - i * w, F.lit(w)).alias("n_tok"),
+                ),
+            )
+        ).alias("_s"),
+    ).select(
+        "_id",
+        "_grp",
+        F.conv(F.substring(F.md5(F.col("_s.seg")), 1, 15), 16, 10).cast("bigint").alias("_h"),
+        F.col("_s.n_tok").alias("_nt"),
+    )
+    counts = segs.groupBy("_h").agg(F.count_distinct("_id").alias("_nd"))
+    bp = counts.filter(F.col("_nd") >= int(min_docs)).select("_h")
+    flagged = segs.join(bp.withColumn("_bp", F.lit(1)), "_h", "left").na.fill({"_bp": 0})
+    docs = flagged.groupBy("_id", "_grp").agg(
+        F.sum("_nt").alias("_tok"),
+        F.sum(F.col("_nt") * F.col("_bp")).alias("_bptok"),
+        F.max("_bp").alias("_hit"),
+        F.count_distinct(F.when(F.col("_bp") == 1, F.col("_h"))).alias("_nbseg"),
+    )
+    ratio_micro = "CAST(ROUND(CAST(_bptok AS DOUBLE) / CAST(_tok AS DOUBLE) * 1e6) AS BIGINT)"
+    per_doc = docs.select(
+        "_grp",
+        F.expr(ratio_micro).alias("_r"),
+        "_hit",
+        "_id",
+    )
+    nbp_per_group = (
+        flagged.filter(F.col("_bp") == 1)
+        .groupBy("_grp")
+        .agg(F.count_distinct("_h").alias("n_bp_segments"))
+    )
+    return (
+        per_doc.groupBy("_grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_r").alias("_rs"),
+            F.sum("_hit").alias("_hits"),
+        )
+        .join(nbp_per_group, "_grp", "left")
+        .na.fill({"n_bp_segments": 0})
+        .select(
+            F.col("_grp").alias(group_col),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_bp_segments").cast("bigint").alias("n_bp_segments"),
+            F.round(F.col("_rs").cast("double") / F.col("n_docs") / F.lit(1e6), decimals).alias(
+                "mean_bp_ratio"
+            ),
+            F.round(F.col("_hits").cast("double") / F.col("n_docs"), decimals).alias("hit_share"),
+        )
+        .orderBy(group_col)
     )

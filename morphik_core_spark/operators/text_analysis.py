@@ -38,6 +38,7 @@ __all__ = [
     "novelty_rate",
     "vocab_coverage",
     "token_entropy",
+    "kneser_ney_bigram",
 ]
 
 # compact stopword profiles for the heuristic language scorer
@@ -962,4 +963,77 @@ def token_entropy(
             ).alias("low_entropy_share"),
         )
         .orderBy(group_col)
+    )
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    text_col: str,
+    discount: float = 0.75,
+    top_n: int = 50,
+    decimals: int = 8,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram language model over the corpus —
+    the smoothing a CCNet/KenLM-style quality LM trains before scoring
+    crawl text (`perplexity`'s uniform-backoff model is the toy it
+    replaces). For a bigram (w1, w2):
+
+        P_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+                      + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+
+    — the continuation distribution N1+(·w2)/N1+(··) is what makes KN
+    KN: a word seen in many CONTEXTS (not merely often) gets the backoff
+    mass. Emits the corpus top-``top_n`` bigrams by count with MLE and
+    KN probabilities side by side.
+
+    Plan shape: bigrams come from zipping each doc's token array with
+    its tail INSIDE the array (slice + arrays_zip — no position window,
+    no per-token shuffle); one (w1, w2) groupBy bounds every later
+    frame by the observed-bigram vocabulary. All model terms are exact
+    integer counts; each probability is one fixed expression tree over
+    their double casts (D is an IEEE literal), rounded once. The top-N
+    is a distributed orderBy/limit on the vocabulary frame.
+
+    Output: (w1, w2, c, c_w1, n1_fwd, n1_bwd, p_mle, p_kn).
+    """
+    d_lit = repr(float(discount))
+    arr = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    base = df.select(arr.alias("_a")).filter(F.size("_a") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_a"), 1, F.size("_a") - 1).alias("w1"),
+                F.slice(F.col("_a"), 2, F.size("_a") - 1).alias("w2"),
+            )
+        ).alias("_p")
+    ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = big.groupBy("w1").agg(
+        F.sum("c").alias("c_w1"), F.count(F.lit(1)).alias("n1_fwd")
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    nbi = big.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    p_kn = (
+        f"(greatest(CAST(c AS DOUBLE) - {d_lit}, 0.0) / CAST(c_w1 AS DOUBLE) "
+        f"+ {d_lit} * CAST(n1_fwd AS DOUBLE) / CAST(c_w1 AS DOUBLE) "
+        "* (CAST(n1_bwd AS DOUBLE) / CAST(n_bigrams AS DOUBLE)))"
+    )
+    return (
+        big.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .join(F.broadcast(nbi))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("c"),
+            F.col("c_w1").cast("bigint").alias("c_w1"),
+            F.col("n1_fwd").cast("bigint").alias("n1_fwd"),
+            F.col("n1_bwd").cast("bigint").alias("n1_bwd"),
+            F.round(F.expr("CAST(c AS DOUBLE) / CAST(c_w1 AS DOUBLE)"), decimals).alias(
+                "p_mle"
+            ),
+            F.round(F.expr(p_kn), decimals).alias("p_kn"),
+        )
+        .orderBy(F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(int(top_n))
     )

@@ -470,3 +470,58 @@ def test_length_matching_single_bucket_keeps_all(spark):
     df = spark.createDataFrame([(i, 10 + i) for i in range(8)], "doc_id long, n_chars int")
     out = length_matching(df, "doc_id", "n_chars", bucket_width=1000).collect()
     assert len(out) == 1 and out[0]["kept_n"] == 8 and out[0]["keep_rate"] == 1.0
+
+
+def test_boilerplate_profile_detects_repeated_segments(spark):
+    from morphik_core_spark.operators.curation import boilerplate_profile
+
+    footer = "contact us today"
+    rows = [
+        (1, "s1", f"alpha beta gamma {footer}"),
+        (2, "s1", f"delta epsilon zeta {footer}"),
+        (3, "s1", f"eta theta iota {footer}"),
+        (4, "s2", "unique words only here"),
+        (5, "s2", f"kappa lam mu {footer}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in boilerplate_profile(
+        df, "doc_id", "text", "source", seg_words=3, min_docs=3
+    ).collect()}
+    # each doc = 7 tokens -> segments of 3/3/1; the footer occupies the
+    # 2nd 3-token segment (pos 3..5) only when aligned; with 7 tokens the
+    # segments are [0:3],[3:6],[6:7] -> "contact us today" never aligns.
+    # Re-derive: tokens 0-2 body, 3-5 = "contact us today"? body is 3
+    # words + footer 3 words = 6 tokens + 0 -> segments [0:3]=body,
+    # [3:6]=footer. 'contact us today' appears in docs 1,2,3,5 -> bp.
+    assert out["s1"]["n_docs"] == 3
+    assert out["s1"]["n_bp_segments"] == 1
+    # docs in s1 have 6 tokens, 3 of them boilerplate
+    assert out["s1"]["mean_bp_ratio"] == 0.5
+    assert out["s1"]["hit_share"] == 1.0
+    assert out["s2"]["hit_share"] == 0.5
+    assert out["s2"]["n_bp_segments"] == 1
+
+
+def test_boilerplate_profile_no_repeats_means_zero(spark):
+    from morphik_core_spark.operators.curation import boilerplate_profile
+
+    rows = [(i, "s", f"w{i}a w{i}b w{i}c w{i}d") for i in range(10)]
+    [r] = boilerplate_profile(
+        spark.createDataFrame(rows, "doc_id long, source string, text string"),
+        "doc_id", "text", "source", seg_words=2, min_docs=2,
+    ).collect()
+    assert r["mean_bp_ratio"] == 0.0 and r["hit_share"] == 0.0 and r["n_bp_segments"] == 0
+
+
+def test_boilerplate_profile_partition_invariant(spark):
+    from morphik_core_spark.operators.curation import boilerplate_profile
+
+    words = ["the", "quick", "brown", "fox", "jumps", "over"]
+    rows = [
+        (i, f"s{i % 2}", " ".join(words[(i + j) % 6] for j in range(5 + i % 4)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = sorted(map(tuple, boilerplate_profile(df, "doc_id", "text", "source").collect()))
+    b = sorted(map(tuple, boilerplate_profile(df.repartition(11), "doc_id", "text", "source").collect()))
+    assert a == b

@@ -208,3 +208,68 @@ def test_token_entropy_partition_invariant(spark):
     a = sorted(map(tuple, token_entropy(df, "doc_id", "text", "source").collect()))
     b = sorted(map(tuple, token_entropy(df.repartition(13), "doc_id", "text", "source").collect()))
     assert a == b
+
+
+def test_kneser_ney_bigram_hand_model(spark):
+    """Hand-check the interpolated KN terms on a tiny corpus where the
+    continuation distinction matters: 'francisco' only ever follows
+    'san' (1 context) while 'b' follows many words — KN must score
+    p_cont(b) above p_cont(francisco) even when raw counts tie."""
+    from morphik_core_spark.operators.text_analysis import kneser_ney_bigram
+
+    docs = [
+        "san francisco san francisco san francisco",
+        "a b c b d b",
+        "x b y b",
+    ]
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    out = {(r["w1"], r["w2"]): r for r in kneser_ney_bigram(df, "text", top_n=50).collect()}
+    nbi = len(out)  # every observed bigram is in the top-50 here
+    r = out[("san", "francisco")]
+    # c(san,francisco)=3, c(san .)=3+2(fran->san twice)... derive from row
+    assert r["c"] == 3
+    D = 0.75
+    expected = max(r["c"] - D, 0) / r["c_w1"] + D * r["n1_fwd"] / r["c_w1"] * (
+        r["n1_bwd"] / nbi
+    )
+    assert r["p_kn"] == round(expected, 8)
+    # continuation: 'b' follows 5 distinct words (a,c,d,x,y),
+    # 'francisco' follows 1
+    assert out[("a", "b")]["n1_bwd"] == 5
+    assert r["n1_bwd"] == 1
+    # KN discounts: p_kn < p_mle for high-count bigrams with few contexts
+    assert r["p_kn"] < r["p_mle"]
+
+
+def test_kneser_ney_probabilities_sum_to_one_per_context(spark):
+    """Σ_w2 P_KN(w2|w1) over OBSERVED continuations equals
+    (c(w1·) − D·N1+(w1·))/c(w1·) + D·N1+(w1·)/c(w1·)·Σ_observed P_cont —
+    and reaches exactly 1 when w1's continuations cover every bigram
+    type. Verify the exact identity on a closed vocabulary."""
+    from morphik_core_spark.operators.text_analysis import kneser_ney_bigram
+
+    df = spark.createDataFrame([("a b a c a b a c a b",)], "text string")
+    rows = kneser_ney_bigram(df, "text", top_n=50).collect()
+    by_ctx = {}
+    for r in rows:
+        by_ctx.setdefault(r["w1"], []).append(r)
+    nbi = len(rows)
+    for w1, rs in by_ctx.items():
+        total = sum(r["p_kn"] for r in rs)
+        c_w1, n1 = rs[0]["c_w1"], rs[0]["n1_fwd"]
+        cont_mass = sum(r["n1_bwd"] for r in rs) / nbi
+        expected = (c_w1 - 0.75 * n1) / c_w1 + 0.75 * n1 / c_w1 * cont_mass
+        assert abs(total - expected) < 1e-6, (w1, total, expected)
+
+
+def test_kneser_ney_partition_invariant(spark):
+    from morphik_core_spark.operators.text_analysis import kneser_ney_bigram
+
+    words = ["spark", "join", "scan", "sort", "agg"]
+    rows = [
+        (" ".join(words[(i * 3 + j) % 5] for j in range(8)),) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    a = [tuple(r) for r in kneser_ney_bigram(df, "text").collect()]
+    b = [tuple(r) for r in kneser_ney_bigram(df.repartition(9), "text").collect()]
+    assert a == b
