@@ -5244,6 +5244,95 @@ def _q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_bigram(docs, "text", discount=0.75, top_n=50)
 
 
+def _q_log_rank_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (`analytics.log_rank_test`): do early-
+    month and late-month sessions share a survival curve — the
+    significance readout on top of `session_survival`'s KM estimate.
+    Same 6-hour-gap sessions and last-day censoring; groups split on
+    session start time. Risk-set cumulatives ride the distinct-duration
+    grid; E/V terms 1e6-quantized from exact integer counts."""
+    from pyspark.sql import Window
+
+    from morphik_core_spark.operators.analytics import log_rank_test
+
+    events = _t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(us).over(worder)
+    new_sess = (prev.isNull() | ((us - prev) > 21600 * 1_000_000)).cast("int")
+    sid = F.sum(new_sess).over(
+        worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ses = (
+        events.select("user_id", "event_id", "ts", sid.alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.min(F.expr("unix_micros(ts)")).alias("first_us"),
+            F.max(F.expr("unix_micros(ts)")).alias("last_us"),
+        )
+    )
+    mx = events.agg(F.max(F.expr("unix_micros(ts)")).alias("_m"))
+    half_us = 1705363200 * 1_000_000  # 2024-01-16T00:00:00Z
+    subjects = ses.join(F.broadcast(mx)).select(
+        F.when(F.col("first_us") < half_us, "h1").otherwise("h2").alias("half"),
+        F.col("n_ev").alias("dur"),
+        F.when(F.col("_m") - F.col("last_us") < 86400 * 1_000_000, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("ev"),
+    )
+    return log_rank_test(subjects, "half", "dur", "ev", "h1", "h2")
+
+
+def _q_cem_att_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened-exact-matching ATT (`analytics.cem_att`): does the
+    BUILDING market segment spend more than balance-comparable
+    customers from other segments — treated/control paired by rank
+    within $500 account-balance cells, surplus units dropped per CEM.
+    Outcome = total order value (0 for orderless customers), exact cent
+    sums, one division."""
+    from morphik_core_spark.operators.analytics import cem_att
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("spend")
+    )
+    units = (
+        cust.join(spend, cust["c_custkey"] == spend["o_custkey"], "left")
+        .na.fill({"spend": 0.0})
+        .select(
+            (F.col("c_mktsegment") == "BUILDING").alias("treated"),
+            F.col("c_acctbal").alias("score"),
+            F.col("spend"),
+            F.col("c_custkey"),
+        )
+    )
+    return cem_att(
+        units, "treated", "score", "spend", "c_custkey",
+        cell_width=500.0, outcome_scale=100,
+    )
+
+
+def _q_ewma_chart_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (`analytics.ewma_chart`) over daily event
+    volume, λ=0.2, 3σ limits — the small-persistent-shift monitor
+    between `cusum_drift` and `rolling_median_anomaly`. Driver-side
+    series-bounded recursion (the holt_forecast boundary class):
+    integer micro-unit state, one half-away round per step, variance
+    factor iterated by IEEE multiplies — the oracle's recursive CTE
+    replays the trajectory verbatim."""
+    from morphik_core_spark.operators.analytics import ewma_chart
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return ewma_chart(daily, "di", "y", lam=0.2, n_sigma=3.0)
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -5527,6 +5616,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_screen": _q_spearman_screen,
         "boilerplate_profile": _q_boilerplate_profile,
         "kn_bigram_lm": _q_kn_bigram_lm,
+        "log_rank_sessions": _q_log_rank_sessions,
+        "cem_att_balance": _q_cem_att_balance,
+        "ewma_chart_daily": _q_ewma_chart_daily,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -11580,6 +11672,144 @@ def oracle_sql() -> dict[str, str]:
                          * (CAST(n1_bwd AS DOUBLE) / CAST(n_bigrams AS DOUBLE)), 8) AS p_kn
             FROM big JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nbi
             ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 50
+        """,
+
+        "log_rank_sessions": """
+            WITH e AS (
+                SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+                FROM events
+            ),
+            s AS (
+                SELECT user_id,
+                       SUM(CASE WHEN pus IS NULL OR us - pus > 21600000000 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid,
+                       ts
+                FROM e
+            ),
+            ses AS (SELECT user_id, sid, COUNT(*) AS n_ev,
+                           MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+                    FROM s GROUP BY 1, 2),
+            mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+            subj AS (SELECT CASE WHEN first_us < 1705363200000000 THEN 'h1' ELSE 'h2' END AS half,
+                            n_ev AS t,
+                            CASE WHEN m - last_us < 86400000000 THEN 0 ELSE 1 END AS ev
+                     FROM ses CROSS JOIN mx),
+            pt AS (
+                SELECT t,
+                       CAST(SUM(CASE WHEN half = 'h1' THEN ev ELSE 0 END) AS BIGINT) AS d1,
+                       CAST(SUM(CASE WHEN half = 'h2' THEN ev ELSE 0 END) AS BIGINT) AS d2,
+                       CAST(SUM(CASE WHEN half = 'h1' THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+                       CAST(SUM(CASE WHEN half = 'h2' THEN 1 ELSE 0 END) AS BIGINT) AS a2
+                FROM subj GROUP BY 1
+            ),
+            tot AS (SELECT CAST(SUM(a1) AS BIGINT) AS n1tot, CAST(SUM(a2) AS BIGINT) AS n2tot FROM pt),
+            rk AS (
+                SELECT t, d1, d2,
+                       CAST(n1tot - (SUM(a1) OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) - a1) AS BIGINT) AS n1,
+                       CAST(n2tot - (SUM(a2) OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) - a2) AS BIGINT) AS n2,
+                       n1tot, n2tot
+                FROM pt CROSS JOIN tot
+            ),
+            agg AS (
+                SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+                       CAST(SUM(CAST(ROUND(CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS e1u,
+                       CAST(SUM(CASE WHEN n1 + n2 <= 1 THEN CAST(0 AS BIGINT) ELSE
+                           CAST(ROUND(CAST(d1 + d2 AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                                * (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                                * (CAST(n1 + n2 - d1 - d2 AS DOUBLE) / CAST(n1 + n2 - 1 AS DOUBLE)) * 1e6) AS BIGINT) END) AS BIGINT) AS vu,
+                       CAST(MAX(n1tot) AS BIGINT) AS n_left, CAST(MAX(n2tot) AS BIGINT) AS n_right
+                FROM rk WHERE d1 + d2 > 0
+            )
+            SELECT n_left, n_right, o1,
+                   ROUND(CAST(e1u AS DOUBLE) / 1e6, 6) AS e1,
+                   ROUND(CAST(vu AS DOUBLE) / 1e6, 6) AS variance,
+                   ROUND(((CAST(o1 AS DOUBLE) - CAST(e1u AS DOUBLE) / 1e6) / sqrt(CAST(vu AS DOUBLE) / 1e6)), 6) AS z,
+                   ROUND(((CAST(o1 AS DOUBLE) - CAST(e1u AS DOUBLE) / 1e6) / sqrt(CAST(vu AS DOUBLE) / 1e6))
+                         * ((CAST(o1 AS DOUBLE) - CAST(e1u AS DOUBLE) / 1e6) / sqrt(CAST(vu AS DOUBLE) / 1e6)), 6) AS chi2
+            FROM agg
+        """,
+        "cem_att_balance": """
+            WITH spend AS (
+                SELECT o_custkey,
+                       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS spend
+                FROM orders GROUP BY 1
+            ),
+            units AS (
+                SELECT (c_mktsegment = 'BUILDING') AS t,
+                       CAST(floor(CAST(CAST(ROUND(CAST(c_acctbal AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE)
+                                  / CAST(500000000 AS BIGINT)) AS BIGINT) AS cell,
+                       CAST(ROUND(CAST(COALESCE(s.spend, 0.0) AS DOUBLE) * 100) AS BIGINT) AS y,
+                       c_custkey AS id
+                FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+                WHERE c_acctbal IS NOT NULL
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY cell, t ORDER BY id ASC) AS rk
+                FROM units
+            ),
+            pairs AS (
+                SELECT a.y AS yt, b.y AS yc
+                FROM ranked a JOIN ranked b ON a.cell = b.cell AND a.rk = b.rk
+                WHERE a.t AND NOT b.t
+            ),
+            tt AS (
+                SELECT CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+                       CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_control
+                FROM units
+            ),
+            m AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+                       CAST(SUM(yt) AS BIGINT) AS st, CAST(SUM(yc) AS BIGINT) AS sc
+                FROM pairs
+            )
+            SELECT n_treated, n_control, n_matched,
+                   ROUND(CAST(st - sc AS DOUBLE) / CAST(n_matched AS DOUBLE) / 100.0, 6) AS att,
+                   ROUND(CAST(st AS DOUBLE) / CAST(n_matched AS DOUBLE) / 100.0, 6) AS mean_treated_matched,
+                   ROUND(CAST(sc AS DOUBLE) / CAST(n_matched AS DOUBLE) / 100.0, 6) AS mean_control_matched
+            FROM m CROSS JOIN tt
+        """,
+        "ewma_chart_daily": """
+            WITH RECURSIVE d AS (
+                SELECT epoch_us(ts) // 86400000000 AS di, CAST(COUNT(*) AS BIGINT) AS y
+                FROM events GROUP BY 1
+            ),
+            o AS (SELECT di, y, ROW_NUMBER() OVER (ORDER BY di) AS rn FROM d),
+            mom AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
+                       SUM(CAST(y AS HUGEINT) * y) AS sxx
+                FROM o
+            ),
+            mu AS (
+                SELECT n,
+                       CAST(ROUND(CAST(s * 1000000 AS DOUBLE) / n) AS BIGINT) AS mu_micro,
+                       CAST(3.0 AS DOUBLE) * (sqrt(CAST(n * sxx - CAST(s AS HUGEINT) * s AS DOUBLE)) / n)
+                           * sqrt(CAST(0.2 AS DOUBLE) / (CAST(2.0 AS DOUBLE) - 0.2)) AS bhw
+                FROM mom
+            ),
+            st(rn, l, p) AS (
+                SELECT 0, mu_micro, CAST(1.0 AS DOUBLE) FROM mu
+                UNION ALL
+                SELECT st.rn + 1,
+                       CAST(ROUND(CAST(0.2 AS DOUBLE) * (o.y * 1000000)
+                                  + (CAST(1.0 AS DOUBLE) - 0.2) * st.l) AS BIGINT),
+                       st.p * ((CAST(1.0 AS DOUBLE) - 0.2) * (CAST(1.0 AS DOUBLE) - 0.2))
+                FROM st JOIN o ON o.rn = st.rn + 1
+            ),
+            hw AS (
+                SELECT o.di, o.y, st.l,
+                       CAST(ROUND(mu.bhw * sqrt(1.0 - st.p) * 1000000) AS BIGINT) AS h,
+                       mu.mu_micro
+                FROM st JOIN o ON o.rn = st.rn CROSS JOIN mu
+                WHERE st.rn >= 1
+            )
+            SELECT di, y,
+                   ROUND(CAST(l AS DOUBLE) / 1e6, 6) AS ewma,
+                   ROUND(CAST(mu_micro + h AS DOUBLE) / 1e6, 6) AS ucl,
+                   ROUND(CAST(mu_micro - h AS DOUBLE) / 1e6, 6) AS lcl,
+                   abs(l - mu_micro) > h AS out_of_control
+            FROM hw
         """,
         "hill_tail": """
             WITH q AS (

@@ -76,6 +76,11 @@ __all__ = [
     "hhi_concentration",
     "js_divergence",
     "hill_tail_index",
+    "spearman_corr",
+    "bh_fdr",
+    "log_rank_test",
+    "cem_att",
+    "ewma_chart",
 ]
 
 
@@ -3576,3 +3581,250 @@ def bh_fdr(
         ).alias("bh_cutoff"),
         F.coalesce(F.col("p_rank") <= F.col("_imax"), F.lit(False)).alias("rejected"),
     ).orderBy("p_rank")
+
+
+def log_rank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    left_value: str,
+    right_value: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Two-sample log-rank test: do two groups share a survival curve —
+    the significance companion to `survival_curve`'s Kaplan–Meier
+    estimate (two KM curves can LOOK apart and be noise; the log-rank
+    statistic weighs every event time by its risk sets). At each
+    distinct event time t:
+
+        E1_t = d_t·n1_t/n_t
+        V_t  = d_t·(n1_t/n_t)·(n2_t/n_t)·(n_t−d_t)/(n_t−1)
+
+    with n_g(t) the group's at-risk count entering t (events AND
+    censored leave the risk set after their time); z = (O1−ΣE1)/√ΣV.
+
+    The at-risk cumulatives ride the DISTINCT-duration grid (bounded),
+    never the subject table; E1 and V terms are computed from exact
+    integer counts and ROUND(·1e6)-quantized to BIGINT before their
+    sums, so aggregation order can't move an ulp. Output ONE row:
+    (n_left, n_right, o1, e1, variance, z, chi2).
+    """
+    per_t = (
+        df.filter(F.col(group_col).isin([left_value, right_value]))
+        .select(
+            F.col(duration_col).cast("bigint").alias("t"),
+            (F.col(group_col) == left_value).alias("_is_l"),
+            F.col(event_col).cast("int").alias("_e"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("_is_l"), F.col("_e")).otherwise(0)).alias("d1"),
+            F.sum(F.when(~F.col("_is_l"), F.col("_e")).otherwise(0)).alias("d2"),
+            F.sum(F.when(F.col("_is_l"), 1).otherwise(0)).alias("a1"),
+            F.sum(F.when(~F.col("_is_l"), 1).otherwise(0)).alias("a2"),
+        )
+    )
+    tot = per_t.agg(
+        F.sum("a1").alias("_n1tot"), F.sum("a2").alias("_n2tot")
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = per_t.join(F.broadcast(tot)).select(
+        "t",
+        "d1",
+        "d2",
+        (F.col("_n1tot") - (F.sum("a1").over(w) - F.col("a1"))).alias("n1"),
+        (F.col("_n2tot") - (F.sum("a2").over(w) - F.col("a2"))).alias("n2"),
+        F.col("_n1tot"),
+        F.col("_n2tot"),
+    )
+    e1 = (
+        "CAST(ROUND(CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) "
+        "* 1e6) AS BIGINT)"
+    )
+    v = (
+        "CASE WHEN n1 + n2 <= 1 THEN CAST(0 AS BIGINT) ELSE "
+        "CAST(ROUND(CAST(d1 + d2 AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) "
+        "* (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) "
+        "* (CAST(n1 + n2 - d1 - d2 AS DOUBLE) / CAST(n1 + n2 - 1 AS DOUBLE)) * 1e6) AS BIGINT) END"
+    )
+    agg = risk.filter((F.col("d1") + F.col("d2")) > 0).agg(
+        F.sum("d1").alias("o1"),
+        F.sum(F.expr(e1)).alias("_e1u"),
+        F.sum(F.expr(v)).alias("_vu"),
+        F.max("_n1tot").alias("n_left"),
+        F.max("_n2tot").alias("n_right"),
+    )
+    zex = (
+        "((CAST(o1 AS DOUBLE) - CAST(_e1u AS DOUBLE) / 1e6) / "
+        "sqrt(CAST(_vu AS DOUBLE) / 1e6))"
+    )
+    return agg.select(
+        F.col("n_left").cast("bigint").alias("n_left"),
+        F.col("n_right").cast("bigint").alias("n_right"),
+        F.col("o1").cast("bigint").alias("o1"),
+        F.round(F.col("_e1u").cast("double") / F.lit(1e6), decimals).alias("e1"),
+        F.round(F.col("_vu").cast("double") / F.lit(1e6), decimals).alias("variance"),
+        F.round(F.expr(zex), decimals).alias("z"),
+        F.round(F.expr(f"{zex} * {zex}"), decimals).alias("chi2"),
+    )
+
+
+def cem_att(
+    df: DataFrame,
+    treat_col: str,
+    score_col: str,
+    outcome_col: str,
+    id_col: str,
+    cell_width: float = 100.0,
+    outcome_scale: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Coarsened-exact-matching average treatment effect on the treated:
+    coarsen the balance score into fixed-width cells, pair treated and
+    control units WITHIN each cell by deterministic rank (id order),
+    and average the pairwise outcome differences — the causal estimate
+    `did_estimate` (needs panel time) and `cuped_adjust` (needs a
+    pre-metric) can't give you on a flat cross-section (Iacus, King &
+    Porro 2012). Unmatched units in a cell (surplus side) drop out, as
+    CEM prescribes.
+
+    Determinism: the cell is integer floor-division of the once-
+    quantized score; in-cell pairing is row_number over (id) — total
+    order, no float comparisons anywhere. Outcomes quantize to integer
+    units; the ATT is ONE division of exact BIGINT sums. Windows
+    partition by (cell, side), so no single-partition stage; the pair
+    join is an equi-join on (cell, rank).
+
+    Output ONE row: (n_treated, n_control, n_matched, att,
+    mean_treated_matched, mean_control_matched).
+    """
+    sc = F.expr(
+        f"CAST(floor(CAST(ROUND(CAST({score_col} AS DOUBLE) * 1000000) AS BIGINT) "
+        f"/ CAST({int(round(float(cell_width) * 1000000))} AS BIGINT)) AS BIGINT)"
+    )
+    y = F.expr(f"CAST(ROUND(CAST({outcome_col} AS DOUBLE) * {int(outcome_scale)}) AS BIGINT)")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(outcome_col).isNotNull()
+    ).select(
+        F.col(treat_col).cast("boolean").alias("_t"),
+        sc.alias("_cell"),
+        y.alias("_y"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy("_cell", "_t").orderBy(F.col("_id").asc())
+    ranked = base.withColumn("_rk", F.row_number().over(w))
+    t_side = ranked.filter(F.col("_t")).select(
+        "_cell", "_rk", F.col("_y").alias("_yt")
+    )
+    c_side = ranked.filter(~F.col("_t")).select(
+        "_cell", "_rk", F.col("_y").alias("_yc")
+    )
+    pairs = t_side.join(c_side, ["_cell", "_rk"])
+    totals = base.agg(
+        F.sum(F.col("_t").cast("long")).alias("n_treated"),
+        F.sum((~F.col("_t")).cast("long")).alias("n_control"),
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("_yt").alias("_st"),
+        F.sum("_yc").alias("_sc"),
+    )
+    k = float(outcome_scale)
+    return m.join(F.broadcast(totals)).select(
+        F.col("n_treated").cast("bigint").alias("n_treated"),
+        F.col("n_control").cast("bigint").alias("n_control"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        F.round(
+            F.expr(f"CAST(_st - _sc AS DOUBLE) / CAST(n_matched AS DOUBLE) / {k}"),
+            decimals,
+        ).alias("att"),
+        F.round(
+            F.expr(f"CAST(_st AS DOUBLE) / CAST(n_matched AS DOUBLE) / {k}"), decimals
+        ).alias("mean_treated_matched"),
+        F.round(
+            F.expr(f"CAST(_sc AS DOUBLE) / CAST(n_matched AS DOUBLE) / {k}"), decimals
+        ).alias("mean_control_matched"),
+    )
+
+
+def ewma_chart(
+    df: DataFrame,
+    idx_col: str,
+    val_col: str,
+    lam: float = 0.2,
+    n_sigma: float = 3.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959): exponentially weighted moving
+    average of a series against time-varying control limits
+
+        UCL/LCL_t = μ ± L·σ·sqrt(λ/(2−λ)·(1 − (1−λ)^{2t}))
+
+    — the small-persistent-shift detector between `cusum_screen` (step
+    changes) and `rolling_median_flags` (point outliers): the EWMA
+    accumulates drift the others dilute or ignore.
+
+    Driver-side series-bounded recursion (the holt_linear boundary
+    class — the series is a pre-aggregated rollup, thousands of rows,
+    where a distributed restatement of a scalar recursion is pure stage
+    overhead). State is integer micro-units with one half-away round
+    per step; the variance factor (1−λ)^{2t} iterates by one IEEE
+    multiply per step (never libm pow), so a recursive-CTE oracle
+    replays the trajectory verbatim. μ and σ come from exact integer
+    moments, each touched by exactly one sqrt/division expression.
+
+    Output per index: (idx, value, ewma, ucl, lcl, out_of_control) —
+    the flag is an exact integer micro-unit comparison.
+    """
+
+    def _rha(x: float) -> int:
+        import math as _m
+
+        return int(_m.floor(x + 0.5)) if x >= 0 else int(_m.ceil(x - 0.5))
+
+    rows = sorted(
+        (int(r[0]), int(r[1]))
+        for r in df.select(idx_col, val_col).collect()
+        if r[0] is not None and r[1] is not None
+    )
+    if len(rows) < 2:
+        raise ValueError("ewma_chart needs at least 2 series points")
+    import math as _math
+
+    n = len(rows)
+    s = sum(y for _, y in rows)
+    sxx = sum(y * y for _, y in rows)
+    # one fixed expression each, mirrored verbatim by the oracle
+    mu_micro = _rha(s * 1_000_000 / n)
+    sigma = _math.sqrt(float(n * sxx - s * s)) / n
+    lam = float(lam)
+    one_m = 1.0 - lam
+    decay = one_m * one_m
+    base_hw = float(n_sigma) * sigma * _math.sqrt(lam / (2.0 - lam))
+    out = []
+    l_prev = mu_micro
+    p = 1.0  # (1-lam)^(2t), iterated multiplicatively
+    for di, y in rows:
+        l_t = _rha(lam * (y * 1_000_000) + one_m * l_prev)
+        p = p * decay
+        hw = _rha(base_hw * _math.sqrt(1.0 - p) * 1_000_000)
+        out.append(
+            (di, y, l_t, mu_micro + hw, mu_micro - hw, abs(l_t - mu_micro) > hw)
+        )
+        l_prev = l_t
+    spark = df.sparkSession
+    res = spark.createDataFrame(
+        out,
+        f"{idx_col} bigint, {val_col} bigint, _l bigint, _u bigint, _d bigint, out_of_control boolean",
+    )
+    to_d = lambda c: F.round(F.col(c).cast("double") / F.lit(1e6), decimals)
+    return res.select(
+        idx_col,
+        val_col,
+        to_d("_l").alias("ewma"),
+        to_d("_u").alias("ucl"),
+        to_d("_d").alias("lcl"),
+        "out_of_control",
+    )

@@ -1037,3 +1037,136 @@ def test_bh_fdr_rejects_nothing_under_null(spark):
         "g", "side", "v", "a", "b",
     ).collect()
     assert all(r["rejected"] is False for r in out)
+
+
+def test_log_rank_matches_plain_python(spark):
+    from morphik_core_spark.operators.analytics import log_rank_test
+
+    # durations with events and censoring in two groups
+    data = [
+        ("a", 3, 1), ("a", 5, 1), ("a", 7, 0), ("a", 9, 1), ("a", 12, 0),
+        ("b", 2, 1), ("b", 3, 1), ("b", 4, 1), ("b", 6, 1), ("b", 8, 0),
+    ]
+    df = spark.createDataFrame(data, "g string, t long, e int")
+    [r] = log_rank_test(df, "g", "t", "e", "a", "b").collect()
+
+    # plain-python replay with the operator's quantization
+    times = sorted({t for _, t, _ in data})
+    o1 = e1u = vu = 0
+    for t in times:
+        d1 = sum(1 for g, tt, e in data if g == "a" and tt == t and e)
+        d2 = sum(1 for g, tt, e in data if g == "b" and tt == t and e)
+        if d1 + d2 == 0:
+            continue
+        n1 = sum(1 for g, tt, _ in data if g == "a" and tt >= t)
+        n2 = sum(1 for g, tt, _ in data if g == "b" and tt >= t)
+        o1 += d1
+        e1u += round((d1 + d2) * n1 / (n1 + n2) * 1e6)
+        if n1 + n2 > 1:
+            vu += round(
+                (d1 + d2) * (n1 / (n1 + n2)) * (n2 / (n1 + n2))
+                * ((n1 + n2 - d1 - d2) / (n1 + n2 - 1)) * 1e6
+            )
+    assert r["o1"] == o1
+    assert r["e1"] == round(e1u / 1e6, 6)
+    assert r["variance"] == round(vu / 1e6, 6)
+    z = (o1 - e1u / 1e6) / math.sqrt(vu / 1e6)
+    assert r["z"] == round(z, 6)
+    assert r["chi2"] == round(z * z, 6)
+
+
+def test_log_rank_identical_groups_is_zeroish(spark):
+    from morphik_core_spark.operators.analytics import log_rank_test
+
+    rows = [(g, t, 1) for g in ("a", "b") for t in range(1, 40)]
+    [r] = log_rank_test(
+        spark.createDataFrame(rows, "g string, t long, e int"), "g", "t", "e", "a", "b"
+    ).collect()
+    assert abs(r["z"]) < 1e-6
+
+
+def test_log_rank_detects_separated_curves(spark):
+    from morphik_core_spark.operators.analytics import log_rank_test
+
+    rows = [("a", t + 20, 1) for t in range(30)] + [("b", t + 1, 1) for t in range(30)]
+    [r] = log_rank_test(
+        spark.createDataFrame(rows, "g string, t long, e int"), "g", "t", "e", "a", "b"
+    ).collect()
+    assert r["chi2"] > 10.0  # wildly significant separation
+
+
+def test_cem_att_hand_pairing(spark):
+    from morphik_core_spark.operators.analytics import cem_att
+
+    # cell width 10: cell 0 has 2 treated / 1 control, cell 1 has 1 / 2
+    rows = [
+        (True, 5.0, 100.0, 1), (True, 7.0, 120.0, 2), (False, 3.0, 90.0, 3),
+        (True, 15.0, 200.0, 4), (False, 12.0, 150.0, 5), (False, 18.0, 170.0, 6),
+    ]
+    df = spark.createDataFrame(rows, "t boolean, s double, y double, id long")
+    [r] = cem_att(df, "t", "s", "y", "id", cell_width=10.0, outcome_scale=100).collect()
+    # pairs: cell0 rank1 = (id1, id3): 100-90; cell1 rank1 = (id4, id5): 200-150
+    assert r["n_matched"] == 2
+    assert r["att"] == round(((100 - 90) + (200 - 150)) / 2, 6)
+    assert r["mean_treated_matched"] == 150.0
+    assert r["mean_control_matched"] == 120.0
+    assert r["n_treated"] == 3 and r["n_control"] == 3
+
+
+def test_cem_att_partition_invariant(spark):
+    from morphik_core_spark.operators.analytics import cem_att
+
+    rows = [
+        (i % 3 == 0, float((i * 7) % 50), float(100 + (i * 13) % 40), i)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "t boolean, s double, y double, id long")
+    a = cem_att(df, "t", "s", "y", "id", cell_width=10.0).collect()
+    b = cem_att(df.repartition(13), "t", "s", "y", "id", cell_width=10.0).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_ewma_chart_flags_injected_shift(spark):
+    from morphik_core_spark.operators.analytics import ewma_chart
+
+    # stable series then a persistent +4 shift: EWMA must flag the tail
+    ys = [20 + (i * 7) % 3 for i in range(40)] + [24 + (i * 7) % 3 for i in range(20)]
+    df = spark.createDataFrame(list(enumerate(ys)), "di long, y long")
+    out = ewma_chart(df, "di", "y", lam=0.2, n_sigma=3.0).orderBy("di").collect()
+    assert len(out) == 60
+    head_flags = [r["out_of_control"] for r in out[:35]]
+    tail_flags = [r["out_of_control"] for r in out[50:]]
+    assert not any(head_flags)
+    assert all(tail_flags)
+    # limits widen monotonically toward the asymptote
+    uc = [r["ucl"] for r in out]
+    assert all(a <= b + 1e-9 for a, b in zip(uc, uc[1:]))
+
+
+def test_ewma_chart_replay_matches_recursion(spark):
+    """Plain-python replay of the documented recursion reproduces the
+    operator's trajectory exactly (the oracle-CTE contract)."""
+    import math as m
+
+    from morphik_core_spark.operators.analytics import ewma_chart
+
+    ys = [14, 9, 17, 12, 20, 15, 23, 18, 11, 25]
+    df = spark.createDataFrame(list(enumerate(ys)), "di long, y long")
+    out = ewma_chart(df, "di", "y", lam=0.3, n_sigma=2.0).orderBy("di").collect()
+
+    def rha(x):
+        return int(m.floor(x + 0.5)) if x >= 0 else int(m.ceil(x - 0.5))
+
+    n, s, sxx = len(ys), sum(ys), sum(y * y for y in ys)
+    mu = rha(s * 1_000_000 / n)
+    sigma = m.sqrt(float(n * sxx - s * s)) / n
+    base = 2.0 * sigma * m.sqrt(0.3 / 1.7)
+    l_prev, p = mu, 1.0
+    for i, y in enumerate(ys):
+        l_t = rha(0.3 * (y * 1_000_000) + 0.7 * l_prev)
+        p *= 0.49
+        hw = rha(base * m.sqrt(1.0 - p) * 1_000_000)
+        assert out[i]["ewma"] == round(l_t / 1e6, 6)
+        assert out[i]["ucl"] == round((mu + hw) / 1e6, 6)
+        assert out[i]["out_of_control"] == (abs(l_t - mu) > hw)
+        l_prev = l_t
