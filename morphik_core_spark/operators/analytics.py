@@ -3421,10 +3421,16 @@ def spearman_corr(
     No global sort and no per-row rank window: the average rank of a
     value is a function of the VALUE GRID alone — rank_avg(v) =
     (#rows below v) + (ties(v)+1)/2 — so both rank columns come from
-    bounded distinct-value grids (cumulative window over one row per
-    distinct value, broadcast back). Doubled ranks (2·before+ties+1)
-    keep everything integer; Pearson over the doubled ranks equals
-    Pearson over the ranks exactly (shift/scale invariance).
+    distinct-value grids. The grid cumulative is HIERARCHICAL (a
+    bucket-level prefix over ≤ domain/2²⁰ bucket sums + a within-bucket
+    prefix partitioned by bucket, each bucket ≤ 2²⁰ consecutive
+    values), so even a near-continuous column (prices at cents — ~10⁶
+    distinct per 10⁷ rows, measured 4.2x at 10x under the flat-window
+    draft) never sees a corpus-sized single-partition window. Grid→row
+    joins carry no broadcast hint — AQE broadcasts bounded grids and
+    shuffle-joins continuous ones. Doubled ranks (2·before+ties+1) keep
+    everything integer; Pearson over doubled ranks equals Pearson over
+    ranks exactly (shift/scale invariance).
 
     Moments are DECIMAL(38,0) — with ranks ≤ 2N the third-moment terms
     stay within 38 digits to beyond 10^10 rows — and rho is ONE double
@@ -3437,12 +3443,30 @@ def spearman_corr(
             q.alias("_v")
         )
         grid = base.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
-        w = Window.orderBy(F.col("_v").asc()).rowsBetween(
+        # hierarchical prefix: bucket = floor-div 2^20 (floor, not
+        # truncate, so negatives order correctly)
+        grid = grid.withColumn("_bkt", F.expr("CAST(floor(CAST(_v AS DOUBLE) / 1048576.0) AS BIGINT)"))
+        bsum = grid.groupBy("_bkt").agg(F.sum("_c").alias("_bc"))
+        w_b = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        return grid.select(
-            F.col("_v").alias(f"_{out}v"),
-            (2 * (F.sum("_c").over(w) - F.col("_c")) + F.col("_c") + 1).alias(out),
+        bprev = bsum.select(
+            "_bkt", (F.sum("_bc").over(w_b) - F.col("_bc")).alias("_before_b")
+        )
+        w_in = (
+            Window.partitionBy("_bkt")
+            .orderBy(F.col("_v").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            grid.withColumn("_before_in", F.sum("_c").over(w_in) - F.col("_c"))
+            .join(bprev, "_bkt")
+            .select(
+                F.col("_v").alias(f"_{out}v"),
+                (
+                    2 * (F.col("_before_b") + F.col("_before_in")) + F.col("_c") + 1
+                ).alias(out),
+            )
         )
 
     dec = "decimal(38,0)"
@@ -3453,8 +3477,8 @@ def spearman_corr(
     )
     gx = rank2_grid(x_col, x_scale, "rx")
     gy = rank2_grid(y_col, y_scale, "ry")
-    ranked = rows.join(F.broadcast(gx), rows["_xv"] == gx["_rxv"]).join(
-        F.broadcast(gy), rows["_yv"] == gy["_ryv"]
+    ranked = rows.join(gx, rows["_xv"] == gx["_rxv"]).join(
+        gy, rows["_yv"] == gy["_ryv"]
     )
     m = ranked.agg(
         F.count(F.lit(1)).alias("n"),

@@ -1888,6 +1888,213 @@ def main() -> None:
             ).withColumn("o_orderpriority", (F.col("k") % 5).cast("string")),
         )
 
+
+    if "round8" in ops:
+        # round-8 additions: stats screens, curation profiles, causal/
+        # survival tests. Orders+customers tile with the SAME k on the
+        # join key so join structure survives 10x; events tile per-user;
+        # docs10 is the shared perturbed corpus.
+        from morphik_core_spark.operators.analytics import (
+            anova_oneway,
+            bh_fdr,
+            cem_att,
+            chi_square_independence,
+            hhi_concentration,
+            hill_tail_index,
+            js_divergence,
+            log_rank_test,
+            spearman_corr,
+        )
+        from morphik_core_spark.operators.curation import boilerplate_profile
+        from morphik_core_spark.operators.ml_eval import mcnemar_test
+        from morphik_core_spark.operators.text_analysis import (
+            kneser_ney_bigram,
+            token_entropy,
+        )
+
+        ord1 = load_table(spark, "orders", SF_DIR)
+        cust1 = load_table(spark, "customer", SF_DIR)
+        nat1 = load_table(spark, "nation", SF_DIR)
+        reg1 = load_table(spark, "region", SF_DIR)
+        li1 = load_table(spark, "lineitem", SF_DIR)
+        ev1 = load_table(spark, "events", SF_DIR)
+
+        def tile(df, cols_fn, name):
+            parts = [df.select(*cols_fn(k)) for k in range(10)]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        ord10 = tile(
+            ord1,
+            lambda k: [
+                (F.col("o_orderkey") * 10 + k).alias("o_orderkey"),
+                (F.col("o_custkey") * 10 + k).alias("o_custkey"),
+                "o_orderstatus", "o_orderpriority", "o_orderdate",
+                (F.col("o_totalprice") + k * 0.13).alias("o_totalprice"),
+            ],
+            "r8_ord10",
+        )
+        cust10 = tile(
+            cust1,
+            lambda k: [
+                (F.col("c_custkey") * 10 + k).alias("c_custkey"),
+                "c_nationkey", "c_mktsegment",
+                (F.col("c_acctbal") + k * 0.07).alias("c_acctbal"),
+            ],
+            "r8_cust10",
+        )
+        li10 = tile(
+            li1,
+            lambda k: [
+                "l_quantity",
+                (F.col("l_extendedprice") + k * 0.07).alias("l_extendedprice"),
+                "l_discount",
+            ],
+            "r8_li10",
+        )
+        ev10 = tile(
+            ev1,
+            lambda k: [
+                (F.col("event_id") * 10 + k).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+                (F.col("user_id") * 10 + k).alias("user_id"),
+                "event_type",
+            ],
+            "r8_ev10",
+        )
+
+        report(
+            "chi_square",
+            lambda d: mat(chi_square_independence(d, "o_orderpriority", "o_orderstatus")),
+            ord1, ord10,
+        )
+        report(
+            "anova",
+            lambda d: mat(anova_oneway(d, "source", "n_chars")),
+            docs1, docs10,
+        )
+
+        def hhi(o, c):
+            facts = (
+                o.join(c, o["o_custkey"] == c["c_custkey"])
+                .join(F.broadcast(nat1), c["c_nationkey"] == nat1["n_nationkey"])
+                .join(F.broadcast(reg1), nat1["n_regionkey"] == reg1["r_regionkey"])
+                .select(F.col("r_name").alias("m"), F.col("n_name").alias("p"),
+                        F.col("o_totalprice").alias("v"))
+            )
+            mat(hhi_concentration(facts, "m", "p", "v"))
+
+        report("hhi", lambda pair: hhi(*pair), (ord1, cust1), (ord10, cust10))
+        report(
+            "js_drift",
+            lambda d: mat(js_divergence(
+                d.withColumn("half", F.when(
+                    F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "h1"
+                ).otherwise("h2")),
+                "half", "event_type", "h1", "h2",
+            )),
+            ev1, ev10,
+        )
+        report(
+            "hill_tail",
+            lambda d: mat(hill_tail_index(d, "o_totalprice", k=500)),
+            ord1, ord10,
+        )
+        report(
+            "spearman",
+            lambda d: mat(spearman_corr(d, "l_quantity", "l_extendedprice", 1, 100)),
+            li1, li10,
+        )
+
+        def fdr(pair):
+            o, c = pair
+            base = (
+                o.join(c, o["o_custkey"] == c["c_custkey"])
+                .join(F.broadcast(nat1), c["c_nationkey"] == nat1["n_nationkey"])
+                .select(
+                    F.col("n_name").alias("g"),
+                    F.when(F.col("o_orderdate") < F.lit("1995-06-17").cast("date"), "a")
+                    .otherwise("b").alias("side"),
+                    F.col("o_totalprice").alias("v"),
+                )
+            )
+            mat(bh_fdr(base, "g", "side", "v", "a", "b"))
+
+        report("bh_fdr", fdr, (ord1, cust1), (ord10, cust10))
+        report(
+            "mcnemar",
+            lambda d: mat(mcnemar_test(
+                d.select(
+                    F.col("n_chars").between(150, 450).alias("ka"),
+                    F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                                    lambda x: x != "")).between(25, 80).alias("kb"),
+                ), "ka", "kb",
+            )),
+            docs1, docs10,
+        )
+        report(
+            "token_entropy",
+            lambda d: mat(token_entropy(d, "doc_id", "text", "source")),
+            docs1, docs10,
+        )
+        report(
+            "boilerplate",
+            lambda d: mat(boilerplate_profile(d, "doc_id", "text", "source")),
+            docs1, docs10,
+        )
+        report(
+            "kn_bigram",
+            lambda d: mat(kneser_ney_bigram(d, "text")),
+            docs1, docs10,
+        )
+
+        def logrank(d):
+            from pyspark.sql import Window as W
+
+            us = F.expr("unix_micros(ts)")
+            worder = W.partitionBy("user_id").orderBy("ts", "event_id")
+            prev = F.lag(us).over(worder)
+            sid = F.sum((prev.isNull() | ((us - prev) > 21600 * 1_000_000)).cast("int")).over(
+                worder.rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            ses = (
+                d.select("user_id", "event_id", "ts", sid.alias("sid"))
+                .groupBy("user_id", "sid")
+                .agg(F.count(F.lit(1)).alias("n_ev"),
+                     F.min(F.expr("unix_micros(ts)")).alias("fus"),
+                     F.max(F.expr("unix_micros(ts)")).alias("lus"))
+            )
+            mx = d.agg(F.max(F.expr("unix_micros(ts)")).alias("_m"))
+            subj = ses.join(F.broadcast(mx)).select(
+                F.when(F.col("fus") < 1705363200000000, "h1").otherwise("h2").alias("half"),
+                F.col("n_ev").alias("dur"),
+                F.when(F.col("_m") - F.col("lus") < 86400 * 1_000_000, F.lit(0))
+                .otherwise(F.lit(1)).alias("ev"),
+            )
+            mat(log_rank_test(subj, "half", "dur", "ev", "h1", "h2"))
+
+        report("log_rank", logrank, ev1, ev10)
+
+        def cem(pair):
+            o, c = pair
+            spend = o.groupBy("o_custkey").agg(
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+                .cast("double").alias("spend"))
+            units = (
+                c.join(spend, c["c_custkey"] == spend["o_custkey"], "left")
+                .na.fill({"spend": 0.0})
+                .select((F.col("c_mktsegment") == "BUILDING").alias("t"),
+                        F.col("c_acctbal").alias("s"), "spend", "c_custkey")
+            )
+            mat(cem_att(units, "t", "s", "spend", "c_custkey", cell_width=500.0))
+
+        report("cem_att", cem, (ord1, cust1), (ord10, cust10))
+
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing
