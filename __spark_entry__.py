@@ -5333,6 +5333,175 @@ def _q_ewma_chart_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_chart(daily, "di", "y", lam=0.2, n_sigma=3.0)
 
 
+def _q_dp_release_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism DP count release (`validation.dp_noisy_counts`)
+    over (lang, source) document counts, ε=1 — the publish step after
+    the k-anonymity→l-diversity→t-closeness ladder clears a grouping.
+    Noise is deterministic per (group, seed) via the portable-hash
+    uniform u = (h mod 2³⁰ + 0.5)/2³⁰ and the exact inverse Laplace
+    CDF, so the oracle replays it; n_true rides along for the audit."""
+    from morphik_core_spark.operators.validation import dp_noisy_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return dp_noisy_counts(docs, ["lang", "source"], epsilon=1.0, seed=8)
+
+
+def _fs_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair construction for the Fellegi–Sunter query: every 4th
+    customer 're-registers' with one name char dropped, a changed
+    segment when custkey%5==0, a shifted balance when custkey%7==0;
+    candidates block on nation. True matches therefore mostly agree on
+    all three comparison fields, random within-nation pairs rarely do."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_mktsegment").alias("a_seg"),
+        F.col("c_acctbal").alias("a_bal"),
+    )
+    dirty = cust.filter(F.col("c_custkey") % 4 == 0)
+    b = dirty.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_nationkey").alias("nk"),
+        F.concat(
+            F.expr("substr(c_name, 1, cast(c_custkey % length(c_name) as int))"),
+            F.expr("substr(c_name, cast(c_custkey % length(c_name) as int) + 2)"),
+        ).alias("b_name"),
+        F.when(F.col("c_custkey") % 5 == 0, F.concat(F.col("c_mktsegment"), F.lit("X")))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_seg"),
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(1000.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("b_bal"),
+    )
+    return (
+        a.join(b, "nk")
+        .select(
+            (F.levenshtein("a_name", "b_name") <= 2).cast("int").alias("g_name"),
+            (F.col("a_seg") == F.col("b_seg")).cast("int").alias("g_seg"),
+            (F.col("a_bal") == F.col("b_bal")).cast("int").alias("g_bal"),
+        )
+    )
+
+
+def _q_fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage with unsupervised EM
+    (`dedup.fellegi_sunter_em`) — the canonical upgrade over
+    `entity_resolution`'s hard edit-distance threshold: per-field
+    m/u probabilities learned from the agreement-pattern table (2³
+    patterns, driver-side integer-micro EM — the markov fixed-point
+    boundary class), log-likelihood-ratio weights, match/possible/
+    non-match decisions. Corpus contributes one pattern groupBy."""
+    from morphik_core_spark.operators.dedup import fellegi_sunter_em
+
+    pairs = _fs_linkage_pairs(spark, sf_dir)
+    return fellegi_sunter_em(pairs, ["g_name", "g_seg", "g_bal"], iters=20)
+
+
+def _fs_oracle_sql(iters: int = 20) -> str:
+    """Generate the fs_record_linkage oracle: the pair/pattern CTEs plus
+    ``iters`` unrolled EM rounds mirroring `dedup.fellegi_sunter_em`'s
+    integer-micro recursion (the markov_attribution generator pattern).
+    Every cross-pattern sum is integer micro-units, every learned
+    parameter is ROUND(,12)+clamped per round — expression trees match
+    the Python EM verbatim."""
+    k = 3
+    fields = ["g1", "g2", "g3"]
+    clamp = lambda x: f"LEAST(GREATEST(ROUND({x}, 12), 1e-9), 1.0 - 1e-9)"
+
+    def prod(params: str, vals: list[str]) -> str:
+        # p * f1 * f2 * f3, left-assoc like the Python loop
+        out = params
+        for i, f in enumerate(fields):
+            out = f"({out} * (CASE WHEN {f} = 1 THEN {vals[i]} ELSE 1.0 - {vals[i]} END))"
+        return out
+
+    rounds = []
+    prev = "r0"
+    for t in range(1, iters + 1):
+        pm = prod("p", ["m1", "m2", "m3"])
+        pu = prod("(1.0 - p)", ["u1", "u2", "u3"])
+        w = f"CAST(ROUND({pm} / ({pm} + {pu}) * 1e6) AS BIGINT)"
+        msel = ", ".join(
+            clamp(
+                f"CAST(SUM(CASE WHEN {f} = 1 THEN w * c ELSE 0 END) AS DOUBLE) "
+                f"/ CAST(SUM(w * c) AS DOUBLE)"
+            )
+            + f" AS m{i+1}"
+            for i, f in enumerate(fields)
+        )
+        usel = ", ".join(
+            clamp(
+                f"CAST(SUM(CASE WHEN {f} = 1 THEN (1000000 - w) * c ELSE 0 END) AS DOUBLE) "
+                f"/ CAST(SUM((1000000 - w) * c) AS DOUBLE)"
+            )
+            + f" AS u{i+1}"
+            for i, f in enumerate(fields)
+        )
+        psel = clamp(
+            "CAST(SUM(w * c) AS DOUBLE) / CAST(SUM(c) * 1000000 AS DOUBLE)"
+        ) + " AS p"
+        rounds.append(
+            f"r{t} AS MATERIALIZED (SELECT {psel}, {msel}, {usel} FROM ("
+            f"SELECT g1, g2, g3, c, {w} AS w FROM pat CROSS JOIN {prev}))"
+        )
+        prev = f"r{t}"
+    pm_f = prod("p", ["m1", "m2", "m3"])
+    pu_f = prod("(1.0 - p)", ["u1", "u2", "u3"])
+    w_f = f"CAST(ROUND({pm_f} / ({pm_f} + {pu_f}) * 1e6) AS BIGINT)"
+    weight = " + ".join(
+        f"(CASE WHEN {f} = 1 THEN ROUND(ln(m{i+1} / u{i+1}), 12) "
+        f"ELSE ROUND(ln((1.0 - m{i+1}) / (1.0 - u{i+1})), 12) END)"
+        for i, f in enumerate(fields)
+    )
+    return f"""
+            WITH a AS (
+                SELECT c_custkey AS a_key, c_nationkey AS nk, c_name AS a_name,
+                       c_mktsegment AS a_seg, c_acctbal AS a_bal
+                FROM customer
+            ),
+            b AS (
+                SELECT c_custkey AS b_key, c_nationkey AS nk,
+                       substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT))
+                           || substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2) AS b_name,
+                       CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment || 'X'
+                            ELSE c_mktsegment END AS b_seg,
+                       CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0
+                            ELSE c_acctbal END AS b_bal
+                FROM customer WHERE c_custkey % 4 = 0
+            ),
+            pairs AS (
+                SELECT CASE WHEN levenshtein(a_name, b_name) <= 2 THEN 1 ELSE 0 END AS g1,
+                       CASE WHEN a_seg = b_seg THEN 1 ELSE 0 END AS g2,
+                       CASE WHEN a_bal = b_bal THEN 1 ELSE 0 END AS g3
+                FROM a JOIN b USING (nk)
+            ),
+            pat AS MATERIALIZED (SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2, 3),
+            r0 AS MATERIALIZED (SELECT {clamp('0.9')} AS m1, {clamp('0.9')} AS m2, {clamp('0.9')} AS m3,
+                          {clamp('0.1')} AS u1, {clamp('0.1')} AS u2, {clamp('0.1')} AS u3,
+                          {clamp('0.1')} AS p),
+            {', '.join(rounds)},
+            scored AS (
+                SELECT g1 AS gamma_g_name, g2 AS gamma_g_seg, g3 AS gamma_g_bal,
+                       c AS n_pairs,
+                       ROUND(CAST({w_f} AS DOUBLE) / 1e6, 6) AS match_posterior,
+                       ROUND(ROUND({weight}, 9), 6) AS weight,
+                       ROUND(m1, 6) AS m_g_name, ROUND(m2, 6) AS m_g_seg, ROUND(m3, 6) AS m_g_bal,
+                       ROUND(u1, 6) AS u_g_name, ROUND(u2, 6) AS u_g_seg, ROUND(u3, 6) AS u_g_bal,
+                       ROUND({weight}, 9) AS _w9
+                FROM pat CROSS JOIN r{iters}
+            )
+            SELECT gamma_g_name, gamma_g_seg, gamma_g_bal, n_pairs, match_posterior, weight,
+                   CASE WHEN _w9 >= 3.0 THEN 'match'
+                        WHEN _w9 >= 0.0 THEN 'possible'
+                        ELSE 'non_match' END AS decision,
+                   m_g_name, m_g_seg, m_g_bal, u_g_name, u_g_seg, u_g_bal
+            FROM scored
+            ORDER BY weight DESC, gamma_g_name ASC, gamma_g_seg ASC, gamma_g_bal ASC
+        """
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -5619,6 +5788,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_rank_sessions": _q_log_rank_sessions,
         "cem_att_balance": _q_cem_att_balance,
         "ewma_chart_daily": _q_ewma_chart_daily,
+        "dp_release_counts": _q_dp_release_counts,
+        "fs_record_linkage": _q_fs_record_linkage,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -11811,6 +11982,31 @@ def oracle_sql() -> dict[str, str]:
                    abs(l - mu_micro) > h AS out_of_control
             FROM hw
         """,
+
+        "dp_release_counts": """
+            WITH counts AS (
+                SELECT lang, source, CAST(count(*) AS BIGINT) AS n_true
+                FROM documents GROUP BY 1, 2
+            ),
+            h AS (
+                SELECT lang, source, n_true,
+                       CAST(('0x' || substr(md5(concat_ws('|', lang, source, '8')), 1, 15)) AS BIGINT) AS _h
+                FROM counts
+            ),
+            nz AS (
+                SELECT lang, source, n_true,
+                       CAST(ROUND(CASE WHEN ((CAST(_h % 1073741824 AS DOUBLE) + 0.5) / 1073741824.0) < 0.5
+                                       THEN ln(2.0 * ((CAST(_h % 1073741824 AS DOUBLE) + 0.5) / 1073741824.0)) / 1.0
+                                       ELSE -(ln(2.0 - 2.0 * ((CAST(_h % 1073741824 AS DOUBLE) + 0.5) / 1073741824.0)) / 1.0)
+                                  END * 1e6) AS BIGINT) AS _nz
+                FROM h
+            )
+            SELECT lang, source, n_true,
+                   ROUND(CAST(_nz AS DOUBLE) / 1e6, 6) AS noise,
+                   n_true + CAST(ROUND(CAST(_nz AS DOUBLE) / 1e6) AS BIGINT) AS n_noisy
+            FROM nz ORDER BY lang, source
+        """,
+        "fs_record_linkage": _fs_oracle_sql(20),
         "hill_tail": """
             WITH q AS (
                 SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS x

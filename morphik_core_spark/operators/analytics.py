@@ -3780,6 +3780,8 @@ def ewma_chart(
     lam: float = 0.2,
     n_sigma: float = 3.0,
     decimals: int = 6,
+    mu: float | None = None,
+    sigma: float | None = None,
 ) -> DataFrame:
     """EWMA control chart (Roberts 1959): exponentially weighted moving
     average of a series against time-varying control limits
@@ -3801,6 +3803,11 @@ def ewma_chart(
 
     Output per index: (idx, value, ewma, ucl, lcl, out_of_control) —
     the flag is an exact integer micro-unit comparison.
+
+    ``mu``/``sigma`` default to the series' own exact-moment estimates
+    (retrospective chart). Pass them explicitly to chart against KNOWN
+    process parameters — the live-monitoring form `streaming.stateful.
+    ewma_stream` requires, since a stream can't see global moments.
     """
 
     def _rha(x: float) -> int:
@@ -3821,8 +3828,10 @@ def ewma_chart(
     s = sum(y for _, y in rows)
     sxx = sum(y * y for _, y in rows)
     # one fixed expression each, mirrored verbatim by the oracle
-    mu_micro = _rha(s * 1_000_000 / n)
-    sigma = _math.sqrt(float(n * sxx - s * s)) / n
+    mu_micro = _rha(float(mu) * 1_000_000) if mu is not None else _rha(s * 1_000_000 / n)
+    sigma = (
+        float(sigma) if sigma is not None else _math.sqrt(float(n * sxx - s * s)) / n
+    )
     lam = float(lam)
     one_m = 1.0 - lam
     decay = one_m * one_m

@@ -53,6 +53,7 @@ __all__ = [
     "span_dedup",
     "semantic_dedup",
     "golden_record",
+    "fellegi_sunter_em",
 ]
 
 # 60-bit hash keeps (a*h30 + b) inside int64 after the 30-bit fold
@@ -1193,4 +1194,136 @@ def edit_distance_pairs(
         .withColumn("dist", F.levenshtein("text_a", "text_b"))
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", "text_a", "text_b", "dist")
+    )
+
+
+def fellegi_sunter_em(
+    pairs: DataFrame,
+    agree_cols: Sequence[str],
+    iters: int = 20,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_p: float = 0.1,
+    upper_weight: float = 3.0,
+    lower_weight: float = 0.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter
+    1969) with unsupervised EM parameter estimation (Winkler 1988) —
+    the canonical upgrade over `entity_resolution`'s hard edit-distance
+    threshold: per comparison field i, learn m_i = P(agree | match) and
+    u_i = P(agree | non-match) under conditional independence, then
+    score every agreement PATTERN with the log-likelihood-ratio weight
+
+        w(pattern) = sum_i [ gamma_i * ln(m_i/u_i)
+                             + (1-gamma_i) * ln((1-m_i)/(1-u_i)) ]
+
+    and classify match / possible / non-match by the weight thresholds.
+
+    Scale shape: the corpus contributes ONE groupBy — candidate pairs
+    collapse to their 2^k agreement patterns (k = len(agree_cols),
+    bounded by construction) — and EM runs driver-side on that bounded
+    pattern table (the markov-solve boundary class: a distributed
+    restatement of a scalar fixed point is pure stage overhead). Every
+    EM round re-quantizes m_i, u_i, p to 1e-12 (round-half-even via
+    Python round(), mirrored by the oracle's ROUND), so the trajectory
+    is bit-reproducible and an unrolled-CTE oracle replays it verbatim.
+
+    Output: one row per OBSERVED pattern — (gamma_<field>..., n_pairs,
+    match_posterior, weight, decision), ordered by weight desc then
+    pattern. Learned parameters ride every row (m_<field>, u_<field>)
+    so the report is self-describing.
+    """
+    k = len(agree_cols)
+    if not 1 <= k <= 10:
+        raise ValueError("agree_cols must have 1..10 fields")
+    pat = (
+        pairs.groupBy(*[F.col(c).cast("int").alias(f"g{i}") for i, c in enumerate(agree_cols)])
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    rows = pat.collect()  # bounded: at most 2^k rows
+    # deterministic pattern order — EM's cross-pattern sums are integer
+    # pico-units so order can't move them, but the output row order and
+    # the oracle's GROUP BY must agree anyway
+    rows = sorted(rows, key=lambda r: tuple(int(r[f"g{i}"]) for i in range(k)))
+    gammas = [tuple(int(r[f"g{i}"]) for i in range(k)) for r in rows]
+    counts = [int(r["n_pairs"]) for r in rows]
+    total = sum(counts)
+
+    # per-round quantize AND clamp away from {0, 1}: EM on separable or
+    # degenerate data drives m/u to exact 0/1, which makes the
+    # log-likelihood weights infinite — the standard floor keeps every
+    # weight finite (and the clamp is part of the mirrored contract)
+    q = lambda x: min(max(round(x, 12), 1e-9), 1.0 - 1e-9)
+
+    def posteriors_micro(p, m, u):
+        # per-pattern P(match | gamma), quantized to integer MICRO-units
+        # (1e-6) immediately — every cross-pattern sum below is then
+        # exact integer arithmetic (and stays under 2^53 to ~10^9 pairs,
+        # so the oracle's int->double casts are exact too); neither
+        # collect order nor the oracle's aggregation order can move an
+        # ulp
+        out = []
+        for g in gammas:
+            pm = p
+            pu = 1.0 - p
+            for i in range(k):
+                pm = pm * (m[i] if g[i] else 1.0 - m[i])
+                pu = pu * (u[i] if g[i] else 1.0 - u[i])
+            out.append(round(pm / (pm + pu) * 1e6))
+        return out
+
+    MICRO = 1_000_000
+    m = [q(float(init_m))] * k
+    u = [q(float(init_u))] * k
+    p = q(float(init_p))
+    for _ in range(int(iters)):
+        wq = posteriors_micro(p, m, u)
+        wsum = sum(w * c for w, c in zip(wq, counts))  # exact int
+        lsum = sum((MICRO - w) * c for w, c in zip(wq, counts))
+        p = q(wsum / (total * MICRO))
+        m = [
+            q(sum(w * c for w, c, g in zip(wq, counts, gammas) if g[i]) / wsum)
+            for i in range(k)
+        ]
+        u = [
+            q(sum((MICRO - w) * c for w, c, g in zip(wq, counts, gammas) if g[i]) / lsum)
+            for i in range(k)
+        ]
+
+    # final posterior under the CONVERGED parameters (the loop's last
+    # E-step ran before the last M-step)
+    post = [w / MICRO for w in posteriors_micro(p, m, u)]
+
+    import math as _math
+
+    out_rows = []
+    for g, c, w_post in zip(gammas, counts, post):
+        weight = 0.0
+        for i in range(k):
+            if g[i]:
+                weight += round(_math.log(m[i] / u[i]), 12)
+            else:
+                weight += round(_math.log((1.0 - m[i]) / (1.0 - u[i])), 12)
+        weight = round(weight, 9)
+        decision = (
+            "match" if weight >= upper_weight
+            else ("possible" if weight >= lower_weight else "non_match")
+        )
+        out_rows.append(
+            tuple(g) + (c, round(w_post, decimals), round(weight, decimals), decision)
+            + tuple(round(m[i], decimals) for i in range(k))
+            + tuple(round(u[i], decimals) for i in range(k))
+        )
+    spark = pairs.sparkSession
+    gcols = ", ".join(f"gamma_{c} int" for c in agree_cols)
+    mcols = ", ".join(f"m_{c} double" for c in agree_cols)
+    ucols = ", ".join(f"u_{c} double" for c in agree_cols)
+    schema = (
+        f"{gcols}, n_pairs bigint, match_posterior double, weight double, "
+        f"decision string, {mcols}, {ucols}"
+    )
+    res = spark.createDataFrame(out_rows, schema)
+    return res.orderBy(
+        F.col("weight").desc(), *[F.col(f"gamma_{c}").asc() for c in agree_cols]
     )

@@ -47,6 +47,7 @@ __all__ = [
     "t_closeness_classes",
     "benford_audit",
     "BENFORD_EXPECTED",
+    "dp_noisy_counts",
 ]
 
 
@@ -541,4 +542,65 @@ def t_closeness_classes(
         (F.col("_num") * t_den > F.lit(2 * t_num) * F.col("_nc") * F.col("_nn")).alias(
             "violates_t"
         ),
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    seed: int = 0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Epsilon-differentially-private noisy counts via the Laplace
+    mechanism -- the RELEASE step after the k-anonymity -> l-diversity
+    -> t-closeness audit ladder says a grouping is safe to publish:
+    each group count gets Laplace(1/eps) noise (count queries have
+    sensitivity 1), the calibrated-noise mechanism of Dwork et al. 2006.
+
+    The noise is DETERMINISTIC given (group, seed) -- the repo's
+    randomized-operator convention so an oracle can replay it: u =
+    (portable_hash(group, seed) mod 2^30 + 0.5)/2^30 is an exact double
+    in (0,1) (half-integers over a power of two; the +0.5 keeps the
+    inverse CDF away from ln(0) at both ends), then
+
+        noise = (1/eps) * ln(2u)          if u < 0.5
+              = -(1/eps) * ln(2 - 2u)     if u >= 0.5
+
+    quantized ROUND(*1e6) before adding. One map-side-combined groupBy;
+    everything after is per-row arithmetic on the groups frame.
+
+    Output per group: (group_cols..., n_true, noise, n_noisy). A real
+    DP release drops ``n_true`` (and ``noise``) -- they are emitted
+    here so tests and the parity oracle can audit the mechanism; the
+    privacy accounting story is the caller's.
+    """
+    eps = float(epsilon)
+    if eps <= 0:
+        raise ValueError("epsilon must be positive")
+    counts = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    key = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in group_cols], F.lit(str(int(seed)))
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    u = "((CAST(_h % 1073741824 AS DOUBLE) + 0.5) / 1073741824.0)"
+    noise_u = (
+        f"CAST(ROUND(CASE WHEN {u} < 0.5 THEN ln(2.0 * {u}) / {eps!r} "
+        f"ELSE -(ln(2.0 - 2.0 * {u}) / {eps!r}) END * 1e6) AS BIGINT)"
+    )
+    return (
+        counts.withColumn("_h", h)
+        .withColumn("_nz", F.expr(noise_u))
+        .select(
+            *group_cols,
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.round(F.col("_nz").cast("double") / F.lit(1e6), decimals).alias("noise"),
+            (
+                F.col("n_true")
+                + F.expr("CAST(ROUND(CAST(_nz AS DOUBLE) / 1e6) AS BIGINT)")
+            ).alias("n_noisy"),
+        )
+        .orderBy(*group_cols)
     )

@@ -39,6 +39,7 @@ __all__ = [
     "funnel_stream",
     "funnel_stream_counts",
     "holt_stream",
+    "ewma_stream",
 ]
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -691,6 +692,90 @@ def holt_stream(
         update,
         outputStructType=HOLT_OUTPUT_SCHEMA,
         stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+EWMA_OUTPUT_SCHEMA = (
+    "series_key string, idx bigint, value bigint, ewma_micro bigint, "
+    "ucl_micro bigint, lcl_micro bigint, out_of_control boolean"
+)
+EWMA_STATE_SCHEMA = "l bigint, p double, last_idx bigint"
+
+
+def ewma_stream(
+    series: DataFrame,
+    mu: float,
+    sigma: float,
+    lam: float = 0.2,
+    n_sigma: float = 3.0,
+    key_col: str = "series_key",
+    idx_col: str = "idx",
+    val_col: str = "value",
+) -> DataFrame:
+    """Streaming EWMA control chart -- the incremental twin of
+    `analytics.ewma_chart`, run against KNOWN process parameters
+    (mu, sigma) because a stream cannot see global moments (pass the
+    batch op's exact-moment estimates to reproduce its retrospective
+    chart; the batch op accepts the same mu/sigma for the comparison).
+    State per key is one integer (the EWMA level in micro-units) plus
+    one double (the variance factor (1-lam)^(2t), iterated by IEEE
+    multiplies exactly like the batch recursion), so stream output is
+    bit-identical to `ewma_chart(mu=, sigma=)` over the same rows --
+    equivalence test-asserted across a checkpoint restart.
+
+    Ordering contract matches the other series monitors: non-decreasing
+    idx per key across batches, in-batch disorder repairs via the
+    per-batch sort, replayed idx <= last seen are dropped.
+    """
+
+    def _rha(x: float) -> int:
+        import math
+
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    lam_f = float(lam)
+    one_m = 1.0 - lam_f
+    decay = one_m * one_m
+    import math as _math
+
+    mu_micro = _rha(float(mu) * 1_000_000)
+    base_hw = float(n_sigma) * float(sigma) * _math.sqrt(lam_f / (2.0 - lam_f))
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import math
+
+        (key_val,) = key
+        l_s, p, last_idx = state.get if state.exists else (mu_micro, 1.0, None)
+        out: list[tuple] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(idx_col)
+            for i, y in zip(pdf[idx_col], pdf[val_col]):
+                i, y = int(i), int(y)
+                if last_idx is not None and i <= last_idx:
+                    continue
+                last_idx = i
+                l_s = _rha(lam_f * (y * 1_000_000) + one_m * l_s)
+                p = p * decay
+                hw = _rha(base_hw * math.sqrt(1.0 - p) * 1_000_000)
+                out.append(
+                    (key_val, i, y, l_s, mu_micro + hw, mu_micro - hw,
+                     abs(l_s - mu_micro) > hw)
+                )
+        state.update((l_s, p, last_idx))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "series_key", "idx", "value", "ewma_micro",
+                "ucl_micro", "lcl_micro", "out_of_control",
+            ],
+        )
+
+    return series.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -406,3 +406,91 @@ def test_containment_jaccard_invariants_random_corpus(spark):
         assert jac <= min(r["c_a"], r["c_b"]) + 1e-9
         assert abs(r["c_a"] - round(r["common"] / r["sz_a"], 6)) < 1e-12
         assert abs(r["c_b"] - round(r["common"] / r["sz_b"], 6)) < 1e-12
+
+
+# ---------------------------------------------------------------- round 8
+
+
+def test_fellegi_sunter_em_separates_planted_matches(spark):
+    """Plant a linkage problem where true matches mostly agree on all
+    three fields and random pairs agree rarely: EM must learn m >> u per
+    field and the all-agree pattern must classify as a match with a
+    high posterior, the all-disagree pattern as a non-match."""
+    import random
+
+    from morphik_core_spark.operators.dedup import fellegi_sunter_em
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(200):  # true matches: agree w.p. 0.95 per field
+        rows.append(tuple(int(rng.random() < 0.95) for _ in range(3)))
+    for _ in range(2000):  # random pairs: agree w.p. 0.08 per field
+        rows.append(tuple(int(rng.random() < 0.08) for _ in range(3)))
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    out = {
+        (r["gamma_a"], r["gamma_b"], r["gamma_c"]): r
+        for r in fellegi_sunter_em(df, ["a", "b", "c"]).collect()
+    }
+    full = out[(1, 1, 1)]
+    none = out[(0, 0, 0)]
+    assert full["decision"] == "match" and full["match_posterior"] > 0.95
+    assert none["decision"] == "non_match" and none["match_posterior"] < 0.05
+    assert full["weight"] > 3.0 > none["weight"]
+    for f in ("a", "b", "c"):
+        assert full[f"m_{f}"] > 0.7 > 0.3 > full[f"u_{f}"]
+    # weights are monotone in the number of agreements when fields are iid
+    assert out[(1, 1, 1)]["weight"] > out[(1, 1, 0)]["weight"] > out[(1, 0, 0)]["weight"]
+
+
+def test_fellegi_sunter_em_python_replay(spark):
+    """The EM trajectory is bit-reproducible: a plain-python replay with
+    the documented per-round 1e-12 quantization reproduces the learned
+    parameters exactly (the unrolled-CTE oracle contract)."""
+    from morphik_core_spark.operators.dedup import fellegi_sunter_em
+
+    rows = [(1, 1)] * 50 + [(1, 0)] * 30 + [(0, 1)] * 25 + [(0, 0)] * 400
+    df = spark.createDataFrame(rows, "x int, y int")
+    out = {(r["gamma_x"], r["gamma_y"]): r for r in fellegi_sunter_em(
+        df, ["x", "y"], iters=20
+    ).collect()}
+
+    gammas = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    counts = [400, 25, 30, 50]
+    total = 505
+    MICRO = 10 ** 6
+    q = lambda v: min(max(round(v, 12), 1e-9), 1.0 - 1e-9)
+
+    def post_micro(p, m, u):
+        out = []
+        for g in gammas:
+            pm, pu = p, 1.0 - p
+            for i in range(2):
+                pm *= m[i] if g[i] else 1.0 - m[i]
+                pu *= u[i] if g[i] else 1.0 - u[i]
+            out.append(round(pm / (pm + pu) * 1e6))
+        return out
+
+    m, u, p = [q(0.9)] * 2, [q(0.1)] * 2, q(0.1)
+    for _ in range(20):
+        wq = post_micro(p, m, u)
+        wsum = sum(w * c for w, c in zip(wq, counts))
+        lsum = sum((MICRO - w) * c for w, c in zip(wq, counts))
+        p = q(wsum / (total * MICRO))
+        m = [q(sum(w * c for w, c, g in zip(wq, counts, gammas) if g[i]) / wsum) for i in range(2)]
+        u = [q(sum((MICRO - w) * c for w, c, g in zip(wq, counts, gammas) if g[i]) / lsum) for i in range(2)]
+    post = [w / MICRO for w in post_micro(p, m, u)]
+    for g, c, w_post in zip(gammas, counts, post):
+        r = out[g]
+        assert r["n_pairs"] == c
+        assert r["match_posterior"] == round(w_post, 6), (g, r["match_posterior"], w_post)
+        assert r["m_x"] == round(m[0], 6) and r["u_y"] == round(u[1], 6)
+
+
+def test_fellegi_sunter_em_partition_invariant(spark):
+    from morphik_core_spark.operators.dedup import fellegi_sunter_em
+
+    rows = [((i * 3) % 2, (i * 5) % 2, (i * 7) % 3 == 0) for i in range(500)]
+    df = spark.createDataFrame(rows, "x int, y int, z boolean")
+    a = [tuple(r) for r in fellegi_sunter_em(df, ["x", "y", "z"]).collect()]
+    b = [tuple(r) for r in fellegi_sunter_em(df.repartition(13), ["x", "y", "z"]).collect()]
+    assert a == b

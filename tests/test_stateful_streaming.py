@@ -716,3 +716,57 @@ def test_funnel_stream_rejects_stale_state_on_changed_steps(spark, tmp_path):
     run_once([(1, t(1), "view"), (1, t(2), "click")], ["view", "click", "purchase"])
     with pytest.raises(StreamingQueryException, match="different funnel definition"):
         run_once([(1, t(3), "purchase")], ["view", "purchase"])
+
+
+def test_ewma_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """Streaming EWMA chart against known process parameters is
+    bit-identical to the batch ewma_chart(mu=, sigma=) over the same
+    rows, across a checkpoint restart, with replays dropped."""
+    from morphik_core_spark.operators.analytics import ewma_chart
+    from morphik_core_spark.streaming.stateful import ewma_stream
+
+    ys = [20, 22, 19, 21, 20, 30, 31, 32, 33, 30, 29, 31]
+    mu, sigma = 21.0, 1.5
+    schema = "series_key string, idx long, value long"
+    batch1 = [("k", i, y) for i, y in enumerate(ys[:5])]
+    batch2 = [("k", 3, 999)] + [("k", i + 5, y) for i, y in enumerate(ys[5:])]
+
+    src, out, chk = (str(tmp_path / d) for d in ("ein", "eout", "echk"))
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            ewma_stream(stream, mu=mu, sigma=sigma, lam=0.2, n_sigma=3.0)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+
+    run_once(batch1)
+    run_once(batch2)
+    got = {
+        r["idx"]: (r["ewma_micro"], r["ucl_micro"], r["out_of_control"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == 12  # the replayed idx 3 emitted nothing extra
+
+    bdf = spark.createDataFrame(list(enumerate(ys)), "di long, y long")
+    want = {
+        r["di"]: (
+            round(r["ewma"] * 1e6), round(r["ucl"] * 1e6), r["out_of_control"]
+        )
+        for r in ewma_chart(bdf, "di", "y", lam=0.2, n_sigma=3.0, mu=mu, sigma=sigma).collect()
+    }
+    for i in range(12):
+        g, w = got[i], want[i]
+        assert g[0] == w[0] and g[1] == w[1] and g[2] == w[2], (i, g, w)
+    # the level shift at idx 5+ must be flagged against the known params
+    assert any(got[i][2] for i in range(6, 12))

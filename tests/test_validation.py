@@ -125,3 +125,40 @@ def test_in_set_rate_null_poison_safe(spark):
     df = spark.createDataFrame([Row(c="a"), Row(c="b"), Row(c=None)])
     m = _lookup(profile_table(df, in_set={"c": ["a"]}))
     assert m[("c", "in_set_rate")] == 0.5
+
+
+def test_dp_noisy_counts_deterministic_and_calibrated(spark):
+    from morphik_core_spark.operators.validation import dp_noisy_counts
+
+    rows = [(f"g{i % 40}",) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string")
+    out = {r["g"]: r for r in dp_noisy_counts(df, ["g"], epsilon=1.0, seed=3).collect()}
+    assert len(out) == 40
+    assert all(r["n_true"] == 100 for r in out.values())
+    # deterministic: same seed reproduces exactly
+    out2 = {r["g"]: tuple(r) for r in dp_noisy_counts(df, ["g"], epsilon=1.0, seed=3).collect()}
+    assert {g: tuple(r) for g, r in out.items()} == out2
+    # different seed moves the noise
+    out3 = {r["g"]: r["noise"] for r in dp_noisy_counts(df, ["g"], epsilon=1.0, seed=4).collect()}
+    assert any(out[g]["noise"] != out3[g] for g in out)
+    # Laplace(1/eps=1): mean |noise| should be ~1, and noisy = true + round(noise)
+    mean_abs = sum(abs(r["noise"]) for r in out.values()) / 40
+    assert 0.3 < mean_abs < 3.0
+    for r in out.values():
+        assert r["n_noisy"] == r["n_true"] + round(r["noise"])
+
+
+def test_dp_noisy_counts_epsilon_scales_noise(spark):
+    from morphik_core_spark.operators.validation import dp_noisy_counts
+
+    rows = [(f"g{i % 30}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string")
+    n1 = {r["g"]: r["noise"] for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    n10 = {r["g"]: r["noise"] for r in dp_noisy_counts(df, ["g"], epsilon=10.0).collect()}
+    # same u per group -> noise shrinks exactly 10x (up to the 1e-6 quantization)
+    for g in n1:
+        assert abs(n10[g] - n1[g] / 10) < 2e-6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], epsilon=0.0)
