@@ -5515,6 +5515,142 @@ def _fs_oracle_sql(iters: int = 20) -> str:
         """
 
 
+def _q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (`text_analysis.textrank_keywords`):
+    PageRank over the adjacent-token co-occurrence graph, top-20 terms
+    — the graph-centrality keyword signal beside `tfidf_topterms` and
+    `pmi_bigrams`. Vocabulary²-bounded edge list; the integer-micro
+    pagerank fixed point unrolls into the oracle's CTE rounds."""
+    from morphik_core_spark.operators.text_analysis import textrank_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return textrank_keywords(docs, "text", top_n=20, iterations=3)
+
+
+def _q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard (`analytics.nelson_aalen`) over
+    the same 6-hour-gap sessions as `session_survival` — the additive
+    hazard scale the log-rank test lives on, beside KM's multiplicative
+    survival. Grid windows over distinct durations; d/n and d/n² terms
+    1e12-quantized before the prefix sums."""
+    from pyspark.sql import Window
+
+    from morphik_core_spark.operators.analytics import nelson_aalen
+
+    events = _t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(us).over(worder)
+    new_sess = (prev.isNull() | ((us - prev) > 21600 * 1_000_000)).cast("int")
+    sid = F.sum(new_sess).over(
+        worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ses = (
+        events.select("user_id", "event_id", "ts", sid.alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.max(F.expr("unix_micros(ts)")).alias("last_us"),
+        )
+    )
+    mx = events.agg(F.max(F.expr("unix_micros(ts)")).alias("_m"))
+    subjects = ses.join(F.broadcast(mx)).select(
+        F.col("n_ev").alias("dur"),
+        F.when(F.col("_m") - F.col("last_us") < 86400 * 1_000_000, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("ev"),
+    )
+    return nelson_aalen(subjects, "dur", "ev")
+
+
+def _q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Pearson correlation matrix (`analytics.corr_matrix`)
+    over four lineitem numerics — the profiling sweep that would
+    otherwise rescan the fact table k(k−1)/2 times. Int64 products,
+    DECIMAL(38,0) accumulations, one double division per pair."""
+    from morphik_core_spark.operators.analytics import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        scales=[1, 100, 100, 100],
+    )
+
+
+def _q_power_mde_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation minimum detectable effect (`analytics.ab_power_mde`)
+    for an even two-arm split of order values at α=0.05 / 80% power —
+    the experiment-design readout that belongs BEFORE `fdr_nation_ab`
+    ever runs (a 3% hoped-for lift against a 9% MDE is a wasted test).
+    Exact integer moments, IEEE z-constant literals."""
+    from morphik_core_spark.operators.analytics import ab_power_mde
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    base = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), F.col("o_totalprice").alias("v"))
+    )
+    return ab_power_mde(base, "nation", "v", value_scale=100)
+
+
+def _textrank_oracle(iterations: int = 3, damping_pct: int = 85, top_n: int = 20) -> str:
+    """DuckDB twin of `text_analysis.textrank_keywords`: the word
+    co-occurrence edge CTE + the `_pagerank_oracle` round template over
+    VARCHAR nodes."""
+    from morphik_core_spark.operators.graph import UNIT
+
+    teleport_u = (UNIT * (100 - damping_pct)) // 100
+    ctes = [
+        """arr AS (
+            SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> length(x) >= 3) AS a
+            FROM documents
+        )""",
+        "base AS (SELECT a FROM arr WHERE len(a) >= 2)",
+        """tok_pairs AS (
+            SELECT a[i] AS w1, a[i + 1] AS w2
+            FROM base, unnest(range(1, CAST(len(a) AS BIGINT))) AS t(i)
+        )""",
+        """und AS (
+            SELECT least(w1, w2) AS a, greatest(w1, w2) AS b, count(*) AS w
+            FROM tok_pairs WHERE w1 <> w2 GROUP BY 1, 2
+        )""",
+        "edges AS (SELECT a AS src, b AS dst, w FROM und UNION ALL SELECT b, a, w FROM und)",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n_nodes FROM nodes)",
+        "ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src)",
+        "ew AS (SELECT src, dst, w, out_w FROM edges JOIN ow USING (src))",
+        f"r0 AS (SELECT node, CAST({UNIT} AS BIGINT) // n_nodes AS rank_u FROM nodes, nn)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""c{i} AS (
+                SELECT dst AS node, CAST(SUM((rank_u * w) // out_w) AS BIGINT) AS c_sum
+                FROM r{i - 1} r JOIN ew ON r.node = ew.src GROUP BY dst
+            )"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+                SELECT n.node,
+                       CAST({teleport_u} AS BIGINT) // nn.n_nodes +
+                       ({damping_pct} * coalesce(c_sum, CAST(0 AS BIGINT))) // 100 AS rank_u
+                FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node, nn
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT node AS term, rank_u,
+               ROUND(CAST(rank_u AS DOUBLE) / {UNIT}.0, 6) AS rank
+        FROM r{iterations}
+        ORDER BY rank_u DESC, term ASC LIMIT {top_n}
+    """
+    )
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -5803,6 +5939,10 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_chart_daily": _q_ewma_chart_daily,
         "dp_release_counts": _q_dp_release_counts,
         "fs_record_linkage": _q_fs_record_linkage,
+        "textrank_keywords": _q_textrank_keywords,
+        "nelson_aalen_hazard": _q_nelson_aalen_hazard,
+        "corr_matrix_lineitem": _q_corr_matrix_lineitem,
+        "power_mde_nations": _q_power_mde_nations,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -12020,6 +12160,129 @@ def oracle_sql() -> dict[str, str]:
             FROM nz ORDER BY lang, source
         """,
         "fs_record_linkage": _fs_oracle_sql(20),
+
+        "nelson_aalen_hazard": """
+            WITH e AS (
+                SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+                FROM events
+            ),
+            s AS (
+                SELECT user_id,
+                       SUM(CASE WHEN pus IS NULL OR us - pus > 21600000000 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid,
+                       ts
+                FROM e
+            ),
+            ses AS (SELECT user_id, sid, COUNT(*) AS n_ev, MAX(epoch_us(ts)) AS last_us
+                    FROM s GROUP BY 1, 2),
+            mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+            subj AS (SELECT n_ev AS t,
+                            CASE WHEN m - last_us < 86400000000 THEN 0 ELSE 1 END AS ev
+                     FROM ses CROSS JOIN mx),
+            pt AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS n_events,
+                          CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+                   FROM subj GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_events + n_censored) AS BIGINT) AS _n FROM pt),
+            rk AS (SELECT t, n_events, n_censored,
+                          CAST(_n - (SUM(n_events + n_censored)
+                                     OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING)
+                                     - (n_events + n_censored)) AS BIGINT) AS n_at_risk
+                   FROM pt CROSS JOIN tot),
+            tm AS (SELECT t, n_at_risk, n_events, n_censored,
+                          CAST(ROUND(CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE) * 1e12) AS BIGINT) AS ht,
+                          CAST(ROUND(CAST(n_events AS DOUBLE) / (CAST(n_at_risk AS DOUBLE) * CAST(n_at_risk AS DOUBLE)) * 1e12) AS BIGINT) AS vt
+                   FROM rk),
+            cm AS (SELECT t, n_at_risk, n_events, n_censored,
+                          CAST(SUM(ht) OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS h,
+                          CAST(SUM(vt) OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v
+                   FROM tm)
+            SELECT t, n_at_risk, n_events, n_censored,
+                   ROUND(CAST(h AS DOUBLE) / 1e12, 6) AS cum_hazard,
+                   ROUND(CAST(v AS DOUBLE) / 1e12, 6) AS var_hazard
+            FROM cm ORDER BY t
+        """,
+        "corr_matrix_lineitem": """
+            WITH base AS (
+                SELECT CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1) AS BIGINT) AS x0,
+                       CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS x1,
+                       CAST(ROUND(CAST(l_discount AS DOUBLE) * 100) AS BIGINT) AS x2,
+                       CAST(ROUND(CAST(l_tax AS DOUBLE) * 100) AS BIGINT) AS x3
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+            ),
+            m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       SUM(CAST(x0 AS HUGEINT)) AS s0, SUM(CAST(x0 AS HUGEINT) * x0) AS q0,
+                       SUM(CAST(x1 AS HUGEINT)) AS s1, SUM(CAST(x1 AS HUGEINT) * x1) AS q1,
+                       SUM(CAST(x2 AS HUGEINT)) AS s2, SUM(CAST(x2 AS HUGEINT) * x2) AS q2,
+                       SUM(CAST(x3 AS HUGEINT)) AS s3, SUM(CAST(x3 AS HUGEINT) * x3) AS q3,
+                       SUM(CAST(x0 AS HUGEINT) * x1) AS p01, SUM(CAST(x0 AS HUGEINT) * x2) AS p02,
+                       SUM(CAST(x0 AS HUGEINT) * x3) AS p03, SUM(CAST(x1 AS HUGEINT) * x2) AS p12,
+                       SUM(CAST(x1 AS HUGEINT) * x3) AS p13, SUM(CAST(x2 AS HUGEINT) * x3) AS p23
+                FROM base
+            ),
+            pairs AS (
+                SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+                       ROUND(CAST(n * p01 - s0 * s1 AS DOUBLE) /
+                             (sqrt(CAST(n * q0 - s0 * s0 AS DOUBLE)) * sqrt(CAST(n * q1 - s1 * s1 AS DOUBLE))), 6) AS corr FROM m
+                UNION ALL
+                SELECT 'l_quantity', 'l_discount', n,
+                       ROUND(CAST(n * p02 - s0 * s2 AS DOUBLE) /
+                             (sqrt(CAST(n * q0 - s0 * s0 AS DOUBLE)) * sqrt(CAST(n * q2 - s2 * s2 AS DOUBLE))), 6) FROM m
+                UNION ALL
+                SELECT 'l_quantity', 'l_tax', n,
+                       ROUND(CAST(n * p03 - s0 * s3 AS DOUBLE) /
+                             (sqrt(CAST(n * q0 - s0 * s0 AS DOUBLE)) * sqrt(CAST(n * q3 - s3 * s3 AS DOUBLE))), 6) FROM m
+                UNION ALL
+                SELECT 'l_extendedprice', 'l_discount', n,
+                       ROUND(CAST(n * p12 - s1 * s2 AS DOUBLE) /
+                             (sqrt(CAST(n * q1 - s1 * s1 AS DOUBLE)) * sqrt(CAST(n * q2 - s2 * s2 AS DOUBLE))), 6) FROM m
+                UNION ALL
+                SELECT 'l_extendedprice', 'l_tax', n,
+                       ROUND(CAST(n * p13 - s1 * s3 AS DOUBLE) /
+                             (sqrt(CAST(n * q1 - s1 * s1 AS DOUBLE)) * sqrt(CAST(n * q3 - s3 * s3 AS DOUBLE))), 6) FROM m
+                UNION ALL
+                SELECT 'l_discount', 'l_tax', n,
+                       ROUND(CAST(n * p23 - s2 * s3 AS DOUBLE) /
+                             (sqrt(CAST(n * q2 - s2 * s2 AS DOUBLE)) * sqrt(CAST(n * q3 - s3 * s3 AS DOUBLE))), 6) FROM m
+            )
+            SELECT col_a, col_b, n, corr FROM pairs ORDER BY col_a, col_b
+        """,
+        "power_mde_nations": """
+            WITH base AS (
+                SELECT nt.n_name AS nation,
+                       CAST(ROUND(CAST(o.o_totalprice AS DOUBLE) * 100) AS BIGINT) AS x
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+                WHERE o.o_totalprice IS NOT NULL
+            ),
+            g AS (
+                SELECT nation, CAST(count(*) AS BIGINT) AS n,
+                       SUM(CAST(x AS HUGEINT)) AS s,
+                       SUM(CAST(x AS HUGEINT) * x) AS q
+                FROM base GROUP BY 1 HAVING count(*) > 3
+            )
+            SELECT nation, n,
+                   ROUND(CAST(s AS DOUBLE) / n / 100.0, 6) AS mean,
+                   ROUND(sqrt(CAST(n * q - s * s AS DOUBLE)) / n / 100.0, 6) AS sigma,
+                   ROUND((1.959963984540054 + 0.8416212335729143)
+                         * sqrt(2.0 * (sqrt(CAST(n * q - s * s AS DOUBLE)) / n / 100.0)
+                                    * (sqrt(CAST(n * q - s * s AS DOUBLE)) / n / 100.0)
+                                / CAST(n // 2 AS DOUBLE)), 6) AS mde_abs,
+                   CASE WHEN (CAST(s AS DOUBLE) / n / 100.0) <> 0.0 THEN
+                       ROUND(((1.959963984540054 + 0.8416212335729143)
+                              * sqrt(2.0 * (sqrt(CAST(n * q - s * s AS DOUBLE)) / n / 100.0)
+                                         * (sqrt(CAST(n * q - s * s AS DOUBLE)) / n / 100.0)
+                                     / CAST(n // 2 AS DOUBLE)))
+                             / (CAST(s AS DOUBLE) / n / 100.0), 6)
+                   END AS mde_rel
+            FROM g ORDER BY nation
+        """,
+        "textrank_keywords": _textrank_oracle(3),
         "hill_tail": """
             WITH q AS (
                 SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS x

@@ -81,6 +81,9 @@ __all__ = [
     "log_rank_test",
     "cem_att",
     "ewma_chart",
+    "nelson_aalen",
+    "corr_matrix",
+    "ab_power_mde",
 ]
 
 
@@ -3872,3 +3875,190 @@ def ewma_chart(
         to_d("_d").alias("lcl"),
         "out_of_control",
     )
+
+
+def nelson_aalen(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator over right-censored
+    durations — the hazard-scale companion to `survival_curve`'s
+    Kaplan–Meier (hazard ADDS where survival multiplies, so hazard
+    curves compare and difference cleanly; log-rank is literally a test
+    on this scale):
+
+        H(t) = Σ_{tᵢ ≤ t} dᵢ / nᵢ        Var(t) = Σ_{tᵢ ≤ t} dᵢ / nᵢ²
+
+    with nᵢ the at-risk count entering tᵢ. Same plan as the KM twin:
+    the ordered windows run over DISTINCT durations (a grid, not the
+    corpus); each d/n and d/n² term is computed from exact integer
+    counts and ROUND(·1e12)-quantized to BIGINT before the prefix sum,
+    so partitioning can't move an ulp.
+
+    Output per distinct duration: (t, n_at_risk, n_events, n_censored,
+    cum_hazard, var_hazard).
+    """
+    per_t = (
+        subjects.select(
+            F.col(duration_col).cast("bigint").alias("t"),
+            F.col(event_col).cast("int").alias("_e"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.sum("_e").alias("n_events"),
+            F.sum(F.lit(1) - F.col("_e")).alias("n_censored"),
+        )
+    )
+    total = per_t.agg(F.sum(F.col("n_events") + F.col("n_censored")).alias("_n"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = per_t.join(F.broadcast(total)).withColumn(
+        "n_at_risk",
+        F.col("_n")
+        - (
+            F.sum(F.col("n_events") + F.col("n_censored")).over(w)
+            - (F.col("n_events") + F.col("n_censored"))
+        ),
+    )
+    hterm = (
+        "CAST(ROUND(CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE) * 1e12) AS BIGINT)"
+    )
+    vterm = (
+        "CAST(ROUND(CAST(n_events AS DOUBLE) / (CAST(n_at_risk AS DOUBLE) * CAST(n_at_risk AS DOUBLE)) * 1e12) AS BIGINT)"
+    )
+    cum = risk.withColumn("_h", F.sum(F.expr(hterm)).over(w)).withColumn(
+        "_v", F.sum(F.expr(vterm)).over(w)
+    )
+    return cum.select(
+        "t",
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_censored").cast("bigint").alias("n_censored"),
+        F.round(F.col("_h").cast("double") / F.lit(1e12), decimals).alias("cum_hazard"),
+        F.round(F.col("_v").cast("double") / F.lit(1e12), decimals).alias("var_hazard"),
+    ).orderBy("t")
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    scales: Sequence[int] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix for k numeric columns in ONE
+    combinable scan — the profiling step before any model/weighting
+    decision, where k separate `numeric_corr` calls would rescan the
+    corpus k(k−1)/2 times. Rows with a NULL in ANY selected column drop
+    (complete-case, so every pair shares one n and the matrix is
+    positive semi-definite).
+
+    Exactness: each column quantizes once to integer units; products
+    stay int64 (exact while |x_i·x_j| < 2^63); only the accumulations
+    are DECIMAL(38,0); each correlation is one double expression over
+    exact integer moments. Output: one row per unordered pair
+    (col_a, col_b, n, corr), pair-name ordered.
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("corr_matrix needs at least 2 columns")
+    scales = list(scales) if scales is not None else [1] * k
+    dec = "decimal(38,0)"
+    keep = df
+    for c in cols:
+        keep = keep.filter(F.col(c).isNotNull())
+    base = keep.select(
+        *[
+            F.expr(f"CAST(ROUND(CAST({c} AS DOUBLE) * {int(s)}) AS BIGINT)").alias(f"_x{i}")
+            for i, (c, s) in enumerate(zip(cols, scales))
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(k):
+        aggs.append(F.sum(F.col(f"_x{i}").cast(dec)).alias(f"_s{i}"))
+        aggs.append(F.sum((F.col(f"_x{i}") * F.col(f"_x{i}")).cast(dec)).alias(f"_q{i}"))
+    for i in range(k):
+        for j in range(i + 1, k):
+            aggs.append(
+                F.sum((F.col(f"_x{i}") * F.col(f"_x{j}")).cast(dec)).alias(f"_p{i}_{j}")
+            )
+    m = base.agg(*aggs)
+    pairs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            corr = (
+                f"CAST(CAST(n AS DECIMAL(38,0)) * _p{i}_{j} - _s{i} * _s{j} AS DOUBLE) / "
+                f"(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * _q{i} - _s{i} * _s{i} AS DOUBLE)) * "
+                f"sqrt(CAST(CAST(n AS DECIMAL(38,0)) * _q{j} - _s{j} * _s{j} AS DOUBLE)))"
+            )
+            pairs.append(
+                m.select(
+                    F.lit(cols[i]).alias("col_a"),
+                    F.lit(cols[j]).alias("col_b"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round(F.expr(corr), decimals).alias("corr"),
+                )
+            )
+    out = pairs[0]
+    for pdf in pairs[1:]:
+        out = out.unionByName(pdf)
+    return out.orderBy("col_a", "col_b")
+
+
+def ab_power_mde(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    z_alpha: float = 1.959963984540054,
+    z_power: float = 0.8416212335729143,
+    value_scale: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Minimum detectable effect for an even two-arm split of each
+    group's population — the experiment-DESIGN readout that belongs
+    before `ab_test`/`bh_fdr` ever run: with n/2 units per arm and the
+    group's own σ, the smallest true lift a z-test at level α and power
+    1−β can be expected to detect is
+
+        MDE = (z_{1−α/2} + z_{1−β}) · sqrt(2σ²/(n div 2))
+
+    (defaults α=0.05, 80% power — the z constants are IEEE literals so
+    both engines compute identical doubles). σ comes from exact integer
+    moments (one sqrt); the per-group frame is groups-sized after one
+    combinable scan. Output per group: (group, n, mean, sigma, mde_abs,
+    mde_rel) — mde_rel = MDE/mean, NULL when the mean is 0.
+    """
+    dec = "decimal(38,0)"
+    x = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    g = (
+        df.filter(F.col(val_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), x.alias("_x"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_x").cast(dec)).alias("_s"),
+            F.sum((F.col("_x") * F.col("_x")).cast(dec)).alias("_q"),
+        )
+        .filter(F.col("n") > 3)
+    )
+    ks = float(value_scale)
+    sigma = (
+        f"(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * _q - _s * _s AS DOUBLE)) / n / {ks!r})"
+    )
+    mean = f"(CAST(_s AS DOUBLE) / n / {ks!r})"
+    mde = (
+        f"(({z_alpha!r} + {z_power!r}) * sqrt(2.0 * {sigma} * {sigma} "
+        f"/ CAST(n div 2 AS DOUBLE)))"
+    )
+    return g.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.expr(mean), decimals).alias("mean"),
+        F.round(F.expr(sigma), decimals).alias("sigma"),
+        F.round(F.expr(mde), decimals).alias("mde_abs"),
+        F.when(
+            F.expr(f"{mean} <> 0.0"),
+            F.round(F.expr(f"{mde} / {mean}"), decimals),
+        ).alias("mde_rel"),
+    ).orderBy(group_col)

@@ -39,6 +39,7 @@ __all__ = [
     "vocab_coverage",
     "token_entropy",
     "kneser_ney_bigram",
+    "textrank_keywords",
 ]
 
 # compact stopword profiles for the heuristic language scorer
@@ -1035,5 +1036,61 @@ def kneser_ney_bigram(
             F.round(F.expr(p_kn), decimals).alias("p_kn"),
         )
         .orderBy(F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(int(top_n))
+    )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str,
+    top_n: int = 20,
+    iterations: int = 3,
+    min_len: int = 3,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — adjacent-token pairs become
+    undirected weighted edges, and the stationary importance ranks the
+    corpus vocabulary. The graph-centrality complement of
+    `tfidf_topterms` (frequency-contrast) and `pmi_bigrams`
+    (association): TextRank surfaces words that CONNECT many contexts.
+
+    The edge list is vocabulary²-bounded (one groupBy over adjacent
+    pairs built inside the token array — arrays_zip, no position
+    window); the rank loop is `graph.pagerank_fixed_point`'s exact
+    integer-micro fixed point, so an unrolled-CTE oracle replays it and
+    partitioning cannot move a rank. Tokens shorter than ``min_len``
+    drop (the classic stopword-ish guard). Top-N is a distributed
+    orderBy/limit on the vocabulary frame.
+
+    Output: (term, rank_u, rank) — rank_u is the exact micro-unit fixed
+    point, rank the display double.
+    """
+    from morphik_core_spark.operators.graph import pagerank_fixed_point
+
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda x: F.length(x) >= min_len,
+    )
+    base = df.select(arr.alias("_a")).filter(F.size("_a") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_a"), 1, F.size("_a") - 1).alias("w1"),
+                F.slice(F.col("_a"), 2, F.size("_a") - 1).alias("w2"),
+            )
+        ).alias("_p")
+    ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")).filter(
+        F.col("w1") != F.col("w2")
+    )
+    und = pairs.select(
+        F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+    ).groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    edges = und.select("a", "b", "w").unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    ranks = pagerank_fixed_point(edges, "a", "b", "w", iterations=iterations)
+    return (
+        ranks.select(F.col("node").alias("term"), "rank_u", "rank")
+        .orderBy(F.col("rank_u").desc(), F.col("term").asc())
         .limit(int(top_n))
     )

@@ -1170,3 +1170,90 @@ def test_ewma_chart_replay_matches_recursion(spark):
         assert out[i]["ucl"] == round((mu + hw) / 1e6, 6)
         assert out[i]["out_of_control"] == (abs(l_t - mu) > hw)
         l_prev = l_t
+
+
+def test_nelson_aalen_hand_computed(spark):
+    from morphik_core_spark.operators.analytics import nelson_aalen
+
+    # t=1: 5 at risk, 1 event; t=2: 4 at risk, 1 event 1 censored;
+    # t=3: 2 at risk, 2 events
+    rows = [(1, 1), (2, 1), (2, 0), (3, 1), (3, 1)]
+    out = {r["t"]: r for r in nelson_aalen(
+        spark.createDataFrame(rows, "d long, e int"), "d", "e"
+    ).collect()}
+    h1 = round(1 / 5 * 1e12)
+    h2 = h1 + round(1 / 4 * 1e12)
+    h3 = h2 + round(2 / 2 * 1e12)
+    assert out[1]["cum_hazard"] == round(h1 / 1e12, 6)
+    assert out[2]["cum_hazard"] == round(h2 / 1e12, 6)
+    assert out[3]["cum_hazard"] == round(h3 / 1e12, 6)
+    v = round(1 / 25 * 1e12) + round(1 / 16 * 1e12) + round(2 / 4 * 1e12)
+    assert out[3]["var_hazard"] == round(v / 1e12, 6)
+    assert out[2]["n_at_risk"] == 4 and out[3]["n_at_risk"] == 2
+
+
+def test_nelson_aalen_tracks_km_for_small_hazard(spark):
+    """H(t) ~ -ln(S_KM(t)) when per-step hazards are small."""
+    import math
+
+    from morphik_core_spark.operators.analytics import nelson_aalen, survival_curve
+
+    rows = [(t, 1 if t % 7 else 0) for t in range(1, 200)]
+    df = spark.createDataFrame(rows, "d long, e int")
+    na = {r["t"]: r["cum_hazard"] for r in nelson_aalen(df, "d", "e").collect()}
+    km = {r["t"]: r["survival"] for r in survival_curve(df, "d", "e").collect()}
+    for t in (50, 100, 150):
+        if km[t] > 0:
+            assert abs(na[t] - (-math.log(km[t]))) < 0.15 * max(na[t], 1e-9)
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from morphik_core_spark.operators.analytics import corr_matrix
+
+    rng = np.random.RandomState(11)
+    x = rng.randint(0, 1000, 500)
+    y = (x * 3 + rng.randint(0, 500, 500)).astype(int)
+    z = rng.randint(0, 1000, 500)
+    rows = [(int(a), int(b), int(c)) for a, b, c in zip(x, y, z)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    out = {(r["col_a"], r["col_b"]): r for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert len(out) == 3
+    ref = np.corrcoef(np.vstack([x, y, z]))
+    assert abs(out[("x", "y")]["corr"] - ref[0, 1]) < 1e-6
+    assert abs(out[("x", "z")]["corr"] - ref[0, 2]) < 1e-6
+    assert abs(out[("y", "z")]["corr"] - ref[1, 2]) < 1e-6
+    assert all(r["n"] == 500 for r in out.values())
+
+
+def test_corr_matrix_complete_case_drops_null_rows(spark):
+    from morphik_core_spark.operators.analytics import corr_matrix
+
+    rows = [(1.0, 2.0, 3.0), (2.0, None, 1.0), (3.0, 6.0, 2.0), (4.0, 8.0, None)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = corr_matrix(df, ["x", "y", "z"]).collect()
+    assert all(r["n"] == 2 for r in out)
+
+
+def test_ab_power_mde_closed_form(spark):
+    import math
+
+    from morphik_core_spark.operators.analytics import ab_power_mde
+
+    vals = [float(100 + (i * 17) % 40) for i in range(1000)]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    [r] = ab_power_mde(df, "g", "v", value_scale=100).collect()
+    n = len(vals)
+    s = sum(round(v * 100) for v in vals)
+    q = sum(round(v * 100) ** 2 for v in vals)
+    sigma = math.sqrt(float(n * q - s * s)) / n / 100.0
+    mde = (1.959963984540054 + 0.8416212335729143) * math.sqrt(
+        2.0 * sigma * sigma / (n // 2)
+    )
+    assert r["sigma"] == round(sigma, 6)
+    assert r["mde_abs"] == round(mde, 6)
+    assert r["mde_rel"] == round(mde / (s / n / 100.0), 6)
+    # more data -> smaller MDE
+    [r2] = ab_power_mde(df.limit(100), "g", "v").collect()
+    assert r2["mde_abs"] > r["mde_abs"]

@@ -273,3 +273,32 @@ def test_kneser_ney_partition_invariant(spark):
     a = [tuple(r) for r in kneser_ney_bigram(df, "text").collect()]
     b = [tuple(r) for r in kneser_ney_bigram(df.repartition(9), "text").collect()]
     assert a == b
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    from morphik_core_spark.operators.text_analysis import textrank_keywords
+
+    # 'spark' co-occurs with everything; satellites only with 'spark'
+    docs = [
+        "spark alpha spark beta spark gamma",
+        "delta spark epsilon spark zeta",
+        "alpha beta",  # one non-hub edge
+    ]
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    out = textrank_keywords(df, "text", top_n=10).collect()
+    assert out[0]["term"] == "spark"
+    assert out[0]["rank_u"] > out[1]["rank_u"]
+    terms = {r["term"] for r in out}
+    assert {"alpha", "beta", "gamma", "delta", "epsilon", "zeta"} <= terms
+
+
+def test_textrank_partition_invariant_and_min_len(spark):
+    from morphik_core_spark.operators.text_analysis import textrank_keywords
+
+    words = ["spark", "join", "scan", "ab", "sort", "agg"]  # 'ab' < min_len
+    rows = [(" ".join(words[(i + j) % 6] for j in range(7)),) for i in range(50)]
+    df = spark.createDataFrame(rows, "text string")
+    a = [tuple(r) for r in textrank_keywords(df, "text").collect()]
+    b = [tuple(r) for r in textrank_keywords(df.repartition(9), "text").collect()]
+    assert a == b
+    assert all(r[0] != "ab" for r in a)
