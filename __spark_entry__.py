@@ -5651,6 +5651,54 @@ def _textrank_oracle(iterations: int = 3, damping_pct: int = 85, top_n: int = 20
     )
 
 
+def _q_trainer_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end trainer-delivery audit: export the documents table as
+    TFRecord (framed tf.train.Example) AND WebDataset (POSIX tar)
+    shards, read both back through their scans, and emit per-format
+    (n_records, n_distinct_keys, total_chars). The export→read
+    composition is the identity, so the oracle is the same rollup
+    straight off the source table — any framing/protobuf/tar defect or
+    lost row breaks the match. (`sources/tfrecord`,
+    `sources/webdataset`; shard writes go to a fresh temp dir.)"""
+    import tempfile
+
+    from morphik_core_spark.sources.tfrecord import (
+        read_tfrecord_shards,
+        write_tfrecord_shards,
+    )
+    from morphik_core_spark.sources.webdataset import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="trainer_export_")
+    write_tfrecord_shards(
+        docs, f"{tmp}/tfr", "doc_id", "text", n_shards=8, meta_cols=["source"]
+    ).collect()
+    write_webdataset_shards(
+        docs, f"{tmp}/wds", "doc_id", {"text": "txt", "source": "cls"}, n_shards=8
+    ).collect()
+    tfr = read_tfrecord_shards(spark, f"{tmp}/tfr").filter(F.col("error").isNull())
+    wds = read_webdataset_shards(spark, f"{tmp}/wds", ["txt"]).filter(
+        F.col("error").isNull()
+    )
+
+    def rollup(df, key, text, fmt):
+        return df.agg(
+            F.lit(fmt).alias("format"),
+            F.count(F.lit(1)).alias("n_records"),
+            F.count_distinct(F.col(key)).alias("n_distinct_keys"),
+            F.sum(F.length(F.col(text))).alias("total_chars"),
+        ).select("format", "n_records", "n_distinct_keys", "total_chars")
+
+    return (
+        rollup(tfr, "key", "text", "tfrecord")
+        .unionByName(rollup(wds, "key", "txt", "webdataset"))
+        .orderBy("format")
+    )
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -5943,6 +5991,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nelson_aalen_hazard": _q_nelson_aalen_hazard,
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
         "power_mde_nations": _q_power_mde_nations,
+        "trainer_export_audit": _q_trainer_export_audit,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -12283,6 +12332,22 @@ def oracle_sql() -> dict[str, str]:
             FROM g ORDER BY nation
         """,
         "textrank_keywords": _textrank_oracle(3),
+
+        "trainer_export_audit": """
+            WITH base AS (
+                SELECT 'tfrecord' AS format, CAST(count(*) AS BIGINT) AS n_records,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_keys,
+                       CAST(sum(length(text)) AS BIGINT) AS total_chars
+                FROM documents
+                UNION ALL
+                SELECT 'webdataset', CAST(count(*) AS BIGINT),
+                       CAST(count(DISTINCT doc_id) AS BIGINT),
+                       CAST(sum(length(text)) AS BIGINT)
+                FROM documents
+            )
+            SELECT format, n_records, n_distinct_keys, total_chars
+            FROM base ORDER BY format
+        """,
         "hill_tail": """
             WITH q AS (
                 SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS x

@@ -1,0 +1,160 @@
+"""Trainer-delivery sinks: TFRecord (frame + hand-rolled tf.train.Example
+protobuf) and WebDataset tar shards — deterministic distributed export,
+round-trip reads, shard-level failure isolation."""
+
+from __future__ import annotations
+
+import io
+import struct
+import tarfile
+
+import pytest
+
+from morphik_core_spark.sources.tfrecord import (
+    decode_example,
+    encode_example,
+    encode_record,
+    iter_records,
+)
+
+
+def test_tfrecord_frame_roundtrip_and_crc():
+    payloads = [b"", b"a", b"hello world" * 100]
+    blob = b"".join(encode_record(p) for p in payloads)
+    assert list(iter_records(blob)) == payloads
+    # flip one payload byte -> CRC failure
+    bad = bytearray(blob)
+    bad[12] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        list(iter_records(bytes(bad)))
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_records(blob[:-2]))
+
+
+def test_example_protobuf_roundtrip():
+    ex = encode_example({"text": b"hello", "key": b"k1", "n_tokens": 42, "ids": [1, 7, 300]})
+    out = decode_example(ex)
+    assert out["text"] == b"hello" and out["key"] == b"k1"
+    assert out["n_tokens"] == [42]
+    assert out["ids"] == [1, 7, 300]
+    # negative int64 two's-complement round-trip
+    neg = decode_example(encode_example({"v": [-5, 0, 5]}))
+    assert neg["v"] == [-5, 0, 5]
+    # deterministic: same dict -> same bytes regardless of insertion order
+    a = encode_example({"b": b"2", "a": b"1"})
+    b = encode_example({"a": b"1", "b": b"2"})
+    assert a == b
+
+
+def test_example_wire_is_real_protobuf():
+    """Field/wire bytes must match the canonical protobuf layout for
+    Example{1: Features{1: map<string, Feature>}} — check the first tag
+    bytes by hand so a TF reader would accept the stream."""
+    ex = encode_example({"k": b"v"})
+    # Example.features: field 1, wire 2 -> 0x0A
+    assert ex[0] == 0x0A
+    # inside: Features.feature map entry: field 1, wire 2 -> 0x0A
+    inner_len = ex[1]
+    assert ex[2] == 0x0A and inner_len == len(ex) - 2
+
+
+def test_write_and_read_tfrecord_shards(spark, tmp_path):
+    from morphik_core_spark.sources.tfrecord import (
+        read_tfrecord_shards,
+        write_tfrecord_shards,
+    )
+
+    rows = [(f"doc{i}", f"text number {i}", f"src{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    out = str(tmp_path / "tfr")
+    m1 = write_tfrecord_shards(df, out, "doc_id", "text", n_shards=4,
+                               meta_cols=["source"]).collect()
+    assert sum(r["n_records"] for r in m1) == 100
+    assert len(m1) <= 4
+    # deterministic re-run: byte-identical shards
+    m2 = write_tfrecord_shards(df, out, "doc_id", "text", n_shards=4,
+                               meta_cols=["source"]).collect()
+    assert {r["shard"]: r["sha256"] for r in m1} == {r["shard"]: r["sha256"] for r in m2}
+
+    back = read_tfrecord_shards(spark, out)
+    got = {r["key"]: r["text"] for r in back.collect()}
+    assert len(got) == 100 and got["doc7"] == "text number 7"
+    assert back.filter("error IS NOT NULL").count() == 0
+
+
+def test_tfrecord_reader_isolates_corrupt_shard(spark, tmp_path):
+    from morphik_core_spark.sources.tfrecord import (
+        read_tfrecord_shards,
+        write_tfrecord_shards,
+    )
+
+    rows = [(f"d{i}", f"t{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, t string")
+    out = str(tmp_path / "tfr2")
+    write_tfrecord_shards(df, out, "k", "t", n_shards=2).collect()
+    import glob, os
+    victim = sorted(glob.glob(os.path.join(out, "*.tfrecord")))[0]
+    with open(victim, "r+b") as fh:
+        fh.seek(13)
+        fh.write(b"\xff\xff")
+    back = read_tfrecord_shards(spark, out).collect()
+    errs = [r for r in back if r["error"] is not None]
+    oks = [r for r in back if r["error"] is None]
+    assert len(errs) == 1 and victim in errs[0]["shard_path"]
+    assert len(oks) > 0  # the healthy shard still reads
+
+
+def test_write_and_read_webdataset_shards(spark, tmp_path):
+    from morphik_core_spark.sources.webdataset import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    rows = [(f"doc{i:03d}", f"body {i}", f'{{"i": {i}}}') for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, text string, meta string")
+    out = str(tmp_path / "wds")
+    m1 = write_webdataset_shards(
+        df, out, "doc_id", {"text": "txt", "meta": "json"}, n_shards=3
+    ).collect()
+    assert sum(r["n_samples"] for r in m1) == 60
+    m2 = write_webdataset_shards(
+        df, out, "doc_id", {"text": "txt", "meta": "json"}, n_shards=3
+    ).collect()
+    assert {r["shard"]: r["sha256"] for r in m1} == {r["shard"]: r["sha256"] for r in m2}
+
+    back = read_webdataset_shards(spark, out, ["txt", "json"])
+    got = {r["key"]: (r["txt"], r["json"]) for r in back.collect()}
+    assert len(got) == 60
+    assert got["doc007"] == ("body 7", '{"i": 7}')
+    assert back.filter("error IS NOT NULL").count() == 0
+
+    # the tar really is plain POSIX tar: stdlib reads it directly
+    import glob
+    with tarfile.open(sorted(glob.glob(out + "/*.tar"))[0]) as tar:
+        names = tar.getnames()
+        assert all(n.endswith((".txt", ".json")) for n in names)
+        # deterministic metadata
+        assert all(m.mtime == 0 and m.uid == 0 for m in tar.getmembers())
+
+
+def test_webdataset_reader_isolates_corrupt_shard(spark, tmp_path):
+    from morphik_core_spark.sources.webdataset import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    rows = [(f"d{i}", f"t{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, t string")
+    out = str(tmp_path / "wds2")
+    write_webdataset_shards(df, out, "k", {"t": "txt"}, n_shards=2).collect()
+    import glob, os
+    victim = sorted(glob.glob(os.path.join(out, "*.tar")))[0]
+    with open(victim, "r+b") as fh:
+        fh.write(b"\x00" * 700)  # destroy the first header + member
+    back = read_webdataset_shards(spark, out, ["txt"]).collect()
+    errs = [r for r in back if r["error"] is not None]
+    oks = [r for r in back if r["error"] is None]
+    # zeroed prefix reads as an empty tar OR errors — either way the
+    # healthy shard must be unaffected
+    assert len(oks) > 0
+    assert all(victim not in (r["shard_path"] or "") for r in oks) or errs
