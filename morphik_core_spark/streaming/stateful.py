@@ -40,6 +40,7 @@ __all__ = [
     "funnel_stream_counts",
     "holt_stream",
     "ewma_stream",
+    "jsd_stream",
 ]
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -776,6 +777,95 @@ def ewma_stream(
         update,
         outputStructType=EWMA_OUTPUT_SCHEMA,
         stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+JSD_OUTPUT_SCHEMA = (
+    "monitor_key string, batch_seq bigint, n_seen bigint, jsd_nats double"
+)
+JSD_STATE_SCHEMA = "cats array<string>, counts array<bigint>, batch_seq bigint"
+
+
+def jsd_stream(
+    events: DataFrame,
+    reference: dict[str, int],
+    key_col: str = "monitor_key",
+    cat_col: str = "category",
+) -> DataFrame:
+    """Streaming Jensen–Shannon drift monitor — the live twin of
+    `analytics.js_divergence`: per key, accumulate the RUNNING category
+    histogram in state and emit one row per micro-batch with the JSD
+    (nats) between the running distribution and a fixed REFERENCE
+    histogram (e.g. last month's event-type mix). State is
+    vocabulary-bounded (two parallel arrays); reference categories are
+    a broadcast-side constant.
+
+    The finalize runs the batch operator's IDENTICAL per-cell
+    expression shape — each cell term p/2·ln(p/m) + q/2·ln(q/m)
+    quantized to 1e-12 integers before the cross-cell sum, cells
+    iterated in sorted category order — so a stream snapshot equals
+    `js_divergence` computed over (reference ∪ seen-so-far) rows
+    exactly (equivalence test-asserted across a checkpoint restart).
+    Unknown categories (absent from the reference) still drift the
+    score: their reference mass is 0 and the term is the exact finite
+    p/2·ln 2.
+    """
+    if not reference or any(v < 0 for v in reference.values()):
+        raise ValueError("reference must be a non-empty histogram of counts >= 0")
+    ref_items = sorted(reference.items())
+    nb = float(sum(reference.values()))
+    if nb <= 0:
+        raise ValueError("reference histogram must have positive total")
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import math
+
+        (key_val,) = key
+        cats, counts, seq = (
+            state.get if state.exists else ([], [], 0)
+        )
+        hist = dict(zip(list(cats), [int(c) for c in counts]))
+        n_new = 0
+        for pdf in batches:
+            for c in pdf[cat_col]:
+                hist[str(c)] = hist.get(str(c), 0) + 1
+                n_new += 1
+        seq = int(seq) + 1
+        na = float(sum(hist.values()))
+        # batch-identical finalize: sorted category union, per-cell
+        # 1e-12-quantized terms, integer sum
+        cells = sorted(set(hist) | set(reference))
+        s = 0
+        for c in cells:
+            a = hist.get(c, 0)
+            b = reference.get(c, 0)
+            p = a / na if na > 0 else 0.0
+            q = b / nb
+            m = (p + q) / 2.0
+            if a > 0:
+                s += round((p / 2.0 * math.log(p / m)) * 1e12)
+            if b > 0:
+                s += round((q / 2.0 * math.log(q / m)) * 1e12)
+        jsd = round(s / 1e12, 8)
+        items = sorted(hist.items())
+        state.update(([k for k, _ in items], [v for _, v in items], seq))
+        yield pd.DataFrame(
+            [
+                {
+                    "monitor_key": key_val,
+                    "batch_seq": seq,
+                    "n_seen": int(na),
+                    "jsd_nats": jsd,
+                }
+            ]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=JSD_OUTPUT_SCHEMA,
+        stateStructType=JSD_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

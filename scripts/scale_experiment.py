@@ -2095,6 +2095,119 @@ def main() -> None:
         report("cem_att", cem, (ord1, cust1), (ord10, cust10))
 
 
+
+    if "round8b" in ops:
+        # round-8 second wave: profiling matrix, TextRank, hazard grid,
+        # design MDE, trainer-delivery sinks (tiling as in round8)
+        import tempfile as _tf
+
+        from morphik_core_spark.operators.analytics import (
+            ab_power_mde,
+            corr_matrix,
+            nelson_aalen,
+        )
+        from morphik_core_spark.operators.text_analysis import textrank_keywords
+        from morphik_core_spark.sources.tfrecord import write_tfrecord_shards
+        from morphik_core_spark.sources.webdataset import write_webdataset_shards
+
+        ord1 = load_table(spark, "orders", SF_DIR)
+        cust1 = load_table(spark, "customer", SF_DIR)
+        nat1 = load_table(spark, "nation", SF_DIR)
+        li1 = load_table(spark, "lineitem", SF_DIR)
+        ev1 = load_table(spark, "events", SF_DIR)
+
+        def tile(df, cols_fn, name):
+            parts = [df.select(*cols_fn(k)) for k in range(10)]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        li10 = tile(li1, lambda k: [
+            "l_quantity",
+            (F.col("l_extendedprice") + k * 0.07).alias("l_extendedprice"),
+            "l_discount", "l_tax",
+        ], "r8b_li10")
+        ev10 = tile(ev1, lambda k: [
+            (F.col("event_id") * 10 + k).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+            (F.col("user_id") * 10 + k).alias("user_id"),
+            "event_type",
+        ], "r8b_ev10")
+        ord10 = tile(ord1, lambda k: [
+            (F.col("o_custkey") * 10 + k).alias("o_custkey"),
+            (F.col("o_totalprice") + k * 0.13).alias("o_totalprice"),
+        ], "r8b_ord10")
+        cust10 = tile(cust1, lambda k: [
+            (F.col("c_custkey") * 10 + k).alias("c_custkey"),
+            "c_nationkey",
+        ], "r8b_cust10")
+
+        report(
+            "corr_matrix",
+            lambda d: mat(corr_matrix(
+                d, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                scales=[1, 100, 100, 100],
+            )),
+            li1, li10,
+        )
+        report(
+            "textrank",
+            lambda d: mat(textrank_keywords(d, "text", top_n=20)),
+            docs1, docs10,
+        )
+
+        def na(d):
+            from pyspark.sql import Window as W
+
+            us = F.expr("unix_micros(ts)")
+            worder = W.partitionBy("user_id").orderBy("ts", "event_id")
+            prev = F.lag(us).over(worder)
+            sid = F.sum((prev.isNull() | ((us - prev) > 21600 * 1_000_000)).cast("int")).over(
+                worder.rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            ses = (
+                d.select("user_id", "event_id", "ts", sid.alias("sid"))
+                .groupBy("user_id", "sid")
+                .agg(F.count(F.lit(1)).alias("n_ev"),
+                     F.max(F.expr("unix_micros(ts)")).alias("lus"))
+            )
+            mx = d.agg(F.max(F.expr("unix_micros(ts)")).alias("_m"))
+            subj = ses.join(F.broadcast(mx)).select(
+                F.col("n_ev").alias("dur"),
+                F.when(F.col("_m") - F.col("lus") < 86400 * 1_000_000, F.lit(0))
+                .otherwise(F.lit(1)).alias("ev"),
+            )
+            mat(nelson_aalen(subj, "dur", "ev"))
+
+        report("nelson_aalen", na, ev1, ev10)
+
+        def mde(pair):
+            o, c = pair
+            base = (
+                o.join(c, o["o_custkey"] == c["c_custkey"])
+                .join(F.broadcast(nat1), c["c_nationkey"] == nat1["n_nationkey"])
+                .select(F.col("n_name").alias("g"), F.col("o_totalprice").alias("v"))
+            )
+            mat(ab_power_mde(base, "g", "v"))
+
+        report("power_mde", mde, (ord1, cust1), (ord10, cust10))
+
+        def tfr_export(d):
+            out = _tf.mkdtemp(prefix="scale_tfr_")
+            write_tfrecord_shards(d, out, "doc_id", "text", n_shards=16).collect()
+
+        report("tfrecord_export", tfr_export, docs1, docs10)
+
+        def wds_export(d):
+            out = _tf.mkdtemp(prefix="scale_wds_")
+            write_webdataset_shards(d, out, "doc_id", {"text": "txt"}, n_shards=16).collect()
+
+        report("webdataset_export", wds_export, docs1, docs10)
+
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

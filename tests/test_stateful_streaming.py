@@ -770,3 +770,53 @@ def test_ewma_stream_matches_batch_and_survives_restart(spark, tmp_path):
         assert g[0] == w[0] and g[1] == w[1] and g[2] == w[2], (i, g, w)
     # the level shift at idx 5+ must be flagged against the known params
     assert any(got[i][2] for i in range(6, 12))
+
+
+def test_jsd_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """The streaming drift monitor's snapshot equals the batch
+    js_divergence over (reference || seen-so-far) rows exactly; state
+    (the running histogram) survives a checkpoint restart."""
+    from morphik_core_spark.operators.analytics import js_divergence
+    from morphik_core_spark.streaming.stateful import jsd_stream
+
+    reference = {"view": 50, "click": 30, "purchase": 20}
+    schema = "monitor_key string, category string"
+    batch1 = [("m", c) for c in ["view"] * 10 + ["click"] * 5]
+    batch2 = [("m", c) for c in ["purchase"] * 8 + ["signup"] * 4]  # novel cat
+
+    src, out, chk = (str(tmp_path / d) for d in ("jin", "jout", "jchk"))
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            jsd_stream(stream, reference)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+
+    run_once(batch1)
+    run_once(batch2)
+    rows = spark.read.parquet(out).orderBy("batch_seq").collect()
+    assert [r["batch_seq"] for r in rows] == [1, 2]
+    assert rows[0]["n_seen"] == 15 and rows[1]["n_seen"] == 27
+
+    def batch_jsd(seen):
+        ref_rows = [("r", c) for c, n in reference.items() for _ in range(n)]
+        seen_rows = [("s", c) for _, c in seen]
+        df = spark.createDataFrame(ref_rows + seen_rows, "side string, c string")
+        [r] = js_divergence(df, "side", "c", "s", "r").collect()
+        return r["jsd_nats"]
+
+    assert rows[0]["jsd_nats"] == batch_jsd(batch1)
+    assert rows[1]["jsd_nats"] == batch_jsd(batch1 + batch2)
+    # drift grew when a novel category appeared
+    assert rows[1]["jsd_nats"] > 0
