@@ -5699,6 +5699,39 @@ def _q_trainer_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_schema_drift_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload schema drift (`validation.schema_drift`): the event
+    props payload is synthesized with a DELIBERATE shape change between
+    the two month halves — a key removed (`legacy`), a key added
+    (`newf`), a type flip (`m`: numeric→string) — and the detector must
+    label every key correctly while `k`/`u` stay stable. The alert an
+    ingestion pipeline raises when an upstream producer silently
+    changes its payload."""
+    from morphik_core_spark.operators.validation import schema_drift
+
+    events = _t(spark, sf_dir, "events")
+    k = F.expr("get_json_object(props, '$.k')")
+    u_part = F.when(
+        F.col("user_id") % 3 == 0,
+        F.concat(F.lit(',"u":"u'), F.col("user_id").cast("string"), F.lit('"')),
+    ).otherwise(F.lit(""))
+
+    def payload(first_half: bool):
+        legacy = F.lit(',"legacy":"1"') if first_half else F.lit("")
+        newf = F.lit("") if first_half else F.concat(F.lit(',"newf":'), k)
+        m = (
+            F.concat(F.lit(',"m":'), k)
+            if first_half
+            else F.concat(F.lit(',"m":"x'), k, F.lit('"'))
+        )
+        return F.concat(F.lit('{"k":'), k, u_part, legacy, newf, m, F.lit("}"))
+
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    old = events.filter(F.col("ts") < cut).select(payload(True).alias("js"))
+    new = events.filter(F.col("ts") >= cut).select(payload(False).alias("js"))
+    return schema_drift(old, new, "js", min_rate_delta=0.05)
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -5992,6 +6025,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
         "power_mde_nations": _q_power_mde_nations,
         "trainer_export_audit": _q_trainer_export_audit,
+        "schema_drift_props": _q_schema_drift_props,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -12347,6 +12381,73 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT format, n_records, n_distinct_keys, total_chars
             FROM base ORDER BY format
+        """,
+
+        "schema_drift_props": """
+            WITH oldj AS (
+                SELECT '{"k":' || json_extract_string(props, '$.k')
+                       || CASE WHEN user_id % 3 = 0
+                               THEN ',"u":"u' || CAST(user_id AS VARCHAR) || '"' ELSE '' END
+                       || ',"legacy":"1"'
+                       || ',"m":' || json_extract_string(props, '$.k')
+                       || '}' AS js
+                FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+            ),
+            newj AS (
+                SELECT '{"k":' || json_extract_string(props, '$.k')
+                       || CASE WHEN user_id % 3 = 0
+                               THEN ',"u":"u' || CAST(user_id AS VARCHAR) || '"' ELSE '' END
+                       || ',"newf":' || json_extract_string(props, '$.k')
+                       || ',"m":"x' || json_extract_string(props, '$.k') || '"'
+                       || '}' AS js
+                FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+            ),
+            to_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM oldj WHERE js IS NOT NULL),
+            tn_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM newj WHERE js IS NOT NULL),
+            po AS (
+                SELECT key, CAST(COUNT(*) AS BIGINT) AS n_old,
+                       CAST(COUNT(CASE WHEN TRY_CAST(json_extract_string(js, '$.' || key) AS DOUBLE)
+                                       IS NOT NULL THEN 1 END) AS BIGINT) AS num_old,
+                       CAST(MAX(t.n_tot) AS BIGINT) AS tot_old
+                FROM (SELECT js, unnest(json_keys(js)) AS key FROM oldj WHERE js IS NOT NULL)
+                CROSS JOIN to_ t GROUP BY key
+            ),
+            pn AS (
+                SELECT key, CAST(COUNT(*) AS BIGINT) AS n_new,
+                       CAST(COUNT(CASE WHEN TRY_CAST(json_extract_string(js, '$.' || key) AS DOUBLE)
+                                       IS NOT NULL THEN 1 END) AS BIGINT) AS num_new,
+                       CAST(MAX(t.n_tot) AS BIGINT) AS tot_new
+                FROM (SELECT js, unnest(json_keys(js)) AS key FROM newj WHERE js IS NOT NULL)
+                CROSS JOIN tn_ t GROUP BY key
+            ),
+            j AS (SELECT * FROM po FULL OUTER JOIN pn USING (key)),
+            typed AS (
+                SELECT key,
+                       COALESCE(n_old, 0) AS n_old_c, COALESCE(n_new, 0) AS n_new_c,
+                       n_old, n_new,
+                       CASE WHEN n_old IS NULL THEN NULL
+                            WHEN 2 * num_old > n_old THEN 'numeric' ELSE 'string' END AS type_old,
+                       CASE WHEN n_new IS NULL THEN NULL
+                            WHEN 2 * num_new > n_new THEN 'numeric' ELSE 'string' END AS type_new,
+                       CASE WHEN n_old IS NOT NULL THEN
+                           ROUND(CAST(n_old AS DOUBLE) / CAST(tot_old AS DOUBLE), 6) END AS rate_old,
+                       CASE WHEN n_new IS NOT NULL THEN
+                           ROUND(CAST(n_new AS DOUBLE) / CAST(tot_new AS DOUBLE), 6) END AS rate_new,
+                       CASE WHEN n_old IS NOT NULL THEN
+                           CAST(ROUND(CAST(n_old AS DOUBLE) / CAST(tot_old AS DOUBLE) * 1e6) AS BIGINT) END AS rmo,
+                       CASE WHEN n_new IS NOT NULL THEN
+                           CAST(ROUND(CAST(n_new AS DOUBLE) / CAST(tot_new AS DOUBLE) * 1e6) AS BIGINT) END AS rmn
+                FROM j
+            )
+            SELECT key, n_old_c AS n_old, n_new_c AS n_new, rate_old, rate_new,
+                   type_old, type_new,
+                   CASE WHEN n_old IS NULL THEN 'added'
+                        WHEN n_new IS NULL THEN 'removed'
+                        WHEN type_old <> type_new THEN 'type_changed'
+                        WHEN abs(rmn - rmo) >= 50000 THEN 'rate_shift'
+                        ELSE 'stable' END AS status
+            FROM typed
+            ORDER BY status, key
         """,
         "hill_tail": """
             WITH q AS (

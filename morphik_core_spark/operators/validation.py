@@ -48,6 +48,7 @@ __all__ = [
     "benford_audit",
     "BENFORD_EXPECTED",
     "dp_noisy_counts",
+    "schema_drift",
 ]
 
 
@@ -604,3 +605,93 @@ def dp_noisy_counts(
         )
         .orderBy(*group_cols)
     )
+
+
+def schema_drift(
+    old: DataFrame,
+    new: DataFrame,
+    json_col: str,
+    min_rate_delta: float = 0.05,
+    decimals: int = 6,
+) -> DataFrame:
+    """Schema drift between two snapshots of a semi-structured column —
+    the change-detection layer on top of `json_schema_profile`'s
+    single-snapshot inference: which JSON keys APPEARED, VANISHED,
+    changed their presence rate materially, or flipped their inferred
+    type (numeric↔string). This is the alert a 100 TB ingestion
+    pipeline raises when an upstream producer silently changes its
+    payload shape.
+
+    Per key: presence rates on both sides (exact integer counts, one
+    ROUND each), the numeric-share-based type verdicts
+    (numeric iff >50% of present values try_cast to DOUBLE — the
+    profiler's promotion rule), and a status:
+
+        added | removed | type_changed | rate_shift | stable
+
+    rate_shift fires when |rate_new − rate_old| ≥ ``min_rate_delta``
+    via an exact integer-micro comparison. Two profile aggregations
+    (each one explode + one groupBy, key-bounded) and a key-grain full
+    outer join — nothing corpus-sized past the profiles.
+
+    Output per key: (key, n_old, n_new, rate_old, rate_new, type_old,
+    type_new, status), ordered by status then key.
+    """
+
+    def profile(df: DataFrame, tag: str):
+        total = df.agg(
+            F.count(F.when(F.col(json_col).isNotNull(), 1)).alias(f"_n_{tag}")
+        )
+        kv = (
+            df.filter(F.col(json_col).isNotNull())
+            .select(
+                F.explode(
+                    F.map_entries(F.from_json(F.col(json_col), "map<string,string>"))
+                ).alias("e")
+            )
+            .select(F.col("e.key").alias("key"), F.col("e.value").alias("value"))
+        )
+        return (
+            kv.groupBy("key")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.count(
+                    F.when(F.expr("try_cast(value AS DOUBLE)").isNotNull(), 1)
+                ).alias(f"_num_{tag}"),
+            )
+            .join(F.broadcast(total))
+        )
+
+    po = profile(old, "old")
+    pn = profile(new, "new")
+    j = po.join(pn, "key", "full")
+    rate = lambda t: F.round(
+        F.expr(f"CAST(n_{t} AS DOUBLE) / CAST(_n_{t} AS DOUBLE)"), decimals
+    )
+    # type verdict: numeric iff strictly more than half the present
+    # values cast — exact integer compare
+    typ = lambda t: F.when(
+        F.col(f"n_{t}").isNull(), F.lit(None).cast("string")
+    ).when(F.expr(f"2 * _num_{t} > n_{t}"), F.lit("numeric")).otherwise(F.lit("string"))
+    thr = int(round(float(min_rate_delta) * 1_000_000))
+    rmicro = lambda t: F.expr(
+        f"CAST(ROUND(CAST(n_{t} AS DOUBLE) / CAST(_n_{t} AS DOUBLE) * 1e6) AS BIGINT)"
+    )
+    out = j.select(
+        "key",
+        F.coalesce(F.col("n_old"), F.lit(0)).cast("bigint").alias("n_old"),
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+        F.when(F.col("n_old").isNotNull(), rate("old")).alias("rate_old"),
+        F.when(F.col("n_new").isNotNull(), rate("new")).alias("rate_new"),
+        typ("old").alias("type_old"),
+        typ("new").alias("type_new"),
+        F.when(F.col("n_old").isNull(), F.lit("added"))
+        .when(F.col("n_new").isNull(), F.lit("removed"))
+        .when(typ("old") != typ("new"), F.lit("type_changed"))
+        .when(
+            F.abs(rmicro("new") - rmicro("old")) >= thr, F.lit("rate_shift")
+        )
+        .otherwise(F.lit("stable"))
+        .alias("status"),
+    )
+    return out.orderBy("status", "key")

@@ -162,3 +162,43 @@ def test_dp_noisy_counts_epsilon_scales_noise(spark):
 
     with _pytest.raises(ValueError):
         dp_noisy_counts(df, ["g"], epsilon=0.0)
+
+
+def test_schema_drift_statuses(spark):
+    from morphik_core_spark.operators.validation import schema_drift
+
+    old_rows = (
+        [('{"a": "1", "b": "x", "c": "5"}',)] * 80
+        + [('{"a": "2", "b": "y"}',)] * 20
+    )
+    new_rows = (
+        [('{"a": "3", "b": "7", "d": "new"}',)] * 50      # b flips to numeric
+        + [('{"a": "4"}',)] * 50                            # c vanished, b rate drops
+    )
+    old = spark.createDataFrame(old_rows, "props string")
+    new = spark.createDataFrame(new_rows, "props string")
+    out = {r["key"]: r for r in schema_drift(old, new, "props").collect()}
+    assert out["d"]["status"] == "added" and out["d"]["rate_old"] is None
+    assert out["c"]["status"] == "removed" and out["c"]["n_new"] == 0
+    assert out["b"]["status"] == "type_changed"
+    assert out["b"]["type_old"] == "string" and out["b"]["type_new"] == "numeric"
+    assert out["a"]["status"] == "stable"
+    assert out["a"]["rate_old"] == 1.0 and out["a"]["rate_new"] == 1.0
+
+
+def test_schema_drift_rate_shift_threshold(spark):
+    from morphik_core_spark.operators.validation import schema_drift
+
+    old = spark.createDataFrame(
+        [('{"k": "1"}',)] * 90 + [("{}",)] * 10, "props string"
+    )
+    new_small = spark.createDataFrame(
+        [('{"k": "1"}',)] * 88 + [("{}",)] * 12, "props string"
+    )
+    new_big = spark.createDataFrame(
+        [('{"k": "1"}',)] * 60 + [("{}",)] * 40, "props string"
+    )
+    [r1] = schema_drift(old, new_small, "props").filter("key = 'k'").collect()
+    [r2] = schema_drift(old, new_big, "props").filter("key = 'k'").collect()
+    assert r1["status"] == "stable"   # 0.90 -> 0.88 under the 5% default
+    assert r2["status"] == "rate_shift"  # 0.90 -> 0.60
