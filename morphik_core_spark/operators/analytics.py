@@ -3139,16 +3139,19 @@ def chi_square_independence(
         .select(
             F.round(F.col("_chi2u").cast("double") / F.lit(1e6), decimals).alias("chi2"),
             ((F.col("_kx") - 1) * (F.col("_ky") - 1)).cast("bigint").alias("dof"),
-            F.round(
-                F.sqrt(
-                    (F.col("_chi2u").cast("double") / F.lit(1e6))
-                    / (
-                        F.col("_n").cast("double")
-                        * F.least(F.col("_kx") - 1, F.col("_ky") - 1).cast("double")
-                    )
+            F.when(
+                F.least(F.col("_kx"), F.col("_ky")) > 1,
+                F.round(
+                    F.sqrt(
+                        (F.col("_chi2u").cast("double") / F.lit(1e6))
+                        / (
+                            F.col("_n").cast("double")
+                            * F.least(F.col("_kx") - 1, F.col("_ky") - 1).cast("double")
+                        )
+                    ),
+                    decimals,
                 ),
-                decimals,
-            ).alias("cramers_v"),
+            ).alias("cramers_v"),  # undefined (NULL) for a 1-level column
             F.col("_n").cast("bigint").alias("n"),
         )
     )
