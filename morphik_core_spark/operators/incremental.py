@@ -38,7 +38,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["agg_state", "merge_agg_states", "finalize_agg"]
+__all__ = ["agg_state", "merge_agg_states", "finalize_agg", "incremental_join_apply"]
 
 _STATE_DECIMAL = "decimal(27,6)"
 
@@ -104,3 +104,40 @@ def finalize_agg(
             ),
         )
     return out
+
+
+def incremental_join_apply(
+    joined: DataFrame,
+    delta_a: DataFrame,
+    b: DataFrame,
+    pk_a: str,
+    join_key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental view maintenance for a keyed equi-join view
+    J = A ⋈ B under a CDC batch on A — the join-side sibling of
+    `agg_state`'s aggregate maintenance, completing the two standing
+    materializations a serving layer keeps. With A keyed by ``pk_a``
+    and the delta carrying I/U/D ops (the `streaming/cdc.py` shape),
+    the classical delta decomposition collapses to:
+
+        J' = (J anti-join touched_keys) ∪ ((ΔA minus deletes) ⋈ B)
+
+    — one delta-keyed ANTI join on the view (evicts every row whose
+    A-key appears in the delta, covering U and D in one stroke) plus a
+    DELTA-sized equi-join against B on ``join_key`` for the
+    inserts/updates. The view never re-joins |A| × |B|; incremental
+    work is |ΔA| on the probe side — the property that makes a 100 TB
+    materialized join maintainable. The touched-key side is
+    delta-sized, hence the broadcast hint.
+
+    ``joined`` must carry ``pk_a`` plus the columns ``ΔA ⋈ B``
+    produces (maintain what you built); ``b`` is the CURRENT B snapshot
+    — a changing B runs the symmetric step with roles swapped.
+    merge == recompute is test- and oracle-asserted (`ivm_join`).
+    """
+    touched = delta_a.select(F.col(pk_a)).distinct()
+    kept = joined.join(F.broadcast(touched), pk_a, "left_anti")
+    upserts = delta_a.filter(F.col(op_col) != "D").drop(op_col)
+    additions = upserts.join(b, join_key)
+    return kept.unionByName(additions.select(*kept.columns))

@@ -69,3 +69,54 @@ def test_finalize_means(spark):
     out = finalize_agg(agg_state(ev, ["k"], {"v": "value"}), means=["v"])
     rows = {r.k: r for r in out.collect()}
     assert rows["b"].mean_v == round(14.25 / 4, 6)
+
+
+def test_incremental_join_apply_equals_recompute(spark):
+    """merge == recompute: maintaining A join B under an I/U/D delta on A
+    must produce exactly the join of the CDC-applied A against B."""
+    from morphik_core_spark.operators.incremental import incremental_join_apply
+
+    a = spark.createDataFrame(
+        [(1, 10, "a1"), (2, 20, "a2"), (3, 10, "a3"), (4, 30, "a4")],
+        "pk long, fk long, payload string",
+    )
+    b = spark.createDataFrame(
+        [(10, "b-ten"), (20, "b-twenty"), (30, "b-thirty"), (40, "b-forty")],
+        "fk long, b_val string",
+    )
+    joined = a.join(b, "fk").select("pk", "fk", "payload", "b_val")
+
+    delta = spark.createDataFrame(
+        [
+            (2, 40, "a2-moved", "U"),   # update: re-points to fk 40
+            (3, None, None, "D"),        # delete
+            (5, 20, "a5-new", "I"),      # insert
+        ],
+        "pk long, fk long, payload string, op string",
+    )
+    maintained = incremental_join_apply(joined, delta, b, "pk", "fk")
+
+    # recompute: apply the CDC to A, then join fresh
+    a2 = spark.createDataFrame(
+        [(1, 10, "a1"), (4, 30, "a4"), (2, 40, "a2-moved"), (5, 20, "a5-new")],
+        "pk long, fk long, payload string",
+    )
+    fresh = a2.join(b, "fk").select("pk", "fk", "payload", "b_val")
+    assert sorted(map(tuple, maintained.collect())) == sorted(map(tuple, fresh.collect()))
+
+
+def test_incremental_join_apply_delta_sized_plan(spark):
+    """The anti join's build side must be the (broadcast) touched-key
+    set and the additions join must probe with the delta — never a full
+    A-side rescan."""
+    from morphik_core_spark.operators.incremental import incremental_join_apply
+
+    a = spark.createDataFrame([(i, i % 7, f"p{i}") for i in range(500)],
+                              "pk long, fk long, payload string")
+    b = spark.createDataFrame([(i, f"b{i}") for i in range(7)], "fk long, b_val string")
+    joined = a.join(b, "fk").select("pk", "fk", "payload", "b_val")
+    delta = spark.createDataFrame([(1, 2, "x", "U")], "pk long, fk long, payload string, op string")
+    out = incremental_join_apply(joined, delta, b, "pk", "fk")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
