@@ -2208,6 +2208,61 @@ def main() -> None:
         report("webdataset_export", wds_export, docs1, docs10)
 
 
+
+    if "round8c" in ops:
+        # round-8 close-out: payload drift profiling + join-view IVM
+        from morphik_core_spark.operators.incremental import incremental_join_apply
+        from morphik_core_spark.operators.validation import schema_drift
+
+        ev1 = load_table(spark, "events", SF_DIR)
+        ord1 = load_table(spark, "orders", SF_DIR).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        cust1 = load_table(spark, "customer", SF_DIR).select("c_custkey", "c_nationkey")
+
+        def tile(df, cols_fn, name):
+            parts = [df.select(*cols_fn(k)) for k in range(10)]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        ev10 = tile(ev1, lambda k: [
+            (F.col("event_id") * 10 + k).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+            "user_id", "props",
+        ], "r8c_ev10")
+        ord10 = tile(ord1, lambda k: [
+            (F.col("o_orderkey") * 10 + k).alias("o_orderkey"),
+            "o_custkey",
+            (F.col("o_totalprice") + k * 0.13).alias("o_totalprice"),
+        ], "r8c_ord10")
+
+        def drift(d):
+            cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+            old = d.filter(F.col("ts") < cut).select(F.col("props").alias("js"))
+            new = d.filter(F.col("ts") >= cut).select(F.col("props").alias("js"))
+            mat(schema_drift(old, new, "js"))
+
+        report("schema_drift", drift, ev1, ev10)
+
+        def ivm(o):
+            joined = o.join(cust1, o["o_custkey"] == cust1["c_custkey"]).select(
+                "o_orderkey", "o_custkey", "o_totalprice", "c_nationkey"
+            )
+            ten = F.col("o_orderkey") % 10
+            delta = (
+                o.filter(ten == 0).withColumn("op", F.lit("D"))
+                .unionByName(o.filter(ten == 1).withColumn("op", F.lit("U")))
+            )
+            b_view = cust1.withColumnRenamed("c_custkey", "o_custkey")
+            mat(incremental_join_apply(joined, delta, b_view, "o_orderkey", "o_custkey"))
+
+        report("ivm_join", ivm, ord1, ord10)
+
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing
