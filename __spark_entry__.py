@@ -5787,6 +5787,23 @@ def _q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-cardinality estimation (`sketches.
+    cms_join_size_estimate`): the lineitem⋈lineitem self-join size on
+    partkey (Σ c_p² — the skew-sensitive blowup an optimizer must
+    predict) estimated from two 3×64 count-min sketches via the CMS
+    inner product, beside the exact value — always an upper bound,
+    collisions only add. The corpus contributes one per-key count
+    aggregation per side; the inner product is (depth×width)-bounded."""
+    from morphik_core_spark.operators.sketches import cms_join_size_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return cms_join_size_estimate(counts, counts, "k", "c", depth=3, width=64)
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -6082,6 +6099,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trainer_export_audit": _q_trainer_export_audit,
         "schema_drift_props": _q_schema_drift_props,
         "ivm_join": _q_ivm_join,
+        "join_size_estimate": _q_join_size_estimate,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -12534,6 +12552,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_orders,
                    CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
             FROM j GROUP BY 1 ORDER BY 1
+        """,
+
+        "join_size_estimate": """
+            WITH counts AS (
+                SELECT CAST(l_partkey AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c
+                FROM lineitem GROUP BY 1
+            ),
+            cells AS (
+                SELECT d.d AS depth_i,
+                       CAST(('0x' || substr(md5('cms' || d.d || '|' || k), 1, 15)) AS BIGINT) % 64 AS bucket,
+                       CAST(SUM(c) AS BIGINT) AS bc
+                FROM counts, (SELECT unnest([0, 1, 2]) AS d) d
+                GROUP BY 1, 2
+            ),
+            ip AS (
+                SELECT depth_i, CAST(SUM(CAST(a.bc AS HUGEINT) * b.bc) AS BIGINT) AS ipd
+                FROM cells a JOIN cells b USING (depth_i, bucket)
+                GROUP BY 1
+            ),
+            est AS (SELECT CAST(MIN(ipd) AS BIGINT) AS estimate FROM ip),
+            ex AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS exact_join_size FROM counts)
+            SELECT exact_join_size, estimate,
+                   ROUND((CAST(estimate AS DOUBLE) - CAST(exact_join_size AS DOUBLE))
+                         / CAST(exact_join_size AS DOUBLE), 6) AS rel_error
+            FROM ex CROSS JOIN est
         """,
         "hill_tail": """
             WITH q AS (

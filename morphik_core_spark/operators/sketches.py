@@ -49,6 +49,7 @@ __all__ = [
     "cms_estimates",
     "bloom_bits",
     "bloom_pass_keys",
+    "cms_join_size_estimate",
 ]
 
 # portable_hash is 60-bit; the rho window is what remains after the
@@ -401,4 +402,69 @@ def kmv_overlap(sketches: DataFrame, key_col: str, k: int = 128) -> DataFrame:
         F.round(inter, 4).alias("est_intersection"),
         F.round(F.least(inter / est_a, F.lit(1.0)), 6).alias("est_containment_a"),
         F.round(F.least(inter / est_b, F.lit(1.0)), 6).alias("est_containment_b"),
+    )
+
+
+def cms_join_size_estimate(
+    a_counts: DataFrame,
+    b_counts: DataFrame,
+    token_col: str,
+    count_col: str,
+    depth: int = 3,
+    width: int = 64,
+    decimals: int = 6,
+) -> DataFrame:
+    """Sketch-based equi-join CARDINALITY estimation — the optimizer
+    statistic behind join reordering at 100 TB, where the exact
+    |A ⋈ B| = Σ_k a_k·b_k is itself a join you can't afford to run:
+    build a count-min sketch per side over the join key and take
+
+        est = min_d  Σ_w  A[d][w] · B[d][w]
+
+    — the CMS inner-product estimator (Cormode & Muthukrishnan 2005),
+    an always-≥ upper bound on the true join size that tightens as
+    width grows (hash collisions only ever ADD mass), the join-size
+    sibling of `cms_estimates`' point lookups and the AMS F₂ family.
+
+    Both sketches ride `cms_sketch` (shared portable row hashes, so the
+    estimate is engine-reproducible); the inner product is a
+    (depth × width)-bounded join of the two sketch tables — the corpus
+    contributes one count aggregation per side. Output ONE row:
+    (exact_join_size, estimate, rel_error) — exact computed here for
+    the audit; a production estimator emits only the estimate.
+    """
+    sa = cms_sketch(a_counts, token_col, count_col, depth=depth, width=width)
+    sb = cms_sketch(b_counts, token_col, count_col, depth=depth, width=width)
+    prod = (
+        sa.select("depth_i", "bucket", F.col("bucket_count").alias("_a"))
+        .join(
+            sb.select("depth_i", "bucket", F.col("bucket_count").alias("_b")),
+            ["depth_i", "bucket"],
+        )
+        .groupBy("depth_i")
+        .agg(F.sum(F.col("_a") * F.col("_b")).alias("_ip"))
+        .agg(F.min("_ip").alias("estimate"))
+    )
+    exact = (
+        a_counts.groupBy(token_col)
+        .agg(F.sum(count_col).alias("_ca"))
+        .join(
+            b_counts.groupBy(token_col).agg(F.sum(count_col).alias("_cb")),
+            token_col,
+        )
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("exact_join_size"))
+    )
+    return (
+        exact.join(F.broadcast(prod))
+        .select(
+            F.col("exact_join_size").cast("bigint").alias("exact_join_size"),
+            F.col("estimate").cast("bigint").alias("estimate"),
+            F.round(
+                F.expr(
+                    "(CAST(estimate AS DOUBLE) - CAST(exact_join_size AS DOUBLE)) "
+                    "/ CAST(exact_join_size AS DOUBLE)"
+                ),
+                decimals,
+            ).alias("rel_error"),
+        )
     )

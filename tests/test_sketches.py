@@ -144,3 +144,42 @@ def test_moving_aggregates_window_math(spark):
     assert out[9]["mov_cnt"] == 6  # 5 preceding + current
     assert out[9]["mov_sum"] == Decimal(str(sum(range(4, 10)))).quantize(Decimal("0.000001"))
     assert out[9]["mov_min"] == 4.0 and out[9]["mov_max"] == 9.0
+
+
+def test_cms_join_size_exact_when_no_collisions(spark):
+    """With width far above the distinct-key count the inner product is
+    exact: estimate == Σ a_k · b_k."""
+    from morphik_core_spark.operators.sketches import cms_join_size_estimate
+
+    a = spark.createDataFrame([(f"k{i}", (i % 3) + 1) for i in range(10)], "k string, c long")
+    b = spark.createDataFrame([(f"k{i}", (i % 4) + 1) for i in range(0, 20, 2)], "k string, c long")
+    [r] = cms_join_size_estimate(a, b, "k", "c", depth=3, width=4096).collect()
+    import collections
+    ca = collections.Counter()
+    cb = collections.Counter()
+    for i in range(10):
+        ca[f"k{i}"] += (i % 3) + 1
+    for i in range(0, 20, 2):
+        cb[f"k{i}"] += (i % 4) + 1
+    exact = sum(ca[k] * cb[k] for k in ca if k in cb)
+    assert r["exact_join_size"] == exact
+    assert r["estimate"] == exact and r["rel_error"] == 0.0
+
+
+def test_cms_join_size_always_upper_bound_and_tightens(spark):
+    """Collisions only add mass: estimate >= exact at any width, and a
+    wider sketch is never worse (on the same data and hash family)."""
+    from morphik_core_spark.operators.sketches import cms_join_size_estimate
+
+    a = spark.createDataFrame(
+        [(f"u{i % 37}", 1) for i in range(800)], "k string, c long"
+    )
+    b = spark.createDataFrame(
+        [(f"u{(i * 3) % 53}", 1) for i in range(600)], "k string, c long"
+    )
+    [tight] = cms_join_size_estimate(a, b, "k", "c", depth=3, width=8).collect()
+    [wide] = cms_join_size_estimate(a, b, "k", "c", depth=3, width=256).collect()
+    assert tight["estimate"] >= tight["exact_join_size"]
+    assert wide["estimate"] >= wide["exact_join_size"]
+    assert wide["estimate"] <= tight["estimate"]
+    assert tight["exact_join_size"] == wide["exact_join_size"]
