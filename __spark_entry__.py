@@ -5804,6 +5804,18 @@ def _q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_join_size_estimate(counts, counts, "k", "c", depth=3, width=64)
 
 
+def _q_twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (`analytics.time_weighted_average`): per
+    event type, the LOCF step-integral mean of the value stream beside
+    the sample mean — the TimescaleDB time_weight operator, correct
+    where plain AVG is density-biased. Exact integer cents × integer
+    microsecond durations in DECIMAL(38,0), one division per key."""
+    from morphik_core_spark.operators.analytics import time_weighted_average
+
+    events = _t(spark, sf_dir, "events")
+    return time_weighted_average(events, ["event_type"], "ts", "value", value_scale=100)
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -6100,6 +6112,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift_props": _q_schema_drift_props,
         "ivm_join": _q_ivm_join,
         "join_size_estimate": _q_join_size_estimate,
+        "twap_event_value": _q_twap_event_value,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -12577,6 +12590,36 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((CAST(estimate AS DOUBLE) - CAST(exact_join_size AS DOUBLE))
                          / CAST(exact_join_size AS DOUBLE), 6) AS rel_error
             FROM ex CROSS JOIN est
+        """,
+
+        "twap_event_value": """
+            WITH base AS (
+                SELECT event_type,
+                       CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v,
+                       epoch_us(ts) AS us
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            ),
+            led AS (
+                SELECT event_type, v, us,
+                       LEAD(us) OVER (PARTITION BY event_type ORDER BY us ASC, v ASC) AS nxt
+                FROM base
+            ),
+            agg AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n_samples,
+                       CAST(min(us) AS BIGINT) AS t0, CAST(max(us) AS BIGINT) AS t1,
+                       SUM(CASE WHEN nxt IS NOT NULL
+                                THEN CAST(v AS HUGEINT) * (nxt - us)
+                                ELSE CAST(0 AS HUGEINT) END) AS num,
+                       SUM(CAST(v AS HUGEINT)) AS sv
+                FROM led GROUP BY 1
+            )
+            SELECT event_type, n_samples,
+                   ROUND(CAST(t1 - t0 AS DOUBLE) / 1e6, 6) AS span_seconds,
+                   CASE WHEN t1 > t0 THEN
+                       ROUND(CAST(num AS DOUBLE) / CAST(t1 - t0 AS DOUBLE) / 100.0, 6)
+                   END AS twap,
+                   ROUND(CAST(sv AS DOUBLE) / CAST(n_samples AS DOUBLE) / 100.0, 6) AS plain_avg
+            FROM agg ORDER BY event_type
         """,
         "hill_tail": """
             WITH q AS (

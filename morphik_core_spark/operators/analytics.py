@@ -84,6 +84,7 @@ __all__ = [
     "nelson_aalen",
     "corr_matrix",
     "ab_power_mde",
+    "time_weighted_average",
 ]
 
 
@@ -4065,3 +4066,74 @@ def ab_power_mde(
             F.round(F.expr(f"{mde} / {mean}"), decimals),
         ).alias("mde_rel"),
     ).orderBy(group_col)
+
+
+def time_weighted_average(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    val_col: str,
+    value_scale: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Time-weighted average over irregularly sampled series — the
+    TimescaleDB ``time_weight('LOCF')`` / OHLC-TWAP operator that a
+    plain AVG gets wrong whenever sampling density correlates with the
+    value (a sensor that reports MORE OFTEN when hot biases AVG hot;
+    TWAP weights each observation by how long it was the LAST KNOWN
+    value):
+
+        TWAP = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first)
+
+    (LOCF step integral; each key's final sample carries no duration
+    and contributes only as the interval-closing boundary).
+
+    Exactness: values quantize once to integer units, durations are
+    integer microseconds, each product is exact in DECIMAL(38,0), and
+    the division happens once per key. One keyed window (lead) over
+    each series + one groupBy — series rows shuffle once on the key.
+    Keys with a single sample emit NULL (no elapsed time).
+
+    Output per key: (key_cols…, n_samples, span_seconds, twap,
+    plain_avg) — plain_avg rides along so the bias is visible.
+    """
+    dec = "decimal(38,0)"
+    keys = [F.col(k) for k in key_cols]
+    v = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    us = F.expr(f"unix_micros({ts_col})")
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_us").asc(), F.col("_v").asc())
+    base = (
+        df.filter(F.col(val_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(*keys, v.alias("_v"), us.alias("_us"))
+        .withColumn("_next", F.lead("_us").over(w))
+    )
+    ks = float(value_scale)
+    agg = base.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.min("_us").alias("_t0"),
+        F.max("_us").alias("_t1"),
+        F.sum(
+            F.when(
+                F.col("_next").isNotNull(),
+                (F.col("_v").cast(dec) * (F.col("_next") - F.col("_us")).cast(dec)),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("_num"),
+        F.sum(F.col("_v").cast(dec)).alias("_sv"),
+    )
+    return agg.select(
+        *key_cols,
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.round((F.col("_t1") - F.col("_t0")).cast("double") / F.lit(1e6), decimals).alias(
+            "span_seconds"
+        ),
+        F.when(
+            F.col("_t1") > F.col("_t0"),
+            F.round(
+                F.expr(f"CAST(_num AS DOUBLE) / CAST(_t1 - _t0 AS DOUBLE) / {ks!r}"),
+                decimals,
+            ),
+        ).alias("twap"),
+        F.round(
+            F.expr(f"CAST(_sv AS DOUBLE) / CAST(n_samples AS DOUBLE) / {ks!r}"), decimals
+        ).alias("plain_avg"),
+    ).orderBy(*key_cols)

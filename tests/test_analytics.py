@@ -1257,3 +1257,48 @@ def test_ab_power_mde_closed_form(spark):
     # more data -> smaller MDE
     [r2] = ab_power_mde(df.limit(100), "g", "v").collect()
     assert r2["mde_abs"] > r["mde_abs"]
+
+
+def test_twap_hand_computed_vs_biased_avg(spark):
+    """Sampling density correlated with value: plain AVG biases toward
+    the densely-sampled high regime; TWAP recovers the true step
+    integral."""
+    import datetime
+
+    from morphik_core_spark.operators.analytics import time_weighted_average
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def t(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    # value 10 holds for 100 s (one sample), value 50 holds for 10 s but
+    # is sampled 10 times (every second), final boundary sample at 110 s
+    rows = [("k", t(0), 10.0)]
+    rows += [("k", t(100 + i), 50.0) for i in range(10)]
+    rows += [("k", t(110), 0.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    [r] = time_weighted_average(df, ["k"], "ts", "v").collect()
+    # integral: 10*100 + 50*10 = 1500 over 110 s
+    assert r["twap"] == round(1500 / 110, 6)
+    assert r["plain_avg"] == round((10 + 50 * 10 + 0) / 12, 6)
+    assert r["plain_avg"] > 3 * r["twap"]  # the density bias, visible
+    assert r["span_seconds"] == 110.0 and r["n_samples"] == 12
+
+
+def test_twap_single_sample_is_null_and_partition_invariant(spark):
+    import datetime
+
+    from morphik_core_spark.operators.analytics import time_weighted_average
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [("solo", t0, 5.0)] + [
+        (f"g{i % 3}", t0 + datetime.timedelta(seconds=i * 7 + (i % 5)), float((i * 13) % 40))
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r["k"]: r for r in time_weighted_average(df, ["k"], "ts", "v").collect()}
+    assert out["solo"]["twap"] is None and out["solo"]["n_samples"] == 1
+    a = sorted(map(tuple, time_weighted_average(df, ["k"], "ts", "v").collect()))
+    b = sorted(map(tuple, time_weighted_average(df.repartition(11), ["k"], "ts", "v").collect()))
+    assert a == b
