@@ -41,6 +41,7 @@ __all__ = [
     "holt_stream",
     "ewma_stream",
     "jsd_stream",
+    "quantile_stream",
 ]
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -866,6 +867,83 @@ def jsd_stream(
         update,
         outputStructType=JSD_OUTPUT_SCHEMA,
         stateStructType=JSD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+QUANTILE_OUTPUT_SCHEMA = (
+    "monitor_key string, q double, est double, n_seen bigint, batch_seq bigint"
+)
+QUANTILE_STATE_SCHEMA = "bins array<bigint>, counts array<bigint>, batch_seq bigint"
+
+
+def quantile_stream(
+    events: DataFrame,
+    quantiles: list[float],
+    bin_width: float = 5.0,
+    key_col: str = "monitor_key",
+    val_col: str = "value",
+) -> DataFrame:
+    """Streaming histogram-sketch quantiles — the live twin of
+    `analytics.quantile_estimate`: per key, the fixed-width histogram
+    rides GroupState (two parallel arrays, bounded by the value range /
+    bin width) and each micro-batch emits one snapshot row per
+    requested quantile. The latency/SLA percentile monitor that runs
+    where the batch rollup runs nightly.
+
+    The finalize replays the batch operator's exact tree: bins sorted,
+    exact integer cumulative, covering bin by the same
+    (cum ≥ q·n AND cum_prev < q·n) compare, and the identical
+    interpolation ``ROUND(bin_lo + width·((q·n − cum_prev)/bin_n), 6)``
+    — so a stream snapshot equals `quantile_estimate` computed over the
+    same rows (equivalence test-asserted across a checkpoint restart).
+    Histogram counts are ADDITIVE, so replayed micro-batches would
+    double-count — run behind the CDC/epoch dedup like the other
+    additive monitors (the ordering contract note in cusum_stream).
+    """
+    qs = [float(q) for q in quantiles]
+    bw = float(bin_width)
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import math
+
+        (key_val,) = key
+        bins, counts, seq = state.get if state.exists else ([], [], 0)
+        hist = dict(zip([int(b) for b in bins], [int(c) for c in counts]))
+        for pdf in batches:
+            for v in pdf[val_col]:
+                if v is None:
+                    continue
+                b = int(math.floor(float(v) / bw))
+                hist[b] = hist.get(b, 0) + 1
+        seq = int(seq) + 1
+        n = sum(hist.values())
+        out = []
+        if n > 0:
+            items = sorted(hist.items())
+            for q in qs:
+                target = q * float(n)
+                cum = 0
+                for b, c in items:
+                    cum_prev = cum
+                    cum += c
+                    if cum >= target and cum_prev < target:
+                        est = round(
+                            (b * bw) + bw * ((target - float(cum_prev)) / float(c)), 6
+                        )
+                        out.append((key_val, q, est, n, seq))
+                        break
+        items = sorted(hist.items())
+        state.update(([b for b, _ in items], [c for _, c in items], seq))
+        yield pd.DataFrame(
+            out, columns=["monitor_key", "q", "est", "n_seen", "batch_seq"]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=QUANTILE_OUTPUT_SCHEMA,
+        stateStructType=QUANTILE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

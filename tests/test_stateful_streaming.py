@@ -820,3 +820,55 @@ def test_jsd_stream_matches_batch_and_survives_restart(spark, tmp_path):
     assert rows[1]["jsd_nats"] == batch_jsd(batch1 + batch2)
     # drift grew when a novel category appeared
     assert rows[1]["jsd_nats"] > 0
+
+
+def test_quantile_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """Streaming histogram quantiles equal analytics.quantile_estimate
+    over the same rows (identical bin/interpolation tree); histogram
+    state survives a checkpoint restart."""
+    from morphik_core_spark.operators.analytics import quantile_estimate
+    from morphik_core_spark.streaming.stateful import quantile_stream
+
+    schema = "monitor_key string, value double"
+    vals1 = [float(5 + (i * 17) % 90) for i in range(60)]
+    vals2 = [float(30 + (i * 13) % 140) for i in range(40)]
+    src, out, chk = (str(tmp_path / d) for d in ("qin", "qout", "qchk"))
+
+    def run_once(vals):
+        rows = [("m", v) for v in vals]
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            quantile_stream(stream, [0.5, 0.9], bin_width=5.0)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+
+    run_once(vals1)
+    run_once(vals2)
+    got = {
+        (r["batch_seq"], r["q"]): (r["est"], r["n_seen"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == 4
+
+    def batch_q(vals):
+        df = spark.createDataFrame([("m", v) for v in vals], schema)
+        return {
+            r["q"]: r["est"]
+            for r in quantile_estimate(
+                df, "monitor_key", "value", quantiles=(0.5, 0.9), bin_width=5.0
+            ).collect()
+        }
+
+    b1, b2 = batch_q(vals1), batch_q(vals1 + vals2)
+    assert got[(1, 0.5)] == (b1[0.5], 60) and got[(1, 0.9)] == (b1[0.9], 60)
+    assert got[(2, 0.5)] == (b2[0.5], 100) and got[(2, 0.9)] == (b2[0.9], 100)
