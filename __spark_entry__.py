@@ -5816,6 +5816,18 @@ def _q_twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_average(events, ["event_type"], "ts", "value", value_scale=100)
 
 
+def _q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candlesticks (`analytics.ohlc_rollup`) of the event
+    value stream per type — the canonical sampled-stream downsampling
+    beside `twap_event_value`'s step integral. (ts, value)-ordered
+    open/close with deterministic ties; windows partition per
+    (key, bucket)."""
+    from morphik_core_spark.operators.analytics import ohlc_rollup
+
+    events = _t(spark, sf_dir, "events")
+    return ohlc_rollup(events, ["event_type"], "ts", "value", bucket_seconds=86400)
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -6113,6 +6125,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_join": _q_ivm_join,
         "join_size_estimate": _q_join_size_estimate,
         "twap_event_value": _q_twap_event_value,
+        "ohlc_daily": _q_ohlc_daily,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -12620,6 +12633,30 @@ def oracle_sql() -> dict[str, str]:
                    END AS twap,
                    ROUND(CAST(sv AS DOUBLE) / CAST(n_samples AS DOUBLE) / 100.0, 6) AS plain_avg
             FROM agg ORDER BY event_type
+        """,
+
+        "ohlc_daily": """
+            WITH base AS (
+                SELECT event_type,
+                       epoch_us(ts) // 1000000 - (epoch_us(ts) // 1000000) % 86400 AS bkt,
+                       epoch_us(ts) AS us,
+                       CAST(value AS DOUBLE) AS v
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY event_type, bkt ORDER BY us ASC, v ASC) AS ra,
+                       row_number() OVER (PARTITION BY event_type, bkt ORDER BY us DESC, v DESC) AS rd
+                FROM base
+            )
+            SELECT event_type,
+                   CAST(to_timestamp(bkt) AS TIMESTAMP) AS bucket_start,
+                   ROUND(MAX(CASE WHEN ra = 1 THEN v END), 6) AS open,
+                   ROUND(MAX(v), 6) AS high,
+                   ROUND(MIN(v), 6) AS low,
+                   ROUND(MAX(CASE WHEN rd = 1 THEN v END), 6) AS close,
+                   CAST(count(*) AS BIGINT) AS n_samples
+            FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "hill_tail": """
             WITH q AS (

@@ -85,6 +85,7 @@ __all__ = [
     "corr_matrix",
     "ab_power_mde",
     "time_weighted_average",
+    "ohlc_rollup",
 ]
 
 
@@ -4137,3 +4138,69 @@ def time_weighted_average(
             F.expr(f"CAST(_sv AS DOUBLE) / CAST(n_samples AS DOUBLE) / {ks!r}"), decimals
         ).alias("plain_avg"),
     ).orderBy(*key_cols)
+
+
+def ohlc_rollup(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    val_col: str,
+    bucket_seconds: int = 86400,
+    decimals: int = 6,
+) -> DataFrame:
+    """OHLC (open/high/low/close) candlestick rollup per key and time
+    bucket — the canonical downsampling for any sampled value stream
+    (prices, sensor readings, latency probes), the bar-chart sibling of
+    `time_weighted_average`'s step integral.
+
+    Open/close are the bucket's first/last samples in (timestamp,
+    value) order — the value tie-break makes simultaneous samples
+    deterministic, so engines and partitionings agree. One keyed window
+    per direction (row_number asc/desc, partitioned by (key, bucket) —
+    never unpartitioned) plus the min/max/count aggregate; rows shuffle
+    once on the bucket key.
+
+    Output per (key…, bucket_start): (open, high, low, close,
+    n_samples).
+    """
+    keys = [F.col(k) for k in key_cols]
+    us = F.expr(f"unix_micros({ts_col})")
+    bucket = (F.expr(f"unix_micros({ts_col})") / F.lit(1_000_000)).cast("bigint") - (
+        ((F.expr(f"unix_micros({ts_col})") / F.lit(1_000_000)).cast("bigint"))
+        % int(bucket_seconds)
+    )
+    base = df.filter(F.col(val_col).isNotNull() & F.col(ts_col).isNotNull()).select(
+        *keys,
+        bucket.alias("_bkt"),
+        us.alias("_us"),
+        F.col(val_col).cast("double").alias("_v"),
+    )
+    w_asc = Window.partitionBy(*key_cols, "_bkt").orderBy(
+        F.col("_us").asc(), F.col("_v").asc()
+    )
+    w_desc = Window.partitionBy(*key_cols, "_bkt").orderBy(
+        F.col("_us").desc(), F.col("_v").desc()
+    )
+    ranked = base.withColumn("_ra", F.row_number().over(w_asc)).withColumn(
+        "_rd", F.row_number().over(w_desc)
+    )
+    return (
+        ranked.groupBy(*key_cols, "_bkt")
+        .agg(
+            F.round(F.max(F.when(F.col("_ra") == 1, F.col("_v"))), decimals).alias("open"),
+            F.round(F.max("_v"), decimals).alias("high"),
+            F.round(F.min("_v"), decimals).alias("low"),
+            F.round(F.max(F.when(F.col("_rd") == 1, F.col("_v"))), decimals).alias("close"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            *key_cols,
+            F.timestamp_seconds(F.col("_bkt")).alias("bucket_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            F.col("n_samples").cast("bigint").alias("n_samples"),
+        )
+        .orderBy(*key_cols, "bucket_start")
+    )

@@ -1302,3 +1302,44 @@ def test_twap_single_sample_is_null_and_partition_invariant(spark):
     a = sorted(map(tuple, time_weighted_average(df, ["k"], "ts", "v").collect()))
     b = sorted(map(tuple, time_weighted_average(df.repartition(11), ["k"], "ts", "v").collect()))
     assert a == b
+
+
+def test_ohlc_hand_values_and_ties(spark):
+    import datetime
+
+    from morphik_core_spark.operators.analytics import ohlc_rollup
+
+    t0 = datetime.datetime(2026, 1, 5)
+
+    def t(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    rows = [
+        ("k", t(10), 5.0), ("k", t(10), 3.0),   # simultaneous open: tie -> min v
+        ("k", t(50), 9.0), ("k", t(80), 1.0),
+        ("k", t(86400 + 5), 7.0),                # next day
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = ohlc_rollup(df, ["k"], "ts", "v", bucket_seconds=86400).collect()
+    assert len(out) == 2
+    d1 = out[0]
+    assert d1["open"] == 3.0     # (ts, v) asc tie-break
+    assert d1["high"] == 9.0 and d1["low"] == 1.0 and d1["close"] == 1.0
+    assert d1["n_samples"] == 4
+    assert out[1]["open"] == out[1]["close"] == 7.0
+
+
+def test_ohlc_partition_invariant(spark):
+    import datetime
+
+    from morphik_core_spark.operators.analytics import ohlc_rollup
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        (f"g{i % 2}", t0 + datetime.timedelta(seconds=i * 777), float((i * 13) % 40))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    a = sorted(map(tuple, ohlc_rollup(df, ["k"], "ts", "v", 3600).collect()))
+    b = sorted(map(tuple, ohlc_rollup(df.repartition(13), ["k"], "ts", "v", 3600).collect()))
+    assert a == b
