@@ -872,3 +872,46 @@ def test_quantile_stream_matches_batch_and_survives_restart(spark, tmp_path):
     b1, b2 = batch_q(vals1), batch_q(vals1 + vals2)
     assert got[(1, 0.5)] == (b1[0.5], 60) and got[(1, 0.9)] == (b1[0.9], 60)
     assert got[(2, 0.5)] == (b2[0.5], 100) and got[(2, 0.9)] == (b2[0.9], 100)
+
+
+def test_ewma_and_jsd_streams_isolate_keys(spark, tmp_path):
+    """Per-key state isolation: two monitored series flowing through the
+    same query must never leak state into each other — each key's
+    trajectory equals its solo batch twin."""
+    from morphik_core_spark.operators.analytics import ewma_chart
+    from morphik_core_spark.streaming.stateful import ewma_stream
+
+    schema = "series_key string, idx long, value long"
+    ys_a = [20, 22, 19, 21, 30, 31]
+    ys_b = [5, 50, 5, 50, 5, 50]
+    rows = [("a", i, y) for i, y in enumerate(ys_a)] + [
+        ("b", i, y) for i, y in enumerate(ys_b)
+    ]
+    src, out, chk = (str(tmp_path / d) for d in ("min", "mout", "mchk"))
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    def sink(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        ewma_stream(stream, mu=20.0, sigma=2.0, lam=0.3, n_sigma=3.0)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["series_key"], r["idx"]): (r["ewma_micro"], r["out_of_control"])
+        for r in spark.read.parquet(out).collect()
+    }
+    for key, ys in (("a", ys_a), ("b", ys_b)):
+        bdf = spark.createDataFrame(list(enumerate(ys)), "di long, y long")
+        want = {
+            r["di"]: (round(r["ewma"] * 1e6), r["out_of_control"])
+            for r in ewma_chart(bdf, "di", "y", lam=0.3, n_sigma=3.0, mu=20.0, sigma=2.0).collect()
+        }
+        for i in range(len(ys)):
+            assert got[(key, i)] == want[i], (key, i)
