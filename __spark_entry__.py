@@ -5355,13 +5355,25 @@ def _q_dp_release_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fs_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared pair construction for the Fellegi–Sunter query: every 4th
     customer 're-registers' with one name char dropped, a changed
-    segment when custkey%5==0, a shifted balance when custkey%7==0;
-    candidates block on nation. True matches therefore mostly agree on
-    all three comparison fields, random within-nation pairs rarely do."""
+    segment when custkey%5==0, a shifted balance when custkey%7==0.
+
+    Candidates block on (nation, custkey % B) with B = max(N/500, 1) —
+    corpus-proportional sub-blocking, so total pairs stay O(N) (each
+    a-row meets ~5 b-candidates at any scale) instead of the round-8
+    draft's N²/100 nation-only blocks, while TRUE pairs (same custkey
+    on both sides) co-block by construction. B is derived from a count
+    scan, so both engines compute the identical blocking; the join is a
+    plain (nk, sb) equi-join — 25·B keys, shuffle-safe at 100×, AQE
+    broadcasts the small side at test scale on its own. True matches
+    therefore mostly agree on all three comparison fields, random
+    within-block pairs rarely do."""
     cust = _t(spark, sf_dir, "customer")
+    n_cust = cust.count()  # one count scan; B must match the oracle's
+    n_sub = max(n_cust // 500, 1)
     a = cust.select(
         F.col("c_custkey").alias("a_key"),
         F.col("c_nationkey").alias("nk"),
+        (F.col("c_custkey") % n_sub).alias("sb"),
         F.col("c_name").alias("a_name"),
         F.col("c_mktsegment").alias("a_seg"),
         F.col("c_acctbal").alias("a_bal"),
@@ -5370,6 +5382,7 @@ def _fs_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = dirty.select(
         F.col("c_custkey").alias("b_key"),
         F.col("c_nationkey").alias("nk"),
+        (F.col("c_custkey") % n_sub).alias("sb"),
         F.concat(
             F.expr("substr(c_name, 1, cast(c_custkey % length(c_name) as int))"),
             F.expr("substr(c_name, cast(c_custkey % length(c_name) as int) + 2)"),
@@ -5381,15 +5394,13 @@ def _fs_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_acctbal"))
         .alias("b_bal"),
     )
-    # b is re-registrations-sized (a fraction of customers) — broadcast
-    # it so the nk equi-join never shuffles on 25 skewed nation keys, and
-    # pre-spread the single-row-group scan so the 2M+ banded levenshteins
-    # run corpus-wide (the in_transit_by_day lesson). threshold=2 runs the
-    # banded DP (O(k·n) not O(n²)); the ≤2 boolean is what both engines
-    # compare, so the oracle's plain levenshtein agrees.
+    # pre-spread the single-row-group scan so the banded levenshteins
+    # run corpus-wide (the in_transit_by_day lesson). threshold=2 runs
+    # the banded DP (O(k·n) not O(n²)); the ≤2 boolean is what both
+    # engines compare, so the oracle's plain levenshtein agrees.
     a = a.repartition(spark.sparkContext.defaultParallelism)
     return (
-        a.join(F.broadcast(b), "nk")
+        a.join(b, ["nk", "sb"])
         .select(
             (F.levenshtein("a_name", "b_name", 2) >= 0).cast("int").alias("g_name"),
             (F.col("a_seg") == F.col("b_seg")).cast("int").alias("g_seg"),
@@ -5436,10 +5447,13 @@ def _fs_oracle_sql(iters: int = 20) -> str:
         pm = prod("p", ["m1", "m2", "m3"])
         pu = prod("(1.0 - p)", ["u1", "u2", "u3"])
         w = f"CAST(ROUND({pm} / ({pm} + {pu}) * 1e6) AS BIGINT)"
+        # GREATEST(..., 1) mirrors the Python EM's wsum/lsum floor (the
+        # degenerate-posterior divide-by-zero guard); a no-op whenever
+        # the sums are positive, so non-degenerate parity is unchanged
         msel = ", ".join(
             clamp(
                 f"CAST(SUM(CASE WHEN {f} = 1 THEN w * c ELSE 0 END) AS DOUBLE) "
-                f"/ CAST(SUM(w * c) AS DOUBLE)"
+                f"/ CAST(GREATEST(SUM(w * c), 1) AS DOUBLE)"
             )
             + f" AS m{i+1}"
             for i, f in enumerate(fields)
@@ -5447,13 +5461,13 @@ def _fs_oracle_sql(iters: int = 20) -> str:
         usel = ", ".join(
             clamp(
                 f"CAST(SUM(CASE WHEN {f} = 1 THEN (1000000 - w) * c ELSE 0 END) AS DOUBLE) "
-                f"/ CAST(SUM((1000000 - w) * c) AS DOUBLE)"
+                f"/ CAST(GREATEST(SUM((1000000 - w) * c), 1) AS DOUBLE)"
             )
             + f" AS u{i+1}"
             for i, f in enumerate(fields)
         )
         psel = clamp(
-            "CAST(SUM(w * c) AS DOUBLE) / CAST(SUM(c) * 1000000 AS DOUBLE)"
+            "CAST(GREATEST(SUM(w * c), 1) AS DOUBLE) / CAST(SUM(c) * 1000000 AS DOUBLE)"
         ) + " AS p"
         rounds.append(
             f"r{t} AS MATERIALIZED (SELECT {psel}, {msel}, {usel} FROM ("
@@ -5469,26 +5483,34 @@ def _fs_oracle_sql(iters: int = 20) -> str:
         for i, f in enumerate(fields)
     )
     return f"""
-            WITH a AS (
-                SELECT c_custkey AS a_key, c_nationkey AS nk, c_name AS a_name,
+            WITH nsub AS (
+                -- corpus-proportional sub-block count, mirrors the Spark
+                -- fixture's max(count // 500, 1) (positive //, so DuckDB
+                -- truncation == floor == Spark div here)
+                SELECT GREATEST(count(*) // 500, 1) AS nb FROM customer
+            ),
+            a AS (
+                SELECT c_custkey AS a_key, c_nationkey AS nk,
+                       c_custkey % nb AS sb, c_name AS a_name,
                        c_mktsegment AS a_seg, c_acctbal AS a_bal
-                FROM customer
+                FROM customer, nsub
             ),
             b AS (
                 SELECT c_custkey AS b_key, c_nationkey AS nk,
+                       c_custkey % nb AS sb,
                        substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT))
                            || substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2) AS b_name,
                        CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment || 'X'
                             ELSE c_mktsegment END AS b_seg,
                        CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0
                             ELSE c_acctbal END AS b_bal
-                FROM customer WHERE c_custkey % 4 = 0
+                FROM customer, nsub WHERE c_custkey % 4 = 0
             ),
             pairs AS (
                 SELECT CASE WHEN levenshtein(a_name, b_name) <= 2 THEN 1 ELSE 0 END AS g1,
                        CASE WHEN a_seg = b_seg THEN 1 ELSE 0 END AS g2,
                        CASE WHEN a_bal = b_bal THEN 1 ELSE 0 END AS g3
-                FROM a JOIN b USING (nk)
+                FROM a JOIN b USING (nk, sb)
             ),
             pat AS MATERIALIZED (SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2, 3),
             r0 AS MATERIALIZED (SELECT {clamp('0.9')} AS m1, {clamp('0.9')} AS m2, {clamp('0.9')} AS m3,
@@ -5658,8 +5680,15 @@ def _q_trainer_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_records, n_distinct_keys, total_chars). The export→read
     composition is the identity, so the oracle is the same rollup
     straight off the source table — any framing/protobuf/tar defect or
-    lost row breaks the match. (`sources/tfrecord`,
-    `sources/webdataset`; shard writes go to a fresh temp dir.)"""
+    lost row breaks the match. (`sources/tfrecord`, `sources/webdataset`.)
+
+    The export must materialize before the read-back scan, so the
+    writes run here rather than lazily — but into ONE deterministic
+    per-sf_dir directory, wiped before each export, so repeated bench/
+    correctness runs reuse the slot instead of leaking a fresh
+    mkdtemp per invocation."""
+    import hashlib as _hashlib
+    import shutil
     import tempfile
 
     from morphik_core_spark.sources.tfrecord import (
@@ -5672,7 +5701,9 @@ def _q_trainer_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="trainer_export_")
+    slot = _hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
+    tmp = os.path.join(tempfile.gettempdir(), f"trainer_export_{slot}")
+    shutil.rmtree(tmp, ignore_errors=True)
     write_tfrecord_shards(
         docs, f"{tmp}/tfr", "doc_id", "text", n_shards=8, meta_cols=["source"]
     ).collect()
@@ -5831,34 +5862,31 @@ def _q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
-# regardless of order). Round-7 window: 0 red carried (r06 was 50/50
-# green); 50 of the 56 never-driver-checked names rotate in, round-6
-# additions first. Carry-over for round 8: session_paths,
-# json_schema_profile, negative_sampling, k_anonymity, benford_audit,
-# woe_iv (plus any round-7 additions).
+# regardless of order). Round-9 window: 0 red carried (r08 was 50/50
+# green); the 26 round-8 additions (the only never-driver-checked
+# queries) rotate in — this closes the book: after this round every
+# registry entry has a green driver row. The remaining 24 slots
+# re-verify the oldest r04-vintage greens, registry order.
 _DRIVER_WINDOW = [
-    # 4 round-7 hash reds (value-correct; oracle HUGEINT now CAST at the
-    # edge — the re-check that turns them green)
-    "graph_rag_expansion", "interval_islands", "target_encoding",
-    "orphan_audit",
-    # 25 never-driver-checked: 6 pre-round-7 carry-overs + the 19
-    # round-7 additions (all judge-verified exact-value at sf0.01)
-    "session_paths", "json_schema_profile", "negative_sampling",
-    "k_anonymity", "benford_audit", "woe_iv",
-    "pr_auc", "brier_score", "gains_deciles", "threshold_metrics",
-    "vocab_coverage", "demand_elasticity", "quality_ensemble",
-    "length_matching", "gap_fill", "seasonal_decompose", "holt_forecast",
-    "weighted_price_quantiles", "neyman_allocation", "conformal_interval",
-    "isotonic_calibration", "theil_sen_trend", "mann_kendall",
-    "ratio_metric_ci", "sprt_decision",
-    # 21 re-verify slots: the 15 oldest green rows (last checked r01/r03)
-    # + the 6 oldest r04 rows, registry order
-    "asof_backward", "batch_get", "distinct_counts", "filename_fts",
-    "folder_move", "folder_summary", "padding_grouped", "pivot_counts",
-    "pricing_summary", "requeue_failed", "rollup_counts", "sessionization",
-    "storage_rollup", "typed_filter_docs", "upsert_docs",
-    "asof_nearest", "bpe_token_stats", "c4_filters", "cdc_apply",
-    "chunk_stats", "cluster_keywords",
+    # 26 never-driver-checked round-8 additions (all judge-verified
+    # exact-value at the driver's sf0.01 in the round-8 session)
+    "chi_square_screen", "spearman_screen", "boilerplate_profile",
+    "kn_bigram_lm", "log_rank_sessions", "cem_att_balance",
+    "ewma_chart_daily", "dp_release_counts", "fs_record_linkage",
+    "textrank_keywords", "nelson_aalen_hazard", "corr_matrix_lineitem",
+    "power_mde_nations", "trainer_export_audit", "schema_drift_props",
+    "ivm_join", "join_size_estimate", "twap_event_value", "ohlc_daily",
+    "fdr_nation_ab", "mcnemar_filters", "token_entropy_profile",
+    "anova_doclen", "market_concentration", "js_event_drift", "hill_tail",
+    # 24 re-verify slots: oldest r04-vintage greens, registry order
+    "semi_join_auth", "hydration_join", "in_transit_by_day",
+    "kmv_source_overlap", "group_sample", "minhash_calibration",
+    "training_shards", "entity_resolution", "idle_rich_customers",
+    "topk_cosine", "doc_max_score", "status_counts", "listing_page",
+    "padding_selfjoin", "colpali_merge", "lang_counts",
+    "filter_dsl_events", "maxsim_exact", "maxsim_hamming",
+    "two_stage_topk", "dedup_exact", "minhash_signatures", "lsh_pairs",
+    "simhash",
 ]
 
 
@@ -12638,7 +12666,13 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_daily": """
             WITH base AS (
                 SELECT event_type,
-                       epoch_us(ts) // 1000000 - (epoch_us(ts) // 1000000) % 86400 AS bkt,
+                       -- floor-mod bucketing, exact-integer twin of the
+                       -- Spark pmod form (DuckDB // and % truncate, so
+                       -- the double-mod makes the remainder non-negative;
+                       -- safe for pre-epoch timestamps on both engines)
+                       (epoch_us(ts)
+                        - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000))
+                       // 1000000 AS bkt,
                        epoch_us(ts) AS us,
                        CAST(value AS DOUBLE) AS v
                 FROM events WHERE value IS NOT NULL AND ts IS NOT NULL

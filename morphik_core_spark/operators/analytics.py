@@ -4165,9 +4165,14 @@ def ohlc_rollup(
     """
     keys = [F.col(k) for k in key_cols]
     us = F.expr(f"unix_micros({ts_col})")
-    bucket = (F.expr(f"unix_micros({ts_col})") / F.lit(1_000_000)).cast("bigint") - (
-        ((F.expr(f"unix_micros({ts_col})") / F.lit(1_000_000)).cast("bigint"))
-        % int(bucket_seconds)
+    # floor-to-bucket in exact integer arithmetic via pmod: double-div +
+    # CAST truncates toward zero and % is truncated too, which would put
+    # pre-epoch (negative-micros) samples in the bucket AFTER them; the
+    # subtraction yields an exact multiple of the bucket so the final
+    # div is exact regardless of sign
+    b_us = int(bucket_seconds) * 1_000_000
+    bucket = F.expr(
+        f"(unix_micros({ts_col}) - pmod(unix_micros({ts_col}), {b_us})) div 1000000"
     )
     base = df.filter(F.col(val_col).isNotNull() & F.col(ts_col).isNotNull()).select(
         *keys,

@@ -1279,8 +1279,12 @@ def fellegi_sunter_em(
     p = q(float(init_p))
     for _ in range(int(iters)):
         wq = posteriors_micro(p, m, u)
-        wsum = sum(w * c for w, c in zip(wq, counts))  # exact int
-        lsum = sum((MICRO - w) * c for w, c in zip(wq, counts))
+        # the 1e-9 clamp protects m/u/p but not these integer sums: on
+        # degenerate inputs every posterior can round to 0 (wsum=0) or
+        # to MICRO (lsum=0) — floor both at 1 micro-unit so the M-step
+        # never divides by zero (mirrored in the generated oracle CTE)
+        wsum = max(sum(w * c for w, c in zip(wq, counts)), 1)  # exact int
+        lsum = max(sum((MICRO - w) * c for w, c in zip(wq, counts)), 1)
         p = q(wsum / (total * MICRO))
         m = [
             q(sum(w * c for w, c, g in zip(wq, counts, gammas) if g[i]) / wsum)

@@ -113,6 +113,7 @@ def incremental_join_apply(
     pk_a: str,
     join_key: str,
     op_col: str = "op",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Incremental view maintenance for a keyed equi-join view
     J = A ⋈ B under a CDC batch on A — the join-side sibling of
@@ -135,7 +136,18 @@ def incremental_join_apply(
     produces (maintain what you built); ``b`` is the CURRENT B snapshot
     — a changing B runs the symmetric step with roles swapped.
     merge == recompute is test- and oracle-asserted (`ivm_join`).
+
+    The decomposition is only sound with ONE final op per ``pk_a``: a
+    batch carrying I-then-D (or two Us) for a key would evict the key
+    once but re-add every superseded non-delete row. Pass ``seq_col``
+    to compact the delta here (latest seq wins, ties to the op sorting
+    last — `streaming/cdc.compact_changes` semantics); without it the
+    delta must already be compacted, e.g. by `compact_changes`.
     """
+    if seq_col is not None:
+        from morphik_core_spark.streaming.cdc import compact_changes
+
+        delta_a = compact_changes(delta_a, [pk_a], op_col=op_col, seq_col=seq_col)
     touched = delta_a.select(F.col(pk_a)).distinct()
     kept = joined.join(F.broadcast(touched), pk_a, "left_anti")
     upserts = delta_a.filter(F.col(op_col) != "D").drop(op_col)

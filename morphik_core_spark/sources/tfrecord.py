@@ -33,6 +33,15 @@ Everything is stdlib + the repo's own CRC32C:
 Scale: one shuffle on the shard id; shard files are the parallelism
 unit on read, exactly like the WARC scan. Shard count is the file-size
 knob (aim ~100-500 MB/shard at 100 TB).
+
+Filesystem contract: ``out_dir`` must be a path visible under the SAME
+mount on every executor AND the driver — a shared filesystem (NFS,
+Lustre) or a FUSE-mounted object store. Each task creates the directory
+itself and writes through a task-local temp file + atomic ``os.replace``
+(no partial shards on task retry); the manifest and the binaryFile
+reader then resolve the same paths from the driver. Executor-local-only
+disks are NOT supported — to target raw S3/HDFS, mount it or swap the
+two ``open()`` sites for the store's atomic-put client.
 """
 
 from __future__ import annotations
@@ -257,9 +266,16 @@ def write_tfrecord_shards(
             for c in metas:
                 feats[c] = str(row[f"_m_{c}"]).encode("utf-8")
             buf += encode_record(encode_example(feats))
+        # Executor-side: the driver's makedirs only ran on ITS node; on a
+        # multi-node cluster the task must create the (shared-FS) dir
+        # itself, and temp-file + atomic replace keeps task retries from
+        # leaving a torn shard behind.
+        os.makedirs(out_dir_b, exist_ok=True)
         path = os.path.join(out_dir_b, f"shard-{sid:05d}.tfrecord")
-        with open(path, "wb") as fh:
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as fh:
             fh.write(buf)
+        os.replace(tmp, path)
         return pd.DataFrame(
             [
                 {

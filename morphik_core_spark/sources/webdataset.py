@@ -16,7 +16,10 @@ set of ``shard-00000.tar`` files read sequentially. Plain stdlib
   per-FILE failure isolation (a corrupt shard is one error row).
 
 Scale: one shuffle on the shard id; shards are the read-parallelism
-unit. Same knobs as the TFRecord sink (`sources/tfrecord`).
+unit. Same knobs — and the same shared-filesystem contract (``out_dir``
+visible on executors and driver under one mount; tasks mkdir and write
+temp-file + atomic ``os.replace``) — as the TFRecord sink
+(`sources/tfrecord`).
 """
 
 from __future__ import annotations
@@ -82,9 +85,15 @@ def write_webdataset_shards(
                     _add_member(tar, f"{key}.{ext}", str(row[f"_c_{col}"]).encode("utf-8"))
                 n += 1
         blob = buf.getvalue()
+        # Executor-side mkdir (driver-side makedirs only ran on its own
+        # node) + temp-file/atomic-replace so task retries never leave a
+        # torn shard. Requires out_dir on a shared mount (module doc).
+        os.makedirs(out_dir_b, exist_ok=True)
         path = os.path.join(out_dir_b, f"shard-{sid:05d}.tar")
-        with open(path, "wb") as fh:
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as fh:
             fh.write(blob)
+        os.replace(tmp, path)
         return pd.DataFrame(
             [
                 {

@@ -1343,3 +1343,29 @@ def test_ohlc_partition_invariant(spark):
     a = sorted(map(tuple, ohlc_rollup(df, ["k"], "ts", "v", 3600).collect()))
     b = sorted(map(tuple, ohlc_rollup(df.repartition(13), ["k"], "ts", "v", 3600).collect()))
     assert a == b
+
+
+def test_ohlc_pre_epoch_buckets_floor(spark):
+    """Pre-epoch (negative unix-micros) samples must land in the bucket
+    that STARTS AT OR BEFORE them — truncated division would push them
+    into the following bucket. Floor-mod bucketing holds on both sides
+    of the epoch."""
+    import datetime
+
+    from morphik_core_spark.operators.analytics import ohlc_rollup
+
+    rows = [
+        ("k", datetime.datetime(1969, 12, 31, 23, 0, 0), 5.0),   # -3600s
+        ("k", datetime.datetime(1970, 1, 1, 1, 0, 0), 7.0),      # +3600s
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r["bucket_start"]: r for r in ohlc_rollup(df, ["k"], "ts", "v", 86400).collect()}
+    assert set(out) == {
+        datetime.datetime(1969, 12, 31, 0, 0, 0),
+        datetime.datetime(1970, 1, 1, 0, 0, 0),
+    }
+    for bkt, r in out.items():
+        assert bkt <= datetime.datetime(1970, 1, 2), r
+    # each sample sits inside [bucket_start, bucket_start + 86400)
+    pre = out[datetime.datetime(1969, 12, 31, 0, 0, 0)]
+    assert pre["open"] == pre["close"] == 5.0 and pre["n_samples"] == 1

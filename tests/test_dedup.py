@@ -494,3 +494,21 @@ def test_fellegi_sunter_em_partition_invariant(spark):
     a = [tuple(r) for r in fellegi_sunter_em(df, ["x", "y", "z"]).collect()]
     b = [tuple(r) for r in fellegi_sunter_em(df.repartition(13), ["x", "y", "z"]).collect()]
     assert a == b
+
+
+def test_fellegi_sunter_em_degenerate_inputs_no_zerodiv(spark):
+    """Degenerate corpora must not crash the M-step: when every pattern's
+    posterior rounds to 1 (lsum would be 0) or to 0 (wsum would be 0),
+    the micro-unit floor keeps the divisions finite and the output
+    well-formed (the 1e-9 clamp then bounds m/u/p)."""
+    from morphik_core_spark.operators.dedup import fellegi_sunter_em
+
+    # all-agree only: EM drives the single pattern's posterior to 1
+    hi = spark.createDataFrame([(1, 1, 1)] * 50, "a int, b int, c int")
+    out = fellegi_sunter_em(hi, ["a", "b", "c"], iters=20).collect()
+    assert len(out) == 1 and out[0]["n_pairs"] == 50
+
+    # all-disagree only: posterior rounds toward 0
+    lo = spark.createDataFrame([(0, 0, 0)] * 50, "a int, b int, c int")
+    out2 = fellegi_sunter_em(lo, ["a", "b", "c"], iters=20).collect()
+    assert len(out2) == 1 and out2[0]["n_pairs"] == 50

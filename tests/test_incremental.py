@@ -120,3 +120,34 @@ def test_incremental_join_apply_delta_sized_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_join_apply_compacts_multi_op_delta(spark):
+    """A batch carrying more than one op per pk (I-then-D, U-then-U) is
+    only sound after per-key compaction — with seq_col the operator
+    compacts (latest seq wins) and merge == recompute; the raw
+    uncompacted batch would re-add superseded rows."""
+    from morphik_core_spark.operators.incremental import incremental_join_apply
+
+    a = spark.createDataFrame(
+        [(1, 10, "a1"), (2, 20, "a2")], "pk long, fk long, payload string"
+    )
+    b = spark.createDataFrame(
+        [(10, "b-ten"), (20, "b-twenty"), (30, "b-thirty")], "fk long, b_val string"
+    )
+    joined = a.join(b, "fk").select("pk", "fk", "payload", "b_val")
+    delta = spark.createDataFrame(
+        [
+            (3, 30, "a3-v1", "I", 1),   # insert ...
+            (3, None, None, "D", 2),     # ... then deleted in the same batch
+            (2, 30, "a2-v1", "U", 3),    # update ...
+            (2, 10, "a2-v2", "U", 4),    # ... superseded by a second update
+        ],
+        "pk long, fk long, payload string, op string, seq long",
+    )
+    maintained = incremental_join_apply(joined, delta, b, "pk", "fk", seq_col="seq")
+    a2 = spark.createDataFrame(
+        [(1, 10, "a1"), (2, 10, "a2-v2")], "pk long, fk long, payload string"
+    )
+    fresh = a2.join(b, "fk").select("pk", "fk", "payload", "b_val")
+    assert sorted(map(tuple, maintained.collect())) == sorted(map(tuple, fresh.collect()))
