@@ -5367,7 +5367,15 @@ def _fs_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the small side at test scale on its own. True matches
     therefore mostly agree on all three comparison fields, random
     within-block pairs rarely do."""
-    cust = _t(spark, sf_dir, "customer")
+    return _fs_pairs_from(_t(spark, sf_dir, "customer"))
+
+
+def _fs_pairs_from(cust: DataFrame) -> DataFrame:
+    """Pair construction over an arbitrary customer-shaped table —
+    split out of `_fs_linkage_pairs` so the 10x scale probe
+    (`scripts/scale_experiment.py --ops round8d`) drives the identical
+    blocking over a tiled corpus."""
+    spark = cust.sparkSession
     n_cust = cust.count()  # one count scan; B must match the oracle's
     n_sub = max(n_cust // 500, 1)
     a = cust.select(

@@ -2263,6 +2263,96 @@ def main() -> None:
         report("ivm_join", ivm, ord1, ord10)
 
 
+    if "round8d" in ops:
+        # the 5 late round-8 ops that shipped without scale rows: keyed
+        # time rollups (TWAP, OHLC), sketch-bounded join-size estimation,
+        # DP count release, and the de-quadraticized FS record linkage.
+        import importlib.util as _ilu
+
+        from morphik_core_spark.operators.analytics import (
+            ohlc_rollup,
+            time_weighted_average,
+        )
+        from morphik_core_spark.operators.dedup import fellegi_sunter_em
+        from morphik_core_spark.operators.sketches import cms_join_size_estimate
+        from morphik_core_spark.operators.validation import dp_noisy_counts
+
+        _spec = _ilu.spec_from_file_location(
+            "entry_for_scale",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "__spark_entry__.py"),
+        )
+        _entry = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_entry)
+
+        ev1 = load_table(spark, "events", SF_DIR).select("event_id", "ts", "event_type", "value")
+        li1 = load_table(spark, "lineitem", SF_DIR).select("l_partkey")
+        cust1 = load_table(spark, "customer", SF_DIR).select(
+            "c_custkey", "c_nationkey", "c_name", "c_mktsegment", "c_acctbal"
+        )
+
+        def tile(df, cols_fn, name):
+            parts = [df.select(*cols_fn(k)) for k in range(10)]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        ev10 = tile(ev1, lambda k: [
+            (F.col("event_id") * 10 + k).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+            "event_type",
+            (F.col("value") + k * 0.01).alias("value"),
+        ], "r8d_ev10")
+        li10 = tile(li1, lambda k: [
+            # shift part keys per tile so the key domain (and CMS input
+            # distinctness) actually grows 10x, not just the counts
+            (F.col("l_partkey") + F.lit(k * 10_000_000)).alias("l_partkey"),
+        ], "r8d_li10")
+        cust10 = tile(cust1, lambda k: [
+            (F.col("c_custkey") * 10 + k).alias("c_custkey"),
+            "c_nationkey",
+            # keep the name custkey-correlated so dirty-name edits and
+            # levenshtein work per pair stay realistic at 10x
+            F.concat(F.col("c_name"), F.lit(f"#t{k}")).alias("c_name"),
+            "c_mktsegment",
+            (F.col("c_acctbal") + k * 0.07).alias("c_acctbal"),
+        ], "r8d_cust10")
+
+        report(
+            "twap_event_value",
+            lambda e: mat(time_weighted_average(e, ["event_type"], "ts", "value", value_scale=100)),
+            ev1, ev10,
+        )
+        report(
+            "ohlc_daily",
+            lambda e: mat(ohlc_rollup(e, ["event_type"], "ts", "value", bucket_seconds=86400)),
+            ev1, ev10,
+        )
+
+        def jse(li):
+            counts = li.groupBy(F.col("l_partkey").cast("string").alias("k")).agg(
+                F.count(F.lit(1)).alias("c")
+            )
+            mat(cms_join_size_estimate(counts, counts, "k", "c", depth=3, width=64))
+
+        report("join_size_estimate", jse, li1, li10)
+
+        # dp_release_counts runs over documents (docs1/docs10 corpora)
+        report(
+            "dp_release_counts",
+            lambda d: mat(dp_noisy_counts(d, ["lang", "source"], epsilon=1.0, seed=8)),
+            docs1, docs10,
+        )
+
+        def fs(c):
+            pairs = _entry._fs_pairs_from(c)
+            mat(fellegi_sunter_em(pairs, ["g_name", "g_seg", "g_bal"], iters=20))
+
+        report("fs_record_linkage", fs, cust1, cust10)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing
