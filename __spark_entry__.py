@@ -5867,6 +5867,122 @@ def _q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_rollup(events, ["event_type"], "ts", "value", bucket_seconds=86400)
 
 
+def _q_kruskal_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis rank test (`analytics.kruskal_wallis`): do
+    document lengths differ across languages / sources — the
+    nonparametric twin of `anova_doclen`, robust to the heavy length
+    tails `hill_tail` diagnoses. Pooled grid ranks (no row sort),
+    per-group R²/n micro-quantized, exact DECIMAL tie correction."""
+    from morphik_core_spark.operators.analytics import kruskal_wallis
+
+    docs = _t(spark, sf_dir, "documents")
+    by_lang = kruskal_wallis(docs, "lang", "n_chars").withColumn("split", F.lit("by_lang"))
+    by_source = kruskal_wallis(docs, "source", "n_chars").withColumn(
+        "split", F.lit("by_source")
+    )
+    return (
+        by_lang.unionByName(by_source)
+        .select("split", "k", "n", "h_stat", "h_tie_corrected")
+        .orderBy("split")
+    )
+
+
+def _q_levene_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene homogeneity-of-variance test (`analytics.levene_test`,
+    mean-centered): does account-balance SPREAD differ across market
+    segments — the dispersion screen `anova_doclen`'s mean test can't
+    see, and the precondition check for its equal-variance assumption.
+    Per-group means micro-quantized so deviations are exact integers;
+    ANOVA closed forms over the deviations."""
+    from morphik_core_spark.operators.analytics import levene_test
+
+    cust = _t(spark, sf_dir, "customer")
+    return levene_test(cust, "c_mktsegment", "c_acctbal", value_scale=100)
+
+
+def _q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box white-noise Q test (`analytics.ljung_box`) over daily
+    event volume, lags 1..7 — the one-number joint readout on top of
+    `acf_daily`'s per-lag screen. ρ from the shared integer-deviation
+    ACF at 12 decimals; per-lag terms ROUND(·1e12)-quantized before the
+    reduction."""
+    from morphik_core_spark.operators.analytics import ljung_box
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return ljung_box(daily, "di", "x", max_lag=7)
+
+
+def _q_ipw_ate_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified-propensity IPW treatment effects (`analytics.ipw_ate`):
+    the effect of coming from source 'src1' on document length,
+    controlling for language (strata = lang, the discrete propensity
+    classes) — the third causal leg beside `cem_att_balance` (matching)
+    and `did_effect` (panel). Per-stratum mean diffs micro-quantized;
+    both weighted reductions are integer cross-stratum sums."""
+    from morphik_core_spark.operators.analytics import ipw_ate
+
+    docs = _t(spark, sf_dir, "documents")
+    return ipw_ate(
+        docs.withColumn("treated", F.col("source") == F.lit("src1")),
+        "lang",
+        "treated",
+        "n_chars",
+    )
+
+
+def _q_ivm_join_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric-side incremental join-view maintenance (`incremental.
+    incremental_join_apply_delta_b`): the SAME materialized
+    orders⋈customer view as `ivm_join`, now absorbing a CDC batch on
+    the DIMENSION side (custkey%10: 0→D — every order of the customer
+    leaves the view, 1→U — nation re-pointed, fan-out re-join, 3→I as
+    shifted new keys that match nothing). Eviction on the join key
+    covers the dimension fan-out in one anti join; the re-add probes
+    facts with the delta-sized upsert set. merge == recompute is the
+    oracle; per-nation rollup spans every op path."""
+    from morphik_core_spark.operators.incremental import (
+        incremental_join_apply_delta_b,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    b_view = cust.withColumnRenamed("c_custkey", "o_custkey")
+    joined = orders.join(b_view, "o_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_nationkey"
+    )
+    ten = F.col("o_custkey") % 10
+    deletes = b_view.filter(ten == 0).withColumn("op", F.lit("D"))
+    updates = (
+        b_view.filter(ten == 1)
+        .select("o_custkey", ((F.col("c_nationkey") + 7) % 25).alias("c_nationkey"))
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = (
+        b_view.filter(ten == 3)
+        .select(
+            (F.col("o_custkey") + 20_000_000).alias("o_custkey"), "c_nationkey"
+        )
+        .withColumn("op", F.lit("I"))
+    )
+    delta_b = deletes.unionByName(updates).unionByName(inserts)
+    maintained = incremental_join_apply_delta_b(joined, orders, delta_b, "o_custkey")
+    return (
+        maintained.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("rev_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -6162,6 +6278,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": _q_join_size_estimate,
         "twap_event_value": _q_twap_event_value,
         "ohlc_daily": _q_ohlc_daily,
+        "kruskal_doclen": _q_kruskal_doclen,
+        "levene_acctbal": _q_levene_acctbal,
+        "ljung_box_daily": _q_ljung_box_daily,
+        "ipw_ate_doclen": _q_ipw_ate_doclen,
+        "ivm_join_b": _q_ivm_join_b,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -12699,6 +12820,179 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(CASE WHEN rd = 1 THEN v END), 6) AS close,
                    CAST(count(*) AS BIGINT) AS n_samples
             FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "kruskal_doclen": """
+            WITH src AS (
+                SELECT 'by_lang' AS split, lang AS g, CAST(n_chars AS BIGINT) AS v
+                FROM documents WHERE n_chars IS NOT NULL
+                UNION ALL
+                SELECT 'by_source', source, CAST(n_chars AS BIGINT)
+                FROM documents WHERE n_chars IS NOT NULL
+            ),
+            grid AS (SELECT split, v, count(*) AS c FROM src GROUP BY 1, 2),
+            rg AS (
+                -- doubled average tie rank from the value grid:
+                -- r2 = 2*before + c + 1 (the spearman_corr identity)
+                SELECT split, v,
+                       2 * (SUM(c) OVER (PARTITION BY split ORDER BY v ASC
+                                         ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS r2
+                FROM grid
+            ),
+            rj AS (
+                SELECT s.split, s.g, r.r2
+                FROM src s JOIN rg r ON s.split = r.split AND s.v = r.v
+            ),
+            per AS (
+                SELECT split, g, count(*) AS ng, CAST(sum(r2) AS HUGEINT) AS s2
+                FROM rj GROUP BY 1, 2
+            ),
+            ties AS (
+                SELECT split, SUM(CAST(c AS HUGEINT) * c * c - c) AS tt
+                FROM grid GROUP BY 1
+            ),
+            agg AS (
+                SELECT split, CAST(count(*) AS BIGINT) AS k,
+                       CAST(sum(ng) AS BIGINT) AS n,
+                       SUM(CAST(ROUND(CAST(s2 * s2 AS DOUBLE) / CAST(ng AS DOUBLE)
+                                      / 4.0 * 1e6) AS HUGEINT)) AS rat_u
+                FROM per GROUP BY 1
+            )
+            SELECT split, k, n,
+                   ROUND((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) *
+                          (CAST(rat_u AS DOUBLE) / 1e6) - 3.0 * (CAST(n AS DOUBLE) + 1.0)),
+                         6) AS h_stat,
+                   ROUND((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) *
+                          (CAST(rat_u AS DOUBLE) / 1e6) - 3.0 * (CAST(n AS DOUBLE) + 1.0)) /
+                         (1.0 - CAST(tt AS DOUBLE) /
+                          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           - CAST(n AS DOUBLE))),
+                         6) AS h_tie_corrected
+            FROM agg JOIN ties USING (split) ORDER BY split
+        """,
+        "levene_acctbal": """
+            WITH rowsrc AS (
+                SELECT c_mktsegment AS g,
+                       CAST(ROUND(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) AS x
+                FROM customer WHERE c_acctbal IS NOT NULL
+            ),
+            means AS (
+                SELECT g, CAST(ROUND(CAST(sum(x) AS DOUBLE) / CAST(count(1) AS DOUBLE)
+                                     * 1e6) AS BIGINT) AS mu
+                FROM rowsrc GROUP BY 1
+            ),
+            dev AS (
+                SELECT r.g, abs(1000000 * r.x - m.mu) AS d
+                FROM rowsrc r JOIN means m ON r.g = m.g
+            ),
+            grp AS (
+                SELECT g, count(*) AS ng, CAST(sum(d) AS HUGEINT) AS sg,
+                       SUM(CAST(d AS HUGEINT) * d) AS sxx
+                FROM dev GROUP BY 1
+            ),
+            agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+                       CAST(sum(sg) AS HUGEINT) AS s, CAST(sum(sxx) AS HUGEINT) AS xx,
+                       SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                                      / CAST(ng AS DOUBLE) / 1e6) AS DECIMAL(38,0))) AS rat_u
+                FROM grp
+            )
+            SELECT k, n,
+                   ROUND(((CAST(rat_u AS DOUBLE) * 1e6 -
+                           CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                          / (CAST(k AS DOUBLE) - 1.0)) /
+                         ((CAST(xx AS DOUBLE) - CAST(rat_u AS DOUBLE) * 1e6)
+                          / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))),
+                         6) AS w_stat
+            FROM agg
+        """,
+        "ljung_box_daily": """
+            WITH d AS (SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS x
+                       FROM events GROUP BY 1),
+            g AS (SELECT CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n FROM d),
+            dev AS (SELECT di, n * x - s AS dd FROM d CROSS JOIN g),
+            den AS (SELECT SUM(CAST(dd AS HUGEINT) * dd) AS den FROM dev),
+            lags AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) AS l(lag)),
+            pairs AS (
+                SELECT l.lag, a.dd AS da, b.dd AS db
+                FROM dev a JOIN lags l ON TRUE
+                JOIN dev b ON b.di = a.di + l.lag
+            ),
+            num AS (SELECT lag, SUM(CAST(da AS HUGEINT) * db) AS num
+                    FROM pairs GROUP BY 1),
+            acf AS (
+                SELECT lag, ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 12) AS acf
+                FROM num CROSS JOIN den
+            ),
+            terms AS (
+                SELECT CAST(ROUND(acf * acf / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE))
+                                  * 1e12) AS BIGINT) AS t_u, n
+                FROM acf CROSS JOIN g
+            )
+            SELECT CAST(n AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS m,
+                   ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) *
+                         CAST(SUM(t_u) AS DOUBLE) / 1e12, 6) AS q_stat
+            FROM terms GROUP BY n
+        """,
+        "ipw_ate_doclen": """
+            WITH arms AS (
+                SELECT lang AS s, (source = 'src1') AS t, CAST(n_chars AS BIGINT) AS y
+                FROM documents WHERE n_chars IS NOT NULL
+            ),
+            cells AS (
+                SELECT s, t, count(*) AS na, CAST(sum(y) AS BIGINT) AS sy
+                FROM arms GROUP BY 1, 2
+            ),
+            per_s AS (
+                SELECT s,
+                       SUM(CASE WHEN t THEN na END) AS n1,
+                       SUM(CASE WHEN NOT t THEN na END) AS n0,
+                       SUM(CASE WHEN t THEN sy END) AS s1,
+                       SUM(CASE WHEN NOT t THEN sy END) AS s0
+                FROM cells GROUP BY 1
+                HAVING SUM(CASE WHEN t THEN na END) IS NOT NULL
+                   AND SUM(CASE WHEN NOT t THEN na END) IS NOT NULL
+            ),
+            agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_strata_used,
+                       CAST(sum(n1 + n0) AS BIGINT) AS n,
+                       CAST(sum(n1) AS BIGINT) AS n_treated,
+                       SUM(CAST(CAST(ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                                 - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1e6)
+                            AS BIGINT) AS HUGEINT) * (n1 + n0)) AS ate_u,
+                       SUM(CAST(CAST(ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                                 - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1e6)
+                            AS BIGINT) AS HUGEINT) * n1) AS att_u
+                FROM per_s
+            )
+            SELECT n, n_treated, n_strata_used,
+                   ROUND(CAST(ate_u AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 / 1.0, 6) AS ate,
+                   ROUND(CAST(att_u AS DOUBLE) / CAST(n_treated AS DOUBLE) / 1e6 / 1.0, 6) AS att
+            FROM agg
+        """,
+        "ivm_join_b": """
+            WITH c AS (SELECT c_custkey, c_nationkey FROM customer),
+            updates AS (
+                SELECT c_custkey, (c_nationkey + 7) % 25 AS c_nationkey
+                FROM c WHERE c_custkey % 10 = 1
+            ),
+            inserts AS (
+                SELECT c_custkey + 20000000 AS c_custkey, c_nationkey
+                FROM c WHERE c_custkey % 10 = 3
+            ),
+            applied AS (
+                SELECT c_custkey, c_nationkey FROM c
+                WHERE c_custkey % 10 NOT IN (0, 1)
+                UNION ALL SELECT * FROM updates
+                UNION ALL SELECT * FROM inserts
+            ),
+            j AS (
+                SELECT o.o_totalprice, a.c_nationkey
+                FROM orders o JOIN applied a ON o.o_custkey = a.c_custkey
+            )
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM j GROUP BY 1 ORDER BY 1
         """,
         "hill_tail": """
             WITH q AS (

@@ -86,6 +86,10 @@ __all__ = [
     "ab_power_mde",
     "time_weighted_average",
     "ohlc_rollup",
+    "kruskal_wallis",
+    "levene_test",
+    "ljung_box",
+    "ipw_ate",
 ]
 
 
@@ -4208,4 +4212,305 @@ def ohlc_rollup(
             F.col("n_samples").cast("bigint").alias("n_samples"),
         )
         .orderBy(*key_cols, "bucket_start")
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    value_scale: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Kruskal–Wallis rank test: do the k groups come from the same
+    distribution — the nonparametric sibling of `anova_oneway` (rank-
+    based, so heavy tails and outliers can't dominate; the k-group
+    generalization of Mann–Whitney the way ANOVA generalizes the t).
+
+        H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),   H_c = H / C
+        C = 1 − Σ_v (t_v³ − t_v) / (N³ − N)        (tie correction)
+
+    Ranks come from the POOLED value grid, never a row-level sort: the
+    average tie rank is a function of the grid (`spearman_corr`'s
+    lesson, rank_avg(v) = before(v) + (ties(v)+1)/2), carried DOUBLED
+    so everything stays integral; R_g = Σ rank = Σ r2/2 folds the /2
+    into the closed form. Per-group R_g²/n_g is ONE double division
+    immediately ROUND(·1e6)-quantized (integer cross-group sum — the
+    anova_oneway recipe), and the tie term is exact DECIMAL(38,0) over
+    grid counts. Scale: one grid groupBy + one grid→row join (AQE-
+    sized) + one k-row aggregate.
+
+    Output ONE row: (k, n, h_stat, h_tie_corrected).
+    """
+    dec = "decimal(38,0)"
+    q = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    rows = df.filter(F.col(val_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("_g"), q.alias("_v")
+    )
+    grid = rows.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    # hierarchical grid prefix (bucketed, never a corpus-sized window)
+    grid = grid.withColumn(
+        "_bkt", F.expr("CAST(floor(CAST(_v AS DOUBLE) / 1048576.0) AS BIGINT)")
+    )
+    bsum = grid.groupBy("_bkt").agg(F.sum("_c").alias("_bc"))
+    w_b = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bprev = bsum.select("_bkt", (F.sum("_bc").over(w_b) - F.col("_bc")).alias("_before_b"))
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked_grid = (
+        grid.withColumn("_before_in", F.sum("_c").over(w_in) - F.col("_c"))
+        .join(bprev, "_bkt")
+        .select(
+            F.col("_v").alias("_gv"),
+            (2 * (F.col("_before_b") + F.col("_before_in")) + F.col("_c") + 1).alias("_r2"),
+        )
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if rows.rdd.getNumPartitions() < par:
+        rows = rows.repartition(par)
+    joined = rows.join(ranked_grid, rows["_v"] == ranked_grid["_gv"])
+    per_g = joined.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.sum(F.col("_r2").cast(dec)).alias("_s2"),
+    )
+    # R_g^2/n_g = (S2/2)^2/n_g: one double division, micro-quantized.
+    # The quantized term is DECIMAL(38,0) — rank sums grow with N, so
+    # R_g^2/n_g x 1e6 passes 2^63 near N ~ 10^8 (the double mantissa is
+    # then the effective resolution, identically on both engines).
+    ratio = (
+        "CAST(ROUND(CAST(_s2 * _s2 AS DOUBLE) / CAST(_ng AS DOUBLE) / 4.0 * 1e6) "
+        "AS DECIMAL(38,0))"
+    )
+    ties = grid.agg(
+        F.sum(
+            F.col("_c").cast(dec) * F.col("_c") * F.col("_c") - F.col("_c").cast(dec)
+        ).alias("_tt")
+    )
+    agg = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_ng").alias("n"),
+        F.sum(F.expr(ratio)).alias("_rat_u"),
+    ).join(F.broadcast(ties))
+    h = (
+        "(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * "
+        "(CAST(_rat_u AS DOUBLE) / 1e6) - 3.0 * (CAST(n AS DOUBLE) + 1.0))"
+    )
+    c = (
+        "(1.0 - CAST(_tt AS DOUBLE) / "
+        "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))"
+    )
+    return agg.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.expr(h), decimals).alias("h_stat"),
+        F.round(F.expr(f"{h} / {c}"), decimals).alias("h_tie_corrected"),
+    )
+
+
+def levene_test(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    value_scale: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Levene's test for homogeneity of variances (mean-centered
+    classical form): one-way ANOVA over the absolute deviations
+    |x − x̄_g| — the precondition screen for `anova_oneway`'s equal-
+    variance assumption and the dispersion counterpart of its
+    mean test (groups can share a mean and still differ wildly in
+    spread; this is the test that sees it).
+
+    Exactness: values quantize once to integer units; the per-group
+    mean is ONE double division ROUND(·1e6)-quantized, so each
+    deviation |1e6·x − m_u| is an exact integer in micro-units; the
+    ANOVA closed forms then run over those integers (the anova_oneway
+    recipe — per-group D_g²/n_g micro-quantized before the k-term sum).
+    W = ((N−k)/(k−1)) · SSB_dev/SSW_dev; the micro scale cancels.
+
+    Scale: two scans (group means, then deviations) + a bounded
+    group-mean broadcast join. Output ONE row: (k, n, w_stat).
+    """
+    dec = "decimal(38,0)"
+    x = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    rows = df.filter(F.col(val_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("_g"), x.alias("_x")
+    )
+    means = rows.groupBy("_g").agg(
+        F.expr(
+            "CAST(ROUND(CAST(sum(_x) AS DOUBLE) / CAST(count(1) AS DOUBLE) * 1e6) AS BIGINT)"
+        ).alias("_mu")
+    )
+    dev = rows.join(F.broadcast(means), "_g").select(
+        "_g", F.abs(F.lit(1_000_000) * F.col("_x") - F.col("_mu")).alias("_d")
+    )
+    g = dev.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.sum(F.col("_d").cast(dec)).alias("_sg"),
+        F.sum(F.col("_d").cast(dec) * F.col("_d")).alias("_sxx"),
+    )
+    # deviation sums carry the 1e6 micro factor, so squaring them in
+    # DECIMAL(38,0) would overflow near ~10^7 large-valued rows — square
+    # in the double domain instead (exact-int→double conversions + one
+    # IEEE multiply, engine-identical), then micro-quantize as usual
+    # the quantized ratio lands in DECIMAL(38,0) directly: micro-unit
+    # deviation sums make D_g^2/n_g pass 2^63 even at modest corpora
+    # (the double mantissa is the effective resolution there, identical
+    # on both engines from the same expression tree)
+    ratio = (
+        "CAST(ROUND(CAST(_sg AS DOUBLE) * CAST(_sg AS DOUBLE) "
+        "/ CAST(_ng AS DOUBLE) / 1e6) AS DECIMAL(38,0))"
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_ng").alias("n"),
+        F.sum("_sg").alias("_s"),
+        F.sum("_sxx").alias("_xx"),
+        F.sum(F.expr(ratio)).alias("_rat_u"),
+    )
+    # ratios were quantized at 1e-6 relative to the micro-unit squares;
+    # the absolute scale cancels in SSB/SSW, only the shared 1e6 factor
+    # must match:
+    ssb = (
+        "(CAST(_rat_u AS DOUBLE) * 1e6 - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE) "
+        "/ CAST(n AS DOUBLE))"
+    )
+    ssw = "(CAST(_xx AS DOUBLE) - CAST(_rat_u AS DOUBLE) * 1e6)"
+    return agg.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.expr(
+                f"({ssb} / (CAST(k AS DOUBLE) - 1.0)) / ({ssw} / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))"
+            ),
+            decimals,
+        ).alias("w_stat"),
+    )
+
+
+def ljung_box(
+    series: DataFrame,
+    idx_col: str,
+    val_col: str,
+    max_lag: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """Ljung–Box portmanteau Q test: is a series white noise, jointly
+    over the first ``max_lag`` autocorrelations —
+
+        Q = n(n+2) Σ_{k=1..m} ρ_k² / (n−k)
+
+    — the one-number readout on top of `autocorrelation`'s per-lag
+    screen (a forecaster's residuals should FAIL to reject here; the
+    raw daily volume emphatically rejects). ρ_k comes from the shared
+    `autocorrelation` op at 12-decimal quantization; each ρ_k²/(n−k)
+    term is immediately ROUND(·1e12)-quantized so the m-term reduction
+    is integer arithmetic. Series frames are dimension-sized (days),
+    so the extra count scan is noise.
+
+    Output ONE row: (n, m, q_stat).
+    """
+    acf = autocorrelation(series, idx_col, val_col, max_lag=max_lag, decimals=12)
+    n = series.agg(F.count(F.lit(1)).alias("n"))
+    terms = acf.join(F.broadcast(n)).select(
+        "n",
+        F.expr(
+            "CAST(ROUND(acf * acf / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)) * 1e12) AS BIGINT)"
+        ).alias("_t_u"),
+    )
+    agg = terms.groupBy("n").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("_t_u").alias("_q_u")
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("m").cast("bigint").alias("m"),
+        F.round(
+            F.expr(
+                "CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * CAST(_q_u AS DOUBLE) / 1e12"
+            ),
+            decimals,
+        ).alias("q_stat"),
+    )
+
+
+def ipw_ate(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    outcome_col: str,
+    value_scale: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Inverse-propensity-weighted treatment effects under a DISCRETE
+    propensity model (propensity = treated share within each stratum) —
+    with strata as the propensity classes, the Horvitz–Thompson IPW
+    estimator reduces exactly to the stratified estimator:
+
+        ATE = Σ_s (n_s/N) · (ȳ₁ₛ − ȳ₀ₛ)     ATT = Σ_s (n₁ₛ/N₁) · (…)
+
+    the third leg of the causal triad beside `cem_att` (matching) and
+    `did_estimate` (panel time): no pairing, no pre-period — just a
+    stratification that blocks confounding. Strata missing either arm
+    drop out (positivity violation; both N and the weights shrink to
+    the matched population, and n_strata_used reports it).
+
+    Exactness: outcomes quantize once to integer units; per-(stratum,
+    arm) (n, Σy) are exact; each stratum's mean difference is two
+    double divisions immediately ROUND(·1e6)-quantized, so both
+    weighted reductions are integer cross-stratum sums. One groupBy on
+    (stratum, arm) — a bounded frame; everything after is arithmetic.
+
+    Output ONE row: (n, n_treated, n_strata_used, ate, att).
+    """
+    y = F.expr(f"CAST(ROUND(CAST({outcome_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    arms = (
+        df.filter(F.col(outcome_col).isNotNull())
+        .select(
+            F.col(stratum_col).cast("string").alias("_s"),
+            F.col(treat_col).cast("boolean").alias("_t"),
+            y.alias("_y"),
+        )
+        .groupBy("_s", "_t")
+        .agg(F.count(F.lit(1)).alias("_na"), F.sum("_y").alias("_sy"))
+    )
+    per_s = arms.groupBy("_s").agg(
+        F.sum(F.when(F.col("_t"), F.col("_na"))).alias("_n1"),
+        F.sum(F.when(~F.col("_t"), F.col("_na"))).alias("_n0"),
+        F.sum(F.when(F.col("_t"), F.col("_sy"))).alias("_s1"),
+        F.sum(F.when(~F.col("_t"), F.col("_sy"))).alias("_s0"),
+    ).filter(F.col("_n1").isNotNull() & F.col("_n0").isNotNull())
+    d_u = (
+        "CAST(ROUND((CAST(_s1 AS DOUBLE) / CAST(_n1 AS DOUBLE) "
+        "- CAST(_s0 AS DOUBLE) / CAST(_n0 AS DOUBLE)) * 1e6) AS BIGINT)"
+    )
+    # weighted micro-diffs accumulate in DECIMAL(38,0): d_u x n_s can
+    # pass 2^63 on a corpus-scale stratum
+    agg = per_s.agg(
+        F.count(F.lit(1)).alias("n_strata_used"),
+        F.sum(F.col("_n1") + F.col("_n0")).alias("n"),
+        F.sum("_n1").alias("n_treated"),
+        F.sum(
+            F.expr(f"CAST(({d_u}) AS DECIMAL(38,0)) * (_n1 + _n0)").cast("decimal(38,0)")
+        ).alias("_ate_u"),
+        F.sum(
+            F.expr(f"CAST(({d_u}) AS DECIMAL(38,0)) * _n1").cast("decimal(38,0)")
+        ).alias("_att_u"),
+    )
+    ks = float(value_scale)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_treated").cast("bigint").alias("n_treated"),
+        F.col("n_strata_used").cast("bigint").alias("n_strata_used"),
+        F.round(
+            F.expr(f"CAST(_ate_u AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 / {ks!r}"), decimals
+        ).alias("ate"),
+        F.round(
+            F.expr(f"CAST(_att_u AS DOUBLE) / CAST(n_treated AS DOUBLE) / 1e6 / {ks!r}"),
+            decimals,
+        ).alias("att"),
     )

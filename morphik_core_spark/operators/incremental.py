@@ -38,7 +38,13 @@ from typing import Mapping, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["agg_state", "merge_agg_states", "finalize_agg", "incremental_join_apply"]
+__all__ = [
+    "agg_state",
+    "merge_agg_states",
+    "finalize_agg",
+    "incremental_join_apply",
+    "incremental_join_apply_delta_b",
+]
 
 _STATE_DECIMAL = "decimal(27,6)"
 
@@ -152,4 +158,42 @@ def incremental_join_apply(
     kept = joined.join(F.broadcast(touched), pk_a, "left_anti")
     upserts = delta_a.filter(F.col(op_col) != "D").drop(op_col)
     additions = upserts.join(b, join_key)
+    return kept.unionByName(additions.select(*kept.columns))
+
+
+def incremental_join_apply_delta_b(
+    joined: DataFrame,
+    a: DataFrame,
+    delta_b: DataFrame,
+    join_key: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """The symmetric IVM step to :func:`incremental_join_apply`: maintain
+    J = A ⋈ B under a CDC batch on B (B keyed by ``join_key`` — the
+    dimension side of a fact⋈dim view). The same delta decomposition
+    with roles swapped:
+
+        J' = (J anti-join touched_join_keys) ∪ (A ⋈ (ΔB minus deletes))
+
+    Evicting on ``join_key`` removes EVERY view row built from a
+    touched dimension row (an update to one dim row invalidates all its
+    fact matches — exactly the fan-out the eviction must cover), and
+    the re-add probes A with the delta-sized upsert set, so incremental
+    work is |ΔB| on the build side and the A rows that match it on the
+    probe side — never |A| × |B|. Both the anti-join key set and the
+    re-join build side are delta-sized, hence both broadcast hints.
+
+    Same compaction contract as the A-side step: pass ``seq_col`` to
+    compact multi-op-per-key batches here, else the delta must carry
+    one final op per ``join_key``.
+    """
+    if seq_col is not None:
+        from morphik_core_spark.streaming.cdc import compact_changes
+
+        delta_b = compact_changes(delta_b, [join_key], op_col=op_col, seq_col=seq_col)
+    touched = delta_b.select(F.col(join_key)).distinct()
+    kept = joined.join(F.broadcast(touched), join_key, "left_anti")
+    upserts = delta_b.filter(F.col(op_col) != "D").drop(op_col)
+    additions = a.join(F.broadcast(upserts), join_key)
     return kept.unionByName(additions.select(*kept.columns))

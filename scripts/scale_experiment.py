@@ -2353,6 +2353,102 @@ def main() -> None:
 
         report("fs_record_linkage", fs, cust1, cust10)
 
+    if "round9" in ops:
+        # round-9 wave 1: rank statistics, dispersion/white-noise
+        # screens, stratified IPW, dimension-side IVM
+        from morphik_core_spark.operators.analytics import (
+            ipw_ate,
+            kruskal_wallis,
+            levene_test,
+            ljung_box,
+        )
+        from morphik_core_spark.operators.incremental import (
+            incremental_join_apply_delta_b,
+        )
+
+        ev1 = load_table(spark, "events", SF_DIR).select("event_id", "ts")
+        ord1 = load_table(spark, "orders", SF_DIR).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        cust1 = load_table(spark, "customer", SF_DIR).select(
+            "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+        )
+
+        def tile(df, cols_fn, name):
+            parts = [df.select(*cols_fn(k)) for k in range(10)]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        ev10 = tile(ev1, lambda k: [
+            (F.col("event_id") * 10 + k).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+        ], "r9_ev10")
+        ord10 = tile(ord1, lambda k: [
+            (F.col("o_orderkey") * 10 + k).alias("o_orderkey"),
+            "o_custkey",
+            (F.col("o_totalprice") + k * 0.13).alias("o_totalprice"),
+        ], "r9_ord10")
+        cust10 = tile(cust1, lambda k: [
+            (F.col("c_custkey") * 10 + k).alias("c_custkey"),
+            "c_nationkey", "c_mktsegment",
+            # perturb so the value grid (rank-stat input distinctness)
+            # grows 10x, not just the counts
+            (F.col("c_acctbal") + k * 0.07).alias("c_acctbal"),
+        ], "r9_cust10")
+
+        report(
+            "kruskal_wallis",
+            lambda c: mat(kruskal_wallis(c, "c_mktsegment", "c_acctbal", value_scale=100)),
+            cust1, cust10,
+        )
+        report(
+            "levene_test",
+            lambda c: mat(levene_test(c, "c_mktsegment", "c_acctbal", value_scale=100)),
+            cust1, cust10,
+        )
+
+        def lb(e):
+            daily = e.groupBy(
+                F.expr("unix_micros(ts) div 86400000000").alias("di")
+            ).agg(F.count(F.lit(1)).alias("x"))
+            mat(ljung_box(daily, "di", "x", max_lag=7))
+
+        report("ljung_box", lb, ev1, ev10)
+
+        # ipw over documents: treated = src1, strata = lang
+        report(
+            "ipw_ate",
+            lambda d: mat(ipw_ate(
+                d.withColumn("treated", F.col("source") == F.lit("src1")),
+                "lang", "treated", "n_chars",
+            )),
+            docs1, docs10,
+        )
+
+        def ivm_b(o):
+            b_view = cust1.select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            )
+            joined = o.join(b_view, "o_custkey").select(
+                "o_orderkey", "o_custkey", "o_totalprice", "c_nationkey"
+            )
+            ten = F.col("o_custkey") % 10
+            delta_b = (
+                b_view.filter(ten == 0).withColumn("op", F.lit("D"))
+                .unionByName(
+                    b_view.filter(ten == 1)
+                    .select("o_custkey", ((F.col("c_nationkey") + 7) % 25).alias("c_nationkey"))
+                    .withColumn("op", F.lit("U"))
+                )
+            )
+            mat(incremental_join_apply_delta_b(joined, o, delta_b, "o_custkey"))
+
+        report("ivm_join_b", ivm_b, ord1, ord10)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

@@ -1369,3 +1369,110 @@ def test_ohlc_pre_epoch_buckets_floor(spark):
     # each sample sits inside [bucket_start, bucket_start + 86400)
     pre = out[datetime.datetime(1969, 12, 31, 0, 0, 0)]
     assert pre["open"] == pre["close"] == 5.0 and pre["n_samples"] == 1
+
+
+def test_kruskal_wallis_hand_values(spark):
+    """Three groups with clear location shifts: H must match the
+    textbook computation (ranks over the pooled sample, tie-corrected)
+    and reject order; a label-permuted null must score near 0."""
+    from morphik_core_spark.operators.analytics import kruskal_wallis
+
+    ga = [1.0, 2.0, 3.0, 4.0, 5.0]
+    gb = [6.0, 7.0, 8.0, 9.0, 10.0]
+    gc = [11.0, 12.0, 13.0, 14.0, 15.0]
+    rows = [("a", v) for v in ga] + [("b", v) for v in gb] + [("c", v) for v in gc]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = kruskal_wallis(df, "g", "v").collect()[0]
+    # no ties, N=15: ranks are 1..15 by construction; R_a=15, R_b=40, R_c=65
+    n = 15
+    h = 12.0 / (n * (n + 1)) * (15**2 / 5 + 40**2 / 5 + 65**2 / 5) - 3 * (n + 1)
+    assert out["k"] == 3 and out["n"] == 15
+    assert out["h_stat"] == pytest.approx(h, abs=1e-5)
+    assert out["h_tie_corrected"] == pytest.approx(h, abs=1e-5)  # no ties
+
+
+def test_kruskal_wallis_tie_correction(spark):
+    """With heavy ties the corrected H must exceed the raw H by the
+    1/(1 − ΣT/(N³−N)) factor exactly."""
+    from morphik_core_spark.operators.analytics import kruskal_wallis
+
+    rows = [("a", 1.0)] * 4 + [("a", 2.0)] + [("b", 2.0)] * 3 + [("b", 3.0)] * 2
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = kruskal_wallis(df, "g", "v").collect()[0]
+    n = 10
+    # ties: t(1.0)=4, t(2.0)=4, t(3.0)=2
+    tt = (4**3 - 4) + (4**3 - 4) + (2**3 - 2)
+    c = 1 - tt / (n**3 - n)
+    assert out["h_tie_corrected"] == pytest.approx(out["h_stat"] / c, abs=1e-5)
+    assert out["h_tie_corrected"] > out["h_stat"]
+
+
+def test_levene_hand_values(spark):
+    """Two groups, one tight and one wide around the same mean: W must
+    match the mean-centered Levene computed directly."""
+    from morphik_core_spark.operators.analytics import levene_test
+
+    tight = [9.0, 10.0, 11.0, 10.0]
+    wide = [2.0, 18.0, 5.0, 15.0]
+    rows = [("t", v) for v in tight] + [("w", v) for v in wide]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = levene_test(df, "g", "v", value_scale=100).collect()[0]
+
+    def devs(xs):
+        m = sum(xs) / len(xs)
+        return [abs(x - m) for x in xs]
+
+    zs = devs(tight) + devs(wide)
+    za = devs(tight)
+    zb = devs(wide)
+    gm = sum(zs) / len(zs)
+    ma, mb = sum(za) / 4, sum(zb) / 4
+    ssb = 4 * (ma - gm) ** 2 + 4 * (mb - gm) ** 2
+    ssw = sum((z - ma) ** 2 for z in za) + sum((z - mb) ** 2 for z in zb)
+    w = (ssb / 1) / (ssw / 6)
+    assert out["k"] == 2 and out["n"] == 8
+    assert out["w_stat"] == pytest.approx(w, rel=1e-4)
+
+
+def test_ljung_box_hand_values(spark):
+    """Q over a short series must equal n(n+2) Σ ρ_k²/(n−k) with the
+    ACF computed by the shared full-denominator convention."""
+    from morphik_core_spark.operators.analytics import ljung_box
+
+    xs = [3, 7, 2, 9, 4, 8, 1, 6, 5, 7, 2, 9]
+    df = spark.createDataFrame(list(enumerate(xs)), "i int, x int")
+    out = ljung_box(df, "i", "x", max_lag=3).collect()[0]
+    n = len(xs)
+    m = sum(xs) / n
+    den = sum((x - m) ** 2 for x in xs)
+    q = 0.0
+    for k in range(1, 4):
+        rho = sum((xs[i] - m) * (xs[i + k] - m) for i in range(n - k)) / den
+        q += rho * rho / (n - k)
+    q *= n * (n + 2)
+    assert out["n"] == n and out["m"] == 3
+    assert out["q_stat"] == pytest.approx(q, abs=1e-4)
+
+
+def test_ipw_ate_equals_stratified_estimator(spark):
+    """ATE/ATT must equal the stratified estimator computed directly,
+    and strata missing an arm must drop from both the weights and the
+    reported population."""
+    from morphik_core_spark.operators.analytics import ipw_ate
+
+    rows = [
+        # stratum s1: treated mean 10, control mean 7 -> diff 3
+        ("s1", True, 9.0), ("s1", True, 11.0),
+        ("s1", False, 6.0), ("s1", False, 8.0), ("s1", False, 7.0),
+        # stratum s2: treated mean 20, control mean 18 -> diff 2
+        ("s2", True, 20.0), ("s2", False, 18.0),
+        # stratum s3: control only -> drops (positivity)
+        ("s3", False, 100.0), ("s3", False, 200.0),
+    ]
+    df = spark.createDataFrame(rows, "s string, t boolean, y double")
+    out = ipw_ate(df, "s", "t", "y").collect()[0]
+    assert out["n"] == 7 and out["n_treated"] == 3 and out["n_strata_used"] == 2
+    ate = (5 * 3.0 + 2 * 2.0) / 7
+    att = (2 * 3.0 + 1 * 2.0) / 3
+    assert out["ate"] == pytest.approx(ate, abs=1e-5)
+    assert out["att"] == pytest.approx(att, abs=1e-5)

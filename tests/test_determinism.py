@@ -168,6 +168,13 @@ SENSITIVE = [
     "theil_nations",
     "source_diversity",
     "event_trends",
+    # round-9 additions: grid-rank R^2/n micro-quantized terms, micro-
+    # quantized group means feeding integer deviations, pico-quantized
+    # ACF terms, micro-quantized stratum mean diffs
+    "kruskal_doclen",
+    "levene_acctbal",
+    "ljung_box_daily",
+    "ipw_ate_doclen",
 ]
 
 

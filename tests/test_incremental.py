@@ -151,3 +151,55 @@ def test_incremental_join_apply_compacts_multi_op_delta(spark):
     )
     fresh = a2.join(b, "fk").select("pk", "fk", "payload", "b_val")
     assert sorted(map(tuple, maintained.collect())) == sorted(map(tuple, fresh.collect()))
+
+
+def test_incremental_join_apply_delta_b_equals_recompute(spark):
+    """Dimension-side IVM: maintaining A join B under an I/U/D delta on
+    B must equal the join of A against the CDC-applied B — including the
+    fan-out case where one dim update touches several fact rows."""
+    from morphik_core_spark.operators.incremental import (
+        incremental_join_apply_delta_b,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10, "a1"), (2, 10, "a2"), (3, 20, "a3"), (4, 30, "a4"), (5, 40, "a5")],
+        "pk long, fk long, payload string",
+    )
+    b = spark.createDataFrame(
+        [(10, "b-ten"), (20, "b-twenty"), (30, "b-thirty"), (40, "b-forty")],
+        "fk long, b_val string",
+    )
+    joined = a.join(b, "fk").select("fk", "pk", "payload", "b_val")
+    delta_b = spark.createDataFrame(
+        [
+            (10, "b-ten-v2", "U"),   # fans out to pk 1 AND 2
+            (20, None, "D"),          # pk 3 leaves the view
+            (50, "b-fifty", "I"),     # matches nothing
+        ],
+        "fk long, b_val string, op string",
+    )
+    maintained = incremental_join_apply_delta_b(joined, a, delta_b, "fk")
+    b2 = spark.createDataFrame(
+        [(10, "b-ten-v2"), (30, "b-thirty"), (40, "b-forty"), (50, "b-fifty")],
+        "fk long, b_val string",
+    )
+    fresh = a.join(b2, "fk").select("fk", "pk", "payload", "b_val")
+    assert sorted(map(tuple, maintained.collect())) == sorted(map(tuple, fresh.collect()))
+
+
+def test_incremental_join_apply_delta_b_compacts_with_seq(spark):
+    """Multi-op-per-key dimension batches compact (latest seq wins)
+    before the decomposition, same contract as the A-side step."""
+    from morphik_core_spark.operators.incremental import (
+        incremental_join_apply_delta_b,
+    )
+
+    a = spark.createDataFrame([(1, 10, "a1")], "pk long, fk long, payload string")
+    b = spark.createDataFrame([(10, "b-v1")], "fk long, b_val string")
+    joined = a.join(b, "fk").select("fk", "pk", "payload", "b_val")
+    delta_b = spark.createDataFrame(
+        [(10, "b-v2", "U", 1), (10, "b-v3", "U", 2)],
+        "fk long, b_val string, op string, seq long",
+    )
+    maintained = incremental_join_apply_delta_b(joined, a, delta_b, "fk", seq_col="seq")
+    assert [tuple(r) for r in maintained.collect()] == [(10, 1, "a1", "b-v3")]
