@@ -37,6 +37,7 @@ __all__ = [
     "covariance_sums",
     "pca_fit",
     "pca_project",
+    "simplified_silhouette",
     "label_centroids",
     "centroid_confusion",
 ]
@@ -261,3 +262,95 @@ def centroid_confusion(
     return best.groupBy(
         F.col(group_col).alias("true_label"), F.col("_b.cid").alias("assigned_label")
     ).agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+def simplified_silhouette(
+    embeddings: DataFrame,
+    dims: int,
+    group_col: str = "label",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale_bits: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster: for each
+    vector, a = Euclidean distance to its OWN cluster centroid, b = the
+    nearest OTHER centroid, s = (b−a)/max(a,b) — the cluster-quality
+    scalar `centroid_confusion`'s assignment counts stop short of
+    (confusion says WHERE vectors fall; silhouette says how cleanly).
+    The classical silhouette's all-pairs a(i)/b(i) is O(n²) and
+    unusable at corpus scale; the centroid form is the standard O(n·k)
+    restatement and upper-bounds cohesion the same way IVF assignment
+    does.
+
+    Exactness: components quantize to round(x·2^scale_bits) int64 once;
+    per-(group, dim) sums are exact; each centroid component re-
+    quantizes to the 2^(2·scale_bits) grid (one double division +
+    round), so every squared distance is an EXACT int64 (terms ≤
+    (2·2^20)²·dims ≪ 2⁶³) — sqrt and the s ratio are the only floats,
+    one fixed tree per (vector, centroid), s ROUND(·1e6)-quantized
+    before the per-cluster mean.
+
+    Scale: one groupBy for centroids (|groups|·dims numbers →
+    broadcast), one nested-loop broadcast join vector×centroids (the
+    sanctioned sketch-size pattern `centroid_confusion` uses), one
+    min-pair aggregate per vector, one |groups|-row rollup.
+
+    Output per cluster: (group, n_vecs, mean_silhouette), ordered.
+    """
+    mul = float(1 << scale_bits)
+    sums = embeddings.groupBy(group_col).agg(
+        F.expr("count(1) AS _n"),
+        *[
+            F.expr(
+                f"SUM(CAST(round(CAST(`{emb_col}`[{i}] AS DOUBLE) * {mul!r}D) AS BIGINT)) AS _s{i}"
+            )
+            for i in range(dims)
+        ],
+    )
+    cent = sums.selectExpr(
+        f"`{group_col}` AS _cg",
+        *[
+            f"CAST(round(CAST(_s{i} AS DOUBLE) * {mul!r}D / CAST(_n AS DOUBLE)) AS BIGINT) AS _c{i}"
+            for i in range(dims)
+        ],
+    )
+    vec = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        *[
+            F.expr(
+                f"CAST(round(CAST(`{emb_col}`[{i}] AS DOUBLE) * {mul!r}D) AS BIGINT) AS _x{i}"
+            )
+            for i in range(dims)
+        ],
+    )
+    scale_i = 1 << scale_bits
+    d2 = " + ".join(
+        f"(({scale_i} * _x{i} - _c{i}) * ({scale_i} * _x{i} - _c{i}))" for i in range(dims)
+    )
+    pairs = vec.join(F.broadcast(cent)).selectExpr(
+        "_id", "_g", "_cg", f"({d2}) AS _d2"
+    )
+    per_vec = pairs.groupBy("_id", "_g").agg(
+        F.min(F.when(F.col("_cg") == F.col("_g"), F.col("_d2"))).alias("_a2"),
+        F.min(F.when(F.col("_cg") != F.col("_g"), F.col("_d2"))).alias("_b2"),
+    )
+    s_u = (
+        "CAST(ROUND(CASE WHEN greatest(sqrt(CAST(_a2 AS DOUBLE)), sqrt(CAST(_b2 AS DOUBLE))) = 0.0 THEN 0.0 "
+        "ELSE (sqrt(CAST(_b2 AS DOUBLE)) - sqrt(CAST(_a2 AS DOUBLE))) / "
+        "greatest(sqrt(CAST(_a2 AS DOUBLE)), sqrt(CAST(_b2 AS DOUBLE))) END * 1e6) AS BIGINT)"
+    )
+    return (
+        per_vec.selectExpr("_g", f"{s_u} AS _su")
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("_su").alias("_ss"))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.round(
+                F.expr("CAST(_ss AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1e6"), decimals
+            ).alias("mean_silhouette"),
+        )
+        .orderBy(group_col)
+    )

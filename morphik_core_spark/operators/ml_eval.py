@@ -49,6 +49,8 @@ __all__ = [
     "threshold_sweep",
     "isotonic_calibration",
     "mcnemar_test",
+    "rbo_weights",
+    "rank_biased_overlap",
 ]
 
 
@@ -687,4 +689,77 @@ def mcnemar_test(
                 ((diff - 1) * (diff - 1)).cast("double") / disc.cast("double"), decimals
             ),
         ).alias("chi2_cc"),
+    )
+
+
+def rbo_weights(k: int, p: float) -> list[int]:
+    """The truncated-RBO per-entry weights, pico-quantized: an item
+    whose later-of-the-two ranks is m contributes W(m) = Σ_{d=m..k}
+    p^{d−1}/d to the overlap sum. p^{d−1} is built by ITERATIVE IEEE
+    multiplication (never pow — libm pow is not ulp-portable across
+    engines), each W rounds once to integer pico-units, and the list is
+    shared verbatim by the Spark spine and the generated oracle, so
+    both engines reduce identical integers."""
+    pows = [1.0]
+    for _ in range(1, k):
+        pows.append(pows[-1] * p)
+    out = []
+    for m in range(1, k + 1):
+        acc = 0.0
+        for d in range(m, k + 1):
+            acc += pows[d - 1] / d
+        out.append(round(acc * 1e12))
+    return out
+
+
+def rank_biased_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    rank_col: str,
+    k: int = 100,
+    p: float = 0.9,
+    decimals: int = 6,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber, Moffat & Zobel 2010)
+    between two rankings: RBO@k = (1−p) Σ_{d=1..k} p^{d−1} ·
+    |A_d ∩ B_d| / d — the top-weighted agreement measure for comparing
+    result lists (`ranking_metrics` grades ONE list against judgments;
+    RBO compares two lists to each other: dense vs sparse retrieval,
+    this period's top customers vs last period's, pre- vs post-deploy).
+
+    The prefix-intersection telescopes per key: an item ranked r_a and
+    r_b enters every prefix depth d ≥ max(r_a, r_b), so its total
+    contribution is W(max(r_a, r_b)) from :func:`rbo_weights` — one
+    equi-join on the key, one lookup join against the k-row weight
+    spine, one integer sum. No per-depth pass, no window over the
+    corpus; inputs are already-ranked frames (dimension-sized top-k
+    lists by construction).
+
+    Output ONE row: (k, n_overlap, rbo).
+    """
+    spark = a.sparkSession
+    w_u = rbo_weights(int(k), float(p))
+    spine = spark.createDataFrame(
+        [(m + 1, w_u[m]) for m in range(int(k))], "m int, w_u long"
+    )
+    ra = a.filter(F.col(rank_col) <= k).select(
+        F.col(key_col).alias("_k"), F.col(rank_col).cast("int").alias("_ra")
+    )
+    rb = b.filter(F.col(rank_col) <= k).select(
+        F.col(key_col).alias("_k"), F.col(rank_col).cast("int").alias("_rb")
+    )
+    both = ra.join(rb, "_k").select(
+        F.greatest(F.col("_ra"), F.col("_rb")).alias("m")
+    )
+    agg = both.join(F.broadcast(spine), "m").agg(
+        F.count(F.lit(1)).alias("n_overlap"), F.sum("w_u").alias("_s_u")
+    )
+    return agg.select(
+        F.lit(int(k)).cast("bigint").alias("k"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        F.round(
+            F.expr(f"({1.0 - float(p)!r}) * CAST(coalesce(_s_u, 0) AS DOUBLE) / 1e12"),
+            decimals,
+        ).alias("rbo"),
     )

@@ -2449,6 +2449,66 @@ def main() -> None:
 
         report("ivm_join_b", ivm_b, ord1, ord10)
 
+    if "round9b" in ops:
+        # round-9 wave 2: cluster-quality silhouette + two-list RBO
+        from pyspark.sql import Window as W
+
+        from morphik_core_spark.operators.embedding_stats import simplified_silhouette
+        from morphik_core_spark.operators.ml_eval import rank_biased_overlap
+
+        report(
+            "silhouette",
+            lambda em: mat(simplified_silhouette(em, dims=64)),
+            emb1, emb10,
+        )
+
+        ord1b = load_table(spark, "orders", SF_DIR).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        )
+
+        def tile_o(df, name):
+            parts = [
+                df.select(
+                    (F.col("o_orderkey") * 10 + k).alias("o_orderkey"),
+                    # spread custkeys so the ranked leaderboard domain
+                    # grows 10x with the corpus
+                    (F.col("o_custkey") * 10 + k).alias("o_custkey"),
+                    (F.col("o_totalprice") + k * 0.13).alias("o_totalprice"),
+                    "o_orderdate",
+                )
+                for k in range(10)
+            ]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        ord10b = tile_o(ord1b, "r9b_ord10")
+
+        def rbo(o):
+            cut = F.lit("1998-05-01").cast("date")
+
+            def ranked(filtered):
+                rev = filtered.groupBy(F.col("o_custkey").alias("k")).agg(
+                    F.expr(
+                        "CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)"
+                    ).alias("rev")
+                )
+                return rev.select(
+                    "k",
+                    F.row_number()
+                    .over(W.orderBy(F.col("rev").desc(), F.col("k").asc()))
+                    .alias("rnk"),
+                )
+
+            h1 = ranked(o.filter(F.col("o_orderdate") < cut))
+            h2 = ranked(o.filter(F.col("o_orderdate") >= cut))
+            mat(rank_biased_overlap(h1, h2, "k", "rnk", k=100, p=0.9))
+
+        report("rbo_rankings", rbo, ord1b, ord10b)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

@@ -175,6 +175,9 @@ SENSITIVE = [
     "levene_acctbal",
     "ljung_box_daily",
     "ipw_ate_doclen",
+    # quantized-distance sqrt ratios; pico-quantized weight-spine sums
+    "silhouette_labels",
+    "rbo_rankings",
 ]
 
 

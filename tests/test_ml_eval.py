@@ -3,6 +3,8 @@ degenerate classes), calibration bins + ECE, Cohen's kappa."""
 
 from __future__ import annotations
 
+import pytest
+
 from morphik_core_spark.operators.ml_eval import (
     auc_roc,
     calibration_bins,
@@ -299,3 +301,36 @@ def test_mcnemar_undefined_when_no_disagreement(spark):
         spark.createDataFrame(rows, "ka boolean, kb boolean"), "ka", "kb"
     ).collect()
     assert r["chi2_cc"] is None
+
+
+def test_rbo_identical_disjoint_and_hand_case(spark):
+    """Identical top-k lists score 1−p^k exactly; disjoint lists score
+    0; a 3-deep hand case matches the textbook prefix-overlap sum."""
+    from morphik_core_spark.operators.ml_eval import rank_biased_overlap
+
+    a = spark.createDataFrame([(f"k{i}", i) for i in range(1, 101)], "key string, rnk int")
+    out = rank_biased_overlap(a, a, "key", "rnk", k=100, p=0.9).collect()[0]
+    assert out["n_overlap"] == 100
+    assert out["rbo"] == pytest.approx(1.0 - 0.9**100, abs=1e-6)
+
+    b = spark.createDataFrame([(f"x{i}", i) for i in range(1, 101)], "key string, rnk int")
+    out2 = rank_biased_overlap(a, b, "key", "rnk", k=100, p=0.9).collect()[0]
+    assert out2["n_overlap"] == 0 and out2["rbo"] == 0.0
+
+    # k=3: A = [u, v, w], B = [v, u, w] -> overlaps 0/1, 2/2, 3/3
+    la = spark.createDataFrame([("u", 1), ("v", 2), ("w", 3)], "key string, rnk int")
+    lb = spark.createDataFrame([("v", 1), ("u", 2), ("w", 3)], "key string, rnk int")
+    out3 = rank_biased_overlap(la, lb, "key", "rnk", k=3, p=0.9).collect()[0]
+    expect = (1 - 0.9) * (0.9**0 * 0 / 1 + 0.9**1 * 2 / 2 + 0.9**2 * 3 / 3)
+    assert out3["rbo"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_rbo_weights_monotone_and_quantized(spark):
+    """W(m) must be strictly decreasing in m (later entry = less
+    prefix mass) and integer pico-units."""
+    from morphik_core_spark.operators.ml_eval import rbo_weights
+
+    w = rbo_weights(50, 0.9)
+    assert len(w) == 50
+    assert all(isinstance(x, int) for x in w)
+    assert all(w[i] > w[i + 1] for i in range(49))
