@@ -28,6 +28,7 @@ __all__ = [
     "asof_nearest",
     "at_time_padding",
     "interval_point_join",
+    "pit_join",
     "interval_overlap_pairs",
     "peak_concurrency",
     "interval_islands",
@@ -485,3 +486,49 @@ def interval_islands(
         F.max("_hi").alias("island_end"),
         F.count(F.lit(1)).alias("n_intervals"),
     ).drop("_iid")
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join of a fact stream to an SCD2 dimension: each
+    fact row picks the dimension version whose validity interval
+    contains its timestamp (``from ≤ ts < to``, open ``to`` = NULL for
+    the current version) — the warehouse consumer of
+    `sessions.change_intervals`' history reconstruction, and the
+    interval-table sibling of `asof_join_backward` (as-of joins pick
+    the nearest event; PIT joins pick the CONTAINING version, which is
+    the correctness contract for "what did the dimension say when this
+    fact happened").
+
+    Plan shape: Catalyst extracts the key equality as the join key and
+    applies the interval predicate as a post-join filter, so this is a
+    plain shuffled (or AQE-broadcast) equi-join on ``key_col`` — never
+    a cartesian. Versions per key are history-bounded (the SCD2
+    invariant: non-overlapping intervals), so the per-key fan-out is
+    small and at most ONE version survives the filter per fact. For
+    KEYLESS containment (no entity to equi-join on) use
+    :func:`interval_point_join`'s bucket decomposition instead.
+    """
+    d = dim.select(
+        F.col(key_col).alias("_dk"),
+        F.col(from_col).alias("_from"),
+        F.col(to_col).alias("_to"),
+        *[
+            F.col(c)
+            for c in dim.columns
+            if c not in (key_col, from_col, to_col)
+        ],
+    )
+    cond = (
+        (facts[key_col] == d["_dk"])
+        & (facts[ts_col] >= d["_from"])
+        & (d["_to"].isNull() | (facts[ts_col] < d["_to"]))
+    )
+    return facts.join(d, cond, how).drop("_dk", "_from", "_to")

@@ -72,6 +72,7 @@ __all__ = [
     "temporal_split",
     "quality_ensemble",
     "length_matching",
+    "ipf_raking",
 ]
 
 # Gopher-inspired rule thresholds (Rae et al. 2021 A1.1), adapted to the
@@ -1857,3 +1858,84 @@ def boilerplate_profile(
         )
         .orderBy(group_col)
     )
+
+
+def ipf_raking(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    iters: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Iterative proportional fitting (raking, Deming & Stephan 1940):
+    per-(row, col) cell weights that rake the corpus to UNIFORM target
+    marginals on both dimensions — the principled reweighting behind
+    "balance the training mixture by language AND by source
+    simultaneously" that per-dimension resampling (`mixture_sample`)
+    can't do (fixing one marginal un-fixes the other; IPF alternates
+    row and column scalings to the joint fixed point).
+
+    Scale shape: the corpus contributes ONE (row, col) groupBy — cells
+    are bounded by the two vocabularies — and the raking recursion runs
+    driver-side on that bounded cell table (the markov/FS-EM boundary
+    class). Weights are integer micro-units; each multiplicative update
+    is one double tree `w·M / (D·M_dim)` rounded straight back to
+    micro, so the trajectory is bit-reproducible and the unrolled-CTE
+    oracle replays it verbatim.
+
+    Output per cell: (row, col, n_rows, weight, weighted_share),
+    ordered; Σ n·w stays ≈ N (factors renormalize by the total each
+    half-step).
+    """
+    cells = (
+        df.groupBy(
+            F.col(row_col).cast("string").alias("_r"),
+            F.col(col_col).cast("string").alias("_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    rows = sorted(
+        ((r["_r"], r["_c"], int(r["_n"])) for r in cells.collect()),
+        key=lambda t: (t[0], t[1]),
+    )  # bounded: |rows| ≤ |row vocab| × |col vocab|
+    n_r = len({r for r, _, _ in rows})
+    n_c = len({c for _, c, _ in rows})
+    w = {(r, c): 1_000_000 for r, c, _ in rows}
+    for _ in range(int(iters)):
+        for dim, n_dim in ((0, n_r), (1, n_c)):
+            marg: dict[str, int] = {}
+            for r, c, n in rows:
+                k = (r, c)[dim]
+                marg[k] = marg.get(k, 0) + n * w[(r, c)]
+            total = sum(marg.values())
+            for r, c, n in rows:
+                k = (r, c)[dim]
+                # same tree as the oracle: ROUND(w·M / (D·max(M_k,1))),
+                # all operands through double exactly once; the max(,1)
+                # floor keeps a fully-zeroed marginal from dividing by
+                # zero (the FS-EM wsum/lsum guard class)
+                w[(r, c)] = int(round(
+                    float(w[(r, c)]) * float(total)
+                    / (float(n_dim) * float(max(marg[k], 1)))
+                ))
+    total = sum(n * w[(r, c)] for r, c, n in rows)
+    spark = df.sparkSession
+    out_rows = [
+        (
+            r,
+            c,
+            n,
+            round(w[(r, c)] / 1e6, decimals),
+            # float() both operands BEFORE dividing — n·w can pass 2^53,
+            # where Python's exact-int division would diverge from the
+            # oracle's CAST-to-DOUBLE-then-divide
+            round(float(n * w[(r, c)]) / float(total), decimals),
+        )
+        for r, c, n in rows
+    ]
+    out = spark.createDataFrame(
+        out_rows,
+        f"{row_col} string, {col_col} string, n_rows bigint, weight double, "
+        "weighted_share double",
+    )
+    return out.orderBy(row_col, col_col)

@@ -40,6 +40,7 @@ __all__ = [
     "token_entropy",
     "kneser_ney_bigram",
     "textrank_keywords",
+    "heaps_law_fit",
 ]
 
 # compact stopword profiles for the heuristic language scorer
@@ -1093,4 +1094,118 @@ def textrank_keywords(
         ranks.select(F.col("node").alias("term"), "rank_u", "rank")
         .orderBy(F.col("rank_u").desc(), F.col("term").asc())
         .limit(int(top_n))
+    )
+
+
+def heaps_law_fit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoints: int = 10,
+    ngram: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β over cumulative
+    (tokens seen, distinct terms seen) checkpoints — the growth-curve
+    companion to `zipf_slope`'s frequency exponent (the two laws are
+    duals) and the sizing input for "how big does the vocab get at
+    100 TB". β ≈ 0.4-0.6 for natural text; β near 1 flags id-like or
+    synthetic token streams.
+
+    Cumulative-by-prefix without any corpus sort: V(d) = #terms whose
+    FIRST document id ≤ d (one min per term) and T(d) = Σ token counts
+    over doc_id ≤ d — both are conditional sums against ``checkpoints``
+    id cut points at fixed fractions of max(doc_id) (one scalar max,
+    collected — the fs-blocking driver-constant pattern), so the whole
+    fit is two scans + a checkpoint-sized OLS. ln(T), ln(V) quantize to
+    integer micro-units and feed `analytics.grouped_ols`'s exact-moment
+    regression: slope = β, intercept = ln K.
+
+    ``ngram`` > 1 fits the curve over sliding word shingles instead of
+    unigrams — the right unit when the unigram vocabulary saturates
+    (template-heavy corpora) while combinatorial shingle vocab still
+    grows; "tokens processed" is then the shingle count per doc.
+
+    Output ONE row: (n_points, total_tokens, vocab_size, beta, ln_k, r2).
+    """
+    from morphik_core_spark.operators.analytics import grouped_ols
+
+    n = int(ngram)
+    raw = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_d"), F.col(text_col).alias("_txt")
+    )
+    # pre-fan-out (the word_shingles lesson): a single-row-group scan
+    # would serialize the tokenize + shingle explode — the dominant CPU
+    # here — on one task; no-op on well-partitioned inputs
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < par:
+        raw = raw.repartition(par)
+    arr = F.filter(F.split(F.lower(F.col("_txt")), r"\s+"), lambda x: x != "")
+    base = raw.select("_d", arr.alias("_tk"))
+    if n > 1:
+        # sliding shingles WITHOUT a per-element higher-order function:
+        # transform(sequence, i -> concat_ws(...)) interprets per element
+        # (~2-4x the whole stage, measured at sf0.1) — slice + arrays_zip
+        # + explode stay in codegen and the concat runs AFTER the explode
+        # on flat columns. greatest(,0) keeps slice lengths legal even if
+        # Catalyst reorders the projection past the short-doc filter.
+        base = base.filter(F.size("_tk") >= n)
+        zipped = F.arrays_zip(
+            *[
+                F.expr(
+                    f"slice(_tk, {j + 1}, greatest(size(_tk) - {n - 1}, 0))"
+                ).alias(f"w{j}")
+                for j in range(n)
+            ]
+        )
+        toks = base.select("_d", F.explode(zipped).alias("_s")).select(
+            "_d",
+            F.concat_ws(" ", *[F.col(f"_s.w{j}") for j in range(n)]).alias("_t"),
+        )
+        per_doc = base.select(
+            "_d", F.expr(f"greatest(size(_tk) - {n - 1}, 0)").alias("_nt")
+        )
+    else:
+        toks = base.select("_d", F.explode("_tk").alias("_t"))
+        per_doc = base.select("_d", F.size("_tk").alias("_nt"))
+    max_id = int(base.agg(F.max("_d")).collect()[0][0])
+    cuts = [max(1, (max_id * k) // int(checkpoints)) for k in range(1, int(checkpoints) + 1)]
+
+    first_seen = toks.groupBy("_t").agg(F.min("_d").alias("_fs"))
+
+    t_sums = per_doc.agg(
+        *[
+            F.sum(F.when(F.col("_d") <= c, F.col("_nt")).otherwise(F.lit(0))).alias(f"_t{i}")
+            for i, c in enumerate(cuts)
+        ]
+    )
+    v_counts = first_seen.agg(
+        *[
+            F.sum(F.when(F.col("_fs") <= c, F.lit(1)).otherwise(F.lit(0))).alias(f"_v{i}")
+            for i, c in enumerate(cuts)
+        ]
+    )
+    both = t_sums.join(F.broadcast(v_counts))
+    stacked = both.selectExpr(
+        "stack({n}, {pairs}) AS (t, v)".format(
+            n=len(cuts),
+            pairs=", ".join(f"_t{i}, _v{i}" for i in range(len(cuts))),
+        )
+    )
+    pts = stacked.filter((F.col("t") > 0) & (F.col("v") > 0)).select(
+        F.lit("heaps").alias("_g"),
+        F.expr("CAST(ROUND(ln(CAST(t AS DOUBLE)) * 1e6) AS BIGINT)").alias("_x"),
+        F.expr("CAST(ROUND(ln(CAST(v AS DOUBLE)) * 1e6) AS BIGINT)").alias("_y"),
+        F.col("t").cast("bigint").alias("_tt"),
+        F.col("v").cast("bigint").alias("_vv"),
+    )
+    ols = grouped_ols(pts, "_g", "_x", "_y", in_scale=1_000_000, decimals=decimals)
+    tots = pts.agg(F.max("_tt").alias("total_tokens"), F.max("_vv").alias("vocab_size"))
+    return ols.join(F.broadcast(tots)).select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.col("vocab_size").cast("bigint").alias("vocab_size"),
+        F.col("slope").alias("beta"),
+        F.col("intercept").alias("ln_k"),
+        F.col("r2").alias("r2"),
     )

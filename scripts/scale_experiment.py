@@ -2509,6 +2509,60 @@ def main() -> None:
 
         report("rbo_rankings", rbo, ord1b, ord10b)
 
+    if "round9c" in ops:
+        # round-9 wave 3: PIT join, Heaps fit, IPF raking
+        from morphik_core_spark.operators.asof import pit_join
+        from morphik_core_spark.operators.curation import ipf_raking
+        from morphik_core_spark.operators.sessions import change_intervals
+        from morphik_core_spark.operators.text_analysis import heaps_law_fit
+
+        ev1 = load_table(spark, "events", SF_DIR).select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+
+        def tile_e(df, name):
+            parts = [
+                df.select(
+                    (F.col("event_id") * 10 + k).alias("event_id"),
+                    (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+                    # new users per tile: the SCD2 histories multiply
+                    # instead of deepening, matching real growth
+                    (F.col("user_id") * 10 + k).alias("user_id"),
+                    "event_type",
+                )
+                for k in range(10)
+            ]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        ev10 = tile_e(ev1, "r9c_ev10")
+
+        def pit(e):
+            dim = change_intervals(e, "user_id", "ts", "event_id", "event_type").select(
+                "user_id", "event_type", "valid_from", "valid_to"
+            )
+            obs = e.filter(F.col("event_id") % 10 == 7).select(
+                "user_id", (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ots")
+            )
+            j = pit_join(obs, dim, "user_id", "ots")
+            mat(j.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_obs")))
+
+        report("pit_join", pit, ev1, ev10)
+        report(
+            "heaps_law",
+            lambda d: mat(heaps_law_fit(d, ngram=3)),
+            docs1, docs10,
+        )
+        report(
+            "ipf_raking",
+            lambda d: mat(ipf_raking(d, "lang", "source", iters=10)),
+            docs1, docs10,
+        )
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

@@ -137,3 +137,62 @@ def test_asof_directional_window_form_equals_join_form(spark):
             asof.asof_backward(probes, series, key="user_id").collect()}
     assert str(back[1]) == "2024-01-01 10:00:00"
     assert back[3] is None and back[5] is None
+
+
+def test_pit_join_boundaries_and_open_interval(spark):
+    """PIT semantics: ts == valid_from joins the NEW version, ts ==
+    valid_to is excluded (half-open), the open current version catches
+    everything after, and probes before history surface as NULL on a
+    left join."""
+    import datetime
+
+    from morphik_core_spark.operators.asof import pit_join
+
+    t = lambda s: datetime.datetime(2026, 1, s)
+    dim = spark.createDataFrame(
+        [
+            ("u1", "v1", t(1), t(10)),
+            ("u1", "v2", t(10), t(20)),
+            ("u1", "v3", t(20), None),
+        ],
+        "user string, state string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            ("u1", t(5)),    # inside v1
+            ("u1", t(10)),   # boundary -> v2, not v1
+            ("u1", t(25)),   # open interval -> v3
+            ("u1", datetime.datetime(2025, 12, 1)),  # before history -> NULL
+            ("u2", t(5)),    # unknown key -> NULL
+        ],
+        "user string, ts timestamp",
+    )
+    out = pit_join(facts, dim, "user", "ts")
+    got = {(r["user"], r["ts"]): r["state"] for r in out.collect()}
+    assert got[("u1", t(5))] == "v1"
+    assert got[("u1", t(10))] == "v2"
+    assert got[("u1", t(25))] == "v3"
+    assert got[("u1", datetime.datetime(2025, 12, 1))] is None
+    assert got[("u2", t(5))] is None
+    assert out.count() == 5  # exactly one row per probe — intervals don't overlap
+
+
+def test_pit_join_plan_is_equi_join(spark):
+    """Catalyst must extract the key equality — the plan is a hash/merge
+    equi-join with the interval predicate as condition, never a
+    cartesian or a broadcast nested loop over big sides."""
+    import datetime
+
+    from morphik_core_spark.operators.asof import pit_join
+
+    t0 = datetime.datetime(2026, 1, 1)
+    dim = spark.createDataFrame(
+        [(f"u{i}", "s", t0, None) for i in range(200)],
+        "user string, state string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [(f"u{i % 200}", t0) for i in range(1000)], "user string, ts timestamp"
+    )
+    plan = pit_join(facts, dim, "user", "ts")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -525,3 +525,53 @@ def test_boilerplate_profile_partition_invariant(spark):
     a = sorted(map(tuple, boilerplate_profile(df, "doc_id", "text", "source").collect()))
     b = sorted(map(tuple, boilerplate_profile(df.repartition(11), "doc_id", "text", "source").collect()))
     assert a == b
+
+
+def test_ipf_raking_converges_to_uniform_marginals(spark):
+    """After 10 rounds the weighted lang and source marginals must both
+    sit within a small tolerance of uniform, and the weighted mass must
+    renormalize to ~N."""
+    from morphik_core_spark.operators.curation import ipf_raking
+
+    rows = []
+    k = 0
+    for lang, base in (("en", 50), ("de", 20), ("fr", 5)):
+        for src, mult in (("s1", 3), ("s2", 1)):
+            for _ in range(base * mult):
+                rows.append((k, lang, src))
+                k += 1
+    df = spark.createDataFrame(rows, "id long, lang string, source string")
+    out = ipf_raking(df, "lang", "source", iters=10).collect()
+    assert len(out) == 6
+    total = sum(r["n_rows"] * r["weight"] for r in out)
+    by_lang: dict = {}
+    by_src: dict = {}
+    for r in out:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_rows"] * r["weight"]
+        by_src[r["source"]] = by_src.get(r["source"], 0) + r["n_rows"] * r["weight"]
+    for v in by_lang.values():
+        assert abs(v / total - 1 / 3) < 1e-3, by_lang
+    for v in by_src.values():
+        assert abs(v / total - 1 / 2) < 1e-3, by_src
+    # weighted_share column agrees with the recomputed shares
+    for r in out:
+        assert r["weighted_share"] == pytest.approx(
+            r["n_rows"] * r["weight"] / total, abs=1e-4
+        )
+
+
+def test_ipf_raking_empty_arm_does_not_crash(spark):
+    """A single-column corpus (one source) is degenerate on the column
+    dimension — the marginal floor must keep it finite and the row
+    dimension must still balance."""
+    from morphik_core_spark.operators.curation import ipf_raking
+
+    rows = [(i, "en" if i % 4 else "de", "only") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, lang string, source string")
+    out = ipf_raking(df, "lang", "source", iters=10).collect()
+    total = sum(r["n_rows"] * r["weight"] for r in out)
+    by_lang: dict = {}
+    for r in out:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_rows"] * r["weight"]
+    for v in by_lang.values():
+        assert abs(v / total - 0.5) < 1e-3

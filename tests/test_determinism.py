@@ -178,6 +178,10 @@ SENSITIVE = [
     # quantized-distance sqrt ratios; pico-quantized weight-spine sums
     "silhouette_labels",
     "rbo_rankings",
+    # quantized-ln OLS over checkpoint sums; driver-side integer-micro
+    # raking over a collected (hence order-sensitive-if-wrong) cell table
+    "heaps_law",
+    "ipf_mixture",
 ]
 
 

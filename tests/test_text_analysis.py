@@ -302,3 +302,40 @@ def test_textrank_partition_invariant_and_min_len(spark):
     b = [tuple(r) for r in textrank_keywords(df.repartition(9), "text").collect()]
     assert a == b
     assert all(r[0] != "ab" for r in a)
+
+
+def test_heaps_law_fit_recovers_planted_exponent(spark):
+    """A corpus whose vocabulary is CONSTRUCTED to grow as n^0.5 (doc d
+    introduces tokens up to ~sqrt-many distinct ids) must fit beta near
+    the planted exponent with high r2; unigram and trigram paths share
+    the machinery."""
+    from morphik_core_spark.operators.text_analysis import heaps_law_fit
+
+    rows = []
+    tok = 0
+    for d in range(1, 201):
+        # each doc has 20 tokens; distinct ids grow ~ sqrt(total tokens)
+        words = []
+        for j in range(20):
+            tok += 1
+            words.append(f"w{int(tok ** 0.5)}")
+        rows.append((d, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = heaps_law_fit(df, "doc_id", "text").collect()[0]
+    assert out["n_points"] == 10
+    assert 0.35 < out["beta"] < 0.65, out
+    assert out["r2"] > 0.95
+
+
+def test_heaps_law_fit_ngram_counts(spark):
+    """ngram=3 counts sliding shingles: a 5-token doc contributes 3
+    shingle units and short docs drop out entirely."""
+    from morphik_core_spark.operators.text_analysis import heaps_law_fit
+
+    rows = [(1, "a b c d e"), (2, "a b"), (3, "c d e f g")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = heaps_law_fit(df, "doc_id", "text", ngram=3).collect()[0]
+    # doc1: 3 shingles, doc2: dropped, doc3: 3 shingles
+    assert out["total_tokens"] == 6
+    # distinct shingles: abc bcd cde / cde def efg -> 5
+    assert out["vocab_size"] == 5
