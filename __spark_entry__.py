@@ -6176,6 +6176,50 @@ def _ipf_oracle_sql(iters: int = 10) -> str:
         """
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (`validation.table_diff`): diff the
+    orders table against a synthesized later snapshot (every 10th key:
+    0→removed, 1→price+priority changed, 5→custkey changed, 3→new keys
+    added) and roll up (change_type, changed-column set) counts — the
+    audit a migration/backfill runs before cutover, row-level
+    complement of `schema_drift_props`. One full-outer shuffle join on
+    the key; NULL-safe column compares."""
+    from morphik_core_spark.operators.validation import table_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    ten = F.col("o_orderkey") % 10
+    keep = orders.filter((ten != 0) & (ten != 1) & (ten != 5))
+    upd1 = orders.filter(ten == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+        F.concat(F.lit("X-"), F.col("o_orderpriority")).alias("o_orderpriority"),
+    )
+    upd5 = orders.filter(ten == 5).select(
+        "o_orderkey",
+        (F.col("o_custkey") + 1).alias("o_custkey"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    ins = orders.filter(ten == 3).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    snap_b = keep.unionByName(upd1).unionByName(upd5).unionByName(ins)
+    d = table_diff(orders, snap_b, ["o_orderkey"])
+    return (
+        d.groupBy(
+            "change_type", F.array_join("changed_cols", ",").alias("cols")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change_type", "cols")
+    )
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -6481,6 +6525,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_state_lookup": _q_pit_state_lookup,
         "heaps_law": _q_heaps_law,
         "ipf_mixture": _q_ipf_mixture,
+        "snapshot_diff": _q_snapshot_diff,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -13331,6 +13376,48 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
         """,
         "ipf_mixture": _ipf_oracle_sql(10),
+        "snapshot_diff": """
+            WITH a AS (
+                SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+            ),
+            b AS (
+                SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+                FROM a WHERE o_orderkey % 10 NOT IN (0, 1, 5)
+                UNION ALL
+                SELECT o_orderkey, o_custkey,
+                       CAST(o_totalprice AS DOUBLE) * 1.1, 'X-' || o_orderpriority
+                FROM a WHERE o_orderkey % 10 = 1
+                UNION ALL
+                SELECT o_orderkey, o_custkey + 1, o_totalprice, o_orderpriority
+                FROM a WHERE o_orderkey % 10 = 5
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_custkey, o_totalprice, o_orderpriority
+                FROM a WHERE o_orderkey % 10 = 3
+            ),
+            d AS (
+                SELECT
+                    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                         WHEN b.o_orderkey IS NULL THEN 'removed'
+                         WHEN (a.o_custkey IS DISTINCT FROM b.o_custkey)
+                           OR (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+                           OR (a.o_orderpriority IS DISTINCT FROM b.o_orderpriority)
+                         THEN 'changed' ELSE 'unchanged' END AS change_type,
+                    -- COALESCE: DuckDB's array_to_string of an empty
+                    -- list yields NULL, Spark's array_join yields ''
+                    CASE WHEN a.o_orderkey IS NULL OR b.o_orderkey IS NULL THEN ''
+                         ELSE COALESCE(array_to_string(list_filter([
+                                CASE WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
+                                     THEN 'o_custkey' END,
+                                CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                                     THEN 'o_totalprice' END,
+                                CASE WHEN a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+                                     THEN 'o_orderpriority' END
+                              ], x -> x IS NOT NULL), ','), '') END AS cols
+                FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+            )
+            SELECT change_type, cols, CAST(count(*) AS BIGINT) AS n
+            FROM d GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "hill_tail": """
             WITH q AS (
                 SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS x

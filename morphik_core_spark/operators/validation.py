@@ -49,6 +49,7 @@ __all__ = [
     "BENFORD_EXPECTED",
     "dp_noisy_counts",
     "schema_drift",
+    "table_diff",
 ]
 
 
@@ -695,3 +696,76 @@ def schema_drift(
         .alias("status"),
     )
     return out.orderBy("status", "key")
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level reconciliation of two snapshots of the same table:
+    per key, is the row ``added`` (B only), ``removed`` (A only),
+    ``changed`` (present in both, any compared column differs), or
+    ``unchanged`` — with the NAMES of the differing columns. The audit
+    primitive every migration/backfill/CDC pipeline runs before
+    trusting a cutover (`plans/migration` flips stores; this is the
+    check that the flip lost nothing), and the row-level complement of
+    `schema_drift`'s column-profile view.
+
+    Semantics: column comparison is NULL-safe (``IS DISTINCT FROM`` —
+    NULL vs NULL is unchanged, NULL vs value is a change).
+    ``changed_cols`` lists differing columns in declaration order;
+    empty for added/removed/unchanged.
+
+    Scale: ONE full-outer shuffle join on the keys — both sides can be
+    100 TB; everything else is per-row expressions. Aggregate on top
+    for the audit rollup (the `snapshot_diff` query's shape).
+
+    Output: (keys..., change_type, changed_cols array<string>).
+    """
+    keys = list(keys)
+    if compare_cols is None:
+        compare_cols = [c for c in a.columns if c not in keys and c in b.columns]
+    compare_cols = list(compare_cols)
+    la = a.select(
+        *[F.col(k).alias(f"_ka_{k}") for k in keys],
+        *[F.col(c).alias(f"_a_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_a"),
+    )
+    lb = b.select(
+        *[F.col(k).alias(f"_kb_{k}") for k in keys],
+        *[F.col(c).alias(f"_b_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_b"),
+    )
+    cond = None
+    for k in keys:
+        eq = la[f"_ka_{k}"].eqNullSafe(lb[f"_kb_{k}"])
+        cond = eq if cond is None else (cond & eq)
+    j = la.join(lb, cond, "full_outer")
+    diffs = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        )
+    )
+    change = (
+        F.when(F.col("_in_a").isNull(), F.lit("added"))
+        .when(F.col("_in_b").isNull(), F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *[
+            F.coalesce(F.col(f"_ka_{k}"), F.col(f"_kb_{k}")).alias(k)
+            for k in keys
+        ],
+        change.alias("change_type"),
+        F.when(
+            F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull(), diffs
+        ).otherwise(F.array().cast("array<string>")).alias("changed_cols"),
+    )

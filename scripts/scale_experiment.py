@@ -2563,6 +2563,48 @@ def main() -> None:
             docs1, docs10,
         )
 
+        from morphik_core_spark.operators.validation import table_diff
+
+        ord1d = load_table(spark, "orders", SF_DIR).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+
+        def tile_plain(df, name):
+            parts = [
+                df.select(
+                    (F.col("o_orderkey") * 10 + k).alias("o_orderkey"),
+                    "o_custkey",
+                    (F.col("o_totalprice") + k * 0.13).alias("o_totalprice"),
+                    "o_orderpriority",
+                )
+                for k in range(10)
+            ]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        ord10d = tile_plain(ord1d, "r9c_ord10d")
+
+        def diff(o):
+            ten = F.col("o_orderkey") % 10
+            snap_b = (
+                o.filter((ten != 0) & (ten != 1))
+                .unionByName(
+                    o.filter(ten == 1).select(
+                        "o_orderkey", "o_custkey",
+                        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+                        "o_orderpriority",
+                    )
+                )
+            )
+            d = table_diff(o, snap_b, ["o_orderkey"])
+            mat(d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")))
+
+        report("table_diff", diff, ord1d, ord10d)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

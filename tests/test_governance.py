@@ -119,3 +119,48 @@ def test_mmr_rank1_is_top_score_per_query_with_tiebreak(spark):
     assert r1 == {7: 10, 8: 20}
     # query 8 has only one candidate: no rank-2 row for it
     assert [r for r in out if r["q"] == 8 and r["rank"] == 2] == []
+
+
+def test_table_diff_change_types_and_columns(spark):
+    """All four verdicts with NULL-safe column semantics: NULL->NULL is
+    unchanged, NULL->value and value->NULL are changes, and changed_cols
+    lists differing columns in declaration order."""
+    from morphik_core_spark.operators.validation import table_diff
+
+    a = spark.createDataFrame(
+        [
+            (1, "x", 10.0),       # unchanged
+            (2, "y", None),       # changed: v NULL -> value
+            (3, None, 3.0),       # changed: s NULL stays NULL (unchanged col), v changes
+            (4, "gone", 4.0),     # removed
+        ],
+        "k long, s string, v double",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, "x", 10.0),
+            (2, "y", 2.5),
+            (3, None, 3.5),
+            (5, "new", 5.0),      # added
+        ],
+        "k long, s string, v double",
+    )
+    out = {r["k"]: r for r in table_diff(a, b, ["k"]).collect()}
+    assert out[1]["change_type"] == "unchanged" and out[1]["changed_cols"] == []
+    assert out[2]["change_type"] == "changed" and out[2]["changed_cols"] == ["v"]
+    assert out[3]["change_type"] == "changed" and out[3]["changed_cols"] == ["v"]
+    assert out[4]["change_type"] == "removed" and out[4]["changed_cols"] == []
+    assert out[5]["change_type"] == "added" and out[5]["changed_cols"] == []
+
+
+def test_table_diff_multi_column_and_explicit_compare(spark):
+    """Multiple differing columns list in declaration order; restricting
+    compare_cols ignores changes outside it."""
+    from morphik_core_spark.operators.validation import table_diff
+
+    a = spark.createDataFrame([(1, "s1", 1.0, "m1")], "k long, s string, v double, m string")
+    b = spark.createDataFrame([(1, "s2", 2.0, "m2")], "k long, s string, v double, m string")
+    full = table_diff(a, b, ["k"]).collect()[0]
+    assert full["changed_cols"] == ["s", "v", "m"]
+    limited = table_diff(a, b, ["k"], compare_cols=["v"]).collect()[0]
+    assert limited["change_type"] == "changed" and limited["changed_cols"] == ["v"]
