@@ -5410,6 +5410,8 @@ def _fs_pairs_from(cust: DataFrame) -> DataFrame:
     return (
         a.join(b, ["nk", "sb"])
         .select(
+            "a_key",
+            "b_key",
             (F.levenshtein("a_name", "b_name", 2) >= 0).cast("int").alias("g_name"),
             (F.col("a_seg") == F.col("b_seg")).cast("int").alias("g_seg"),
             (F.col("a_bal") == F.col("b_bal")).cast("int").alias("g_bal"),
@@ -6220,6 +6222,53 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_linkage_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-best one-to-one assignment (`dedup.mutual_best_match`)
+    over the shared sub-blocked linkage pairs: score = 4·name + 2·seg +
+    bal agreement, keep pairs where each side is the other's rounded-
+    argmax best — the assignment step that turns `fs_record_linkage`'s
+    match scores into an entity mapping. Emits the audit row
+    (n_matches, n_true, match_precision); truth = same custkey."""
+    from morphik_core_spark.operators.dedup import mutual_best_match
+
+    pairs = _fs_pairs_from(_t(spark, sf_dir, "customer"))
+    scored = pairs.select(
+        "a_key",
+        "b_key",
+        (4 * F.col("g_name") + 2 * F.col("g_seg") + F.col("g_bal")).alias("score"),
+    )
+    m = mutual_best_match(scored, "a_key", "b_key", "score", min_score=1)
+    return m.agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum(F.when(F.col("a_key") == F.col("b_key"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true"),
+        F.round(
+            F.expr(
+                "CAST(SUM(CASE WHEN a_key = b_key THEN 1 ELSE 0 END) AS DOUBLE) "
+                "/ CAST(count(1) AS DOUBLE)"
+            ),
+            6,
+        ).alias("match_precision"),
+    )
+
+
+def _q_embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift (`embedding_stats.embedding_drift`)
+    between the even- and odd-id halves of the embedding table — the
+    retrain monitor for "which class prototypes moved" beside
+    `vocab_drift`'s term-space shift. Exact integer centroids on the
+    2^20 grid; sqrt is the only float."""
+    from morphik_core_spark.operators.embedding_stats import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        dims=64,
+    )
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -6526,6 +6575,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_law": _q_heaps_law,
         "ipf_mixture": _q_ipf_mixture,
         "snapshot_diff": _q_snapshot_diff,
+        "linkage_assignment": _q_linkage_assignment,
+        "embedding_drift_labels": _q_embedding_drift_labels,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -13376,6 +13427,89 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
         """,
         "ipf_mixture": _ipf_oracle_sql(10),
+        "linkage_assignment": """
+            WITH nsub AS (
+                SELECT GREATEST(count(*) // 500, 1) AS nb FROM customer
+            ),
+            a AS (
+                SELECT c_custkey AS a_key, c_nationkey AS nk,
+                       c_custkey % nb AS sb, c_name AS a_name,
+                       c_mktsegment AS a_seg, c_acctbal AS a_bal
+                FROM customer, nsub
+            ),
+            b AS (
+                SELECT c_custkey AS b_key, c_nationkey AS nk,
+                       c_custkey % nb AS sb,
+                       substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT))
+                           || substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2) AS b_name,
+                       CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment || 'X'
+                            ELSE c_mktsegment END AS b_seg,
+                       CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0
+                            ELSE c_acctbal END AS b_bal
+                FROM customer, nsub WHERE c_custkey % 4 = 0
+            ),
+            p AS (
+                SELECT a_key, b_key,
+                       4 * (CASE WHEN levenshtein(a_name, b_name) <= 2 THEN 1 ELSE 0 END)
+                       + 2 * (CASE WHEN a_seg = b_seg THEN 1 ELSE 0 END)
+                       + (CASE WHEN a_bal = b_bal THEN 1 ELSE 0 END) AS score
+                FROM a JOIN b USING (nk, sb)
+            ),
+            f AS (SELECT * FROM p WHERE score >= 1),
+            r AS (
+                SELECT a_key, b_key,
+                       row_number() OVER (PARTITION BY a_key
+                           ORDER BY ROUND(CAST(score AS DOUBLE), 9) DESC, b_key ASC) AS ra,
+                       row_number() OVER (PARTITION BY b_key
+                           ORDER BY ROUND(CAST(score AS DOUBLE), 9) DESC, a_key ASC) AS rb
+                FROM f
+            ),
+            m AS (SELECT a_key, b_key FROM r WHERE ra = 1 AND rb = 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_matches,
+                   CAST(SUM(CASE WHEN a_key = b_key THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+                   ROUND(CAST(SUM(CASE WHEN a_key = b_key THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(count(1) AS DOUBLE), 6) AS match_precision
+            FROM m
+        """,
+        "embedding_drift_labels": """
+            WITH spine AS (SELECT unnest(range(1, 65)) AS i),
+            qa AS (
+                SELECT label, i,
+                       CAST(round(CAST(embedding[i] AS DOUBLE) * 1024.0) AS BIGINT) AS xq
+                FROM embeddings, spine WHERE vec_id % 2 = 0
+            ),
+            qb AS (
+                SELECT label, i,
+                       CAST(round(CAST(embedding[i] AS DOUBLE) * 1024.0) AS BIGINT) AS xq
+                FROM embeddings, spine WHERE vec_id % 2 = 1
+            ),
+            ca AS (
+                SELECT label, i,
+                       CAST(round(CAST(SUM(xq) AS DOUBLE) * 1024.0
+                                  / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cq
+                FROM qa GROUP BY 1, 2
+            ),
+            cb AS (
+                SELECT label, i,
+                       CAST(round(CAST(SUM(xq) AS DOUBLE) * 1024.0
+                                  / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cq
+                FROM qb GROUP BY 1, 2
+            ),
+            na AS (SELECT label, CAST(count(*) AS BIGINT) AS n_a
+                   FROM embeddings WHERE vec_id % 2 = 0 GROUP BY 1),
+            nb AS (SELECT label, CAST(count(*) AS BIGINT) AS n_b
+                   FROM embeddings WHERE vec_id % 2 = 1 GROUP BY 1),
+            shifts AS (
+                SELECT a.label, SUM((a.cq - b.cq) * (a.cq - b.cq)) AS d2
+                FROM ca a JOIN cb b USING (label, i) GROUP BY 1
+            )
+            SELECT label,
+                   COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+                   ROUND(sqrt(CAST(d2 AS DOUBLE)) / 1048576.0, 6) AS centroid_shift
+            FROM na FULL OUTER JOIN nb USING (label)
+            LEFT JOIN shifts USING (label)
+            ORDER BY label
+        """,
         "snapshot_diff": """
             WITH a AS (
                 SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders

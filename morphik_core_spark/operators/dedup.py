@@ -54,6 +54,7 @@ __all__ = [
     "semantic_dedup",
     "golden_record",
     "fellegi_sunter_em",
+    "mutual_best_match",
 ]
 
 # 60-bit hash keeps (a*h30 + b) inside int64 after the 30-bit fold
@@ -1331,3 +1332,41 @@ def fellegi_sunter_em(
     return res.orderBy(
         F.col("weight").desc(), *[F.col(f"gamma_{c}").asc() for c in agree_cols]
     )
+
+
+def mutual_best_match(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    score_col: str,
+    min_score: float | None = None,
+    decimals: int = 9,
+) -> DataFrame:
+    """One-to-one assignment from scored candidate pairs: keep (a, b)
+    where b is a's highest-scoring candidate AND a is b's — the
+    symmetric-argmax assignment step that turns `fellegi_sunter_em`
+    match scores (or any blocker's similarities) into an actual
+    entity mapping. Mutual-best is the standard sub-quadratic stand-in
+    for optimal bipartite matching: one pass, no iterations, and every
+    emitted pair is stable (neither side prefers another candidate).
+
+    Determinism: scores are ROUNDed before the argmax (the
+    rounded-argmax rule) and ties break to the smaller partner key, so
+    the assignment is engine- and partitioning-independent. Windows
+    partition by each side's key — candidate lists are blocking-bounded,
+    never corpus-wide.
+
+    Output: the winning pair rows (all input columns), one per matched
+    entity on each side.
+    """
+    from pyspark.sql import Window
+
+    s = F.round(F.col(score_col).cast("double"), decimals)
+    if min_score is not None:
+        pairs = pairs.filter(F.col(score_col) >= float(min_score))
+    w_a = Window.partitionBy(a_col).orderBy(s.desc(), F.col(b_col).asc())
+    w_b = Window.partitionBy(b_col).orderBy(s.desc(), F.col(a_col).asc())
+    ranked = pairs.withColumn("_ra", F.row_number().over(w_a)).withColumn(
+        "_rb", F.row_number().over(w_b)
+    )
+    return ranked.filter((F.col("_ra") == 1) & (F.col("_rb") == 1)).drop("_ra", "_rb")

@@ -40,6 +40,7 @@ __all__ = [
     "simplified_silhouette",
     "label_centroids",
     "centroid_confusion",
+    "embedding_drift",
 ]
 
 
@@ -351,6 +352,72 @@ def simplified_silhouette(
             F.round(
                 F.expr("CAST(_ss AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1e6"), decimals
             ).alias("mean_silhouette"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def embedding_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    dims: int,
+    group_col: str = "label",
+    emb_col: str = "embedding",
+    scale_bits: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group embedding drift between two snapshots: the Euclidean
+    distance between each group's exact integer centroids — the
+    embedding-space twin of `vocab_drift`'s term-distribution shift and
+    the monitor a retrain pipeline runs when the embedder (or the
+    corpus) changes under a standing index. A group whose prototype
+    moved re-ranks every cached kNN against it; this is the number that
+    says which labels those are.
+
+    Same exactness recipe as `simplified_silhouette`: components
+    quantize once to round(x·2^scale_bits) int64, per-(group, dim) sums
+    are exact, centroids re-quantize to the 2^(2·scale_bits) grid, so
+    the squared shift is an exact int64 and sqrt is the only float.
+    Groups missing on either side emit NULL shift (full-outer join on
+    the group).
+
+    Output: (group, n_a, n_b, centroid_shift), ordered.
+
+    Scale: one groupBy per side producing |groups|·dims numbers; the
+    join is groups-sized.
+    """
+    mul = float(1 << scale_bits)
+    scale2 = float(1 << (2 * scale_bits))
+
+    def cent(df, tag):
+        sums = df.groupBy(group_col).agg(
+            F.expr(f"count(1) AS _n_{tag}"),
+            *[
+                F.expr(
+                    f"SUM(CAST(round(CAST(`{emb_col}`[{i}] AS DOUBLE) * {mul!r}D) AS BIGINT)) AS _s{i}"
+                )
+                for i in range(dims)
+            ],
+        )
+        return sums.selectExpr(
+            f"`{group_col}`",
+            f"_n_{tag}",
+            *[
+                f"CAST(round(CAST(_s{i} AS DOUBLE) * {mul!r}D / CAST(_n_{tag} AS DOUBLE)) AS BIGINT) AS _c{tag}{i}"
+                for i in range(dims)
+            ],
+        )
+
+    ca = cent(emb_a, "a")
+    cb = cent(emb_b, "b")
+    d2 = " + ".join(f"((_ca{i} - _cb{i}) * (_ca{i} - _cb{i}))" for i in range(dims))
+    return (
+        ca.join(cb, group_col, "full_outer")
+        .selectExpr(
+            f"`{group_col}`",
+            "CAST(coalesce(_n_a, 0) AS BIGINT) AS n_a",
+            "CAST(coalesce(_n_b, 0) AS BIGINT) AS n_b",
+            f"ROUND(sqrt(CAST(({d2}) AS DOUBLE)) / {scale2!r}D, {int(decimals)}) AS centroid_shift",
         )
         .orderBy(group_col)
     )

@@ -2605,6 +2605,62 @@ def main() -> None:
 
         report("table_diff", diff, ord1d, ord10d)
 
+        from morphik_core_spark.operators.dedup import mutual_best_match
+        from morphik_core_spark.operators.embedding_stats import embedding_drift
+
+        cust1e = load_table(spark, "customer", SF_DIR).select(
+            "c_custkey", "c_nationkey", "c_name", "c_mktsegment", "c_acctbal"
+        )
+        _cparts = [
+            cust1e.select(
+                (F.col("c_custkey") * 10 + k).alias("c_custkey"),
+                "c_nationkey",
+                F.concat(F.col("c_name"), F.lit(f"#t{k}")).alias("c_name"),
+                "c_mktsegment",
+                (F.col("c_acctbal") + k * 0.07).alias("c_acctbal"),
+            )
+            for k in range(10)
+        ]
+        cust10e = _cparts[0]
+        for _v in _cparts[1:]:
+            cust10e = cust10e.unionByName(_v)
+        _cpth = os.path.join(tmp, "r9c_cust10e")
+        cust10e.write.mode("overwrite").parquet(_cpth)
+        cust10e = spark.read.parquet(_cpth)
+
+        import importlib.util as _ilu2
+
+        _spec2 = _ilu2.spec_from_file_location(
+            "entry_for_scale9c",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "__spark_entry__.py"),
+        )
+        _entry2 = _ilu2.module_from_spec(_spec2)
+        _spec2.loader.exec_module(_entry2)
+
+        def assign(c):
+            pairs = _entry2._fs_pairs_from(c)
+            scored = pairs.select(
+                "a_key", "b_key",
+                (4 * F.col("g_name") + 2 * F.col("g_seg") + F.col("g_bal")).alias("score"),
+            )
+            m = mutual_best_match(scored, "a_key", "b_key", "score", min_score=1)
+            mat(m.agg(F.count(F.lit(1)).alias("n")))
+
+        report("linkage_assignment", assign, cust1e, cust10e)
+
+        emb1e = load_table(spark, "embeddings", SF_DIR)
+        emb10e = emb_10x(emb1e)
+
+        def drift(em):
+            embedding_drift(
+                em.filter(F.col("vec_id") % 2 == 0),
+                em.filter(F.col("vec_id") % 2 == 1),
+                dims=64,
+            ).write.format("noop").mode("overwrite").save()
+
+        report("embedding_drift", drift, emb1e, emb10e)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

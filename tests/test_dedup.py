@@ -512,3 +512,34 @@ def test_fellegi_sunter_em_degenerate_inputs_no_zerodiv(spark):
     lo = spark.createDataFrame([(0, 0, 0)] * 50, "a int, b int, c int")
     out2 = fellegi_sunter_em(lo, ["a", "b", "c"], iters=20).collect()
     assert len(out2) == 1 and out2[0]["n_pairs"] == 50
+
+
+def test_mutual_best_match_stability_and_ties(spark):
+    """Only symmetric argmax pairs survive: a one-sided best is dropped;
+    equal-score ties break to the smaller partner key; min_score gates
+    weak candidates out before ranking."""
+    from morphik_core_spark.operators.dedup import mutual_best_match
+
+    pairs = spark.createDataFrame(
+        [
+            # a1's best is b1 (0.9) and b1's best is a1 -> match
+            (1, 101, 0.9), (1, 102, 0.5),
+            (2, 101, 0.7),          # b101 prefers a1 -> a2 unmatched
+            # tie on 0.8 for a3: partners 103 and 104 -> 103 wins (smaller)
+            (3, 103, 0.8), (3, 104, 0.8),
+            # below min_score -> filtered, a4 has no match
+            (4, 105, 0.1),
+        ],
+        "a long, b long, score double",
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in mutual_best_match(pairs, "a", "b", "score", min_score=0.2).collect()
+    }
+    assert (1, 101) in got
+    assert (3, 103) in got
+    assert all(a != 2 and a != 4 for a, _ in got)
+    # one-to-one: no key repeats on either side
+    a_side = [a for a, _ in got]
+    b_side = [b for _, b in got]
+    assert len(a_side) == len(set(a_side)) and len(b_side) == len(set(b_side))

@@ -182,6 +182,10 @@ SENSITIVE = [
     # raking over a collected (hence order-sensitive-if-wrong) cell table
     "heaps_law",
     "ipf_mixture",
+    # rounded-argmax window ranks feeding a precision ratio; quantized
+    # centroid distances with sqrt at the edge
+    "linkage_assignment",
+    "embedding_drift_labels",
 ]
 
 

@@ -137,3 +137,40 @@ def test_simplified_silhouette_overlapping_clusters_near_zero(spark):
     out = simplified_silhouette(df, dims=2).collect()
     for r in out:
         assert abs(r["mean_silhouette"]) < 0.25, r
+
+
+def test_embedding_drift_hand_values_and_missing_groups(spark):
+    """Shift equals the Euclidean distance between the two snapshots'
+    centroids; groups present on one side only emit NULL shift with
+    zero counts on the missing side."""
+    from morphik_core_spark.operators.embedding_stats import embedding_drift
+
+    a = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], 0), (2, [2.0, 0.0], 0),   # centroid (1, 0)
+            (3, [5.0, 5.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    b = spark.createDataFrame(
+        [
+            (4, [4.0, 4.0], 0), (5, [4.0, 4.0], 0),   # centroid (4, 4)
+            (6, [1.0, 1.0], 2),                        # new group
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["label"]: r for r in embedding_drift(a, b, dims=2).collect()}
+    # shift(0) = dist((1,0),(4,4)) = 5
+    assert out[0]["centroid_shift"] == pytest.approx(5.0, abs=1e-3)
+    assert out[0]["n_a"] == 2 and out[0]["n_b"] == 2
+    assert out[1]["n_b"] == 0 and out[1]["centroid_shift"] is None
+    assert out[2]["n_a"] == 0 and out[2]["centroid_shift"] is None
+
+
+def test_embedding_drift_zero_for_identical_snapshots(spark):
+    from morphik_core_spark.operators.embedding_stats import embedding_drift
+
+    rows = [(i, [float((i * 7) % 5), float((i * 3) % 4)], i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = embedding_drift(df, df, dims=2).collect()
+    assert all(r["centroid_shift"] == 0.0 for r in out)
