@@ -6269,6 +6269,150 @@ def _q_embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mann_whitney_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test (`analytics.mann_whitney_u`): do en and de
+    document lengths come from the same distribution — the two-sample
+    rank test between `ab_test`'s parametric z and `kruskal_doclen`'s
+    k-group H (U is also n₁n₂·(1−AUC)). Pooled grid ranks, exact
+    DECIMAL tie correction, A&S normal tail quantized to 1e-12."""
+    from morphik_core_spark.operators.analytics import mann_whitney_u
+
+    docs = _t(spark, sf_dir, "documents")
+    return mann_whitney_u(docs, "lang", "n_chars", "en", "de")
+
+
+def _q_dunn_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise rank tests (`analytics.dunn_posthoc`)
+    across languages — WHICH pairs differ after `kruskal_doclen` says
+    some do, with Benjamini–Hochberg correction over all pairs (the
+    `fdr_nation_ab` step-up discipline). Pair frame is groups²-bounded;
+    p quantized to integer picounits before the BH ranking."""
+    from morphik_core_spark.operators.analytics import dunn_posthoc
+
+    docs = _t(spark, sf_dir, "documents")
+    return dunn_posthoc(docs, "lang", "n_chars")
+
+
+def _q_overdispersion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion screen (`analytics.overdispersion_screen`) of
+    daily event counts per type: index of dispersion s²/x̄ and the
+    (n−1)·D chi-square statistic — the Poisson sanity check before
+    trusting rate-based monitors (`anomaly_stats`, `cusum_drift`) on a
+    bursty stream. DECIMAL moments over the day-grid frame."""
+    from morphik_core_spark.operators.analytics import overdispersion_screen
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return overdispersion_screen(daily, "event_type", "x")
+
+
+def _mw_oracle_sql() -> str:
+    """Generate the mann_whitney_doclen oracle with the exact z/p
+    expression trees `analytics.mann_whitney_u` builds (shared A&S
+    normal-tail template, tie-corrected variance)."""
+    from morphik_core_spark.operators.analytics import _AS_NORMAL_SF
+
+    u1 = "(CAST(s21 AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)"
+    nn = "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+    var = (
+        f"(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 * "
+        f"(({nn} + 1.0) - CAST(tt AS DOUBLE) / ({nn} * ({nn} - 1.0))))"
+    )
+    z = f"(({u1} - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) / sqrt({var}))"
+    p = f"(2.0 * {_AS_NORMAL_SF.format(z=f'abs({z})')})"
+    return f"""
+            WITH src AS (
+                SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
+                FROM documents WHERE n_chars IS NOT NULL AND lang IN ('en', 'de')
+            ),
+            grid AS (SELECT v, count(*) AS c FROM src GROUP BY 1),
+            rg AS (
+                SELECT v, 2 * (SUM(c) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) - c)
+                          + c + 1 AS r2
+                FROM grid
+            ),
+            rj AS (SELECT s.g, r.r2 FROM src s JOIN rg r ON s.v = r.v),
+            per AS (SELECT g, count(*) AS ng, CAST(sum(r2) AS HUGEINT) AS s2 FROM rj GROUP BY 1),
+            ties AS (SELECT SUM(CAST(c AS HUGEINT) * c * c - c) AS tt FROM grid),
+            agg AS (
+                SELECT SUM(CASE WHEN g = 'en' THEN ng END) AS n1,
+                       SUM(CASE WHEN g = 'de' THEN ng END) AS n2,
+                       SUM(CASE WHEN g = 'en' THEN s2 END) AS s21
+                FROM per
+            )
+            SELECT CAST(n1 AS BIGINT) AS n_left, CAST(n2 AS BIGINT) AS n_right,
+                   ROUND({u1}, 6) AS u_stat,
+                   ROUND({z}, 6) AS z,
+                   ROUND(CAST(CAST(ROUND({p} * 1e12) AS BIGINT) AS DOUBLE) / 1e12, 12) AS p_value
+            FROM agg CROSS JOIN ties
+        """
+
+
+def _dunn_oracle_sql(alpha: float = 0.05) -> str:
+    """Generate the dunn_doclen oracle: pooled grid ranks, pairwise
+    tie-corrected z trees, 1e-12-integer BH step-up — mirroring
+    `analytics.dunn_posthoc` verbatim."""
+    from morphik_core_spark.operators.analytics import _AS_NORMAL_SF
+
+    rbar_l = "(CAST(s2l AS DOUBLE) / 2.0 / CAST(n_left AS DOUBLE))"
+    rbar_r = "(CAST(s2r AS DOUBLE) / 2.0 / CAST(n_right AS DOUBLE))"
+    nd = "CAST(nt AS DOUBLE)"
+    sig2 = (
+        f"(({nd} * ({nd} + 1.0) / 12.0 - CAST(tt AS DOUBLE) / (12.0 * ({nd} - 1.0))) "
+        f"* (1.0 / CAST(n_left AS DOUBLE) + 1.0 / CAST(n_right AS DOUBLE)))"
+    )
+    z = f"(({rbar_l} - {rbar_r}) / sqrt({sig2}))"
+    p = f"(2.0 * {_AS_NORMAL_SF.format(z=f'abs({z})')})"
+    return f"""
+            WITH src AS (
+                SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
+                FROM documents WHERE n_chars IS NOT NULL
+            ),
+            grid AS (SELECT v, count(*) AS c FROM src GROUP BY 1),
+            rg AS (
+                SELECT v, 2 * (SUM(c) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) - c)
+                          + c + 1 AS r2
+                FROM grid
+            ),
+            rj AS (SELECT s.g, r.r2 FROM src s JOIN rg r ON s.v = r.v),
+            per AS (SELECT g, count(*) AS ng, CAST(sum(r2) AS HUGEINT) AS s2 FROM rj GROUP BY 1),
+            tot AS (
+                SELECT (SELECT count(*) FROM rj) AS nt,
+                       (SELECT SUM(CAST(c AS HUGEINT) * c * c - c) FROM grid) AS tt
+            ),
+            pairs AS (
+                SELECT a.g AS g_left, b.g AS g_right,
+                       a.ng AS n_left, b.ng AS n_right,
+                       a.s2 AS s2l, b.s2 AS s2r, nt, tt
+                FROM per a JOIN per b ON a.g < b.g CROSS JOIN tot
+            ),
+            tested AS (
+                SELECT g_left, g_right,
+                       CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+                       ROUND({z}, 6) AS z,
+                       CAST(ROUND({p} * 1e12) AS BIGINT) AS pu
+                FROM pairs
+            ),
+            ranked AS (
+                SELECT *, COUNT(*) OVER () AS m,
+                       CAST(row_number() OVER (ORDER BY pu ASC, g_left ASC, g_right ASC) AS BIGINT) AS p_rank
+                FROM tested
+            ),
+            cut AS (
+                SELECT *, MAX(CASE WHEN pu * m <= p_rank * CAST(ROUND({float(alpha)} * 1e12) AS BIGINT)
+                                   THEN p_rank END) OVER () AS imax
+                FROM ranked
+            )
+            SELECT g_left, g_right, n_left, n_right, z,
+                   ROUND(CAST(pu AS DOUBLE) / 1e12, 12) AS p_value,
+                   p_rank,
+                   COALESCE(p_rank <= imax, FALSE) AS rejected
+            FROM cut ORDER BY p_rank
+        """
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -6577,6 +6721,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "linkage_assignment": _q_linkage_assignment,
         "embedding_drift_labels": _q_embedding_drift_labels,
+        "mann_whitney_doclen": _q_mann_whitney_doclen,
+        "dunn_doclen": _q_dunn_doclen,
+        "overdispersion_daily": _q_overdispersion_daily,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -13427,6 +13574,31 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
         """,
         "ipf_mixture": _ipf_oracle_sql(10),
+        "mann_whitney_doclen": _mw_oracle_sql(),
+        "dunn_doclen": _dunn_oracle_sql(),
+        "overdispersion_daily": """
+            WITH d AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS di,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM events GROUP BY 1, 2
+            ),
+            g AS (
+                SELECT event_type, count(*) AS n,
+                       SUM(CAST(x AS HUGEINT)) AS s,
+                       SUM(CAST(x AS HUGEINT) * x) AS ss
+                FROM d GROUP BY 1 HAVING count(*) > 1
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   ROUND((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS mean,
+                   ROUND((((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                           / (CAST(n AS DOUBLE) - 1.0))
+                          / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS dispersion,
+                   ROUND(((CAST(n AS DOUBLE) - 1.0) *
+                          (((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) - 1.0))
+                           / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS chi2_stat
+            FROM g ORDER BY 1
+        """,
         "linkage_assignment": """
             WITH nsub AS (
                 SELECT GREATEST(count(*) // 500, 1) AS nb FROM customer

@@ -90,6 +90,9 @@ __all__ = [
     "levene_test",
     "ljung_box",
     "ipw_ate",
+    "mann_whitney_u",
+    "dunn_posthoc",
+    "overdispersion_screen",
 ]
 
 
@@ -4514,3 +4517,251 @@ def ipw_ate(
             decimals,
         ).alias("att"),
     )
+
+
+def _grid_ranked_rows(
+    df: DataFrame, group_col: str, val_col: str, value_scale: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared pooled-rank plumbing for the rank-test family
+    (`mann_whitney_u`, `dunn_posthoc`; `kruskal_wallis` predates it):
+    returns (rows with DOUBLED average tie ranks ``_r2``, the value grid
+    with counts ``_c``) — rank_avg from the value grid alone, bucketed
+    hierarchical prefix, no corpus sort (the spearman_corr recipe)."""
+    q = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    rows = df.filter(F.col(val_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("_g"), q.alias("_v")
+    )
+    grid = rows.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    grid = grid.withColumn(
+        "_bkt", F.expr("CAST(floor(CAST(_v AS DOUBLE) / 1048576.0) AS BIGINT)")
+    )
+    bsum = grid.groupBy("_bkt").agg(F.sum("_c").alias("_bc"))
+    w_b = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bprev = bsum.select("_bkt", (F.sum("_bc").over(w_b) - F.col("_bc")).alias("_before_b"))
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked_grid = (
+        grid.withColumn("_before_in", F.sum("_c").over(w_in) - F.col("_c"))
+        .join(bprev, "_bkt")
+        .select(
+            F.col("_v").alias("_gv"),
+            (2 * (F.col("_before_b") + F.col("_before_in")) + F.col("_c") + 1).alias("_r2"),
+        )
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if rows.rdd.getNumPartitions() < par:
+        rows = rows.repartition(par)
+    joined = rows.join(ranked_grid, rows["_v"] == ranked_grid["_gv"]).select("_g", "_r2")
+    return joined, grid.select("_v", "_c")
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    left_value: str,
+    right_value: str,
+    value_scale: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Mann–Whitney U test (Wilcoxon rank-sum) of ``left_value`` vs
+    ``right_value`` — the nonparametric two-sample location test between
+    `ab_test`'s parametric z and `kruskal_wallis`'s k-group H (K-W with
+    k=2 is this test; the U statistic is also n₁n₂·(1−AUC), tying it to
+    `auc_score`). Normal approximation with the standard tie-corrected
+    variance:
+
+        U₁ = R₁ − n₁(n₁+1)/2
+        σ² = n₁n₂/12 · ((N+1) − ΣT/(N(N−1))),  T = Σ(t³−t)
+
+    Exactness: ranks from the pooled value grid (doubled — integers),
+    R₁ and the tie term are exact DECIMAL sums, z is ONE double tree,
+    and the two-sided p comes from the shared Abramowitz–Stegun tail
+    quantized to 1e-12 before reporting. One grid groupBy + one
+    grid→row join + a 2-row reduction.
+
+    Output ONE row: (n_left, n_right, u_stat, z, p_value).
+    """
+    dec = "decimal(38,0)"
+    filtered = df.filter(
+        F.col(group_col).cast("string").isin([str(left_value), str(right_value)])
+    )
+    joined, grid = _grid_ranked_rows(filtered, group_col, val_col, value_scale)
+    per_g = joined.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_ng"), F.sum(F.col("_r2").cast(dec)).alias("_s2")
+    )
+    ties = grid.agg(
+        F.sum(
+            F.col("_c").cast(dec) * F.col("_c") * F.col("_c") - F.col("_c").cast(dec)
+        ).alias("_tt")
+    )
+    agg = (
+        per_g.agg(
+            F.sum(F.when(F.col("_g") == str(left_value), F.col("_ng"))).alias("n1"),
+            F.sum(F.when(F.col("_g") == str(right_value), F.col("_ng"))).alias("n2"),
+            F.sum(F.when(F.col("_g") == str(left_value), F.col("_s2"))).alias("_s21"),
+        )
+        .join(F.broadcast(ties))
+    )
+    # U1 = R1 - n1(n1+1)/2 with R1 = S2/2 (doubled ranks)
+    u1 = (
+        "(CAST(_s21 AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)"
+    )
+    nn = "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+    var = (
+        f"(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 * "
+        f"(({nn} + 1.0) - CAST(_tt AS DOUBLE) / ({nn} * ({nn} - 1.0))))"
+    )
+    z = f"(({u1} - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) / sqrt({var}))"
+    p_two = f"(2.0 * {_AS_NORMAL_SF.format(z=f'abs({z})')})"
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_left"),
+        F.col("n2").cast("bigint").alias("n_right"),
+        F.round(F.expr(u1), decimals).alias("u_stat"),
+        F.round(F.expr(z), decimals).alias("z"),
+        F.round(
+            F.expr(f"CAST(ROUND({p_two} * 1e12) AS BIGINT)").cast("double") / F.lit(1e12),
+            12,
+        ).alias("p_value"),
+    )
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    alpha: float = 0.05,
+    value_scale: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Dunn's post-hoc test: which PAIRS of groups differ, after
+    `kruskal_wallis` says "some do" — pairwise mean-rank z statistics
+    on the pooled ranks with the tie-corrected variance
+
+        z_ij = (R̄_i − R̄_j) / sqrt((N(N+1)/12 − ΣT/(12(N−1))) (1/n_i + 1/n_j))
+
+    and Benjamini–Hochberg correction across all k(k−2)/2… pairs (the
+    `bh_fdr` step-up rule — testing 10 groups is 45 hypotheses; report
+    them honestly).
+
+    Exactness: per-group rank sums are exact DECIMAL over doubled grid
+    ranks; every z is one double tree; p quantizes to 1e-12 integers
+    BEFORE the BH ranking so the step-up is integer-deterministic.
+    The pair frame is groups², bounded by the vocabulary.
+
+    Output per pair (g_left < g_right): (g_left, g_right, n_left,
+    n_right, z, p_value, p_rank, rejected), ordered by p_rank.
+    """
+    dec = "decimal(38,0)"
+    joined, grid = _grid_ranked_rows(df, group_col, val_col, value_scale)
+    per_g = joined.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_ng"), F.sum(F.col("_r2").cast(dec)).alias("_s2")
+    )
+    tot = joined.agg(F.count(F.lit(1)).alias("_n")).join(
+        F.broadcast(
+            grid.agg(
+                F.sum(
+                    F.col("_c").cast(dec) * F.col("_c") * F.col("_c")
+                    - F.col("_c").cast(dec)
+                ).alias("_tt")
+            )
+        )
+    )
+    a = per_g.select(
+        F.col("_g").alias("g_left"), F.col("_ng").alias("n_left"), F.col("_s2").alias("_s2l")
+    )
+    b = per_g.select(
+        F.col("_g").alias("g_right"), F.col("_ng").alias("n_right"), F.col("_s2").alias("_s2r")
+    )
+    pairs = a.join(b, F.col("g_left") < F.col("g_right")).join(F.broadcast(tot))
+    # mean ranks from doubled sums: Ri = S2/(2 n)
+    rbar_l = "(CAST(_s2l AS DOUBLE) / 2.0 / CAST(n_left AS DOUBLE))"
+    rbar_r = "(CAST(_s2r AS DOUBLE) / 2.0 / CAST(n_right AS DOUBLE))"
+    nd = "CAST(_n AS DOUBLE)"
+    sig2 = (
+        f"(({nd} * ({nd} + 1.0) / 12.0 - CAST(_tt AS DOUBLE) / (12.0 * ({nd} - 1.0))) "
+        f"* (1.0 / CAST(n_left AS DOUBLE) + 1.0 / CAST(n_right AS DOUBLE)))"
+    )
+    z = f"(({rbar_l} - {rbar_r}) / sqrt({sig2}))"
+    p_two = f"(2.0 * {_AS_NORMAL_SF.format(z=f'abs({z})')})"
+    tested = pairs.select(
+        "g_left",
+        "g_right",
+        F.col("n_left").cast("bigint").alias("n_left"),
+        F.col("n_right").cast("bigint").alias("n_right"),
+        F.round(F.expr(z), decimals).alias("z"),
+        F.expr(f"CAST(ROUND({p_two} * 1e12) AS BIGINT)").alias("_pu"),
+    )
+    m_w = Window.orderBy(F.lit(1))
+    rank_w = Window.orderBy(F.col("_pu").asc(), F.col("g_left").asc(), F.col("g_right").asc())
+    ranked = tested.withColumn("_m", F.count(F.lit(1)).over(m_w)).withColumn(
+        "p_rank", F.row_number().over(rank_w).cast("bigint")
+    )
+    ok = (
+        F.col("_pu") * F.col("_m")
+        <= F.expr(f"CAST(p_rank * ROUND({float(alpha)} * 1e12) AS BIGINT)")
+    ).cast("int")
+    ranked = ranked.withColumn(
+        "_imax", F.max(F.when(ok == 1, F.col("p_rank"))).over(Window.orderBy(F.lit(1)))
+    )
+    return ranked.select(
+        "g_left",
+        "g_right",
+        "n_left",
+        "n_right",
+        "z",
+        F.round(F.col("_pu").cast("double") / F.lit(1e12), 12).alias("p_value"),
+        "p_rank",
+        F.coalesce(F.col("p_rank") <= F.col("_imax"), F.lit(False)).alias("rejected"),
+    ).orderBy("p_rank")
+
+
+def overdispersion_screen(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Overdispersion screen for count data: per group, the index of
+    dispersion D = s²/x̄ and the chi-square-distributed statistic
+    (n−1)·D — Poisson counts have D ≈ 1; D ≫ 1 (clumping/bursts) is the
+    signal that a Poisson-assuming monitor (`anomaly_stats`' z-bands,
+    rate alerts) will over-fire. The routine pre-check before trusting
+    any count model on event streams.
+
+    Exactness: integer counts, DECIMAL(38,0) (n, Σx, Σx²) moments, D
+    and the statistic are single double trees per group. One combinable
+    groupBy — group-count-sized output.
+
+    Output per group: (group, n, mean, dispersion, chi2_stat), ordered.
+    """
+    dec = "decimal(38,0)"
+    g = (
+        df.filter(F.col(val_col).isNotNull())
+        .select(F.col(group_col).cast("string").alias("_g"), F.col(val_col).cast("bigint").alias("_x"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_x").cast(dec)).alias("_s"),
+            F.sum(F.col("_x").cast(dec) * F.col("_x")).alias("_ss"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    mean = "(CAST(_s AS DOUBLE) / CAST(n AS DOUBLE))"
+    var = (
+        "((CAST(_ss AS DOUBLE) - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) - 1.0))"
+    )
+    disp = f"({var} / {mean})"
+    return g.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.expr(mean), decimals).alias("mean"),
+        F.round(F.expr(disp), decimals).alias("dispersion"),
+        F.round(F.expr(f"(CAST(n AS DOUBLE) - 1.0) * {disp}"), decimals).alias("chi2_stat"),
+    ).orderBy(group_col)

@@ -2661,6 +2661,53 @@ def main() -> None:
 
         report("embedding_drift", drift, emb1e, emb10e)
 
+    if "round9d" in ops:
+        # round-9 wave 4: rank-test family + dispersion screen
+        from morphik_core_spark.operators.analytics import (
+            dunn_posthoc,
+            mann_whitney_u,
+            overdispersion_screen,
+        )
+
+        report(
+            "mann_whitney",
+            lambda d: mat(mann_whitney_u(d, "lang", "n_chars", "en", "de")),
+            docs1, docs10,
+        )
+        report(
+            "dunn_posthoc",
+            lambda d: mat(dunn_posthoc(d, "lang", "n_chars")),
+            docs1, docs10,
+        )
+
+        ev1f = load_table(spark, "events", SF_DIR).select("event_id", "ts", "event_type")
+
+        def tile_f(df, name):
+            parts = [
+                df.select(
+                    (F.col("event_id") * 10 + k).alias("event_id"),
+                    (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+                    "event_type",
+                )
+                for k in range(10)
+            ]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        ev10f = tile_f(ev1f, "r9d_ev10")
+
+        def over(e):
+            daily = e.groupBy(
+                "event_type", F.expr("unix_micros(ts) div 86400000000").alias("di")
+            ).agg(F.count(F.lit(1)).alias("x"))
+            mat(overdispersion_screen(daily, "event_type", "x"))
+
+        report("overdispersion", over, ev1f, ev10f)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

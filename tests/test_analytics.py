@@ -1476,3 +1476,79 @@ def test_ipw_ate_equals_stratified_estimator(spark):
     att = (2 * 3.0 + 1 * 2.0) / 3
     assert out["ate"] == pytest.approx(ate, abs=1e-5)
     assert out["att"] == pytest.approx(att, abs=1e-5)
+
+
+def test_mann_whitney_hand_values(spark):
+    """No-ties case against the textbook computation; the sign of z
+    follows the left group's rank mass."""
+    from morphik_core_spark.operators.analytics import mann_whitney_u
+
+    ga = [1.0, 2.0, 3.0, 4.0]          # ranks 1..4 -> R1=10, U1=0
+    gb = [5.0, 6.0, 7.0, 8.0, 9.0]     # clearly larger
+    rows = [("a", v) for v in ga] + [("b", v) for v in gb]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert out["n_left"] == 4 and out["n_right"] == 5
+    assert out["u_stat"] == 0.0         # total separation, left below
+    n1, n2, n = 4, 5, 9
+    z = (0 - n1 * n2 / 2) / ((n1 * n2 / 12 * (n + 1)) ** 0.5)
+    assert out["z"] == pytest.approx(z, abs=1e-5)
+    assert out["p_value"] < 0.05
+
+
+def test_mann_whitney_symmetric_null(spark):
+    """Identical distributions: U ≈ n1n2/2, z ≈ 0, p near 1."""
+    from morphik_core_spark.operators.analytics import mann_whitney_u
+
+    rows = [("a", float(i % 10)) for i in range(50)] + [
+        ("b", float(i % 10)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert out["u_stat"] == pytest.approx(50 * 50 / 2, abs=1e-6)
+    assert abs(out["z"]) < 1e-9 and out["p_value"] > 0.99
+
+
+def test_dunn_posthoc_identifies_shifted_group(spark):
+    """Three groups, one clearly shifted: both pairs involving it reject
+    under BH, the null pair does not; z matches the hand formula on the
+    no-ties fixture."""
+    from morphik_core_spark.operators.analytics import dunn_posthoc
+
+    rows = (
+        [("a", float(i)) for i in range(1, 21)]
+        + [("b", float(i) + 0.5) for i in range(1, 21)]      # interleaved with a
+        + [("c", float(i + 100)) for i in range(1, 21)]      # shifted far
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    # value_scale=10: the 0.5 interleave offsets must survive quantization
+    out = {
+        (r["g_left"], r["g_right"]): r
+        for r in dunn_posthoc(df, "g", "v", value_scale=10).collect()
+    }
+    assert out[("a", "c")]["rejected"] and out[("b", "c")]["rejected"]
+    assert not out[("a", "b")]["rejected"]
+    # no ties: sigma2 = (N(N+1)/12)(1/20+1/20), rbar diff from construction
+    n = 60
+    rbar_a = sum(range(1, 40, 2)) / 20      # a takes odd pooled ranks 1,3,..39
+    rbar_b = sum(range(2, 41, 2)) / 20
+    sig = ((n * (n + 1) / 12.0) * (2 / 20.0)) ** 0.5
+    assert out[("a", "b")]["z"] == pytest.approx((rbar_a - rbar_b) / sig, abs=1e-5)
+
+
+def test_overdispersion_screen_poisson_vs_bursty(spark):
+    """A near-constant series sits at D << 1... (underdispersed), a
+    bursty series D >> 1; exact moments match the direct computation."""
+    from morphik_core_spark.operators.analytics import overdispersion_screen
+
+    flat = [("flat", 10)] * 20                      # zero variance
+    bursty = [("bursty", 1)] * 18 + [("bursty", 100)] * 2
+    df = spark.createDataFrame(flat + bursty, "g string, x int")
+    out = {r["g"]: r for r in overdispersion_screen(df, "g", "x").collect()}
+    assert out["flat"]["dispersion"] == 0.0
+    xs = [1] * 18 + [100] * 2
+    m = sum(xs) / 20
+    var = sum((x - m) ** 2 for x in xs) / 19
+    assert out["bursty"]["dispersion"] == pytest.approx(var / m, abs=1e-4)
+    assert out["bursty"]["chi2_stat"] == pytest.approx(19 * var / m, abs=1e-3)
+    assert out["bursty"]["dispersion"] > 10

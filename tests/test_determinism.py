@@ -186,6 +186,11 @@ SENSITIVE = [
     # centroid distances with sqrt at the edge
     "linkage_assignment",
     "embedding_drift_labels",
+    # rank-test family: grid ranks + A&S tails, pico-quantized p before
+    # BH; dispersion ratios over DECIMAL moments
+    "mann_whitney_doclen",
+    "dunn_doclen",
+    "overdispersion_daily",
 ]
 
 
