@@ -93,6 +93,8 @@ __all__ = [
     "mann_whitney_u",
     "dunn_posthoc",
     "overdispersion_screen",
+    "cross_correlation",
+    "seasonal_strength",
 ]
 
 
@@ -4765,3 +4767,155 @@ def overdispersion_screen(
         F.round(F.expr(disp), decimals).alias("dispersion"),
         F.round(F.expr(f"(CAST(n AS DOUBLE) - 1.0) * {disp}"), decimals).alias("chi2_stat"),
     ).orderBy(group_col)
+
+
+def cross_correlation(
+    series: DataFrame,
+    idx_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """Sample cross-correlation between two integer-indexed series at
+    lags −``max_lag``..+``max_lag`` — the lead/lag screen
+    `autocorrelation` can't give (does signups' volume LEAD purchases'
+    by two days, or trail it?):
+
+        ccf(k) = Σ_t (x_t − x̄)(y_{t+k} − ȳ) / sqrt(Σ(x−x̄)² Σ(y−ȳ)²)
+
+    Positive k: x leads y by k. Exactness is the ACF recipe doubled:
+    deviations are the exact integers n·v − S per series, products
+    accumulate in DECIMAL(38,0), the n² factors cancel, and each ccf is
+    one double division (sqrt of exact sums) rounded once. Pairs drop
+    at gaps; denominators stay full-series (the ACF convention).
+
+    Scale: the input is an already-aggregated series frame; lags fan
+    out via a (2m+1)-row spine and one shifted-index equi-join.
+
+    Output: (lag, n_pairs, ccf), ordered by lag.
+    """
+    dec = "decimal(38,0)"
+    base = series.select(
+        F.col(idx_col).cast("bigint").alias("_i"),
+        F.col(x_col).cast("bigint").alias("_x"),
+        F.col(y_col).cast("bigint").alias("_y"),
+    )
+    glob = base.agg(
+        F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"), F.count(F.lit(1)).alias("_n")
+    )
+    dev = base.join(F.broadcast(glob)).select(
+        "_i",
+        (F.col("_n") * F.col("_x") - F.col("_sx")).alias("_dx"),
+        (F.col("_n") * F.col("_y") - F.col("_sy")).alias("_dy"),
+    )
+    den = dev.agg(
+        F.sum(F.col("_dx").cast(dec) * F.col("_dx")).alias("_dxx"),
+        F.sum(F.col("_dy").cast(dec) * F.col("_dy")).alias("_dyy"),
+    )
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(-int(max_lag), int(max_lag) + 1)])
+    ).alias("lag")
+    left = dev.select(lags, "_i", "_dx").withColumn("_j", F.col("_i") + F.col("lag"))
+    pairs = left.join(dev.select(F.col("_i").alias("_j"), "_dy"), "_j")
+    num = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("_dx").cast(dec) * F.col("_dy")).alias("_num"),
+    )
+    return (
+        num.join(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(
+                F.expr(
+                    "CAST(_num AS DOUBLE) / sqrt(CAST(_dxx AS DOUBLE) * CAST(_dyy AS DOUBLE))"
+                ),
+                decimals,
+            ).alias("ccf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def seasonal_strength(
+    decomposed: DataFrame,
+    trend_col: str = "trend",
+    seasonal_col: str = "seasonal",
+    residual_col: str = "residual",
+    decimals: int = 6,
+) -> DataFrame:
+    """Hyndman's STL strength scalars over a `seasonal_decompose`
+    output: F_T = max(0, 1 − Var(R)/Var(T+R)) and
+    F_S = max(0, 1 − Var(R)/Var(S+R)) — the one-number answers to "is
+    this series trend-dominated, season-dominated, or noise" that the
+    full decomposition table is too wide to skim for. Rows without a
+    full trend window (the decompose's honest edges) drop.
+
+    Exactness: the decompose's components are already ROUND(6) values,
+    i.e. exact points on the 1e-6 grid — re-quantizing to micro int64
+    is lossless, so all moments are exact DECIMAL sums and each
+    strength is one double tree. One combinable scan.
+
+    Output ONE row: (n, trend_strength, seasonal_strength).
+    """
+    dec = "decimal(38,0)"
+    rows = decomposed.filter(
+        F.col(trend_col).isNotNull() & F.col(residual_col).isNotNull()
+    ).select(
+        F.expr(f"CAST(ROUND(CAST({residual_col} AS DOUBLE) * 1e6) AS BIGINT)").alias("_r"),
+        F.expr(
+            f"CAST(ROUND(CAST({trend_col} AS DOUBLE) * 1e6) AS BIGINT) "
+            f"+ CAST(ROUND(CAST({residual_col} AS DOUBLE) * 1e6) AS BIGINT)"
+        ).alias("_tr"),
+        F.expr(
+            f"CAST(ROUND(CAST({seasonal_col} AS DOUBLE) * 1e6) AS BIGINT) "
+            f"+ CAST(ROUND(CAST({residual_col} AS DOUBLE) * 1e6) AS BIGINT)"
+        ).alias("_sr"),
+    )
+    # min-center each component first (the series frame is dimension-
+    # sized, so the extra pass is free): micro trend levels sit near
+    # 1e8, and the one-pass q - s^2/n form cancels catastrophically in
+    # the double domain there — a constant component would read as
+    # nonzero variance. Shifting by the min is variance-neutral and
+    # keeps the moments small and exact.
+    mins = rows.agg(
+        F.min("_r").alias("_m_r"), F.min("_tr").alias("_m_tr"), F.min("_sr").alias("_m_sr")
+    )
+    rows = rows.join(F.broadcast(mins)).select(
+        (F.col("_r") - F.col("_m_r")).alias("_r"),
+        (F.col("_tr") - F.col("_m_tr")).alias("_tr"),
+        (F.col("_sr") - F.col("_m_sr")).alias("_sr"),
+    )
+    m = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_r").cast(dec)).alias("_s_r"),
+        F.sum(F.col("_r").cast(dec) * F.col("_r")).alias("_q_r"),
+        F.sum(F.col("_tr").cast(dec)).alias("_s_tr"),
+        F.sum(F.col("_tr").cast(dec) * F.col("_tr")).alias("_q_tr"),
+        F.sum(F.col("_sr").cast(dec)).alias("_s_sr"),
+        F.sum(F.col("_sr").cast(dec) * F.col("_sr")).alias("_q_sr"),
+    )
+
+    def var(q, s):
+        return (
+            f"(CAST({q} AS DOUBLE) - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE) "
+            f"/ CAST(n AS DOUBLE))"
+        )
+
+    # a zero-variance component (deterministic series) has nothing to
+    # explain: strength 0 by convention, and the guard keeps ANSI
+    # division happy on degenerate inputs
+    ft = (
+        f"CASE WHEN {var('_q_tr', '_s_tr')} <= 0.0 THEN 0.0 "
+        f"ELSE greatest(0.0, 1.0 - {var('_q_r', '_s_r')} / {var('_q_tr', '_s_tr')}) END"
+    )
+    fs = (
+        f"CASE WHEN {var('_q_sr', '_s_sr')} <= 0.0 THEN 0.0 "
+        f"ELSE greatest(0.0, 1.0 - {var('_q_r', '_s_r')} / {var('_q_sr', '_s_sr')}) END"
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.expr(ft), decimals).alias("trend_strength"),
+        F.round(F.expr(fs), decimals).alias("seasonal_strength"),
+    )

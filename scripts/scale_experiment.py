@@ -2708,6 +2708,32 @@ def main() -> None:
 
         report("overdispersion", over, ev1f, ev10f)
 
+        from morphik_core_spark.operators.analytics import (
+            cross_correlation,
+            seasonal_decompose,
+            seasonal_strength,
+        )
+
+        def ccf(e):
+            di = F.expr("unix_micros(ts) div 86400000000").alias("di")
+            dx = e.filter(F.col("event_type") == "view").groupBy(di).agg(
+                F.count(F.lit(1)).alias("x")
+            )
+            dy = e.filter(F.col("event_type") == "purchase").groupBy(di).agg(
+                F.count(F.lit(1)).alias("y")
+            )
+            mat(cross_correlation(dx.join(dy, "di"), "di", "x", "y", max_lag=7))
+
+        report("cross_correlation", ccf, ev1f, ev10f)
+
+        def sstr(e):
+            daily = e.groupBy(
+                F.expr("unix_micros(ts) div 86400000000").alias("di")
+            ).agg(F.count(F.lit(1)).alias("x"))
+            mat(seasonal_strength(seasonal_decompose(daily, "di", "x", period=7)))
+
+        report("seasonal_strength", sstr, ev1f, ev10f)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

@@ -1552,3 +1552,53 @@ def test_overdispersion_screen_poisson_vs_bursty(spark):
     assert out["bursty"]["dispersion"] == pytest.approx(var / m, abs=1e-4)
     assert out["bursty"]["chi2_stat"] == pytest.approx(19 * var / m, abs=1e-3)
     assert out["bursty"]["dispersion"] > 10
+
+
+def test_cross_correlation_detects_planted_lag(spark):
+    """y is x shifted by +2 with noise-free copy: ccf must peak at
+    lag=+2 with value ~1, and equal the ACF identity when y == x."""
+    from morphik_core_spark.operators.analytics import cross_correlation
+
+    xs = [(i, (i * 13) % 23) for i in range(60)]
+    rows = [(i, x, xs[i - 2][1] if i >= 2 else 0) for i, x in xs]
+    df = spark.createDataFrame(rows, "i int, x int, y int")
+    out = {r["lag"]: r["ccf"] for r in cross_correlation(df, "i", "x", "y", 4).collect()}
+    assert out[2] == max(out.values())
+    assert out[2] > 0.9
+
+    same = spark.createDataFrame(xs, "i int, v int")
+    both = same.select("i", F.col("v").alias("x"), F.col("v").alias("y"))
+    out0 = {r["lag"]: r["ccf"] for r in cross_correlation(both, "i", "x", "y", 2).collect()}
+    assert out0[0] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cross_correlation_asymmetric_lags(spark):
+    """ccf(k) for x-leads-y is NOT ccf(-k): the two directions use
+    different pairings and must differ on an asymmetric series."""
+    from morphik_core_spark.operators.analytics import cross_correlation
+
+    rows = [(i, (i * 7) % 13, ((i + 1) * 11) % 17) for i in range(50)]
+    df = spark.createDataFrame(rows, "i int, x int, y int")
+    out = {r["lag"]: r["ccf"] for r in cross_correlation(df, "i", "x", "y", 3).collect()}
+    assert len(out) == 7
+    assert any(abs(out[k] - out[-k]) > 1e-9 for k in (1, 2, 3))
+
+
+def test_seasonal_strength_separates_shapes(spark):
+    """A strongly weekly series scores high seasonal strength and low
+    trend strength; a pure linear ramp scores the reverse."""
+    from morphik_core_spark.operators.analytics import (
+        seasonal_decompose,
+        seasonal_strength,
+    )
+
+    weekly = [(i, 100 + 50 * (1 if i % 7 in (0, 1) else 0)) for i in range(56)]
+    df_w = spark.createDataFrame(weekly, "di long, x long")
+    s_w = seasonal_strength(seasonal_decompose(df_w, "di", "x", period=7)).collect()[0]
+    assert s_w["seasonal_strength"] > 0.9
+    assert s_w["trend_strength"] < 0.5
+
+    ramp = [(i, 100 + 10 * i) for i in range(56)]
+    df_r = spark.createDataFrame(ramp, "di long, x long")
+    s_r = seasonal_strength(seasonal_decompose(df_r, "di", "x", period=7)).collect()[0]
+    assert s_r["trend_strength"] > 0.9

@@ -191,6 +191,10 @@ SENSITIVE = [
     "mann_whitney_doclen",
     "dunn_doclen",
     "overdispersion_daily",
+    # DECIMAL deviation products with edge divisions; min-centered
+    # micro-moment strength ratios
+    "ccf_event_types",
+    "seasonal_strength_daily",
 ]
 
 
