@@ -6449,6 +6449,97 @@ def _q_seasonal_strength_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_strength(seasonal_decompose(daily, "di", "x", period=7))
 
 
+def _q_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters additive forecast backtest (`analytics.
+    holt_winters_additive`, period 7) over daily event volume — the
+    seasonal upgrade `holt_forecast` needs on a weekly-shaped series;
+    driver-side integer-micro recursion (the holt/FS-EM boundary
+    class), one-step-ahead forecasts after the classic two-cycle
+    initialization."""
+    from morphik_core_spark.operators.analytics import holt_winters_additive
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return holt_winters_additive(daily, "di", "y", period=7)
+
+
+def _hw_oracle_sql(
+    period: int = 7, alpha: float = 0.3, beta: float = 0.1, gamma: float = 0.2
+) -> str:
+    """Generate the holt_winters_daily oracle: the `holt_forecast`
+    recursive-CTE pattern widened to carry the ``period`` seasonal
+    slots as columns, replaying `analytics.holt_winters_additive`'s
+    integer-micro recursion verbatim (CAST(lit AS DOUBLE) literals —
+    bare decimals are DECIMAL in DuckDB and poison the accumulator)."""
+    p = int(period)
+    sprev = (
+        "(CASE o.phase "
+        + " ".join(f"WHEN {j} THEN hw.s{j}" for j in range(p))
+        + " END)"
+    )
+    lt = (
+        f"CAST(ROUND(CAST({alpha!r} AS DOUBLE) * (o.y * 1000000 - {sprev}) "
+        f"+ CAST({1.0 - alpha!r} AS DOUBLE) * (hw.l + hw.b)) AS BIGINT)"
+    )
+    bt = (
+        f"CAST(ROUND(CAST({beta!r} AS DOUBLE) * ({lt} - hw.l) "
+        f"+ CAST({1.0 - beta!r} AS DOUBLE) * hw.b) AS BIGINT)"
+    )
+    snew = (
+        f"CAST(ROUND(CAST({gamma!r} AS DOUBLE) * (o.y * 1000000 - {lt}) "
+        f"+ CAST({1.0 - gamma!r} AS DOUBLE) * {sprev}) AS BIGINT)"
+    )
+    s_cols = ", ".join(f"s{j}" for j in range(p))
+    s_seed = ",\n                       ".join(
+        f"(SELECT CAST(ROUND((CAST(y AS DOUBLE) - (SELECT m FROM m1)) * 1000000.0) AS BIGINT) "
+        f"FROM o WHERE rn <= {p} AND phase = {j})"
+        for j in range(p)
+    )
+    s_step = ",\n                       ".join(
+        f"CASE WHEN o.phase = {j} THEN {snew} ELSE hw.s{j} END" for j in range(p)
+    )
+    return f"""
+            WITH RECURSIVE d AS (
+                SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS y
+                FROM events GROUP BY 1
+            ),
+            o AS (SELECT di, y, CAST(di % {p} AS INT) AS phase,
+                         ROW_NUMBER() OVER (ORDER BY di) AS rn FROM d),
+            n AS (SELECT COUNT(*) AS nn FROM o),
+            m1 AS (SELECT CAST(SUM(y) AS DOUBLE) / {float(p)!r} AS m FROM o WHERE rn <= {p}),
+            m2 AS (SELECT CAST(SUM(y) AS DOUBLE) / {float(p)!r} AS m FROM o
+                   WHERE rn > {p} AND rn <= {2 * p}),
+            hw(rn, l, b, {s_cols}, sph, f) AS (
+                SELECT {p},
+                       CAST(ROUND((SELECT m FROM m1) * 1000000.0) AS BIGINT),
+                       CAST(ROUND(((SELECT m FROM m2) - (SELECT m FROM m1)) * 1000000.0
+                                  / {float(p)!r}) AS BIGINT),
+                       {s_seed},
+                       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+                UNION ALL
+                SELECT hw.rn + 1,
+                       {lt},
+                       {bt},
+                       {s_step},
+                       {snew},
+                       hw.l + hw.b + {sprev}
+                FROM hw JOIN o ON o.rn = hw.rn + 1 CROSS JOIN n
+                WHERE hw.rn < n.nn
+            )
+            SELECT o.di, o.y,
+                   ROUND(CAST(hw.l AS DOUBLE) / 1e6, 6) AS level,
+                   ROUND(CAST(hw.b AS DOUBLE) / 1e6, 6) AS trend,
+                   ROUND(CAST(hw.sph AS DOUBLE) / 1e6, 6) AS season,
+                   ROUND(CAST(hw.f AS DOUBLE) / 1e6, 6) AS forecast,
+                   ROUND(CAST(o.y * 1000000 - hw.f AS DOUBLE) / 1e6, 6) AS error
+            FROM hw JOIN o ON o.rn = hw.rn
+            WHERE hw.rn > {p}
+            ORDER BY o.di
+        """
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 never-driver-checked names to the
 # front (the local gate tests/test_oracle_parity.py covers every entry
@@ -6762,6 +6853,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overdispersion_daily": _q_overdispersion_daily,
         "ccf_event_types": _q_ccf_event_types,
         "seasonal_strength_daily": _q_seasonal_strength_daily,
+        "holt_winters_daily": _q_holt_winters_daily,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -13614,6 +13706,7 @@ def oracle_sql() -> dict[str, str]:
         "ipf_mixture": _ipf_oracle_sql(10),
         "mann_whitney_doclen": _mw_oracle_sql(),
         "dunn_doclen": _dunn_oracle_sql(),
+        "holt_winters_daily": _hw_oracle_sql(7),
         "ccf_event_types": """
             WITH dx AS (
                 SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS x

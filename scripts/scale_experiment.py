@@ -2734,6 +2734,16 @@ def main() -> None:
 
         report("seasonal_strength", sstr, ev1f, ev10f)
 
+        from morphik_core_spark.operators.analytics import holt_winters_additive
+
+        def hw(e):
+            daily = e.groupBy(
+                F.expr("unix_micros(ts) div 86400000000").alias("di")
+            ).agg(F.count(F.lit(1)).alias("y"))
+            mat(holt_winters_additive(daily, "di", "y", period=7))
+
+        report("holt_winters", hw, ev1f, ev10f)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

@@ -1602,3 +1602,57 @@ def test_seasonal_strength_separates_shapes(spark):
     df_r = spark.createDataFrame(ramp, "di long, x long")
     s_r = seasonal_strength(seasonal_decompose(df_r, "di", "x", period=7)).collect()[0]
     assert s_r["trend_strength"] > 0.9
+
+
+def test_holt_winters_beats_holt_on_weekly_series(spark):
+    """On a strongly weekly series the seasonal forecaster's one-step
+    backtest error must be well below holt_linear's, and the planted
+    seasonal amplitude must appear in the season column."""
+    from morphik_core_spark.operators.analytics import (
+        holt_linear,
+        holt_winters_additive,
+    )
+
+    rows = [(i, 100 + (60 if i % 7 == 0 else 0) + i) for i in range(42)]
+    df = spark.createDataFrame(rows, "di long, y long")
+    hw = holt_winters_additive(df, "di", "y", period=7).collect()
+    hl = holt_linear(df, "di", "y").collect()
+    sse_hw = sum(r["error"] ** 2 for r in hw if r["error"] is not None)
+    # compare on the same post-warmup indexes
+    hw_idx = {r["di"] for r in hw}
+    sse_hl = sum(r["error"] ** 2 for r in hl if r["error"] is not None and r["di"] in hw_idx)
+    assert sse_hw < sse_hl / 4, (sse_hw, sse_hl)
+    spikes = [r for r in hw if r["di"] % 7 == 0]
+    assert all(r["season"] > 30 for r in spikes)
+
+
+def test_holt_winters_initialization_and_contract(spark):
+    """Classic two-cycle initialization: first emitted forecast is
+    l0 + b0 + s[phase]; too-short series and gappy first cycles raise."""
+    import pytest as _pytest
+
+    from morphik_core_spark.operators.analytics import holt_winters_additive
+
+    rows = [(i, 10 * (i % 7) + 100) for i in range(15)]
+    df = spark.createDataFrame(rows, "di long, y long")
+    out = holt_winters_additive(df, "di", "y", period=7).collect()
+    assert out[0]["di"] == 7
+    ys = [y for _, y in rows]
+    m1 = sum(ys[:7]) / 7.0
+    m2 = sum(ys[7:14]) / 7.0
+    s0 = ys[0] - m1
+    expect_f = m1 + (m2 - m1) / 7.0 + s0
+    assert out[0]["forecast"] == pytest.approx(expect_f, abs=1e-4)
+
+    with _pytest.raises(ValueError):
+        holt_winters_additive(
+            spark.createDataFrame(rows[:10], "di long, y long"), "di", "y", period=7
+        ).collect()
+    gappy = [(i * 2, 100) for i in range(20)]  # even di only: phases {0,2,4,6,1,3,5}?
+    # di*2 % 7 cycles through all residues, so build a REAL gap: di in
+    # {0,7,14,...} keeps phase 0 only
+    stuck = [(i * 7, 100) for i in range(20)]
+    with _pytest.raises(ValueError):
+        holt_winters_additive(
+            spark.createDataFrame(stuck, "di long, y long"), "di", "y", period=7
+        ).collect()

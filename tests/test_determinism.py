@@ -195,6 +195,8 @@ SENSITIVE = [
     # micro-moment strength ratios
     "ccf_event_types",
     "seasonal_strength_daily",
+    # driver-side integer-micro triple smoothing (series-bounded)
+    "holt_winters_daily",
 ]
 
 
