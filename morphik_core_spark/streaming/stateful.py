@@ -42,6 +42,7 @@ __all__ = [
     "ewma_stream",
     "jsd_stream",
     "quantile_stream",
+    "centroid_drift_stream",
 ]
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -944,6 +945,96 @@ def quantile_stream(
         update,
         outputStructType=QUANTILE_OUTPUT_SCHEMA,
         stateStructType=QUANTILE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+CENTROID_DRIFT_OUTPUT_SCHEMA = (
+    "label int, batch_seq bigint, n_seen bigint, centroid_shift double"
+)
+CENTROID_DRIFT_STATE_SCHEMA = "n bigint, sums array<bigint>, batch_seq bigint"
+
+
+def centroid_drift_stream(
+    vectors: DataFrame,
+    reference_centroids: dict[int, list[int]],
+    key_col: str = "label",
+    emb_col: str = "embedding",
+    scale_bits: int = 10,
+) -> DataFrame:
+    """Streaming centroid-drift monitor — the live twin of
+    `embedding_stats.embedding_drift`: per label, accumulate the RUNNING
+    quantized component sums in state and emit, each micro-batch, the
+    Euclidean distance between the running centroid and a fixed
+    REFERENCE centroid (e.g. the index-build snapshot's prototype) —
+    the alert that says "this class's embedding distribution has moved;
+    re-rank its cached kNN / retrain".
+
+    ``reference_centroids`` maps label -> the 2^(2·scale_bits)-grid
+    INTEGER centroid (exactly what the batch op computes internally:
+    round(round(x·2^b) summed ·2^b / n)), so a stream snapshot equals
+    `embedding_drift(reference_snapshot, seen_rows)` bit-for-bit — the
+    finalize replays the identical quantize/divide/sqrt tree.
+
+    State per key: one int64 count + dims int64 sums — dimension-
+    bounded, mergeable by addition (runs behind epoch dedup like the
+    other additive monitors). Labels not in the reference emit NULL
+    shift (the batch op's missing-side convention).
+    """
+    if not reference_centroids:
+        raise ValueError("reference_centroids must be non-empty")
+    dims = len(next(iter(reference_centroids.values())))
+    if any(len(v) != dims for v in reference_centroids.values()):
+        raise ValueError("reference centroids must share one dimensionality")
+    mul = float(1 << scale_bits)
+    scale2 = float(1 << (2 * scale_bits))
+
+    def _rha(x: float) -> int:
+        import math
+
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import math
+
+        (key_val,) = key
+        n, sums, seq = state.get if state.exists else (0, [0] * dims, 0)
+        n = int(n)
+        sums = [int(s) for s in sums]
+        for pdf in batches:
+            for vec in pdf[emb_col]:
+                for i in range(dims):
+                    # same per-component quantization as the batch op's
+                    # round(CAST(x AS DOUBLE) * 2^b)
+                    sums[i] += _rha(float(vec[i]) * mul)
+                n += 1
+        seq = int(seq) + 1
+        ref = reference_centroids.get(int(key_val))
+        shift = None
+        if ref is not None and n > 0:
+            d2 = 0
+            for i in range(dims):
+                c_run = _rha(float(sums[i]) * mul / float(n))
+                d = c_run - int(ref[i])
+                d2 += d * d
+            shift = round(math.sqrt(float(d2)) / scale2, 6)
+        state.update((n, sums, seq))
+        yield pd.DataFrame(
+            [
+                {
+                    "label": int(key_val),
+                    "batch_seq": seq,
+                    "n_seen": n,
+                    "centroid_shift": shift,
+                }
+            ]
+        )
+
+    return vectors.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=CENTROID_DRIFT_OUTPUT_SCHEMA,
+        stateStructType=CENTROID_DRIFT_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -915,3 +915,78 @@ def test_ewma_and_jsd_streams_isolate_keys(spark, tmp_path):
         }
         for i in range(len(ys)):
             assert got[(key, i)] == want[i], (key, i)
+
+
+def test_centroid_drift_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """The streaming monitor's snapshot equals embedding_drift between
+    the reference snapshot and the rows seen so far — bit-for-bit via
+    the shared quantization trees — and the running sums survive a
+    checkpoint restart. Multi-key state stays isolated; labels without
+    a reference centroid emit NULL shift."""
+    from morphik_core_spark.operators.embedding_stats import embedding_drift
+    from morphik_core_spark.streaming.stateful import centroid_drift_stream
+
+    ref_rows = [
+        (100 + i, [float(i % 3), 1.0 + 0.25 * (i % 2)], 0) for i in range(6)
+    ] + [(200 + i, [5.0 + 0.5 * (i % 2), -1.0], 1) for i in range(4)]
+    ref_df = spark.createDataFrame(
+        ref_rows, "vec_id long, embedding array<float>, label int"
+    )
+    # reference centroids exactly as the batch op quantizes them
+    mul = 1024.0
+
+    def rha(x):
+        import math
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    refs = {}
+    for lbl in (0, 1):
+        vecs = [v for _, v, l in ref_rows if l == lbl]
+        sums = [sum(rha(x * mul) for x in col) for col in zip(*vecs)]
+        refs[lbl] = [rha(float(s) * mul / len(vecs)) for s in sums]
+
+    schema = "label int, embedding array<float>"
+    batch1 = [(0, [0.4, 1.1]), (0, [1.9, 1.2]), (1, [5.2, -0.8]), (2, [9.9, 9.9])]
+    batch2 = [(0, [2.5, 0.9]), (1, [5.4, -1.3])]
+
+    src, out, chk = (str(tmp_path / d) for d in ("cin", "cout", "cchk"))
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            centroid_drift_stream(stream, refs)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+
+    run_once(batch1)
+    run_once(batch2)
+    rows = spark.read.parquet(out).collect()
+    by = {(r["label"], r["batch_seq"]): r for r in rows}
+    assert by[(0, 1)]["n_seen"] == 2 and by[(0, 2)]["n_seen"] == 3  # restart kept state
+    assert by[(2, 1)]["centroid_shift"] is None  # no reference centroid
+
+    def batch_shift(lbl, seen):
+        seen_rows = [
+            (1000 + i, v, l) for i, (l, v) in enumerate(seen) if l == lbl
+        ]
+        seen_df = spark.createDataFrame(
+            seen_rows, "vec_id long, embedding array<float>, label int"
+        )
+        [r] = embedding_drift(
+            ref_df.filter(f"label = {lbl}"), seen_df, dims=2
+        ).collect()
+        return r["centroid_shift"]
+
+    assert by[(0, 1)]["centroid_shift"] == batch_shift(0, batch1)
+    assert by[(0, 2)]["centroid_shift"] == batch_shift(0, batch1 + batch2)
+    assert by[(1, 2)]["centroid_shift"] == batch_shift(1, batch1 + batch2)
