@@ -5693,10 +5693,12 @@ def _q_trainer_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lost row breaks the match. (`sources/tfrecord`, `sources/webdataset`.)
 
     The export must materialize before the read-back scan, so the
-    writes run here rather than lazily — but into ONE deterministic
-    per-sf_dir directory, wiped before each export, so repeated bench/
-    correctness runs reuse the slot instead of leaking a fresh
-    mkdtemp per invocation."""
+    writes run here rather than lazily — into a per-(sf_dir, process)
+    directory, wiped before each export: deterministic WITHIN a process
+    (repeated runs in one bench/correctness session reuse the slot, no
+    mkdtemp leak) but keyed by pid so concurrent gates over the same
+    sf_dir never wipe each other's shards mid-read, and not guessable
+    by another user on a shared host (the dir is created 0700 fresh)."""
     import hashlib as _hashlib
     import shutil
     import tempfile
@@ -5712,8 +5714,11 @@ def _q_trainer_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     slot = _hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
-    tmp = os.path.join(tempfile.gettempdir(), f"trainer_export_{slot}")
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"trainer_export_{slot}_{os.getpid()}"
+    )
     shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, mode=0o700)
     write_tfrecord_shards(
         docs, f"{tmp}/tfr", "doc_id", "text", n_shards=8, meta_cols=["source"]
     ).collect()
@@ -6541,33 +6546,34 @@ def _hw_oracle_sql(
 
 
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
-# entries, so each round rotates 50 never-driver-checked names to the
-# front (the local gate tests/test_oracle_parity.py covers every entry
-# regardless of order). Round-9 window: 0 red carried (r08 was 50/50
-# green); the 26 round-8 additions (the only never-driver-checked
-# queries) rotate in — this closes the book: after this round every
-# registry entry has a green driver row. The remaining 24 slots
-# re-verify the oldest r04-vintage greens, registry order.
+# entries, so each round rotates 50 names to the front (the local gate
+# tests/test_oracle_parity.py covers every entry regardless of order).
+# Round-10 window: 0 red carried (r09 was 50/50 green); the 19 round-9
+# additions (the only never-driver-checked queries) rotate in — this
+# reaches 281/281 cumulative driver coverage. The remaining 31 slots
+# re-verify the queries whose last green driver row is oldest
+# (20 r04-vintage + 11 r05-vintage, registry order within vintage).
 _DRIVER_WINDOW = [
-    # 26 never-driver-checked round-8 additions (all judge-verified
-    # exact-value at the driver's sf0.01 in the round-8 session)
-    "chi_square_screen", "spearman_screen", "boilerplate_profile",
-    "kn_bigram_lm", "log_rank_sessions", "cem_att_balance",
-    "ewma_chart_daily", "dp_release_counts", "fs_record_linkage",
-    "textrank_keywords", "nelson_aalen_hazard", "corr_matrix_lineitem",
-    "power_mde_nations", "trainer_export_audit", "schema_drift_props",
-    "ivm_join", "join_size_estimate", "twap_event_value", "ohlc_daily",
-    "fdr_nation_ab", "mcnemar_filters", "token_entropy_profile",
-    "anova_doclen", "market_concentration", "js_event_drift", "hill_tail",
-    # 24 re-verify slots: oldest r04-vintage greens, registry order
-    "semi_join_auth", "hydration_join", "in_transit_by_day",
-    "kmv_source_overlap", "group_sample", "minhash_calibration",
-    "training_shards", "entity_resolution", "idle_rich_customers",
-    "topk_cosine", "doc_max_score", "status_counts", "listing_page",
-    "padding_selfjoin", "colpali_merge", "lang_counts",
-    "filter_dsl_events", "maxsim_exact", "maxsim_hamming",
-    "two_stage_topk", "dedup_exact", "minhash_signatures", "lsh_pairs",
-    "simhash",
+    # 19 never-driver-checked round-9 additions (all judge-verified
+    # exact-value at the driver's sf0.01 in the round-9 session)
+    "kruskal_doclen", "levene_acctbal", "ljung_box_daily",
+    "ipw_ate_doclen", "ivm_join_b", "silhouette_labels", "rbo_rankings",
+    "pit_state_lookup", "heaps_law", "ipf_mixture", "snapshot_diff",
+    "linkage_assignment", "embedding_drift_labels", "mann_whitney_doclen",
+    "dunn_doclen", "overdispersion_daily", "ccf_event_types",
+    "seasonal_strength_daily", "holt_winters_daily",
+    # 31 re-verify slots: oldest last-green rows first (r04 vintage …)
+    "jaccard_pairs", "knn_batch", "knn_lsh", "knn_ivf",
+    "near_dup_embedding", "text_stats", "language_id",
+    "winnow_fingerprints", "quality_filter", "stratified_split",
+    "group_topn", "length_percentiles", "sequence_packing",
+    "sequence_packing_sharded", "dup_clusters", "decontaminate",
+    "repetition_signals", "mixture_sample", "event_window_agg",
+    "hash_embed_retrieval",
+    # … then r05 vintage, registry order
+    "asof_forward", "bm25_topk", "pii_scrub", "perplexity", "knn_pq",
+    "paragraph_dedup", "url_filter", "gapfill_locf", "shipping_priority",
+    "weighted_sample", "usage_rollup",
 ]
 
 
@@ -13649,9 +13655,11 @@ def oracle_sql() -> dict[str, str]:
                                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tk
                 FROM base WHERE len(tk) >= 3
             ),
-            mx AS (SELECT MAX(d) AS m FROM sh),
+            -- cuts anchored to the observed [min, max] id range, in
+            -- lockstep with text_analysis.heaps_law_fit
+            mx AS (SELECT MIN(d) AS mn, MAX(d) AS m FROM sh),
             cuts AS (
-                SELECT k, GREATEST(1, (m * k) // 10) AS ck
+                SELECT k, mn - 1 + GREATEST(1, ((m - mn + 1) * k) // 10) AS ck
                 FROM mx, (SELECT unnest(range(1, 11)) AS k) s
             ),
             perdoc AS (SELECT d, len(tk) AS nt FROM sh),

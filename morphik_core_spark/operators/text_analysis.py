@@ -1168,8 +1168,21 @@ def heaps_law_fit(
     else:
         toks = base.select("_d", F.explode("_tk").alias("_t"))
         per_doc = base.select("_d", F.size("_tk").alias("_nt"))
-    max_id = int(base.agg(F.max("_d")).collect()[0][0])
-    cuts = [max(1, (max_id * k) // int(checkpoints)) for k in range(1, int(checkpoints) + 1)]
+    ids = base.agg(F.min("_d").alias("mn"), F.max("_d").alias("mx")).collect()[0]
+    if ids["mx"] is None:
+        raise ValueError(
+            "heaps_law_fit: no documents survive tokenization "
+            f"(corpus empty, all texts NULL, or every doc shorter than ngram={n})"
+        )
+    min_id, max_id = int(ids["mn"]), int(ids["mx"])
+    # cuts anchored to the OBSERVED [min_id, max_id] id range — fixed
+    # fractions of max(doc_id) alone collapse most checkpoints into
+    # duplicates when ids don't start near 0 (e.g. a 1e9-offset shard)
+    span = max_id - min_id + 1
+    cuts = [
+        min_id - 1 + max(1, (span * k) // int(checkpoints))
+        for k in range(1, int(checkpoints) + 1)
+    ]
 
     first_seen = toks.groupBy("_t").agg(F.min("_d").alias("_fs"))
 

@@ -48,6 +48,8 @@ from __future__ import annotations
 
 import hashlib
 import os
+import socket
+import uuid
 import struct
 from typing import Iterator, Sequence
 
@@ -272,7 +274,14 @@ def write_tfrecord_shards(
         # leaving a torn shard behind.
         os.makedirs(out_dir_b, exist_ok=True)
         path = os.path.join(out_dir_b, f"shard-{sid:05d}.tfrecord")
-        tmp = f"{path}.tmp-{os.getpid()}"
+        # pid alone is not unique across nodes on a shared FS
+        # (speculative/retried copies of this task on different hosts can
+        # share a pid and interleave into one temp file) — include host
+        # and a per-attempt random token.
+        tmp = (
+            f"{path}.tmp-{socket.gethostname()}-{os.getpid()}-"
+            f"{uuid.uuid4().hex}"
+        )
         with open(tmp, "wb") as fh:
             fh.write(buf)
         os.replace(tmp, path)

@@ -27,6 +27,8 @@ from __future__ import annotations
 import hashlib
 import io
 import os
+import socket
+import uuid
 import tarfile
 from typing import Iterator, Sequence
 
@@ -90,7 +92,14 @@ def write_webdataset_shards(
         # torn shard. Requires out_dir on a shared mount (module doc).
         os.makedirs(out_dir_b, exist_ok=True)
         path = os.path.join(out_dir_b, f"shard-{sid:05d}.tar")
-        tmp = f"{path}.tmp-{os.getpid()}"
+        # host + pid + per-attempt uuid: pid alone can collide across
+        # nodes on the documented shared-FS deployment (speculative or
+        # retried task copies), which would interleave two writers into
+        # one temp file before the atomic replace.
+        tmp = (
+            f"{path}.tmp-{socket.gethostname()}-{os.getpid()}-"
+            f"{uuid.uuid4().hex}"
+        )
         with open(tmp, "wb") as fh:
             fh.write(blob)
         os.replace(tmp, path)

@@ -575,3 +575,47 @@ def test_ipf_raking_empty_arm_does_not_crash(spark):
         by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_rows"] * r["weight"]
     for v in by_lang.values():
         assert abs(v / total - 0.5) < 1e-3
+
+
+def test_ipf_raking_rounds_half_away_from_zero(spark):
+    """The weight trajectory must use half-away-from-zero rounding (the
+    DuckDB/Spark ROUND convention) — Python's banker's round() would
+    diverge from the unrolled-CTE oracle on an exact .5 quotient. A
+    2-cell corpus with counts (1, 3) forces the first row-step quotient
+    w·total/(n_dim·marg) = 1e6·4e6/(2·1e6) onto exact integers, then the
+    (1, 1) column step hits .5 boundaries via the odd total."""
+    from morphik_core_spark.operators.curation import ipf_raking
+
+    # counts chosen so some update quotient lands exactly on .5 of a
+    # micro-unit: total = 2_500_001 micro after one asymmetric step
+    rows = (
+        [(i, "a", "x") for i in range(1)]
+        + [(100 + i, "a", "y") for i in range(2)]
+        + [(200 + i, "b", "x") for i in range(1)]
+    )
+    df = spark.createDataFrame(rows, "id long, lang string, source string")
+    out = {(r["lang"], r["source"]): r for r in ipf_raking(df, "lang", "source", iters=3).collect()}
+    # replay the recursion with explicit half-away rounding
+    import math
+
+    def rha(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    cells = {("a", "x"): 1, ("a", "y"): 2, ("b", "x"): 1}
+    w = {k: 1_000_000 for k in cells}
+    n_r, n_c = 2, 2
+    for _ in range(3):
+        for dim, n_dim in ((0, n_r), (1, n_c)):
+            marg = {}
+            for (r, c), n in cells.items():
+                k = (r, c)[dim]
+                marg[k] = marg.get(k, 0) + n * w[(r, c)]
+            total = sum(marg.values())
+            for (r, c), n in cells.items():
+                k = (r, c)[dim]
+                w[(r, c)] = rha(
+                    float(w[(r, c)]) * float(total) / (float(n_dim) * float(max(marg[k], 1)))
+                )
+    for k, expect in w.items():
+        got = out[k]["weight"]
+        assert abs(got - rha(expect / 1e6 * 1e6) / 1e6) < 1e-9, (k, got, expect)

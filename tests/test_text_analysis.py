@@ -339,3 +339,40 @@ def test_heaps_law_fit_ngram_counts(spark):
     assert out["total_tokens"] == 6
     # distinct shingles: abc bcd cde / cde def efg -> 5
     assert out["vocab_size"] == 5
+
+
+def test_heaps_law_fit_empty_corpus_raises(spark):
+    """Empty corpus / all-NULL texts / every doc shorter than ngram must
+    raise a clear ValueError, not crash on int(None)."""
+    import pytest
+
+    from morphik_core_spark.operators.text_analysis import heaps_law_fit
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="heaps_law_fit"):
+        heaps_law_fit(empty, "doc_id", "text")
+    short = spark.createDataFrame([(1, "a b"), (2, "c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="ngram=3"):
+        heaps_law_fit(short, "doc_id", "text", ngram=3)
+
+
+def test_heaps_law_fit_offset_ids_keep_distinct_checkpoints(spark):
+    """Doc ids that start far from 0 (e.g. a sharded corpus slice) must
+    still yield distinct cut points: cuts anchor to [min_id, max_id], so
+    an id range of 1e9..1e9+199 behaves exactly like 1..200."""
+    from morphik_core_spark.operators.text_analysis import heaps_law_fit
+
+    def corpus(offset):
+        rows, tok = [], 0
+        for d in range(1, 201):
+            words = []
+            for _ in range(20):
+                tok += 1
+                words.append(f"w{int(tok ** 0.5)}")
+            rows.append((offset + d, " ".join(words)))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = heaps_law_fit(corpus(0), "doc_id", "text").collect()[0]
+    shifted = heaps_law_fit(corpus(1_000_000_000), "doc_id", "text").collect()[0]
+    assert tuple(base) == tuple(shifted)
+    assert shifted["n_points"] == 10  # ten DISTINCT checkpoints, not collapsed
