@@ -817,10 +817,16 @@ def _q_sliding_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deliberately tight 3×16 sketch."""
     from morphik_core_spark.operators.sketches import cms_estimates, cms_sketch
 
+    from morphik_core_spark.plans.cache import scoped_persist
+
     ev = _t(spark, sf_dir, "events")
-    day_counts = ev.select(F.to_date(F.col("ts")).alias("day"), "event_type").groupBy(
-        "day", "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # (day x type)-bounded; feeds the sketch, the exact rollup, and the
+    # observed-day semi-join — persist so events is scanned once
+    day_counts = scoped_persist(
+        ev.select(F.to_date(F.col("ts")).alias("day"), "event_type").groupBy(
+            "day", "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
     day_sketch = cms_sketch(
         day_counts, "event_type", "n", depth=3, width=16, group_cols=["day"]
     )
@@ -1421,7 +1427,13 @@ def _folders_dim(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     l1 = docs.select(p1.alias("id"), F.lit(None).cast("string").alias("parent_id")).distinct().withColumn("depth", F.lit(1))
     l2 = docs.select(p2.alias("id"), p1.alias("parent_id")).distinct().withColumn("depth", F.lit(2))
     l3 = docs.select(p3.alias("id"), p2.alias("parent_id")).distinct().withColumn("depth", F.lit(3))
-    folders = l1.unionByName(l2).unionByName(l3).withColumn("full_path", F.col("id"))
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # dimension-sized tree derived from three corpus distincts; callers
+    # consume it 2-3x (children + counts, BFS levels) - persist once
+    folders = scoped_persist(
+        l1.unionByName(l2).unionByName(l3).withColumn("full_path", F.col("id"))
+    )
     return folders, docs.withColumn("folder_path", p2)
 
 
@@ -1781,8 +1793,12 @@ def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from morphik_core_spark.operators.dedup import normalize_text
     from morphik_core_spark.operators.sketches import cms_estimates, cms_sketch
 
+    from morphik_core_spark.plans.cache import scoped_persist
+
     toks = docs.select(F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"))
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # vocab-bounded counts feed the sketch build AND the top-20 pick -
+    # persist so the corpus tokenize runs once
+    counts = scoped_persist(toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt")))
     sketch = cms_sketch(counts, "tok", "exact_cnt", depth=3, width=16)
     cands = counts.orderBy(F.col("exact_cnt").desc(), F.col("tok").asc()).limit(20)
     return cms_estimates(cands, sketch, "tok", depth=3, width=16).select(
@@ -2556,7 +2572,13 @@ def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     3→I as a shifted new id) so every op path is exercised."""
     from morphik_core_spark.operators.docstore import cdc_apply
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # the snapshot feeds itself plus three synthesized change branches
+    # and the merge's anti-join - persist the pruned projection once
+    docs = scoped_persist(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    )
     ten = F.col("doc_id") % 10
     deletes = docs.filter(ten == 0).select("doc_id", "lang", "source", "n_chars").withColumn("op", F.lit("D"))
     updates = (
@@ -3187,7 +3209,13 @@ def _q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tie-break) — so mode wins, tie-breaks, and null-skips all occur
     at both SFs. Plan: one melt explode + two entity-keyed shuffles,
     independent of field count."""
-    part = _t(spark, sf_dir, "part")
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # one pruned scan feeds the base and both variant branches (and the
+    # melt downstream) - persist it so part is read once
+    part = scoped_persist(_t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    ))
     base = part.select(
         F.col("p_partkey").alias("entity_key"),
         F.col("p_name").alias("name"),
@@ -3597,10 +3625,15 @@ def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the corpus."""
     from morphik_core_spark.functions.embedder import hash_embed_components
     from morphik_core_spark.operators.text_analysis import bm25_topk
+    from morphik_core_spark.plans.cache import scoped_persist
     from pyspark.sql.window import Window
 
     docs = _t(spark, sf_dir, "documents")
-    comps = hash_embed_components(docs, "text", "doc_id", dims=_EMBED_DIMS, seed=_EMBED_SEED)
+    # the embed explode is the dominant CPU and feeds both the norm and
+    # the dot branches - persist so it tokenizes once
+    comps = scoped_persist(
+        hash_embed_components(docs, "text", "doc_id", dims=_EMBED_DIMS, seed=_EMBED_SEED)
+    )
     qcomps = (
         hash_embed_components(docs.filter(F.col("doc_id") == 0), "text", "doc_id", _EMBED_DIMS, _EMBED_SEED)
         .select("idx", F.col("val").alias("qval"))
@@ -4515,10 +4548,16 @@ def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the NOTES non-vacuity rule."""
     from morphik_core_spark.operators.analytics import mann_kendall_test
 
+    from morphik_core_spark.plans.cache import scoped_persist
+
     events = _t(spark, sf_dir, "events")
-    d0 = events.groupBy(
-        F.expr("unix_micros(ts) div 86400000000").alias("di")
-    ).agg(F.count(F.lit(1)).alias("x0"))
+    # day-grid series consumed by both the raw and uplifted test (and
+    # by its own min subquery): persist so the corpus is scanned once
+    d0 = scoped_persist(
+        events.groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("di")
+        ).agg(F.count(F.lit(1)).alias("x0"))
+    )
     lo = d0.agg(F.min("di").alias("_dmin"))
     base = d0.join(F.broadcast(lo))
     raw = mann_kendall_test(base.select("di", F.col("x0").alias("y")), "di", "y")
@@ -4625,11 +4664,15 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes) top-10 vs brute-force exact top-10 for 3 probe queries —
     the recall gate an ANN index must pass after every (re)build.
     Both sides are k-sized frames; the audit itself is O(queries·k)."""
+    from morphik_core_spark.plans.cache import scoped_persist
+
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 3).select(
+    # 3 rows, but its lineage scans the embeddings table and BOTH knn
+    # paths consume it - persist the tiny frame
+    queries_df = scoped_persist(emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
-    )
+    ))
     exact = similarity.knn_brute_force(emb, queries_df, k=10, decimals=_SCORE_DECIMALS)
     approx = similarity.knn_ivf(
         emb, _centroids(spark, sf_dir), queries_df, k=10,
@@ -5133,7 +5176,16 @@ def _q_spearman_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division."""
     from morphik_core_spark.operators.analytics import spearman_corr
 
-    li = _t(spark, sf_dir, "lineitem")
+    # two spearman calls each touch the fact table 3x (rows + two value
+    # grids) = 6 pruned column scans. Deliberately NOT persisted: the
+    # projection is corpus-sized, and materializing it costs more than
+    # the five extra 3-column parquet scans it saves (measured 3.4 s ->
+    # 6.3 s at sf0.1 with the persist; at 100 TB a corpus-scale cache
+    # thrashes to disk while pruned scans stream) - the scan-budget
+    # gate allowlists this query for that reason.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
     docs = _t(spark, sf_dir, "documents").withColumn(
         "tok_cnt",
         F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")),
@@ -5790,9 +5842,13 @@ def _q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     op path."""
     from morphik_core_spark.operators.incremental import incremental_join_apply
 
-    orders = _t(spark, sf_dir, "orders").select(
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # the snapshot feeds the view build, three delta branches, and the
+    # merge's anti-join - persist the pruned projection once
+    orders = scoped_persist(_t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
-    )
+    ))
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     joined = orders.join(
         cust, orders["o_custkey"] == cust["c_custkey"]
@@ -5957,7 +6013,13 @@ def _q_ivm_join_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # the dim side feeds the view build, three delta branches, and the
+    # merge - persist the pruned projection once
+    cust = scoped_persist(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
     b_view = cust.withColumnRenamed("c_custkey", "o_custkey")
     joined = orders.join(b_view, "o_custkey").select(
         "o_orderkey", "o_custkey", "o_totalprice", "c_nationkey"
@@ -6193,9 +6255,13 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key; NULL-safe column compares."""
     from morphik_core_spark.operators.validation import table_diff
 
-    orders = _t(spark, sf_dir, "orders").select(
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # snapshot A feeds itself plus four synthesized snapshot-B branches
+    # and the diff join - persist the pruned projection once
+    orders = scoped_persist(_t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
-    )
+    ))
     ten = F.col("o_orderkey") % 10
     keep = orders.filter((ten != 0) & (ten != 1) & (ten != 5))
     upd1 = orders.filter(ten == 1).select(

@@ -70,12 +70,15 @@ def main() -> None:
         spark.catalog.clearCache()
 
     def timed(fn) -> float:
-        # min of two runs: the first run can absorb scheduler/JIT noise
-        # (observed ±60% variance on single runs); min is the stable signal.
-        # Cache state is reset outside the clock, so both runs are
-        # cold-cache and measure the plan, not a predecessor's leftovers.
+        # min of three runs: the first run can absorb scheduler/JIT noise
+        # (observed ±60% variance on single runs) and two samples were not
+        # enough to reject a sustained host-load burst (the round-9 driver
+        # bench caught a multi-minute spike window that contaminated five
+        # consecutive queries); min is the stable signal. Cache state is
+        # reset outside the clock, so every run is cold-cache and measures
+        # the plan, not a predecessor's leftovers.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - start)

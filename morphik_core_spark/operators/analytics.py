@@ -117,7 +117,13 @@ def funnel_counts(
     """
     if not steps:
         raise ValueError("steps must be non-empty")
-    reach = (
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # each stage's reach is consumed twice (its count + the next stage's
+    # join) and chains on every previous stage — unpersisted, stage k
+    # re-derives the whole prefix per consumer (6 FileScans measured for
+    # 3 steps). Reach frames are user-keyed and shrink monotonically.
+    reach = scoped_persist(
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("t_prev"))
@@ -129,7 +135,7 @@ def funnel_counts(
         nxt = events.filter(F.col(type_col) == step).select(
             F.col(user_col), F.col(ts_col).alias("t_step")
         )
-        reach = (
+        reach = scoped_persist(
             reach.join(nxt, user_col)
             .filter(F.col("t_step") > F.col("t_prev"))
             .groupBy(user_col)
@@ -495,10 +501,17 @@ def basket_lift(
     Output: (item_a, item_b, n_ab, lift) for pairs with
     ``n_ab >= min_support``; item_a < item_b canonical order.
     """
-    items = events.select(F.col(group_col).alias("g"), F.col(item_col).alias("it")).distinct()
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    items = scoped_persist(
+        events.select(F.col(group_col).alias("g"), F.col(item_col).alias("it")).distinct()
+    )
     sizes = items.groupBy("g").agg(F.count(F.lit(1)).alias("k"))
     ok = sizes.filter(F.col("k") <= max_items_per_group).select("g")
-    capped = items.join(ok, "g", "left_semi")
+    # four consumers (N, item counts, both self-join sides) over the
+    # capped distinct table — persist items + capped or each branch
+    # re-runs the corpus distinct (10 FileScans measured unpersisted)
+    capped = scoped_persist(items.join(ok, "g", "left_semi"))
     n_groups = capped.select("g").distinct().groupBy().agg(
         F.count(F.lit(1)).alias("n_groups")
     )
@@ -858,12 +871,18 @@ def autocorrelation(
     base = series.select(
         F.col(idx_col).cast("bigint").alias("_i"), F.col(val_col).cast("bigint").alias("_x")
     )
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # series-bounded; base feeds the moments + deviations, dev feeds the
+    # denominator and both sides of the lag join — persist both so the
+    # upstream day-grid aggregation runs once
+    base = scoped_persist(base)
     glob = base.agg(
         F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n")
     )
-    dev = base.join(F.broadcast(glob)).select(
+    dev = scoped_persist(base.join(F.broadcast(glob)).select(
         "_i", (F.col("_n") * F.col("_x") - F.col("_s")).alias("_d")
-    )
+    ))
     den = dev.agg(
         F.sum(F.col("_d").cast("decimal(38,0)") * F.col("_d")).alias("_den")
     )
@@ -970,7 +989,12 @@ def ks_statistic(
     """
     ua = a.select(F.col(val_col).alias("_v")).withColumn("_sa", F.lit(1)).withColumn("_sb", F.lit(0))
     ub = b.select(F.col(val_col).alias("_v")).withColumn("_sa", F.lit(0)).withColumn("_sb", F.lit(1))
-    per_v = (
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # per_v and gaps are value-grid-bounded; each feeds two branches
+    # (cum+totals, arg-max+filter) that would otherwise re-scan both
+    # input sides per branch (8 FileScans measured unpersisted)
+    per_v = scoped_persist(
         ua.unionByName(ub)
         .filter(F.col("_v").isNotNull())
         .groupBy("_v")
@@ -983,7 +1007,7 @@ def ks_statistic(
         F.sum("cb").over(w).alias("cum_b"),
     )
     tot = per_v.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
-    gaps = cum.join(F.broadcast(tot)).select(
+    gaps = scoped_persist(cum.join(F.broadcast(tot)).select(
         "_v",
         "n_a",
         "n_b",
@@ -991,7 +1015,7 @@ def ks_statistic(
             F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
             - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
         ).alias("_gap"),
-    )
+    ))
     # arg-max with smallest-value tiebreak: max gap first, then min _v
     mx = gaps.agg(F.max("_gap").alias("_mx"))
     return (
@@ -1457,7 +1481,11 @@ def numeric_corr(
         aggs.append(
             F.sum(F.col(a).cast("decimal(38,0)") * F.col(b)).alias(f"_sp_{a}_{b}")
         )
-    m = base.agg(*aggs)
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # ONE row of moments feeds every pair's output row — persist it or
+    # each of the k(k-1)/2 union branches re-runs the corpus aggregation
+    m = scoped_persist(base.agg(*aggs))
     out = None
     for a, b in pairs:
         var_a = f"(_n * _ss_{a} - CAST(_s_{a} AS DECIMAL(38,0)) * _s_{a})"
@@ -1638,13 +1666,20 @@ def theil_decomposition(
     between_term, theil_between, theil_total) — the two totals
     repeated per row from one-row broadcasts.
     """
+    from morphik_core_spark.plans.cache import scoped_persist
+
     v = val_col if isinstance(val_col, Column) else F.col(val_col)
-    base = df.select(F.col(group_col).alias("_g"), v.cast("bigint").alias("_x")).filter(
-        F.col("_x").isNotNull() & (F.col("_x") >= 0)
+    # base feeds the group stats AND the within-term join; gstats feeds
+    # the totals AND the same join — persist both (narrow / groups-sized)
+    # so the upstream revenue aggregation runs once
+    base = scoped_persist(
+        df.select(F.col(group_col).alias("_g"), v.cast("bigint").alias("_x")).filter(
+            F.col("_x").isNotNull() & (F.col("_x") >= 0)
+        )
     )
-    gstats = base.groupBy("_g").agg(
+    gstats = scoped_persist(base.groupBy("_g").agg(
         F.count(F.lit(1)).alias("_ng"), F.sum(F.col("_x").cast("decimal(38,0)")).alias("_sg")
-    )
+    ))
     tot = gstats.agg(
         F.sum("_ng").alias("_n"), F.sum("_sg").alias("_s")
     )
@@ -2695,6 +2730,9 @@ def neyman_allocation(
             F.sum(F.col("_x").cast(dec) * F.col("_x").cast(dec)).alias("_sxx"),
         )
     )
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    stats = scoped_persist(stats)  # strata-sized; feeds both allocations
     s2n = F.col("n").cast(dec) * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     weighted = stats.withColumn(
         "_w", F.floor(F.sqrt(s2n.cast("double"))).cast("long")
@@ -2708,7 +2746,10 @@ def neyman_allocation(
 
     def hamilton(frame: DataFrame, weight_col: str, out_col: str) -> DataFrame:
         wsum = frame.agg(F.sum(weight_col).alias("_ws"))
-        base = (
+        # strata-sized persist: the crossJoin branches otherwise re-derive
+        # the corpus scan per consumer — two chained hamilton() calls
+        # compounded to 16 FileScans before this
+        base = scoped_persist(
             frame.crossJoin(F.broadcast(wsum))
             .withColumn("_a0", F.expr(f"({int(budget)} * {weight_col}) div _ws"))
             .withColumn("_rm", F.expr(f"({int(budget)} * {weight_col}) % _ws"))
@@ -2840,16 +2881,25 @@ def theil_sen_trend(
 
     Output: one row (n_points, n_pairs, slope, intercept).
     """
-    base = df.select(
-        F.col(idx_col).cast("bigint").alias("_i"),
-        F.col(val_col).cast("bigint").alias("_y"),
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # all three frames are series-bounded (n points / n(n-1)/2 pairs);
+    # each has 2-4 consumers that would otherwise re-derive the upstream
+    # aggregation per branch (11 FileScans measured before persisting)
+    base = scoped_persist(
+        df.select(
+            F.col(idx_col).cast("bigint").alias("_i"),
+            F.col(val_col).cast("bigint").alias("_y"),
+        )
     )
     a = base.select(F.col("_i").alias("_ia"), F.col("_y").alias("_ya"))
     b = base.select(F.col("_i").alias("_ib"), F.col("_y").alias("_yb"))
-    pairs = a.join(b, F.col("_ia") < F.col("_ib")).select(
-        F.expr(
-            "CAST(ROUND(CAST((_yb - _ya) AS DOUBLE) * 1e6 / CAST(_ib - _ia AS DOUBLE)) AS BIGINT)"
-        ).alias("_s")
+    pairs = scoped_persist(
+        a.join(b, F.col("_ia") < F.col("_ib")).select(
+            F.expr(
+                "CAST(ROUND(CAST((_yb - _ya) AS DOUBLE) * 1e6 / CAST(_ib - _ia AS DOUBLE)) AS BIGINT)"
+            ).alias("_s")
+        )
     )
     # exact median carried as 2*median (the rolling-median recipe):
     # odd n -> 2*middle; even n -> middle pair sum
@@ -2869,7 +2919,7 @@ def theil_sen_trend(
     )
     n_points = base.agg(F.count(F.lit(1)).alias("n_points"))
     # residual intercept: median over per-point (y*1e6*2 - slope2*i)
-    resid = (
+    resid = scoped_persist(
         base.join(F.broadcast(med2))
         .select((F.col("_y") * F.lit(2000000) - F.col("_m2") * F.col("_i")).alias("_res2"), "_m2", "n_pairs")
     )
@@ -2983,9 +3033,15 @@ def mann_kendall_test(
     Output: one row (n_points, s_stat, var_s, z, trend) — trend is
     'increasing' / 'decreasing' / 'none' at |z| ≥ 1.96.
     """
-    base = df.select(
-        F.col(idx_col).cast("bigint").alias("_i"),
-        F.col(val_col).cast("bigint").alias("_y"),
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # series-bounded; four consumers (both self-join sides, n, ties)
+    # would otherwise each re-derive the upstream aggregation
+    base = scoped_persist(
+        df.select(
+            F.col(idx_col).cast("bigint").alias("_i"),
+            F.col(val_col).cast("bigint").alias("_y"),
+        )
     )
     a = base.select(F.col("_i").alias("_ia"), F.col("_y").alias("_ya"))
     b = base.select(F.col("_i").alias("_ib"), F.col("_y").alias("_yb"))
@@ -3133,10 +3189,14 @@ def chi_square_independence(
     Output is ONE row: (chi2, dof, cramers_v, n) — V = sqrt(chi2 /
     (N·min(|X|−1, |Y|−1))), the bias-uncorrected classical form.
     """
-    cells = df.groupBy(
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # vocab x vocab cells feed both marginals, the dense cross-product,
+    # and the total — persist so the corpus contributes ONE groupBy scan
+    cells = scoped_persist(df.groupBy(
         F.col(x_col).cast("string").alias("_x"),
         F.col(y_col).cast("string").alias("_y"),
-    ).agg(F.count(F.lit(1)).alias("_nxy"))
+    ).agg(F.count(F.lit(1)).alias("_nxy")))
     mx = cells.groupBy("_x").agg(F.sum("_nxy").alias("_nx"))
     my = cells.groupBy("_y").agg(F.sum("_nxy").alias("_ny"))
     full = mx.crossJoin(F.broadcast(my)).join(cells, ["_x", "_y"], "left").na.fill(
@@ -4008,7 +4068,11 @@ def corr_matrix(
             aggs.append(
                 F.sum((F.col(f"_x{i}") * F.col(f"_x{j}")).cast(dec)).alias(f"_p{i}_{j}")
             )
-    m = base.agg(*aggs)
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # ONE moments row feeds k(k-1)/2 union branches - persist it or each
+    # pair re-runs the corpus aggregation
+    m = scoped_persist(base.agg(*aggs))
     pairs = []
     for i in range(k):
         for j in range(i + 1, k):
@@ -4510,11 +4574,19 @@ def _grid_ranked_rows(
     returns (rows with DOUBLED average tie ranks ``_r2``, the value grid
     with counts ``_c``) — rank_avg from the value grid alone, bucketed
     hierarchical prefix, no corpus sort (the spearman_corr recipe)."""
+    from morphik_core_spark.plans.cache import scoped_persist
+
     q = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
     rows = df.filter(F.col(val_col).isNotNull()).select(
         F.col(group_col).cast("string").alias("_g"), q.alias("_v")
     )
-    grid = rows.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    # rows feeds the grid groupBy AND the grid→row join; the grid feeds
+    # the bucket prefix, the in-bucket prefix, and the caller's tie term
+    # — unpersisted, each branch re-derives the corpus scan (the
+    # quality_ensemble 8-FileScan lesson). Both frames are narrow: rows
+    # is (string, bigint), the grid is bounded by distinct values.
+    rows = scoped_persist(rows)
+    grid = scoped_persist(rows.groupBy("_v").agg(F.count(F.lit(1)).alias("_c")))
     grid = grid.withColumn(
         "_bkt", F.expr("CAST(floor(CAST(_v AS DOUBLE) / 1048576.0) AS BIGINT)")
     )
@@ -4661,7 +4733,12 @@ def dunn_posthoc(
     b = per_g.select(
         F.col("_g").alias("g_right"), F.col("_ng").alias("n_right"), F.col("_s2").alias("_s2r")
     )
-    pairs = a.join(b, F.col("g_left") < F.col("g_right")).join(F.broadcast(tot))
+    # explicit broadcast: both sides are groups-sized by contract, but
+    # cached lineage hides size estimates and the non-equi join would
+    # otherwise degrade to CartesianProduct
+    pairs = a.join(F.broadcast(b), F.col("g_left") < F.col("g_right")).join(
+        F.broadcast(tot)
+    )
     # mean ranks from doubled sums: Ri = S2/(2 n)
     rbar_l = "(CAST(_s2l AS DOUBLE) / 2.0 / CAST(n_left AS DOUBLE))"
     rbar_r = "(CAST(_s2r AS DOUBLE) / 2.0 / CAST(n_right AS DOUBLE))"
@@ -4782,13 +4859,21 @@ def cross_correlation(
         F.col(x_col).cast("bigint").alias("_x"),
         F.col(y_col).cast("bigint").alias("_y"),
     )
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # series-bounded; base feeds glob + dev, dev feeds the denominator
+    # and both sides of the lag join — persist both or every branch
+    # re-derives the upstream day-grid aggregation (12 FileScans measured)
+    base = scoped_persist(base)
     glob = base.agg(
         F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"), F.count(F.lit(1)).alias("_n")
     )
-    dev = base.join(F.broadcast(glob)).select(
-        "_i",
-        (F.col("_n") * F.col("_x") - F.col("_sx")).alias("_dx"),
-        (F.col("_n") * F.col("_y") - F.col("_sy")).alias("_dy"),
+    dev = scoped_persist(
+        base.join(F.broadcast(glob)).select(
+            "_i",
+            (F.col("_n") * F.col("_x") - F.col("_sx")).alias("_dx"),
+            (F.col("_n") * F.col("_y") - F.col("_sy")).alias("_dy"),
+        )
     )
     den = dev.agg(
         F.sum(F.col("_dx").cast(dec) * F.col("_dx")).alias("_dxx"),

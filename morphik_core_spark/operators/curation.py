@@ -1569,6 +1569,7 @@ def token_budget_mixture(
     from pyspark.sql import Window
 
     from morphik_core_spark.operators.dedup import portable_hash
+    from morphik_core_spark.plans.cache import scoped_persist
 
     src = F.col(source_col)
     stats = df.groupBy(src.alias("source")).agg(F.sum(F.col(size_col)).alias("_ns"))
@@ -1578,20 +1579,24 @@ def token_budget_mixture(
         if budget is not None
         else F.expr(f"_tot div {int(budget_frac_den)}")
     )
-    weighted = (
+    # every frame below is vocabulary-sized (one row per source) or a
+    # scalar, but each crossJoin branch re-derives the corpus scan
+    # upstream — unpersisted, the final plan read the fact table 17x
+    # (the quality_ensemble lesson); three tiny persists make it 3.
+    weighted = scoped_persist(
         stats.crossJoin(F.broadcast(tot))
         .withColumn("weight", F.floor(F.sqrt(F.col("_ns").cast("double"))).cast("long"))
         .withColumn("_b", b_expr)
     )
     wsum = weighted.agg(F.sum("weight").alias("_w"))
-    base = (
+    base = scoped_persist(
         weighted.crossJoin(F.broadcast(wsum))
         .withColumn("_alloc0", F.expr("(_b * weight) div _w"))
         .withColumn("_rem", F.expr("(_b * weight) % _w"))
     )
     resid = base.agg((F.max("_b") - F.sum("_alloc0")).alias("_r"))
     w_rank = Window.orderBy(F.col("_rem").desc(), F.col("source").asc())
-    alloc = (
+    alloc = scoped_persist(
         base.withColumn("_rk", F.row_number().over(w_rank))
         .crossJoin(F.broadcast(resid))
         .withColumn(
@@ -1737,19 +1742,24 @@ def length_matching(
             "_h"
         ),
     )
-    hist = rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # bucket-bounded; feeds the min/total AND the broadcast back onto
+    # the corpus — persist so the histogram scan runs once (the corpus
+    # itself is deliberately NOT cached: it is touched twice by design)
+    hist = scoped_persist(rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
     mins = hist.agg(F.min("n").alias("_nmin"), F.sum("n").alias("_total"))
     flagged = (
         rows.join(F.broadcast(hist), "bucket")
         .join(F.broadcast(mins))
         .withColumn("_keep", F.col("_h") * F.col("n") < F.col("_nmin") * F.lit(1000000))
     )
-    kept = flagged.groupBy("bucket").agg(
+    kept = scoped_persist(flagged.groupBy("bucket").agg(
         F.max("n").alias("n"),
         F.max("_nmin").alias("_nmin"),
         F.max("_total").alias("_total"),
         F.sum(F.col("_keep").cast("bigint")).alias("kept_n"),
-    )
+    ))
     tot_kept = kept.agg(F.sum("kept_n").alias("_tk"))
     return (
         kept.join(F.broadcast(tot_kept))

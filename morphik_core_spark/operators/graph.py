@@ -227,6 +227,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .distinct()
     )
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # the canonical edge list feeds the degree count (twice), the
+    # orientation join, and the wedge-closing semi-join - persist it so
+    # the upstream edge derivation (often a fact-table join) runs once
+    e = scoped_persist(e)
     deg = (
         e.select(F.col("u").alias("n")).unionByName(e.select(F.col("v").alias("n")))
         .groupBy("n")
@@ -248,6 +254,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .select("o.s", "o.t")
     )
+    oriented = scoped_persist(oriented)  # both wedge sides read it
     w1 = oriented.select(F.col("s"), F.col("t").alias("x"))
     w2 = oriented.select(F.col("s"), F.col("t").alias("y"))
     wedges = w1.join(w2, "s").filter(F.col("x") < F.col("y"))
@@ -394,6 +401,11 @@ def term_cooccurrence_edges(
         )
     else:
         dist = terms.select("_doc", "term").distinct()
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # both pair-join sides read the distinct (doc, term) set - persist
+    # it so the corpus tokenize+distinct runs once
+    dist = scoped_persist(dist)
     a = dist.select("_doc", F.col("term").alias("term_a"))
     b = dist.select(F.col("_doc").alias("_doc_b"), F.col("term").alias("term_b"))
     return (
@@ -423,6 +435,11 @@ def seed_expansion_weights(
     """
     from pyspark.sql import Window
 
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # vocab^2-bounded edge list consumed by both direction branches -
+    # persist so the upstream graph build runs once
+    edges = scoped_persist(edges)
     und = edges.select(
         F.col("term_a").alias("t1"), F.col("term_b").alias("t2"), "weight"
     ).unionByName(

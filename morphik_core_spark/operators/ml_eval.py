@@ -452,13 +452,21 @@ def gains_table(
         F.col(label_col).cast("bigint").alias("_y"),
         F.col(id_col).alias("_id"),
     )
-    ranked = exact_global_rank(base, "_s", "_id", ascending=False, rank_col="_r")
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # base rides both sides of the rank's value-grid join, ranked feeds
+    # the row count AND the bucketing, per feeds totals AND the cumsum —
+    # unpersisted that compounded to 8 corpus scans
+    base = scoped_persist(base)
+    ranked = scoped_persist(
+        exact_global_rank(base, "_s", "_id", ascending=False, rank_col="_r")
+    )
     bucketed = ranked.join(F.broadcast(ranked.agg(F.count(F.lit(1)).alias("_nn")))).select(
         "_y", ntile_from_rank("_r", "_nn", n_buckets).alias("bucket")
     )
-    per = bucketed.groupBy("bucket").agg(
+    per = scoped_persist(bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"), F.sum("_y").alias("n_pos")
-    )
+    ))
     wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tot = per.agg(
         F.sum("n").alias("_tn"), F.sum("n_pos").alias("_tp")

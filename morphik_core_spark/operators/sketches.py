@@ -347,6 +347,13 @@ def kmv_overlap(sketches: DataFrame, key_col: str, k: int = 128) -> DataFrame:
     join below is a broadcast — zero large shuffles regardless of corpus
     size.
     """
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # keys x k rows, but its LINEAGE is the corpus-wide shingle distinct:
+    # every consumer below (per-key stats, both pair sides, the union
+    # ranking) would re-run that pipeline unpersisted (10 FileScans
+    # measured) — persist the tiny sketch once
+    sketches = scoped_persist(sketches)
     space = float(1 << 30)
 
     def est(cnt, kth):  # exact below k, KMV estimator at k
@@ -433,6 +440,13 @@ def cms_join_size_estimate(
     (exact_join_size, estimate, rel_error) — exact computed here for
     the audit; a production estimator emits only the estimate.
     """
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # each side feeds its sketch AND the exact-size audit join — persist
+    # the per-key count tables (key-domain-bounded) so the corpus
+    # aggregation upstream runs once per side, not per consumer
+    a_counts = scoped_persist(a_counts)
+    b_counts = a_counts if b_counts is a_counts else scoped_persist(b_counts)
     sa = cms_sketch(a_counts, token_col, count_col, depth=depth, width=width)
     sb = cms_sketch(b_counts, token_col, count_col, depth=depth, width=width)
     prod = (

@@ -354,6 +354,11 @@ def bm25_topk(
     for i, t in enumerate(query_terms):
         base = base.withColumn(f"tf_{i}", F.size(F.filter(F.col("tk"), _term_eq(t))))
     base = base.drop("tk")
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # the tokenized projection feeds the stats aggregate AND the scoring
+    # pass (the docstring's own 100 TB advice) - persist it
+    base = scoped_persist(base)
 
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -407,10 +412,15 @@ def pmi_bigrams(
     operand exact below 2**53), one ln, ROUND(6) — the identical
     expression tree an oracle engine reproduces bit-for-bit.
     """
-    tk = df.select(tokens(F.col(text_col)).alias("tk"))
-    uni = tk.select(F.explode("tk").alias("w")).groupBy("w").agg(
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # tk is consumed by the unigram explode, the bigram explode, and the
+    # bigram total; uni by its total and both join sides - persist both
+    # so the corpus tokenizes once
+    tk = scoped_persist(df.select(tokens(F.col(text_col)).alias("tk")))
+    uni = scoped_persist(tk.select(F.explode("tk").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("c1")
-    )
+    ))
     bi = (
         tk.filter(F.size("tk") >= 2)
         .select(
@@ -1083,9 +1093,14 @@ def textrank_keywords(
     ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")).filter(
         F.col("w1") != F.col("w2")
     )
-    und = pairs.select(
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # vocab^2-bounded undirected edge list; both direction branches and
+    # pagerank's node/out-degree builds consume it - persist so the
+    # corpus tokenize+explode runs once
+    und = scoped_persist(pairs.select(
         F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
-    ).groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    ).groupBy("a", "b").agg(F.count(F.lit(1)).alias("w")))
     edges = und.select("a", "b", "w").unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
     )

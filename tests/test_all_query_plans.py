@@ -51,49 +51,23 @@ def test_no_cartesian_no_row_python(spark, name):
 # cache, not the file). This is the metric that caught quality_ensemble
 # re-tokenizing the corpus 8x from unpersisted multi-read lineage — a
 # constant-factor waste that multiplies at 100 TB. Budget: <= 4 scans of
-# any one table; queries above it are grandfathered in the allowlist
-# below with their CURRENT count (the gate fails if they get WORSE) and
-# should be burned down with plans.cache.scoped_persist over the shared
-# frame.
+# any one table; exceptions go in the allowlist below with a comment.
 _SCAN_BUDGET = 4
 # name -> measured max scans per table (2026-08, sf0.001 plans); shrink,
 # never grow.
-_SCAN_ALLOWLIST = {
-    "acf_daily": 6,
-    "ann_recall": 6,
-    "basket_lift": 10,
-    "ccf_event_types": 12,
-    "cdc_apply": 6,
-    "chi_square_screen": 7,
-    "cms_heavy_hitters": 5,
-    "corr_matrix_lineitem": 6,
-    "dunn_doclen": 10,
-    "folder_children": 5,
-    "funnel_steps": 6,
-    "gains_deciles": 8,
-    "golden_record": 6,
-    "graph_rag_expansion": 5,
-    "hybrid_rrf": 6,
-    "ivm_join": 6,
-    "ivm_join_b": 6,
-    "join_size_estimate": 8,
-    "kmv_source_overlap": 10,
-    "kruskal_doclen": 8,
-    "ks_price_drift": 8,
-    "length_matching": 6,
-    "lineitem_corr": 6,
-    "ljung_box_daily": 7,
-    "mann_kendall": 16,
-    "neyman_allocation": 16,
-    "pmi_bigrams": 5,
-    "sliding_heavy_hitters": 7,
-    "snapshot_diff": 5,
+_SCAN_ALLOWLIST: dict[str, int] = {
+    # Near-empty as of round 10: every other registry query measures
+    # <= _SCAN_BUDGET after the scoped_persist burn-down (worst offender
+    # was 17). Add an entry ONLY with a comment justifying why the extra
+    # scans are cheaper than the persist at 100 TB.
+    #
+    # spearman_screen: two spearman_corr calls x (rows + 2 value grids)
+    # = 6-10 pruned 1-2-column scans. Persisting was MEASURED NET-SLOWER
+    # (3-col projection persist: 3.4->6.3 s at sf0.1; grid-only persist:
+    # 4.5->5.4 s) because the materialization barrier costs more than the
+    # pipelined pruned scans it saves; at 100 TB a corpus-scale cache
+    # thrashes to disk while column-pruned scans stream.
     "spearman_screen": 10,
-    "textrank_keywords": 6,
-    "theil_nations": 6,
-    "theil_sen_trend": 11,
-    "token_budget_mixture": 17,
-    "trade_triangles": 14,
 }
 
 
