@@ -6611,6 +6611,246 @@ def _hw_oracle_sql(
         """
 
 
+def _pacf_oracle_sql(max_lag: int = 7) -> str:
+    """Generate the pacf_daily oracle: the acf_daily day-grid ACF at
+    12-dp quantization, then the Durbin-Levinson recursion UNROLLED as
+    chained CTEs — each level carries the phi row as pico-BIGINT columns
+    f1..fk, every product/division on CAST(u)/1e12 doubles in the same
+    left-to-right order as `analytics.pacf_durbin_levinson`."""
+
+    def d(x: str) -> str:
+        return f"(CAST({x} AS DOUBLE) / 1e12)"
+
+    m = int(max_lag)
+    lag_vals = ", ".join(f"({k})" for k in range(1, m + 1))
+    r_cols = ", ".join(
+        f"MAX(CASE WHEN lag = {k} THEN ru END) AS r{k}" for k in range(1, m + 1)
+    )
+    levels = ["l1 AS (SELECT r1 AS f1 FROM r)"]
+    for k in range(2, m + 1):
+        num = d(f"r{k}") + "".join(
+            f" - {d(f'f{j}')} * {d(f'r{k - j}')}" for j in range(1, k)
+        )
+        den = "1.0" + "".join(
+            f" - {d(f'f{j}')} * {d(f'r{j}')}" for j in range(1, k)
+        )
+        levels.append(
+            f"l{k}n AS (SELECT CAST(ROUND((CASE WHEN abs({den}) < 1e-12 "
+            f"THEN 0.0 ELSE ({num}) / ({den}) END) * 1e12) AS BIGINT) AS fkk "
+            f"FROM l{k - 1}, r)"
+        )
+        upd = ", ".join(
+            f"CAST(ROUND(({d(f'f{j}')} - {d('fkk')} * {d(f'f{k - j}')}) * 1e12) "
+            f"AS BIGINT) AS f{j}"
+            for j in range(1, k)
+        )
+        levels.append(f"l{k} AS (SELECT {upd}, fkk AS f{k} FROM l{k - 1}, l{k}n)")
+    finals = "\n            UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS lag, "
+        f"(SELECT CAST(r{k} AS DOUBLE) / 1e12 FROM r) AS acf, "
+        f"(SELECT CAST(f{k} AS DOUBLE) / 1e12 FROM l{k}) AS pacf"
+        for k in range(1, m + 1)
+    )
+    level_sql = ",\n            ".join(levels)
+    return f"""
+            WITH d AS (SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS x
+                       FROM events GROUP BY 1),
+            g AS (SELECT CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n FROM d),
+            dev AS (SELECT di, n * x - s AS dd FROM d CROSS JOIN g),
+            den AS (SELECT SUM(CAST(dd AS HUGEINT) * dd) AS den FROM dev),
+            lags AS (SELECT * FROM (VALUES {lag_vals}) AS l(lag)),
+            prs AS (
+                SELECT l.lag, a.dd AS da, b.dd AS db
+                FROM dev a JOIN lags l ON TRUE
+                JOIN dev b ON b.di = a.di + l.lag
+            ),
+            num AS (SELECT lag, SUM(CAST(da AS HUGEINT) * db) AS num
+                    FROM prs GROUP BY 1),
+            acf AS (
+                SELECT lag, CAST(ROUND(ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 12)
+                                       * 1e12) AS BIGINT) AS ru
+                FROM num CROSS JOIN den
+            ),
+            r AS (SELECT {r_cols} FROM acf),
+            {level_sql}
+            {finals}
+            ORDER BY lag
+        """
+
+
+def _chi_posthoc_oracle_sql(alpha: float = 0.05) -> str:
+    """Generate the chi_posthoc_priority oracle: per-priority
+    (n, finished) counts, pooled two-proportion z per pair, 1e-12 BH
+    step-up — the exact expression trees of
+    `analytics.chi_square_posthoc`."""
+    from morphik_core_spark.operators.analytics import _AS_NORMAL_SF
+
+    nl, nr = "CAST(n_left AS DOUBLE)", "CAST(n_right AS DOUBLE)"
+    sl, sr = "CAST(_sl AS DOUBLE)", "CAST(_sr AS DOUBLE)"
+    pool = f"(({sl} + {sr}) / ({nl} + {nr}))"
+    var = f"({pool} * (1.0 - {pool}) * (1.0 / {nl} + 1.0 / {nr}))"
+    z = (
+        f"(CASE WHEN ({var}) <= 0.0 THEN 0.0 "
+        f"ELSE ({sl} / {nl} - {sr} / {nr}) / sqrt({var}) END)"
+    )
+    p_two = (
+        f"(CASE WHEN ({var}) <= 0.0 THEN 1.0 "
+        f"ELSE least(1.0, 2.0 * {_AS_NORMAL_SF.format(z=f'abs({z})')}) END)"
+    )
+    return f"""
+            WITH per_g AS (
+                SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+                       count(*) AS ng,
+                       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS sg
+                FROM orders GROUP BY 1
+            ),
+            pairs AS (
+                SELECT a.g AS g_left, b.g AS g_right,
+                       a.ng AS n_left, b.ng AS n_right,
+                       a.sg AS _sl, b.sg AS _sr
+                FROM per_g a JOIN per_g b ON a.g < b.g
+            ),
+            tested AS (
+                SELECT g_left, g_right,
+                       CAST(n_left AS BIGINT) AS n_left,
+                       CAST(n_right AS BIGINT) AS n_right,
+                       ROUND({sl} / {nl}, 6) AS rate_left,
+                       ROUND({sr} / {nr}, 6) AS rate_right,
+                       ROUND({z}, 6) AS z,
+                       CAST(ROUND({p_two} * 1e12) AS BIGINT) AS pu
+                FROM pairs
+            ),
+            ranked AS (
+                SELECT *, COUNT(*) OVER () AS m,
+                       CAST(row_number() OVER (ORDER BY pu ASC, g_left ASC, g_right ASC) AS BIGINT) AS p_rank
+                FROM tested
+            ),
+            cut AS (
+                SELECT *, MAX(CASE WHEN pu * m <= p_rank * CAST(ROUND({float(alpha)} * 1e12) AS BIGINT)
+                                   THEN p_rank END) OVER () AS imax
+                FROM ranked
+            )
+            SELECT g_left, g_right, n_left, n_right, rate_left, rate_right, z,
+                   ROUND(CAST(pu AS DOUBLE) / 1e12, 12) AS p_value,
+                   p_rank,
+                   COALESCE(p_rank <= imax, FALSE) AS rejected
+            FROM cut ORDER BY p_rank
+        """
+
+
+
+def _q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily event volume at lags 1..7
+    (`analytics.pacf_durbin_levinson`): the AR-order diagnostic on top
+    of `acf_daily`'s raw lags — phi_kk is the lag-k correlation with
+    lags 1..k-1 regressed out, via the Durbin-Levinson recursion over
+    the 12-dp-quantized ACF in pico-integer steps (driver-side,
+    max_lag-bounded — the holt/markov boundary class; the oracle
+    unrolls the same 7 levels as chained CTEs)."""
+    from morphik_core_spark.operators.analytics import pacf_durbin_levinson
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return pacf_durbin_levinson(daily, "di", "x", max_lag=7)
+
+
+def _q_chi_posthoc_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise proportion post-hoc (`analytics.chi_square_posthoc`):
+    which order-priority pairs differ in finished-rate, after the
+    k-group chi-square screen — pooled two-proportion z per pair, BH
+    step-up over the 10 p-values in 1e-12 integer space (the
+    `dunn_doclen` recipe on the proportion scale). Five priority
+    groups at ~24-25% finished-rate: mostly non-rejections with the
+    z/p/BH machinery fully exercised."""
+    from morphik_core_spark.operators.analytics import chi_square_posthoc
+
+    orders = _t(spark, sf_dir, "orders")
+    return chi_square_posthoc(
+        orders, "o_orderpriority", (F.col("o_orderstatus") == "F").cast("int")
+    )
+
+
+def _q_ivm_join_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simultaneous two-sided IVM (`incremental.
+    incremental_join_apply_both`): the orders⋈customer view absorbs an
+    order batch AND a customer batch in ONE maintenance step — kept
+    rows survive a double anti-join, A-side changes re-join the
+    POST-batch dimension (an updated order pointing at a same-batch
+    deleted customer drops; one pointing at a re-nationalized customer
+    lands in the NEW nation), and unchanged orders of changed customers
+    revive from the view itself. Deltas reuse the `ivm_join` /
+    `ivm_join_b` synthesis so every cross-path fires. merge ==
+    recompute is the oracle (both CDCs applied in SQL, joined fresh),
+    emitted as the per-nation rollup."""
+    from morphik_core_spark.operators.incremental import incremental_join_apply_both
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    orders = scoped_persist(_t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ))
+    cust = scoped_persist(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    b_view = cust.withColumnRenamed("c_custkey", "o_custkey")
+    joined = orders.join(b_view, "o_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_nationkey"
+    )
+    ten_o = F.col("o_orderkey") % 10
+    delta_a = (
+        orders.filter(ten_o == 0).withColumn("op", F.lit("D"))
+        .unionByName(
+            orders.filter(ten_o == 1)
+            .select(
+                "o_orderkey",
+                (F.col("o_custkey") % 100 + 1).alias("o_custkey"),
+                (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+            )
+            .withColumn("op", F.lit("U"))
+        )
+        .unionByName(
+            orders.filter(ten_o == 3)
+            .select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+            )
+            .withColumn("op", F.lit("I"))
+        )
+    )
+    ten_c = F.col("o_custkey") % 10
+    delta_b = (
+        b_view.filter(ten_c == 0).withColumn("op", F.lit("D"))
+        .unionByName(
+            b_view.filter(ten_c == 1)
+            .select("o_custkey", ((F.col("c_nationkey") + 7) % 25).alias("c_nationkey"))
+            .withColumn("op", F.lit("U"))
+        )
+        .unionByName(
+            b_view.filter(ten_c == 3)
+            .select(
+                (F.col("o_custkey") + 20_000_000).alias("o_custkey"), "c_nationkey"
+            )
+            .withColumn("op", F.lit("I"))
+        )
+    )
+    maintained = incremental_join_apply_both(
+        joined, delta_a, b_view, delta_b, "o_orderkey", "o_custkey",
+        b_cols=["c_nationkey"],
+    )
+    return (
+        maintained.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("rev_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 names to the front (the local gate
 # tests/test_oracle_parity.py covers every entry regardless of order).
@@ -6926,6 +7166,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_event_types": _q_ccf_event_types,
         "seasonal_strength_daily": _q_seasonal_strength_daily,
         "holt_winters_daily": _q_holt_winters_daily,
+        "pacf_daily": _q_pacf_daily,
+        "chi_posthoc_priority": _q_chi_posthoc_priority,
+        "ivm_join_both": _q_ivm_join_both,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -13781,6 +14024,42 @@ def oracle_sql() -> dict[str, str]:
         "mann_whitney_doclen": _mw_oracle_sql(),
         "dunn_doclen": _dunn_oracle_sql(),
         "holt_winters_daily": _hw_oracle_sql(7),
+        "pacf_daily": _pacf_oracle_sql(7),
+        "chi_posthoc_priority": _chi_posthoc_oracle_sql(),
+        "ivm_join_both": """
+            WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+            o_applied AS (
+                SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+                FROM o WHERE o_orderkey % 10 NOT IN (0, 1)
+                UNION ALL
+                SELECT o_orderkey, o_custkey % 100 + 1 AS o_custkey,
+                       CAST(o_totalprice AS DOUBLE) * 1.1 AS o_totalprice
+                FROM o WHERE o_orderkey % 10 = 1
+                UNION ALL
+                SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+                       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+                FROM o WHERE o_orderkey % 10 = 3
+            ),
+            c AS (SELECT c_custkey, c_nationkey FROM customer),
+            c_applied AS (
+                SELECT c_custkey, c_nationkey FROM c
+                WHERE c_custkey % 10 NOT IN (0, 1)
+                UNION ALL
+                SELECT c_custkey, (c_nationkey + 7) % 25 AS c_nationkey
+                FROM c WHERE c_custkey % 10 = 1
+                UNION ALL
+                SELECT c_custkey + 20000000 AS c_custkey, c_nationkey
+                FROM c WHERE c_custkey % 10 = 3
+            ),
+            j AS (
+                SELECT a.o_orderkey, a.o_totalprice, cc.c_nationkey
+                FROM o_applied a JOIN c_applied cc ON a.o_custkey = cc.c_custkey
+            )
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
         "ccf_event_types": """
             WITH dx AS (
                 SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS x

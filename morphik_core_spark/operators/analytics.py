@@ -906,6 +906,84 @@ def autocorrelation(
     )
 
 
+def pacf_durbin_levinson(
+    series: DataFrame,
+    idx_col: str,
+    val_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Partial autocorrelation function via the Durbin-Levinson
+    recursion — the AR-order diagnostic beside `autocorrelation`'s raw
+    lags (ACF of an AR(p) tails off; PACF CUTS OFF after lag p, which
+    is how you read the order for a forecaster like `holt_linear` or an
+    AR residual check): phi_kk is lag-k correlation AFTER regressing
+    out lags 1..k-1,
+
+        phi_11 = rho_1
+        phi_kk = (rho_k - SUM_j phi_{k-1,j} rho_{k-j})
+                 / (1 - SUM_j phi_{k-1,j} rho_j)
+        phi_kj = phi_{k-1,j} - phi_kk * phi_{k-1,k-j}
+
+    The rho_k come from the shared `autocorrelation` op at 12-decimal
+    quantization; the recursion itself is max_lag-bounded and runs
+    driver-side (the holt/markov boundary class) in pico-quantized
+    steps: every phi re-quantizes to ROUND(x*1e12) half-away after each
+    update, all products/divisions evaluate on CAST(u)/1e12 doubles in
+    fixed left-to-right order, so the trajectory is bit-reproducible
+    and an unrolled-CTE oracle replays it verbatim. A near-singular
+    level (|den| < 1e-12) emits phi_kk = 0; the recursion requires a
+    DENSE lag range and stops at the first missing lag.
+
+    Output per lag: (lag, acf, pacf), ordered. Corpus cost = the one
+    deviation scan `autocorrelation` already pays.
+    """
+    import math as _m
+
+    def _rha(x: float) -> int:
+        return int(_m.floor(x + 0.5)) if x >= 0 else int(_m.ceil(x - 0.5))
+
+    acf_rows = autocorrelation(
+        series, idx_col, val_col, max_lag=max_lag, decimals=12
+    ).collect()  # max_lag-bounded
+    r_u = {
+        int(r["lag"]): _rha(float(r["acf"]) * 1e12)
+        for r in acf_rows
+        if r["acf"] is not None
+    }
+
+    def d(u: int) -> float:
+        return float(u) / 1e12
+
+    prev: dict[int, int] = {}
+    out_rows: list[tuple[int, float, float]] = []
+    for k in range(1, int(max_lag) + 1):
+        if k not in r_u:
+            break  # dense-range contract: stop at the first gap
+        if k == 1:
+            fkk_u = r_u[1]
+        else:
+            num = d(r_u[k])
+            den = 1.0
+            for j in range(1, k):  # fixed order: j ascending
+                num -= d(prev[j]) * d(r_u[k - j])
+                den -= d(prev[j]) * d(r_u[j])
+            fkk_u = 0 if abs(den) < 1e-12 else _rha(num / den * 1e12)
+        cur = {
+            j: _rha((d(prev[j]) - d(fkk_u) * d(prev[k - j])) * 1e12)
+            for j in range(1, k)
+        }
+        cur[k] = fkk_u
+        prev = cur
+        # report the pico-quantized values VERBATIM (u/1e12, one shared
+        # division) - a second ROUND to `decimals` would re-round on
+        # .5-at-6dp boundaries where engines' double paths can differ
+        out_rows.append((k, d(r_u[k]), d(fkk_u)))
+    spark = series.sparkSession
+    return spark.createDataFrame(
+        out_rows, "lag int, acf double, pacf double"
+    ).orderBy("lag")
+
+
 def cusum_screen(
     series: DataFrame,
     idx_col: str,
@@ -4774,6 +4852,99 @@ def dunn_posthoc(
         "g_right",
         "n_left",
         "n_right",
+        "z",
+        F.round(F.col("_pu").cast("double") / F.lit(1e12), 12).alias("p_value"),
+        "p_rank",
+        F.coalesce(F.col("p_rank") <= F.col("_imax"), F.lit(False)).alias("rejected"),
+    ).orderBy("p_rank")
+
+
+def chi_square_posthoc(
+    df: DataFrame,
+    group_col: str,
+    flag_col,
+    alpha: float = 0.05,
+    decimals: int = 6,
+) -> DataFrame:
+    """Pairwise post-hoc for a k-group proportion table: after
+    `chi_square_independence` says "the k groups do not share a rate",
+    this answers WHICH pairs differ — two-proportion pooled z per group
+    pair with Benjamini-Hochberg step-up over the k(k-1)/2 p-values
+    (the proportion-scale sibling of `dunn_posthoc`, which post-hocs
+    Kruskal-Wallis the same way):
+
+        z = (s_a/n_a - s_b/n_b) / sqrt(p(1-p)(1/n_a + 1/n_b)),
+        p = (s_a + s_b)/(n_a + n_b)   (pooled under H0)
+
+    Exactness: per-group (n, successes) are exact integer counts from
+    ONE combinable groupBy; z is a single double tree over those ints;
+    the two-sided p uses the shared Abramowitz-Stegun 26.2.17 tail
+    quantized to 1e-12 BEFORE ranking, so the BH comparison
+    p_(i) <= i*alpha/m happens in exact integer space (the dunn/bh_fdr
+    recipe). A degenerate pair (pooled rate 0 or 1 - no variance) gets
+    z = 0, p = 1. Group-pair frames are groups^2-bounded; the only
+    corpus-scale work is the first groupBy.
+
+    Output per pair: (g_left, g_right, n_left, n_right, rate_left,
+    rate_right, z, p_value, p_rank, rejected), ordered by p_rank.
+    """
+    flag = flag_col if isinstance(flag_col, Column) else F.col(flag_col)
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # groups-sized; feeds both pair sides
+    per_g = scoped_persist(
+        df.select(F.col(group_col).cast("string").alias("_g"), flag.cast("int").alias("_f"))
+        .filter(F.col("_f").isNotNull())
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_ng"), F.sum("_f").alias("_sg"))
+    )
+    a = per_g.select(
+        F.col("_g").alias("g_left"), F.col("_ng").alias("n_left"), F.col("_sg").alias("_sl")
+    )
+    b = per_g.select(
+        F.col("_g").alias("g_right"), F.col("_ng").alias("n_right"), F.col("_sg").alias("_sr")
+    )
+    # explicit broadcast: groups-sized by contract, and cached lineage
+    # hides size estimates from the non-equi join (the dunn lesson)
+    pairs = a.join(F.broadcast(b), F.col("g_left") < F.col("g_right"))
+    nl, nr = "CAST(n_left AS DOUBLE)", "CAST(n_right AS DOUBLE)"
+    sl, sr = "CAST(_sl AS DOUBLE)", "CAST(_sr AS DOUBLE)"
+    pool = f"(({sl} + {sr}) / ({nl} + {nr}))"
+    var = f"({pool} * (1.0 - {pool}) * (1.0 / {nl} + 1.0 / {nr}))"
+    z = (
+        f"(CASE WHEN ({var}) <= 0.0 THEN 0.0 "
+        f"ELSE ({sl} / {nl} - {sr} / {nr}) / sqrt({var}) END)"
+    )
+    p_two = f"(CASE WHEN ({var}) <= 0.0 THEN 1.0 ELSE least(1.0, 2.0 * {_AS_NORMAL_SF.format(z=f'abs({z})')}) END)"
+    tested = pairs.select(
+        "g_left",
+        "g_right",
+        F.col("n_left").cast("bigint").alias("n_left"),
+        F.col("n_right").cast("bigint").alias("n_right"),
+        F.round(F.expr(f"{sl} / {nl}"), decimals).alias("rate_left"),
+        F.round(F.expr(f"{sr} / {nr}"), decimals).alias("rate_right"),
+        F.round(F.expr(z), decimals).alias("z"),
+        F.expr(f"CAST(ROUND({p_two} * 1e12) AS BIGINT)").alias("_pu"),
+    )
+    m_w = Window.orderBy(F.lit(1))
+    rank_w = Window.orderBy(F.col("_pu").asc(), F.col("g_left").asc(), F.col("g_right").asc())
+    ranked = tested.withColumn("_m", F.count(F.lit(1)).over(m_w)).withColumn(
+        "p_rank", F.row_number().over(rank_w).cast("bigint")
+    )
+    ok = (
+        F.col("_pu") * F.col("_m")
+        <= F.expr(f"CAST(p_rank * ROUND({float(alpha)} * 1e12) AS BIGINT)")
+    ).cast("int")
+    ranked = ranked.withColumn(
+        "_imax", F.max(F.when(ok == 1, F.col("p_rank"))).over(Window.orderBy(F.lit(1)))
+    )
+    return ranked.select(
+        "g_left",
+        "g_right",
+        "n_left",
+        "n_right",
+        "rate_left",
+        "rate_right",
         "z",
         F.round(F.col("_pu").cast("double") / F.lit(1e12), 12).alias("p_value"),
         "p_rank",

@@ -44,6 +44,7 @@ __all__ = [
     "finalize_agg",
     "incremental_join_apply",
     "incremental_join_apply_delta_b",
+    "incremental_join_apply_both",
 ]
 
 _STATE_DECIMAL = "decimal(27,6)"
@@ -197,3 +198,68 @@ def incremental_join_apply_delta_b(
     upserts = delta_b.filter(F.col(op_col) != "D").drop(op_col)
     additions = a.join(F.broadcast(upserts), join_key)
     return kept.unionByName(additions.select(*kept.columns))
+
+
+def incremental_join_apply_both(
+    joined: DataFrame,
+    delta_a: DataFrame,
+    b: DataFrame,
+    delta_b: DataFrame,
+    pk_a: str,
+    join_key: str,
+    b_cols: Sequence[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Simultaneous two-sided IVM: maintain J = A ⋈ B under a CDC batch
+    on BOTH sides in one step — the case a real CDC stream actually
+    delivers (an order batch and a customer batch land in the same
+    epoch), where running `incremental_join_apply` then
+    `_delta_b` serially would be correct but pay two view passes. The
+    joint delta decomposition:
+
+        J' = (J anti ΔA-keys anti ΔB-keys)
+           ∪ (ΔA upserts ⋈ B')                 -- new/updated A vs NEW B
+           ∪ (J[join_key ∈ ΔB, pk_a ∉ ΔA].A-side ⋈ ΔB upserts)
+
+    where B' = (B anti ΔB-keys) ∪ ΔB-upserts is the post-batch
+    dimension. The three branches partition the output exactly: rows
+    untouched by either delta survive the double anti-join; every
+    A-side change re-joins against the POST-batch dimension (so an
+    order re-pointed to a customer the same batch re-nationalizes
+    correctly, and one pointed at a deleted customer drops — inner-join
+    semantics); unchanged A rows whose dimension row changed are
+    REVIVED from the view itself (``b_cols`` names the view columns
+    owned by B; the rest reconstruct the A side) and re-joined against
+    the delta-sized upserts.
+
+    Work: two anti-joins on broadcast delta key sets + two delta-sized
+    probe joins; B' costs one dimension pass. The view is scanned twice
+    (kept + revived) — never |A| × |B|. Same compaction contract as the
+    one-sided steps (``seq_col`` or pre-compacted, one final op per
+    key per side). merge == recompute is oracle-asserted
+    (`ivm_join_both`).
+    """
+    if seq_col is not None:
+        from morphik_core_spark.streaming.cdc import compact_changes
+
+        delta_a = compact_changes(delta_a, [pk_a], op_col=op_col, seq_col=seq_col)
+        delta_b = compact_changes(delta_b, [join_key], op_col=op_col, seq_col=seq_col)
+    ka = delta_a.select(F.col(pk_a)).distinct()
+    kb = delta_b.select(F.col(join_key)).distinct()
+    kept = joined.join(F.broadcast(ka), pk_a, "left_anti").join(
+        F.broadcast(kb), join_key, "left_anti"
+    )
+    b_up = delta_b.filter(F.col(op_col) != "D").drop(op_col)
+    b_new = b.join(F.broadcast(kb), join_key, "left_anti").unionByName(b_up)
+    a_up = delta_a.filter(F.col(op_col) != "D").drop(op_col)
+    add_a = a_up.join(b_new, join_key)
+    a_side = [c for c in joined.columns if c not in set(b_cols)]
+    revived = (
+        joined.join(F.broadcast(kb), join_key, "left_semi")
+        .join(F.broadcast(ka), pk_a, "left_anti")
+        .select(*a_side)
+    )
+    add_b = revived.join(F.broadcast(b_up), join_key)
+    cols = kept.columns
+    return kept.unionByName(add_a.select(*cols)).unionByName(add_b.select(*cols))

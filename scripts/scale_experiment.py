@@ -2744,6 +2744,112 @@ def main() -> None:
 
         report("holt_winters", hw, ev1f, ev10f)
 
+    if "round10" in ops:
+        # round-10 additions: PACF (driver-side D-L over the day-grid
+        # ACF), proportion post-hoc, two-sided IVM
+        from morphik_core_spark.operators.analytics import (
+            chi_square_posthoc,
+            pacf_durbin_levinson,
+        )
+        from morphik_core_spark.operators.incremental import (
+            incremental_join_apply_both,
+        )
+
+        ev1p = load_table(spark, "events", SF_DIR).select("event_id", "ts", "event_type")
+
+        def tile_p(df, name):
+            parts = [
+                df.select(
+                    (F.col("event_id") * 10 + k).alias("event_id"),
+                    (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+                    "event_type",
+                )
+                for k in range(10)
+            ]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        ev10p = tile_p(ev1p, "r10_ev10")
+
+        def pacf(e):
+            daily = e.groupBy(
+                F.expr("unix_micros(ts) div 86400000000").alias("di")
+            ).agg(F.count(F.lit(1)).alias("x"))
+            mat(pacf_durbin_levinson(daily, "di", "x", max_lag=7))
+
+        report("pacf", pacf, ev1p, ev10p)
+
+        def posthoc(e):
+            mat(chi_square_posthoc(
+                e, "event_type", (F.col("event_id") % 4 == 0).cast("int")
+            ))
+
+        report("chi_posthoc", posthoc, ev1p, ev10p)
+
+        o1 = load_table(spark, "orders", SF_DIR).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        c1 = load_table(spark, "customer", SF_DIR).select("c_custkey", "c_nationkey")
+
+        def tile_o(df, name):
+            parts = [
+                df.select(
+                    (F.col("o_orderkey") * 10 + k).alias("o_orderkey"),
+                    "o_custkey",
+                    "o_totalprice",
+                )
+                for k in range(10)
+            ]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        o10 = tile_o(o1, "r10_o10")
+
+        def ivm_both(o):
+            b_view = c1.withColumnRenamed("c_custkey", "o_custkey")
+            joined = o.join(b_view, "o_custkey").select(
+                "o_orderkey", "o_custkey", "o_totalprice", "c_nationkey"
+            )
+            ten_o = F.col("o_orderkey") % 10
+            da = (
+                o.filter(ten_o == 0).withColumn("op", F.lit("D"))
+                .unionByName(
+                    o.filter(ten_o == 1)
+                    .select(
+                        "o_orderkey",
+                        (F.col("o_custkey") % 100 + 1).alias("o_custkey"),
+                        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+                    )
+                    .withColumn("op", F.lit("U"))
+                )
+            )
+            ten_c = F.col("o_custkey") % 10
+            db = (
+                b_view.filter(ten_c == 0).withColumn("op", F.lit("D"))
+                .unionByName(
+                    b_view.filter(ten_c == 1)
+                    .select(
+                        "o_custkey",
+                        ((F.col("c_nationkey") + 7) % 25).alias("c_nationkey"),
+                    )
+                    .withColumn("op", F.lit("U"))
+                )
+            )
+            mat(incremental_join_apply_both(
+                joined, da, b_view, db, "o_orderkey", "o_custkey",
+                b_cols=["c_nationkey"],
+            ))
+
+        report("ivm_both", ivm_both, o1, o10)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

@@ -1656,3 +1656,88 @@ def test_holt_winters_initialization_and_contract(spark):
         holt_winters_additive(
             spark.createDataFrame(stuck, "di long, y long"), "di", "y", period=7
         ).collect()
+
+
+def test_pacf_ar1_cuts_off_after_lag_one(spark):
+    """An AR(1) series has geometric ACF but PACF that CUTS OFF after
+    lag 1: pacf(1) == acf(1) by definition and pacf(k >= 2) ~ 0 — the
+    defining property Durbin-Levinson must reproduce. Deterministic
+    AR(1): integer recursion x_t = (7*x_{t-1})//10 + hash-noise."""
+    from morphik_core_spark.operators.analytics import pacf_durbin_levinson
+
+    import hashlib
+
+    x, rows = 500, []
+    for t in range(300):
+        h = int(hashlib.md5(f"ar1:{t}".encode()).hexdigest()[:8], 16) % 200
+        x = (7 * x) // 10 + h
+        rows.append((t, x))
+    df = spark.createDataFrame(rows, "di long, x long")
+    out = {r["lag"]: r for r in pacf_durbin_levinson(df, "di", "x", max_lag=5).collect()}
+    assert abs(out[1]["pacf"] - out[1]["acf"]) < 1e-9  # phi_11 = rho_1
+    assert out[1]["pacf"] > 0.5
+    for k in range(2, 6):
+        assert abs(out[k]["pacf"]) < 0.2, (k, out[k])
+
+
+def test_pacf_matches_yule_walker(spark):
+    """phi_kk from the Durbin-Levinson recursion equals the LAST
+    coefficient of the order-k Yule-Walker solve — cross-checked against
+    numpy's dense Toeplitz solve at every lag (tolerance covers the
+    1e-12 quantization of the recursion)."""
+    import hashlib
+
+    import numpy as np
+
+    from morphik_core_spark.operators.analytics import (
+        autocorrelation,
+        pacf_durbin_levinson,
+    )
+
+    rows = []
+    for t in range(200):
+        h = int(hashlib.md5(f"yw:{t}".encode()).hexdigest()[:8], 16) % 1000
+        rows.append((t, h + (50 if t % 7 == 0 else 0)))
+    df = spark.createDataFrame(rows, "di long, x long")
+    acf = {
+        int(r["lag"]): float(r["acf"])
+        for r in autocorrelation(df, "di", "x", max_lag=6, decimals=12).collect()
+    }
+    out = {r["lag"]: r["pacf"] for r in pacf_durbin_levinson(df, "di", "x", max_lag=6).collect()}
+    rho = [1.0] + [acf[k] for k in range(1, 7)]
+    for k in range(1, 7):
+        R = np.array([[rho[abs(i - j)] for j in range(k)] for i in range(k)])
+        r = np.array(rho[1 : k + 1])
+        phi = np.linalg.solve(R, r)
+        assert abs(out[k] - phi[-1]) < 1e-6, (k, out[k], phi[-1])
+
+
+def test_chi_square_posthoc_finds_the_different_pair(spark):
+    """Three groups: a at 90%, b at 10%, c at 50% success. All three
+    pairs differ wildly (n=100 each), so all are BH-rejected, with the
+    a-b pair carrying the largest |z|; z signs follow rate order."""
+    from morphik_core_spark.operators.analytics import chi_square_posthoc
+
+    rows = (
+        [(f"a{i}", "a", 1 if i < 90 else 0) for i in range(100)]
+        + [(f"b{i}", "b", 1 if i < 10 else 0) for i in range(100)]
+        + [(f"c{i}", "c", 1 if i < 50 else 0) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "id string, g string, f int")
+    out = {(r["g_left"], r["g_right"]): r for r in chi_square_posthoc(df, "g", "f").collect()}
+    assert all(r["rejected"] for r in out.values())
+    assert out[("a", "b")]["z"] > out[("a", "c")]["z"] > 0
+    assert out[("b", "c")]["z"] < 0
+    assert out[("a", "b")]["rate_left"] == 0.9
+    assert out[("a", "b")]["rate_right"] == 0.1
+
+
+def test_chi_square_posthoc_degenerate_pair_is_null_result(spark):
+    """Two groups both at 100% success: pooled variance is zero, so the
+    pair reports z = 0, p = 1, not a divide-by-zero."""
+    from morphik_core_spark.operators.analytics import chi_square_posthoc
+
+    rows = [(f"a{i}", "a", 1) for i in range(20)] + [(f"b{i}", "b", 1) for i in range(30)]
+    df = spark.createDataFrame(rows, "id string, g string, f int")
+    r = chi_square_posthoc(df, "g", "f").collect()[0]
+    assert r["z"] == 0.0 and r["p_value"] == 1.0 and not r["rejected"]

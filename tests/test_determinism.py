@@ -197,6 +197,12 @@ SENSITIVE = [
     "seasonal_strength_daily",
     # driver-side integer-micro triple smoothing (series-bounded)
     "holt_winters_daily",
+    # round-10: pico-quantized driver-side Durbin-Levinson over the
+    # 12-dp ACF; pooled-z + A&S tail + BH in 1e-12 integer space; the
+    # 1.1x double re-price in the two-sided IVM delta
+    "pacf_daily",
+    "chi_posthoc_priority",
+    "ivm_join_both",
 ]
 
 

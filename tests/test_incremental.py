@@ -203,3 +203,75 @@ def test_incremental_join_apply_delta_b_compacts_with_seq(spark):
     )
     maintained = incremental_join_apply_delta_b(joined, a, delta_b, "fk", seq_col="seq")
     assert [tuple(r) for r in maintained.collect()] == [(10, 1, "a1", "b-v3")]
+
+
+def test_incremental_join_apply_both_merge_equals_recompute(spark):
+    """Simultaneous two-sided batch: every cross-path fires — an A
+    update re-pointed at a B-deleted key (drops), an A update at a
+    B-updated key (sees the NEW value), an untouched A row of an
+    updated B (revives with the new value), plain A insert/delete, a B
+    insert matched by an A update. merge == fresh join of both applied
+    tables."""
+    from morphik_core_spark.operators.incremental import incremental_join_apply_both
+
+    a = spark.createDataFrame(
+        [(1, 10, "a1"), (2, 10, "a2"), (3, 20, "a3"), (4, 30, "a4"), (5, 40, "a5")],
+        "pk long, fk long, payload string",
+    )
+    b = spark.createDataFrame(
+        [(10, "b-ten"), (20, "b-twenty"), (30, "b-thirty"), (40, "b-forty")],
+        "fk long, b_val string",
+    )
+    joined = a.join(b, "fk").select("fk", "pk", "payload", "b_val")
+    delta_a = spark.createDataFrame(
+        [
+            (1, 20, "a1-v2", "U"),   # re-pointed to a B-DELETED key -> drops
+            (3, 10, "a3-v2", "U"),   # re-pointed to a B-UPDATED key -> new value
+            (4, None, None, "D"),    # plain delete
+            (6, 50, "a6", "I"),      # insert matching a B INSERT
+        ],
+        "pk long, fk long, payload string, op string",
+    )
+    delta_b = spark.createDataFrame(
+        [
+            (10, "b-ten-v2", "U"),   # pk 2 (untouched) revives with new value
+            (20, None, "D"),
+            (50, "b-fifty", "I"),
+        ],
+        "fk long, b_val string, op string",
+    )
+    maintained = incremental_join_apply_both(
+        joined, delta_a, b, delta_b, "pk", "fk", b_cols=["b_val"]
+    )
+    a2 = spark.createDataFrame(
+        [(2, 10, "a2"), (5, 40, "a5"), (1, 20, "a1-v2"), (3, 10, "a3-v2"), (6, 50, "a6")],
+        "pk long, fk long, payload string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, "b-ten-v2"), (30, "b-thirty"), (40, "b-forty"), (50, "b-fifty")],
+        "fk long, b_val string",
+    )
+    fresh = a2.join(b2, "fk").select("fk", "pk", "payload", "b_val")
+    assert sorted(map(tuple, maintained.collect())) == sorted(map(tuple, fresh.collect()))
+
+
+def test_incremental_join_apply_both_compacts_with_seq(spark):
+    """Both deltas compact independently (latest seq wins) before the
+    joint decomposition."""
+    from morphik_core_spark.operators.incremental import incremental_join_apply_both
+
+    a = spark.createDataFrame([(1, 10, "a1")], "pk long, fk long, payload string")
+    b = spark.createDataFrame([(10, "b-v1")], "fk long, b_val string")
+    joined = a.join(b, "fk").select("fk", "pk", "payload", "b_val")
+    delta_a = spark.createDataFrame(
+        [(1, 10, "a1-v2", "U", 1), (1, 10, "a1-v3", "U", 2)],
+        "pk long, fk long, payload string, op string, seq long",
+    )
+    delta_b = spark.createDataFrame(
+        [(10, "b-v2", "U", 1), (10, "b-v3", "U", 2)],
+        "fk long, b_val string, op string, seq long",
+    )
+    maintained = incremental_join_apply_both(
+        joined, delta_a, b, delta_b, "pk", "fk", b_cols=["b_val"], seq_col="seq"
+    )
+    assert [tuple(r) for r in maintained.collect()] == [(10, 1, "a1-v3", "b-v3")]
