@@ -6611,6 +6611,125 @@ def _hw_oracle_sql(
         """
 
 
+def _cochran_oracle_sql() -> str:
+    """The cochran_priority_trend oracle: ordered scores from
+    row_number over the sorted priority keys, exact DECIMAL T/Var
+    cores, the shared A&S tail — `analytics.cochran_armitage_trend`
+    expression-for-expression."""
+    from morphik_core_spark.operators.analytics import _AS_NORMAL_SF
+
+    t_int = "(CAST(n AS HUGEINT) * ws - CAST(s AS HUGEINT) * wn)"
+    v_int = "(CAST(n AS HUGEINT) * wwn - wn * wn)"
+    var = (
+        "(CAST(s AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(s AS DOUBLE)) "
+        f"* CAST({v_int} AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    z = (
+        f"(CASE WHEN ({var}) <= 0.0 THEN 0.0 "
+        f"ELSE CAST({t_int} AS DOUBLE) / sqrt({var}) END)"
+    )
+    p_two = (
+        f"(CASE WHEN ({var}) <= 0.0 THEN 1.0 "
+        f"ELSE least(1.0, 2.0 * {_AS_NORMAL_SF.format(z=f'abs({z})')}) END)"
+    )
+    return f"""
+            WITH per_g AS (
+                SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+                       count(*) AS ng,
+                       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS sg
+                FROM orders GROUP BY 1
+            ),
+            scored AS (
+                SELECT *, CAST(row_number() OVER (ORDER BY g ASC) AS BIGINT) AS w
+                FROM per_g
+            ),
+            agg AS (
+                SELECT count(*) AS k, SUM(ng) AS n, SUM(sg) AS s,
+                       SUM(CAST(w AS HUGEINT) * sg) AS ws,
+                       SUM(CAST(w AS HUGEINT) * ng) AS wn,
+                       SUM(CAST(w AS HUGEINT) * w * ng) AS wwn
+                FROM scored
+            )
+            SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+                   ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pooled_rate,
+                   ROUND({z}, 6) AS z,
+                   ROUND(CAST(ROUND({p_two} * 1e12) AS BIGINT) / 1e12, 12) AS p_value
+            FROM agg
+        """
+
+
+def _jt_oracle_series_sql(val_expr: str, label: str) -> str:
+    """One Jonckheere-Terpstra series as a SELECT (pooled-spine grid +
+    Hollander-Wolfe tie-corrected variance), mirroring
+    `analytics.jonckheere_terpstra` expression-for-expression."""
+    from morphik_core_spark.operators.analytics import _AS_NORMAL_SF
+
+    nd = "CAST(n AS DOUBLE)"
+    mean2 = "(CAST(CAST(n AS HUGEINT) * n - sn2 AS DOUBLE) / 2.0)"
+    var = (
+        f"((({nd} * ({nd} - 1.0) * (2.0 * {nd} + 5.0) - CAST(gA AS DOUBLE) - CAST(tA AS DOUBLE)) / 72.0)"
+        f" + (CAST(gB AS DOUBLE) * CAST(tB AS DOUBLE) / (36.0 * {nd} * ({nd} - 1.0) * ({nd} - 2.0)))"
+        f" + (CAST(gC AS DOUBLE) * CAST(tC AS DOUBLE) / (8.0 * {nd} * ({nd} - 1.0))))"
+    )
+    z = (
+        f"(CASE WHEN ({var}) <= 0.0 THEN 0.0 "
+        f"ELSE (CAST(jt2 AS DOUBLE) - {mean2}) / 2.0 / sqrt({var}) END)"
+    )
+    p_two = (
+        f"(CASE WHEN ({var}) <= 0.0 THEN 1.0 "
+        f"ELSE least(1.0, 2.0 * {_AS_NORMAL_SF.format(z=f'abs({z})')}) END)"
+    )
+    return f"""
+            SELECT '{label}' AS series, CAST(k AS BIGINT) AS k,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(jt2 AS DOUBLE) / 2.0 AS jt_stat,
+                   {mean2} / 2.0 AS mean_jt,
+                   ROUND({z}, 6) AS z,
+                   ROUND(CAST(ROUND({p_two} * 1e12) AS BIGINT) / 1e12, 12) AS p_value
+            FROM (
+                WITH src AS (
+                    SELECT CAST(o_orderpriority AS VARCHAR) AS g, {val_expr} AS v
+                    FROM orders WHERE o_totalprice IS NOT NULL
+                ),
+                cells AS (SELECT g, v, count(*) AS c FROM src GROUP BY 1, 2),
+                gs AS (SELECT DISTINCT g FROM cells),
+                vs AS (SELECT DISTINCT v FROM cells),
+                dense AS (
+                    SELECT gs.g, vs.v, COALESCE(cells.c, 0) AS c
+                    FROM gs CROSS JOIN vs
+                    LEFT JOIN cells ON cells.g = gs.g AND cells.v = vs.v
+                ),
+                cum AS (
+                    SELECT g, v, c,
+                           COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+                    FROM dense
+                ),
+                jt AS (
+                    SELECT SUM(CAST(b.c AS HUGEINT) * (2 * a.lt + a.c)) AS jt2
+                    FROM cells b JOIN cum a ON a.v = b.v AND a.g < b.g
+                ),
+                gsz AS (SELECT g, SUM(c) AS ng FROM cells GROUP BY 1),
+                gt AS (
+                    SELECT count(*) AS k, SUM(ng) AS n,
+                           SUM(CAST(ng AS HUGEINT) * ng) AS sn2,
+                           SUM(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5)) AS gA,
+                           SUM(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2)) AS gB,
+                           SUM(CAST(ng AS HUGEINT) * (ng - 1)) AS gC
+                    FROM gsz
+                ),
+                tsz AS (SELECT v, SUM(c) AS tv FROM cells GROUP BY 1),
+                tt AS (
+                    SELECT SUM(CAST(tv AS HUGEINT) * (tv - 1) * (2 * tv + 5)) AS tA,
+                           SUM(CAST(tv AS HUGEINT) * (tv - 1) * (tv - 2)) AS tB,
+                           SUM(CAST(tv AS HUGEINT) * (tv - 1)) AS tC
+                    FROM tsz
+                )
+                SELECT * FROM jt CROSS JOIN gt CROSS JOIN tt
+            )
+    """
+
+
 def _pacf_oracle_sql(max_lag: int = 7) -> str:
     """Generate the pacf_daily oracle: the acf_daily day-grid ACF at
     12-dp quantization, then the Durbin-Levinson recursion UNROLLED as
@@ -6848,6 +6967,71 @@ def _q_ivm_join_both(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_cents"),
         )
         .orderBy("c_nationkey")
+    )
+
+
+def _q_kendall_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (`analytics.kendall_tau_b`) between document
+    character and whitespace-token counts — the concordance-based
+    monotone screen beside `spearman_screen`'s rank-moment rho on the
+    same pair (near-1 by construction; Kendall's pairwise definition
+    gives the probability-of-concordance reading and principled tie
+    handling). Dense 2D grid suffix sums over the bounded
+    (n_chars x tok_cnt) level sets — never an O(n^2) pair join; exact
+    integer C/D/tie counts, one double division."""
+    from morphik_core_spark.operators.analytics import kendall_tau_b
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("tok_cnt"),
+    )
+    return kendall_tau_b(docs, "n_chars", "tok_cnt")
+
+
+def _q_cochran_priority_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (`analytics.cochran_armitage_trend`):
+    is the finished-order rate trending across the five ORDERED
+    priorities — the 1-df trend question the omnibus
+    `chi_square_screen` dilutes across 4 df. Scores = natural priority
+    order ('1-URGENT'..'5-LOW'); exact integer T/Var cores in
+    DECIMAL(38,0), one double z, A&S two-sided p."""
+    from morphik_core_spark.operators.analytics import cochran_armitage_trend
+
+    orders = _t(spark, sf_dir, "orders")
+    return cochran_armitage_trend(
+        orders, "o_orderpriority", (F.col("o_orderstatus") == "F").cast("int")
+    )
+
+
+def _q_jt_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test (`analytics.
+    jonckheere_terpstra`): are order prices stochastically ORDERED
+    across the five priorities. Two rows (the mann_kendall injected-
+    drift precedent): the RAW series (null — the generator draws price
+    independent of priority) and a +$100k-per-priority-level uplift
+    (z >> 0), so both the null and the detection branch are exercised.
+    Pooled-spine grid machinery, full Hollander-Wolfe tie-corrected
+    variance, everything integer until the final z."""
+    from morphik_core_spark.operators.analytics import jonckheere_terpstra
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+        F.expr("CAST(substr(o_orderpriority, 1, 1) AS BIGINT)").alias("_lvl"),
+    )
+    raw = jonckheere_terpstra(orders, "o_orderpriority", "cents")
+    uplifted = jonckheere_terpstra(
+        orders.select(
+            "o_orderpriority",
+            (F.col("cents") + F.col("_lvl") * F.lit(10_000_000)).alias("cents"),
+        ),
+        "o_orderpriority",
+        "cents",
+    )
+    return raw.select(F.lit("raw").alias("series"), "*").unionByName(
+        uplifted.select(F.lit("uplifted").alias("series"), "*")
     )
 
 
@@ -7169,6 +7353,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pacf_daily": _q_pacf_daily,
         "chi_posthoc_priority": _q_chi_posthoc_priority,
         "ivm_join_both": _q_ivm_join_both,
+        "kendall_chars_tokens": _q_kendall_chars_tokens,
+        "cochran_priority_trend": _q_cochran_priority_trend,
+        "jt_priority_price": _q_jt_priority_price,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -14025,6 +14212,71 @@ def oracle_sql() -> dict[str, str]:
         "dunn_doclen": _dunn_oracle_sql(),
         "holt_winters_daily": _hw_oracle_sql(7),
         "pacf_daily": _pacf_oracle_sql(7),
+        "kendall_chars_tokens": """
+            WITH cells AS (
+                SELECT CAST(ROUND(CAST(n_chars AS DOUBLE)) AS BIGINT) AS x,
+                       CAST(ROUND(CAST(len(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           s -> s <> '')) AS DOUBLE)) AS BIGINT) AS y,
+                       count(*) AS c
+                FROM documents
+                WHERE n_chars IS NOT NULL AND text IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            xs AS (SELECT DISTINCT x FROM cells),
+            ys AS (SELECT DISTINCT y FROM cells),
+            dense AS (
+                SELECT xs.x, ys.y, COALESCE(cells.c, 0) AS c
+                FROM xs CROSS JOIN ys
+                LEFT JOIN cells ON cells.x = xs.x AND cells.y = ys.y
+            ),
+            sy AS (
+                SELECT x, y, c,
+                       COALESCE(SUM(c) OVER (PARTITION BY x ORDER BY y DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sy_,
+                       COALESCE(SUM(c) OVER (PARTITION BY x ORDER BY y ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS py_
+                FROM dense
+            ),
+            gg AS (
+                SELECT x, y, c,
+                       COALESCE(SUM(sy_) OVER (PARTITION BY y ORDER BY x DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gg_,
+                       COALESCE(SUM(py_) OVER (PARTITION BY y ORDER BY x DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gl_
+                FROM sy
+            ),
+            cd AS (
+                SELECT SUM(CAST(c AS HUGEINT) * gg_) AS conc,
+                       SUM(CAST(c AS HUGEINT) * gl_) AS disc,
+                       CAST(SUM(c) AS BIGINT) AS n
+                FROM gg
+            ),
+            t1 AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS n1x2
+                   FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)),
+            t2 AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS n2x2
+                   FROM (SELECT SUM(c) AS t FROM cells GROUP BY y))
+            SELECT n,
+                   CAST(CAST(n AS HUGEINT) * (n - 1) / 2 AS BIGINT) AS n_pairs,
+                   CAST(conc AS BIGINT) AS concordant,
+                   CAST(disc AS BIGINT) AS discordant,
+                   ROUND(2.0 * (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE)) /
+                         sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - n1x2 AS DOUBLE)
+                              * CAST(CAST(n AS HUGEINT) * (n - 1) - n2x2 AS DOUBLE)), 6) AS tau_b
+            FROM cd CROSS JOIN t1 CROSS JOIN t2
+        """,
+        "cochran_priority_trend": _cochran_oracle_sql(),
+        "jt_priority_price": (
+            _jt_oracle_series_sql(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)", "raw"
+            )
+            + "\n            UNION ALL\n"
+            + _jt_oracle_series_sql(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+                "+ CAST(substr(o_orderpriority, 1, 1) AS BIGINT) * 10000000",
+                "uplifted",
+            )
+        ),
         "chi_posthoc_priority": _chi_posthoc_oracle_sql(),
         "ivm_join_both": """
             WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),

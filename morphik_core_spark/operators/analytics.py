@@ -4952,6 +4952,300 @@ def chi_square_posthoc(
     ).orderBy("p_rank")
 
 
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    value_scale: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test: are the k groups
+    stochastically ORDERED (doc length grows with severity bucket,
+    latency grows with batch tier) — the trend-aware sibling of
+    `kruskal_wallis` (which only asks "different?") and the k-group
+    extension of `mann_whitney_u`'s pairwise U, with group order taken
+    from the natural sort of the group key:
+
+        JT = SUM_{a<b} U_ab,   U_ab = #{x_a < x_b} + #{x_a = x_b}/2
+
+    NEVER a pairwise row join: values quantize once to integers, the
+    corpus collapses to per-(group, value) cells, and each U_ab comes
+    from the POOLED value spine — per group a dense (group x distinct
+    values) frame carries cum_a(<v) via one group-partitioned window,
+    and U_ab*2 = SUM_v c_b(v) * (2*cumlt_a(v) + c_a(v)) is a cells x k
+    bounded join. The normal approximation uses the FULL tie-corrected
+    variance (Hollander & Wolfe 6.19): three integer terms over group
+    sizes n_i and pooled tie sizes t_j, every sum exact DECIMAL(38,0),
+    z one double tree rounded once. Doubled integers carry the /2.
+
+    Output ONE row: (k, n, jt_stat, mean_jt, z, p_value) — jt/mean as
+    exact .0/.5 doubles from the doubled integers.
+    """
+    dec = "decimal(38,0)"
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    q = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    cells = scoped_persist(
+        df.filter(F.col(val_col).isNotNull())
+        .select(F.col(group_col).cast("string").alias("_g"), q.alias("_v"))
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    groups = cells.select("_g").distinct()
+    spine = cells.select("_v").distinct()
+    dense = (
+        groups.crossJoin(spine)
+        .join(cells, ["_g", "_v"], "left")
+        .na.fill({"_c": 0})
+    )
+    w_v = (
+        Window.partitionBy("_g")
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = dense.withColumn("_lt", F.coalesce(F.sum("_c").over(w_v), F.lit(0)))
+    a_side = cum.select(
+        F.col("_g").alias("_ga"), "_v", F.col("_lt").alias("_lta"), F.col("_c").alias("_ca")
+    )
+    b_side = cells.select(F.col("_g").alias("_gb"), "_v", F.col("_c").alias("_cb"))
+    jt2 = (
+        b_side.join(a_side, "_v")
+        .filter(F.col("_ga") < F.col("_gb"))
+        .agg(
+            F.sum(
+                F.col("_cb").cast(dec) * (2 * F.col("_lta") + F.col("_ca"))
+            ).alias("_jt2")
+        )
+    )
+    gsz = cells.groupBy("_g").agg(F.sum("_c").alias("_n"))
+    gterms = gsz.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_n").alias("n"),
+        F.sum(F.expr("CAST(_n AS DECIMAL(38,0)) * _n")).alias("_sn2"),
+        F.sum(
+            F.expr("CAST(_n AS DECIMAL(38,0)) * (_n - 1) * (2 * _n + 5)")
+        ).alias("_gA"),
+        F.sum(F.expr("CAST(_n AS DECIMAL(38,0)) * (_n - 1) * (_n - 2)")).alias("_gB"),
+        F.sum(F.expr("CAST(_n AS DECIMAL(38,0)) * (_n - 1)")).alias("_gC"),
+    )
+    tsz = cells.groupBy("_v").agg(F.sum("_c").alias("_t"))
+    tterms = tsz.agg(
+        F.sum(
+            F.expr("CAST(_t AS DECIMAL(38,0)) * (_t - 1) * (2 * _t + 5)")
+        ).alias("_tA"),
+        F.sum(F.expr("CAST(_t AS DECIMAL(38,0)) * (_t - 1) * (_t - 2)")).alias("_tB"),
+        F.sum(F.expr("CAST(_t AS DECIMAL(38,0)) * (_t - 1)")).alias("_tC"),
+    )
+    out = jt2.join(F.broadcast(gterms)).join(F.broadcast(tterms))
+    nd = "CAST(n AS DOUBLE)"
+    # mean*2 = (N^2 - SUM n_i^2)/2
+    mean2 = "(CAST(CAST(n AS DECIMAL(38,0)) * n - _sn2 AS DOUBLE) / 2.0)"
+    var = (
+        f"((({nd} * ({nd} - 1.0) * (2.0 * {nd} + 5.0) - CAST(_gA AS DOUBLE) - CAST(_tA AS DOUBLE)) / 72.0)"
+        f" + (CAST(_gB AS DOUBLE) * CAST(_tB AS DOUBLE) / (36.0 * {nd} * ({nd} - 1.0) * ({nd} - 2.0)))"
+        f" + (CAST(_gC AS DOUBLE) * CAST(_tC AS DOUBLE) / (8.0 * {nd} * ({nd} - 1.0))))"
+    )
+    z = (
+        f"(CASE WHEN ({var}) <= 0.0 THEN 0.0 "
+        f"ELSE (CAST(_jt2 AS DOUBLE) - {mean2}) / 2.0 / sqrt({var}) END)"
+    )
+    p_two = (
+        f"(CASE WHEN ({var}) <= 0.0 THEN 1.0 "
+        f"ELSE least(1.0, 2.0 * {_AS_NORMAL_SF.format(z=f'abs({z})')}) END)"
+    )
+    return out.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("_jt2").cast("double") / F.lit(2.0)).alias("jt_stat"),
+        F.expr(f"{mean2} / 2.0").alias("mean_jt"),
+        F.round(F.expr(z), decimals).alias("z"),
+        F.round(
+            F.expr(f"CAST(ROUND({p_two} * 1e12) AS BIGINT)").cast("double") / F.lit(1e12),
+            12,
+        ).alias("p_value"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation with the full tie correction —
+    the concordance-based monotone-association measure beside
+    `spearman_corr`'s rank-moment form (tau's pairwise definition is
+    what links directly to probability of concordance, and its tie
+    treatment is principled where Spearman's average ranks are a
+    convention):
+
+        tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)),
+        n0 = n(n-1)/2,  n1 = SUM_x t_x(t_x-1)/2,  n2 = SUM_y t_y(t_y-1)/2
+
+    NEVER the O(n^2) pair join: both values quantize once to integers
+    (``x_scale``/``y_scale`` — the caller bounds the grid exactly as in
+    `kruskal_wallis`), the corpus collapses to the (x, y) cell grid,
+    and C and D come from a DENSE 2D suffix sum over that grid — two
+    ordered windows (y-suffix within x, then x-suffix of that), each
+    over the |X|x|Y| dense spine built by crossing the two bounded
+    level sets. All counts are exact integers in DECIMAL(38,0); tau is
+    ONE double tree rounded once.
+
+    Scale: one corpus groupBy -> cell grid; everything after runs on
+    the dense grid (|X|*|Y| rows — the caller's quantization contract
+    keeps it bounded, e.g. whole quantities x dollar prices). Output
+    ONE row: (n, n_pairs, concordant, discordant, tau_b).
+    """
+    dec = "decimal(38,0)"
+    qx = F.expr(f"CAST(ROUND(CAST({x_col} AS DOUBLE) * {int(x_scale)}) AS BIGINT)")
+    qy = F.expr(f"CAST(ROUND(CAST({y_col} AS DOUBLE) * {int(y_scale)}) AS BIGINT)")
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    cells = scoped_persist(
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(qx.alias("_x"), qy.alias("_y"))
+        .groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    xs = cells.select("_x").distinct()
+    ys = cells.select("_y").distinct()
+    dense = scoped_persist(
+        xs.crossJoin(ys)
+        .join(cells, ["_x", "_y"], "left")
+        .na.fill({"_c": 0})
+    )
+    # F(i+, j+) = # points strictly greater in BOTH coords: y-suffix
+    # within each x, then x-suffix of that column at fixed y. The
+    # windows run over the dense grid only.
+    w_y = (
+        Window.partitionBy("_x")
+        .orderBy(F.col("_y").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_x = (
+        Window.partitionBy("_y")
+        .orderBy(F.col("_x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sfx_y = dense.withColumn("_sy", F.coalesce(F.sum("_c").over(w_y), F.lit(0)))
+    both = sfx_y.withColumn(
+        "_gg", F.coalesce(F.sum("_sy").over(w_x), F.lit(0))
+    )
+    # G(i+, j-) = greater in x, SMALLER in y: y-prefix within x, then
+    # the same x-suffix.
+    w_y_asc = (
+        Window.partitionBy("_x")
+        .orderBy(F.col("_y").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    both = both.withColumn("_py", F.coalesce(F.sum("_c").over(w_y_asc), F.lit(0)))
+    both = both.withColumn(
+        "_gl", F.coalesce(F.sum("_py").over(w_x), F.lit(0))
+    )
+    cd = both.agg(
+        F.sum(F.col("_c").cast(dec) * F.col("_gg")).alias("_conc"),
+        F.sum(F.col("_c").cast(dec) * F.col("_gl")).alias("_disc"),
+        F.sum("_c").alias("n"),
+    )
+    tx = cells.groupBy("_x").agg(F.sum("_c").alias("_t")).agg(
+        F.sum(F.expr("CAST(_t AS DECIMAL(38,0)) * (_t - 1)")).alias("_n1x2")
+    )
+    ty = cells.groupBy("_y").agg(F.sum("_c").alias("_t")).agg(
+        F.sum(F.expr("CAST(_t AS DECIMAL(38,0)) * (_t - 1)")).alias("_n2x2")
+    )
+    out = cd.join(F.broadcast(tx)).join(F.broadcast(ty))
+    n0x2 = "(CAST(n AS DECIMAL(38,0)) * (n - 1))"
+    tau = (
+        "(2.0 * (CAST(_conc AS DOUBLE) - CAST(_disc AS DOUBLE)) / "
+        f"sqrt(CAST({n0x2} - _n1x2 AS DOUBLE) * CAST({n0x2} - _n2x2 AS DOUBLE)))"
+    )
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(f"CAST({n0x2} / 2 AS BIGINT)").alias("n_pairs"),
+        F.col("_conc").cast("bigint").alias("concordant"),
+        F.col("_disc").cast("bigint").alias("discordant"),
+        F.round(F.expr(tau), decimals).alias("tau_b"),
+    )
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    group_col: str,
+    flag_col,
+    decimals: int = 6,
+) -> DataFrame:
+    """Cochran-Armitage trend test: is a success rate MONOTONICALLY
+    moving across k ORDERED groups — the one-degree-of-freedom trend
+    question the omnibus `chi_square_independence` dilutes over k-1
+    degrees (a steady drift across severity/priority/bucket levels can
+    be flagrant on the trend axis yet insignificant omnibus). Scores
+    w_i = 1..k by the groups' natural sort order (deterministic; encode
+    a custom order in the group key):
+
+        T   = SUM_i w_i (s_i - n_i * p)        p = S/N (pooled)
+        Var = p(1-p) * (SUM n_i w_i^2 - (SUM n_i w_i)^2 / N)
+        z   = T / sqrt(Var)
+
+    Exactness: per-group (n_i, s_i) are exact integer counts from ONE
+    combinable groupBy; scores come from a groups-sized rank window;
+    T's integer core N*SUM(w s) - S*SUM(w n) and Var's N*SUM(n w^2) -
+    (SUM n w)^2 accumulate in DECIMAL(38,0), and z is one double tree
+    over those exact integers rounded once. Degenerate pooled rate
+    (0 or 1) or a single group emits z = 0. Two-sided p via the shared
+    Abramowitz-Stegun tail, 1e-12-quantized.
+
+    Output ONE row: (k, n, pooled_rate, z, p_value).
+    """
+    dec = "decimal(38,0)"
+    flag = flag_col if isinstance(flag_col, Column) else F.col(flag_col)
+    per_g = (
+        df.select(F.col(group_col).cast("string").alias("_g"), flag.cast("int").alias("_f"))
+        .filter(F.col("_f").isNotNull())
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_ng"), F.sum("_f").alias("_sg"))
+    )
+    w_rank = Window.orderBy(F.col("_g").asc())
+    scored = per_g.withColumn("_w", F.row_number().over(w_rank).cast("bigint"))
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_ng").alias("n"),
+        F.sum("_sg").alias("_s"),
+        F.sum((F.col("_w") * F.col("_sg")).cast(dec)).alias("_ws"),
+        F.sum((F.col("_w") * F.col("_ng")).cast(dec)).alias("_wn"),
+        F.sum((F.col("_w") * F.col("_w") * F.col("_ng")).cast(dec)).alias("_wwn"),
+    )
+    # T*N = N*SUM(w s) - S*SUM(w n); Var*N^2 = S(N-S)(N*SUM(n w^2) - (SUM n w)^2)/N
+    # => z = (N*SUM(ws) - S*SUM(wn)) / sqrt(S(N-S)(N*SUM(nw^2) - SUM(nw)^2)/N)
+    t_int = "(CAST(n AS DECIMAL(38,0)) * _ws - CAST(_s AS DECIMAL(38,0)) * _wn)"
+    v_int = "(CAST(n AS DECIMAL(38,0)) * _wwn - _wn * _wn)"
+    var = (
+        "(CAST(_s AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(_s AS DOUBLE)) "
+        f"* CAST({v_int} AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    z = (
+        f"(CASE WHEN ({var}) <= 0.0 THEN 0.0 "
+        f"ELSE CAST({t_int} AS DOUBLE) / sqrt({var}) END)"
+    )
+    p_two = (
+        f"(CASE WHEN ({var}) <= 0.0 THEN 1.0 "
+        f"ELSE least(1.0, 2.0 * {_AS_NORMAL_SF.format(z=f'abs({z})')}) END)"
+    )
+    return agg.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.expr("CAST(_s AS DOUBLE) / CAST(n AS DOUBLE)"), decimals
+        ).alias("pooled_rate"),
+        F.round(F.expr(z), decimals).alias("z"),
+        F.round(
+            F.expr(f"CAST(ROUND({p_two} * 1e12) AS BIGINT)").cast("double") / F.lit(1e12),
+            12,
+        ).alias("p_value"),
+    )
+
+
 def overdispersion_screen(
     df: DataFrame,
     group_col: str,

@@ -2850,6 +2850,67 @@ def main() -> None:
 
         report("ivm_both", ivm_both, o1, o10)
 
+    if "round10b" in ops:
+        # round-10 wave 2: dense-grid concordance + ordered-trend tests
+        from morphik_core_spark.operators.analytics import (
+            cochran_armitage_trend,
+            jonckheere_terpstra,
+            kendall_tau_b,
+        )
+
+        def kendall(d):
+            pts = d.select(
+                "n_chars",
+                F.size(
+                    F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+                ).alias("tok_cnt"),
+            )
+            mat(kendall_tau_b(pts, "n_chars", "tok_cnt"))
+
+        report("kendall_tau", kendall, docs1, docs10)
+
+        o1b = load_table(spark, "orders", SF_DIR).select(
+            "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+        )
+
+        def tile_ob(df, name):
+            parts = [
+                df.select(
+                    (F.col("o_orderkey") * 10 + k).alias("o_orderkey"),
+                    "o_orderpriority", "o_orderstatus", "o_totalprice",
+                )
+                for k in range(10)
+            ]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        o10b = tile_ob(o1b, "r10b_o10")
+
+        report(
+            "cochran_trend",
+            lambda o: mat(cochran_armitage_trend(
+                o, "o_orderpriority", (F.col("o_orderstatus") == "F").cast("int")
+            )),
+            o1b, o10b,
+        )
+        report(
+            "jonckheere",
+            lambda o: mat(jonckheere_terpstra(
+                o.select(
+                    "o_orderpriority",
+                    F.expr(
+                        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                    ).alias("cents"),
+                ),
+                "o_orderpriority", "cents",
+            )),
+            o1b, o10b,
+        )
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

@@ -1741,3 +1741,123 @@ def test_chi_square_posthoc_degenerate_pair_is_null_result(spark):
     df = spark.createDataFrame(rows, "id string, g string, f int")
     r = chi_square_posthoc(df, "g", "f").collect()[0]
     assert r["z"] == 0.0 and r["p_value"] == 1.0 and not r["rejected"]
+
+
+def test_kendall_tau_b_matches_bruteforce(spark):
+    """C, D, and tau-b from the dense 2D grid suffix sums must equal the
+    O(n^2) pairwise definition on a small tied dataset; perfect monotone
+    data pins tau at +/-1."""
+    from morphik_core_spark.operators.analytics import kendall_tau_b
+
+    import hashlib
+    import math
+
+    pts = []
+    for i in range(60):
+        h = int(hashlib.md5(f"kt:{i}".encode()).hexdigest()[:8], 16)
+        x = h % 7
+        y = (x * 3 + (h // 7) % 5) % 11  # association + ties in both axes
+        pts.append((x, y))
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = kendall_tau_b(df, "x", "y").collect()[0]
+    C = D = 0
+    n = len(pts)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pts[i][0] - pts[j][0]
+            dy = pts[i][1] - pts[j][1]
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+    from collections import Counter
+
+    tx = Counter(p[0] for p in pts)
+    ty = Counter(p[1] for p in pts)
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in tx.values())
+    n2 = sum(t * (t - 1) // 2 for t in ty.values())
+    tau = (C - D) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert out["concordant"] == C and out["discordant"] == D
+    assert out["n_pairs"] == n0
+    assert abs(out["tau_b"] - tau) < 1e-6
+
+    mono = spark.createDataFrame([(i, i * 2) for i in range(30)], "x long, y long")
+    assert kendall_tau_b(mono, "x", "y").collect()[0]["tau_b"] == 1.0
+    anti = spark.createDataFrame([(i, -i) for i in range(30)], "x long, y long")
+    assert kendall_tau_b(anti, "x", "y").collect()[0]["tau_b"] == -1.0
+
+
+def test_cochran_armitage_detects_monotone_trend(spark):
+    """Rates 10% -> 50% -> 90% across three ordered groups: strongly
+    positive z, tiny p; flat rates give z ~ 0. Cross-checked against the
+    closed form computed directly."""
+    from morphik_core_spark.operators.analytics import cochran_armitage_trend
+
+    import math
+
+    rows = (
+        [("a", 1 if i < 10 else 0) for i in range(100)]
+        + [("b", 1 if i < 50 else 0) for i in range(100)]
+        + [("c", 1 if i < 90 else 0) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "g string, f int")
+    out = cochran_armitage_trend(df, "g", "f").collect()[0]
+    n_i, s_i, w_i = [100, 100, 100], [10, 50, 90], [1, 2, 3]
+    N, S = sum(n_i), sum(s_i)
+    p = S / N
+    T = sum(w * (s - n * p) for w, s, n in zip(w_i, s_i, n_i))
+    var = p * (1 - p) * (sum(n * w * w for n, w in zip(n_i, w_i)) - sum(n * w for n, w in zip(n_i, w_i)) ** 2 / N)
+    assert abs(out["z"] - T / math.sqrt(var)) < 1e-6
+    assert out["z"] > 10 and out["p_value"] < 1e-9
+    flat = spark.createDataFrame(
+        [(g, 1 if i < 40 else 0) for g in "abc" for i in range(100)], "g string, f int"
+    )
+    assert abs(cochran_armitage_trend(flat, "g", "f").collect()[0]["z"]) < 1e-9
+
+
+def test_jonckheere_terpstra_matches_bruteforce(spark):
+    """JT, its mean, and the tie-corrected z must match the O(n^2)
+    pairwise definition + the Hollander-Wolfe variance computed directly
+    on a small tied dataset; an ordered shift turns z strongly positive."""
+    from morphik_core_spark.operators.analytics import jonckheere_terpstra
+
+    import hashlib
+    import math
+    from collections import Counter
+
+    rows = []
+    for gi, g in enumerate(["a", "b", "c"]):
+        for i in range(40):
+            h = int(hashlib.md5(f"jt:{g}:{i}".encode()).hexdigest()[:8], 16) % 12
+            rows.append((g, h + gi * 2))  # planted ordered shift + ties
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = jonckheere_terpstra(df, "g", "v").collect()[0]
+    by_g = {g: [v for gg, v in rows if gg == g] for g in "abc"}
+    jt2 = 0
+    for a, b in [("a", "b"), ("a", "c"), ("b", "c")]:
+        for xa in by_g[a]:
+            for xb in by_g[b]:
+                if xa < xb:
+                    jt2 += 2
+                elif xa == xb:
+                    jt2 += 1
+    n_i = [len(by_g[g]) for g in "abc"]
+    N = sum(n_i)
+    mean = (N * N - sum(n * n for n in n_i)) / 4
+    t_j = list(Counter(v for _, v in rows).values())
+    var = (
+        (N * (N - 1) * (2 * N + 5)
+         - sum(n * (n - 1) * (2 * n + 5) for n in n_i)
+         - sum(t * (t - 1) * (2 * t + 5) for t in t_j)) / 72
+        + (sum(n * (n - 1) * (n - 2) for n in n_i)
+           * sum(t * (t - 1) * (t - 2) for t in t_j))
+        / (36 * N * (N - 1) * (N - 2))
+        + (sum(n * (n - 1) for n in n_i) * sum(t * (t - 1) for t in t_j))
+        / (8 * N * (N - 1))
+    )
+    assert out["jt_stat"] == jt2 / 2
+    assert out["mean_jt"] == mean
+    z = (jt2 / 2 - mean) / math.sqrt(var)
+    assert abs(out["z"] - z) < 1e-6
+    assert out["z"] > 3  # the planted shift is detected

@@ -203,6 +203,11 @@ SENSITIVE = [
     "pacf_daily",
     "chi_posthoc_priority",
     "ivm_join_both",
+    # round-10 wave 2: dense-grid concordance counts with one final
+    # division; DECIMAL trend/JT cores with A&S tails
+    "kendall_chars_tokens",
+    "cochran_priority_trend",
+    "jt_priority_price",
 ]
 
 
