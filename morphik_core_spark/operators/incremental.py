@@ -239,6 +239,15 @@ def incremental_join_apply_both(
     one-sided steps (``seq_col`` or pre-compacted, one final op per
     key per side). merge == recompute is oracle-asserted
     (`ivm_join_both`).
+
+    Self-maintainability boundary (Gupta & Mumick): an INNER-join view
+    is the only A store here, so a ΔB DELETE drops that key's fact rows
+    from the view — a LATER ΔB re-insert of the same key re-attaches
+    nothing (the A rows are unrecoverable from the view alone). Within
+    ONE batch this cannot happen (compaction leaves one final op per
+    key); across batches, feed A-side upserts for the affected facts,
+    or maintain an A snapshot beside the view (the
+    `streaming.join_view` module documents the same boundary).
     """
     if seq_col is not None:
         from morphik_core_spark.streaming.cdc import compact_changes
