@@ -6611,6 +6611,135 @@ def _hw_oracle_sql(
         """
 
 
+def _cmh_oracle_sql() -> str:
+    """The cmh_lang_exposure oracle: per-stratum 2x2 cells, micro-
+    quantized E/V/ad/bc terms, integer reduction, one chi2/OR tree —
+    `analytics.cmh_test` expression-for-expression."""
+    from morphik_core_spark.operators.analytics import _AS_NORMAL_SF
+
+    n_s = "(CAST(a + b + c + d AS DOUBLE))"
+    a_d, b_d = "CAST(a AS DOUBLE)", "CAST(b AS DOUBLE)"
+    c_d, d_d = "CAST(c AS DOUBLE)", "CAST(d AS DOUBLE)"
+    e_s = f"(({a_d} + {b_d}) * ({a_d} + {c_d}) / {n_s})"
+    v_s = (
+        f"(({a_d} + {b_d}) * ({c_d} + {d_d}) * ({a_d} + {c_d}) * ({b_d} + {d_d}) "
+        f"/ ({n_s} * {n_s} * ({n_s} - 1.0)))"
+    )
+    chi2 = (
+        "(CASE WHEN vv <= 0 THEN 0.0 ELSE "
+        "CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE) / 1e6 / CAST(vv AS DOUBLE) END)"
+    )
+    p_two = (
+        f"(CASE WHEN vv <= 0 THEN 1.0 "
+        f"ELSE least(1.0, 2.0 * {_AS_NORMAL_SF.format(z=f'sqrt({chi2})')}) END)"
+    )
+    return f"""
+            WITH cells AS (
+                SELECT CAST(lang AS VARCHAR) AS s,
+                       SUM(CASE WHEN source = 'src1' AND n_chars > 500 THEN 1 ELSE 0 END) AS a,
+                       SUM(CASE WHEN source = 'src1' AND NOT (n_chars > 500) THEN 1 ELSE 0 END) AS b,
+                       SUM(CASE WHEN source <> 'src1' AND n_chars > 500 THEN 1 ELSE 0 END) AS c,
+                       SUM(CASE WHEN source <> 'src1' AND NOT (n_chars > 500) THEN 1 ELSE 0 END) AS d
+                FROM documents
+                WHERE source IS NOT NULL AND n_chars IS NOT NULL
+                GROUP BY 1
+            ),
+            terms AS (
+                SELECT a + b + c + d AS nn,
+                       CASE WHEN a + b + c + d > 1
+                            THEN CAST(ROUND(({a_d} - {e_s}) * 1e6) AS BIGINT) ELSE 0 END AS dev_u,
+                       CASE WHEN a + b + c + d > 1
+                            THEN CAST(ROUND({v_s} * 1e6) AS BIGINT) ELSE 0 END AS var_u,
+                       CAST(ROUND({a_d} * {d_d} / {n_s} * 1e6) AS BIGINT) AS ad_u,
+                       CAST(ROUND({b_d} * {c_d} / {n_s} * 1e6) AS BIGINT) AS bc_u
+                FROM cells
+            ),
+            agg AS (
+                SELECT count(*) AS n_strata, SUM(nn) AS n,
+                       SUM(dev_u) AS dev, SUM(var_u) AS vv,
+                       SUM(ad_u) AS ad, SUM(bc_u) AS bc
+                FROM terms
+            )
+            SELECT CAST(n_strata AS BIGINT) AS n_strata, CAST(n AS BIGINT) AS n,
+                   ROUND({chi2}, 6) AS chi2,
+                   ROUND(CAST(ROUND({p_two} * 1e12) AS BIGINT) / 1e12, 12) AS p_value,
+                   CASE WHEN bc > 0
+                        THEN ROUND(CAST(ad AS DOUBLE) / CAST(bc AS DOUBLE), 6) END AS or_mh
+            FROM agg
+        """
+
+
+def _friedman_oracle_sql() -> str:
+    """The friedman_dow_types oracle: two series (raw + purchase-
+    uplifted), each the within-block doubled tie ranks over the
+    (block, value) grid, complete-block filter, Conover tie-corrected
+    T — `analytics.friedman_test` verbatim."""
+    return (
+        _friedman_series_sql("v", "raw")
+        + "\n            UNION ALL\n"
+        + _friedman_series_sql(
+            "CASE WHEN t = 'purchase' THEN v + v // 2 ELSE v END", "uplifted"
+        )
+    )
+
+
+def _friedman_series_sql(val_expr: str, label: str) -> str:
+    kd, nd = "CAST(k AS DOUBLE)", "CAST(n_blocks AS DOUBLE)"
+    num4 = (
+        f"(CAST(sq2 AS DOUBLE) - 2.0 * {nd} * ({kd} + 1.0) * CAST(sum2 AS DOUBLE) "
+        f"+ {kd} * {nd} * ({kd} + 1.0) * {nd} * ({kd} + 1.0))"
+    )
+    den4 = f"(CAST(a4 AS DOUBLE) - {nd} * {kd} * ({kd} + 1.0) * ({kd} + 1.0))"
+    t_stat = (
+        f"(CASE WHEN ({den4}) <= 0.0 THEN 0.0 "
+        f"ELSE ({kd} - 1.0) * ({num4}) / ({den4}) END)"
+    )
+    return f"""
+            SELECT '{label}' AS series, * FROM (
+            WITH daily0 AS (
+                SELECT epoch_us(ts) // 86400000000 AS b,
+                       CAST(event_type AS VARCHAR) AS t,
+                       CAST(COUNT(*) AS BIGINT) AS v
+                FROM events GROUP BY 1, 2
+            ),
+            daily AS (SELECT b, t, CAST({val_expr} AS BIGINT) AS v FROM daily0),
+            kt AS (SELECT COUNT(DISTINCT t) AS k_total FROM daily),
+            full_blocks AS (
+                SELECT b FROM daily GROUP BY b
+                HAVING COUNT(DISTINCT t) = (SELECT k_total FROM kt)
+            ),
+            rows_ AS (
+                SELECT d.b, d.t, d.v FROM daily d
+                SEMI JOIN full_blocks fb ON d.b = fb.b
+            ),
+            grid AS (SELECT b, v, COUNT(*) AS c FROM rows_ GROUP BY 1, 2),
+            rg AS (
+                SELECT b, v,
+                       2 * COALESCE(SUM(c) OVER (PARTITION BY b ORDER BY v ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + c + 1 AS r2
+                FROM grid
+            ),
+            ranked AS (SELECT r.b, r.t, g.r2 FROM rows_ r JOIN rg g ON r.b = g.b AND r.v = g.v),
+            per_t AS (SELECT t, SUM(CAST(r2 AS HUGEINT)) AS R2 FROM ranked GROUP BY 1),
+            a4t AS (
+                SELECT SUM(CAST(r2 AS HUGEINT) * r2) AS a4,
+                       COUNT(DISTINCT b) AS n_blocks
+                FROM ranked
+            ),
+            agg AS (
+                SELECT count(*) AS k,
+                       SUM(CAST(R2 AS HUGEINT) * R2) AS sq2,
+                       SUM(R2) AS sum2
+                FROM per_t
+            )
+            SELECT CAST(k AS BIGINT) AS k, CAST(n_blocks AS BIGINT) AS n_blocks,
+                   ROUND({t_stat}, 6) AS t_stat
+            FROM agg CROSS JOIN a4t
+            )
+        """
+
+
 def _cochran_oracle_sql() -> str:
     """The cochran_priority_trend oracle: ordered scores from
     row_number over the sorted priority keys, exact DECIMAL T/Var
@@ -7035,6 +7164,65 @@ def _q_jt_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cmh_lang_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 test (`analytics.
+    cmh_test`): does coming from src1 move the long-document rate
+    (n_chars > 500) CONTROLLING for language — the Simpson's-paradox
+    guard beside the pooled `chi_square_screen` (language drives both
+    the source mix and the length distribution, so the pooled 2x2 is
+    confounded by construction). Strata-bounded cell table, micro-
+    quantized per-stratum terms, integer cross-stratum reduction."""
+    from morphik_core_spark.operators.analytics import cmh_test
+
+    docs = _t(spark, sf_dir, "documents")
+    return cmh_test(
+        docs,
+        "lang",
+        (F.col("source") == "src1").cast("int"),
+        (F.col("n_chars") > 500).cast("int"),
+    )
+
+
+def _q_friedman_dow_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman blocked-rank test (`analytics.friedman_test`): do the
+    event types differ in volume when ranked WITHIN each day — the
+    repeated-measures question `kruskal_doclen`'s pooled ranks can't
+    ask (day-level traffic swings would dominate a pooled test; ranking
+    within the day block removes them exactly). Blocks = days,
+    treatments = event types, values = daily counts; Conover
+    tie-corrected T over doubled integer ranks."""
+    from morphik_core_spark.operators.analytics import friedman_test
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    events = _t(spark, sf_dir, "events")
+    daily = scoped_persist(
+        events.groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("di"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("x"))
+    )
+    raw = friedman_test(daily, "di", "event_type", "x")
+    # injected within-block uplift (the mann_kendall precedent): +50%
+    # to purchases every day — ranked within day, the test must detect
+    # it while the raw uniform fixture stays null
+    uplifted = friedman_test(
+        daily.select(
+            "di",
+            "event_type",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("x") + F.expr("x div 2"),
+            ).otherwise(F.col("x")).alias("x"),
+        ),
+        "di",
+        "event_type",
+        "x",
+    )
+    return raw.select(F.lit("raw").alias("series"), "*").unionByName(
+        uplifted.select(F.lit("uplifted").alias("series"), "*")
+    )
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 names to the front (the local gate
 # tests/test_oracle_parity.py covers every entry regardless of order).
@@ -7356,6 +7544,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_chars_tokens": _q_kendall_chars_tokens,
         "cochran_priority_trend": _q_cochran_priority_trend,
         "jt_priority_price": _q_jt_priority_price,
+        "cmh_lang_exposure": _q_cmh_lang_exposure,
+        "friedman_dow_types": _q_friedman_dow_types,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -14266,6 +14456,8 @@ def oracle_sql() -> dict[str, str]:
             FROM cd CROSS JOIN t1 CROSS JOIN t2
         """,
         "cochran_priority_trend": _cochran_oracle_sql(),
+        "cmh_lang_exposure": _cmh_oracle_sql(),
+        "friedman_dow_types": _friedman_oracle_sql(),
         "jt_priority_price": (
             _jt_oracle_series_sql(
                 "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)", "raw"

@@ -4952,6 +4952,199 @@ def chi_square_posthoc(
     ).orderBy("p_rank")
 
 
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col,
+    outcome_col,
+    decimals: int = 6,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 association: does exposure
+    move the outcome rate CONTROLLING for a stratifying confounder — the
+    Simpson's-paradox guard a flat `ab_test` or `chi_square_independence`
+    cannot give (aggregate association can reverse inside every
+    stratum). Per stratum s with cells (a=E+O+, b=E+O-, c=E-O+, d=E-O-)
+    and margins r1=a+b, r0=c+d, c1=a+c, c0=b+d, n:
+
+        chi2 = (SUM_s (a_s - E_s))^2 / SUM_s V_s
+        E_s  = r1*c1/n,   V_s = r1*r0*c1*c0 / (n^2 (n-1))
+        OR_MH = SUM_s (a_s d_s / n_s) / SUM_s (b_s c_s / n_s)
+
+    Exactness: the corpus collapses to one (stratum, exposure, outcome)
+    groupBy (strata-bounded); every cell/margin is an exact integer;
+    each stratum's E, V, ad/n, bc/n terms are single double trees
+    quantized ROUND(*1e6) to micro-units BEFORE the cross-stratum sum
+    (integer reduction — partitioning cannot move the statistic), and
+    chi2/OR are one final double tree each. Degenerate strata (n <= 1)
+    contribute zero. A&S tail on sqrt(chi2) for the two-sided p.
+
+    Output ONE row: (n_strata, n, chi2, p_value, or_mh) — or_mh NULL
+    when the denominator is zero.
+    """
+    exposure = exposure_col if isinstance(exposure_col, Column) else F.col(exposure_col)
+    outcome = outcome_col if isinstance(outcome_col, Column) else F.col(outcome_col)
+    cells = (
+        df.select(
+            F.col(stratum_col).cast("string").alias("_s"),
+            exposure.cast("int").alias("_e"),
+            outcome.cast("int").alias("_o"),
+        )
+        .filter(F.col("_e").isNotNull() & F.col("_o").isNotNull())
+        .groupBy("_s")
+        .agg(
+            F.sum(F.expr("CAST(_e = 1 AND _o = 1 AS INT)")).alias("a"),
+            F.sum(F.expr("CAST(_e = 1 AND _o = 0 AS INT)")).alias("b"),
+            F.sum(F.expr("CAST(_e = 0 AND _o = 1 AS INT)")).alias("c"),
+            F.sum(F.expr("CAST(_e = 0 AND _o = 0 AS INT)")).alias("d"),
+        )
+    )
+    n_s = "(CAST(a + b + c + d AS DOUBLE))"
+    a_d, b_d = "CAST(a AS DOUBLE)", "CAST(b AS DOUBLE)"
+    c_d, d_d = "CAST(c AS DOUBLE)", "CAST(d AS DOUBLE)"
+    e_s = f"(({a_d} + {b_d}) * ({a_d} + {c_d}) / {n_s})"
+    v_s = (
+        f"(({a_d} + {b_d}) * ({c_d} + {d_d}) * ({a_d} + {c_d}) * ({b_d} + {d_d}) "
+        f"/ ({n_s} * {n_s} * ({n_s} - 1.0)))"
+    )
+    guard = "a + b + c + d > 1"
+    terms = cells.select(
+        F.expr("a + b + c + d").alias("_n"),
+        F.expr(
+            f"CASE WHEN {guard} THEN CAST(ROUND(({a_d} - {e_s}) * 1e6) AS BIGINT) ELSE 0 END"
+        ).alias("_dev_u"),
+        F.expr(
+            f"CASE WHEN {guard} THEN CAST(ROUND({v_s} * 1e6) AS BIGINT) ELSE 0 END"
+        ).alias("_var_u"),
+        F.expr(
+            f"CAST(ROUND({a_d} * {d_d} / {n_s} * 1e6) AS BIGINT)"
+        ).alias("_ad_u"),
+        F.expr(
+            f"CAST(ROUND({b_d} * {c_d} / {n_s} * 1e6) AS BIGINT)"
+        ).alias("_bc_u"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("_n").alias("n"),
+        F.sum("_dev_u").alias("_dev"),
+        F.sum("_var_u").alias("_var"),
+        F.sum("_ad_u").alias("_ad"),
+        F.sum("_bc_u").alias("_bc"),
+    )
+    chi2 = (
+        "(CASE WHEN _var <= 0 THEN 0.0 ELSE "
+        "CAST(_dev AS DOUBLE) * CAST(_dev AS DOUBLE) / 1e6 / CAST(_var AS DOUBLE) END)"
+    )
+    zabs = f"sqrt({chi2})"
+    p_two = (
+        f"(CASE WHEN _var <= 0 THEN 1.0 "
+        f"ELSE least(1.0, 2.0 * {_AS_NORMAL_SF.format(z=zabs)}) END)"
+    )
+    return agg.select(
+        F.col("n_strata").cast("bigint").alias("n_strata"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.expr(chi2), decimals).alias("chi2"),
+        F.round(
+            F.expr(f"CAST(ROUND({p_two} * 1e12) AS BIGINT)").cast("double") / F.lit(1e12),
+            12,
+        ).alias("p_value"),
+        F.when(
+            F.col("_bc") > 0,
+            F.round(F.col("_ad").cast("double") / F.col("_bc").cast("double"), decimals),
+        ).alias("or_mh"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    val_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Friedman test: do k treatments differ when measured WITHIN each
+    of n blocks — the repeated-measures sibling of `kruskal_wallis`
+    (ranking within blocks removes the block effect entirely: day-level
+    volume swings can't masquerade as a treatment difference the way
+    they would in a pooled rank test). Conover's tie-corrected form:
+
+        T = (k-1) * SUM_j (R_j - n(k+1)/2)^2 / (A - C)
+        A = SUM_ij r_ij^2,   C = n k (k+1)^2 / 4
+
+    Ranks are average tie ranks WITHIN each block, carried DOUBLED so
+    everything stays integral: R_j*2 and A*4 are exact integer sums in
+    DECIMAL(38,0) (the factor-of-4 cancels between numerator and A-C),
+    and T is one double tree rounded once. Blocks missing a treatment
+    drop entirely (complete-block design contract). The input is the
+    PRE-AGGREGATED (block, treatment, value) frame — block x treatment
+    bounded, so the per-block rank windows never see the corpus.
+
+    Output ONE row: (k, n_blocks, t_stat) plus per-treatment mean
+    doubled-rank columns are NOT emitted — read `R_j` from a groupBy if
+    needed.
+    """
+    dec = "decimal(38,0)"
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    base = df.select(
+        F.col(block_col).cast("string").alias("_b"),
+        F.col(treatment_col).cast("string").alias("_t"),
+        F.col(val_col).cast("bigint").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    # complete-block contract: keep only blocks carrying ALL k treatments
+    k_total = base.select("_t").distinct().count()  # bounded: treatments
+    full_blocks = (
+        base.groupBy("_b")
+        .agg(F.count_distinct("_t").alias("_kt"))
+        .filter(F.col("_kt") == k_total)
+        .select("_b")
+    )
+    rows = scoped_persist(base.join(F.broadcast(full_blocks), "_b", "left_semi"))
+    # doubled average tie rank within block: 2*before + ties + 1 over
+    # the within-block value grid (k-bounded per block)
+    w_cum = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = rows.groupBy("_b", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    ranked_grid = grid.withColumn(
+        "_r2",
+        2 * F.coalesce(F.sum("_c").over(w_cum), F.lit(0)) + F.col("_c") + 1,
+    )
+    ranked = rows.join(ranked_grid, ["_b", "_v"])
+    per_t = ranked.groupBy("_t").agg(
+        F.sum(F.col("_r2").cast(dec)).alias("_R2"), F.count(F.lit(1)).alias("_nb")
+    )
+    a4 = ranked.agg(
+        F.sum(F.col("_r2").cast(dec) * F.col("_r2")).alias("_A4"),
+        F.count_distinct("_b").alias("n_blocks"),
+    )
+    out = per_t.agg(
+        F.count(F.lit(1)).alias("k"),
+        # SUM_j (2R_j - n(k+1))^2 = 4 * SUM_j (R_j - n(k+1)/2)^2, exact ints
+        F.sum(F.expr("CAST(_R2 AS DECIMAL(38,0)) * _R2")).alias("_sq2"),
+        F.sum("_R2").alias("_sum2"),
+        F.max("_nb").alias("_nb"),
+    ).join(F.broadcast(a4))
+    kd, nd = "CAST(k AS DOUBLE)", "CAST(n_blocks AS DOUBLE)"
+    # numerator*4: SUM (2R_j)^2 - 2*(n(k+1))*SUM(2R_j) + k*(n(k+1))^2
+    num4 = (
+        f"(CAST(_sq2 AS DOUBLE) - 2.0 * {nd} * ({kd} + 1.0) * CAST(_sum2 AS DOUBLE) "
+        f"+ {kd} * {nd} * ({kd} + 1.0) * {nd} * ({kd} + 1.0))"
+    )
+    # (A - C)*4: A4 - n k (k+1)^2
+    den4 = f"(CAST(_A4 AS DOUBLE) - {nd} * {kd} * ({kd} + 1.0) * ({kd} + 1.0))"
+    t_stat = (
+        f"(CASE WHEN ({den4}) <= 0.0 THEN 0.0 "
+        f"ELSE ({kd} - 1.0) * ({num4}) / ({den4}) END)"
+    )
+    return out.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.round(F.expr(t_stat), decimals).alias("t_stat"),
+    )
+
+
 def jonckheere_terpstra(
     df: DataFrame,
     group_col: str,

@@ -2911,6 +2911,48 @@ def main() -> None:
             o1b, o10b,
         )
 
+    if "round10c" in ops:
+        # round-10 wave 3: stratified 2x2 + blocked ranks
+        from morphik_core_spark.operators.analytics import cmh_test, friedman_test
+
+        report(
+            "cmh",
+            lambda d: mat(cmh_test(
+                d, "lang",
+                (F.col("source") == "src1").cast("int"),
+                (F.col("n_chars") > 500).cast("int"),
+            )),
+            docs1, docs10,
+        )
+
+        ev1c = load_table(spark, "events", SF_DIR).select("event_id", "ts", "event_type")
+
+        def tile_c(df, name):
+            parts = [
+                df.select(
+                    (F.col("event_id") * 10 + k).alias("event_id"),
+                    (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+                    "event_type",
+                )
+                for k in range(10)
+            ]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        ev10c = tile_c(ev1c, "r10c_ev10")
+
+        def friedman(e):
+            daily = e.groupBy(
+                F.expr("unix_micros(ts) div 86400000000").alias("di"), "event_type"
+            ).agg(F.count(F.lit(1)).alias("x"))
+            mat(friedman_test(daily, "di", "event_type", "x"))
+
+        report("friedman", friedman, ev1c, ev10c)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

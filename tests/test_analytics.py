@@ -1861,3 +1861,117 @@ def test_jonckheere_terpstra_matches_bruteforce(spark):
     z = (jt2 / 2 - mean) / math.sqrt(var)
     assert abs(out["z"] - z) < 1e-6
     assert out["z"] > 3  # the planted shift is detected
+
+
+def test_cmh_controls_for_the_confounder(spark):
+    """A classic Simpson setup: within EACH stratum exposure has the
+    SAME outcome rate as non-exposure (no effect), but exposure
+    concentrates in the high-rate stratum, so the POOLED 2x2 shows a
+    strong spurious association. CMH must report ~no effect (chi2 ~ 0,
+    OR_MH ~ 1); cross-checked against the closed form."""
+    from morphik_core_spark.operators.analytics import cmh_test
+
+    rows = []
+    # stratum 'hi': rate 0.8 for both arms; exposure-heavy (80 vs 20)
+    rows += [("hi", 1, 1 if i < 64 else 0) for i in range(80)]
+    rows += [("hi", 0, 1 if i < 16 else 0) for i in range(20)]
+    # stratum 'lo': rate 0.2 for both arms; control-heavy (20 vs 80)
+    rows += [("lo", 1, 1 if i < 4 else 0) for i in range(20)]
+    rows += [("lo", 0, 1 if i < 16 else 0) for i in range(80)]
+    df = spark.createDataFrame(rows, "s string, e int, o int")
+    out = cmh_test(df, "s", "e", "o").collect()[0]
+    assert abs(out["chi2"]) < 1e-6 and abs(out["or_mh"] - 1.0) < 1e-6
+    # pooled association IS strong (the paradox the test controls away)
+    pooled = {(r["e"], r["o"]) for r in df.collect()}  # touch both arms
+    assert pooled  # sanity
+    # a real within-stratum effect must be detected
+    rows2 = []
+    rows2 += [("hi", 1, 1 if i < 72 else 0) for i in range(80)]  # 90% vs
+    rows2 += [("hi", 0, 1 if i < 12 else 0) for i in range(20)]  # 60%
+    rows2 += [("lo", 1, 1 if i < 10 else 0) for i in range(20)]  # 50% vs
+    rows2 += [("lo", 0, 1 if i < 16 else 0) for i in range(80)]  # 20%
+    out2 = cmh_test(spark.createDataFrame(rows2, "s string, e int, o int"), "s", "e", "o").collect()[0]
+    assert out2["chi2"] > 10 and out2["p_value"] < 1e-3 and out2["or_mh"] > 3
+
+
+def test_cmh_matches_closed_form(spark):
+    """chi2 and OR_MH against the textbook formulas on a small
+    two-stratum table with micro-quantization tolerance."""
+    import math
+
+    from morphik_core_spark.operators.analytics import cmh_test
+
+    tables = {"s1": (12, 8, 5, 15), "s2": (7, 13, 9, 11)}  # (a, b, c, d)
+    rows = []
+    for st, (a, b, c, d) in tables.items():
+        rows += [(st, 1, 1)] * a + [(st, 1, 0)] * b + [(st, 0, 1)] * c + [(st, 0, 0)] * d
+    out = cmh_test(spark.createDataFrame(rows, "s string, e int, o int"), "s", "e", "o").collect()[0]
+    dev = var = ad = bc = 0.0
+    for a, b, c, d in tables.values():
+        n = a + b + c + d
+        dev += round((a - (a + b) * (a + c) / n) * 1e6) / 1e6
+        var += round((a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1)) * 1e6) / 1e6
+        ad += round(a * d / n * 1e6) / 1e6
+        bc += round(b * c / n * 1e6) / 1e6
+    assert abs(out["chi2"] - dev * dev / var) < 1e-5
+    assert abs(out["or_mh"] - ad / bc) < 1e-5
+
+
+def test_friedman_matches_closed_form_and_detects_shift(spark):
+    """Conover tie-corrected T against a hand computation on a small
+    blocked layout with ties; a planted per-treatment shift inside
+    every block turns T large while pure block effects alone keep it
+    at ~0 (the within-block ranking removes them)."""
+    from morphik_core_spark.operators.analytics import friedman_test
+
+    # 4 blocks x 3 treatments; block effects huge, treatment effect none
+    rows = []
+    for bi in range(4):
+        base = bi * 1000
+        for ti, t in enumerate(["x", "y", "z"]):
+            rows.append((f"b{bi}", t, base + (bi * 7 + ti * 3) % 5))  # shuffled small noise
+    df = spark.createDataFrame(rows, "b string, t string, v long")
+    out = friedman_test(df, "b", "t", "v").collect()[0]
+
+    # hand compute Conover T with average tie ranks
+    from collections import defaultdict
+
+    by_b = defaultdict(list)
+    for b, t, v in rows:
+        by_b[b].append((t, v))
+    R = defaultdict(float)
+    A = 0.0
+    for b, items in by_b.items():
+        vals = sorted(v for _, v in items)
+        for t, v in items:
+            lt = sum(1 for x in vals if x < v)
+            eq = sum(1 for x in vals if x == v)
+            r = lt + (eq + 1) / 2
+            R[t] += r
+            A += r * r
+    n, k = len(by_b), 3
+    C = n * k * (k + 1) ** 2 / 4
+    num = sum((R[t] - n * (k + 1) / 2) ** 2 for t in R)
+    expect = (k - 1) * num / (A - C)
+    assert abs(out["t_stat"] - expect) < 1e-6
+    assert out["k"] == 3 and out["n_blocks"] == 4
+
+    # planted consistent shift: treatment z always largest
+    rows2 = [(f"b{bi}", t, bi * 1000 + ti * 10) for bi in range(6) for ti, t in enumerate("xyz")]
+    out2 = friedman_test(
+        spark.createDataFrame(rows2, "b string, t string, v long"), "b", "t", "v"
+    ).collect()[0]
+    # perfect ordering saturates Conover T at its maximum (k-1)*n = 12
+    assert out2["t_stat"] == 12.0
+
+
+def test_friedman_drops_incomplete_blocks(spark):
+    """A block missing one treatment is excluded entirely (complete-
+    block contract) — n_blocks reports the surviving count."""
+    from morphik_core_spark.operators.analytics import friedman_test
+
+    rows = [("b0", "x", 1), ("b0", "y", 2), ("b1", "x", 3)]  # b1 incomplete
+    out = friedman_test(
+        spark.createDataFrame(rows, "b string, t string, v long"), "b", "t", "v"
+    ).collect()[0]
+    assert out["n_blocks"] == 1 and out["k"] == 2

@@ -208,6 +208,9 @@ SENSITIVE = [
     "kendall_chars_tokens",
     "cochran_priority_trend",
     "jt_priority_price",
+    # micro-quantized per-stratum CMH terms; doubled within-block ranks
+    "cmh_lang_exposure",
+    "friedman_dow_types",
 ]
 
 
