@@ -6611,6 +6611,104 @@ def _hw_oracle_sql(
         """
 
 
+def _smk_oracle_series_sql(val_expr: str, label: str) -> str:
+    """One seasonal-Mann-Kendall series over daily event volume:
+    same-weekday pairs, per-season tie-corrected variances summed —
+    `analytics.seasonal_mann_kendall` verbatim (period 7)."""
+    return f"""
+            SELECT '{label}' AS series, * FROM (
+            WITH d0 AS (SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS x0
+                        FROM events GROUP BY 1),
+            lo AS (SELECT MIN(di) AS dmin FROM d0),
+            d AS (SELECT di, CAST({val_expr} AS BIGINT) AS y,
+                         CAST(di % 7 AS BIGINT) AS m
+                  FROM d0 CROSS JOIN lo),
+            s AS (
+                SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                                     WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+                FROM d a JOIN d b ON a.m = b.m AND a.di < b.di
+            ),
+            per AS (SELECT m, COUNT(*) AS n FROM d GROUP BY 1),
+            ties AS (
+                SELECT m, SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+                FROM (SELECT m, y, COUNT(*) AS t FROM d GROUP BY 1, 2)
+                WHERE t > 1 GROUP BY 1
+            ),
+            v AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_seasons,
+                       CAST(SUM(p.n) AS BIGINT) AS n_points,
+                       CAST(SUM(p.n * (p.n - 1) * (2 * p.n + 5)
+                                - COALESCE(t.tie_term, 0)) AS BIGINT) AS v18
+                FROM per p LEFT JOIN ties t ON p.m = t.m
+            )
+            SELECT n_points, n_seasons, s AS s_stat,
+                   ROUND(CAST(v18 AS DOUBLE) / 18.0, 6) AS var_s,
+                   ROUND(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+                              WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+                              ELSE 0.0 END, 6) AS z,
+                   CASE WHEN ROUND(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+                                        WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+                                        ELSE 0.0 END, 6) >= 1.96 THEN 'increasing'
+                        WHEN ROUND(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+                                        WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+                                        ELSE 0.0 END, 6) <= -1.96 THEN 'decreasing'
+                        ELSE 'none' END AS trend
+            FROM s CROSS JOIN v
+            )
+    """
+
+
+def _pcorr_oracle_sql() -> str:
+    """The partial_corr_user_activity oracle: one exact-moment pass over
+    per-user (views, purchases, total), three micro-quantized pairwise
+    r, the first-order partial closed form —
+    `analytics.partial_corr_3var` verbatim."""
+
+    def r(a: str, b: str) -> str:
+        va = f"(CAST(CAST(n AS HUGEINT) * p{a}{a} - s{a} * s{a} AS DOUBLE))"
+        vb = f"(CAST(CAST(n AS HUGEINT) * p{b}{b} - s{b} * s{b} AS DOUBLE))"
+        cov = f"(CAST(CAST(n AS HUGEINT) * p{a}{b} - s{a} * s{b} AS DOUBLE))"
+        raw = (
+            f"(CASE WHEN {va} <= 0.0 OR {vb} <= 0.0 THEN NULL "
+            f"ELSE {cov} / sqrt({va} * {vb}) END)"
+        )
+        return f"(CAST(ROUND({raw} * 1e6) AS BIGINT) / 1e6)"
+
+    rxy, rxz, ryz = r("x", "y"), r("x", "z"), r("y", "z")
+    part = (
+        f"(CASE WHEN {rxz} IS NULL OR {ryz} IS NULL OR {rxy} IS NULL "
+        f"OR abs({rxz}) >= 1.0 OR abs({ryz}) >= 1.0 THEN NULL "
+        f"ELSE ({rxy} - {rxz} * {ryz}) / sqrt((1.0 - {rxz} * {rxz}) * (1.0 - {ryz} * {ryz})) END)"
+    )
+    return f"""
+            WITH pu AS (
+                SELECT user_id,
+                       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+                       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+                       COUNT(*) AS z
+                FROM events GROUP BY 1
+            ),
+            m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+                       CAST(SUM(z) AS HUGEINT) AS sz,
+                       SUM(CAST(x AS HUGEINT) * x) AS pxx,
+                       SUM(CAST(y AS HUGEINT) * y) AS pyy,
+                       SUM(CAST(z AS HUGEINT) * z) AS pzz,
+                       SUM(CAST(x AS HUGEINT) * y) AS pxy,
+                       SUM(CAST(x AS HUGEINT) * z) AS pxz,
+                       SUM(CAST(y AS HUGEINT) * z) AS pyz
+                FROM pu
+            )
+            SELECT n,
+                   ROUND({rxy}, 6) AS r_xy,
+                   ROUND({rxz}, 6) AS r_xz,
+                   ROUND({ryz}, 6) AS r_yz,
+                   ROUND({part}, 6) AS r_xy_given_z
+            FROM m
+        """
+
+
 def _cmh_oracle_sql() -> str:
     """The cmh_lang_exposure oracle: per-stratum 2x2 cells, micro-
     quantized E/V/ad/bc terms, integer reduction, one chi2/OR tree —
@@ -7223,6 +7321,79 @@ def _q_friedman_dow_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_brown_forsythe_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (`analytics.
+    brown_forsythe_test`): the median-centered form of `levene_acctbal`
+    — the default every stats package reaches for on heavy-tailed money
+    columns (a single whale balance inflates a segment's mean AND its
+    mean-deviations; the median doesn't budge). Exact lower medians
+    from the per-segment value grid; raw-integer deviation ANOVA."""
+    from morphik_core_spark.operators.analytics import brown_forsythe_test
+
+    cust = _t(spark, sf_dir, "customer")
+    return brown_forsythe_test(cust, "c_mktsegment", "c_acctbal", value_scale=100)
+
+
+def _q_seasonal_mk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall (`analytics.seasonal_mann_kendall`,
+    Hirsch & Slack, period 7): the weekly-cycle-proof trend test beside
+    `mann_kendall`'s plain form — same-weekday pairs only, per-season
+    tie-corrected variances summed. Two series (the injected-drift
+    precedent): RAW daily volume (trend 'none') and the +50% tail
+    uplift ('increasing')."""
+    from morphik_core_spark.operators.analytics import seasonal_mann_kendall
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    events = _t(spark, sf_dir, "events")
+    d0 = scoped_persist(
+        events.groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("di")
+        ).agg(F.count(F.lit(1)).alias("x0"))
+    )
+    lo = d0.agg(F.min("di").alias("_dmin"))
+    base = d0.join(F.broadcast(lo))
+    raw = seasonal_mann_kendall(
+        base.select("di", F.col("x0").alias("y")), "di", "y", period=7
+    )
+    uplifted = seasonal_mann_kendall(
+        base.select(
+            "di",
+            (
+                F.col("x0")
+                + F.when(
+                    F.col("di") >= F.col("_dmin") + 20, F.expr("x0 div 2")
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        ),
+        "di",
+        "y",
+        period=7,
+    )
+    return raw.select(F.lit("raw").alias("series"), "*").unionByName(
+        uplifted.select(F.lit("uplifted").alias("series"), "*")
+    )
+
+
+def _q_partial_corr_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation (`analytics.partial_corr_3var`):
+    per-user view and purchase counts, holding total activity fixed.
+    Raw r(views, purchases) measures ~0 (the positive common-activity
+    driver and the negative within-budget competition cancel); holding
+    total events fixed exposes the competition (r_xy.z ~ -0.2 measured
+    — more events of one type means fewer of the other inside a fixed
+    budget). The numeric-confounder twin of `cmh_lang_exposure`'s
+    stratified guard. One exact-moment pass over the per-user frame."""
+    from morphik_core_spark.operators.analytics import partial_corr_3var
+
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "view").cast("int")).alias("views"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("purchases"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    return partial_corr_3var(per_user, "views", "purchases", "total")
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 names to the front (the local gate
 # tests/test_oracle_parity.py covers every entry regardless of order).
@@ -7546,6 +7717,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jt_priority_price": _q_jt_priority_price,
         "cmh_lang_exposure": _q_cmh_lang_exposure,
         "friedman_dow_types": _q_friedman_dow_types,
+        "brown_forsythe_acctbal": _q_brown_forsythe_acctbal,
+        "seasonal_mk_daily": _q_seasonal_mk_daily,
+        "partial_corr_user_activity": _q_partial_corr_user_activity,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -14458,6 +14632,54 @@ def oracle_sql() -> dict[str, str]:
         "cochran_priority_trend": _cochran_oracle_sql(),
         "cmh_lang_exposure": _cmh_oracle_sql(),
         "friedman_dow_types": _friedman_oracle_sql(),
+        "brown_forsythe_acctbal": """
+            WITH rowsrc AS (
+                SELECT c_mktsegment AS g,
+                       CAST(ROUND(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) AS x
+                FROM customer WHERE c_acctbal IS NOT NULL
+            ),
+            grid AS (SELECT g, x, count(*) AS c FROM rowsrc GROUP BY 1, 2),
+            rk AS (
+                SELECT g, x,
+                       SUM(c) OVER (PARTITION BY g ORDER BY x ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       SUM(c) OVER (PARTITION BY g) AS n
+                FROM grid
+            ),
+            med AS (SELECT g, MIN(x) AS mdn FROM rk WHERE cum * 2 >= n GROUP BY 1),
+            dev AS (
+                SELECT r.g, abs(r.x - m.mdn) AS d
+                FROM rowsrc r JOIN med m ON r.g = m.g
+            ),
+            grp AS (
+                SELECT g, count(*) AS ng, CAST(sum(d) AS HUGEINT) AS sg,
+                       SUM(CAST(d AS HUGEINT) * d) AS sxx
+                FROM dev GROUP BY 1
+            ),
+            agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+                       CAST(sum(sg) AS HUGEINT) AS s, CAST(sum(sxx) AS HUGEINT) AS xx,
+                       SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                                      / CAST(ng AS DOUBLE) * 1e6) AS DECIMAL(38,0))) AS rat_u
+                FROM grp
+            )
+            SELECT k, n,
+                   ROUND(((CAST(rat_u AS DOUBLE) / 1e6 -
+                           CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                          / (CAST(k AS DOUBLE) - 1.0)) /
+                         ((CAST(xx AS DOUBLE) - CAST(rat_u AS DOUBLE) / 1e6)
+                          / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))),
+                         6) AS w_stat
+            FROM agg
+        """,
+        "seasonal_mk_daily": (
+            _smk_oracle_series_sql("x0", "raw")
+            + "\n            UNION ALL\n"
+            + _smk_oracle_series_sql(
+                "x0 + CASE WHEN di >= dmin + 20 THEN x0 // 2 ELSE 0 END", "uplifted"
+            )
+        ),
+        "partial_corr_user_activity": _pcorr_oracle_sql(),
         "jt_priority_price": (
             _jt_oracle_series_sql(
                 "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)", "raw"

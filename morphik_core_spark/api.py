@@ -982,12 +982,22 @@ class MorphikSpark:
                 F.col("external_id").alias("doc_id")
             )
             chunks = chunks.join(scoped, "doc_id")
+        from morphik_core_spark.plans.cache import release_scoped
+
         edges = term_cooccurrence_edges(
             chunks, "content", "doc_id",
             min_weight=min_weight, max_terms_per_doc=max_terms_per_doc,
         )
         gpath = self._graph_path(auth)
-        edges.write.mode("overwrite").parquet(gpath)
+        try:
+            edges.write.mode("overwrite").parquet(gpath)
+        finally:
+            # the operator persists its distinct (doc, term) frame; the
+            # API sits over a MUTABLE store, so a cached relation must
+            # not outlive the operation — a later ingest overwrites the
+            # chunk files and any surviving cache entry would reference
+            # dead parquet parts on the next (rebuilt) plan
+            release_scoped()
         # leading underscore => Spark's parquet reader ignores the sidecar
         with open(os.path.join(gpath, "_graph_meta.json"), "w") as fh:
             _json.dump({"source_signature": src_sig}, fh)
@@ -1065,7 +1075,15 @@ class MorphikSpark:
             .filter(F.col("_rn") <= k_docs)
             .select(F.col("doc_id").alias("document_id"), "score", "n_matched")
         )
-        return [r.asDict(recursive=True) for r in out.collect()]
+        try:
+            return [r.asDict(recursive=True) for r in out.collect()]
+        finally:
+            # seed_expansion_weights persists the (static, per-scope)
+            # edge read; release at the operation boundary — the API's
+            # mutable-store contract (see build_term_graph)
+            from morphik_core_spark.plans.cache import release_scoped
+
+            release_scoped()
 
     def list_folders(self, auth: AuthContext | None = None) -> list[dict]:
         """Folder summaries with doc counts (reference list_folders_summary):

@@ -3160,6 +3160,155 @@ def mann_kendall_test(
     )
 
 
+def seasonal_mann_kendall(
+    df: DataFrame,
+    idx_col: str,
+    val_col: str,
+    period: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack): S and its
+    tie-corrected variance computed WITHIN each season (index mod
+    ``period``) and summed — the trend test that a weekly cycle cannot
+    fool, where plain `mann_kendall_test` reads the Monday-vs-Sunday
+    gap as monotone drift. Pairs compare only same-season points:
+
+        S = SUM_m S_m,   var = SUM_m var_m,   z = (S -/+ 1)/sqrt(var)
+
+    Exactness: the same integer S / integer-over-18 variance as the
+    plain test, per season, integer-summed across seasons. Pairs are
+    series-bounded by contract (n(n-1)/(2*period) per season).
+
+    Output ONE row: (n_points, n_seasons, s_stat, var_s, z, trend).
+    """
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    base = scoped_persist(
+        df.select(
+            F.col(idx_col).cast("bigint").alias("_i"),
+            F.col(val_col).cast("bigint").alias("_y"),
+        ).withColumn("_m", F.pmod(F.col("_i"), F.lit(int(period))))
+    )
+    a = base.select(F.col("_m").alias("_ma"), F.col("_i").alias("_ia"), F.col("_y").alias("_ya"))
+    b = base.select(F.col("_m").alias("_mb"), F.col("_i").alias("_ib"), F.col("_y").alias("_yb"))
+    s_stat = a.join(
+        b, (F.col("_ma") == F.col("_mb")) & (F.col("_ia") < F.col("_ib"))
+    ).agg(
+        F.sum(
+            F.signum((F.col("_yb") - F.col("_ya")).cast("double")).cast("bigint")
+        ).alias("s")
+    )
+    per_season = base.groupBy("_m").agg(F.count(F.lit(1)).alias("_n"))
+    ties = (
+        base.groupBy("_m", "_y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("_m")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5)).alias("tie_term")
+        )
+    )
+    var18 = (
+        per_season.join(ties, "_m", "left")
+        .na.fill({"tie_term": 0})
+        .agg(
+            F.count(F.lit(1)).alias("n_seasons"),
+            F.sum("_n").alias("n_points"),
+            F.sum(
+                F.col("_n") * (F.col("_n") - 1) * (F.lit(2) * F.col("_n") + 5)
+                - F.col("tie_term")
+            ).alias("_v18"),
+        )
+    )
+    joined = s_stat.join(F.broadcast(var18))
+    var_s = F.col("_v18").cast("double") / F.lit(18.0)
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        F.col("n_points").cast("bigint").alias("n_points"),
+        F.col("n_seasons").cast("bigint").alias("n_seasons"),
+        F.col("s").alias("s_stat"),
+        F.round(var_s, decimals).alias("var_s"),
+        F.round(z, decimals).alias("z"),
+        F.when(F.round(z, decimals) >= 1.96, F.lit("increasing"))
+        .when(F.round(z, decimals) <= -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )
+
+
+def partial_corr_3var(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    scales: Sequence[int] = (1, 1, 1),
+    decimals: int = 6,
+) -> DataFrame:
+    """First-order partial correlation: the (x, y) association with the
+    confounder z regressed out of BOTH —
+
+        r_xy.z = (r_xy - r_xz r_yz) / sqrt((1 - r_xz^2)(1 - r_yz^2))
+
+    — the numeric-confounder sibling of `cmh_test`'s stratified 2x2
+    (a strong common driver z manufactures r_xy out of nothing; this is
+    the screen that sees through it). All three pairwise r come from
+    ONE aggregation pass of exact DECIMAL(38,0) integer moments (the
+    `corr_matrix` recipe — values integer-quantized by ``scales``);
+    each r is ROUND(*1e6)-quantized to micro BEFORE the closed form so
+    the final expression runs on engine-identical inputs, and r_xy.z is
+    one double tree rounded once. NULL when either conditioning
+    correlation is degenerate (|r| = 1 or zero variance).
+
+    Output ONE row: (n, r_xy, r_xz, r_yz, r_xy_given_z).
+    """
+    dec = "decimal(38,0)"
+    sx, sy, sz = (int(v) for v in scales)
+    qx = F.expr(f"CAST(ROUND(CAST({x_col} AS DOUBLE) * {sx}) AS BIGINT)")
+    qy = F.expr(f"CAST(ROUND(CAST({y_col} AS DOUBLE) * {sy}) AS BIGINT)")
+    qz = F.expr(f"CAST(ROUND(CAST({z_col} AS DOUBLE) * {sz}) AS BIGINT)")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull() & F.col(z_col).isNotNull()
+    ).select(qx.alias("_x"), qy.alias("_y"), qz.alias("_z"))
+    m = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col(c).cast(dec)).alias(f"_s{c[1]}") for c in ("_x", "_y", "_z")],
+        *[
+            F.sum((F.col(a).cast(dec) * F.col(b))).alias(f"_p{a[1]}{b[1]}")
+            for a, b in [("_x", "_x"), ("_y", "_y"), ("_z", "_z"),
+                         ("_x", "_y"), ("_x", "_z"), ("_y", "_z")]
+        ],
+    )
+
+    def r(a: str, b: str) -> str:
+        va = f"(CAST(CAST(n AS DECIMAL(38,0)) * _p{a}{a} - _s{a} * _s{a} AS DOUBLE))"
+        vb = f"(CAST(CAST(n AS DECIMAL(38,0)) * _p{b}{b} - _s{b} * _s{b} AS DOUBLE))"
+        cov = f"(CAST(CAST(n AS DECIMAL(38,0)) * _p{a}{b} - _s{a} * _s{b} AS DOUBLE))"
+        raw = (
+            f"(CASE WHEN {va} <= 0.0 OR {vb} <= 0.0 THEN NULL "
+            f"ELSE {cov} / sqrt({va} * {vb}) END)"
+        )
+        # micro-quantize each r before the closed form (engine-identical inputs)
+        return f"(CAST(ROUND({raw} * 1e6) AS BIGINT) / 1e6)"
+
+    rxy, rxz, ryz = r("x", "y"), r("x", "z"), r("y", "z")
+    part = (
+        f"(CASE WHEN {rxz} IS NULL OR {ryz} IS NULL OR {rxy} IS NULL "
+        f"OR abs({rxz}) >= 1.0 OR abs({ryz}) >= 1.0 THEN NULL "
+        f"ELSE ({rxy} - {rxz} * {ryz}) / sqrt((1.0 - {rxz} * {rxz}) * (1.0 - {ryz} * {ryz})) END)"
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.expr(rxy), decimals).alias("r_xy"),
+        F.round(F.expr(rxz), decimals).alias("r_xz"),
+        F.round(F.expr(ryz), decimals).alias("r_yz"),
+        F.round(F.expr(part), decimals).alias("r_xy_given_z"),
+    )
+
+
 def sprt_monitor(
     units: DataFrame,
     group_col: str,
@@ -4437,6 +4586,96 @@ def kruskal_wallis(
         F.col("n").cast("bigint").alias("n"),
         F.round(F.expr(h), decimals).alias("h_stat"),
         F.round(F.expr(f"{h} / {c}"), decimals).alias("h_tie_corrected"),
+    )
+
+
+def brown_forsythe_test(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    value_scale: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Brown-Forsythe test for homogeneity of variances — `levene_test`
+    with the group MEDIAN as the center instead of the mean, which is
+    the form every stats package defaults to for heavy-tailed data
+    (one whale value inflates a group's mean AND its deviations,
+    making mean-centered Levene see spread that isn't there; the median
+    doesn't budge):
+
+        W = ((N-k)/(k-1)) * SSB_dev / SSW_dev   over  d = |x - med_g|
+
+    Exactness is SIMPLER than Levene's: the center is an exact LOWER
+    median (rank ceil(n/2)) picked from per-group cumulative counts
+    over the (group, value) grid — an observed integer — so every
+    deviation is already an exact integer with NO micro scaling, and
+    the ANOVA closed forms run over raw integer moments (per-group
+    D_g^2/n_g micro-quantized before the k-term sum only).
+
+    Scale: one grid groupBy + group-partitioned grid windows for the
+    medians (the mad_outliers recipe), one deviation scan, a bounded
+    median broadcast. Output ONE row: (k, n, w_stat).
+    """
+    dec = "decimal(38,0)"
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    x = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    rows = scoped_persist(
+        df.filter(F.col(val_col).isNotNull()).select(
+            F.col(group_col).cast("string").alias("_g"), x.alias("_x")
+        )
+    )
+    grid = rows.groupBy("_g", "_x").agg(F.count(F.lit(1)).alias("_c"))
+    wcum = (
+        Window.partitionBy("_g")
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("_g")
+    ranked = grid.select(
+        "_g",
+        "_x",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wtot).alias("_n"),
+    )
+    med = (
+        ranked.filter(F.col("_cum") * 2 >= F.col("_n"))
+        .groupBy("_g")
+        .agg(F.min("_x").alias("_med"))
+    )
+    dev = rows.join(F.broadcast(med), "_g").select(
+        "_g", F.abs(F.col("_x") - F.col("_med")).alias("_d")
+    )
+    g = dev.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.sum(F.col("_d").cast(dec)).alias("_sg"),
+        F.sum(F.col("_d").cast(dec) * F.col("_d")).alias("_sxx"),
+    )
+    ratio = (
+        "CAST(ROUND(CAST(_sg AS DOUBLE) * CAST(_sg AS DOUBLE) "
+        "/ CAST(_ng AS DOUBLE) * 1e6) AS DECIMAL(38,0))"
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_ng").alias("n"),
+        F.sum("_sg").alias("_s"),
+        F.sum("_sxx").alias("_xx"),
+        F.sum(F.expr(ratio)).alias("_rat_u"),
+    )
+    ssb = (
+        "(CAST(_rat_u AS DOUBLE) / 1e6 - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE) "
+        "/ CAST(n AS DOUBLE))"
+    )
+    ssw = "(CAST(_xx AS DOUBLE) - CAST(_rat_u AS DOUBLE) / 1e6)"
+    return agg.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.expr(
+                f"({ssb} / (CAST(k AS DOUBLE) - 1.0)) / ({ssw} / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))"
+            ),
+            decimals,
+        ).alias("w_stat"),
     )
 
 

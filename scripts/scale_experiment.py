@@ -2953,6 +2953,79 @@ def main() -> None:
 
         report("friedman", friedman, ev1c, ev10c)
 
+    if "round10d" in ops:
+        # round-10 wave 4: robust variance screen, seasonal trend,
+        # partial correlation
+        from morphik_core_spark.operators.analytics import (
+            brown_forsythe_test,
+            partial_corr_3var,
+            seasonal_mann_kendall,
+        )
+
+        c1d = load_table(spark, "customer", SF_DIR).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+        def tile_cd(df, name):
+            parts = [
+                df.select(
+                    (F.col("c_custkey") * 10 + k).alias("c_custkey"),
+                    "c_mktsegment",
+                    (F.col("c_acctbal") + F.lit(float(k)) * 0.01).alias("c_acctbal"),
+                )
+                for k in range(10)
+            ]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        c10d = tile_cd(c1d, "r10d_c10")
+        report(
+            "brown_forsythe",
+            lambda c: mat(brown_forsythe_test(c, "c_mktsegment", "c_acctbal", value_scale=100)),
+            c1d, c10d,
+        )
+
+        ev1d = load_table(spark, "events", SF_DIR).select("event_id", "ts", "event_type", "user_id")
+
+        def tile_ed(df, name):
+            parts = [
+                df.select(
+                    (F.col("event_id") * 10 + k).alias("event_id"),
+                    (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+                    "event_type",
+                    (F.col("user_id") * 10 + k).alias("user_id"),
+                )
+                for k in range(10)
+            ]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        ev10d = tile_ed(ev1d, "r10d_ev10")
+
+        def smk(e):
+            daily = e.groupBy(
+                F.expr("unix_micros(ts) div 86400000000").alias("di")
+            ).agg(F.count(F.lit(1)).alias("x"))
+            mat(seasonal_mann_kendall(daily, "di", "x", period=7))
+
+        report("seasonal_mk", smk, ev1d, ev10d)
+
+        def pcorr(e):
+            pu = e.groupBy("user_id").agg(
+                F.sum((F.col("event_type") == "view").cast("int")).alias("views"),
+                F.sum((F.col("event_type") == "purchase").cast("int")).alias("purchases"),
+                F.count(F.lit(1)).alias("total"),
+            )
+            mat(partial_corr_3var(pu, "views", "purchases", "total"))
+
+        report("partial_corr", pcorr, ev1d, ev10d)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

@@ -1975,3 +1975,108 @@ def test_friedman_drops_incomplete_blocks(spark):
         spark.createDataFrame(rows, "b string, t string, v long"), "b", "t", "v"
     ).collect()[0]
     assert out["n_blocks"] == 1 and out["k"] == 2
+
+
+def test_brown_forsythe_robust_where_levene_fooled(spark):
+    """Two groups with IDENTICAL bulk spread, one carrying a single
+    whale value: mean-centered Levene inflates that group's deviations
+    (center dragged + the whale's own huge deviation) while the
+    median-centered Brown-Forsythe stays closer to null; a genuine
+    spread difference is detected by both. Cross-checked against the
+    closed form on exact medians."""
+    from morphik_core_spark.operators.analytics import (
+        brown_forsythe_test,
+        levene_test,
+    )
+
+    bulk_a = [("a", v) for v in [10, 11, 12, 13, 14] * 20]
+    bulk_b = [("b", v) for v in [10, 11, 12, 13, 14] * 20] + [("b", 10000)]
+    df = spark.createDataFrame(bulk_a + bulk_b, "g string, v long")
+    bf = brown_forsythe_test(df, "g", "v").collect()[0]
+    lv = levene_test(df, "g", "v").collect()[0]
+    assert bf["w_stat"] < lv["w_stat"]  # the whale moves BF less
+
+    wide = [("a", v) for v in [12] * 50] + [("b", v) for v in [0, 24] * 25]
+    out = brown_forsythe_test(
+        spark.createDataFrame(wide, "g string, v long"), "g", "v"
+    ).collect()[0]
+    assert out["w_stat"] > 30  # genuine spread difference detected
+
+    # closed form on a tiny case with known medians
+    rows = [("a", 1), ("a", 3), ("a", 5), ("b", 2), ("b", 2), ("b", 10)]
+    out2 = brown_forsythe_test(
+        spark.createDataFrame(rows, "g string, v long"), "g", "v"
+    ).collect()[0]
+    # med_a=3 -> d=[2,0,2]; med_b=2 -> d=[0,0,8]
+    da, db = [2, 0, 2], [0, 0, 8]
+    n, k = 6, 2
+    sa, sb = sum(da), sum(db)
+    tot = sa + sb
+    ssb = sa * sa / 3 + sb * sb / 3 - tot * tot / n
+    ssw = sum(d * d for d in da + db) - (sa * sa / 3 + sb * sb / 3)
+    expect = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(out2["w_stat"] - expect) < 1e-5
+
+
+def test_seasonal_mann_kendall_sees_through_weekly_cycle(spark):
+    """A pure period-7 cycle (no trend) drives plain Mann-Kendall's |z|
+    up while the seasonal test reads ~0; adding a real linear drift on
+    top flips the seasonal test to 'increasing'. Brute-force S/var
+    cross-check on the seasonal pairs."""
+    import math
+    from collections import Counter
+
+    from morphik_core_spark.operators.analytics import seasonal_mann_kendall
+
+    cycle = [100, 50, 20, 20, 30, 80, 120]
+    rows = [(t, cycle[t % 7]) for t in range(70)]
+    df = spark.createDataFrame(rows, "di long, x long")
+    out = seasonal_mann_kendall(df, "di", "x", period=7).collect()[0]
+    assert out["s_stat"] == 0 and out["trend"] == "none"
+
+    drift = [(t, cycle[t % 7] + t) for t in range(70)]
+    out2 = seasonal_mann_kendall(
+        spark.createDataFrame(drift, "di long, x long"), "di", "x", period=7
+    ).collect()[0]
+    assert out2["trend"] == "increasing"
+    # brute-force within-season S and tie-corrected var
+    S = 0
+    v18 = 0
+    for m in range(7):
+        vals = [x for t, x in drift if t % 7 == m]
+        nm = len(vals)
+        for i in range(nm):
+            for j in range(i + 1, nm):
+                S += (vals[j] > vals[i]) - (vals[j] < vals[i])
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(vals).values() if t > 1
+        )
+        v18 += nm * (nm - 1) * (2 * nm + 5) - tie
+    assert out2["s_stat"] == S
+    z = (S - 1) / math.sqrt(v18 / 18.0)
+    assert abs(out2["z"] - z) < 1e-6
+
+
+def test_partial_corr_removes_common_driver(spark):
+    """x and y both driven by z (plus independent noise): raw r_xy is
+    strongly positive, but r_xy.z collapses toward 0 — the partial
+    correlation sees through the confounder. Closed-form cross-check
+    from the three micro-quantized pairwise r."""
+    import hashlib
+
+    from morphik_core_spark.operators.analytics import partial_corr_3var
+
+    rows = []
+    for i in range(400):
+        hz = int(hashlib.md5(f"z:{i}".encode()).hexdigest()[:8], 16) % 1000
+        hx = int(hashlib.md5(f"x:{i}".encode()).hexdigest()[:8], 16) % 100
+        hy = int(hashlib.md5(f"y:{i}".encode()).hexdigest()[:8], 16) % 100
+        rows.append((hz + hx, hz + hy, hz))
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    out = partial_corr_3var(df, "x", "y", "z").collect()[0]
+    assert out["r_xy"] > 0.9  # confounded raw correlation
+    assert abs(out["r_xy_given_z"]) < 0.15  # collapses once z is held
+    expect = (out["r_xy"] - out["r_xz"] * out["r_yz"]) / (
+        (1 - out["r_xz"] ** 2) * (1 - out["r_yz"] ** 2)
+    ) ** 0.5
+    assert abs(out["r_xy_given_z"] - expect) < 1e-4

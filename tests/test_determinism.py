@@ -211,6 +211,11 @@ SENSITIVE = [
     # micro-quantized per-stratum CMH terms; doubled within-block ranks
     "cmh_lang_exposure",
     "friedman_dow_types",
+    # median-deviation ANOVA edge divisions; per-season integer S/var;
+    # micro-quantized pairwise r feeding the partial closed form
+    "brown_forsythe_acctbal",
+    "seasonal_mk_daily",
+    "partial_corr_user_activity",
 ]
 
 
