@@ -7394,6 +7394,57 @@ def _q_partial_corr_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame
     return partial_corr_3var(per_user, "views", "purchases", "total")
 
 
+def _q_cvm_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic (`analytics.
+    cvm_statistic`) between finished- and open-order prices in cents —
+    the INTEGRATED CDF-gap companion to `ks_price_drift`'s sup-norm
+    (many small distributed shifts register here without ever spiking
+    the KS point). Exact integer gaps over the shared value grid, one
+    final division."""
+    from morphik_core_spark.operators.analytics import cvm_statistic
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    orders = scoped_persist(_t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+    ))
+    return cvm_statistic(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        orders.filter(F.col("o_orderstatus") == "O"),
+        "cents",
+    )
+
+
+def _q_wasserstein_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 distance (`analytics.wasserstein_1d`) between
+    finished- and open-order prices — "how many DOLLARS did the
+    distribution move", the value-unit answer beside `ks_price_drift`'s
+    and `cvm_price_drift`'s unitless statistics. Integer |gap| x
+    interval-width terms in DECIMAL(38,0) over the pooled cents grid;
+    reported in dollars via value_scale=100 on a DECIMAL cents cast."""
+    from morphik_core_spark.operators.analytics import wasserstein_1d
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    orders = scoped_persist(_t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        # cents as DOUBLE dollars/100-free: quantize inside the op at
+        # scale 1 over the exact cents integers, then report /1 cents;
+        # here we keep cents and scale=1 so w1 is IN CENTS, and divide
+        # to dollars at the edge for the human-facing number
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+    ))
+    w1 = wasserstein_1d(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        orders.filter(F.col("o_orderstatus") == "O"),
+        "cents",
+    )
+    return w1.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("w1") / F.lit(100.0), 6).alias("w1_dollars"),
+    )
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 names to the front (the local gate
 # tests/test_oracle_parity.py covers every entry regardless of order).
@@ -7720,6 +7771,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brown_forsythe_acctbal": _q_brown_forsythe_acctbal,
         "seasonal_mk_daily": _q_seasonal_mk_daily,
         "partial_corr_user_activity": _q_partial_corr_user_activity,
+        "cvm_price_drift": _q_cvm_price_drift,
+        "wasserstein_price_drift": _q_wasserstein_price_drift,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -14680,6 +14733,70 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "partial_corr_user_activity": _pcorr_oracle_sql(),
+        "cvm_price_drift": """
+            WITH rowsrc AS (
+                SELECT o_orderstatus AS st,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                FROM orders WHERE o_orderstatus IN ('F', 'O')
+            ),
+            per_v AS (
+                SELECT v,
+                       SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS ca,
+                       SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS cb
+                FROM rowsrc GROUP BY 1
+            ),
+            cum AS (
+                SELECT v, ca + cb AS lv,
+                       SUM(ca) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum_a,
+                       SUM(cb) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum_b
+                FROM per_v
+            ),
+            tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM per_v),
+            agg AS (
+                SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+                       SUM(CAST(lv AS DOUBLE)
+                           * CAST(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a AS DOUBLE)
+                           * CAST(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a AS DOUBLE)) AS num
+                FROM cum CROSS JOIN tot
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   ROUND(num / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                                * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                                * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6) AS cvm_stat
+            FROM agg
+        """,
+        "wasserstein_price_drift": """
+            WITH rowsrc AS (
+                SELECT o_orderstatus AS st,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                FROM orders WHERE o_orderstatus IN ('F', 'O')
+            ),
+            per_v AS (
+                SELECT v,
+                       SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS ca,
+                       SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS cb
+                FROM rowsrc GROUP BY 1
+            ),
+            cum AS (
+                SELECT v,
+                       SUM(ca) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum_a,
+                       SUM(cb) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum_b,
+                       LEAD(v) OVER (ORDER BY v ASC) AS vn
+                FROM per_v
+            ),
+            tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM per_v),
+            agg AS (
+                SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+                       SUM(CASE WHEN vn IS NULL THEN CAST(0 AS HUGEINT)
+                                ELSE abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a)
+                                     * (vn - v) END) AS num
+                FROM cum CROSS JOIN tot
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   ROUND(ROUND(CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1.0), 6)
+                         / 100.0, 6) AS w1_dollars
+            FROM agg
+        """,
         "jt_priority_price": (
             _jt_oracle_series_sql(
                 "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)", "raw"

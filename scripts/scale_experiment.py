@@ -3026,6 +3026,57 @@ def main() -> None:
 
         report("partial_corr", pcorr, ev1d, ev10d)
 
+    if "round10e" in ops:
+        # round-10 wave 5: integrated-gap drift pair
+        from morphik_core_spark.operators.analytics import (
+            cvm_statistic,
+            wasserstein_1d,
+        )
+
+        o1e = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+        def tile_oe(df, name):
+            parts = [
+                df.select(
+                    (F.col("o_orderkey") * 10 + k).alias("o_orderkey"),
+                    "o_orderstatus",
+                    (F.col("o_totalprice") + F.lit(float(k)) * 0.01).alias("o_totalprice"),
+                )
+                for k in range(10)
+            ]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        o10e = tile_oe(o1e, "r10e_o10")
+
+        def cents(o):
+            return o.select(
+                "o_orderstatus",
+                F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+            )
+
+        def cvm(o):
+            c = cents(o)
+            mat(cvm_statistic(
+                c.filter(F.col("o_orderstatus") == "F"),
+                c.filter(F.col("o_orderstatus") == "O"), "cents",
+            ))
+
+        report("cvm", cvm, o1e, o10e)
+
+        def w1(o):
+            c = cents(o)
+            mat(wasserstein_1d(
+                c.filter(F.col("o_orderstatus") == "F"),
+                c.filter(F.col("o_orderstatus") == "O"), "cents",
+            ))
+
+        report("wasserstein", w1, o1e, o10e)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

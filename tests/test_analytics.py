@@ -2080,3 +2080,67 @@ def test_partial_corr_removes_common_driver(spark):
         (1 - out["r_xz"] ** 2) * (1 - out["r_yz"] ** 2)
     ) ** 0.5
     assert abs(out["r_xy_given_z"] - expect) < 1e-4
+
+
+def test_cvm_statistic_matches_bruteforce_and_sees_diffuse_shift(spark):
+    """T against the O(N) pooled-ECDF brute force on a small tied
+    sample; a diffuse +1 shift registers while identical samples give
+    ~0."""
+    from morphik_core_spark.operators.analytics import cvm_statistic
+
+    import hashlib
+
+    va = [int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:8], 16) % 20 for i in range(80)]
+    vb = [int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:8], 16) % 20 + 1 for i in range(60)]
+    a = spark.createDataFrame([(v,) for v in va], "v long")
+    b = spark.createDataFrame([(v,) for v in vb], "v long")
+    out = cvm_statistic(a, b, "v").collect()[0]
+    na, nb = len(va), len(vb)
+    N = na + nb
+    pooled = sorted(set(va + vb))
+    t = 0.0
+    from bisect import bisect_right
+
+    sa, sb = sorted(va), sorted(vb)
+    for v in pooled:
+        lv = (len([1 for x in va if x == v]) + len([1 for x in vb if x == v]))
+        fa = bisect_right(sa, v) / na
+        fb = bisect_right(sb, v) / nb
+        t += lv * (fa - fb) ** 2
+    t *= na * nb / N**2
+    assert abs(out["cvm_stat"] - t) < 1e-6
+    same = cvm_statistic(a, a, "v").collect()[0]
+    assert same["cvm_stat"] == 0.0
+
+
+def test_wasserstein_reads_shift_in_value_units(spark):
+    """A uniform +5 shift of the SAME sample gives W1 = 5 exactly; W1
+    against the classic sorted-quantile brute force on unequal sizes."""
+    from morphik_core_spark.operators.analytics import wasserstein_1d
+
+    import hashlib
+
+    va = [int(hashlib.md5(f"w:{i}".encode()).hexdigest()[:8], 16) % 100 for i in range(90)]
+    a = spark.createDataFrame([(v,) for v in va], "v long")
+    b5 = spark.createDataFrame([(v + 5,) for v in va], "v long")
+    assert wasserstein_1d(a, b5, "v").collect()[0]["w1"] == 5.0
+
+    vb = [int(hashlib.md5(f"u:{i}".encode()).hexdigest()[:8], 16) % 100 for i in range(60)]
+    b = spark.createDataFrame([(v,) for v in vb], "v long")
+    out = wasserstein_1d(a, b, "v").collect()[0]
+    # brute force: integral of |F_a - F_b| over the pooled grid
+    from bisect import bisect_right
+
+    sa, sb = sorted(va), sorted(vb)
+    grid = sorted(set(va + vb))
+    w1 = 0.0
+    for v, vn in zip(grid, grid[1:]):
+        fa = bisect_right(sa, v) / len(va)
+        fb = bisect_right(sb, v) / len(vb)
+        w1 += abs(fa - fb) * (vn - v)
+    assert abs(out["w1"] - w1) < 1e-6
+
+    # value_scale round-trips to original units: cents-scale, same data
+    af = spark.createDataFrame([(v / 100.0,) for v in va], "v double")
+    bf = spark.createDataFrame([(v / 100.0 + 0.05,) for v in va], "v double")
+    assert wasserstein_1d(af, bf, "v", value_scale=100).collect()[0]["w1"] == 0.05

@@ -216,6 +216,9 @@ SENSITIVE = [
     "brown_forsythe_acctbal",
     "seasonal_mk_daily",
     "partial_corr_user_activity",
+    # double-domain gap-square accumulation; integer |gap| x width sums
+    "cvm_price_drift",
+    "wasserstein_price_drift",
 ]
 
 
