@@ -7237,25 +7237,31 @@ def _q_jt_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     jonckheere_terpstra`): are order prices stochastically ORDERED
     across the five priorities. Two rows (the mann_kendall injected-
     drift precedent): the RAW series (null — the generator draws price
-    independent of priority) and a +$100k-per-priority-level uplift
+    independent of priority) and a +$100k-per-priority-level uplift (dollar-grain values)
     (z >> 0), so both the null and the detection branch are exercised.
     Pooled-spine grid machinery, full Hollander-Wolfe tie-corrected
     variance, everything integer until the final z."""
     from morphik_core_spark.operators.analytics import jonckheere_terpstra
 
+    # DOLLAR-grain values (exact integer cents div 100 — the spearman
+    # "quantization lever"): the pooled spine shrinks ~100x, so the
+    # dense (group x spine) rank frame stays small; a rank test on
+    # dollar-rounded money loses nothing the test can see
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderpriority",
-        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"
+        ).alias("dollars"),
         F.expr("CAST(substr(o_orderpriority, 1, 1) AS BIGINT)").alias("_lvl"),
     )
-    raw = jonckheere_terpstra(orders, "o_orderpriority", "cents")
+    raw = jonckheere_terpstra(orders, "o_orderpriority", "dollars")
     uplifted = jonckheere_terpstra(
         orders.select(
             "o_orderpriority",
-            (F.col("cents") + F.col("_lvl") * F.lit(10_000_000)).alias("cents"),
+            (F.col("dollars") + F.col("_lvl") * F.lit(100_000)).alias("dollars"),
         ),
         "o_orderpriority",
-        "cents",
+        "dollars",
     )
     return raw.select(F.lit("raw").alias("series"), "*").unionByName(
         uplifted.select(F.lit("uplifted").alias("series"), "*")
@@ -14799,12 +14805,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jt_priority_price": (
             _jt_oracle_series_sql(
-                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)", "raw"
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100", "raw"
             )
             + "\n            UNION ALL\n"
             + _jt_oracle_series_sql(
-                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
-                "+ CAST(substr(o_orderpriority, 1, 1) AS BIGINT) * 10000000",
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 "
+                "+ CAST(substr(o_orderpriority, 1, 1) AS BIGINT) * 100000",
                 "uplifted",
             )
         ),

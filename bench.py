@@ -70,20 +70,29 @@ def main() -> None:
         spark.catalog.clearCache()
 
     def timed(fn) -> float:
-        # min of three runs: the first run can absorb scheduler/JIT noise
-        # (observed ±60% variance on single runs) and two samples were not
-        # enough to reject a sustained host-load burst (the round-9 driver
-        # bench caught a multi-minute spike window that contaminated five
-        # consecutive queries); min is the stable signal. Cache state is
-        # reset outside the clock, so every run is cold-cache and measures
-        # the plan, not a predecessor's leftovers.
-        best = float("inf")
-        for _ in range(3):
+        # min of two runs, plus an ADAPTIVE third when the two samples
+        # disagree by >25%: the first run can absorb scheduler/JIT noise
+        # (observed ±60% variance on single runs), and two agreeing
+        # samples were still not enough to reject a sustained host-load
+        # burst (the round-9 driver bench had a multi-minute spike window
+        # contaminating five consecutive queries — exactly the case where
+        # the two samples DISAGREE and the third breaks the tie). The
+        # adaptive form keeps total wall-clock near min-of-two on a quiet
+        # host instead of paying +50% on every query. Cache state is
+        # reset outside the clock, so every run is cold-cache and
+        # measures the plan, not a predecessor's leftovers.
+        samples = []
+        for _ in range(2):
             start = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - start)
+            samples.append(time.perf_counter() - start)
             cleanup()
-        return round(best, 4)
+        if abs(samples[0] - samples[1]) > 0.25 * min(samples):
+            start = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - start)
+            cleanup()
+        return round(min(samples), 4)
 
     def timed_safe(name: str, fn) -> None:
         # one broken query must never zero the whole bench round — record

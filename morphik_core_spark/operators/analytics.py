@@ -5574,6 +5574,13 @@ def jonckheere_terpstra(
         .join(cells, ["_g", "_v"], "left")
         .na.fill({"_c": 0})
     )
+    # the per-group prefix window runs at parallelism = k: the pooled
+    # spine MUST be value-domain-bounded by the caller's quantization
+    # (dollar-grain money, day indexes — the spearman/kruskal lever).
+    # A two-level bucketed prefix was measured NET-SLOWER here (extra
+    # groupBy+join stages dominate the k-partition window on bounded
+    # spines); if a use case genuinely needs a corpus-sized spine,
+    # shard like `_pooled_cdf_frame` does.
     w_v = (
         Window.partitionBy("_g")
         .orderBy(F.col("_v").asc())
