@@ -43,6 +43,7 @@ __all__ = [
     "jsd_stream",
     "quantile_stream",
     "centroid_drift_stream",
+    "w1_drift_stream",
 ]
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -1035,6 +1036,114 @@ def centroid_drift_stream(
         update,
         outputStructType=CENTROID_DRIFT_OUTPUT_SCHEMA,
         stateStructType=CENTROID_DRIFT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+W1_DRIFT_OUTPUT_SCHEMA = "key string, batch_seq bigint, n_seen bigint, w1 double"
+W1_DRIFT_STATE_SCHEMA = (
+    "n bigint, buckets array<bigint>, counts array<bigint>, batch_seq bigint"
+)
+
+
+def w1_drift_stream(
+    rows: DataFrame,
+    reference_histograms: dict[str, dict[int, int]],
+    key_col: str = "key",
+    val_col: str = "value",
+    value_scale: int = 1,
+) -> DataFrame:
+    """Streaming distribution-drift monitor — the live twin of
+    `analytics.wasserstein_1d`: per key, accumulate the RUNNING sparse
+    value histogram in state and emit, each micro-batch, the 1-D
+    Wasserstein-1 distance between the running distribution and a fixed
+    REFERENCE histogram (e.g. last week's accepted distribution) — the
+    alert that says "this segment's value distribution has moved N
+    dollars; investigate before the batch job trips on it".
+
+    ``reference_histograms`` maps key -> {quantized_value: count},
+    quantized exactly as the batch op does (ROUND(x * value_scale) half
+    away from zero), so a stream snapshot equals
+    ``wasserstein_1d(reference_rows, seen_rows, val, value_scale)``
+    bit-for-bit: the finalize replays the identical exact-integer
+    |gap| x interval-width sum and the identical single division, with
+    the final 6-dp rounding replicated at Spark's BigDecimal HALF_UP
+    semantics. Keys without a reference emit NULL (the batch family's
+    missing-side convention).
+
+    State per key: one int64 count + the sparse (bucket, count) arrays
+    — bounded by the caller's quantization contract (dollar-grain
+    money, day indexes), mergeable by addition, replay-safe behind the
+    same epoch dedup as the other additive monitors.
+    """
+    if not reference_histograms:
+        raise ValueError("reference_histograms must be non-empty")
+    refs = {
+        str(k): sorted((int(v), int(c)) for v, c in h.items())
+        for k, h in reference_histograms.items()
+    }
+    mul = float(int(value_scale))
+
+    def _rha(x: float) -> int:
+        import math
+
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    def _round6_like_spark(x: float) -> float:
+        # Spark's ROUND(d, 6) = BigDecimal(double) HALF_UP at 6 dp over
+        # the EXACT binary expansion — Decimal(float) replicates it
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    def _w1(ref: list[tuple[int, int]], run: dict[int, int]) -> float | None:
+        na = sum(c for _, c in ref)
+        nb = sum(run.values())
+        if na == 0 or nb == 0:
+            return None
+        ref_d = dict(ref)
+        spine = sorted(set(ref_d) | set(run))
+        num = 0
+        cum_a = cum_b = 0
+        for v, vn in zip(spine, spine[1:]):
+            cum_a += ref_d.get(v, 0)
+            cum_b += run.get(v, 0)
+            num += abs(cum_a * nb - cum_b * na) * (vn - v)
+        return _round6_like_spark(float(num) / (float(na) * float(nb) * mul))
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        n, buckets, counts, seq = (
+            state.get if state.exists else (0, [], [], 0)
+        )
+        hist = {int(b): int(c) for b, c in zip(buckets, counts)}
+        n = int(n)
+        for pdf in batches:
+            for x in pdf[val_col]:
+                b = _rha(float(x) * mul)
+                hist[b] = hist.get(b, 0) + 1
+                n += 1
+        seq = int(seq) + 1
+        ref = refs.get(str(key_val))
+        w1 = _w1(ref, hist) if ref is not None else None
+        items = sorted(hist.items())
+        state.update((n, [b for b, _ in items], [c for _, c in items], seq))
+        yield pd.DataFrame(
+            [
+                {
+                    "key": str(key_val),
+                    "batch_seq": seq,
+                    "n_seen": n,
+                    "w1": w1,
+                }
+            ]
+        )
+
+    return rows.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=W1_DRIFT_OUTPUT_SCHEMA,
+        stateStructType=W1_DRIFT_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

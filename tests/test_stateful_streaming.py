@@ -990,3 +990,73 @@ def test_centroid_drift_stream_matches_batch_and_survives_restart(spark, tmp_pat
     assert by[(0, 1)]["centroid_shift"] == batch_shift(0, batch1)
     assert by[(0, 2)]["centroid_shift"] == batch_shift(0, batch1 + batch2)
     assert by[(1, 2)]["centroid_shift"] == batch_shift(1, batch1 + batch2)
+
+
+def test_w1_drift_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """The streaming monitor's snapshot equals wasserstein_1d between
+    the reference rows and the rows seen so far — bit-for-bit via the
+    shared quantize/gap/divide trees — and the running histogram
+    survives a checkpoint restart. Multi-key state stays isolated; keys
+    without a reference emit NULL."""
+    from morphik_core_spark.operators.analytics import wasserstein_1d
+    from morphik_core_spark.streaming.stateful import w1_drift_stream
+
+    import math
+
+    def rha(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    scale = 10
+    ref_vals = {
+        "a": [1.0, 1.5, 2.0, 2.0, 3.7],
+        "b": [10.0, 10.0, 12.5],
+    }
+    refs = {}
+    for k, vals in ref_vals.items():
+        h: dict = {}
+        for v in vals:
+            b = rha(v * scale)
+            h[b] = h.get(b, 0) + 1
+        refs[k] = h
+
+    schema = "key string, value double"
+    batch1 = [("a", 1.1), ("a", 2.9), ("b", 11.0), ("c", 99.0)]
+    batch2 = [("a", 3.6), ("b", 10.1), ("b", 12.4)]
+
+    src, out, chk = (str(tmp_path / d) for d in ("win", "wout", "wchk"))
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            w1_drift_stream(stream, refs, value_scale=scale)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+
+    run_once(batch1)
+    run_once(batch2)
+    rows = spark.read.parquet(out).collect()
+    by = {(r["key"], r["batch_seq"]): r for r in rows}
+    assert by[("a", 1)]["n_seen"] == 2 and by[("a", 2)]["n_seen"] == 3  # restart kept state
+    assert by[("c", 1)]["w1"] is None  # no reference histogram
+
+    def batch_w1(key, seen):
+        a = spark.createDataFrame([(v,) for v in ref_vals[key]], "v double")
+        b = spark.createDataFrame(
+            [(v,) for k, v in seen if k == key], "v double"
+        )
+        [r] = wasserstein_1d(a, b, "v", value_scale=scale).collect()
+        return r["w1"]
+
+    assert by[("a", 1)]["w1"] == batch_w1("a", batch1)
+    assert by[("a", 2)]["w1"] == batch_w1("a", batch1 + batch2)
+    assert by[("b", 2)]["w1"] == batch_w1("b", batch1 + batch2)
