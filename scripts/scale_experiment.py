@@ -3077,6 +3077,17 @@ def main() -> None:
 
         report("wasserstein", w1, o1e, o10e)
 
+        from morphik_core_spark.operators.analytics import ad_statistic
+
+        def ad(o):
+            c = cents(o)
+            mat(ad_statistic(
+                c.filter(F.col("o_orderstatus") == "F"),
+                c.filter(F.col("o_orderstatus") == "O"), "cents",
+            ))
+
+        report("anderson_darling", ad, o1e, o10e)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

