@@ -210,6 +210,7 @@ def incremental_join_apply_both(
     b_cols: Sequence[str],
     op_col: str = "op",
     seq_col: str | None = None,
+    a_for_revival: DataFrame | None = None,
 ) -> DataFrame:
     """Simultaneous two-sided IVM: maintain J = A ⋈ B under a CDC batch
     on BOTH sides in one step — the case a real CDC stream actually
@@ -240,14 +241,16 @@ def incremental_join_apply_both(
     key per side). merge == recompute is oracle-asserted
     (`ivm_join_both`).
 
-    Self-maintainability boundary (Gupta & Mumick): an INNER-join view
-    is the only A store here, so a ΔB DELETE drops that key's fact rows
-    from the view — a LATER ΔB re-insert of the same key re-attaches
-    nothing (the A rows are unrecoverable from the view alone). Within
-    ONE batch this cannot happen (compaction leaves one final op per
-    key); across batches, feed A-side upserts for the affected facts,
-    or maintain an A snapshot beside the view (the
-    `streaming.join_view` module documents the same boundary).
+    Self-maintainability boundary (Gupta & Mumick): with the view as
+    the only A store, a ΔB DELETE drops that key's fact rows from the
+    view — a LATER ΔB re-insert of the same key re-attaches nothing
+    (the A rows are unrecoverable from the view alone). Within ONE
+    batch this cannot happen (compaction leaves one final op per key).
+    Passing ``a_for_revival`` — the CURRENT A snapshot, carrying the
+    view's A-side columns — CLOSES the gap: revival then draws from A
+    instead of the view, so facts whose dimension key left and came
+    back re-attach; `streaming.join_view` maintains that snapshot
+    beside the view when given an ``a_path``.
     """
     if seq_col is not None:
         from morphik_core_spark.streaming.cdc import compact_changes
@@ -264,8 +267,9 @@ def incremental_join_apply_both(
     a_up = delta_a.filter(F.col(op_col) != "D").drop(op_col)
     add_a = a_up.join(b_new, join_key)
     a_side = [c for c in joined.columns if c not in set(b_cols)]
+    revive_src = joined if a_for_revival is None else a_for_revival
     revived = (
-        joined.join(F.broadcast(kb), join_key, "left_semi")
+        revive_src.join(F.broadcast(kb), join_key, "left_semi")
         .join(F.broadcast(ka), pk_a, "left_anti")
         .select(*a_side)
     )

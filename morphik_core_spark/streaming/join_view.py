@@ -33,12 +33,15 @@ rewrite per epoch is the versioned-table cost the rollup stream already
 documents (partitioned state + merge_upsert_partitioned is the
 evolution path when the view outgrows one file set).
 
-Self-maintainability boundary (inherited from the batch op): the view
-is the only A store, so a dimension key deleted in one epoch and
-re-inserted in a LATER epoch re-attaches no old fact rows — they left
-the inner-join view with the delete and only A-side upserts (or an A
-snapshot maintained beside the view) can bring them back. The
-equivalence tests pin this behavior explicitly.
+Self-maintainability boundary (inherited from the batch op): WITHOUT an
+A snapshot the view is the only A store, so a dimension key deleted in
+one epoch and re-inserted in a LATER epoch re-attaches no old fact rows
+— they left the inner-join view with the delete. The equivalence tests
+pin that behavior explicitly. Passing ``a_path`` (a seeded versioned A
+snapshot, maintained by the same epochs under ``asnap:<epoch>`` tags)
+CLOSES the gap: revival then draws from A, and the
+delete-then-reinsert scenario resurrects the surviving facts — also
+tested.
 """
 
 from __future__ import annotations
@@ -69,6 +72,7 @@ def apply_join_view_epoch(
     b_cols: Sequence[str],
     side_col: str = "side",
     op_col: str = "op",
+    a_path: str | None = None,
 ) -> bool:
     """Fold one unified CDC micro-batch into the persisted join view and
     B snapshot as new versions. ``a_cols`` are the A-side payload
@@ -77,12 +81,23 @@ def apply_join_view_epoch(
     without writing when the epoch is already applied to BOTH tables
     (crash replay) or the batch is empty. Seed both tables first
     (``versioned_write(view0, view_path, op="seed")`` and the B
-    snapshot likewise) — the schema contract comes from the seeds."""
+    snapshot likewise) — the schema contract comes from the seeds.
+
+    Passing ``a_path`` (a seeded, versioned A snapshot) upgrades the
+    view past the self-maintainability boundary: the epoch ALSO
+    maintains A' = (A anti ΔA-keys) ∪ ΔA-upserts (tag ``asnap:<epoch>``)
+    and revival draws from the A snapshot instead of the view, so a
+    dimension key deleted in one epoch and re-inserted later re-attaches
+    its surviving facts."""
     view_tag = f"joinview:{int(epoch_id)}"
     bsnap_tag = f"bsnap:{int(epoch_id)}"
+    asnap_tag = f"asnap:{int(epoch_id)}"
     view_done = any(v.get("op") == view_tag for v in list_versions(view_path))
     bsnap_done = any(v.get("op") == bsnap_tag for v in list_versions(b_path))
-    if view_done and bsnap_done:
+    asnap_done = a_path is None or any(
+        v.get("op") == asnap_tag for v in list_versions(a_path)
+    )
+    if view_done and bsnap_done and asnap_done:
         return False
     if not batch.take(1):
         return False
@@ -90,10 +105,12 @@ def apply_join_view_epoch(
     delta_a = batch.filter(F.col(side_col) == "A").select(*a_cols, op_col)
     delta_b = batch.filter(F.col(side_col) == "B").select(join_key, *b_cols, op_col)
     b = read_version(spark, b_path)
+    a = read_version(spark, a_path) if a_path is not None else None
     if not view_done:
         view = read_version(spark, view_path)
         maintained = incremental_join_apply_both(
-            view, delta_a, b, delta_b, pk_a, join_key, b_cols=b_cols, op_col=op_col
+            view, delta_a, b, delta_b, pk_a, join_key, b_cols=b_cols,
+            op_col=op_col, a_for_revival=a,
         )
         versioned_write(maintained, view_path, op=view_tag)
     if not bsnap_done:
@@ -102,6 +119,12 @@ def apply_join_view_epoch(
             delta_b.filter(F.col(op_col) != "D").drop(op_col)
         )
         versioned_write(b_new, b_path, op=bsnap_tag)
+    if a_path is not None and not asnap_done:
+        ka = delta_a.select(F.col(pk_a)).distinct()
+        a_new = a.join(F.broadcast(ka), pk_a, "left_anti").unionByName(
+            delta_a.filter(F.col(op_col) != "D").drop(op_col)
+        )
+        versioned_write(a_new, a_path, op=asnap_tag)
     return True
 
 
@@ -116,6 +139,7 @@ def run_join_view_stream(
     checkpoint: str,
     side_col: str = "side",
     op_col: str = "op",
+    a_path: str | None = None,
 ):
     """Wire a unified two-sided CDC bus into the join view.
 
@@ -135,6 +159,7 @@ def run_join_view_stream(
             b_cols,
             side_col=side_col,
             op_col=op_col,
+            a_path=a_path,
         )
 
     return (

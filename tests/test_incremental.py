@@ -275,3 +275,28 @@ def test_incremental_join_apply_both_compacts_with_seq(spark):
         joined, delta_a, b, delta_b, "pk", "fk", b_cols=["b_val"], seq_col="seq"
     )
     assert [tuple(r) for r in maintained.collect()] == [(10, 1, "a1-v3", "b-v3")]
+
+
+def test_incremental_join_apply_both_a_snapshot_closes_revival_gap(spark):
+    """Without a_for_revival, a fact whose dimension row is ABSENT from
+    the view cannot re-attach when the dim key is inserted (the pinned
+    self-maintainability boundary); with the CURRENT A snapshot passed,
+    the same batch resurrects it."""
+    from morphik_core_spark.operators.incremental import incremental_join_apply_both
+
+    # fact pk=1 points at fk=20, which is NOT in B -> not in the view
+    a = spark.createDataFrame([(1, 20, "a1"), (2, 10, "a2")], "pk long, fk long, payload string")
+    b = spark.createDataFrame([(10, "b-ten")], "fk long, b_val string")
+    joined = a.join(b, "fk").select("fk", "pk", "payload", "b_val")
+    delta_a = spark.createDataFrame([], "pk long, fk long, payload string, op string")
+    delta_b = spark.createDataFrame([(20, "b-twenty", "I")], "fk long, b_val string, op string")
+
+    without = incremental_join_apply_both(
+        joined, delta_a, b, delta_b, "pk", "fk", b_cols=["b_val"]
+    )
+    assert all(r["fk"] != 20 for r in without.collect())  # boundary pinned
+
+    with_a = incremental_join_apply_both(
+        joined, delta_a, b, delta_b, "pk", "fk", b_cols=["b_val"], a_for_revival=a
+    )
+    assert (20, 1, "a1", "b-twenty") in {tuple(r) for r in with_a.collect()}

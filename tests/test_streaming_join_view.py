@@ -171,3 +171,50 @@ def test_join_view_epoch_half_applied_crash_recovers(spark, tmp_path):
     )
     assert _rows(spark, b_path) == [(10, "b-v2")]
     assert _rows(spark, view_path) == [(10, 1, "a1", "b-v2")]
+
+
+def test_join_view_stream_with_a_snapshot_resurrects(spark, tmp_path):
+    """With an A snapshot maintained beside the view (a_path), the
+    delete-then-reinsert scenario that the base test pins as lost now
+    RESURRECTS the surviving fact — and the A snapshot itself absorbs
+    A-side ops under its own epoch tags."""
+    view_path = str(tmp_path / "view")
+    b_path = str(tmp_path / "bsnap")
+    a_path = str(tmp_path / "asnap")
+    chk = str(tmp_path / "chk")
+    feed = str(tmp_path / "feed")
+    a, b = _seed(
+        spark,
+        view_path,
+        b_path,
+        [(1, 10, "a1"), (5, 20, "a5")],
+        [(10, "b-ten"), (20, "b-twenty")],
+    )
+    versioned_write(a, a_path, op="seed")
+
+    # epoch 1: delete dim 20 (evicts a5's row); epoch 2: re-insert it
+    _write_bus(spark, feed, [("B", "D", None, 20, None, None)])
+    _write_bus(spark, feed, [("B", "I", None, 20, None, "b-twenty-v2")])
+
+    def run():
+        stream = (
+            spark.readStream.schema(BUS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = run_join_view_stream(
+            stream, view_path, b_path, "pk", "fk", A_COLS, B_COLS, chk,
+            a_path=a_path,
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = _rows(spark, view_path)
+    # the A snapshot let revival re-attach a5 to the re-inserted dim row
+    assert (20, 5, "a5", "b-twenty-v2") in got
+    assert (10, 1, "a1", "b-ten") in got
+    # A-side ops maintain the snapshot: delete pk 1
+    _write_bus(spark, feed, [("A", "D", 1, None, None, None)])
+    run()
+    assert _rows(spark, a_path) == [(5, 20, "a5")]
+    assert all(r[1] != 1 for r in _rows(spark, view_path))
