@@ -7476,32 +7476,34 @@ def _q_ad_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 names to the front (the local gate
 # tests/test_oracle_parity.py covers every entry regardless of order).
-# Round-10 window: 0 red carried (r09 was 50/50 green); the 19 round-9
-# additions (the only never-driver-checked queries) rotate in — this
-# reaches 281/281 cumulative driver coverage. The remaining 31 slots
-# re-verify the queries whose last green driver row is oldest
-# (20 r04-vintage + 11 r05-vintage, registry order within vintage).
+# Round-11 window: 0 red carried (r10 was 50/50 green); the 14 round-10
+# additions (the only never-driver-checked queries, all judge-verified
+# exact-value at the driver's sf0.01 in the round-10 session) rotate in —
+# this reaches 295/295 cumulative driver coverage. The remaining 36 slots
+# re-verify the queries whose last green driver row is oldest (all 35
+# r05-vintage + the first r06-vintage name, registry order within vintage).
 _DRIVER_WINDOW = [
-    # 19 never-driver-checked round-9 additions (all judge-verified
-    # exact-value at the driver's sf0.01 in the round-9 session)
-    "kruskal_doclen", "levene_acctbal", "ljung_box_daily",
-    "ipw_ate_doclen", "ivm_join_b", "silhouette_labels", "rbo_rankings",
-    "pit_state_lookup", "heaps_law", "ipf_mixture", "snapshot_diff",
-    "linkage_assignment", "embedding_drift_labels", "mann_whitney_doclen",
-    "dunn_doclen", "overdispersion_daily", "ccf_event_types",
-    "seasonal_strength_daily", "holt_winters_daily",
-    # 31 re-verify slots: oldest last-green rows first (r04 vintage …)
-    "jaccard_pairs", "knn_batch", "knn_lsh", "knn_ivf",
-    "near_dup_embedding", "text_stats", "language_id",
-    "winnow_fingerprints", "quality_filter", "stratified_split",
-    "group_topn", "length_percentiles", "sequence_packing",
-    "sequence_packing_sharded", "dup_clusters", "decontaminate",
-    "repetition_signals", "mixture_sample", "event_window_agg",
-    "hash_embed_retrieval",
-    # … then r05 vintage, registry order
-    "asof_forward", "bm25_topk", "pii_scrub", "perplexity", "knn_pq",
-    "paragraph_dedup", "url_filter", "gapfill_locf", "shipping_priority",
-    "weighted_sample", "usage_rollup",
+    # 14 never-driver-checked round-10 additions
+    "pacf_daily", "chi_posthoc_priority", "ivm_join_both",
+    "kendall_chars_tokens", "cochran_priority_trend", "jt_priority_price",
+    "cmh_lang_exposure", "friedman_dow_types", "brown_forsythe_acctbal",
+    "seasonal_mk_daily", "partial_corr_user_activity", "cvm_price_drift",
+    "wasserstein_price_drift", "ad_price_drift",
+    # 36 re-verify slots: oldest last-green rows first (r05 vintage,
+    # registry order …)
+    "folder_children", "folder_descendants", "hll_distinct",
+    "cms_heavy_hitters", "pmi_bigrams", "span_dedup", "bloom_semi_join",
+    "funnel_steps", "cohort_retention", "value_histogram", "anomaly_stats",
+    "nation_pagerank", "quantile_estimate", "sliding_window_agg",
+    "scd2_intervals", "cube_counts", "semantic_dedup", "knn_sq8",
+    "late_ship_priority", "waiting_suppliers", "nfc_normalize",
+    "langid_confusion", "dup_rate_by_source", "semantic_outliers",
+    "tfidf_topterms", "dsir_weights", "ppl_buckets", "hard_negatives",
+    "matryoshka_topk", "embedding_covariance", "quality_classifier",
+    "semantic_decontaminate", "temperature_mixture", "min_cost_supplier",
+    "regional_supplier_volume",
+    # … then r06 vintage, registry order
+    "moving_aggregates",
 ]
 
 
