@@ -5735,6 +5735,43 @@ def _textrank_oracle(iterations: int = 3, damping_pct: int = 85, top_n: int = 20
     )
 
 
+_TRAINER_EXPORT_CLEANUP_REGISTERED: set = set()
+
+
+def _trainer_export_cleanup(tmp: str) -> None:
+    """Temp-disk hygiene for the trainer-export slot: register THIS
+    process's export dir for removal at interpreter exit (once per
+    path), and sweep sibling ``trainer_export_*_<pid>`` dirs whose
+    owning process is gone — crashed drivers never ran their atexit, and
+    nothing else ever deletes their dirs."""
+    import atexit
+    import re
+    import shutil
+    import tempfile
+
+    if tmp not in _TRAINER_EXPORT_CLEANUP_REGISTERED:
+        _TRAINER_EXPORT_CLEANUP_REGISTERED.add(tmp)
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    parent = tempfile.gettempdir()
+    pat = re.compile(r"^trainer_export_[0-9a-f]{12}_(\d+)$")
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for name in names:
+        m = pat.match(name)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+        except OSError:
+            # PermissionError etc.: pid exists (another user's live
+            # process) — leave its dir alone.
+            continue
+
+
 def _q_trainer_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end trainer-delivery audit: export the documents table as
     TFRecord (framed tf.train.Example) AND WebDataset (POSIX tar)
@@ -5750,7 +5787,12 @@ def _q_trainer_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (repeated runs in one bench/correctness session reuse the slot, no
     mkdtemp leak) but keyed by pid so concurrent gates over the same
     sf_dir never wipe each other's shards mid-read, and not guessable
-    by another user on a shared host (the dir is created 0700 fresh)."""
+    by another user on a shared host (the dir is created 0700 fresh).
+    The pid key alone would leak one dir per driver process, so the dir
+    is rmtree'd at process exit (atexit — the returned DataFrame is
+    collected lazily AFTER this function returns, so in-function
+    deletion would race the read-back), and dirs left by CRASHED
+    processes (atexit never ran) are swept here by pid liveness."""
     import hashlib as _hashlib
     import shutil
     import tempfile
@@ -5769,6 +5811,7 @@ def _q_trainer_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = os.path.join(
         tempfile.gettempdir(), f"trainer_export_{slot}_{os.getpid()}"
     )
+    _trainer_export_cleanup(tmp)
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, mode=0o700)
     write_tfrecord_shards(

@@ -46,6 +46,7 @@ two ``open()`` sites for the store's atomic-put client.
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import os
 import socket
@@ -58,6 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from morphik_core_spark.functions.snappy import _mask_crc, crc32c
+from morphik_core_spark.sources.shard_tmp import sweep_stale_tmps as _sweep_stale_tmps
 
 __all__ = [
     "encode_record",
@@ -282,9 +284,19 @@ def write_tfrecord_shards(
             f"{path}.tmp-{socket.gethostname()}-{os.getpid()}-"
             f"{uuid.uuid4().hex}"
         )
-        with open(tmp, "wb") as fh:
-            fh.write(buf)
-        os.replace(tmp, path)
+        # A crashed or losing speculative attempt must not leave its temp
+        # file next to live shards forever: unlink on any failure, and
+        # sweep stale temps from PRIOR crashed processes (old enough that
+        # no live attempt can still be writing them).
+        _sweep_stale_tmps(out_dir_b)
+        try:
+            with open(tmp, "wb") as fh:
+                fh.write(buf)
+            os.replace(tmp, path)
+        except BaseException:
+            with contextlib.suppress(OSError):
+                os.unlink(tmp)
+            raise
         return pd.DataFrame(
             [
                 {

@@ -24,6 +24,7 @@ temp-file + atomic ``os.replace``) — as the TFRecord sink
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import io
 import os
@@ -35,6 +36,8 @@ from typing import Iterator, Sequence
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from morphik_core_spark.sources.shard_tmp import sweep_stale_tmps as _sweep_stale_tmps
 
 __all__ = ["write_webdataset_shards", "read_webdataset_shards"]
 
@@ -100,9 +103,18 @@ def write_webdataset_shards(
             f"{path}.tmp-{socket.gethostname()}-{os.getpid()}-"
             f"{uuid.uuid4().hex}"
         )
-        with open(tmp, "wb") as fh:
-            fh.write(blob)
-        os.replace(tmp, path)
+        # A crashed or losing speculative attempt must not leave its temp
+        # file next to live shards forever: unlink on any failure, and
+        # sweep stale temps from PRIOR crashed processes.
+        _sweep_stale_tmps(out_dir_b)
+        try:
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, path)
+        except BaseException:
+            with contextlib.suppress(OSError):
+                os.unlink(tmp)
+            raise
         return pd.DataFrame(
             [
                 {

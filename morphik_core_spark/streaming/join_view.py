@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from morphik_core_spark.operators.incremental import incremental_join_apply_both
+from morphik_core_spark.plans.cache import persist_scope, scoped_persist
 from morphik_core_spark.plans.maintenance import (
     list_versions,
     read_version,
@@ -102,29 +103,43 @@ def apply_join_view_epoch(
     if not batch.take(1):
         return False
     spark = batch.sparkSession
-    delta_a = batch.filter(F.col(side_col) == "A").select(*a_cols, op_col)
-    delta_b = batch.filter(F.col(side_col) == "B").select(join_key, *b_cols, op_col)
-    b = read_version(spark, b_path)
-    a = read_version(spark, a_path) if a_path is not None else None
-    if not view_done:
-        view = read_version(spark, view_path)
-        maintained = incremental_join_apply_both(
-            view, delta_a, b, delta_b, pk_a, join_key, b_cols=b_cols,
-            op_col=op_col, a_for_revival=a,
+    # Each split delta feeds 3-4 downstream joins (key projections,
+    # upsert unions, revival) and the snapshots feed the view maintenance
+    # AND their own absorb pass — persist for the epoch so every action
+    # doesn't re-filter the micro-batch source / re-read the snapshot
+    # files, and release unconditionally at epoch end.
+    with persist_scope():
+        delta_a = scoped_persist(
+            batch.filter(F.col(side_col) == "A").select(*a_cols, op_col)
         )
-        versioned_write(maintained, view_path, op=view_tag)
-    if not bsnap_done:
-        kb = delta_b.select(join_key).distinct()
-        b_new = b.join(F.broadcast(kb), join_key, "left_anti").unionByName(
-            delta_b.filter(F.col(op_col) != "D").drop(op_col)
+        delta_b = scoped_persist(
+            batch.filter(F.col(side_col) == "B").select(join_key, *b_cols, op_col)
         )
-        versioned_write(b_new, b_path, op=bsnap_tag)
-    if a_path is not None and not asnap_done:
-        ka = delta_a.select(F.col(pk_a)).distinct()
-        a_new = a.join(F.broadcast(ka), pk_a, "left_anti").unionByName(
-            delta_a.filter(F.col(op_col) != "D").drop(op_col)
+        b = scoped_persist(read_version(spark, b_path))
+        a = (
+            scoped_persist(read_version(spark, a_path))
+            if a_path is not None
+            else None
         )
-        versioned_write(a_new, a_path, op=asnap_tag)
+        if not view_done:
+            view = read_version(spark, view_path)
+            maintained = incremental_join_apply_both(
+                view, delta_a, b, delta_b, pk_a, join_key, b_cols=b_cols,
+                op_col=op_col, a_for_revival=a,
+            )
+            versioned_write(maintained, view_path, op=view_tag)
+        if not bsnap_done:
+            kb = delta_b.select(join_key).distinct()
+            b_new = b.join(F.broadcast(kb), join_key, "left_anti").unionByName(
+                delta_b.filter(F.col(op_col) != "D").drop(op_col)
+            )
+            versioned_write(b_new, b_path, op=bsnap_tag)
+        if a_path is not None and not asnap_done:
+            ka = delta_a.select(F.col(pk_a)).distinct()
+            a_new = a.join(F.broadcast(ka), pk_a, "left_anti").unionByName(
+                delta_a.filter(F.col(op_col) != "D").drop(op_col)
+            )
+            versioned_write(a_new, a_path, op=asnap_tag)
     return True
 
 

@@ -1047,6 +1047,19 @@ W1_DRIFT_STATE_SCHEMA = (
 )
 
 
+def _round6_like_spark(x: float) -> float:
+    # Spark's ROUND(d, 6) = BigDecimal.valueOf(d) HALF_UP at 6 dp.
+    # BigDecimal.valueOf goes through Double.toString — the SHORTEST
+    # decimal repr that round-trips — not the exact binary expansion,
+    # so Decimal(repr(x)) (Python repr = same shortest-repr rule)
+    # replicates it; Decimal(x) would diverge on values whose shortest
+    # repr ends in an exact 5 at the 7th decimal (e.g. 1.5e-06 ->
+    # Spark 0.000002, binary-exact 0.000001).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
 def w1_drift_stream(
     rows: DataFrame,
     reference_histograms: dict[str, dict[int, int]],
@@ -1089,13 +1102,6 @@ def w1_drift_stream(
         import math
 
         return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
-
-    def _round6_like_spark(x: float) -> float:
-        # Spark's ROUND(d, 6) = BigDecimal(double) HALF_UP at 6 dp over
-        # the EXACT binary expansion — Decimal(float) replicates it
-        from decimal import ROUND_HALF_UP, Decimal
-
-        return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
 
     def _w1(ref: list[tuple[int, int]], run: dict[int, int]) -> float | None:
         na = sum(c for _, c in ref)

@@ -1060,3 +1060,35 @@ def test_w1_drift_stream_matches_batch_and_survives_restart(spark, tmp_path):
     assert by[("a", 1)]["w1"] == batch_w1("a", batch1)
     assert by[("a", 2)]["w1"] == batch_w1("a", batch1 + batch2)
     assert by[("b", 2)]["w1"] == batch_w1("b", batch1 + batch2)
+
+
+def test_round6_like_spark_matches_spark_round(spark):
+    """The stream-side 6-dp rounding helper must equal Spark's
+    ROUND(double, 6) — which goes through BigDecimal.valueOf (shortest
+    decimal repr, HALF_UP), NOT the exact binary expansion — on the
+    adversarial class whose shortest repr ends in an exact 5 at the 7th
+    decimal (1.5e-06 etc.), where Decimal(float) would round DOWN."""
+    from morphik_core_spark.streaming.stateful import _round6_like_spark
+
+    vals = [
+        1.5e-06,  # binary expansion 1.4999...e-06 -> exact-binary rounds to 1e-06
+        2.5e-06,
+        -1.5e-06,
+        0.0000035,
+        0.1234565,
+        2.675e-06,
+        1.0000005,
+        0.0,
+        7.0,
+        123.4567894,
+        123.4567895,
+        1e-07,
+        -9.9999995,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["x"]: r["r"]
+        for r in df.selectExpr("x", "round(x, 6) as r").collect()
+    }
+    for v in vals:
+        assert _round6_like_spark(v) == got[v], (v, _round6_like_spark(v), got[v])

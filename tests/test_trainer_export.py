@@ -158,3 +158,51 @@ def test_webdataset_reader_isolates_corrupt_shard(spark, tmp_path):
     # healthy shard must be unaffected
     assert len(oks) > 0
     assert all(victim not in (r["shard_path"] or "") for r in oks) or errs
+
+
+def test_stale_tmp_sweep(tmp_path):
+    """sweep_stale_tmps removes *.tmp-* files older than the threshold,
+    leaves fresh temps (a live attempt may still be writing) and live
+    shards alone."""
+    import os
+    import time
+
+    from morphik_core_spark.sources.shard_tmp import sweep_stale_tmps
+
+    out = tmp_path / "shards"
+    out.mkdir()
+    stale = out / "shard-00001.tfrecord.tmp-hostA-123-deadbeef"
+    fresh = out / "shard-00002.tfrecord.tmp-hostB-456-cafebabe"
+    live = out / "shard-00001.tfrecord"
+    for p in (stale, fresh, live):
+        p.write_bytes(b"x")
+    past = time.time() - 7200
+    os.utime(stale, (past, past))
+    removed = sweep_stale_tmps(str(out), max_age_s=3600)
+    assert removed == 1
+    assert not stale.exists() and fresh.exists() and live.exists()
+    # missing dir is a no-op, not an error
+    assert sweep_stale_tmps(str(tmp_path / "nope")) == 0
+
+
+def test_shard_writers_sweep_stale_tmps_on_write(spark, tmp_path):
+    """A stale temp left by a crashed prior process disappears when the
+    next export writes into the same directory (both sinks)."""
+    import os
+    import time
+
+    from morphik_core_spark.sources.tfrecord import write_tfrecord_shards
+    from morphik_core_spark.sources.webdataset import write_webdataset_shards
+
+    df = spark.createDataFrame([(f"d{i}", f"t{i}") for i in range(8)], "k string, t string")
+    for out, write in (
+        (tmp_path / "tfr", lambda o: write_tfrecord_shards(df, o, "k", "t", n_shards=2)),
+        (tmp_path / "wds", lambda o: write_webdataset_shards(df, o, "k", {"t": "txt"}, n_shards=2)),
+    ):
+        out.mkdir()
+        orphan = out / "shard-00007.x.tmp-deadhost-1-abc"
+        orphan.write_bytes(b"x")
+        past = time.time() - 7200
+        os.utime(orphan, (past, past))
+        write(str(out)).collect()
+        assert not orphan.exists(), out
