@@ -103,8 +103,27 @@ def main() -> None:
             errors[name] = traceback.format_exc(limit=3).splitlines()[-1][:300]
             print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
 
+    # per-query effective-scan counts (worst table) ride along in the
+    # detail JSON so scan regressions show up as data round over round,
+    # not only as the plan gate flipping at the budget boundary. Plan
+    # compilation only — no job runs — but construction isn't free for
+    # every query (some collect bounded driver-side params), so it's
+    # measured OUTSIDE the timing clock and isolated per query.
+    from morphik_core_spark.plans.scan_audit import worst_scan_count
+
+    scan_counts: dict[str, int] = {}
+
+    def audit_scans(name: str, fn) -> None:
+        try:
+            scan_counts[name] = worst_scan_count(fn(spark, sf_dir))
+        except Exception:
+            scan_counts[name] = -1  # construction failed; error captured by timing
+        finally:
+            cleanup()
+
     for name, fn in entry_mod.queries().items():
         timed_safe(name, lambda fn=fn: _materialize(fn(spark, sf_dir)))
+        audit_scans(name, fn)
 
     timed_safe("entry_flagship", lambda: entry_mod.entry(spark).collect())
 
@@ -140,6 +159,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "scans": scan_counts,
         "sf": sf,
     }
     if errors:

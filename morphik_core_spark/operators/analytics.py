@@ -5719,6 +5719,7 @@ def kendall_tau_b(
     x_scale: int = 1,
     y_scale: int = 1,
     decimals: int = 6,
+    max_grid_cells: int = 10_000_000,
 ) -> DataFrame:
     """Kendall's tau-b rank correlation with the full tie correction —
     the concordance-based monotone-association measure beside
@@ -5741,8 +5742,17 @@ def kendall_tau_b(
 
     Scale: one corpus groupBy -> cell grid; everything after runs on
     the dense grid (|X|*|Y| rows — the caller's quantization contract
-    keeps it bounded, e.g. whole quantities x dollar prices). Output
-    ONE row: (n, n_pairs, concordant, discordant, tau_b).
+    keeps it bounded, e.g. whole quantities x dollar prices). The
+    contract is ENFORCED, not just documented: the grid size
+    |X| * |Y| is counted off the (persisted) cell grid before the dense
+    spine is built, and the op raises when it exceeds
+    ``max_grid_cells`` — two near-unique-value columns fed in without a
+    coarsening scale would otherwise silently materialize a
+    corpus x corpus cross product (the same contract-violation class
+    `_pooled_cdf_frame` made structurally impossible for the drift
+    ops; auto-coarsening is NOT an option here because a different
+    quantization grid is a different tau). Output ONE row:
+    (n, n_pairs, concordant, discordant, tau_b).
     """
     dec = "decimal(38,0)"
     qx = F.expr(f"CAST(ROUND(CAST({x_col} AS DOUBLE) * {int(x_scale)}) AS BIGINT)")
@@ -5755,6 +5765,17 @@ def kendall_tau_b(
         .groupBy("_x", "_y")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+    [(n_x, n_y)] = cells.agg(
+        F.count_distinct("_x"), F.count_distinct("_y")
+    ).collect()
+    if n_x * n_y > max_grid_cells:
+        raise ValueError(
+            f"kendall_tau_b dense grid would be {n_x} x {n_y} = "
+            f"{n_x * n_y} cells (> max_grid_cells={max_grid_cells}): the "
+            f"quantized level sets are too fine. Coarsen x_scale/y_scale "
+            f"(quantize to a grain where levels repeat) or raise "
+            f"max_grid_cells explicitly if the grid genuinely fits."
+        )
     xs = cells.select("_x").distinct()
     ys = cells.select("_y").distinct()
     dense = scoped_persist(

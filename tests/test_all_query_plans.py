@@ -71,40 +71,9 @@ _SCAN_ALLOWLIST: dict[str, int] = {
 }
 
 
-def _effective_scans(spark, jplan):
-    """Count file scans that would actually execute: walk the physical
-    plan (unwrapping AQE), stop at InMemoryTableScan consumers, and count
-    each distinct cached relation's populating scan exactly once."""
-    import re
-    from collections import Counter
-
-    jvm = spark._jvm
-    acc: Counter = Counter()
-    seen_caches: set = set()
-
-    def walk(node):
-        cls = node.getClass().getSimpleName()
-        if cls == "AdaptiveSparkPlanExec":
-            walk(node.initialPlan())
-            return
-        if cls == "InMemoryTableScanExec":
-            rid = jvm.java.lang.System.identityHashCode(node.relation().cacheBuilder())
-            if rid not in seen_caches:
-                seen_caches.add(rid)
-                walk(node.relation().cacheBuilder().cachedPlan())
-            return
-        if cls == "FileSourceScanExec":
-            m = re.search(r"([a-z_0-9]+)\.parquet", node.toString().split("\n")[0])
-            acc[m.group(1) if m else "?"] += 1
-        ch = node.children()
-        for i in range(ch.size()):
-            walk(ch.apply(i))
-        sq = node.subqueries()
-        for i in range(sq.size()):
-            walk(sq.apply(i))
-
-    walk(jplan)
-    return acc
+# the counter itself lives in the library so bench.py records the same
+# number per query per round (BENCH_DETAIL "scans" field)
+from morphik_core_spark.plans.scan_audit import effective_scans as _effective_scans
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)

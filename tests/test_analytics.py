@@ -1788,6 +1788,27 @@ def test_kendall_tau_b_matches_bruteforce(spark):
     assert kendall_tau_b(anti, "x", "y").collect()[0]["tau_b"] == -1.0
 
 
+def test_kendall_tau_b_grid_guard(spark):
+    """Two near-unique-value columns violate the bounded-grid contract:
+    the op must RAISE (naming the grid size) before building the dense
+    |X|x|Y| spine, not silently materialize a corpus x corpus cross
+    product. An explicit max_grid_cells raise-of-the-budget (or a
+    coarsening scale) re-admits the call."""
+    import pytest
+
+    from morphik_core_spark.operators.analytics import kendall_tau_b
+
+    rows = [(float(i) + 0.123, float(i * 7 % 97) + 0.456) for i in range(200)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    with pytest.raises(ValueError, match="dense grid"):
+        kendall_tau_b(df, "x", "y", x_scale=1000, y_scale=1000,
+                      max_grid_cells=10_000).collect()
+    # same data, budget raised explicitly: runs and returns one row
+    [r] = kendall_tau_b(df, "x", "y", x_scale=1000, y_scale=1000,
+                        max_grid_cells=100_000).collect()
+    assert r["n"] == 200 and r["n_pairs"] == 200 * 199 // 2
+
+
 def test_cochran_armitage_detects_monotone_trend(spark):
     """Rates 10% -> 50% -> 90% across three ordered groups: strongly
     positive z, tiny p; flat rates give z ~ 0. Cross-checked against the
