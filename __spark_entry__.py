@@ -6654,6 +6654,103 @@ def _hw_oracle_sql(
         """
 
 
+def _q_holt_winters_mult_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters MULTIPLICATIVE forecast backtest (`analytics.
+    holt_winters_multiplicative`, period 7) over daily event volume —
+    the level-proportional-seasonality twin of `holt_winters_daily`:
+    season carried as a RATIO, so the weekly swing scales with the
+    level. Driver-side integer-micro recursion (level/trend in
+    value-micros, season in ratio-micros), one-step-ahead forecasts
+    after the classic two-cycle initialization; daily counts are
+    strictly positive, satisfying the ratio form's domain."""
+    from morphik_core_spark.operators.analytics import holt_winters_multiplicative
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return holt_winters_multiplicative(daily, "di", "y", period=7)
+
+
+def _hw_mult_oracle_sql(
+    period: int = 7, alpha: float = 0.3, beta: float = 0.1, gamma: float = 0.2
+) -> str:
+    """Generate the holt_winters_mult_daily oracle: `_hw_oracle_sql`'s
+    recursive-CTE shape with the multiplicative state updates — every
+    division through DOUBLE exactly once, replaying `analytics.
+    holt_winters_multiplicative`'s explicit-float() trees verbatim
+    (level/trend in value-micros, season in ratio-micros, half-away
+    micro-quantization per update)."""
+    p = int(period)
+    sprev = (
+        "(CASE o.phase "
+        + " ".join(f"WHEN {j} THEN hw.s{j}" for j in range(p))
+        + " END)"
+    )
+    lt = (
+        f"CAST(ROUND(CAST({alpha!r} AS DOUBLE) * (CAST(o.y AS DOUBLE) * 1000000000000.0 / {sprev}) "
+        f"+ CAST({1.0 - alpha!r} AS DOUBLE) * (hw.l + hw.b)) AS BIGINT)"
+    )
+    bt = (
+        f"CAST(ROUND(CAST({beta!r} AS DOUBLE) * ({lt} - hw.l) "
+        f"+ CAST({1.0 - beta!r} AS DOUBLE) * hw.b) AS BIGINT)"
+    )
+    snew = (
+        f"CAST(ROUND(CAST({gamma!r} AS DOUBLE) * (CAST(o.y AS DOUBLE) * 1000000000000.0 / {lt}) "
+        f"+ CAST({1.0 - gamma!r} AS DOUBLE) * {sprev}) AS BIGINT)"
+    )
+    fcast = (
+        f"CAST(ROUND(CAST(hw.l + hw.b AS DOUBLE) * {sprev} / 1000000.0) AS BIGINT)"
+    )
+    s_cols = ", ".join(f"s{j}" for j in range(p))
+    s_seed = ",\n                       ".join(
+        f"(SELECT CAST(ROUND(CAST(y AS DOUBLE) * 1000000.0 / (SELECT m FROM m1)) AS BIGINT) "
+        f"FROM o WHERE rn <= {p} AND phase = {j})"
+        for j in range(p)
+    )
+    s_step = ",\n                       ".join(
+        f"CASE WHEN o.phase = {j} THEN {snew} ELSE hw.s{j} END" for j in range(p)
+    )
+    return f"""
+            WITH RECURSIVE d AS (
+                SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS y
+                FROM events GROUP BY 1
+            ),
+            o AS (SELECT di, y, CAST(di % {p} AS INT) AS phase,
+                         ROW_NUMBER() OVER (ORDER BY di) AS rn FROM d),
+            n AS (SELECT COUNT(*) AS nn FROM o),
+            m1 AS (SELECT CAST(SUM(y) AS DOUBLE) / {float(p)!r} AS m FROM o WHERE rn <= {p}),
+            m2 AS (SELECT CAST(SUM(y) AS DOUBLE) / {float(p)!r} AS m FROM o
+                   WHERE rn > {p} AND rn <= {2 * p}),
+            hw(rn, l, b, {s_cols}, sph, f) AS (
+                SELECT {p},
+                       CAST(ROUND((SELECT m FROM m1) * 1000000.0) AS BIGINT),
+                       CAST(ROUND(((SELECT m FROM m2) - (SELECT m FROM m1)) * 1000000.0
+                                  / {float(p)!r}) AS BIGINT),
+                       {s_seed},
+                       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+                UNION ALL
+                SELECT hw.rn + 1,
+                       {lt},
+                       {bt},
+                       {s_step},
+                       {snew},
+                       {fcast}
+                FROM hw JOIN o ON o.rn = hw.rn + 1 CROSS JOIN n
+                WHERE hw.rn < n.nn
+            )
+            SELECT o.di, o.y,
+                   ROUND(CAST(hw.l AS DOUBLE) / 1e6, 6) AS level,
+                   ROUND(CAST(hw.b AS DOUBLE) / 1e6, 6) AS trend,
+                   ROUND(CAST(hw.sph AS DOUBLE) / 1e6, 6) AS season,
+                   ROUND(CAST(hw.f AS DOUBLE) / 1e6, 6) AS forecast,
+                   ROUND(CAST(o.y * 1000000 - hw.f AS DOUBLE) / 1e6, 6) AS error
+            FROM hw JOIN o ON o.rn = hw.rn
+            WHERE hw.rn > {p}
+            ORDER BY o.di
+        """
+
+
 def _smk_oracle_series_sql(val_expr: str, label: str) -> str:
     """One seasonal-Mann-Kendall series over daily event volume:
     same-weekday pairs, per-season tie-corrected variances summed —
@@ -7833,6 +7930,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_event_types": _q_ccf_event_types,
         "seasonal_strength_daily": _q_seasonal_strength_daily,
         "holt_winters_daily": _q_holt_winters_daily,
+        "holt_winters_mult_daily": _q_holt_winters_mult_daily,
         "pacf_daily": _q_pacf_daily,
         "chi_posthoc_priority": _q_chi_posthoc_priority,
         "ivm_join_both": _q_ivm_join_both,
@@ -14702,6 +14800,7 @@ def oracle_sql() -> dict[str, str]:
         "mann_whitney_doclen": _mw_oracle_sql(),
         "dunn_doclen": _dunn_oracle_sql(),
         "holt_winters_daily": _hw_oracle_sql(7),
+        "holt_winters_mult_daily": _hw_mult_oracle_sql(7),
         "pacf_daily": _pacf_oracle_sql(7),
         "kendall_chars_tokens": """
             WITH cells AS (

@@ -6205,3 +6205,105 @@ def holt_winters_additive(
         "season double, forecast double, error double",
     )
     return res.orderBy(idx_col)
+
+
+def holt_winters_multiplicative(
+    df: DataFrame,
+    idx_col: str,
+    val_col: str,
+    period: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    decimals: int = 6,
+) -> DataFrame:
+    """Holt–Winters MULTIPLICATIVE triple exponential smoothing with
+    one-step-ahead backtest — the level-proportional-seasonality twin of
+    `holt_winters_additive`: when the weekly swing scales WITH the
+    level (a growing service's Monday spike grows with it), the
+    additive form's fixed-amplitude season under-corrects high levels
+    and over-corrects low ones; the multiplicative form carries the
+    season as a RATIO:
+
+        ŷ_t = (l_{t−1} + b_{t−1}) · s_{t−p}
+        l_t = α(y_t / s_{t−p}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ(y_t / l_t) + (1−γ)·s_{t−p}
+
+    Classic first-cycle initialization: l = mean(cycle 1), b =
+    (mean(cycle 2) − mean(cycle 1))/p, s_j = y_j / mean(cycle 1). The
+    first cycle must cover every phase; needs ≥ 2p+1 points; every
+    value must be STRICTLY POSITIVE (the ratio form is undefined at 0 —
+    enforced, not assumed).
+
+    Same boundary contract as the additive form: the recursion is
+    sequential over a pre-aggregated dimension-sized SERIES and runs at
+    the driver in integer micro-units (level/trend in value-micros,
+    season in RATIO-micros, 1e6 ≡ 1.0) with one half-away round per
+    state update; every division goes through DOUBLE exactly once with
+    explicit float() conversions so the DuckDB oracle replays the
+    identical tree as a recursive CTE.
+
+    Output per post-initialization index: (idx, value, level, trend,
+    season, forecast, error) — forecast made BEFORE seeing y_t.
+    """
+    import math as _math
+
+    def _rha(x: float) -> int:
+        return int(_math.floor(x + 0.5)) if x >= 0 else int(_math.ceil(x - 0.5))
+
+    p = int(period)
+    rows = sorted(
+        (int(r[0]), int(r[1]))
+        for r in df.select(idx_col, val_col).collect()
+        if r[0] is not None and r[1] is not None
+    )
+    if len(rows) < 2 * p + 1:
+        raise ValueError(f"holt_winters_multiplicative needs at least {2 * p + 1} points")
+    if any(y <= 0 for _, y in rows):
+        raise ValueError("multiplicative form needs strictly positive values")
+    phases = [di % p for di, _ in rows[:p]]
+    if len(set(phases)) != p:
+        raise ValueError("first cycle must cover every phase (dense the series first)")
+    sum1 = sum(y for _, y in rows[:p])
+    sum2 = sum(y for _, y in rows[p : 2 * p])
+    # identical trees to the generated oracle: explicit float() at every
+    # int->double edge, every division through DOUBLE exactly once,
+    # micro-quantized half-away
+    m1 = float(sum1) / float(p)
+    m2 = float(sum2) / float(p)
+    l = _rha(m1 * 1e6)
+    b = _rha((m2 - m1) * 1e6 / float(p))
+    s = {di % p: _rha(float(y) * 1e6 / m1) for di, y in rows[:p]}
+    out = []
+    for di, y in rows[p:]:
+        ph = di % p
+        f = _rha(float(l + b) * float(s[ph]) / 1e6)
+        l_new = _rha(
+            alpha * (float(y) * 1e12 / float(s[ph]))
+            + (1.0 - alpha) * float(l + b)
+        )
+        b_new = _rha(beta * float(l_new - l) + (1.0 - beta) * float(b))
+        s[ph] = _rha(
+            gamma * (float(y) * 1e12 / float(l_new))
+            + (1.0 - gamma) * float(s[ph])
+        )
+        out.append(
+            (
+                di,
+                y,
+                round(l_new / 1e6, decimals),
+                round(b_new / 1e6, decimals),
+                round(s[ph] / 1e6, decimals),
+                round(f / 1e6, decimals),
+                round((y * 1_000_000 - f) / 1e6, decimals),
+            )
+        )
+        l, b = l_new, b_new
+    spark = df.sparkSession
+    res = spark.createDataFrame(
+        out,
+        f"{idx_col} bigint, {val_col} bigint, level double, trend double, "
+        "season double, forecast double, error double",
+    )
+    return res.orderBy(idx_col)

@@ -3088,6 +3088,40 @@ def main() -> None:
 
         report("anderson_darling", ad, o1e, o10e)
 
+    if "round11" in ops:
+        # round-11: multiplicative Holt-Winters (series-bounded driver
+        # recursion — only the daily rollup scan grows with the corpus)
+        from morphik_core_spark.operators.analytics import (
+            holt_winters_multiplicative,
+        )
+
+        ev1k = load_table(spark, "events", SF_DIR).select("event_id", "ts")
+
+        def tile_ek(df, name):
+            parts = [
+                df.select(
+                    (F.col("event_id") * 10 + k).alias("event_id"),
+                    (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+                )
+                for k in range(10)
+            ]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        ev10k = tile_ek(ev1k, "r11_ev10")
+
+        def hwm(e):
+            daily = e.groupBy(
+                F.expr("unix_micros(ts) div 86400000000").alias("di")
+            ).agg(F.count(F.lit(1)).alias("y"))
+            mat(holt_winters_multiplicative(daily, "di", "y", period=7))
+
+        report("holt_winters_mult", hwm, ev1k, ev10k)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

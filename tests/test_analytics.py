@@ -2213,3 +2213,61 @@ def test_ad_statistic_matches_bruteforce_and_weights_tails(spark):
     shifted = spark.createDataFrame([(v + 3,) for v in va], "v long")
     big = ad_statistic(a, shifted, "v").collect()[0]
     assert big["ad_stat"] > 5
+
+
+def test_holt_winters_multiplicative_level_proportional_series(spark):
+    """The level-proportional fixture: y_t = (100 + 2t) * season[phase]
+    — the seasonal swing GROWS with the level. The multiplicative
+    forecaster's one-step backtest error must beat the additive form's
+    (whose fixed-amplitude season under-corrects late spikes), the
+    season column must hover around the planted ratios, and the first
+    emitted forecast must replay the classic initialization."""
+    from morphik_core_spark.operators.analytics import (
+        holt_winters_additive,
+        holt_winters_multiplicative,
+    )
+
+    season = [1.5, 0.8, 0.9, 1.0, 1.1, 0.7, 1.0]
+    rows = [(i, round((100 + 2 * i) * season[i % 7])) for i in range(56)]
+    df = spark.createDataFrame(rows, "di long, y long")
+    hm = holt_winters_multiplicative(df, "di", "y", period=7).collect()
+    ha = holt_winters_additive(df, "di", "y", period=7).collect()
+    sse_m = sum(r["error"] ** 2 for r in hm)
+    sse_a = sum(r["error"] ** 2 for r in ha)
+    assert sse_m < sse_a, (sse_m, sse_a)
+    # planted ratio visible: phase-0 season stays near 1.5
+    last_cycle = [r for r in hm if r["di"] >= 42 and r["di"] % 7 == 0]
+    assert all(1.3 < r["season"] < 1.7 for r in last_cycle)
+    # first forecast = (l0 + b0) * s[phase]
+    ys = [y for _, y in rows]
+    m1 = sum(ys[:7]) / 7.0
+    m2 = sum(ys[7:14]) / 7.0
+    expect_f = (m1 + (m2 - m1) / 7.0) * (ys[0] / m1)
+    assert hm[0]["di"] == 7
+    assert abs(hm[0]["forecast"] - expect_f) < 0.01
+
+
+def test_holt_winters_multiplicative_contract(spark):
+    """Positivity is enforced (the ratio form is undefined at 0), and
+    the additive form's length/phase-coverage contract carries over."""
+    import pytest as _pytest
+
+    from morphik_core_spark.operators.analytics import holt_winters_multiplicative
+
+    with _pytest.raises(ValueError, match="positive"):
+        holt_winters_multiplicative(
+            spark.createDataFrame(
+                [(i, 100 if i != 3 else 0) for i in range(20)], "di long, y long"
+            ),
+            "di", "y", period=7,
+        ).collect()
+    with _pytest.raises(ValueError, match="at least"):
+        holt_winters_multiplicative(
+            spark.createDataFrame([(i, 100) for i in range(10)], "di long, y long"),
+            "di", "y", period=7,
+        ).collect()
+    stuck = [(i * 7, 100) for i in range(20)]
+    with _pytest.raises(ValueError, match="phase"):
+        holt_winters_multiplicative(
+            spark.createDataFrame(stuck, "di long, y long"), "di", "y", period=7
+        ).collect()

@@ -220,6 +220,9 @@ SENSITIVE = [
     "cvm_price_drift",
     "wasserstein_price_drift",
     "ad_price_drift",
+    # round-11: driver-side integer-micro multiplicative smoothing
+    # (ratio-micro season, explicit-float division trees)
+    "holt_winters_mult_daily",
 ]
 
 
