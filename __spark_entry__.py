@@ -7613,6 +7613,113 @@ def _q_ad_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ad_k_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-sample Anderson-Darling omnibus drift test (`analytics.
+    ad_k_statistic`, Scholz-Stephens midrank form) across the FIVE
+    order priorities on dollar-grain prices — "did any segment's value
+    distribution drift from the pool?" in one statistic instead of 10
+    pairwise tests. Two series (the jt/mann_kendall injected-drift
+    precedent): RAW (the generator's mild priority/price association —
+    the baseline level) and a +$50k shift injected into priority 1
+    (the statistic must dominate the baseline ~40x). Dense
+    (group x pooled-value) spine on bucketed prefixes; doubled-midrank
+    integer cores; per-term 1e-12 quantization."""
+    from morphik_core_spark.operators.analytics import ad_k_statistic
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    orders = scoped_persist(_t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"
+        ).alias("dollars"),
+    ))
+    raw = ad_k_statistic(orders, "o_orderpriority", "dollars")
+    shifted = ad_k_statistic(
+        orders.select(
+            "o_orderpriority",
+            (
+                F.col("dollars")
+                + F.when(
+                    F.col("o_orderpriority") == "1-URGENT", F.lit(50000)
+                ).otherwise(F.lit(0))
+            ).alias("dollars"),
+        ),
+        "o_orderpriority",
+        "dollars",
+    )
+    return (
+        raw.select(F.lit("raw").alias("series"), "k", "n", "ad_k_stat")
+        .unionByName(
+            shifted.select(
+                F.lit("shifted").alias("series"), "k", "n", "ad_k_stat"
+            )
+        )
+        .orderBy("series")
+    )
+
+
+def _adk_oracle_series_sql(val_expr: str, label: str) -> str:
+    """One ad_k_priority series: the Scholz-Stephens k-sample midrank
+    A2kN over the dense (priority x pooled dollar) spine —
+    `analytics.ad_k_statistic` verbatim (HUGEINT cores mirroring the
+    Spark DECIMAL(38,0) exact integers, identical double trees,
+    per-term ROUND(·1e12) quantization)."""
+    return f"""
+            SELECT '{label}' AS series, * FROM (
+            WITH cells AS (
+                SELECT g, v, COUNT(*) AS c FROM (
+                    SELECT o_orderpriority AS g, {val_expr} AS v FROM orders
+                ) GROUP BY 1, 2
+            ),
+            vals AS (SELECT v, SUM(c) AS lv FROM cells GROUP BY 1),
+            pooled AS (
+                SELECT v, lv,
+                       SUM(lv) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum
+                FROM vals
+            ),
+            grp AS (SELECT g, SUM(c) AS ng FROM cells GROUP BY 1),
+            tot AS (SELECT SUM(lv) AS n FROM vals),
+            spine AS (
+                SELECT grp.g, grp.ng, p.v, p.lv, p.cum, COALESCE(c.c, 0) AS c
+                FROM grp CROSS JOIN pooled p
+                LEFT JOIN cells c ON c.g = grp.g AND c.v = p.v
+            ),
+            cums AS (
+                SELECT *,
+                       SUM(c) OVER (PARTITION BY g ORDER BY v ASC
+                                    ROWS UNBOUNDED PRECEDING) AS cumg
+                FROM spine
+            ),
+            cores AS (
+                SELECT lv, ng, n,
+                       CAST(2 * cum - lv AS HUGEINT)
+                           * (2 * n - (2 * cum - lv))
+                           - CAST(n AS HUGEINT) * lv AS den,
+                       CAST(n AS HUGEINT) * (2 * cumg - c)
+                           - CAST(ng AS HUGEINT) * (2 * cum - lv) AS num
+                FROM cums CROSS JOIN tot
+            ),
+            terms AS (
+                SELECT n,
+                       CASE WHEN den <= 0 THEN CAST(0 AS BIGINT) ELSE
+                       CAST(ROUND(CAST(lv AS DOUBLE) * CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                            / (CAST(ng AS DOUBLE) * CAST(n AS DOUBLE) * CAST(den AS DOUBLE))
+                            * 1e12) AS BIGINT) END AS t
+                FROM cores
+            ),
+            agg AS (
+                SELECT (SELECT COUNT(*) FROM grp) AS k,
+                       MAX(n) AS n, SUM(t) AS s
+                FROM terms
+            )
+            SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+                   ROUND((CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)
+                         * (CAST(s AS DOUBLE) / 1e12), 6) AS ad_k_stat
+            FROM agg
+            )
+    """
+
+
 # The driver's CORRECTNESS gate checks only the FIRST 50 ``queries()``
 # entries, so each round rotates 50 names to the front (the local gate
 # tests/test_oracle_parity.py covers every entry regardless of order).
@@ -7945,6 +8052,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cvm_price_drift": _q_cvm_price_drift,
         "wasserstein_price_drift": _q_wasserstein_price_drift,
         "ad_price_drift": _q_ad_price_drift,
+        "ad_k_priority": _q_ad_k_priority,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -14966,6 +15074,15 @@ def oracle_sql() -> dict[str, str]:
                          * (CAST(sta AS DOUBLE) + CAST(stb AS DOUBLE)) / 1e12, 6) AS ad_stat
             FROM agg
         """,
+        "ad_k_priority": (
+            _adk_oracle_series_sql("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100", "raw")
+            + "\n            UNION ALL\n"
+            + _adk_oracle_series_sql(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 + (CASE WHEN o_orderpriority = '1-URGENT' THEN 50000 ELSE 0 END)",
+                "shifted",
+            )
+            + "\n            ORDER BY series"
+        ),
         "cvm_price_drift": """
             WITH rowsrc AS (
                 SELECT o_orderstatus AS st,

@@ -6307,3 +6307,143 @@ def holt_winters_multiplicative(
         "season double, forecast double, error double",
     )
     return res.orderBy(idx_col)
+
+
+def ad_k_statistic(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    decimals: int = 6,
+    max_groups: int = 1000,
+) -> DataFrame:
+    """k-sample Anderson-Darling statistic (Scholz-Stephens 1987,
+    midrank tie adjustment) — `ad_statistic` generalized from the
+    two-snapshot drift question to "did ANY of these k segments drift
+    from the pooled distribution?" (per-priority price mixes, per-source
+    quality scores): one omnibus answer instead of k(k-1)/2 pairwise
+    tests whose p-values would need correction:
+
+        A2kN = (N-1)/N * SUM_i (1/n_i) * SUM_j
+               l_j/N * (N*M_ij - n_i*B_j)^2 / (B_j(N-B_j) - N*l_j/4)
+
+    with B_j the MIDRANK pooled cumulative and M_ij sample i's midrank
+    cumulative — reduces exactly to the two-sample form at k=2
+    (unit-asserted). Same doubled-midrank trick: 2B and 2M stay
+    integers, so numerator/denominator cores are exact DECIMAL(38,0);
+    per (group, value) the term is one double tree quantized
+    ROUND(·1e12) before the integer cross-cell sum. Non-positive
+    denominators (the all-one-value degenerate) drop. Emits the raw
+    statistic — reject thresholds come from the published null table.
+
+    Scale: one corpus groupBy -> (group, value) cells, PIVOTED to one
+    row per pooled value with k count columns — so a SINGLE bucketed
+    hierarchical prefix pass (the `_pooled_cdf_frame` recipe, one sort)
+    computes the pooled cumulative AND all k per-group cumulatives at
+    once; no dense k x |V| spine, no per-group window stages. Group
+    totals and N are k-bounded driver-side literals (``max_groups``
+    enforces the bounded-k contract — collected anyway, and each group
+    adds a count column). Output ONE row: (k, n, ad_k_stat).
+    """
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    cells = scoped_persist(
+        df.filter(F.col(group_col).isNotNull() & F.col(val_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("_g"),
+            F.col(val_col).cast("bigint").alias("_v"),
+        )
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    gtot = sorted(
+        (r["_g"], int(r["ng"]))
+        for r in cells.groupBy("_g").agg(F.sum("_c").alias("ng")).collect()
+    )
+    k = len(gtot)
+    if k > max_groups:
+        raise ValueError(
+            f"ad_k_statistic saw {k} groups (> max_groups={max_groups}): "
+            f"each group adds a count column and a cumulative — coarsen "
+            f"the grouping or raise max_groups explicitly."
+        )
+    n_total = sum(ng for _, ng in gtot)
+    gidx = {g: i for i, (g, _) in enumerate(gtot)}
+    spark = df.sparkSession
+    idx_map = F.create_map(
+        *[x for g, i in gidx.items() for x in (F.lit(g), F.lit(i))]
+    )
+    # one row per pooled value, k count columns: a single sort computes
+    # every cumulative
+    vals = scoped_persist(
+        cells.withColumn("_gi", idx_map[F.col("_g")])
+        .groupBy("_v")
+        .agg(
+            F.sum("_c").alias("lv"),
+            *[
+                F.sum(F.when(F.col("_gi") == i, F.col("_c")).otherwise(F.lit(0))).alias(f"_c{i}")
+                for i in range(k)
+            ],
+        )
+        .withColumn("_bkt", F.expr("CAST(floor(CAST(_v AS DOUBLE) / 1048576.0) AS BIGINT)"))
+    )
+    count_cols = ["lv"] + [f"_c{i}" for i in range(k)]
+    bsum = vals.groupBy("_bkt").agg(
+        *[F.sum(c).alias(f"_b_{c}") for c in count_cols]
+    )
+    w_b = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bprev = bsum.select(
+        "_bkt",
+        *[
+            (F.sum(f"_b_{c}").over(w_b) - F.col(f"_b_{c}")).alias(f"_before_{c}")
+            for c in count_cols
+        ],
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    frame = vals
+    for c in count_cols:
+        frame = frame.withColumn(f"_in_{c}", F.sum(c).over(w_in))
+    frame = frame.join(bprev, "_bkt").select(
+        "_v",
+        "lv",
+        *[F.col(f"_c{i}") for i in range(k)],
+        (F.col("_before_lv") + F.col("_in_lv")).alias("cum"),
+        *[
+            (F.col(f"_before__c{i}") + F.col(f"_in__c{i}")).alias(f"cum{i}")
+            for i in range(k)
+        ],
+    )
+    # doubled midranks keep every core integral: B2 = 2*cum - lv,
+    # M2_i = 2*cum_i - c_i; den and num exact in DECIMAL(38,0); group
+    # totals and N are exact driver-side literals
+    b2 = "(2 * cum - lv)"
+    den = (
+        f"(CAST({b2} AS DECIMAL(38,0)) * (2 * {n_total} - {b2}) "
+        f"- CAST({n_total} AS DECIMAL(38,0)) * lv)"
+    )
+    terms = []
+    for i, (_, ng) in enumerate(gtot):
+        m2 = f"(2 * cum{i} - _c{i})"
+        num = f"(CAST({n_total} AS DECIMAL(38,0)) * {m2} - CAST({ng} AS DECIMAL(38,0)) * {b2})"
+        terms.append(
+            f"CASE WHEN {den} <= 0 THEN CAST(0 AS BIGINT) ELSE "
+            f"CAST(ROUND(CAST(lv AS DOUBLE) * CAST({num} AS DOUBLE) * CAST({num} AS DOUBLE) "
+            f"/ (CAST({ng} AS DOUBLE) * CAST({n_total} AS DOUBLE) * CAST({den} AS DOUBLE)) "
+            f"* 1e12) AS BIGINT) END"
+        )
+    row_term = " + ".join(f"({t})" for t in terms)
+    out = frame.agg(F.sum(F.expr(row_term)).alias("_s"))
+    a2 = (
+        f"((CAST({n_total} AS DOUBLE) - 1.0) / CAST({n_total} AS DOUBLE) "
+        "* (CAST(_s AS DOUBLE) / 1e12))"
+    )
+    return out.select(
+        F.lit(k).cast("bigint").alias("k"),
+        F.lit(n_total).cast("bigint").alias("n"),
+        F.round(F.expr(a2), decimals).alias("ad_k_stat"),
+    )

@@ -3122,6 +3122,43 @@ def main() -> None:
 
         report("holt_winters_mult", hwm, ev1k, ev10k)
 
+        # k-sample AD: dollar-grain pooled spine (10x rows mostly land
+        # on existing grid cells) x 5 priority groups
+        from morphik_core_spark.operators.analytics import ad_k_statistic
+
+        o1k = load_table(spark, "orders", SF_DIR).select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+
+        def tile_ok(df, name):
+            parts = [
+                df.select(
+                    (F.col("o_orderkey") * 10 + k).alias("o_orderkey"),
+                    "o_orderpriority",
+                    (F.col("o_totalprice") + F.lit(float(k)) * 1.0).alias("o_totalprice"),
+                )
+                for k in range(10)
+            ]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        o10k = tile_ok(o1k, "r11_o10")
+
+        def adk(o):
+            d = o.select(
+                "o_orderpriority",
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"
+                ).alias("dollars"),
+            )
+            mat(ad_k_statistic(d, "o_orderpriority", "dollars"))
+
+        report("ad_k_sample", adk, o1k, o10k)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

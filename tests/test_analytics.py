@@ -2271,3 +2271,94 @@ def test_holt_winters_multiplicative_contract(spark):
         holt_winters_multiplicative(
             spark.createDataFrame(stuck, "di long, y long"), "di", "y", period=7
         ).collect()
+
+
+def test_ad_k_statistic_reduces_to_two_sample(spark):
+    """At k=2 the Scholz-Stephens k-sample statistic IS the two-sample
+    ad_statistic — identical doubled-midrank terms, identical 1e-12
+    quantization, so the outputs must match exactly."""
+    from morphik_core_spark.operators.analytics import ad_k_statistic, ad_statistic
+
+    import hashlib
+
+    rows = []
+    for i in range(300):
+        h = int(hashlib.md5(f"adk:{i}".encode()).hexdigest()[:8], 16)
+        g = "a" if i % 2 == 0 else "b"
+        v = h % 40 + (15 if g == "b" else 0)  # shifted + heavy ties
+        rows.append((g, v))
+    df = spark.createDataFrame(rows, "g string, v long")
+    [two] = ad_statistic(
+        df.filter("g = 'a'").select("v"), df.filter("g = 'b'").select("v"), "v"
+    ).collect()
+    [k2] = ad_k_statistic(df, "g", "v").collect()
+    assert k2["k"] == 2 and k2["n"] == two["n_a"] + two["n_b"]
+    assert k2["ad_k_stat"] == two["ad_stat"]
+
+
+def test_ad_k_statistic_matches_bruteforce_k3(spark):
+    """Three samples with ties: the distributed doubled-midrank terms
+    must reproduce the Scholz-Stephens A2kN midrank formula computed
+    directly; pooled-identical samples sit near 0 and one shifted
+    sample dominates."""
+    from morphik_core_spark.operators.analytics import ad_k_statistic
+
+    samples = {
+        "a": [1, 2, 2, 3, 5, 5, 8],
+        "b": [1, 2, 4, 4, 6, 9],
+        "c": [12, 13, 13, 15, 16, 17, 18, 20],  # far shifted
+    }
+    rows = [(g, v) for g, vs in samples.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    [r] = ad_k_statistic(df, "g", "v").collect()
+
+    from collections import Counter
+
+    pooled = Counter(v for vs in samples.values() for v in vs)
+    values = sorted(pooled)
+    N = sum(pooled.values())
+    a2 = 0.0
+    for g, vs in samples.items():
+        ni = len(vs)
+        cg = Counter(vs)
+        cum = cumg = 0
+        inner = 0.0
+        for v in values:
+            l = pooled[v]
+            cum += l
+            cumg += cg.get(v, 0)
+            B = cum - l / 2.0
+            M = cumg - cg.get(v, 0) / 2.0
+            den = B * (N - B) - N * l / 4.0
+            if den <= 0:
+                continue
+            inner += l / N * (N * M - ni * B) ** 2 / den
+        a2 += inner / ni
+    expect = (N - 1) / N * a2
+    assert r["k"] == 3 and r["n"] == N
+    assert abs(r["ad_k_stat"] - expect) < 1e-6
+
+    # pooled-identical samples: statistic near 0 (can be slightly
+    # negative — the midrank form is not positive-definite under ties)
+    same = [(g, v) for g in ("a", "b", "c") for v in [1, 2, 3, 4, 5, 6]]
+    [r0] = ad_k_statistic(
+        spark.createDataFrame(same, "g string, v long"), "g", "v"
+    ).collect()
+    assert abs(r0["ad_k_stat"]) < 0.5 < r["ad_k_stat"]
+
+
+def test_ad_k_statistic_group_guard(spark):
+    """The bounded-k contract is enforced: each group is a full spine
+    copy, so a high-cardinality group column raises unless the budget
+    is raised explicitly."""
+    import pytest as _pytest
+
+    from morphik_core_spark.operators.analytics import ad_k_statistic
+
+    df = spark.createDataFrame(
+        [(f"g{i}", i % 13) for i in range(60)], "g string, v long"
+    )
+    with _pytest.raises(ValueError, match="max_groups"):
+        ad_k_statistic(df, "g", "v", max_groups=10).collect()
+    [r] = ad_k_statistic(df, "g", "v", max_groups=100).collect()
+    assert r["k"] == 60

@@ -221,8 +221,10 @@ SENSITIVE = [
     "wasserstein_price_drift",
     "ad_price_drift",
     # round-11: driver-side integer-micro multiplicative smoothing
-    # (ratio-micro season, explicit-float division trees)
+    # (ratio-micro season, explicit-float division trees); doubled-
+    # midrank k-sample terms quantized 1e-12 before the cross-cell sum
     "holt_winters_mult_daily",
+    "ad_k_priority",
 ]
 
 
