@@ -44,6 +44,7 @@ __all__ = [
     "quantile_stream",
     "centroid_drift_stream",
     "w1_drift_stream",
+    "psi_drift_stream",
 ]
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -847,11 +848,15 @@ def jsd_stream(
             p = a / na if na > 0 else 0.0
             q = b / nb
             m = (p + q) / 2.0
+            # _round_bigint_like_spark, not Python round(): the batch op
+            # quantizes with Spark's CAST(ROUND(x*1e12) AS BIGINT)
+            # (shortest-repr HALF_UP), where round()'s half-even would
+            # diverge on exact .5 boundaries
             if a > 0:
-                s += round((p / 2.0 * math.log(p / m)) * 1e12)
+                s += _round_bigint_like_spark((p / 2.0 * math.log(p / m)) * 1e12)
             if b > 0:
-                s += round((q / 2.0 * math.log(q / m)) * 1e12)
-        jsd = round(s / 1e12, 8)
+                s += _round_bigint_like_spark((q / 2.0 * math.log(q / m)) * 1e12)
+        jsd = _round_like_spark(s / 1e12, 8)
         items = sorted(hist.items())
         state.update(([k for k, _ in items], [v for _, v in items], seq))
         yield pd.DataFrame(
@@ -1047,17 +1052,33 @@ W1_DRIFT_STATE_SCHEMA = (
 )
 
 
-def _round6_like_spark(x: float) -> float:
-    # Spark's ROUND(d, 6) = BigDecimal.valueOf(d) HALF_UP at 6 dp.
+def _round_bigint_like_spark(x: float) -> int:
+    # Spark's CAST(ROUND(d) AS BIGINT) = BigDecimal.valueOf(d) HALF_UP at
+    # 0 dp; BigDecimal.valueOf goes through Double.toString (shortest
+    # round-tripping decimal repr — Python repr applies the same rule),
+    # NOT the exact binary expansion, and NOT Python round()'s half-even.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
+def _round_like_spark(x: float, decimals: int) -> float:
+    # Spark's ROUND(d, n) = BigDecimal.valueOf(d) HALF_UP at n dp.
     # BigDecimal.valueOf goes through Double.toString — the SHORTEST
     # decimal repr that round-trips — not the exact binary expansion,
     # so Decimal(repr(x)) (Python repr = same shortest-repr rule)
     # replicates it; Decimal(x) would diverge on values whose shortest
-    # repr ends in an exact 5 at the 7th decimal (e.g. 1.5e-06 ->
-    # Spark 0.000002, binary-exact 0.000001).
+    # repr ends in an exact 5 at position n+1 (e.g. at 6 dp, 1.5e-06 ->
+    # Spark 0.000002, binary-exact 0.000001), and Python round()'s
+    # half-even diverges on every exact .5 boundary.
     from decimal import ROUND_HALF_UP, Decimal
 
-    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+    q = Decimal(1).scaleb(-int(decimals))
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _round6_like_spark(x: float) -> float:
+    return _round_like_spark(x, 6)
 
 
 def w1_drift_stream(
@@ -1150,6 +1171,118 @@ def w1_drift_stream(
         update,
         outputStructType=W1_DRIFT_OUTPUT_SCHEMA,
         stateStructType=W1_DRIFT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+PSI_DRIFT_OUTPUT_SCHEMA = (
+    "key string, batch_seq bigint, n_seen bigint, n_bins bigint, "
+    "psi double, drift boolean"
+)
+PSI_DRIFT_STATE_SCHEMA = "bins array<string>, counts array<bigint>, batch_seq bigint"
+
+
+def psi_drift_stream(
+    rows: DataFrame,
+    reference_histograms: dict[str, dict[str, int]],
+    key_col: str = "key",
+    bin_col: str = "bin",
+    alert_threshold: float = 0.2,
+) -> DataFrame:
+    """Streaming Population-Stability-Index monitor — the live twin of
+    `analytics.population_stability`: per key, accumulate the RUNNING
+    bin histogram in state and emit, each micro-batch, the PSI between
+    a fixed REFERENCE (baseline) histogram and the distribution seen so
+    far, plus the same rounded-then-compared drift flag — the
+    between-snapshot drift gate (PSI > 0.2 action) running live instead
+    of nightly.
+
+    ``reference_histograms`` maps key -> {bin: count >= 1} (the
+    baseline side's per-bin counts; zero/negative counts are rejected
+    because the batch twin derives bins from ROWS and cannot represent
+    an observed-but-empty bin). The finalize replays the batch
+    operator's exact per-bin tree over the UNION of reference and seen
+    bins — add-one smoothed p and q as single divisions of exact ints,
+    the (p - q)·ln(p/q) double tree quantized to a 1e-12 integer with
+    Spark's shortest-repr HALF_UP rounding, integer cross-bin sum,
+    ROUND(·, 6) at the edge — so a stream snapshot equals
+    ``population_stability(reference_rows, seen_rows, [key], bin)``
+    bit-for-bit (equivalence test-asserted across a checkpoint
+    restart). Keys without a reference emit NULL psi/n_bins (the
+    drift-monitor family's missing-side convention).
+
+    State per key: the sparse (bin, count) arrays — bounded by the bin
+    vocabulary, mergeable by addition, replay-safe behind the same
+    epoch dedup as the other additive monitors.
+    """
+    if not reference_histograms:
+        raise ValueError("reference_histograms must be non-empty")
+    for k, h in reference_histograms.items():
+        if not h or any(int(c) <= 0 for c in h.values()):
+            raise ValueError(
+                f"reference histogram for key {k!r} must be non-empty with "
+                f"counts >= 1 (the batch twin derives bins from rows)"
+            )
+    refs = {
+        str(k): {str(b): int(c) for b, c in h.items()}
+        for k, h in reference_histograms.items()
+    }
+    thr = float(alert_threshold)
+
+    def _psi(ref: dict[str, int], run: dict[str, int]) -> tuple[int, float]:
+        import math
+
+        bins = sorted(set(ref) | set(run))
+        n_bins = len(bins)
+        ta = sum(ref.values())
+        tb = sum(run.values())
+        s = 0
+        for b in bins:
+            a_c = ref.get(b, 0)
+            b_c = run.get(b, 0)
+            p = float(a_c + 1) / float(ta + n_bins)
+            q = float(b_c + 1) / float(tb + n_bins)
+            s += _round_bigint_like_spark((p - q) * math.log(p / q) * 1e12)
+        return n_bins, _round_like_spark(s / 1e12, 6)
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        bins, counts, seq = state.get if state.exists else ([], [], 0)
+        hist = {str(b): int(c) for b, c in zip(bins, counts)}
+        n = sum(hist.values())
+        for pdf in batches:
+            for b in pdf[bin_col]:
+                if b is None:
+                    continue
+                hist[str(b)] = hist.get(str(b), 0) + 1
+                n += 1
+        seq = int(seq) + 1
+        ref = refs.get(str(key_val))
+        if ref is None:
+            n_bins, psi, drift = None, None, None
+        else:
+            n_bins, psi = _psi(ref, hist)
+            drift = psi > thr
+        items = sorted(hist.items())
+        state.update(([b for b, _ in items], [c for _, c in items], seq))
+        yield pd.DataFrame(
+            [
+                {
+                    "key": str(key_val),
+                    "batch_seq": seq,
+                    "n_seen": n,
+                    "n_bins": n_bins,
+                    "psi": psi,
+                    "drift": drift,
+                }
+            ]
+        )
+
+    return rows.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=PSI_DRIFT_OUTPUT_SCHEMA,
+        stateStructType=PSI_DRIFT_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1092,3 +1092,73 @@ def test_round6_like_spark_matches_spark_round(spark):
     }
     for v in vals:
         assert _round6_like_spark(v) == got[v], (v, _round6_like_spark(v), got[v])
+
+
+def test_psi_drift_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """The streaming PSI monitor's snapshot equals population_stability
+    between the reference rows and the rows seen so far — bit-for-bit
+    via the shared add-one/ln/1e-12-quantize trees — and the running
+    histogram survives a checkpoint restart. Keys without a reference
+    emit NULLs; the drift flag uses the rounded psi like the batch op."""
+    from morphik_core_spark.operators.analytics import population_stability
+    from morphik_core_spark.streaming.stateful import psi_drift_stream
+
+    refs = {
+        "a": {"low": 5, "mid": 3, "high": 2},
+        "b": {"x": 4, "y": 4},
+    }
+    schema = "key string, bin string"
+    batch1 = [("a", "low"), ("a", "low"), ("a", "new"), ("b", "x"), ("c", "zz")]
+    batch2 = [("a", "high"), ("a", "high"), ("a", "high"), ("b", "y"), ("b", "y")]
+
+    src, out, chk = (str(tmp_path / d) for d in ("pin", "pout", "pchk"))
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            psi_drift_stream(stream, refs, alert_threshold=0.2)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+
+    run_once(batch1)
+    run_once(batch2)
+    rows = spark.read.parquet(out).collect()
+    by = {(r["key"], r["batch_seq"]): r for r in rows}
+    assert by[("a", 1)]["n_seen"] == 3 and by[("a", 2)]["n_seen"] == 6  # restart kept state
+    assert by[("c", 1)]["psi"] is None and by[("c", 1)]["n_bins"] is None
+
+    def batch_psi(key, seen):
+        base = spark.createDataFrame(
+            [(key, b) for b, c in refs[key].items() for _ in range(c)], schema
+        )
+        cur = spark.createDataFrame(
+            [(k, b) for k, b in seen if k == key], schema
+        )
+        [r] = population_stability(base, cur, ["key"], "bin").collect()
+        return r["n_bins"], r["psi"], r["drift"]
+
+    for key, seq, seen in [
+        ("a", 1, batch1),
+        ("a", 2, batch1 + batch2),
+        ("b", 2, batch1 + batch2),
+    ]:
+        nb, psi, drift = batch_psi(key, seen)
+        got = by[(key, seq)]
+        assert (got["n_bins"], got["psi"], got["drift"]) == (nb, psi, drift), (key, seq)
+    # the injected 'a' shift (3x high + a novel bin) must trip the gate
+    assert by[("a", 2)]["drift"] is True
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="counts >= 1"):
+        psi_drift_stream(spark.readStream.schema(schema).parquet(src), {"a": {"low": 0}})
