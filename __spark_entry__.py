@@ -7658,6 +7658,177 @@ def _q_ad_k_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bartlett_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett variance-homogeneity test (`analytics.bartlett_test`)
+    over account balances by market segment — completing the spread
+    triple with `levene_acctbal` (mean-centered) and
+    `brown_forsythe_acctbal` (median-centered): Bartlett is the
+    parametric, most-powerful-under-normality form, and DISAGREEMENT
+    with Brown-Forsythe on the same column is itself the non-normality
+    signal. Cents quantization; exact DECIMAL moments; per-group
+    ln-terms quantized 1e-12 before the cross-group sum."""
+    from morphik_core_spark.operators.analytics import bartlett_test
+
+    cust = _t(spark, sf_dir, "customer")
+    return bartlett_test(cust, "c_mktsegment", "c_acctbal", value_scale=100)
+
+
+def _q_mood_median_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test (`analytics.mood_median_test`) on document
+    length by language — the outlier-proof one-bit sibling of
+    `kruskal_doclen`: every document reduces to above/below the pooled
+    lower median, so a handful of pathological giant documents cannot
+    move the statistic at all (they can drag Kruskal's rank sums).
+    Bucketed-prefix grand median; exact 2 x k counts; per-cell
+    (O-E)^2/E quantized 1e-12."""
+    from morphik_core_spark.operators.analytics import mood_median_test
+
+    docs = _t(spark, sf_dir, "documents")
+    return mood_median_test(docs, "lang", "n_chars")
+
+
+def _q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic (`analytics.durbin_watson`) on daily
+    event volume — the single lag-1 serial-correlation number beside
+    `acf_daily`'s correlogram and `ljung_box_daily`'s portmanteau
+    (d ~ 2(1-r1): the tabulated-bounds diagnostic regression practice
+    expects). Exact integer lag-difference numerator; exact-moment
+    denominator; one double division."""
+    from morphik_core_spark.operators.analytics import durbin_watson
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return durbin_watson(daily, "di", "y")
+
+
+def _q_runs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (`analytics.runs_test`) on daily event
+    volume around its lower median — the order-structure randomness
+    check the drift family can't see (a series can pass KS/CvM/W1/AD
+    against any reference and still be blatantly trending: too few
+    sign runs). Median ties drop (standard); exact integer runs/counts;
+    one double z tree."""
+    from morphik_core_spark.operators.analytics import runs_test
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return runs_test(daily, "di", "y")
+
+
+def _q_page_week_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test (`analytics.page_trend_test`): does daily
+    volume trend MONOTONICALLY across the week (blocks = calendar
+    weeks, ordered treatments = day-of-week 0..6) — the ordered-
+    alternative sibling of `friedman_dow_types` exactly as
+    `jt_priority_price` is to `kruskal_doclen`. Two series (the
+    friedman precedent): RAW (whatever weekly shape the generator has)
+    and an injected +10%-per-weekday-index uplift (monotone by
+    construction — z must blow up). Doubled within-block midranks;
+    exact integer L2."""
+    from morphik_core_spark.operators.analytics import page_trend_test
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    events = _t(spark, sf_dir, "events")
+    daily = scoped_persist(
+        events.groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("di")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        .select(
+            F.expr("di div 7").alias("wk"),
+            F.expr("CAST(di % 7 AS STRING)").alias("dow"),
+            "x",
+        )
+    )
+    raw = page_trend_test(daily, "wk", "dow", "x")
+    uplifted = page_trend_test(
+        daily.select(
+            "wk",
+            "dow",
+            F.expr("(x * (10 + CAST(dow AS BIGINT))) div 10").alias("x"),
+        ),
+        "wk",
+        "dow",
+        "x",
+    )
+    return (
+        raw.select(F.lit("raw").alias("series"), "k", "n_blocks", "page_l", "z")
+        .unionByName(
+            uplifted.select(
+                F.lit("uplifted").alias("series"), "k", "n_blocks", "page_l", "z"
+            )
+        )
+        .orderBy("series")
+    )
+
+
+def _page_oracle_series_sql(val_expr: str, label: str) -> str:
+    """One page_week_dow series: Page's L over doubled within-block
+    midranks on the (week x day-of-week) grid — `analytics.
+    page_trend_test` verbatim (friedman's rank machinery + the
+    classical no-tie moments, HUGEINT cores, identical double trees)."""
+    kd, nd = "CAST(k AS DOUBLE)", "CAST(n_blocks AS DOUBLE)"
+    el = f"({nd} * {kd} * ({kd} + 1.0) * ({kd} + 1.0) / 4.0)"
+    vl = (
+        f"({nd} * ({kd} * {kd} * {kd} - {kd}) * ({kd} * {kd} * {kd} - {kd}) "
+        f"/ (144.0 * ({kd} - 1.0)))"
+    )
+    return f"""
+            SELECT '{label}' AS series, * FROM (
+            WITH daily0 AS (
+                SELECT epoch_us(ts) // 86400000000 AS di,
+                       CAST(COUNT(*) AS BIGINT) AS x0
+                FROM events GROUP BY 1
+            ),
+            daily AS (
+                SELECT CAST(di // 7 AS VARCHAR) AS b,
+                       CAST(di % 7 AS VARCHAR) AS t,
+                       CAST({val_expr} AS BIGINT) AS v
+                FROM daily0
+            ),
+            kt AS (SELECT COUNT(DISTINCT t) AS k_total FROM daily),
+            full_blocks AS (
+                SELECT b FROM daily GROUP BY b
+                HAVING COUNT(DISTINCT t) = (SELECT k_total FROM kt)
+            ),
+            rows_ AS (
+                SELECT d.b, d.t, d.v FROM daily d
+                SEMI JOIN full_blocks fb ON d.b = fb.b
+            ),
+            grid AS (SELECT b, v, COUNT(*) AS c FROM rows_ GROUP BY 1, 2),
+            rg AS (
+                SELECT b, v,
+                       2 * COALESCE(SUM(c) OVER (PARTITION BY b ORDER BY v ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + c + 1 AS r2
+                FROM grid
+            ),
+            ranked AS (
+                SELECT r.b, r.t, g.r2 FROM rows_ r
+                JOIN rg g ON r.b = g.b AND r.v = g.v
+            ),
+            per_t AS (SELECT t, SUM(CAST(r2 AS HUGEINT)) AS R2 FROM ranked GROUP BY 1),
+            scored AS (
+                SELECT R2, ROW_NUMBER() OVER (ORDER BY t ASC) AS w FROM per_t
+            ),
+            nb AS (SELECT COUNT(DISTINCT b) AS n_blocks FROM rows_),
+            agg AS (
+                SELECT COUNT(*) AS k, SUM(CAST(w AS HUGEINT) * R2) AS L2
+                FROM scored
+            )
+            SELECT CAST(k AS BIGINT) AS k, CAST(n_blocks AS BIGINT) AS n_blocks,
+                   CAST(L2 AS DOUBLE) / 2.0 AS page_l,
+                   CASE WHEN k < 2 OR n_blocks = 0 OR {vl} <= 0 THEN NULL ELSE
+                   ROUND((CAST(L2 AS DOUBLE) / 2.0 - {el}) / sqrt({vl}), 6) END AS z
+            FROM agg CROSS JOIN nb
+            )
+    """
+
+
 def _adk_oracle_series_sql(val_expr: str, label: str) -> str:
     """One ad_k_priority series: the Scholz-Stephens k-sample midrank
     A2kN over the dense (priority x pooled dollar) spine —
@@ -8053,6 +8224,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_price_drift": _q_wasserstein_price_drift,
         "ad_price_drift": _q_ad_price_drift,
         "ad_k_priority": _q_ad_k_priority,
+        "bartlett_acctbal": _q_bartlett_acctbal,
+        "mood_median_doclen": _q_mood_median_doclen,
+        "durbin_watson_daily": _q_durbin_watson_daily,
+        "runs_daily": _q_runs_daily,
+        "page_week_dow": _q_page_week_dow,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -15074,6 +15250,143 @@ def oracle_sql() -> dict[str, str]:
                          * (CAST(sta AS DOUBLE) + CAST(stb AS DOUBLE)) / 1e12, 6) AS ad_stat
             FROM agg
         """,
+        "bartlett_acctbal": """
+            WITH rowsrc AS (
+                SELECT c_mktsegment AS g,
+                       CAST(ROUND(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) AS v
+                FROM customer
+                WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+            ),
+            per_g AS (
+                SELECT g, COUNT(*) AS n,
+                       SUM(CAST(v AS HUGEINT)) AS s1,
+                       SUM(CAST(v AS HUGEINT) * v) AS s2
+                FROM rowsrc GROUP BY 1 HAVING COUNT(*) >= 2
+            ),
+            terms AS (
+                SELECT n, s2,
+                       CASE WHEN ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) <= 0 THEN CAST(0 AS DECIMAL(38,0)) ELSE
+                       CAST(ROUND(CAST(n - 1 AS DOUBLE) * ln(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))) * 1e12) AS DECIMAL(38,0)) END AS tln,
+                       CASE WHEN ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) <= 0 THEN 0 ELSE 1 END AS ok,
+                       CAST(ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                  / CAST(n AS DOUBLE) * 1e6) AS DECIMAL(38,0)) AS qss,
+                       CAST(ROUND(1e12 / CAST(n - 1 AS DOUBLE)) AS BIGINT) AS qinv
+                FROM per_g
+            ),
+            agg AS (
+                SELECT COUNT(*) AS k, SUM(n) AS n, SUM(s2) AS sums2,
+                       SUM(qss) AS sqss, SUM(tln) AS sln, SUM(qinv) AS sinv,
+                       MIN(ok) AS allok
+                FROM terms
+            )
+            SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+                   CASE WHEN allok = 0 OR k < 2 OR n <= k OR ((CAST(sums2 AS DOUBLE) - CAST(sqss AS DOUBLE) / 1e6) / CAST(n - k AS DOUBLE)) <= 0 THEN NULL ELSE
+                   ROUND((CAST(n - k AS DOUBLE) * ln(((CAST(sums2 AS DOUBLE) - CAST(sqss AS DOUBLE) / 1e6) / CAST(n - k AS DOUBLE))) - CAST(sln AS DOUBLE) / 1e12)
+                         / (1.0 + (CAST(sinv AS DOUBLE) / 1e12 - 1.0 / CAST(n - k AS DOUBLE))
+                            / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6) END AS bartlett_stat
+            FROM agg
+        """,
+        "mood_median_doclen": """
+            WITH rowsrc AS (
+                SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
+                FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+            ),
+            cells AS (SELECT g, v, COUNT(*) AS c FROM rowsrc GROUP BY 1, 2),
+            vals AS (SELECT v, SUM(c) AS lv FROM cells GROUP BY 1),
+            pooled AS (
+                SELECT v, SUM(lv) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum
+                FROM vals
+            ),
+            tot AS (SELECT SUM(c) AS n FROM cells),
+            med AS (
+                SELECT MIN(v) AS gm FROM pooled CROSS JOIN tot
+                WHERE cum >= (n + 1) // 2
+            ),
+            per_g AS (
+                SELECT g, SUM(CASE WHEN v > gm THEN c ELSE 0 END) AS a,
+                       SUM(c) AS tot_g
+                FROM cells CROSS JOIN med GROUP BY 1
+            ),
+            marg AS (
+                SELECT SUM(a) AS ra, SUM(tot_g - a) AS rb, SUM(tot_g) AS n,
+                       COUNT(*) AS k
+                FROM per_g
+            ),
+            agg AS (
+                SELECT MAX(k) AS k, MAX(n) AS n,
+                       MIN(CASE WHEN ra = 0 OR rb = 0 THEN 0 ELSE 1 END) AS ok,
+                       SUM(CASE WHEN ra = 0 OR rb = 0 THEN CAST(0 AS BIGINT) ELSE
+                           (CAST(ROUND((CAST(a AS DOUBLE) - (CAST(tot_g AS DOUBLE) * CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))) * (CAST(a AS DOUBLE) - (CAST(tot_g AS DOUBLE) * CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))) / (CAST(tot_g AS DOUBLE) * CAST(ra AS DOUBLE) / CAST(n AS DOUBLE)) * 1e12) AS BIGINT)
+                            + CAST(ROUND((CAST(tot_g - a AS DOUBLE) - (CAST(tot_g AS DOUBLE) * CAST(rb AS DOUBLE) / CAST(n AS DOUBLE))) * (CAST(tot_g - a AS DOUBLE) - (CAST(tot_g AS DOUBLE) * CAST(rb AS DOUBLE) / CAST(n AS DOUBLE))) / (CAST(tot_g AS DOUBLE) * CAST(rb AS DOUBLE) / CAST(n AS DOUBLE)) * 1e12) AS BIGINT)) END) AS s
+                FROM per_g CROSS JOIN marg
+            )
+            SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+                   (SELECT CAST(gm AS BIGINT) FROM med) AS grand_median,
+                   CASE WHEN ok = 0 THEN NULL ELSE ROUND(CAST(s AS DOUBLE) / 1e12, 6) END AS chi2,
+                   CAST(k - 1 AS BIGINT) AS dof
+            FROM agg
+        """,
+        "durbin_watson_daily": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS y
+                FROM events GROUP BY 1
+            ),
+            l AS (SELECT y, y - LAG(y) OVER (ORDER BY di ASC) AS dd FROM d),
+            agg AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CAST(y AS HUGEINT)) AS s1,
+                       SUM(CAST(y AS HUGEINT) * y) AS s2,
+                       SUM(CAST(dd AS HUGEINT) * dd) AS num
+                FROM l
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CASE WHEN n < 2 OR (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) <= 0 THEN NULL ELSE
+                   ROUND(CAST(num AS DOUBLE) / (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6) END AS dw_stat
+            FROM agg
+        """,
+        "runs_daily": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS y
+                FROM events GROUP BY 1
+            ),
+            tot AS (SELECT COUNT(*) AS nn FROM d),
+            grid AS (SELECT y, COUNT(*) AS c FROM d GROUP BY 1),
+            cumg AS (
+                SELECT y, SUM(c) OVER (ORDER BY y ASC ROWS UNBOUNDED PRECEDING) AS cum
+                FROM grid
+            ),
+            med AS (
+                SELECT MIN(y) AS m FROM cumg CROSS JOIN tot
+                WHERE cum >= (nn + 1) // 2
+            ),
+            s AS (
+                SELECT di, CAST(y > m AS INT) AS sg FROM d CROSS JOIN med
+                WHERE y <> m
+            ),
+            f AS (
+                SELECT sg,
+                       CASE WHEN LAG(sg) OVER (ORDER BY di ASC) IS NULL
+                                 OR LAG(sg) OVER (ORDER BY di ASC) <> sg
+                            THEN 1 ELSE 0 END AS chg
+                FROM s
+            ),
+            agg AS (
+                SELECT COUNT(*) AS n, SUM(sg) AS n_above,
+                       SUM(1 - sg) AS n_below, SUM(chg) AS runs
+                FROM f
+            )
+            SELECT CAST(n AS BIGINT) AS n, CAST(n_above AS BIGINT) AS n_above,
+                   CAST(n_below AS BIGINT) AS n_below, CAST(runs AS BIGINT) AS runs,
+                   CASE WHEN n_above = 0 OR n_below = 0 OR n < 2 OR (2.0 * CAST((CAST(n_above AS HUGEINT) * n_below) AS DOUBLE) * (2.0 * CAST((CAST(n_above AS HUGEINT) * n_below) AS DOUBLE) - CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) <= 0 THEN NULL ELSE
+                   ROUND((CAST(runs AS DOUBLE) - (2.0 * CAST((CAST(n_above AS HUGEINT) * n_below) AS DOUBLE) / CAST(n AS DOUBLE) + 1.0)) / sqrt((2.0 * CAST((CAST(n_above AS HUGEINT) * n_below) AS DOUBLE) * (2.0 * CAST((CAST(n_above AS HUGEINT) * n_below) AS DOUBLE) - CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))), 6) END AS z
+            FROM agg
+        """,
+        "page_week_dow": (
+            _page_oracle_series_sql("x0", "raw")
+            + "\n            UNION ALL\n"
+            + _page_oracle_series_sql("(x0 * (10 + (di % 7))) // 10", "uplifted")
+            + "\n            ORDER BY series"
+        ),
         "ad_k_priority": (
             _adk_oracle_series_sql("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100", "raw")
             + "\n            UNION ALL\n"

@@ -6447,3 +6447,415 @@ def ad_k_statistic(
         F.lit(n_total).cast("bigint").alias("n"),
         F.round(F.expr(a2), decimals).alias("ad_k_stat"),
     )
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    value_scale: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Bartlett's test of variance homogeneity across k groups — the
+    PARAMETRIC member of the spread-comparison family beside
+    `levene_test` (mean-centered) and `brown_forsythe_test`
+    (median-centered): most powerful when the data are near-normal,
+    notoriously sensitive when they are not (which is exactly why all
+    three ship — disagreement between Bartlett and Brown-Forsythe IS
+    the non-normality signal):
+
+        T = [(N-k) ln(s_p^2) - SUM_i (n_i-1) ln(s_i^2)] / C
+        C = 1 + (SUM_i 1/(n_i-1) - 1/(N-k)) / (3(k-1))
+
+    Exactness: values quantize once (``value_scale``); per-group
+    (n_i, S1_i, S2_i) are exact DECIMAL(38,0) moments from ONE
+    combinable groupBy; each group's (n_i-1)ln(s_i^2) and 1/(n_i-1)
+    quantize ROUND(·1e12) to integers and S1_i^2/n_i to ROUND(·1e6)
+    micro-units before the cross-group sums, so aggregation order can
+    never move an ulp; T is one double tree rounded once. Groups with
+    n_i < 2 drop (variance undefined); a zero within-group variance or
+    zero pooled variance emits NULL (ln undefined — the all-one-value
+    degenerate). Compare T to chi-square(k-1) externally.
+
+    Scale: one corpus groupBy -> k-row frame; everything after is
+    group-level arithmetic. Output ONE row: (k, n, bartlett_stat).
+    """
+    qv = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    per_g = (
+        df.filter(F.col(group_col).isNotNull() & F.col(val_col).isNotNull())
+        .select(F.col(group_col).cast("string").alias("_g"), qv.alias("_v"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_v").cast("decimal(38,0)")).alias("_s1"),
+            F.sum(F.expr("CAST(_v AS DECIMAL(38,0)) * _v")).alias("_s2"),
+        )
+        .filter(F.col("_n") >= 2)
+    )
+    s2 = (
+        "((CAST(_s2 AS DOUBLE) - CAST(_s1 AS DOUBLE) * CAST(_s1 AS DOUBLE) "
+        "/ CAST(_n AS DOUBLE)) / CAST(_n - 1 AS DOUBLE))"
+    )
+    terms = per_g.select(
+        "_n",
+        "_s2",
+        F.expr(
+            f"CASE WHEN {s2} <= 0 THEN CAST(0 AS DECIMAL(38,0)) ELSE "
+            f"CAST(ROUND(CAST(_n - 1 AS DOUBLE) * ln({s2}) * 1e12) AS DECIMAL(38,0)) END"
+        ).alias("_tln"),
+        F.expr(f"CASE WHEN {s2} <= 0 THEN 0 ELSE 1 END").alias("_ok"),
+        # DECIMAL(38,0), not BIGINT: segment-level S1^2/N micro-units
+        # exceed int64 already at small scale (cents sums squared)
+        F.expr(
+            "CAST(ROUND(CAST(_s1 AS DOUBLE) * CAST(_s1 AS DOUBLE) "
+            "/ CAST(_n AS DOUBLE) * 1e6) AS DECIMAL(38,0))"
+        ).alias("_qss"),
+        F.expr("CAST(ROUND(1e12 / CAST(_n - 1 AS DOUBLE)) AS BIGINT)").alias("_qinv"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_n").alias("n"),
+        F.sum("_s2").alias("_sums2"),
+        F.sum("_qss").alias("_sqss"),
+        F.sum("_tln").alias("_sln"),
+        F.sum("_qinv").alias("_sinv"),
+        F.min("_ok").alias("_allok"),
+    )
+    sp2 = (
+        "((CAST(_sums2 AS DOUBLE) - CAST(_sqss AS DOUBLE) / 1e6) "
+        "/ CAST(n - k AS DOUBLE))"
+    )
+    stat = (
+        f"CASE WHEN _allok = 0 OR k < 2 OR n <= k OR {sp2} <= 0 THEN NULL ELSE "
+        f"ROUND((CAST(n - k AS DOUBLE) * ln({sp2}) - CAST(_sln AS DOUBLE) / 1e12) "
+        f"/ (1.0 + (CAST(_sinv AS DOUBLE) / 1e12 - 1.0 / CAST(n - k AS DOUBLE)) "
+        f"/ (3.0 * (CAST(k AS DOUBLE) - 1.0))), {int(decimals)}) END"
+    )
+    return agg.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(stat).alias("bartlett_stat"),
+    )
+
+
+def mood_median_test(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Mood's median test: do k groups share a common median — the
+    bluntest, most outlier-proof member of the k-group location family
+    (`kruskal_wallis` uses full rank information; this reduces every
+    observation to one bit, above the pooled median or not, so a
+    handful of corrupt extreme values cannot move it at all):
+
+        chi2 = SUM over the 2 x k table of (O - E)^2 / E,
+        E = row_total * group_total / N,  dof = k - 1
+
+    The pooled GRAND median is the LOWER median (smallest value whose
+    pooled cumulative reaches ceil(N/2)) on the quantized integer grid
+    — deterministic, no interpolation. Cumulative counts come from the
+    bucketed hierarchical prefix (the `_pooled_cdf_frame` recipe, never
+    a global single-task window). Per-cell (O-E)^2/E terms quantize
+    ROUND(·1e12) to integers before the cross-cell sum; chi2 is the
+    integer sum divided once. A degenerate split (everything on one
+    side of the median) emits NULL chi2.
+
+    Output ONE row: (k, n, grand_median, chi2, dof).
+    """
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    cells = scoped_persist(
+        df.filter(F.col(group_col).isNotNull() & F.col(val_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("_g"),
+            F.col(val_col).cast("bigint").alias("_v"),
+        )
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    vals = (
+        cells.groupBy("_v")
+        .agg(F.sum("_c").alias("lv"))
+        .withColumn("_bkt", F.expr("CAST(floor(CAST(_v AS DOUBLE) / 1048576.0) AS BIGINT)"))
+    )
+    bsum = vals.groupBy("_bkt").agg(F.sum("lv").alias("_bl"))
+    w_b = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bprev = bsum.select(
+        "_bkt", (F.sum("_bl").over(w_b) - F.col("_bl")).alias("_before")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pooled = (
+        vals.withColumn("_in", F.sum("lv").over(w_in))
+        .join(bprev, "_bkt")
+        .select("_v", (F.col("_before") + F.col("_in")).alias("cum"))
+    )
+    tot = cells.agg(F.sum("_c").alias("n"))
+    med = (
+        pooled.join(F.broadcast(tot))
+        .filter(F.expr("cum >= (n + 1) div 2"))
+        .agg(F.min("_v").alias("grand_median"))
+    )
+    per_g = (
+        cells.join(F.broadcast(med))
+        .groupBy("_g", "grand_median")
+        .agg(
+            F.sum(F.when(F.col("_v") > F.col("grand_median"), F.col("_c")).otherwise(F.lit(0))).alias("_a"),
+            F.sum("_c").alias("_tot"),
+        )
+    )
+    marg = per_g.groupBy("grand_median").agg(
+        F.sum("_a").alias("_ra"),
+        F.sum(F.col("_tot") - F.col("_a")).alias("_rb"),
+        F.sum("_tot").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    # E_above = tot_g * A / N, E_below = tot_g * B / N; both rows' terms
+    # quantized per group
+    ea = "(CAST(_tot AS DOUBLE) * CAST(_ra AS DOUBLE) / CAST(n AS DOUBLE))"
+    eb = "(CAST(_tot AS DOUBLE) * CAST(_rb AS DOUBLE) / CAST(n AS DOUBLE))"
+    term = (
+        f"(CAST(ROUND((CAST(_a AS DOUBLE) - {ea}) * (CAST(_a AS DOUBLE) - {ea}) / {ea} * 1e12) AS BIGINT) "
+        f"+ CAST(ROUND((CAST(_tot - _a AS DOUBLE) - {eb}) * (CAST(_tot - _a AS DOUBLE) - {eb}) / {eb} * 1e12) AS BIGINT))"
+    )
+    out = (
+        per_g.join(F.broadcast(marg), "grand_median")
+        .agg(
+            F.max("k").alias("k"),
+            F.max("n").alias("n"),
+            F.max("grand_median").alias("grand_median"),
+            F.min(F.expr("CASE WHEN _ra = 0 OR _rb = 0 THEN 0 ELSE 1 END")).alias("_ok"),
+            F.sum(F.expr(f"CASE WHEN _ra = 0 OR _rb = 0 THEN CAST(0 AS BIGINT) ELSE {term} END")).alias("_s"),
+        )
+    )
+    return out.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("grand_median").cast("bigint").alias("grand_median"),
+        F.expr(
+            f"CASE WHEN _ok = 0 THEN NULL ELSE "
+            f"ROUND(CAST(_s AS DOUBLE) / 1e12, {int(decimals)}) END"
+        ).alias("chi2"),
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    idx_col: str,
+    val_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Durbin-Watson statistic over a pre-aggregated series — the
+    lag-1 autocorrelation diagnostic in its classic residual form
+    (d ~ 2(1 - r1): d near 2 = no serial correlation, near 0 = strong
+    positive, near 4 = strong negative), computed on the series'
+    deviations from its own mean:
+
+        d = SUM_t (y_t - y_{t-1})^2 / SUM_t (y_t - ybar)^2
+
+    Complements `acf_daily`'s full correlogram and `ljung_box`'s
+    portmanteau with the single tabulated-bounds number regression
+    practice expects. The numerator is an EXACT integer (lag
+    differences of quantized values, squared in DECIMAL(38,0)); the
+    denominator is the exact-moment tree S2 - S1^2/N with one double
+    division; d is one double tree rounded once.
+
+    Series contract (the acf/holt boundary class): input is the
+    PRE-AGGREGATED dimension-sized series, so the one ordered window
+    runs on day-grain rows, never the corpus. Output ONE row:
+    (n, dw_stat) — NULL when n < 2 or the series is constant.
+    """
+    base = df.select(
+        F.col(idx_col).cast("bigint").alias("_i"),
+        F.col(val_col).cast("bigint").alias("_y"),
+    ).filter(F.col("_i").isNotNull() & F.col("_y").isNotNull())
+    w = Window.orderBy(F.col("_i").asc())
+    diffed = base.withColumn("_d", F.col("_y") - F.lag("_y").over(w))
+    agg = diffed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_y").cast("decimal(38,0)")).alias("_s1"),
+        F.sum(F.expr("CAST(_y AS DECIMAL(38,0)) * _y")).alias("_s2"),
+        F.sum(F.expr("CAST(_d AS DECIMAL(38,0)) * _d")).alias("_num"),
+    )
+    den = (
+        "(CAST(_s2 AS DOUBLE) - CAST(_s1 AS DOUBLE) * CAST(_s1 AS DOUBLE) "
+        "/ CAST(n AS DOUBLE))"
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            f"CASE WHEN n < 2 OR {den} <= 0 THEN NULL ELSE "
+            f"ROUND(CAST(_num AS DOUBLE) / {den}, {int(decimals)}) END"
+        ).alias("dw_stat"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    idx_col: str,
+    val_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of a series around its
+    median — the order-structure check the distributional tests can't
+    see (a series can pass every drift test and still be blatantly
+    trending or oscillating; too FEW runs = clustering/trend, too MANY
+    = alternation):
+
+        z = (R - mu) / sigma,   mu = 2 n1 n2 / N + 1,
+        sigma^2 = 2 n1 n2 (2 n1 n2 - N) / (N^2 (N - 1))
+
+    with R the number of sign runs around the LOWER median (same
+    deterministic convention as `mood_median_test`), n1/n2 the
+    above/below counts; values EQUAL to the median drop (the standard
+    treatment). R and n1/n2 are exact integers from one ordered pass;
+    z is one double tree rounded once, no continuity correction
+    (documented, matches the large-sample form).
+
+    Series contract as `durbin_watson`: pre-aggregated series rows
+    only. Output ONE row: (n, n_above, n_below, runs, z) — z NULL when
+    either side is empty.
+    """
+    base = df.select(
+        F.col(idx_col).cast("bigint").alias("_i"),
+        F.col(val_col).cast("bigint").alias("_y"),
+    ).filter(F.col("_i").isNotNull() & F.col("_y").isNotNull())
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    base = scoped_persist(base)
+    med = (
+        base.groupBy("_y")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_cum",
+            F.sum("_c").over(
+                Window.orderBy(F.col("_y").asc()).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .join(F.broadcast(base.agg(F.count(F.lit(1)).alias("_n"))))
+        .filter(F.expr("_cum >= (_n + 1) div 2"))
+        .agg(F.min("_y").alias("_med"))
+    )
+    signs = (
+        base.join(F.broadcast(med))
+        .filter(F.col("_y") != F.col("_med"))
+        .select("_i", (F.col("_y") > F.col("_med")).cast("int").alias("_s"))
+    )
+    w = Window.orderBy(F.col("_i").asc())
+    flagged = signs.withColumn(
+        "_chg",
+        F.when(F.lag("_s").over(w).isNull() | (F.lag("_s").over(w) != F.col("_s")), 1).otherwise(0),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_s").alias("n_above"),
+        F.sum(F.expr("1 - _s")).alias("n_below"),
+        F.sum("_chg").alias("runs"),
+    )
+    n12 = "(CAST(n_above AS DECIMAL(38,0)) * n_below)"
+    mu = f"(2.0 * CAST({n12} AS DOUBLE) / CAST(n AS DOUBLE) + 1.0)"
+    var = (
+        f"(2.0 * CAST({n12} AS DOUBLE) * (2.0 * CAST({n12} AS DOUBLE) - CAST(n AS DOUBLE)) "
+        f"/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))"
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_above").cast("bigint").alias("n_above"),
+        F.col("n_below").cast("bigint").alias("n_below"),
+        F.col("runs").cast("bigint").alias("runs"),
+        F.expr(
+            f"CASE WHEN n_above = 0 OR n_below = 0 OR n < 2 OR {var} <= 0 THEN NULL ELSE "
+            f"ROUND((CAST(runs AS DOUBLE) - {mu}) / sqrt({var}), {int(decimals)}) END"
+        ).alias("z"),
+    )
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    val_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Page's L trend test: do k ORDERED treatments trend monotonically
+    when measured within each of n blocks — the ordered-alternative
+    sibling of `friedman_test` exactly as `jonckheere_terpstra` is the
+    ordered sibling of `kruskal_wallis` (the omnibus Friedman dilutes a
+    steady across-treatment drift over k-1 degrees of freedom; Page
+    concentrates it on the trend axis). Treatments score w_j = 1..k by
+    natural sort order (encode a custom order in the key):
+
+        L = SUM_j w_j R_j,   z = (L - E[L]) / sqrt(Var[L])
+        E[L] = n k (k+1)^2 / 4,   Var[L] = n (k^3 - k)^2 / (144 (k-1))
+
+    Shares `friedman_test`'s machinery verbatim: complete blocks only,
+    DOUBLED average tie ranks within each block so L2 = 2L is an exact
+    DECIMAL(38,0) integer; z is one double tree over exact integers
+    rounded once. The classical moments assume untied ranks — with
+    midranks this is the standard practical form (documented; the tie
+    effect on Var[L] is second-order), unlike Friedman where the
+    Conover correction is exact.
+
+    Output ONE row: (k, n_blocks, page_l, z).
+    """
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    base = df.select(
+        F.col(block_col).cast("string").alias("_b"),
+        F.col(treatment_col).cast("string").alias("_t"),
+        F.col(val_col).cast("bigint").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    k_total = base.select("_t").distinct().count()  # bounded: treatments
+    full_blocks = (
+        base.groupBy("_b")
+        .agg(F.count_distinct("_t").alias("_kt"))
+        .filter(F.col("_kt") == k_total)
+        .select("_b")
+    )
+    rows = scoped_persist(base.join(F.broadcast(full_blocks), "_b", "left_semi"))
+    w_cum = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = rows.groupBy("_b", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    ranked_grid = grid.withColumn(
+        "_r2",
+        2 * F.coalesce(F.sum("_c").over(w_cum), F.lit(0)) + F.col("_c") + 1,
+    )
+    ranked = rows.join(ranked_grid, ["_b", "_v"])
+    per_t = ranked.groupBy("_t").agg(
+        F.sum(F.col("_r2").cast("decimal(38,0)")).alias("_R2"),
+    )
+    w_rank = Window.orderBy(F.col("_t").asc())
+    scored = per_t.withColumn("_w", F.row_number().over(w_rank).cast("bigint"))
+    nb = rows.agg(F.count_distinct("_b").alias("n_blocks"))
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.expr("CAST(_w AS DECIMAL(38,0)) * _R2")).alias("_L2"),
+    ).join(F.broadcast(nb))
+    kd, nd = "CAST(k AS DOUBLE)", "CAST(n_blocks AS DOUBLE)"
+    el = f"({nd} * {kd} * ({kd} + 1.0) * ({kd} + 1.0) / 4.0)"
+    vl = (
+        f"({nd} * ({kd} * {kd} * {kd} - {kd}) * ({kd} * {kd} * {kd} - {kd}) "
+        f"/ (144.0 * ({kd} - 1.0)))"
+    )
+    return agg.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.expr("CAST(_L2 AS DOUBLE) / 2.0").alias("page_l"),
+        F.expr(
+            f"CASE WHEN k < 2 OR n_blocks = 0 OR {vl} <= 0 THEN NULL ELSE "
+            f"ROUND((CAST(_L2 AS DOUBLE) / 2.0 - {el}) / sqrt({vl}), {int(decimals)}) END"
+        ).alias("z"),
+    )

@@ -3159,6 +3159,78 @@ def main() -> None:
 
         report("ad_k_sample", adk, o1k, o10k)
 
+        # spread/location/trend wave: bartlett (k-row moments), mood
+        # (bucketed median + 2xk counts), DW/runs (day-grid series),
+        # page (week x dow blocked ranks)
+        from morphik_core_spark.operators.analytics import (
+            bartlett_test,
+            durbin_watson,
+            mood_median_test,
+            page_trend_test,
+            runs_test,
+        )
+
+        c1k = load_table(spark, "customer", SF_DIR).select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+
+        def tile_ck(df, name):
+            parts = [
+                df.select(
+                    (F.col("c_custkey") * 10 + k).alias("c_custkey"),
+                    "c_mktsegment",
+                    (F.col("c_acctbal") + F.lit(float(k)) * 0.01).alias("c_acctbal"),
+                )
+                for k in range(10)
+            ]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        c10k = tile_ck(c1k, "r11_c10")
+        report(
+            "bartlett",
+            lambda c: mat(bartlett_test(c, "c_mktsegment", "c_acctbal", value_scale=100)),
+            c1k, c10k,
+        )
+
+        report(
+            "mood_median",
+            lambda d: mat(mood_median_test(d, "lang", "n_chars")),
+            docs1, docs10,
+        )
+
+        def dw(e):
+            daily = e.groupBy(
+                F.expr("unix_micros(ts) div 86400000000").alias("di")
+            ).agg(F.count(F.lit(1)).alias("y"))
+            mat(durbin_watson(daily, "di", "y"))
+
+        report("durbin_watson", dw, ev1k, ev10k)
+
+        def runs(e):
+            daily = e.groupBy(
+                F.expr("unix_micros(ts) div 86400000000").alias("di")
+            ).agg(F.count(F.lit(1)).alias("y"))
+            mat(runs_test(daily, "di", "y"))
+
+        report("runs_test", runs, ev1k, ev10k)
+
+        def page(e):
+            daily = e.groupBy(
+                F.expr("unix_micros(ts) div 86400000000").alias("di")
+            ).agg(F.count(F.lit(1)).alias("x")).select(
+                F.expr("di div 7").alias("wk"),
+                F.expr("CAST(di % 7 AS STRING)").alias("dow"),
+                "x",
+            )
+            mat(page_trend_test(daily, "wk", "dow", "x"))
+
+        report("page_trend", page, ev1k, ev10k)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

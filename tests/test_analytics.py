@@ -2362,3 +2362,192 @@ def test_ad_k_statistic_group_guard(spark):
         ad_k_statistic(df, "g", "v", max_groups=10).collect()
     [r] = ad_k_statistic(df, "g", "v", max_groups=100).collect()
     assert r["k"] == 60
+
+
+def test_bartlett_matches_closed_form(spark):
+    """Small fixture vs the textbook formula computed directly; an
+    inflated-variance group must blow the statistic up; a constant
+    group (zero variance) makes ln undefined -> NULL."""
+    import math
+
+    from morphik_core_spark.operators.analytics import bartlett_test
+
+    samples = {
+        "a": [10, 12, 11, 13, 9, 11],
+        "b": [20, 22, 21, 19, 23],
+        "c": [5, 30, 1, 40, 12, 28, 3],  # much wider
+    }
+    rows = [(g, v) for g, vs in samples.items() for v in vs]
+    [r] = bartlett_test(
+        spark.createDataFrame(rows, "g string, v long"), "g", "v"
+    ).collect()
+    k = len(samples)
+    N = sum(len(vs) for vs in samples.values())
+    sp_num = 0.0
+    sum_ln = 0.0
+    sum_inv = 0.0
+    for vs in samples.values():
+        n = len(vs)
+        m = sum(vs) / n
+        s2 = sum((x - m) ** 2 for x in vs) / (n - 1)
+        sp_num += (n - 1) * s2
+        sum_ln += (n - 1) * math.log(s2)
+        sum_inv += 1.0 / (n - 1)
+    sp2 = sp_num / (N - k)
+    c = 1.0 + (sum_inv - 1.0 / (N - k)) / (3.0 * (k - 1))
+    expect = ((N - k) * math.log(sp2) - sum_ln) / c
+    assert r["k"] == k and r["n"] == N
+    assert abs(r["bartlett_stat"] - expect) < 1e-5
+
+    # equal-spread groups: small statistic
+    eq = [(g, v + off) for g, off in [("a", 0), ("b", 100)] for v in [1, 2, 3, 4, 5]]
+    [r0] = bartlett_test(
+        spark.createDataFrame(eq, "g string, v long"), "g", "v"
+    ).collect()
+    assert abs(r0["bartlett_stat"]) < 0.01 < r["bartlett_stat"]
+
+    const = [("a", 5), ("a", 5), ("a", 5), ("b", 1), ("b", 2), ("b", 3)]
+    [rc] = bartlett_test(
+        spark.createDataFrame(const, "g string, v long"), "g", "v"
+    ).collect()
+    assert rc["bartlett_stat"] is None
+
+
+def test_mood_median_hand_computed(spark):
+    """2 x k table chi-square vs the hand-built expectation; the lower-
+    median convention is pinned; a shifted group drives chi2 up."""
+    from morphik_core_spark.operators.analytics import mood_median_test
+
+    samples = {"a": [1, 2, 3, 4], "b": [3, 4, 5, 6], "c": [6, 7, 8, 9]}
+    rows = [(g, v) for g, vs in samples.items() for v in vs]
+    [r] = mood_median_test(
+        spark.createDataFrame(rows, "g string, v long"), "g", "v"
+    ).collect()
+    pooled = sorted(v for vs in samples.values() for v in vs)
+    N = len(pooled)
+    med = pooled[(N + 1) // 2 - 1]  # lower median
+    assert r["grand_median"] == med and r["n"] == N and r["dof"] == 2
+    A = sum(1 for vs in samples.values() for v in vs if v > med)
+    B = N - A
+    chi2 = 0.0
+    import math
+    s = 0
+    for vs in samples.values():
+        a = sum(1 for v in vs if v > med)
+        tot = len(vs)
+        ea = tot * A / N
+        eb = tot * B / N
+        s += round((a - ea) ** 2 / ea * 1e12) + round(((tot - a) - eb) ** 2 / eb * 1e12)
+    assert abs(r["chi2"] - s / 1e12) < 1e-6
+
+    # identical groups: chi2 ~ 0
+    same = [(g, v) for g in ("a", "b") for v in [1, 2, 3, 4, 5, 6]]
+    [r0] = mood_median_test(
+        spark.createDataFrame(same, "g string, v long"), "g", "v"
+    ).collect()
+    assert r0["chi2"] < 0.01
+
+
+def test_durbin_watson_regimes(spark):
+    """Hand-computed d on a tiny series; a smooth trend pushes d toward
+    0, strict alternation toward 4, and a constant series is NULL."""
+    from morphik_core_spark.operators.analytics import durbin_watson
+
+    ys = [3, 5, 2, 8, 6]
+    df = spark.createDataFrame(list(enumerate(ys)), "i long, y long")
+    [r] = durbin_watson(df, "i", "y").collect()
+    m = sum(ys) / len(ys)
+    expect = sum((b - a) ** 2 for a, b in zip(ys, ys[1:])) / sum((y - m) ** 2 for y in ys)
+    assert r["n"] == 5 and abs(r["dw_stat"] - expect) < 1e-6
+
+    trend = spark.createDataFrame([(i, i) for i in range(50)], "i long, y long")
+    [rt] = durbin_watson(trend, "i", "y").collect()
+    assert rt["dw_stat"] < 0.1
+    alt = spark.createDataFrame([(i, i % 2) for i in range(50)], "i long, y long")
+    [ra] = durbin_watson(alt, "i", "y").collect()
+    assert ra["dw_stat"] > 3.5
+    const = spark.createDataFrame([(i, 7) for i in range(10)], "i long, y long")
+    [rc] = durbin_watson(const, "i", "y").collect()
+    assert rc["dw_stat"] is None
+
+
+def test_runs_test_hand_computed(spark):
+    """Known sign sequence: counts and z pinned by hand; a block trend
+    has too FEW runs (z << 0), strict alternation too MANY (z >> 0);
+    median ties drop before the runs are counted."""
+    import math
+
+    from morphik_core_spark.operators.analytics import runs_test
+
+    # values around median 5: signs + + - - + (5s drop)
+    ys = [9, 8, 5, 1, 2, 5, 7]
+    df = spark.createDataFrame(list(enumerate(ys)), "i long, y long")
+    [r] = runs_test(df, "i", "y").collect()
+    assert (r["n"], r["n_above"], r["n_below"], r["runs"]) == (5, 3, 2, 3)
+    n12 = 3 * 2
+    mu = 2.0 * n12 / 5 + 1.0
+    var = 2.0 * n12 * (2.0 * n12 - 5) / (25.0 * 4.0)
+    assert abs(r["z"] - (3 - mu) / math.sqrt(var)) < 1e-6
+
+    # distinct values so only the single median row drops: 1..25 then
+    # 101..125 -> lower median 25 drops, leaving one below-run (1..24)
+    # and one above-run (101..125)
+    block = spark.createDataFrame(
+        [(i, i + 1 if i < 25 else i + 76) for i in range(50)], "i long, y long"
+    )
+    [rb] = runs_test(block, "i", "y").collect()
+    assert rb["n"] == 49 and rb["runs"] == 2 and rb["z"] < -6
+    alt = spark.createDataFrame(
+        [(i, i % 2 * 100 + i) for i in range(50)], "i long, y long"
+    )
+    [ra] = runs_test(alt, "i", "y").collect()
+    assert ra["runs"] >= 48 and ra["z"] > 6
+
+
+def test_page_trend_matches_bruteforce(spark):
+    """Midrank L against a direct computation on a small blocked
+    fixture; a planted monotone treatment trend gives z >> 0 while
+    shuffled treatment labels sit near 0."""
+    import math
+
+    from morphik_core_spark.operators.analytics import page_trend_test
+
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    # treatments t1 < t2 < t3 with a planted increasing effect
+    rows = []
+    for b in range(12):
+        for j, t in enumerate(["t1", "t2", "t3"]):
+            rows.append((f"b{b}", t, 10 + 5 * j + h(f"{b}:{t}") % 4))
+    df = spark.createDataFrame(rows, "b string, t string, v long")
+    [r] = page_trend_test(df, "b", "t", "v").collect()
+
+    # brute force with midranks
+    from collections import defaultdict
+
+    blocks = defaultdict(dict)
+    for b, t, v in rows:
+        blocks[b][t] = v
+    L = 0.0
+    for b, tv in blocks.items():
+        vals = sorted(tv.values())
+        for j, t in enumerate(sorted(tv)):
+            v = tv[t]
+            rank = (sum(1 for x in vals if x < v) + (sum(1 for x in vals if x <= v) + 1)) / 2.0
+            L += (j + 1) * rank
+    n, k = len(blocks), 3
+    el = n * k * (k + 1) ** 2 / 4.0
+    vl = n * (k**3 - k) ** 2 / (144.0 * (k - 1))
+    assert r["k"] == 3 and r["n_blocks"] == 12
+    assert abs(r["page_l"] - L) < 1e-9
+    assert abs(r["z"] - (L - el) / math.sqrt(vl)) < 1e-6
+    assert r["z"] > 4
+
+    flat = [(b, t, h(f"f:{b}:{t}") % 20) for b, t, _ in rows]
+    [r0] = page_trend_test(
+        spark.createDataFrame(flat, "b string, t string, v long"), "b", "t", "v"
+    ).collect()
+    assert abs(r0["z"]) < 2

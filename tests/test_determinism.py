@@ -225,6 +225,14 @@ SENSITIVE = [
     # midrank k-sample terms quantized 1e-12 before the cross-cell sum
     "holt_winters_mult_daily",
     "ad_k_priority",
+    # 1e-12-quantized ln/chi-square/term sums over exact DECIMAL
+    # moments; exact integer runs/lag cores with one double z/d tree;
+    # doubled within-block midranks feeding integer L2
+    "bartlett_acctbal",
+    "mood_median_doclen",
+    "durbin_watson_daily",
+    "runs_daily",
+    "page_week_dow",
 ]
 
 
