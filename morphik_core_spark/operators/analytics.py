@@ -6346,18 +6346,15 @@ def ad_k_statistic(
     """
     from morphik_core_spark.plans.cache import scoped_persist
 
-    cells = scoped_persist(
-        df.filter(F.col(group_col).isNotNull() & F.col(val_col).isNotNull())
-        .select(
-            F.col(group_col).cast("string").alias("_g"),
-            F.col(val_col).cast("bigint").alias("_v"),
-        )
-        .groupBy("_g", "_v")
-        .agg(F.count(F.lit(1)).alias("_c"))
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(val_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(val_col).cast("bigint").alias("_v"),
     )
     gtot = sorted(
         (r["_g"], int(r["ng"]))
-        for r in cells.groupBy("_g").agg(F.sum("_c").alias("ng")).collect()
+        for r in base.groupBy("_g").agg(F.count(F.lit(1)).alias("ng")).collect()
     )
     k = len(gtot)
     if k > max_groups:
@@ -6367,21 +6364,17 @@ def ad_k_statistic(
             f"the grouping or raise max_groups explicitly."
         )
     n_total = sum(ng for _, ng in gtot)
-    gidx = {g: i for i, (g, _) in enumerate(gtot)}
-    spark = df.sparkSession
-    idx_map = F.create_map(
-        *[x for g, i in gidx.items() for x in (F.lit(g), F.lit(i))]
-    )
-    # one row per pooled value, k count columns: a single sort computes
-    # every cumulative
+    # one row per pooled value, k count columns, built in ONE shuffle
+    # straight off the rows (an intermediate (group, value) cell stage
+    # measured pure overhead — near-unique values mean no reduction):
+    # a single sort then computes every cumulative
     vals = scoped_persist(
-        cells.withColumn("_gi", idx_map[F.col("_g")])
-        .groupBy("_v")
+        base.groupBy("_v")
         .agg(
-            F.sum("_c").alias("lv"),
+            F.count(F.lit(1)).alias("lv"),
             *[
-                F.sum(F.when(F.col("_gi") == i, F.col("_c")).otherwise(F.lit(0))).alias(f"_c{i}")
-                for i in range(k)
+                F.sum(F.when(F.col("_g") == g, 1).otherwise(F.lit(0))).alias(f"_c{i}")
+                for i, (g, _) in enumerate(gtot)
             ],
         )
         .withColumn("_bkt", F.expr("CAST(floor(CAST(_v AS DOUBLE) / 1048576.0) AS BIGINT)"))
