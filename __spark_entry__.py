@@ -7766,6 +7766,183 @@ def _q_page_week_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wilcoxon_wow_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (`analytics.wilcoxon_signed_rank`) on
+    week-over-week daily volume: pairs = (day t, day t-7) matched BY
+    day index (an explicit di = di+7 self-join, not a row-order lag —
+    missing days must not mis-pair), d = this week minus same weekday
+    last week. The paired member of the rank family: seasonal weekday
+    shape cancels inside each pair, so a genuine level shift shows as
+    sign-rank asymmetry. Doubled |d| midranks, tie-corrected variance,
+    zeros drop."""
+    from morphik_core_spark.operators.analytics import wilcoxon_signed_rank
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    events = _t(spark, sf_dir, "events")
+    daily = scoped_persist(
+        events.groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("di")
+        ).agg(F.count(F.lit(1)).alias("y"))
+    )
+    cur = daily.select(F.col("di").alias("di"), F.col("y").alias("x"))
+    prev = daily.select((F.col("di") + 7).alias("di"), F.col("y").alias("yprev"))
+    pairs = cur.join(prev, "di")
+    return wilcoxon_signed_rank(pairs, "x", "yprev")
+
+
+def _q_welch_anova_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch heteroscedastic ANOVA (`analytics.welch_anova`) on account
+    balances by market segment — the location test that stays honest
+    exactly when `bartlett_acctbal`/`brown_forsythe_acctbal` reject
+    equal variances (classic pooled ANOVA is anti-conservative there).
+    Cents quantization; micro-quantized precision weights; exact
+    DECIMAL moments."""
+    from morphik_core_spark.operators.analytics import welch_anova
+
+    cust = _t(spark, sf_dir, "customer")
+    return welch_anova(cust, "c_mktsegment", "c_acctbal", value_scale=100)
+
+
+def _q_dagostino_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino-Pearson K^2 normality gate (`analytics.dagostino_k2`)
+    on two deliberately different columns: daily event volume (Poisson
+    with a large mean — the near-normal case the parametric path
+    accepts) and document length (skewed — Z1 must light up). The gate
+    that decides parametric vs rank path for every other test in the
+    family. One exact-DECIMAL moment pass per series; the Z1/Z2/K2
+    double tree is generated once and shared verbatim with the DuckDB
+    oracle."""
+    from morphik_core_spark.operators.analytics import dagostino_k2
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    docs = _t(spark, sf_dir, "documents")
+    a = dagostino_k2(daily, "y")
+    b = dagostino_k2(docs, "n_chars")
+    return (
+        a.select(F.lit("daily_volume").alias("series"), "n", "skew_z", "kurt_z", "k2_stat")
+        .unionByName(
+            b.select(F.lit("doc_length").alias("series"), "n", "skew_z", "kurt_z", "k2_stat")
+        )
+        .orderBy("series")
+    )
+
+
+def _q_hl_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift estimator (`analytics.hodges_lehmann_shift`)
+    between returned and non-returned line-item quantities — the SIZE
+    companion to the rank/drift detectors on a genuinely bounded value
+    domain (quantity 1..50, so the difference grid is at most 50 x 50
+    — the enforced-contract case, unlike near-unique money). Two
+    series: RAW (the generator draws quantity independent of return
+    flag — shift 0) and an injected +7 shift (the estimator must
+    report exactly 7 on top of raw)."""
+    from morphik_core_spark.operators.analytics import hodges_lehmann_shift
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    li = scoped_persist(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+        )
+    )
+    r_side = li.filter(F.col("l_returnflag") == "R").select("q")
+    n_side = li.filter(F.col("l_returnflag") == "N").select("q")
+    raw = hodges_lehmann_shift(r_side, n_side, "q")
+    shifted = hodges_lehmann_shift(
+        r_side.select((F.col("q") + 7).alias("q")), n_side, "q"
+    )
+    return (
+        raw.select(F.lit("raw").alias("series"), "n_a", "n_b", "hl_shift")
+        .unionByName(
+            shifted.select(F.lit("shifted").alias("series"), "n_a", "n_b", "hl_shift")
+        )
+        .orderBy("series")
+    )
+
+
+def _hl_oracle_series_sql(a_val: str, label: str) -> str:
+    """One hl_quantity_shift series: weighted median of the bounded
+    difference grid — `analytics.hodges_lehmann_shift` verbatim
+    (HUGEINT pair weights, lower/upper middle averaged)."""
+    return f"""
+            SELECT '{label}' AS series, * FROM (
+            WITH ga AS (
+                SELECT {a_val} AS x, COUNT(*) AS ca FROM lineitem
+                WHERE l_returnflag = 'R' GROUP BY 1
+            ),
+            gb AS (
+                SELECT CAST(l_quantity AS BIGINT) AS y, COUNT(*) AS cb FROM lineitem
+                WHERE l_returnflag = 'N' GROUP BY 1
+            ),
+            diffs AS (
+                SELECT x - y AS d, SUM(CAST(ca AS HUGEINT) * cb) AS w
+                FROM ga CROSS JOIN gb GROUP BY 1
+            ),
+            cums AS (
+                SELECT d, SUM(w) OVER (ORDER BY d ASC ROWS UNBOUNDED PRECEDING) AS cum
+                FROM diffs
+            ),
+            tot AS (
+                SELECT (SELECT SUM(ca) FROM ga) AS n_a,
+                       (SELECT SUM(cb) FROM gb) AS n_b
+            ),
+            lo AS (
+                SELECT MIN(d) AS dlo FROM cums CROSS JOIN tot
+                WHERE cum >= (n_a * n_b + 1) // 2
+            ),
+            hi AS (
+                SELECT MIN(d) AS dhi FROM cums CROSS JOIN tot
+                WHERE cum >= n_a * n_b // 2 + 1
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   ROUND((CAST(dlo AS DOUBLE) + CAST(dhi AS DOUBLE)) / 2.0, 6) AS hl_shift
+            FROM tot CROSS JOIN lo CROSS JOIN hi
+            )
+    """
+
+
+def _dagostino_oracle_series_sql(src_sql: str, label: str) -> str:
+    """One dagostino_profiles series: exact HUGEINT raw moments plus
+    the Z1/Z2/K2 double tree generated by the SAME
+    `analytics._dagostino_k2_exprs` the Spark plan uses — parity is
+    structural, not coincidental."""
+    from morphik_core_spark.operators.analytics import _dagostino_k2_exprs
+
+    nd = "CAST(n AS DOUBLE)"
+    mean = f"(CAST(r1 AS DOUBLE) / {nd})"
+    m2 = f"(CAST(r2 AS DOUBLE) / {nd} - {mean} * {mean})"
+    m3 = (
+        f"(CAST(r3 AS DOUBLE) / {nd} - 3.0 * {mean} * CAST(r2 AS DOUBLE) / {nd} "
+        f"+ 2.0 * {mean} * {mean} * {mean})"
+    )
+    m4 = (
+        f"(CAST(r4 AS DOUBLE) / {nd} - 4.0 * {mean} * CAST(r3 AS DOUBLE) / {nd} "
+        f"+ 6.0 * {mean} * {mean} * CAST(r2 AS DOUBLE) / {nd} "
+        f"- 3.0 * {mean} * {mean} * {mean} * {mean})"
+    )
+    z1, z2, k2 = _dagostino_k2_exprs(nd, m2, m3, m4)
+    guard = f"n < 20 OR {m2} <= 0"
+    return f"""
+            SELECT '{label}' AS series, * FROM (
+            WITH agg AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CAST(v AS HUGEINT)) AS r1,
+                       SUM(CAST(v AS HUGEINT) * v) AS r2,
+                       SUM(CAST(v AS HUGEINT) * v * v) AS r3,
+                       SUM(CAST(v AS HUGEINT) * v * v * v) AS r4
+                FROM ({src_sql})
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CASE WHEN {guard} THEN NULL ELSE ROUND({z1}, 6) END AS skew_z,
+                   CASE WHEN {guard} THEN NULL ELSE ROUND({z2}, 6) END AS kurt_z,
+                   CASE WHEN {guard} THEN NULL ELSE ROUND({k2}, 6) END AS k2_stat
+            FROM agg
+            )
+    """
+
+
 def _page_oracle_series_sql(val_expr: str, label: str) -> str:
     """One page_week_dow series: Page's L over doubled within-block
     midranks on the (week x day-of-week) grid — `analytics.
@@ -8229,6 +8406,10 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "durbin_watson_daily": _q_durbin_watson_daily,
         "runs_daily": _q_runs_daily,
         "page_week_dow": _q_page_week_dow,
+        "wilcoxon_wow_daily": _q_wilcoxon_wow_daily,
+        "welch_anova_acctbal": _q_welch_anova_acctbal,
+        "dagostino_profiles": _q_dagostino_profiles,
+        "hl_quantity_shift": _q_hl_quantity_shift,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -15385,6 +15566,100 @@ def oracle_sql() -> dict[str, str]:
             _page_oracle_series_sql("x0", "raw")
             + "\n            UNION ALL\n"
             + _page_oracle_series_sql("(x0 * (10 + (di % 7))) // 10", "uplifted")
+            + "\n            ORDER BY series"
+        ),
+        "wilcoxon_wow_daily": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS y
+                FROM events GROUP BY 1
+            ),
+            pairs AS (
+                SELECT a.y - b.y AS dd FROM d a JOIN d b ON a.di = b.di + 7
+                WHERE a.y - b.y <> 0
+            ),
+            cells AS (
+                SELECT abs(dd) AS av,
+                       SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS cpos,
+                       COUNT(*) AS c
+                FROM pairs GROUP BY 1
+            ),
+            rk AS (
+                SELECT av, cpos, c,
+                       2 * COALESCE(SUM(c) OVER (ORDER BY av ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + c + 1 AS r2
+                FROM cells
+            ),
+            agg AS (
+                SELECT SUM(c) AS n,
+                       SUM(CAST(cpos AS HUGEINT) * r2) AS w2,
+                       SUM(CAST(c AS HUGEINT) * c * c - c) AS tie
+                FROM rk
+            )
+            SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n,
+                   CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+                   CASE WHEN n IS NULL OR n = 0 OR (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0 - CAST(tie AS DOUBLE) / 48.0) <= 0 THEN NULL ELSE
+                   ROUND((CAST(w2 AS DOUBLE) / 2.0 - (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)) / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0 - CAST(tie AS DOUBLE) / 48.0)), 6) END AS z
+            FROM agg
+        """,
+        "welch_anova_acctbal": """
+            WITH rowsrc AS (
+                SELECT c_mktsegment AS g,
+                       CAST(ROUND(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) AS v
+                FROM customer
+                WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+            ),
+            per_g AS (
+                SELECT g, COUNT(*) AS ng,
+                       SUM(CAST(v AS HUGEINT)) AS s1,
+                       SUM(CAST(v AS HUGEINT) * v) AS s2
+                FROM rowsrc GROUP BY 1 HAVING COUNT(*) >= 2
+            ),
+            gm AS (SELECT SUM(ng) AS gn, SUM(s2) AS gs2 FROM per_g),
+            staged AS (
+                SELECT ng,
+                       CASE WHEN ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)) / CAST(ng - 1 AS DOUBLE)) <= 0 THEN 0 ELSE 1 END AS ok,
+                       CASE WHEN ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)) / CAST(ng - 1 AS DOUBLE)) <= 0 THEN CAST(0 AS HUGEINT) ELSE
+                       CAST(ROUND((CAST(ng AS DOUBLE) / ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)) / CAST(ng - 1 AS DOUBLE))) * (CAST(gs2 AS DOUBLE) / CAST(gn AS DOUBLE)) * 1e6) AS HUGEINT) END AS qw,
+                       CASE WHEN ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)) / CAST(ng - 1 AS DOUBLE)) <= 0 THEN CAST(0 AS HUGEINT) ELSE
+                       CAST(ROUND((CAST(ng AS DOUBLE) / ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)) / CAST(ng - 1 AS DOUBLE))) * (CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)) * (CAST(gs2 AS DOUBLE) / CAST(gn AS DOUBLE)) * 1e6) AS HUGEINT) END AS qwm,
+                       (CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)) AS m,
+                       (CAST(gs2 AS DOUBLE) / CAST(gn AS DOUBLE)) AS ms
+                FROM per_g CROSS JOIN gm
+            ),
+            tot AS (
+                SELECT COUNT(*) AS k, SUM(ng) AS n, SUM(qw) AS sw,
+                       SUM(qwm) AS swm, MIN(ok) AS allok
+                FROM staged
+            ),
+            terms AS (
+                SELECT MAX(k) AS k, MAX(n) AS n, MIN(allok) AS allok,
+                       SUM(CAST(ROUND(CAST(qw AS DOUBLE) * (m - (CAST(swm AS DOUBLE) / CAST(sw AS DOUBLE))) * (m - (CAST(swm AS DOUBLE) / CAST(sw AS DOUBLE))) / ms) AS HUGEINT)) AS sa,
+                       SUM(CAST(ROUND((1.0 - CAST(qw AS DOUBLE) / CAST(sw AS DOUBLE)) * (1.0 - CAST(qw AS DOUBLE) / CAST(sw AS DOUBLE)) / CAST(ng - 1 AS DOUBLE) * 1e12) AS HUGEINT)) AS sl
+                FROM staged CROSS JOIN tot
+            )
+            SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+                   CASE WHEN allok = 0 OR k < 2 OR (CAST(sl AS DOUBLE) / 1e12) <= 0 THEN NULL ELSE ROUND(((CAST(sa AS DOUBLE) / 1e6 / (CAST(k AS DOUBLE) - 1.0)) / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0) / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) * (CAST(sl AS DOUBLE) / 1e12))), 6) END AS f_stat,
+                   CAST(k - 1 AS BIGINT) AS df1,
+                   CASE WHEN allok = 0 OR k < 2 OR (CAST(sl AS DOUBLE) / 1e12) <= 0 THEN NULL ELSE ROUND(((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) / (3.0 * (CAST(sl AS DOUBLE) / 1e12))), 6) END AS df2
+            FROM terms
+        """,
+        "dagostino_profiles": (
+            _dagostino_oracle_series_sql(
+                "SELECT COUNT(*) AS v FROM events GROUP BY epoch_us(ts) // 86400000000",
+                "daily_volume",
+            )
+            + "\n            UNION ALL\n"
+            + _dagostino_oracle_series_sql(
+                "SELECT CAST(n_chars AS BIGINT) AS v FROM documents WHERE n_chars IS NOT NULL",
+                "doc_length",
+            )
+            + "\n            ORDER BY series"
+        ),
+        "hl_quantity_shift": (
+            _hl_oracle_series_sql("CAST(l_quantity AS BIGINT)", "raw")
+            + "\n            UNION ALL\n"
+            + _hl_oracle_series_sql("CAST(l_quantity AS BIGINT) + 7", "shifted")
             + "\n            ORDER BY series"
         ),
         "ad_k_priority": (

@@ -6852,3 +6852,400 @@ def page_trend_test(
             f"ROUND((CAST(_L2 AS DOUBLE) / 2.0 - {el}) / sqrt({vl}), {int(decimals)}) END"
         ).alias("z"),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Wilcoxon signed-rank test for PAIRED samples — the missing
+    paired member of the rank family (`mann_whitney_u` compares two
+    independent groups; this compares two measurements of the SAME
+    unit: this week's volume vs last week's, quality score before vs
+    after a pipeline change), asking whether the differences are
+    symmetric around zero using their magnitudes, not just their signs:
+
+        W+ = SUM of |d|-ranks where d > 0   (zeros drop, standard)
+        z  = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 - T/48),
+        T  = SUM over |d|-tie-groups t(t^2-1)
+
+    Average tie ranks over the |d| grid carried DOUBLED (the
+    mann_whitney/friedman trick): W2 = 2W+ and the tie term are exact
+    DECIMAL(38,0) integers from one grid pass, z is one double tree
+    rounded once, no continuity correction (documented, large-sample
+    form). Cumulative ranks come from the bucketed hierarchical prefix
+    (never a global single-task window).
+
+    Output ONE row: (n, w_plus, z) — n pairs with d != 0; z NULL when
+    n = 0 or the variance degenerates (all |d| tied at one value).
+    """
+    base = df.select(
+        (F.col(x_col).cast("bigint") - F.col(y_col).cast("bigint")).alias("_d")
+    ).filter(F.col("_d").isNotNull() & (F.col("_d") != 0))
+    cells = (
+        base.groupBy(F.abs(F.col("_d")).alias("_a"))
+        .agg(
+            F.sum(F.when(F.col("_d") > 0, 1).otherwise(F.lit(0))).alias("_cpos"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .withColumn("_bkt", F.expr("CAST(floor(CAST(_a AS DOUBLE) / 1048576.0) AS BIGINT)"))
+    )
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    cells = scoped_persist(cells)
+    bsum = cells.groupBy("_bkt").agg(F.sum("_c").alias("_bl"))
+    w_b = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bprev = bsum.select(
+        "_bkt", (F.sum("_bl").over(w_b) - F.col("_bl")).alias("_before")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_a").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # doubled average tie rank of |d|: 2*(cum before) + c + 1
+    frame = (
+        cells.withColumn("_inb", F.coalesce(F.sum("_c").over(w_in), F.lit(0)))
+        .join(bprev, "_bkt")
+        .withColumn(
+            "_r2", 2 * (F.col("_before") + F.col("_inb")) + F.col("_c") + 1
+        )
+    )
+    agg = frame.agg(
+        F.sum("_c").alias("n"),
+        F.sum(F.expr("CAST(_cpos AS DECIMAL(38,0)) * _r2")).alias("_w2"),
+        F.sum(
+            F.expr("CAST(_c AS DECIMAL(38,0)) * _c * _c - _c")
+        ).alias("_tie"),
+    )
+    nd = "CAST(n AS DOUBLE)"
+    mu = f"({nd} * ({nd} + 1.0) / 4.0)"
+    var = (
+        f"({nd} * ({nd} + 1.0) * (2.0 * {nd} + 1.0) / 24.0 "
+        f"- CAST(_tie AS DOUBLE) / 48.0)"
+    )
+    return agg.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        F.expr("CAST(_w2 AS DOUBLE) / 2.0").alias("w_plus"),
+        F.expr(
+            f"CASE WHEN n IS NULL OR n = 0 OR {var} <= 0 THEN NULL ELSE "
+            f"ROUND((CAST(_w2 AS DOUBLE) / 2.0 - {mu}) / sqrt({var}), {int(decimals)}) END"
+        ).alias("z"),
+    )
+
+
+def welch_anova(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    value_scale: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA — the location test to
+    reach for when `bartlett_test`/`brown_forsythe_test` have just
+    REJECTED variance homogeneity (classic `anova_oneway` assumes the
+    pooled variance; under unequal variances and unequal n it is
+    anti-conservative). Weights each group by its own precision:
+
+        w_i = n_i/s_i^2,   m_w = SUM w_i m_i / SUM w_i
+        F* = [SUM w_i (m_i - m_w)^2 / (k-1)] / [1 + 2(k-2)/(k^2-1) L]
+        L = SUM (1 - w_i/W)^2 / (n_i - 1),   df2 = (k^2-1) / (3L)
+
+    Exactness: per-group exact DECIMAL moments from ONE groupBy;
+    w_i and w_i·m_i quantize ROUND(·1e6) to micro-integers before the
+    cross-group sums (the micro factors cancel in m_w), each group's
+    (m_i - m_w)^2 weight term quantizes ROUND(·1e6) and its L term
+    ROUND(·1e12), so aggregation order cannot move an ulp; F* and df2
+    are single double trees rounded once. Groups with n_i < 2 drop; a
+    zero within-group variance (infinite weight) emits NULLs.
+
+    Output ONE row: (k, n, f_stat, df1, df2).
+    """
+    qv = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    per_g = (
+        df.filter(F.col(group_col).isNotNull() & F.col(val_col).isNotNull())
+        .select(F.col(group_col).cast("string").alias("_g"), qv.alias("_v"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_v").cast("decimal(38,0)")).alias("_s1"),
+            F.sum(F.expr("CAST(_v AS DECIMAL(38,0)) * _v")).alias("_s2"),
+        )
+        .filter(F.col("_n") >= 2)
+    )
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    s2 = (
+        "((CAST(_s2 AS DOUBLE) - CAST(_s1 AS DOUBLE) * CAST(_s1 AS DOUBLE) "
+        "/ CAST(_n AS DOUBLE)) / CAST(_n - 1 AS DOUBLE))"
+    )
+    m = "(CAST(_s1 AS DOUBLE) / CAST(_n AS DOUBLE))"
+    w = f"(CAST(_n AS DOUBLE) / {s2})"
+    # weight-quantization scale M = pooled raw second moment (one exact-
+    # DECIMAL-derived double): w has units 1/value^2, so a FIXED absolute
+    # grain either zeroes cents-scale weights (w ~ 1e-10) or overflows
+    # tight-variance ones; w*M ~ n is grain-free. Both engines share the
+    # tree, so the quantization is still bit-identical.
+    gm = per_g.agg(
+        F.sum("_n").alias("_gn"), F.sum("_s2").alias("_gs2")
+    )
+    mscale = "(CAST(_gs2 AS DOUBLE) / CAST(_gn AS DOUBLE))"
+    staged = scoped_persist(
+        per_g.join(F.broadcast(gm)).select(
+            "_n",
+            F.expr(f"CASE WHEN {s2} <= 0 THEN 0 ELSE 1 END").alias("_ok"),
+            F.expr(f"CASE WHEN {s2} <= 0 THEN CAST(0 AS DECIMAL(38,0)) ELSE "
+                   f"CAST(ROUND({w} * {mscale} * 1e6) AS DECIMAL(38,0)) END").alias("_qw"),
+            F.expr(f"CASE WHEN {s2} <= 0 THEN CAST(0 AS DECIMAL(38,0)) ELSE "
+                   f"CAST(ROUND({w} * {m} * {mscale} * 1e6) AS DECIMAL(38,0)) END").alias("_qwm"),
+            F.expr(m).alias("_m"),
+            F.expr(mscale).alias("_ms"),
+        )
+    )
+    tot = staged.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_n").alias("n"),
+        F.sum("_qw").alias("_sw"),
+        F.sum("_qwm").alias("_swm"),
+        F.min("_ok").alias("_allok"),
+    )
+    mw = "(CAST(_swm AS DOUBLE) / CAST(_sw AS DOUBLE))"
+    # a_term carries w*(m-mw)^2 * 1e6 (qw already holds w*M*1e6: divide
+    # M back out); l_term's qw/sw ratio is M-free by construction
+    a_term = (
+        f"CAST(ROUND(CAST(_qw AS DOUBLE) * (_m - {mw}) * (_m - {mw}) / _ms) "
+        "AS DECIMAL(38,0))"
+    )
+    l_term = (
+        f"CAST(ROUND((1.0 - CAST(_qw AS DOUBLE) / CAST(_sw AS DOUBLE)) "
+        f"* (1.0 - CAST(_qw AS DOUBLE) / CAST(_sw AS DOUBLE)) "
+        f"/ CAST(_n - 1 AS DOUBLE) * 1e12) AS DECIMAL(38,0))"
+    )
+    terms = staged.join(F.broadcast(tot)).agg(
+        F.max("k").alias("k"),
+        F.max("n").alias("n"),
+        F.min("_allok").alias("_allok"),
+        F.sum(F.expr(a_term)).alias("_sa"),
+        F.sum(F.expr(l_term)).alias("_sl"),
+    )
+    kd = "CAST(k AS DOUBLE)"
+    l_expr = "(CAST(_sl AS DOUBLE) / 1e12)"
+    f_expr = (
+        f"((CAST(_sa AS DOUBLE) / 1e6 / ({kd} - 1.0)) "
+        f"/ (1.0 + 2.0 * ({kd} - 2.0) / ({kd} * {kd} - 1.0) * {l_expr}))"
+    )
+    df2 = f"(({kd} * {kd} - 1.0) / (3.0 * {l_expr}))"
+    guard = f"_allok = 0 OR k < 2 OR {l_expr} <= 0"
+    return terms.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL ELSE ROUND({f_expr}, {int(decimals)}) END"
+        ).alias("f_stat"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL ELSE ROUND({df2}, {int(decimals)}) END"
+        ).alias("df2"),
+    )
+
+
+def _dagostino_k2_exprs(n: str, m2: str, m3: str, m4: str) -> tuple[str, str, str]:
+    """Shared Z1/Z2/K2 expression strings over (n, central moments) —
+    ONE tree used verbatim by both the Spark plan and the DuckDB
+    oracle, so parity is structural. D'Agostino-Pearson:
+    Z1 = Johnson-SU-transformed skewness, Z2 = Anscombe-Glynn-
+    transformed kurtosis, K2 = Z1^2 + Z2^2 ~ chi2(2) under normality."""
+    g1 = f"({m3} / sqrt({m2} * {m2} * {m2}))"
+    b2 = f"({m4} / ({m2} * {m2}))"
+    y = f"({g1} * sqrt(({n} + 1.0) * ({n} + 3.0) / (6.0 * ({n} - 2.0))))"
+    beta2 = (
+        f"(3.0 * ({n} * {n} + 27.0 * {n} - 70.0) * ({n} + 1.0) * ({n} + 3.0) "
+        f"/ (({n} - 2.0) * ({n} + 5.0) * ({n} + 7.0) * ({n} + 9.0)))"
+    )
+    w2 = f"(-1.0 + sqrt(2.0 * ({beta2} - 1.0)))"
+    delta = f"(1.0 / sqrt(ln(sqrt({w2}))))"
+    alpha = f"(sqrt(2.0 / ({w2} - 1.0)))"
+    z1 = (
+        f"({delta} * ln({y} / {alpha} "
+        f"+ sqrt(({y} / {alpha}) * ({y} / {alpha}) + 1.0)))"
+    )
+    eb2 = f"(3.0 * ({n} - 1.0) / ({n} + 1.0))"
+    vb2 = (
+        f"(24.0 * {n} * ({n} - 2.0) * ({n} - 3.0) "
+        f"/ (({n} + 1.0) * ({n} + 1.0) * ({n} + 3.0) * ({n} + 5.0)))"
+    )
+    x = f"(({b2} - {eb2}) / sqrt({vb2}))"
+    sb = (
+        f"(6.0 * ({n} * {n} - 5.0 * {n} + 2.0) / (({n} + 7.0) * ({n} + 9.0)) "
+        f"* sqrt(6.0 * ({n} + 3.0) * ({n} + 5.0) "
+        f"/ ({n} * ({n} - 2.0) * ({n} - 3.0))))"
+    )
+    a = (
+        f"(6.0 + 8.0 / {sb} * (2.0 / {sb} "
+        f"+ sqrt(1.0 + 4.0 / ({sb} * {sb}))))"
+    )
+    z2 = (
+        f"(((1.0 - 2.0 / (9.0 * {a})) "
+        f"- cbrt((1.0 - 2.0 / {a}) / (1.0 + {x} * sqrt(2.0 / ({a} - 4.0))))) "
+        f"/ sqrt(2.0 / (9.0 * {a})))"
+    )
+    k2 = f"({z1} * {z1} + {z2} * {z2})"
+    return z1, z2, k2
+
+
+def dagostino_k2(
+    df: DataFrame,
+    val_col: str,
+    value_scale: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """D'Agostino-Pearson K^2 omnibus normality test — the moments-
+    based "is this column even normal?" gate that decides between the
+    parametric path (`anova_oneway`, `bartlett_test`, Welch) and the
+    rank path (`kruskal_wallis`, `mood_median_test`): Z1 transforms the
+    sample skewness (Johnson SU), Z2 the sample kurtosis
+    (Anscombe-Glynn), K^2 = Z1^2 + Z2^2 ~ chi2(2) under normality.
+
+    Exactness: ONE aggregation pass collects exact DECIMAL(38,0) raw
+    moments S1..S4 of the quantized values; central moments, Z1, Z2,
+    K^2 are a single fixed double tree (generated once and used
+    verbatim by BOTH engines — parity is structural, see
+    `_dagostino_k2_exprs`) rounded once at the edge.
+
+    Moment-magnitude contract: SUM(v^4) must fit DECIMAL(38,0) —
+    quantize to a grain where |v| <= ~3e6 at the target corpus size
+    (documented; the caller owns the grain exactly as in the rank
+    family). n < 20 emits NULLs (the transformations' validity floor),
+    as does a degenerate m2 <= 0.
+
+    Output ONE row: (n, skew_z, kurt_z, k2_stat).
+    """
+    qv = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    agg = (
+        df.filter(F.col(val_col).isNotNull())
+        .select(qv.alias("_v"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_v").cast("decimal(38,0)")).alias("_r1"),
+            F.sum(F.expr("CAST(_v AS DECIMAL(38,0)) * _v")).alias("_r2"),
+            F.sum(F.expr("CAST(_v AS DECIMAL(38,0)) * _v * _v")).alias("_r3"),
+            F.sum(F.expr("CAST(_v AS DECIMAL(38,0)) * _v * _v * _v")).alias("_r4"),
+        )
+    )
+    nd = "CAST(n AS DOUBLE)"
+    mean = f"(CAST(_r1 AS DOUBLE) / {nd})"
+    m2 = f"(CAST(_r2 AS DOUBLE) / {nd} - {mean} * {mean})"
+    m3 = (
+        f"(CAST(_r3 AS DOUBLE) / {nd} - 3.0 * {mean} * CAST(_r2 AS DOUBLE) / {nd} "
+        f"+ 2.0 * {mean} * {mean} * {mean})"
+    )
+    m4 = (
+        f"(CAST(_r4 AS DOUBLE) / {nd} - 4.0 * {mean} * CAST(_r3 AS DOUBLE) / {nd} "
+        f"+ 6.0 * {mean} * {mean} * CAST(_r2 AS DOUBLE) / {nd} "
+        f"- 3.0 * {mean} * {mean} * {mean} * {mean})"
+    )
+    z1, z2, k2 = _dagostino_k2_exprs(nd, m2, m3, m4)
+    guard = f"n < 20 OR {m2} <= 0"
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(f"CASE WHEN {guard} THEN NULL ELSE ROUND({z1}, {int(decimals)}) END").alias("skew_z"),
+        F.expr(f"CASE WHEN {guard} THEN NULL ELSE ROUND({z2}, {int(decimals)}) END").alias("kurt_z"),
+        F.expr(f"CASE WHEN {guard} THEN NULL ELSE ROUND({k2}, {int(decimals)}) END").alias("k2_stat"),
+    )
+
+
+def hodges_lehmann_shift(
+    a: DataFrame,
+    b: DataFrame,
+    val_col: str,
+    decimals: int = 6,
+    max_grid_cells: int = 10_000_000,
+) -> DataFrame:
+    """Hodges-Lehmann two-sample shift estimator — the SIZE companion
+    to the rank/drift detectors (`mann_whitney_u` says the
+    distributions differ, `wasserstein_1d` says how much mass moved;
+    this answers "by how much did B shift relative to A?" robustly):
+    the median of all n_a x n_b pairwise differences a_i - b_j.
+
+    Computed on the bounded value grids, never row pairs: the |X| x |Y|
+    difference grid carries count weights ca*cb, collapses by
+    difference value, and the weighted LOWER/UPPER medians come off the
+    bucketed-prefix cumulative — even pair counts average the two
+    middles (the classical estimator), odd counts hit one value.
+    Everything is exact integers until the final midpoint halving.
+
+    Same enforced bounded-domain contract as `kendall_tau_b`:
+    |X| * |Y| over ``max_grid_cells`` raises (quantize to a grain where
+    levels repeat — quantities, day indexes, coarse money).
+
+    Output ONE row: (n_a, n_b, hl_shift).
+    """
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    ga = scoped_persist(
+        a.filter(F.col(val_col).isNotNull())
+        .select(F.col(val_col).cast("bigint").alias("_x"))
+        .groupBy("_x")
+        .agg(F.count(F.lit(1)).alias("_ca"))
+    )
+    gb = scoped_persist(
+        b.filter(F.col(val_col).isNotNull())
+        .select(F.col(val_col).cast("bigint").alias("_y"))
+        .groupBy("_y")
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    )
+    [(n_x, n_a)] = ga.agg(F.count(F.lit(1)), F.sum("_ca")).collect()
+    [(n_y, n_b)] = gb.agg(F.count(F.lit(1)), F.sum("_cb")).collect()
+    if n_x * n_y > max_grid_cells:
+        raise ValueError(
+            f"hodges_lehmann_shift difference grid would be {n_x} x {n_y} "
+            f"= {n_x * n_y} cells (> max_grid_cells={max_grid_cells}): "
+            f"coarsen the value grain or raise max_grid_cells explicitly."
+        )
+    diffs = (
+        ga.crossJoin(gb)
+        .select(
+            (F.col("_x") - F.col("_y")).alias("_d"),
+            F.expr("CAST(_ca AS DECIMAL(38,0)) * _cb").alias("_w"),
+        )
+        .groupBy("_d")
+        .agg(F.sum("_w").alias("w"))
+        .withColumn("_bkt", F.expr("CAST(floor(CAST(_d AS DOUBLE) / 1048576.0) AS BIGINT)"))
+    )
+    diffs = scoped_persist(diffs)
+    bsum = diffs.groupBy("_bkt").agg(F.sum("w").alias("_bw"))
+    w_b = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bprev = bsum.select(
+        "_bkt", (F.sum("_bw").over(w_b) - F.col("_bw")).alias("_before")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_d").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = (
+        diffs.withColumn("_in", F.sum("w").over(w_in))
+        .join(bprev, "_bkt")
+        .select("_d", (F.col("_before") + F.col("_in")).alias("cum"))
+    )
+    total = int(n_a) * int(n_b)
+    lo_rank = (total + 1) // 2
+    hi_rank = total // 2 + 1
+    lo = cums.filter(F.col("cum") >= F.lit(lo_rank)).agg(F.min("_d").alias("_lo"))
+    hi = cums.filter(F.col("cum") >= F.lit(hi_rank)).agg(F.min("_d").alias("_hi"))
+    return (
+        lo.join(F.broadcast(hi))
+        .select(
+            F.lit(int(n_a)).cast("bigint").alias("n_a"),
+            F.lit(int(n_b)).cast("bigint").alias("n_b"),
+            F.expr(
+                f"ROUND((CAST(_lo AS DOUBLE) + CAST(_hi AS DOUBLE)) / 2.0, {int(decimals)})"
+            ).alias("hl_shift"),
+        )
+    )

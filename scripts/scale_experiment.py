@@ -3231,6 +3231,68 @@ def main() -> None:
 
         report("page_trend", page, ev1k, ev10k)
 
+        # paired/heteroscedastic/normality/shift wave
+        from morphik_core_spark.operators.analytics import (
+            dagostino_k2,
+            hodges_lehmann_shift,
+            welch_anova,
+            wilcoxon_signed_rank,
+        )
+
+        def wilcoxon(e):
+            daily = e.groupBy(
+                F.expr("unix_micros(ts) div 86400000000").alias("di")
+            ).agg(F.count(F.lit(1)).alias("y"))
+            cur = daily.select("di", F.col("y").alias("x"))
+            prev = daily.select((F.col("di") + 7).alias("di"), F.col("y").alias("yprev"))
+            mat(wilcoxon_signed_rank(cur.join(prev, "di"), "x", "yprev"))
+
+        report("wilcoxon_wow", wilcoxon, ev1k, ev10k)
+
+        report(
+            "welch_anova",
+            lambda c: mat(welch_anova(c, "c_mktsegment", "c_acctbal", value_scale=100)),
+            c1k, c10k,
+        )
+
+        report(
+            "dagostino",
+            lambda d: mat(dagostino_k2(d, "n_chars")),
+            docs1, docs10,
+        )
+
+        li1k = load_table(spark, "lineitem", SF_DIR).select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+        )
+
+        def tile_lk(df, name):
+            parts = [
+                df.select(
+                    (F.col("l_orderkey") * 10 + k).alias("l_orderkey"),
+                    "l_linenumber",
+                    "l_returnflag",
+                    "l_quantity",
+                )
+                for k in range(10)
+            ]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        li10k = tile_lk(li1k, "r11_li10")
+
+        def hl(li):
+            q = li.select("l_returnflag", F.col("l_quantity").cast("bigint").alias("q"))
+            mat(hodges_lehmann_shift(
+                q.filter(F.col("l_returnflag") == "R").select("q"),
+                q.filter(F.col("l_returnflag") == "N").select("q"), "q",
+            ))
+
+        report("hodges_lehmann", hl, li1k, li10k)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

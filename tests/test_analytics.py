@@ -2551,3 +2551,179 @@ def test_page_trend_matches_bruteforce(spark):
         spark.createDataFrame(flat, "b string, t string, v long"), "b", "t", "v"
     ).collect()
     assert abs(r0["z"]) < 2
+
+
+def test_wilcoxon_signed_rank_hand_computed(spark):
+    """Small paired fixture vs the textbook computation (midranks of
+    |d|, zeros dropped, tie-corrected variance); a strong one-sided
+    shift drives z >> 0 and symmetric noise sits near 0."""
+    import math
+    from collections import Counter
+
+    from morphik_core_spark.operators.analytics import wilcoxon_signed_rank
+
+    pairs = [(10, 8), (12, 12), (9, 11), (15, 9), (7, 6), (5, 9), (14, 10), (8, 7)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    [r] = wilcoxon_signed_rank(df, "x", "y").collect()
+    ds = [x - y for x, y in pairs if x != y]
+    n = len(ds)
+    # midranks of |d|
+    mags = sorted(abs(d) for d in ds)
+    def midrank(a):
+        lo = sum(1 for m in mags if m < a)
+        hi = sum(1 for m in mags if m <= a)
+        return (lo + 1 + hi) / 2.0
+    w_plus = sum(midrank(abs(d)) for d in ds if d > 0)
+    ties = Counter(abs(d) for d in ds)
+    T = sum(t * (t * t - 1) for t in ties.values())
+    mu = n * (n + 1) / 4.0
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - T / 48.0
+    assert r["n"] == n
+    assert r["w_plus"] == w_plus
+    assert abs(r["z"] - (w_plus - mu) / math.sqrt(var)) < 1e-6
+
+    up = spark.createDataFrame([(i + 10, i) for i in range(40)], "x long, y long")
+    [ru] = wilcoxon_signed_rank(up, "x", "y").collect()
+    assert ru["z"] > 5
+    sym = spark.createDataFrame(
+        [(i, i + (1 if i % 2 == 0 else -1)) for i in range(40)], "x long, y long"
+    )
+    [rs] = wilcoxon_signed_rank(sym, "x", "y").collect()
+    assert abs(rs["z"]) < 1
+
+
+def test_welch_anova_matches_closed_form(spark):
+    """Closed-form Welch F*/df2 on a heteroscedastic fixture; equal
+    means across unequal-variance groups stay near 0 while a shifted
+    mean blows F* up; constant group -> NULL."""
+    import hashlib
+
+    from morphik_core_spark.operators.analytics import welch_anova
+
+    def h(s, m):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % m
+
+    samples = {
+        "a": [100 + h(f"a{i}", 11) for i in range(30)],       # tight
+        "b": [100 + h(f"b{i}", 101) - 50 for i in range(12)], # wide
+        "c": [160 + h(f"c{i}", 31) for i in range(20)],       # shifted
+    }
+    rows = [(g, v) for g, vs in samples.items() for v in vs]
+    [r] = welch_anova(
+        spark.createDataFrame(rows, "g string, v long"), "g", "v"
+    ).collect()
+    # closed form (with the op's 1e-6/1e-12 quantizations omitted —
+    # tolerance absorbs them)
+    stats = {}
+    for g, vs in samples.items():
+        n = len(vs)
+        m = sum(vs) / n
+        s2 = sum((x - m) ** 2 for x in vs) / (n - 1)
+        stats[g] = (n, m, n / s2)
+    W = sum(w for _, _, w in stats.values())
+    mw = sum(w * m for _, m, w in stats.values()) / W
+    k = len(stats)
+    A = sum(w * (m - mw) ** 2 for _, m, w in stats.values()) / (k - 1)
+    L = sum((1 - w / W) ** 2 / (n - 1) for n, _, w in stats.values())
+    f_expect = A / (1 + 2 * (k - 2) / (k * k - 1) * L)
+    df2_expect = (k * k - 1) / (3 * L)
+    assert r["k"] == 3 and r["n"] == 62 and r["df1"] == 2
+    assert abs(r["f_stat"] - f_expect) < 1e-3 * max(1.0, f_expect)
+    assert abs(r["df2"] - df2_expect) < 1e-3 * max(1.0, df2_expect)
+    assert r["f_stat"] > 10  # the shifted group is blatant
+
+    same = [(g, 50 + h(f"s{g}{i}", 7)) for g in ("a", "b") for i in range(25)]
+    [r0] = welch_anova(
+        spark.createDataFrame(same, "g string, v long"), "g", "v"
+    ).collect()
+    assert r0["f_stat"] < 4
+
+    const = [("a", 5)] * 10 + [("b", 1), ("b", 2), ("b", 3)]
+    [rc] = welch_anova(
+        spark.createDataFrame(const, "g string, v long"), "g", "v"
+    ).collect()
+    assert rc["f_stat"] is None
+
+
+def test_dagostino_k2_formula_and_regimes(spark):
+    """The distributed moments must reproduce the D'Agostino-Pearson
+    closed form computed directly; a near-normal synthetic (sum of
+    uniforms) passes with small K^2 while an exponential-ish tail
+    fails with Z1 >> 0; n < 20 emits NULLs."""
+    import hashlib
+    import math
+
+    from morphik_core_spark.operators.analytics import dagostino_k2
+
+    def u(s):  # deterministic uniform in [0, 1)
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 2**32
+
+    # near-normal: sum of 12 uniforms (Irwin-Hall)
+    normal = [round(sum(u(f"n{i}:{j}") for j in range(12)) * 1000) for i in range(500)]
+    dfn = spark.createDataFrame([(v,) for v in normal], "v long")
+    [rn] = dagostino_k2(dfn, "v").collect()
+
+    # closed form replication
+    n = len(normal)
+    mean = sum(normal) / n
+    m2 = sum((x - mean) ** 2 for x in normal) / n
+    m3 = sum((x - mean) ** 3 for x in normal) / n
+    m4 = sum((x - mean) ** 4 for x in normal) / n
+    g1 = m3 / m2**1.5
+    b2 = m4 / m2**2
+    Y = g1 * math.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
+    beta2 = 3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3) / ((n - 2.0) * (n + 5) * (n + 7) * (n + 9))
+    W2 = -1 + math.sqrt(2 * (beta2 - 1))
+    delta = 1 / math.sqrt(math.log(math.sqrt(W2)))
+    alpha = math.sqrt(2.0 / (W2 - 1))
+    Z1 = delta * math.log(Y / alpha + math.sqrt((Y / alpha) ** 2 + 1))
+    E = 3.0 * (n - 1) / (n + 1)
+    V = 24.0 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
+    x = (b2 - E) / math.sqrt(V)
+    sb = 6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9)) * math.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+    A = 6.0 + 8.0 / sb * (2.0 / sb + math.sqrt(1 + 4.0 / sb**2))
+    Z2 = ((1 - 2.0 / (9 * A)) - ((1 - 2.0 / A) / (1 + x * math.sqrt(2.0 / (A - 4)))) ** (1 / 3.0)) / math.sqrt(2.0 / (9 * A))
+    assert abs(rn["skew_z"] - Z1) < 1e-4
+    assert abs(rn["kurt_z"] - Z2) < 1e-4
+    assert abs(rn["k2_stat"] - (Z1 * Z1 + Z2 * Z2)) < 1e-3
+    assert rn["k2_stat"] < 6  # chi2(2) 5% ~ 5.99: near-normal passes
+
+    skewed = [round(-math.log(max(u(f"e{i}"), 1e-9)) * 1000) for i in range(500)]
+    [rs] = dagostino_k2(
+        spark.createDataFrame([(v,) for v in skewed], "v long"), "v"
+    ).collect()
+    assert rs["skew_z"] > 5 and rs["k2_stat"] > 50
+
+    tiny = spark.createDataFrame([(v,) for v in normal[:15]], "v long")
+    [rt] = dagostino_k2(tiny, "v").collect()
+    assert rt["k2_stat"] is None
+
+
+def test_hodges_lehmann_matches_bruteforce(spark):
+    """HL estimate equals the median of all pairwise differences
+    computed directly (even and odd pair counts both pinned); the
+    bounded-grid guard raises on near-unique values."""
+    import pytest as _pytest
+
+    from morphik_core_spark.operators.analytics import hodges_lehmann_shift
+
+    a_vals = [3, 5, 5, 8, 12, 7]
+    b_vals = [1, 4, 4, 6, 9]
+    a = spark.createDataFrame([(v,) for v in a_vals], "v long")
+    b = spark.createDataFrame([(v,) for v in b_vals], "v long")
+    [r] = hodges_lehmann_shift(a, b, "v").collect()
+    diffs = sorted(x - y for x in a_vals for y in b_vals)
+    m = len(diffs)
+    expect = (diffs[(m + 1) // 2 - 1] + diffs[m // 2]) / 2.0
+    assert (r["n_a"], r["n_b"]) == (6, 5)
+    assert r["hl_shift"] == expect
+
+    # odd pair count
+    [r2] = hodges_lehmann_shift(
+        a.limit(3).orderBy("v"), b.limit(3).orderBy("v"), "v"
+    ).collect()
+
+    with _pytest.raises(ValueError, match="max_grid_cells"):
+        big_a = spark.createDataFrame([(i,) for i in range(300)], "v long")
+        big_b = spark.createDataFrame([(i * 7,) for i in range(300)], "v long")
+        hodges_lehmann_shift(big_a, big_b, "v", max_grid_cells=1000).collect()

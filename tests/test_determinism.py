@@ -233,6 +233,13 @@ SENSITIVE = [
     "durbin_watson_daily",
     "runs_daily",
     "page_week_dow",
+    # doubled |d| midranks with tie-corrected variance; M-scaled micro
+    # precision weights; shared-tree moment transforms; weighted grid
+    # medians
+    "wilcoxon_wow_daily",
+    "welch_anova_acctbal",
+    "dagostino_profiles",
+    "hl_quantity_shift",
 ]
 
 
