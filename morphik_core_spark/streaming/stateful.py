@@ -45,6 +45,7 @@ __all__ = [
     "centroid_drift_stream",
     "w1_drift_stream",
     "psi_drift_stream",
+    "mk_trend_stream",
 ]
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -1283,6 +1284,98 @@ def psi_drift_stream(
         update,
         outputStructType=PSI_DRIFT_OUTPUT_SCHEMA,
         stateStructType=PSI_DRIFT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+MK_TREND_OUTPUT_SCHEMA = (
+    "key string, batch_seq bigint, n_points bigint, s_stat bigint, "
+    "var_s double, z double, trend string"
+)
+MK_TREND_STATE_SCHEMA = (
+    "s bigint, vals array<bigint>, counts array<bigint>, batch_seq bigint"
+)
+
+
+def mk_trend_stream(
+    rows: DataFrame,
+    key_col: str = "key",
+    idx_col: str = "idx",
+    val_col: str = "value",
+) -> DataFrame:
+    """Streaming Mann-Kendall trend monitor — the live twin of
+    `analytics.mann_kendall_test`: per key, every arriving value updates
+    the exact pairwise statistic INCREMENTALLY (S += #smaller-seen −
+    #larger-seen — each new point's pairs against all history, O(state)
+    per value, never the O(n^2) pair join), the sparse value histogram
+    rides GroupState, and each micro-batch emits the batch op's exact
+    output row (S, tie-corrected var, continuity-corrected z, trend
+    label at |z| >= 1.96) — the "this metric is now TRENDING, not just
+    drifted" alert running live.
+
+    Arrival contract (shared with `asof_backward_stream`): per-key
+    event-time-ordered arrival across micro-batches; WITHIN a batch
+    rows sort by ``idx_col`` first, so in-batch disorder repairs
+    itself. Under that contract a snapshot equals
+    ``mann_kendall_test(seen rows)`` bit-for-bit (the z/var trees are
+    replayed with Spark's shortest-repr HALF_UP rounding) — asserted
+    across a checkpoint restart. State: one int64 S + the value
+    histogram, additive, bounded by the quantized value domain.
+    """
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import math
+
+        (key_val,) = key
+        s, vals, counts, seq = state.get if state.exists else (0, [], [], 0)
+        hist = {int(v): int(c) for v, c in zip(vals, counts)}
+        s = int(s)
+        for pdf in batches:
+            pdf = pdf.sort_values(idx_col)
+            for y in pdf[val_col]:
+                y = int(y)
+                below = sum(c for v, c in hist.items() if v < y)
+                above = sum(c for v, c in hist.items() if v > y)
+                s += below - above
+                hist[y] = hist.get(y, 0) + 1
+        seq = int(seq) + 1
+        n = sum(hist.values())
+        tie_term = sum(c * (c - 1) * (2 * c + 5) for c in hist.values() if c > 1)
+        var18 = n * (n - 1) * (2 * n + 5) - tie_term
+        var_s = float(var18) / 18.0
+        if s > 0:
+            z = float(s - 1) / math.sqrt(var_s)
+        elif s < 0:
+            z = float(s + 1) / math.sqrt(var_s)
+        else:
+            z = 0.0
+        z_r = _round_like_spark(z, 6)
+        trend = (
+            "increasing" if z_r >= 1.96
+            else "decreasing" if z_r <= -1.96
+            else "none"
+        )
+        items = sorted(hist.items())
+        state.update((s, [v for v, _ in items], [c for _, c in items], seq))
+        yield pd.DataFrame(
+            [
+                {
+                    "key": str(key_val),
+                    "batch_seq": seq,
+                    "n_points": n,
+                    "s_stat": s,
+                    "var_s": _round_like_spark(var_s, 6),
+                    "z": z_r,
+                    "trend": trend,
+                }
+            ]
+        )
+
+    return rows.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=MK_TREND_OUTPUT_SCHEMA,
+        stateStructType=MK_TREND_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

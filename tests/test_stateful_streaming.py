@@ -1162,3 +1162,69 @@ def test_psi_drift_stream_matches_batch_and_survives_restart(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="counts >= 1"):
         psi_drift_stream(spark.readStream.schema(schema).parquet(src), {"a": {"low": 0}})
+
+
+def test_mk_trend_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """The streaming Mann-Kendall monitor's snapshot equals
+    mann_kendall_test over the rows seen so far — exact incremental S,
+    tie-corrected variance off the histogram state, identical
+    continuity-corrected z trees — and state survives a checkpoint
+    restart. A planted monotone key must flip to 'increasing'."""
+    from morphik_core_spark.operators.analytics import mann_kendall_test
+    from morphik_core_spark.streaming.stateful import mk_trend_stream
+
+    schema = "key string, idx long, value long"
+    # key a: trending with ties; key b: flat noise
+    batch1 = [("a", i, 10 + i + (i % 3 == 0) * 0) for i in range(12)] + [
+        ("b", i, 50 + (i % 2)) for i in range(10)
+    ]
+    batch2 = [("a", 12 + i, 30 + 2 * i) for i in range(10)] + [
+        ("b", 10 + i, 50 + ((i + 1) % 2)) for i in range(6)
+    ]
+
+    src, out, chk = (str(tmp_path / d) for d in ("min", "mout", "mchk"))
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            mk_trend_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+
+    run_once(batch1)
+    run_once(batch2)
+    rows = spark.read.parquet(out).collect()
+    by = {(r["key"], r["batch_seq"]): r for r in rows}
+    assert by[("a", 1)]["n_points"] == 12 and by[("a", 2)]["n_points"] == 22
+
+    def batch_mk(key, seen):
+        df = spark.createDataFrame(
+            [(i, v) for k, i, v in seen if k == key], "i long, y long"
+        )
+        [r] = mann_kendall_test(df, "i", "y").collect()
+        return r
+
+    for key, seq, seen in [
+        ("a", 1, batch1),
+        ("a", 2, batch1 + batch2),
+        ("b", 2, batch1 + batch2),
+    ]:
+        want = batch_mk(key, seen)
+        got = by[(key, seq)]
+        assert (
+            got["n_points"], got["s_stat"], got["var_s"], got["z"], got["trend"]
+        ) == (
+            want["n_points"], want["s_stat"], want["var_s"], want["z"], want["trend"]
+        ), (key, seq)
+    assert by[("a", 2)]["trend"] == "increasing"
+    assert by[("b", 2)]["trend"] == "none"
