@@ -7766,6 +7766,71 @@ def _q_page_week_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_theta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method one-step forecast backtest (`analytics.
+    theta_forecast`, alpha 0.5) over daily event volume — the M3
+    classic completing the forecasting family (holt_linear additive
+    trend, Holt-Winters additive/multiplicative seasonal, theta = SES
+    + half the expanding OLS drift). Driver-side integer-micro
+    recursion with exact integer prefix sums for the slope."""
+    from morphik_core_spark.operators.analytics import theta_forecast
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return theta_forecast(daily, "di", "y", alpha=0.5)
+
+
+def _theta_oracle_sql(alpha: float = 0.5) -> str:
+    """Generate the theta_daily oracle: the holt-family recursive-CTE
+    pattern carrying the exact integer prefix sums (Σi, Σy, Σiy, Σi²)
+    plus the SES level — `analytics.theta_forecast` verbatim (the
+    emitted level is the PRE-update l_{t-1}, carried as lprev)."""
+    a = f"CAST({alpha!r} AS DOUBLE)"
+    om = f"CAST({1.0 - alpha!r} AS DOUBLE)"
+    drift = (
+        "CAST(ROUND(0.5 * (CAST(th.rn * th.siy - th.si * th.sy AS DOUBLE) * 1000000.0 "
+        "/ CAST(th.rn * th.sii - th.si * th.si AS DOUBLE))) AS BIGINT)"
+    )
+    lnew = f"CAST(ROUND({a} * (o.y * 1000000) + {om} * th.l) AS BIGINT)"
+    return f"""
+            WITH RECURSIVE d AS (
+                SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS y
+                FROM events GROUP BY 1
+            ),
+            o AS (SELECT di, y, ROW_NUMBER() OVER (ORDER BY di) AS rn FROM d),
+            n AS (SELECT COUNT(*) AS nn FROM o),
+            th(rn, l, lprev, si, sy, siy, sii, drift, f) AS (
+                SELECT 1,
+                       CAST(y * 1000000 AS BIGINT), CAST(NULL AS BIGINT),
+                       CAST(di AS HUGEINT), CAST(y AS HUGEINT),
+                       CAST(di AS HUGEINT) * y, CAST(di AS HUGEINT) * di,
+                       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+                FROM o WHERE rn = 1
+                UNION ALL
+                SELECT th.rn + 1,
+                       {lnew},
+                       th.l,
+                       th.si + o.di, th.sy + o.y,
+                       th.siy + CAST(o.di AS HUGEINT) * o.y,
+                       th.sii + CAST(o.di AS HUGEINT) * o.di,
+                       CASE WHEN th.rn >= 2 THEN {drift} ELSE CAST(NULL AS BIGINT) END,
+                       CASE WHEN th.rn >= 2 THEN th.l + {drift} ELSE CAST(NULL AS BIGINT) END
+                FROM th JOIN o ON o.rn = th.rn + 1 CROSS JOIN n
+                WHERE th.rn < n.nn
+            )
+            SELECT o.di, o.y,
+                   ROUND(CAST(th.lprev AS DOUBLE) / 1e6, 6) AS level,
+                   ROUND(CAST(th.drift AS DOUBLE) / 1e6, 6) AS drift,
+                   ROUND(CAST(th.f AS DOUBLE) / 1e6, 6) AS forecast,
+                   ROUND(CAST(o.y * 1000000 - th.f AS DOUBLE) / 1e6, 6) AS error
+            FROM th JOIN o ON o.rn = th.rn
+            WHERE th.rn >= 3
+            ORDER BY o.di
+        """
+
+
 def _q_wilcoxon_wow_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilcoxon signed-rank test (`analytics.wilcoxon_signed_rank`) on
     week-over-week daily volume: pairs = (day t, day t-7) matched BY
@@ -8410,6 +8475,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_anova_acctbal": _q_welch_anova_acctbal,
         "dagostino_profiles": _q_dagostino_profiles,
         "hl_quantity_shift": _q_hl_quantity_shift,
+        "theta_daily": _q_theta_daily,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -15568,6 +15634,7 @@ def oracle_sql() -> dict[str, str]:
             + _page_oracle_series_sql("(x0 * (10 + (di % 7))) // 10", "uplifted")
             + "\n            ORDER BY series"
         ),
+        "theta_daily": _theta_oracle_sql(0.5),
         "wilcoxon_wow_daily": """
             WITH d AS (
                 SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS y

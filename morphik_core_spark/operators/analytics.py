@@ -7249,3 +7249,83 @@ def hodges_lehmann_shift(
             ).alias("hl_shift"),
         )
     )
+
+
+def theta_forecast(
+    df: DataFrame,
+    idx_col: str,
+    val_col: str,
+    alpha: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Theta-method one-step-ahead forecast backtest — the M3-winning
+    member of the forecasting family beside `holt_linear` (additive
+    trend) and the Holt-Winters pair (seasonal): per the
+    Hyndman-Billah equivalence, the classic Theta(0,2) forecast is SES
+    plus HALF the linear trend slope as drift. Here the drift is the
+    EXPANDING-window OLS slope through the points seen so far (no
+    future leakage — the honest backtest form):
+
+        ŷ_t = l_{t−1} + b_{t−1}/2
+        l_t = α·y_t + (1−α)·l_{t−1}
+        b_t = OLS slope of (i, y) over points 0..t
+
+    Same boundary contract as the holt family: the recursion runs at
+    the driver over the pre-aggregated dimension-sized series in
+    integer micro-units; the slope numerator/denominator are EXACT
+    integer prefix sums (k·Σiy − Σi·Σy over k·Σi² − (Σi)²) with one
+    double division per step, micro-quantized half-away — the DuckDB
+    oracle replays the identical trees as a recursive CTE carrying the
+    running sums.
+
+    Output per index from the THIRD point on (two points seed the
+    first slope): (idx, value, level, drift, forecast, error) —
+    forecast made BEFORE seeing y_t. Raises under 3 points; a constant
+    index (den = 0 beyond the seed) cannot occur on distinct indexes.
+    """
+    import math as _math
+
+    def _rha(x: float) -> int:
+        return int(_math.floor(x + 0.5)) if x >= 0 else int(_math.ceil(x - 0.5))
+
+    rows = sorted(
+        (int(r[0]), int(r[1]))
+        for r in df.select(idx_col, val_col).collect()
+        if r[0] is not None and r[1] is not None
+    )
+    if len(rows) < 3:
+        raise ValueError("theta_forecast needs at least 3 points")
+    out = []
+    si = siy = sy = sii = 0
+    l = None
+    k = 0
+    for i, y in rows:
+        if k >= 2:
+            num = k * siy - si * sy
+            den = k * sii - si * si
+            drift = _rha(0.5 * (float(num) * 1e6 / float(den)))
+            f = l + drift
+            out.append(
+                (
+                    i,
+                    y,
+                    round(l / 1e6, decimals),
+                    round(drift / 1e6, decimals),
+                    round(f / 1e6, decimals),
+                    round((y * 1_000_000 - f) / 1e6, decimals),
+                )
+            )
+        l = y * 1_000_000 if l is None else _rha(
+            alpha * float(y * 1_000_000) + (1.0 - alpha) * float(l)
+        )
+        si += i
+        sy += y
+        siy += i * y
+        sii += i * i
+        k += 1
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out,
+        f"{idx_col} bigint, {val_col} bigint, level double, drift double, "
+        "forecast double, error double",
+    ).orderBy(idx_col)

@@ -3293,6 +3293,16 @@ def main() -> None:
 
         report("hodges_lehmann", hl, li1k, li10k)
 
+        from morphik_core_spark.operators.analytics import theta_forecast
+
+        def theta(e):
+            daily = e.groupBy(
+                F.expr("unix_micros(ts) div 86400000000").alias("di")
+            ).agg(F.count(F.lit(1)).alias("y"))
+            mat(theta_forecast(daily, "di", "y", alpha=0.5))
+
+        report("theta_forecast", theta, ev1k, ev10k)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

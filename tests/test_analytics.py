@@ -2727,3 +2727,49 @@ def test_hodges_lehmann_matches_bruteforce(spark):
         big_a = spark.createDataFrame([(i,) for i in range(300)], "v long")
         big_b = spark.createDataFrame([(i * 7,) for i in range(300)], "v long")
         hodges_lehmann_shift(big_a, big_b, "v", max_grid_cells=1000).collect()
+
+
+def test_theta_forecast_matches_bruteforce(spark):
+    """The distributed op replays the hand recursion exactly (SES in
+    integer micros + half the expanding OLS slope as drift, no future
+    leakage); on a clean linear trend the drift converges to slope/2
+    and the forecast tracks with a constant positive bias of slope/2."""
+    from morphik_core_spark.operators.analytics import theta_forecast
+
+    import hashlib
+    import math
+
+    def _rha(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    rows = [
+        (i, 100 + 3 * i + int(hashlib.md5(f"th{i}".encode()).hexdigest()[:4], 16) % 7)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "di long, y long")
+    got = theta_forecast(df, "di", "y", alpha=0.5).collect()
+
+    si = sy = siy = sii = k = 0
+    l = None
+    expect = []
+    for i, y in rows:
+        if k >= 2:
+            num = k * siy - si * sy
+            den = k * sii - si * si
+            drift = _rha(0.5 * (float(num) * 1e6 / float(den)))
+            f = l + drift
+            expect.append((i, y, round(l / 1e6, 6), round(drift / 1e6, 6),
+                           round(f / 1e6, 6), round((y * 10**6 - f) / 1e6, 6)))
+        l = y * 10**6 if l is None else _rha(0.5 * float(y * 10**6) + 0.5 * float(l))
+        si += i; sy += y; siy += i * y; sii += i * i; k += 1
+    assert [tuple(r) for r in got] == expect
+    assert len(got) == 28 and got[0]["di"] == 2
+    # late-series drift ~ slope/2 = 1.5
+    assert abs(got[-1]["drift"] - 1.5) < 0.2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least 3"):
+        theta_forecast(
+            spark.createDataFrame(rows[:2], "di long, y long"), "di", "y"
+        ).collect()

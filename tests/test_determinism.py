@@ -240,6 +240,8 @@ SENSITIVE = [
     "welch_anova_acctbal",
     "dagostino_profiles",
     "hl_quantity_shift",
+    # driver-side SES + exact-prefix-sum drift recursion
+    "theta_daily",
 ]
 
 
