@@ -7766,6 +7766,44 @@ def _q_page_week_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cronbach_dow_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha (`analytics.cronbach_alpha`) treating the event
+    types as k parallel "items" each measuring daily traffic — the
+    internal-consistency question beside `rater_agreement`'s kappa: if
+    the type series all follow the shared daily-volume construct, alpha
+    is high; independent per-type noise drives it toward 0. Implicit
+    zero cells are exact (count semantics); exact DECIMAL moments with
+    per-item variance terms quantized 1e-12."""
+    from morphik_core_spark.operators.analytics import cronbach_alpha
+
+    events = _t(spark, sf_dir, "events")
+    rows = events.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("di"),
+        "event_type",
+        F.lit(1).alias("one"),
+    )
+    return cronbach_alpha(rows, "di", "event_type", "one")
+
+
+def _q_kendall_w_dow_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W concordance (`analytics.kendall_w`): how strongly do
+    the days AGREE on the ranking of the event types — the 0..1
+    effect-size companion to `friedman_dow_types`' significance
+    statistic, sharing its doubled-midrank machinery and adding the
+    classical tie correction. chi2 = m(k-1)W rides along."""
+    from morphik_core_spark.operators.analytics import kendall_w
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    events = _t(spark, sf_dir, "events")
+    daily = scoped_persist(
+        events.groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("di"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("x"))
+    )
+    return kendall_w(daily, "di", "event_type", "x")
+
+
 def _q_theta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-method one-step forecast backtest (`analytics.
     theta_forecast`, alpha 0.5) over daily event volume — the M3
@@ -8476,6 +8514,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dagostino_profiles": _q_dagostino_profiles,
         "hl_quantity_shift": _q_hl_quantity_shift,
         "theta_daily": _q_theta_daily,
+        "cronbach_dow_types": _q_cronbach_dow_types,
+        "kendall_w_dow_types": _q_kendall_w_dow_types,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
         "token_entropy_profile": _q_token_entropy_profile,
@@ -15634,6 +15674,82 @@ def oracle_sql() -> dict[str, str]:
             + _page_oracle_series_sql("(x0 * (10 + (di % 7))) // 10", "uplifted")
             + "\n            ORDER BY series"
         ),
+        "cronbach_dow_types": """
+            WITH cells AS (
+                SELECT epoch_us(ts) // 86400000000 AS di,
+                       CAST(event_type AS VARCHAR) AS t,
+                       SUM(1) AS x
+                FROM events GROUP BY 1, 2
+            ),
+            nobs AS (SELECT COUNT(DISTINCT di) AS n FROM cells),
+            per_item AS (
+                SELECT t, SUM(CAST(x AS HUGEINT)) AS s1,
+                       SUM(CAST(x AS HUGEINT) * x) AS s2
+                FROM cells GROUP BY 1
+            ),
+            items AS (
+                SELECT COUNT(*) AS k,
+                       SUM(CAST(ROUND(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST((SELECT n FROM nobs) AS DOUBLE)) / (CAST((SELECT n FROM nobs) AS DOUBLE) - 1.0)) * 1e12) AS HUGEINT)) AS sv
+                FROM per_item
+            ),
+            totals AS (
+                SELECT SUM(CAST(td AS HUGEINT)) AS t1,
+                       SUM(CAST(td AS HUGEINT) * td) AS t2
+                FROM (SELECT di, SUM(x) AS td FROM cells GROUP BY 1)
+            )
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST((SELECT n FROM nobs) AS BIGINT) AS n_obs,
+                   CASE WHEN k < 2 OR (SELECT n FROM nobs) < 2 OR (((CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / CAST((SELECT n FROM nobs) AS DOUBLE)) / (CAST((SELECT n FROM nobs) AS DOUBLE) - 1.0))) <= 0 THEN NULL
+                   ELSE ROUND((CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0) * (1.0 - (CAST(sv AS DOUBLE) / 1e12) / (((CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / CAST((SELECT n FROM nobs) AS DOUBLE)) / (CAST((SELECT n FROM nobs) AS DOUBLE) - 1.0))))), 6) END AS alpha
+            FROM items CROSS JOIN totals
+        """,
+        "kendall_w_dow_types": """
+            WITH daily AS (
+                SELECT CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS b,
+                       CAST(event_type AS VARCHAR) AS t,
+                       CAST(COUNT(*) AS BIGINT) AS v
+                FROM events GROUP BY 1, 2
+            ),
+            kt AS (SELECT COUNT(DISTINCT t) AS k_total FROM daily),
+            full_blocks AS (
+                SELECT b FROM daily GROUP BY b
+                HAVING COUNT(DISTINCT t) = (SELECT k_total FROM kt)
+            ),
+            rows_ AS (
+                SELECT d.b, d.t, d.v FROM daily d
+                SEMI JOIN full_blocks fb ON d.b = fb.b
+            ),
+            grid AS (SELECT b, v, COUNT(*) AS c FROM rows_ GROUP BY 1, 2),
+            rg AS (
+                SELECT b, v, c,
+                       2 * COALESCE(SUM(c) OVER (PARTITION BY b ORDER BY v ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + c + 1 AS r2
+                FROM grid
+            ),
+            ranked AS (
+                SELECT r.b, r.t, g.r2 FROM rows_ r
+                JOIN rg g ON r.b = g.b AND r.v = g.v
+            ),
+            per_t AS (SELECT t, SUM(CAST(r2 AS HUGEINT)) AS R2 FROM ranked GROUP BY 1),
+            ties AS (
+                SELECT COALESCE(SUM(CAST(c AS HUGEINT) * c * c - c), 0) AS tt,
+                       COUNT(DISTINCT b) AS n_blocks
+                FROM grid
+            ),
+            agg AS (
+                SELECT COUNT(*) AS k,
+                       SUM(CAST(R2 AS HUGEINT) * R2) AS sq2,
+                       SUM(R2) AS sum2
+                FROM per_t
+            )
+            SELECT CAST(k AS BIGINT) AS k, CAST(n_blocks AS BIGINT) AS n_blocks,
+                   CASE WHEN k < 2 OR n_blocks = 0 OR (CAST(n_blocks AS DOUBLE) * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - CAST(k AS DOUBLE)) - CAST(n_blocks AS DOUBLE) * CAST(tt AS DOUBLE)) <= 0 THEN NULL ELSE
+                   ROUND((3.0 * (CAST(sq2 AS DOUBLE) - 2.0 * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) * CAST(sum2 AS DOUBLE) + CAST(k AS DOUBLE) * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)) / (CAST(n_blocks AS DOUBLE) * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - CAST(k AS DOUBLE)) - CAST(n_blocks AS DOUBLE) * CAST(tt AS DOUBLE))), 6) END AS w,
+                   CASE WHEN k < 2 OR n_blocks = 0 OR (CAST(n_blocks AS DOUBLE) * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - CAST(k AS DOUBLE)) - CAST(n_blocks AS DOUBLE) * CAST(tt AS DOUBLE)) <= 0 THEN NULL ELSE
+                   ROUND(CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0) * (3.0 * (CAST(sq2 AS DOUBLE) - 2.0 * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) * CAST(sum2 AS DOUBLE) + CAST(k AS DOUBLE) * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)) / (CAST(n_blocks AS DOUBLE) * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - CAST(k AS DOUBLE)) - CAST(n_blocks AS DOUBLE) * CAST(tt AS DOUBLE))), 6) END AS chi2
+            FROM agg CROSS JOIN ties
+        """,
         "theta_daily": _theta_oracle_sql(0.5),
         "wilcoxon_wow_daily": """
             WITH d AS (

@@ -7329,3 +7329,173 @@ def theta_forecast(
         f"{idx_col} bigint, {val_col} bigint, level double, drift double, "
         "forecast double, error double",
     ).orderBy(idx_col)
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    obs_col: str,
+    item_col: str,
+    val_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient — the
+    reliability member beside `rater_agreement`'s chance-corrected
+    kappa: do k parallel item series (event types per day, quality
+    sub-scores per document) measure the same underlying construct?
+
+        alpha = k/(k-1) * (1 - SUM_i var_i / var_total)
+
+    with var_i each item's variance over observations and var_total
+    the variance of the per-observation TOTAL score (sample variance,
+    ddof=1, documented). Cells absent from the input are exact ZEROS
+    (count semantics): per-item moments use the observation count n
+    from the OBSERVATION grid, so no dense obs x item materialization
+    is ever needed — one (obs, item) groupBy for item sums, one obs
+    rollup for total sums, exact DECIMAL(38,0) moments, per-item
+    variance terms quantized ROUND(·1e12) before the k-sum, one double
+    tree rounded once.
+
+    Output ONE row: (k, n_obs, alpha) — NULL when var_total
+    degenerates or k < 2.
+    """
+    base = df.filter(
+        F.col(obs_col).isNotNull() & F.col(item_col).isNotNull() & F.col(val_col).isNotNull()
+    ).select(
+        F.col(obs_col).cast("string").alias("_o"),
+        F.col(item_col).cast("string").alias("_t"),
+        F.col(val_col).cast("bigint").alias("_v"),
+    )
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    cells = scoped_persist(
+        base.groupBy("_o", "_t").agg(F.sum("_v").alias("_x"))
+    )
+    n_obs = cells.select("_o").distinct().count()  # bounded: observations grid
+    per_item = cells.groupBy("_t").agg(
+        F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s1"),
+        F.sum(F.expr("CAST(_x AS DECIMAL(38,0)) * _x")).alias("_s2"),
+    )
+    nd = f"CAST({int(n_obs)} AS DOUBLE)"
+    # sample variance with implicit zero cells: (S2 - S1^2/n) / (n-1)
+    item_var = (
+        f"((CAST(_s2 AS DOUBLE) - CAST(_s1 AS DOUBLE) * CAST(_s1 AS DOUBLE) / {nd}) "
+        f"/ ({nd} - 1.0))"
+    )
+    items = per_item.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.expr(f"CAST(ROUND({item_var} * 1e12) AS DECIMAL(38,0))")
+        ).alias("_sv"),
+    )
+    totals = cells.groupBy("_o").agg(F.sum("_x").alias("_td")).agg(
+        F.sum(F.col("_td").cast("decimal(38,0)")).alias("_t1"),
+        F.sum(F.expr("CAST(_td AS DECIMAL(38,0)) * _td")).alias("_t2"),
+    )
+    tot_var = (
+        f"((CAST(_t2 AS DOUBLE) - CAST(_t1 AS DOUBLE) * CAST(_t1 AS DOUBLE) / {nd}) "
+        f"/ ({nd} - 1.0))"
+    )
+    out = items.join(F.broadcast(totals))
+    kd = "CAST(k AS DOUBLE)"
+    alpha = (
+        f"({kd} / ({kd} - 1.0) "
+        f"* (1.0 - (CAST(_sv AS DOUBLE) / 1e12) / ({tot_var})))"
+    )
+    return out.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.lit(int(n_obs)).cast("bigint").alias("n_obs"),
+        F.expr(
+            f"CASE WHEN k < 2 OR {int(n_obs)} < 2 OR ({tot_var}) <= 0 THEN NULL "
+            f"ELSE ROUND({alpha}, {int(decimals)}) END"
+        ).alias("alpha"),
+    )
+
+
+def kendall_w(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    val_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Kendall's W coefficient of concordance — the 0..1 effect-size
+    companion to `friedman_test`'s significance (and, via
+    chi2 = m(k-1)W, its algebraic sibling): how strongly do the m
+    blocks AGREE on the ranking of the k treatments (1 = every day
+    ranks the event types identically, 0 = no agreement), with the
+    standard tie correction:
+
+        W = 12 S / (m^2 (k^3 - k) - m T),
+        S = SUM_j (R_j - m(k+1)/2)^2,  T = SUM_blocks SUM_ties (t^3-t)
+
+    Shares `friedman_test`'s machinery verbatim (complete blocks,
+    DOUBLED within-block average tie ranks): 4S and T are exact
+    DECIMAL(38,0) integers, W is one double tree rounded once.
+
+    Output ONE row: (k, n_blocks, w, chi2) with chi2 = m(k-1)W —
+    NULL when the tie-corrected denominator degenerates (all values
+    tied in every block).
+    """
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    base = df.select(
+        F.col(block_col).cast("string").alias("_b"),
+        F.col(treatment_col).cast("string").alias("_t"),
+        F.col(val_col).cast("bigint").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    k_total = base.select("_t").distinct().count()  # bounded: treatments
+    full_blocks = (
+        base.groupBy("_b")
+        .agg(F.count_distinct("_t").alias("_kt"))
+        .filter(F.col("_kt") == k_total)
+        .select("_b")
+    )
+    rows = scoped_persist(base.join(F.broadcast(full_blocks), "_b", "left_semi"))
+    w_cum = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = rows.groupBy("_b", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    ranked_grid = grid.withColumn(
+        "_r2",
+        2 * F.coalesce(F.sum("_c").over(w_cum), F.lit(0)) + F.col("_c") + 1,
+    )
+    ranked = rows.join(ranked_grid, ["_b", "_v"])
+    per_t = ranked.groupBy("_t").agg(
+        F.sum(F.col("_r2").cast("decimal(38,0)")).alias("_R2"),
+    )
+    ties = grid.agg(
+        F.coalesce(
+            F.sum(F.expr("CAST(_c AS DECIMAL(38,0)) * _c * _c - _c")), F.lit(0).cast("decimal(38,0)")
+        ).alias("_T"),
+        F.count_distinct("_b").alias("n_blocks"),
+    )
+    agg = per_t.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.expr("CAST(_R2 AS DECIMAL(38,0)) * _R2")).alias("_sq2"),
+        F.sum("_R2").alias("_sum2"),
+    ).join(F.broadcast(ties))
+    kd, md = "CAST(k AS DOUBLE)", "CAST(n_blocks AS DOUBLE)"
+    # 4S = SUM (2R_j)^2 - 2*(m(k+1))*SUM(2R_j) + k*(m(k+1))^2, exact ints
+    s4 = (
+        f"(CAST(_sq2 AS DOUBLE) - 2.0 * {md} * ({kd} + 1.0) * CAST(_sum2 AS DOUBLE) "
+        f"+ {kd} * {md} * ({kd} + 1.0) * {md} * ({kd} + 1.0))"
+    )
+    den = (
+        f"({md} * {md} * ({kd} * {kd} * {kd} - {kd}) "
+        f"- {md} * CAST(_T AS DOUBLE))"
+    )
+    w_expr = f"(3.0 * {s4} / {den})"
+    return agg.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.expr(
+            f"CASE WHEN k < 2 OR n_blocks = 0 OR {den} <= 0 THEN NULL ELSE "
+            f"ROUND({w_expr}, {int(decimals)}) END"
+        ).alias("w"),
+        F.expr(
+            f"CASE WHEN k < 2 OR n_blocks = 0 OR {den} <= 0 THEN NULL ELSE "
+            f"ROUND({md} * ({kd} - 1.0) * {w_expr}, {int(decimals)}) END"
+        ).alias("chi2"),
+    )

@@ -3303,6 +3303,46 @@ def main() -> None:
 
         report("theta_forecast", theta, ev1k, ev10k)
 
+        from morphik_core_spark.operators.analytics import cronbach_alpha, kendall_w
+
+        evt1 = load_table(spark, "events", SF_DIR).select("event_id", "ts", "event_type")
+
+        def tile_evt(df, name):
+            parts = [
+                df.select(
+                    (F.col("event_id") * 10 + k).alias("event_id"),
+                    (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+                    "event_type",
+                )
+                for k in range(10)
+            ]
+            out = parts[0]
+            for v in parts[1:]:
+                out = out.unionByName(v)
+            pth = os.path.join(tmp, name)
+            out.write.mode("overwrite").parquet(pth)
+            return spark.read.parquet(pth)
+
+        evt10 = tile_evt(evt1, "r11_evt10")
+
+        def cron(e):
+            rows = e.withColumn("one", F.lit(1)).select(
+                F.expr("unix_micros(ts) div 86400000000").alias("di"),
+                F.col("event_type"), "one",
+            )
+            mat(cronbach_alpha(rows, "di", "event_type", "one"))
+
+        report("cronbach", cron, evt1, evt10)
+
+        def kw(e):
+            daily = e.groupBy(
+                F.expr("unix_micros(ts) div 86400000000").alias("di"),
+                "event_type",
+            ).agg(F.count(F.lit(1)).alias("x"))
+            mat(kendall_w(daily, "di", "event_type", "x"))
+
+        report("kendall_w", kw, evt1, evt10)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

@@ -2773,3 +2773,103 @@ def test_theta_forecast_matches_bruteforce(spark):
         theta_forecast(
             spark.createDataFrame(rows[:2], "di long, y long"), "di", "y"
         ).collect()
+
+
+def test_cronbach_alpha_matches_closed_form(spark):
+    """Hand-computed alpha on a small obs x item table with an implicit
+    zero cell; strongly parallel items give alpha near 1, independent
+    noise near 0; constant totals -> NULL."""
+    from morphik_core_spark.operators.analytics import cronbach_alpha
+
+    import hashlib
+
+    def h(s, m):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % m
+
+    # 3 items tracking a shared signal + small noise; one missing cell
+    rows = []
+    for o in range(12):
+        sig = 10 * o
+        for t in ("a", "b", "c"):
+            if o == 5 and t == "c":
+                continue  # implicit zero cell
+            rows.append((f"o{o}", t, sig + h(f"{o}{t}", 5)))
+    df = spark.createDataFrame(rows, "o string, t string, v long")
+    [r] = cronbach_alpha(df, "o", "t", "v").collect()
+
+    from collections import defaultdict
+
+    table = defaultdict(dict)
+    for o, t, v in rows:
+        table[o][t] = v
+    obs = sorted(table)
+    items = ["a", "b", "c"]
+    n = len(obs)
+
+    def var(xs):
+        m = sum(xs) / n
+        return sum((x - m) ** 2 for x in xs) / (n - 1)
+
+    sv = sum(var([table[o].get(t, 0) for o in obs]) for t in items)
+    vt = var([sum(table[o].get(t, 0) for t in items) for o in obs])
+    expect = 3 / 2 * (1 - sv / vt)
+    assert r["k"] == 3 and r["n_obs"] == 12
+    assert abs(r["alpha"] - expect) < 1e-6
+    assert r["alpha"] > 0.9
+
+    noise = [(f"o{o}", t, h(f"n{o}{t}", 50)) for o in range(20) for t in ("a", "b", "c")]
+    [rn] = cronbach_alpha(
+        spark.createDataFrame(noise, "o string, t string, v long"), "o", "t", "v"
+    ).collect()
+    assert rn["alpha"] < 0.5
+
+    const = [(f"o{o}", t, 5) for o in range(6) for t in ("a", "b")]
+    [rc] = cronbach_alpha(
+        spark.createDataFrame(const, "o string, t string, v long"), "o", "t", "v"
+    ).collect()
+    assert rc["alpha"] is None
+
+
+def test_kendall_w_agreement_and_friedman_relation(spark):
+    """Perfectly concordant blocks give W = 1; shuffled rankings sit
+    near 0; with ties W reproduces the hand formula, and chi2 equals
+    m(k-1)W exactly."""
+    from morphik_core_spark.operators.analytics import friedman_test, kendall_w
+
+    import hashlib
+
+    perfect = [
+        (f"b{b}", t, j * 10 + b) for b in range(8) for j, t in enumerate("wxyz")
+    ]
+    [rp] = kendall_w(
+        spark.createDataFrame(perfect, "b string, t string, v long"), "b", "t", "v"
+    ).collect()
+    assert rp["w"] == 1.0 and rp["chi2"] == 8 * 3 * 1.0
+
+    def h(s, m):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % m
+
+    rand = [(f"b{b}", t, h(f"{b}{t}", 97)) for b in range(12) for t in "wxyz"]
+    [rr] = kendall_w(
+        spark.createDataFrame(rand, "b string, t string, v long"), "b", "t", "v"
+    ).collect()
+    assert rr["w"] < 0.3
+
+    # tied fixture: hand formula with midranks + tie correction
+    tied = []
+    for b in range(6):
+        vals = [5, 5, 9, 1]  # tie in every block
+        for j, t in enumerate("wxyz"):
+            tied.append((f"b{b}", t, vals[j]))
+    df = spark.createDataFrame(tied, "b string, t string, v long")
+    [rt] = kendall_w(df, "b", "t", "v").collect()
+    m, k = 6, 4
+    ranks = {"w": 2.5, "x": 2.5, "y": 4.0, "z": 1.0}
+    S = sum((m * rk - m * (k + 1) / 2) ** 2 for rk in ranks.values())
+    T = m * (2**3 - 2)
+    expect = 12 * S / (m * m * (k**3 - k) - m * T)
+    assert abs(rt["w"] - expect) < 1e-9
+    # friedman's statistic is NOT m(k-1)W under ties (Conover form
+    # differs), but both must agree the effect is strong here
+    [rf] = friedman_test(df, "b", "t", "v").collect()
+    assert rt["w"] > 0.9 and rf["t_stat"] > 10

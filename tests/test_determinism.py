@@ -242,6 +242,9 @@ SENSITIVE = [
     "hl_quantity_shift",
     # driver-side SES + exact-prefix-sum drift recursion
     "theta_daily",
+    # 1e-12-quantized per-item variances; doubled-midrank concordance
+    "cronbach_dow_types",
+    "kendall_w_dow_types",
 ]
 
 
