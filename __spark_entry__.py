@@ -7766,6 +7766,127 @@ def _q_page_week_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cochran_q_dow_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (`analytics.cochran_q`): reduce each (day, event
+    type) cell to ONE BIT — was this an above-median day for that type
+    (vs the type's own lower-median daily volume) — and ask whether the
+    k types differ in above-median-day RATE within day blocks. The
+    binary sibling of `friedman_dow_types` (ranks) and
+    `kendall_w_dow_types` (concordance); everything integer to one
+    division."""
+    from pyspark.sql import Window
+
+    from morphik_core_spark.operators.analytics import cochran_q
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    events = _t(spark, sf_dir, "events")
+    daily = scoped_persist(
+        events.groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("di"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("x"))
+    )
+    # per-type lower median of its daily counts (type x count grid,
+    # bounded; the brown_forsythe cum*2 >= n convention)
+    grid = daily.groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("x").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = Window.partitionBy("event_type")
+    med = (
+        grid.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("nt", F.sum("c").over(w_n))
+        .filter(F.expr("cum * 2 >= nt"))
+        .groupBy("event_type")
+        .agg(F.min("x").alias("med"))
+    )
+    flags = daily.join(F.broadcast(med), "event_type").select(
+        "di", "event_type", (F.col("x") > F.col("med")).cast("int").alias("f")
+    )
+    return cochran_q(flags, "di", "event_type", "f")
+
+
+def _q_lilliefors_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lilliefors one-sample normality statistic (`analytics.
+    lilliefors_stat`) on the same two columns as `dagostino_profiles`
+    (near-normal daily volume, skewed document length) — the CDF-shape
+    check beside the moments check: together they split "non-normal
+    because skewed/kurtotic" from "non-normal in shape with normal
+    moments". Shared A&S Phi tree, bucketed-prefix ECDF, raw statistic
+    (the ~0.886/sqrt(n) 5% bound is external)."""
+    from morphik_core_spark.operators.analytics import lilliefors_stat
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    docs = _t(spark, sf_dir, "documents")
+    a = lilliefors_stat(daily, "y")
+    b = lilliefors_stat(docs, "n_chars")
+    return (
+        a.select(F.lit("daily_volume").alias("series"), "n", "mean", "std", "d_stat")
+        .unionByName(
+            b.select(F.lit("doc_length").alias("series"), "n", "mean", "std", "d_stat")
+        )
+        .orderBy("series")
+    )
+
+
+def _lilliefors_oracle_series_sql(src_sql: str, label: str) -> str:
+    """One lilliefors_profiles series: ECDF grid + the SAME A&S 26.2.17
+    Phi expression the Spark plan uses (`analytics._AS_NORMAL_SF`) —
+    exp/+,*,/ only, bit-identical doubles across engines."""
+    from morphik_core_spark.operators.analytics import _AS_NORMAL_SF
+
+    nd = "CAST(n AS DOUBLE)"
+    mean = f"(CAST(s1 AS DOUBLE) / {nd})"
+    s = (
+        f"(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / {nd}) "
+        f"/ ({nd} - 1.0)))"
+    )
+    z = f"((CAST(v AS DOUBLE) - {mean}) / {s})"
+    sf = _AS_NORMAL_SF.format(z=f"abs({z})")
+    phi = f"(CASE WHEN {z} >= 0.0 THEN 1.0 - {sf} ELSE {sf} END)"
+    gap = (
+        f"greatest(CAST(cum AS DOUBLE) / {nd} - {phi}, "
+        f"{phi} - CAST(cum - lv AS DOUBLE) / {nd})"
+    )
+    den_ok = (
+        f"(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / {nd})"
+    )
+    guard = f"n < 4 OR {den_ok} <= 0"
+    return f"""
+            SELECT '{label}' AS series, * FROM (
+            WITH vals AS (
+                SELECT v, COUNT(*) AS lv FROM ({src_sql}) GROUP BY 1
+            ),
+            mom AS (
+                SELECT SUM(lv) AS n,
+                       SUM(CAST(v AS HUGEINT) * lv) AS s1,
+                       SUM(CAST(v AS HUGEINT) * v * lv) AS s2
+                FROM vals
+            ),
+            cums AS (
+                SELECT v, lv,
+                       SUM(lv) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum
+                FROM vals
+            ),
+            agg AS (
+                SELECT MAX(n) AS n, MAX(s1) AS s1, MAX(s2) AS s2,
+                       MAX(CASE WHEN {den_ok} <= 0 THEN NULL ELSE {gap} END) AS d
+                FROM cums CROSS JOIN mom
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CASE WHEN {guard} THEN NULL ELSE ROUND({mean}, 6) END AS mean,
+                   CASE WHEN {guard} THEN NULL ELSE ROUND({s}, 6) END AS std,
+                   CASE WHEN {guard} THEN NULL ELSE ROUND(d, 6) END AS d_stat
+            FROM agg
+            )
+    """
+
+
 def _q_cronbach_dow_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cronbach's alpha (`analytics.cronbach_alpha`) treating the event
     types as k parallel "items" each measuring daily traffic — the
@@ -8515,6 +8636,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hl_quantity_shift": _q_hl_quantity_shift,
         "theta_daily": _q_theta_daily,
         "cronbach_dow_types": _q_cronbach_dow_types,
+        "cochran_q_dow_types": _q_cochran_q_dow_types,
+        "lilliefors_profiles": _q_lilliefors_profiles,
         "kendall_w_dow_types": _q_kendall_w_dow_types,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
@@ -15672,6 +15795,65 @@ def oracle_sql() -> dict[str, str]:
             _page_oracle_series_sql("x0", "raw")
             + "\n            UNION ALL\n"
             + _page_oracle_series_sql("(x0 * (10 + (di % 7))) // 10", "uplifted")
+            + "\n            ORDER BY series"
+        ),
+        "cochran_q_dow_types": """
+            WITH daily AS (
+                SELECT epoch_us(ts) // 86400000000 AS di,
+                       CAST(event_type AS VARCHAR) AS t,
+                       CAST(COUNT(*) AS BIGINT) AS x
+                FROM events GROUP BY 1, 2
+            ),
+            grid AS (SELECT t, x, COUNT(*) AS c FROM daily GROUP BY 1, 2),
+            rk AS (
+                SELECT t, x,
+                       SUM(c) OVER (PARTITION BY t ORDER BY x ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       SUM(c) OVER (PARTITION BY t) AS nt
+                FROM grid
+            ),
+            med AS (SELECT t, MIN(x) AS med FROM rk WHERE cum * 2 >= nt GROUP BY 1),
+            flags AS (
+                SELECT d.di, d.t, CAST(d.x > m.med AS INT) AS f
+                FROM daily d JOIN med m ON d.t = m.t
+            ),
+            kt AS (SELECT COUNT(DISTINCT t) AS k_total FROM flags),
+            full_blocks AS (
+                SELECT di FROM flags GROUP BY di
+                HAVING COUNT(DISTINCT t) = (SELECT k_total FROM kt)
+            ),
+            rows_ AS (
+                SELECT f.di, f.t, f.f FROM flags f
+                SEMI JOIN full_blocks fb ON f.di = fb.di
+            ),
+            gt AS (
+                SELECT COUNT(*) AS k,
+                       SUM(CAST(g AS HUGEINT)) AS sg,
+                       SUM(CAST(g AS HUGEINT) * g) AS sg2
+                FROM (SELECT t, SUM(f) AS g FROM rows_ GROUP BY 1)
+            ),
+            bt AS (
+                SELECT COUNT(*) AS n_blocks,
+                       SUM(CAST(l AS HUGEINT)) AS sl,
+                       SUM(CAST(l AS HUGEINT) * l) AS sl2
+                FROM (SELECT di, SUM(f) AS l FROM rows_ GROUP BY 1)
+            )
+            SELECT CAST(k AS BIGINT) AS k, CAST(n_blocks AS BIGINT) AS n_blocks,
+                   CASE WHEN k < 2 OR n_blocks = 0 OR (CAST(k AS DOUBLE) * CAST(sl AS DOUBLE) - CAST(sl2 AS DOUBLE)) <= 0 THEN NULL ELSE
+                   ROUND(((CAST(k AS DOUBLE) - 1.0) * (CAST(k AS DOUBLE) * CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / (CAST(k AS DOUBLE) * CAST(sl AS DOUBLE) - CAST(sl2 AS DOUBLE))), 6) END AS q_stat,
+                   CAST(k - 1 AS BIGINT) AS dof
+            FROM gt CROSS JOIN bt
+        """,
+        "lilliefors_profiles": (
+            _lilliefors_oracle_series_sql(
+                "SELECT COUNT(*) AS v FROM events GROUP BY epoch_us(ts) // 86400000000",
+                "daily_volume",
+            )
+            + "\n            UNION ALL\n"
+            + _lilliefors_oracle_series_sql(
+                "SELECT CAST(n_chars AS BIGINT) AS v FROM documents WHERE n_chars IS NOT NULL",
+                "doc_length",
+            )
             + "\n            ORDER BY series"
         ),
         "cronbach_dow_types": """

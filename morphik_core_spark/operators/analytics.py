@@ -7499,3 +7499,166 @@ def kendall_w(
             f"ROUND({md} * ({kd} - 1.0) * {w_expr}, {int(decimals)}) END"
         ).alias("chi2"),
     )
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    flag_col,
+    decimals: int = 6,
+) -> DataFrame:
+    """Cochran's Q test — the BINARY-outcome member of the blocked
+    family (`friedman_test` ranks magnitudes; Q asks whether k
+    treatments differ in their success RATE when measured within each
+    of n blocks — did the event types differ in above-median-day rate,
+    did k quality filters differ in pass rate on the same documents):
+
+        Q = (k-1) * [k SUM_j G_j^2 - (SUM_j G_j)^2]
+                  / [k SUM_i L_i - SUM_i L_i^2]
+
+    with G_j treatment j's success total and L_i block i's success
+    total. EVERYTHING is exact integers in DECIMAL(38,0) — Q is one
+    double division rounded once; under H0, Q ~ chi2(k-1). Complete
+    blocks only (the friedman contract); blocks where every treatment
+    agrees (L_i = 0 or k) contribute nothing to the denominator, and a
+    fully-degenerate table emits NULL.
+
+    Output ONE row: (k, n_blocks, q_stat, dof).
+    """
+    flag = flag_col if isinstance(flag_col, Column) else F.col(flag_col)
+    base = df.select(
+        F.col(block_col).cast("string").alias("_b"),
+        F.col(treatment_col).cast("string").alias("_t"),
+        flag.cast("int").alias("_f"),
+    ).filter(F.col("_f").isNotNull())
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    k_total = base.select("_t").distinct().count()  # bounded: treatments
+    full_blocks = (
+        base.groupBy("_b")
+        .agg(F.count_distinct("_t").alias("_kt"))
+        .filter(F.col("_kt") == k_total)
+        .select("_b")
+    )
+    rows = scoped_persist(base.join(F.broadcast(full_blocks), "_b", "left_semi"))
+    per_t = rows.groupBy("_t").agg(F.sum("_f").alias("_g"))
+    per_b = rows.groupBy("_b").agg(F.sum("_f").alias("_l"))
+    gt = per_t.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("_g").cast("decimal(38,0)")).alias("_sg"),
+        F.sum(F.expr("CAST(_g AS DECIMAL(38,0)) * _g")).alias("_sg2"),
+    )
+    bt = per_b.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("_l").cast("decimal(38,0)")).alias("_sl"),
+        F.sum(F.expr("CAST(_l AS DECIMAL(38,0)) * _l")).alias("_sl2"),
+    )
+    out = gt.join(F.broadcast(bt))
+    num = (
+        "(CAST(k AS DOUBLE) * CAST(_sg2 AS DOUBLE) "
+        "- CAST(_sg AS DOUBLE) * CAST(_sg AS DOUBLE))"
+    )
+    den = "(CAST(k AS DOUBLE) * CAST(_sl AS DOUBLE) - CAST(_sl2 AS DOUBLE))"
+    q = f"((CAST(k AS DOUBLE) - 1.0) * {num} / {den})"
+    return out.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.expr(
+            f"CASE WHEN k < 2 OR n_blocks = 0 OR {den} <= 0 THEN NULL ELSE "
+            f"ROUND({q}, {int(decimals)}) END"
+        ).alias("q_stat"),
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+    )
+
+
+def lilliefors_stat(
+    df: DataFrame,
+    val_col: str,
+    value_scale: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Lilliefors (one-sample KS-vs-fitted-normal) statistic — the
+    CDF-shape normality check beside `dagostino_k2`'s moment form (K^2
+    sees skew/kurtosis; Lilliefors sees ANY shape deviation, including
+    bimodality with normal moments):
+
+        D = sup_x max(|F_n(x) - Phi(z_x)|, |F_n(x^-) - Phi(z_x)|),
+        z_x = (x - mean) / s   (sample mean and s, ddof = 1)
+
+    Phi comes from the shared Abramowitz-Stegun 26.2.17 tail
+    (`_AS_NORMAL_SF`) — exp/+,*,/ only, so Spark and DuckDB produce
+    bit-identical doubles; the ECDF runs on the quantized value grid
+    with bucketed-prefix cumulatives; D is a MAX over per-value double
+    gaps (order-free without quantization, unlike sums). Emits the raw
+    statistic — the Lilliefors null table is external (documented;
+    ~0.886/sqrt(n) at 5%).
+
+    Output ONE row: (n, mean, std, d_stat) — NULL when n < 4 or the
+    column is constant.
+    """
+    qv = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    vals = scoped_persist(
+        df.filter(F.col(val_col).isNotNull())
+        .select(qv.alias("_v"))
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("lv"))
+        .withColumn("_bkt", F.expr("CAST(floor(CAST(_v AS DOUBLE) / 1048576.0) AS BIGINT)"))
+    )
+    mom = vals.agg(
+        F.sum("lv").alias("n"),
+        F.sum(F.expr("CAST(_v AS DECIMAL(38,0)) * lv")).alias("_s1"),
+        F.sum(F.expr("CAST(_v AS DECIMAL(38,0)) * _v * lv")).alias("_s2"),
+    )
+    bsum = vals.groupBy("_bkt").agg(F.sum("lv").alias("_bl"))
+    w_b = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bprev = bsum.select(
+        "_bkt", (F.sum("_bl").over(w_b) - F.col("_bl")).alias("_before")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    frame = (
+        vals.withColumn("_in", F.sum("lv").over(w_in))
+        .join(bprev, "_bkt")
+        .select("_v", "lv", (F.col("_before") + F.col("_in")).alias("cum"))
+        .join(F.broadcast(mom))
+    )
+    nd = "CAST(n AS DOUBLE)"
+    mean = f"(CAST(_s1 AS DOUBLE) / {nd})"
+    s = (
+        f"(sqrt((CAST(_s2 AS DOUBLE) - CAST(_s1 AS DOUBLE) * CAST(_s1 AS DOUBLE) / {nd}) "
+        f"/ ({nd} - 1.0)))"
+    )
+    z = f"((CAST(_v AS DOUBLE) - {mean}) / {s})"
+    sf = _AS_NORMAL_SF.format(z=f"abs({z})")
+    phi = f"(CASE WHEN {z} >= 0.0 THEN 1.0 - {sf} ELSE {sf} END)"
+    # classical two-term form: at each grid value the signed
+    # D+ = F_n(x) - Phi and D- = Phi - F_n(x^-); their max is >= 0 at
+    # every x (F_n(x) >= F_n(x^-)) and the overall max IS sup|F_n - Phi|
+    gap = (
+        f"greatest(CAST(cum AS DOUBLE) / {nd} - {phi}, "
+        f"{phi} - CAST(cum - lv AS DOUBLE) / {nd})"
+    )
+    den_ok = (
+        f"(CAST(_s2 AS DOUBLE) - CAST(_s1 AS DOUBLE) * CAST(_s1 AS DOUBLE) / {nd})"
+    )
+    out = frame.agg(
+        F.max("n").alias("n"),
+        F.max("_s1").alias("_s1"),
+        F.max("_s2").alias("_s2"),
+        F.max(F.expr(f"CASE WHEN {den_ok} <= 0 THEN NULL ELSE {gap} END")).alias("_d"),
+    )
+    guard = f"n < 4 OR {den_ok} <= 0"
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(f"CASE WHEN {guard} THEN NULL ELSE ROUND({mean}, {int(decimals)}) END").alias("mean"),
+        F.expr(f"CASE WHEN {guard} THEN NULL ELSE ROUND({s}, {int(decimals)}) END").alias("std"),
+        F.expr(f"CASE WHEN {guard} THEN NULL ELSE ROUND(_d, {int(decimals)}) END").alias("d_stat"),
+    )

@@ -3343,6 +3343,33 @@ def main() -> None:
 
         report("kendall_w", kw, evt1, evt10)
 
+        from morphik_core_spark.operators.analytics import cochran_q, lilliefors_stat
+        from pyspark.sql import Window as _W
+
+        def cq(e):
+            daily = e.groupBy(
+                F.expr("unix_micros(ts) div 86400000000").alias("di"),
+                "event_type",
+            ).agg(F.count(F.lit(1)).alias("x"))
+            grid = daily.groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("c"))
+            w_cum = (_W.partitionBy("event_type").orderBy(F.col("x").asc())
+                     .rowsBetween(_W.unboundedPreceding, _W.currentRow))
+            med = (grid.withColumn("cum", F.sum("c").over(w_cum))
+                   .withColumn("nt", F.sum("c").over(_W.partitionBy("event_type")))
+                   .filter(F.expr("cum * 2 >= nt"))
+                   .groupBy("event_type").agg(F.min("x").alias("med")))
+            flags = daily.join(F.broadcast(med), "event_type").select(
+                "di", "event_type", (F.col("x") > F.col("med")).cast("int").alias("f"))
+            mat(cochran_q(flags, "di", "event_type", "f"))
+
+        report("cochran_q", cq, evt1, evt10)
+
+        report(
+            "lilliefors",
+            lambda d: mat(lilliefors_stat(d, "n_chars")),
+            docs1, docs10,
+        )
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

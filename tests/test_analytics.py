@@ -2873,3 +2873,106 @@ def test_kendall_w_agreement_and_friedman_relation(spark):
     # differs), but both must agree the effect is strong here
     [rf] = friedman_test(df, "b", "t", "v").collect()
     assert rt["w"] > 0.9 and rf["t_stat"] > 10
+
+
+def test_cochran_q_hand_computed(spark):
+    """Hand fixture vs the closed form; unanimous blocks cancel out of
+    the denominator; a treatment that always succeeds against ones
+    that never do drives Q to its k-1 * n ceiling."""
+    from morphik_core_spark.operators.analytics import cochran_q
+
+    # classic 3-treatment binary table
+    table = [
+        (1, 1, 0), (1, 1, 1), (0, 1, 0), (1, 0, 0), (0, 0, 0),
+        (1, 1, 1), (0, 1, 0), (1, 1, 0), (0, 0, 1), (1, 1, 0),
+    ]
+    rows = [
+        (f"b{i}", t, flag)
+        for i, block in enumerate(table)
+        for t, flag in zip("xyz", block)
+    ]
+    df = spark.createDataFrame(rows, "b string, t string, f int")
+    [r] = cochran_q(df, "b", "t", "f").collect()
+    k = 3
+    G = [sum(b[j] for b in table) for j in range(3)]
+    L = [sum(b) for b in table]
+    num = k * sum(g * g for g in G) - sum(G) ** 2
+    den = k * sum(L) - sum(l * l for l in L)
+    expect = (k - 1) * num / den
+    assert r["k"] == 3 and r["n_blocks"] == 10 and r["dof"] == 2
+    assert abs(r["q_stat"] - expect) < 1e-6  # op rounds at 6 dp
+
+    # one treatment always on, others always off: maximal disagreement
+    strong = [(f"b{i}", t, 1 if t == "x" else 0) for i in range(12) for t in "xyz"]
+    [rs] = cochran_q(
+        spark.createDataFrame(strong, "b string, t string, f int"), "b", "t", "f"
+    ).collect()
+    assert rs["q_stat"] == 24.0  # (k-1)*n for perfect split
+
+    # unanimous blocks only: denominator degenerates -> NULL
+    flat = [(f"b{i}", t, 1) for i in range(8) for t in "xyz"]
+    [rf] = cochran_q(
+        spark.createDataFrame(flat, "b string, t string, f int"), "b", "t", "f"
+    ).collect()
+    assert rf["q_stat"] is None
+
+
+def test_lilliefors_matches_bruteforce_and_regimes(spark):
+    """The distributed grid D must equal a direct computation using the
+    same A&S Phi; a near-normal synthetic scores far below the 5%
+    threshold scaled bound while uniform and exponential shapes exceed
+    it; constant column -> NULL."""
+    import hashlib
+    import math
+
+    from morphik_core_spark.operators.analytics import lilliefors_stat
+
+    def u(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 2**32
+
+    def as_phi(z):
+        t = 1.0 / (1.0 + 0.2316419 * abs(z))
+        sf = (math.exp(-abs(z) * abs(z) / 2.0) / 2.5066282746310002
+              * (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+                 + t * (-1.821255978 + t * 1.330274429))))))
+        return 1.0 - sf if z >= 0 else sf
+
+    def brute(vals):
+        n = len(vals)
+        mean = sum(vals) / n
+        s = math.sqrt(sum((x - mean) ** 2 for x in vals) / (n - 1))
+        from collections import Counter
+        cnt = Counter(vals)
+        cum = 0
+        d = -1.0
+        for v in sorted(cnt):
+            lo = cum / n
+            cum += cnt[v]
+            hi = cum / n
+            phi = as_phi((v - mean) / s)
+            d = max(d, hi - phi, phi - lo)
+        return d
+
+    normal = [round(sum(u(f"l{i}:{j}") for j in range(12)) * 1000) for i in range(400)]
+    dfn = spark.createDataFrame([(v,) for v in normal], "v long")
+    [rn] = lilliefors_stat(dfn, "v").collect()
+    assert abs(rn["d_stat"] - round(brute(normal), 6)) < 1e-9
+    thresh = 0.886 / math.sqrt(len(normal))
+    assert rn["d_stat"] < thresh
+
+    uniform = [round(u(f"q{i}") * 10000) for i in range(400)]
+    [ru] = lilliefors_stat(
+        spark.createDataFrame([(v,) for v in uniform], "v long"), "v"
+    ).collect()
+    assert abs(ru["d_stat"] - round(brute(uniform), 6)) < 1e-9
+    assert ru["d_stat"] > thresh
+
+    expo = [round(-math.log(max(u(f"x{i}"), 1e-9)) * 1000) for i in range(400)]
+    [re] = lilliefors_stat(
+        spark.createDataFrame([(v,) for v in expo], "v long"), "v"
+    ).collect()
+    assert re["d_stat"] > 2 * thresh
+
+    const = spark.createDataFrame([(5,)] * 50, "v long")
+    [rc] = lilliefors_stat(const, "v").collect()
+    assert rc["d_stat"] is None

@@ -245,6 +245,10 @@ SENSITIVE = [
     # 1e-12-quantized per-item variances; doubled-midrank concordance
     "cronbach_dow_types",
     "kendall_w_dow_types",
+    # exact-integer binary blocked test; A&S-Phi ECDF sup gaps (MAX is
+    # order-free on deterministic doubles)
+    "cochran_q_dow_types",
+    "lilliefors_profiles",
 ]
 
 
