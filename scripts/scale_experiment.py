@@ -112,6 +112,12 @@ def main() -> None:
     # stable on-disk input (clearCache() would otherwise force lazy
     # recomputation of the synthesis inside the measured window)
     tmp = tempfile.mkdtemp(prefix="scale10x_")
+    # the synthesized 10x corpora are multi-GB at sf0.1 and nothing else
+    # ever deletes them — same orphan class the shard sinks sweep
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     corpus_10x(spark, docs1).write.mode("overwrite").parquet(os.path.join(tmp, "docs10"))
     emb_10x(emb1).write.mode("overwrite").parquet(os.path.join(tmp, "emb10"))
     docs10 = spark.read.parquet(os.path.join(tmp, "docs10"))
