@@ -7766,6 +7766,114 @@ def _q_page_week_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_page_hinkley_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential change alarm (`analytics.page_hinkley`)
+    on daily event volume NORMALIZED to per-mille of its own global
+    mean (so one (delta, lambda) pair is meaningful at every sf —
+    Poisson relative noise shrinks with scale, absolute thresholds
+    don't travel). Two series (the friedman/jt precedent): RAW (the
+    alarm should stay quiet on the generator's stationary series) and
+    a +50% uplift injected into the second half of the days (the
+    detector MUST alarm after the shift point). Exact micro-integer
+    accumulator; streaming twin `streaming.stateful.
+    page_hinkley_stream` replays it bit-for-bit."""
+    from morphik_core_spark.operators.analytics import page_hinkley
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("di")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    tot = daily.agg(
+        F.sum("y").alias("sy"), F.count(F.lit(1)).alias("nd"),
+        F.min("di").alias("d0"), F.max("di").alias("d1"),
+    )
+    norm = scoped_persist(
+        daily.join(F.broadcast(tot)).select(
+            "di",
+            F.expr(
+                "CAST(ROUND(CAST(y AS DOUBLE) * 1000.0 "
+                "/ (CAST(sy AS DOUBLE) / CAST(nd AS DOUBLE))) AS BIGINT)"
+            ).alias("x"),
+            F.expr("(d0 + d1 + 1) div 2").alias("mid"),
+        )
+    )
+    raw = page_hinkley(norm.select("di", "x"), "di", "x", delta=20.0, lam=2000.0)
+    shifted = page_hinkley(
+        norm.select(
+            "di",
+            F.expr("CASE WHEN di >= mid THEN (x * 3) div 2 ELSE x END").alias("x"),
+        ),
+        "di", "x", delta=20.0, lam=2000.0,
+    )
+    return (
+        raw.select(F.lit("raw").alias("series"), "n", "n_alarms", "first_alarm_idx", "max_excess")
+        .unionByName(
+            shifted.select(
+                F.lit("shifted").alias("series"), "n", "n_alarms", "first_alarm_idx", "max_excess"
+            )
+        )
+        .orderBy("series")
+    )
+
+
+def _ph_oracle_series_sql(x_expr: str, label: str) -> str:
+    """One page_hinkley_daily series: the windowed accumulator —
+    `analytics.page_hinkley` verbatim (per-mille normalization, exact
+    micro-integer deviations, running min, alarm bookkeeping)."""
+    dev = (
+        "CAST(ROUND((CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) "
+        "- CAST(20.0 AS DOUBLE)) * 1e6) AS BIGINT)"
+    )
+    return f"""
+            SELECT '{label}' AS series, * FROM (
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS y
+                FROM events GROUP BY 1
+            ),
+            tot AS (
+                SELECT SUM(y) AS sy, COUNT(*) AS nd,
+                       MIN(di) AS d0, MAX(di) AS d1
+                FROM d
+            ),
+            norm AS (
+                SELECT di,
+                       CAST(ROUND(CAST(y AS DOUBLE) * 1000.0
+                            / (CAST(sy AS DOUBLE) / CAST(nd AS DOUBLE))) AS BIGINT) AS x0,
+                       (d0 + d1 + 1) // 2 AS mid
+                FROM d CROSS JOIN tot
+            ),
+            ser AS (SELECT di, {x_expr} AS x FROM norm),
+            pre AS (
+                SELECT di, x,
+                       SUM(x) OVER (ORDER BY di ASC ROWS UNBOUNDED PRECEDING) AS s1,
+                       COUNT(*) OVER (ORDER BY di ASC ROWS UNBOUNDED PRECEDING) AS k
+                FROM ser
+            ),
+            acc AS (
+                SELECT di,
+                       SUM({dev}) OVER (ORDER BY di ASC ROWS UNBOUNDED PRECEDING) AS m
+                FROM pre
+            ),
+            exc AS (
+                SELECT di, m,
+                       m - MIN(m) OVER (ORDER BY di ASC ROWS UNBOUNDED PRECEDING) AS e
+                FROM acc
+            ),
+            flagged AS (
+                SELECT di, e,
+                       CASE WHEN CAST(e AS DOUBLE) > 2000.0 * 1e6 THEN 1 ELSE 0 END AS alarm
+                FROM exc
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(alarm) AS BIGINT) AS n_alarms,
+                   CAST(MIN(CASE WHEN alarm = 1 THEN di END) AS BIGINT) AS first_alarm_idx,
+                   ROUND(CAST(MAX(e) AS DOUBLE) / 1e6, 6) AS max_excess
+            FROM flagged
+            )
+    """
+
+
 def _q_cochran_q_dow_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cochran's Q (`analytics.cochran_q`): reduce each (day, event
     type) cell to ONE BIT — was this an above-median day for that type
@@ -8638,6 +8746,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cronbach_dow_types": _q_cronbach_dow_types,
         "cochran_q_dow_types": _q_cochran_q_dow_types,
         "lilliefors_profiles": _q_lilliefors_profiles,
+        "page_hinkley_daily": _q_page_hinkley_daily,
         "kendall_w_dow_types": _q_kendall_w_dow_types,
         "fdr_nation_ab": _q_fdr_nation_ab,
         "mcnemar_filters": _q_mcnemar_filters,
@@ -15795,6 +15904,14 @@ def oracle_sql() -> dict[str, str]:
             _page_oracle_series_sql("x0", "raw")
             + "\n            UNION ALL\n"
             + _page_oracle_series_sql("(x0 * (10 + (di % 7))) // 10", "uplifted")
+            + "\n            ORDER BY series"
+        ),
+        "page_hinkley_daily": (
+            _ph_oracle_series_sql("x0", "raw")
+            + "\n            UNION ALL\n"
+            + _ph_oracle_series_sql(
+                "CASE WHEN di >= mid THEN (x0 * 3) // 2 ELSE x0 END", "shifted"
+            )
             + "\n            ORDER BY series"
         ),
         "cochran_q_dow_types": """

@@ -7662,3 +7662,65 @@ def lilliefors_stat(
         F.expr(f"CASE WHEN {guard} THEN NULL ELSE ROUND({s}, {int(decimals)}) END").alias("std"),
         F.expr(f"CASE WHEN {guard} THEN NULL ELSE ROUND(_d, {int(decimals)}) END").alias("d_stat"),
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    idx_col: str,
+    val_col: str,
+    delta: float = 0.0,
+    lam: float = 50.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Page-Hinkley sequential change detector (increase direction) —
+    the CLASSIC online mean-shift alarm beside `cusum_screen`'s
+    two-sided batch scan: accumulate each point's deviation from the
+    RUNNING mean (minus a drift allowance delta) and alarm when the
+    accumulator rises more than lambda above its own running minimum:
+
+        m_t = SUM_{i<=t} (x_i - mean_i - delta),  mean_i = (1/i) SUM_{j<=i} x_j
+        alarm_t: m_t - min_{i<=t} m_i > lambda
+
+    Exactness: the series contract (pre-aggregated, ordered window);
+    each per-step deviation is ONE double tree over the exact integer
+    prefix sum (mean_i = S1_i / i) quantized ROUND(·1e6) to
+    micro-integers, so the accumulator, its running minimum, and every
+    alarm flag are exact integer comparisons — bit-stable under any
+    partitioning and replayable by both the DuckDB oracle and the
+    streaming twin (`streaming.stateful.page_hinkley_stream`).
+
+    Output ONE row: (n, n_alarms, first_alarm_idx, max_excess) —
+    max_excess = max_t (m_t - M_t) / 1e6 in value units,
+    first_alarm_idx NULL when no alarm fires.
+    """
+    base = df.select(
+        F.col(idx_col).cast("bigint").alias("_i"),
+        F.col(val_col).cast("bigint").alias("_y"),
+    ).filter(F.col("_i").isNotNull() & F.col("_y").isNotNull())
+    w = Window.orderBy(F.col("_i").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = (
+        base.withColumn("_s1", F.sum("_y").over(w))
+        .withColumn("_k", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "_dev",
+            F.expr(
+                f"CAST(ROUND((CAST(_y AS DOUBLE) - CAST(_s1 AS DOUBLE) / CAST(_k AS DOUBLE) "
+                f"- CAST({float(delta)!r} AS DOUBLE)) * 1e6) AS BIGINT)"
+            ),
+        )
+        .withColumn("_m", F.sum("_dev").over(w))
+        .withColumn("_mn", F.min("_m").over(w))
+        .withColumn("_exc", F.col("_m") - F.col("_mn"))
+        .withColumn(
+            "_alarm",
+            (F.col("_exc").cast("double") > F.lit(float(lam) * 1e6)).cast("int"),
+        )
+    )
+    return staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_alarm").cast("bigint").alias("n_alarms"),
+        F.min(F.when(F.col("_alarm") == 1, F.col("_i"))).cast("bigint").alias("first_alarm_idx"),
+        F.round(F.max("_exc").cast("double") / F.lit(1e6), decimals).alias("max_excess"),
+    )

@@ -46,6 +46,7 @@ __all__ = [
     "w1_drift_stream",
     "psi_drift_stream",
     "mk_trend_stream",
+    "page_hinkley_stream",
 ]
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -1376,6 +1377,91 @@ def mk_trend_stream(
         update,
         outputStructType=MK_TREND_OUTPUT_SCHEMA,
         stateStructType=MK_TREND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+PH_OUTPUT_SCHEMA = (
+    "key string, batch_seq bigint, n bigint, n_alarms bigint, "
+    "first_alarm_idx bigint, max_excess double"
+)
+PH_STATE_SCHEMA = (
+    "s1 bigint, k bigint, m bigint, mn bigint, n_alarms bigint, "
+    "first_alarm bigint, max_exc bigint, batch_seq bigint"
+)
+
+
+def page_hinkley_stream(
+    rows: DataFrame,
+    delta: float = 0.0,
+    lam: float = 50.0,
+    key_col: str = "key",
+    idx_col: str = "idx",
+    val_col: str = "value",
+) -> DataFrame:
+    """Streaming Page-Hinkley change detector — the live twin of
+    `analytics.page_hinkley`: per key, the accumulator m, its running
+    minimum, the exact integer prefix sum behind the running mean, and
+    the alarm bookkeeping all ride GroupState (SIX int64s — the
+    smallest state in the monitor family), and each micro-batch emits
+    the batch op's exact summary row. The sequential mean-shift alarm
+    that runs where the batch scan runs nightly.
+
+    Same trees as the batch op: each step's deviation quantizes with
+    Spark's shortest-repr HALF_UP rounding, so a stream snapshot equals
+    ``page_hinkley(seen rows)`` bit-for-bit under the per-key ordered-
+    arrival contract (in-batch rows sort by ``idx_col``) — asserted
+    across a checkpoint restart.
+    """
+    d = float(delta)
+    threshold = float(lam) * 1e6
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        s1, k, m, mn, n_alarms, first_alarm, max_exc, seq = (
+            state.get if state.exists else (0, 0, 0, None, 0, None, 0, 0)
+        )
+        s1, k, m = int(s1), int(k), int(m)
+        mn = None if mn is None else int(mn)
+        n_alarms = int(n_alarms)
+        max_exc = int(max_exc)
+        for pdf in batches:
+            pdf = pdf.sort_values(idx_col)
+            for i, y in zip(pdf[idx_col], pdf[val_col]):
+                y = int(y)
+                s1 += y
+                k += 1
+                dev = _round_bigint_like_spark(
+                    (float(y) - float(s1) / float(k) - d) * 1e6
+                )
+                m += dev
+                mn = m if mn is None else min(mn, m)
+                exc = m - mn
+                max_exc = max(max_exc, exc)
+                if float(exc) > threshold:
+                    n_alarms += 1
+                    if first_alarm is None:
+                        first_alarm = int(i)
+        seq = int(seq) + 1
+        state.update((s1, k, m, mn, n_alarms, first_alarm, max_exc, seq))
+        yield pd.DataFrame(
+            [
+                {
+                    "key": str(key_val),
+                    "batch_seq": seq,
+                    "n": k,
+                    "n_alarms": n_alarms,
+                    "first_alarm_idx": first_alarm,
+                    "max_excess": _round_like_spark(float(max_exc) / 1e6, 6),
+                }
+            ]
+        )
+
+    return rows.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=PH_OUTPUT_SCHEMA,
+        stateStructType=PH_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -3376,6 +3376,16 @@ def main() -> None:
             docs1, docs10,
         )
 
+        from morphik_core_spark.operators.analytics import page_hinkley
+
+        def ph(e):
+            daily = e.groupBy(
+                F.expr("unix_micros(ts) div 86400000000").alias("di")
+            ).agg(F.count(F.lit(1)).alias("y"))
+            mat(page_hinkley(daily, "di", "y", delta=2.0, lam=100.0))
+
+        report("page_hinkley", ph, ev1k, ev10k)
+
     if "pipeline" in ops:
         # the COMPOSED curation pipeline end-to-end: if each stage is
         # sublinear but the composition weren't (e.g. a stage forcing

@@ -2976,3 +2976,52 @@ def test_lilliefors_matches_bruteforce_and_regimes(spark):
     const = spark.createDataFrame([(5,)] * 50, "v long")
     [rc] = lilliefors_stat(const, "v").collect()
     assert rc["d_stat"] is None
+
+
+def test_page_hinkley_detects_shift(spark):
+    """Hand-replicated accumulator on a small series; a flat series
+    never alarms while an injected mean shift must, with first_alarm
+    after the shift point; max_excess matches the manual recursion."""
+    import hashlib
+    import math
+
+    from morphik_core_spark.operators.analytics import page_hinkley
+
+    def h(s, m):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % m
+
+    def rha(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    flat = [(i, 100 + h(f"f{i}", 9)) for i in range(60)]
+    shifted = [(i, y + (50 if i >= 30 else 0)) for i, y in flat]
+
+    [rf] = page_hinkley(
+        spark.createDataFrame(flat, "i long, y long"), "i", "y", delta=2.0, lam=50.0
+    ).collect()
+    assert rf["n"] == 60 and rf["n_alarms"] == 0 and rf["first_alarm_idx"] is None
+
+    [rs] = page_hinkley(
+        spark.createDataFrame(shifted, "i long, y long"), "i", "y", delta=2.0, lam=50.0
+    ).collect()
+    assert rs["n_alarms"] > 0 and rs["first_alarm_idx"] > 30
+
+    # manual replication of the exact micro-integer recursion
+    s1 = k = m = 0
+    mn = None
+    max_exc = 0
+    first = None
+    alarms = 0
+    for i, y in shifted:
+        s1 += y
+        k += 1
+        m += rha((y - s1 / k - 2.0) * 1e6)
+        mn = m if mn is None else min(mn, m)
+        exc = m - mn
+        max_exc = max(max_exc, exc)
+        if exc > 50.0 * 1e6:
+            alarms += 1
+            if first is None:
+                first = i
+    assert (rs["n_alarms"], rs["first_alarm_idx"]) == (alarms, first)
+    assert abs(rs["max_excess"] - max_exc / 1e6) < 1e-6

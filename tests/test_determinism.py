@@ -249,6 +249,8 @@ SENSITIVE = [
     # order-free on deterministic doubles)
     "cochran_q_dow_types",
     "lilliefors_profiles",
+    # micro-integer PH accumulator over the ordered series window
+    "page_hinkley_daily",
 ]
 
 

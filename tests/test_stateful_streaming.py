@@ -1228,3 +1228,65 @@ def test_mk_trend_stream_matches_batch_and_survives_restart(spark, tmp_path):
         ), (key, seq)
     assert by[("a", 2)]["trend"] == "increasing"
     assert by[("b", 2)]["trend"] == "none"
+
+
+def test_page_hinkley_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """The streaming PH snapshot equals page_hinkley over the rows seen
+    so far — identical micro-integer accumulator trees — and the six-
+    int64 state survives a checkpoint restart; the shifted key alarms,
+    the flat key does not."""
+    from morphik_core_spark.operators.analytics import page_hinkley
+    from morphik_core_spark.streaming.stateful import page_hinkley_stream
+
+    import hashlib
+
+    def h(s, m):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % m
+
+    schema = "key string, idx long, value long"
+    flat = [("f", i, 100 + h(f"pf{i}", 9)) for i in range(40)]
+    shift = [("s", i, 100 + h(f"pf{i}", 9) + (60 if i >= 20 else 0)) for i in range(40)]
+    batch1 = [r for r in flat + shift if r[1] < 25]
+    batch2 = [r for r in flat + shift if r[1] >= 25]
+
+    src, out, chk = (str(tmp_path / d) for d in ("phin", "phout", "phchk"))
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            page_hinkley_stream(stream, delta=2.0, lam=50.0)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not terminate"
+
+    run_once(batch1)
+    run_once(batch2)
+    rows = spark.read.parquet(out).collect()
+    by = {(r["key"], r["batch_seq"]): r for r in rows}
+    assert by[("s", 1)]["n"] == 25 and by[("s", 2)]["n"] == 40  # restart kept state
+
+    def batch_ph(key, seen):
+        df = spark.createDataFrame(
+            [(i, v) for k, i, v in seen if k == key], "i long, y long"
+        )
+        [r] = page_hinkley(df, "i", "y", delta=2.0, lam=50.0).collect()
+        return r
+
+    for key, seq, seen in [("s", 1, batch1), ("s", 2, batch1 + batch2), ("f", 2, batch1 + batch2)]:
+        want = batch_ph(key, seen)
+        got = by[(key, seq)]
+        assert (
+            got["n"], got["n_alarms"], got["first_alarm_idx"], got["max_excess"]
+        ) == (
+            want["n"], want["n_alarms"], want["first_alarm_idx"], want["max_excess"]
+        ), (key, seq)
+    assert by[("s", 2)]["n_alarms"] > 0 and by[("f", 2)]["n_alarms"] == 0
