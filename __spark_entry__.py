@@ -7386,7 +7386,11 @@ def _q_jt_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DOLLAR-grain values (exact integer cents div 100 — the spearman
     # "quantization lever"): the pooled spine shrinks ~100x, so the
     # dense (group x spine) rank frame stays small; a rank test on
-    # dollar-rounded money loses nothing the test can see
+    # dollar-rounded money loses nothing the test can see.
+    # Deliberately NOT persisted (round-11 measured 3.25 -> 5.41 s with
+    # a scoped_persist here): the spearman lesson again — materializing
+    # a corpus-sized projection costs more than the pruned 2-column
+    # parquet re-scans it saves, and at 100 TB pruned scans stream.
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderpriority",
         F.expr(

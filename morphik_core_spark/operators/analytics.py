@@ -5597,6 +5597,7 @@ def jonckheere_terpstra(
     val_col: str,
     value_scale: int = 1,
     decimals: int = 6,
+    max_groups: int = 1000,
 ) -> DataFrame:
     """Jonckheere-Terpstra ordered-alternative test: are the k groups
     stochastically ORDERED (doc length grows with severity bucket,
@@ -5607,15 +5608,25 @@ def jonckheere_terpstra(
 
         JT = SUM_{a<b} U_ab,   U_ab = #{x_a < x_b} + #{x_a = x_b}/2
 
-    NEVER a pairwise row join: values quantize once to integers, the
-    corpus collapses to per-(group, value) cells, and each U_ab comes
-    from the POOLED value spine — per group a dense (group x distinct
-    values) frame carries cum_a(<v) via one group-partitioned window,
-    and U_ab*2 = SUM_v c_b(v) * (2*cumlt_a(v) + c_a(v)) is a cells x k
-    bounded join. The normal approximation uses the FULL tie-corrected
-    variance (Hollander & Wolfe 6.19): three integer terms over group
-    sizes n_i and pooled tie sizes t_j, every sum exact DECIMAL(38,0),
-    z one double tree rounded once. Doubled integers carry the /2.
+    NEVER a pairwise row join: values quantize once to integers and the
+    corpus collapses to one row per pooled value with k count columns
+    (the `ad_k_statistic` pivoted-spine recipe — round-11 profiling
+    showed the former dense (group x value) frame + per-group window +
+    cells join spent ~3x this plan's time in stage scheduling alone).
+    One bucketed hierarchical prefix pass computes every per-group
+    cumulative at once, and
+
+        U_ab*2 = SUM_v c_b(v) * (2*cum_a(v) - c_a(v))
+
+    is a per-row k(k-1)/2-term expression folded in the SAME final
+    aggregation that collects the pooled tie terms. Group sizes are
+    k-bounded driver-side literals (``max_groups`` enforces the
+    bounded-k contract, exactly as in `ad_k_statistic`). The normal
+    approximation uses the FULL tie-corrected variance (Hollander &
+    Wolfe 6.19): three integer terms over group sizes n_i and pooled
+    tie sizes t_j, every sum exact DECIMAL(38,0) (group terms exact
+    Python integers rendered as DECIMAL literals), z one double tree
+    rounded once. Doubled integers carry the /2.
 
     Output ONE row: (k, n, jt_stat, mean_jt, z, p_value) — jt/mean as
     exact .0/.5 doubles from the doubled integers.
@@ -5624,65 +5635,119 @@ def jonckheere_terpstra(
     from morphik_core_spark.plans.cache import scoped_persist
 
     q = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
-    cells = scoped_persist(
-        df.filter(F.col(val_col).isNotNull())
-        .select(F.col(group_col).cast("string").alias("_g"), q.alias("_v"))
-        .groupBy("_g", "_v")
-        .agg(F.count(F.lit(1)).alias("_c"))
+    base = df.filter(F.col(val_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("_g"), q.alias("_v")
     )
-    groups = cells.select("_g").distinct()
-    spine = cells.select("_v").distinct()
-    dense = (
-        groups.crossJoin(spine)
-        .join(cells, ["_g", "_v"], "left")
-        .na.fill({"_c": 0})
-    )
-    # the per-group prefix window runs at parallelism = k: the pooled
-    # spine MUST be value-domain-bounded by the caller's quantization
-    # (dollar-grain money, day indexes — the spearman/kruskal lever).
-    # A two-level bucketed prefix was measured NET-SLOWER here (extra
-    # groupBy+join stages dominate the k-partition window on bounded
-    # spines); if a use case genuinely needs a corpus-sized spine,
-    # shard like `_pooled_cdf_frame` does.
-    w_v = (
-        Window.partitionBy("_g")
-        .orderBy(F.col("_v").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = dense.withColumn("_lt", F.coalesce(F.sum("_c").over(w_v), F.lit(0)))
-    a_side = cum.select(
-        F.col("_g").alias("_ga"), "_v", F.col("_lt").alias("_lta"), F.col("_c").alias("_ca")
-    )
-    b_side = cells.select(F.col("_g").alias("_gb"), "_v", F.col("_c").alias("_cb"))
-    jt2 = (
-        b_side.join(a_side, "_v")
-        .filter(F.col("_ga") < F.col("_gb"))
-        .agg(
-            F.sum(
-                F.col("_cb").cast(dec) * (2 * F.col("_lta") + F.col("_ca"))
-            ).alias("_jt2")
+    gtot_rows = base.groupBy("_g").agg(F.count(F.lit(1)).alias("ng")).collect()
+    k = len(gtot_rows)
+    if k > max_groups:
+        raise ValueError(
+            f"jonckheere_terpstra saw {k} groups (> max_groups={max_groups}): "
+            f"each group adds a count column and k(k-1)/2 pair terms — "
+            f"coarsen the grouping or raise max_groups explicitly."
         )
+    # ALL groups (a NULL group key counts in n/k and the group-size
+    # variance terms, exactly as the former cells-frame aggregation did)
+    sizes = [int(r["ng"]) for r in gtot_rows]
+    # ... but only non-NULL groups are orderable: NULL never satisfies
+    # _ga < _gb, so it contributes no pair term. Python's code-point sort
+    # equals Spark's UTF8 binary string order (UTF-8 preserves code-point
+    # order), so pair direction matches the former `_ga < _gb` filter.
+    named = sorted(
+        (r["_g"], int(r["ng"])) for r in gtot_rows if r["_g"] is not None
     )
-    gsz = cells.groupBy("_g").agg(F.sum("_c").alias("_n"))
-    gterms = gsz.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum("_n").alias("n"),
-        F.sum(F.expr("CAST(_n AS DECIMAL(38,0)) * _n")).alias("_sn2"),
-        F.sum(
-            F.expr("CAST(_n AS DECIMAL(38,0)) * (_n - 1) * (2 * _n + 5)")
-        ).alias("_gA"),
-        F.sum(F.expr("CAST(_n AS DECIMAL(38,0)) * (_n - 1) * (_n - 2)")).alias("_gB"),
-        F.sum(F.expr("CAST(_n AS DECIMAL(38,0)) * (_n - 1)")).alias("_gC"),
+    m = len(named)
+    n_total = sum(sizes)
+    # exact integer group terms, computed driver-side (k-bounded) and
+    # rendered as DECIMAL(38,0) literals — bit-identical to the former
+    # SQL sums because integer arithmetic is exact on both sides
+    sn2 = sum(ni * ni for ni in sizes)
+    gA = sum(ni * (ni - 1) * (2 * ni + 5) for ni in sizes)
+    gB = sum(ni * (ni - 1) * (ni - 2) for ni in sizes)
+    gC = sum(ni * (ni - 1) for ni in sizes)
+
+    def _declit(v: int | None) -> str:
+        return f"CAST({'NULL' if v is None else repr(int(v))} AS DECIMAL(38,0))"
+
+    # one row per pooled value, m count columns, ONE shuffle straight
+    # off the rows; `lv` carries the pooled tie size t_v for free
+    vals = scoped_persist(
+        base.groupBy("_v")
+        .agg(
+            F.count(F.lit(1)).alias("lv"),
+            *[
+                F.sum(F.when(F.col("_g") == g, 1).otherwise(F.lit(0))).alias(f"_c{i}")
+                for i, (g, _) in enumerate(named)
+            ],
+        )
+        .withColumn("_bkt", F.expr("CAST(floor(CAST(_v AS DOUBLE) / 1048576.0) AS BIGINT)"))
     )
-    tsz = cells.groupBy("_v").agg(F.sum("_c").alias("_t"))
-    tterms = tsz.agg(
+    count_cols = [f"_c{i}" for i in range(m)]
+    if count_cols:
+        bsum = vals.groupBy("_bkt").agg(
+            *[F.sum(c).alias(f"_b_{c}") for c in count_cols]
+        )
+        w_b = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        bprev = bsum.select(
+            "_bkt",
+            *[
+                (F.sum(f"_b_{c}").over(w_b) - F.col(f"_b_{c}")).alias(f"_before_{c}")
+                for c in count_cols
+            ],
+        )
+        w_in = (
+            Window.partitionBy("_bkt")
+            .orderBy(F.col("_v").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        frame = vals
+        for c in count_cols:
+            frame = frame.withColumn(f"_in_{c}", F.sum(c).over(w_in))
+        frame = frame.join(bprev, "_bkt").select(
+            "lv",
+            *[F.col(f"_c{i}") for i in range(m)],
+            *[
+                (F.col(f"_before__c{i}") + F.col(f"_in__c{i}")).alias(f"cum{i}")
+                for i in range(m)
+            ],
+        )
+    else:
+        frame = vals.select("lv")
+    # U_ab*2 summed over ordered pairs, per pooled value: cum_a is the
+    # INCLUSIVE per-group cumulative, so 2*cum_a - c_a = 2*cumlt_a + c_a
+    pair_terms = [
+        f"(CAST(_c{j} AS DECIMAL(38,0)) * (2 * cum{i} - _c{i}))"
+        for j in range(1, m)
+        for i in range(j)
+    ]
+    jt2_agg = (
+        F.sum(F.expr(" + ".join(pair_terms))).alias("_jt2")
+        if pair_terms
+        else F.max(F.expr(_declit(None))).alias("_jt2")
+    )
+    out = frame.agg(
+        jt2_agg,
         F.sum(
-            F.expr("CAST(_t AS DECIMAL(38,0)) * (_t - 1) * (2 * _t + 5)")
+            F.expr("CAST(lv AS DECIMAL(38,0)) * (lv - 1) * (2 * lv + 5)")
         ).alias("_tA"),
-        F.sum(F.expr("CAST(_t AS DECIMAL(38,0)) * (_t - 1) * (_t - 2)")).alias("_tB"),
-        F.sum(F.expr("CAST(_t AS DECIMAL(38,0)) * (_t - 1)")).alias("_tC"),
+        F.sum(F.expr("CAST(lv AS DECIMAL(38,0)) * (lv - 1) * (lv - 2)")).alias("_tB"),
+        F.sum(F.expr("CAST(lv AS DECIMAL(38,0)) * (lv - 1)")).alias("_tC"),
+    ).select(
+        F.lit(k).cast("bigint").alias("k"),
+        (
+            F.expr("CAST(NULL AS BIGINT)") if k == 0 else F.lit(n_total).cast("bigint")
+        ).alias("n"),
+        F.expr(_declit(None if k == 0 else sn2)).alias("_sn2"),
+        F.expr(_declit(None if k == 0 else gA)).alias("_gA"),
+        F.expr(_declit(None if k == 0 else gB)).alias("_gB"),
+        F.expr(_declit(None if k == 0 else gC)).alias("_gC"),
+        "_jt2",
+        "_tA",
+        "_tB",
+        "_tC",
     )
-    out = jt2.join(F.broadcast(gterms)).join(F.broadcast(tterms))
     nd = "CAST(n AS DOUBLE)"
     # mean*2 = (N^2 - SUM n_i^2)/2
     mean2 = "(CAST(CAST(n AS DECIMAL(38,0)) * n - _sn2 AS DOUBLE) / 2.0)"
