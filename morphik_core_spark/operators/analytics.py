@@ -5785,6 +5785,7 @@ def kendall_tau_b(
     y_scale: int = 1,
     decimals: int = 6,
     max_grid_cells: int = 10_000_000,
+    pivot_max_cols: int = 128,
 ) -> DataFrame:
     """Kendall's tau-b rank correlation with the full tie correction —
     the concordance-based monotone-association measure beside
@@ -5798,26 +5799,31 @@ def kendall_tau_b(
 
     NEVER the O(n^2) pair join: both values quantize once to integers
     (``x_scale``/``y_scale`` — the caller bounds the grid exactly as in
-    `kruskal_wallis`), the corpus collapses to the (x, y) cell grid,
-    and C and D come from a DENSE 2D suffix sum over that grid — two
-    ordered windows (y-suffix within x, then x-suffix of that), each
-    over the |X|x|Y| dense spine built by crossing the two bounded
-    level sets. All counts are exact integers in DECIMAL(38,0); tau is
-    ONE double tree rounded once.
+    `kruskal_wallis`) and the corpus collapses to the (x, y) cell grid.
+    When the SMALLER level set fits ``pivot_max_cols`` (tau is symmetric
+    in its arguments, so the narrow dimension pivots), C and D come from
+    the `ad_k_statistic` pivoted-spine recipe: one row per value of the
+    wide dimension with one count column per narrow value, a single
+    bucketed hierarchical prefix pass for every per-column exclusive
+    cumulative, and the concordant/discordant cross terms folded into
+    ONE final aggregation — no dense spine, no per-partition window
+    cascade (round-11 profiling: the dense path spent ~10x the
+    arithmetic time in stage scheduling at bounded grids). Larger (but
+    still ``max_grid_cells``-bounded) grids keep the dense 2D
+    suffix-sum path: two ordered windows over the |X|x|Y| spine built
+    by crossing the two level sets. Both paths accumulate every count
+    exactly in DECIMAL(38,0) and feed the IDENTICAL final double tree,
+    so they are bit-for-bit interchangeable; tau is rounded once.
 
-    Scale: one corpus groupBy -> cell grid; everything after runs on
-    the dense grid (|X|*|Y| rows — the caller's quantization contract
-    keeps it bounded, e.g. whole quantities x dollar prices). The
-    contract is ENFORCED, not just documented: the grid size
-    |X| * |Y| is counted off the (persisted) cell grid before the dense
-    spine is built, and the op raises when it exceeds
-    ``max_grid_cells`` — two near-unique-value columns fed in without a
-    coarsening scale would otherwise silently materialize a
-    corpus x corpus cross product (the same contract-violation class
-    `_pooled_cdf_frame` made structurally impossible for the drift
-    ops; auto-coarsening is NOT an option here because a different
-    quantization grid is a different tau). Output ONE row:
-    (n, n_pairs, concordant, discordant, tau_b).
+    The grid contract is ENFORCED, not just documented: |X| and |Y| are
+    counted off the (persisted) cell grid first, and the op raises when
+    |X| * |Y| exceeds ``max_grid_cells`` — two near-unique-value columns
+    fed in without a coarsening scale would otherwise silently
+    materialize a corpus x corpus cross product (the same
+    contract-violation class `_pooled_cdf_frame` made structurally
+    impossible for the drift ops; auto-coarsening is NOT an option here
+    because a different quantization grid is a different tau). Output
+    ONE row: (n, n_pairs, concordant, discordant, tau_b).
     """
     dec = "decimal(38,0)"
     qx = F.expr(f"CAST(ROUND(CAST({x_col} AS DOUBLE) * {int(x_scale)}) AS BIGINT)")
@@ -5841,53 +5847,141 @@ def kendall_tau_b(
             f"(quantize to a grain where levels repeat) or raise "
             f"max_grid_cells explicitly if the grid genuinely fits."
         )
-    xs = cells.select("_x").distinct()
-    ys = cells.select("_y").distinct()
-    dense = scoped_persist(
-        xs.crossJoin(ys)
-        .join(cells, ["_x", "_y"], "left")
-        .na.fill({"_c": 0})
-    )
-    # F(i+, j+) = # points strictly greater in BOTH coords: y-suffix
-    # within each x, then x-suffix of that column at fixed y. The
-    # windows run over the dense grid only.
-    w_y = (
-        Window.partitionBy("_x")
-        .orderBy(F.col("_y").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_x = (
-        Window.partitionBy("_y")
-        .orderBy(F.col("_x").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    sfx_y = dense.withColumn("_sy", F.coalesce(F.sum("_c").over(w_y), F.lit(0)))
-    both = sfx_y.withColumn(
-        "_gg", F.coalesce(F.sum("_sy").over(w_x), F.lit(0))
-    )
-    # G(i+, j-) = greater in x, SMALLER in y: y-prefix within x, then
-    # the same x-suffix.
-    w_y_asc = (
-        Window.partitionBy("_x")
-        .orderBy(F.col("_y").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    both = both.withColumn("_py", F.coalesce(F.sum("_c").over(w_y_asc), F.lit(0)))
-    both = both.withColumn(
-        "_gl", F.coalesce(F.sum("_py").over(w_x), F.lit(0))
-    )
-    cd = both.agg(
-        F.sum(F.col("_c").cast(dec) * F.col("_gg")).alias("_conc"),
-        F.sum(F.col("_c").cast(dec) * F.col("_gl")).alias("_disc"),
-        F.sum("_c").alias("n"),
-    )
-    tx = cells.groupBy("_x").agg(F.sum("_c").alias("_t")).agg(
-        F.sum(F.expr("CAST(_t AS DECIMAL(38,0)) * (_t - 1)")).alias("_n1x2")
-    )
-    ty = cells.groupBy("_y").agg(F.sum("_c").alias("_t")).agg(
-        F.sum(F.expr("CAST(_t AS DECIMAL(38,0)) * (_t - 1)")).alias("_n2x2")
-    )
-    out = cd.join(F.broadcast(tx)).join(F.broadcast(ty))
+    pivot_on_y = n_y <= n_x
+    m = int(n_y if pivot_on_y else n_x)
+    if 0 < m <= int(pivot_max_cols):
+        # Pivoted path: rows = the WIDE dimension's values, one count
+        # column per narrow value (tau is symmetric in its arguments).
+        # Per pair of points, concordance is counted once from the
+        # larger-row-value end: with E_j(r) = #{rows r' < r at narrow
+        # level j} (exclusive prefix), C = SUM_r SUM_j c_j(r) *
+        # SUM_{j'<j} E_{j'}(r) and D = SUM_r SUM_j c_j(r) *
+        # (Etot(r) - SUM_{j'<=j} E_{j'}(r)) — exact integers all the way.
+        row_dim, col_dim = ("_x", "_y") if pivot_on_y else ("_y", "_x")
+        col_vals = [
+            r[0]
+            for r in cells.select(col_dim).distinct().orderBy(col_dim).collect()
+        ]
+        # The whole pivoted chain is built from a handful of SQL-string
+        # expressions: the earlier draft issued ~550 py4j Column calls
+        # for the m = 91 bench query and spent more driver time BUILDING
+        # the plan (~1.6 s) than executing it. Counts arrive as a map per
+        # wide value, are densified onto the sorted narrow spine with one
+        # `transform`, and the per-column exclusive prefixes come from m
+        # window sums inside ONE array constructor (single projection;
+        # the single-partition window is bounded by the enforced grid
+        # contract: |rows| <= max_grid_cells / m). Arrays matter
+        # downstream: the running cross-column prefix G_j = SUM_{j'<j}
+        # E_j' is a linear `aggregate` fold — an unrolled nested sum
+        # chain generated codegen Janino could not compile past m ~ 25
+        # (measured: one 30-term nested bigint chain took 35 s to
+        # compile; m = 30 OOM'd on a > 2 GB generated-code buffer).
+        arr_lit = "array(" + ",".join(str(int(v)) for v in col_vals) + ")"
+        piv = cells.groupBy(row_dim).agg(
+            F.expr(
+                f"transform({arr_lit}, v -> coalesce("
+                f"element_at(map_from_entries(collect_list(struct({col_dim}, _c))), v), "
+                f"CAST(0 AS BIGINT)))"
+            ).alias("_cs")
+        )
+        win = (
+            f"OVER (ORDER BY {row_dim} ASC "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        es_parts = ",".join(
+            f"sum(element_at(_cs, {j + 1})) {win} - element_at(_cs, {j + 1})"
+            for j in range(m)
+        )
+        frame = piv.select("_cs", F.expr(f"array({es_parts})").alias("_es"))
+        lam_sum = "(a, x) -> a + x"
+        row = frame.select(
+            "_cs",
+            "_es",
+            F.expr(f"aggregate(_cs, CAST(0 AS BIGINT), {lam_sum})").alias("lv"),
+            F.expr(f"aggregate(_es, CAST(0 AS BIGINT), {lam_sum})").alias("_etot"),
+        )
+        zipped = "zip_with(_cs, _es, (c, e) -> struct(c AS c, e AS e))"
+        zero = "struct(CAST(0 AS DECIMAL(38,0)) AS s, CAST(0 AS BIGINT) AS g)"
+        conc_row = (
+            f"aggregate({zipped}, {zero}, (acc, x) -> struct("
+            f"acc.s + CAST(x.c AS DECIMAL(38,0)) * acc.g AS s, "
+            f"acc.g + x.e AS g), acc -> acc.s)"
+        )
+        disc_row = (
+            f"aggregate({zipped}, {zero}, (acc, x) -> struct("
+            f"acc.s + CAST(x.c AS DECIMAL(38,0)) * (_etot - acc.g - x.e) AS s, "
+            f"acc.g + x.e AS g), acc -> acc.s)"
+        )
+        cd = row.agg(
+            F.sum(F.expr(conc_row)).alias("_conc"),
+            F.sum(F.expr(disc_row)).alias("_disc"),
+            F.sum("lv").alias("n"),
+            F.sum(F.expr("CAST(lv AS DECIMAL(38,0)) * (lv - 1)")).alias("_rt2"),
+        )
+        # narrow-dimension tie term straight off the persisted cells (the
+        # original ty/tx shape) — cheaper than m per-column sums here
+        nties = (
+            cells.groupBy(col_dim)
+            .agg(F.sum("_c").alias("_t"))
+            .agg(
+                F.sum(F.expr("CAST(_t AS DECIMAL(38,0)) * (_t - 1)")).alias("_ct2")
+            )
+        )
+        out = cd.join(F.broadcast(nties)).select(
+            "_conc",
+            "_disc",
+            "n",
+            (F.col("_rt2") if pivot_on_y else F.col("_ct2")).alias("_n1x2"),
+            (F.col("_ct2") if pivot_on_y else F.col("_rt2")).alias("_n2x2"),
+        )
+    else:
+        xs = cells.select("_x").distinct()
+        ys = cells.select("_y").distinct()
+        dense = scoped_persist(
+            xs.crossJoin(ys)
+            .join(cells, ["_x", "_y"], "left")
+            .na.fill({"_c": 0})
+        )
+        # F(i+, j+) = # points strictly greater in BOTH coords: y-suffix
+        # within each x, then x-suffix of that column at fixed y. The
+        # windows run over the dense grid only.
+        w_y = (
+            Window.partitionBy("_x")
+            .orderBy(F.col("_y").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_x = (
+            Window.partitionBy("_y")
+            .orderBy(F.col("_x").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        sfx_y = dense.withColumn("_sy", F.coalesce(F.sum("_c").over(w_y), F.lit(0)))
+        both = sfx_y.withColumn(
+            "_gg", F.coalesce(F.sum("_sy").over(w_x), F.lit(0))
+        )
+        # G(i+, j-) = greater in x, SMALLER in y: y-prefix within x, then
+        # the same x-suffix.
+        w_y_asc = (
+            Window.partitionBy("_x")
+            .orderBy(F.col("_y").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        both = both.withColumn("_py", F.coalesce(F.sum("_c").over(w_y_asc), F.lit(0)))
+        both = both.withColumn(
+            "_gl", F.coalesce(F.sum("_py").over(w_x), F.lit(0))
+        )
+        cd = both.agg(
+            F.sum(F.col("_c").cast(dec) * F.col("_gg")).alias("_conc"),
+            F.sum(F.col("_c").cast(dec) * F.col("_gl")).alias("_disc"),
+            F.sum("_c").alias("n"),
+        )
+        tx = cells.groupBy("_x").agg(F.sum("_c").alias("_t")).agg(
+            F.sum(F.expr("CAST(_t AS DECIMAL(38,0)) * (_t - 1)")).alias("_n1x2")
+        )
+        ty = cells.groupBy("_y").agg(F.sum("_c").alias("_t")).agg(
+            F.sum(F.expr("CAST(_t AS DECIMAL(38,0)) * (_t - 1)")).alias("_n2x2")
+        )
+        out = cd.join(F.broadcast(tx)).join(F.broadcast(ty))
     n0x2 = "(CAST(n AS DECIMAL(38,0)) * (n - 1))"
     tau = (
         "(2.0 * (CAST(_conc AS DOUBLE) - CAST(_disc AS DOUBLE)) / "
