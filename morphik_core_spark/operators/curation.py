@@ -470,24 +470,28 @@ def perplexity_scores(
     bigrams = scoped_persist(bigrams)
 
     cb = bigrams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_big"))
-    cu = bigrams.groupBy("prev").agg(F.count(F.lit(1)).alias("c_prev"))
-    vocab = bigrams.agg(F.countDistinct("cur").alias("vocab"))
+    # c(prev) = SUM_cur c(prev, cur): a window over the distinct-bigram
+    # frame replaces the former second CORPUS-sized aggregation + join
+    # (round-11: one full pass over the persisted bigrams saved), and
+    # vocab counts the same distinct cur set off cb instead of the
+    # instance stream for the same reason.
+    w_prev = Window.partitionBy("prev")
+    vocab = cb.agg(F.countDistinct("cur").alias("vocab"))
 
     # identical double tree per (prev, cur) as before — precomputed once
     # per DISTINCT bigram instead of once per corpus instance
     lp = F.log((F.col("c_big") + F.lit(1.0)) / (F.col("c_prev") + F.col("vocab")))
-    model = scoped_persist(
-        cb.join(cu, ["prev"])
+    model = (
+        cb.withColumn("c_prev", F.sum("c_big").over(w_prev))
         .crossJoin(F.broadcast(vocab))
         .select("prev", "cur", lp.alias("lp"))
     )
     # the model is distinct-bigram-sized, usually orders of magnitude
-    # smaller than the instance stream — broadcast it when it fits so the
-    # scoring join is map-side over the persisted bigrams (no corpus-wide
-    # (prev, cur) shuffle). The count is one aggregate over the persisted
-    # model, not a recompute.
-    if model.count() <= 1_000_000:
-        model = F.broadcast(model)
+    # smaller than the instance stream. The former explicit
+    # count-then-broadcast gate cost a full driver action at plan time;
+    # AQE makes the same call at runtime from the REAL post-shuffle size
+    # (spark.sql.adaptive.autoBroadcastJoinThreshold), picking the
+    # map-side join when the model fits and sort-merge when it does not.
     scored = bigrams.join(model, ["prev", "cur"]).select(F.col(id_col), "lp")
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
