@@ -3637,8 +3637,6 @@ def chi_square_independence(
         {"_nxy": 0}
     )
     tot = cells.agg(F.sum("_nxy").alias("_n"))
-    kx = mx.agg(F.count(F.lit(1)).alias("_kx"))
-    ky = my.agg(F.count(F.lit(1)).alias("_ky"))
     term = (
         "CAST(ROUND(("
         "(CAST(_nxy AS DOUBLE) * CAST(_n AS DOUBLE) - CAST(_nx AS DOUBLE) * CAST(_ny AS DOUBLE)) "
@@ -3646,12 +3644,31 @@ def chi_square_independence(
         "/ (CAST(_n AS DOUBLE) * CAST(_nx AS DOUBLE) * CAST(_ny AS DOUBLE))"
         ") * 1e6) AS BIGINT)"
     )
+    # vocabulary sizes and N ride the SAME final aggregation over the
+    # dense grid instead of three extra aggregate chains + broadcast
+    # joins (round-11: 6 fewer stages per call; count_distinct skips
+    # NULL keys, so a NULL category level is added back explicitly —
+    # the former COUNT(1)-over-marginal counted it as a level)
     return (
         full.join(F.broadcast(tot))
-        .agg(F.sum(F.expr(term)).alias("_chi2u"))
-        .join(F.broadcast(tot))
-        .join(F.broadcast(kx))
-        .join(F.broadcast(ky))
+        .agg(
+            F.sum(F.expr(term)).alias("_chi2u"),
+            F.max("_n").alias("_n"),
+            (
+                F.count_distinct(F.col("_x"))
+                + F.coalesce(
+                    F.max(F.expr("CASE WHEN _x IS NULL THEN 1 ELSE 0 END")),
+                    F.lit(0),
+                )
+            ).alias("_kx"),
+            (
+                F.count_distinct(F.col("_y"))
+                + F.coalesce(
+                    F.max(F.expr("CASE WHEN _y IS NULL THEN 1 ELSE 0 END")),
+                    F.lit(0),
+                )
+            ).alias("_ky"),
+        )
         .select(
             F.round(F.col("_chi2u").cast("double") / F.lit(1e6), decimals).alias("chi2"),
             ((F.col("_kx") - 1) * (F.col("_ky") - 1)).cast("bigint").alias("dof"),
