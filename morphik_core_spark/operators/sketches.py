@@ -445,10 +445,14 @@ def cms_join_size_estimate(
     # each side feeds its sketch AND the exact-size audit join — persist
     # the per-key count tables (key-domain-bounded) so the corpus
     # aggregation upstream runs once per side, not per consumer
+    self_join = b_counts is a_counts
     a_counts = scoped_persist(a_counts)
-    b_counts = a_counts if b_counts is a_counts else scoped_persist(b_counts)
+    b_counts = a_counts if self_join else scoped_persist(b_counts)
     sa = cms_sketch(a_counts, token_col, count_col, depth=depth, width=width)
-    sb = cms_sketch(b_counts, token_col, count_col, depth=depth, width=width)
+    # identical input -> identical sketch: the self-join estimate reuses
+    # one sketch build, and the exact audit is SUM(c^2) per key without
+    # the key-equality join (round-11; same numbers by construction)
+    sb = sa if self_join else cms_sketch(b_counts, token_col, count_col, depth=depth, width=width)
     prod = (
         sa.select("depth_i", "bucket", F.col("bucket_count").alias("_a"))
         .join(
@@ -459,15 +463,22 @@ def cms_join_size_estimate(
         .agg(F.sum(F.col("_a") * F.col("_b")).alias("_ip"))
         .agg(F.min("_ip").alias("estimate"))
     )
-    exact = (
-        a_counts.groupBy(token_col)
-        .agg(F.sum(count_col).alias("_ca"))
-        .join(
-            b_counts.groupBy(token_col).agg(F.sum(count_col).alias("_cb")),
-            token_col,
+    if self_join:
+        exact = (
+            a_counts.groupBy(token_col)
+            .agg(F.sum(count_col).alias("_ca"))
+            .agg(F.sum(F.col("_ca") * F.col("_ca")).alias("exact_join_size"))
         )
-        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("exact_join_size"))
-    )
+    else:
+        exact = (
+            a_counts.groupBy(token_col)
+            .agg(F.sum(count_col).alias("_ca"))
+            .join(
+                b_counts.groupBy(token_col).agg(F.sum(count_col).alias("_cb")),
+                token_col,
+            )
+            .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("exact_join_size"))
+        )
     return (
         exact.join(F.broadcast(prod))
         .select(
