@@ -7398,7 +7398,19 @@ def _q_jt_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dollars"),
         F.expr("CAST(substr(o_orderpriority, 1, 1) AS BIGINT)").alias("_lvl"),
     )
-    raw = jonckheere_terpstra(orders, "o_orderpriority", "dollars")
+    # the uplift shifts values, never group membership: collect the
+    # per-priority sizes ONCE (matching the operator's val-not-null
+    # filter) and hand them to both series — one count job, not two
+    gtot = [
+        (r[0], int(r[1]))
+        for r in orders.filter(F.col("dollars").isNotNull())
+        .groupBy(F.col("o_orderpriority").cast("string"))
+        .agg(F.count(F.lit(1)))
+        .collect()
+    ]
+    raw = jonckheere_terpstra(
+        orders, "o_orderpriority", "dollars", group_sizes=gtot
+    )
     uplifted = jonckheere_terpstra(
         orders.select(
             "o_orderpriority",
@@ -7406,6 +7418,7 @@ def _q_jt_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "o_orderpriority",
         "dollars",
+        group_sizes=gtot,
     )
     return raw.select(F.lit("raw").alias("series"), "*").unionByName(
         uplifted.select(F.lit("uplifted").alias("series"), "*")
@@ -7637,7 +7650,18 @@ def _q_ad_k_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"
         ).alias("dollars"),
     ))
-    raw = ad_k_statistic(orders, "o_orderpriority", "dollars")
+    # the shift moves values, never group membership: one size collect
+    # (matching the operator's not-null filters) serves both series
+    gtot = [
+        (r[0], int(r[1]))
+        for r in orders.filter(
+            F.col("o_orderpriority").isNotNull() & F.col("dollars").isNotNull()
+        )
+        .groupBy(F.col("o_orderpriority").cast("string"))
+        .agg(F.count(F.lit(1)))
+        .collect()
+    ]
+    raw = ad_k_statistic(orders, "o_orderpriority", "dollars", group_sizes=gtot)
     shifted = ad_k_statistic(
         orders.select(
             "o_orderpriority",
@@ -7650,6 +7674,7 @@ def _q_ad_k_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "o_orderpriority",
         "dollars",
+        group_sizes=gtot,
     )
     return (
         raw.select(F.lit("raw").alias("series"), "k", "n", "ad_k_stat")

@@ -5615,6 +5615,7 @@ def jonckheere_terpstra(
     value_scale: int = 1,
     decimals: int = 6,
     max_groups: int = 1000,
+    group_sizes: list[tuple[str | None, int]] | None = None,
 ) -> DataFrame:
     """Jonckheere-Terpstra ordered-alternative test: are the k groups
     stochastically ORDERED (doc length grows with severity bucket,
@@ -5655,7 +5656,16 @@ def jonckheere_terpstra(
     base = df.filter(F.col(val_col).isNotNull()).select(
         F.col(group_col).cast("string").alias("_g"), q.alias("_v")
     )
-    gtot_rows = base.groupBy("_g").agg(F.count(F.lit(1)).alias("ng")).collect()
+    # ``group_sizes`` skips the count aggregation for callers scoring
+    # several value-transformed series of the same rows (the ad_k
+    # contract: sizes must be exact for THIS df, NULL group included)
+    if group_sizes is not None:
+        gtot_rows = [
+            {"_g": None if g is None else str(g), "ng": int(ng)}
+            for g, ng in group_sizes
+        ]
+    else:
+        gtot_rows = base.groupBy("_g").agg(F.count(F.lit(1)).alias("ng")).collect()
     k = len(gtot_rows)
     if k > max_groups:
         raise ValueError(
@@ -6491,6 +6501,7 @@ def ad_k_statistic(
     val_col: str,
     decimals: int = 6,
     max_groups: int = 1000,
+    group_sizes: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """k-sample Anderson-Darling statistic (Scholz-Stephens 1987,
     midrank tie adjustment) — `ad_statistic` generalized from the
@@ -6528,9 +6539,17 @@ def ad_k_statistic(
         F.col(group_col).cast("string").alias("_g"),
         F.col(val_col).cast("bigint").alias("_v"),
     )
-    gtot = sorted(
-        (r["_g"], int(r["ng"]))
-        for r in base.groupBy("_g").agg(F.count(F.lit(1)).alias("ng")).collect()
+    # ``group_sizes`` lets a caller scoring several derived series of the
+    # SAME rows (injected-shift twins: identical group membership, only
+    # values transformed) skip one full count aggregation per extra
+    # series — the caller asserts the sizes are exact for THIS df
+    gtot = (
+        sorted((str(g), int(ng)) for g, ng in group_sizes)
+        if group_sizes is not None
+        else sorted(
+            (r["_g"], int(r["ng"]))
+            for r in base.groupBy("_g").agg(F.count(F.lit(1)).alias("ng")).collect()
+        )
     )
     k = len(gtot)
     if k > max_groups:
