@@ -8210,9 +8210,23 @@ def _q_hl_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r_side = li.filter(F.col("l_returnflag") == "R").select("q")
     n_side = li.filter(F.col("l_returnflag") == "N").select("q")
-    raw = hodges_lehmann_shift(r_side, n_side, "q")
+    # a +7 shift preserves distinct counts and totals: collect the four
+    # grid sizes ONCE (matching the operator's not-null filter) and hand
+    # them to both series — two count jobs instead of four
+    [(n_x, n_a)] = (
+        r_side.filter(F.col("q").isNotNull())
+        .agg(F.count_distinct("q"), F.count(F.lit(1)))
+        .collect()
+    )
+    [(n_y, n_b)] = (
+        n_side.filter(F.col("q").isNotNull())
+        .agg(F.count_distinct("q"), F.count(F.lit(1)))
+        .collect()
+    )
+    sizes = (int(n_x), int(n_a), int(n_y), int(n_b))
+    raw = hodges_lehmann_shift(r_side, n_side, "q", sizes=sizes)
     shifted = hodges_lehmann_shift(
-        r_side.select((F.col("q") + 7).alias("q")), n_side, "q"
+        r_side.select((F.col("q") + 7).alias("q")), n_side, "q", sizes=sizes
     )
     return (
         raw.select(F.lit("raw").alias("series"), "n_a", "n_b", "hl_shift")

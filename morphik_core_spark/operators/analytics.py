@@ -7359,6 +7359,7 @@ def hodges_lehmann_shift(
     val_col: str,
     decimals: int = 6,
     max_grid_cells: int = 10_000_000,
+    sizes: tuple[int, int, int, int] | None = None,
 ) -> DataFrame:
     """Hodges-Lehmann two-sample shift estimator — the SIZE companion
     to the rank/drift detectors (`mann_whitney_u` says the
@@ -7393,8 +7394,15 @@ def hodges_lehmann_shift(
         .groupBy("_y")
         .agg(F.count(F.lit(1)).alias("_cb"))
     )
-    [(n_x, n_a)] = ga.agg(F.count(F.lit(1)), F.sum("_ca")).collect()
-    [(n_y, n_b)] = gb.agg(F.count(F.lit(1)), F.sum("_cb")).collect()
+    # ``sizes`` = (n_x, n_a, n_y, n_b) lets a caller scoring several
+    # value-SHIFTED series of the same rows skip the two count jobs per
+    # extra series (a shift preserves distinct counts and totals); the
+    # caller asserts exactness for THESE frames
+    if sizes is not None:
+        n_x, n_a, n_y, n_b = (int(v) for v in sizes)
+    else:
+        [(n_x, n_a)] = ga.agg(F.count(F.lit(1)), F.sum("_ca")).collect()
+        [(n_y, n_b)] = gb.agg(F.count(F.lit(1)), F.sum("_cb")).collect()
     if n_x * n_y > max_grid_cells:
         raise ValueError(
             f"hodges_lehmann_shift difference grid would be {n_x} x {n_y} "
@@ -7432,10 +7440,15 @@ def hodges_lehmann_shift(
     total = int(n_a) * int(n_b)
     lo_rank = (total + 1) // 2
     hi_rank = total // 2 + 1
-    lo = cums.filter(F.col("cum") >= F.lit(lo_rank)).agg(F.min("_d").alias("_lo"))
-    hi = cums.filter(F.col("cum") >= F.lit(hi_rank)).agg(F.min("_d").alias("_hi"))
+    # both medians in ONE conditional aggregation pass (round-11: the
+    # former two filter+agg branches re-ran the whole prefix-window
+    # chain once each); MIN skips the failing-condition NULLs, so each
+    # is exactly the old filter-then-min
     return (
-        lo.join(F.broadcast(hi))
+        cums.agg(
+            F.min(F.when(F.col("cum") >= F.lit(lo_rank), F.col("_d"))).alias("_lo"),
+            F.min(F.when(F.col("cum") >= F.lit(hi_rank), F.col("_d"))).alias("_hi"),
+        )
         .select(
             F.lit(int(n_a)).cast("bigint").alias("n_a"),
             F.lit(int(n_b)).cast("bigint").alias("n_b"),
