@@ -5517,6 +5517,32 @@ def cmh_test(
     )
 
 
+def _complete_block_filter(base: DataFrame) -> DataFrame:
+    """Blocks of ``base`` (columns `_b`, `_t`) carrying ALL treatment
+    levels — the friedman/page/kendall-w/cochran-q complete-block
+    contract, computed ENTIRELY in-plan (round-11: the former
+    ``base.select("_t").distinct().count()`` ran a driver job at plan
+    construction for every call; the scalar now rides a broadcast
+    1-row aggregate into the same action). The total level count
+    matches the old ``distinct().count()`` exactly: a NULL treatment
+    is its own level (count_distinct skips NULLs, the MAX(CASE) adds
+    it back), so a NULL level still disqualifies every block — the
+    per-block count_distinct never reaches it."""
+    kt = base.agg(
+        (
+            F.count_distinct("_t")
+            + F.coalesce(F.max(F.when(F.col("_t").isNull(), F.lit(1))), F.lit(0))
+        ).alias("_ktot")
+    )
+    return (
+        base.groupBy("_b")
+        .agg(F.count_distinct("_t").alias("_kt"))
+        .join(F.broadcast(kt))
+        .filter(F.col("_kt") == F.col("_ktot"))
+        .select("_b")
+    )
+
+
 def friedman_test(
     df: DataFrame,
     block_col: str,
@@ -5554,14 +5580,9 @@ def friedman_test(
         F.col(val_col).cast("bigint").alias("_v"),
     ).filter(F.col("_v").isNotNull())
     # complete-block contract: keep only blocks carrying ALL k treatments
-    k_total = base.select("_t").distinct().count()  # bounded: treatments
-    full_blocks = (
-        base.groupBy("_b")
-        .agg(F.count_distinct("_t").alias("_kt"))
-        .filter(F.col("_kt") == k_total)
-        .select("_b")
+    rows = scoped_persist(
+        base.join(F.broadcast(_complete_block_filter(base)), "_b", "left_semi")
     )
-    rows = scoped_persist(base.join(F.broadcast(full_blocks), "_b", "left_semi"))
     # doubled average tie rank within block: 2*before + ties + 1 over
     # the within-block value grid (k-bounded per block)
     w_cum = (
@@ -5575,12 +5596,20 @@ def friedman_test(
         2 * F.coalesce(F.sum("_c").over(w_cum), F.lit(0)) + F.col("_c") + 1,
     )
     ranked = rows.join(ranked_grid, ["_b", "_v"])
+    # A4 and n_blocks FOLD into the per-treatment aggregation (round-11:
+    # the former separate `a4` chain re-ran the whole grid+window+join
+    # lineage once more, plus a broadcast join): A4 = SUM_t of the
+    # per-treatment partial (every row carries exactly one _t, DECIMAL
+    # sums are order-free exact), and in a complete-block design every
+    # treatment touches every kept block, so per-treatment
+    # count_distinct(_b) == n_blocks for each t and MAX recovers it
+    # (COALESCE 0 keeps the empty-input case identical to the old
+    # global count_distinct).
     per_t = ranked.groupBy("_t").agg(
-        F.sum(F.col("_r2").cast(dec)).alias("_R2"), F.count(F.lit(1)).alias("_nb")
-    )
-    a4 = ranked.agg(
-        F.sum(F.col("_r2").cast(dec) * F.col("_r2")).alias("_A4"),
-        F.count_distinct("_b").alias("n_blocks"),
+        F.sum(F.col("_r2").cast(dec)).alias("_R2"),
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum(F.col("_r2").cast(dec) * F.col("_r2")).alias("_A4t"),
+        F.count_distinct("_b").alias("_nbd"),
     )
     out = per_t.agg(
         F.count(F.lit(1)).alias("k"),
@@ -5588,7 +5617,9 @@ def friedman_test(
         F.sum(F.expr("CAST(_R2 AS DECIMAL(38,0)) * _R2")).alias("_sq2"),
         F.sum("_R2").alias("_sum2"),
         F.max("_nb").alias("_nb"),
-    ).join(F.broadcast(a4))
+        F.sum("_A4t").alias("_A4"),
+        F.coalesce(F.max("_nbd"), F.lit(0)).alias("n_blocks"),
+    )
     kd, nd = "CAST(k AS DOUBLE)", "CAST(n_blocks AS DOUBLE)"
     # numerator*4: SUM (2R_j)^2 - 2*(n(k+1))*SUM(2R_j) + k*(n(k+1))^2
     num4 = (
@@ -7003,14 +7034,9 @@ def page_trend_test(
         F.col(treatment_col).cast("string").alias("_t"),
         F.col(val_col).cast("bigint").alias("_v"),
     ).filter(F.col("_v").isNotNull())
-    k_total = base.select("_t").distinct().count()  # bounded: treatments
-    full_blocks = (
-        base.groupBy("_b")
-        .agg(F.count_distinct("_t").alias("_kt"))
-        .filter(F.col("_kt") == k_total)
-        .select("_b")
+    rows = scoped_persist(
+        base.join(F.broadcast(_complete_block_filter(base)), "_b", "left_semi")
     )
-    rows = scoped_persist(base.join(F.broadcast(full_blocks), "_b", "left_semi"))
     w_cum = (
         Window.partitionBy("_b")
         .orderBy(F.col("_v").asc())
@@ -7022,16 +7048,21 @@ def page_trend_test(
         2 * F.coalesce(F.sum("_c").over(w_cum), F.lit(0)) + F.col("_c") + 1,
     )
     ranked = rows.join(ranked_grid, ["_b", "_v"])
+    # n_blocks FOLDS into the per-treatment aggregation (round-11: the
+    # former `nb` chain re-scanned rows and joined back) — complete
+    # blocks make per-treatment count_distinct(_b) equal n_blocks for
+    # every t; MAX + COALESCE 0 keeps empty input exact.
     per_t = ranked.groupBy("_t").agg(
         F.sum(F.col("_r2").cast("decimal(38,0)")).alias("_R2"),
+        F.count_distinct("_b").alias("_nbd"),
     )
     w_rank = Window.orderBy(F.col("_t").asc())
     scored = per_t.withColumn("_w", F.row_number().over(w_rank).cast("bigint"))
-    nb = rows.agg(F.count_distinct("_b").alias("n_blocks"))
     agg = scored.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum(F.expr("CAST(_w AS DECIMAL(38,0)) * _R2")).alias("_L2"),
-    ).join(F.broadcast(nb))
+        F.coalesce(F.max("_nbd"), F.lit(0)).alias("n_blocks"),
+    )
     kd, nd = "CAST(k AS DOUBLE)", "CAST(n_blocks AS DOUBLE)"
     el = f"({nd} * {kd} * ({kd} + 1.0) * ({kd} + 1.0) / 4.0)"
     vl = (
@@ -7651,14 +7682,9 @@ def kendall_w(
         F.col(treatment_col).cast("string").alias("_t"),
         F.col(val_col).cast("bigint").alias("_v"),
     ).filter(F.col("_v").isNotNull())
-    k_total = base.select("_t").distinct().count()  # bounded: treatments
-    full_blocks = (
-        base.groupBy("_b")
-        .agg(F.count_distinct("_t").alias("_kt"))
-        .filter(F.col("_kt") == k_total)
-        .select("_b")
+    rows = scoped_persist(
+        base.join(F.broadcast(_complete_block_filter(base)), "_b", "left_semi")
     )
-    rows = scoped_persist(base.join(F.broadcast(full_blocks), "_b", "left_semi"))
     w_cum = (
         Window.partitionBy("_b")
         .orderBy(F.col("_v").asc())
@@ -7670,20 +7696,24 @@ def kendall_w(
         2 * F.coalesce(F.sum("_c").over(w_cum), F.lit(0)) + F.col("_c") + 1,
     )
     ranked = rows.join(ranked_grid, ["_b", "_v"])
+    # tie term and n_blocks FOLD into the per-treatment aggregation
+    # (round-11: the former `ties` chain re-aggregated the grid lineage
+    # and joined back): each (b, v) cell contributes (c^3 - c) once,
+    # i.e. (c^2 - 1) on each of its c ranked rows — exact DECIMAL —
+    # and complete blocks make per-treatment count_distinct(_b) equal
+    # n_blocks for every t (MAX + COALESCE 0 keeps empty input exact).
     per_t = ranked.groupBy("_t").agg(
         F.sum(F.col("_r2").cast("decimal(38,0)")).alias("_R2"),
-    )
-    ties = grid.agg(
-        F.coalesce(
-            F.sum(F.expr("CAST(_c AS DECIMAL(38,0)) * _c * _c - _c")), F.lit(0).cast("decimal(38,0)")
-        ).alias("_T"),
-        F.count_distinct("_b").alias("n_blocks"),
+        F.sum(F.expr("CAST(_c AS DECIMAL(38,0)) * _c - 1")).alias("_Tt"),
+        F.count_distinct("_b").alias("_nbd"),
     )
     agg = per_t.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum(F.expr("CAST(_R2 AS DECIMAL(38,0)) * _R2")).alias("_sq2"),
         F.sum("_R2").alias("_sum2"),
-    ).join(F.broadcast(ties))
+        F.coalesce(F.sum("_Tt"), F.lit(0).cast("decimal(38,0)")).alias("_T"),
+        F.coalesce(F.max("_nbd"), F.lit(0)).alias("n_blocks"),
+    )
     kd, md = "CAST(k AS DOUBLE)", "CAST(n_blocks AS DOUBLE)"
     # 4S = SUM (2R_j)^2 - 2*(m(k+1))*SUM(2R_j) + k*(m(k+1))^2, exact ints
     s4 = (
@@ -7742,14 +7772,9 @@ def cochran_q(
     ).filter(F.col("_f").isNotNull())
     from morphik_core_spark.plans.cache import scoped_persist
 
-    k_total = base.select("_t").distinct().count()  # bounded: treatments
-    full_blocks = (
-        base.groupBy("_b")
-        .agg(F.count_distinct("_t").alias("_kt"))
-        .filter(F.col("_kt") == k_total)
-        .select("_b")
+    rows = scoped_persist(
+        base.join(F.broadcast(_complete_block_filter(base)), "_b", "left_semi")
     )
-    rows = scoped_persist(base.join(F.broadcast(full_blocks), "_b", "left_semi"))
     per_t = rows.groupBy("_t").agg(F.sum("_f").alias("_g"))
     per_b = rows.groupBy("_b").agg(F.sum("_f").alias("_l"))
     gt = per_t.agg(
