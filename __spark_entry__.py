@@ -8200,7 +8200,10 @@ def _q_hl_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     series: RAW (the generator draws quantity independent of return
     flag — shift 0) and an injected +7 shift (the estimator must
     report exactly 7 on top of raw)."""
-    from morphik_core_spark.operators.analytics import hodges_lehmann_shift
+    from morphik_core_spark.operators.analytics import (
+        hl_value_grids,
+        hodges_lehmann_shift,
+    )
     from morphik_core_spark.plans.cache import scoped_persist
 
     li = scoped_persist(
@@ -8210,23 +8213,22 @@ def _q_hl_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r_side = li.filter(F.col("l_returnflag") == "R").select("q")
     n_side = li.filter(F.col("l_returnflag") == "N").select("q")
-    # a +7 shift preserves distinct counts and totals: collect the four
-    # grid sizes ONCE (matching the operator's not-null filter) and hand
-    # them to both series — two count jobs instead of four
-    [(n_x, n_a)] = (
-        r_side.filter(F.col("q").isNotNull())
-        .agg(F.count_distinct("q"), F.count(F.lit(1)))
-        .collect()
-    )
-    [(n_y, n_b)] = (
-        n_side.filter(F.col("q").isNotNull())
-        .agg(F.count_distinct("q"), F.count(F.lit(1)))
-        .collect()
-    )
+    # build the per-value count grids ONCE (round-11): a +7 bigint shift
+    # is an injective projection, so the shifted series' ga is the raw
+    # grid with _x+7 and gb is shared outright — one grid build instead
+    # of two, and the size collects run on the tiny persisted grids
+    # (matching the operator's own fallback aggregation exactly)
+    ga, gb = hl_value_grids(r_side, n_side, "q")
+    [(n_x, n_a)] = ga.agg(F.count(F.lit(1)), F.sum("_ca")).collect()
+    [(n_y, n_b)] = gb.agg(F.count(F.lit(1)), F.sum("_cb")).collect()
     sizes = (int(n_x), int(n_a), int(n_y), int(n_b))
-    raw = hodges_lehmann_shift(r_side, n_side, "q", sizes=sizes)
+    raw = hodges_lehmann_shift(r_side, n_side, "q", sizes=sizes, grids=(ga, gb))
     shifted = hodges_lehmann_shift(
-        r_side.select((F.col("q") + 7).alias("q")), n_side, "q", sizes=sizes
+        r_side,
+        n_side,
+        "q",
+        sizes=sizes,
+        grids=(ga.select((F.col("_x") + F.lit(7)).alias("_x"), "_ca"), gb),
     )
     return (
         raw.select(F.lit("raw").alias("series"), "n_a", "n_b", "hl_shift")

@@ -7384,6 +7384,29 @@ def dagostino_k2(
     )
 
 
+def hl_value_grids(
+    a: DataFrame, b: DataFrame, val_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The (ga, gb) per-value count grids `hodges_lehmann_shift` runs
+    on — exposed so a multi-series caller can build them ONCE and feed
+    shifted projections back via the ``grids`` parameter."""
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    ga = scoped_persist(
+        a.filter(F.col(val_col).isNotNull())
+        .select(F.col(val_col).cast("bigint").alias("_x"))
+        .groupBy("_x")
+        .agg(F.count(F.lit(1)).alias("_ca"))
+    )
+    gb = scoped_persist(
+        b.filter(F.col(val_col).isNotNull())
+        .select(F.col(val_col).cast("bigint").alias("_y"))
+        .groupBy("_y")
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    )
+    return ga, gb
+
+
 def hodges_lehmann_shift(
     a: DataFrame,
     b: DataFrame,
@@ -7391,6 +7414,7 @@ def hodges_lehmann_shift(
     decimals: int = 6,
     max_grid_cells: int = 10_000_000,
     sizes: tuple[int, int, int, int] | None = None,
+    grids: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Hodges-Lehmann two-sample shift estimator — the SIZE companion
     to the rank/drift detectors (`mann_whitney_u` says the
@@ -7413,18 +7437,16 @@ def hodges_lehmann_shift(
     """
     from morphik_core_spark.plans.cache import scoped_persist
 
-    ga = scoped_persist(
-        a.filter(F.col(val_col).isNotNull())
-        .select(F.col(val_col).cast("bigint").alias("_x"))
-        .groupBy("_x")
-        .agg(F.count(F.lit(1)).alias("_ca"))
-    )
-    gb = scoped_persist(
-        b.filter(F.col(val_col).isNotNull())
-        .select(F.col(val_col).cast("bigint").alias("_y"))
-        .groupBy("_y")
-        .agg(F.count(F.lit(1)).alias("_cb"))
-    )
+    # ``grids`` = (ga, gb) lets a caller scoring several value-SHIFTED
+    # series of the same rows reuse ONE pair of per-value count grids
+    # (round-11: a bigint shift is an injective projection of the grid,
+    # so the shifted series' grids are the raw grids with _x shifted —
+    # build once with `hl_value_grids`, pass the projection); the
+    # caller asserts the frames equal what this operator would build.
+    if grids is not None:
+        ga, gb = grids
+    else:
+        ga, gb = hl_value_grids(a, b, val_col)
     # ``sizes`` = (n_x, n_a, n_y, n_b) lets a caller scoring several
     # value-SHIFTED series of the same rows skip the two count jobs per
     # extra series (a shift preserves distinct counts and totals); the
