@@ -3334,18 +3334,28 @@ def mann_kendall_test(
         a.join(b, F.col("_ia") < F.col("_ib"))
         .agg(F.sum(F.signum((F.col("_yb") - F.col("_ya")).cast("double")).cast("bigint")).alias("s"))
     )
-    n_row = base.agg(F.count(F.lit(1)).alias("n"))
-    ties = (
+    # n and the tie term come from ONE pass over the value grid
+    # (round-11: the former separate n_row chain re-scanned base and
+    # added a broadcast join): n = SUM of grid counts, and the t>1
+    # filter becomes a conditional sum — 0 on no-tie input exactly as
+    # the old COALESCE(SUM(..), 0) after the filter.
+    nt = (
         base.groupBy("_y")
         .agg(F.count(F.lit(1)).alias("t"))
-        .filter(F.col("t") > 1)
         .agg(
+            F.coalesce(F.sum("t"), F.lit(0)).alias("n"),
             F.coalesce(
-                F.sum(F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5)), F.lit(0)
-            ).alias("tie_term")
+                F.sum(
+                    F.when(
+                        F.col("t") > 1,
+                        F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5),
+                    )
+                ),
+                F.lit(0),
+            ).alias("tie_term"),
         )
     )
-    joined = s_stat.join(F.broadcast(n_row)).join(F.broadcast(ties))
+    joined = s_stat.join(F.broadcast(nt))
     var18 = (
         F.col("n") * (F.col("n") - 1) * (F.lit(2) * F.col("n") + 5) - F.col("tie_term")
     )
@@ -3405,27 +3415,36 @@ def seasonal_mann_kendall(
             F.signum((F.col("_yb") - F.col("_ya")).cast("double")).cast("bigint")
         ).alias("s")
     )
-    per_season = base.groupBy("_m").agg(F.count(F.lit(1)).alias("_n"))
-    ties = (
+    # per-season sizes AND tie terms come from ONE pass over the
+    # (season, value) grid (round-11: the former per_season chain
+    # re-scanned base, and ties needed a filter + left join + na.fill):
+    # _n = SUM of grid counts per season, and the t>1 filter becomes a
+    # conditional sum whose missing-group 0 is exactly the old
+    # na.fill(0) after the left join.
+    sv = (
         base.groupBy("_m", "_y")
         .agg(F.count(F.lit(1)).alias("t"))
-        .filter(F.col("t") > 1)
         .groupBy("_m")
         .agg(
-            F.sum(F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5)).alias("tie_term")
+            F.sum("t").alias("_n"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("t") > 1,
+                        F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5),
+                    )
+                ),
+                F.lit(0),
+            ).alias("tie_term"),
         )
     )
-    var18 = (
-        per_season.join(ties, "_m", "left")
-        .na.fill({"tie_term": 0})
-        .agg(
-            F.count(F.lit(1)).alias("n_seasons"),
-            F.sum("_n").alias("n_points"),
-            F.sum(
-                F.col("_n") * (F.col("_n") - 1) * (F.lit(2) * F.col("_n") + 5)
-                - F.col("tie_term")
-            ).alias("_v18"),
-        )
+    var18 = sv.agg(
+        F.count(F.lit(1)).alias("n_seasons"),
+        F.sum("_n").alias("n_points"),
+        F.sum(
+            F.col("_n") * (F.col("_n") - 1) * (F.lit(2) * F.col("_n") + 5)
+            - F.col("tie_term")
+        ).alias("_v18"),
     )
     joined = s_stat.join(F.broadcast(var18))
     var_s = F.col("_v18").cast("double") / F.lit(18.0)
