@@ -4351,7 +4351,11 @@ def _q_demand_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(ln(CAST(p_retailprice AS DOUBLE)) * 1000000.0) AS BIGINT)").alias("lx"),
         F.expr("CAST(ROUND(ln(CAST(l_quantity AS DOUBLE)) * 1000000.0) AS BIGINT)").alias("ly"),
     )
-    return grouped_ols(j, "p_brand", "lx", "ly").orderBy("p_brand")
+    # |ln(price)|, |ln(qty)| < 10 so micro-units are < 1e7 and every
+    # per-row product < 1e14 — long space holds them exactly
+    return grouped_ols(j, "p_brand", "lx", "ly", products_fit_long=True).orderBy(
+        "p_brand"
+    )
 
 
 def _q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4941,7 +4945,11 @@ def _q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("disc_h"),
         F.expr("CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("tax_h"),
     )
-    return numeric_corr(li, ["qty", "price_c", "disc_h", "tax_h"])
+    # price cents < ~1.2e7 dominate every pairwise product (< ~1.5e14),
+    # so long space holds the per-row products exactly
+    return numeric_corr(
+        li, ["qty", "price_c", "disc_h", "tax_h"], products_fit_long=True
+    )
 
 
 def _q_term_gini(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1736,6 +1736,7 @@ def numeric_corr(
     df: DataFrame,
     cols: Sequence[str],
     decimals: int = 6,
+    products_fit_long: bool = False,
 ) -> DataFrame:
     """Pairwise Pearson correlation matrix over INTEGER-scaled numeric
     columns — the EDA screen before feature selection (collinear
@@ -1757,15 +1758,23 @@ def numeric_corr(
     base = df.select(*[F.col(c).cast("bigint").alias(c) for c in cols])
     for c in cols:
         base = base.filter(F.col(c).isNotNull())
+    # ``products_fit_long``: caller asserts every pairwise per-row
+    # product fits int64 — the multiply then runs in long space and
+    # only the SUM accumulates in DECIMAL (round-11: skips one
+    # BigDecimal multiply per moment per row, ~25% of the aggregation;
+    # ANSI mode raises loudly on overflow). Same exact integer sums.
+    def _prod(a: str, b: str):
+        if products_fit_long:
+            return F.expr(f"CAST({a} * {b} AS DECIMAL(38,0))")
+        return F.col(a).cast("decimal(38,0)") * F.col(b)
+
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs.append(F.sum(c).alias(f"_s_{c}"))
-        aggs.append(F.sum(F.col(c).cast("decimal(38,0)") * F.col(c)).alias(f"_ss_{c}"))
+        aggs.append(F.sum(_prod(c, c)).alias(f"_ss_{c}"))
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     for a, b in pairs:
-        aggs.append(
-            F.sum(F.col(a).cast("decimal(38,0)") * F.col(b)).alias(f"_sp_{a}_{b}")
-        )
+        aggs.append(F.sum(_prod(a, b)).alias(f"_sp_{a}_{b}"))
     from morphik_core_spark.plans.cache import scoped_persist
 
     # ONE row of moments feeds every pair's output row — persist it or
@@ -2629,6 +2638,7 @@ def grouped_ols(
     y_col: str,
     in_scale: int = 1_000_000,
     decimals: int = 6,
+    products_fit_long: bool = False,
 ) -> DataFrame:
     """Per-group simple linear regression (OLS slope / intercept / R²)
     over PRE-QUANTIZED integer features — the closed-form moments
@@ -2652,6 +2662,21 @@ def grouped_ols(
     """
     s = float(in_scale)
     dec = "decimal(38,0)"
+    # ``products_fit_long``: the caller asserts every per-row product
+    # x*x, x*y, y*y fits int64 (|x|,|y| < ~3.0e9) — the product then
+    # multiplies in long space and only the SUM accumulates in DECIMAL,
+    # which skips two BigDecimal multiplies per row (round-11: measured
+    # ~25% of this aggregation's time at sf0.1; ANSI mode would raise
+    # loudly on an overflow rather than wrap). The sums are the same
+    # exact integers either way.
+    if products_fit_long:
+        sxx = F.sum(F.expr(f"CAST({x_col} * {x_col} AS DECIMAL(38,0))"))
+        sxy = F.sum(F.expr(f"CAST({x_col} * {y_col} AS DECIMAL(38,0))"))
+        syy = F.sum(F.expr(f"CAST({y_col} * {y_col} AS DECIMAL(38,0))"))
+    else:
+        sxx = F.sum(F.col(x_col).cast(dec) * F.col(x_col).cast(dec))
+        sxy = F.sum(F.col(x_col).cast(dec) * F.col(y_col).cast(dec))
+        syy = F.sum(F.col(y_col).cast(dec) * F.col(y_col).cast(dec))
     agg = (
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .groupBy(group_col)
@@ -2659,9 +2684,9 @@ def grouped_ols(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(x_col).cast(dec)).alias("sx"),
             F.sum(F.col(y_col).cast(dec)).alias("sy"),
-            F.sum(F.col(x_col).cast(dec) * F.col(x_col).cast(dec)).alias("sxx"),
-            F.sum(F.col(x_col).cast(dec) * F.col(y_col).cast(dec)).alias("sxy"),
-            F.sum(F.col(y_col).cast(dec) * F.col(y_col).cast(dec)).alias("syy"),
+            sxx.alias("sxx"),
+            sxy.alias("sxy"),
+            syy.alias("syy"),
         )
     )
     n = F.col("n").cast("double")
