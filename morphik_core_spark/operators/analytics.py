@@ -3054,27 +3054,42 @@ def neyman_allocation(
         ),
     )
 
-    def hamilton(frame: DataFrame, weight_col: str, out_col: str) -> DataFrame:
-        wsum = frame.agg(F.sum(weight_col).alias("_ws"))
-        # strata-sized persist: the crossJoin branches otherwise re-derive
-        # the corpus scan per consumer — two chained hamilton() calls
-        # compounded to 16 FileScans before this
-        base = scoped_persist(
-            frame.crossJoin(F.broadcast(wsum))
-            .withColumn("_a0", F.expr(f"({int(budget)} * {weight_col}) div _ws"))
-            .withColumn("_rm", F.expr(f"({int(budget)} * {weight_col}) % _ws"))
+    # BOTH Hamilton apportionments ride ONE chain (round-11: the two
+    # chained hamilton() calls each built their own weight-sum agg,
+    # strata persist, residual agg and crossJoin — the allocations are
+    # independent per-weight arithmetic, so one pass computes both with
+    # identical largest-remainder results; the persist exists because
+    # the crossJoin branches otherwise re-derive the corpus scan per
+    # consumer — two chains compounded to 16 FileScans before it).
+    wsum = weighted.agg(
+        F.sum("_w").alias("_ws_w"), F.sum("n").alias("_ws_n")
+    )
+    base = scoped_persist(
+        weighted.crossJoin(F.broadcast(wsum))
+        .withColumn("_a0w", F.expr(f"({int(budget)} * _w) div _ws_w"))
+        .withColumn("_rmw", F.expr(f"({int(budget)} * _w) % _ws_w"))
+        .withColumn("_a0n", F.expr(f"({int(budget)} * n) div _ws_n"))
+        .withColumn("_rmn", F.expr(f"({int(budget)} * n) % _ws_n"))
+    )
+    resid = base.agg(
+        (F.lit(int(budget)) - F.sum("_a0w")).alias("_rw"),
+        (F.lit(int(budget)) - F.sum("_a0n")).alias("_rn"),
+    )
+    rank_w = Window.orderBy(F.col("_rmw").desc(), F.col("stratum").asc())
+    rank_n = Window.orderBy(F.col("_rmn").desc(), F.col("stratum").asc())
+    out = (
+        base.withColumn("_rkw", F.row_number().over(rank_w))
+        .withColumn("_rkn", F.row_number().over(rank_n))
+        .crossJoin(F.broadcast(resid))
+        .withColumn(
+            "neyman_alloc",
+            F.col("_a0w") + (F.col("_rkw") <= F.col("_rw")).cast("long"),
         )
-        resid = base.agg((F.lit(int(budget)) - F.sum("_a0")).alias("_r"))
-        w_rank = Window.orderBy(F.col("_rm").desc(), F.col("stratum").asc())
-        return (
-            base.withColumn("_rk", F.row_number().over(w_rank))
-            .crossJoin(F.broadcast(resid))
-            .withColumn(out_col, (F.col("_a0") + (F.col("_rk") <= F.col("_r")).cast("long")))
-            .drop("_ws", "_a0", "_rm", "_rk", "_r")
+        .withColumn(
+            "prop_alloc",
+            F.col("_a0n") + (F.col("_rkn") <= F.col("_rn")).cast("long"),
         )
-
-    out = hamilton(weighted, "_w", "neyman_alloc")
-    out = hamilton(out, "n", "prop_alloc")
+    )
     return out.select("stratum", "n", "sigma", "neyman_alloc", "prop_alloc").orderBy("stratum")
 
 
