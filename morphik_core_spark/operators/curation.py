@@ -460,11 +460,18 @@ def perplexity_scores(
     tk = F.split(normalize_text(F.col(text_col)), " ")
     toks = base.select(
         F.col(id_col), F.concat(F.array(F.lit("<s>")), tk).alias("tk")
-    ).filter(F.size("tk") >= 2)
+    )
+    # the <2-token guard lives inside the expression (empty array => the
+    # explode drops the row): a .filter(size(tk) >= 2) here re-ran the
+    # whole tokenize inside the pushed-down Filter (round-11)
     bigrams = toks.select(
         F.col(id_col),
         F.explode(
-            F.expr("transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS prev, tk[i] AS cur))")
+            F.expr(
+                "IF(size(tk) >= 2, "
+                "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS prev, tk[i] AS cur)), "
+                "array())"
+            )
         ).alias("bg"),
     ).select(F.col(id_col), F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
     bigrams = scoped_persist(bigrams)

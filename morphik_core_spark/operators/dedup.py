@@ -94,9 +94,17 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     the usual MinHash convention.
     """
     toks = F.split(normalize_text(F.col(text_col)), " ")
+    # the <n-token guard lives INSIDE the expression (empty array => the
+    # explode drops the row) instead of a .filter(size(tk) >= n): a filter
+    # on the unpersisted projection gets pushed below the pre-fan-out
+    # exchange with the whole tokenize inlined, so every row paid the
+    # regex+split kernel twice — once in the pushed Filter, once in the
+    # Project (round-11; same rows by the MinHash convention either way)
     shingles = F.expr(
+        f"IF(size(tk) >= {n}, "
         f"array_distinct(transform(sequence(0, size(tk) - {n}), "
-        f"i -> concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))})))"
+        f"i -> concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))}))), "
+        f"array())"
     )
     # pre-fan-out exchange (the perplexity_scores pattern): a small corpus
     # often arrives as 1-2 scan partitions, which would serialize the
@@ -109,7 +117,6 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
         base = base.repartition(par)
     return (
         base.select(F.col(id_col), toks.alias("tk"))
-        .filter(F.size("tk") >= n)
         .select(F.col(id_col), F.explode(shingles).alias("shingle"))
     )
 
@@ -160,7 +167,7 @@ def minhash_signatures_inline(
         f"array_distinct(transform(sequence(0, size(tk) - {n}), "
         f"i -> concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))})))"
     )
-    base = df.select(F.col(id_col), toks.alias("tk")).filter(F.size("tk") >= n)
+    base = df.select(F.col(id_col), toks.alias("tk"))
     # pre-fan-out: same rationale as word_shingles — spread the regex +
     # shingle CPU when the scan under-parallelizes; no-op at real scale.
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -170,7 +177,17 @@ def minhash_signatures_inline(
         f"transform({sh_expr}, s -> "
         f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % {_H30}L)"
     )
-    base = base.select(F.col(id_col), F.expr(h30s).alias("hs"))
+    # the <n-token drop AND the hash-array projection both ride ONE
+    # Generate: explode of the 0/1-element wrapper drops short docs (the
+    # old .filter(size(tk) >= n) re-ran the whole tokenize inside the
+    # pushed-down Filter), and Generate is a codegen barrier, so the
+    # shingle+md5 chain is evaluated exactly once even though all
+    # num_hashes array_min projections consume it (adjacent Projects
+    # would otherwise collapse and inline the chain per hash function).
+    base = base.select(
+        F.col(id_col),
+        F.explode(F.expr(f"IF(size(tk) >= {n}, array({h30s}), array())")).alias("hs"),
+    )
     mins = [
         F.expr(f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {_MERSENNE31}L))").alias(f"mh{i}")
         for i, (a, b) in enumerate(hash_params(num_hashes, seed))
@@ -882,26 +899,34 @@ def span_dedup(
     union is an explode of at most n positions per duplicated gram,
     distinct-ed per doc — bounded by document length, not corpus size.
     """
+    # ONE tokenize pass for the whole operator (round-11): n_tokens rides
+    # the positional explode (explode_outer + the in-expression <n guard
+    # keeps short docs as a NULL-gram row), so `lengths` becomes an agg
+    # over the persisted gram frame instead of a second corpus tokenize —
+    # and the old .filter(size(tk) >= n) no longer re-runs the tokenize
+    # inside a pushed-down Filter (third pass) either.
     grams_expr = F.expr(
+        f"IF(size(tk) >= {n}, "
         f"transform(sequence(0, size(tk) - {n}), "
-        f"i -> struct(i AS pos, concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))}) AS gram))"
+        f"i -> struct(i AS pos, concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))}) AS gram)), "
+        f"array())"
     )
     base = df.select(F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("tk"))
-    lengths = base.select(F.col(id_col), F.size("tk").alias("n_tokens"))
     g = (
-        base.filter(F.size("tk") >= n)
-        .select(F.col(id_col), F.explode(grams_expr).alias("g"))
-        .select(F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        base.select(F.col(id_col), F.size("tk").alias("n_tokens"), F.explode_outer(grams_expr).alias("g"))
+        .select(F.col(id_col), "n_tokens", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
     )
     if persist:
-        # g feeds both the dup-gram index and the coverage join; without a
-        # persist the corpus-wide explode runs twice (scoped: freed by the
-        # caller's next release_scoped())
+        # g feeds the length agg, the dup-gram index and the coverage
+        # join; without a persist the corpus-wide explode runs per
+        # consumer (scoped: freed by the caller's next release_scoped())
         from morphik_core_spark.plans.cache import scoped_persist
 
         g = scoped_persist(g)
+    lengths = g.groupBy(id_col).agg(F.first("n_tokens").alias("n_tokens"))
     dup = (
-        g.groupBy("gram")
+        g.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
         .agg(F.count_distinct(F.col(id_col)).alias("df"))
         .filter(F.col("df") > 1)
         .select("gram")

@@ -285,13 +285,17 @@ def repetition_signals(
     from pyspark.sql import Window
 
     toks = F.split(normalize_text(F.col(text_col)), " ")
+    # <n-token guard inside the expression (empty array => explode drops
+    # the row): a .filter(size(tk) >= n) on the unpersisted projection
+    # re-runs the whole tokenize in the pushed-down Filter (round-11)
     grams = F.expr(
+        f"IF(size(tk) >= {n}, "
         f"transform(sequence(0, size(tk) - {n}), "
-        f"i -> concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))}))"
+        f"i -> concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))})), "
+        f"array())"
     )
     counts = (
         df.select(F.col(id_col), toks.alias("tk"))
-        .filter(F.size("tk") >= n)
         .select(F.col(id_col), F.explode(grams).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -637,13 +641,15 @@ def ngram_diversity(
     Ratio from raw integer counts, rounded once.
     """
     toks = tokens(F.col(text_col))
+    # guard inside the expression, not a .filter: see repetition_signals
     grams = F.expr(
+        f"IF(size(tk) >= {n}, "
         f"transform(sequence(0, size(tk) - {n}), "
-        f"i -> concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))}))"
+        f"i -> concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))})), "
+        f"array())"
     )
     exploded = (
         df.select(F.col(group_col), toks.alias("tk"))
-        .filter(F.size("tk") >= n)
         .select(F.col(group_col), F.explode(grams).alias("gram"))
     )
     return (
@@ -863,14 +869,16 @@ def vocab_coverage(
     tops = sorted(int(t) for t in top_ns)
     max_n = tops[-1]
     toks = tokens(F.col(text_col))
+    # guard inside the expression, not a .filter: see repetition_signals
     grams = F.expr(
+        f"IF(size(tk) >= {n}, "
         f"transform(sequence(0, size(tk) - {n}), "
-        f"i -> concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))}))"
+        f"i -> concat_ws(' ', {', '.join(f'tk[i + {j}]' for j in range(n))})), "
+        f"array())"
     )
     cnt = (
         df.filter(F.col(text_col).isNotNull())
         .select(toks.alias("tk"))
-        .filter(F.size("tk") >= n)
         .select(F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("c"))
