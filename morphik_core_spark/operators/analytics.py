@@ -503,24 +503,32 @@ def basket_lift(
     """
     from morphik_core_spark.plans.cache import scoped_persist
 
-    items = scoped_persist(
-        events.select(F.col(group_col).alias("g"), F.col(item_col).alias("it")).distinct()
+    # baskets as SORTED ARRAYS, pairs expanded in codegen (round-11): the
+    # former shape derived per-group sizes, semi-joined the cap, and
+    # self-equi-joined the capped table — three shuffles plus a join for
+    # pair rows the flatten below emits straight off the basket row. The
+    # k² fan-out bound is unchanged (it IS size(its) ≤ max_items_per_group,
+    # applied to the same groups), items within a basket are distinct so
+    # sort_array + i<j reproduces the item_a < item_b canonical pairs
+    # exactly, and every downstream count is over the same capped set.
+    baskets = scoped_persist(
+        events.select(F.col(group_col).alias("g"), F.col(item_col).alias("it"))
+        .distinct()
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("it")).alias("its"))
+        .filter(F.size("its") <= max_items_per_group)
     )
-    sizes = items.groupBy("g").agg(F.count(F.lit(1)).alias("k"))
-    ok = sizes.filter(F.col("k") <= max_items_per_group).select("g")
-    # four consumers (N, item counts, both self-join sides) over the
-    # capped distinct table — persist items + capped or each branch
-    # re-runs the corpus distinct (10 FileScans measured unpersisted)
-    capped = scoped_persist(items.join(ok, "g", "left_semi"))
-    n_groups = capped.select("g").distinct().groupBy().agg(
-        F.count(F.lit(1)).alias("n_groups")
+    n_groups = baskets.groupBy().agg(F.count(F.lit(1)).alias("n_groups"))
+    item_counts = baskets.select(F.explode("its").alias("it")).groupBy("it").agg(
+        F.count(F.lit(1)).alias("n_item")
     )
-    item_counts = capped.groupBy("it").agg(F.count(F.lit(1)).alias("n_item"))
-    a = capped.select("g", F.col("it").alias("item_a"))
-    b = capped.select("g", F.col("it").alias("item_b"))
+    pair_expr = F.expr(
+        "flatten(transform(its, (a, i) -> "
+        "transform(slice(its, i + 2, size(its)), b -> struct(a AS item_a, b AS item_b))))"
+    )
     pairs = (
-        a.join(b, "g")
-        .filter(F.col("item_a") < F.col("item_b"))
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= int(min_support))
