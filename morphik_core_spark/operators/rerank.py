@@ -69,89 +69,97 @@ def mmr_diversify(
     prompt assembly (the reference returns raw top-k,
     `core/services/document_service.py:386-466`; this extends it).
 
-    Implementation is a bounded-``k`` driver loop of PURE DataFrame
-    ops — no Python kernel: each round anti-joins the already-selected
-    rows, joins the ≤ round-count selected vectors back on the query
-    key, takes the max per-candidate cosine (each cosine ROUNDed once),
-    and picks the arg-max objective with a row_number window
-    partitioned by query. Every float the selection compares is one
-    fixed expression tree rounded once, with the id as tiebreak, so
-    the chosen set is engine- and partitioning-independent.
+    The whole greedy selection runs INSIDE codegen as one fold per query
+    (round-11 rewrite of the former bounded-``k`` driver loop of
+    anti-join/join/window rounds — 42 Exchanges of ≤ C-row frames plus an
+    eager localCheckpoint action, all pure stage-scheduling overhead):
+    candidates are gathered into one array row per query, and an
+    ``aggregate`` over ``sequence(2, k)`` repeatedly scores the remaining
+    candidates (max per-candidate cosine to the picked set, each cosine
+    ROUNDed once) and appends the arg-max pick via an ``array_sort``
+    comparator. Every float compared is the SAME fixed expression tree as
+    the join form — dot/norm via aggregate(zip_with(...)), one ROUND per
+    cosine, one ROUND per objective, id tiebreaks, NULLs (zero-norm
+    vectors) last — so the chosen set is bit-identical to the former
+    implementation and engine-/partitioning-independent.
 
-    Scale: the loop runs k times (k ≤ 10 in practice) over a frame of
-    N_queries × C candidates where C is the bounded ANN fan-in (≤ a few
-    hundred); all joins are equi-joins on the query key, so with both
-    sides hash-partitioned on it no round shuffles more than the
-    candidate frame. Window partitions are per-query (≤ C rows).
+    Scale: one shuffle (groupBy query); each per-query row is bounded by
+    the ANN fan-in C (≤ a few hundred), so the fold is O(k·C) small-array
+    work in a tight JVM loop — no joins, no windows, no driver actions.
 
     Output: (query, rank 1..k, id, score, mmr_score); rank 1's
     mmr_score is its relevance score (empty selected set ⇒ no
-    redundancy term, the standard convention).
+    redundancy term, the standard convention). If a query has fewer than
+    ``k`` candidates every candidate is ranked, as before.
     """
-    from pyspark.sql import Window
-
-    from morphik_core_spark.functions.vectors import cosine_similarity
-
     q, i, s, v = query_col, id_col, score_col, vec_col
-    cands = candidates.select(
-        F.col(q).alias("_q"),
-        F.col(i).alias("_id"),
-        F.round(F.col(s).cast("double"), decimals).alias("_score"),
-        F.col(v).alias("_vec"),
+    cs = (
+        candidates.select(
+            F.col(q).alias("_q"),
+            F.col(i).alias("_id"),
+            F.round(F.col(s).cast("double"), decimals).alias("_score"),
+            F.col(v).alias("_vec"),
+        )
+        .groupBy("_q")
+        .agg(F.collect_list(F.struct("_id", "_score", "_vec")).alias("cs"))
     )
-    # The greedy loop references this frame 2(k−1)+1 times; without a
-    # lineage cut every reference recomputes the upstream ANN scoring
-    # scan (measured 2.4 s → sub-second at sf0.1). The frame is bounded
-    # by contract (n_queries × fan-in), so an eager localCheckpoint is
-    # cheap — the same per-round pattern as dedup's connected components.
-    cands = cands.localCheckpoint(eager=True)
-    w = Window.partitionBy("_q")
-    first = (
-        cands.withColumn(
-            "rn", F.row_number().over(w.orderBy(F.col("_score").desc(), F.col("_id").asc()))
+
+    lam_lit = f"CAST({float(lam)!r} AS DOUBLE)"
+    one_minus_lam_lit = f"CAST({1.0 - float(lam)!r} AS DOUBLE)"
+
+    def _dot(a: str, b: str, t: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x{t}, y{t}) -> x{t} * y{t}), "
+            f"0D, (a{t}, b{t}) -> a{t} + b{t})"
         )
-        .filter(F.col("rn") == 1)
-        .select("_q", F.lit(1).alias("rank"), "_id", "_score",
-                F.col("_score").alias("_mmr"), "_vec")
+
+    # cosine_similarity(c._vec, s._vec) verbatim: NULL when zero-norm
+    _den = f"(sqrt({_dot('c._vec', 'c._vec', '1')}) * sqrt({_dot('s._vec', 's._vec', '2')}))"
+    _cos = f"CASE WHEN {_den} != CAST(0.0 AS DOUBLE) THEN {_dot('c._vec', 's._vec', '3')} / {_den} END"
+
+    def _cmp(key: str) -> str:
+        # (key DESC NULLS LAST, _id ASC) — row_number's ordering
+        return (
+            f"(l, r) -> CASE "
+            f"WHEN l.{key} IS NULL AND r.{key} IS NULL THEN "
+            f"  CASE WHEN l._id < r._id THEN -1 WHEN l._id > r._id THEN 1 ELSE 0 END "
+            f"WHEN l.{key} IS NULL THEN 1 "
+            f"WHEN r.{key} IS NULL THEN -1 "
+            f"WHEN l.{key} > r.{key} THEN -1 "
+            f"WHEN l.{key} < r.{key} THEN 1 "
+            f"ELSE CASE WHEN l._id < r._id THEN -1 WHEN l._id > r._id THEN 1 ELSE 0 END END"
+        )
+
+    # rank 1: arg-max relevance; _mmr is the score itself
+    init = (
+        f"transform(slice(array_sort(cs, {_cmp('_score')}), 1, 1), "
+        f"b -> named_struct('_id', b._id, '_score', b._score, '_mmr', b._score, '_vec', b._vec))"
     )
-    selected = first
-    for step in range(2, k + 1):
-        remaining = cands.join(
-            selected.select("_q", "_id"), ["_q", "_id"], "left_anti"
+    # each step: score the not-yet-picked candidates against the picked
+    # set st, then append the arg-max objective (slice keeps the step a
+    # no-op when the query has fewer than k candidates)
+    scored = (
+        "transform(filter(cs, c -> NOT exists(st, e -> e._id <=> c._id)), "
+        "c -> named_struct("
+        "'_id', c._id, "
+        "'_score', c._score, "
+        f"'_mmr', round({lam_lit} * c._score - {one_minus_lam_lit} * "
+        f"array_max(transform(st, s -> round({_cos}, {int(decimals)}))), {int(decimals)}), "
+        "'_vec', c._vec))"
+    )
+    sel = init
+    if int(k) > 1:
+        sel = (
+            f"aggregate(sequence(2, {int(k)}), {init}, "
+            f"(st, step) -> concat(st, slice(array_sort({scored}, {_cmp('_mmr')}), 1, 1)))"
         )
-        objective = (
-            remaining.join(
-                selected.select("_q", F.col("_vec").alias("_svec")), "_q"
-            )
-            .groupBy("_q", "_id")
-            .agg(
-                F.first("_score").alias("_score"),
-                F.first("_vec").alias("_vec"),
-                F.max(
-                    F.round(cosine_similarity(F.col("_vec"), F.col("_svec")), decimals)
-                ).alias("_maxsim"),
-            )
-            .withColumn(
-                "_mmr",
-                F.round(
-                    F.lit(float(lam)) * F.col("_score")
-                    - F.lit(1.0 - float(lam)) * F.col("_maxsim"),
-                    decimals,
-                ),
-            )
+    return (
+        cs.select("_q", F.posexplode(F.expr(sel)).alias("pos", "p"))
+        .select(
+            F.col("_q").alias(q),
+            (F.col("pos") + F.lit(1)).alias("rank"),
+            F.col("p._id").alias(i),
+            F.col("p._score").alias(s),
+            F.col("p._mmr").alias("mmr_score"),
         )
-        pick = (
-            objective.withColumn(
-                "rn", F.row_number().over(w.orderBy(F.col("_mmr").desc(), F.col("_id").asc()))
-            )
-            .filter(F.col("rn") == 1)
-            .select("_q", F.lit(step).alias("rank"), "_id", "_score", "_mmr", "_vec")
-        )
-        selected = selected.unionByName(pick)
-    return selected.select(
-        F.col("_q").alias(q),
-        "rank",
-        F.col("_id").alias(i),
-        F.col("_score").alias(s),
-        F.col("_mmr").alias("mmr_score"),
     )
