@@ -2500,9 +2500,15 @@ def markov_journey_transitions(
     that never convert (the trailing slice after a user's last
     conversion).
 
-    Two keyed windows (user, then user×journey) + one shrinking
-    groupBy; output is at most (channels+1)·(channels+2) rows no matter
-    the corpus. ``order_cols`` must totally order each user's stream.
+    One keyed window (the journey split) + one per-journey gather + one
+    shrinking groupBy; output is at most (channels+1)·(channels+2) rows
+    no matter the corpus. ``order_cols`` must totally order each user's
+    stream. (Round-11: the former lag-window form consumed the windowed
+    corpus frame TWICE — per-row transition edges unioned with a
+    per-journey null-edge aggregation — so every action ran the whole
+    window chain twice; both edge kinds now fall out of one sorted
+    per-journey array, journey-length-bounded per group, the
+    sessionization contract.)
     """
     from pyspark.sql import Window
 
@@ -2515,29 +2521,37 @@ def markov_journey_transitions(
     ev = events.select(user_col, *order_cols, type_col).withColumn(
         "_jid", F.coalesce(F.sum(is_conv).over(w_user), F.lit(0))
     )
-    w_j = Window.partitionBy(user_col, "_jid").orderBy(
-        *[F.col(c).asc() for c in order_cols]
+    state = F.when(F.col(type_col) == conv_value, F.lit("__conv__")).otherwise(
+        F.col(type_col)
     )
-    ev2 = ev.withColumn(
-        "_state",
-        F.when(F.col(type_col) == conv_value, F.lit("__conv__")).otherwise(F.col(type_col)),
-    ).withColumn("_prev", F.lag("_state").over(w_j))
-    row_edges = ev2.select(
-        F.coalesce(F.col("_prev"), F.lit("__start__")).alias("src"),
-        F.col("_state").alias("dst"),
-    )
-    last_struct = F.max(
-        F.struct(*[F.col(c) for c in order_cols], F.col("_state"))
-    ).alias("_last")
-    jstats = ev2.groupBy(user_col, "_jid").agg(
-        last_struct,
-        F.max((F.col("_state") == "__conv__").cast("int")).alias("_conv"),
-    )
-    null_edges = jstats.filter(F.col("_conv") == 0).select(
-        F.col("_last._state").alias("src"), F.lit("__null__").alias("dst")
+    # sort_array over (order_cols..., state) == the former per-journey
+    # orderBy: order_cols totally order the stream, so the state never
+    # breaks a tie. Edge i has src = previous state ('__start__' for the
+    # journey head); a journey with no conversion closes with a
+    # (last state -> __null__) edge, exactly the old jstats branch.
+    evs = (
+        ev.groupBy(user_col, "_jid")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(*[F.col(c) for c in order_cols], state.alias("_state")))
+            ).alias("_evs")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "concat("
+                    "transform(_evs, (e, i) -> named_struct("
+                    "'src', IF(i = 0, '__start__', element_at(_evs, i)._state), "
+                    "'dst', e._state)), "
+                    "IF(exists(_evs, e -> e._state = '__conv__'), "
+                    "CAST(array() AS ARRAY<STRUCT<src: STRING, dst: STRING>>), "
+                    "array(named_struct('src', element_at(_evs, -1)._state, 'dst', '__null__'))))"
+                )
+            ).alias("_e")
+        )
     )
     return (
-        row_edges.unionByName(null_edges)
+        evs.select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -2579,43 +2593,33 @@ def markov_removal_effects(
         events, user_col, order_cols, type_col, conv_value
     )
     spark = events.sparkSession
+    # The edge list is (channels+2)²-bounded BY CONSTRUCTION —
+    # vocabulary-sized, never corpus-sized — so it is collected ONCE and
+    # the scenario redirect, row totals, micro-unit matrix and K-round
+    # fixed point all run at the driver on plain ints (the size-gated
+    # union-find precedent; round-11: the former form ran one collect
+    # for the channel vocabulary and a second for the crossJoin-built
+    # scenario matrix, so the corpus journey chain executed per action
+    # — a distributed restatement of the 10 rounds had already measured
+    # 8.0 s of pure stage overhead on 40-row frames, 1.02x at 10x).
+    # Python // on the same non-negative int64s is bit-identical to the
+    # SQL `div` the oracle unrolls, and n·scale fits int64 far beyond
+    # any real vocabulary (Python ints cannot overflow regardless).
+    base_edges = [(r.src, r.dst, int(r.n)) for r in edges.collect()]
     channels = sorted(
-        r.dst
-        for r in edges.select("dst").distinct().collect()
-        if r.dst not in ("__conv__", "__null__")
+        {d for _, d, _ in base_edges if d not in ("__conv__", "__null__")}
     )
-    scen = spark.createDataFrame(
-        [("__base__",)] + [(c,) for c in channels], "scenario string"
-    )
-    redirected = (
-        edges.crossJoin(F.broadcast(scen))
-        .withColumn(
-            "dst2",
-            F.when(
-                (F.col("scenario") != "__base__") & (F.col("dst") == F.col("scenario")),
-                F.lit("__null__"),
-            ).otherwise(F.col("dst")),
-        )
-        .groupBy("scenario", "src", F.col("dst2").alias("dst"))
-        .agg(F.sum("n").alias("n"))
-    )
-    totals = redirected.groupBy("scenario", "src").agg(F.sum("n").alias("ntot"))
-    tmat = redirected.join(totals, ["scenario", "src"]).select(
-        "scenario", "src", "dst", F.expr(f"(n * {scale}) div ntot").alias("tu")
-    )
-    # The matrix is (channels+2)²·scenarios-bounded BY CONSTRUCTION —
-    # vocabulary-sized, never corpus-sized — so the K-round fixed point
-    # runs at the driver on plain ints (the size-gated union-find
-    # precedent): a distributed restatement of these 10 rounds measured
-    # 8.0 s of pure stage overhead on 40-row frames, 1.02x at 10x —
-    # all constant, no data. Python // on the same non-negative int64s
-    # is bit-identical to the SQL `div` the oracle unrolls.
-    rows = tmat.collect()
-    by_scen: dict[str, list[tuple[str, str, int]]] = {}
-    for r in rows:
-        by_scen.setdefault(r.scenario, []).append((r.src, r.dst, r.tu))
     out_rows = []
-    for sc, es in by_scen.items():
+    pb = 0
+    for sc in ["__base__"] + channels:
+        agg: dict[tuple[str, str], int] = {}
+        for s, d, n in base_edges:
+            d2 = "__null__" if sc != "__base__" and d == sc else d
+            agg[(s, d2)] = agg.get((s, d2), 0) + n
+        ntot: dict[str, int] = {}
+        for (s, _), n in agg.items():
+            ntot[s] = ntot.get(s, 0) + n
+        es = [(s, d, (n * scale) // ntot[s]) for (s, d), n in agg.items()]
         p: dict[str, int] = {}
         for _ in range(iterations):
             nxt: dict[str, int] = {}
@@ -2623,8 +2627,10 @@ def markov_removal_effects(
                 pv = scale if dst == "__conv__" else p.get(dst, 0)
                 nxt[src] = nxt.get(src, 0) + tu * pv
             p = {k: v // scale for k, v in nxt.items()}
-        out_rows.append((sc, p.get("__start__", 0)))
-    pb = next(pu for sc, pu in out_rows if sc == "__base__")
+        if sc == "__base__":
+            pb = p.get("__start__", 0)
+        else:
+            out_rows.append((sc, p.get("__start__", 0)))
     start = spark.createDataFrame(
         [(sc, pu, pb) for sc, pu in out_rows if sc != "__base__"],
         "scenario string, pu long, _pb long",
