@@ -2516,8 +2516,12 @@ def _q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(F.col("id_b").alias("doc_id"))
     )
     sets = (
+        # spread=False: the semi-join output already arrives post-shuffle
+        # (>= shuffle.partitions), and the partition probe would
+        # physically plan the whole candidate chain a second time just to
+        # learn that (~0.8 s of construction, round-11 profile)
         dedup.word_shingles(
-            docs.join(cand_ids, "doc_id", "left_semi"), "text", "doc_id", n=3
+            docs.join(cand_ids, "doc_id", "left_semi"), "text", "doc_id", n=3, spread=False
         )
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sh_set"))
@@ -3638,16 +3642,24 @@ def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_embed_components(docs.filter(F.col("doc_id") == 0), "text", "doc_id", _EMBED_DIMS, _EMBED_SEED)
         .select("idx", F.col("val").alias("qval"))
     )
-    norms = comps.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm"))
     qnorm = qcomps.agg(F.sqrt(F.sum(F.col("qval") * F.col("qval"))).alias("qnorm"))
-    dots = (
-        comps.join(F.broadcast(qcomps), "idx")
+    # round-11: norm and dot fold into ONE aggregation over the cached
+    # comps (was two passes + a doc_id join). The broadcast join goes
+    # LEFT so the norm still sums every component; SUM skips the NULL
+    # products of non-query indexes, so `dot` sums exactly the rows the
+    # former inner join kept — and is NULL (filtered, as the inner
+    # join dropped those docs) when a doc shares no index with the query.
+    norm_dot = (
+        comps.join(F.broadcast(qcomps), "idx", "left")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+        .agg(
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm"),
+            F.sum(F.col("val") * F.col("qval")).alias("dot"),
+        )
+        .filter(F.col("dot").isNotNull())
     )
     dense = (
-        dots.join(norms, "doc_id")
-        .crossJoin(F.broadcast(qnorm))
+        norm_dot.crossJoin(F.broadcast(qnorm))
         .select(
             "doc_id",
             F.round((F.lit(1.0) + F.col("dot") / (F.col("norm") * F.col("qnorm"))) / 2.0, _SCORE_DECIMALS).alias("score"),

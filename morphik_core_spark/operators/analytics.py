@@ -2204,10 +2204,6 @@ def bootstrap_ci(
     par = df.sparkSession.sparkContext.defaultParallelism
     if vals.rdd.getNumPartitions() < par:
         vals = vals.repartition(par)
-    full = vals.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("_v").alias("_sv"),
-    )
     # one md5 per (row, block of 4 resamples): the 128-bit digest yields
     # FOUR independent 30-bit draws (8 hex chars each — a 32-bit value
     # mod 2^30 is exactly uniform), so the dominant per-draw cost (string
@@ -2236,9 +2232,30 @@ def bootstrap_ci(
         )
         .withColumn("_w", F.expr(ladder))
     )
-    means = drawn.groupBy("_b").agg(
-        F.expr("CASE WHEN SUM(_w) = 0 THEN NULL ELSE "
-               f"ROUND(CAST(SUM(_w * _v) AS DOUBLE) / CAST(SUM(_w) AS DOUBLE) / {scale}.0D, {decimals}) END").alias("_m")
+    # round-11: the full-sample count/sum fold into the SAME resample
+    # aggregation (every surviving row appears exactly once in every
+    # resample block, so any one block's count(1)/sum(_v) IS the exact
+    # full-sample pair) — the former separate `vals.agg(...)` branch
+    # re-ran the whole corpus scan per action. `means` is persisted
+    # (n_resamples rows) because both the percentile chain and the
+    # full-sample extraction consume it.
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    means = scoped_persist(
+        drawn.groupBy("_b").agg(
+            F.expr("CASE WHEN SUM(_w) = 0 THEN NULL ELSE "
+                   f"ROUND(CAST(SUM(_w * _v) AS DOUBLE) / CAST(SUM(_w) AS DOUBLE) / {scale}.0D, {decimals}) END").alias("_m"),
+            F.count(F.lit(1)).alias("_nr"),
+            F.sum("_v").alias("_svb"),
+        )
+    )
+    # one row, empty-input-identical to the old corpus aggregate:
+    # n_rows = 0 and _sv = NULL when no resample group exists
+    full = means.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_b") == 0, F.col("_nr"))), F.lit(0).cast("long")
+        ).alias("n_rows"),
+        F.max(F.when(F.col("_b") == 0, F.col("_svb"))).alias("_sv"),
     )
     # nearest-rank percentiles over the VALID resample count (a tiny
     # input can produce all-zero-weight resamples whose mean is NULL;
@@ -2462,24 +2479,29 @@ def mutual_information(
     DECIMAL division, same tree.
 
     Scale: one groupBy on (x, y) — map-side combined, output bounded by
-    |X|·|Y| cells — then two broadcast-sized marginal joins over the
-    CELL table, never the fact table. Output is ONE row: ``mi_nats``.
+    |X|·|Y| cells — then the marginals are WINDOW sums over the cell
+    table itself (round-11: the former mx/my/tot aggregate-and-join-back
+    branches each re-derived the corpus groupBy, so one action scanned
+    the fact table four times; three window passes over the bounded cell
+    frame replace them — the single-partition window is |X|·|Y|-bounded
+    by the same contract that bounds the output). Output is ONE row:
+    ``mi_nats``.
     """
     cells = df.groupBy(
         F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
     ).agg(F.count(F.lit(1)).alias("_nxy"))
-    mx = cells.groupBy("_x").agg(F.sum("_nxy").alias("_nx"))
-    my = cells.groupBy("_y").agg(F.sum("_nxy").alias("_ny"))
-    tot = cells.agg(F.sum("_nxy").alias("_n"))
     term = (
         "CAST(ROUND(((CAST(_nxy AS DOUBLE) / CAST(_n AS DOUBLE)) * "
         "ln((CAST(_nxy AS DOUBLE) * CAST(_n AS DOUBLE)) / "
         "(CAST(_nx AS DOUBLE) * CAST(_ny AS DOUBLE)))) * 1e12) AS BIGINT)"
     )
     return (
-        cells.join(F.broadcast(mx), "_x")
-        .join(F.broadcast(my), "_y")
-        .join(F.broadcast(tot))
+        cells.select(
+            "_nxy",
+            F.sum("_nxy").over(Window.partitionBy("_x")).alias("_nx"),
+            F.sum("_nxy").over(Window.partitionBy("_y")).alias("_ny"),
+            F.sum("_nxy").over(Window.partitionBy()).alias("_n"),
+        )
         .agg(F.sum(F.expr(term)).alias("_s"))
         .select(F.round(F.col("_s") / F.lit(1e12), decimals).alias("mi_nats"))
     )

@@ -1583,25 +1583,30 @@ def token_budget_mixture(
     from morphik_core_spark.plans.cache import scoped_persist
 
     src = F.col(source_col)
-    stats = df.groupBy(src.alias("source")).agg(F.sum(F.col(size_col)).alias("_ns"))
-    tot = df.agg(F.sum(F.col(size_col)).alias("_tot"))
+    # every frame below is vocabulary-sized (one row per source) or a
+    # scalar, but each crossJoin branch re-derives the corpus scan
+    # upstream — unpersisted, the final plan read the fact table 17x
+    # (the quality_ensemble lesson); three tiny persists make it 3.
+    # round-11: the weight column moves BEFORE the first persist, so the
+    # budget total (= Σ of the per-source sums, an exact integer regroup
+    # of the former second corpus aggregation) and the weight sum come
+    # from ONE scalar aggregate over the persisted stats — the corpus is
+    # scanned twice per action (stats + the take window), down from
+    # three, with one fewer scalar branch and the same persist count.
+    weighted = scoped_persist(
+        df.groupBy(src.alias("source"))
+        .agg(F.sum(F.col(size_col)).alias("_ns"))
+        .withColumn("weight", F.floor(F.sqrt(F.col("_ns").cast("double"))).cast("long"))
+    )
+    tw = weighted.agg(F.sum("_ns").alias("_tot"), F.sum("weight").alias("_w"))
     b_expr = (
         F.lit(int(budget))
         if budget is not None
         else F.expr(f"_tot div {int(budget_frac_den)}")
     )
-    # every frame below is vocabulary-sized (one row per source) or a
-    # scalar, but each crossJoin branch re-derives the corpus scan
-    # upstream — unpersisted, the final plan read the fact table 17x
-    # (the quality_ensemble lesson); three tiny persists make it 3.
-    weighted = scoped_persist(
-        stats.crossJoin(F.broadcast(tot))
-        .withColumn("weight", F.floor(F.sqrt(F.col("_ns").cast("double"))).cast("long"))
-        .withColumn("_b", b_expr)
-    )
-    wsum = weighted.agg(F.sum("weight").alias("_w"))
     base = scoped_persist(
-        weighted.crossJoin(F.broadcast(wsum))
+        weighted.crossJoin(F.broadcast(tw))
+        .withColumn("_b", b_expr)
         .withColumn("_alloc0", F.expr("(_b * weight) div _w"))
         .withColumn("_rem", F.expr("(_b * weight) % _w"))
     )
@@ -1845,8 +1850,23 @@ def boilerplate_profile(
         F.conv(F.substring(F.md5(F.col("_s.seg")), 1, 15), 16, 10).cast("bigint").alias("_h"),
         F.col("_s.n_tok").alias("_nt"),
     )
-    counts = segs.groupBy("_h").agg(F.count_distinct("_id").alias("_nd"))
-    bp = counts.filter(F.col("_nd") >= int(min_docs)).select("_h")
+    # round-11: `segs` (the tokenize+explode kernel) used to be consumed
+    # by four unpersisted subtrees per action — the counts groupBy under
+    # bp, the flag-join left side, and both again under nbp_per_group —
+    # so every run paid the regex kernel 4x. One scoped persist makes it
+    # one execution; nbp_per_group additionally derives from the counts
+    # chain (each boilerplate hash carries its distinct groups, a
+    # group-vocabulary-bounded set) instead of re-consuming the join.
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    segs = scoped_persist(segs)
+    counts = segs.groupBy("_h").agg(
+        F.count_distinct("_id").alias("_nd"),
+        F.collect_set("_grp").alias("_grps"),
+    )
+    # persisted: consumed by both the flag join and nbp_per_group
+    bp_full = scoped_persist(counts.filter(F.col("_nd") >= int(min_docs)))
+    bp = bp_full.select("_h")
     flagged = segs.join(bp.withColumn("_bp", F.lit(1)), "_h", "left").na.fill({"_bp": 0})
     docs = flagged.groupBy("_id", "_grp").agg(
         F.sum("_nt").alias("_tok"),
@@ -1861,10 +1881,12 @@ def boilerplate_profile(
         "_hit",
         "_id",
     )
+    # identical to count_distinct(_h) over the flagged join: each
+    # boilerplate hash contributes each of its groups exactly once
     nbp_per_group = (
-        flagged.filter(F.col("_bp") == 1)
+        bp_full.select(F.explode("_grps").alias("_grp"))
         .groupBy("_grp")
-        .agg(F.count_distinct("_h").alias("n_bp_segments"))
+        .agg(F.count(F.lit(1)).alias("n_bp_segments"))
     )
     return (
         per_doc.groupBy("_grp")

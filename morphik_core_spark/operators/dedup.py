@@ -87,11 +87,20 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return fp.join(groups, "fingerprint").select(id_col, "fingerprint", "keeper_id", "group_size")
 
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def word_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, spread: bool = True
+) -> DataFrame:
     """Distinct word n-gram shingles per document, exploded: (id, shingle).
 
     Documents shorter than n tokens yield no shingles (dropped), matching
     the usual MinHash convention.
+
+    ``spread=False`` skips the pre-fan-out partition probe + repartition:
+    the probe physically plans the whole upstream tree just to read a
+    partition count (round-11 measured ~0.8 s of pure construction time
+    on a candidate-join input), so callers whose input provably arrives
+    post-shuffle (partitions already == spark.sql.shuffle.partitions)
+    should opt out. The produced rows are identical either way.
     """
     toks = F.split(normalize_text(F.col(text_col)), " ")
     # the <n-token guard lives INSIDE the expression (empty array => the
@@ -112,9 +121,10 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     # dominant CPU — on one task. Spread the compact raw rows first, ONLY
     # when the scan under-parallelizes; at real scale this is a no-op.
     base = df.select(F.col(id_col), F.col(text_col))
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
+    if spread:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < par:
+            base = base.repartition(par)
     return (
         base.select(F.col(id_col), toks.alias("tk"))
         .select(F.col(id_col), F.explode(shingles).alias("shingle"))
