@@ -8239,8 +8239,22 @@ def _q_hl_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of two, and the size collects run on the tiny persisted grids
     # (matching the operator's own fallback aggregation exactly)
     ga, gb = hl_value_grids(r_side, n_side, "q")
-    [(n_x, n_a)] = ga.agg(F.count(F.lit(1)), F.sum("_ca")).collect()
-    [(n_y, n_b)] = gb.agg(F.count(F.lit(1)), F.sum("_cb")).collect()
+    # ONE driver action for both grid-size pairs (two agg subtrees in a
+    # single union plan, rows keyed by a side tag rather than union
+    # order): each collect is a whole job round-trip (~0.4 s of
+    # construction each at sf0.1), and the persisted grids serve both
+    sz = {
+        r["g"]: (int(r["c"]), int(r["s"]))
+        for r in ga.agg(F.count(F.lit(1)).alias("c"), F.sum("_ca").alias("s"))
+        .select(F.lit("a").alias("g"), "c", "s")
+        .unionAll(
+            gb.agg(F.count(F.lit(1)).alias("c"), F.sum("_cb").alias("s")).select(
+                F.lit("b").alias("g"), "c", "s"
+            )
+        )
+        .collect()
+    }
+    (n_x, n_a), (n_y, n_b) = sz["a"], sz["b"]
     sizes = (int(n_x), int(n_a), int(n_y), int(n_b))
     raw = hodges_lehmann_shift(r_side, n_side, "q", sizes=sizes, grids=(ga, gb))
     shifted = hodges_lehmann_shift(
