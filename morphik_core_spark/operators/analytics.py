@@ -6628,6 +6628,8 @@ def ad_k_statistic(
     decimals: int = 6,
     max_groups: int = 1000,
     group_sizes: list[tuple[str, int]] | None = None,
+    bucket_width: int = 1 << 20,
+    cores_fit_long: bool = False,
 ) -> DataFrame:
     """k-sample Anderson-Darling statistic (Scholz-Stephens 1987,
     midrank tie adjustment) — `ad_statistic` generalized from the
@@ -6656,6 +6658,17 @@ def ad_k_statistic(
     totals and N are k-bounded driver-side literals (``max_groups``
     enforces the bounded-k contract — collected anyway, and each group
     adds a count column). Output ONE row: (k, n, ad_k_stat).
+
+    ``bucket_width`` shards the prefix pass by ``value div width``; the
+    statistic is identical for ANY positive width (the bucketed prefix
+    is an exact algebraic split), but the default 2^20 was sized for
+    cents-grain money — a dollar-grain caller whose whole range is
+    under 2^20 gets ONE bucket, i.e. a single-task sort over every
+    pooled value, so pass a width that yields O(100+) buckets for the
+    column's actual range. ``cores_fit_long=True`` computes the num/den
+    cores in int64 instead of DECIMAL(38,0) — identical exact integers
+    whenever 2·N² < 2^63 (N ≤ ~2.1e9 rows; ANSI mode raises loudly past
+    it), the `products_fit_long` contract from `numeric_corr`.
     """
     from morphik_core_spark.plans.cache import scoped_persist
 
@@ -6698,7 +6711,10 @@ def ad_k_statistic(
                 for i, (g, _) in enumerate(gtot)
             ],
         )
-        .withColumn("_bkt", F.expr("CAST(floor(CAST(_v AS DOUBLE) / 1048576.0) AS BIGINT)"))
+        .withColumn(
+            "_bkt",
+            F.expr(f"CAST(floor(CAST(_v AS DOUBLE) / {float(int(bucket_width))}) AS BIGINT)"),
+        )
     )
     count_cols = ["lv"] + [f"_c{i}" for i in range(k)]
     bsum = vals.groupBy("_bkt").agg(
@@ -6736,14 +6752,15 @@ def ad_k_statistic(
     # M2_i = 2*cum_i - c_i; den and num exact in DECIMAL(38,0); group
     # totals and N are exact driver-side literals
     b2 = "(2 * cum - lv)"
+    core_t = "BIGINT" if cores_fit_long else "DECIMAL(38,0)"
     den = (
-        f"(CAST({b2} AS DECIMAL(38,0)) * (2 * {n_total} - {b2}) "
-        f"- CAST({n_total} AS DECIMAL(38,0)) * lv)"
+        f"(CAST({b2} AS {core_t}) * (2 * {n_total} - {b2}) "
+        f"- CAST({n_total} AS {core_t}) * lv)"
     )
     terms = []
     for i, (_, ng) in enumerate(gtot):
         m2 = f"(2 * cum{i} - _c{i})"
-        num = f"(CAST({n_total} AS DECIMAL(38,0)) * {m2} - CAST({ng} AS DECIMAL(38,0)) * {b2})"
+        num = f"(CAST({n_total} AS {core_t}) * {m2} - CAST({ng} AS {core_t}) * {b2})"
         terms.append(
             f"CASE WHEN {den} <= 0 THEN CAST(0 AS BIGINT) ELSE "
             f"CAST(ROUND(CAST(lv AS DOUBLE) * CAST({num} AS DOUBLE) * CAST({num} AS DOUBLE) "
