@@ -7428,21 +7428,23 @@ def _q_jt_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .collect()
     ]
-    raw = jonckheere_terpstra(
-        orders, "o_orderpriority", "dollars", group_sizes=gtot
-    )
-    uplifted = jonckheere_terpstra(
+    # BOTH series through ONE operator chain (round-11 series_col): the
+    # raw/uplifted union carries a series tag, so the pivot shuffle, the
+    # bucketed prefix pass and the final aggregation each run once
+    # (grouped by series) instead of once per series — half the stages,
+    # bit-identical per-series arithmetic (operator doc).
+    tagged = orders.select(
+        F.lit("raw").alias("series"), "o_orderpriority", "dollars"
+    ).unionByName(
         orders.select(
+            F.lit("uplifted").alias("series"),
             "o_orderpriority",
             (F.col("dollars") + F.col("_lvl") * F.lit(100_000)).alias("dollars"),
-        ),
-        "o_orderpriority",
-        "dollars",
-        group_sizes=gtot,
+        )
     )
-    return raw.select(F.lit("raw").alias("series"), "*").unionByName(
-        uplifted.select(F.lit("uplifted").alias("series"), "*")
-    )
+    return jonckheere_terpstra(
+        tagged, "o_orderpriority", "dollars", group_sizes=gtot, series_col="series"
+    ).orderBy("series")
 
 
 def _q_cmh_lang_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7482,26 +7484,29 @@ def _q_friedman_dow_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         ).agg(F.count(F.lit(1)).alias("x"))
     )
-    raw = friedman_test(daily, "di", "event_type", "x")
     # injected within-block uplift (the mann_kendall precedent): +50%
     # to purchases every day — ranked within day, the test must detect
-    # it while the raw uniform fixture stays null
-    uplifted = friedman_test(
+    # it while the raw uniform fixture stays null. BOTH series through
+    # ONE operator chain (round-11 series_col): the raw/uplifted union
+    # carries a series tag, so the complete-block filter, rank windows
+    # and aggregations each run once grouped by series — half the
+    # stages, bit-identical per-series arithmetic (operator doc).
+    tagged = daily.select(
+        F.lit("raw").alias("series"), "di", "event_type", "x"
+    ).unionByName(
         daily.select(
+            F.lit("uplifted").alias("series"),
             "di",
             "event_type",
             F.when(
                 F.col("event_type") == "purchase",
                 F.col("x") + F.expr("x div 2"),
             ).otherwise(F.col("x")).alias("x"),
-        ),
-        "di",
-        "event_type",
-        "x",
+        )
     )
-    return raw.select(F.lit("raw").alias("series"), "*").unionByName(
-        uplifted.select(F.lit("uplifted").alias("series"), "*")
-    )
+    return friedman_test(
+        tagged, "di", "event_type", "x", series_col="series"
+    ).orderBy("series")
 
 
 def _q_brown_forsythe_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7692,16 +7697,16 @@ def _q_ad_k_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `orders` is already persisted, so the "saved" second pivot is a
     # cached re-aggregation while the derivation adds two persists and
     # an explode+regroup; reverted.)
-    raw = ad_k_statistic(
-        orders,
-        "o_orderpriority",
-        "dollars",
-        group_sizes=gtot,
-        bucket_width=4096,
-        cores_fit_long=True,
-    )
-    shifted = ad_k_statistic(
+    # BOTH series through ONE operator chain (round-11 series_col): the
+    # raw/shifted union carries a series tag, so the pivot shuffle, the
+    # bucketed prefix pass and the final aggregation each run once
+    # (grouped by series) instead of once per series — half the stages,
+    # bit-identical per-series arithmetic (operator doc).
+    tagged = orders.select(
+        F.lit("raw").alias("series"), "o_orderpriority", "dollars"
+    ).unionByName(
         orders.select(
+            F.lit("shifted").alias("series"),
             "o_orderpriority",
             (
                 F.col("dollars")
@@ -7709,22 +7714,17 @@ def _q_ad_k_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("o_orderpriority") == "1-URGENT", F.lit(50000)
                 ).otherwise(F.lit(0))
             ).alias("dollars"),
-        ),
+        )
+    )
+    return ad_k_statistic(
+        tagged,
         "o_orderpriority",
         "dollars",
         group_sizes=gtot,
         bucket_width=4096,
         cores_fit_long=True,
-    )
-    return (
-        raw.select(F.lit("raw").alias("series"), "k", "n", "ad_k_stat")
-        .unionByName(
-            shifted.select(
-                F.lit("shifted").alias("series"), "k", "n", "ad_k_stat"
-            )
-        )
-        .orderBy("series")
-    )
+        series_col="series",
+    ).select("series", "k", "n", "ad_k_stat").orderBy("series")
 
 
 def _q_bartlett_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7813,26 +7813,24 @@ def _q_page_week_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x",
         )
     )
-    raw = page_trend_test(daily, "wk", "dow", "x")
-    uplifted = page_trend_test(
+    # BOTH series through ONE operator chain (round-11 series_col): the
+    # raw/uplifted union carries a series tag, so the complete-block
+    # filter, rank windows and aggregations each run once grouped by
+    # series — half the stages, bit-identical per-series arithmetic
+    # (operator doc).
+    tagged = daily.select(
+        F.lit("raw").alias("series"), "wk", "dow", "x"
+    ).unionByName(
         daily.select(
+            F.lit("uplifted").alias("series"),
             "wk",
             "dow",
             F.expr("(x * (10 + CAST(dow AS BIGINT))) div 10").alias("x"),
-        ),
-        "wk",
-        "dow",
-        "x",
-    )
-    return (
-        raw.select(F.lit("raw").alias("series"), "k", "n_blocks", "page_l", "z")
-        .unionByName(
-            uplifted.select(
-                F.lit("uplifted").alias("series"), "k", "n_blocks", "page_l", "z"
-            )
         )
-        .orderBy("series")
     )
+    return page_trend_test(
+        tagged, "wk", "dow", "x", series_col="series"
+    ).orderBy("series")
 
 
 def _q_page_hinkley_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7867,23 +7865,23 @@ def _q_page_hinkley_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(d0 + d1 + 1) div 2").alias("mid"),
         )
     )
-    raw = page_hinkley(norm.select("di", "x"), "di", "x", delta=20.0, lam=2000.0)
-    shifted = page_hinkley(
+    # BOTH series through ONE operator chain (round-11 series_col): the
+    # raw/shifted union carries a series tag, so the running-prefix
+    # window pass and the final aggregation each run once (partitioned/
+    # grouped by series) — bit-identical per-series arithmetic
+    # (operator doc).
+    tagged = norm.select(
+        F.lit("raw").alias("series"), "di", "x"
+    ).unionByName(
         norm.select(
+            F.lit("shifted").alias("series"),
             "di",
             F.expr("CASE WHEN di >= mid THEN (x * 3) div 2 ELSE x END").alias("x"),
-        ),
-        "di", "x", delta=20.0, lam=2000.0,
-    )
-    return (
-        raw.select(F.lit("raw").alias("series"), "n", "n_alarms", "first_alarm_idx", "max_excess")
-        .unionByName(
-            shifted.select(
-                F.lit("shifted").alias("series"), "n", "n_alarms", "first_alarm_idx", "max_excess"
-            )
         )
-        .orderBy("series")
     )
+    return page_hinkley(
+        tagged, "di", "x", delta=20.0, lam=2000.0, series_col="series"
+    ).orderBy("series")
 
 
 def _ph_oracle_series_sql(x_expr: str, label: str) -> str:
@@ -8276,21 +8274,22 @@ def _q_hl_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     (n_x, n_a), (n_y, n_b) = sz["a"], sz["b"]
     sizes = (int(n_x), int(n_a), int(n_y), int(n_b))
-    raw = hodges_lehmann_shift(r_side, n_side, "q", sizes=sizes, grids=(ga, gb))
-    shifted = hodges_lehmann_shift(
+    # BOTH series through ONE operator chain (round-11 series_grids):
+    # the tagged raw/+7-projected grids pair via a broadcast equi-join
+    # on the tag, so the diff-grid groupBy, the bucketed prefix pass
+    # and the final conditional aggregation each run once (grouped by
+    # series) instead of once per series — bit-identical per-series
+    # arithmetic (operator doc).
+    return hodges_lehmann_shift(
         r_side,
         n_side,
         "q",
         sizes=sizes,
-        grids=(ga.select((F.col("_x") + F.lit(7)).alias("_x"), "_ca"), gb),
-    )
-    return (
-        raw.select(F.lit("raw").alias("series"), "n_a", "n_b", "hl_shift")
-        .unionByName(
-            shifted.select(F.lit("shifted").alias("series"), "n_a", "n_b", "hl_shift")
-        )
-        .orderBy("series")
-    )
+        series_grids=[
+            ("raw", ga, gb),
+            ("shifted", ga.select((F.col("_x") + F.lit(7)).alias("_x"), "_ca"), gb),
+        ],
+    ).orderBy("series")
 
 
 def _hl_oracle_series_sql(a_val: str, label: str) -> str:

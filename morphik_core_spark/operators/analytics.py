@@ -5612,7 +5612,7 @@ def cmh_test(
     )
 
 
-def _complete_block_filter(base: DataFrame) -> DataFrame:
+def _complete_block_filter(base: DataFrame, skey: list[str] | None = None) -> DataFrame:
     """Blocks of ``base`` (columns `_b`, `_t`) carrying ALL treatment
     levels — the friedman/page/kendall-w/cochran-q complete-block
     contract, computed ENTIRELY in-plan (round-11: the former
@@ -5622,20 +5622,20 @@ def _complete_block_filter(base: DataFrame) -> DataFrame:
     matches the old ``distinct().count()`` exactly: a NULL treatment
     is its own level (count_distinct skips NULLs, the MAX(CASE) adds
     it back), so a NULL level still disqualifies every block — the
-    per-block count_distinct never reaches it."""
-    kt = base.agg(
+    per-block count_distinct never reaches it. ``skey`` (the round-11
+    series key) scopes both the level count and the per-block counts
+    to each series — per series, the kept (_b) set is identical to the
+    single-series run."""
+    skey = skey or []
+    kt = base.groupBy(*skey).agg(
         (
             F.count_distinct("_t")
             + F.coalesce(F.max(F.when(F.col("_t").isNull(), F.lit(1))), F.lit(0))
         ).alias("_ktot")
     )
-    return (
-        base.groupBy("_b")
-        .agg(F.count_distinct("_t").alias("_kt"))
-        .join(F.broadcast(kt))
-        .filter(F.col("_kt") == F.col("_ktot"))
-        .select("_b")
-    )
+    per_b = base.groupBy(*skey, "_b").agg(F.count_distinct("_t").alias("_kt"))
+    joined = per_b.join(F.broadcast(kt), skey) if skey else per_b.join(F.broadcast(kt))
+    return joined.filter(F.col("_kt") == F.col("_ktot")).select(*skey, "_b")
 
 
 def friedman_test(
@@ -5644,6 +5644,7 @@ def friedman_test(
     treatment_col: str,
     val_col: str,
     decimals: int = 6,
+    series_col: str | None = None,
 ) -> DataFrame:
     """Friedman test: do k treatments differ when measured WITHIN each
     of n blocks — the repeated-measures sibling of `kruskal_wallis`
@@ -5665,32 +5666,47 @@ def friedman_test(
     Output ONE row: (k, n_blocks, t_stat) plus per-treatment mean
     doubled-rank columns are NOT emitted — read `R_j` from a groupBy if
     needed.
+
+    ``series_col`` scores SEVERAL value-transformed series of the same
+    (block, treatment) rows in ONE chain (the `ad_k_statistic` series
+    contract): every groupBy/window/join — including the complete-block
+    filter — gains the series key, so per-series row sets and
+    expression trees are identical to the single-series run and the
+    exact DECIMAL sums are order-independent; results are bit-for-bit
+    the same per series. Output one row PER series; a series with no
+    surviving rows emits no row.
     """
     dec = "decimal(38,0)"
     from morphik_core_spark.plans.cache import scoped_persist
 
+    skey = ["_ser"] if series_col is not None else []
     base = df.select(
+        *([F.col(series_col).cast("string").alias("_ser")] if series_col else []),
         F.col(block_col).cast("string").alias("_b"),
         F.col(treatment_col).cast("string").alias("_t"),
         F.col(val_col).cast("bigint").alias("_v"),
     ).filter(F.col("_v").isNotNull())
     # complete-block contract: keep only blocks carrying ALL k treatments
     rows = scoped_persist(
-        base.join(F.broadcast(_complete_block_filter(base)), "_b", "left_semi")
+        base.join(
+            F.broadcast(_complete_block_filter(base, skey)),
+            skey + ["_b"],
+            "left_semi",
+        )
     )
     # doubled average tie rank within block: 2*before + ties + 1 over
     # the within-block value grid (k-bounded per block)
     w_cum = (
-        Window.partitionBy("_b")
+        Window.partitionBy(*skey, "_b")
         .orderBy(F.col("_v").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    grid = rows.groupBy("_b", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    grid = rows.groupBy(*skey, "_b", "_v").agg(F.count(F.lit(1)).alias("_c"))
     ranked_grid = grid.withColumn(
         "_r2",
         2 * F.coalesce(F.sum("_c").over(w_cum), F.lit(0)) + F.col("_c") + 1,
     )
-    ranked = rows.join(ranked_grid, ["_b", "_v"])
+    ranked = rows.join(ranked_grid, skey + ["_b", "_v"])
     # A4 and n_blocks FOLD into the per-treatment aggregation (round-11:
     # the former separate `a4` chain re-ran the whole grid+window+join
     # lineage once more, plus a broadcast join): A4 = SUM_t of the
@@ -5700,13 +5716,13 @@ def friedman_test(
     # count_distinct(_b) == n_blocks for each t and MAX recovers it
     # (COALESCE 0 keeps the empty-input case identical to the old
     # global count_distinct).
-    per_t = ranked.groupBy("_t").agg(
+    per_t = ranked.groupBy(*skey, "_t").agg(
         F.sum(F.col("_r2").cast(dec)).alias("_R2"),
         F.count(F.lit(1)).alias("_nb"),
         F.sum(F.col("_r2").cast(dec) * F.col("_r2")).alias("_A4t"),
         F.count_distinct("_b").alias("_nbd"),
     )
-    out = per_t.agg(
+    out = per_t.groupBy(*skey).agg(
         F.count(F.lit(1)).alias("k"),
         # SUM_j (2R_j - n(k+1))^2 = 4 * SUM_j (R_j - n(k+1)/2)^2, exact ints
         F.sum(F.expr("CAST(_R2 AS DECIMAL(38,0)) * _R2")).alias("_sq2"),
@@ -5728,6 +5744,7 @@ def friedman_test(
         f"ELSE ({kd} - 1.0) * ({num4}) / ({den4}) END)"
     )
     return out.select(
+        *([F.col("_ser").alias(series_col)] if series_col else []),
         F.col("k").cast("bigint").alias("k"),
         F.col("n_blocks").cast("bigint").alias("n_blocks"),
         F.round(F.expr(t_stat), decimals).alias("t_stat"),
@@ -5742,6 +5759,7 @@ def jonckheere_terpstra(
     decimals: int = 6,
     max_groups: int = 1000,
     group_sizes: list[tuple[str | None, int]] | None = None,
+    series_col: str | None = None,
 ) -> DataFrame:
     """Jonckheere-Terpstra ordered-alternative test: are the k groups
     stochastically ORDERED (doc length grows with severity bucket,
@@ -5774,13 +5792,30 @@ def jonckheere_terpstra(
 
     Output ONE row: (k, n, jt_stat, mean_jt, z, p_value) — jt/mean as
     exact .0/.5 doubles from the doubled integers.
+
+    ``series_col`` scores SEVERAL value-transformed series of the same
+    rows in ONE chain (the `ad_k_statistic` series contract verbatim):
+    every groupBy/window/join gains the series key, so per-series row
+    sets and expression trees are identical to the single-series run
+    and the exact integer/DECIMAL sums are order-independent — results
+    are bit-for-bit the same per series. Requires ``group_sizes`` (the
+    caller asserts identical group membership across series). Output
+    one row PER series; a series with no surviving rows emits no row.
     """
     dec = "decimal(38,0)"
     from morphik_core_spark.plans.cache import scoped_persist
 
+    if series_col is not None and group_sizes is None:
+        raise ValueError(
+            "jonckheere_terpstra: series_col requires group_sizes (the "
+            "caller asserts identical group membership across series)"
+        )
+    skey = ["_ser"] if series_col is not None else []
     q = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
     base = df.filter(F.col(val_col).isNotNull()).select(
-        F.col(group_col).cast("string").alias("_g"), q.alias("_v")
+        *([F.col(series_col).cast("string").alias("_ser")] if series_col else []),
+        F.col(group_col).cast("string").alias("_g"),
+        q.alias("_v"),
     )
     # ``group_sizes`` skips the count aggregation for callers scoring
     # several value-transformed series of the same rows (the ad_k
@@ -5825,7 +5860,7 @@ def jonckheere_terpstra(
     # one row per pooled value, m count columns, ONE shuffle straight
     # off the rows; `lv` carries the pooled tie size t_v for free
     vals = scoped_persist(
-        base.groupBy("_v")
+        base.groupBy(*skey, "_v")
         .agg(
             F.count(F.lit(1)).alias("lv"),
             *[
@@ -5837,13 +5872,14 @@ def jonckheere_terpstra(
     )
     count_cols = [f"_c{i}" for i in range(m)]
     if count_cols:
-        bsum = vals.groupBy("_bkt").agg(
+        bsum = vals.groupBy(*skey, "_bkt").agg(
             *[F.sum(c).alias(f"_b_{c}") for c in count_cols]
         )
-        w_b = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
+        w_b = (Window.partitionBy(*skey) if skey else Window).orderBy(
+            F.col("_bkt").asc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         bprev = bsum.select(
+            *skey,
             "_bkt",
             *[
                 (F.sum(f"_b_{c}").over(w_b) - F.col(f"_b_{c}")).alias(f"_before_{c}")
@@ -5851,14 +5887,15 @@ def jonckheere_terpstra(
             ],
         )
         w_in = (
-            Window.partitionBy("_bkt")
+            Window.partitionBy(*skey, "_bkt")
             .orderBy(F.col("_v").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         frame = vals
         for c in count_cols:
             frame = frame.withColumn(f"_in_{c}", F.sum(c).over(w_in))
-        frame = frame.join(bprev, "_bkt").select(
+        frame = frame.join(bprev, skey + ["_bkt"]).select(
+            *skey,
             "lv",
             *[F.col(f"_c{i}") for i in range(m)],
             *[
@@ -5867,7 +5904,7 @@ def jonckheere_terpstra(
             ],
         )
     else:
-        frame = vals.select("lv")
+        frame = vals.select(*skey, "lv")
     # U_ab*2 summed over ordered pairs, per pooled value: cum_a is the
     # INCLUSIVE per-group cumulative, so 2*cum_a - c_a = 2*cumlt_a + c_a
     pair_terms = [
@@ -5880,7 +5917,7 @@ def jonckheere_terpstra(
         if pair_terms
         else F.max(F.expr(_declit(None))).alias("_jt2")
     )
-    out = frame.agg(
+    out = frame.groupBy(*skey).agg(
         jt2_agg,
         F.sum(
             F.expr("CAST(lv AS DECIMAL(38,0)) * (lv - 1) * (2 * lv + 5)")
@@ -5888,6 +5925,7 @@ def jonckheere_terpstra(
         F.sum(F.expr("CAST(lv AS DECIMAL(38,0)) * (lv - 1) * (lv - 2)")).alias("_tB"),
         F.sum(F.expr("CAST(lv AS DECIMAL(38,0)) * (lv - 1)")).alias("_tC"),
     ).select(
+        *skey,
         F.lit(k).cast("bigint").alias("k"),
         (
             F.expr("CAST(NULL AS BIGINT)") if k == 0 else F.lit(n_total).cast("bigint")
@@ -5918,6 +5956,7 @@ def jonckheere_terpstra(
         f"ELSE least(1.0, 2.0 * {_AS_NORMAL_SF.format(z=f'abs({z})')}) END)"
     )
     return out.select(
+        *([F.col("_ser").alias(series_col)] if series_col else []),
         F.col("k").cast("bigint").alias("k"),
         F.col("n").cast("bigint").alias("n"),
         (F.col("_jt2").cast("double") / F.lit(2.0)).alias("jt_stat"),
@@ -6630,6 +6669,7 @@ def ad_k_statistic(
     group_sizes: list[tuple[str, int]] | None = None,
     bucket_width: int = 1 << 20,
     cores_fit_long: bool = False,
+    series_col: str | None = None,
 ) -> DataFrame:
     """k-sample Anderson-Darling statistic (Scholz-Stephens 1987,
     midrank tie adjustment) — `ad_statistic` generalized from the
@@ -6669,12 +6709,33 @@ def ad_k_statistic(
     cores in int64 instead of DECIMAL(38,0) — identical exact integers
     whenever 2·N² < 2^63 (N ≤ ~2.1e9 rows; ANSI mode raises loudly past
     it), the `products_fit_long` contract from `numeric_corr`.
+
+    ``series_col`` scores SEVERAL value-transformed series of the same
+    rows in ONE chain (one pivot shuffle, one prefix pass, one final
+    aggregation grouped by series) instead of one full chain per
+    series: every groupBy/window/join gains the series key, so within a
+    series the expression trees and row sets are IDENTICAL to the
+    single-series run and the integer sums are order-independent —
+    per-series results are bit-for-bit the same. Requires
+    ``group_sizes`` (the caller asserts group membership, and therefore
+    sizes, are identical across series — true for any pure value
+    transform that preserves nulls). Output one row PER series:
+    (<series_col>, k, n, ad_k_stat); a series with no surviving rows
+    emits no row (the single-series path emits a NULL-stat row on empty
+    input — callers with possibly-empty series keep separate calls).
     """
     from morphik_core_spark.plans.cache import scoped_persist
 
+    if series_col is not None and group_sizes is None:
+        raise ValueError(
+            "ad_k_statistic: series_col requires group_sizes (the caller "
+            "asserts identical group membership across series)"
+        )
+    skey = ["_ser"] if series_col is not None else []
     base = df.filter(
         F.col(group_col).isNotNull() & F.col(val_col).isNotNull()
     ).select(
+        *([F.col(series_col).cast("string").alias("_ser")] if series_col else []),
         F.col(group_col).cast("string").alias("_g"),
         F.col(val_col).cast("bigint").alias("_v"),
     )
@@ -6703,7 +6764,7 @@ def ad_k_statistic(
     # measured pure overhead — near-unique values mean no reduction):
     # a single sort then computes every cumulative
     vals = scoped_persist(
-        base.groupBy("_v")
+        base.groupBy(*skey, "_v")
         .agg(
             F.count(F.lit(1)).alias("lv"),
             *[
@@ -6717,13 +6778,14 @@ def ad_k_statistic(
         )
     )
     count_cols = ["lv"] + [f"_c{i}" for i in range(k)]
-    bsum = vals.groupBy("_bkt").agg(
+    bsum = vals.groupBy(*skey, "_bkt").agg(
         *[F.sum(c).alias(f"_b_{c}") for c in count_cols]
     )
-    w_b = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    w_b = (Window.partitionBy(*skey) if skey else Window).orderBy(
+        F.col("_bkt").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bprev = bsum.select(
+        *skey,
         "_bkt",
         *[
             (F.sum(f"_b_{c}").over(w_b) - F.col(f"_b_{c}")).alias(f"_before_{c}")
@@ -6731,14 +6793,15 @@ def ad_k_statistic(
         ],
     )
     w_in = (
-        Window.partitionBy("_bkt")
+        Window.partitionBy(*skey, "_bkt")
         .orderBy(F.col("_v").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     frame = vals
     for c in count_cols:
         frame = frame.withColumn(f"_in_{c}", F.sum(c).over(w_in))
-    frame = frame.join(bprev, "_bkt").select(
+    frame = frame.join(bprev, skey + ["_bkt"]).select(
+        *skey,
         "_v",
         "lv",
         *[F.col(f"_c{i}") for i in range(k)],
@@ -6768,12 +6831,13 @@ def ad_k_statistic(
             f"* 1e12) AS BIGINT) END"
         )
     row_term = " + ".join(f"({t})" for t in terms)
-    out = frame.agg(F.sum(F.expr(row_term)).alias("_s"))
+    out = frame.groupBy(*skey).agg(F.sum(F.expr(row_term)).alias("_s"))
     a2 = (
         f"((CAST({n_total} AS DOUBLE) - 1.0) / CAST({n_total} AS DOUBLE) "
         "* (CAST(_s AS DOUBLE) / 1e12))"
     )
     return out.select(
+        *([F.col("_ser").alias(series_col)] if series_col else []),
         F.lit(k).cast("bigint").alias("k"),
         F.lit(n_total).cast("bigint").alias("n"),
         F.round(F.expr(a2), decimals).alias("ad_k_stat"),
@@ -7117,6 +7181,7 @@ def page_trend_test(
     treatment_col: str,
     val_col: str,
     decimals: int = 6,
+    series_col: str | None = None,
 ) -> DataFrame:
     """Page's L trend test: do k ORDERED treatments trend monotonically
     when measured within each of n blocks — the ordered-alternative
@@ -7138,39 +7203,54 @@ def page_trend_test(
     Conover correction is exact.
 
     Output ONE row: (k, n_blocks, page_l, z).
+
+    ``series_col`` scores SEVERAL value-transformed series of the same
+    (block, treatment) rows in ONE chain — the `friedman_test` series
+    contract verbatim (per-series row sets and expression trees
+    identical to the single-series run; exact DECIMAL sums are
+    order-independent; one row PER series; an empty series emits no
+    row).
     """
     from morphik_core_spark.plans.cache import scoped_persist
 
+    skey = ["_ser"] if series_col is not None else []
     base = df.select(
+        *([F.col(series_col).cast("string").alias("_ser")] if series_col else []),
         F.col(block_col).cast("string").alias("_b"),
         F.col(treatment_col).cast("string").alias("_t"),
         F.col(val_col).cast("bigint").alias("_v"),
     ).filter(F.col("_v").isNotNull())
     rows = scoped_persist(
-        base.join(F.broadcast(_complete_block_filter(base)), "_b", "left_semi")
+        base.join(
+            F.broadcast(_complete_block_filter(base, skey)),
+            skey + ["_b"],
+            "left_semi",
+        )
     )
     w_cum = (
-        Window.partitionBy("_b")
+        Window.partitionBy(*skey, "_b")
         .orderBy(F.col("_v").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    grid = rows.groupBy("_b", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    grid = rows.groupBy(*skey, "_b", "_v").agg(F.count(F.lit(1)).alias("_c"))
     ranked_grid = grid.withColumn(
         "_r2",
         2 * F.coalesce(F.sum("_c").over(w_cum), F.lit(0)) + F.col("_c") + 1,
     )
-    ranked = rows.join(ranked_grid, ["_b", "_v"])
+    ranked = rows.join(ranked_grid, skey + ["_b", "_v"])
     # n_blocks FOLDS into the per-treatment aggregation (round-11: the
     # former `nb` chain re-scanned rows and joined back) — complete
     # blocks make per-treatment count_distinct(_b) equal n_blocks for
     # every t; MAX + COALESCE 0 keeps empty input exact.
-    per_t = ranked.groupBy("_t").agg(
+    per_t = ranked.groupBy(*skey, "_t").agg(
         F.sum(F.col("_r2").cast("decimal(38,0)")).alias("_R2"),
         F.count_distinct("_b").alias("_nbd"),
     )
-    w_rank = Window.orderBy(F.col("_t").asc())
+    w_rank = (Window.partitionBy(*skey) if skey else Window).orderBy(
+        F.col("_t").asc()
+    )
     scored = per_t.withColumn("_w", F.row_number().over(w_rank).cast("bigint"))
-    agg = scored.agg(
+    agg = scored.groupBy(*skey).agg(
         F.count(F.lit(1)).alias("k"),
         F.sum(F.expr("CAST(_w AS DECIMAL(38,0)) * _R2")).alias("_L2"),
         F.coalesce(F.max("_nbd"), F.lit(0)).alias("n_blocks"),
@@ -7182,6 +7262,7 @@ def page_trend_test(
         f"/ (144.0 * ({kd} - 1.0)))"
     )
     return agg.select(
+        *([F.col("_ser").alias(series_col)] if series_col else []),
         F.col("k").cast("bigint").alias("k"),
         F.col("n_blocks").cast("bigint").alias("n_blocks"),
         F.expr("CAST(_L2 AS DOUBLE) / 2.0").alias("page_l"),
@@ -7527,6 +7608,7 @@ def hodges_lehmann_shift(
     max_grid_cells: int = 10_000_000,
     sizes: tuple[int, int, int, int] | None = None,
     grids: tuple[DataFrame, DataFrame] | None = None,
+    series_grids: list[tuple[str, DataFrame, DataFrame]] | None = None,
 ) -> DataFrame:
     """Hodges-Lehmann two-sample shift estimator — the SIZE companion
     to the rank/drift detectors (`mann_whitney_u` says the
@@ -7546,19 +7628,49 @@ def hodges_lehmann_shift(
     levels repeat — quantities, day indexes, coarse money).
 
     Output ONE row: (n_a, n_b, hl_shift).
+
+    ``series_grids`` = [(tag, ga_i, gb_i), ...] scores SEVERAL
+    value-shifted series in ONE chain (the `ad_k_statistic` series
+    contract): the tagged grids union, pair via an equi-join on the tag
+    (each gb_i is contract-bounded, so the join broadcasts), and every
+    groupBy/window gains the series key — per-series row sets and
+    expression trees are identical to the single-series run, and the
+    exact DECIMAL sums / MINs are order-independent, so results are
+    bit-for-bit the same per series. Requires ``sizes`` (a value shift
+    preserves distinct counts and totals, so one size tuple serves all
+    series — the caller asserts it). ``a``/``b``/``val_col``/``grids``
+    are ignored in this mode. Output one row PER series:
+    (series, n_a, n_b, hl_shift).
     """
     from morphik_core_spark.plans.cache import scoped_persist
 
-    # ``grids`` = (ga, gb) lets a caller scoring several value-SHIFTED
-    # series of the same rows reuse ONE pair of per-value count grids
-    # (round-11: a bigint shift is an injective projection of the grid,
-    # so the shifted series' grids are the raw grids with _x shifted —
-    # build once with `hl_value_grids`, pass the projection); the
-    # caller asserts the frames equal what this operator would build.
-    if grids is not None:
-        ga, gb = grids
+    if series_grids is not None:
+        if sizes is None:
+            raise ValueError(
+                "hodges_lehmann_shift: series_grids requires sizes (a value "
+                "shift preserves counts — the caller asserts one size tuple "
+                "serves every series)"
+            )
+        skey = ["_ser"]
+        ga = None
+        gb = None
+        for tag, ga_i, gb_i in series_grids:
+            ta = ga_i.select(F.lit(str(tag)).alias("_ser"), "_x", "_ca")
+            tb = gb_i.select(F.lit(str(tag)).alias("_ser"), "_y", "_cb")
+            ga = ta if ga is None else ga.unionByName(ta)
+            gb = tb if gb is None else gb.unionByName(tb)
     else:
-        ga, gb = hl_value_grids(a, b, val_col)
+        skey = []
+        # ``grids`` = (ga, gb) lets a caller scoring several value-SHIFTED
+        # series of the same rows reuse ONE pair of per-value count grids
+        # (round-11: a bigint shift is an injective projection of the grid,
+        # so the shifted series' grids are the raw grids with _x shifted —
+        # build once with `hl_value_grids`, pass the projection); the
+        # caller asserts the frames equal what this operator would build.
+        if grids is not None:
+            ga, gb = grids
+        else:
+            ga, gb = hl_value_grids(a, b, val_col)
     # ``sizes`` = (n_x, n_a, n_y, n_b) lets a caller scoring several
     # value-SHIFTED series of the same rows skip the two count jobs per
     # extra series (a shift preserves distinct counts and totals); the
@@ -7574,33 +7686,34 @@ def hodges_lehmann_shift(
             f"= {n_x * n_y} cells (> max_grid_cells={max_grid_cells}): "
             f"coarsen the value grain or raise max_grid_cells explicitly."
         )
+    pairs = ga.join(gb, "_ser") if skey else ga.crossJoin(gb)
     diffs = (
-        ga.crossJoin(gb)
-        .select(
+        pairs.select(
+            *skey,
             (F.col("_x") - F.col("_y")).alias("_d"),
             F.expr("CAST(_ca AS DECIMAL(38,0)) * _cb").alias("_w"),
         )
-        .groupBy("_d")
+        .groupBy(*skey, "_d")
         .agg(F.sum("_w").alias("w"))
         .withColumn("_bkt", F.expr("CAST(floor(CAST(_d AS DOUBLE) / 1048576.0) AS BIGINT)"))
     )
     diffs = scoped_persist(diffs)
-    bsum = diffs.groupBy("_bkt").agg(F.sum("w").alias("_bw"))
-    w_b = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    bsum = diffs.groupBy(*skey, "_bkt").agg(F.sum("w").alias("_bw"))
+    w_b = (Window.partitionBy(*skey) if skey else Window).orderBy(
+        F.col("_bkt").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bprev = bsum.select(
-        "_bkt", (F.sum("_bw").over(w_b) - F.col("_bw")).alias("_before")
+        *skey, "_bkt", (F.sum("_bw").over(w_b) - F.col("_bw")).alias("_before")
     )
     w_in = (
-        Window.partitionBy("_bkt")
+        Window.partitionBy(*skey, "_bkt")
         .orderBy(F.col("_d").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cums = (
         diffs.withColumn("_in", F.sum("w").over(w_in))
-        .join(bprev, "_bkt")
-        .select("_d", (F.col("_before") + F.col("_in")).alias("cum"))
+        .join(bprev, skey + ["_bkt"])
+        .select(*skey, "_d", (F.col("_before") + F.col("_in")).alias("cum"))
     )
     total = int(n_a) * int(n_b)
     lo_rank = (total + 1) // 2
@@ -7610,11 +7723,13 @@ def hodges_lehmann_shift(
     # chain once each); MIN skips the failing-condition NULLs, so each
     # is exactly the old filter-then-min
     return (
-        cums.agg(
+        cums.groupBy(*skey)
+        .agg(
             F.min(F.when(F.col("cum") >= F.lit(lo_rank), F.col("_d"))).alias("_lo"),
             F.min(F.when(F.col("cum") >= F.lit(hi_rank), F.col("_d"))).alias("_hi"),
         )
         .select(
+            *([F.col("_ser").alias("series")] if skey else []),
             F.lit(int(n_a)).cast("bigint").alias("n_a"),
             F.lit(int(n_b)).cast("bigint").alias("n_b"),
             F.expr(
@@ -8038,6 +8153,7 @@ def page_hinkley(
     delta: float = 0.0,
     lam: float = 50.0,
     decimals: int = 6,
+    series_col: str | None = None,
 ) -> DataFrame:
     """Page-Hinkley sequential change detector (increase direction) —
     the CLASSIC online mean-shift alarm beside `cusum_screen`'s
@@ -8059,14 +8175,24 @@ def page_hinkley(
     Output ONE row: (n, n_alarms, first_alarm_idx, max_excess) —
     max_excess = max_t (m_t - M_t) / 1e6 in value units,
     first_alarm_idx NULL when no alarm fires.
+
+    ``series_col`` scores SEVERAL value-transformed series of the same
+    rows in ONE chain (the `ad_k_statistic` series contract): the
+    running-prefix windows partition by the series key (each series
+    still sees exactly its own ordered points) and the final
+    aggregation groups by it — per-series arithmetic is bit-identical
+    to the single-series run. Output one row PER series; an empty
+    series emits no row.
     """
+    skey = ["_ser"] if series_col is not None else []
     base = df.select(
+        *([F.col(series_col).cast("string").alias("_ser")] if series_col else []),
         F.col(idx_col).cast("bigint").alias("_i"),
         F.col(val_col).cast("bigint").alias("_y"),
     ).filter(F.col("_i").isNotNull() & F.col("_y").isNotNull())
-    w = Window.orderBy(F.col("_i").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    w = (Window.partitionBy(*skey) if skey else Window).orderBy(
+        F.col("_i").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     staged = (
         base.withColumn("_s1", F.sum("_y").over(w))
         .withColumn("_k", F.count(F.lit(1)).over(w))
@@ -8085,9 +8211,15 @@ def page_hinkley(
             (F.col("_exc").cast("double") > F.lit(float(lam) * 1e6)).cast("int"),
         )
     )
-    return staged.agg(
+    return staged.groupBy(*skey).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("_alarm").cast("bigint").alias("n_alarms"),
         F.min(F.when(F.col("_alarm") == 1, F.col("_i"))).cast("bigint").alias("first_alarm_idx"),
         F.round(F.max("_exc").cast("double") / F.lit(1e6), decimals).alias("max_excess"),
+    ).select(
+        *([F.col("_ser").alias(series_col)] if series_col else []),
+        "n",
+        "n_alarms",
+        "first_alarm_idx",
+        "max_excess",
     )

@@ -2364,6 +2364,113 @@ def test_ad_k_statistic_group_guard(spark):
     assert r["k"] == 60
 
 
+def test_series_col_matches_single_series_runs(spark):
+    """The round-11 ``series_col`` fast path (one pivot/prefix/agg chain
+    grouped by series) must be bit-identical, per series, to running the
+    operator once per series — for ad_k_statistic AND
+    jonckheere_terpstra, on tied data with a value-transformed twin
+    series (the injected-shift query shape). Also: series_col without
+    group_sizes raises (the identical-membership contract)."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from morphik_core_spark.operators.analytics import (
+        ad_k_statistic,
+        jonckheere_terpstra,
+    )
+
+    rows = []
+    for gi, g in enumerate(["a", "b", "c"]):
+        for i in range(50):
+            h = int(hashlib.md5(f"ser:{g}:{i}".encode()).hexdigest()[:8], 16) % 17
+            rows.append((g, h + gi))
+    df = spark.createDataFrame(rows, "g string, v long")
+    shifted = df.select(
+        "g",
+        (
+            F.col("v") + F.when(F.col("g") == "a", F.lit(9)).otherwise(F.lit(0))
+        ).alias("v"),
+    )
+    tagged = df.select(F.lit("raw").alias("s"), "g", "v").unionByName(
+        shifted.select(F.lit("shifted").alias("s"), "g", "v")
+    )
+    sizes = [
+        (r["g"], r["c"])
+        for r in df.groupBy("g").agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+
+    for op, kwargs in [
+        (ad_k_statistic, {"cores_fit_long": True, "bucket_width": 8}),
+        (jonckheere_terpstra, {}),
+    ]:
+        [raw] = op(df, "g", "v", group_sizes=sizes, **kwargs).collect()
+        [shf] = op(shifted, "g", "v", group_sizes=sizes, **kwargs).collect()
+        got = {
+            r["s"]: r.asDict()
+            for r in op(
+                tagged, "g", "v", group_sizes=sizes, series_col="s", **kwargs
+            ).collect()
+        }
+        assert set(got) == {"raw", "shifted"}
+        for name, single in [("raw", raw), ("shifted", shf)]:
+            multi = {kk: vv for kk, vv in got[name].items() if kk != "s"}
+            assert multi == single.asDict(), (op.__name__, name)
+        with _pytest.raises(ValueError, match="series_col requires"):
+            op(tagged, "g", "v", series_col="s", **kwargs)
+
+
+def test_blocked_rank_series_col_matches_single_series_runs(spark):
+    """friedman_test / page_trend_test ``series_col``: the one-chain
+    series path (complete-block filter, rank windows and aggregations
+    all gaining the series key) must be bit-identical, per series, to
+    one operator call per series — on a fixture with ties, an
+    incomplete block (dropped by the complete-block contract), and a
+    value-transformed twin series."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from morphik_core_spark.operators.analytics import (
+        friedman_test,
+        page_trend_test,
+    )
+
+    rows = []
+    for b in range(12):
+        for ti, t in enumerate(["t0", "t1", "t2", "t3"]):
+            if b == 7 and t == "t2":
+                continue  # incomplete block: must drop in BOTH series
+            h = int(hashlib.md5(f"blk:{b}:{t}".encode()).hexdigest()[:8], 16) % 9
+            rows.append((str(b), t, h + ti))
+    df = spark.createDataFrame(rows, "b string, t string, v long")
+    uplift = df.select(
+        "b",
+        "t",
+        F.when(F.col("t") == "t1", F.col("v") + F.expr("v div 2"))
+        .otherwise(F.col("v"))
+        .alias("v"),
+    )
+    tagged = df.select(F.lit("raw").alias("s"), "b", "t", "v").unionByName(
+        uplift.select(F.lit("uplifted").alias("s"), "b", "t", "v")
+    )
+
+    for op in (friedman_test, page_trend_test):
+        [raw] = op(df, "b", "t", "v").collect()
+        [upl] = op(uplift, "b", "t", "v").collect()
+        got = {
+            r["s"]: r.asDict()
+            for r in op(tagged, "b", "t", "v", series_col="s").collect()
+        }
+        assert set(got) == {"raw", "uplifted"}
+        assert raw["n_blocks"] == 11  # the incomplete block dropped
+        for name, single in [("raw", raw), ("uplifted", upl)]:
+            multi = {kk: vv for kk, vv in got[name].items() if kk != "s"}
+            assert multi == single.asDict(), (op.__name__, name)
+
+
 def test_bartlett_matches_closed_form(spark):
     """Small fixture vs the textbook formula computed directly; an
     inflated-variance group must blow the statistic up; a constant
@@ -2729,6 +2836,49 @@ def test_hodges_lehmann_matches_bruteforce(spark):
         hodges_lehmann_shift(big_a, big_b, "v", max_grid_cells=1000).collect()
 
 
+def test_hodges_lehmann_series_grids_matches_single_runs(spark):
+    """The round-11 ``series_grids`` fast path (tagged grids, one
+    diff-grid/prefix/agg chain grouped by series) must be bit-identical,
+    per series, to one operator call per series on the same grids; and
+    series_grids without sizes raises (the shared-size contract)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from morphik_core_spark.operators.analytics import (
+        hl_value_grids,
+        hodges_lehmann_shift,
+    )
+
+    a_vals = [3, 5, 5, 8, 12, 7, 9, 9, 2]
+    b_vals = [1, 4, 4, 6, 9, 11, 3]
+    a = spark.createDataFrame([(v,) for v in a_vals], "v long")
+    b = spark.createDataFrame([(v,) for v in b_vals], "v long")
+    ga, gb = hl_value_grids(a, b, "v")
+    ga7 = ga.select((F.col("_x") + F.lit(7)).alias("_x"), "_ca")
+    sizes = (len(set(a_vals)), len(a_vals), len(set(b_vals)), len(b_vals))
+
+    [raw] = hodges_lehmann_shift(a, b, "v", sizes=sizes, grids=(ga, gb)).collect()
+    [shf] = hodges_lehmann_shift(a, b, "v", sizes=sizes, grids=(ga7, gb)).collect()
+    got = {
+        r["series"]: r.asDict()
+        for r in hodges_lehmann_shift(
+            a,
+            b,
+            "v",
+            sizes=sizes,
+            series_grids=[("raw", ga, gb), ("shifted", ga7, gb)],
+        ).collect()
+    }
+    assert set(got) == {"raw", "shifted"}
+    for name, single in [("raw", raw), ("shifted", shf)]:
+        multi = {kk: vv for kk, vv in got[name].items() if kk != "series"}
+        assert multi == single.asDict(), name
+
+    with _pytest.raises(ValueError, match="series_grids requires sizes"):
+        hodges_lehmann_shift(a, b, "v", series_grids=[("raw", ga, gb)])
+
+
 def test_theta_forecast_matches_bruteforce(spark):
     """The distributed op replays the hand recursion exactly (SES in
     integer micros + half the expanding OLS slope as drift, no future
@@ -3005,6 +3155,26 @@ def test_page_hinkley_detects_shift(spark):
         spark.createDataFrame(shifted, "i long, y long"), "i", "y", delta=2.0, lam=50.0
     ).collect()
     assert rs["n_alarms"] > 0 and rs["first_alarm_idx"] > 30
+
+    # round-11 series_col fast path: one partitioned-window chain over
+    # the tagged union must reproduce both single-series rows exactly
+    from pyspark.sql import functions as F
+
+    flat_df = spark.createDataFrame(flat, "i long, y long")
+    shf_df = spark.createDataFrame(shifted, "i long, y long")
+    tagged = flat_df.select(F.lit("flat").alias("s"), "i", "y").unionByName(
+        shf_df.select(F.lit("shifted").alias("s"), "i", "y")
+    )
+    got = {
+        r["s"]: r.asDict()
+        for r in page_hinkley(
+            tagged, "i", "y", delta=2.0, lam=50.0, series_col="s"
+        ).collect()
+    }
+    assert set(got) == {"flat", "shifted"}
+    for name, single in [("flat", rf), ("shifted", rs)]:
+        multi = {kk: vv for kk, vv in got[name].items() if kk != "s"}
+        assert multi == single.asDict(), name
 
     # manual replication of the exact micro-integer recursion
     s1 = k = m = 0
