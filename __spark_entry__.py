@@ -7484,29 +7484,33 @@ def _q_friedman_dow_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         ).agg(F.count(F.lit(1)).alias("x"))
     )
+    raw = friedman_test(daily, "di", "event_type", "x")
     # injected within-block uplift (the mann_kendall precedent): +50%
     # to purchases every day — ranked within day, the test must detect
-    # it while the raw uniform fixture stays null. BOTH series through
-    # ONE operator chain (round-11 series_col): the raw/uplifted union
-    # carries a series tag, so the complete-block filter, rank windows
-    # and aggregations each run once grouped by series — half the
-    # stages, bit-identical per-series arithmetic (operator doc).
-    tagged = daily.select(
-        F.lit("raw").alias("series"), "di", "event_type", "x"
-    ).unionByName(
+    # it while the raw uniform fixture stays null.
+    # A series_col one-chain form was BUILT (operator support + tests
+    # remain), measured NET-SLOWER at sf0.1 (median ~5.7 s vs ~2.0 s,
+    # min-of-12 3.16 vs 1.72) and reverted: the union of two one-row
+    # series executes both chains CONCURRENTLY inside one job, so
+    # merging them serializes the same stage depth on this bounded
+    # (day x type) frame — locally and at 100 TB alike — while the
+    # blocked-rank chain gains join/window keys.
+    uplifted = friedman_test(
         daily.select(
-            F.lit("uplifted").alias("series"),
             "di",
             "event_type",
             F.when(
                 F.col("event_type") == "purchase",
                 F.col("x") + F.expr("x div 2"),
             ).otherwise(F.col("x")).alias("x"),
-        )
+        ),
+        "di",
+        "event_type",
+        "x",
     )
-    return friedman_test(
-        tagged, "di", "event_type", "x", series_col="series"
-    ).orderBy("series")
+    return raw.select(F.lit("raw").alias("series"), "*").unionByName(
+        uplifted.select(F.lit("uplifted").alias("series"), "*")
+    )
 
 
 def _q_brown_forsythe_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7813,24 +7817,31 @@ def _q_page_week_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x",
         )
     )
-    # BOTH series through ONE operator chain (round-11 series_col): the
-    # raw/uplifted union carries a series tag, so the complete-block
-    # filter, rank windows and aggregations each run once grouped by
-    # series — half the stages, bit-identical per-series arithmetic
-    # (operator doc).
-    tagged = daily.select(
-        F.lit("raw").alias("series"), "wk", "dow", "x"
-    ).unionByName(
+    # A series_col one-chain form was BUILT (operator support + tests
+    # remain), measured a WASH-to-slight-regression at sf0.1 (min-of-12
+    # 1.79 vs 1.50 s) and reverted — the friedman lesson: the union of
+    # two one-row series already executes both chains concurrently in
+    # one job, so merging bounded blocked-rank chains only adds keys.
+    raw = page_trend_test(daily, "wk", "dow", "x")
+    uplifted = page_trend_test(
         daily.select(
-            F.lit("uplifted").alias("series"),
             "wk",
             "dow",
             F.expr("(x * (10 + CAST(dow AS BIGINT))) div 10").alias("x"),
-        )
+        ),
+        "wk",
+        "dow",
+        "x",
     )
-    return page_trend_test(
-        tagged, "wk", "dow", "x", series_col="series"
-    ).orderBy("series")
+    return (
+        raw.select(F.lit("raw").alias("series"), "k", "n_blocks", "page_l", "z")
+        .unionByName(
+            uplifted.select(
+                F.lit("uplifted").alias("series"), "k", "n_blocks", "page_l", "z"
+            )
+        )
+        .orderBy("series")
+    )
 
 
 def _q_page_hinkley_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
