@@ -7442,8 +7442,17 @@ def _q_jt_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dollars") + F.col("_lvl") * F.lit(100_000)).alias("dollars"),
         )
     )
+    # sums_fit_long: N = |orders| ≤ 1.5e6 at the driver's largest SF,
+    # comfortably under the 2·N³ < 2^63 int64 contract (operator doc) —
+    # the per-value pair/tie partials drop DECIMAL multiplies for int64
+    # (the lineitem_corr/ad_k wave-11 class).
     return jonckheere_terpstra(
-        tagged, "o_orderpriority", "dollars", group_sizes=gtot, series_col="series"
+        tagged,
+        "o_orderpriority",
+        "dollars",
+        group_sizes=gtot,
+        series_col="series",
+        sums_fit_long=True,
     ).orderBy("series")
 
 

@@ -5760,6 +5760,7 @@ def jonckheere_terpstra(
     max_groups: int = 1000,
     group_sizes: list[tuple[str | None, int]] | None = None,
     series_col: str | None = None,
+    sums_fit_long: bool = False,
 ) -> DataFrame:
     """Jonckheere-Terpstra ordered-alternative test: are the k groups
     stochastically ORDERED (doc length grows with severity bucket,
@@ -5801,8 +5802,16 @@ def jonckheere_terpstra(
     are bit-for-bit the same per series. Requires ``group_sizes`` (the
     caller asserts identical group membership across series). Output
     one row PER series; a series with no surviving rows emits no row.
+
+    ``sums_fit_long=True`` computes the per-value pair terms and tie
+    sums in int64 instead of DECIMAL(38,0) — identical exact integers
+    whenever 2·N³ < 2^63 (N ≤ ~1.6e6 surviving rows: the pooled tie
+    term t(t−1)(2t+5) ≤ ~2N³ dominates every other partial; ANSI mode
+    raises loudly past the bound) — the `cores_fit_long` contract from
+    `ad_k_statistic`, here cubed because of the tie cubic.
     """
     dec = "decimal(38,0)"
+    core_t = "BIGINT" if sums_fit_long else "DECIMAL(38,0)"
     from morphik_core_spark.plans.cache import scoped_persist
 
     if series_col is not None and group_sizes is None:
@@ -5908,22 +5917,22 @@ def jonckheere_terpstra(
     # U_ab*2 summed over ordered pairs, per pooled value: cum_a is the
     # INCLUSIVE per-group cumulative, so 2*cum_a - c_a = 2*cumlt_a + c_a
     pair_terms = [
-        f"(CAST(_c{j} AS DECIMAL(38,0)) * (2 * cum{i} - _c{i}))"
+        f"(CAST(_c{j} AS {core_t}) * (2 * cum{i} - _c{i}))"
         for j in range(1, m)
         for i in range(j)
     ]
     jt2_agg = (
         F.sum(F.expr(" + ".join(pair_terms))).alias("_jt2")
         if pair_terms
-        else F.max(F.expr(_declit(None))).alias("_jt2")
+        else F.max(F.expr(f"CAST(NULL AS {core_t})")).alias("_jt2")
     )
     out = frame.groupBy(*skey).agg(
         jt2_agg,
         F.sum(
-            F.expr("CAST(lv AS DECIMAL(38,0)) * (lv - 1) * (2 * lv + 5)")
+            F.expr(f"CAST(lv AS {core_t}) * (lv - 1) * (2 * lv + 5)")
         ).alias("_tA"),
-        F.sum(F.expr("CAST(lv AS DECIMAL(38,0)) * (lv - 1) * (lv - 2)")).alias("_tB"),
-        F.sum(F.expr("CAST(lv AS DECIMAL(38,0)) * (lv - 1)")).alias("_tC"),
+        F.sum(F.expr(f"CAST(lv AS {core_t}) * (lv - 1) * (lv - 2)")).alias("_tB"),
+        F.sum(F.expr(f"CAST(lv AS {core_t}) * (lv - 1)")).alias("_tC"),
     ).select(
         *skey,
         F.lit(k).cast("bigint").alias("k"),

@@ -1883,6 +1883,11 @@ def test_jonckheere_terpstra_matches_bruteforce(spark):
     assert abs(out["z"] - z) < 1e-6
     assert out["z"] > 3  # the planted shift is detected
 
+    # round-11 sums_fit_long: int64 pair/tie partials must be
+    # bit-identical to the DECIMAL path under the 2·N³ < 2^63 bound
+    out_l = jonckheere_terpstra(df, "g", "v", sums_fit_long=True).collect()[0]
+    assert out_l.asDict() == out.asDict()
+
 
 def test_cmh_controls_for_the_confounder(spark):
     """A classic Simpson setup: within EACH stratum exposure has the
