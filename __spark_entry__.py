@@ -3494,7 +3494,12 @@ def _q_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return triangle_count(edges)
+    # nation keys bound the graph at 25 nodes / 300 canonical edges, so
+    # the census rides the bounded-collect fast path (exact driver ints;
+    # the clustering double still comes from the identical Spark ROUND
+    # expression) instead of ~20 sub-KB AQE stage-jobs. 10_000 is a
+    # two-orders-of-magnitude margin on the schema contract.
+    return triangle_count(edges, collect_max_edges=10_000)
 
 
 def _q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -204,7 +204,12 @@ def connected_components_star(
     )
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    collect_max_edges: int | None = None,
+) -> DataFrame:
     """Global triangle census over an undirected graph — one row:
     (n_nodes, n_edges, n_triangles, n_wedges, global_clustering).
 
@@ -217,6 +222,21 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     Input edges may be directed/duplicated/self-looped; they normalize
     to canonical undirected form first. Clustering = 3·triangles /
     wedges via exact ints into one ROUND(6) division.
+
+    ``collect_max_edges`` opts a CONTRACT-BOUNDED graph (a nation/tenant
+    dimension graph, never corpus-scale) into the markov_attribution
+    recipe: one pass derives the canonical edge list, one collect pulls
+    it to the driver, and the census runs on plain Python ints (exact
+    set-intersection triangle count; each triangle seen 3x, divided by
+    3 with `//` == SQL `div` on non-negative ints). Raises if the bound
+    is violated rather than collecting unboundedly. The distributed
+    orientation path is unchanged for unbounded graphs, and the final
+    clustering double still comes from the IDENTICAL Spark
+    ROUND(3·tri/wedges, 6) expression, evaluated over the exact integer
+    literals, so results are bit-for-bit the same either way. Local
+    measurement (sf0.1 nation graph, 25 nodes): the distributed census
+    spends ~20 AQE stage-jobs scheduling sub-KB frames; this path is
+    one job.
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -227,6 +247,40 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .distinct()
     )
+    if collect_max_edges is not None:
+        rows = e.limit(int(collect_max_edges) + 1).collect()
+        if len(rows) > int(collect_max_edges):
+            raise ValueError(
+                f"triangle_count collect_max_edges={collect_max_edges} "
+                f"exceeded: the canonical edge list is larger than the "
+                f"caller's bound; drop the option (distributed path) or "
+                f"raise the bound if the graph genuinely fits."
+            )
+        adj: dict[int, set[int]] = {}
+        for r in rows:
+            u, v = int(r["u"]), int(r["v"])
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        n_nodes = len(adj)
+        n_edges = len(rows)
+        n_wedges = sum(d * (d - 1) // 2 for d in (len(s) for s in adj.values()))
+        tri3 = sum(len(adj[u] & adj[v]) for u, vs in adj.items() for v in vs if u < v)
+        n_triangles = tri3 // 3
+        one = e.sparkSession.range(1)
+        return one.select(
+            F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+            F.lit(n_edges).cast("bigint").alias("n_edges"),
+            F.lit(n_triangles).cast("bigint").alias("n_triangles"),
+            F.lit(n_wedges).cast("bigint").alias("n_wedges"),
+            F.when(
+                F.lit(n_wedges) > 0,
+                F.round(
+                    (F.lit(3) * F.lit(n_triangles)).cast("double")
+                    / F.lit(n_wedges).cast("double"),
+                    6,
+                ),
+            ).alias("global_clustering"),
+        )
     from morphik_core_spark.plans.cache import scoped_persist
 
     # the canonical edge list feeds the degree count (twice), the

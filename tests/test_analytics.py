@@ -188,6 +188,29 @@ def test_triangle_count_known_graphs(spark):
     assert (messy.n_nodes, messy.n_edges, messy.n_triangles) == (3, 3, 1)
 
 
+def test_triangle_count_collect_path_matches_distributed(spark):
+    import pytest
+
+    from morphik_core_spark.operators.graph import triangle_count
+
+    cases = [
+        [(a, b) for a in range(4) for b in range(4) if a < b],  # K4
+        [(0, 1), (1, 2), (2, 3)],  # path: 0 triangles, clustering 0.0
+        [(0, 1), (1, 0), (1, 1), (1, 2), (2, 0), (0, 2)],  # messy dupes
+        [(100, i) for i in range(50)] + [(0, 1)],  # hub + rim
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src int, dst int")
+        dist = triangle_count(df).collect()
+        fast = triangle_count(df, collect_max_edges=1000).collect()
+        assert fast == dist
+    # the bound is a contract: a graph larger than it must raise, not
+    # collect unboundedly
+    big = spark.createDataFrame([(0, i) for i in range(1, 20)], "src int, dst int")
+    with pytest.raises(ValueError, match="collect_max_edges"):
+        triangle_count(big, collect_max_edges=5)
+
+
 def test_triangle_orientation_handles_hub(spark):
     from morphik_core_spark.operators.graph import triangle_count
 
