@@ -1459,7 +1459,12 @@ def _q_folder_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
     from morphik_core_spark.operators import folders as folder_ops
 
     folders, _ = _folders_dim(spark, sf_dir)
-    return folder_ops.folder_descendants(folders, ["/src1"]).select("root", "id", "rel_depth")
+    # the synthetic tree is sources x langs x 2 (dimension-sized by
+    # construction): the bounded-collect BFS pays 1 job instead of 2 per
+    # tree level (eager checkpoint + emptiness probe)
+    return folder_ops.folder_descendants(
+        folders, ["/src1"], collect_max_folders=100_000
+    ).select("root", "id", "rel_depth")
 
 
 def _q_usage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4650,7 +4655,10 @@ def _q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         F.expr("unix_micros(ts) div 86400000000").alias("di")
     ).agg(F.count(F.lit(1)).alias("x"))
-    return autocorrelation(daily, "di", "x", max_lag=7)
+    # the day grid is contract-bounded (~decades of days << 100k): the
+    # collected path pays the grid aggregation once instead of ~13 AQE
+    # stage-jobs of persists/lag-join/agg branches per action
+    return autocorrelation(daily, "di", "x", max_lag=7, collect_max_points=100_000)
 
 
 def _q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6043,7 +6051,10 @@ def _q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         F.expr("unix_micros(ts) div 86400000000").alias("di")
     ).agg(F.count(F.lit(1)).alias("x"))
-    return ljung_box(daily, "di", "x", max_lag=7)
+    # bounded-day-grid contract (see acf_daily): the collected ACF turns
+    # the per-lag chain into a literal frame; only the n aggregate and
+    # the 7-row term reduction stay in-plan
+    return ljung_box(daily, "di", "x", max_lag=7, collect_max_points=100_000)
 
 
 def _q_ipw_ate_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7264,7 +7275,11 @@ def _q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         F.expr("unix_micros(ts) div 86400000000").alias("di")
     ).agg(F.count(F.lit(1)).alias("x"))
-    return pacf_durbin_levinson(daily, "di", "x", max_lag=7)
+    # same bounded-day-grid contract as acf_daily: one collect replaces
+    # the distributed ACF chain feeding the driver-side recursion
+    return pacf_durbin_levinson(
+        daily, "di", "x", max_lag=7, collect_max_points=100_000
+    )
 
 
 def _q_chi_posthoc_priority(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -856,6 +856,7 @@ def autocorrelation(
     val_col: str,
     max_lag: int = 7,
     decimals: int = 6,
+    collect_max_points: int | None = None,
 ) -> DataFrame:
     """Sample autocorrelation of an integer-indexed series at lags
     1..``max_lag`` — the seasonality/persistence screen a telemetry
@@ -875,10 +876,65 @@ def autocorrelation(
     ``max_lag``-row spine and one equi-join on the shifted index.
 
     Output: (lag, n_pairs, acf).
+
+    ``collect_max_points`` opts a CONTRACT-BOUNDED series (a day/hour
+    grid, never fact-sized) into ONE collect + exact Python-int sums at
+    the driver (deviations, den, per-lag num are all integers, so this
+    is exact arithmetic, not float re-derivation); the acf doubles are
+    still produced by the IDENTICAL Spark decimal→double casts, division
+    and ROUND over decimal-string literals, so results are bit-for-bit
+    the same. The distributed chain pays ~13 AQE stage-jobs per action
+    (persists, lag join, two agg branches); the collected form pays the
+    upstream grid aggregation once. Raises when the series exceeds the
+    bound rather than collecting unboundedly.
     """
     base = series.select(
         F.col(idx_col).cast("bigint").alias("_i"), F.col(val_col).cast("bigint").alias("_x")
     )
+    if collect_max_points is not None:
+        pts = base.limit(int(collect_max_points) + 1).collect()
+        if len(pts) > int(collect_max_points):
+            raise ValueError(
+                f"autocorrelation collect_max_points={collect_max_points} "
+                f"exceeded: the series is larger than the caller's bound; "
+                f"drop the option (distributed path) or raise the bound."
+            )
+        n, s = len(pts), sum(int(r["_x"]) for r in pts)
+        # per-row deviations for den; per-INDEX (sum, count) for the lag
+        # join so duplicate indexes multiply pairs exactly like the join
+        den = 0
+        sd: dict[int, int] = {}
+        cnt: dict[int, int] = {}
+        for r in pts:
+            i, d = int(r["_i"]), n * int(r["_x"]) - s
+            den += d * d
+            sd[i] = sd.get(i, 0) + d
+            cnt[i] = cnt.get(i, 0) + 1
+        out = []
+        for k in range(1, int(max_lag) + 1):
+            num = 0
+            n_pairs = 0
+            for i, da in sd.items():
+                db = sd.get(i + k)
+                if db is not None:
+                    num += da * db
+                    n_pairs += cnt[i] * cnt[i + k]
+            if n_pairs:  # the distributed join emits no row for pairless lags
+                out.append((k, n_pairs, str(num)))
+        spark = series.sparkSession
+        return spark.createDataFrame(
+            out, "lag int, n_pairs bigint, _num string"
+        ).select(
+            "lag",
+            "n_pairs",
+            F.round(
+                F.expr(
+                    f"CAST(CAST(_num AS DECIMAL(38,0)) AS DOUBLE) / "
+                    f"CAST(CAST('{den}' AS DECIMAL(38,0)) AS DOUBLE)"
+                ),
+                decimals,
+            ).alias("acf"),
+        )
     from morphik_core_spark.plans.cache import scoped_persist
 
     # series-bounded; base feeds the moments + deviations, dev feeds the
@@ -919,6 +975,7 @@ def pacf_durbin_levinson(
     idx_col: str,
     val_col: str,
     max_lag: int = 7,
+    collect_max_points: int | None = None,
 ) -> DataFrame:
     """Partial autocorrelation function via the Durbin-Levinson
     recursion — the AR-order diagnostic beside `autocorrelation`'s raw
@@ -951,7 +1008,12 @@ def pacf_durbin_levinson(
         return int(_m.floor(x + 0.5)) if x >= 0 else int(_m.ceil(x - 0.5))
 
     acf_rows = autocorrelation(
-        series, idx_col, val_col, max_lag=max_lag, decimals=12
+        series,
+        idx_col,
+        val_col,
+        max_lag=max_lag,
+        decimals=12,
+        collect_max_points=collect_max_points,
     ).collect()  # max_lag-bounded
     r_u = {
         int(r["lag"]): _rha(float(r["acf"]) * 1e12)
@@ -5085,6 +5147,7 @@ def ljung_box(
     val_col: str,
     max_lag: int = 7,
     decimals: int = 6,
+    collect_max_points: int | None = None,
 ) -> DataFrame:
     """Ljung–Box portmanteau Q test: is a series white noise, jointly
     over the first ``max_lag`` autocorrelations —
@@ -5101,7 +5164,14 @@ def ljung_box(
 
     Output ONE row: (n, m, q_stat).
     """
-    acf = autocorrelation(series, idx_col, val_col, max_lag=max_lag, decimals=12)
+    acf = autocorrelation(
+        series,
+        idx_col,
+        val_col,
+        max_lag=max_lag,
+        decimals=12,
+        collect_max_points=collect_max_points,
+    )
     n = series.agg(F.count(F.lit(1)).alias("n"))
     terms = acf.join(F.broadcast(n)).select(
         "n",

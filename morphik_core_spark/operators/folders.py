@@ -59,6 +59,7 @@ def folder_descendants(
     id_col: str = "id",
     parent_col: str = "parent_id",
     max_depth: int = 20,
+    collect_max_folders: int | None = None,
 ) -> DataFrame:
     """All strict descendants of ``root_ids`` via iterative parent_id BFS.
 
@@ -67,8 +68,50 @@ def folder_descendants(
     empty or at ``max_depth`` (cycle guard). The folders dimension is
     driver-loop-friendly by construction (see module docstring); for the
     path-materialized encoding prefer :func:`descendants_by_path`.
+
+    ``collect_max_folders`` opts a CONTRACT-BOUNDED dimension into one
+    collect of (id, parent_id) + the same BFS on driver dicts — the
+    reference's own shape (move_folder walks the tree driver-side). The
+    distributed loop pays 2 jobs per LEVEL (eager checkpoint +
+    emptiness probe); the collected form pays 1 job total. Semantics
+    mirror the join exactly: per-row multiplicity kept (no visited set,
+    so DAG/cycle re-reach repeats rows, bounded by ``max_depth``), NULL
+    parents never match. Raises when the dimension exceeds the bound
+    rather than collecting unboundedly. Outputs are strings/ints only,
+    so results are identical by construction.
     """
     spark = folders.sparkSession
+    if collect_max_folders is not None:
+        rows = (
+            folders.select(F.col(id_col), F.col(parent_col))
+            .filter(F.col(parent_col).isNotNull())
+            .limit(int(collect_max_folders) + 1)
+            .collect()
+        )
+        if len(rows) > int(collect_max_folders):
+            raise ValueError(
+                f"folder_descendants collect_max_folders={collect_max_folders} "
+                f"exceeded: the folders dimension is larger than the caller's "
+                f"bound; drop the option (distributed BFS) or raise the bound."
+            )
+        children_of: dict[str, list[str]] = {}
+        for r in rows:
+            children_of.setdefault(r[parent_col], []).append(r[id_col])
+        frontier_d = [(str(r), str(r)) for r in root_ids]
+        out_rows: list[tuple[str, str, int]] = []
+        for depth in range(1, max_depth + 1):
+            nxt = [
+                (root, child)
+                for root, fid in frontier_d
+                for child in children_of.get(fid, ())
+            ]
+            if not nxt:
+                break
+            out_rows.extend((root, child, depth) for root, child in nxt)
+            frontier_d = nxt
+        return spark.createDataFrame(
+            out_rows, f"root string, {id_col} string, rel_depth int"
+        )
     frontier = spark.createDataFrame([(r,) for r in root_ids], f"{id_col} string").select(
         F.col(id_col).alias("root"), F.col(id_col)
     )

@@ -52,6 +52,31 @@ def test_descendants_cycle_guard_terminates(spark):
     assert len(rows) == 5
 
 
+def test_descendants_collect_path_matches_distributed(spark):
+    import pytest
+
+    for roots in (["a"], ["a1", "b"], ["nope"]):
+        dist = sorted(
+            tuple(r) for r in fo.folder_descendants(_folders(spark), roots).collect()
+        )
+        fast = sorted(
+            tuple(r)
+            for r in fo.folder_descendants(
+                _folders(spark), roots, collect_max_folders=1000
+            ).collect()
+        )
+        assert fast == dist
+    # cycle guard: identical bounded repetition, no visited set
+    cyc = spark.createDataFrame(
+        [("p", "q", "/p"), ("q", "p", "/q")], "id string, parent_id string, full_path string"
+    )
+    rows = fo.folder_descendants(cyc, ["p"], max_depth=5, collect_max_folders=10).collect()
+    assert len(rows) == 5
+    # the bound is a contract: larger dimensions must raise, not collect
+    with pytest.raises(ValueError, match="collect_max_folders"):
+        fo.folder_descendants(_folders(spark), ["a"], collect_max_folders=2)
+
+
 def test_descendants_by_path_prefix_not_sibling(spark):
     got = {r.id for r in fo.descendants_by_path(_folders(spark), "/a/1").collect()}
     assert got == {"a1x", "a1y", "a1xz"}  # not /a/2, not /a itself

@@ -28,6 +28,59 @@ def test_acf_gaps_drop_pairs_only(spark):
     assert out[1]["n_pairs"] == 2
 
 
+def test_acf_collect_path_matches_distributed(spark):
+    import pytest
+
+    cases = [
+        [(0, 2), (1, 0), (2, 2), (3, 0)],  # alternation
+        [(0, 5), (1, 7), (3, 7), (4, 5)],  # gap drops pairs
+        [(0, 5), (0, 9), (1, 7), (2, 3)],  # duplicate index multiplies pairs
+        [(i, (i * 7919) % 23) for i in range(40)],
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "di long, x long")
+        dist = sorted(map(tuple, autocorrelation(df, "di", "x", max_lag=3).collect()))
+        fast = sorted(
+            map(
+                tuple,
+                autocorrelation(
+                    df, "di", "x", max_lag=3, collect_max_points=1000
+                ).collect(),
+            )
+        )
+        assert fast == dist, rows
+    big = spark.createDataFrame([(i, 1) for i in range(30)], "di long, x long")
+    with pytest.raises(ValueError, match="collect_max_points"):
+        autocorrelation(big, "di", "x", collect_max_points=5)
+    # degenerate constant series (den = 0): BOTH paths raise the same
+    # ANSI DIVIDE_BY_ZERO — the collected form must not silently widen
+    # the op's domain
+    const = spark.createDataFrame([(0, 4), (1, 4), (2, 4)], "di long, x long")
+    for kw in ({}, {"collect_max_points": 100}):
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            autocorrelation(const, "di", "x", max_lag=1, **kw).collect()
+
+
+def test_pacf_collect_path_matches_distributed(spark):
+    from morphik_core_spark.operators.analytics import pacf_durbin_levinson
+
+    vals, v = [], 50
+    for i in range(60):
+        v = (v * 13 + 7) % 101
+        vals.append((i, v + (10 if i % 7 == 0 else 0)))
+    df = spark.createDataFrame(vals, "di long, x long")
+    dist = sorted(map(tuple, pacf_durbin_levinson(df, "di", "x", max_lag=5).collect()))
+    fast = sorted(
+        map(
+            tuple,
+            pacf_durbin_levinson(
+                df, "di", "x", max_lag=5, collect_max_points=1000
+            ).collect(),
+        )
+    )
+    assert fast == dist
+
+
 def test_cusum_matches_textbook_recursion(spark):
     # hand series with a level shift; replay the max(0, s+e) recursion
     xs = [10, 9, 11, 10, 10, 16, 17, 18]
