@@ -1921,7 +1921,12 @@ def _q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    return pagerank_fixed_point(edges, "src", "dst", "w", iterations=3)
+    # nation keys bound the trade graph at 25 x 25 directed edges: the
+    # bounded-collect loop replaces iterations x (join + shuffle) AQE
+    # stage-jobs with one collect; the micro-unit recursion is identical
+    return pagerank_fixed_point(
+        edges, "src", "dst", "w", iterations=3, collect_max_edges=10_000
+    )
 
 
 def _q_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:

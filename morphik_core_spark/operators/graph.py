@@ -49,6 +49,7 @@ def pagerank_fixed_point(
     iterations: int = 3,
     damping_pct: int = 85,
     persist: bool = True,
+    collect_max_edges: int | None = None,
 ) -> DataFrame:
     """PageRank with damping ``damping_pct/100`` for ``iterations`` rounds.
 
@@ -62,8 +63,72 @@ def pagerank_fixed_point(
     the same loop holds; skewed high-in-degree nodes are plain hot
     aggregation keys (map-side combine absorbs them), and the iteration
     count bounds total work.
+
+    ``collect_max_edges`` opts a CONTRACT-BOUNDED graph (a nation/tenant
+    dimension graph — NOT a vocabulary or corpus graph) into one collect
+    + the identical micro-unit recursion on driver ints: every quantity
+    in the loop is already non-negative int64 and Python ``//`` equals
+    SQL ``div`` there (the markov_attribution precedent), and the one
+    display double still comes from the same Spark ROUND expression over
+    the exact rank_u literals, so results are bit-for-bit unchanged.
+    Saves iterations x (join + shuffle) stage-jobs; raises if the bound
+    is exceeded rather than collecting unboundedly.
     """
     teleport_u = (UNIT * (100 - damping_pct)) // 100
+    if collect_max_edges is not None and (
+        edges.schema[src_col].dataType != edges.schema[dst_col].dataType
+    ):
+        # the distributed union would coerce mixed src/dst types; keep
+        # that path rather than replicate Spark's coercion table here
+        collect_max_edges = None
+    if collect_max_edges is not None:
+        rows = (
+            edges.select(
+                F.col(src_col).alias("s"),
+                F.col(dst_col).alias("d"),
+                F.col(weight_col).cast("bigint").alias("w"),
+            )
+            .limit(int(collect_max_edges) + 1)
+            .collect()
+        )
+        if len(rows) > int(collect_max_edges):
+            raise ValueError(
+                f"pagerank_fixed_point collect_max_edges={collect_max_edges} "
+                f"exceeded: the edge list is larger than the caller's bound; "
+                f"drop the option (distributed loop) or raise the bound."
+            )
+        elist = [(r["s"], r["d"], int(r["w"])) for r in rows]
+        node_set = {s for s, _, _ in elist} | {d for _, d, _ in elist}
+        n_nodes = len(node_set)
+        out_w: dict = {}
+        for s, _, w in elist:
+            out_w[s] = out_w.get(s, 0) + w
+        rank_u = {n: UNIT // n_nodes for n in node_set}
+        for _ in range(iterations):
+            c_sum: dict = {}
+            for s, d, w in elist:
+                c_sum[d] = c_sum.get(d, 0) + (rank_u[s] * w) // out_w[s]
+            rank_u = {
+                n: teleport_u // n_nodes + (damping_pct * c_sum.get(n, 0)) // 100
+                for n in node_set
+            }
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        spark = edges.sparkSession
+        out = spark.createDataFrame(
+            sorted(rank_u.items()),
+            StructType(
+                [
+                    StructField("node", edges.schema[src_col].dataType),
+                    StructField("rank_u", LongType()),
+                ]
+            ),
+        )
+        return out.select(
+            "node",
+            "rank_u",
+            F.expr(f"ROUND(CAST(rank_u AS DOUBLE) / {UNIT}.0D, 6)").alias("rank"),
+        )
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))

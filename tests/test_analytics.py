@@ -107,6 +107,35 @@ def test_pagerank_fixed_point_exact_hand_values(spark):
     assert out["B"] == 138_750_000_000
 
 
+def test_pagerank_collect_path_matches_distributed(spark):
+    import pytest
+
+    from morphik_core_spark.operators.graph import pagerank_fixed_point
+
+    cases = [
+        [("A", "B", 1)],  # dangling source, sink accumulation
+        [("a", "hub", 5), ("b", "hub", 5), ("c", "hub", 5), ("hub", "a", 1)],
+        [("x", "y", 3), ("y", "x", 2), ("y", "z", 7), ("z", "x", 1), ("w", "x", 4)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src string, dst string, w int")
+        dist = sorted(map(tuple, pagerank_fixed_point(df, "src", "dst", "w").collect()))
+        fast = sorted(
+            map(
+                tuple,
+                pagerank_fixed_point(
+                    df, "src", "dst", "w", collect_max_edges=100
+                ).collect(),
+            )
+        )
+        assert fast == dist, edges
+    big = spark.createDataFrame(
+        [(str(i), str(i + 1), 1) for i in range(20)], "src string, dst string, w int"
+    )
+    with pytest.raises(ValueError, match="collect_max_edges"):
+        pagerank_fixed_point(big, "src", "dst", "w", collect_max_edges=5)
+
+
 def test_pagerank_favors_high_inweight_nodes(spark):
     from morphik_core_spark.operators.graph import pagerank_fixed_point
 
