@@ -230,25 +230,58 @@ def referential_orphans(
     n_orphan_keys). NULL fact keys count as orphans (they reference
     nothing), consistent with the strict FK reading.
 
-    Scale: per edge, the dimension's distinct keys broadcast into one
-    scan of the fact table (left join + conditional count — no fact
-    shuffle); the per-edge one-row aggregates union into the report.
+    Scale: edges that pass the SAME fact DataFrame object share ONE scan
+    of it — all their key columns project together, each dimension's
+    distinct keys broadcast-left-join in sequence, and one aggregate
+    emits every edge's conditional counts (exploded back to per-edge
+    rows). Distinct facts still audit independently; no fact shuffle
+    either way. Counts are exact integers over the identical joined row
+    set, so the merged form is bit-for-bit the per-edge form.
     """
+    groups: dict[int, list[int]] = {}
+    for i, (_, fact, *_rest) in enumerate(edges):
+        groups.setdefault(id(fact), []).append(i)
     parts = []
-    for name, fact, fact_key, dim, dim_key in edges:
-        keys = dim.select(F.col(dim_key).alias("_k")).distinct()
-        joined = fact.select(F.col(fact_key).alias("_fk")).join(
-            F.broadcast(keys), F.col("_fk") == F.col("_k"), "left"
+    for idxs in groups.values():
+        fact = edges[idxs[0]][1]
+        joined = fact.select(
+            *[F.col(edges[i][2]).alias(f"_fk{i}") for i in idxs]
         )
-        parts.append(
-            joined.agg(
-                F.lit(name).alias("edge"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0)).alias("n_orphans"),
-                F.countDistinct(F.when(F.col("_k").isNull(), F.col("_fk"))).alias(
-                    "n_orphan_keys"
-                ),
+        for i in idxs:
+            _, _, _, dim, dim_key = edges[i]
+            keys = dim.select(F.col(dim_key).alias(f"_k{i}")).distinct()
+            joined = joined.join(
+                F.broadcast(keys), F.col(f"_fk{i}") == F.col(f"_k{i}"), "left"
             )
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for i in idxs:
+            aggs.append(
+                F.sum(F.when(F.col(f"_k{i}").isNull(), 1).otherwise(0)).alias(
+                    f"_no{i}"
+                )
+            )
+            aggs.append(
+                F.countDistinct(
+                    F.when(F.col(f"_k{i}").isNull(), F.col(f"_fk{i}"))
+                ).alias(f"_nk{i}")
+            )
+        row = joined.agg(*aggs)
+        parts.append(
+            row.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(edges[i][0]).alias("edge"),
+                                F.col("n_rows"),
+                                F.col(f"_no{i}").alias("n_orphans"),
+                                F.col(f"_nk{i}").alias("n_orphan_keys"),
+                            )
+                            for i in idxs
+                        ]
+                    )
+                ).alias("_e")
+            ).select("_e.edge", "_e.n_rows", "_e.n_orphans", "_e.n_orphan_keys")
         )
     out = parts[0]
     for p in parts[1:]:

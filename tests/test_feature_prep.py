@@ -88,6 +88,28 @@ def test_referential_orphans_counts_nulls_and_misses(spark):
     assert row["n_orphan_keys"] == 1  # distinct non-null orphan keys: {99}
 
 
+def test_referential_orphans_shared_fact_matches_per_edge(spark):
+    # two edges on the SAME fact object (grouped into one scan) + one on
+    # a different fact must equal three independent single-edge audits
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (99, 20), (None, 30), (2, None)], "fk1 int, fk2 int"
+    )
+    other = spark.createDataFrame([(7,), (8,)], "fk int")
+    d1 = spark.createDataFrame([(1,), (2,)], "pk int")
+    d2 = spark.createDataFrame([(10,), (30,)], "pk int")
+    d3 = spark.createDataFrame([(8,), (9,)], "pk int")
+    edges = [
+        ("f.fk1->d1", fact, "fk1", d1, "pk"),
+        ("f.fk2->d2", fact, "fk2", d2, "pk"),
+        ("other->d3", other, "fk", d3, "pk"),
+    ]
+    merged = sorted(map(tuple, referential_orphans(edges).collect()))
+    single = sorted(
+        tuple(referential_orphans([e]).collect()[0]) for e in edges
+    )
+    assert merged == single
+
+
 def test_json_schema_profile_type_and_presence(spark):
     df = spark.createDataFrame(
         [('{"a":1,"b":"x"}',), ('{"a":"y"}',), (None,)], "js string"
