@@ -4591,7 +4591,12 @@ def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo = d0.agg(F.min("di").alias("_dmin"))
     base = d0.join(F.broadcast(lo))
-    raw = mann_kendall_test(base.select("di", F.col("x0").alias("y")), "di", "y")
+    # bounded day grid (see acf_daily): one collect replaces the pair
+    # join + grid chains per series
+    raw = mann_kendall_test(
+        base.select("di", F.col("x0").alias("y")), "di", "y",
+        collect_max_points=100_000,
+    )
     uplifted = mann_kendall_test(
         base.select(
             "di",
@@ -4604,6 +4609,7 @@ def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "di",
         "y",
+        collect_max_points=100_000,
     )
     return raw.select(F.lit("raw").alias("series"), "*").unionByName(
         uplifted.select(F.lit("uplifted").alias("series"), "*")
@@ -7578,8 +7584,10 @@ def _q_seasonal_mk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo = d0.agg(F.min("di").alias("_dmin"))
     base = d0.join(F.broadcast(lo))
+    # bounded day grid (see acf_daily): one collect per series
     raw = seasonal_mann_kendall(
-        base.select("di", F.col("x0").alias("y")), "di", "y", period=7
+        base.select("di", F.col("x0").alias("y")), "di", "y", period=7,
+        collect_max_points=100_000,
     )
     uplifted = seasonal_mann_kendall(
         base.select(
@@ -7594,6 +7602,7 @@ def _q_seasonal_mk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "di",
         "y",
         period=7,
+        collect_max_points=100_000,
     )
     return raw.select(F.lit("raw").alias("series"), "*").unionByName(
         uplifted.select(F.lit("uplifted").alias("series"), "*")

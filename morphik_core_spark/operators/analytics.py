@@ -3436,11 +3436,60 @@ def ratio_metric_ci(
     ).orderBy(group_col)
 
 
+def _mk_sign_sum(points: list[tuple[int, int]]) -> tuple[int | None, int]:
+    """S = Σ_{i_a<i_b} sign(y_b − y_a) over (idx, val) points with both
+    fields non-NULL, exactly as the MK pair join computes it: equal
+    indexes never pair, ties in value contribute 0. Returns (s, n_pairs)
+    with s None when no pair exists (SQL SUM over an empty set). Exact
+    integers via Fenwick-counted inversions on the value grid —
+    O(n log n), never the O(n²) Python pair loop.
+    """
+    if len(points) < 2:
+        return None, 0
+    pts = sorted(points)
+    vals = sorted({y for _, y in pts})
+    rank = {v: k + 1 for k, v in enumerate(vals)}
+    tree = [0] * (len(vals) + 1)
+
+    def add(k: int) -> None:
+        while k <= len(vals):
+            tree[k] += 1
+            k += k & -k
+
+    def less_than(k: int) -> int:  # count of inserted ranks <= k
+        s = 0
+        while k > 0:
+            s += tree[k]
+            k -= k & -k
+        return s
+
+    s_sum = 0
+    n_pairs = 0
+    seen = 0
+    g0 = 0
+    while g0 < len(pts):
+        g1 = g0
+        while g1 < len(pts) and pts[g1][0] == pts[g0][0]:
+            g1 += 1
+        for _, y in pts[g0:g1]:  # group vs strictly-earlier indexes only
+            rk = rank[y]
+            lt = less_than(rk - 1)
+            eq = less_than(rk) - lt
+            s_sum += lt - (seen - lt - eq)  # later value bigger ⇒ +1
+            n_pairs += seen
+        for _, y in pts[g0:g1]:
+            add(rank[y])
+        seen += g1 - g0
+        g0 = g1
+    return (s_sum, n_pairs) if n_pairs else (None, 0)
+
+
 def mann_kendall_test(
     df: DataFrame,
     idx_col: str,
     val_col: str,
     decimals: int = 6,
+    collect_max_points: int | None = None,
 ) -> DataFrame:
     """Mann–Kendall trend test over an integer-indexed series — the
     nonparametric significance companion to `theil_sen_trend`'s
@@ -3455,45 +3504,94 @@ def mann_kendall_test(
 
     Output: one row (n_points, s_stat, var_s, z, trend) — trend is
     'increasing' / 'decreasing' / 'none' at |z| ≥ 1.96.
-    """
-    from morphik_core_spark.plans.cache import scoped_persist
 
-    # series-bounded; four consumers (both self-join sides, n, ties)
-    # would otherwise each re-derive the upstream aggregation
-    base = scoped_persist(
-        df.select(
-            F.col(idx_col).cast("bigint").alias("_i"),
-            F.col(val_col).cast("bigint").alias("_y"),
+    ``collect_max_points`` opts a CONTRACT-BOUNDED series into one
+    collect: S (Fenwick inversion count), n and the tie term are exact
+    driver integers mirroring the pair join and value grid EXACTLY
+    (NULL indexes never pair but count in n/ties; NULL values form a
+    tie group and contribute NULL signs, so an all-NULL pair set keeps
+    s NULL like SQL SUM) — and the z/var/trend doubles still come from
+    the identical Spark expression tail over the integer literals.
+    Raises past the bound instead of collecting unboundedly.
+    """
+    if collect_max_points is not None:
+        rows = (
+            df.select(
+                F.col(idx_col).cast("bigint").alias("_i"),
+                F.col(val_col).cast("bigint").alias("_y"),
+            )
+            .limit(int(collect_max_points) + 1)
+            .collect()
         )
-    )
-    a = base.select(F.col("_i").alias("_ia"), F.col("_y").alias("_ya"))
-    b = base.select(F.col("_i").alias("_ib"), F.col("_y").alias("_yb"))
-    s_stat = (
-        a.join(b, F.col("_ia") < F.col("_ib"))
-        .agg(F.sum(F.signum((F.col("_yb") - F.col("_ya")).cast("double")).cast("bigint")).alias("s"))
-    )
-    # n and the tie term come from ONE pass over the value grid
-    # (round-11: the former separate n_row chain re-scanned base and
-    # added a broadcast join): n = SUM of grid counts, and the t>1
-    # filter becomes a conditional sum — 0 on no-tie input exactly as
-    # the old COALESCE(SUM(..), 0) after the filter.
-    nt = (
-        base.groupBy("_y")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .agg(
-            F.coalesce(F.sum("t"), F.lit(0)).alias("n"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("t") > 1,
-                        F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5),
-                    )
-                ),
-                F.lit(0),
-            ).alias("tie_term"),
+        if len(rows) > int(collect_max_points):
+            raise ValueError(
+                f"mann_kendall_test collect_max_points={collect_max_points} "
+                f"exceeded: the series is larger than the caller's bound; "
+                f"drop the option (distributed path) or raise the bound."
+            )
+        s_val, _ = _mk_sign_sum(
+            [
+                (int(r["_i"]), int(r["_y"]))
+                for r in rows
+                if r["_i"] is not None and r["_y"] is not None
+            ]
         )
-    )
-    joined = s_stat.join(F.broadcast(nt))
+        tcnt: dict = {}
+        for r in rows:
+            tcnt[r["_y"]] = tcnt.get(r["_y"], 0) + 1
+        n_val = len(rows)
+        tie_val = sum(t * (t - 1) * (2 * t + 5) for t in tcnt.values() if t > 1)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        joined = df.sparkSession.createDataFrame(
+            [(s_val, n_val, tie_val)],
+            StructType(
+                [
+                    StructField("s", LongType()),
+                    StructField("n", LongType()),
+                    StructField("tie_term", LongType()),
+                ]
+            ),
+        )
+    else:
+        from morphik_core_spark.plans.cache import scoped_persist
+
+        # series-bounded; four consumers (both self-join sides, n, ties)
+        # would otherwise each re-derive the upstream aggregation
+        base = scoped_persist(
+            df.select(
+                F.col(idx_col).cast("bigint").alias("_i"),
+                F.col(val_col).cast("bigint").alias("_y"),
+            )
+        )
+        a = base.select(F.col("_i").alias("_ia"), F.col("_y").alias("_ya"))
+        b = base.select(F.col("_i").alias("_ib"), F.col("_y").alias("_yb"))
+        s_stat = (
+            a.join(b, F.col("_ia") < F.col("_ib"))
+            .agg(F.sum(F.signum((F.col("_yb") - F.col("_ya")).cast("double")).cast("bigint")).alias("s"))
+        )
+        # n and the tie term come from ONE pass over the value grid
+        # (round-11: the former separate n_row chain re-scanned base and
+        # added a broadcast join): n = SUM of grid counts, and the t>1
+        # filter becomes a conditional sum — 0 on no-tie input exactly as
+        # the old COALESCE(SUM(..), 0) after the filter.
+        nt = (
+            base.groupBy("_y")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .agg(
+                F.coalesce(F.sum("t"), F.lit(0)).alias("n"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("t") > 1,
+                            F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5),
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("tie_term"),
+            )
+        )
+        joined = s_stat.join(F.broadcast(nt))
     var18 = (
         F.col("n") * (F.col("n") - 1) * (F.lit(2) * F.col("n") + 5) - F.col("tie_term")
     )
@@ -3521,6 +3619,7 @@ def seasonal_mann_kendall(
     val_col: str,
     period: int = 7,
     decimals: int = 6,
+    collect_max_points: int | None = None,
 ) -> DataFrame:
     """Seasonal Mann-Kendall trend test (Hirsch & Slack): S and its
     tie-corrected variance computed WITHIN each season (index mod
@@ -3535,7 +3634,85 @@ def seasonal_mann_kendall(
     series-bounded by contract (n(n-1)/(2*period) per season).
 
     Output ONE row: (n_points, n_seasons, s_stat, var_s, z, trend).
+
+    ``collect_max_points`` opts a CONTRACT-BOUNDED series into one
+    collect + exact per-season driver integers (the mann_kendall_test
+    mirror, per season: NULL seasons/indexes never pair but count in
+    the grid, NULL values form tie groups, s stays NULL when no valid
+    pair exists); the z/var/trend doubles come from the identical Spark
+    expression tail over the integer literals.
     """
+    if collect_max_points is not None:
+        rows = (
+            df.select(
+                F.col(idx_col).cast("bigint").alias("_i"),
+                F.col(val_col).cast("bigint").alias("_y"),
+            )
+            .limit(int(collect_max_points) + 1)
+            .collect()
+        )
+        if len(rows) > int(collect_max_points):
+            raise ValueError(
+                f"seasonal_mann_kendall collect_max_points={collect_max_points} "
+                f"exceeded: the series is larger than the caller's bound; "
+                f"drop the option (distributed path) or raise the bound."
+            )
+        p = int(period)
+        by_season: dict = {}
+        grid: dict = {}
+        for r in rows:
+            i, y = r["_i"], r["_y"]
+            m = None if i is None else int(i) % p  # pmod on bigint
+            grid.setdefault(m, {})[y] = grid.setdefault(m, {}).get(y, 0) + 1
+            if m is not None and y is not None:
+                by_season.setdefault(m, []).append((int(i), int(y)))
+        s_val: int | None = None
+        for pts in by_season.values():
+            s_m, np_m = _mk_sign_sum(pts)
+            if s_m is not None:
+                s_val = (s_val or 0) + s_m
+        n_seasons = len(grid)
+        n_points = sum(sum(c.values()) for c in grid.values()) or None
+        v18 = (
+            sum(
+                nm * (nm - 1) * (2 * nm + 5)
+                - sum(t * (t - 1) * (2 * t + 5) for t in c.values() if t > 1)
+                for c in grid.values()
+                for nm in (sum(c.values()),)
+            )
+            if grid
+            else None
+        )
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        joined = df.sparkSession.createDataFrame(
+            [(s_val, n_seasons, n_points, v18)],
+            StructType(
+                [
+                    StructField("s", LongType()),
+                    StructField("n_seasons", LongType()),
+                    StructField("n_points", LongType()),
+                    StructField("_v18", LongType()),
+                ]
+            ),
+        )
+        var_s = F.col("_v18").cast("double") / F.lit(18.0)
+        z = (
+            F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / F.sqrt(var_s))
+            .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / F.sqrt(var_s))
+            .otherwise(F.lit(0.0))
+        )
+        return joined.select(
+            F.col("n_points").cast("bigint").alias("n_points"),
+            F.col("n_seasons").cast("bigint").alias("n_seasons"),
+            F.col("s").alias("s_stat"),
+            F.round(var_s, decimals).alias("var_s"),
+            F.round(z, decimals).alias("z"),
+            F.when(F.round(z, decimals) >= 1.96, F.lit("increasing"))
+            .when(F.round(z, decimals) <= -1.96, F.lit("decreasing"))
+            .otherwise(F.lit("none"))
+            .alias("trend"),
+        )
     from morphik_core_spark.plans.cache import scoped_persist
 
     base = scoped_persist(

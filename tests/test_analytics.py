@@ -769,6 +769,40 @@ def test_mann_kendall_hand_computed(spark):
     assert r2["s_stat"] == 0 and r2["z"] == 0.0 and r2["trend"] == "none"
 
 
+def test_mann_kendall_collect_path_matches_distributed(spark):
+    import pytest
+
+    from morphik_core_spark.operators.analytics import (
+        mann_kendall_test,
+        seasonal_mann_kendall,
+    )
+
+    cases = [
+        [(i, v) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6, 5, 3])],  # ties
+        [(0, 5), (1, 6), (3, 6), (7, 2)],  # index gaps
+        [(0, 5), (0, 9), (1, 7)],  # duplicate index: no pair within it
+        [(0, 5), (1, None), (None, 7), (3, 2), (4, None)],  # NULL idx/val
+        [(i, (i * 31) % 11 + (i // 7)) for i in range(45)],  # weekly-ish
+        [(0, 1)],  # single point: s stays NULL
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "di long, y long")
+        for op, kw in ((mann_kendall_test, {}), (seasonal_mann_kendall, {"period": 7})):
+            dist = sorted(map(tuple, op(df, "di", "y", **kw).collect()))
+            fast = sorted(
+                map(
+                    tuple,
+                    op(df, "di", "y", collect_max_points=1000, **kw).collect(),
+                )
+            )
+            assert fast == dist, (op.__name__, rows)
+    big = spark.createDataFrame([(i, 1) for i in range(30)], "di long, y long")
+    with pytest.raises(ValueError, match="collect_max_points"):
+        mann_kendall_test(big, "di", "y", collect_max_points=5)
+    with pytest.raises(ValueError, match="collect_max_points"):
+        seasonal_mann_kendall(big, "di", "y", collect_max_points=5)
+
+
 def test_mann_kendall_tie_correction(spark):
     from morphik_core_spark.operators.analytics import mann_kendall_test
 
