@@ -6026,10 +6026,16 @@ def _q_kruskal_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from morphik_core_spark.operators.analytics import kruskal_wallis
 
     docs = _t(spark, sf_dir, "documents")
-    by_lang = kruskal_wallis(docs, "lang", "n_chars").withColumn("split", F.lit("by_lang"))
-    by_source = kruskal_wallis(docs, "source", "n_chars").withColumn(
-        "split", F.lit("by_source")
-    )
+    # collected-grid fast path: the (lang|source, n_chars) grid is
+    # char-grain-bounded (distinct doc lengths saturate; 2k/10k cells at
+    # sf0.1), so ONE collect replaces ~30 scheduled bounded-frame stages
+    # per call; the bound RAISES if the contract is ever violated.
+    by_lang = kruskal_wallis(
+        docs, "lang", "n_chars", collect_max_cells=1_000_000
+    ).withColumn("split", F.lit("by_lang"))
+    by_source = kruskal_wallis(
+        docs, "source", "n_chars", collect_max_cells=1_000_000
+    ).withColumn("split", F.lit("by_source"))
     return (
         by_lang.unionByName(by_source)
         .select("split", "k", "n", "h_stat", "h_tie_corrected")
@@ -6439,7 +6445,10 @@ def _q_mann_whitney_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from morphik_core_spark.operators.analytics import mann_whitney_u
 
     docs = _t(spark, sf_dir, "documents")
-    return mann_whitney_u(docs, "lang", "n_chars", "en", "de")
+    # collected-grid fast path (kruskal_doclen's char-grain bound)
+    return mann_whitney_u(
+        docs, "lang", "n_chars", "en", "de", collect_max_cells=1_000_000
+    )
 
 
 def _q_dunn_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6451,7 +6460,8 @@ def _q_dunn_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from morphik_core_spark.operators.analytics import dunn_posthoc
 
     docs = _t(spark, sf_dir, "documents")
-    return dunn_posthoc(docs, "lang", "n_chars")
+    # collected-grid fast path (kruskal_doclen's char-grain bound)
+    return dunn_posthoc(docs, "lang", "n_chars", collect_max_cells=1_000_000)
 
 
 def _q_overdispersion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7524,7 +7534,9 @@ def _q_friedman_dow_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         ).agg(F.count(F.lit(1)).alias("x"))
     )
-    raw = friedman_test(daily, "di", "event_type", "x")
+    # collected-blocked fast path: the (day, type, count) frame is
+    # contract-bounded (days x types); the bound RAISES past 200k rows.
+    raw = friedman_test(daily, "di", "event_type", "x", collect_max_rows=200_000)
     # injected within-block uplift (the mann_kendall precedent): +50%
     # to purchases every day — ranked within day, the test must detect
     # it while the raw uniform fixture stays null.
@@ -7547,6 +7559,7 @@ def _q_friedman_dow_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "di",
         "event_type",
         "x",
+        collect_max_rows=200_000,
     )
     return raw.select(F.lit("raw").alias("series"), "*").unionByName(
         uplifted.select(F.lit("uplifted").alias("series"), "*")
@@ -7800,7 +7813,8 @@ def _q_mood_median_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from morphik_core_spark.operators.analytics import mood_median_test
 
     docs = _t(spark, sf_dir, "documents")
-    return mood_median_test(docs, "lang", "n_chars")
+    # collected-grid fast path (kruskal_doclen's char-grain bound)
+    return mood_median_test(docs, "lang", "n_chars", collect_max_cells=1_000_000)
 
 
 def _q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7865,7 +7879,8 @@ def _q_page_week_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.79 vs 1.50 s) and reverted — the friedman lesson: the union of
     # two one-row series already executes both chains concurrently in
     # one job, so merging bounded blocked-rank chains only adds keys.
-    raw = page_trend_test(daily, "wk", "dow", "x")
+    # collected-blocked fast path: weeks x 7 dow rows, contract-bounded
+    raw = page_trend_test(daily, "wk", "dow", "x", collect_max_rows=200_000)
     uplifted = page_trend_test(
         daily.select(
             "wk",
@@ -7875,6 +7890,7 @@ def _q_page_week_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wk",
         "dow",
         "x",
+        collect_max_rows=200_000,
     )
     return (
         raw.select(F.lit("raw").alias("series"), "k", "n_blocks", "page_l", "z")
@@ -8034,7 +8050,8 @@ def _q_cochran_q_dow_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = daily.join(F.broadcast(med), "event_type").select(
         "di", "event_type", (F.col("x") > F.col("med")).cast("int").alias("f")
     )
-    return cochran_q(flags, "di", "event_type", "f")
+    # collected-blocked fast path: days x types flags, contract-bounded
+    return cochran_q(flags, "di", "event_type", "f", collect_max_rows=200_000)
 
 
 def _q_lilliefors_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8151,7 +8168,8 @@ def _q_kendall_w_dow_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         ).agg(F.count(F.lit(1)).alias("x"))
     )
-    return kendall_w(daily, "di", "event_type", "x")
+    # collected-blocked fast path: days x types rows, contract-bounded
+    return kendall_w(daily, "di", "event_type", "x", collect_max_rows=200_000)
 
 
 def _q_theta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

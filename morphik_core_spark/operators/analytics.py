@@ -5086,6 +5086,7 @@ def kruskal_wallis(
     val_col: str,
     value_scale: int = 1,
     decimals: int = 6,
+    collect_max_cells: int | None = None,
 ) -> DataFrame:
     """Kruskal–Wallis rank test: do the k groups come from the same
     distribution — the nonparametric sibling of `anova_oneway` (rank-
@@ -5106,13 +5107,32 @@ def kruskal_wallis(
     sized) + one k-row aggregate.
 
     Output ONE row: (k, n, h_stat, h_tie_corrected).
+
+    ``collect_max_cells`` opts into the collected-grid fast path (the
+    round-11 bounded-frame recipe): when the pooled (group, value) grid
+    is value-grain-bounded by contract, ONE collect replaces the grid
+    windows, the grid->row join and the per-group aggregation; the
+    per-group rank sums and the tie term are exact Python integers fed
+    back as DECIMAL(38,0)/BIGINT literals into the IDENTICAL final
+    double tree, so results are bit-for-bit unchanged (raises past the
+    bound — a contract, not a truncation).
     """
     dec = "decimal(38,0)"
-    joined, grid = _grid_ranked_rows(df, group_col, val_col, value_scale)
-    per_g = joined.groupBy("_g").agg(
-        F.count(F.lit(1)).alias("_ng"),
-        F.sum(F.col("_r2").cast(dec)).alias("_s2"),
-    )
+    if collect_max_cells is not None:
+        per_g, ties, _, _ = _rank_pergroup_frames(
+            df, group_col, val_col, value_scale, collect_max_cells
+        )
+    else:
+        joined, grid = _grid_ranked_rows(df, group_col, val_col, value_scale)
+        per_g = joined.groupBy("_g").agg(
+            F.count(F.lit(1)).alias("_ng"),
+            F.sum(F.col("_r2").cast(dec)).alias("_s2"),
+        )
+        ties = grid.agg(
+            F.sum(
+                F.col("_c").cast(dec) * F.col("_c") * F.col("_c") - F.col("_c").cast(dec)
+            ).alias("_tt")
+        )
     # R_g^2/n_g = (S2/2)^2/n_g: one double division, micro-quantized.
     # The quantized term is DECIMAL(38,0) — rank sums grow with N, so
     # R_g^2/n_g x 1e6 passes 2^63 near N ~ 10^8 (the double mantissa is
@@ -5120,11 +5140,6 @@ def kruskal_wallis(
     ratio = (
         "CAST(ROUND(CAST(_s2 * _s2 AS DOUBLE) / CAST(_ng AS DOUBLE) / 4.0 * 1e6) "
         "AS DECIMAL(38,0))"
-    )
-    ties = grid.agg(
-        F.sum(
-            F.col("_c").cast(dec) * F.col("_c") * F.col("_c") - F.col("_c").cast(dec)
-        ).alias("_tt")
     )
     agg = per_g.agg(
         F.count(F.lit(1)).alias("k"),
@@ -5449,6 +5464,127 @@ def ipw_ate(
     )
 
 
+def _values_literal_frame(spark, cols: list[tuple[str, str]], rows: list[tuple]) -> DataFrame:
+    """Tiny literal DataFrame via a SQL VALUES LocalRelation — pure JVM.
+
+    ``spark.createDataFrame`` on local Python data plans a pickled-RDD
+    scan whose per-ACTION cost is a full Python round trip (measured
+    0.76 s vs 0.16 s per literal tail at sf0.1, and it parallelizes the
+    handful of rows over defaultParallelism empty tasks); a VALUES
+    LocalRelation is parsed once and scanned in-JVM. ``cols`` is
+    [(name, sql_type)]; decimals ride as strings (exactness past int64),
+    None as typed NULL."""
+
+    def cell(v, typ: str) -> str:
+        if v is None:
+            return f"CAST(NULL AS {typ})"
+        if typ == "string":
+            esc = str(v).replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{esc}'"
+        if typ.startswith("decimal"):
+            return f"CAST('{v}' AS {typ})"
+        return f"CAST({v} AS {typ})"
+
+    if not rows:
+        sel = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
+        return spark.sql(f"SELECT {sel}").limit(0)
+    vals = ",".join(
+        "(" + ",".join(cell(v, t) for v, (_n, t) in zip(r, cols)) + ")" for r in rows
+    )
+    names = ", ".join(n for n, _t in cols)
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t({names})")
+
+
+_RANK_PERGROUP_COLS = [
+    ("_g", "string"),
+    ("_ng", "bigint"),
+    ("_s2", "decimal(38,0)"),
+]
+
+
+def _collected_rank_pergroup(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    value_scale: int,
+    max_cells: int,
+) -> tuple[list[tuple[str | None, int, int]], int | None, int]:
+    """Collect the bounded (group, value, count) grid ONCE and replay the
+    pooled doubled-tie-rank combinatorics in exact Python integers — the
+    round-11 wave-23-27 recipe for contract-bounded frames whose local
+    Spark cost is pure stage-scheduling latency (the grid prefix windows,
+    the grid->row join and the per-group aggregation each cost a
+    scheduled stage at any scale, while the frames they run over are
+    value-domain-bounded).
+
+    Equivalence with `_grid_ranked_rows` + per-group aggregation is
+    structural: the quantized value ``_v`` comes from the IDENTICAL Spark
+    expression (collected, never re-derived in Python), the doubled rank
+    r2(v) = 2*before(v) + ties(v) + 1 is the same closed form over the
+    same pooled grid, and every per-group reduction is an exact integer
+    sum, so the returned numbers equal the distributed
+    DECIMAL(38,0)/BIGINT aggregates bit-for-bit (unit-asserted). Python
+    ints are arbitrary precision, so nothing can overflow where the
+    DECIMAL path could not.
+
+    Returns (per-group [(g, n_g, s2_g)], tie term T = SUM t^3-t or None
+    when the grid is empty — matching SUM-over-empty = NULL — and the
+    pooled row count n). Raises past ``max_cells``: the bound is a
+    CONTRACT (callers opt in only for value-grain-bounded domains),
+    never a silent truncation.
+    """
+    q = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
+    cells = (
+        df.filter(F.col(val_col).isNotNull())
+        .select(F.col(group_col).cast("string").alias("_g"), q.alias("_v"))
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"collected rank grid has {len(cells)} cells > collect_max_cells="
+            f"{max_cells}; use the distributed path for unbounded value domains"
+        )
+    pooled: dict[int, int] = {}
+    for r in cells:
+        pooled[r["_v"]] = pooled.get(r["_v"], 0) + r["_c"]
+    before: dict[int, int] = {}
+    run = 0
+    for v in sorted(pooled):
+        before[v] = run
+        run += pooled[v]
+    per_g: dict[str | None, list[int]] = {}
+    for r in cells:
+        acc = per_g.setdefault(r["_g"], [0, 0])
+        acc[0] += r["_c"]
+        acc[1] += (2 * before[r["_v"]] + pooled[r["_v"]] + 1) * r["_c"]
+    tie_term = sum(c * c * c - c for c in pooled.values()) if cells else None
+    return [(g, a[0], a[1]) for g, a in per_g.items()], tie_term, run
+
+
+def _rank_pergroup_frames(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    value_scale: int,
+    collect_max_cells: int,
+) -> tuple[DataFrame, DataFrame, int, int | None]:
+    """Literal (per_g, ties) frames for the rank-test tails, built from
+    one collected grid — schemas identical to the distributed
+    ``_grid_ranked_rows`` consumers' aggregates (``_g string, _ng bigint,
+    _s2 decimal(38,0)`` / ``_tt decimal(38,0)``) so the downstream double
+    expression trees are untouched. Also returns (n, tie_term) for
+    callers that need the pooled count as a literal (dunn)."""
+    spark = df.sparkSession
+    rows_g, tt, n = _collected_rank_pergroup(
+        df, group_col, val_col, value_scale, collect_max_cells
+    )
+    per_g = _values_literal_frame(spark, _RANK_PERGROUP_COLS, rows_g)
+    ties = _values_literal_frame(spark, [("_tt", "decimal(38,0)")], [(tt,)])
+    return per_g, ties, n, tt
+
+
 def _grid_ranked_rows(
     df: DataFrame, group_col: str, val_col: str, value_scale: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -5506,6 +5642,7 @@ def mann_whitney_u(
     right_value: str,
     value_scale: int = 1,
     decimals: int = 6,
+    collect_max_cells: int | None = None,
 ) -> DataFrame:
     """Mann–Whitney U test (Wilcoxon rank-sum) of ``left_value`` vs
     ``right_value`` — the nonparametric two-sample location test between
@@ -5529,15 +5666,22 @@ def mann_whitney_u(
     filtered = df.filter(
         F.col(group_col).cast("string").isin([str(left_value), str(right_value)])
     )
-    joined, grid = _grid_ranked_rows(filtered, group_col, val_col, value_scale)
-    per_g = joined.groupBy("_g").agg(
-        F.count(F.lit(1)).alias("_ng"), F.sum(F.col("_r2").cast(dec)).alias("_s2")
-    )
-    ties = grid.agg(
-        F.sum(
-            F.col("_c").cast(dec) * F.col("_c") * F.col("_c") - F.col("_c").cast(dec)
-        ).alias("_tt")
-    )
+    if collect_max_cells is not None:
+        # collected-grid fast path: exact integer rank sums as literals
+        # into the identical double tree (see kruskal_wallis)
+        per_g, ties, _, _ = _rank_pergroup_frames(
+            filtered, group_col, val_col, value_scale, collect_max_cells
+        )
+    else:
+        joined, grid = _grid_ranked_rows(filtered, group_col, val_col, value_scale)
+        per_g = joined.groupBy("_g").agg(
+            F.count(F.lit(1)).alias("_ng"), F.sum(F.col("_r2").cast(dec)).alias("_s2")
+        )
+        ties = grid.agg(
+            F.sum(
+                F.col("_c").cast(dec) * F.col("_c") * F.col("_c") - F.col("_c").cast(dec)
+            ).alias("_tt")
+        )
     agg = (
         per_g.agg(
             F.sum(F.when(F.col("_g") == str(left_value), F.col("_ng"))).alias("n1"),
@@ -5576,6 +5720,7 @@ def dunn_posthoc(
     alpha: float = 0.05,
     value_scale: int = 1,
     decimals: int = 6,
+    collect_max_cells: int | None = None,
 ) -> DataFrame:
     """Dunn's post-hoc test: which PAIRS of groups differ, after
     `kruskal_wallis` says "some do" — pairwise mean-rank z statistics
@@ -5596,20 +5741,33 @@ def dunn_posthoc(
     n_right, z, p_value, p_rank, rejected), ordered by p_rank.
     """
     dec = "decimal(38,0)"
-    joined, grid = _grid_ranked_rows(df, group_col, val_col, value_scale)
-    per_g = joined.groupBy("_g").agg(
-        F.count(F.lit(1)).alias("_ng"), F.sum(F.col("_r2").cast(dec)).alias("_s2")
-    )
-    tot = joined.agg(F.count(F.lit(1)).alias("_n")).join(
-        F.broadcast(
-            grid.agg(
-                F.sum(
-                    F.col("_c").cast(dec) * F.col("_c") * F.col("_c")
-                    - F.col("_c").cast(dec)
-                ).alias("_tt")
+    if collect_max_cells is not None:
+        # collected-grid fast path: exact integer rank sums / pooled
+        # count / tie term as literals into the identical pairwise
+        # double trees (see kruskal_wallis)
+        per_g, _ties, _n, _tt_int = _rank_pergroup_frames(
+            df, group_col, val_col, value_scale, collect_max_cells
+        )
+        tot = _values_literal_frame(
+            df.sparkSession,
+            [("_n", "bigint"), ("_tt", "decimal(38,0)")],
+            [(_n, _tt_int)],
+        )
+    else:
+        joined, grid = _grid_ranked_rows(df, group_col, val_col, value_scale)
+        per_g = joined.groupBy("_g").agg(
+            F.count(F.lit(1)).alias("_ng"), F.sum(F.col("_r2").cast(dec)).alias("_s2")
+        )
+        tot = joined.agg(F.count(F.lit(1)).alias("_n")).join(
+            F.broadcast(
+                grid.agg(
+                    F.sum(
+                        F.col("_c").cast(dec) * F.col("_c") * F.col("_c")
+                        - F.col("_c").cast(dec)
+                    ).alias("_tt")
+                )
             )
         )
-    )
     a = per_g.select(
         F.col("_g").alias("g_left"), F.col("_ng").alias("n_left"), F.col("_s2").alias("_s2l")
     )
@@ -5885,6 +6043,52 @@ def _complete_block_filter(base: DataFrame, skey: list[str] | None = None) -> Da
     return joined.filter(F.col("_kt") == F.col("_ktot")).select(*skey, "_b")
 
 
+def _collected_complete_blocks(base: DataFrame, max_rows: int, op: str) -> list:
+    """Collect the contract-bounded pre-aggregated blocked frame ONCE and
+    apply the complete-block filter in exact Python — identical semantics
+    to `_complete_block_filter` + the left-semi join: the level count is
+    |distinct non-NULL treatments| + 1 if any NULL treatment exists (so a
+    NULL level disqualifies every block), per-block counts skip NULL
+    treatments, and NULL blocks never survive the semi join (NULL never
+    equals NULL). Raises past ``max_rows`` — a contract, never a
+    truncation."""
+    data = base.collect()
+    if len(data) > max_rows:
+        raise ValueError(
+            f"{op}: collected blocked frame has {len(data)} rows > "
+            f"collect_max_rows={max_rows}; use the distributed path"
+        )
+    ts = {r["_t"] for r in data}
+    ktot = len(ts - {None}) + (1 if None in ts else 0)
+    per_b: dict[str, set] = {}
+    for r in data:
+        if r["_b"] is not None and r["_t"] is not None:
+            per_b.setdefault(r["_b"], set()).add(r["_t"])
+    kept = {b for b, s in per_b.items() if len(s) == ktot}
+    return [r for r in data if r["_b"] in kept]
+
+
+def _collected_block_ranks(rows: list) -> dict[tuple, tuple[int, int]]:
+    """(block, value) -> (doubled within-block midrank r2, cell count c)
+    over the kept rows — the same 2*before + ties + 1 closed form the
+    distributed within-block window computes, in exact Python ints."""
+    gridc: dict[tuple, int] = {}
+    for r in rows:
+        key = (r["_b"], r["_v"])
+        gridc[key] = gridc.get(key, 0) + 1
+    byb: dict[str, list[int]] = {}
+    for b, v in gridc:
+        byb.setdefault(b, []).append(v)
+    out: dict[tuple, tuple[int, int]] = {}
+    for b, vs in byb.items():
+        run = 0
+        for v in sorted(vs):
+            c = gridc[(b, v)]
+            out[(b, v)] = (2 * run + c + 1, c)
+            run += c
+    return out
+
+
 def friedman_test(
     df: DataFrame,
     block_col: str,
@@ -5892,6 +6096,7 @@ def friedman_test(
     val_col: str,
     decimals: int = 6,
     series_col: str | None = None,
+    collect_max_rows: int | None = None,
 ) -> DataFrame:
     """Friedman test: do k treatments differ when measured WITHIN each
     of n blocks — the repeated-measures sibling of `kruskal_wallis`
@@ -5933,6 +6138,49 @@ def friedman_test(
         F.col(treatment_col).cast("string").alias("_t"),
         F.col(val_col).cast("bigint").alias("_v"),
     ).filter(F.col("_v").isNotNull())
+    if collect_max_rows is not None:
+        # collected-blocked fast path (round-11 bounded-frame recipe):
+        # ONE collect of the contract-bounded (block, treatment, value)
+        # frame replaces the semi join, the within-block rank windows
+        # and the two aggregations; all partials are exact Python ints
+        # fed back as DECIMAL(38,0)/BIGINT literals into the IDENTICAL
+        # t_stat double tree, so results are bit-for-bit unchanged.
+        if series_col is not None:
+            raise ValueError("collect_max_rows requires series_col=None")
+        rows_k = _collected_complete_blocks(base, collect_max_rows, "friedman_test")
+        r2m = _collected_block_ranks(rows_k)
+        pert: dict[str, list] = {}
+        for r in rows_k:
+            r2, _c = r2m[(r["_b"], r["_v"])]
+            a = pert.setdefault(r["_t"], [0, 0, 0, set()])
+            a[0] += r2
+            a[1] += 1
+            a[2] += r2 * r2
+            a[3].add(r["_b"])
+        if pert:
+            out_row = (
+                len(pert),
+                sum(a[0] * a[0] for a in pert.values()),
+                sum(a[0] for a in pert.values()),
+                max(a[1] for a in pert.values()),
+                sum(a[2] for a in pert.values()),
+                max(len(a[3]) for a in pert.values()),
+            )
+        else:
+            out_row = (0, None, None, None, None, 0)
+        out = _values_literal_frame(
+            df.sparkSession,
+            [
+                ("k", "bigint"),
+                ("_sq2", "decimal(38,0)"),
+                ("_sum2", "decimal(38,0)"),
+                ("_nb", "bigint"),
+                ("_A4", "decimal(38,0)"),
+                ("n_blocks", "bigint"),
+            ],
+            [out_row],
+        )
+        return _friedman_tail(out, decimals, series_col, skey)
     # complete-block contract: keep only blocks carrying ALL k treatments
     rows = scoped_persist(
         base.join(
@@ -5978,6 +6226,14 @@ def friedman_test(
         F.sum("_A4t").alias("_A4"),
         F.coalesce(F.max("_nbd"), F.lit(0)).alias("n_blocks"),
     )
+    return _friedman_tail(out, decimals, series_col, skey)
+
+
+def _friedman_tail(
+    out: DataFrame, decimals: int, series_col: str | None, skey: list[str]
+) -> DataFrame:
+    """Shared Conover T double tree — identical expression tree for the
+    distributed and collected-blocked paths of `friedman_test`."""
     kd, nd = "CAST(k AS DOUBLE)", "CAST(n_blocks AS DOUBLE)"
     # numerator*4: SUM (2R_j)^2 - 2*(n(k+1))*SUM(2R_j) + k*(n(k+1))^2
     num4 = (
@@ -7194,6 +7450,7 @@ def mood_median_test(
     group_col: str,
     val_col: str,
     decimals: int = 6,
+    collect_max_cells: int | None = None,
 ) -> DataFrame:
     """Mood's median test: do k groups share a common median — the
     bluntest, most outlier-proof member of the k-group location family
@@ -7214,8 +7471,61 @@ def mood_median_test(
     side of the median) emits NULL chi2.
 
     Output ONE row: (k, n, grand_median, chi2, dof).
+
+    ``collect_max_cells`` opts into the collected-grid fast path (the
+    round-11 bounded-frame recipe): ONE collect of the (group, value)
+    grid replaces the pooled-prefix windows, the median broadcast chain
+    and the 2 x k table aggregation; the grand median and per-group
+    above/below counts are exact Python integers fed back as BIGINT
+    literals into the IDENTICAL (O-E)^2/E double tree, so results are
+    bit-for-bit unchanged (raises past the bound).
     """
     from morphik_core_spark.plans.cache import scoped_persist
+
+    if collect_max_cells is not None:
+        collected = (
+            df.filter(F.col(group_col).isNotNull() & F.col(val_col).isNotNull())
+            .select(
+                F.col(group_col).cast("string").alias("_g"),
+                F.col(val_col).cast("bigint").alias("_v"),
+            )
+            .groupBy("_g", "_v")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        )
+        if len(collected) > collect_max_cells:
+            raise ValueError(
+                f"collected median grid has {len(collected)} cells > "
+                f"collect_max_cells={collect_max_cells}; use the distributed path"
+            )
+        pooled: dict[int, int] = {}
+        for r in collected:
+            pooled[r["_v"]] = pooled.get(r["_v"], 0) + r["_c"]
+        n_tot = sum(pooled.values())
+        med_v: int | None = None
+        cum = 0
+        for v in sorted(pooled):
+            cum += pooled[v]
+            if cum >= (n_tot + 1) // 2:  # Spark `(n + 1) div 2`, n >= 0
+                med_v = v
+                break
+        acc: dict[str | None, list[int]] = {}
+        for r in collected:
+            a = acc.setdefault(r["_g"], [0, 0])
+            if r["_v"] > med_v:
+                a[0] += r["_c"]
+            a[1] += r["_c"]
+        per_g = _values_literal_frame(
+            df.sparkSession,
+            [
+                ("_g", "string"),
+                ("grand_median", "bigint"),
+                ("_a", "bigint"),
+                ("_tot", "bigint"),
+            ],
+            [(g, med_v, a0, t0) for g, (a0, t0) in acc.items()],
+        )
+        return _mood_median_tail(per_g, decimals)
 
     cells = scoped_persist(
         df.filter(F.col(group_col).isNotNull() & F.col(val_col).isNotNull())
@@ -7262,6 +7572,13 @@ def mood_median_test(
             F.sum("_c").alias("_tot"),
         )
     )
+    return _mood_median_tail(per_g, decimals)
+
+
+def _mood_median_tail(per_g: DataFrame, decimals: int) -> DataFrame:
+    """Shared 2 x k chi-square tail over the per-group (above, total)
+    counts — identical expression tree for the distributed and
+    collected-grid paths of `mood_median_test`."""
     marg = per_g.groupBy("grand_median").agg(
         F.sum("_a").alias("_ra"),
         F.sum(F.col("_tot") - F.col("_a")).alias("_rb"),
@@ -7438,6 +7755,7 @@ def page_trend_test(
     val_col: str,
     decimals: int = 6,
     series_col: str | None = None,
+    collect_max_rows: int | None = None,
 ) -> DataFrame:
     """Page's L trend test: do k ORDERED treatments trend monotonically
     when measured within each of n blocks — the ordered-alternative
@@ -7476,6 +7794,33 @@ def page_trend_test(
         F.col(treatment_col).cast("string").alias("_t"),
         F.col(val_col).cast("bigint").alias("_v"),
     ).filter(F.col("_v").isNotNull())
+    if collect_max_rows is not None:
+        # collected-blocked fast path — see friedman_test: exact Python
+        # integer partials into the IDENTICAL z double tree. The w_j
+        # weights come from sorting treatment keys in Python; code-point
+        # order equals Spark's UTF8 binary order, so the ordered weights
+        # are the same as row_number() over _t asc.
+        if series_col is not None:
+            raise ValueError("collect_max_rows requires series_col=None")
+        rows_k = _collected_complete_blocks(base, collect_max_rows, "page_trend_test")
+        r2m = _collected_block_ranks(rows_k)
+        pert: dict[str, list] = {}
+        for r in rows_k:
+            r2, _c = r2m[(r["_b"], r["_v"])]
+            a = pert.setdefault(r["_t"], [0, set()])
+            a[0] += r2
+            a[1].add(r["_b"])
+        if pert:
+            l2 = sum((i + 1) * pert[t][0] for i, t in enumerate(sorted(pert)))
+            agg_row = (len(pert), l2, max(len(a[1]) for a in pert.values()))
+        else:
+            agg_row = (0, None, 0)
+        agg = _values_literal_frame(
+            df.sparkSession,
+            [("k", "bigint"), ("_L2", "decimal(38,0)"), ("n_blocks", "bigint")],
+            [agg_row],
+        )
+        return _page_trend_tail(agg, decimals, series_col)
     rows = scoped_persist(
         base.join(
             F.broadcast(_complete_block_filter(base, skey)),
@@ -7511,6 +7856,12 @@ def page_trend_test(
         F.sum(F.expr("CAST(_w AS DECIMAL(38,0)) * _R2")).alias("_L2"),
         F.coalesce(F.max("_nbd"), F.lit(0)).alias("n_blocks"),
     )
+    return _page_trend_tail(agg, decimals, series_col)
+
+
+def _page_trend_tail(agg: DataFrame, decimals: int, series_col: str | None) -> DataFrame:
+    """Shared Page L / z double tree — identical expression tree for the
+    distributed and collected-blocked paths of `page_trend_test`."""
     kd, nd = "CAST(k AS DOUBLE)", "CAST(n_blocks AS DOUBLE)"
     el = f"({nd} * {kd} * ({kd} + 1.0) * ({kd} + 1.0) / 4.0)"
     vl = (
@@ -8161,6 +8512,7 @@ def kendall_w(
     treatment_col: str,
     val_col: str,
     decimals: int = 6,
+    collect_max_rows: int | None = None,
 ) -> DataFrame:
     """Kendall's W coefficient of concordance — the 0..1 effect-size
     companion to `friedman_test`'s significance (and, via
@@ -8187,6 +8539,41 @@ def kendall_w(
         F.col(treatment_col).cast("string").alias("_t"),
         F.col(val_col).cast("bigint").alias("_v"),
     ).filter(F.col("_v").isNotNull())
+    if collect_max_rows is not None:
+        # collected-blocked fast path — see friedman_test: exact Python
+        # integer partials into the IDENTICAL W/chi2 double trees.
+        rows_k = _collected_complete_blocks(base, collect_max_rows, "kendall_w")
+        r2m = _collected_block_ranks(rows_k)
+        pert: dict[str, list] = {}
+        for r in rows_k:
+            r2, c = r2m[(r["_b"], r["_v"])]
+            a = pert.setdefault(r["_t"], [0, 0, set()])
+            a[0] += r2
+            a[1] += c * c - 1
+            a[2].add(r["_b"])
+        if pert:
+            agg_row = (
+                len(pert),
+                sum(a[0] * a[0] for a in pert.values()),
+                sum(a[0] for a in pert.values()),
+                sum(a[1] for a in pert.values()),
+                max(len(a[2]) for a in pert.values()),
+            )
+        else:
+            # COALESCE(SUM over empty, 0) makes _T exactly 0, not NULL
+            agg_row = (0, None, None, 0, 0)
+        agg = _values_literal_frame(
+            df.sparkSession,
+            [
+                ("k", "bigint"),
+                ("_sq2", "decimal(38,0)"),
+                ("_sum2", "decimal(38,0)"),
+                ("_T", "decimal(38,0)"),
+                ("n_blocks", "bigint"),
+            ],
+            [agg_row],
+        )
+        return _kendall_w_tail(agg, decimals)
     rows = scoped_persist(
         base.join(F.broadcast(_complete_block_filter(base)), "_b", "left_semi")
     )
@@ -8219,6 +8606,12 @@ def kendall_w(
         F.coalesce(F.sum("_Tt"), F.lit(0).cast("decimal(38,0)")).alias("_T"),
         F.coalesce(F.max("_nbd"), F.lit(0)).alias("n_blocks"),
     )
+    return _kendall_w_tail(agg, decimals)
+
+
+def _kendall_w_tail(agg: DataFrame, decimals: int) -> DataFrame:
+    """Shared W / chi2 double tree — identical expression tree for the
+    distributed and collected-blocked paths of `kendall_w`."""
     kd, md = "CAST(k AS DOUBLE)", "CAST(n_blocks AS DOUBLE)"
     # 4S = SUM (2R_j)^2 - 2*(m(k+1))*SUM(2R_j) + k*(m(k+1))^2, exact ints
     s4 = (
@@ -8250,6 +8643,7 @@ def cochran_q(
     treatment_col: str,
     flag_col,
     decimals: int = 6,
+    collect_max_rows: int | None = None,
 ) -> DataFrame:
     """Cochran's Q test — the BINARY-outcome member of the blocked
     family (`friedman_test` ranks magnitudes; Q asks whether k
@@ -8277,22 +8671,53 @@ def cochran_q(
     ).filter(F.col("_f").isNotNull())
     from morphik_core_spark.plans.cache import scoped_persist
 
-    rows = scoped_persist(
-        base.join(F.broadcast(_complete_block_filter(base)), "_b", "left_semi")
-    )
-    per_t = rows.groupBy("_t").agg(F.sum("_f").alias("_g"))
-    per_b = rows.groupBy("_b").agg(F.sum("_f").alias("_l"))
-    gt = per_t.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum(F.col("_g").cast("decimal(38,0)")).alias("_sg"),
-        F.sum(F.expr("CAST(_g AS DECIMAL(38,0)) * _g")).alias("_sg2"),
-    )
-    bt = per_b.agg(
-        F.count(F.lit(1)).alias("n_blocks"),
-        F.sum(F.col("_l").cast("decimal(38,0)")).alias("_sl"),
-        F.sum(F.expr("CAST(_l AS DECIMAL(38,0)) * _l")).alias("_sl2"),
-    )
-    out = gt.join(F.broadcast(bt))
+    if collect_max_rows is not None:
+        # collected-blocked fast path — see friedman_test: the G_j / L_i
+        # success totals are exact Python integer sums fed back as
+        # DECIMAL(38,0)/BIGINT literals into the IDENTICAL Q double tree.
+        rows_k = _collected_complete_blocks(base, collect_max_rows, "cochran_q")
+        pert: dict[str, int] = {}
+        perb: dict[str, int] = {}
+        for r in rows_k:
+            pert[r["_t"]] = pert.get(r["_t"], 0) + r["_f"]
+            perb[r["_b"]] = perb.get(r["_b"], 0) + r["_f"]
+        out_row = (
+            len(pert),
+            sum(pert.values()) if pert else None,
+            sum(g * g for g in pert.values()) if pert else None,
+            len(perb),
+            sum(perb.values()) if perb else None,
+            sum(lv * lv for lv in perb.values()) if perb else None,
+        )
+        out = _values_literal_frame(
+            df.sparkSession,
+            [
+                ("k", "bigint"),
+                ("_sg", "decimal(38,0)"),
+                ("_sg2", "decimal(38,0)"),
+                ("n_blocks", "bigint"),
+                ("_sl", "decimal(38,0)"),
+                ("_sl2", "decimal(38,0)"),
+            ],
+            [out_row],
+        )
+    else:
+        rows = scoped_persist(
+            base.join(F.broadcast(_complete_block_filter(base)), "_b", "left_semi")
+        )
+        per_t = rows.groupBy("_t").agg(F.sum("_f").alias("_g"))
+        per_b = rows.groupBy("_b").agg(F.sum("_f").alias("_l"))
+        gt = per_t.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("_g").cast("decimal(38,0)")).alias("_sg"),
+            F.sum(F.expr("CAST(_g AS DECIMAL(38,0)) * _g")).alias("_sg2"),
+        )
+        bt = per_b.agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.col("_l").cast("decimal(38,0)")).alias("_sl"),
+            F.sum(F.expr("CAST(_l AS DECIMAL(38,0)) * _l")).alias("_sl2"),
+        )
+        out = gt.join(F.broadcast(bt))
     num = (
         "(CAST(k AS DOUBLE) * CAST(_sg2 AS DOUBLE) "
         "- CAST(_sg AS DOUBLE) * CAST(_sg AS DOUBLE))"

@@ -1,0 +1,164 @@
+"""Collected-grid fast paths must be bit-identical to the distributed
+paths (round-12 optimization): the rank/median/blocked-rank statistics
+gained an opt-in ``collect_max_cells`` / ``collect_max_rows`` that
+collects the contract-bounded grid once and replays the integer
+combinatorics in Python, feeding exact literals into the IDENTICAL final
+double trees. These tests drive both paths over fixtures that exercise
+every semantic corner — ties, NULL groups/blocks/treatments/values,
+incomplete blocks, empty input — and assert exact equality, plus that
+the bound RAISES instead of truncating.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from morphik_core_spark.operators.analytics import (
+    cochran_q,
+    dunn_posthoc,
+    friedman_test,
+    kendall_w,
+    kruskal_wallis,
+    mann_whitney_u,
+    mood_median_test,
+    page_trend_test,
+)
+
+
+def _rows(df):
+    return sorted(repr(tuple(r)) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def grouped(spark):
+    # ties across and within groups, a NULL group, NULL values, negatives
+    data = [
+        ("a", 5), ("a", 5), ("a", 7), ("a", -3), ("a", 12),
+        ("b", 5), ("b", 8), ("b", 8), ("b", 8), ("b", 1),
+        ("c", 7), ("c", 7), ("c", 0), ("c", 40),
+        (None, 5), (None, 9),
+        ("a", None), ("c", None),
+    ]
+    return spark.createDataFrame(data, "g string, v bigint")
+
+
+@pytest.fixture(scope="module")
+def blocked(spark):
+    # blocks: b1/b2 complete, b3 missing treatment t3 (drops), b4 has a
+    # NULL value row for t1 (t1 still present via another row), NULL
+    # block rows (drop); within-block ties
+    data = [
+        ("b1", "t1", 10), ("b1", "t2", 10), ("b1", "t3", 4),
+        ("b2", "t1", 7), ("b2", "t2", 3), ("b2", "t3", 7),
+        ("b3", "t1", 1), ("b3", "t2", 2),
+        ("b4", "t1", None), ("b4", "t1", 5), ("b4", "t2", 5), ("b4", "t3", 9),
+        (None, "t1", 1), (None, "t2", 2), (None, "t3", 3),
+    ]
+    return spark.createDataFrame(data, "b string, t string, v bigint")
+
+
+def test_kruskal_collected_matches_distributed(grouped):
+    a = kruskal_wallis(grouped, "g", "v")
+    b = kruskal_wallis(grouped, "g", "v", collect_max_cells=10_000)
+    assert _rows(a) == _rows(b)
+
+
+def test_kruskal_value_scale_collected_matches(grouped):
+    scaled = grouped.select("g", (F.col("v") / 4.0).alias("v"))
+    a = kruskal_wallis(scaled, "g", "v", value_scale=100)
+    b = kruskal_wallis(scaled, "g", "v", value_scale=100, collect_max_cells=10_000)
+    assert _rows(a) == _rows(b)
+
+
+def test_mann_whitney_collected_matches_distributed(grouped):
+    a = mann_whitney_u(grouped, "g", "v", "a", "b")
+    b = mann_whitney_u(grouped, "g", "v", "a", "b", collect_max_cells=10_000)
+    assert _rows(a) == _rows(b)
+
+
+def test_dunn_collected_matches_distributed(grouped):
+    a = dunn_posthoc(grouped, "g", "v")
+    b = dunn_posthoc(grouped, "g", "v", collect_max_cells=10_000)
+    assert _rows(a) == _rows(b)
+
+
+def test_mood_collected_matches_distributed(grouped):
+    a = mood_median_test(grouped, "g", "v")
+    b = mood_median_test(grouped, "g", "v", collect_max_cells=10_000)
+    assert _rows(a) == _rows(b)
+
+
+def test_friedman_collected_matches_distributed(blocked):
+    a = friedman_test(blocked, "b", "t", "v")
+    b = friedman_test(blocked, "b", "t", "v", collect_max_rows=10_000)
+    assert _rows(a) == _rows(b)
+
+
+def test_page_collected_matches_distributed(blocked):
+    a = page_trend_test(blocked, "b", "t", "v")
+    b = page_trend_test(blocked, "b", "t", "v", collect_max_rows=10_000)
+    assert _rows(a) == _rows(b)
+
+
+def test_kendall_w_collected_matches_distributed(blocked):
+    a = kendall_w(blocked, "b", "t", "v")
+    b = kendall_w(blocked, "b", "t", "v", collect_max_rows=10_000)
+    assert _rows(a) == _rows(b)
+
+
+def test_cochran_collected_matches_distributed(spark):
+    data = [
+        ("b1", "t1", 1), ("b1", "t2", 0), ("b1", "t3", 1),
+        ("b2", "t1", 0), ("b2", "t2", 0), ("b2", "t3", 1),
+        ("b3", "t1", 1), ("b3", "t2", 1),  # incomplete -> drops
+        (None, "t1", 1), (None, "t2", 0), (None, "t3", 1),  # NULL block drops
+        ("b4", "t1", 1), ("b4", "t2", None), ("b4", "t2", 1), ("b4", "t3", 0),
+    ]
+    flags = spark.createDataFrame(data, "b string, t string, f int")
+    a = cochran_q(flags, "b", "t", "f")
+    b = cochran_q(flags, "b", "t", "f", collect_max_rows=10_000)
+    assert _rows(a) == _rows(b)
+
+
+def test_null_treatment_disqualifies_every_block_both_paths(spark):
+    # a NULL treatment level raises the required level count above any
+    # block's non-NULL distinct count -> no complete blocks either way
+    data = [
+        ("b1", "t1", 1), ("b1", "t2", 2), ("b1", None, 3),
+        ("b2", "t1", 4), ("b2", "t2", 5),
+    ]
+    df = spark.createDataFrame(data, "b string, t string, v bigint")
+    a = friedman_test(df, "b", "t", "v")
+    b = friedman_test(df, "b", "t", "v", collect_max_rows=100)
+    assert _rows(a) == _rows(b)
+
+
+def test_empty_input_matches_both_paths(spark):
+    empty_g = spark.createDataFrame([], "g string, v bigint")
+    assert _rows(kruskal_wallis(empty_g, "g", "v")) == _rows(
+        kruskal_wallis(empty_g, "g", "v", collect_max_cells=10)
+    )
+    assert _rows(mood_median_test(empty_g, "g", "v")) == _rows(
+        mood_median_test(empty_g, "g", "v", collect_max_cells=10)
+    )
+    empty_b = spark.createDataFrame([], "b string, t string, v bigint")
+    assert _rows(friedman_test(empty_b, "b", "t", "v")) == _rows(
+        friedman_test(empty_b, "b", "t", "v", collect_max_rows=10)
+    )
+    assert _rows(kendall_w(empty_b, "b", "t", "v")) == _rows(
+        kendall_w(empty_b, "b", "t", "v", collect_max_rows=10)
+    )
+
+
+def test_bounds_raise_instead_of_truncating(grouped, blocked):
+    with pytest.raises(ValueError, match="collect_max_cells"):
+        kruskal_wallis(grouped, "g", "v", collect_max_cells=3)
+    with pytest.raises(ValueError, match="collect_max_rows"):
+        friedman_test(blocked, "b", "t", "v", collect_max_rows=3)
+
+
+def test_series_col_rejects_collect_path(blocked):
+    tagged = blocked.withColumn("s", F.lit("one"))
+    with pytest.raises(ValueError, match="series_col"):
+        friedman_test(tagged, "b", "t", "v", series_col="s", collect_max_rows=10)
