@@ -21,6 +21,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from morphik_core_spark.plans.literal import values_literal_frame as _values_literal_frame
+
 __all__ = [
     "rolling_median_flags",
     "cusum_split",
@@ -922,8 +924,8 @@ def autocorrelation(
             if n_pairs:  # the distributed join emits no row for pairless lags
                 out.append((k, n_pairs, str(num)))
         spark = series.sparkSession
-        return spark.createDataFrame(
-            out, "lag int, n_pairs bigint, _num string"
+        return _values_literal_frame(
+            spark, [("lag", "int"), ("n_pairs", "bigint"), ("_num", "string")], out
         ).select(
             "lag",
             "n_pairs",
@@ -1049,8 +1051,8 @@ def pacf_durbin_levinson(
         # .5-at-6dp boundaries where engines' double paths can differ
         out_rows.append((k, d(r_u[k]), d(fkk_u)))
     spark = series.sparkSession
-    return spark.createDataFrame(
-        out_rows, "lag int, acf double, pacf double"
+    return _values_literal_frame(
+        spark, [("lag", "int"), ("acf", "double"), ("pacf", "double")], out_rows
     ).orderBy("lag")
 
 
@@ -2715,9 +2717,10 @@ def markov_removal_effects(
             pb = p.get("__start__", 0)
         else:
             out_rows.append((sc, p.get("__start__", 0)))
-    start = spark.createDataFrame(
+    start = _values_literal_frame(
+        spark,
+        [("scenario", "string"), ("pu", "bigint"), ("_pb", "bigint")],
         [(sc, pu, pb) for sc, pu in out_rows if sc != "__base__"],
-        "scenario string, pu long, _pb long",
     )
     return start.select(
         F.col("scenario").alias("channel"),
@@ -3011,8 +3014,17 @@ def holt_linear(
         out.append((di, y, l_t, b_t, fc, y * scale - fc))
         l_prev, b_prev = l_t, b_t
     spark = df.sparkSession
-    res = spark.createDataFrame(
-        out, f"{idx_col} bigint, {val_col} bigint, _l bigint, _b bigint, _f bigint, _e bigint"
+    res = _values_literal_frame(
+        spark,
+        [
+            (idx_col, "bigint"),
+            (val_col, "bigint"),
+            ("_l", "bigint"),
+            ("_b", "bigint"),
+            ("_f", "bigint"),
+            ("_e", "bigint"),
+        ],
+        out,
     )
     to_d = lambda c: F.round(F.col(c).cast("double") / F.lit(1e6), decimals)
     return res.select(
@@ -3082,7 +3094,7 @@ def weighted_quantiles(
     )
     tot = grid.groupBy(group_col).agg(F.sum("_w").alias("total_weight"))
     spark = df.sparkSession
-    qgrid = spark.createDataFrame(ps, "q double, _p bigint")
+    qgrid = _values_literal_frame(spark, [("q", "double"), ("_p", "bigint")], ps)
     return (
         cum.join(F.broadcast(tot), group_col)
         .crossJoin(F.broadcast(qgrid))
@@ -3541,17 +3553,10 @@ def mann_kendall_test(
             tcnt[r["_y"]] = tcnt.get(r["_y"], 0) + 1
         n_val = len(rows)
         tie_val = sum(t * (t - 1) * (2 * t + 5) for t in tcnt.values() if t > 1)
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        joined = df.sparkSession.createDataFrame(
+        joined = _values_literal_frame(
+            df.sparkSession,
+            [("s", "bigint"), ("n", "bigint"), ("tie_term", "bigint")],
             [(s_val, n_val, tie_val)],
-            StructType(
-                [
-                    StructField("s", LongType()),
-                    StructField("n", LongType()),
-                    StructField("tie_term", LongType()),
-                ]
-            ),
         )
     else:
         from morphik_core_spark.plans.cache import scoped_persist
@@ -3683,18 +3688,15 @@ def seasonal_mann_kendall(
             if grid
             else None
         )
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        joined = df.sparkSession.createDataFrame(
+        joined = _values_literal_frame(
+            df.sparkSession,
+            [
+                ("s", "bigint"),
+                ("n_seasons", "bigint"),
+                ("n_points", "bigint"),
+                ("_v18", "bigint"),
+            ],
             [(s_val, n_seasons, n_points, v18)],
-            StructType(
-                [
-                    StructField("s", LongType()),
-                    StructField("n_seasons", LongType()),
-                    StructField("n_points", LongType()),
-                    StructField("_v18", LongType()),
-                ]
-            ),
         )
         var_s = F.col("_v18").cast("double") / F.lit(18.0)
         z = (
@@ -4732,9 +4734,17 @@ def ewma_chart(
         )
         l_prev = l_t
     spark = df.sparkSession
-    res = spark.createDataFrame(
+    res = _values_literal_frame(
+        spark,
+        [
+            (idx_col, "bigint"),
+            (val_col, "bigint"),
+            ("_l", "bigint"),
+            ("_u", "bigint"),
+            ("_d", "bigint"),
+            ("out_of_control", "boolean"),
+        ],
         out,
-        f"{idx_col} bigint, {val_col} bigint, _l bigint, _u bigint, _d bigint, out_of_control boolean",
     )
     to_d = lambda c: F.round(F.col(c).cast("double") / F.lit(1e6), decimals)
     return res.select(
@@ -5462,37 +5472,6 @@ def ipw_ate(
             decimals,
         ).alias("att"),
     )
-
-
-def _values_literal_frame(spark, cols: list[tuple[str, str]], rows: list[tuple]) -> DataFrame:
-    """Tiny literal DataFrame via a SQL VALUES LocalRelation — pure JVM.
-
-    ``spark.createDataFrame`` on local Python data plans a pickled-RDD
-    scan whose per-ACTION cost is a full Python round trip (measured
-    0.76 s vs 0.16 s per literal tail at sf0.1, and it parallelizes the
-    handful of rows over defaultParallelism empty tasks); a VALUES
-    LocalRelation is parsed once and scanned in-JVM. ``cols`` is
-    [(name, sql_type)]; decimals ride as strings (exactness past int64),
-    None as typed NULL."""
-
-    def cell(v, typ: str) -> str:
-        if v is None:
-            return f"CAST(NULL AS {typ})"
-        if typ == "string":
-            esc = str(v).replace("\\", "\\\\").replace("'", "\\'")
-            return f"'{esc}'"
-        if typ.startswith("decimal"):
-            return f"CAST('{v}' AS {typ})"
-        return f"CAST({v} AS {typ})"
-
-    if not rows:
-        sel = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
-        return spark.sql(f"SELECT {sel}").limit(0)
-    vals = ",".join(
-        "(" + ",".join(cell(v, t) for v, (_n, t) in zip(r, cols)) + ")" for r in rows
-    )
-    names = ", ".join(n for n, _t in cols)
-    return spark.sql(f"SELECT * FROM VALUES {vals} AS t({names})")
 
 
 _RANK_PERGROUP_COLS = [
@@ -7062,10 +7041,18 @@ def holt_winters_additive(
         )
         l, b = l_new, b_new
     spark = df.sparkSession
-    res = spark.createDataFrame(
+    res = _values_literal_frame(
+        spark,
+        [
+            (idx_col, "bigint"),
+            (val_col, "bigint"),
+            ("level", "double"),
+            ("trend", "double"),
+            ("season", "double"),
+            ("forecast", "double"),
+            ("error", "double"),
+        ],
         out,
-        f"{idx_col} bigint, {val_col} bigint, level double, trend double, "
-        "season double, forecast double, error double",
     )
     return res.orderBy(idx_col)
 
@@ -7164,10 +7151,18 @@ def holt_winters_multiplicative(
         )
         l, b = l_new, b_new
     spark = df.sparkSession
-    res = spark.createDataFrame(
+    res = _values_literal_frame(
+        spark,
+        [
+            (idx_col, "bigint"),
+            (val_col, "bigint"),
+            ("level", "double"),
+            ("trend", "double"),
+            ("season", "double"),
+            ("forecast", "double"),
+            ("error", "double"),
+        ],
         out,
-        f"{idx_col} bigint, {val_col} bigint, level double, trend double, "
-        "season double, forecast double, error double",
     )
     return res.orderBy(idx_col)
 
@@ -8419,10 +8414,17 @@ def theta_forecast(
         sii += i * i
         k += 1
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return _values_literal_frame(
+        spark,
+        [
+            (idx_col, "bigint"),
+            (val_col, "bigint"),
+            ("level", "double"),
+            ("drift", "double"),
+            ("forecast", "double"),
+            ("error", "double"),
+        ],
         out,
-        f"{idx_col} bigint, {val_col} bigint, level double, drift double, "
-        "forecast double, error double",
     ).orderBy(idx_col)
 
 

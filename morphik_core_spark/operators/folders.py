@@ -109,8 +109,12 @@ def folder_descendants(
                 break
             out_rows.extend((root, child, depth) for root, child in nxt)
             frontier_d = nxt
-        return spark.createDataFrame(
-            out_rows, f"root string, {id_col} string, rel_depth int"
+        from morphik_core_spark.plans.literal import values_literal_frame
+
+        return values_literal_frame(
+            spark,
+            [("root", "string"), (id_col, "string"), ("rel_depth", "int")],
+            out_rows,
         )
     frontier = spark.createDataFrame([(r,) for r in root_ids], f"{id_col} string").select(
         F.col(id_col).alias("root"), F.col(id_col)

@@ -112,17 +112,16 @@ def pagerank_fixed_point(
                 n: teleport_u // n_nodes + (damping_pct * c_sum.get(n, 0)) // 100
                 for n in node_set
             }
-        from pyspark.sql.types import LongType, StructField, StructType
+        from morphik_core_spark.plans.literal import values_literal_frame
 
         spark = edges.sparkSession
-        out = spark.createDataFrame(
+        out = values_literal_frame(
+            spark,
+            [
+                ("node", edges.schema[src_col].dataType.simpleString()),
+                ("rank_u", "bigint"),
+            ],
             sorted(rank_u.items()),
-            StructType(
-                [
-                    StructField("node", edges.schema[src_col].dataType),
-                    StructField("rank_u", LongType()),
-                ]
-            ),
         )
         return out.select(
             "node",
@@ -575,7 +574,11 @@ def seed_expansion_weights(
     )
     w = Window.orderBy(F.col("wt").desc(), F.col("term").asc())
     topk = nbr.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).select("term", "wt")
-    seeds_df = edges.sparkSession.createDataFrame(
-        [(s, seed_weight) for s in sorted(set(seeds))], "term string, wt long"
+    from morphik_core_spark.plans.literal import values_literal_frame
+
+    seeds_df = values_literal_frame(
+        edges.sparkSession,
+        [("term", "string"), ("wt", "bigint")],
+        [(s, seed_weight) for s in sorted(set(seeds))],
     )
     return seeds_df.unionByName(topk.select("term", F.col("wt").cast("long")))
