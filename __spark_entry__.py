@@ -5115,16 +5115,18 @@ def _q_chi_square_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    # collected-grid fast path: categorical vocab x vocab grids (<=125
+    # cells at any scale); the bound RAISES if a contract is violated
     parts = [
-        chi_square_independence(docs, "lang", "source").withColumn(
-            "pair", F.lit("lang_source")
-        ),
-        chi_square_independence(cust, "c_mktsegment", "c_nationkey").withColumn(
-            "pair", F.lit("segment_nation")
-        ),
-        chi_square_independence(orders, "o_orderpriority", "o_orderstatus").withColumn(
-            "pair", F.lit("priority_status")
-        ),
+        chi_square_independence(
+            docs, "lang", "source", collect_max_cells=100_000
+        ).withColumn("pair", F.lit("lang_source")),
+        chi_square_independence(
+            cust, "c_mktsegment", "c_nationkey", collect_max_cells=100_000
+        ).withColumn("pair", F.lit("segment_nation")),
+        chi_square_independence(
+            orders, "o_orderpriority", "o_orderstatus", collect_max_cells=100_000
+        ).withColumn("pair", F.lit("priority_status")),
     ]
     out = parts[0]
     for p in parts[1:]:

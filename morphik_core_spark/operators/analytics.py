@@ -3939,6 +3939,7 @@ def chi_square_independence(
     x_col: str,
     y_col: str,
     decimals: int = 6,
+    collect_max_cells: int | None = None,
 ) -> DataFrame:
     """Pearson chi-square test of independence between two categorical
     columns, plus Cramér's V effect size — the significance-test
@@ -3961,6 +3962,63 @@ def chi_square_independence(
     """
     from morphik_core_spark.plans.cache import scoped_persist
 
+    if collect_max_cells is not None:
+        # collected-grid fast path (the round-12 bounded-frame recipe):
+        # ONE collect of the vocab x vocab cell grid; marginals and the
+        # dense cross-product are exact Python integers fed back as a
+        # VALUES literal frame into the IDENTICAL per-cell quantized
+        # term + final aggregation, so results are bit-for-bit the same.
+        collected = (
+            df.groupBy(
+                F.col(x_col).cast("string").alias("_x"),
+                F.col(y_col).cast("string").alias("_y"),
+            )
+            .agg(F.count(F.lit(1)).alias("_nxy"))
+            .collect()
+        )
+        if len(collected) > collect_max_cells:
+            raise ValueError(
+                f"collected chi-square grid has {len(collected)} cells > "
+                f"collect_max_cells={collect_max_cells}; use the distributed path"
+            )
+        mxd: dict[str | None, int] = {}
+        myd: dict[str | None, int] = {}
+        cnt: dict[tuple, int] = {}
+        for r in collected:
+            mxd[r["_x"]] = mxd.get(r["_x"], 0) + r["_nxy"]
+            myd[r["_y"]] = myd.get(r["_y"], 0) + r["_nxy"]
+            cnt[(r["_x"], r["_y"])] = r["_nxy"]
+        n_tot = sum(mxd.values())
+        # the distributed dense grid left-joins cells on (_x, _y): a NULL
+        # level's observed count never matches (NULL != NULL in a join)
+        # and na.fill(0) zeroes it, while the level still carries its
+        # marginal — replicate exactly
+        dense = [
+            (
+                x,
+                y,
+                cnt.get((x, y), 0) if x is not None and y is not None else 0,
+                nx,
+                ny,
+                n_tot,
+            )
+            for x, nx in mxd.items()
+            for y, ny in myd.items()
+        ]
+        full_n = _values_literal_frame(
+            df.sparkSession,
+            [
+                ("_x", "string"),
+                ("_y", "string"),
+                ("_nxy", "bigint"),
+                ("_nx", "bigint"),
+                ("_ny", "bigint"),
+                ("_n", "bigint"),
+            ],
+            dense,
+        )
+        return _chi_square_tail(full_n, decimals)
+
     # vocab x vocab cells feed both marginals, the dense cross-product,
     # and the total — persist so the corpus contributes ONE groupBy scan
     cells = scoped_persist(df.groupBy(
@@ -3973,6 +4031,13 @@ def chi_square_independence(
         {"_nxy": 0}
     )
     tot = cells.agg(F.sum("_nxy").alias("_n"))
+    return _chi_square_tail(full.join(F.broadcast(tot)), decimals)
+
+
+def _chi_square_tail(full_n: DataFrame, decimals: int) -> DataFrame:
+    """Shared quantized-term aggregation + chi2/V select over the dense
+    (cell, marginals, N) grid — identical expression tree for the
+    distributed and collected-grid paths of `chi_square_independence`."""
     term = (
         "CAST(ROUND(("
         "(CAST(_nxy AS DOUBLE) * CAST(_n AS DOUBLE) - CAST(_nx AS DOUBLE) * CAST(_ny AS DOUBLE)) "
@@ -3986,7 +4051,7 @@ def chi_square_independence(
     # NULL keys, so a NULL category level is added back explicitly —
     # the former COUNT(1)-over-marginal counted it as a level)
     return (
-        full.join(F.broadcast(tot))
+        full_n
         .agg(
             F.sum(F.expr(term)).alias("_chi2u"),
             F.max("_n").alias("_n"),

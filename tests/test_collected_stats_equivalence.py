@@ -15,6 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from morphik_core_spark.operators.analytics import (
+    chi_square_independence,
     cochran_q,
     dunn_posthoc,
     friedman_test,
@@ -149,6 +150,26 @@ def test_empty_input_matches_both_paths(spark):
     assert _rows(kendall_w(empty_b, "b", "t", "v")) == _rows(
         kendall_w(empty_b, "b", "t", "v", collect_max_rows=10)
     )
+
+
+def test_chi_square_collected_matches_distributed(spark):
+    # absent cells (a never pairs with y2), a NULL x level, a NULL y level
+    data = [
+        ("a", "y1"), ("a", "y1"), ("a", "y3"),
+        ("b", "y1"), ("b", "y2"), ("b", "y2"),
+        ("c", "y2"), ("c", "y3"), ("c", "y3"), ("c", "y3"),
+        (None, "y1"), ("b", None),
+    ]
+    df = spark.createDataFrame(data, "x string, y string")
+    a = chi_square_independence(df, "x", "y")
+    b = chi_square_independence(df, "x", "y", collect_max_cells=10_000)
+    assert _rows(a) == _rows(b)
+    empty = spark.createDataFrame([], "x string, y string")
+    assert _rows(chi_square_independence(empty, "x", "y")) == _rows(
+        chi_square_independence(empty, "x", "y", collect_max_cells=10)
+    )
+    with pytest.raises(ValueError, match="collect_max_cells"):
+        chi_square_independence(df, "x", "y", collect_max_cells=2)
 
 
 def test_bounds_raise_instead_of_truncating(grouped, blocked):
