@@ -8071,8 +8071,9 @@ def _q_lilliefors_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts) div 86400000000").alias("di")
     ).agg(F.count(F.lit(1)).alias("y"))
     docs = _t(spark, sf_dir, "documents")
-    a = lilliefors_stat(daily, "y")
-    b = lilliefors_stat(docs, "n_chars")
+    # collected-grid fast path: day-grain / char-grain value grids
+    a = lilliefors_stat(daily, "y", collect_max_cells=1_000_000)
+    b = lilliefors_stat(docs, "n_chars", collect_max_cells=1_000_000)
     return (
         a.select(F.lit("daily_volume").alias("series"), "n", "mean", "std", "d_stat")
         .unionByName(

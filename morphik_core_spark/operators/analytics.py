@@ -8807,6 +8807,7 @@ def lilliefors_stat(
     val_col: str,
     value_scale: int = 1,
     decimals: int = 6,
+    collect_max_cells: int | None = None,
 ) -> DataFrame:
     """Lilliefors (one-sample KS-vs-fitted-normal) statistic — the
     CDF-shape normality check beside `dagostino_k2`'s moment form (K^2
@@ -8829,6 +8830,46 @@ def lilliefors_stat(
     """
     qv = F.expr(f"CAST(ROUND(CAST({val_col} AS DOUBLE) * {int(value_scale)}) AS BIGINT)")
     from morphik_core_spark.plans.cache import scoped_persist
+
+    if collect_max_cells is not None:
+        # collected-grid fast path (round-12 bounded-frame recipe): ONE
+        # collect of the (value, count) grid; cumulatives and moments
+        # are exact Python integers fed back as a VALUES literal frame
+        # into the IDENTICAL mean/std/Phi/gap double trees, so results
+        # are bit-for-bit unchanged. Raises past the bound.
+        collected = (
+            df.filter(F.col(val_col).isNotNull())
+            .select(qv.alias("_v"))
+            .groupBy("_v")
+            .agg(F.count(F.lit(1)).alias("lv"))
+            .collect()
+        )
+        if len(collected) > collect_max_cells:
+            raise ValueError(
+                f"collected ECDF grid has {len(collected)} cells > "
+                f"collect_max_cells={collect_max_cells}; use the distributed path"
+            )
+        gridm = {r["_v"]: r["lv"] for r in collected}
+        n_tot = sum(gridm.values())
+        s1 = sum(v * c for v, c in gridm.items())
+        s2 = sum(v * v * c for v, c in gridm.items())
+        rows, cum = [], 0
+        for v in sorted(gridm):
+            cum += gridm[v]
+            rows.append((v, gridm[v], cum, n_tot, s1, s2))
+        frame = _values_literal_frame(
+            df.sparkSession,
+            [
+                ("_v", "bigint"),
+                ("lv", "bigint"),
+                ("cum", "bigint"),
+                ("n", "bigint"),
+                ("_s1", "decimal(38,0)"),
+                ("_s2", "decimal(38,0)"),
+            ],
+            rows,
+        )
+        return _lilliefors_tail(frame, decimals)
 
     vals = scoped_persist(
         df.filter(F.col(val_col).isNotNull())
@@ -8860,6 +8901,13 @@ def lilliefors_stat(
         .select("_v", "lv", (F.col("_before") + F.col("_in")).alias("cum"))
         .join(F.broadcast(mom))
     )
+    return _lilliefors_tail(frame, decimals)
+
+
+def _lilliefors_tail(frame: DataFrame, decimals: int) -> DataFrame:
+    """Shared mean/std/Phi/gap double trees over the cumulated value
+    grid — identical expression tree for the distributed and
+    collected-grid paths of `lilliefors_stat`."""
     nd = "CAST(n AS DOUBLE)"
     mean = f"(CAST(_s1 AS DOUBLE) / {nd})"
     s = (

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from morphik_core_spark.operators.analytics import (
     chi_square_independence,
+    lilliefors_stat,
     cochran_q,
     dunn_posthoc,
     friedman_test,
@@ -170,6 +171,26 @@ def test_chi_square_collected_matches_distributed(spark):
     )
     with pytest.raises(ValueError, match="collect_max_cells"):
         chi_square_independence(df, "x", "y", collect_max_cells=2)
+
+
+def test_lilliefors_collected_matches_distributed(spark, grouped):
+    a = lilliefors_stat(grouped, "v")
+    b = lilliefors_stat(grouped, "v", collect_max_cells=10_000)
+    assert _rows(a) == _rows(b)
+    scaled = grouped.select((F.col("v") / 3.0).alias("v"))
+    a2 = lilliefors_stat(scaled, "v", value_scale=10)
+    b2 = lilliefors_stat(scaled, "v", value_scale=10, collect_max_cells=10_000)
+    assert _rows(a2) == _rows(b2)
+    tiny = spark.createDataFrame([(1,), (2,), (2,)], "v bigint")  # n < 4 guard
+    assert _rows(lilliefors_stat(tiny, "v")) == _rows(
+        lilliefors_stat(tiny, "v", collect_max_cells=10)
+    )
+    empty = spark.createDataFrame([], "v bigint")
+    assert _rows(lilliefors_stat(empty, "v")) == _rows(
+        lilliefors_stat(empty, "v", collect_max_cells=10)
+    )
+    with pytest.raises(ValueError, match="collect_max_cells"):
+        lilliefors_stat(grouped, "v", collect_max_cells=2)
 
 
 def test_bounds_raise_instead_of_truncating(grouped, blocked):
