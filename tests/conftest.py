@@ -4,7 +4,13 @@ import os
 
 import pytest
 
-os.environ.setdefault("SPARK_GRAFT_CPUS", "4")  # keep test JVM light
+# Test-session core count (bench/driver set their own env; this only
+# affects `pytest tests/`). Measured round 12 on the 32-core sandbox:
+# the heavy data-parallel files (pipeline e2e, property tests) run 1.7x
+# faster at 8 cores (277 -> 164 s) while the parity-dominated light set
+# still improves (332 -> 304 s); 16 cores adds nothing (305 s) because
+# tiny-frame stages then pay more per-stage task bookkeeping.
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 
 SF_DIR = "/root/testdata/sf0.001"
 
