@@ -376,8 +376,12 @@ def mixture_sample(
     "mixture definition IS the corpus definition" convention.
     """
     spark = df.sparkSession
-    rates_df = spark.createDataFrame(
-        [(k, int(v)) for k, v in rates.items()], f"{domain_col} string, rate_pct int"
+    from morphik_core_spark.plans.literal import values_literal_frame
+
+    rates_df = values_literal_frame(
+        spark,
+        [(domain_col, "string"), ("rate_pct", "int")],
+        [(k, int(v)) for k, v in rates.items()],
     )
     bucket = portable_hash(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 100
     return (
@@ -1996,9 +2000,17 @@ def ipf_raking(
         )
         for r, c, n in rows
     ]
-    out = spark.createDataFrame(
+    from morphik_core_spark.plans.literal import values_literal_frame
+
+    out = values_literal_frame(
+        spark,
+        [
+            (row_col, "string"),
+            (col_col, "string"),
+            ("n_rows", "bigint"),
+            ("weight", "double"),
+            ("weighted_share", "double"),
+        ],
         out_rows,
-        f"{row_col} string, {col_col} string, n_rows bigint, weight double, "
-        "weighted_share double",
     )
     return out.orderBy(row_col, col_col)

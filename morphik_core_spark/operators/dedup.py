@@ -748,12 +748,12 @@ def connected_components(
         id_type = pairs.schema["id_a"].dataType
         spark = pairs.sparkSession
         pairs.unpersist()
-        from pyspark.sql.types import StructField, StructType
+        from morphik_core_spark.plans.literal import literal_frame_from_schema
 
-        schema = StructType(
-            [StructField("node", id_type, False), StructField("component", id_type, False)]
+        ts = id_type.simpleString()
+        return literal_frame_from_schema(
+            spark, f"node {ts}, component {ts}", out_rows
         )
-        return spark.createDataFrame(out_rows, schema)
 
     # pairs are distinct with id_a < id_b, so the two-direction union is
     # already duplicate-free — no distinct() shuffle needed
@@ -1363,7 +1363,9 @@ def fellegi_sunter_em(
         f"{gcols}, n_pairs bigint, match_posterior double, weight double, "
         f"decision string, {mcols}, {ucols}"
     )
-    res = spark.createDataFrame(out_rows, schema)
+    from morphik_core_spark.plans.literal import literal_frame_from_schema
+
+    res = literal_frame_from_schema(spark, schema, out_rows)
     return res.orderBy(
         F.col("weight").desc(), *[F.col(f"gamma_{c}").asc() for c in agree_cols]
     )

@@ -60,8 +60,10 @@ def batch_get(
     The key list is a broadcast semi-join (never an OR-chain predicate —
     constant-folding thousands of tuples bloats the plan; a join scales)."""
     spark = table.sparkSession
+    from morphik_core_spark.plans.literal import literal_frame_from_schema
+
     schema = ", ".join(f"{c} {t}" for c, t in zip(key_cols, _key_types(table, key_cols)))
-    wanted = spark.createDataFrame([tuple(k) for k in keys], schema)
+    wanted = literal_frame_from_schema(spark, schema, [tuple(k) for k in keys])
     return table.join(F.broadcast(wanted), on=list(key_cols), how="left_semi")
 
 

@@ -102,10 +102,13 @@ def tier_limits_df(spark: SparkSession) -> DataFrame:
         )
         for tier, lims in TIER_LIMITS.items()
     ]
-    return spark.createDataFrame(
-        rows,
+    from morphik_core_spark.plans.literal import literal_frame_from_schema
+
+    return literal_frame_from_schema(
+        spark,
         "tier string, hourly_query_limit bigint, monthly_query_limit bigint, "
         "ingest_limit bigint, storage_file_limit bigint, storage_size_limit_bytes bigint",
+        rows,
     )
 
 

@@ -40,8 +40,12 @@ __all__ = ["maxsim_relational", "maxsim_pandas", "maxsim_hamming_relational"]
 
 def _query_tokens_df(df: DataFrame, query_tokens: Sequence[Sequence[float]]) -> DataFrame:
     spark = df.sparkSession
+    from morphik_core_spark.plans.literal import values_literal_frame
+
     rows = [(i, [float(x) for x in tok]) for i, tok in enumerate(query_tokens)]
-    return spark.createDataFrame(rows, "q_idx int, qv array<double>")
+    return values_literal_frame(
+        spark, [("q_idx", "int"), ("qv", "array<double>")], rows
+    )
 
 
 def maxsim_relational(

@@ -525,9 +525,12 @@ def threshold_sweep(
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("_y").alias("pos"))
     )
     spark = df.sparkSession
-    thr = spark.createDataFrame(
+    from morphik_core_spark.plans.literal import values_literal_frame
+
+    thr = values_literal_frame(
+        spark,
+        [("threshold", "double"), ("_t", "bigint")],
         [(round(float(t), decimals), int(round(float(t) * scale))) for t in thresholds],
-        "threshold double, _t bigint",
     )
     joined = groups.crossJoin(F.broadcast(thr))
     agg = joined.groupBy("threshold").agg(
@@ -748,8 +751,10 @@ def rank_biased_overlap(
     """
     spark = a.sparkSession
     w_u = rbo_weights(int(k), float(p))
-    spine = spark.createDataFrame(
-        [(m + 1, w_u[m]) for m in range(int(k))], "m int, w_u long"
+    from morphik_core_spark.plans.literal import values_literal_frame
+
+    spine = values_literal_frame(
+        spark, [("m", "int"), ("w_u", "bigint")], [(m + 1, w_u[m]) for m in range(int(k))]
     )
     ra = a.filter(F.col(rank_col) <= k).select(
         F.col(key_col).alias("_k"), F.col(rank_col).cast("int").alias("_ra")

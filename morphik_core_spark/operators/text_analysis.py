@@ -894,7 +894,9 @@ def vocab_coverage(
         .alias("rk"),
     )
     spark = df.sparkSession
-    grid = spark.createDataFrame([(t,) for t in tops], "top_n int")
+    from morphik_core_spark.plans.literal import values_literal_frame
+
+    grid = values_literal_frame(spark, [("top_n", "int")], [(t,) for t in tops])
     per = (
         grid.crossJoin(ranked)
         .filter(F.col("rk") <= F.col("top_n"))

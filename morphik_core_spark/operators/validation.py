@@ -465,8 +465,12 @@ def benford_audit(
     groups = counted.groupBy(*[F.col(c) for c in group_cols]).agg(
         F.sum("n").alias("_total")
     )
-    spine = spark.createDataFrame(
-        [(d, e) for d, e in BENFORD_EXPECTED.items()], "digit INT, expected DOUBLE"
+    from morphik_core_spark.plans.literal import values_literal_frame
+
+    spine = values_literal_frame(
+        spark,
+        [("digit", "int"), ("expected", "double")],
+        [(d, e) for d, e in BENFORD_EXPECTED.items()],
     )
     return (
         groups.join(F.broadcast(spine))

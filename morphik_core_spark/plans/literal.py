@@ -24,6 +24,10 @@ import math
 from pyspark.sql import DataFrame
 
 
+SAFE_TYPES = ("string", "bigint", "int", "smallint", "tinyint", "long",
+              "double", "float", "boolean", "decimal", "array<double>")
+
+
 def _cell(v, typ: str) -> str:
     if v is None:
         return f"CAST(NULL AS {typ})"
@@ -41,6 +45,9 @@ def _cell(v, typ: str) -> str:
         else:
             s = repr(f)
         return f"CAST('{s}' AS {typ})"
+    if typ == "array<double>":
+        inner = ",".join(_cell(float(x), "double") for x in v)
+        return f"CAST(ARRAY({inner}) AS ARRAY<DOUBLE>)"
     return f"CAST({v} AS {typ})"
 
 
@@ -56,3 +63,15 @@ def values_literal_frame(spark, cols: list[tuple[str, str]], rows: list[tuple]) 
     )
     names = ", ".join(n for n, _t in cols)
     return spark.sql(f"SELECT * FROM VALUES {vals} AS t({names})")
+
+
+def literal_frame_from_schema(spark, schema: str, rows: list[tuple]) -> DataFrame:
+    """``values_literal_frame`` for callers holding a DDL schema string
+    ("name type, ..."). Falls back to ``spark.createDataFrame`` when a
+    column type is outside the VALUES-safe set (e.g. caller-provided key
+    columns of arbitrary types), so behaviour never changes — only the
+    per-action Python round trip goes away where it safely can."""
+    cols = [tuple(c.strip().rsplit(" ", 1)) for c in schema.split(",")]
+    if all(t.lower().startswith(SAFE_TYPES) for _n, t in cols):
+        return values_literal_frame(spark, [(n, t.lower()) for n, t in cols], rows)
+    return spark.createDataFrame(rows, schema)
