@@ -72,6 +72,13 @@ def literal_frame_from_schema(spark, schema: str, rows: list[tuple]) -> DataFram
     columns of arbitrary types), so behaviour never changes — only the
     per-action Python round trip goes away where it safely can."""
     cols = [tuple(c.strip().rsplit(" ", 1)) for c in schema.split(",")]
-    if all(t.lower().startswith(SAFE_TYPES) for _n, t in cols):
+
+    def safe(t: str) -> bool:
+        t = t.lower()
+        # exact base types only — a prefix match would let e.g.
+        # "interval day" slip through as "int"
+        return t in SAFE_TYPES or t.startswith("decimal(")
+
+    if all(safe(t) for _n, t in cols):
         return values_literal_frame(spark, [(n, t.lower()) for n, t in cols], rows)
     return spark.createDataFrame(rows, schema)
