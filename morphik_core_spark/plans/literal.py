@@ -71,7 +71,18 @@ def literal_frame_from_schema(spark, schema: str, rows: list[tuple]) -> DataFram
     column type is outside the VALUES-safe set (e.g. caller-provided key
     columns of arbitrary types), so behaviour never changes — only the
     per-action Python round trip goes away where it safely can."""
-    cols = [tuple(c.strip().rsplit(" ", 1)) for c in schema.split(",")]
+    # split on top-level commas only — "decimal(38,0)" carries one
+    parts, depth, cur = [], 0, []
+    for ch in schema:
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            depth += ch in "(<"
+            depth -= ch in ")>"
+            cur.append(ch)
+    parts.append("".join(cur))
+    cols = [tuple(c.strip().rsplit(" ", 1)) for c in parts]
 
     def safe(t: str) -> bool:
         t = t.lower()
