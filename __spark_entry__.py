@@ -2429,7 +2429,10 @@ def _q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
     sh = word_shingles(docs, "text", "source", n=3)
     sk = kmv_sketch(sh, "source", "shingle", k=128)
-    return kmv_overlap(sk, "source", k=128)
+    # crawl sources are a bounded dimension (tens), so the keys×k sketch
+    # is driver-safe at any corpus size: opt into the collected pairwise
+    # tail (bound raises at 512 sources × k — far past the contract)
+    return kmv_overlap(sk, "source", k=128, collect_max_rows=512 * 128)
 
 
 def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4544,7 +4547,8 @@ def _q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         F.expr("unix_micros(ts) div 86400000000").alias("di")
     ).agg(F.count(F.lit(1)).alias("y"))
-    return theil_sen_trend(daily, "di", "y")
+    # day-grain series: same 100k contract bound as the acf/MK family
+    return theil_sen_trend(daily, "di", "y", collect_max_points=100_000)
 
 
 def _q_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5226,9 +5230,9 @@ def _q_spearman_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grids) = 6 pruned column scans. Deliberately NOT persisted: the
     # projection is corpus-sized, and materializing it costs more than
     # the five extra 3-column parquet scans it saves (measured 3.4 s ->
-    # 6.3 s at sf0.1 with the persist; at 100 TB a corpus-scale cache
-    # thrashes to disk while pruned scans stream) - the scan-budget
-    # gate allowlists this query for that reason.
+    # 6.3 s at sf0.1 with the persist; round 12 re-measured a joint-
+    # cell-grid one-scan variant at 3.8 -> 5.6 s — same lesson) - the
+    # scan-budget gate allowlists this query for that reason.
     li = _t(spark, sf_dir, "lineitem").select(
         "l_quantity", "l_extendedprice", "l_discount"
     )

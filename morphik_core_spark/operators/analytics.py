@@ -3292,11 +3292,24 @@ def conformal_interval(
     )
 
 
+def _theil_sen_tail(stats: DataFrame, decimals: int) -> DataFrame:
+    """Shared output tail over the exact integer stats (n_points,
+    n_pairs, _m2, _i4) — the same code object for the distributed and
+    collected paths so the two double trees cannot diverge."""
+    return stats.select(
+        "n_points",
+        "n_pairs",
+        F.round(F.col("_m2").cast("double") / F.lit(2e6), decimals).alias("slope"),
+        F.round(F.col("_i4").cast("double") / F.lit(4e6), decimals).alias("intercept"),
+    )
+
+
 def theil_sen_trend(
     df: DataFrame,
     idx_col: str,
     val_col: str,
     decimals: int = 6,
+    collect_max_points: int | None = None,
 ) -> DataFrame:
     """Theil–Sen robust trend estimate over an integer-indexed series:
     the MEDIAN of all pairwise slopes (y_k − y_j)/(k − j) — up to ~29%
@@ -3315,7 +3328,88 @@ def theil_sen_trend(
     other series operators; never row-grain.
 
     Output: one row (n_points, n_pairs, slope, intercept).
+
+    ``collect_max_points`` opts a CONTRACT-BOUNDED series into ONE
+    collect (the mann_kendall recipe): pairwise micro-slopes, both
+    nearest-rank medians and the residual grid run in exact Python
+    integers mirroring the distributed plan EXACTLY — NULL indexes
+    never pair but count in n_points, NULL values form NULL slopes that
+    sort first (Spark asc_nulls_first) and SQL SUM skips NULLs inside
+    an even-median pair — and the slope/intercept doubles come from the
+    IDENTICAL Spark tail over the integer literals. Raises past the
+    bound instead of collecting unboundedly.
     """
+    import math as _m
+
+    if collect_max_points is not None:
+        rows = (
+            df.select(
+                F.col(idx_col).cast("bigint").alias("_i"),
+                F.col(val_col).cast("bigint").alias("_y"),
+            )
+            .limit(int(collect_max_points) + 1)
+            .collect()
+        )
+        if len(rows) > int(collect_max_points):
+            raise ValueError(
+                f"theil_sen_trend collect_max_points={collect_max_points} "
+                f"exceeded: the series is larger than the caller's bound; "
+                f"drop the option (distributed path) or raise the bound."
+            )
+        pts = [(r["_i"], r["_y"]) for r in rows]
+        n_points = len(pts)
+
+        def _rha(x: float) -> int:
+            return int(_m.floor(x + 0.5)) if x >= 0 else int(_m.ceil(x - 0.5))
+
+        idx_pts = [(i, y) for i, y in pts if i is not None]
+        slopes: list = []
+        for j in range(len(idx_pts)):
+            ia, ya = idx_pts[j]
+            for kk in range(len(idx_pts)):
+                ib, yb = idx_pts[kk]
+                if ia < ib:
+                    slopes.append(
+                        None
+                        if ya is None or yb is None
+                        else _rha(float(yb - ya) * 1e6 / float(ib - ia))
+                    )
+        np_ = len(slopes)
+
+        def _med2_sql(vals: list) -> "int | None":
+            # exact 2x nearest-rank median with SQL semantics: NULLs sort
+            # first, SUM skips NULLs, an empty selection yields NULL
+            nv = len(vals)
+            if nv == 0:
+                return None
+            ordered = sorted(vals, key=lambda v: (v is not None, v))
+            if nv % 2 == 1:
+                sel = [ordered[(nv - 1) // 2]]
+                s = sel[0]
+                return None if s is None else 2 * s
+            sel = [ordered[nv // 2 - 1], ordered[nv // 2]]
+            non_null = [v for v in sel if v is not None]
+            return sum(non_null) if non_null else None
+
+        m2 = _med2_sql(slopes)
+        n_pairs = np_ if np_ > 0 else None
+        if n_points == 0:
+            m2_f = i4 = n_pairs_f = None
+        else:
+            resids = [
+                None if (i is None or y is None or m2 is None) else y * 2_000_000 - m2 * i
+                for i, y in pts
+            ]
+            i4 = _med2_sql(resids)
+            m2_f, n_pairs_f = m2, n_pairs
+        stats = _values_literal_frame(
+            df.sparkSession,
+            [("n_points", "bigint"), ("n_pairs", "bigint"),
+             ("_m2", "bigint"), ("_i4", "bigint")],
+            [(n_points, n_pairs_f, m2_f, i4)],
+        )
+        return _theil_sen_tail(stats, decimals)
+
     from morphik_core_spark.plans.cache import scoped_persist
 
     # all three frames are series-bounded (n points / n(n-1)/2 pairs);
@@ -3373,15 +3467,7 @@ def theil_sen_trend(
             F.max("n_pairs").alias("n_pairs"),
         )
     )
-    return (
-        n_points.join(F.broadcast(imed))
-        .select(
-            "n_points",
-            "n_pairs",
-            F.round(F.col("_m2").cast("double") / F.lit(2e6), decimals).alias("slope"),
-            F.round(F.col("_i4").cast("double") / F.lit(4e6), decimals).alias("intercept"),
-        )
-    )
+    return _theil_sen_tail(n_points.join(F.broadcast(imed)), decimals)
 
 
 def ratio_metric_ci(
@@ -4375,6 +4461,15 @@ def spearman_corr(
     Moments are DECIMAL(38,0) — with ranks ≤ 2N the third-moment terms
     stay within 38 digits to beyond 10^10 rows — and rho is ONE double
     division of exact integers. Output ONE row: (n, rho).
+
+    Round-12 negative result, kept for the record: a joint
+    (x, y, count) cell-grid variant (one corpus groupBy, marginal rank
+    grids derived from the persisted joint grid, moments weighted by
+    cell counts) measured 3.8 → 5.6 s on spearman_screen at sf0.1 —
+    the query's pairs are near-unique (quantity × dollar-price ties
+    barely compress), so the joint grid is row-scale and the persist
+    barrier + two grid-derivation shuffles cost more than the pruned
+    column re-scans they replace. The rows+grids shape below stays.
     """
 
     def rank2_grid(col: str, scale: int, out: str):

@@ -722,37 +722,53 @@ def perplexity_buckets(
     split). Output: (group, bucket, n_docs, min_ppl, max_ppl).
 
     All comparisons run on the ROUND(6) ppl both engines carry, so
-    bucketing is engine-exact. Scale shape: the scored pass reuses
-    :func:`perplexity_scores`; the cuts are a per-group aggregate over a
-    rank window (or ``approx_percentile`` at 100 TB — same two-column
-    cuts dimension), broadcast back for a map-side bucket label.
+    bucketing is engine-exact. Scale shape (round 12): everything after
+    the scored pass runs on the (group, ppl, count) VALUE GRID — the
+    nearest-rank cut is a function of the grid alone (the ppl at rank r
+    is the smallest value whose cumulative count reaches r, and the
+    per-id tie-break inside one ppl value cannot move a VALUE cut), so
+    the scored frame is read ONCE (no persist, no rank window over
+    documents, no cuts join back onto document rows) and the grid
+    windows ride one group-partitioned exchange. NULL groups drop,
+    exactly as the former cuts equi-join dropped them.
     """
     scored = perplexity_scores(df, text_col, id_col, decimals=decimals).join(
         df.select(F.col(id_col), F.col(group_col)), id_col
     )
-    # read twice (tercile cuts + bucket labels); cache the scored rows so
-    # the whole bigram-LM pipeline doesn't run again for the second read
-    # (scoped: freed by the caller's next release_scoped())
-    from morphik_core_spark.plans.cache import scoped_persist
-
-    scored = scoped_persist(scored)
-    w = Window.partitionBy(group_col).orderBy(F.col("ppl").asc(), F.col(id_col).asc())
+    grid = (
+        scored.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col, "ppl")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("ppl").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     wg = Window.partitionBy(group_col)
-    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
-        "cnt", F.count(F.lit(1)).over(wg)
+    g = (
+        grid.withColumn("_cum", F.sum("_c").over(wcum))
+        .withColumn("_n", F.sum("_c").over(wg))
     )
-    cuts = ranked.groupBy(group_col).agg(
-        F.max(F.when(F.col("rn") == F.ceil(F.col("cnt") / 3), F.col("ppl"))).alias("c1"),
-        F.max(F.when(F.col("rn") == F.ceil(F.col("cnt") * 2 / 3), F.col("ppl"))).alias("c2"),
+    # identical ceil trees as the former rank form: cut1 at row
+    # ceil(n/3), cut2 at row ceil(2n/3) of the (ppl, id) order
+    g = g.withColumn(
+        "_cut1",
+        F.min(F.when(F.col("_cum") >= F.ceil(F.col("_n") / 3), F.col("ppl"))).over(wg),
+    ).withColumn(
+        "_cut2",
+        F.min(
+            F.when(F.col("_cum") >= F.ceil(F.col("_n") * 2 / 3), F.col("ppl"))
+        ).over(wg),
     )
-    bucketed = scored.join(F.broadcast(cuts), group_col).withColumn(
+    bucketed = g.withColumn(
         "bucket",
-        F.when(F.col("ppl") <= F.col("c1"), F.lit("head"))
-        .when(F.col("ppl") <= F.col("c2"), F.lit("middle"))
+        F.when(F.col("ppl") <= F.col("_cut1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("_cut2"), F.lit("middle"))
         .otherwise(F.lit("tail")),
     )
     return bucketed.groupBy(group_col, "bucket").agg(
-        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_c").alias("n_docs"),
         F.min("ppl").alias("min_ppl"),
         F.max("ppl").alias("max_ppl"),
     )

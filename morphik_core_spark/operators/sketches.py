@@ -325,7 +325,43 @@ def kmv_sketch(
     )
 
 
-def kmv_overlap(sketches: DataFrame, key_col: str, k: int = 128) -> DataFrame:
+def _kmv_overlap_tail(stats: DataFrame, k: int) -> DataFrame:
+    """Shared estimate tail over exact per-pair integer stats
+    (ka, kb, cnt_a, kth_a, cnt_b, kth_b, cnt_u, kth_u, match_k) — the
+    SAME code object for the distributed and collected paths, so the
+    double trees (and their rounding) cannot diverge between them."""
+    space = float(1 << 30)
+
+    def est(cnt, kth):  # exact below k, KMV estimator at k
+        return F.when(cnt < k, cnt.cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(space) / kth.cast("double")
+        )
+
+    jac = F.col("match_k").cast("double") / F.least(F.lit(k), F.col("cnt_u")).cast("double")
+    est_u = est(F.col("cnt_u"), F.col("kth_u"))
+    est_a = est(F.col("cnt_a"), F.col("kth_a"))
+    est_b = est(F.col("cnt_b"), F.col("kth_b"))
+    inter = jac * est_u
+    return stats.select(
+        "ka",
+        "kb",
+        F.round(est_a, 4).alias("est_distinct_a"),
+        F.round(est_b, 4).alias("est_distinct_b"),
+        F.round(est_u, 4).alias("est_union"),
+        F.col("match_k").cast("bigint").alias("match_k"),
+        F.round(jac, 6).alias("est_jaccard"),
+        F.round(inter, 4).alias("est_intersection"),
+        F.round(F.least(inter / est_a, F.lit(1.0)), 6).alias("est_containment_a"),
+        F.round(F.least(inter / est_b, F.lit(1.0)), 6).alias("est_containment_b"),
+    )
+
+
+def kmv_overlap(
+    sketches: DataFrame,
+    key_col: str,
+    k: int = 128,
+    collect_max_rows: int | None = None,
+) -> DataFrame:
     """Pairwise corpus-overlap estimates from per-key KMV sketches.
 
     For every key pair (a < b): distinct-count estimates for each side and
@@ -346,7 +382,55 @@ def kmv_overlap(sketches: DataFrame, key_col: str, k: int = 128) -> DataFrame:
     Input is the output of :func:`kmv_sketch`; sketches are tiny, so every
     join below is a broadcast — zero large shuffles regardless of corpus
     size.
+
+    ``collect_max_rows`` opts into the collected fast path (the
+    round-11/12 recipe): the sketch is keys×k-bounded BY CONSTRUCTION
+    ("driver-safe to collect" above), so ONE collect pulls it, the
+    pairwise union/agreement combinatorics run in exact Python integers
+    (hashes and counts are exact ints; ka<kb uses UTF-8 == code-point
+    order on both engines; NULL keys never pair, exactly as the
+    distributed ka<kb filter null-poisons them), and the integer stats
+    feed the IDENTICAL estimate tail (`_kmv_overlap_tail`) over a VALUES
+    LocalRelation. The bound RAISES when exceeded — unbounded key
+    domains must keep the distributed default.
     """
+    if collect_max_rows is not None:
+        key_t = sketches.schema[key_col].dataType.simpleString()
+        rows = sketches.select(F.col(key_col), F.col("v")).collect()
+        if len(rows) > collect_max_rows:
+            raise ValueError(
+                f"kmv_overlap: sketch has {len(rows)} rows > "
+                f"collect_max_rows={collect_max_rows}; use the distributed path"
+            )
+        by_key: dict = {}
+        for kk, v in rows:
+            if kk is None:
+                continue  # NULL keys never survive ka < kb
+            by_key.setdefault(kk, set()).add(v)
+        keys_sorted = sorted(by_key)
+        stat_rows = []
+        for i, ka in enumerate(keys_sorted):
+            a_set = by_key[ka]
+            cnt_a, kth_a = len(a_set), max(a_set)
+            for kb in keys_sorted[i + 1:]:
+                b_set = by_key[kb]
+                union_topk = sorted(a_set | b_set)[:k]
+                stat_rows.append((
+                    ka, kb, cnt_a, kth_a, len(b_set), max(b_set),
+                    len(union_topk), union_topk[-1],
+                    sum(1 for v in union_topk if v in a_set and v in b_set),
+                ))
+        from morphik_core_spark.plans.literal import literal_frame_from_schema
+
+        stats = literal_frame_from_schema(
+            sketches.sparkSession,
+            f"ka {key_t}, kb {key_t}, cnt_a bigint, kth_a bigint, "
+            "cnt_b bigint, kth_b bigint, cnt_u bigint, kth_u bigint, "
+            "match_k bigint",
+            stat_rows,
+        )
+        return _kmv_overlap_tail(stats, k)
+
     from morphik_core_spark.plans.cache import scoped_persist
 
     # keys x k rows, but its LINEAGE is the corpus-wide shingle distinct:
@@ -354,12 +438,6 @@ def kmv_overlap(sketches: DataFrame, key_col: str, k: int = 128) -> DataFrame:
     # ranking) would re-run that pipeline unpersisted (10 FileScans
     # measured) — persist the tiny sketch once
     sketches = scoped_persist(sketches)
-    space = float(1 << 30)
-
-    def est(cnt, kth):  # exact below k, KMV estimator at k
-        return F.when(cnt < k, cnt.cast("double")).otherwise(
-            F.lit(float(k - 1)) * F.lit(space) / kth.cast("double")
-        )
 
     per_key = sketches.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("cnt"), F.max("v").alias("kth")
@@ -393,23 +471,7 @@ def kmv_overlap(sketches: DataFrame, key_col: str, k: int = 128) -> DataFrame:
         ).alias("match_k"),
     )
     out = pairs.join(union_stats, ["ka", "kb"])
-    jac = F.col("match_k").cast("double") / F.least(F.lit(k), F.col("cnt_u")).cast("double")
-    est_u = est(F.col("cnt_u"), F.col("kth_u"))
-    est_a = est(F.col("cnt_a"), F.col("kth_a"))
-    est_b = est(F.col("cnt_b"), F.col("kth_b"))
-    inter = jac * est_u
-    return out.select(
-        "ka",
-        "kb",
-        F.round(est_a, 4).alias("est_distinct_a"),
-        F.round(est_b, 4).alias("est_distinct_b"),
-        F.round(est_u, 4).alias("est_union"),
-        F.col("match_k").cast("bigint").alias("match_k"),
-        F.round(jac, 6).alias("est_jaccard"),
-        F.round(inter, 4).alias("est_intersection"),
-        F.round(F.least(inter / est_a, F.lit(1.0)), 6).alias("est_containment_a"),
-        F.round(F.least(inter / est_b, F.lit(1.0)), 6).alias("est_containment_b"),
-    )
+    return _kmv_overlap_tail(out, k)
 
 
 def cms_join_size_estimate(

@@ -66,7 +66,10 @@ _SCAN_ALLOWLIST: dict[str, int] = {
     # (3-col projection persist: 3.4->6.3 s at sf0.1; grid-only persist:
     # 4.5->5.4 s) because the materialization barrier costs more than the
     # pipelined pruned scans it saves; at 100 TB a corpus-scale cache
-    # thrashes to disk while column-pruned scans stream.
+    # thrashes to disk while column-pruned scans stream. Round 12
+    # re-confirmed with a joint-(x,y,count)-grid variant (one scan per
+    # call): 3.8 -> 5.6 s — near-unique pairs don't compress, so the
+    # persist barrier loses again. The scans stay.
     "spearman_screen": 10,
 }
 

@@ -204,3 +204,68 @@ def test_series_col_rejects_collect_path(blocked):
     tagged = blocked.withColumn("s", F.lit("one"))
     with pytest.raises(ValueError, match="series_col"):
         friedman_test(tagged, "b", "t", "v", series_col="s", collect_max_rows=10)
+
+
+def test_kmv_overlap_collected_matches_distributed(spark):
+    # groups: x/y overlap partially, z below k (exact), w disjoint, a
+    # NULL key (never pairs on either path)
+    from morphik_core_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    data = (
+        [("x", f"tok{i}") for i in range(40)]
+        + [("y", f"tok{i}") for i in range(20, 70)]
+        + [("z", "tok1"), ("z", "tok2"), ("z", "other")]
+        + [("w", f"w{i}") for i in range(15)]
+        + [(None, "tok1"), (None, "nullonly")]
+    )
+    df = spark.createDataFrame(data, "src string, tok string")
+    sk = kmv_sketch(df, "src", "tok", k=8)
+    dist = _rows(kmv_overlap(sk, "src", k=8))
+    coll = _rows(kmv_overlap(sk, "src", k=8, collect_max_rows=10_000))
+    assert dist == coll
+    assert len(dist) == 6  # C(4,2) non-null pairs
+
+
+def test_kmv_overlap_bound_raises(spark):
+    from morphik_core_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    df = spark.createDataFrame(
+        [("x", f"t{i}") for i in range(30)] + [("y", f"t{i}") for i in range(30)],
+        "src string, tok string",
+    )
+    sk = kmv_sketch(df, "src", "tok", k=16)
+    with pytest.raises(ValueError, match="collect_max_rows"):
+        kmv_overlap(sk, "src", k=16, collect_max_rows=3)
+
+
+def test_theil_sen_collected_matches_distributed(spark):
+    from morphik_core_spark.operators.analytics import theil_sen_trend
+
+    # ties, negatives, an outlier, NULL value rows, a NULL index row
+    rows = [
+        (1, 10), (2, 12), (3, 12), (4, 900), (5, 18), (6, 20), (7, -3),
+        (8, None), (None, 5),
+    ]
+    df = spark.createDataFrame(rows, "i long, y long")
+    dist = _rows(theil_sen_trend(df, "i", "y"))
+    coll = _rows(theil_sen_trend(df, "i", "y", collect_max_points=1000))
+    assert dist == coll
+
+    # even pair count without NULLs
+    df2 = spark.createDataFrame([(1, 4), (2, 9), (3, 2), (4, 16)], "i long, y long")
+    assert _rows(theil_sen_trend(df2, "i", "y")) == _rows(
+        theil_sen_trend(df2, "i", "y", collect_max_points=1000)
+    )
+
+    # single point and empty input
+    df1 = spark.createDataFrame([(1, 4)], "i long, y long")
+    assert _rows(theil_sen_trend(df1, "i", "y")) == _rows(
+        theil_sen_trend(df1, "i", "y", collect_max_points=1000)
+    )
+    df0 = spark.createDataFrame([], "i long, y long")
+    assert _rows(theil_sen_trend(df0, "i", "y")) == _rows(
+        theil_sen_trend(df0, "i", "y", collect_max_points=1000)
+    )
+
+    with pytest.raises(ValueError, match="collect_max_points"):
+        theil_sen_trend(df, "i", "y", collect_max_points=3)
