@@ -815,42 +815,19 @@ def _q_sliding_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX-merge. Each row carries the exact trailing count beside the
     estimate, exhibiting the one-sided CMS guarantee (est ≥ exact) on
     a deliberately tight 3×16 sketch."""
-    from morphik_core_spark.operators.sketches import cms_estimates, cms_sketch
-
-    from morphik_core_spark.plans.cache import scoped_persist
+    from morphik_core_spark.operators.sketches import sliding_cms_window
 
     ev = _t(spark, sf_dir, "events")
-    # (day x type)-bounded; feeds the sketch, the exact rollup, and the
-    # observed-day semi-join — persist so events is scanned once
-    day_counts = scoped_persist(
-        ev.select(F.to_date(F.col("ts")).alias("day"), "event_type").groupBy(
-            "day", "event_type"
-        ).agg(F.count(F.lit(1)).alias("n"))
+    day_counts = ev.select(F.to_date(F.col("ts")).alias("day"), "event_type").groupBy(
+        "day", "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # the day x type grid is contract-bounded (day grain x small type
+    # vocabulary): one collect replays the fanout/merge/estimate chain in
+    # exact integers (sketches.sliding_cms_window; bound raises)
+    return sliding_cms_window(
+        day_counts, "day", "event_type", "n",
+        window_days=7, depth=3, width=16, collect_max_rows=500_000,
     )
-    day_sketch = cms_sketch(
-        day_counts, "event_type", "n", depth=3, width=16, group_cols=["day"]
-    )
-    fanned = day_sketch.withColumn(
-        "wday", F.explode(F.expr("sequence(day, date_add(day, 6), interval 1 day)"))
-    )
-    merged = fanned.groupBy("wday", "depth_i", "bucket").agg(
-        F.sum("bucket_count").alias("bucket_count")
-    )
-    exact = (
-        day_counts.withColumn(
-            "wday", F.explode(F.expr("sequence(day, date_add(day, 6), interval 1 day)"))
-        )
-        .groupBy("wday", "event_type")
-        .agg(F.sum("n").alias("exact_n"))
-        .join(
-            day_counts.select("day").distinct(),
-            F.col("wday") == F.col("day"),
-            "left_semi",
-        )
-    )
-    return cms_estimates(
-        exact, merged, "event_type", depth=3, width=16, group_cols=["wday"]
-    ).select(F.col("wday").alias("day"), "event_type", "exact_n", "cms_est")
 
 
 def _q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6605,7 +6582,10 @@ def _q_ccf_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     dy = events.filter(F.col("event_type") == "purchase").groupBy(di).agg(
         F.count(F.lit(1)).alias("y")
     )
-    return cross_correlation(dx.join(dy, "di"), "di", "x", "y", max_lag=7)
+    # day-grain series: same 100k contract bound as the acf/MK family
+    return cross_correlation(
+        dx.join(dy, "di"), "di", "x", "y", max_lag=7, collect_max_points=100_000
+    )
 
 
 def _q_seasonal_strength_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

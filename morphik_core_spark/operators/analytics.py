@@ -6961,6 +6961,22 @@ def overdispersion_screen(
     ).orderBy(group_col)
 
 
+def _ccf_tail(stats: DataFrame, decimals: int) -> DataFrame:
+    """Shared output tail over exact per-lag stats (lag, n_pairs, _num,
+    _dxx, _dyy) — one code object for both paths so the double trees
+    cannot diverge."""
+    return stats.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.round(
+            F.expr(
+                "CAST(_num AS DOUBLE) / sqrt(CAST(_dxx AS DOUBLE) * CAST(_dyy AS DOUBLE))"
+            ),
+            decimals,
+        ).alias("ccf"),
+    ).orderBy("lag")
+
+
 def cross_correlation(
     series: DataFrame,
     idx_col: str,
@@ -6968,6 +6984,7 @@ def cross_correlation(
     y_col: str,
     max_lag: int = 7,
     decimals: int = 6,
+    collect_max_points: int | None = None,
 ) -> DataFrame:
     """Sample cross-correlation between two integer-indexed series at
     lags −``max_lag``..+``max_lag`` — the lead/lag screen
@@ -6986,8 +7003,78 @@ def cross_correlation(
     out via a (2m+1)-row spine and one shifted-index equi-join.
 
     Output: (lag, n_pairs, ccf), ordered by lag.
+
+    ``collect_max_points`` opts a CONTRACT-BOUNDED series into ONE
+    collect (the acf/mann_kendall recipe): deviations, per-lag pair
+    counts and DECIMAL product sums replay in exact Python integers
+    mirroring the distributed plan EXACTLY — NULL indexes never join,
+    NULL deviations still COUNT as pairs but drop from the SUM, lags
+    with zero pairs emit no row — and the ccf doubles come from the
+    IDENTICAL Spark tail over the integer literals. Raises past the
+    bound.
     """
     dec = "decimal(38,0)"
+    if collect_max_points is not None:
+        rows = (
+            series.select(
+                F.col(idx_col).cast("bigint").alias("_i"),
+                F.col(x_col).cast("bigint").alias("_x"),
+                F.col(y_col).cast("bigint").alias("_y"),
+            )
+            .limit(int(collect_max_points) + 1)
+            .collect()
+        )
+        if len(rows) > int(collect_max_points):
+            raise ValueError(
+                f"cross_correlation collect_max_points={collect_max_points} "
+                f"exceeded: the series is larger than the caller's bound; "
+                f"drop the option (distributed path) or raise the bound."
+            )
+        pts = [(r["_i"], r["_x"], r["_y"]) for r in rows]
+        n = len(pts)
+        xs = [x for _i, x, _y in pts if x is not None]
+        ys = [y for _i, _x, y in pts if y is not None]
+        sx = sum(xs) if xs else None
+        sy = sum(ys) if ys else None
+        dev = [
+            (
+                i,
+                None if (x is None or sx is None) else n * x - sx,
+                None if (y is None or sy is None) else n * y - sy,
+            )
+            for i, x, y in pts
+        ]
+        dxx_terms = [dx * dx for _i, dx, _dy in dev if dx is not None]
+        dyy_terms = [dy * dy for _i, _dx, dy in dev if dy is not None]
+        dxx = sum(dxx_terms) if dxx_terms else None
+        dyy = sum(dyy_terms) if dyy_terms else None
+        by_idx: dict = {}
+        for i, _dx, dy in dev:
+            if i is not None:
+                by_idx.setdefault(i, []).append(dy)
+        stat_rows = []
+        for lag in range(-int(max_lag), int(max_lag) + 1):
+            n_pairs, num_terms, any_pair = 0, [], False
+            for i, dx, _dy in dev:
+                if i is None:
+                    continue
+                for dy in by_idx.get(i + lag, ()):
+                    any_pair = True
+                    n_pairs += 1
+                    if dx is not None and dy is not None:
+                        num_terms.append(dx * dy)
+            if any_pair:
+                stat_rows.append(
+                    (lag, n_pairs, sum(num_terms) if num_terms else None, dxx, dyy)
+                )
+        stats = _values_literal_frame(
+            series.sparkSession,
+            [("lag", "int"), ("n_pairs", "bigint"), ("_num", dec),
+             ("_dxx", dec), ("_dyy", dec)],
+            stat_rows,
+        )
+        return _ccf_tail(stats, decimals)
+
     base = series.select(
         F.col(idx_col).cast("bigint").alias("_i"),
         F.col(x_col).cast("bigint").alias("_x"),
@@ -7022,20 +7109,7 @@ def cross_correlation(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.col("_dx").cast(dec) * F.col("_dy")).alias("_num"),
     )
-    return (
-        num.join(F.broadcast(den))
-        .select(
-            F.col("lag").cast("int").alias("lag"),
-            "n_pairs",
-            F.round(
-                F.expr(
-                    "CAST(_num AS DOUBLE) / sqrt(CAST(_dxx AS DOUBLE) * CAST(_dyy AS DOUBLE))"
-                ),
-                decimals,
-            ).alias("ccf"),
-        )
-        .orderBy("lag")
-    )
+    return _ccf_tail(num.join(F.broadcast(den)), decimals)
 
 
 def seasonal_strength(
@@ -8362,6 +8436,19 @@ def hl_value_grids(
     return ga, gb
 
 
+def _hl_tail(stats: DataFrame, n_a: int, n_b: int, decimals: int, with_series: bool) -> DataFrame:
+    """Shared output tail over exact (_lo, _hi) medians — one code
+    object for both paths so the midpoint double tree cannot diverge."""
+    return stats.select(
+        *([F.col("_ser").alias("series")] if with_series else []),
+        F.lit(int(n_a)).cast("bigint").alias("n_a"),
+        F.lit(int(n_b)).cast("bigint").alias("n_b"),
+        F.expr(
+            f"ROUND((CAST(_lo AS DOUBLE) + CAST(_hi AS DOUBLE)) / 2.0, {int(decimals)})"
+        ).alias("hl_shift"),
+    )
+
+
 def hodges_lehmann_shift(
     a: DataFrame,
     b: DataFrame,
@@ -8371,6 +8458,7 @@ def hodges_lehmann_shift(
     sizes: tuple[int, int, int, int] | None = None,
     grids: tuple[DataFrame, DataFrame] | None = None,
     series_grids: list[tuple[str, DataFrame, DataFrame]] | None = None,
+    collect_max_cells: int | None = None,
 ) -> DataFrame:
     """Hodges-Lehmann two-sample shift estimator — the SIZE companion
     to the rank/drift detectors (`mann_whitney_u` says the
@@ -8403,8 +8491,86 @@ def hodges_lehmann_shift(
     series — the caller asserts it). ``a``/``b``/``val_col``/``grids``
     are ignored in this mode. Output one row PER series:
     (series, n_a, n_b, hl_shift).
+
+    ``collect_max_cells`` opts the CONTRACT-BOUNDED grids into one
+    collect per grid: the weighted difference grid and both nearest-rank
+    medians replay in exact Python integers and the midpoint double
+    comes from the IDENTICAL Spark tail (`_hl_tail`) over the literals.
+    Raises when a collected grid exceeds the bound; grids carrying NULL
+    values fall back to the distributed path (whose NULL-difference
+    rows drop at the bucket join) so behaviour never changes.
     """
     from morphik_core_spark.plans.cache import scoped_persist
+
+    if collect_max_cells is not None:
+        if series_grids is not None:
+            if sizes is None:
+                raise ValueError(
+                    "hodges_lehmann_shift: series_grids requires sizes (a value "
+                    "shift preserves counts — the caller asserts one size tuple "
+                    "serves every series)"
+                )
+            series_list = [(str(tag), ga_i, gb_i) for tag, ga_i, gb_i in series_grids]
+        else:
+            ga0, gb0 = grids if grids is not None else hl_value_grids(a, b, val_col)
+            series_list = [(None, ga0, gb0)]
+        collected, clean = [], True
+        for tag, ga_i, gb_i in series_list:
+            xa = [(r["_x"], r["_ca"]) for r in ga_i.limit(int(collect_max_cells) + 1).collect()]
+            xb = [(r["_y"], r["_cb"]) for r in gb_i.limit(int(collect_max_cells) + 1).collect()]
+            if max(len(xa), len(xb)) > int(collect_max_cells):
+                raise ValueError(
+                    f"hodges_lehmann_shift: a value grid has more than "
+                    f"collect_max_cells={collect_max_cells} rows; use the "
+                    f"distributed path or raise the bound"
+                )
+            if any(x is None for x, _c in xa) or any(y is None for y, _c in xb):
+                clean = False
+                break
+            collected.append((tag, xa, xb))
+        if clean:
+            if sizes is not None:
+                n_x, n_a, n_y, n_b = (int(v) for v in sizes)
+            else:
+                _tag, xa, xb = collected[0]
+                n_x, n_a = len(xa), sum(c for _x, c in xa)
+                n_y, n_b = len(xb), sum(c for _y, c in xb)
+            if n_x * n_y > max_grid_cells:
+                raise ValueError(
+                    f"hodges_lehmann_shift difference grid would be {n_x} x {n_y} "
+                    f"= {n_x * n_y} cells (> max_grid_cells={max_grid_cells}): "
+                    f"coarsen the value grain or raise max_grid_cells explicitly."
+                )
+            total = int(n_a) * int(n_b)
+            lo_rank = (total + 1) // 2
+            hi_rank = total // 2 + 1
+            stat_rows = []
+            for tag, xa, xb in collected:
+                w: dict = {}
+                for x, ca in xa:
+                    for y, cb in xb:
+                        d = x - y
+                        w[d] = w.get(d, 0) + ca * cb
+                if not w:
+                    if tag is None:
+                        stat_rows.append((None, None))
+                    continue  # series mode: an empty series emits no row
+                lo = hi = None
+                cum = 0
+                for d in sorted(w):
+                    cum += w[d]
+                    if lo is None and cum >= lo_rank:
+                        lo = d
+                    if hi is None and cum >= hi_rank:
+                        hi = d
+                        break
+                stat_rows.append((lo, hi) if tag is None else (tag, lo, hi))
+            with_series = series_grids is not None
+            cols = ([("_ser", "string")] if with_series else []) + [
+                ("_lo", "bigint"), ("_hi", "bigint")
+            ]
+            stats = _values_literal_frame(a.sparkSession if a is not None else series_list[0][1].sparkSession, cols, stat_rows)
+            return _hl_tail(stats, n_a, n_b, decimals, with_series)
 
     if series_grids is not None:
         if sizes is None:

@@ -228,6 +228,117 @@ def cms_estimates(
     return candidates.join(est, keys + [token_col])
 
 
+def sliding_cms_window(
+    day_counts: DataFrame,
+    day_col: str,
+    token_col: str,
+    count_col: str,
+    window_days: int = 7,
+    depth: int = 3,
+    width: int = 16,
+    collect_max_rows: int | None = None,
+) -> DataFrame:
+    """Trailing-``window_days`` per-token counts from SLIDING count-min
+    sketches beside the exact rollup: day-grain sketches fan to the
+    windows they serve and cells ADD (the CMS additive-merge read path);
+    output rows exist for every OBSERVED day (the semi-join convention)
+    carrying ``exact_n`` and the one-sided ``cms_est >= exact_n``.
+
+    Input must be the pre-combined (day, token, n) day-grain table.
+    Output: (day, token_col, exact_n, cms_est).
+
+    ``collect_max_rows`` opts the CONTRACT-BOUNDED day × token grid into
+    ONE collect: the fanout, cell merge, exact rollup and min-over-depth
+    estimates replay in exact Python integers — the bucket hash is the
+    same md5 fold `portable_hash` computes, NULL days never fan (explode
+    of a NULL sequence drops the row) and NULL tokens hash to a NULL
+    bucket no probe ever matches, exactly as distributed — and the
+    literal result is emitted as a VALUES LocalRelation (every column is
+    already an exact integer/date/string; there is no double tree).
+    Raises past the bound.
+    """
+    if collect_max_rows is not None:
+        import datetime as _dt
+        import hashlib as _hl
+
+        rows = (
+            day_counts.select(F.col(day_col), F.col(token_col), F.col(count_col))
+            .limit(int(collect_max_rows) + 1)
+            .collect()
+        )
+        if len(rows) > int(collect_max_rows):
+            raise ValueError(
+                f"sliding_cms_window: day grid has {len(rows)} rows > "
+                f"collect_max_rows={collect_max_rows}; use the distributed path"
+            )
+
+        def _bucket(d: int, tok: str) -> int:
+            h = int(_hl.md5(f"cms{d}|{tok}".encode("utf-8")).hexdigest()[:15], 16)
+            return h % width
+
+        obs_days = {r[0] for r in rows if r[0] is not None}
+        sketch: dict = {}
+        exact: dict = {}
+        for day, tok, n in rows:
+            if day is None:
+                continue  # NULL days never fan out
+            for k in range(window_days):
+                wday = day + _dt.timedelta(days=k)
+                if tok is not None:
+                    exact[(wday, tok)] = exact.get((wday, tok), 0) + n
+                    for d in range(depth):
+                        cell = (wday, d, _bucket(d, tok))
+                        sketch[cell] = sketch.get(cell, 0) + n
+        out_rows = []
+        for (wday, tok), ex in exact.items():
+            if wday not in obs_days:
+                continue
+            est = min(sketch[(wday, d, _bucket(d, tok))] for d in range(depth))
+            out_rows.append((wday, tok, ex, est))
+        from morphik_core_spark.plans.literal import values_literal_frame
+
+        tok_t = day_counts.schema[token_col].dataType.simpleString()
+        return values_literal_frame(
+            day_counts.sparkSession,
+            [("day", "date"), (token_col, tok_t),
+             ("exact_n", "bigint"), ("cms_est", "bigint")],
+            out_rows,
+        )
+
+    from morphik_core_spark.plans.cache import scoped_persist
+
+    # (day x token)-bounded; feeds the sketch, the exact rollup, and the
+    # observed-day semi-join — persist so the upstream is derived once
+    day_counts = scoped_persist(
+        day_counts.select(
+            F.col(day_col).alias("day"), F.col(token_col), F.col(count_col).alias("n")
+        )
+    )
+    day_sketch = cms_sketch(
+        day_counts, token_col, "n", depth=depth, width=width, group_cols=["day"]
+    )
+    fan = F.explode(
+        F.expr(f"sequence(day, date_add(day, {int(window_days) - 1}), interval 1 day)")
+    ).alias("wday")
+    fanned = day_sketch.withColumn("wday", fan)
+    merged = fanned.groupBy("wday", "depth_i", "bucket").agg(
+        F.sum("bucket_count").alias("bucket_count")
+    )
+    exact = (
+        day_counts.withColumn("wday", fan)
+        .groupBy("wday", token_col)
+        .agg(F.sum("n").alias("exact_n"))
+        .join(
+            day_counts.select("day").distinct(),
+            F.col("wday") == F.col("day"),
+            "left_semi",
+        )
+    )
+    return cms_estimates(
+        exact, merged, token_col, depth=depth, width=width, group_cols=["wday"]
+    ).select(F.col("wday").alias("day"), token_col, "exact_n", "cms_est")
+
+
 def bloom_bits(
     keys: DataFrame,
     key_col: str,

@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame
 
 
 SAFE_TYPES = ("string", "bigint", "int", "smallint", "tinyint", "long",
-              "double", "float", "boolean", "decimal", "array<double>")
+              "double", "float", "boolean", "decimal", "array<double>",
+              "date")
 
 
 def _cell(v, typ: str) -> str:
@@ -34,6 +35,9 @@ def _cell(v, typ: str) -> str:
     if typ == "string":
         esc = str(v).replace("\\", "\\\\").replace("'", "\\'")
         return f"'{esc}'"
+    if typ == "date":
+        # datetime.date (or an ISO string) — the literal is engine-exact
+        return f"CAST('{v.isoformat() if hasattr(v, 'isoformat') else v}' AS DATE)"
     if typ.startswith("decimal"):
         return f"CAST('{v}' AS {typ})"
     if typ in ("double", "float"):

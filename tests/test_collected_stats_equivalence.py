@@ -269,3 +269,61 @@ def test_theil_sen_collected_matches_distributed(spark):
 
     with pytest.raises(ValueError, match="collect_max_points"):
         theil_sen_trend(df, "i", "y", collect_max_points=3)
+
+
+def test_cross_correlation_collected_matches_distributed(spark):
+    from morphik_core_spark.operators.analytics import cross_correlation
+
+    # gaps in the index (pairs drop), NULL x / NULL y rows, a NULL index
+    rows = [
+        (1, 10, 3), (2, 12, 5), (3, 9, 4), (5, 20, 9), (6, 18, 8),
+        (7, None, 6), (8, 14, None), (None, 4, 4),
+    ]
+    df = spark.createDataFrame(rows, "i long, x long, y long")
+    dist = _rows(cross_correlation(df, "i", "x", "y", max_lag=3))
+    coll = _rows(cross_correlation(df, "i", "x", "y", max_lag=3, collect_max_points=1000))
+    assert dist == coll
+
+    # short series: some lags have zero pairs and must emit no row
+    df2 = spark.createDataFrame([(1, 4, 7), (2, 9, 1)], "i long, x long, y long")
+    assert _rows(cross_correlation(df2, "i", "x", "y", max_lag=5)) == _rows(
+        cross_correlation(df2, "i", "x", "y", max_lag=5, collect_max_points=1000)
+    )
+
+    # empty input
+    df0 = spark.createDataFrame([], "i long, x long, y long")
+    assert _rows(cross_correlation(df0, "i", "x", "y", max_lag=2)) == _rows(
+        cross_correlation(df0, "i", "x", "y", max_lag=2, collect_max_points=1000)
+    )
+
+    with pytest.raises(ValueError, match="collect_max_points"):
+        cross_correlation(df, "i", "x", "y", max_lag=2, collect_max_points=3)
+
+
+def test_sliding_cms_window_collected_matches_distributed(spark):
+    import datetime as dt
+
+    from morphik_core_spark.operators.sketches import sliding_cms_window
+
+    d = dt.date(2031, 3, 1)
+    rows = [
+        (d, "view", 10), (d, "purchase", 3),
+        (d + dt.timedelta(days=1), "view", 7),
+        (d + dt.timedelta(days=3), "click", 5),
+        (d + dt.timedelta(days=9), "view", 2),  # a gap: windows straddle it
+        (None, "view", 99),                      # NULL day never fans
+        (d + dt.timedelta(days=1), None, 4),     # NULL token never outputs
+    ]
+    df = spark.createDataFrame(rows, "day date, tok string, n long")
+    dist = _rows(sliding_cms_window(df, "day", "tok", "n", window_days=7, depth=3, width=4))
+    coll = _rows(
+        sliding_cms_window(
+            df, "day", "tok", "n", window_days=7, depth=3, width=4,
+            collect_max_rows=10_000,
+        )
+    )
+    assert dist == coll
+    assert len(dist) > 0
+
+    with pytest.raises(ValueError, match="collect_max_rows"):
+        sliding_cms_window(df, "day", "tok", "n", collect_max_rows=2)
